@@ -1,0 +1,30 @@
+"""kgspark — a PySpark-native knowledge-graph construction engine.
+
+Brand-new implementation of the capabilities of the reference repo
+ishanc/knowledgeGraph (a single-process Flask + networkx + LLM app), re-expressed
+Spark-first: declarative DataFrame plans, vectorized Arrow/pandas UDFs only,
+broadcast/shuffle-aware joins, salted skew handling, and a resumable
+checkpoint-manifest pipeline.
+
+Module map (SURVEY.md §7.1):
+  session    — SparkSession factory (Arrow, AQE, skew-join on)
+  textnorm   — byte-identical clean_text / json byte-cleaning (ref knowledgeGraph.py:14-20)
+  html       — deterministic html(binary) -> text extractor
+  synth      — seeded Common-Crawl-style `pages` corpus + golden triples
+  chunk      — sentence chunker (ref knowledge_graph_builder.py:304-342)
+  embed      — dedup-embed-join with a deterministic feature-hash embedder
+  openie     — rule-based hierarchical concept extractor (ref :198-235 semantics)
+  linking    — alias-table entity linking with candidate scoring
+  canon      — MinHash-LSH blocking + connected-components canonicalization
+  edges      — fwd/rev typed weighted edge generator (ref :527-563)
+  topics     — clustering + tf-idf top-k + topic naming (ref :237-302)
+  graph_api  — triple query / node history / confidence / validate (ref :675-738)
+  dedup      — exact / minhash / simhash / ngram-jaccard / embedding near-dup
+  similarity — brute-force + LSH-bucketed cosine top-k ANN
+  textstats  — lang-id, quality scoring, token counting, fingerprinting
+  multimodal — binary-column decode/feature plumbing (decode stubbed)
+  checkpoint — per-stage manifest, lineage counters, resume
+  pipeline   — end-to-end spark-submit driver
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,156 @@
+"""Entity canonicalization: MinHash-LSH blocking + connected components.
+
+North-star stage: near-duplicate entity surfaces ("Acme Corp" / "Acme Corp.",
+case/punctuation variants the alias dictionary doesn't know) are clustered and
+rewritten to one canonical representative.
+
+Algorithm, all as DataFrame ops (no GraphFrames dependency):
+  1. character-3-gram shingles of the normalized surface
+  2. MinHash signature: for each of `num_hashes` salted md5 hash families,
+     min over shingles (md5 so the same signature is computable in plain SQL
+     — DuckDB-oracle friendly, and stable across JVM/Python)
+  3. LSH banding: group `rows_per_band` signature slots into band keys; any
+     two entities sharing a band key become a candidate pair (self-join on
+     band key — the ONLY join, and it is blocked, never all-pairs)
+  4. verify candidates with exact shingle Jaccard >= threshold
+  5. connected components over verified pairs by iterative min-id label
+     propagation (converges in O(log(diameter)) joins; early-stops when no
+     label changes)
+  6. representative = lexicographically smallest surface per component
+
+At 100 TB the all-pairs alternative is O(n^2) and impossible; LSH blocking
+keeps candidate generation linear-ish in n with tunable recall via
+(num_hashes, bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(col, n: int = 3):
+    """array of distinct character n-grams of lower(col), JVM-side."""
+    s = F.lower(col)
+    # sequence over substring positions; guard short strings with the whole string
+    grams = F.when(
+        F.length(s) <= n, F.array(s)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - n + 1),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col, num_hashes: int = 16):
+    """array<string> of per-family minima: min(md5(salt || gram))."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda g, i=i: F.md5(F.concat(F.lit(f"s{i}:"), g)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def candidate_pairs(
+    entities: DataFrame,
+    id_col: str = "name",
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """entities(name) -> verified near-dup pairs (a, b) with a < b."""
+    rows = num_hashes // bands
+    base = (
+        entities.select(F.col(id_col).alias("name")).distinct()
+        .withColumn("sh", shingles(F.col("name"), shingle_n))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    banded = base.select(
+        "name", "sh",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws("|", F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.name") < F.col("r.name")),
+        )
+        .select(
+            F.col("l.name").alias("a"), F.col("r.name").alias("b"),
+            F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        pairs.where(_jaccard(F.col("sha"), F.col("shb")) >= jaccard_threshold)
+        .select("a", "b")
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """nodes(name), edges(a, b) -> (name, component) via iterative min-label
+    propagation. Each iteration: label = min(label, min over neighbors);
+    early-stop when no label changed. localCheckpoint truncates the growing
+    lineage so plans stay bounded at scale."""
+    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = nodes.select(F.col("name"), F.col("name").alias("component"))
+    sym = sym.persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["name"])
+            .groupBy(F.col("a").alias("name"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "name", "left")
+            .select(
+                "name",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "name")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonical_map(
+    entities: DataFrame, id_col: str = "name", **lsh_kwargs
+) -> DataFrame:
+    """(name, canonical): every entity mapped to its component representative
+    (min surface in the component). Entities with no near-dups map to self."""
+    nodes = entities.select(F.col(id_col).alias("name")).distinct()
+    pairs = candidate_pairs(nodes, "name", **lsh_kwargs)
+    comp = connected_components(nodes, pairs)
+    rep = comp.groupBy("component").agg(F.min("name").alias("canonical"))
+    return comp.join(rep, "component").select("name", "canonical")

@@ -1,0 +1,108 @@
+"""Checkpoint manifest — resumable, idempotent stage execution.
+
+The reference persists one artifact between runs (the joblib embedding cache,
+ref /root/reference/knowledge_graph_builder.py:83-92) and otherwise recomputes
+the world on every upload (ref app.py:100-102). At 10^12-doc scale a mid-run
+failure must NOT restart the world, so every named stage writes:
+
+  <run_dir>/<stage>.parquet         — the stage output (atomic: tmp + rename)
+  <run_dir>/_manifest/<stage>.json  — {stage, fingerprint, rows,
+                                       per-partition lineage counters, status}
+
+A stage re-runs only when its input fingerprint changed; otherwise the
+materialized parquet is read back (snapshot-isolation-lite — the same seam an
+Iceberg catalog would provide; parquet keeps the sandbox dependency-free while
+io_tables abstracts the format).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Manifest:
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+        self.mdir = os.path.join(run_dir, "_manifest")
+        os.makedirs(self.mdir, exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.mdir, f"{stage}.json")
+
+    def load(self, stage: str) -> dict | None:
+        p = self._path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+
+    def is_complete(self, stage: str, fingerprint: str) -> bool:
+        m = self.load(stage)
+        return bool(
+            m
+            and m.get("status") == "complete"
+            and m.get("fingerprint") == fingerprint
+            and os.path.exists(m.get("output", ""))
+        )
+
+    def mark_complete(self, stage: str, fingerprint: str, output: str,
+                      rows: int, partition_counts: list[dict]) -> None:
+        rec = {
+            "stage": stage,
+            "status": "complete",
+            "fingerprint": fingerprint,
+            "output": output,
+            "rows": rows,
+            "partitions": partition_counts,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.mdir, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(rec, f, indent=2)
+        os.replace(tmp, self._path(stage))
+
+
+def run_stage(
+    spark: SparkSession,
+    manifest: Manifest,
+    stage: str,
+    fingerprint: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Execute-or-resume one named stage.
+
+    Completed (same fingerprint) -> read back the materialized output.
+    Otherwise: build, write atomically, record per-partition lineage counters
+    (spark_partition_id row counts — the driver-side view of which partitions
+    produced what), then publish the manifest entry LAST so a crash between
+    write and publish re-runs the stage (idempotent overwrite).
+    """
+    out_path = os.path.join(manifest.run_dir, f"{stage}.parquet")
+    if manifest.is_complete(stage, fingerprint):
+        return spark.read.parquet(out_path)
+
+    df = build()
+    tmp_path = out_path + ".tmp"
+    if os.path.exists(tmp_path):
+        shutil.rmtree(tmp_path, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp_path)
+    if os.path.exists(out_path):
+        shutil.rmtree(out_path, ignore_errors=True)
+    os.replace(tmp_path, out_path)
+
+    written = spark.read.parquet(out_path)
+    pc = (
+        written.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    partition_counts = [{"pid": r["pid"], "rows": r["rows"]} for r in pc]
+    rows = sum(p["rows"] for p in partition_counts)
+    manifest.mark_complete(stage, fingerprint, out_path, rows, partition_counts)
+    return written
