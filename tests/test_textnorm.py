@@ -1,0 +1,130 @@
+"""Byte-identity tests for the text normalizers (SURVEY.md §5.2.1-2).
+
+The oracle is the REFERENCE's own clean_text / clean_problematic_value,
+imported read-only from /root/reference (never copied). When the reference
+checkout is absent (e.g. CI elsewhere) those comparisons skip; the pinned
+byte-vector expectations below always run.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+from kgspark.textnorm import clean_problematic_value, clean_text
+
+REF_DIR = "/root/reference"
+
+CASES = [
+    "a\n\nb\tc\r\nd",
+    "  x \xa0 y z  ",
+    "",
+    "   ",
+    "plain",
+    "nul\x00byte",
+    "ctrl\x01\x02chars\x1f!",
+    "CJK 北京 mixed\tline",
+    "a\x0bb\x0cc",
+    "trail  space  ",
+    "&nbsp;-literal stays",
+    "emoji 🚀\nnewline",
+    "Ünïcode nbsp",
+]
+
+
+def _load_ref(modname: str, fname: str):
+    """Import a reference module read-only; its binary-format deps (docx,
+    PyPDF2, pytesseract, PIL) are absent here and irrelevant to the pure text
+    functions under test, so stub them before exec."""
+    path = os.path.join(REF_DIR, fname)
+    if not os.path.exists(path):
+        return None
+    import types
+
+    # Exact names the reference imports (knowledgeGraph.py:1-10,
+    # json_validator.py:1-4); only the text functions are exercised.
+    stubs = {
+        "docx": {"Document": object},
+        "PyPDF2": {"PdfReader": object},
+        "pytesseract": {"image_to_string": lambda *a, **k: ""},
+        "PIL": {"Image": types.SimpleNamespace(open=lambda *a, **k: None)},
+        "jsonschema": {"validate": lambda *a, **k: None,
+                       "ValidationError": type("ValidationError", (Exception,), {})},
+    }
+    for stub, attrs in stubs.items():
+        if stub not in sys.modules:
+            try:
+                importlib.import_module(stub)
+            except ImportError:
+                m = types.ModuleType(stub)
+                for k, v in attrs.items():
+                    setattr(m, k, v)
+                sys.modules[stub] = m
+    if "json_validator" not in sys.modules and fname != "json_validator.py":
+        jv = _load_ref("json_validator", "json_validator.py")
+        if jv is not None:
+            sys.modules["json_validator"] = jv
+    spec = importlib.util.spec_from_file_location(modname, path)
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        return None
+    return mod
+
+
+def test_clean_text_pinned_vectors():
+    assert clean_text("a\n\nb\tc\r\nd") == "a b c d"
+    assert clean_text("  x \xa0 y z  ") == "x y z"  # unicode \s collapses
+    assert clean_text("") == ""
+    assert clean_text("   ") == ""
+    assert clean_text(None) is None  # non-str passthrough
+    assert clean_text(42) == 42
+    assert clean_text("a\x0bb") == "a b"  # \x0b is Python-\s
+
+
+def test_clean_text_idempotent():
+    for c in CASES:
+        once = clean_text(c)
+        assert clean_text(once) == once
+
+
+def test_clean_problematic_value_pinned():
+    assert clean_problematic_value("nul\x00byte") == "nulbyte"
+    assert clean_problematic_value("a\x01b\x1fc") == "abc"
+    assert clean_problematic_value("keep\nnewline") == "keep\nnewline"
+    assert clean_problematic_value(7) == 7
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR), reason="reference not present")
+def test_byte_identity_vs_reference():
+    ref = _load_ref("_ref_kg", "knowledgeGraph.py")
+    if ref is None:
+        pytest.skip("reference module not importable in sandbox")
+    for c in CASES:
+        ours = clean_text(c)
+        theirs = ref.clean_text(c)
+        assert ours.encode("utf-8") == theirs.encode("utf-8"), repr(c)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR), reason="reference not present")
+def test_ctrl_strip_vs_reference():
+    ref = _load_ref("_ref_jv", "json_validator.py")
+    if ref is None:
+        pytest.skip("reference module not importable in sandbox")
+    for c in CASES:
+        assert clean_problematic_value(c) == ref.clean_problematic_value(c), repr(c)
+
+
+def test_clean_text_udf_roundtrip(spark):
+    df = spark.createDataFrame([(c,) for c in CASES] + [(None,)], "s string")
+    from pyspark.sql import functions as F
+
+    from kgspark.textnorm import clean_text_udf
+
+    got = [r["c"] for r in df.select(clean_text_udf(F.col("s")).alias("c")).collect()]
+    want = [clean_text(c) for c in CASES] + [None]
+    assert got == want
