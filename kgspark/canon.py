@@ -44,13 +44,17 @@ def shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def _salted_md5(i: int):
+    # single-param closure: a 2-param lambda would receive the array INDEX as
+    # its second arg from Spark's HOF binding, clobbering the captured salt
+    return lambda g: F.md5(F.concat(F.lit(f"s{i}:"), g))
+
+
 def minhash_signature(shingle_col, num_hashes: int = 16):
     """array<string> of per-family minima: min(md5(salt || gram))."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda g, i=i: F.md5(F.concat(F.lit(f"s{i}:"), g)))
-            )
+            F.array_min(F.transform(shingle_col, _salted_md5(i)))
             for i in range(num_hashes)
         ]
     )

@@ -1,0 +1,280 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Five families, all expressed as blocked/linear DataFrame plans — the O(n^2)
+all-pairs comparison never appears, which is what makes these survive 100 TB:
+
+  exact          md5(text) groupBy — one shuffle on the hash
+  minhash-LSH    word-shingles -> md5 minhash -> banded keys -> equi-join only
+                 inside bands -> verify with true Jaccard
+  simhash        16-bit sign-of-weighted-bits sketch; near-dups share sketch
+                 (or differ by <=k bits via multi-probe on bit-flips)
+  ngram-jaccard  exact Jaccard verification over word n-grams, blocked
+  embedding      cosine within sign-LSH buckets of the embedding space
+
+Hashes are md5-over-strings everywhere so every step has a DuckDB-expressible
+oracle (same hex md5 both engines) and is stable across JVM/Python/SQL.
+Cross-engine note: Spark's `sequence(a, b)` with b<a yields a DESCENDING
+range, so shingle builders guard with greatest(); DuckDB range() yields empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, content_hash, canonical_id, group_size): canonical = min id per
+    identical-text group. One hash-shuffle; no pairwise work."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return h.select(
+        id_col,
+        "content_hash",
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word shingles + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams (space-joined) of a text column, JVM-side.
+    Shorter texts yield the whole token list as one shingle."""
+    toks = F.split(col, r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _salted_md5(i: int):
+    # single-param closure: a 2-param lambda would receive the array INDEX as
+    # its second arg from Spark's HOF binding, clobbering the captured salt
+    return lambda g: F.md5(F.concat(F.lit(f"{i}:"), g))
+
+
+def minhash_sig(shingle_col, num_hashes: int = 16):
+    """array<string>: per hash-family minimum of md5(f'{i}:' || shingle)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, _salted_md5(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard) with a < b.
+
+    Join is strictly band-blocked: only ids sharing a band key ever meet, so
+    candidate generation is ~linear in corpus size for non-pathological data;
+    banding (16 hashes / 4 bands) targets recall at J >= ~0.8.
+    """
+    rows = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .where(F.col("t").isNotNull())
+        .withColumn("sh", word_shingles(F.col("t"), shingle_n))
+        .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
+    )
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col("sig")[b * rows + r] for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.sh").alias("sha"),
+            F.col("r.sh").alias("shb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived — oracle-expressible without bit intrinsics)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_nibble(c):
+    """hex char -> 0..15 via strpos (portable to engines without conv())."""
+    return F.instr(F.lit(_HEX), c) - 1
+
+
+def simhash16(col):
+    """16-bit SimHash of the whitespace tokens of `col`.
+
+    bit j (j=0..15, j//4-th hex nibble of md5(token), bit 3-j%4 of the nibble)
+    votes +1 when set else -1 across tokens; sketch bit = vote sum > 0.
+    Distinct tokens (set semantics) so token order/multiplicity is ignored —
+    deterministic and cheap; near-dup texts land on equal sketches.
+    """
+    toks = F.array_distinct(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
+    md5s = F.transform(toks, lambda t: F.md5(t))
+    total = F.size(toks)
+
+    def bit_is_set(ci: int, bi: int):
+        return lambda h: (
+            (_hex_nibble(F.substring(h, ci, 1)) / (2 ** bi)).cast("int") % 2
+        ) == 1
+
+    bits = []
+    for j in range(16):
+        ci, bi = j // 4 + 1, 3 - (j % 4)
+        ones = F.size(F.filter(md5s, bit_is_set(ci, bi)))
+        # vote sum = ones - (total - ones) > 0  <=>  2*ones > total
+        bits.append(F.when(2 * ones > total, F.lit(1)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for j, b in enumerate(bits):
+        out = out + b * F.lit(2 ** j)
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash, canonical_id, group_size) — groups share the exact
+    16-bit sketch. (Hamming<=k multiprobe = union over bit-flip variants of
+    the same plan; exact-match grouping is the benchable core.)"""
+    h = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return h.select(
+        id_col,
+        "simhash",
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard >= threshold, join blocked on `block_col`
+    (a domain/source/bucket column); None blocks on token-count band —
+    near-dups must have similar lengths, so length banding is a sound
+    O(n * band_size) blocker."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        (
+            F.col(block_col)
+            if block_col
+            else (F.size(F.split(F.col(text_col), r"\s+")) / 10).cast("long")
+        ).alias("blk"),
+    )
+    l, r = t.alias("l"), t.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (sign-LSH blocked)
+# ---------------------------------------------------------------------------
+
+def sign_bucket(emb_col, bits: int = 8):
+    """Hypercube sign-quantization bucket: bit i set iff emb[i] > 0. A
+    classic SRP-LSH with axis-aligned planes — candidates for high cosine
+    overwhelmingly share the bucket; bits tunes recall/cost."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(emb_col[i] > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return out
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bits: int = 8,
+) -> DataFrame:
+    """(a, b, cos) pairs with cosine >= threshold, blocked by sign bucket."""
+    from kgspark.embed import cosine_cols
+
+    t = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("e"),
+        sign_bucket(F.col(emb_col), bits).alias("blk"),
+    )
+    l, r = t.alias("l"), t.alias("r")
+    cos = cosine_cols(F.col("l.e"), F.col("r.e"))
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

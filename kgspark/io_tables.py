@@ -1,0 +1,113 @@
+"""Table IO — format-abstracted readers/writers with explicit schemas.
+
+The north star targets Iceberg in/out; this sandbox has no Iceberg runtime
+jar, so the catalog seam is abstracted: `write_table`/`read_table` use Iceberg
+(`df.writeTo(...)`) when a catalog is configured and fall back to parquet with
+identical schemas otherwise. Checkpoint/resume (kgspark.checkpoint) sits on
+the same seam.
+
+Partitioning posture for the 100 TB layout:
+  pages     partitioned by days(warc_ts), bucketed by url — crawl-time pruning
+  documents partitioned by days(ts)
+  triples   bucketed by subj — point lookups and subj-joins co-locate
+  entities  bucketed by name
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (re-exported convenience)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+TRIPLES_SCHEMA = StructType(
+    [
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj", StringType()),
+        StructField("weight", DoubleType()),
+        StructField("ts", TimestampType()),
+        StructField("source", StringType()),
+        StructField("confidence", DoubleType()),
+        StructField("bidirectional", BooleanType()),
+    ]
+)
+
+NODES_SCHEMA = StructType(
+    [
+        StructField("node_id", StringType()),
+        StructField("node_type", StringType()),
+        StructField("concept_type", StringType()),
+        StructField("properties", ArrayType(StringType())),
+        StructField("actions", ArrayType(StringType())),
+        StructField("importance", DoubleType()),
+        StructField("size", DoubleType()),
+        StructField("ts", TimestampType()),
+        StructField("source", StringType()),
+        StructField("confidence", DoubleType()),
+        StructField("version", StringType()),
+    ]
+)
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on this session."""
+    return bool(spark.conf.get("spark.sql.catalog.kg", None))
+
+
+def read_table(spark: SparkSession, base: str, name: str) -> DataFrame:
+    """Read a named table: Iceberg identifier when a catalog exists, else
+    `<base>/<name>.parquet`."""
+    if iceberg_available(spark):
+        return spark.read.table(f"kg.{base}.{name}")
+    return spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+
+
+def write_table(df: DataFrame, base: str, name: str, mode: str = "overwrite",
+                bucket_by: tuple[int, str] | None = None) -> None:
+    """Write a named table through the catalog seam.
+
+    Parquet fallback: bucketing requires saveAsTable, so bucket_by downgrades
+    to repartition-on-key (same co-location for this session's joins)."""
+    spark = df.sparkSession
+    if iceberg_available(spark):
+        w = df.writeTo(f"kg.{base}.{name}")
+        (w.createOrReplace() if mode == "overwrite" else w.append())
+        return
+    if bucket_by:
+        n, col = bucket_by
+        df = df.repartition(n, col)
+    df.write.mode(mode).parquet(os.path.join(base, f"{name}.parquet"))
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Driver-generated testdata tables (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is REAL and tested — schemas, partitioning, Arrow
+batch shapes, mapInPandas signatures. The codec step is STUBBED (image/audio
+libraries are not in this container): `decode_image`/`decode_audio` raise
+NotImplementedError with a clearly marked seam where PIL/ffmpeg-backed
+decoders drop in, and `byte_features`/`sample_frames` run a deterministic
+byte-level path end-to-end so the distributed plumbing is exercised for real.
+
+Design for 100 TB of media:
+  - binary payloads stay opaque to the planner; metadata columns (kind, n_bytes,
+    content md5) are first-class so pruning/filtering never touches payloads;
+  - feature extraction is mapInPandas over Arrow record batches — payload bytes
+    cross to Python once, batched, never row-at-a-time;
+  - frame sampling explodes to (media_id, frame_no, frame_bytes) rows so
+    downstream vision featurizers parallelize per frame, not per video.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_entropy", FloatType()),
+        StructField("byte_hist", ArrayType(FloatType())),  # 16 buckets, L1-normed
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def decode_image(payload: bytes):
+    """STUB — container has no image codec. Drop-in seam: replace the body
+    with `PIL.Image.open(io.BytesIO(payload))` where pillow exists."""
+    raise NotImplementedError(
+        "image decode stubbed: no codec libraries in this environment; "
+        "byte_features/sample_frames exercise the distributed plumbing instead"
+    )
+
+
+def decode_audio(payload: bytes):
+    """STUB — see decode_image."""
+    raise NotImplementedError("audio decode stubbed in this environment")
+
+
+def synth_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table derived from a text corpus: payload =
+    utf-8 bytes of the text (stands in for encoded media), kind round-robins
+    by id. Gives the plumbing realistic variable-length binaries."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("kind"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    )
+
+
+def byte_features(media: DataFrame, hist_buckets: int = 16) -> DataFrame:
+    """Arrow-batched byte-level featurization via mapInPandas: entropy + a
+    normalized byte histogram. The real-codec featurizer swaps in at the
+    marked line; everything around it (batching, schema, partitioning) is the
+    production path."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "n_bytes": [],
+                   "byte_entropy": [], "byte_hist": []}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                counts = [0] * hist_buckets
+                for byte in b:
+                    counts[byte * hist_buckets // 256] += 1
+                n = len(b)
+                hist = [c / n if n else 0.0 for c in counts]
+                ent = -sum(p * math.log2(p) for p in hist if p > 0.0)
+                # <-- codec seam: decode_image(b) / decode_audio(b) features here
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(n)
+                out["byte_entropy"].append(float(ent))
+                out["byte_hist"].append([float(x) for x in hist])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256, stride: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: slice the payload into fixed-size
+    "frames" and keep every stride-th one, exploded to one row per frame.
+    With a real codec the slicing becomes keyframe extraction; the schema,
+    explode shape and per-frame parallelism are identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for fno in range(0, n_frames, stride):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fno)
+                    out["frame_bytes"].append(b[fno * frame_size:(fno + 1) * frame_size])
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )

@@ -1,0 +1,153 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Three tiers, cheapest plan that meets recall wins:
+
+  brute     exact cosine top-k: broadcast the (small) query set against the
+            corpus, JVM-side cosine (zip_with/aggregate), per-query window
+            top-k. One pass over the corpus, zero shuffles of the big side
+            before the (tiny) top-k aggregation.
+  lsh       sign-quantization buckets (kgspark.dedup.sign_bucket): probe only
+            the query's bucket — the 100 TB path when queries are many.
+  ivf       KMeans coarse quantizer: corpus partitioned into nlist inverted
+            lists; probe the nprobe nearest centroids per query. The standard
+            IVF-Flat layout, as DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgspark.dedup import sign_bucket
+from kgspark.embed import cosine_cols
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k: (query_id, vec_id, cos, rank). `queries` has
+    (query_id, qemb); it is broadcast — the corpus is never shuffled."""
+    q = queries.select("query_id", F.col("qemb"))
+    j = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e")
+    ).crossJoin(F.broadcast(q))
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_cols(F.col("e"), F.col("qemb")), 6).alias("cos"),
+    )
+    return _topk_per_query(scored, k)
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Bucketed ANN: candidates restricted to the query's sign bucket.
+    Same output shape as cosine_topk; recall < 1 by design (scale path)."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("e"),
+        sign_bucket(F.col(emb_col), bits).alias("blk"),
+    )
+    q = queries.select(
+        "query_id", "qemb", sign_bucket(F.col("qemb"), bits).alias("qblk")
+    )
+    j = corpus.join(F.broadcast(q), F.col("blk") == F.col("qblk"))
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_cols(F.col("e"), F.col("qemb")), 6).alias("cos"),
+    )
+    return _topk_per_query(scored, k)
+
+
+def ivf_fit_assign(
+    emb: DataFrame,
+    nlist: int = 16,
+    emb_col: str = "embedding",
+    seed: int = 42,
+):
+    """Fit the coarse quantizer and assign every vector to its inverted list.
+    Returns (assigned_df with `list_id`, centers: list[list[float]])."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn("__f", array_to_vector(F.col(emb_col)))
+    model = KMeans(k=nlist, seed=seed, featuresCol="__f", predictionCol="list_id").fit(
+        feats
+    )
+    assigned = model.transform(feats).drop("__f")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe the nprobe closest inverted lists per query, exact cosine inside.
+
+    centers ride along as a broadcast literal (nlist × dim floats — tiny);
+    the corpus side is touched only on probed lists (partition-prunable when
+    the assigned table is written partitioned by list_id).
+    """
+    spark = assigned.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "list_id int, cemb array<float>",
+    )
+    qc = (
+        queries.crossJoin(F.broadcast(centers_df))
+        .withColumn("cdist", cosine_cols(F.col("qemb"), F.col("cemb")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("list_id"))
+            ),
+        )
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "qemb", "list_id")
+    )
+    j = assigned.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e"), "list_id"
+    ).join(F.broadcast(qc), "list_id")
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_cols(F.col("e"), F.col("qemb")), 6).alias("cos"),
+    )
+    return _topk_per_query(scored, k)

@@ -1,0 +1,72 @@
+"""Skew handling: salted two-phase aggregation + hot-key detection.
+
+Hot domains / head entities put one groupBy key on one reducer. AQE skew-join
+splitting (on in kgspark.session) covers joins; for aggregations over
+pathological keys the classic fix is salting:
+
+  phase 1: group by (key, salt) — fans a hot key across S reducers
+  phase 2: group by key — combines S partials (S rows per key, trivial)
+
+Sums/counts/min/max are associative so the two-phase result is exactly the
+single-phase result; the salt column derives from a per-row hash, never rand(),
+so replays are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_buckets: int = 16, from_cols: list[str] | None = None):
+    """Deterministic salt in [0, salt_buckets): hash of `from_cols` (or all
+    columns) — NOT rand(), so checkpoint replays regroup identically."""
+    cols = [F.col(c) for c in (from_cols or df.columns)]
+    return df.withColumn("__salt", F.pmod(F.hash(*cols), F.lit(salt_buckets)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    aggs: out_name -> (fn, col) with fn in {count, sum, min, max}.
+    e.g. salted_agg(events, ["event_type"], {"n": ("count", "*"),
+                                             "total": ("sum", "value")})
+    """
+    partial_exprs, final_exprs = [], []
+    for out, (fn, col) in aggs.items():
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"unsupported salted agg fn: {fn}")
+    salted = with_salt(df, salt_buckets)
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def hot_keys(df: DataFrame, key: str, threshold_ratio: float = 4.0) -> DataFrame:
+    """Keys whose row count exceeds threshold_ratio × the mean per-key count —
+    the inputs you'd salt or AQE-split. (key, n, ratio)."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    mean = counts.agg(F.avg("n").alias("m"))
+    return (
+        counts.crossJoin(F.broadcast(mean))
+        .withColumn("ratio", F.round(F.col("n") / F.col("m"), 6))
+        .where(F.col("ratio") >= threshold_ratio)
+        .select(key, "n", "ratio")
+    )

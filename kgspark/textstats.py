@@ -1,0 +1,135 @@
+"""Text analysis for corpus curation: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All four are pure column expressions (whole-stage-codegen, no Python
+crossing) built from ASCII-safe primitives that behave identically in Spark
+and DuckDB — each operator has a SQL oracle. Regex classes are ASCII-literal
+(`[a-z]`, explicit char sets) because Java and RE2 diverge on `\\w`/`\\s`
+unicode semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small high-frequency function-word lists; enough signal for n-gram-free
+# language ID on web text. Deliberately tiny so the SQL oracle can inline them.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"],
+}
+
+
+def ws_tokens(col):
+    """Whitespace tokens, lowercased, empties dropped."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col):
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def subword_count(col):
+    """BPE-ish unit count: alpha runs are ~4.2 chars/unit (GPT-family rule of
+    thumb), digits and punctuation are one unit each. A deterministic,
+    tokenizer-free budget estimator for LLM-training curation."""
+    alpha_chars = F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(col, "[a-zA-Z0-9 \t\n\r]", ""))
+    return (F.ceil(alpha_chars / F.lit(4.2)) + digits + punct).cast("long")
+
+
+def stopword_hits(col, lang: str):
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(ws_tokens(col), lambda t: t.isin(*words)))
+
+
+def lang_scores(col):
+    """struct of per-language stopword-hit ratios."""
+    n = token_count(col)
+    return F.struct(
+        *[
+            (stopword_hits(col, lang) / F.greatest(n, F.lit(1))).alias(lang)
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, detected_lang, lang_score): argmax stopword ratio, ties broken by
+    language code ascending — fully deterministic."""
+    langs = sorted(LANG_STOPWORDS)
+    scores = df.select(
+        F.col(id_col),
+        *[
+            (stopword_hits(F.col(text_col), lg) / F.greatest(token_count(F.col(text_col)), F.lit(1))).alias(
+                f"__s_{lg}"
+            )
+            for lg in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
+    pick = F.coalesce(
+        *[F.when(F.col(f"__s_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    return scores.select(
+        id_col,
+        pick.alias("detected_lang"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc curation features + a single quality score in [0, 1].
+
+    score = 0.4*stopword_signal + 0.3*length_signal + 0.3*word_shape_signal
+      - stopword_signal: en stopword ratio clipped to [0, 0.5] / 0.5
+      - length_signal:   min(n_tokens, 100) / 100
+      - word_shape:      mean token length in [3, 12] -> 1 else decays
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    mean_tok_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = stopword_hits(t, "en") / F.greatest(n_tok, F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    digit_ratio = F.length(F.regexp_replace(t, "[^0-9]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    stop_sig = F.least(stop_ratio, F.lit(0.5)) / F.lit(0.5)
+    len_sig = F.least(n_tok, F.lit(100)) / F.lit(100.0)
+    shape_sig = F.when(
+        (mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    score = F.lit(0.4) * stop_sig + F.lit(0.3) * len_sig + F.lit(0.3) * shape_sig
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                shingle_n: int = 5, bottom_k: int = 4) -> DataFrame:
+    """(id, fingerprint): bottom-k sketch — the k smallest md5s of word
+    n-gram shingles, joined with '|'. Robust to small edits (winnowing-style);
+    equal fingerprints => near-identical documents."""
+    from kgspark.dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), shingle_n)
+    hashes = F.array_sort(F.transform(sh, lambda g: F.md5(g)))
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.slice(hashes, 1, bottom_k), "|").alias("fingerprint"),
+    )

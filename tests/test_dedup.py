@@ -1,0 +1,91 @@
+"""Dedup operator tests: exact, minhash-LSH, simhash, ngram-jaccard,
+embedding near-dup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgspark.dedup import (
+    embedding_near_dup,
+    exact_duplicates,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    sign_bucket,
+    simhash_dedup,
+    word_shingles,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank now"),    # near dup of 0
+    (3, "completely different text about database systems and query planners"),
+    (4, "short text"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    out = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in exact_duplicates(_docs(spark)).collect()}
+    assert out[0] == (0, 2)
+    assert out[1] == (0, 2)
+    assert out[2][1] == 1
+    assert out[3][1] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "t string")
+    rows = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert sorted(rows[0]["s"]) == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["x y"]  # shorter than n -> whole text
+
+
+def test_minhash_dedup_finds_near_dups(spark):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in minhash_dedup(_docs(spark), jaccard_threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_simhash_groups_exact_dups(spark):
+    out = {r["doc_id"]: (r["simhash"], r["group_size"])
+           for r in simhash_dedup(_docs(spark)).collect()}
+    assert out[0][0] == out[1][0]
+    assert out[0][1] >= 2
+    assert 0 <= out[3][0] < 2 ** 16
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {(r["a"], r["b"]) for r in
+             ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.5, -0.2, 0.1]),
+        (1, [1.0, 0.5, -0.2, 0.1]),     # identical
+        (2, [0.99, 0.51, -0.19, 0.11]),  # near
+        (3, [-1.0, 0.5, 0.2, -0.1]),     # far (different bucket)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a"], r["b"]): r["cos"]
+             for r in embedding_near_dup(emb, threshold=0.95, bits=4).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_sign_bucket_range(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    got = [r["b"] for r in
+           emb.select(sign_bucket(F.col("embedding"), 8).alias("b")).collect()]
+    assert got == [255, 0]

@@ -1,0 +1,57 @@
+"""ANN search tests: brute-force top-k, sign-LSH bucketed, IVF."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgspark.similarity import cosine_topk, cosine_topk_lsh, ivf_fit_assign, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    rows = emb.where("vec_id < 3").select(
+        emb["vec_id"].alias("query_id"), emb["embedding"].alias("qemb")
+    )
+    return rows.collect() and rows  # materialize sanity + return df
+
+
+def test_cosine_topk_shape(emb, queries):
+    out = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        cs = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)
+
+
+def test_lsh_subset_of_bucket(emb, queries):
+    brute = cosine_topk(emb, queries, k=3)
+    lsh = cosine_topk_lsh(emb, queries, k=3, bits=4)
+    # LSH returns candidates only from the query's bucket; every returned
+    # (query, vec) pair must score identically to the exact computation.
+    b = {(r["query_id"], r["vec_id"]): r["cos"]
+         for r in cosine_topk(emb, queries, k=10 ** 6).collect()}
+    for r in lsh.collect():
+        assert b[(r["query_id"], r["vec_id"])] == r["cos"]
+
+
+def test_ivf_recall_at_nprobe_all(emb, queries):
+    assigned, centers = ivf_fit_assign(emb, nlist=4)
+    # probing ALL lists must equal brute force exactly
+    ivf_all = ivf_topk(assigned, centers, queries, k=5, nprobe=4)
+    brute = cosine_topk(emb, queries, k=5)
+    assert sorted(map(tuple, ivf_all.collect())) == sorted(map(tuple, brute.collect()))
+    # probing 2/4 lists: results are a subset of the corpus with exact scores
+    ivf2 = ivf_topk(assigned, centers, queries, k=5, nprobe=2)
+    assert ivf2.count() > 0

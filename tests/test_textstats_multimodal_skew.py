@@ -1,0 +1,99 @@
+"""Tests: textstats (lang-id, quality, token counts, fingerprint),
+multimodal plumbing, salted aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark.multimodal import byte_features, decode_image, sample_frames, synth_media
+from kgspark.skew import hot_keys, salted_agg
+from kgspark.textstats import fingerprint, lang_id, quality_features, subword_count, token_count
+
+DOCS = [
+    (0, "the cat sat on the mat and it is a good day for the team"),
+    (1, "der hund ist ein gutes tier und das ist nicht schlecht mit den anderen"),
+    (2, "el perro es un animal que vive en la casa con la familia por siempre"),
+    (3, "zzz qqq xxx"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_lang_id(spark):
+    out = {r["doc_id"]: r["detected_lang"] for r in lang_id(_docs(spark)).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+
+
+def test_quality_features(spark):
+    out = {r["doc_id"]: r for r in quality_features(_docs(spark)).collect()}
+    assert out[0]["n_tokens"] == 15
+    assert out[0]["stopword_ratio"] > out[3]["stopword_ratio"]
+    assert 0.0 <= out[3]["quality_score"] < out[0]["quality_score"] <= 1.0
+    assert out[0]["punct_ratio"] == 0.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world, 42 times!",)], "t string")
+    r = df.select(
+        token_count(F.col("t")).alias("n"),
+        subword_count(F.col("t")).alias("sw"),
+    ).collect()[0]
+    assert r["n"] == 4
+    # alpha runs: helloworldtimes = 15 chars -> ceil(15/4.2)=4; digits 4,2 -> 2; punct , ! -> 2
+    assert r["sw"] == 4 + 2 + 2
+
+
+def test_fingerprint_stability(spark):
+    df = _docs(spark)
+    f1 = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    f2 = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df.repartition(7)).collect()}
+    assert f1 == f2
+    assert len(set(f1.values())) == len(f1)  # distinct docs -> distinct prints
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(_docs(spark))
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[0]["kind"] == "image" and rows[1]["kind"] == "audio" and rows[2]["kind"] == "video"
+    assert rows[0]["n_bytes"] == len(DOCS[0][1].encode())
+
+    feats = {r["media_id"]: r for r in byte_features(media).collect()}
+    assert len(feats[0]["byte_hist"]) == 16
+    assert abs(sum(feats[0]["byte_hist"]) - 1.0) < 1e-6
+    assert feats[0]["byte_entropy"] > 0
+
+    frames = sample_frames(media, frame_size=8, stride=2).collect()
+    assert all(len(fr["frame_bytes"]) <= 8 for fr in frames)
+    vid_ids = {fr["media_id"] for fr in frames}
+    assert vid_ids == {2}  # only the video row
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    salted = salted_agg(
+        ev, ["event_type"], {"n": ("count", "*"), "total": ("sum", "value"),
+                             "vmax": ("max", "value")}
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"),
+        F.max("value").alias("vmax"),
+    )
+    s = {r["event_type"]: (r["n"], round(r["total"], 6), r["vmax"]) for r in salted.collect()}
+    p = {r["event_type"]: (r["n"], round(r["total"], 6), r["vmax"]) for r in plain.collect()}
+    assert s == p
+
+
+def test_hot_keys(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 100 + [(f"k{i}",) for i in range(50)], "k string"
+    )
+    out = hot_keys(df, "k", threshold_ratio=4.0).collect()
+    assert [r["k"] for r in out] == ["hot"]
