@@ -1,38 +1,821 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One `queries()` entry per implemented operator family (SURVEY.md §2 + the
+training-data curation ops), each with a DuckDB `oracle_sql()` twin unless the
+op is genuinely non-SQL-expressible (pandas-UDF chunking/embedding, KMeans IVF,
+mapInPandas featurization) — those get the weaker rows-only check.
+
+Cross-engine determinism rules used throughout (Spark and DuckDB must hash
+identically):
+  - hashes are md5-over-strings (same hex in both engines);
+  - float pipelines compute in fp64 with identical expression trees and are
+    round()ed before compare/rank (cross-engine drift is ~1e-13, rounding at
+    1e-5/1e-6 absorbs it);
+  - every rank/top-k has a total deterministic order (score desc, key asc);
+  - all computed columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _parts_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SVO corpus derived from `part` (no external data): one
+    'page' per part whose sentences the rule extractor provably recovers."""
+    p = _read(spark, sf_dir, "part")
+    cap = F.concat(F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)"))
+    typ = F.concat(F.lower("p_type"), F.lit(" part"))
+    text = F.concat(
+        cap, F.lit(" is a "), typ, F.lit(". "),
+        cap, F.lit(" has "), F.col("p_brand"), F.lit(". "),
+        cap, F.lit(" is related to "), F.col("p_brand"), F.lit("."),
+    )
+    return p.select(
+        F.col("p_partkey").alias("doc_key"),
+        text.alias("content"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("part").alias("source"),
+        F.lit(0.8).alias("confidence"),
+    )
+
+
+_PARTS_ORACLE_CTE = """
+p AS (
+  SELECT DISTINCT
+    upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS nm,
+    lower(p_type) || ' part' AS typ,
+    p_brand AS br
+  FROM part
+),
+triples AS (
+  SELECT DISTINCT subj, pred, obj, weight FROM (
+    SELECT nm AS subj, 'is_a' AS pred, typ AS obj, round((1.0 * 0.8)::DOUBLE, 6) AS weight FROM p
+    UNION ALL SELECT typ, 'has_instance', nm, round((1.0 * 0.8)::DOUBLE, 6) FROM p
+    UNION ALL SELECT nm, 'has', br, round((0.9 * 0.8)::DOUBLE, 6) FROM p
+    UNION ALL SELECT br, 'belongs_to', nm, round((0.9 * 0.8)::DOUBLE, 6) FROM p
+    UNION ALL SELECT nm, 'related_to', br, round((0.6 * 0.8)::DOUBLE, 6) FROM p
+    UNION ALL SELECT br, 'related_to', nm, round((0.6 * 0.8)::DOUBLE, 6) FROM p
+  )
+)
+"""
+
+
+def _extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages -> rule extraction -> fwd/rev edge generation -> distinct."""
+    from kgspark.edges import concept_edges
+    from kgspark.openie import extract_concepts_udf
+
+    docs = _parts_pages(spark, sf_dir)
+    concepts = docs.select(
+        "ts", "source", "confidence",
+        F.explode(extract_concepts_udf(F.col("content"))).alias("c"),
+    ).select(
+        "ts", "source", "confidence",
+        F.col("c.name").alias("name"),
+        F.col("c.parents").alias("parents"),
+        F.col("c.children").alias("children"),
+        F.col("c.related").alias("related"),
+    )
+    return (
+        concept_edges(concepts)
+        .select("subj", "pred", "obj", F.round("weight", 6).alias("weight"))
+        .distinct()
+    )
+
+
+# Shingle helpers for oracle SQL (word n-grams, short texts -> whole text)
+def _sh_sql(text_expr: str, n: int) -> str:
+    span = n - 1
+    return (
+        f"(CASE WHEN len(string_split({text_expr}, ' ')) >= {n} THEN "
+        f"list_distinct([array_to_string(string_split({text_expr}, ' ')[i:i+{span}], ' ') "
+        f"for i in range(1, len(string_split({text_expr}, ' ')) - {span - 1})]) "
+        f"ELSE [{text_expr}] END)"
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    dot = f"list_sum([{a}[j]::DOUBLE * {b}[j]::DOUBLE for j in range(1, {dim + 1})])"
+    na = f"sqrt(list_sum([{a}[j]::DOUBLE * {a}[j]::DOUBLE for j in range(1, {dim + 1})]))"
+    nb = f"sqrt(list_sum([{b}[j]::DOUBLE * {b}[j]::DOUBLE for j in range(1, {dim + 1})]))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _minhash_pairs_sql(num_hashes: int, bands: int, shingle_n: int,
+                       threshold: float) -> str:
+    rows = num_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(sh, g -> md5('{i}:' || g)))"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "'%d|' || %s" % (b, " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""
+mh_t AS (
+  SELECT doc_id AS id, {_sh_sql('"text"', shingle_n)} AS sh
+  FROM documents WHERE "text" IS NOT NULL
+),
+mh_sigs AS (SELECT id, sh, [{sig}] AS sig FROM mh_t),
+mh_banded AS (SELECT id, sh, unnest([{band_keys}]) AS band_key FROM mh_sigs),
+mh_cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b, l.sh AS sha, r.sh AS shb
+  FROM mh_banded l JOIN mh_banded r
+    ON l.band_key = r.band_key AND l.id < r.id
+),
+mh_pairs AS (
+  SELECT a, b,
+         len(list_intersect(sha, shb)) * 1.0 / len(list_distinct(sha || shb)) AS jaccard
+  FROM mh_cand
+)
+"""
+
+
+def _ngram_pairs_sql(n: int, threshold: float) -> str:
+    return f"""
+ng_t AS (
+  SELECT doc_id AS id,
+         {_sh_sql('"text"', n)} AS sh,
+         floor(len(string_split("text", ' ')) / 10)::BIGINT AS blk
+  FROM documents
+),
+ng_pairs AS (
+  SELECT l.id AS a, r.id AS b,
+         len(list_intersect(l.sh, r.sh)) * 1.0 / len(list_distinct(l.sh || r.sh)) AS jaccard
+  FROM ng_t l JOIN ng_t r ON l.blk = r.blk AND l.id < r.id
+)
+"""
+
+
+def _simhash_sql() -> str:
+    """16-bit simhash of distinct whitespace tokens, mirroring
+    kgspark.dedup.simhash16 (hex-nibble bit extraction, votes 2*ones>total)."""
+    bit_terms = []
+    for j in range(16):
+        ci, bi = j // 4 + 1, 3 - (j % 4)
+        ones = (
+            f"len(list_filter(md5s, h -> "
+            f"(floor((strpos('0123456789abcdef', substr(h, {ci}, 1)) - 1) / {2 ** bi})::INT % 2) = 1))"
+        )
+        bit_terms.append(f"(CASE WHEN 2 * {ones} > total THEN {2 ** j} ELSE 0 END)")
+    expr = " + ".join(bit_terms)
+    return f"""
+sh_t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(list_filter(string_split("text", ' '), t -> t <> '')), t -> md5(t)) AS md5s,
+         len(list_distinct(list_filter(string_split("text", ' '), t -> t <> ''))) AS total
+  FROM documents
+),
+sh_h AS (SELECT doc_id, {expr} AS simhash FROM sh_t)
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: KG construction over the derived SVO corpus
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: deterministic SVO corpus ->
+    rule-based OpenIE extraction -> fwd/rev typed weighted triples."""
+    return _extract_triples(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgspark.dedup import (
+        embedding_near_dup,
+        exact_duplicates,
+        minhash_dedup,
+        ngram_jaccard_pairs,
+        simhash_dedup,
+    )
+    from kgspark.graph_api import query_graph
+    from kgspark.skew import hot_keys, salted_agg
+    from kgspark.similarity import cosine_topk, cosine_topk_lsh, ivf_fit_assign, ivf_topk
+    from kgspark.textstats import fingerprint, lang_id, quality_features, subword_count, token_count
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- KG core ------------------------------------------------------------
+
+    def kg_extract_triples(spark, sf_dir):
+        return _extract_triples(spark, sf_dir)
+
+    def kg_substring_query(spark, sf_dir):
+        return query_graph(_extract_triples(spark, sf_dir), "ring")
+
+    def kg_clean_text(spark, sf_dir):
+        from kgspark.textnorm import clean_text_udf
+
+        docs = _read(spark, sf_dir, "documents")
+        noised = F.concat(
+            F.lit("\t\t"), F.regexp_replace("text", " ", "\n  \t"), F.lit("  ")
+        )
+        return docs.select(
+            "doc_id", clean_text_udf(noised).alias("cleaned")
+        )
+
+    def kg_chunk(spark, sf_dir):  # rows-only: greedy packing is pandas-UDF
+        from kgspark.chunk import chunk_documents
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        return chunk_documents(docs, id_col="doc_id", text_col="text", max_length=200)
+
+    def kg_link_entities(spark, sf_dir):
+        from kgspark.linking import alias_table, link_column
+
+        docs = _read(spark, sf_dir, "documents")
+        mentions = docs.select(
+            F.explode(F.split("text", " ")).alias("mention")
+        ).where(F.col("mention") != "").distinct()
+        return link_column(mentions, alias_table(spark), "mention").select(
+            F.col("mention").alias("canonical")
+        ).distinct()
+
+    def kg_node_upsert(spark, sf_dir):
+        ev = _read(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+                F.col("ts").alias("last_ts"),
+            )
+        )
+
+    def kg_node_history(spark, sf_dir):
+        ev = _read(spark, sf_dir, "events").where(F.col("user_id") < 5)
+        w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        created = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.lit("node_created").alias("event"),
+                "user_id",
+                F.lit(None).cast("string").alias("event_type"),
+                "ts",
+            )
+        )
+        rels = ev.select(
+            F.lit("relationship").alias("event"), "user_id", "event_type", "ts"
+        )
+        return created.unionByName(rels)
+
+    def kg_topic_terms(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        terms = (
+            docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+        return (
+            terms.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("source", "term", "cnt", F.col("rank").cast("long").alias("rank"))
+        )
+
+    def kg_tfidf(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        tf = (
+            docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        # rational idf (1+N)/(1+df): division is IEEE-correctly-rounded in
+        # every engine, unlike libm log — cross-engine bit-stable
+        scored = tf.join(F.broadcast(dfreq), "term").select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.lit(1.0 + n_docs) / (F.lit(1.0) + F.col("df"))), 6
+            ).alias("score"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+        return (
+            scored.where(F.col("doc_id") < 100)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
+        )
+
+    def kg_doc_topic_edges(spark, sf_dir):
+        from kgspark.embed import cosine_cols
+
+        emb = _read(spark, sf_dir, "embeddings")
+        ex = emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+        )
+        cent = (
+            ex.groupBy("label", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("label").alias("topic"),
+                F.transform("pm", lambda s: s["m"]).alias("cemb"),
+            )
+        )
+        sim = F.round(cosine_cols(F.col("embedding"), F.col("cemb")), 5)
+        return (
+            emb.crossJoin(F.broadcast(cent))
+            .select("vec_id", "topic", sim.alias("sim"))
+            .where(F.col("sim") > 0.3)
+        )
+
+    def kg_connected_components(spark, sf_dir):
+        from kgspark.canon import connected_components
+
+        docs = _read(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+        nodes = docs.select(F.col("doc_id").alias("name"))
+        return connected_components(nodes, pairs).select(
+            F.col("name").alias("doc_id"), "component"
+        )
+
+    def kg_doc_embeddings(spark, sf_dir):  # rows-only: python-md5 hash embedder
+        from kgspark.embed import embed_udf
+
+        docs = _read(spark, sf_dir, "documents")
+        return docs.select("doc_id", embed_udf()(F.col("text")).alias("embedding"))
+
+    # -- dedup --------------------------------------------------------------
+
+    def dedup_exact(spark, sf_dir):
+        return exact_duplicates(_read(spark, sf_dir, "documents"))
+
+    def dedup_minhash(spark, sf_dir):
+        out = minhash_dedup(
+            _read(spark, sf_dir, "documents"),
+            num_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.5,
+        )
+        return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+    def dedup_simhash(spark, sf_dir):
+        return simhash_dedup(_read(spark, sf_dir, "documents"))
+
+    def dedup_ngram(spark, sf_dir):
+        out = ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
+        return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+    def dedup_embedding(spark, sf_dir):
+        return embedding_near_dup(
+            _read(spark, sf_dir, "embeddings"), threshold=0.3, bits=4
+        )
+
+    # -- similarity search --------------------------------------------------
+
+    def _queries_df(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+        )
+
+    def ann_topk(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return cosine_topk(emb, _queries_df(spark, sf_dir), k=5)
+
+    def ann_lsh(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return cosine_topk_lsh(emb, _queries_df(spark, sf_dir), k=5, bits=6)
+
+    def ann_ivf(spark, sf_dir):  # rows-only: KMeans quantizer is Spark-ML
+        emb = _read(spark, sf_dir, "embeddings")
+        assigned, centers = ivf_fit_assign(emb, nlist=8)
+        return ivf_topk(assigned, centers, _queries_df(spark, sf_dir), k=5, nprobe=3)
+
+    # -- text analysis ------------------------------------------------------
+
+    def text_langid(spark, sf_dir):
+        return lang_id(_read(spark, sf_dir, "documents"))
+
+    def text_quality(spark, sf_dir):
+        return quality_features(_read(spark, sf_dir, "documents"))
+
+    def text_tokens(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            subword_count(F.col("text")).alias("n_subwords"),
+        )
+
+    def text_fingerprint(spark, sf_dir):
+        return fingerprint(_read(spark, sf_dir, "documents"))
+
+    # -- skew ---------------------------------------------------------------
+
+    def skew_salted_agg(spark, sf_dir):
+        ev = _read(spark, sf_dir, "events")
+        out = salted_agg(
+            ev, ["event_type"],
+            {"n": ("count", "*"), "total": ("sum", "value"), "vmax": ("max", "value")},
+        )
+        return out.select(
+            "event_type", "n", F.round("total", 4).alias("total"), "vmax"
+        )
+
+    def skew_hot_keys(spark, sf_dir):
+        return hot_keys(_read(spark, sf_dir, "documents"), "source", 1.1)
+
+    # -- relational (general engine capability) ------------------------------
+
+    def rel_pricing_summary(spark, sf_dir):
+        li = _read(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+
+    def rel_top_customers(spark, sf_dir):
+        o = _read(spark, sf_dir, "orders")
+        c = _read(spark, sf_dir, "customer")
+        agg = (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+        w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        return (
+            agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .withColumn("rank", F.col("rank").cast("long"))
+        )
+
+    # -- multimodal ---------------------------------------------------------
+
+    def multimodal_meta(spark, sf_dir):
+        from kgspark.multimodal import synth_media
+
+        docs = _read(spark, sf_dir, "documents")
+        return synth_media(docs).select("media_id", "kind", "n_bytes", "content_md5")
+
+    def multimodal_features(spark, sf_dir):  # rows-only: mapInPandas featurizer
+        from kgspark.multimodal import byte_features, synth_media
+
+        docs = _read(spark, sf_dir, "documents")
+        return byte_features(synth_media(docs)).select(
+            "media_id", "kind", "n_bytes", F.round("byte_entropy", 4).alias("byte_entropy")
+        )
+
+    return {
+        "kg_extract_triples": kg_extract_triples,
+        "kg_substring_query": kg_substring_query,
+        "kg_clean_text": kg_clean_text,
+        "kg_chunk": kg_chunk,
+        "kg_link_entities": kg_link_entities,
+        "kg_node_upsert": kg_node_upsert,
+        "kg_node_history": kg_node_history,
+        "kg_topic_terms": kg_topic_terms,
+        "kg_tfidf": kg_tfidf,
+        "kg_doc_topic_edges": kg_doc_topic_edges,
+        "kg_connected_components": kg_connected_components,
+        "kg_doc_embeddings": kg_doc_embeddings,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram": dedup_ngram,
+        "dedup_embedding": dedup_embedding,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "text_langid": text_langid,
+        "text_quality": text_quality,
+        "text_tokens": text_tokens,
+        "text_fingerprint": text_fingerprint,
+        "skew_salted_agg": skew_salted_agg,
+        "skew_hot_keys": skew_hot_keys,
+        "rel_pricing_summary": rel_pricing_summary,
+        "rel_top_customers": rel_top_customers,
+        "multimodal_meta": multimodal_meta,
+        "multimodal_features": multimodal_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgspark.synth import alias_rows
+    from kgspark.textstats import LANG_STOPWORDS
+
+    alias_values = ", ".join(
+        "('%s', '%s', %s)" % (s.replace("'", "''"), c.replace("'", "''"), sc)
+        for s, c, sc in alias_rows()
+    )
+    langs = sorted(LANG_STOPWORDS)
+
+    def stop_hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split(lower(\"text\"), ' '), t -> t IN ({words})))"
+        )
+
+    lang_ratio = {
+        lg: f"({stop_hits(lg)} * 1.0 / greatest(len(list_filter(string_split(lower(\"text\"), ' '), t -> t <> '')), 1))"
+        for lg in langs
+    }
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pick = "CASE " + " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+
+    en_words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+    return {
+        "kg_extract_triples": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT subj, pred, obj, weight FROM triples
+""",
+        "kg_substring_query": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT subj AS subject, pred AS relation, obj AS object FROM triples
+WHERE lower(subj) LIKE '%ring%' OR lower(obj) LIKE '%ring%'
+""",
+        "kg_clean_text": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+           e'\\t\\t' || replace("text", ' ', e'\\n  \\t') || '  ',
+           '[\\n\\r\\t]+', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+FROM documents
+""",
+        "kg_link_entities": f"""
+WITH aliases(surface, canonical, score) AS (VALUES {alias_values}),
+best AS (
+  SELECT surface, canonical,
+         row_number() OVER (PARTITION BY surface ORDER BY score DESC, canonical ASC) AS rn
+  FROM aliases
+),
+mentions AS (
+  SELECT DISTINCT unnest(string_split("text", ' ')) AS mention FROM documents
+)
+SELECT DISTINCT coalesce(b.canonical, m.mention) AS canonical
+FROM mentions m
+LEFT JOIN (SELECT surface, canonical FROM best WHERE rn = 1) b
+  ON lower(m.mention) = b.surface
+WHERE m.mention <> ''
+""",
+        "kg_node_upsert": """
+SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "kg_node_history": """
+SELECT 'node_created' AS event, user_id, NULL::VARCHAR AS event_type, ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events WHERE user_id < 5
+) WHERE rn = 1
+UNION ALL
+SELECT 'relationship' AS event, user_id, event_type, ts
+FROM events WHERE user_id < 5
+""",
+        "kg_topic_terms": """
+WITH toks AS (
+  SELECT source, unnest(string_split("text", ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT source, term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY source, term
+)
+SELECT source, term, cnt, rank FROM (
+  SELECT source, term, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts
+) WHERE rank <= 10
+""",
+        "kg_tfidf": """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split("text", ' ')) AS term FROM documents
+  ) WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ((1.0 + n.n_docs) / (1.0 + dfreq.df)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored WHERE doc_id < 100
+) WHERE rank <= 3
+""",
+        "kg_doc_topic_edges": f"""
+WITH ex AS (
+  SELECT label, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, range(1, 65) t(i)
+),
+cent AS (SELECT label, i, avg(v) AS m FROM ex GROUP BY label, i),
+carr AS (SELECT label AS topic, array_agg(m ORDER BY i) AS cemb FROM cent GROUP BY label),
+sims AS (
+  SELECT e.vec_id, c.topic,
+         round({_cos_sql('e.embedding', 'c.cemb')}, 5) AS sim
+  FROM embeddings e CROSS JOIN carr c
+)
+SELECT vec_id, topic, sim FROM sims WHERE sim > 0.3
+""",
+        "kg_connected_components": f"""
+WITH RECURSIVE {_ngram_pairs_sql(3, 0.5)},
+edges AS (SELECT a, b FROM ng_pairs WHERE jaccard >= 0.5),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+""",
+        "dedup_exact": """
+SELECT doc_id, content_hash,
+       min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+       count(*) OVER (PARTITION BY content_hash) AS group_size
+FROM (SELECT doc_id, md5("text") AS content_hash FROM documents)
+""",
+        "dedup_minhash": f"""
+WITH {_minhash_pairs_sql(8, 4, 3, 0.5)}
+SELECT a, b, round(jaccard, 6) AS jaccard FROM mh_pairs WHERE jaccard >= 0.5
+""",
+        "dedup_simhash": f"""
+WITH {_simhash_sql()}
+SELECT doc_id, simhash,
+       min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+       count(*) OVER (PARTITION BY simhash) AS group_size
+FROM sh_h
+""",
+        "dedup_ngram": f"""
+WITH {_ngram_pairs_sql(3, 0.5)}
+SELECT a, b, round(jaccard, 6) AS jaccard FROM ng_pairs WHERE jaccard >= 0.5
+""",
+        "dedup_embedding": f"""
+WITH t AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS blk
+  FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round({_cos_sql('l.embedding', 'r.embedding')}, 6) AS cos
+FROM t l JOIN t r ON l.blk = r.blk AND l.vec_id < r.vec_id
+WHERE round({_cos_sql('l.embedding', 'r.embedding')}, 6) >= 0.3
+""",
+        "ann_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qemb')}, 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "ann_lsh": f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ({' + '.join(f'CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END' for i in range(6))}) AS blk
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qemb, blk AS qblk FROM b WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qemb')}, 6) AS cos
+  FROM b e JOIN q ON e.blk = q.qblk
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "text_langid": f"""
+WITH s AS (
+  SELECT doc_id, {', '.join(f'{lang_ratio[lg]} AS s_{lg}' for lg in langs)}
+  FROM documents
+)
+SELECT doc_id, {pick} AS detected_lang, round({best}, 6) AS lang_score FROM s
+""",
+        "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, "text",
+         len(list_filter(string_split(lower("text"), ' '), x -> x <> '')) AS n_tok,
+         length("text") AS n_chars,
+         {stop_hits('en')} AS stop_hits
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, n_tok, n_chars,
+         (n_chars - (n_tok - 1)) * 1.0 / greatest(n_tok, 1) AS mean_tok_len,
+         stop_hits * 1.0 / greatest(n_tok, 1) AS stop_ratio,
+         length(regexp_replace("text", '[a-zA-Z0-9 ]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         length(regexp_replace("text", '[^0-9]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS digit_ratio
+  FROM t
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       n_chars,
+       round(mean_tok_len, 6) AS mean_token_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(0.4 * (least(stop_ratio, 0.5) / 0.5)
+           + 0.3 * (least(n_tok, 100) / 100.0)
+           + 0.3 * (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12 THEN 1.0 ELSE 0.5 END), 6)
+         AS quality_score
+FROM feats
+""",
+        "text_tokens": """
+SELECT doc_id,
+       len(list_filter(string_split(lower("text"), ' '), t -> t <> '')) AS n_tokens,
+       (ceil(length(regexp_replace("text", '[^a-zA-Z]', '', 'g')) / 4.2)
+        + length(regexp_replace("text", '[^0-9]', '', 'g'))
+        + length(regexp_replace("text", e'[a-zA-Z0-9 \\t\\n\\r]', '', 'g')))::BIGINT AS n_subwords
+FROM documents
+""",
+        "text_fingerprint": f"""
+SELECT doc_id,
+       array_to_string(list_sort(list_transform({_sh_sql('"text"', 5)}, g -> md5(g)))[1:4], '|') AS fingerprint
+FROM documents
+""",
+        "skew_salted_agg": """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total, max(value) AS vmax
+FROM events GROUP BY event_type
+""",
+        "skew_hot_keys": """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+m AS (SELECT avg(n) AS m FROM counts)
+SELECT source, n, round(n / m.m, 6) AS ratio
+FROM counts CROSS JOIN m
+WHERE round(n / m.m, 6) >= 1.1
+""",
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "rel_top_customers": """
+SELECT c_custkey, c_name, total_spend, n_orders, rank FROM (
+  SELECT c_custkey, c_name, total_spend, n_orders,
+         row_number() OVER (ORDER BY total_spend DESC, c_custkey ASC) AS rank
+  FROM (
+    SELECT c_custkey, c_name,
+           round(sum(o_totalprice), 2) AS total_spend,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+  )
+) WHERE rank <= 10
+""",
+        "multimodal_meta": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       length("text")::BIGINT AS n_bytes,
+       md5("text") AS content_md5
+FROM documents
+""",
+    }

@@ -188,7 +188,9 @@ def simhash_dedup(
     """(id, simhash, canonical_id, group_size) — groups share the exact
     16-bit sketch. (Hamming<=k multiprobe = union over bit-flip variants of
     the same plan; exact-match grouping is the benchable core.)"""
-    h = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    h = df.select(
+        F.col(id_col), simhash16(F.col(text_col)).cast("long").alias("simhash")
+    )
     w = Window.partitionBy("simhash")
     return h.select(
         id_col,

@@ -99,8 +99,12 @@ def embed_texts(
 
 
 def cosine_cols(a, b):
-    """cos(a, b) for two array<float> columns, JVM-side (no Python crossing):
-    zip_with product -> aggregate sum, divided by norms. Assumes non-zero."""
+    """cos(a, b) for two array<float|double> columns, JVM-side (no Python
+    crossing): zip_with product -> aggregate sum, divided by norms. Inputs are
+    cast to fp64 FIRST so per-element products match any fp64 oracle engine
+    bit-for-bit (float*float would round each product to fp32)."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))

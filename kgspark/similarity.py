@@ -29,7 +29,9 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+        .select(
+            "query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank")
+        )
     )
 
 

@@ -110,8 +110,8 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     score = F.lit(0.4) * stop_sig + F.lit(0.3) * len_sig + F.lit(0.3) * shape_sig
     return df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
-        n_chars.alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
