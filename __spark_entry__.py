@@ -146,17 +146,38 @@ mh_pairs AS (
 
 
 def _ngram_pairs_sql(n: int, threshold: float) -> str:
+    # prefix-filtered exact jaccard join (mirrors kgspark.dedup: global order
+    # = (doc-frequency ASC, hash ASC) i.e. rare-first PPJoin ordering, prefix
+    # length |A| - ceil(t*|A|) + 1, size pre-filter, exact verify)
+    t = threshold
     return f"""
 ng_t AS (
   SELECT doc_id AS id,
-         {_sh_sql('"text"', n)} AS sh,
-         floor(len(string_split("text", ' ')) / 10)::BIGINT AS blk
+         list_sort(list_transform({_sh_sql('"text"', n)}, g -> md5(g))) AS h
   FROM documents
 ),
+ng_ex AS (SELECT id, len(h) AS nsh, unnest(h) AS p FROM ng_t),
+ng_f AS (SELECT p, count(*) AS df FROM ng_ex GROUP BY p),
+ng_rk AS (
+  SELECT id, nsh, p,
+         row_number() OVER (PARTITION BY id ORDER BY df ASC, p ASC) AS rk
+  FROM ng_ex JOIN ng_f USING (p)
+),
+ng_pre AS (
+  SELECT id, nsh, p, rk FROM ng_rk
+  WHERE rk <= nsh - ceil({t} * nsh)::INT + 1
+),
+ng_cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM ng_pre l JOIN ng_pre r
+    ON l.p = r.p AND l.id < r.id
+   AND l.nsh >= {t} * r.nsh AND r.nsh >= {t} * l.nsh
+   AND 1 + least(l.nsh - l.rk, r.nsh - r.rk) >= ceil({t / (1.0 + t)} * (l.nsh + r.nsh))
+),
 ng_pairs AS (
-  SELECT l.id AS a, r.id AS b,
-         len(list_intersect(l.sh, r.sh)) * 1.0 / len(list_distinct(l.sh || r.sh)) AS jaccard
-  FROM ng_t l JOIN ng_t r ON l.blk = r.blk AND l.id < r.id
+  SELECT a, b,
+         len(list_intersect(la.h, rb.h)) * 1.0 / len(list_distinct(la.h || rb.h)) AS jaccard
+  FROM ng_cand JOIN ng_t la ON la.id = a JOIN ng_t rb ON rb.id = b
 )
 """
 

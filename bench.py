@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark runner — prints ONE JSON line.
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "throughput_docs_per_sec": <extraction throughput>, "cpus": N}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] cores (default 32)
+  KGSPARK_BENCH_REPL  corpus replication factor for the throughput leg
+                      (default 10 -> sf0.1 gives ~200k docs)
+
+Each query is materialized with the noop sink (full execution, no driver
+collect cost). The throughput leg replicates the `part`-derived SVO corpus
+REPL× and runs the extraction+edge-generation pipeline over it — the
+CPU-bound leg used for the N-vs-4N scaling-efficiency evidence
+(BENCH/BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "kg_extract_triples",
+    "kg_clean_text",
+    "kg_chunk",
+    "kg_doc_embeddings",
+    "kg_topic_terms",
+    "kg_tfidf",
+    "kg_doc_topic_edges",
+    "kg_connected_components",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram",
+    "dedup_embedding",
+    "ann_topk",
+    "ann_lsh",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "skew_salted_agg",
+    "rel_pricing_summary",
+    "rel_top_customers",
+    "multimodal_features",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def throughput_leg(spark, sf_dir: str, repl: int) -> tuple[float, int]:
+    """Extraction+edges over a replicated corpus; returns (sec, n_docs)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from kgspark.edges import concept_edges
+    from kgspark.openie import extract_concepts_udf
+
+    pages = E._parts_pages(spark, sf_dir)
+    big = pages.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
+    n_docs = big.count()
+    cpus = spark.sparkContext.defaultParallelism
+    big = big.repartition(4 * cpus).persist()
+    big.count()  # exclude synthesis/replication from the timed region
+
+    concepts = big.select(
+        "ts", "source", "confidence",
+        F.explode(extract_concepts_udf(F.col("content"))).alias("c"),
+    ).select(
+        "ts", "source", "confidence",
+        F.col("c.name").alias("name"),
+        F.col("c.parents").alias("parents"),
+        F.col("c.children").alias("children"),
+        F.col("c.related").alias("related"),
+    )
+    triples = concept_edges(concepts)
+    t0 = time.time()
+    _materialize(triples)
+    dt = time.time() - t0
+    big.unpersist()
+    return dt, n_docs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repl = int(os.environ.get("KGSPARK_BENCH_REPL", "10"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from kgspark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark(
+        "kgspark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(32, 2 * cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    # warmup: JIT/codegen + parquet footer caches
+    _materialize(qs["rel_pricing_summary"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    tp_sec, n_docs = throughput_leg(spark, sf_dir, repl)
+    times["throughput_leg"] = round(tp_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kgspark bench suite (KG construct + curation ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "throughput_docs_per_sec": round(n_docs / tp_sec, 1),
+                "throughput_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

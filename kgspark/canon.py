@@ -117,10 +117,17 @@ def connected_components(
     """nodes(name), edges(a, b) -> (name, component) via iterative min-label
     propagation. Each iteration: label = min(label, min over neighbors);
     early-stop when no label changed. localCheckpoint truncates the growing
-    lineage so plans stay bounded at scale."""
+    lineage so plans stay bounded at scale.
+
+    Only nodes incident to an edge participate in the loop — isolated nodes
+    are trivially their own component and join back at the end. In dedup
+    workloads the touched set is a tiny fraction of the corpus, so every
+    iteration shuffles |touched| rows, not |nodes|."""
     sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = nodes.select(F.col("name"), F.col("name").alias("component"))
     sym = sym.persist()
+    touched = sym.select(F.col("a").alias("name")).distinct()
+    labels = touched.select(F.col("name"), F.col("name").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["name"])
@@ -145,7 +152,13 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    return (
+        nodes.select("name")
+        .join(labels, "name", "left")
+        .select(
+            "name", F.coalesce(F.col("component"), F.col("name")).alias("component")
+        )
+    )
 
 
 def canonical_map(

@@ -208,34 +208,79 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard >= threshold, join blocked on `block_col`
-    (a domain/source/bucket column); None blocks on token-count band —
-    near-dups must have similar lengths, so length banding is a sound
-    O(n * band_size) blocker."""
-    t = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-        (
-            F.col(block_col)
-            if block_col
-            else (F.size(F.split(F.col(text_col), r"\s+")) / 10).cast("long")
-        ).alias("blk"),
+    """Exact word-n-gram Jaccard similarity join (all pairs with J >= t),
+    via PREFIX FILTERING — the scalable exact-recall algorithm (PPJoin family):
+
+      1. represent each doc as its md5'd shingle set (Jaccard over md5s ==
+         over shingles), globally ordered by ASCENDING document frequency
+         (rare shingles first — the PPJoin ordering; ties by hash)
+      2. prefix = first |A| - ceil(t*|A|) + 1 elements under that order; two
+         sets with J >= t MUST share a prefix element, so candidates come
+         from an equi-join on exploded prefix elements. Rare-first ordering
+         keeps those join keys low-frequency — no hot keys, candidate volume
+         ~near-dups + a few false positives, not O(n^2)
+      3. size pre-filter (J >= t requires min/max sizes >= t), then exact
+         intersect/union verification on the full hash sets
+
+    The hashed-shingle table and the prefix table are materialized
+    (localCheckpoint): the plan references each 3-5 times and recomputing
+    the md5+sort subtree per reference dominates runtime otherwise."""
+    t = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.transform(word_shingles(F.col(text_col), n), lambda g: F.md5(g))
+            ).alias("h"),
+        )
+        .withColumn("nsh", F.size("h"))
+    ).localCheckpoint(eager=True)
+    ex = t.select("id", "nsh", F.explode("h").alias("p"))
+    freq = ex.groupBy("p").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("p"))
+    p_len = (
+        F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")).cast("int") + 1
     )
-    l, r = t.alias("l"), t.alias("r")
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    pre = (
+        ex.join(freq, "p")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .where(F.col("rk") <= p_len)
+        .select("id", "nsh", "p", "rk")
+    ).localCheckpoint(eager=True)
+    l, r = pre.alias("l"), pre.alias("r")
+    # positional filter (PPJoin): via a common element at ranks (i, j) the
+    # overlap is bounded by 1 + min(|A|-i, |B|-j); J >= t needs overlap
+    # >= ceil(t/(1+t) * (|A|+|B|)). Recall-safe: a true pair always passes
+    # through its FIRST shared prefix element.
+    req = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("l.nsh") + F.col("r.nsh"))
+    )
+    pos_bound = 1 + F.least(
+        F.col("l.nsh") - F.col("l.rk"), F.col("r.nsh") - F.col("r.rk")
+    )
+    cand = (
+        l.join(
+            r,
+            (F.col("l.p") == F.col("r.p"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (F.col("l.nsh") >= threshold * F.col("r.nsh"))
+            & (F.col("r.nsh") >= threshold * F.col("l.nsh"))
+            & (pos_bound >= req),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    ha = t.select(F.col("id").alias("a"), F.col("h").alias("ha"))
+    hb = t.select(F.col("id").alias("b"), F.col("h").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size(F.array_union("ha", "hb"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            jac.alias("jaccard"),
-        )
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .select("a", "b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

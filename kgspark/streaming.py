@@ -1,0 +1,94 @@
+"""Structured Streaming surface: incremental KG construction.
+
+The reference has no streaming operators — its closest analogue is the
+recompute-the-world-per-upload loop (ref /root/reference/app.py:100-102;
+SURVEY.md §2.7). This module is the designed-for seam: the same extraction
+DAG, fed by a file-source stream of `pages` parquet, merged incrementally into
+the triples store by `foreachBatch` — upload-triggered rebuilds become
+micro-batch appends with dedup-on-merge instead of a full rebuild.
+
+Scale posture: each micro-batch only touches its own new pages (extraction is
+embarrassingly parallel); the merge dedups against the sink with a left-anti
+join on (subj, pred, obj) — at Iceberg scale this becomes MERGE INTO on the
+bucketed-by-subj triples table. Watermarks/windowed state are not needed:
+triple emission is per-document, so there is no cross-event state to expire
+(documented deviation: none — the reference defines no late-data semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark.edges import concept_edges
+from kgspark.io_tables import PAGES_SCHEMA
+from kgspark.openie import extract_concepts_udf
+from kgspark.pipeline import pages_to_documents
+
+
+def pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of pages parquet drops (one file per crawl drop)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def batch_triples(pages: DataFrame) -> DataFrame:
+    """One micro-batch of pages -> concept triples (same DAG as the batch
+    pipeline, minus topics — topic models don't update per-micro-batch)."""
+    docs = pages_to_documents(pages)
+    concepts = docs.select(
+        "ts", "source", "confidence",
+        F.explode(extract_concepts_udf(F.col("content"))).alias("c"),
+    ).select(
+        "ts", "source", "confidence",
+        F.col("c.name").alias("name"),
+        F.col("c.parents").alias("parents"),
+        F.col("c.children").alias("children"),
+        F.col("c.related").alias("related"),
+    )
+    return concept_edges(concepts)
+
+
+def start_incremental_kg(
+    spark: SparkSession,
+    input_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream pages -> triples with dedup-on-merge into a parquet sink.
+
+    available_now=True drains everything currently in input_dir then stops
+    (test/batch-catchup mode); False runs continuously.
+    """
+    triples_path = os.path.join(sink_dir, "triples.parquet")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_triples(batch_df).dropDuplicates(["subj", "pred", "obj"])
+        if os.path.exists(triples_path):
+            existing = batch_df.sparkSession.read.parquet(triples_path)
+            new = new.join(
+                existing.select("subj", "pred", "obj"),
+                ["subj", "pred", "obj"],
+                "left_anti",
+            )
+        # localCheckpoint: materialize BEFORE append so the anti-join isn't
+        # re-read while its own output directory is being written
+        new = new.localCheckpoint(eager=True)
+        new.write.mode("append").parquet(triples_path)
+
+    writer = (
+        pages_stream(spark, input_dir)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
