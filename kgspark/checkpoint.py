@@ -53,7 +53,8 @@ class Manifest:
         )
 
     def mark_complete(self, stage: str, fingerprint: str, output: str,
-                      rows: int, partition_counts: list[dict]) -> None:
+                      rows: int, partition_counts: list[dict],
+                      elapsed_sec: float | None = None) -> None:
         rec = {
             "stage": stage,
             "status": "complete",
@@ -61,6 +62,10 @@ class Manifest:
             "output": output,
             "rows": rows,
             "partitions": partition_counts,
+            "elapsed_sec": elapsed_sec,
+            "rows_per_sec": (
+                round(rows / elapsed_sec, 1) if elapsed_sec else None
+            ),
         }
         fd, tmp = tempfile.mkstemp(dir=self.mdir, suffix=".tmp")
         with os.fdopen(fd, "w", encoding="utf-8") as f:
@@ -83,10 +88,13 @@ def run_stage(
     produced what), then publish the manifest entry LAST so a crash between
     write and publish re-runs the stage (idempotent overwrite).
     """
+    import time
+
     out_path = os.path.join(manifest.run_dir, f"{stage}.parquet")
     if manifest.is_complete(stage, fingerprint):
         return spark.read.parquet(out_path)
 
+    t0 = time.time()
     df = build()
     tmp_path = out_path + ".tmp"
     if os.path.exists(tmp_path):
@@ -104,5 +112,8 @@ def run_stage(
     )
     partition_counts = [{"pid": r["pid"], "rows": r["rows"]} for r in pc]
     rows = sum(p["rows"] for p in partition_counts)
-    manifest.mark_complete(stage, fingerprint, out_path, rows, partition_counts)
+    manifest.mark_complete(
+        stage, fingerprint, out_path, rows, partition_counts,
+        elapsed_sec=round(time.time() - t0, 3),
+    )
     return written

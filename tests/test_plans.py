@@ -1,0 +1,100 @@
+"""Physical-plan quality gates (.explain-based).
+
+Correct results through a bad plan don't survive 100 TB. These tests pin the
+plan properties that matter at scale: predicate pushdown into the parquet
+scan, column pruning, broadcast joins for dimension-sized sides, and
+partial (map-side) aggregation. If a refactor regresses one of these, the
+suite fails before the bench does.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, execute: bool = False) -> str:
+    """Physical plan string. execute=True materializes first so AQE's final
+    plan (with codegen spans and chosen join strategies) is visible."""
+    if execute:
+        df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    f = formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in f
+    # column pruning: scan reads only the 3 referenced columns, never the
+    # other 8 (e.g. l_comment-equivalents like l_extendedprice)
+    assert "l_extendedprice" not in f.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_pricing_summary_partial_agg(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["rel_pricing_summary"](spark, SF)
+    p = plan(q)
+    # two-phase agg: partial_ functions before the exchange, final after
+    # (AQE's toString doesn't annotate codegen spans; partial agg + a single
+    # Exchange is the scale-relevant property)
+    assert "partial_sum" in p or "partial_count" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+
+
+def test_doc_topic_join_is_broadcast(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["kg_doc_topic_edges"](spark, SF)
+    p = plan(q)
+    # the tiny centroid side broadcasts; the corpus side never shuffles for
+    # the join itself
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ann_queries_broadcast(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["ann_topk"](spark, SF)
+    assert "Broadcast" in plan(q)
+
+
+def test_alias_linking_broadcast(spark):
+    from kgspark.linking import alias_table, link_column
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("mention")
+    )
+    q = link_column(df, alias_table(spark), "mention")
+    assert "BroadcastHashJoin" in plan(q)
+
+
+def test_salted_agg_two_phase(spark):
+    from kgspark.skew import salted_agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = salted_agg(ev, ["event_type"], {"n": ("count", "*")})
+    p = plan(q)
+    # two groupBys -> at least two HashAggregate pairs (salted partial, final)
+    assert p.count("HashAggregate") >= 4
+
+
+def test_extraction_has_no_shuffle_before_dedup(spark):
+    """The extraction pipeline is map-only until the final distinct: exactly
+    one Exchange (for dedup), none feeding the UDF/explode chain."""
+    import __spark_entry__ as E
+
+    q = E.queries()["kg_extract_triples"](spark, SF)
+    p = plan(q)
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"extraction plan shuffles {n_exchanges}x:\n{p[:2000]}"
