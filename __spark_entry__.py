@@ -496,6 +496,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- multimodal ---------------------------------------------------------
 
+    def kg_topics(spark, sf_dir):  # rows-only: KMeans clustering is Spark-ML
+        from kgspark.chunk import chunk_documents
+        from kgspark.embed import embed_udf
+        from kgspark.topics import build_topics
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        chunks = chunk_documents(docs, id_col="doc_id", text_col="text",
+                                 max_length=500)
+        chunks = chunks.withColumn(
+            "chunk_uid", F.concat_ws("#", "doc_id", "chunk_id")
+        ).withColumn("embedding", embed_udf()(F.col("chunk_text")))
+        return build_topics(chunks, k=8)
+
+    def kg_entities(spark, sf_dir):  # rows-only: lookbehind regex not in RE2
+        from kgspark.entities import entities_table
+        from kgspark.linking import alias_table
+
+        docs = _read(spark, sf_dir, "documents")
+        return entities_table(
+            docs, alias_table(spark), text_col="text", id_col="doc_id"
+        )
+
+    def kg_validate(spark, sf_dir):
+        from kgspark.validate import parse_envelopes
+
+        docs = _read(spark, sf_dir, "documents")
+        raw = docs.select(
+            F.to_json(
+                F.struct(
+                    F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("filename"),
+                    F.lit("txt").alias("file_type"),
+                    F.struct(F.col("text").alias("content")).alias("data"),
+                )
+            ).alias("raw_json")
+        )
+        return parse_envelopes(raw).select(
+            "filename", "file_type", "content", "is_valid"
+        )
+
     def multimodal_meta(spark, sf_dir):
         from kgspark.multimodal import synth_media
 
@@ -539,6 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys": skew_hot_keys,
         "rel_pricing_summary": rel_pricing_summary,
         "rel_top_customers": rel_top_customers,
+        "kg_topics": kg_topics,
+        "kg_entities": kg_entities,
+        "kg_validate": kg_validate,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
     }
@@ -831,6 +873,13 @@ SELECT c_custkey, c_name, total_spend, n_orders, rank FROM (
     GROUP BY c_custkey, c_name
   )
 ) WHERE rank <= 10
+""",
+        "kg_validate": """
+SELECT source || '/' || doc_id::VARCHAR AS filename,
+       'txt' AS file_type,
+       "text" AS content,
+       ("text" IS NOT NULL AND length("text") > 0) AS is_valid
+FROM documents
 """,
         "multimodal_meta": """
 SELECT doc_id AS media_id,
