@@ -253,11 +253,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", clean_text_udf(noised).alias("cleaned")
         )
 
-    def kg_chunk(spark, sf_dir):  # rows-only: greedy packing is pandas-UDF
+    def kg_chunk(spark, sf_dir):
         from kgspark.chunk import chunk_documents
 
         docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-        return chunk_documents(docs, id_col="doc_id", text_col="text", max_length=200)
+        out = chunk_documents(docs, id_col="doc_id", text_col="text",
+                              max_length=200)
+        return out.select(
+            "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+        )
 
     def kg_link_entities(spark, sf_dir):
         from kgspark.linking import alias_table, link_column
@@ -632,6 +637,37 @@ SELECT doc_id,
            e'\\t\\t' || replace("text", ' ', e'\\n  \\t') || '  ',
            '[\\n\\r\\t]+', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
 FROM documents
+""",
+        "kg_chunk": """
+WITH RECURSIVE base AS (
+  SELECT doc_id, "text", string_split("text", ' ') AS words, length("text") AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest([{'w': words[i], 'i': i} for i in range(1, len(words) + 1)],
+                recursive := true)
+  FROM base WHERE n > 200
+),
+r AS (
+  SELECT doc_id, i, 0::BIGINT AS chunk_id, w AS chunk_text,
+         length(w) + 1 AS tmp_len
+  FROM w WHERE i = 1
+  UNION ALL
+  SELECT w.doc_id, w.i,
+    CASE WHEN r.tmp_len + length(w.w) > 200 THEN r.chunk_id + 1 ELSE r.chunk_id END,
+    CASE WHEN r.tmp_len + length(w.w) > 200 THEN w.w ELSE r.chunk_text || ' ' || w.w END,
+    CASE WHEN r.tmp_len + length(w.w) > 200 THEN length(w.w) + 1
+         ELSE r.tmp_len + length(w.w) + 1 END
+  FROM r JOIN w ON w.doc_id = r.doc_id AND w.i = r.i + 1
+)
+SELECT doc_id, chunk_id, chunk_text FROM (
+  SELECT doc_id, chunk_id, chunk_text,
+         row_number() OVER (PARTITION BY doc_id, chunk_id ORDER BY i DESC) AS rn
+  FROM r
+) WHERE rn = 1
+UNION ALL
+SELECT doc_id, 0::BIGINT AS chunk_id, "text" AS chunk_text FROM base WHERE n <= 200
 """,
         "kg_link_entities": f"""
 WITH aliases(surface, canonical, score) AS (VALUES {alias_values}),

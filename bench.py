@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "rel_pricing_summary",
     "rel_top_customers",
     "multimodal_features",
+    "kg_topics",
+    "kg_entities",
+    "kg_validate",
 ]
 
 
@@ -57,7 +60,12 @@ def _materialize(df) -> None:
 
 
 def throughput_leg(spark, sf_dir: str, repl: int) -> tuple[float, int]:
-    """Extraction+edges over a replicated corpus; returns (sec, n_docs)."""
+    """Extraction+edges over a replicated corpus; returns (sec, n_docs).
+
+    Corpus generation is lazy and fully parallel: an even `range` partition
+    layout broadcast-joined to the small parts table (a ~3 MB broadcast) —
+    no driver-side materialization, no cache/disk bottleneck in the timed
+    region (see BENCH/run_scaling.py for the rationale)."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
@@ -65,11 +73,14 @@ def throughput_leg(spark, sf_dir: str, repl: int) -> tuple[float, int]:
     from kgspark.openie import extract_concepts_udf
 
     pages = E._parts_pages(spark, sf_dir)
-    big = pages.crossJoin(spark.range(repl).select(F.col("id").alias("rep")))
-    n_docs = big.count()
+    n_parts = pages.count()
+    n_docs = n_parts * repl
     cpus = spark.sparkContext.defaultParallelism
-    big = big.repartition(4 * cpus).persist()
-    big.count()  # exclude synthesis/replication from the timed region
+    rng = spark.range(0, n_docs, 1, 8 * cpus)
+    big = rng.join(
+        F.broadcast(pages),
+        (F.col("id") % n_parts + 1) == F.col("doc_key"),
+    )
 
     concepts = big.select(
         "ts", "source", "confidence",
@@ -84,9 +95,7 @@ def throughput_leg(spark, sf_dir: str, repl: int) -> tuple[float, int]:
     triples = concept_edges(concepts)
     t0 = time.time()
     _materialize(triples)
-    dt = time.time() - t0
-    big.unpersist()
-    return dt, n_docs
+    return time.time() - t0, n_docs
 
 
 def main() -> None:

@@ -77,19 +77,37 @@ def cluster_chunks(
     return out, k
 
 
-def tokenize(col, with_bigrams: bool = True):
-    """lowercase alpha tokens minus stopwords (+ bigrams), JVM-side."""
-    toks = F.filter(
+def unigrams(col):
+    """lowercase alpha tokens minus stopwords, JVM-side."""
+    return F.filter(
         F.split(F.lower(col), r"[^\p{L}]+"),
         lambda t: (F.length(t) > 1) & ~t.isin(*STOPWORDS),
     )
+
+
+def bigrams_of(toks_col):
+    """bigrams of an ALREADY-MATERIALIZED token column. Passing the raw
+    unigram expression instead would make Catalyst re-evaluate the full
+    split+filter for every element_at access — O(tokens^2) per row."""
+    return F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks_col, i + 1), F.element_at(toks_col, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def tokenize(col, with_bigrams: bool = True):
+    """Single-expression variant (unigrams + bigrams). Prefer projecting
+    `unigrams()` to a column and applying `bigrams_of` to it (see
+    tfidf_scores) in hot paths."""
+    toks = unigrams(col)
     if not with_bigrams:
         return toks
-    bigrams = F.when(F.size(toks) >= 2, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-    )).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+    return F.concat(toks, bigrams_of(toks))
 
 
 def tfidf_scores(
@@ -104,10 +122,21 @@ def tfidf_scores(
     (rankings are what downstream uses; norm cancels inside a cluster mean
     ordering only approximately, deviation documented)."""
     n_docs = chunks.select(doc_col).distinct().count()
+    toks = chunks.select(
+        doc_col, unigrams(F.col(text_col)).alias("__toks")
+    )
     terms = (
-        chunks.select(doc_col, F.explode(tokenize(F.col(text_col))).alias("term"))
+        toks.select(
+            doc_col,
+            F.explode(
+                F.concat(F.col("__toks"), bigrams_of(F.col("__toks")))
+            ).alias("term"),
+        )
         .groupBy(doc_col, "term").agg(F.count("*").alias("tf"))
     )
+    # referenced by both the doc-frequency branch and the score join —
+    # materialize once instead of recomputing the explode+groupBy per branch
+    terms = terms.localCheckpoint(eager=True)
     df_counts = terms.groupBy("term").agg(
         F.countDistinct(doc_col).alias("df"), F.sum("tf").alias("total_tf")
     )
