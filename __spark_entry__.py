@@ -540,6 +540,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "filename", "file_type", "content", "is_valid"
         )
 
+    def kg_schema_induction(spark, sf_dir):
+        from kgspark.schema_induce import induce_schema
+
+        docs = _read(spark, sf_dir, "documents")
+        raw = docs.select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("lang"), F.col("source"), F.col("n_chars")
+                    ).alias("doc")
+                )
+            ).alias("raw_json")
+        )
+        return induce_schema(raw)
+
     def multimodal_meta(spark, sf_dir):
         from kgspark.multimodal import synth_media
 
@@ -586,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topics": kg_topics,
         "kg_entities": kg_entities,
         "kg_validate": kg_validate,
+        "kg_schema_induction": kg_schema_induction,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
     }
@@ -916,6 +932,20 @@ SELECT source || '/' || doc_id::VARCHAR AS filename,
        "text" AS content,
        ("text" IS NOT NULL AND length("text") > 0) AS is_valid
 FROM documents
+""",
+        "kg_schema_induction": """
+SELECT * FROM (VALUES
+  ('class', 'Doc', NULL::VARCHAR, NULL::VARCHAR),
+  ('class', 'Lang', NULL, NULL),
+  ('class', 'Source', NULL, NULL),
+  ('class', 'N_Chars', NULL, NULL),
+  ('relationship', 'Doc', 'hasLang', 'Lang'),
+  ('relationship', 'Doc', 'hasSource', 'Source'),
+  ('relationship', 'Doc', 'hasN_Chars', 'N_Chars'),
+  ('property', 'Lang', NULL, 'str'),
+  ('property', 'Source', NULL, 'str'),
+  ('property', 'N_Chars', NULL, 'int')
+) AS t(kind, a, rel, b)
 """,
         "multimodal_meta": """
 SELECT doc_id AS media_id,

@@ -19,11 +19,21 @@ Module map (SURVEY.md §7.1):
   edges      — fwd/rev typed weighted edge generator (ref :527-563)
   topics     — clustering + tf-idf top-k + topic naming (ref :237-302)
   graph_api  — triple query / node history / confidence / validate (ref :675-738)
-  dedup      — exact / minhash / simhash / ngram-jaccard / embedding near-dup
-  similarity — brute-force + LSH-bucketed cosine top-k ANN
+  dedup      — exact / minhash-LSH / simhash / prefix-filtered ngram-jaccard /
+               embedding near-dup
+  similarity — brute-force + sign-LSH + IVF cosine top-k ANN
   textstats  — lang-id, quality scoring, token counting, fingerprinting
   multimodal — binary-column decode/feature plumbing (decode stubbed)
-  checkpoint — per-stage manifest, lineage counters, resume
+  entities   — E3 entity+relation extraction API surface
+  sources    — S1-S7 binary-file format dispatch (codec-less formats stubbed)
+  schema_induce — A10 dynamic schema induction from nested JSON
+  validate   — P5/P6 envelope validation + JSON byte repair
+  catalog    — S12/S13 document catalog list / row-delete
+  viz        — S11 bounded-sample self-contained HTML graph export
+  skew       — salted two-phase aggregation, hot-key detection
+  streaming  — incremental KG via foreachBatch merge-dedup
+  checkpoint — per-stage manifest, lineage counters + timings, resume
+  io_tables  — Iceberg-or-parquet catalog seam, table schemas
   pipeline   — end-to-end spark-submit driver
 """
 

@@ -36,6 +36,46 @@ STOPWORDS = {
 }
 
 
+def eps_elbow(
+    emb: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "chunk_uid",
+    max_rows: int = 2000,
+) -> float:
+    """DBSCAN eps estimate (ref _calculate_optimal_eps,
+    knowledge_graph_builder.py:362-374): 2-NN euclidean distances, sorted,
+    argmax of consecutive diffs (the elbow). Computed on a bounded sample —
+    an elbow is a distributional statistic, so a few thousand points suffice
+    at any corpus scale (the all-pairs join stays O(max_rows^2), constant)."""
+    s = emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e")).limit(max_rows)
+    a, b = s.alias("a"), s.alias("b")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.e").cast("array<double>"),
+            F.col("b.e").cast("array<double>"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pair = (
+        a.crossJoin(b)
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("id"), F.sqrt(d2).alias("d"))
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("d"))
+    nn2 = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 2)  # distance to the 2nd nearest neighbor
+        .select("d")
+    )
+    ordered = nn2.withColumn(
+        "diff", F.col("d") - F.lag("d", 1).over(Window.orderBy(F.asc("d")))
+    )
+    row = ordered.orderBy(F.desc("diff")).limit(1).collect()
+    return float(row[0]["d"]) if row else 0.5
+
+
 def cluster_chunks(
     chunks: DataFrame,
     k: int | None = None,
@@ -43,16 +83,24 @@ def cluster_chunks(
     k_max: int = 25,
     seed: int = 42,
     emb_col: str = "embedding",
+    method: str = "kmeans",
 ) -> tuple[DataFrame, int]:
     """Assign a `cluster` label to each chunk row via KMeans(seed).
 
     k=None runs the silhouette sweep (ref :344-360: KMeans for k in
     [k_min, k_max], argmax silhouette, seed 42). The sweep is driver-looped
     but each fit/evaluate is distributed; benches pass a fixed k.
+
+    method="bisecting" uses BisectingKMeans — the hierarchical analogue of
+    the reference's AgglomerativeClustering fallback (ref :263-267,
+    SURVEY.md A6): divisive rather than agglomerative, but the same
+    "guaranteed k clusters, hierarchy-shaped" contract at distributed scale.
     """
-    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.clustering import BisectingKMeans, KMeans
     from pyspark.ml.evaluation import ClusteringEvaluator
     from pyspark.ml.functions import array_to_vector
+
+    Clusterer = BisectingKMeans if method == "bisecting" else KMeans
 
     vecs = chunks.withColumn("__features", array_to_vector(F.col(emb_col)))
     n = vecs.count()
@@ -65,13 +113,13 @@ def cluster_chunks(
         )
         vecs = vecs.persist()
         for kk in range(k_lo, k_hi + 1):
-            model = KMeans(k=kk, seed=seed, featuresCol="__features",
+            model = Clusterer(k=kk, seed=seed, featuresCol="__features",
                            predictionCol="__pred").fit(vecs)
             s = evaluator.evaluate(model.transform(vecs))
             if s > best_s:
                 best_k, best_s = kk, s
         k = best_k
-    model = KMeans(k=k, seed=seed, featuresCol="__features",
+    model = Clusterer(k=k, seed=seed, featuresCol="__features",
                    predictionCol="__pred").fit(vecs)
     out = model.transform(vecs).withColumnRenamed("__pred", "cluster").drop("__features")
     return out, k

@@ -23,6 +23,8 @@ TABLES = [
 
 
 def norm(v):
+    if v is None:
+        return "\x00<null>"  # sortable alongside strings
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
