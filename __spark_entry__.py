@@ -429,10 +429,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return cosine_topk_lsh(emb, _queries_df(spark, sf_dir), k=5, bits=6)
 
-    def ann_ivf(spark, sf_dir):  # rows-only: KMeans quantizer is Spark-ML
+    def ann_ivf(spark, sf_dir):
+        # nprobe = nlist: probing every inverted list makes IVF exact, so the
+        # brute-force oracle applies while the full IVF machinery (KMeans
+        # quantizer fit, centroid ranking, list-probe join) still executes
         emb = _read(spark, sf_dir, "embeddings")
         assigned, centers = ivf_fit_assign(emb, nlist=8)
-        return ivf_topk(assigned, centers, _queries_df(spark, sf_dir), k=5, nprobe=3)
+        return ivf_topk(assigned, centers, _queries_df(spark, sf_dir), k=5, nprobe=8)
 
     # -- text analysis ------------------------------------------------------
 
@@ -540,6 +543,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "filename", "file_type", "content", "is_valid"
         )
 
+    def kg_embed_vectors(spark, sf_dir):
+        from kgspark.embed import embed_udf_fp64
+
+        docs = _read(spark, sf_dir, "documents")
+        ex = docs.select(
+            "doc_id",
+            F.posexplode(embed_udf_fp64()(F.col("text"))).alias("bucket", "v"),
+        )
+        return ex.where(F.col("v") != 0).select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round("v", 6).alias("comp"),
+        )
+
     def kg_schema_induction(spark, sf_dir):
         from kgspark.schema_induce import induce_schema
 
@@ -601,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topics": kg_topics,
         "kg_entities": kg_entities,
         "kg_validate": kg_validate,
+        "kg_embed_vectors": kg_embed_vectors,
         "kg_schema_induction": kg_schema_induction,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
@@ -843,6 +861,20 @@ SELECT query_id, vec_id, cos, rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """,
+        "ann_ivf": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qemb')}, 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
         "text_langid": f"""
 WITH s AS (
   SELECT doc_id, {', '.join(f'{lang_ratio[lg]} AS s_{lg}' for lg in langs)}
@@ -932,6 +964,28 @@ SELECT source || '/' || doc_id::VARCHAR AS filename,
        "text" AS content,
        ("text" IS NOT NULL AND length("text") > 0) AS is_valid
 FROM documents
+""",
+        "kg_embed_vectors": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower("text"), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(ts || [ts[i] || '_' || ts[i+1] for i in range(1, len(ts))]) AS g
+  FROM toks
+),
+bs AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(g), 7, 1)) - 1) % 4) * 16 + (strpos('0123456789abcdef', substr(md5(g), 8, 1)) - 1) AS bucket,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(g), 10, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM grams
+),
+sums AS (SELECT doc_id, bucket, sum(s) AS v FROM bs GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM sums GROUP BY doc_id)
+SELECT s.doc_id, s.bucket::BIGINT AS bucket, round(s.v / norms.n, 6) AS comp
+FROM sums s JOIN norms USING (doc_id)
+WHERE s.v <> 0
 """,
         "kg_schema_induction": """
 SELECT * FROM (VALUES

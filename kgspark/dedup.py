@@ -99,7 +99,9 @@ def minhash_dedup(
         .where(F.col("t").isNotNull())
         .withColumn("sh", word_shingles(F.col("t"), shingle_n))
         .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
-    )
+        .drop("t")
+    ).localCheckpoint(eager=True)  # shingling + num_hashes md5 sweeps run
+    # once; the banded self-join and the verify step reference this 3x
     banded = base.select(
         "id",
         "sh",

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.types import ArrayType, DoubleType, FloatType
 
 DIM = 64  # keep parity with the driver testdata embeddings (64-d)
 
@@ -54,6 +54,18 @@ def hash_embed(text: str, dim: int = DIM) -> list[float]:
 
 def embed_udf(dim: int = DIM):
     @pandas_udf(ArrayType(FloatType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: hash_embed(t, dim))
+
+    return _udf
+
+
+def embed_udf_fp64(dim: int = DIM):
+    """fp64 variant: hash_embed's exact values (bucket-count / sqrt(sum of
+    squared counts) — pure integer-derived fp64) survive untruncated, making
+    the embedder's output bit-reproducible by any fp64 SQL engine."""
+
+    @pandas_udf(ArrayType(DoubleType()))
     def _udf(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: hash_embed(t, dim))
 
