@@ -242,6 +242,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_substring_query(spark, sf_dir):
         return query_graph(_extract_triples(spark, sf_dir), "ring")
 
+    def kg_degree(spark, sf_dir):
+        # A9: connected-topics degree count (ref len(nx_graph[node]),
+        # knowledge_graph_builder.py:601) as a groupBy over the triple table
+        t = _extract_triples(spark, sf_dir)
+        return t.groupBy(F.col("subj").alias("node")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
     def kg_clean_text(spark, sf_dir):
         from kgspark.textnorm import clean_text_udf
 
@@ -589,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_triples": kg_extract_triples,
         "kg_substring_query": kg_substring_query,
+        "kg_degree": kg_degree,
         "kg_clean_text": kg_clean_text,
         "kg_chunk": kg_chunk,
         "kg_link_entities": kg_link_entities,
@@ -664,6 +673,10 @@ SELECT subj, pred, obj, weight FROM triples
 WITH {_PARTS_ORACLE_CTE}
 SELECT subj AS subject, pred AS relation, obj AS object FROM triples
 WHERE lower(subj) LIKE '%ring%' OR lower(obj) LIKE '%ring%'
+""",
+        "kg_degree": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT subj AS node, count(*) AS out_degree FROM triples GROUP BY subj
 """,
         "kg_clean_text": """
 SELECT doc_id,

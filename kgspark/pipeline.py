@@ -160,10 +160,62 @@ def build_kg(
         spark, manifest, "triples_concepts", fingerprint, build_triples_concepts
     )
 
+    # North-star canonicalization stage: MinHash-LSH blocking + connected
+    # components over every entity surface the alias dictionary did NOT
+    # resolve ("Acme Corp." / "acme corp" punctuation-case near-dups), then
+    # rewrite triples onto canonical representatives and re-dedup.
+    def build_canonical() -> DataFrame:
+        from kgspark.canon import canonical_map
+
+        surfaces = (
+            triples_concepts.select(F.col("subj").alias("name"))
+            .union(triples_concepts.select(F.col("obj").alias("name")))
+            .distinct()
+        )
+        cmap = canonical_map(surfaces).where(F.col("name") != F.col("canonical"))
+        # dimension-sized in practice (only near-dup survivors) -> broadcast
+        for col in ("subj", "obj"):
+            m = cmap.select(
+                F.col("name").alias(f"__n_{col}"),
+                F.col("canonical").alias(f"__c_{col}"),
+            )
+            t = (triples_concepts if col == "subj" else t).join(
+                F.broadcast(m), F.col(col) == F.col(f"__n_{col}"), "left"
+            ).withColumn(
+                col, F.coalesce(F.col(f"__c_{col}"), F.col(col))
+            ).drop(f"__n_{col}", f"__c_{col}")
+        return last_write_wins(t, ["subj", "pred", "obj"])
+
+    triples_canonical = run_stage(
+        spark, manifest, "triples_canonical", fingerprint, build_canonical
+    )
+
+    # Entity table (north-star output): one row per canonical entity with
+    # provenance + degree.
+    def build_entities() -> DataFrame:
+        subj = triples_canonical.select(F.col("subj").alias("entity"))
+        obj = triples_canonical.select(F.col("obj").alias("entity"))
+        degree = (
+            subj.union(obj)
+            .groupBy("entity")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        meta = concepts.groupBy(F.col("name").alias("entity")).agg(
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("source").alias("n_sources"),
+            F.max("importance").alias("importance"),
+        )
+        return degree.join(meta, "entity", "left")
+
+    entities = run_stage(
+        spark, manifest, "entities", fingerprint, build_entities
+    )
+
     out: dict[str, DataFrame] = {
         "documents": documents,
         "concepts": concepts,
-        "triples_concepts": triples_concepts,
+        "triples_concepts": triples_canonical,
+        "entities": entities,
     }
 
     if with_topics:
@@ -188,11 +240,11 @@ def build_kg(
         dt_edges = doc_topic_edges(docs_emb, topics, threshold=similarity_threshold)
         triples = run_stage(
             spark, manifest, "triples", fingerprint,
-            lambda: triples_concepts.unionByName(dt_edges),
+            lambda: triples_canonical.unionByName(dt_edges),
         )
         out.update({"chunks": chunks, "topics": topics, "triples": triples})
     else:
-        out["triples"] = triples_concepts
+        out["triples"] = triples_canonical
 
     # Node table: topic nodes (ref :489-498) + concept nodes (ref :511-525),
     # last-write-wins per node_id.

@@ -60,6 +60,19 @@ def read_json_text(data: bytes) -> str:
     return _json.dumps(_json.loads(data.decode("utf-8")), ensure_ascii=False)
 
 
+def read_excel(data: bytes) -> str:
+    """ref S2 (knowledgeGraph.py:48-55): pandas read_excel -> records.
+    Needs openpyxl/xlrd — gated, stubbed when absent."""
+    import io
+
+    try:
+        df = pd.read_excel(io.BytesIO(data))
+    except ImportError as e:
+        raise NotImplementedError(f"excel codec not available: {e}") from e
+    return _json.dumps(df.to_dict(orient="records"), ensure_ascii=False,
+                       default=str)
+
+
 def read_doc(data: bytes) -> str:
     """STUB — ref S4 needs python-docx (absent here). Seam: parse paragraphs
     via docx.Document(io.BytesIO(data))."""
@@ -84,6 +97,8 @@ HANDLERS = {
     "htm": read_html,
     "csv": read_csv_text,
     "json": read_json_text,
+    "xls": read_excel,
+    "xlsx": read_excel,
     "doc": read_doc,
     "docx": read_doc,
     "pdf": read_pdf,

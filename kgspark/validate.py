@@ -9,6 +9,7 @@ over the serialized form — filter-don't-fail semantics for 10^12-doc runs."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -59,6 +60,59 @@ def parse_envelopes(df: DataFrame, json_col: str = "raw_json") -> DataFrame:
         e["data"]["content"].alias("content"),
         F.coalesce(is_valid, F.lit(False)).alias("is_valid"),
     )
+
+
+def envelope_json_udf():
+    """Serialize envelope rows EXACTLY the way the reference sink does
+    (ref knowledgeGraph.py:113-121): `json.dumps(..., indent=4,
+    ensure_ascii=False, default=str)` — byte-compatible envelope JSON, which
+    Spark's to_json (compact, ascii-escaped) is not. Runs as an Arrow UDF
+    over a struct column."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def _udf(filename: pd.Series, file_type: pd.Series, content: pd.Series,
+             timestamp: pd.Series) -> pd.Series:
+        def ser(fn, ft, c, ts):
+            env = {
+                "filename": fn,
+                "file_type": ft,
+                "data": {"content": c},
+                "timestamp": ts if ts is not None else None,
+            }
+            return _json.dumps(env, indent=4, ensure_ascii=False, default=str)
+
+        return pd.Series(
+            [ser(*args) for args in zip(filename, file_type, content, timestamp)]
+        )
+
+    return _udf
+
+
+def write_envelopes(df: DataFrame, out_dir: str) -> None:
+    """S8 sink: reference-format JSON envelopes, one string per document,
+    written distributed as a single-column parquet table (multi-line JSON is
+    not line-safe in a text sink; parquet preserves each envelope's bytes
+    exactly and keeps the write parallel)."""
+    # pipeline `documents` tables carry no file_type (the web corpus is all
+    # html->text); derive it from the filename extension, defaulting to txt
+    ft = (
+        F.col("file_type")
+        if "file_type" in df.columns
+        else F.when(
+            F.col("filename").rlike(r"\.[A-Za-z0-9]+$"),
+            F.lower(F.regexp_extract("filename", r"\.([A-Za-z0-9]+)$", 1)),
+        ).otherwise(F.lit("txt"))
+    )
+    env = df.select(
+        envelope_json_udf()(
+            F.col("filename"), ft, F.col("content"),
+            F.col("ts").cast("string"),
+        ).alias("envelope_json")
+    )
+    env.write.mode("overwrite").parquet(out_dir)
 
 
 def fix_json_content(df: DataFrame, json_col: str = "raw_json") -> DataFrame:

@@ -154,3 +154,34 @@ def test_silhouette_sweep_small(spark):
     out, k = cluster_chunks(df, k=None, k_min=2, k_max=4)
     assert 2 <= k <= 4
     assert out.select("cluster").distinct().count() == k
+
+
+def test_excel_stub_or_real():
+    from kgspark.sources import dispatch
+
+    out = dispatch("t.xlsx", b"PK\x03\x04fake")
+    # with no excel codec installed the seam reports, never crashes the scan
+    assert out["content"] is None and out["error"]
+
+
+def test_write_envelopes_reference_format(spark, tmp_path):
+    import json
+
+    from kgspark.validate import write_envelopes
+
+    docs = spark.createDataFrame(
+        [("a.txt", "txt", "héllo wörld", None)],
+        "filename string, file_type string, content string, ts timestamp",
+    )
+    out = str(tmp_path / "envs")
+    write_envelopes(docs, out)
+    rows = spark.read.parquet(out).collect()
+    env = rows[0]["envelope_json"]
+    # byte-format fidelity to ref knowledgeGraph.py:113-121:
+    # indent=4, ensure_ascii=False (unicode kept raw), default=str
+    assert env == json.dumps(
+        {"filename": "a.txt", "file_type": "txt",
+         "data": {"content": "héllo wörld"}, "timestamp": None},
+        indent=4, ensure_ascii=False, default=str,
+    )
+    assert "héllo" in env and "\\u" not in env
