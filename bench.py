@@ -128,6 +128,19 @@ def main() -> None:
     tp_sec, n_docs = throughput_leg(spark, sf_dir, repl)
     times["throughput_leg"] = round(tp_sec, 3)
 
+    # end-to-end pipeline (synth pages -> extract -> link -> canonicalize ->
+    # entities/nodes, all through checkpoint-manifest writes)
+    import tempfile
+
+    from kgspark.pipeline import build_kg
+    from kgspark.synth import pages_df
+
+    pages = pages_df(spark, 1000, seed=42)
+    t0 = time.time()
+    out = build_kg(spark, pages, tempfile.mkdtemp(), with_topics=False)
+    n_triples = out["triples"].count()
+    times["pipeline_e2e_1k_pages"] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -140,6 +153,7 @@ def main() -> None:
                 "cpus": cpus,
                 "throughput_docs_per_sec": round(n_docs / tp_sec, 1),
                 "throughput_docs": n_docs,
+                "pipeline_e2e_triples": n_triples,
             }
         )
     )
