@@ -510,6 +510,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("rank", F.col("rank").cast("long"))
         )
 
+    def rel_tumbling_window(spark, sf_dir):
+        # event-time tumbling window agg (streaming-ready shape in batch)
+        ev = _read(spark, sf_dir, "events")
+        w = F.window("ts", "1 hour")
+        return ev.groupBy(w.alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ).select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total",
+        )
+
+    def rel_sessionization(spark, sf_dir):
+        # session windows: 30-min inactivity gap per user (F.session_window —
+        # same operator Structured Streaming uses for session state)
+        ev = _read(spark, sf_dir, "events")
+        sw = F.session_window("ts", "30 minutes")
+        return ev.groupBy(sw.alias("s"), "user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        ).select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events", "session_value",
+        )
+
     # -- multimodal ---------------------------------------------------------
 
     def kg_topics(spark, sf_dir):  # rows-only: KMeans clustering is Spark-ML
@@ -624,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys": skew_hot_keys,
         "rel_pricing_summary": rel_pricing_summary,
         "rel_top_customers": rel_top_customers,
+        "rel_tumbling_window": rel_tumbling_window,
+        "rel_sessionization": rel_sessionization,
         "kg_topics": kg_topics,
         "kg_entities": kg_entities,
         "kg_validate": kg_validate,
@@ -1013,6 +1042,31 @@ SELECT * FROM (VALUES
   ('property', 'Source', NULL, 'str'),
   ('property', 'N_Chars', NULL, 'int')
 ) AS t(kind, a, rel, b)
+""",
+        "rel_tumbling_window": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2
+""",
+        "rel_sessionization": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, sid
 """,
         "multimodal_meta": """
 SELECT doc_id AS media_id,

@@ -54,6 +54,33 @@ def batch_triples(pages: DataFrame) -> DataFrame:
     return concept_edges(concepts)
 
 
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation — the standard
+    late-data-tolerant streaming shape: events later than `watermark` behind
+    the max seen event time are dropped, window state is evicted once the
+    watermark passes the window end (bounded state at any stream length).
+
+    events_stream: streaming DF with (ts timestamp, event_type string,
+    value double). Output: (window_start, window_end, event_type, n, total).
+    """
+    # watermarks demand TIMESTAMP (with timezone); parquet NTZ columns cast
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total",
+        )
+    )
+
+
 def start_incremental_kg(
     spark: SparkSession,
     input_dir: str,

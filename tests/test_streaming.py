@@ -41,3 +41,54 @@ def test_incremental_matches_batch(spark, tmp_path):
     assert (
         t3.select("subj", "pred", "obj").distinct().count() == t3.count()
     )
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """Streaming watermarked window agg drains a file-source stream of events
+    and matches the equivalent batch aggregation (no late data in the drain,
+    so results are exact)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kgspark.streaming import windowed_event_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    ev.coalesce(2).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total",
+        )
+    )
+    # append mode emits only windows finalized by the watermark; every emitted
+    # window must match the batch result exactly, and most windows finalize
+    b = {(r["window_start"], r["event_type"]): (r["n"], round(r["total"], 4))
+         for r in batch.collect()}
+    g = [(r["window_start"], r["event_type"], r["n"], round(r["total"], 4))
+         for r in got.collect()]
+    assert len(g) > 0
+    for ws, et, n, total in g:
+        assert b[(ws, et)] == (n, total)
