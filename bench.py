@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "kg_topics",
     "kg_entities",
     "kg_validate",
+    "kg_degree",
+    "kg_embed_vectors",
+    "kg_schema_induction",
+    "rel_tumbling_window",
+    "rel_sessionization",
 ]
 
 
