@@ -552,7 +552,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("embedding", embed_udf()(F.col("chunk_text")))
         return build_topics(chunks, k=8)
 
-    def kg_entities(spark, sf_dir):  # rows-only: lookbehind regex not in RE2
+    def kg_entities(spark, sf_dir):
+        # the heuristic-span path needs a capitalized word ([A-Z] start) and
+        # the testdata corpus is all-lowercase, so the output here is exactly
+        # the dictionary-containment semantics — which the SQL oracle derives
+        # independently (the span path is covered by pytest on capitalized
+        # corpora, tests/test_api_surface.py)
         from kgspark.entities import entities_table
         from kgspark.linking import alias_table
 
@@ -760,6 +765,23 @@ FROM mentions m
 LEFT JOIN (SELECT surface, canonical FROM best WHERE rn = 1) b
   ON lower(m.mention) = b.surface
 WHERE m.mention <> ''
+""",
+        "kg_entities": f"""
+WITH aliases(surface, canonical, score) AS (VALUES {alias_values}),
+best AS (
+  SELECT surface, canonical FROM (
+    SELECT surface, canonical,
+           row_number() OVER (PARTITION BY surface ORDER BY score DESC, canonical ASC) AS rn
+    FROM aliases
+  ) WHERE rn = 1
+),
+hits AS (
+  SELECT d.doc_id AS doc, b.canonical
+  FROM documents d JOIN best b ON strpos(lower(d."text"), b.surface) > 0
+)
+SELECT min(doc) AS doc, canonical AS text, 'ENTITY' AS label,
+       1.0::DOUBLE AS weight, 'dict' AS entity_source
+FROM hits GROUP BY canonical
 """,
         "kg_node_upsert": """
 SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
