@@ -46,20 +46,27 @@ def exact_duplicates(
 # Word shingles + MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-def word_shingles(col, n: int = 3):
-    """Distinct word n-grams (space-joined) of a text column, JVM-side.
-    Shorter texts yield the whole token list as one shingle."""
-    toks = F.split(col, r"\s+")
-    k = F.size(toks) - (n - 1)
+def word_shingles_from(toks_col, n: int = 3):
+    """Distinct word n-grams of an ALREADY-MATERIALIZED token column.
+    Shorter texts yield the whole token list as one shingle. Passing a raw
+    split() expression instead makes Catalyst re-evaluate the full split for
+    every slice access — O(tokens^2) per row (see kgspark.topics.bigrams_of)."""
+    k = F.size(toks_col) - (n - 1)
     return F.array_distinct(
         F.when(
             k >= 1,
             F.transform(
                 F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
             ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        ).otherwise(F.array(F.concat_ws(" ", toks_col)))
     )
+
+
+def word_shingles(col, n: int = 3):
+    """Expression-level convenience over raw text — fine for tests/small
+    data; hot paths should project tokens and use word_shingles_from."""
+    return word_shingles_from(F.split(col, r"\s+"), n)
 
 
 def _salted_md5(i: int):
@@ -97,9 +104,10 @@ def minhash_dedup(
     base = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .where(F.col("t").isNotNull())
-        .withColumn("sh", word_shingles(F.col("t"), shingle_n))
+        .withColumn("__toks", F.split(F.col("t"), r"\s+"))
+        .withColumn("sh", word_shingles_from(F.col("__toks"), shingle_n))
         .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
-        .drop("t")
+        .drop("t", "__toks")
     ).localCheckpoint(eager=True)  # shingling + num_hashes md5 sweeps run
     # once; the banded self-join and the verify step reference this 3x
     banded = base.select(
@@ -233,8 +241,14 @@ def ngram_jaccard_pairs(
     t = (
         df.select(
             F.col(id_col).alias("id"),
+            F.split(F.col(text_col), r"\s+").alias("__toks"),
+        )
+        .select(
+            "id",
             F.array_sort(
-                F.transform(word_shingles(F.col(text_col), n), lambda g: F.md5(g))
+                F.transform(
+                    word_shingles_from(F.col("__toks"), n), lambda g: F.md5(g)
+                )
             ).alias("h"),
         )
         .withColumn("nsh", F.size("h"))

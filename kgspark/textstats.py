@@ -125,11 +125,14 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """(id, fingerprint): bottom-k sketch — the k smallest md5s of word
     n-gram shingles, joined with '|'. Robust to small edits (winnowing-style);
     equal fingerprints => near-identical documents."""
-    from kgspark.dedup import word_shingles
+    from kgspark.dedup import word_shingles_from
 
-    sh = word_shingles(F.col(text_col), shingle_n)
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks")
+    )
+    sh = word_shingles_from(F.col("__toks"), shingle_n)
     hashes = F.array_sort(F.transform(sh, lambda g: F.md5(g)))
-    return df.select(
+    return toks.select(
         F.col(id_col),
         F.array_join(F.slice(hashes, 1, bottom_k), "|").alias("fingerprint"),
     )
