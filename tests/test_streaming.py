@@ -92,3 +92,55 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     assert len(g) > 0
     for ws, et, n, total in g:
         assert b[(ws, et)] == (n, total)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Watermark state persists in the checkpoint: a second availableNow run
+    whose input is older than the recovered watermark must drop it. (Within a
+    single drain the watermark lags one micro-batch, so late-data semantics
+    are only observable across restarts — see BENCH notes.)"""
+    import datetime as dt
+
+    from kgspark.streaming import windowed_event_counts
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def drop(*specs):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=m), 1, et, 1.0, None)
+             for i, (m, et) in enumerate(specs)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+
+    def drain():
+        q = (
+            windowed_event_counts(
+                spark.readStream.schema(schema).parquet(str(tmp_path / "in")),
+                window="1 hour", watermark="2 hours",
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events up to minute 500 -> watermark persists at ~06:20
+    drop(*[(10 * i, "view") for i in range(1, 51)])
+    drain()
+    # run 2: one LATE event (00:30, far behind the recovered watermark) and
+    # one fresh event that advances the stream
+    drop((30, "late"), (520, "view"))
+    drain()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    types = {r["event_type"] for r in out.select("event_type").distinct().collect()}
+    assert "late" not in types, "late event leaked past the recovered watermark"
+    # hour-0 window emitted exactly once with the on-time count
+    h0 = out.where("event_type = 'view' AND hour(window_start) = 0 "
+                   "AND window_start = timestamp'2024-01-01 00:00:00'").collect()
+    assert len(h0) == 1 and h0[0]["n"] == 5
