@@ -81,6 +81,34 @@ def windowed_event_counts(
     )
 
 
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (event count, value total) maintained in arbitrary user state — the
+    escape hatch for aggregations Spark's built-in windowed state can't
+    express. State lives in the checkpoint: a restarted query resumes its
+    counters exactly (tested across availableNow drains).
+
+    Emits one updated (user_id, n, total) row per user per micro-batch."""
+    import pandas as pd  # noqa: F811  (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_incremental_kg(
     spark: SparkSession,
     input_dir: str,

@@ -144,3 +144,54 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     h0 = out.where("event_type = 'view' AND hour(window_start) = 0 "
                    "AND window_start = timestamp'2024-01-01 00:00:00'").collect()
     assert len(h0) == 1 and h0[0]["n"] == 5
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    """Custom stateful op: per-user running totals survive a checkpointed
+    restart (state recovery) and converge to the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from kgspark.streaming import running_user_totals
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half = ev.where("event_id % 2 = 0")
+    rest = ev.where("event_id % 2 = 1")
+    in_dir = str(tmp_path / "in")
+    latest = str(tmp_path / "latest")
+
+    def drain():
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(latest)
+
+        q = (
+            running_user_totals(
+                spark.readStream.schema(ev.schema).parquet(in_dir)
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    rest.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()  # second run recovers per-user state from the checkpoint
+
+    # latest emitted row per user must equal the full batch aggregation
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(latest)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+        .select("user_id", "n", "total")
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    f = {r["user_id"]: (r["n"], round(r["total"], 4)) for r in final.collect()}
+    b = {r["user_id"]: (r["n"], round(r["total"], 4)) for r in batch.collect()}
+    assert f == b
