@@ -96,14 +96,21 @@ def _extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shingle helpers for oracle SQL (word n-grams, short texts -> whole text)
+# Shingle helpers for oracle SQL (word n-grams, short texts -> whole text).
+# Tokenization is regex \s+ (not literal ' ') to mirror the Spark side's
+# F.split(col, r"\s+") — stays equivalent if testdata gains tabs/newlines.
+def _toks_sql(text_expr: str) -> str:
+    return f"string_split_regex({text_expr}, '\\s+')"
+
+
 def _sh_sql(text_expr: str, n: int) -> str:
     span = n - 1
+    toks = _toks_sql(text_expr)
     return (
-        f"(CASE WHEN len(string_split({text_expr}, ' ')) >= {n} THEN "
-        f"list_distinct([array_to_string(string_split({text_expr}, ' ')[i:i+{span}], ' ') "
-        f"for i in range(1, len(string_split({text_expr}, ' ')) - {span - 1})]) "
-        f"ELSE [{text_expr}] END)"
+        f"(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct([array_to_string({toks}[i:i+{span}], ' ') "
+        f"for i in range(1, len({toks}) - {span - 1})]) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
     )
 
 
@@ -197,8 +204,8 @@ def _simhash_sql() -> str:
     return f"""
 sh_t AS (
   SELECT doc_id,
-         list_transform(list_distinct(list_filter(string_split("text", ' '), t -> t <> '')), t -> md5(t)) AS md5s,
-         len(list_distinct(list_filter(string_split("text", ' '), t -> t <> ''))) AS total
+         list_transform(list_distinct(list_filter(string_split_regex("text", '\s+'), t -> t <> '')), t -> md5(t)) AS md5s,
+         len(list_distinct(list_filter(string_split_regex("text", '\s+'), t -> t <> ''))) AS total
   FROM documents
 ),
 sh_h AS (SELECT doc_id, {expr} AS simhash FROM sh_t)
@@ -391,11 +398,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("name").alias("doc_id"), "component"
         )
 
-    def kg_doc_embeddings(spark, sf_dir):  # rows-only: python-md5 hash embedder
-        from kgspark.embed import embed_udf
+    def kg_doc_embeddings(spark, sf_dir):
+        # J4 memo-cache operator (embed_texts: distinct -> md5-keyed embed ->
+        # hash join back). Output is scalar per doc (dim, nnz, weighted
+        # checksum) so the gate can hash it; the checksum is a fp64 linear
+        # functional of the rounded components, bit-stable cross-engine.
+        from kgspark.embed import embed_texts
 
-        docs = _read(spark, sf_dir, "documents")
-        return docs.select("doc_id", embed_udf()(F.col("text")).alias("embedding"))
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        out = embed_texts(docs, fp64=True)
+        e = F.col("embedding")
+        # integer-valued checksum: each term round(v,6)*1e6*i is an exact
+        # integer, so the fp64 sum sits ~1e-6 from an integer — no decimal
+        # rounding ties (round(x, 4) was tie-prone at .5e-4 boundaries)
+        checksum = F.round(
+            F.aggregate(
+                F.zip_with(
+                    e, F.sequence(F.lit(1), F.lit(64)),
+                    lambda v, i: F.round(v, 6) * i,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ) * F.lit(1000000.0),
+            0,
+        ).cast("long")
+        return out.select(
+            "doc_id",
+            F.size(e).cast("long").alias("dim"),
+            F.size(F.filter(e, lambda v: v != 0)).cast("long").alias("nnz"),
+            checksum.alias("checksum"),
+        )
 
     # -- dedup --------------------------------------------------------------
 
@@ -550,7 +582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunks = chunks.withColumn(
             "chunk_uid", F.concat_ws("#", "doc_id", "chunk_id")
         ).withColumn("embedding", embed_udf()(F.col("chunk_text")))
-        return build_topics(chunks, k=8)
+        # rows-only gate still canonicalizes the Spark output (pandas sort):
+        # list columns are unhashable there, so join terms / drop the vector
+        return build_topics(chunks, k=8).select(
+            "topic_id", "topic_name", F.array_join("terms", "|").alias("terms")
+        )
 
     def kg_entities(spark, sf_dir):
         # the heuristic-span path needs a capitalized word ([A-Z] start) and
@@ -686,11 +722,11 @@ def oracle_sql() -> dict[str, str]:
     def stop_hits(lang: str) -> str:
         words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         return (
-            f"len(list_filter(string_split(lower(\"text\"), ' '), t -> t IN ({words})))"
+            f"len(list_filter(string_split_regex(lower(\"text\"), '\s+'), t -> t IN ({words})))"
         )
 
     lang_ratio = {
-        lg: f"({stop_hits(lg)} * 1.0 / greatest(len(list_filter(string_split(lower(\"text\"), ' '), t -> t <> '')), 1))"
+        lg: f"({stop_hits(lg)} * 1.0 / greatest(len(list_filter(string_split_regex(lower(\"text\"), '\s+'), t -> t <> '')), 1))"
         for lg in langs
     }
     best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
@@ -949,7 +985,7 @@ SELECT doc_id, {pick} AS detected_lang, round({best}, 6) AS lang_score FROM s
         "text_quality": f"""
 WITH t AS (
   SELECT doc_id, "text",
-         len(list_filter(string_split(lower("text"), ' '), x -> x <> '')) AS n_tok,
+         len(list_filter(string_split_regex(lower("text"), '\s+'), x -> x <> '')) AS n_tok,
          length("text") AS n_chars,
          {stop_hits('en')} AS stop_hits
   FROM documents
@@ -977,7 +1013,7 @@ FROM feats
 """,
         "text_tokens": """
 SELECT doc_id,
-       len(list_filter(string_split(lower("text"), ' '), t -> t <> '')) AS n_tokens,
+       len(list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '')) AS n_tokens,
        (ceil(length(regexp_replace("text", '[^a-zA-Z]', '', 'g')) / 4.2)
         + length(regexp_replace("text", '[^0-9]', '', 'g'))
         + length(regexp_replace("text", e'[a-zA-Z0-9 \\t\\n\\r]', '', 'g')))::BIGINT AS n_subwords
@@ -1031,7 +1067,7 @@ FROM documents
 """,
         "kg_embed_vectors": """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(lower("text"), ' '), t -> t <> '') AS ts
+  SELECT doc_id, list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
   FROM documents
 ),
 grams AS (
@@ -1051,19 +1087,65 @@ SELECT s.doc_id, s.bucket::BIGINT AS bucket, round(s.v / norms.n, 6) AS comp
 FROM sums s JOIN norms USING (doc_id)
 WHERE s.v <> 0
 """,
+        # Same embedder derivation, aggregated to the scalar summary the
+        # Spark query emits (dim / nnz / weighted checksum of the rounded
+        # components — a linear functional, so zero buckets contribute 0 and
+        # only the nonzero sums need deriving here).
+        "kg_doc_embeddings": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(ts || [ts[i] || '_' || ts[i+1] for i in range(1, len(ts))]) AS g
+  FROM toks
+),
+bs AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(g), 7, 1)) - 1) % 4) * 16 + (strpos('0123456789abcdef', substr(md5(g), 8, 1)) - 1) AS bucket,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(g), 10, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM grams
+),
+sums AS (SELECT doc_id, bucket, sum(s) AS v FROM bs GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM sums GROUP BY doc_id)
+SELECT s.doc_id,
+       64::BIGINT AS dim,
+       (count(*) FILTER (WHERE s.v <> 0))::BIGINT AS nnz,
+       round(sum(CASE WHEN s.v <> 0 THEN round(s.v / norms.n, 6) * (s.bucket + 1) ELSE 0.0 END) * 1000000.0)::BIGINT AS checksum
+FROM sums s JOIN norms USING (doc_id)
+GROUP BY s.doc_id
+""",
+        # Independent derivation (not a pinned literal): the field list is an
+        # input of the query itself (the JSON envelope it builds), but the
+        # class names, relationship rows, and property types are derived here
+        # from the actual documents columns (typeof + per-segment capitalize),
+        # mirroring what induce_schema infers from the JSON values.
         "kg_schema_induction": """
-SELECT * FROM (VALUES
-  ('class', 'Doc', NULL::VARCHAR, NULL::VARCHAR),
-  ('class', 'Lang', NULL, NULL),
-  ('class', 'Source', NULL, NULL),
-  ('class', 'N_Chars', NULL, NULL),
-  ('relationship', 'Doc', 'hasLang', 'Lang'),
-  ('relationship', 'Doc', 'hasSource', 'Source'),
-  ('relationship', 'Doc', 'hasN_Chars', 'N_Chars'),
-  ('property', 'Lang', NULL, 'str'),
-  ('property', 'Source', NULL, 'str'),
-  ('property', 'N_Chars', NULL, 'int')
-) AS t(kind, a, rel, b)
+WITH f AS (
+  SELECT fname,
+         CASE WHEN typ = 'VARCHAR' THEN 'str' ELSE 'int' END AS ptype
+  FROM (
+    SELECT 'lang' AS fname, (SELECT typeof(lang) FROM documents LIMIT 1) AS typ
+    UNION ALL
+    SELECT 'source', (SELECT typeof(source) FROM documents LIMIT 1)
+    UNION ALL
+    SELECT 'n_chars', (SELECT typeof(n_chars) FROM documents LIMIT 1)
+  )
+),
+cap AS (
+  SELECT fname,
+         array_to_string(
+           list_transform(string_split(fname, '_'),
+                          s -> upper(substr(s, 1, 1)) || substr(s, 2)),
+           '_') AS cname,
+         ptype
+  FROM f
+)
+SELECT 'class' AS kind, 'Doc' AS a, NULL::VARCHAR AS rel, NULL::VARCHAR AS b
+UNION ALL SELECT 'class', cname, NULL, NULL FROM cap
+UNION ALL SELECT 'relationship', 'Doc', 'has' || cname, cname FROM cap
+UNION ALL SELECT 'property', cname, NULL, ptype FROM cap
 """,
         "rel_tumbling_window": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -1090,10 +1172,13 @@ SELECT user_id,
        round(sum(value), 4) AS session_value
 FROM s GROUP BY user_id, sid
 """,
+        # byte semantics, not char semantics: Spark's payload is the utf-8
+        # encoding of text, so n_bytes/md5 go through encode() here — stays
+        # equivalent if testdata gains non-ASCII characters
         "multimodal_meta": """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       length("text")::BIGINT AS n_bytes,
+       octet_length(encode("text"))::BIGINT AS n_bytes,
        md5("text") AS content_md5
 FROM documents
 """,

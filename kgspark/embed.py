@@ -78,34 +78,53 @@ def embed_texts(
     out_col: str = "embedding",
     cache: DataFrame | None = None,
     dim: int = DIM,
+    fp64: bool = False,
 ) -> DataFrame:
     """Attach an embedding column with the dedup-embed-join pattern.
 
     1. distinct(text)                       — the memo-cache as a relational op
     2. anti-join against persisted `cache`  — resume: never re-embed seen text
     3. embed UDF over the (small) novel set
-    4. broadcast hash join embeddings back onto the full df
+    4. hash join embeddings back onto the full df
+
+    Every join/anti-join is keyed on md5(text), never the raw text: at corpus
+    scale the text is a multi-KB string and using it as a shuffle key multiplies
+    shuffle width and comparison cost; the 32-char digest carries the same
+    equality semantics (md5 collisions are negligible and identical on both
+    sides). The text itself stays only on the embed side, projected away before
+    the join back.
 
     `cache` is an optional DataFrame(text, embedding) from a prior run's
     embeddings table (checkpoint manifest decides whether to pass it).
     """
-    distinct = df.select(F.col(text_col).alias("__t")).where(
-        F.col("__t").isNotNull()
-    ).distinct()
+    mk = embed_udf_fp64 if fp64 else embed_udf
+    distinct = (
+        df.select(F.col(text_col).alias("__t"))
+        .where(F.col("__t").isNotNull())
+        .distinct()
+        .withColumn("__th", F.md5(F.col("__t")))
+    )
     if cache is not None:
         cached = cache.select(
-            F.col(text_col).alias("__t"), F.col(out_col).alias("__e")
+            F.md5(F.col(text_col)).alias("__th"), F.col(out_col).alias("__e")
         )
-        novel = distinct.join(cached, "__t", "left_anti")
-        embedded = novel.withColumn("__e", embed_udf(dim)(F.col("__t"))).unionByName(cached)
+        novel = distinct.join(cached, "__th", "left_anti")
+        embedded = (
+            novel.withColumn("__e", mk(dim)(F.col("__t")))
+            .select("__th", "__e")
+            .unionByName(cached)
+        )
     else:
-        embedded = distinct.withColumn("__e", embed_udf(dim)(F.col("__t")))
+        embedded = distinct.select(
+            "__th", mk(dim)(F.col("__t")).alias("__e")
+        )
     # Embedding table is tiny relative to the corpus (distinct texts) but can
     # still be large at scale — let AQE pick broadcast vs shuffle; hint
     # broadcast only below a conservative row bound is unnecessary complexity.
     return (
-        df.join(embedded, df[text_col] == embedded["__t"], "left")
-        .drop("__t")
+        df.withColumn("__th", F.md5(F.col(text_col)))
+        .join(embedded, "__th", "left")
+        .drop("__th")
         .withColumnRenamed("__e", out_col)
     )
 

@@ -89,6 +89,25 @@ def test_salted_agg_two_phase(spark):
     assert p.count("HashAggregate") >= 4
 
 
+def test_embed_join_is_hash_keyed(spark):
+    """embed_texts joins embeddings back (and anti-joins the cache) on
+    md5(text), never the raw multi-KB text — shuffle keys stay 32 chars at
+    any corpus scale."""
+    from kgspark.embed import embed_texts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    cache = docs.limit(2).select("text", F.lit(None).cast("array<float>").alias("embedding"))
+    for q in (embed_texts(docs), embed_texts(docs, cache=cache)):
+        p = plan(q)
+        joins = [ln for ln in p.splitlines() if "Join" in ln]
+        assert joins, p[:1500]
+        for ln in joins:
+            # key lists must be the hash column or the inlined md5(text)
+            # expression — never the bare text column ("[text#N]")
+            assert "__th" in ln or "md5(" in ln, f"join not keyed on md5 hash: {ln}"
+            assert "[text#" not in ln, f"raw text used as join key: {ln}"
+
+
 def test_extraction_has_no_shuffle_before_dedup(spark):
     """The extraction pipeline is map-only until the final distinct: exactly
     one Exchange (for dedup), none feeding the UDF/explode chain."""
