@@ -212,6 +212,50 @@ sh_h AS (SELECT doc_id, {expr} AS simhash FROM sh_t)
 """
 
 
+def _simhash64_sql(max_hamming: int = 3) -> str:
+    """64-bit banded simhash + Hamming multiprobe, mirroring
+    kgspark.dedup.simhash_hamming_pairs (4x16-bit bands, candidates from
+    band equality, popcount verify)."""
+    def band_expr(b: int) -> str:
+        terms = []
+        for j in range(16):
+            g = 16 * b + j
+            ci, bi = g // 4 + 1, 3 - (g % 4)
+            ones = (
+                f"len(list_filter(md5s, h -> "
+                f"(floor((strpos('0123456789abcdef', substr(h, {ci}, 1)) - 1) / {2 ** bi})::INT % 2) = 1))"
+            )
+            terms.append(f"(CASE WHEN 2 * {ones} > total THEN {2 ** j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    bands = ", ".join(f"{band_expr(b)} AS b{b}" for b in range(4))
+    pops = " + ".join(f"bit_count(xor(la.b{b}, rb.b{b}))" for b in range(4))
+    return f"""
+sh64_t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(list_filter(string_split_regex("text", '\\s+'), t -> t <> '')), t -> md5(t)) AS md5s,
+         len(list_distinct(list_filter(string_split_regex("text", '\\s+'), t -> t <> ''))) AS total
+  FROM documents
+),
+sh64_b AS (SELECT doc_id, {bands} FROM sh64_t),
+sh64_bands AS (
+  SELECT doc_id, 0 AS band, b0 AS val FROM sh64_b
+  UNION ALL SELECT doc_id, 1, b1 FROM sh64_b
+  UNION ALL SELECT doc_id, 2, b2 FROM sh64_b
+  UNION ALL SELECT doc_id, 3, b3 FROM sh64_b
+),
+sh64_cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM sh64_bands l JOIN sh64_bands r
+    ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+),
+sh64_pairs AS (
+  SELECT a, b, ({pops})::BIGINT AS hamming
+  FROM sh64_cand JOIN sh64_b la ON la.doc_id = a JOIN sh64_b rb ON rb.doc_id = b
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship: KG construction over the derived SVO corpus
 # ---------------------------------------------------------------------------
@@ -443,6 +487,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_simhash(spark, sf_dir):
         return simhash_dedup(_read(spark, sf_dir, "documents"))
+
+    def dedup_simhash64(spark, sf_dir):
+        from kgspark.dedup import simhash_hamming_pairs
+
+        return simhash_hamming_pairs(
+            _read(spark, sf_dir, "documents"), max_hamming=3
+        )
 
     def dedup_ngram(spark, sf_dir):
         out = ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
@@ -679,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash64": dedup_simhash64,
         "dedup_ngram": dedup_ngram,
         "dedup_embedding": dedup_embedding,
         "ann_topk": ann_topk,
@@ -909,6 +961,10 @@ SELECT doc_id, simhash,
        min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
        count(*) OVER (PARTITION BY simhash) AS group_size
 FROM sh_h
+""",
+        "dedup_simhash64": f"""
+WITH {_simhash64_sql(3)}
+SELECT a, b, hamming FROM sh64_pairs WHERE hamming <= 3
 """,
         "dedup_ngram": f"""
 WITH {_ngram_pairs_sql(3, 0.5)}

@@ -210,6 +210,102 @@ def simhash_dedup(
     )
 
 
+def simhash64_bands(md5s_col, total_col):
+    """4x16-bit banded 64-bit SimHash from a MATERIALIZED array-of-md5 column.
+
+    Bit j (j = 0..63) comes from hex nibble j//4 + 1 of each token's md5
+    (bit 3 - j%4 of the nibble), majority-voted across distinct tokens —
+    the same construction as simhash16 widened to the first 16 nibbles.
+    Returned as array<int> of four 16-bit band values (bits [16b, 16b+16))
+    rather than one BIGINT: band b3 << 48 can overflow signed 64-bit, and
+    the banded layout is what the Hamming multiprobe joins on anyway.
+
+    Takes materialized columns (not raw text) because each of the 64 bit
+    votes filters the md5 array once — passing an unprojected expression
+    would make Catalyst recompute the tokenize+md5 subtree 64x per row.
+    """
+    def bit_is_set(ci: int, bi: int):
+        return lambda h: (
+            (_hex_nibble(F.substring(h, ci, 1)) / (2 ** bi)).cast("int") % 2
+        ) == 1
+
+    bands = []
+    for b in range(4):
+        val = F.lit(0)
+        for j in range(16):
+            g = 16 * b + j
+            ci, bi = g // 4 + 1, 3 - (g % 4)
+            ones = F.size(F.filter(md5s_col, bit_is_set(ci, bi)))
+            val = val + F.when(2 * ones > total_col, F.lit(2 ** j)).otherwise(F.lit(0))
+        bands.append(val)
+    return F.array(*bands)
+
+
+def simhash64_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, b0..b3): the banded 64-bit sketch, one map-only pass."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+            ),
+            lambda t: F.md5(t),
+        ).alias("md5s"),
+    ).withColumn("total", F.size("md5s"))
+    sk = base.select(
+        "id", simhash64_bands(F.col("md5s"), F.col("total")).alias("bands")
+    )
+    return sk.select(
+        "id", *[F.col("bands")[b].alias(f"b{b}") for b in range(4)]
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs with 64-bit SimHash Hamming distance <= k, via
+    banded multiprobe: with 4 bands, any pair at Hamming <= 3 shares at least
+    one band exactly (pigeonhole), so candidates come from an equi-join on
+    (band index, band value) — never all-pairs — and are verified by popcount
+    over the XOR of each band. At 10^8+ docs this replaces the 16-bit
+    exact-bucket grouping whose 65,536-bucket space saturates with birthday
+    collisions."""
+    sk = simhash64_table(df, text_col, id_col).localCheckpoint(eager=True)
+    banded = sk.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(4)])).alias(
+            "band", "val"
+        ),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    la = sk.select(F.col("id").alias("a"), *[F.col(f"b{b}").alias(f"la{b}") for b in range(4)])
+    rb = sk.select(F.col("id").alias("b"), *[F.col(f"b{b}").alias(f"rb{b}") for b in range(4)])
+    hamming = sum(
+        F.bit_count(F.col(f"la{b}").bitwiseXOR(F.col(f"rb{b}"))) for b in range(4)
+    )
+    return (
+        cand.join(la, "a")
+        .join(rb, "b")
+        .select("a", "b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Blocked exact n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -89,3 +89,43 @@ def test_sign_bucket_range(spark):
     got = [r["b"] for r in
            emb.select(sign_bucket(F.col("embedding"), 8).alias("b")).collect()]
     assert got == [255, 0]
+
+
+def test_simhash64_hamming_pairs(spark):
+    from kgspark.dedup import simhash64_table, simhash_hamming_pairs
+
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_hamming_pairs(_docs(spark), max_hamming=3).collect()}
+    # identical texts -> identical 64-bit sketch -> hamming 0
+    assert pairs[(0, 1)] == 0
+    # the unrelated doc never pairs with the dup cluster at hamming <= 3
+    assert not any(3 in p for p in pairs)
+    # bands are 16-bit values
+    sk = simhash64_table(_docs(spark)).collect()
+    for r in sk:
+        for b in range(4):
+            assert 0 <= r[f"b{b}"] < 2 ** 16
+
+
+def test_simhash64_multiprobe_recall(spark):
+    """Pigeonhole: any pair at hamming <= 3 shares >= 1 of the 4 bands, so
+    the banded candidate join has exact recall — cross-check the blocked
+    result against brute-force popcount on the sketches."""
+    from kgspark.dedup import simhash64_table, simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i % 3} end") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sk = {r["id"]: [r["b0"], r["b1"], r["b2"], r["b3"]]
+          for r in simhash64_table(docs).collect()}
+    brute = set()
+    for a in sk:
+        for b in sk:
+            if a < b:
+                h = sum(bin(x ^ y).count("1") for x, y in zip(sk[a], sk[b]))
+                if h <= 3:
+                    brute.add((a, b))
+    blocked = {(r["a"], r["b"])
+               for r in simhash_hamming_pairs(docs, max_hamming=3).collect()}
+    assert blocked == brute
