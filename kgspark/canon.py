@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgspark.session import materialize
+
 
 def shingles(col, n: int = 3):
     """array of distinct character n-grams of lower(col), JVM-side."""
@@ -114,10 +116,14 @@ def candidate_pairs(
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """nodes(name), edges(a, b) -> (name, component) via iterative min-label
-    propagation. Each iteration: label = min(label, min over neighbors);
-    early-stop when no label changed. localCheckpoint truncates the growing
-    lineage so plans stay bounded at scale.
+    """nodes(name), edges(a, b) -> (name, component) via min-label propagation
+    WITH pointer jumping. Each round does (1) label = min(label, min over
+    neighbors' labels) and (2) a path-halving shortcut label = label(label),
+    so label information hops 2^r edges after r rounds — genuine O(log
+    diameter) convergence, not the O(diameter) of plain propagation (a
+    1M-node chain converges in ~20 rounds instead of 1M). Early-stops when no
+    label changes; raises if max_iter rounds pass without convergence rather
+    than silently returning split components.
 
     Only nodes incident to an edge participate in the loop — isolated nodes
     are trivially their own component and join back at the end. In dedup
@@ -127,20 +133,35 @@ def connected_components(
     sym = sym.persist()
     touched = sym.select(F.col("a").alias("name")).distinct()
     labels = touched.select(F.col("name"), F.col("name").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = materialize(labels)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["name"])
             .groupBy(F.col("a").alias("name"))
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, "name", "left")
             .select(
                 "name",
                 F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # pointer jumping (path halving): follow the label's own label.
+        # Labels are node ids, so `propagated` doubles as the lookup table;
+        # component min-monotonicity makes the shortcut safe (never increases).
+        hop = propagated.select(
+            F.col("name").alias("component"), F.col("component").alias("cc")
+        )
+        new_labels = (
+            propagated.join(hop, "component", "left")
+            .select(
+                "name",
+                F.least(F.col("component"), F.coalesce(F.col("cc"), F.col("component"))).alias("component"),
+            )
+        )
+        new_labels = materialize(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "name")
@@ -150,8 +171,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "components would be silently split; raise max_iter (pointer "
+            "jumping needs ~log2(diameter) rounds)"
+        )
     return (
         nodes.select("name")
         .join(labels, "name", "left")

@@ -34,14 +34,23 @@ def delete_document(
 ) -> int:
     """Row-level delete by filename; returns rows removed.
 
-    Parquet fallback: rewrite-without-matching-rows via a staging dir +
-    atomic rename (same observable semantics as an Iceberg DELETE, minus
-    snapshot history)."""
+    Parquet fallback: rewrite-without-matching-rows via a staging dir. The
+    swap renames the original aside BEFORE promoting the staging dir, so no
+    crash point loses data: before the first rename nothing changed; between
+    the renames the `.bak` dir still holds the full original (recoverable);
+    after the promote only the backup cleanup remains. Rows with NULL
+    filename are preserved (a bare `!=` predicate would silently drop them).
+    With an Iceberg catalog this whole function is
+    `DELETE FROM documents WHERE filename = ?`."""
     df = spark.read.parquet(table_path)
     n_before = df.count()
-    kept = df.where(F.col("filename") != filename)
+    kept = df.where(
+        F.col("filename").isNull() | (F.col("filename") != filename)
+    )
     tmp = table_path + ".tmp_delete"
+    bak = table_path + ".bak_delete"
     kept.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(table_path)
+    os.rename(table_path, bak)
     os.replace(tmp, table_path)
+    shutil.rmtree(bak)
     return n_before - spark.read.parquet(table_path).count()

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgspark.session import materialize
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -108,7 +110,8 @@ def minhash_dedup(
         .withColumn("sh", word_shingles_from(F.col("__toks"), shingle_n))
         .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
         .drop("t", "__toks")
-    ).localCheckpoint(eager=True)  # shingling + num_hashes md5 sweeps run
+    )
+    base = materialize(base)  # shingling + num_hashes md5 sweeps run
     # once; the banded self-join and the verify step reference this 3x
     banded = base.select(
         "id",
@@ -275,7 +278,7 @@ def simhash_hamming_pairs(
     over the XOR of each band. At 10^8+ docs this replaces the 16-bit
     exact-bucket grouping whose 65,536-bucket space saturates with birthday
     collisions."""
-    sk = simhash64_table(df, text_col, id_col).localCheckpoint(eager=True)
+    sk = materialize(simhash64_table(df, text_col, id_col))
     banded = sk.select(
         "id",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(4)])).alias(
@@ -332,7 +335,7 @@ def ngram_jaccard_pairs(
          intersect/union verification on the full hash sets
 
     The hashed-shingle table and the prefix table are materialized
-    (localCheckpoint): the plan references each 3-5 times and recomputing
+    (materialize): the plan references each 3-5 times and recomputing
     the md5+sort subtree per reference dominates runtime otherwise."""
     t = (
         df.select(
@@ -348,7 +351,8 @@ def ngram_jaccard_pairs(
             ).alias("h"),
         )
         .withColumn("nsh", F.size("h"))
-    ).localCheckpoint(eager=True)
+    )
+    t = materialize(t)
     ex = t.select("id", "nsh", F.explode("h").alias("p"))
     freq = ex.groupBy("p").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("p"))
@@ -360,7 +364,8 @@ def ngram_jaccard_pairs(
         .withColumn("rk", F.row_number().over(wdoc))
         .where(F.col("rk") <= p_len)
         .select("id", "nsh", "p", "rk")
-    ).localCheckpoint(eager=True)
+    )
+    pre = materialize(pre)
     l, r = pre.alias("l"), pre.alias("r")
     # positional filter (PPJoin): via a common element at ranks (i, j) the
     # overlap is bounded by 1 + min(|A|-i, |B|-j); J >= t needs overlap

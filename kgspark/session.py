@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -47,4 +47,24 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    ckpt = os.environ.get("KGSPARK_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a multi-referenced subplan and truncate its lineage.
+
+    Default: `localCheckpoint(eager=True)` — blocks live on executors, fast,
+    but a lost executor kills the job. When a checkpoint dir is configured
+    (`SparkContext.setCheckpointDir`, or `KGSPARK_CHECKPOINT_DIR` through
+    `get_spark`), switches to reliable `checkpoint()` — blocks on the shared
+    filesystem survive executor loss, the right default on a real cluster.
+    Hot operators (dedup/canon/topics/streaming) call this instead of
+    hardcoding localCheckpoint."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kgspark.session import materialize
+
 from kgspark.edges import concept_edges
 from kgspark.io_tables import PAGES_SCHEMA
 from kgspark.openie import extract_concepts_udf
@@ -109,6 +111,22 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
     )
 
 
+N_SINK_BUCKETS = 32  # subj-hash partitions of the triples sink
+
+
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through Hadoop's FileSystem API, so HDFS/S3 sinks
+    resolve correctly — driver-local os.path.exists only sees local disk."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def _subj_bucket(col_name: str):
+    return F.pmod(F.crc32(F.col(col_name).cast("string")), F.lit(N_SINK_BUCKETS)).cast("int")
+
+
 def start_incremental_kg(
     spark: SparkSession,
     input_dir: str,
@@ -118,24 +136,39 @@ def start_incremental_kg(
 ):
     """Stream pages -> triples with dedup-on-merge into a parquet sink.
 
+    The sink is hash-partitioned on subj (N_SINK_BUCKETS dirs); each
+    micro-batch anti-joins only against the partitions its own subjects hash
+    into, so per-batch read volume tracks the batch's key spread, not the
+    total sink size. (With an Iceberg catalog this becomes MERGE INTO on a
+    bucketed table; the pruning predicate plays the same role here.)
+
     available_now=True drains everything currently in input_dir then stops
     (test/batch-catchup mode); False runs continuously.
     """
     triples_path = os.path.join(sink_dir, "triples.parquet")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        new = batch_triples(batch_df).dropDuplicates(["subj", "pred", "obj"])
-        if os.path.exists(triples_path):
-            existing = batch_df.sparkSession.read.parquet(triples_path)
+        ss = batch_df.sparkSession
+        new = (
+            batch_triples(batch_df)
+            .dropDuplicates(["subj", "pred", "obj"])
+            .withColumn("subj_bucket", _subj_bucket("subj"))
+        )
+        new = materialize(new)  # referenced by bucket-probe + anti-join + write
+        if _sink_exists(ss, triples_path):
+            buckets = [r[0] for r in new.select("subj_bucket").distinct().collect()]
+            existing = ss.read.parquet(triples_path).where(
+                F.col("subj_bucket").isin(buckets)  # partition-pruned scan
+            )
             new = new.join(
                 existing.select("subj", "pred", "obj"),
                 ["subj", "pred", "obj"],
                 "left_anti",
             )
-        # localCheckpoint: materialize BEFORE append so the anti-join isn't
-        # re-read while its own output directory is being written
-        new = new.localCheckpoint(eager=True)
-        new.write.mode("append").parquet(triples_path)
+            # materialize BEFORE append so the anti-join isn't re-read while
+            # its own output directory is being written
+            new = materialize(new)
+        new.write.mode("append").partitionBy("subj_bucket").parquet(triples_path)
 
     writer = (
         pages_stream(spark, input_dir)

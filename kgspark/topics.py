@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgspark.session import materialize
+
 # Compact English stopword list (subset of sklearn's ENGLISH_STOP_WORDS that
 # matters for template corpora); StopWordsRemover's default list is loadable
 # too but this keeps the SQL oracle reproducible.
@@ -184,7 +186,7 @@ def tfidf_scores(
     )
     # referenced by both the doc-frequency branch and the score join —
     # materialize once instead of recomputing the explode+groupBy per branch
-    terms = terms.localCheckpoint(eager=True)
+    terms = materialize(terms)
     df_counts = terms.groupBy("term").agg(
         F.countDistinct(doc_col).alias("df"), F.sum("tf").alias("total_tf")
     )
@@ -255,6 +257,6 @@ def build_topics(
         "topic_name", "terms",
         embed_udf()(F.col("topic_name")).alias("embedding"),
     )
-    out = out.localCheckpoint(eager=True)
+    out = materialize(out)
     clustered.unpersist()
     return out

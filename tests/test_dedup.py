@@ -129,3 +129,23 @@ def test_simhash64_multiprobe_recall(spark):
     blocked = {(r["a"], r["b"])
                for r in simhash_hamming_pairs(docs, max_hamming=3).collect()}
     assert blocked == brute
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir configured, materialize() routes through
+    reliable checkpoint() (filesystem blocks) and results are unchanged."""
+    baseline = {(r["a"], r["b"]) for r in
+                ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    ckpt = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    try:
+        got = {(r["a"], r["b"]) for r in
+               ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+        assert got == baseline
+        import os
+        rdd_dirs = [p for p, _, files in os.walk(ckpt) if files]
+        assert rdd_dirs, "reliable checkpoint wrote no blocks"
+    finally:
+        # unset so later tests go back to localCheckpoint
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())

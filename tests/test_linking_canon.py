@@ -58,3 +58,34 @@ def test_canonical_map_end_to_end(spark):
     m = {r["name"]: r["canonical"] for r in canonical_map(ents).collect()}
     assert m["Acme Corp"] == m["Acme Corp."]
     assert m["Globex"] == "Globex"
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 64-node chain has diameter 63; plain min-label propagation needs 63
+    rounds, pointer jumping converges well inside max_iter=20 (~log2)."""
+    from kgspark.canon import connected_components
+    from pyspark.sql import functions as F
+
+    n = 64
+    nodes = spark.range(n).select(F.format_string("n%03d", "id").alias("name"))
+    edges = spark.range(n - 1).select(
+        F.format_string("n%03d", "id").alias("a"),
+        F.format_string("n%03d", F.col("id") + 1).alias("b"),
+    )
+    out = connected_components(nodes, edges, max_iter=20).collect()
+    assert all(r["component"] == "n000" for r in out)
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from kgspark.canon import connected_components
+    from pyspark.sql import functions as F
+    import pytest
+
+    n = 40
+    nodes = spark.range(n).select(F.format_string("n%03d", "id").alias("name"))
+    edges = spark.range(n - 1).select(
+        F.format_string("n%03d", "id").alias("a"),
+        F.format_string("n%03d", F.col("id") + 1).alias("b"),
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=1)

@@ -195,3 +195,28 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
     f = {r["user_id"]: (r["n"], round(r["total"], 4)) for r in final.collect()}
     b = {r["user_id"]: (r["n"], round(r["total"], 4)) for r in batch.collect()}
     assert f == b
+
+
+def test_sink_anti_join_partition_prunes(spark, tmp_path):
+    """The merge's existing-sink scan is partition-pruned by subj_bucket:
+    only the batch's own buckets are read, so per-batch read volume tracks
+    the batch, not the sink size."""
+    from pyspark.sql import functions as F
+    from kgspark.streaming import N_SINK_BUCKETS, _subj_bucket
+
+    sink = str(tmp_path / "triples.parquet")
+    big = spark.range(N_SINK_BUCKETS * 8).select(
+        F.concat(F.lit("s"), "id").alias("subj"),
+        F.lit("p").alias("pred"), F.lit("o").alias("obj"),
+    ).withColumn("subj_bucket", _subj_bucket("subj"))
+    big.write.partitionBy("subj_bucket").parquet(sink)
+
+    pruned = spark.read.parquet(sink).where(F.col("subj_bucket").isin([0, 1]))
+    files = [r[0] for r in
+             pruned.select(F.input_file_name()).distinct().collect()]
+    assert files and all(
+        "subj_bucket=0/" in f or "subj_bucket=1/" in f for f in files
+    ), files
+    all_files = [r[0] for r in spark.read.parquet(sink)
+                 .select(F.input_file_name()).distinct().collect()]
+    assert len(files) < len(all_files) / 4
