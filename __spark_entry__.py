@@ -442,6 +442,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("name").alias("doc_id"), "component"
         )
 
+    def kg_dbscan_topics(spark, sf_dir):
+        # A4: DBSCAN-equivalent density clustering (ref
+        # knowledge_graph_builder.py:259-261, min_samples=2) — blocked
+        # eps-graph + core/border/noise labeling; exact SQL twin below
+        from kgspark.density import dbscan_labels
+
+        emb = _read(spark, sf_dir, "embeddings")
+        out = dbscan_labels(emb, cos_threshold=0.3, min_samples=2, bits=4)
+        # noise as -1 (sklearn's own convention): NULLs can't be sorted by
+        # the gate's canonicalizer
+        return out.select(
+            "vec_id", F.coalesce("cluster", F.lit(-1)).alias("cluster"), "is_core"
+        )
+
     def kg_doc_embeddings(spark, sf_dir):
         # J4 memo-cache operator (embed_texts: distinct -> md5-keyed embed ->
         # hash join back). Output is scalar per doc (dim, nnz, weighted
@@ -726,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tfidf": kg_tfidf,
         "kg_doc_topic_edges": kg_doc_topic_edges,
         "kg_connected_components": kg_connected_components,
+        "kg_dbscan_topics": kg_dbscan_topics,
         "kg_doc_embeddings": kg_doc_embeddings,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -944,6 +959,33 @@ reach(node, lab) AS (
   SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
 )
 SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+""",
+        # DBSCAN at min_samples=2 == connected components of the eps-graph
+        # with singletons as noise; the eps-graph is the same sign-LSH-blocked
+        # cosine join the dedup_embedding oracle uses
+        "kg_dbscan_topics": f"""
+WITH RECURSIVE db_t AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS blk
+  FROM embeddings
+),
+db_pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM db_t l JOIN db_t r ON l.blk = r.blk AND l.vec_id < r.vec_id
+  WHERE round({_cos_sql('l.embedding', 'r.embedding')}, 6) >= 0.3
+),
+db_sym AS (SELECT a, b FROM db_pairs UNION SELECT b, a FROM db_pairs),
+db_reach(node, lab) AS (
+  SELECT a, a FROM db_sym
+  UNION
+  SELECT s.b, r.lab FROM db_reach r JOIN db_sym s ON s.a = r.node
+),
+db_comp AS (SELECT node, min(lab) AS component FROM db_reach GROUP BY node)
+SELECT e.vec_id, coalesce(c.component, -1) AS cluster, c.node IS NOT NULL AS is_core
+FROM embeddings e LEFT JOIN db_comp c ON c.node = e.vec_id
 """,
         "dedup_exact": """
 SELECT doc_id, content_hash,
