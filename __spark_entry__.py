@@ -663,8 +663,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kgspark.linking import alias_table
 
         docs = _read(spark, sf_dir, "documents")
-        return entities_table(
+        out = entities_table(
             docs, alias_table(spark), text_col="text", id_col="doc_id"
+        )
+        # E3-shaped extras, stringified so the gate can hash them
+        return out.select(
+            "doc", "text", "label", "weight", "entity_source",
+            F.concat_ws(
+                "|", F.transform("subtopics", lambda s: s["name"])
+            ).alias("subtopics"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    "relationships",
+                    lambda r: F.concat(r["target"], F.lit(":"), r["type"]),
+                ),
+            ).alias("relationships"),
         )
 
     def kg_validate(spark, sf_dir):
@@ -879,12 +893,28 @@ best AS (
   ) WHERE rn = 1
 ),
 hits AS (
-  SELECT d.doc_id AS doc, b.canonical
+  SELECT DISTINCT d.doc_id AS doc, b.surface, b.canonical
   FROM documents d JOIN best b ON strpos(lower(d."text"), b.surface) > 0
+),
+win AS (SELECT canonical, min(doc) AS doc FROM hits GROUP BY canonical),
+subs AS (
+  SELECT canonical, doc, string_agg(surface, '|' ORDER BY surface) AS subtopics
+  FROM hits GROUP BY canonical, doc
+),
+docents AS (SELECT DISTINCT doc, canonical FROM hits),
+rels AS (
+  SELECT a.canonical, a.doc,
+         string_agg(o.canonical || ':co_occurs', '|' ORDER BY o.canonical) AS relationships
+  FROM docents a JOIN docents o ON a.doc = o.doc AND a.canonical <> o.canonical
+  GROUP BY a.canonical, a.doc
 )
-SELECT min(doc) AS doc, canonical AS text, 'ENTITY' AS label,
-       1.0::DOUBLE AS weight, 'dict' AS entity_source
-FROM hits GROUP BY canonical
+SELECT w.doc, w.canonical AS text, 'ENTITY' AS label,
+       1.0::DOUBLE AS weight, 'dict' AS entity_source,
+       coalesce(s.subtopics, '') AS subtopics,
+       coalesce(r.relationships, '') AS relationships
+FROM win w
+LEFT JOIN subs s ON s.canonical = w.canonical AND s.doc = w.doc
+LEFT JOIN rels r ON r.canonical = w.canonical AND r.doc = w.doc
 """,
         "kg_node_upsert": """
 SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts

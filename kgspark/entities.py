@@ -27,6 +27,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -38,6 +39,35 @@ ENTITY_SCHEMA = StructType(
         StructField("label", StringType()),
         StructField("weight", DoubleType()),
         StructField("source", StringType()),  # dict | heuristic
+        # ref knowledge_graph_builder.py:123-158: entities carry subtopics
+        # (name/level) and relationships (target/type/strength). The LLM
+        # filled these in the reference; the deterministic stand-in is alias
+        # variants (subtopics) and same-document co-occurrence
+        # (relationships). Heuristic spans get empty arrays, mirroring the
+        # reference's spaCy path (ref :186-194).
+        StructField(
+            "subtopics",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", StringType()),
+                        StructField("level", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "relationships",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("target", StringType()),
+                        StructField("type", StringType()),
+                        StructField("strength", DoubleType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -47,22 +77,95 @@ _CAP_SPAN = re.compile(
 )
 
 
-def extract_entities(text: str, alias_map: dict[str, str]) -> list[dict]:
+def build_automaton(surfaces) -> tuple[list[dict], list[int], list[frozenset]]:
+    """Aho-Corasick automaton over the gazetteer surfaces: goto trie, BFS
+    failure links, output sets (merged through failure links so every match
+    ending at a position is reported). One scan of a document then costs
+    O(len(text) + matches) regardless of gazetteer size — the naive
+    `surface in text` loop is O(|aliases| * len(text)) and dies at real
+    gazetteer scale (10^5-10^7 surfaces)."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    fail: list[int] = [0]
+    out: list[set] = [set()]
+    for s in surfaces:
+        node = 0
+        for ch in s:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                fail.append(0)
+                out.append(set())
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node].add(s)
+    q = deque(goto[0].values())
+    while q:
+        u = q.popleft()
+        for ch, v in goto[u].items():
+            q.append(v)
+            f = fail[u]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            cand = goto[f].get(ch, 0)
+            fail[v] = cand if cand != v else 0
+            out[v] |= out[fail[v]]
+    return goto, fail, [frozenset(o) for o in out]
+
+
+def match_surfaces(text: str, automaton) -> set:
+    """All gazetteer surfaces occurring anywhere in `text`, one pass."""
+    goto, fail, out = automaton
+    node = 0
+    found: set = set()
+    for ch in text:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        if out[node]:
+            found |= out[node]
+    return found
+
+
+def extract_entities(
+    text: str, alias_map: dict[str, str], automaton=None
+) -> list[dict]:
     """One document -> entity dicts, dictionary hits first (dedup J6)."""
     if not isinstance(text, str) or not text:
         return []
     seen: dict[str, dict] = {}
     low = text.lower()
-    # dictionary pass: longest-alias-first so "apache spark" beats "spark"
+    if automaton is not None:
+        matched = match_surfaces(low, automaton)
+    else:
+        matched = {s for s in alias_map if s in low}
+    # longest-alias-first so "apache spark" beats "spark" (same dedup order
+    # as the naive loop; sorted() is stable so ties keep dict order)
+    surfaces_of: dict[str, list] = {}
     for surface in sorted(alias_map, key=len, reverse=True):
-        if surface in low:
+        if surface in matched:
             canon = alias_map[surface]
             key = canon.lower()
             if key not in seen:
                 seen[key] = {
                     "text": canon, "label": "ENTITY", "weight": 1.0,
-                    "source": "dict",
+                    "source": "dict", "subtopics": [], "relationships": [],
                 }
+                surfaces_of[key] = []
+            surfaces_of[key].append(surface)
+    # deterministic ref-shaped extras: subtopics = matched alias variants
+    # (level 2), relationships = same-document co-occurrence among dict hits
+    dict_canons = sorted(e["text"] for e in seen.values())
+    for key, entry in seen.items():
+        entry["subtopics"] = [
+            {"name": s, "level": 2} for s in sorted(surfaces_of[key])
+        ]
+        entry["relationships"] = [
+            {"target": c, "type": "co_occurs", "strength": 0.5}
+            for c in dict_canons if c != entry["text"]
+        ]
     # heuristic pass: capitalized spans (weight 0.5, ref :190)
     for m in _CAP_SPAN.finditer(text):
         span = m.group(1)
@@ -70,20 +173,33 @@ def extract_entities(text: str, alias_map: dict[str, str]) -> list[dict]:
         if key not in seen:
             seen[key] = {
                 "text": span, "label": "SPAN", "weight": 0.5,
-                "source": "heuristic",
+                "source": "heuristic", "subtopics": [], "relationships": [],
             }
     return sorted(seen.values(), key=lambda e: (-e["weight"], e["text"]))
 
 
+_AUTOMATON_CACHE: dict[str, tuple] = {}  # per-UDF key -> built automaton
+
+
 def extract_entities_udf(spark: SparkSession, aliases: DataFrame):
-    """Vectorized extractor with the alias dict shipped as a broadcast var."""
+    """Vectorized extractor with the alias dict shipped as a broadcast var.
+    The Aho-Corasick automaton is built ONCE per executor process (cached by
+    broadcast id) — only the plain dict crosses the wire; scan cost per doc
+    is O(len(text)), independent of gazetteer size."""
+    import uuid
+
     amap = {r["surface"]: r["canonical"] for r in aliases.collect()}
     bc = spark.sparkContext.broadcast(amap)
+    cache_key = uuid.uuid4().hex  # closure constant: one build per worker
 
     @pandas_udf(ArrayType(ENTITY_SCHEMA))
     def _udf(texts: pd.Series) -> pd.Series:
         m = bc.value
-        return texts.map(lambda t: extract_entities(t, m))
+        auto = _AUTOMATON_CACHE.get(cache_key)
+        if auto is None:
+            auto = build_automaton(m)
+            _AUTOMATON_CACHE[cache_key] = auto
+        return texts.map(lambda t: extract_entities(t, m, automaton=auto))
 
     return _udf
 
@@ -106,6 +222,8 @@ def entities_table(
         F.col("e.label").alias("label"),
         F.col("e.weight").alias("weight"),
         F.col("e.source").alias("entity_source"),
+        F.col("e.subtopics").alias("subtopics"),
+        F.col("e.relationships").alias("relationships"),
     )
     w = Window.partitionBy(F.lower("text")).orderBy(
         F.desc("weight"), F.asc("doc")
