@@ -382,11 +382,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def kg_tfidf(spark, sf_dir):
+        # A7 with the reference's multi-gram term space (1-3grams here; the
+        # ngrams are built from a MATERIALIZED token column — see
+        # kgspark.topics.ngrams_of for the Catalyst re-evaluation trap)
+        from kgspark.topics import all_ngrams_of
+
         docs = _read(spark, sf_dir, "documents")
         n_docs = docs.count()
+        toks = docs.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("__toks"),
+        )
         tf = (
-            docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-            .where(F.col("term") != "")
+            toks.select(
+                "doc_id",
+                F.explode(all_ngrams_of(F.col("__toks"), (1, 3))).alias("term"),
+            )
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
@@ -947,10 +958,18 @@ SELECT source, term, cnt, rank FROM (
 ) WHERE rank <= 10
 """,
         "kg_tfidf": """
-WITH tf AS (
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split("text", ' '), t -> t <> '') AS ts
+  FROM documents
+),
+tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
-    SELECT doc_id, unnest(string_split("text", ' ')) AS term FROM documents
-  ) WHERE term <> '' GROUP BY doc_id, term
+    SELECT doc_id,
+           unnest(ts
+               || [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]
+               || [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]) AS term
+    FROM toks
+  ) GROUP BY doc_id, term
 ),
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
 n AS (SELECT count(*) AS n_docs FROM documents),

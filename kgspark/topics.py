@@ -135,29 +135,41 @@ def unigrams(col):
     )
 
 
-def bigrams_of(toks_col):
-    """bigrams of an ALREADY-MATERIALIZED token column. Passing the raw
+def ngrams_of(toks_col, n: int):
+    """word n-grams of an ALREADY-MATERIALIZED token column. Passing the raw
     unigram expression instead would make Catalyst re-evaluate the full
-    split+filter for every element_at access — O(tokens^2) per row."""
+    split+filter subtree for every slice access — O(tokens^2) per row."""
+    if n == 1:
+        return toks_col
     return F.when(
-        F.size(toks_col) >= 2,
+        F.size(toks_col) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks_col) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks_col, i + 1), F.element_at(toks_col, i + 2)
-            ),
+            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
 
-def tokenize(col, with_bigrams: bool = True):
-    """Single-expression variant (unigrams + bigrams). Prefer projecting
-    `unigrams()` to a column and applying `bigrams_of` to it (see
-    tfidf_scores) in hot paths."""
+def bigrams_of(toks_col):
+    """bigrams of a materialized token column (ngrams_of(toks, 2))."""
+    return ngrams_of(toks_col, 2)
+
+
+def all_ngrams_of(toks_col, ngram_range: tuple[int, int] = (1, 2)):
+    """concat of n-grams for n in [lo, hi] — the reference's
+    TfidfVectorizer(ngram_range=(1, 4)) term space (ref :270-276)."""
+    lo, hi = ngram_range
+    parts = [ngrams_of(toks_col, n) for n in range(lo, hi + 1)]
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def tokenize(col, with_bigrams: bool = True, ngram_range: tuple[int, int] | None = None):
+    """Single-expression variant. Prefer projecting `unigrams()` to a column
+    and applying `all_ngrams_of` to it (see tfidf_scores) in hot paths."""
     toks = unigrams(col)
-    if not with_bigrams:
-        return toks
-    return F.concat(toks, bigrams_of(toks))
+    if ngram_range is None:
+        ngram_range = (1, 2) if with_bigrams else (1, 1)
+    return all_ngrams_of(toks, ngram_range)
 
 
 def tfidf_scores(
@@ -167,10 +179,12 @@ def tfidf_scores(
     max_features: int = 3000,
     min_df: int = 2,
     max_df: float = 0.95,
+    ngram_range: tuple[int, int] = (1, 2),
 ) -> DataFrame:
     """(doc, term, tfidf) — sklearn-compatible smooth idf + L2 norm omitted
     (rankings are what downstream uses; norm cancels inside a cluster mean
-    ordering only approximately, deviation documented)."""
+    ordering only approximately, deviation documented). ngram_range=(1, 4)
+    reproduces the reference's vectorizer term space exactly."""
     n_docs = chunks.select(doc_col).distinct().count()
     toks = chunks.select(
         doc_col, unigrams(F.col(text_col)).alias("__toks")
@@ -178,9 +192,7 @@ def tfidf_scores(
     terms = (
         toks.select(
             doc_col,
-            F.explode(
-                F.concat(F.col("__toks"), bigrams_of(F.col("__toks")))
-            ).alias("term"),
+            F.explode(all_ngrams_of(F.col("__toks"), ngram_range)).alias("term"),
         )
         .groupBy(doc_col, "term").agg(F.count("*").alias("tf"))
     )
@@ -243,14 +255,17 @@ def build_topics(
     text_col: str = "chunk_text",
     k: int | None = None,
     seed: int = 42,
+    ngram_range: tuple[int, int] = (1, 2),
 ) -> DataFrame:
     """chunks(chunk_uid, chunk_text, embedding) ->
-    topics(topic_id, topic_name, terms, embedding)."""
+    topics(topic_id, topic_name, terms, embedding). ngram_range=(1, 4)
+    matches the reference vectorizer (ref :270-276); (1, 2) is the cheaper
+    default for corpora where 3-4grams aren't distinctive."""
     from kgspark.embed import embed_udf
 
     clustered, _ = cluster_chunks(chunks, k=k, seed=seed)
     clustered = clustered.persist()
-    scored = tfidf_scores(clustered, text_col=text_col)
+    scored = tfidf_scores(clustered, text_col=text_col, ngram_range=ngram_range)
     named = name_topics(topic_terms(scored, clustered))
     out = named.select(
         F.col("cluster").cast("long").alias("topic_id"),
