@@ -4,9 +4,11 @@
 The reference reads 11 upload formats into a normalized envelope. For the
 web-corpus target the dispatch collapses to the HTML extractor
 (kgspark.html), but the engine keeps the full surface: a binaryFile scan +
-per-format handlers, with formats whose codec libraries aren't in this
-container (doc/docx, pdf, image-OCR) stubbed behind a clearly marked seam —
-the dispatch, schema and error-wrapping semantics are real and tested.
+per-format handlers. docx, xlsx and simple (raw/Flate) PDFs parse with
+pure-stdlib codecs (zipfile + ElementTree, zlib + operator scan) so no
+third-party codec is required; only image-OCR and legacy binary .doc/.xls
+remain stubbed behind a clearly marked seam — the dispatch, schema and
+error-wrapping semantics are real and tested either way.
 
 Reference error semantics preserved: an unsupported extension raises
 ValueError (ref knowledgeGraph.py:99-101); per-file handler errors are
@@ -60,28 +62,187 @@ def read_json_text(data: bytes) -> str:
     return _json.dumps(_json.loads(data.decode("utf-8")), ensure_ascii=False)
 
 
+def _xlsx_records(data: bytes) -> list[dict]:
+    """Minimal pure-stdlib xlsx reader: an .xlsx is a zip holding sheet XML
+    plus an optional shared-strings table. Covers shared/inline strings and
+    numbers on the first worksheet (header row -> records), which is the
+    shape the reference's pd.read_excel produces for simple sheets."""
+    import io
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{NS}t"))
+                for si in root.iter(f"{NS}si")
+            ]
+        sheet = next(
+            n for n in sorted(z.namelist()) if re.match(r"xl/worksheets/sheet\d+\.xml$", n)
+        )
+        root = ET.fromstring(z.read(sheet))
+    rows: list[dict[str, object]] = []
+    for row in root.iter(f"{NS}row"):
+        cells: dict[str, object] = {}
+        for c in row.iter(f"{NS}c"):
+            col = re.match(r"([A-Z]+)", c.get("r", "A")).group(1)
+            t = c.get("t")
+            if t == "inlineStr":
+                v: object = "".join(x.text or "" for x in c.iter(f"{NS}t"))
+            else:
+                vn = c.find(f"{NS}v")
+                raw = vn.text if vn is not None else None
+                if raw is None:
+                    continue
+                if t == "s":
+                    v = shared[int(raw)]
+                elif t == "str":
+                    v = raw
+                else:
+                    f = float(raw)
+                    v = int(f) if f.is_integer() else f
+            cells[col] = v
+        rows.append(cells)
+    if not rows:
+        return []
+    header = rows[0]
+    cols = sorted(header, key=lambda c: (len(c), c))
+    return [
+        {str(header[c]): r.get(c) for c in cols if c in header}
+        for r in rows[1:]
+    ]
+
+
 def read_excel(data: bytes) -> str:
-    """ref S2 (knowledgeGraph.py:48-55): pandas read_excel -> records.
-    Needs openpyxl/xlrd — gated, stubbed when absent."""
+    """ref S2 (knowledgeGraph.py:48-55): read_excel -> records. Prefers
+    pandas+openpyxl when present; falls back to the pure-stdlib xlsx parser
+    (zip + sheet XML). Binary .xls stays unsupported without xlrd."""
     import io
 
     try:
         df = pd.read_excel(io.BytesIO(data))
-    except ImportError as e:
-        raise NotImplementedError(f"excel codec not available: {e}") from e
-    return _json.dumps(df.to_dict(orient="records"), ensure_ascii=False,
-                       default=str)
+        records = df.to_dict(orient="records")
+    except Exception:
+        # pandas needs openpyxl/xlrd (absent here) — xlsx zips fall back to
+        # the stdlib parser; binary .xls genuinely needs the codec
+        if data[:2] != b"PK":
+            raise NotImplementedError(
+                "binary .xls needs xlrd (absent); xlsx parses without it"
+            ) from None
+        records = _xlsx_records(data)
+    return _json.dumps(records, ensure_ascii=False, default=str)
+
+
+def _docx_paragraphs(data: bytes) -> list[str]:
+    """Pure-stdlib docx paragraphs: a .docx is a zip; paragraph text is the
+    concatenation of the <w:t> runs of each <w:p> in word/document.xml —
+    exactly what python-docx's `paragraph.text` returns."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    return [
+        "".join(t.text or "" for t in p.iter(f"{W}t"))
+        for p in root.iter(f"{W}p")
+    ]
 
 
 def read_doc(data: bytes) -> str:
-    """STUB — ref S4 needs python-docx (absent here). Seam: parse paragraphs
-    via docx.Document(io.BytesIO(data))."""
-    raise NotImplementedError("docx codec not available in this environment")
+    """ref S4 (knowledgeGraph.py:62-65): per-paragraph texts, cleaned.
+    docx parses pure-stdlib (zip + document.xml); legacy binary .doc (OLE)
+    still needs antiword/python-docx — surfaced as the error column."""
+    if data[:2] != b"PK":
+        raise NotImplementedError(
+            "legacy binary .doc needs an OLE codec (absent); .docx parses "
+            "without it"
+        )
+    return _json.dumps(
+        [clean_text(p) for p in _docx_paragraphs(data)], ensure_ascii=False
+    )
+
+
+def _pdf_literal(s: bytes) -> str:
+    """Decode a PDF literal string body (backslash escapes + octal)."""
+    out: list[str] = []
+    esc = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+           "(": "(", ")": ")", "\\": "\\"}
+    i = 0
+    while i < len(s):
+        c = s[i:i + 1]
+        if c == b"\\" and i + 1 < len(s):
+            n = s[i + 1:i + 2].decode("latin-1")
+            if n.isdigit():
+                j = i + 1
+                while j < min(i + 4, len(s)) and s[j:j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(s[i + 1:j], 8)))
+                i = j
+            else:
+                out.append(esc.get(n, n))
+                i += 2
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    return "".join(out)
+
+
+_PDF_LIT = rb"\((?:\\.|[^()\\])*\)"
+
+
+def _pdf_pages(data: bytes) -> list[str]:
+    """Minimal pure-stdlib PDF text extraction: content streams (raw or
+    FlateDecode via zlib) scanned for Tj / TJ text-showing operators, one
+    output string per text-bearing stream (~page for simple PDFs). Covers
+    the uncompressed/Flate Type1-font PDFs the reference's PyPDF2 path reads
+    in practice; exotic encodings/CID fonts are out of scope and surface as
+    empty pages."""
+    import re
+    import zlib
+
+    pages: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", data, re.S):
+        blob = m.group(1)
+        try:
+            blob = zlib.decompress(blob)
+        except zlib.error:
+            pass
+        if b"BT" not in blob:
+            continue
+        parts: list[str] = []
+        for op in re.finditer(
+            rb"(?P<lit>" + _PDF_LIT + rb")\s*Tj"
+            rb"|\[(?P<arr>(?:" + _PDF_LIT + rb"|[^\]])*)\]\s*TJ",
+            blob,
+        ):
+            if op.group("lit") is not None:
+                parts.append(_pdf_literal(op.group("lit")[1:-1]))
+            else:
+                parts.append(
+                    "".join(
+                        _pdf_literal(x[1:-1])
+                        for x in re.findall(_PDF_LIT, op.group("arr"))
+                    )
+                )
+        pages.append("\n".join(parts))
+    return pages
 
 
 def read_pdf(data: bytes) -> str:
-    """STUB — ref S5 needs PyPDF2 (absent here)."""
-    raise NotImplementedError("pdf codec not available in this environment")
+    """ref S5 (knowledgeGraph.py:67-73): per-page text list, cleaned."""
+    pages = _pdf_pages(data)
+    if not pages:
+        raise NotImplementedError(
+            "no extractable text streams (encrypted/CID PDFs need a full "
+            "codec; simple Flate/raw PDFs parse here)"
+        )
+    return _json.dumps([clean_text(p) for p in pages], ensure_ascii=False)
 
 
 def read_image_ocr(data: bytes) -> str:

@@ -1,0 +1,141 @@
+"""Pure-stdlib docx/xlsx/pdf codecs (S2/S4/S5) over generated fixtures."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+import zlib
+
+from kgspark.sources import dispatch, read_doc, read_excel, read_pdf
+
+
+def make_docx(paragraphs) -> bytes:
+    import io
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = "".join(
+        f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    doc = (f'<?xml version="1.0"?><w:document xmlns:w="{W}">'
+           f"<w:body>{body}</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def make_xlsx(header, rows) -> bytes:
+    import io
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    strings: list = []
+
+    def cell(col, rix, v):
+        ref = f"{col}{rix}"
+        if isinstance(v, str):
+            if v not in strings:
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    cols = [chr(ord("A") + i) for i in range(len(header))]
+    xml_rows = []
+    for rix, vals in enumerate([header] + rows, start=1):
+        cells = "".join(cell(c, rix, v) for c, v in zip(cols, vals))
+        xml_rows.append(f'<row r="{rix}">{cells}</row>')
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{S}"><sheetData>'
+             f'{"".join(xml_rows)}</sheetData></worksheet>')
+    sst = (f'<?xml version="1.0"?><sst xmlns="{S}">'
+           + "".join(f"<si><t>{s}</t></si>" for s in strings) + "</sst>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def make_pdf(pages, compress=False) -> bytes:
+    out = [b"%PDF-1.4\n"]
+    objs = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    objs.append(
+        f"2 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> endobj\n".encode()
+    )
+    for i, text in enumerate(pages):
+        pid, cid = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            f"{pid} 0 obj << /Type /Page /Parent 2 0 R /Contents {cid} 0 R "
+            f"/MediaBox [0 0 612 792] >> endobj\n".encode()
+        )
+        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        stream = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b"/Filter /FlateDecode "
+        objs.append(
+            f"{cid} 0 obj << {filt.decode()}/Length {len(stream)} >> stream\n".encode()
+            + stream + b"\nendstream endobj\n"
+        )
+    return b"".join(out + objs + [b"trailer << /Root 1 0 R >>\n%%EOF\n"])
+
+
+def test_docx_paragraphs_roundtrip():
+    data = make_docx(["Hello world", "Second   paragraph", ""])
+    got = json.loads(read_doc(data))
+    assert got == ["Hello world", "Second paragraph", ""]  # clean_text applied
+
+
+def test_doc_legacy_binary_is_gated():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="OLE"):
+        read_doc(b"\xd0\xcf\x11\xe0 legacy ole container")
+
+
+def test_xlsx_records_roundtrip():
+    data = make_xlsx(["name", "qty"], [["widget", 3], ["gadget", 2.5]])
+    got = json.loads(read_excel(data))
+    assert got == [{"name": "widget", "qty": 3}, {"name": "gadget", "qty": 2.5}]
+
+
+def test_pdf_text_raw_and_flate():
+    for compress in (False, True):
+        data = make_pdf(["Hello (kg)spark", "Page two"], compress=compress)
+        got = json.loads(read_pdf(data))
+        assert got == ["Hello (kg)spark", "Page two"], (compress, got)
+
+
+def test_pdf_without_text_is_gated():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        read_pdf(b"%PDF-1.4\nno streams here\n%%EOF")
+
+
+def test_dispatch_routes_new_codecs(tmp_path):
+    assert dispatch("a.docx", make_docx(["x"]))["content"] == '["x"]'
+    assert dispatch("b.pdf", make_pdf(["y"]))["content"] == '["y"]'
+    row = dispatch("c.xlsx", make_xlsx(["h"], [["v"]]))
+    assert json.loads(row["content"]) == [{"h": "v"}]
+    assert row["error"] is None
+
+
+def test_read_documents_scan_with_codecs(spark, tmp_path):
+    (tmp_path / "a.docx").write_bytes(make_docx(["alpha beta"]))
+    (tmp_path / "b.pdf").write_bytes(make_pdf(["gamma"], compress=True))
+    (tmp_path / "c.xlsx").write_bytes(make_xlsx(["k"], [["v1"], ["v2"]]))
+    (tmp_path / "d.txt").write_text("plain text")
+    from kgspark.sources import read_documents
+
+    rows = {r["path"].rsplit("/", 1)[-1]: r
+            for r in read_documents(spark, str(tmp_path)).collect()}
+    assert json.loads(rows["a.docx"]["content"]) == ["alpha beta"]
+    assert json.loads(rows["b.pdf"]["content"]) == ["gamma"]
+    assert json.loads(rows["c.xlsx"]["content"]) == [{"k": "v1"}, {"k": "v2"}]
+    assert rows["d.txt"]["content"] == "plain text"
+    assert all(r["error"] is None for r in rows.values())
