@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from kgspark.html import extract_text
-from kgspark.textnorm import clean_text
+from kgspark.textnorm import clean_content, clean_text, clean_value
 
 DOC_SCHEMA = StructType(
     [
@@ -54,7 +54,7 @@ def read_csv_text(data: bytes) -> str:
     import io
 
     df = pd.read_csv(io.BytesIO(data))
-    records = df.to_dict(orient="records")
+    records = clean_content(df.to_dict(orient="records"))
     return _json.dumps(records, ensure_ascii=False, default=str)
 
 
@@ -134,6 +134,8 @@ def read_excel(data: bytes) -> str:
                 "binary .xls needs xlrd (absent); xlsx parses without it"
             ) from None
         records = _xlsx_records(data)
+    # ref :52-54: per-cell clean_value (NaN -> null, strings cleaned)
+    records = [{k: clean_value(v) for k, v in r.items()} for r in records]
     return _json.dumps(records, ensure_ascii=False, default=str)
 
 

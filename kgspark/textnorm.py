@@ -39,6 +39,45 @@ def clean_text(text):
     return text
 
 
+def clean_content(content):
+    """ref P2 (knowledgeGraph.py:22-28): one-level map over containers —
+    strings inside lists/dicts are cleaned, other values pass through;
+    scalars go straight to clean_text. Used by handlers whose payloads are
+    record lists (csv/excel/docx/pdf)."""
+    if isinstance(content, list):
+        return [clean_text(v) if isinstance(v, str) else v for v in content]
+    if isinstance(content, dict):
+        return {
+            k: clean_text(v) if isinstance(v, str) else v
+            for k, v in content.items()
+        }
+    return clean_text(content)
+
+
+def clean_value(value):
+    """ref P3 (knowledgeGraph.py:30-41): JSON-compatibility coercion —
+    NaN/None -> None, numbers pass, strings cleaned, everything else
+    stringified. In the typed engine this applies at the codec boundary
+    (pandas records -> JSON envelope); Spark columns are typed so the
+    coercion is moot downstream (SURVEY.md §2.2)."""
+    if value is None:
+        return None
+    if isinstance(value, float) and value != value:  # NaN without pandas
+        return None
+    if isinstance(value, (int, float)):
+        return value
+    if isinstance(value, str):
+        return clean_text(value)
+    try:  # pandas NaT / numpy nan wrapped types
+        import pandas as _pd
+
+        if _pd.isna(value):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return str(value)
+
+
 # Spec (ref json_validator.py:92-111): strip NUL bytes, drop control chars
 # (ord < 32) except newline; recursion over containers happens at column level
 # in Spark (typed schemas), so only the scalar case lives here.

@@ -45,3 +45,48 @@ def test_append_mode(spark, tmp_path):
 
 def test_no_iceberg_in_sandbox(spark):
     assert not iceberg_available(spark)
+
+
+def test_iceberg_branch_routes_catalog_identifiers(spark, monkeypatch):
+    """No Iceberg jar in-sandbox, so the catalog branch is exercised with a
+    mocked reader/writer: configuring spark.sql.catalog.kg must route
+    read_table/write_table through `kg.<base>.<name>` identifiers (and
+    mode=overwrite -> createOrReplace, append -> append)."""
+    import pyspark.sql.readwriter as rw
+
+    from kgspark.io_tables import iceberg_available, read_table, write_table
+
+    spark.conf.set("spark.sql.catalog.kg", "org.apache.iceberg.spark.SparkCatalog")
+    calls = {}
+    try:
+        assert iceberg_available(spark)
+
+        def fake_read_table(self, ident):
+            calls["read"] = ident
+            return spark.range(1)
+
+        monkeypatch.setattr(rw.DataFrameReader, "table", fake_read_table)
+        read_table(spark, "db", "pages")
+        assert calls["read"] == "kg.db.pages"
+
+        class FakeWriter:
+            def createOrReplace(self):
+                calls["write"] = "createOrReplace"
+
+            def append(self):
+                calls["write"] = "append"
+
+        def fake_write_to(self, ident):
+            calls["ident"] = ident
+            return FakeWriter()
+
+        # patch the concrete class (pyspark.sql.classic) — patching the
+        # abstract pyspark.sql.DataFrame base doesn't override its method
+        monkeypatch.setattr(type(spark.range(1)), "writeTo", fake_write_to)
+        write_table(spark.range(1), "db", "triples", mode="overwrite")
+        assert calls["ident"] == "kg.db.triples"
+        assert calls["write"] == "createOrReplace"
+        write_table(spark.range(1), "db", "triples", mode="append")
+        assert calls["write"] == "append"
+    finally:
+        spark.conf.unset("spark.sql.catalog.kg")

@@ -128,3 +128,35 @@ def test_clean_text_udf_roundtrip(spark):
     got = [r["c"] for r in df.select(clean_text_udf(F.col("s")).alias("c")).collect()]
     want = [clean_text(c) for c in CASES] + [None]
     assert got == want
+
+
+def test_clean_content_shapes():
+    from kgspark.textnorm import clean_content
+
+    assert clean_content(["a\n b", 3, "c\td"]) == ["a b", 3, "c d"]
+    assert clean_content({"k": " x \n y ", "n": 1}) == {"k": "x y", "n": 1}
+    assert clean_content("  z\r\nw ") == "z w"
+
+
+def test_clean_value_coercions():
+    from kgspark.textnorm import clean_value
+
+    assert clean_value(None) is None
+    assert clean_value(float("nan")) is None
+    assert clean_value(3) == 3 and clean_value(2.5) == 2.5
+    assert clean_value(" a\tb ") == "a b"
+    assert clean_value({"x": 1}) == "{'x': 1}"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR), reason="reference not present")
+def test_clean_content_value_vs_reference():
+    from kgspark.textnorm import clean_content, clean_value
+
+    ref = _load_ref("_ref_kg2", "knowledgeGraph.py")
+    if ref is None:
+        pytest.skip("reference module not importable in sandbox")
+    payloads = [["a\n b", 5, "c\td"], {"k": " x\ny ", "n": 2}, "  s\r t "]
+    for p in payloads:
+        assert clean_content(p) == ref.clean_content(p), repr(p)
+    for v in [None, float("nan"), 3, 2.5, " a\tb ", ("t",)]:
+        assert clean_value(v) == ref.clean_value(v), repr(v)
