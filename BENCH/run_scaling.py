@@ -149,30 +149,49 @@ def _calibrate(fn, procs: int) -> float:
     return sum(q.get() for _ in ps) / 6.0
 
 
-def calibration(n_small: int, n_big: int) -> dict:
+def calibration(n_small: int, n_big: int, reps: int = 1) -> dict:
+    """reps > 1 reports the MEDIAN efficiency per workload — single-shot
+    ceiling measurements swing +-0.05 on this VM (hypervisor steal), which
+    would dominate the normalized number."""
     out = {}
     for name, fn in (("string_churn", _spin_str), ("int_loop", _spin_int)):
-        small = _calibrate(fn, n_small)
-        big = _calibrate(fn, n_big)
+        effs, smalls, bigs = [], [], []
+        for _ in range(reps):
+            small = _calibrate(fn, n_small)
+            big = _calibrate(fn, n_big)
+            smalls.append(small)
+            bigs.append(big)
+            effs.append((big / small) / (n_big / n_small))
+        mid = sorted(range(reps), key=lambda i: effs[i])[reps // 2]
         out[name] = {
-            "small_per_sec": round(small, 1),
-            "big_per_sec": round(big, 1),
-            "efficiency": round((big / small) / (n_big / n_small), 3),
+            "small_per_sec": round(smalls[mid], 1),
+            "big_per_sec": round(bigs[mid], 1),
+            "efficiency": round(effs[mid], 3),
+            "efficiency_reps": [round(e, 3) for e in effs],
         }
     return out
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    # repl=150 (3M docs): shorter corpora leave the 32-thread leg dominated
+    # by fixed scheduling/broadcast cost and understate efficiency by ~0.08
+    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 150
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_big = 4 * n_small
 
-    small = run_one(n_small, sf_dir, repl)
-    big = run_one(n_big, sf_dir, repl)
+    # alternate the legs and take medians: this VM's throughput drifts over
+    # minutes (hypervisor steal/throttling), so back-to-back single shots
+    # systematically bias whichever leg runs second
+    smalls, bigs = [], []
+    for _ in range(3):
+        smalls.append(run_one(n_small, sf_dir, repl))
+        bigs.append(run_one(n_big, sf_dir, repl))
+    small = sorted(smalls, key=lambda r: r["sec"])[1]
+    big = sorted(bigs, key=lambda r: r["sec"])[1]
     speedup = small["sec"] / big["sec"]
     eff = speedup / (n_big / n_small)
-    cal = calibration(n_small, n_big)
+    cal = calibration(n_small, n_big, reps=3)
     ceiling = cal["string_churn"]["efficiency"]
     result = {
         "workload": "html->text extraction + OpenIE + edge generation over "
@@ -185,6 +204,8 @@ def main() -> None:
         "n_big": n_big,
         "small": small,
         "big": big,
+        "small_reps_sec": [round(r["sec"], 2) for r in smalls],
+        "big_reps_sec": [round(r["sec"], 2) for r in bigs],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "hardware_calibration": cal,

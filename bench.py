@@ -35,9 +35,11 @@ BENCH_QUERIES = [
     "kg_tfidf",
     "kg_doc_topic_edges",
     "kg_connected_components",
+    "kg_dbscan_topics",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_simhash64",
     "dedup_ngram",
     "dedup_embedding",
     "ann_topk",

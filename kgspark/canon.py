@@ -154,22 +154,24 @@ def connected_components(
         hop = propagated.select(
             F.col("name").alias("component"), F.col("component").alias("cc")
         )
+        # the old label rides along as __old so the convergence check is a
+        # scan of the materialized blocks, not an extra join job per round
         new_labels = (
             propagated.join(hop, "component", "left")
+            .join(
+                labels.select("name", F.col("component").alias("__old")), "name"
+            )
             .select(
                 "name",
                 F.least(F.col("component"), F.coalesce(F.col("cc"), F.col("component"))).alias("component"),
+                "__old",
             )
         )
         new_labels = materialize(new_labels)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "name")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("component") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("__old")
         if changed == 0:
             converged = True
             break

@@ -424,15 +424,17 @@ def embedding_near_dup(
     bits: int = 8,
 ) -> DataFrame:
     """(a, b, cos) pairs with cosine >= threshold, blocked by sign bucket."""
-    from kgspark.embed import cosine_cols
+    from kgspark.embed import cosine_cols, l2_norm
 
     t = emb.select(
         F.col(id_col).alias("id"),
-        F.col(emb_col).alias("e"),
+        F.col(emb_col).cast("array<double>").alias("e"),
         sign_bucket(F.col(emb_col), bits).alias("blk"),
+        l2_norm(F.col(emb_col)).alias("nrm"),  # once per vector, not per pair
     )
     l, r = t.alias("l"), t.alias("r")
-    cos = cosine_cols(F.col("l.e"), F.col("r.e"))
+    cos = cosine_cols(F.col("l.e"), F.col("r.e"),
+                      na=F.col("l.nrm"), nb=F.col("r.nrm"))
     return (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
         .select(

@@ -129,15 +129,31 @@ def embed_texts(
     )
 
 
-def cosine_cols(a, b):
+def l2_norm(a):
+    """||a||_2 for an array<float|double> column, fp64, JVM-side."""
+    a = a.cast("array<double>")
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def dot_cols(a, b):
+    """fp64 dot product of two array columns, JVM-side."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_cols(a, b, na=None, nb=None):
     """cos(a, b) for two array<float|double> columns, JVM-side (no Python
     crossing): zip_with product -> aggregate sum, divided by norms. Inputs are
     cast to fp64 FIRST so per-element products match any fp64 oracle engine
-    bit-for-bit (float*float would round each product to fp32)."""
-    a = a.cast("array<double>")
-    b = b.cast("array<double>")
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    bit-for-bit (float*float would round each product to fp32).
+
+    In pairwise joins pass precomputed norm COLUMNS as na/nb (one l2_norm
+    projection per side before the join) — otherwise each candidate pair
+    re-aggregates both arrays, tripling the per-pair array passes."""
+    if na is None:
+        na = l2_norm(a)
+    if nb is None:
+        nb = l2_norm(b)
+    return dot_cols(a, b) / (na * nb)

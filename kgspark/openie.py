@@ -33,6 +33,9 @@ from pyspark.sql.types import (
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 _TRAIL = re.compile(r"[.!?]+$")
+# module-level compile: the per-sentence re.match cache lookup costs ~1us
+# which is real at 10^8 sentences per bench leg
+_ISA = re.compile(r"^(.+?) is an? (.+)$")
 
 CONCEPT_SCHEMA = StructType(
     [
@@ -77,7 +80,8 @@ def extract_concepts(text: str) -> list[dict]:
         )
 
     for sent in _SENT_SPLIT.split(text):
-        sent = _TRAIL.sub("", sent.strip())
+        # rstrip(".!?") == sub(r"[.!?]+$") — saves a regex call per sentence
+        sent = sent.strip().rstrip(".!?")
         if not sent:
             continue
         if " is related to " in sent:
@@ -85,7 +89,7 @@ def extract_concepts(text: str) -> list[dict]:
             if _is_entity_like(subj) and obj:
                 _append(concept(subj)["related"], obj)
             continue
-        m = re.match(r"^(.+?) is an? (.+)$", sent)
+        m = _ISA.match(sent)
         if m and _is_entity_like(m.group(1)):
             _append(concept(m.group(1))["parents"], m.group(2))
             continue

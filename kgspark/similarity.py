@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgspark.dedup import sign_bucket
-from kgspark.embed import cosine_cols
+from kgspark.embed import cosine_cols, l2_norm
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -45,16 +45,20 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, vec_id, cos, rank). `queries` has
     (query_id, qemb); it is broadcast — the corpus is never shuffled."""
-    q = queries.select("query_id", F.col("qemb"))
+    q = queries.select(
+        "query_id", F.col("qemb"), l2_norm(F.col("qemb")).alias("qnrm")
+    )
     j = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e")
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e"),
+        l2_norm(F.col(emb_col)).alias("nrm"),  # once per vector, not per query pair
     ).crossJoin(F.broadcast(q))
     if exclude_self:
         j = j.where(F.col("vec_id") != F.col("query_id"))
     scored = j.select(
         "query_id",
         "vec_id",
-        F.round(cosine_cols(F.col("e"), F.col("qemb")), 6).alias("cos"),
+        F.round(cosine_cols(F.col("e"), F.col("qemb"),
+                            na=F.col("nrm"), nb=F.col("qnrm")), 6).alias("cos"),
     )
     return _topk_per_query(scored, k)
 
@@ -74,9 +78,11 @@ def cosine_topk_lsh(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("e"),
         sign_bucket(F.col(emb_col), bits).alias("blk"),
+        l2_norm(F.col(emb_col)).alias("nrm"),
     )
     q = queries.select(
-        "query_id", "qemb", sign_bucket(F.col("qemb"), bits).alias("qblk")
+        "query_id", "qemb", sign_bucket(F.col("qemb"), bits).alias("qblk"),
+        l2_norm(F.col("qemb")).alias("qnrm"),
     )
     j = corpus.join(F.broadcast(q), F.col("blk") == F.col("qblk"))
     if exclude_self:
@@ -84,7 +90,8 @@ def cosine_topk_lsh(
     scored = j.select(
         "query_id",
         "vec_id",
-        F.round(cosine_cols(F.col("e"), F.col("qemb")), 6).alias("cos"),
+        F.round(cosine_cols(F.col("e"), F.col("qemb"),
+                            na=F.col("nrm"), nb=F.col("qnrm")), 6).alias("cos"),
     )
     return _topk_per_query(scored, k)
 
@@ -140,16 +147,18 @@ def ivf_topk(
             ),
         )
         .where(F.col("crank") <= nprobe)
-        .select("query_id", "qemb", "list_id")
+        .select("query_id", "qemb", l2_norm(F.col("qemb")).alias("qnrm"), "list_id")
     )
     j = assigned.select(
-        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e"), "list_id"
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e"), "list_id",
+        l2_norm(F.col(emb_col)).alias("nrm"),
     ).join(F.broadcast(qc), "list_id")
     if exclude_self:
         j = j.where(F.col("vec_id") != F.col("query_id"))
     scored = j.select(
         "query_id",
         "vec_id",
-        F.round(cosine_cols(F.col("e"), F.col("qemb")), 6).alias("cos"),
+        F.round(cosine_cols(F.col("e"), F.col("qemb"),
+                            na=F.col("nrm"), nb=F.col("qnrm")), 6).alias("cos"),
     )
     return _topk_per_query(scored, k)

@@ -27,11 +27,27 @@ _WS_RUN = re.compile(r"\s+")
 def clean_text(text):
     """Normalize whitespace exactly like the reference extractor.
 
+    Fast path: `" ".join(text.split())` is byte-equivalent to the spec's
+    sub([\\n\\r\\t]+) -> sub(\\s+) -> strip() pipeline — str.split() uses the
+    same Unicode whitespace set as Python-re \\s (incl. \\xa0, \\x1c-\\x1f,
+    \\x85, Zs/Zl/Zp) and the first sub's output is collapsed by the second
+    anyway — but ~10x faster on space-dense text because \\s+ re-matches
+    every single space (measured 122 us -> ~13 us per 12 KB page).
+    Equivalence to the regex pipeline is fuzz-tested (test_textnorm).
+
     >>> clean_text("a\\n\\nb\\tc\\r\\nd")
     'a b c d'
     >>> clean_text("  x \\xa0 y  z  ")
     'x y z'
     """
+    if isinstance(text, str):
+        return " ".join(text.split())
+    return text
+
+
+def clean_text_spec(text):
+    """The literal two-regex spec pipeline (ref knowledgeGraph.py:14-20) —
+    kept as the equivalence oracle for clean_text's fast path."""
     if isinstance(text, str):
         text = _NEWLINE_RUN.sub(" ", text)
         text = _WS_RUN.sub(" ", text)

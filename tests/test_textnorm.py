@@ -160,3 +160,22 @@ def test_clean_content_value_vs_reference():
         assert clean_content(p) == ref.clean_content(p), repr(p)
     for v in [None, float("nan"), 3, 2.5, " a\tb ", ("t",)]:
         assert clean_value(v) == ref.clean_value(v), repr(v)
+
+
+def test_clean_text_fast_path_equals_spec_fuzz():
+    """The join/split fast path must be byte-identical to the literal
+    two-regex spec pipeline over adversarial unicode whitespace."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgspark.textnorm import clean_text, clean_text_spec
+
+    ws = "\t\n\r\f\v\x1c\x1d\x1e\x1f\x85\xa0    "
+    alphabet = st.sampled_from(list(ws) + list("abcXYZ.!?()&;#é中"))
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=80))
+    def check(s):
+        assert clean_text(s) == clean_text_spec(s), repr(s)
+
+    check()
