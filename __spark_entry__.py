@@ -212,6 +212,39 @@ sh_h AS (SELECT doc_id, {expr} AS simhash FROM sh_t)
 """
 
 
+def _pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
+    """Unrolled power iteration as chained CTEs — recursive CTEs can't
+    aggregate in the recursive term, but the oracle SQL is generated, so the
+    fixed iteration count simply unrolls. Mirrors kgspark.graph_algs.pagerank
+    (same expression tree per round, incl. dangling-mass redistribution)."""
+    parts = ["""
+pr_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples),
+pr_nodes AS (SELECT s AS node FROM pr_e UNION SELECT t FROM pr_e),
+pr_cnt AS (SELECT count(*)::DOUBLE AS n FROM pr_nodes),
+pr_deg AS (SELECT s, count(*)::DOUBLE AS d FROM pr_e GROUP BY s),
+pr0 AS (SELECT node, 1.0 / pr_cnt.n AS rank FROM pr_nodes, pr_cnt)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f"""
+prc{i} AS (
+  SELECT e.t AS node, sum(p.rank / g.d) AS contrib
+  FROM pr_e e JOIN pr{i - 1} p ON p.node = e.s JOIN pr_deg g ON g.s = e.s
+  GROUP BY e.t
+),
+prd{i} AS (
+  SELECT coalesce(sum(p.rank), 0.0) AS dm
+  FROM pr{i - 1} p LEFT JOIN pr_deg g ON g.s = p.node WHERE g.s IS NULL
+),
+pr{i} AS (
+  SELECT n.node,
+         (1 - {d})::DOUBLE / c.n + {d} * (coalesce(x.contrib, 0.0) + dd.dm / c.n) AS rank
+  FROM pr_nodes n CROSS JOIN pr_cnt c CROSS JOIN prd{i} dd
+  LEFT JOIN prc{i} x ON x.node = n.node
+)""")
+    return ",".join(parts) + f"""
+, pr_out AS (SELECT node, round(rank, 6) AS rank FROM pr{iterations})
+"""
+
+
 def _simhash64_sql(max_hamming: int = 3) -> str:
     """64-bit banded simhash + Hamming multiprobe, mirroring
     kgspark.dedup.simhash_hamming_pairs (4x16-bit bands, candidates from
@@ -451,6 +484,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nodes = docs.select(F.col("doc_id").alias("name"))
         return connected_components(nodes, pairs).select(
             F.col("name").alias("doc_id"), "component"
+        )
+
+    def kg_pagerank(spark, sf_dir):
+        # iterative graph analytics over the extracted triple graph
+        from kgspark.graph_algs import pagerank
+
+        t = _extract_triples(spark, sf_dir)
+        pr = pagerank(t, iterations=5, damping=0.85)
+        return pr.select("node", F.round("rank", 6).alias("rank"))
+
+    def kg_khop(spark, sf_dir):
+        from kgspark.graph_algs import k_hop
+
+        t = _extract_triples(spark, sf_dir)
+        start = t.agg(F.min("subj").alias("start"))
+        return k_hop(t, start, k=2)
+
+    def kg_node_asof(spark, sf_dir):
+        # temporal as-of state: latest event per user at or before T
+        ev = _read(spark, sf_dir, "events")
+        t = ev.agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("T"))
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            ev.crossJoin(t)
+            .where(F.col("ts") <= F.col("T"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("state_type"),
+                F.col("value").alias("state_value"),
+                F.col("ts").alias("state_ts"),
+            )
         )
 
     def kg_dbscan_topics(spark, sf_dir):
@@ -765,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tfidf": kg_tfidf,
         "kg_doc_topic_edges": kg_doc_topic_edges,
         "kg_connected_components": kg_connected_components,
+        "kg_pagerank": kg_pagerank,
+        "kg_khop": kg_khop,
+        "kg_node_asof": kg_node_asof,
         "kg_dbscan_topics": kg_dbscan_topics,
         "kg_doc_embeddings": kg_doc_embeddings,
         "dedup_exact": dedup_exact,
@@ -1008,6 +1077,31 @@ reach(node, lab) AS (
   SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
 )
 SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+""",
+        "kg_pagerank": f"""
+WITH {_PARTS_ORACLE_CTE},
+{_pagerank_sql(5, 0.85)}
+SELECT node, rank FROM pr_out
+""",
+        "kg_khop": f"""
+WITH RECURSIVE {_PARTS_ORACLE_CTE},
+kh_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples),
+kh_start AS (SELECT min(subj) AS v FROM triples),
+kh_reach(node, hop) AS (
+  SELECT v, 0 FROM kh_start
+  UNION
+  SELECT e.t, r.hop + 1 FROM kh_reach r JOIN kh_e e ON e.s = r.node
+  WHERE r.hop < 2
+)
+SELECT node, min(hop) AS hop FROM kh_reach GROUP BY node
+""",
+        "kg_node_asof": """
+WITH t AS (SELECT max(ts) - INTERVAL '1 day' AS T FROM events)
+SELECT user_id, event_type AS state_type, value AS state_value, ts AS state_ts
+FROM (
+  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events e, t WHERE e.ts <= t.T
+) WHERE rn = 1
 """,
         # DBSCAN at min_samples=2 == connected components of the eps-graph
         # with singletons as noise; the eps-graph is the same sign-LSH-blocked

@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "kg_tfidf",
     "kg_doc_topic_edges",
     "kg_connected_components",
+    "kg_pagerank",
+    "kg_khop",
+    "kg_node_asof",
     "kg_dbscan_topics",
     "dedup_exact",
     "dedup_minhash",
