@@ -83,6 +83,33 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    docs_stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: emit each document once per
+    content key, dropping re-crawls that arrive within the watermark horizon.
+
+    Uses `dropDuplicatesWithinWatermark` — state for a key is evicted once
+    the watermark passes its event time, so state size is bounded by the
+    stream's rate x watermark (an unbounded dropDuplicates would grow state
+    forever at crawl scale). Keys default to md5(text) so the state store
+    holds 32-char digests, never the documents themselves — same hash-keyed
+    posture as the batch dedup family (kgspark.dedup.exact_duplicates)."""
+    s = docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if key_cols is None:
+        s = s.withColumn("__content_key", F.md5(F.col(text_col)))
+        key_cols = ["__content_key"]
+    return (
+        s.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("__content_key")
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     (event count, value total) maintained in arbitrary user state — the

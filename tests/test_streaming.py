@@ -220,3 +220,37 @@ def test_sink_anti_join_partition_prunes(spark, tmp_path):
     all_files = [r[0] for r in spark.read.parquet(sink)
                  .select(F.input_file_name()).distinct().collect()]
     assert len(files) < len(all_files) / 4
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: repeated content keys inside the watermark
+    horizon are dropped; state is keyed on md5(text), not the text."""
+    from pyspark.sql import functions as F
+    from kgspark.streaming import dedup_stream
+
+    in_dir = tmp_path / "in"
+    rows = [
+        (0, "2024-01-01 10:00:00", "alpha beta"),
+        (1, "2024-01-01 10:01:00", "alpha beta"),     # dup within horizon
+        (2, "2024-01-01 10:02:00", "gamma delta"),
+        (3, "2024-01-01 10:03:00", "alpha beta"),     # still within horizon
+    ]
+    spark.createDataFrame(rows, "doc_id long, ts string, text string").select(
+        "doc_id", F.col("ts").cast("timestamp").alias("ts"), "text"
+    ).coalesce(1).write.parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .parquet(str(in_dir))
+    )
+    out = dedup_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.sql("select * from dedup_out").collect()}
+    assert got == {0, 2}
+    cols = spark.sql("select * from dedup_out").columns
+    assert "__content_key" not in cols
