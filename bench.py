@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "kg_extract_triples",
+    "kg_substring_query",
+    "kg_link_entities",
+    "kg_node_upsert",
+    "kg_node_history",
     "kg_clean_text",
     "kg_chunk",
     "kg_doc_embeddings",
@@ -47,10 +51,14 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "ann_topk",
     "ann_lsh",
+    "ann_ivf",
     "text_langid",
     "text_quality",
+    "text_tokens",
     "text_fingerprint",
     "skew_salted_agg",
+    "skew_hot_keys",
+    "multimodal_meta",
     "rel_pricing_summary",
     "rel_top_customers",
     "multimodal_features",

@@ -95,11 +95,13 @@ def k_hop(
     visited = materialize(visited)
     frontier = visited
     for depth in range(1, k + 1):
+        # frontier/visited are k-hop-ball-sized — tiny next to the edge
+        # table — so both joins broadcast: the edges never shuffle
         nxt = (
-            e.join(frontier, e["s"] == frontier["node"])
+            e.join(F.broadcast(frontier), e["s"] == frontier["node"])
             .select(F.col("t").alias("node"), F.lit(depth).alias("hop"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
         )
         nxt = materialize(nxt)
         visited = materialize(visited.unionByName(nxt))

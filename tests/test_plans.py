@@ -117,3 +117,31 @@ def test_extraction_has_no_shuffle_before_dedup(spark):
     p = plan(q)
     n_exchanges = p.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, f"extraction plan shuffles {n_exchanges}x:\n{p[:2000]}"
+
+
+def test_k_hop_frontier_joins_broadcast(spark, monkeypatch):
+    """BFS frontier and visited sets broadcast — the edge table never
+    shuffles for the traversal. materialize() is stubbed to identity so the
+    full lazy plan (normally truncated per round) is inspectable."""
+    import kgspark.graph_algs as G
+
+    monkeypatch.setattr(G, "materialize", lambda df: df)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subj string, obj string"
+    )
+    p = plan(G.k_hop(e, "a", k=2))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_simhash64_candidates_not_cartesian(spark):
+    """The Hamming multiprobe candidate join is an equi-join on
+    (band, value) — never a cartesian/nested-loop product."""
+    from kgspark.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    p = plan(simhash_hamming_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
