@@ -638,6 +638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf_dir):
         return fingerprint(_read(spark, sf_dir, "documents"))
 
+    def text_repetition(spark, sf_dir):
+        from kgspark.textstats import repetition_stats
+
+        return repetition_stats(_read(spark, sf_dir, "documents"))
+
     # -- skew ---------------------------------------------------------------
 
     def skew_salted_agg(spark, sf_dir):
@@ -849,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_tokens": text_tokens,
         "text_fingerprint": text_fingerprint,
+        "text_repetition": text_repetition,
         "skew_salted_agg": skew_salted_agg,
         "skew_hot_keys": skew_hot_keys,
         "rel_pricing_summary": rel_pricing_summary,
@@ -1264,6 +1270,28 @@ FROM documents
 SELECT doc_id,
        array_to_string(list_sort(list_transform({_sh_sql('"text"', 5)}, g -> md5(g)))[1:4], '|') AS fingerprint
 FROM documents
+""",
+        "text_repetition": """
+WITH rp_toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+rp_base AS (
+  SELECT doc_id, len(ts) AS n_tok, len(list_distinct(ts)) AS n_dist, ts
+  FROM rp_toks
+),
+rp_grams AS (
+  SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
+  FROM rp_toks
+),
+rp_gc AS (SELECT doc_id, g, count(*) AS c FROM rp_grams GROUP BY doc_id, g),
+rp_ga AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM rp_gc GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(a.total, 0)::BIGINT AS n_2grams,
+       coalesce(a.top, 0)::BIGINT AS top_2gram_count,
+       round(CASE WHEN coalesce(a.total, 0) > 0 THEN a.top * 1.0 / a.total ELSE 0.0 END, 6) AS top_2gram_frac,
+       round(1.0 - b.n_dist * 1.0 / greatest(b.n_tok, 1), 6) AS dup_token_frac
+FROM rp_base b LEFT JOIN rp_ga a ON a.doc_id = b.doc_id
 """,
         "skew_salted_agg": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS total, max(value) AS vmax

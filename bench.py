@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_tokens",
     "text_fingerprint",
+    "text_repetition",
     "skew_salted_agg",
     "skew_hot_keys",
     "multimodal_meta",

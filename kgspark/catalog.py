@@ -15,6 +15,23 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+N_CATALOG_BUCKETS = 32  # filename-hash partitions of the documents table
+
+
+def _filename_bucket(col_name: str = "filename"):
+    return F.pmod(F.crc32(F.coalesce(F.col(col_name), F.lit(""))),
+                  F.lit(N_CATALOG_BUCKETS)).cast("int")
+
+
+def write_documents_catalog(df: DataFrame, table_path: str,
+                            mode: str = "overwrite") -> None:
+    """Write the documents table hash-partitioned by filename so row-level
+    deletes rewrite ONE partition, not the corpus (the parquet analogue of
+    an Iceberg bucketed table)."""
+    df.withColumn("__fbucket", _filename_bucket()).write.mode(
+        mode
+    ).partitionBy("__fbucket").parquet(table_path)
+
 
 def list_documents(documents: DataFrame) -> DataFrame:
     """Catalog projection: one row per document with size + validity flag
@@ -41,7 +58,35 @@ def delete_document(
     after the promote only the backup cleanup remains. Rows with NULL
     filename are preserved (a bare `!=` predicate would silently drop them).
     With an Iceberg catalog this whole function is
-    `DELETE FROM documents WHERE filename = ?`."""
+    `DELETE FROM documents WHERE filename = ?`.
+
+    When the table was written by `write_documents_catalog` (hash-partitioned
+    on filename), only the one partition the filename hashes into is read and
+    rewritten — at corpus scale that is 1/N_CATALOG_BUCKETS of the table
+    instead of all of it. Unpartitioned tables fall back to the full-table
+    swap."""
+    part_dirs = [
+        d for d in os.listdir(table_path) if d.startswith("__fbucket=")
+    ] if os.path.isdir(table_path) else []
+    if part_dirs:
+        import zlib
+
+        b = zlib.crc32(filename.encode("utf-8")) % N_CATALOG_BUCKETS
+        pdir = os.path.join(table_path, f"__fbucket={b}")
+        if not os.path.isdir(pdir):
+            return 0
+        df = spark.read.parquet(pdir)
+        n_before = df.count()
+        kept = df.where(
+            F.col("filename").isNull() | (F.col("filename") != filename)
+        )
+        tmp, bak = pdir + ".tmp_delete", pdir + ".bak_delete"
+        kept.write.mode("overwrite").parquet(tmp)
+        os.rename(pdir, bak)
+        os.replace(tmp, pdir)
+        shutil.rmtree(bak)
+        return n_before - spark.read.parquet(pdir).count()
+
     df = spark.read.parquet(table_path)
     n_before = df.count()
     kept = df.where(

@@ -120,6 +120,56 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals for training-data curation:
+
+      top_2gram_frac  occurrences of the most repeated word 2-gram over all
+                      2-gram occurrences — boilerplate/spam pages spike here
+      dup_token_frac  1 - distinct/total tokens — templated repetition
+
+    The 2-gram mode is computed with explode + groupBy (shuffle-based, stays
+    linear per doc at any page size) — a HOF count-per-distinct-gram would be
+    O(tokens^2) per row. dup_token_frac is a pure column expression."""
+    from kgspark.topics import ngrams_of
+
+    toks = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    base = toks.select(
+        id_col,
+        F.size("__toks").alias("n_tok"),
+        F.size(F.array_distinct("__toks")).alias("n_dist"),
+        ngrams_of(F.col("__toks"), 2).alias("__grams"),
+    )
+    gc = (
+        base.select(id_col, F.explode("__grams").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ga = gc.groupBy(id_col).agg(
+        F.sum("c").alias("total"), F.max("c").alias("top")
+    )
+    return (
+        base.drop("__grams")
+        .join(ga, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total", F.lit(0)).cast("long").alias("n_2grams"),
+            F.coalesce("top", F.lit(0)).cast("long").alias("top_2gram_count"),
+            F.round(
+                F.when(F.coalesce("total", F.lit(0)) > 0,
+                       F.col("top") / F.col("total")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.lit(1.0) - F.col("n_dist") / F.greatest("n_tok", F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 shingle_n: int = 5, bottom_k: int = 4) -> DataFrame:
     """(id, fingerprint): bottom-k sketch — the k smallest md5s of word

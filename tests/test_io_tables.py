@@ -90,3 +90,37 @@ def test_iceberg_branch_routes_catalog_identifiers(spark, monkeypatch):
         assert calls["write"] == "append"
     finally:
         spark.conf.unset("spark.sql.catalog.kg")
+
+
+def test_partitioned_catalog_delete_prunes(spark, tmp_path):
+    """Documents written via write_documents_catalog delete by rewriting ONE
+    filename-hash partition; all other partition directories are untouched."""
+    import os
+
+    from kgspark.catalog import (
+        N_CATALOG_BUCKETS,
+        delete_document,
+        write_documents_catalog,
+    )
+
+    path = str(tmp_path / "documents.parquet")
+    df = spark.createDataFrame(
+        [(f"doc{i}.json", f"content {i}") for i in range(200)],
+        "filename string, content string",
+    )
+    write_documents_catalog(df, path)
+    dirs = [d for d in os.listdir(path) if d.startswith("__fbucket=")]
+    assert 1 < len(dirs) <= N_CATALOG_BUCKETS
+
+    before = {d: os.stat(os.path.join(path, d)).st_mtime_ns for d in dirs}
+    import zlib
+    target = "doc7.json"
+    tb = zlib.crc32(target.encode()) % N_CATALOG_BUCKETS
+    n = delete_document(spark, path, target)
+    assert n == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 199
+    assert out.where(out.filename == target).count() == 0
+    after = {d: os.stat(os.path.join(path, d)).st_mtime_ns for d in dirs}
+    changed = {d for d in dirs if before[d] != after[d]}
+    assert changed == {f"__fbucket={tb}"}

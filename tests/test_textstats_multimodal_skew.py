@@ -97,3 +97,23 @@ def test_hot_keys(spark):
     )
     out = hot_keys(df, "k", threshold_ratio=4.0).collect()
     assert [r["k"] for r in out] == ["hot"]
+
+
+def test_repetition_stats(spark):
+    from kgspark.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),          # one dominant 2-gram
+            (1, "all tokens are fully distinct"),
+            (2, "x"),                             # <2 tokens -> no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["n_2grams"] == 3 and got[0]["top_2gram_count"] == 3
+    assert got[0]["top_2gram_frac"] == 1.0
+    assert abs(got[0]["dup_token_frac"] - 0.75) < 1e-9
+    assert got[1]["top_2gram_frac"] == 0.25  # 4 distinct 2-grams
+    assert got[1]["dup_token_frac"] == 0.0
+    assert got[2]["n_2grams"] == 0 and got[2]["top_2gram_frac"] == 0.0
