@@ -643,6 +643,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return repetition_stats(_read(spark, sf_dir, "documents"))
 
+    def corpus_curate(spark, sf_dir):
+        # the one-call curation pipeline (lang -> quality -> repetition ->
+        # dedup, first-failure reject reason, rows annotated not dropped)
+        from kgspark.curate import curate
+
+        return curate(
+            _read(spark, sf_dir, "documents"),
+            lang="en", min_quality=0.45, max_top_2gram_frac=0.1,
+        )
+
     # -- skew ---------------------------------------------------------------
 
     def skew_salted_agg(spark, sf_dir):
@@ -855,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text_tokens,
         "text_fingerprint": text_fingerprint,
         "text_repetition": text_repetition,
+        "corpus_curate": corpus_curate,
         "skew_salted_agg": skew_salted_agg,
         "skew_hot_keys": skew_hot_keys,
         "rel_pricing_summary": rel_pricing_summary,
@@ -1292,6 +1303,71 @@ SELECT b.doc_id,
        round(CASE WHEN coalesce(a.total, 0) > 0 THEN a.top * 1.0 / a.total ELSE 0.0 END, 6) AS top_2gram_frac,
        round(1.0 - b.n_dist * 1.0 / greatest(b.n_tok, 1), 6) AS dup_token_frac
 FROM rp_base b LEFT JOIN rp_ga a ON a.doc_id = b.doc_id
+""",
+        # composed from the langid/quality/repetition/exact-dedup oracles;
+        # reject priority matches kgspark.curate (first failing check wins)
+        "corpus_curate": f"""
+WITH cu_s AS (
+  SELECT doc_id, {', '.join(f'{lang_ratio[lg]} AS s_{lg}' for lg in langs)}
+  FROM documents
+),
+cu_lang AS (SELECT doc_id, {pick} AS detected_lang FROM cu_s),
+cu_t AS (
+  SELECT doc_id, "text",
+         len(list_filter(string_split_regex(lower("text"), '\\s+'), x -> x <> '')) AS n_tok,
+         length("text") AS n_chars,
+         {stop_hits('en')} AS stop_hits
+  FROM documents
+),
+cu_q AS (
+  SELECT doc_id,
+         round(0.4 * (least(stop_hits * 1.0 / greatest(n_tok, 1), 0.5) / 0.5)
+             + 0.3 * (least(n_tok, 100) / 100.0)
+             + 0.3 * (CASE WHEN (n_chars - (n_tok - 1)) * 1.0 / greatest(n_tok, 1) >= 3
+                            AND (n_chars - (n_tok - 1)) * 1.0 / greatest(n_tok, 1) <= 12
+                           THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+  FROM cu_t
+),
+cu_toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+cu_gc AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
+    FROM cu_toks
+  ) GROUP BY doc_id, g
+),
+cu_ga AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM cu_gc GROUP BY doc_id),
+cu_rep AS (
+  SELECT t.doc_id,
+         round(CASE WHEN coalesce(a.total, 0) > 0 THEN a.top * 1.0 / a.total ELSE 0.0 END, 6) AS top_2gram_frac
+  FROM cu_toks t LEFT JOIN cu_ga a ON a.doc_id = t.doc_id
+),
+cu_dd AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5("text")) AS canonical_id
+  FROM documents
+),
+cu_j AS (
+  SELECT d.doc_id, l.detected_lang, q.quality_score, r.top_2gram_frac, dd.canonical_id
+  FROM documents d
+  JOIN cu_lang l ON l.doc_id = d.doc_id
+  JOIN cu_q q ON q.doc_id = d.doc_id
+  JOIN cu_rep r ON r.doc_id = d.doc_id
+  JOIN cu_dd dd ON dd.doc_id = d.doc_id
+),
+cu_out AS (
+  SELECT *,
+         CASE WHEN detected_lang <> 'en' THEN 'lang'
+              WHEN quality_score < 0.45 THEN 'quality'
+              WHEN top_2gram_frac > 0.1 THEN 'repetition'
+              WHEN canonical_id <> doc_id THEN 'duplicate'
+              ELSE '' END AS reject_reason
+  FROM cu_j
+)
+SELECT doc_id, reject_reason = '' AS keep, reject_reason,
+       detected_lang, quality_score, top_2gram_frac, canonical_id
+FROM cu_out
 """,
         "skew_salted_agg": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS total, max(value) AS vmax

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_tokens",
     "text_fingerprint",
     "text_repetition",
+    "corpus_curate",
     "skew_salted_agg",
     "skew_hot_keys",
     "multimodal_meta",
