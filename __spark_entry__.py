@@ -726,6 +726,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_events", "session_value",
         )
 
+    def rel_asof_join(spark, sf_dir):
+        # as-of join (merge-interleave, one shuffle — no inequality
+        # theta-join): each click matched to the user's latest preceding
+        # purchase
+        from kgspark.relops import asof_join
+
+        ev = _read(spark, sf_dir, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.round(F.max("value"), 4).alias("pval"))
+            .withColumn("pts", F.col("ts"))
+        )
+        out = asof_join(clicks, purchases, ["user_id"], "ts",
+                        right_cols=["pval", "pts"])
+        return out.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.coalesce("matched_pval", F.lit(-1.0)).alias("matched_pval"),
+            F.coalesce(
+                "matched_pts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+            ).alias("matched_pts"),
+        )
+
+    def rel_range_join(spark, sf_dir):
+        # bucketized interval join: events assigned to their session
+        # interval via equi-join on (user, epoch bucket) + exact verify
+        from kgspark.relops import range_join
+
+        ev = _read(spark, sf_dir, "events")
+        sw = F.session_window("ts", "30 minutes")
+        sessions = ev.groupBy(sw.alias("s"), "user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        ).select(
+            "user_id",
+            F.col("s.start").alias("start"),
+            F.col("s.end").alias("end"),
+        )
+        out = range_join(
+            ev.select("user_id", "event_id", "ts"), sessions,
+            ["user_id"], bucket_secs=1800,
+        )
+        return out.select(
+            "user_id", "event_id", "ts", F.col("start").alias("session_start")
+        )
+
     # -- multimodal ---------------------------------------------------------
 
     def kg_topics(spark, sf_dir):  # rows-only: KMeans clustering is Spark-ML
@@ -872,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_customers": rel_top_customers,
         "rel_tumbling_window": rel_tumbling_window,
         "rel_sessionization": rel_sessionization,
+        "rel_asof_join": rel_asof_join,
+        "rel_range_join": rel_range_join,
         "kg_topics": kg_topics,
         "kg_entities": kg_entities,
         "kg_validate": kg_validate,
@@ -1516,6 +1568,43 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 4) AS session_value
 FROM s GROUP BY user_id, sid
+""",
+        # DuckDB has a native ASOF JOIN — the ideal independent oracle for
+        # the merge-interleave implementation
+        "rel_asof_join": """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, ts AS pts, round(max(value), 4) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.event_id, l.ts,
+       coalesce(r.pval, -1.0) AS matched_pval,
+       coalesce(r.pts, TIMESTAMP '1970-01-01') AS matched_pts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
+""",
+        # plain inequality join is fine at oracle scale; sessions derived by
+        # the same gaps-and-islands logic as rel_sessionization
+        "rel_range_join": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+iv AS (
+  SELECT user_id, sid, min(ts) AS session_start,
+         max(ts) + INTERVAL '30 minutes' AS session_end
+  FROM s GROUP BY user_id, sid
+)
+SELECT e.user_id, e.event_id, e.ts, iv.session_start
+FROM events e JOIN iv ON e.user_id = iv.user_id
+ AND e.ts >= iv.session_start AND e.ts < iv.session_end
 """,
         # byte semantics, not char semantics: Spark's payload is the utf-8
         # encoding of text, so n_bytes/md5 go through encode() here — stays

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "kg_schema_induction",
     "rel_tumbling_window",
     "rel_sessionization",
+    "rel_asof_join",
+    "rel_range_join",
 ]
 
 
