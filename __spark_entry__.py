@@ -420,12 +420,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kgspark.topics.ngrams_of for the Catalyst re-evaluation trap)
         from kgspark.topics import all_ngrams_of
 
+        from kgspark.session import materialize
+
         docs = _read(spark, sf_dir, "documents")
         n_docs = docs.count()
-        toks = docs.select(
+        # materialized: projection collapse would re-evaluate the split
+        # inside every ngram slice access otherwise (O(tokens^2)/row)
+        toks = materialize(docs.select(
             "doc_id",
             F.filter(F.split("text", " "), lambda t: t != "").alias("__toks"),
-        )
+        ))
         tf = (
             toks.select(
                 "doc_id",

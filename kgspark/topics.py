@@ -186,9 +186,12 @@ def tfidf_scores(
     ordering only approximately, deviation documented). ngram_range=(1, 4)
     reproduces the reference's vectorizer term space exactly."""
     n_docs = chunks.select(doc_col).distinct().count()
-    toks = chunks.select(
+    # materialized: projection collapse substitutes the unigrams() subtree
+    # into every slice access of the ngram lambdas otherwise (the
+    # O(tokens^2)-per-row re-evaluation trap)
+    toks = materialize(chunks.select(
         doc_col, unigrams(F.col(text_col)).alias("__toks")
-    )
+    ))
     terms = (
         toks.select(
             doc_col,
