@@ -212,6 +212,15 @@ sh_h AS (SELECT doc_id, {expr} AS simhash FROM sh_t)
 """
 
 
+def _hex6_sql(col: str) -> str:
+    """First 6 md5 nibbles -> int (mirrors kgspark.kgtrain._hex6_to_int)."""
+    out = "0"
+    for i in range(6):
+        nib = f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        out = f"(({out}) * 16 + {nib})"
+    return out
+
+
 def _pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
     """Unrolled power iteration as chained CTEs — recursive CTEs can't
     aggregate in the recursive term, but the oracle SQL is generated, so the
@@ -489,6 +498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(nodes, pairs).select(
             F.col("name").alias("doc_id"), "component"
         )
+
+    def kg_negative_samples(spark, sf_dir):
+        # deterministic (replayable) negative sampling for KG-embedding
+        # training — hash-based corruption, no RNG
+        from kgspark.kgtrain import negative_samples
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        return negative_samples(t, k=2)
 
     def kg_pagerank(spark, sf_dir):
         # iterative graph analytics over the extracted triple graph
@@ -900,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tfidf": kg_tfidf,
         "kg_doc_topic_edges": kg_doc_topic_edges,
         "kg_connected_components": kg_connected_components,
+        "kg_negative_samples": kg_negative_samples,
         "kg_pagerank": kg_pagerank,
         "kg_khop": kg_khop,
         "kg_node_asof": kg_node_asof,
@@ -1150,6 +1168,36 @@ reach(node, lab) AS (
   SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
 )
 SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+""",
+        "kg_negative_samples": f"""
+WITH {_PARTS_ORACLE_CTE},
+ns_t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+ns_e AS (SELECT subj AS e FROM ns_t UNION SELECT obj FROM ns_t),
+ns_r AS (SELECT e, row_number() OVER (ORDER BY e) - 1 AS rk FROM ns_e),
+ns_n AS (SELECT count(*) AS n FROM ns_r),
+ns_c AS (
+  SELECT subj, pred, obj, i AS neg_id,
+         md5(subj || '|' || pred || '|' || obj || '|' || i::VARCHAR) AS h
+  FROM ns_t, range(0, 2) r(i)
+),
+ns_x AS (
+  SELECT subj, pred, obj, neg_id,
+         ({_hex6_sql('h')}) % ns_n.n AS ridx,
+         ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) % 2 = 0) AS is_head
+  FROM ns_c, ns_n
+),
+ns_j AS (
+  SELECT CASE WHEN x.is_head THEN r.e ELSE x.subj END AS subj,
+         x.pred,
+         CASE WHEN x.is_head THEN x.obj ELSE r.e END AS obj,
+         x.neg_id::BIGINT AS neg_id,
+         CASE WHEN x.is_head THEN 'head' ELSE 'tail' END AS corrupted_side
+  FROM ns_x x JOIN ns_r r ON r.rk = x.ridx
+)
+SELECT j.subj, j.pred, j.obj, j.neg_id, j.corrupted_side
+FROM ns_j j LEFT JOIN ns_t t
+  ON t.subj = j.subj AND t.pred = j.pred AND t.obj = j.obj
+WHERE t.subj IS NULL
 """,
         "kg_pagerank": f"""
 WITH {_PARTS_ORACLE_CTE},

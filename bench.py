@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "kg_doc_topic_edges",
     "kg_connected_components",
     "kg_pagerank",
+    "kg_negative_samples",
     "kg_khop",
     "kg_node_asof",
     "kg_dbscan_topics",

@@ -1,0 +1,86 @@
+"""KG-embedding training-data preparation: deterministic negative sampling.
+
+TransE-family training needs k corrupted triples per true triple (head OR
+tail replaced by a random entity, filtered against true triples). At
+10^12-triple scale the standard rand()-based corruption is non-replayable
+(re-runs and retried tasks see different samples); here the "randomness" is
+an md5 hash of the triple + sample index, so the sample set is a pure
+function of the data — resumable, auditable, and expressible as an exact
+SQL oracle.
+
+Plan shape: entities ranked once (window over the distinct entity set, a
+dimension-sized table), each (triple, i) candidate maps to a replacement by
+hash-mod-rank — one broadcast-sized join — then a single anti-join drops
+corruptions that collide with true triples. No RNG, no driver loop, no
+all-pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _hex6_to_int(col):
+    """First 6 md5 nibbles -> int in [0, 16^6) via strpos arithmetic — the
+    cross-engine-portable hex decode (no conv() in DuckDB)."""
+    out = F.lit(0)
+    for i in range(6):
+        nib = F.instr(F.lit(_HEX), F.substring(col, i + 1, 1)) - 1
+        out = out * 16 + nib
+    return out
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 2,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """(subj, pred, obj, neg_id, corrupted_side) — k deterministic corruptions
+    per true triple, minus any that reconstruct a true triple.
+
+    For sample i of a triple t: h = md5(subj|pred|obj|i); the replacement
+    entity is the (h mod n_entities)-th in lexicographic rank; the corrupted
+    side is head when the 7th nibble is even, tail otherwise."""
+    t = triples.select(subj_col, pred_col, obj_col).distinct()
+    ents = (
+        t.select(F.col(subj_col).alias("e"))
+        .union(t.select(F.col(obj_col).alias("e")))
+        .distinct()
+    )
+    w = Window.orderBy("e")
+    ranked = ents.select(
+        "e", (F.row_number().over(w) - 1).alias("__rank")
+    )
+    n = ranked.count()
+
+    cand = t.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_id")
+    )
+    h = F.md5(
+        F.concat_ws("|", F.col(subj_col), F.col(pred_col), F.col(obj_col),
+                    F.col("neg_id").cast("string"))
+    )
+    cand = cand.select(
+        "*",
+        (_hex6_to_int(h) % n).alias("__ridx"),
+        ((F.instr(F.lit(_HEX), F.substring(h, 7, 1)) - 1) % 2 == 0).alias("__head"),
+    )
+    cand = cand.join(
+        F.broadcast(ranked.select(F.col("__rank").alias("__ridx"),
+                                  F.col("e").alias("__repl"))),
+        "__ridx",
+    )
+    corrupted = cand.select(
+        F.when(F.col("__head"), F.col("__repl")).otherwise(F.col(subj_col)).alias(subj_col),
+        F.col(pred_col),
+        F.when(F.col("__head"), F.col(obj_col)).otherwise(F.col("__repl")).alias(obj_col),
+        F.col("neg_id").cast("long").alias("neg_id"),
+        F.when(F.col("__head"), F.lit("head")).otherwise(F.lit("tail")).alias("corrupted_side"),
+    )
+    # drop corruptions that happen to BE true triples (and degenerate
+    # self-replacements that reproduce the original)
+    return corrupted.join(t, [subj_col, pred_col, obj_col], "left_anti")
