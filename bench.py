@@ -142,11 +142,20 @@ def main() -> None:
     # warmup: JIT/codegen + parquet footer caches
     _materialize(qs["rel_pricing_summary"](spark, sf_dir))
 
+    def _drop_blocks() -> None:
+        # materialize()/localCheckpoint blocks persist for the session; 48
+        # queries' worth squeezes executor storage memory and slows the tail
+        # of the suite (kg_dbscan_topics measured 2x slower late-suite).
+        # Freeing between queries keeps each timing independent.
+        for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        _drop_blocks()
 
     tp_sec, n_docs = throughput_leg(spark, sf_dir, repl)
     times["throughput_leg"] = round(tp_sec, 3)
