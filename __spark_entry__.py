@@ -1453,16 +1453,18 @@ cu_dd AS (
   FROM documents
 ),
 cu_j AS (
-  SELECT d.doc_id, l.detected_lang, q.quality_score, r.top_2gram_frac, dd.canonical_id
+  SELECT d.doc_id, d."text" IS NULL OR length(d."text") = 0 AS is_empty,
+         l.detected_lang, q.quality_score, r.top_2gram_frac, dd.canonical_id
   FROM documents d
-  JOIN cu_lang l ON l.doc_id = d.doc_id
-  JOIN cu_q q ON q.doc_id = d.doc_id
-  JOIN cu_rep r ON r.doc_id = d.doc_id
-  JOIN cu_dd dd ON dd.doc_id = d.doc_id
+  LEFT JOIN cu_lang l ON l.doc_id = d.doc_id
+  LEFT JOIN cu_q q ON q.doc_id = d.doc_id
+  LEFT JOIN cu_rep r ON r.doc_id = d.doc_id
+  LEFT JOIN cu_dd dd ON dd.doc_id = d.doc_id
 ),
 cu_out AS (
   SELECT *,
-         CASE WHEN detected_lang <> 'en' THEN 'lang'
+         CASE WHEN is_empty THEN 'empty'
+              WHEN detected_lang <> 'en' THEN 'lang'
               WHEN quality_score < 0.45 THEN 'quality'
               WHEN top_2gram_frac > 0.1 THEN 'repetition'
               WHEN canonical_id <> doc_id THEN 'duplicate'

@@ -8,9 +8,11 @@ document keeps a `keep` flag and the FIRST failing check as
 valuable as the kept set (audits, threshold tuning, re-runs), and the
 filter itself stays one declarative plan Catalyst can optimize end to end.
 
-Reject priority (fixed, deterministic): lang -> quality -> repetition ->
-duplicate (non-canonical copies of an identical-text group; the canonical
-min-id row is kept)."""
+Reject priority (fixed, deterministic): empty -> lang -> quality ->
+repetition -> duplicate (non-canonical copies of an identical-text group;
+the canonical min-id row is kept). The explicit `empty` check matters: NULL
+text makes every downstream comparison NULL, which would otherwise fall
+through the whole chain and silently KEEP the document."""
 
 from __future__ import annotations
 
@@ -35,16 +37,27 @@ def curate(
     li = lang_id(docs, text_col, id_col).select(id_col, "detected_lang")
     q = quality_features(docs, text_col, id_col).select(id_col, "quality_score")
     rep = repetition_stats(docs, text_col, id_col).select(id_col, "top_2gram_frac")
-    out = docs.select(id_col).join(li, id_col).join(q, id_col).join(rep, id_col)
+    out = (
+        docs.select(id_col)
+        .join(li, id_col, "left")
+        .join(q, id_col, "left")
+        .join(rep, id_col, "left")
+    )
     if dedup:
         dups = exact_duplicates(docs, text_col, id_col).select(
             id_col, "canonical_id"
         )
-        out = out.join(dups, id_col)
+        out = out.join(dups, id_col, "left")
     else:
         out = out.withColumn("canonical_id", F.col(id_col))
 
-    checks = []
+    empty = docs.select(
+        F.col(id_col),
+        (F.col(text_col).isNull() | (F.length(text_col) == 0)).alias("__empty"),
+    )
+    out = out.join(empty, id_col)
+
+    checks = [(F.col("__empty"), "empty")]
     if lang is not None:
         checks.append((F.col("detected_lang") != lang, "lang"))
     checks.append((F.col("quality_score") < min_quality, "quality"))

@@ -46,3 +46,16 @@ def test_curate_lang_none_skips_lang_check(spark):
            curate(_docs(spark), lang=None, min_quality=0.2,
                   max_top_2gram_frac=0.9).collect()}
     assert out[1]["reject_reason"] != "lang"
+
+
+def test_curate_empty_and_null_text_rejected(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, GOOD), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in curate(docs, min_quality=0.3).collect()}
+    assert out[0]["keep"]
+    assert out[1]["reject_reason"] == "empty" and not out[1]["keep"]
+    assert out[2]["reject_reason"] == "empty" and not out[2]["keep"]
+    assert len(out) == 3
