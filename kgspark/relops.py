@@ -36,7 +36,12 @@ def asof_join(
 
     Ties (right.ts == left.ts) match, mirroring the inclusive <= of SQL
     ASOF joins. Right rows sort before left rows at equal timestamps so the
-    window's last() sees them."""
+    window's last() sees them.
+
+    The right side should be unique per (key, ts) — with several right rows
+    at the identical key+timestamp the carried values are an arbitrary
+    (though stable-per-run) pick among them, the same caveat SQL ASOF joins
+    carry; pre-aggregate the right side when that can occur."""
     if right_cols is None:
         right_cols = [c for c in right.columns
                       if c not in key_cols and c != ts_col]
