@@ -499,6 +499,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("name").alias("doc_id"), "component"
         )
 
+    def kg_subgraph(spark, sf_dir):
+        # induced subgraph of the 2-hop ball around the min-subject node
+        from kgspark.graph_algs import k_hop
+
+        t = _extract_triples(spark, sf_dir)
+        start = t.agg(F.min("subj").alias("start"))
+        ball = k_hop(t, start, k=2).select(F.col("node"))
+        return (
+            t.join(ball.select(F.col("node").alias("subj")), "subj", "left_semi")
+            .join(ball.select(F.col("node").alias("obj")), "obj", "left_semi")
+            .select("subj", "pred", "obj", "weight")
+        )
+
     def kg_negative_samples(spark, sf_dir):
         # deterministic (replayable) negative sampling for KG-embedding
         # training — hash-based corruption, no RNG
@@ -684,6 +697,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select(
             "event_type", "n", F.round("total", 4).alias("total"), "vmax"
+        )
+
+    def skew_salted_join(spark, sf_dir):
+        # hot-key equi-join: 5 event_type values over 10k rows is exactly
+        # the coarse-key shape that serializes a plain shuffle join
+        from kgspark.skew import salted_join
+
+        ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        dim = (
+            ev.select("event_type").distinct()
+            .withColumn("category", F.upper("event_type"))
+        )
+        out = salted_join(ev, dim, ["event_type"], salt_buckets=8)
+        return out.select(
+            "event_id", "event_type", F.round("value", 4).alias("value"), "category"
         )
 
     def skew_hot_keys(spark, sf_dir):
@@ -918,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_doc_topic_edges": kg_doc_topic_edges,
         "kg_connected_components": kg_connected_components,
         "kg_negative_samples": kg_negative_samples,
+        "kg_subgraph": kg_subgraph,
         "kg_pagerank": kg_pagerank,
         "kg_khop": kg_khop,
         "kg_node_asof": kg_node_asof,
@@ -939,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "corpus_curate": corpus_curate,
         "skew_salted_agg": skew_salted_agg,
+        "skew_salted_join": skew_salted_join,
         "skew_hot_keys": skew_hot_keys,
         "rel_pricing_summary": rel_pricing_summary,
         "rel_top_customers": rel_top_customers,
@@ -1168,6 +1198,22 @@ reach(node, lab) AS (
   SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
 )
 SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+""",
+        "kg_subgraph": f"""
+WITH RECURSIVE {_PARTS_ORACLE_CTE},
+sg_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples),
+sg_start AS (SELECT min(subj) AS v FROM triples),
+sg_reach(node, hop) AS (
+  SELECT v, 0 FROM sg_start
+  UNION
+  SELECT e.t, r.hop + 1 FROM sg_reach r JOIN sg_e e ON e.s = r.node
+  WHERE r.hop < 2
+),
+sg_ball AS (SELECT DISTINCT node FROM sg_reach)
+SELECT tr.subj, tr.pred, tr.obj, tr.weight
+FROM triples tr
+JOIN sg_ball a ON a.node = tr.subj
+JOIN sg_ball b ON b.node = tr.obj
 """,
         "kg_negative_samples": f"""
 WITH {_PARTS_ORACLE_CTE},
@@ -1478,6 +1524,14 @@ FROM cu_out
         "skew_salted_agg": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS total, max(value) AS vmax
 FROM events GROUP BY event_type
+""",
+        # oracle = the PLAIN join (salting must be semantically invisible)
+        "skew_salted_join": """
+WITH dim AS (
+  SELECT DISTINCT event_type, upper(event_type) AS category FROM events
+)
+SELECT e.event_id, e.event_type, round(e.value, 4) AS value, d.category
+FROM events e JOIN dim d USING (event_type)
 """,
         "skew_hot_keys": """
 WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),

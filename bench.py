@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "kg_connected_components",
     "kg_pagerank",
     "kg_negative_samples",
+    "kg_subgraph",
     "kg_khop",
     "kg_node_asof",
     "kg_dbscan_topics",
@@ -60,6 +61,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "corpus_curate",
     "skew_salted_agg",
+    "skew_salted_join",
     "skew_hot_keys",
     "multimodal_meta",
     "rel_pricing_summary",

@@ -59,6 +59,31 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_exprs)
 
 
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the hot side gets a deterministic row salt, the
+    (small) dim side is replicated salt_buckets ways, and the join runs on
+    (keys + salt) — a hot key fans across salt_buckets reducers instead of
+    landing on one. Semantically identical to `skewed.join(dim, on, how)`
+    for 1:1/N:1 dims; use when a handful of head keys dominate and AQE's
+    skew split isn't available (e.g. the join feeds a co-partitioned
+    downstream op AQE won't re-plan).
+
+    Cost: dim is materialized salt_buckets x — keep it dimension-sized
+    (the same constraint a broadcast join has)."""
+    s = with_salt(skewed, salt_buckets, from_cols=skewed.columns)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return s.join(d, [*on, "__salt"], how).drop("__salt")
+
+
 def hot_keys(df: DataFrame, key: str, threshold_ratio: float = 4.0) -> DataFrame:
     """Keys whose row count exceeds threshold_ratio × the mean per-key count —
     the inputs you'd salt or AQE-split. (key, n, ratio)."""

@@ -117,3 +117,23 @@ def test_repetition_stats(spark):
     assert got[1]["top_2gram_frac"] == 0.25  # 4 distinct 2-grams
     assert got[1]["dup_token_frac"] == 0.0
     assert got[2]["n_2grams"] == 0 and got[2]["top_2gram_frac"] == 0.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from kgspark.skew import salted_join
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(100)],
+        "event_id long, k string, v double",
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, attr int")
+    plain = sorted(map(tuple, ev.join(dim, "k").select("event_id", "attr").collect()))
+    salted = sorted(map(tuple,
+        salted_join(ev, dim, ["k"], salt_buckets=4).select("event_id", "attr").collect()))
+    assert salted == plain
+    # left join preserves unmatched skewed rows
+    dim_partial = dim.where(F.col("k") == "hot")
+    left = salted_join(ev, dim_partial, ["k"], salt_buckets=4, how="left")
+    assert left.count() == 100
+    assert left.where(F.col("attr").isNull()).count() == 10
