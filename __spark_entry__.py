@@ -677,6 +677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return repetition_stats(_read(spark, sf_dir, "documents"))
 
+    def corpus_report(spark, sf_dir):
+        from kgspark.textstats import corpus_report as _report
+
+        return _report(_read(spark, sf_dir, "documents"))
+
     def corpus_curate(spark, sf_dir):
         # the one-call curation pipeline (lang -> quality -> repetition ->
         # dedup, first-failure reject reason, rows annotated not dropped)
@@ -966,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text_tokens,
         "text_fingerprint": text_fingerprint,
         "text_repetition": text_repetition,
+        "corpus_report": corpus_report,
         "corpus_curate": corpus_curate,
         "skew_salted_agg": skew_salted_agg,
         "skew_salted_join": skew_salted_join,
@@ -1453,6 +1459,17 @@ SELECT b.doc_id,
        round(CASE WHEN coalesce(a.total, 0) > 0 THEN a.top * 1.0 / a.total ELSE 0.0 END, 6) AS top_2gram_frac,
        round(1.0 - b.n_dist * 1.0 / greatest(b.n_tok, 1), 6) AS dup_token_frac
 FROM rp_base b LEFT JOIN rp_ga a ON a.doc_id = b.doc_id
+""",
+        # Spark percentile() and DuckDB quantile_cont share the exact
+        # linear-interpolation definition — verified bit-identical
+        "corpus_report": """
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '')))::BIGINT AS total_tokens,
+       round(avg(length("text")), 4) AS mean_chars,
+       round(quantile_cont(length("text"), 0.5), 4) AS p50_chars,
+       round(quantile_cont(length("text"), 0.9), 4) AS p90_chars
+FROM documents GROUP BY source
 """,
         # composed from the langid/quality/repetition/exact-dedup oracles;
         # reject priority matches kgspark.curate (first failing check wins)

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_repetition",
     "corpus_curate",
+    "corpus_report",
     "skew_salted_agg",
     "skew_salted_join",
     "skew_hot_keys",

@@ -110,6 +110,34 @@ def dedup_stream(
     )
 
 
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event matched to
+    right events of the same key within (left_ts - max_delay, left_ts].
+
+    Both sides carry watermarks and the join condition time-bounds the match
+    window, so Spark can evict buffered state once the watermark passes a
+    row's interval — the REQUIRED shape for stream-stream joins (an
+    unbounded-condition join would buffer both streams forever)."""
+    l = left_stream.withColumn(left_ts, F.col(left_ts).cast("timestamp")) \
+        .withWatermark(left_ts, watermark)
+    r = right_stream.withColumn(right_ts, F.col(right_ts).cast("timestamp")) \
+        .withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     (event count, value total) maintained in arbitrary user state — the

@@ -120,6 +120,29 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group corpus statistics for curation dashboards: doc/token
+    volume, char-length distribution (exact interpolated percentiles — the
+    same quantile_cont semantics every SQL engine exposes, so the numbers
+    are portable across reporting stacks)."""
+    t = F.col(text_col)
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(t)).cast("long").alias("total_tokens"),
+            F.round(F.avg(F.length(t)), 4).alias("mean_chars"),
+            F.round(F.expr(f"percentile(length({text_col}), 0.5)"), 4).alias("p50_chars"),
+            F.round(F.expr(f"percentile(length({text_col}), 0.9)"), 4).alias("p90_chars"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals for training-data curation:

@@ -254,3 +254,37 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     assert got == {0, 2}
     cols = spark.sql("select * from dedup_out").columns
     assert "__content_key" not in cols
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: clicks joined to same-user purchases in
+    the preceding 30 minutes; out-of-window and cross-user pairs excluded."""
+    from pyspark.sql import functions as F
+    from kgspark.streaming import stream_interval_join
+
+    lrows = [(1, 100, "2024-01-01 10:30:00"),
+             (1, 101, "2024-01-01 12:00:00"),
+             (2, 200, "2024-01-01 10:30:00")]
+    rrows = [(1, 900, "2024-01-01 10:10:00"),   # within 30m of click 100
+             (1, 901, "2024-01-01 09:00:00"),   # too old for either click
+             (2, 902, "2024-01-01 10:29:00")]   # user 2, within window
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    spark.createDataFrame(lrows, "user_id long, click_id long, l_ts string") \
+        .select("user_id", "click_id", F.col("l_ts").cast("timestamp").alias("l_ts")) \
+        .coalesce(1).write.parquet(str(ldir))
+    spark.createDataFrame(rrows, "user_id long, purchase_id long, r_ts string") \
+        .select("user_id", "purchase_id", F.col("r_ts").cast("timestamp").alias("r_ts")) \
+        .coalesce(1).write.parquet(str(rdir))
+
+    ls = spark.readStream.schema("user_id long, click_id long, l_ts timestamp").parquet(str(ldir))
+    rs = spark.readStream.schema("user_id long, purchase_id long, r_ts timestamp").parquet(str(rdir))
+    out = stream_interval_join(ls, rs)
+    q = (
+        out.writeStream.format("memory").queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["click_id"], r["purchase_id"])
+           for r in spark.sql("select * from ssj").collect()}
+    assert got == {(100, 900), (200, 902)}

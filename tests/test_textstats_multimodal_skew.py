@@ -137,3 +137,16 @@ def test_salted_join_equals_plain_join(spark):
     left = salted_join(ev, dim_partial, ["k"], salt_buckets=4, how="left")
     assert left.count() == 100
     assert left.where(F.col("attr").isNull()).count() == 10
+
+
+def test_corpus_report(spark):
+    from kgspark.textstats import corpus_report
+
+    docs = spark.createDataFrame(
+        [(0, "a", "one two"), (1, "a", "three four five"), (2, "b", "six")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in corpus_report(docs).collect()}
+    assert got["a"]["n_docs"] == 2 and got["a"]["total_tokens"] == 5
+    assert got["a"]["p50_chars"] == 11.0  # interpolated between 7 and 15
+    assert got["b"]["n_docs"] == 1 and got["b"]["mean_chars"] == 3.0
