@@ -553,6 +553,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def kg_topics_density(spark, sf_dir):
+        # end-to-end DETERMINISTIC topic modeling, fully oracle-checked:
+        # hash-embed docs -> density clusters (blocked eps-graph + CC) ->
+        # per-cluster mean TF-IDF (rational idf, no libm log) -> top-5 terms
+        # -> reference naming formula. The KMeans variant (kg_topics) is the
+        # ML path and stays rows-only; this is the SQL-expressible twin.
+        from kgspark.density import dbscan_labels
+        from kgspark.embed import embed_texts
+        from kgspark.topics import STOPWORDS
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        emb = embed_texts(docs, fp64=True).select(
+            F.col("doc_id").alias("vec_id"), "text", "embedding"
+        )
+        labels = dbscan_labels(emb, cos_threshold=0.3, min_samples=2, bits=4)
+        clusters = labels.where(F.col("cluster").isNotNull()).select(
+            F.col("vec_id").alias("doc_id"), "cluster"
+        )
+        sizes = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+
+        toks = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), r"[^\p{L}]+"),
+                lambda t: (F.length(t) > 1) & ~t.isin(*STOPWORDS),
+            ).alias("__toks"),
+        )
+        tf = (
+            toks.select("doc_id", F.explode("__toks").alias("term"))
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        )
+        n_docs = docs.count()
+        dfreq = tf.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df"), F.sum("tf").alias("total_tf")
+        )
+        vocab = (
+            dfreq.where((F.col("df") >= 2) & (F.col("df") <= int(0.95 * n_docs)))
+            .orderBy(F.desc("total_tf"), F.asc("term")).limit(3000)
+        )
+        scored = tf.join(F.broadcast(vocab.select("term", "df")), "term").select(
+            "doc_id", "term",
+            (F.col("tf") * (F.lit(1.0 + n_docs) / (F.lit(1.0) + F.col("df")))).alias("s"),
+        )
+        cscore = (
+            scored.join(clusters, "doc_id")
+            .groupBy("cluster", "term").agg(F.sum("s").alias("ssum"))
+            .join(F.broadcast(sizes), "cluster")
+            .select("cluster", "term", F.round(F.col("ssum") / F.col("csize"), 6).alias("score"))
+        )
+        w = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("term"))
+        top = (
+            cscore.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+        )
+        return (
+            top.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("rn", "term"))).alias("rt"))
+            .select(
+                "cluster",
+                F.concat(
+                    F.lit("Topic ("),
+                    F.array_join(
+                        F.slice(F.transform("rt", lambda s: s["term"]), 1, 3), ", "
+                    ),
+                    F.lit(")"),
+                ).alias("topic_name"),
+                F.concat_ws("|", F.transform("rt", lambda s: s["term"])).alias("terms"),
+            )
+        )
+
     def kg_dbscan_topics(spark, sf_dir):
         # A4: DBSCAN-equivalent density clustering (ref
         # knowledge_graph_builder.py:259-261, min_samples=2) — blocked
@@ -955,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": kg_pagerank,
         "kg_khop": kg_khop,
         "kg_node_asof": kg_node_asof,
+        "kg_topics_density": kg_topics_density,
         "kg_dbscan_topics": kg_dbscan_topics,
         "kg_doc_embeddings": kg_doc_embeddings,
         "dedup_exact": dedup_exact,
@@ -1000,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from kgspark.synth import alias_rows
     from kgspark.textstats import LANG_STOPWORDS
+    from kgspark.topics import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
     alias_values = ", ".join(
         "('%s', '%s', %s)" % (s.replace("'", "''"), c.replace("'", "''"), sc)
@@ -1275,6 +1349,98 @@ FROM (
   SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events e, t WHERE e.ts <= t.T
 ) WHERE rn = 1
+""",
+        # deterministic end-to-end topic modeling: embed (hashed) ->
+        # density clusters (CC over blocked eps-graph) -> rational-idf
+        # tfidf -> top-5 terms -> naming formula
+        "kg_topics_density": f"""
+WITH RECURSIVE td_toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+td_grams AS (
+  SELECT doc_id,
+         unnest(ts || [ts[i] || '_' || ts[i+1] for i in range(1, len(ts))]) AS g
+  FROM td_toks
+),
+td_bs AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(g), 7, 1)) - 1) % 4) * 16 + (strpos('0123456789abcdef', substr(md5(g), 8, 1)) - 1) AS bucket,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(g), 10, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM td_grams
+),
+td_sums AS (SELECT doc_id, bucket, sum(s) AS v FROM td_bs GROUP BY doc_id, bucket),
+td_norms AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM td_sums GROUP BY doc_id),
+td_comp AS (
+  SELECT s.doc_id, s.bucket, s.v / norms.n AS c
+  FROM td_sums s JOIN td_norms norms USING (doc_id) WHERE s.v <> 0
+),
+td_blk AS (
+  SELECT d.doc_id,
+         (CASE WHEN coalesce(b0.c, 0) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN coalesce(b1.c, 0) > 0 THEN 2 ELSE 0 END
+        + CASE WHEN coalesce(b2.c, 0) > 0 THEN 4 ELSE 0 END
+        + CASE WHEN coalesce(b3.c, 0) > 0 THEN 8 ELSE 0 END) AS blk
+  FROM documents d
+  LEFT JOIN td_comp b0 ON b0.doc_id = d.doc_id AND b0.bucket = 0
+  LEFT JOIN td_comp b1 ON b1.doc_id = d.doc_id AND b1.bucket = 1
+  LEFT JOIN td_comp b2 ON b2.doc_id = d.doc_id AND b2.bucket = 2
+  LEFT JOIN td_comp b3 ON b3.doc_id = d.doc_id AND b3.bucket = 3
+),
+td_n2 AS (SELECT doc_id, sqrt(sum(c * c)) AS n2 FROM td_comp GROUP BY doc_id),
+td_pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM td_blk l JOIN td_blk r ON l.blk = r.blk AND l.doc_id < r.doc_id
+  JOIN td_n2 la ON la.doc_id = l.doc_id
+  JOIN td_n2 rb ON rb.doc_id = r.doc_id
+  WHERE round(
+    (SELECT coalesce(sum(x.c * y.c), 0)
+     FROM td_comp x JOIN td_comp y ON x.bucket = y.bucket
+     WHERE x.doc_id = l.doc_id AND y.doc_id = r.doc_id) / (la.n2 * rb.n2), 6
+  ) >= 0.3
+),
+td_sym AS (SELECT a, b FROM td_pairs UNION SELECT b, a FROM td_pairs),
+td_reach(node, lab) AS (
+  SELECT a, a FROM td_sym
+  UNION
+  SELECT s.b, r.lab FROM td_reach r JOIN td_sym s ON s.a = r.node
+),
+td_cl AS (SELECT node AS doc_id, min(lab) AS cluster FROM td_reach GROUP BY node),
+td_sizes AS (SELECT cluster, count(*) AS csize FROM td_cl GROUP BY cluster),
+td_words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower("text"), '[^\\p{{L}}]+'),
+                            t -> length(t) > 1 AND t NOT IN ({stop_list}))) AS term
+  FROM documents
+),
+td_tf AS (SELECT doc_id, term, count(*) AS tf FROM td_words GROUP BY doc_id, term),
+td_df AS (SELECT term, count(DISTINCT doc_id) AS df, sum(tf) AS total_tf FROM td_tf GROUP BY term),
+td_nd AS (SELECT count(*) AS n FROM documents),
+td_vocab AS (
+  SELECT term, df FROM td_df, td_nd
+  WHERE df >= 2 AND df <= floor(0.95 * td_nd.n)
+  ORDER BY total_tf DESC, term ASC LIMIT 3000
+),
+td_scored AS (
+  SELECT t.doc_id, t.term, t.tf * ((1.0 + td_nd.n) / (1.0 + v.df)) AS s
+  FROM td_tf t JOIN td_vocab v USING (term) CROSS JOIN td_nd
+),
+td_cscore AS (
+  SELECT c.cluster, s.term, round(sum(s.s) / any_value(z.csize), 6) AS score
+  FROM td_scored s JOIN td_cl c USING (doc_id) JOIN td_sizes z USING (cluster)
+  GROUP BY c.cluster, s.term
+),
+td_top AS (
+  SELECT cluster, term, rn FROM (
+    SELECT cluster, term, score,
+           row_number() OVER (PARTITION BY cluster ORDER BY score DESC, term ASC) AS rn
+    FROM td_cscore
+  ) WHERE rn <= 5
+)
+SELECT cluster,
+       'Topic (' || string_agg(term, ', ' ORDER BY rn) FILTER (WHERE rn <= 3) || ')' AS topic_name,
+       string_agg(term, '|' ORDER BY rn) AS terms
+FROM td_top GROUP BY cluster
 """,
         # DBSCAN at min_samples=2 == connected components of the eps-graph
         # with singletons as noise; the eps-graph is the same sign-LSH-blocked

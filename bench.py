@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "kg_khop",
     "kg_node_asof",
     "kg_dbscan_topics",
+    "kg_topics_density",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
