@@ -567,7 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = embed_texts(docs, fp64=True).select(
             F.col("doc_id").alias("vec_id"), "text", "embedding"
         )
-        labels = dbscan_labels(emb, cos_threshold=0.3, min_samples=2, bits=4)
+        # bits=6: 64 sign-buckets -> ~4x fewer candidate pairs than the
+        # default 4 bits (this is the heaviest per-query plan in the suite)
+        labels = dbscan_labels(emb, cos_threshold=0.3, min_samples=2, bits=6)
         clusters = labels.where(F.col("cluster").isNotNull()).select(
             F.col("vec_id").alias("doc_id"), "cluster"
         )
@@ -1380,12 +1382,16 @@ td_blk AS (
          (CASE WHEN coalesce(b0.c, 0) > 0 THEN 1 ELSE 0 END
         + CASE WHEN coalesce(b1.c, 0) > 0 THEN 2 ELSE 0 END
         + CASE WHEN coalesce(b2.c, 0) > 0 THEN 4 ELSE 0 END
-        + CASE WHEN coalesce(b3.c, 0) > 0 THEN 8 ELSE 0 END) AS blk
+        + CASE WHEN coalesce(b3.c, 0) > 0 THEN 8 ELSE 0 END
+        + CASE WHEN coalesce(b4.c, 0) > 0 THEN 16 ELSE 0 END
+        + CASE WHEN coalesce(b5.c, 0) > 0 THEN 32 ELSE 0 END) AS blk
   FROM documents d
   LEFT JOIN td_comp b0 ON b0.doc_id = d.doc_id AND b0.bucket = 0
   LEFT JOIN td_comp b1 ON b1.doc_id = d.doc_id AND b1.bucket = 1
   LEFT JOIN td_comp b2 ON b2.doc_id = d.doc_id AND b2.bucket = 2
   LEFT JOIN td_comp b3 ON b3.doc_id = d.doc_id AND b3.bucket = 3
+  LEFT JOIN td_comp b4 ON b4.doc_id = d.doc_id AND b4.bucket = 4
+  LEFT JOIN td_comp b5 ON b5.doc_id = d.doc_id AND b5.bucket = 5
 ),
 td_n2 AS (SELECT doc_id, sqrt(sum(c * c)) AS n2 FROM td_comp GROUP BY doc_id),
 td_pairs AS (
