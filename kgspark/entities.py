@@ -178,19 +178,20 @@ def extract_entities(
     return sorted(seen.values(), key=lambda e: (-e["weight"], e["text"]))
 
 
-_AUTOMATON_CACHE: dict[str, tuple] = {}  # per-UDF key -> built automaton
+_AUTOMATON_CACHE: dict[int, tuple] = {}  # broadcast id -> built automaton
 
 
 def extract_entities_udf(spark: SparkSession, aliases: DataFrame):
     """Vectorized extractor with the alias dict shipped as a broadcast var.
-    The Aho-Corasick automaton is built ONCE per executor process (cached by
-    broadcast id) — only the plain dict crosses the wire; scan cost per doc
-    is O(len(text)), independent of gazetteer size."""
-    import uuid
-
+    The Aho-Corasick automaton is built ONCE per executor process, cached by
+    the BROADCAST id (stable across UDF rebuilds over the same broadcast —
+    e.g. per streaming micro-batch) and bounded to the single most recent
+    entry, so repeated UDF construction cannot accumulate one full automaton
+    per build in long-lived executors. Only the plain dict crosses the wire;
+    scan cost per doc is O(len(text)), independent of gazetteer size."""
     amap = {r["surface"]: r["canonical"] for r in aliases.collect()}
     bc = spark.sparkContext.broadcast(amap)
-    cache_key = uuid.uuid4().hex  # closure constant: one build per worker
+    cache_key = bc._jbroadcast.id()  # stable JVM broadcast id
 
     @pandas_udf(ArrayType(ENTITY_SCHEMA))
     def _udf(texts: pd.Series) -> pd.Series:
@@ -198,6 +199,7 @@ def extract_entities_udf(spark: SparkSession, aliases: DataFrame):
         auto = _AUTOMATON_CACHE.get(cache_key)
         if auto is None:
             auto = build_automaton(m)
+            _AUTOMATON_CACHE.clear()  # bound: at most one automaton resident
             _AUTOMATON_CACHE[cache_key] = auto
         return texts.map(lambda t: extract_entities(t, m, automaton=auto))
 

@@ -75,7 +75,19 @@ def salted_join(
     downstream op AQE won't re-plan).
 
     Cost: dim is materialized salt_buckets x — keep it dimension-sized
-    (the same constraint a broadcast join has)."""
+    (the same constraint a broadcast join has).
+
+    Only joins that never emit unmatched DIM rows are salt-safe: the dim side
+    is replicated, so 'right'/'full' would emit each unmatched dim row
+    salt_buckets times. Those types are rejected rather than silently
+    diverging from the skewed.join(dim, on, how) contract."""
+    safe = {"inner", "left", "leftouter", "leftsemi", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe (replicated dim rows "
+            "would duplicate unmatched outputs); use one of "
+            "inner/left/left_semi/left_anti"
+        )
     s = with_salt(skewed, salt_buckets, from_cols=skewed.columns)
     d = dim.withColumn(
         "__salt",

@@ -211,10 +211,15 @@ def start_incremental_kg(
         )
         new = materialize(new)  # referenced by bucket-probe + anti-join + write
         if _sink_exists(ss, triples_path):
-            buckets = [r[0] for r in new.select("subj_bucket").distinct().collect()]
-            existing = ss.read.parquet(triples_path).where(
-                F.col("subj_bucket").isin(buckets)  # partition-pruned scan
-            )
+            existing = ss.read.parquet(triples_path)
+            if "subj_bucket" in existing.columns:
+                buckets = [r[0] for r in new.select("subj_bucket").distinct().collect()]
+                existing = existing.where(
+                    F.col("subj_bucket").isin(buckets)  # partition-pruned scan
+                )
+            # else: legacy unpartitioned sink (pre-bucketing format) — fall
+            # back to the full-table anti-join; new batches are written
+            # bucketed, so the sink converges to the pruned layout over time
             new = new.join(
                 existing.select("subj", "pred", "obj"),
                 ["subj", "pred", "obj"],

@@ -124,3 +124,68 @@ def test_partitioned_catalog_delete_prunes(spark, tmp_path):
     after = {d: os.stat(os.path.join(path, d)).st_mtime_ns for d in dirs}
     changed = {d for d in dirs if before[d] != after[d]}
     assert changed == {f"__fbucket={tb}"}
+
+
+def test_catalog_delete_staging_is_hidden_and_crash_recoverable(spark, tmp_path):
+    """ADVICE r2: staging/backup dirs are dot-prefixed (invisible to Spark's
+    partition discovery during the swap window) and a crashed prior delete —
+    a stale '.bak_delete.*' with its primary missing — is auto-restored by
+    the next call instead of failing or losing rows."""
+    import os
+    import shutil
+
+    from kgspark.catalog import delete_document, write_documents_catalog
+
+    path = str(tmp_path / "docs.parquet")
+    df = spark.createDataFrame(
+        [(f"doc{i}.json", f"content {i}") for i in range(50)],
+        "filename string, content string",
+    )
+    write_documents_catalog(df, path)
+
+    # simulate a crash mid-swap: primary partition renamed aside, tmp half-done
+    import zlib
+
+    from kgspark.catalog import N_CATALOG_BUCKETS
+
+    target = "doc3.json"
+    b = zlib.crc32(target.encode()) % N_CATALOG_BUCKETS
+    pname = f"__fbucket={b}"
+    os.rename(os.path.join(path, pname),
+              os.path.join(path, f".bak_delete.{pname}"))
+    os.makedirs(os.path.join(path, f".tmp_delete.{pname}"))
+
+    # hidden dirs: a full-table read during the crash window still parses
+    # (no bogus partition dirs) and sees every row except the renamed bucket
+    readable = spark.read.parquet(path)
+    assert "__fbucket" in readable.columns
+
+    # next delete call recovers the original bucket, then deletes the row
+    n = delete_document(spark, path, target)
+    assert n == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 49
+    assert not [d for d in os.listdir(path) if d.startswith((".tmp", ".bak"))]
+    shutil.rmtree(path)
+
+
+def test_catalog_delete_unpartitioned_swap(spark, tmp_path):
+    """Unpartitioned tables fall back to the full-table swap with SIBLING
+    staging dirs; stale siblings from a crashed run are cleaned up first."""
+    from kgspark.catalog import delete_document
+
+    path = str(tmp_path / "flat.parquet")
+    spark.createDataFrame(
+        [("a.json", "x"), ("b.json", "y"), (None, "z")],
+        "filename string, content string",
+    ).write.parquet(path)
+    # stale tmp sibling from a hypothetical crashed run
+    import os
+
+    os.makedirs(path + "/../.tmp_delete.flat.parquet", exist_ok=True)
+    n = delete_document(spark, path, "a.json")
+    assert n == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    # NULL-filename row preserved
+    assert out.where(out.filename.isNull()).count() == 1

@@ -288,3 +288,37 @@ def test_stream_interval_join(spark, tmp_path):
     got = {(r["click_id"], r["purchase_id"])
            for r in spark.sql("select * from ssj").collect()}
     assert got == {(100, 900), (200, 902)}
+
+
+def test_incremental_merges_into_legacy_unbucketed_sink(spark, tmp_path):
+    """ADVICE r2: a sink written before subj-bucketing (no subj_bucket
+    column) must not crash the first micro-batch — the merge falls back to a
+    full-table anti-join and new batches land bucketed."""
+    in_dir = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sink, exist_ok=True)
+
+    # legacy-format sink: plain unpartitioned triples parquet
+    _write_drop(spark, in_dir, 10, seed=3)
+    start_incremental_kg(spark, in_dir, sink, str(tmp_path / "ckpt0"))
+    tp = os.path.join(sink, "triples.parquet")
+    legacy_rows = spark.read.parquet(tp).select("subj", "pred", "obj").collect()
+    import shutil
+
+    shutil.rmtree(tp)
+    spark.createDataFrame(
+        legacy_rows, "subj string, pred string, obj string"
+    ).write.parquet(tp)  # no subj_bucket column, no partition dirs
+    n_legacy = spark.read.parquet(tp).count()
+
+    # same corpus again: full-table anti-join dedups everything
+    _write_drop(spark, in_dir, 10, seed=3)
+    start_incremental_kg(spark, in_dir, sink, ckpt)
+    merged = spark.read.parquet(tp)
+    assert merged.select("subj", "pred", "obj").distinct().count() == n_legacy
+
+    # a genuinely new corpus appends (bucketed) without AnalysisException
+    _write_drop(spark, in_dir, 10, seed=42)
+    start_incremental_kg(spark, in_dir, sink, ckpt)
+    assert spark.read.parquet(tp).count() > n_legacy

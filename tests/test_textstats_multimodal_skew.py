@@ -150,3 +150,17 @@ def test_corpus_report(spark):
     assert got["a"]["n_docs"] == 2 and got["a"]["total_tokens"] == 5
     assert got["a"]["p50_chars"] == 11.0  # interpolated between 7 and 15
     assert got["b"]["n_docs"] == 1 and got["b"]["mean_chars"] == 3.0
+
+
+def test_salted_join_rejects_unsafe_join_types(spark):
+    """ADVICE r2: replicated dim rows would emit unmatched dim rows
+    salt_buckets times under right/full joins — those types must raise."""
+    import pytest
+
+    from kgspark.skew import salted_join
+
+    ev = spark.createDataFrame([(1, "a")], "event_id long, k string")
+    dim = spark.createDataFrame([("a", 1)], "k string, attr int")
+    for bad in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="not salt-safe"):
+            salted_join(ev, dim, ["k"], salt_buckets=4, how=bad)
