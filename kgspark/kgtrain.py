@@ -8,16 +8,18 @@ an md5 hash of the triple + sample index, so the sample set is a pure
 function of the data — resumable, auditable, and expressible as an exact
 SQL oracle.
 
-Plan shape: entities ranked once (window over the distinct entity set, a
-dimension-sized table), each (triple, i) candidate maps to a replacement by
-hash-mod-rank — one broadcast-sized join — then a single anti-join drops
-corruptions that collide with true triples. No RNG, no driver loop, no
-all-pairs."""
+Plan shape: entities ranked once (range-partitioned rank + per-partition
+offsets — NEVER a global single-task window, see `ranked_entities`), each
+(triple, i) candidate maps to a replacement by hash-mod-rank — one
+broadcast-sized join — then a single anti-join drops corruptions that
+collide with true triples. No RNG, no driver loop, no all-pairs."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from kgspark.session import materialize
 
 _HEX = "0123456789abcdef"
 
@@ -30,6 +32,46 @@ def _hex6_to_int(col):
         nib = F.instr(F.lit(_HEX), F.substring(col, i + 1, 1)) - 1
         out = out * 16 + nib
     return out
+
+
+def ranked_entities(ents: DataFrame) -> tuple[DataFrame, int]:
+    """(e, __rank 0..n-1 in lexicographic order), plus n — WITHOUT a global
+    `Window.orderBy` (which funnels every distinct entity through one task; a
+    scale-killer at 10^9 entities).
+
+    Range-partition by `e` (non-overlapping sorted ranges, partition p holds
+    smaller values than p+1), materialize so the sampled range boundaries are
+    pinned, count each partition (one tiny collect: #partitions rows), then
+    global rank = per-partition row_number + the cumulative count of earlier
+    partitions. Every stage is parallel; the output rank is a pure function
+    of the total order on `e`, independent of where the sampled boundaries
+    landed."""
+    spark = ents.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = materialize(
+        ents.repartitionByRange(parts, F.col("e"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy("e")
+    ranked = (
+        ranged.join(F.broadcast(off), "__pid")
+        .select(
+            "e",
+            (F.row_number().over(w) - 1 + F.col("__off")).alias("__rank"),
+        )
+    )
+    return ranked, acc
 
 
 def negative_samples(
@@ -51,11 +93,7 @@ def negative_samples(
         .union(t.select(F.col(obj_col).alias("e")))
         .distinct()
     )
-    w = Window.orderBy("e")
-    ranked = ents.select(
-        "e", (F.row_number().over(w) - 1).alias("__rank")
-    )
-    n = ranked.count()
+    ranked, n = ranked_entities(ents)
 
     cand = t.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_id")

@@ -145,3 +145,21 @@ def test_simhash64_candidates_not_cartesian(spark):
     p = plan(simhash_hamming_pairs(docs))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_entity_ranking_has_no_global_window(spark):
+    """ranked_entities must never funnel the entity set through one task:
+    no `Exchange SinglePartition` (the global Window.orderBy signature)
+    anywhere in the ranking plan, and ranks are still the global 0..n-1
+    lexicographic order."""
+    from kgspark.kgtrain import ranked_entities
+
+    ents = spark.createDataFrame(
+        [(f"e{i:04d}",) for i in range(997)], "e string"
+    )
+    ranked, n = ranked_entities(ents)
+    assert n == 997
+    p = plan(ranked)
+    assert "SinglePartition" not in p
+    rows = sorted((r["e"], r["__rank"]) for r in ranked.collect())
+    assert [rk for _, rk in rows] == list(range(997))
