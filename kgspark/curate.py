@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgspark.dedup import exact_duplicates
-from kgspark.textstats import lang_id, quality_features, repetition_stats
+from kgspark.textstats import lang_id_exprs, quality_score_expr, repetition_stats
 
 
 def curate(
@@ -33,16 +33,24 @@ def curate(
     dedup: bool = True,
 ) -> DataFrame:
     """(id, keep, reject_reason, detected_lang, quality_score,
-    top_2gram_frac, canonical_id) — the curation verdict per document."""
-    li = lang_id(docs, text_col, id_col).select(id_col, "detected_lang")
-    q = quality_features(docs, text_col, id_col).select(id_col, "quality_score")
-    rep = repetition_stats(docs, text_col, id_col).select(id_col, "top_2gram_frac")
-    out = (
-        docs.select(id_col)
-        .join(li, id_col, "left")
-        .join(q, id_col, "left")
-        .join(rep, id_col, "left")
+    top_2gram_frac, canonical_id) — the curation verdict per document.
+
+    Plan shape: language-ID, quality score and the empty check are pure
+    column expressions, so they are all computed in ONE map-side select over
+    the corpus — no join, no shuffle. Only the two signals that genuinely
+    aggregate join back in: repetition (a per-doc 2-gram groupBy) and exact
+    dedup (a content-hash window). That is 2 shuffling inputs instead of the
+    5 self-joins a naive per-signal composition produces — at 100 TB the
+    difference is the whole job."""
+    pick, _ = lang_id_exprs(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        (F.col(text_col).isNull() | (F.length(text_col) == 0)).alias("__empty"),
+        pick.alias("detected_lang"),
+        quality_score_expr(F.col(text_col)).alias("quality_score"),
     )
+    rep = repetition_stats(docs, text_col, id_col).select(id_col, "top_2gram_frac")
+    out = base.join(rep, id_col, "left")
     if dedup:
         dups = exact_duplicates(docs, text_col, id_col).select(
             id_col, "canonical_id"
@@ -50,12 +58,6 @@ def curate(
         out = out.join(dups, id_col, "left")
     else:
         out = out.withColumn("canonical_id", F.col(id_col))
-
-    empty = docs.select(
-        F.col(id_col),
-        (F.col(text_col).isNull() | (F.length(text_col) == 0)).alias("__empty"),
-    )
-    out = out.join(empty, id_col)
 
     checks = [(F.col("__empty"), "empty")]
     if lang is not None:

@@ -59,28 +59,46 @@ def lang_scores(col):
     )
 
 
+def lang_id_exprs(t):
+    """(detected_lang expr, lang_score expr) over a text column — the
+    expression-level core of lang_id, so callers composing several per-doc
+    signals (e.g. curate()) can evaluate everything in ONE map-side select
+    instead of a join per signal."""
+    langs = sorted(LANG_STOPWORDS)
+    scores = [
+        stopword_hits(t, lg) / F.greatest(token_count(t), F.lit(1))
+        for lg in langs
+    ]
+    best = F.greatest(*scores)
+    pick = F.coalesce(*[F.when(s == best, F.lit(lg)) for s, lg in zip(scores, langs)])
+    return pick, F.round(best, 6)
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, detected_lang, lang_score): argmax stopword ratio, ties broken by
     language code ascending — fully deterministic."""
-    langs = sorted(LANG_STOPWORDS)
-    scores = df.select(
+    pick, best = lang_id_exprs(F.col(text_col))
+    return df.select(
         F.col(id_col),
-        *[
-            (stopword_hits(F.col(text_col), lg) / F.greatest(token_count(F.col(text_col)), F.lit(1))).alias(
-                f"__s_{lg}"
-            )
-            for lg in langs
-        ],
-    )
-    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
-    pick = F.coalesce(
-        *[F.when(F.col(f"__s_{lg}") == best, F.lit(lg)) for lg in langs]
-    )
-    return scores.select(
-        id_col,
         pick.alias("detected_lang"),
-        F.round(best, 6).alias("lang_score"),
+        best.alias("lang_score"),
     )
+
+
+def quality_score_expr(t):
+    """The quality_features score as a single expression (see
+    quality_features for the formula) — for one-select composition."""
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    mean_tok_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = stopword_hits(t, "en") / F.greatest(n_tok, F.lit(1))
+    stop_sig = F.least(stop_ratio, F.lit(0.5)) / F.lit(0.5)
+    len_sig = F.least(n_tok, F.lit(100)) / F.lit(100.0)
+    shape_sig = F.when(
+        (mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    score = F.lit(0.4) * stop_sig + F.lit(0.3) * len_sig + F.lit(0.3) * shape_sig
+    return F.round(score, 6)
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -163,3 +163,18 @@ def test_entity_ranking_has_no_global_window(spark):
     assert "SinglePartition" not in p
     rows = sorted((r["e"], r["__rank"]) for r in ranked.collect())
     assert [rk for _, rk in rows] == list(range(997))
+
+
+def test_curate_is_single_pass_plus_two_joins(spark):
+    """curate() computes lang/quality/empty in one map-side select; only the
+    two genuinely-aggregating signals (repetition, exact dedup) join back.
+    Pin the join count so a refactor can't silently reintroduce the
+    join-per-signal shape (5 joins in r2)."""
+    import re
+
+    from kgspark.curate import curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(curate(docs))
+    n_joins = len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p))
+    assert n_joins <= 3, f"curate plan regressed to {n_joins} joins:\n{p}"
