@@ -424,9 +424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def kg_tfidf(spark, sf_dir):
-        # A7 with the reference's multi-gram term space (1-3grams here; the
-        # ngrams are built from a MATERIALIZED token column — see
-        # kgspark.topics.ngrams_of for the Catalyst re-evaluation trap)
+        # A7 with the reference's full multi-gram term space — ngram_range
+        # (1,4), ref knowledge_graph_builder.py:270-276 — built from a
+        # MATERIALIZED token column (see kgspark.topics.ngrams_of for the
+        # Catalyst re-evaluation trap)
         from kgspark.topics import all_ngrams_of
 
         from kgspark.session import materialize
@@ -442,7 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tf = (
             toks.select(
                 "doc_id",
-                F.explode(all_ngrams_of(F.col("__toks"), (1, 3))).alias("term"),
+                F.explode(all_ngrams_of(F.col("__toks"), (1, 4))).alias("term"),
             )
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
@@ -1239,7 +1240,8 @@ tf AS (
     SELECT doc_id,
            unnest(ts
                || [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]
-               || [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]) AS term
+               || [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]
+               || [array_to_string(ts[i:i+3], ' ') for i in range(1, len(ts) - 2)]) AS term
     FROM toks
   ) GROUP BY doc_id, term
 ),
