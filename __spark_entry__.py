@@ -121,6 +121,23 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+def _banded_sql(table: str, id_col: str, bands: int, bits: int) -> str:
+    """(id, band, val) exploded banded sign-LSH values of `table`.embedding —
+    mirrors kgspark.dedup.banded_sign_values: STRIDED coordinate subsets,
+    bit i of band b set iff embedding[b + i*bands] > 0 (1-based in SQL)."""
+    band_exprs = []
+    for b in range(bands):
+        expr = " + ".join(
+            f"CASE WHEN embedding[{b + i * bands + 1}] > 0 THEN {2 ** i} ELSE 0 END"
+            for i in range(bits)
+        )
+        band_exprs.append(f"({expr})")
+    return (
+        f"SELECT {id_col}, unnest([{', '.join(band_exprs)}]) AS val, "
+        f"unnest(range({bands})) AS band FROM {table}"
+    )
+
+
 def _minhash_pairs_sql(num_hashes: int, bands: int, shingle_n: int,
                        threshold: float) -> str:
     rows = num_hashes // bands
@@ -568,9 +585,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = embed_texts(docs, fp64=True).select(
             F.col("doc_id").alias("vec_id"), "text", "embedding"
         )
-        # bits=6: 64 sign-buckets -> ~4x fewer candidate pairs than the
-        # default 4 bits (this is the heaviest per-query plan in the suite)
-        labels = dbscan_labels(emb, cos_threshold=0.3, min_samples=2, bits=6)
+        # 4 bands x 16 hyperplanes: on this adversarially self-similar corpus
+        # the banded blocking yields ~4x fewer candidates than the old 6-bit
+        # single-bucket scheme AND separates real template clusters instead
+        # of one near-giant component (measured: 1413 cand / 16 clusters vs
+        # 5518 cand at sf0.01)
+        labels = dbscan_labels(
+            emb, cos_threshold=0.3, min_samples=2, bands=4, band_bits=16
+        )
         clusters = labels.where(F.col("cluster").isNotNull()).select(
             F.col("vec_id").alias("doc_id"), "cluster"
         )
@@ -628,12 +650,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_dbscan_topics(spark, sf_dir):
         # A4: DBSCAN-equivalent density clustering (ref
-        # knowledge_graph_builder.py:259-261, min_samples=2) — blocked
+        # knowledge_graph_builder.py:259-261, min_samples=2) — banded-LSH
         # eps-graph + core/border/noise labeling; exact SQL twin below
         from kgspark.density import dbscan_labels
 
         emb = _read(spark, sf_dir, "embeddings")
-        out = dbscan_labels(emb, cos_threshold=0.3, min_samples=2, bits=4)
+        out = dbscan_labels(
+            emb, cos_threshold=0.3, min_samples=2, bands=8, band_bits=8
+        )
         # noise as -1 (sklearn's own convention): NULLs can't be sorted by
         # the gate's canonicalizer
         return out.select(
@@ -699,7 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_embedding(spark, sf_dir):
         return embedding_near_dup(
-            _read(spark, sf_dir, "embeddings"), threshold=0.3, bits=4
+            _read(spark, sf_dir, "embeddings"), threshold=0.3,
+            bands=8, band_bits=8,
         )
 
     # -- similarity search --------------------------------------------------
@@ -716,7 +741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_lsh(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
-        return cosine_topk_lsh(emb, _queries_df(spark, sf_dir), k=5, bits=6)
+        return cosine_topk_lsh(
+            emb, _queries_df(spark, sf_dir), k=5, bands=8, band_bits=8
+        )
 
     def ann_ivf(spark, sf_dir):
         # nprobe = nlist: probing every inverted list makes IVF exact, so the
@@ -1379,32 +1406,36 @@ td_comp AS (
   SELECT s.doc_id, s.bucket, s.v / norms.n AS c
   FROM td_sums s JOIN td_norms norms USING (doc_id) WHERE s.v <> 0
 ),
-td_blk AS (
-  SELECT d.doc_id,
-         (CASE WHEN coalesce(b0.c, 0) > 0 THEN 1 ELSE 0 END
-        + CASE WHEN coalesce(b1.c, 0) > 0 THEN 2 ELSE 0 END
-        + CASE WHEN coalesce(b2.c, 0) > 0 THEN 4 ELSE 0 END
-        + CASE WHEN coalesce(b3.c, 0) > 0 THEN 8 ELSE 0 END
-        + CASE WHEN coalesce(b4.c, 0) > 0 THEN 16 ELSE 0 END
-        + CASE WHEN coalesce(b5.c, 0) > 0 THEN 32 ELSE 0 END) AS blk
+td_bandsum AS (
+  -- banded sign-LSH (4 bands x 16 hyperplanes) over the SPARSE component
+  -- form: coordinate `bucket` belongs to band (bucket mod 4) at bit bucket//4
+  -- (the strided layout of kgspark.dedup.banded_sign_values); absent buckets
+  -- contribute a 0 bit, handled by the scaffold LEFT JOIN below
+  SELECT doc_id, (bucket % 4) AS band,
+         sum(CASE WHEN c > 0 THEN (1::BIGINT << (bucket // 4)) ELSE 0 END) AS val
+  FROM td_comp GROUP BY doc_id, (bucket % 4)
+),
+td_bands AS (
+  SELECT d.doc_id, gs.band, coalesce(s.val, 0) AS val
   FROM documents d
-  LEFT JOIN td_comp b0 ON b0.doc_id = d.doc_id AND b0.bucket = 0
-  LEFT JOIN td_comp b1 ON b1.doc_id = d.doc_id AND b1.bucket = 1
-  LEFT JOIN td_comp b2 ON b2.doc_id = d.doc_id AND b2.bucket = 2
-  LEFT JOIN td_comp b3 ON b3.doc_id = d.doc_id AND b3.bucket = 3
-  LEFT JOIN td_comp b4 ON b4.doc_id = d.doc_id AND b4.bucket = 4
-  LEFT JOIN td_comp b5 ON b5.doc_id = d.doc_id AND b5.bucket = 5
+  CROSS JOIN (SELECT unnest(range(4)) AS band) gs
+  LEFT JOIN td_bandsum s ON s.doc_id = d.doc_id AND s.band = gs.band
+),
+td_cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM td_bands l JOIN td_bands r
+    ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
 ),
 td_n2 AS (SELECT doc_id, sqrt(sum(c * c)) AS n2 FROM td_comp GROUP BY doc_id),
 td_pairs AS (
-  SELECT l.doc_id AS a, r.doc_id AS b
-  FROM td_blk l JOIN td_blk r ON l.blk = r.blk AND l.doc_id < r.doc_id
-  JOIN td_n2 la ON la.doc_id = l.doc_id
-  JOIN td_n2 rb ON rb.doc_id = r.doc_id
+  SELECT cd.a, cd.b
+  FROM td_cand cd
+  JOIN td_n2 la ON la.doc_id = cd.a
+  JOIN td_n2 rb ON rb.doc_id = cd.b
   WHERE round(
     (SELECT coalesce(sum(x.c * y.c), 0)
      FROM td_comp x JOIN td_comp y ON x.bucket = y.bucket
-     WHERE x.doc_id = l.doc_id AND y.doc_id = r.doc_id) / (la.n2 * rb.n2), 6
+     WHERE x.doc_id = cd.a AND y.doc_id = cd.b) / (la.n2 * rb.n2), 6
   ) >= 0.3
 ),
 td_sym AS (SELECT a, b FROM td_pairs UNION SELECT b, a FROM td_pairs),
@@ -1451,21 +1482,21 @@ SELECT cluster,
 FROM td_top GROUP BY cluster
 """,
         # DBSCAN at min_samples=2 == connected components of the eps-graph
-        # with singletons as noise; the eps-graph is the same sign-LSH-blocked
+        # with singletons as noise; the eps-graph is the same banded-LSH
         # cosine join the dedup_embedding oracle uses
         "kg_dbscan_topics": f"""
-WITH RECURSIVE db_t AS (
-  SELECT vec_id, embedding,
-         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS blk
-  FROM embeddings
+WITH RECURSIVE db_b AS ({_banded_sql('embeddings', 'vec_id', 8, 8)}),
+db_cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM db_b l JOIN db_b r
+    ON l.band = r.band AND l.val = r.val AND l.vec_id < r.vec_id
 ),
 db_pairs AS (
-  SELECT l.vec_id AS a, r.vec_id AS b
-  FROM db_t l JOIN db_t r ON l.blk = r.blk AND l.vec_id < r.vec_id
-  WHERE round({_cos_sql('l.embedding', 'r.embedding')}, 6) >= 0.3
+  SELECT c.a, c.b
+  FROM db_cand c
+  JOIN embeddings la ON la.vec_id = c.a
+  JOIN embeddings rb ON rb.vec_id = c.b
+  WHERE round({_cos_sql('la.embedding', 'rb.embedding')}, 6) >= 0.3
 ),
 db_sym AS (SELECT a, b FROM db_pairs UNION SELECT b, a FROM db_pairs),
 db_reach(node, lab) AS (
@@ -1503,18 +1534,18 @@ WITH {_ngram_pairs_sql(3, 0.5)}
 SELECT a, b, round(jaccard, 6) AS jaccard FROM ng_pairs WHERE jaccard >= 0.5
 """,
         "dedup_embedding": f"""
-WITH t AS (
-  SELECT vec_id, embedding,
-         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS blk
-  FROM embeddings
+WITH eb AS ({_banded_sql('embeddings', 'vec_id', 8, 8)}),
+ecand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM eb l JOIN eb r
+    ON l.band = r.band AND l.val = r.val AND l.vec_id < r.vec_id
 )
-SELECT l.vec_id AS a, r.vec_id AS b,
-       round({_cos_sql('l.embedding', 'r.embedding')}, 6) AS cos
-FROM t l JOIN t r ON l.blk = r.blk AND l.vec_id < r.vec_id
-WHERE round({_cos_sql('l.embedding', 'r.embedding')}, 6) >= 0.3
+SELECT c.a, c.b,
+       round({_cos_sql('la.embedding', 'rb.embedding')}, 6) AS cos
+FROM ecand c
+JOIN embeddings la ON la.vec_id = c.a
+JOIN embeddings rb ON rb.vec_id = c.b
+WHERE round({_cos_sql('la.embedding', 'rb.embedding')}, 6) >= 0.3
 """,
         "ann_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 3),
@@ -1531,17 +1562,19 @@ SELECT query_id, vec_id, cos, rank FROM (
 ) WHERE rank <= 5
 """,
         "ann_lsh": f"""
-WITH b AS (
-  SELECT vec_id, embedding,
-         ({' + '.join(f'CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END' for i in range(6))}) AS blk
-  FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, embedding AS qemb, blk AS qblk FROM b WHERE vec_id < 3),
-scored AS (
-  SELECT q.query_id, e.vec_id,
-         round({_cos_sql('e.embedding', 'q.qemb')}, 6) AS cos
-  FROM b e JOIN q ON e.blk = q.qblk
+WITH b AS ({_banded_sql('embeddings', 'vec_id', 8, 8)}),
+q AS (SELECT vec_id AS query_id, band, val FROM b WHERE vec_id < 3),
+cand AS (
+  SELECT DISTINCT q.query_id, e.vec_id
+  FROM b e JOIN q ON e.band = q.band AND e.val = q.val
   WHERE e.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round({_cos_sql('ev.embedding', 'qv.embedding')}, 6) AS cos
+  FROM cand c
+  JOIN embeddings ev ON ev.vec_id = c.vec_id
+  JOIN embeddings qv ON qv.vec_id = c.query_id
 )
 SELECT query_id, vec_id, cos, rank FROM (
   SELECT query_id, vec_id, cos,

@@ -408,12 +408,77 @@ def ngram_jaccard_pairs(
 
 def sign_bucket(emb_col, bits: int = 8):
     """Hypercube sign-quantization bucket: bit i set iff emb[i] > 0. A
-    classic SRP-LSH with axis-aligned planes — candidates for high cosine
-    overwhelmingly share the bucket; bits tunes recall/cost."""
+    classic SRP-LSH with axis-aligned planes. SINGLE-table few-bit blocking:
+    candidate volume is ~n^2/2^bits REGARDLESS of how similar the data is —
+    kept only as a cheap probe primitive; pair generation at scale should use
+    `banded_sign_values`/`banded_pairs` (multi-table banding), where candidate
+    volume tracks near-dup density instead."""
     out = F.lit(0)
     for i in range(bits):
         out = out + F.when(emb_col[i] > 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return out
+
+
+def banded_sign_values(emb_col, bands: int = 8, band_bits: int = 8):
+    """array<long> of per-band sign-LSH values — multi-table SRP banding.
+
+    Band b reads the STRIDED coordinate subset {b, b+bands, b+2*bands, ...}
+    (band_bits coordinates, axis-aligned hyperplanes); bit i of band b is set
+    iff emb[b + i*bands] > 0. Two vectors are candidates when ANY band value
+    matches — an equi-join per band, unioned by the posexplode layout.
+
+    Why this replaces single few-bit `sign_bucket` blocking at scale: with B
+    few-bit buckets, every bucket is an all-pairs self-join of size ~n/B —
+    candidates ~n^2/B no matter how dissimilar the data (10^13 pairs at 10^8
+    docs). With many hyperplanes per band, a band value only collides when a
+    whole band_bits-wide sign pattern matches — random pairs almost never do,
+    genuine near-dups almost always do in >= 1 of the bands, so candidate
+    volume tracks near-dup density, not n^2/B. Same construction as
+    canon.candidate_pairs' MinHash bands, in cosine space.
+
+    Coordinates past the embedding's length contribute a 0 bit (NULL-safe),
+    so bands*band_bits may exceed the dimension."""
+    vals = []
+    for b in range(bands):
+        v = F.lit(0)
+        for i in range(band_bits):
+            # F.get: NULL (not ANSI error) past the array end -> 0 bit
+            v = v + F.when(
+                F.get(emb_col, b + i * bands) > 0, F.lit(2 ** i)
+            ).otherwise(F.lit(0))
+        vals.append(v.cast("long"))
+    return F.array(*vals)
+
+
+def banded_pairs(
+    t: DataFrame,
+    id_col: str = "id",
+    emb_col: str = "e",
+    bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Distinct candidate (a, b) with a < b sharing >= 1 band value.
+
+    `t` should be MATERIALIZED by the caller: the bands*band_bits sign CASEs
+    reference the embedding column once per bit, and the candidate table is
+    consumed by a verify join afterwards."""
+    bt = t.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            banded_sign_values(F.col(emb_col), bands, band_bits)
+        ).alias("band", "val"),
+    )
+    l, r = bt.alias("l"), bt.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
 
 
 def embedding_near_dup(
@@ -421,26 +486,28 @@ def embedding_near_dup(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    bits: int = 8,
+    bands: int = 8,
+    band_bits: int = 8,
 ) -> DataFrame:
-    """(a, b, cos) pairs with cosine >= threshold, blocked by sign bucket."""
+    """(a, b, cos) pairs with cosine >= threshold: banded sign-LSH candidates
+    (see banded_sign_values — candidate volume tracks near-dup density, never
+    n^2/buckets) verified with exact fp64 cosine."""
     from kgspark.embed import cosine_cols, l2_norm
 
-    t = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(emb_col).cast("array<double>").alias("e"),
-        sign_bucket(F.col(emb_col), bits).alias("blk"),
-        l2_norm(F.col(emb_col)).alias("nrm"),  # once per vector, not per pair
-    )
-    l, r = t.alias("l"), t.alias("r")
-    cos = cosine_cols(F.col("l.e"), F.col("r.e"),
-                      na=F.col("l.nrm"), nb=F.col("r.nrm"))
-    return (
-        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.round(cos, 6).alias("cos"),
+    t = materialize(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).cast("array<double>").alias("e"),
+            l2_norm(F.col(emb_col)).alias("nrm"),  # once per vector, not per pair
         )
+    )
+    cand = banded_pairs(t, "id", "e", bands, band_bits)
+    la = t.select(F.col("id").alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    rb = t.select(F.col("id").alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cos = cosine_cols(F.col("ea"), F.col("eb"), na=F.col("na"), nb=F.col("nb"))
+    return (
+        cand.join(la, "a")
+        .join(rb, "b")
+        .select("a", "b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

@@ -6,8 +6,11 @@ Three tiers, cheapest plan that meets recall wins:
             corpus, JVM-side cosine (zip_with/aggregate), per-query window
             top-k. One pass over the corpus, zero shuffles of the big side
             before the (tiny) top-k aggregation.
-  lsh       sign-quantization buckets (kgspark.dedup.sign_bucket): probe only
-            the query's bucket — the 100 TB path when queries are many.
+  lsh       banded multi-table sign-LSH (kgspark.dedup.banded_sign_values):
+            probe the corpus rows sharing ANY band value with the query —
+            the 100 TB path when queries are many. Multi-band probing keeps
+            recall high while each band's bucket stays tiny (single few-bit
+            buckets are n/2^bits-sized all-scans regardless of similarity).
   ivf       KMeans coarse quantizer: corpus partitioned into nlist inverted
             lists; probe the nprobe nearest centroids per query. The standard
             IVF-Flat layout, as DataFrames.
@@ -18,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kgspark.dedup import sign_bucket
+from kgspark.dedup import banded_sign_values
 from kgspark.embed import cosine_cols, l2_norm
 
 
@@ -67,26 +70,34 @@ def cosine_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = 8,
+    bands: int = 8,
+    band_bits: int = 8,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Bucketed ANN: candidates restricted to the query's sign bucket.
-    Same output shape as cosine_topk; recall < 1 by design (scale path)."""
+    """Banded ANN: candidates = corpus rows sharing >= 1 of the query's band
+    values (multi-table probe, deduped per (query, vec)). Same output shape
+    as cosine_topk; recall < 1 by design (scale path)."""
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("e"),
-        sign_bucket(F.col(emb_col), bits).alias("blk"),
         l2_norm(F.col(emb_col)).alias("nrm"),
+        F.posexplode(
+            banded_sign_values(F.col(emb_col), bands, band_bits)
+        ).alias("band", "val"),
     )
     q = queries.select(
-        "query_id", "qemb", sign_bucket(F.col("qemb"), bits).alias("qblk"),
-        l2_norm(F.col("qemb")).alias("qnrm"),
+        "query_id", "qemb", l2_norm(F.col("qemb")).alias("qnrm"),
+        F.posexplode(
+            banded_sign_values(F.col("qemb"), bands, band_bits)
+        ).alias("band", "val"),
     )
-    j = corpus.join(F.broadcast(q), F.col("blk") == F.col("qblk"))
+    j = corpus.join(F.broadcast(q), ["band", "val"])
     if exclude_self:
         j = j.where(F.col("vec_id") != F.col("query_id"))
+    # one row per (query, candidate) no matter how many bands matched
+    j = j.dropDuplicates(["query_id", "vec_id"])
     scored = j.select(
         "query_id",
         "vec_id",

@@ -72,11 +72,11 @@ def test_embedding_near_dup(spark):
         (0, [1.0, 0.5, -0.2, 0.1]),
         (1, [1.0, 0.5, -0.2, 0.1]),     # identical
         (2, [0.99, 0.51, -0.19, 0.11]),  # near
-        (3, [-1.0, 0.5, 0.2, -0.1]),     # far (different bucket)
+        (3, [-1.0, 0.5, 0.2, -0.1]),     # far (rejected by cosine verify)
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = {(r["a"], r["b"]): r["cos"]
-             for r in embedding_near_dup(emb, threshold=0.95, bits=4).collect()}
+             for r in embedding_near_dup(emb, threshold=0.95).collect()}
     assert pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs
     assert not any(3 in p for p in pairs)
@@ -149,3 +149,43 @@ def test_reliable_checkpoint_path(spark, tmp_path):
     finally:
         # unset so later tests go back to localCheckpoint
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+def test_banded_pairs_track_similarity_not_bucket_hotness(spark):
+    """The r2-verdict scale fix: on a fixture engineered so the old few-bit
+    sign_bucket blocking is maximally skewed (every vector shares the first
+    6 sign bits -> ONE hot bucket -> all n(n-1)/2 candidate pairs), banded
+    multi-table LSH must (a) still surface every planted near-dup pair and
+    (b) generate candidates at a small fraction of the all-pairs volume —
+    candidate count tracks near-dup density, not n^2/buckets."""
+    import hashlib
+
+    from kgspark.dedup import banded_pairs
+    from kgspark.session import materialize
+    from pyspark.sql import functions as F
+
+    def vec(seed: int) -> list[float]:
+        # first 6 coords constant-positive (the hot legacy bucket);
+        # the rest deterministic pseudo-random signs
+        out = [1.0] * 6
+        for j in range(6, 64):
+            h = hashlib.md5(f"{seed}:{j}".encode()).digest()[0]
+            out.append(1.0 if h % 2 else -1.0)
+        return out
+
+    n = 200
+    rows = [(i, vec(i)) for i in range(n)]
+    # plant 10 exact near-dup clones (ids 1000+i duplicate ids 0..9)
+    rows += [(1000 + i, vec(i)) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t = materialize(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
+    )
+    cand = banded_pairs(t, "id", "e", bands=8, band_bits=8)
+    pairs = {(r["a"], r["b"]) for r in cand.collect()}
+    for i in range(10):
+        assert (i, 1000 + i) in pairs  # every planted dup is a candidate
+    all_pairs = (n + 10) * (n + 9) // 2  # what the hot bucket would emit
+    assert len(pairs) < 0.2 * all_pairs, (
+        f"banded candidates {len(pairs)} not << all-pairs {all_pairs}"
+    )

@@ -6,8 +6,10 @@ from pyspark.sql import functions as F
 
 from kgspark.density import dbscan_labels, dbscan_or_fallback, n_clusters
 
-# Two tight clusters in opposite orthants + one isolated point. sign_bucket
-# over the first 4 dims separates the orthants; within a cluster cosine ~ 1.
+# Two tight clusters in opposite orthants + one isolated point. Banded
+# sign-LSH candidates may include cross pairs on this 6-dim fixture (bands
+# past the dimension are constant-0); the exact-cosine verify step rejects
+# them, so the final labels depend only on the 0.9 threshold.
 CLUSTER_A = [1.0, 1.0, 1.0, 1.0, 0.0, 0.1]
 CLUSTER_B = [-1.0, -1.0, -1.0, -1.0, 0.3, 0.0]
 NOISE = [1.0, -1.0, 1.0, -1.0, 5.0, -5.0]
@@ -28,11 +30,11 @@ def _emb(spark):
 def test_dbscan_two_clusters_and_noise(spark):
     labels = {r["vec_id"]: (r["cluster"], r["is_core"])
               for r in dbscan_labels(_emb(spark), cos_threshold=0.9,
-                                     min_samples=2, bits=4).collect()}
+                                     min_samples=2).collect()}
     assert labels[0] == (0, True) and labels[1] == (0, True) and labels[2] == (0, True)
     assert labels[10] == (10, True) and labels[11] == (10, True)
     assert labels[99] == (None, False)  # noise
-    lab_df = dbscan_labels(_emb(spark), cos_threshold=0.9, min_samples=2, bits=4)
+    lab_df = dbscan_labels(_emb(spark), cos_threshold=0.9, min_samples=2)
     assert n_clusters(lab_df) == 2
 
 
@@ -41,7 +43,7 @@ def test_dbscan_min_samples_core_border(spark):
     both become noise; the 3-point cluster stays (each member has 2)."""
     labels = {r["vec_id"]: (r["cluster"], r["is_core"])
               for r in dbscan_labels(_emb(spark), cos_threshold=0.9,
-                                     min_samples=3, bits=4).collect()}
+                                     min_samples=3).collect()}
     assert labels[0][1] and labels[1][1] and labels[2][1]
     assert labels[0][0] == labels[1][0] == labels[2][0] == 0
     assert labels[10] == (None, False) and labels[11] == (None, False)

@@ -37,8 +37,8 @@ def test_cosine_topk_shape(emb, queries):
 
 def test_lsh_subset_of_bucket(emb, queries):
     brute = cosine_topk(emb, queries, k=3)
-    lsh = cosine_topk_lsh(emb, queries, k=3, bits=4)
-    # LSH returns candidates only from the query's bucket; every returned
+    lsh = cosine_topk_lsh(emb, queries, k=3)
+    # LSH returns candidates sharing >= 1 band with the query; every returned
     # (query, vec) pair must score identically to the exact computation.
     b = {(r["query_id"], r["vec_id"]): r["cos"]
          for r in cosine_topk(emb, queries, k=10 ** 6).collect()}
