@@ -1037,9 +1037,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "kind", "n_bytes", F.round("byte_entropy", 4).alias("byte_entropy")
         )
 
+    # NOTE on ordering: the r2 driver gate recorded exactly the first 50
+    # entries, so the multimodal pair (then last) fell off the CORRECTNESS
+    # file. They sit near the front now — oracle-checked multimodal_meta and
+    # rows-only multimodal_features both get a recorded row.
     return {
         "kg_extract_triples": kg_extract_triples,
         "kg_substring_query": kg_substring_query,
+        "multimodal_meta": multimodal_meta,
+        "multimodal_features": multimodal_features,
         "kg_degree": kg_degree,
         "kg_clean_text": kg_clean_text,
         "kg_chunk": kg_chunk,
@@ -1088,8 +1094,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_validate": kg_validate,
         "kg_embed_vectors": kg_embed_vectors,
         "kg_schema_induction": kg_schema_induction,
-        "multimodal_meta": multimodal_meta,
-        "multimodal_features": multimodal_features,
     }
 
 
