@@ -51,3 +51,45 @@ def test_tfidf_emits_3_and_4_grams(spark):
     # default (1,2) stays bigram-bounded
     terms2 = {r["term"] for r in tfidf_scores(docs, min_df=2).collect()}
     assert not any(t.count(" ") >= 2 for t in terms2)
+
+
+def test_build_topics_golden_fixture(spark):
+    """Correctness anchor for the ML (KMeans) topic path, which is
+    permanently rows-only at the driver gate (not SQL-expressible): on a
+    cleanly separable 3-vocabulary corpus, build_topics(k=3, seed=42) must
+    recover exactly the three vocabularies with this pinned term ranking.
+    Compared as a SET of per-topic term lists so a KMeans label permutation
+    (partitioning-dependent) can't flake the test."""
+    from pyspark.sql import functions as F
+
+    from kgspark.chunk import chunk_documents
+    from kgspark.embed import embed_udf
+    from kgspark.topics import build_topics
+
+    vocab = {
+        "astro": "telescope galaxy nebula orbit photon quasar cosmic stellar",
+        "cook": "recipe saucepan simmer garlic butter flour oven whisk",
+        "law": "statute plaintiff verdict appeal tribunal clause counsel filing",
+    }
+    rows, i = [], 0
+    for words in vocab.values():
+        ws = words.split()
+        for d in range(10):
+            rows.append((i, " ".join(ws[(d + j) % len(ws)] for j in range(30))))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(docs, id_col="doc_id", text_col="text", max_length=500)
+    chunks = chunks.withColumn(
+        "chunk_uid", F.concat_ws("#", "doc_id", "chunk_id")
+    ).withColumn("embedding", embed_udf()(F.col("chunk_text")))
+    out = build_topics(chunks, k=3, seed=42)
+
+    GOLDEN = {
+        "butter|flour|saucepan|garlic|simmer|butter flour|oven|recipe|saucepan simmer|simmer garlic|garlic butter|flour oven|recipe saucepan|whisk|oven whisk|whisk recipe",
+        "clause|plaintiff|tribunal|appeal|verdict|appeal tribunal|counsel|plaintiff verdict|tribunal clause|verdict appeal|statute|filing|clause counsel|statute plaintiff|counsel filing|filing statute",
+        "photon|quasar|galaxy|nebula|orbit|galaxy nebula|nebula orbit|orbit photon|photon quasar|telescope|cosmic|quasar cosmic|telescope galaxy|stellar|cosmic stellar|stellar telescope",
+    }
+    got = {"|".join(r["terms"]) for r in out.collect()}
+    assert got == GOLDEN
+    names = {r["topic_name"] for r in out.collect()}
+    assert "Topic (photon, quasar, galaxy)" in names
