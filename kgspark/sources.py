@@ -5,10 +5,12 @@ The reference reads 11 upload formats into a normalized envelope. For the
 web-corpus target the dispatch collapses to the HTML extractor
 (kgspark.html), but the engine keeps the full surface: a binaryFile scan +
 per-format handlers. docx, xlsx and simple (raw/Flate) PDFs parse with
-pure-stdlib codecs (zipfile + ElementTree, zlib + operator scan) so no
-third-party codec is required; only image-OCR and legacy binary .doc/.xls
-remain stubbed behind a clearly marked seam — the dispatch, schema and
-error-wrapping semantics are real and tested either way.
+pure-stdlib codecs (zipfile + ElementTree, zlib + operator scan), and legacy
+binary .xls/.doc parse via the pure-stdlib OLE2/BIFF8/piece-table codecs in
+kgspark.ole — no third-party codec anywhere. Only image-OCR (no OCR engine
+exists in stdlib) and encrypted/CID-font PDFs remain gated behind a clearly
+marked seam — the dispatch, schema and error-wrapping semantics are real and
+tested either way.
 
 Reference error semantics preserved: an unsupported extension raises
 ValueError (ref knowledgeGraph.py:99-101); per-file handler errors are
@@ -120,20 +122,26 @@ def _xlsx_records(data: bytes) -> list[dict]:
 def read_excel(data: bytes) -> str:
     """ref S2 (knowledgeGraph.py:48-55): read_excel -> records. Prefers
     pandas+openpyxl when present; falls back to the pure-stdlib xlsx parser
-    (zip + sheet XML). Binary .xls stays unsupported without xlrd."""
+    (zip + sheet XML) or, for legacy binary .xls, the pure-stdlib OLE2/BIFF8
+    codec (kgspark.ole)."""
     import io
+
+    from kgspark import ole
 
     try:
         df = pd.read_excel(io.BytesIO(data))
         records = df.to_dict(orient="records")
     except Exception:
-        # pandas needs openpyxl/xlrd (absent here) — xlsx zips fall back to
-        # the stdlib parser; binary .xls genuinely needs the codec
-        if data[:2] != b"PK":
-            raise NotImplementedError(
-                "binary .xls needs xlrd (absent); xlsx parses without it"
+        # pandas needs openpyxl/xlrd (absent here) — both container formats
+        # parse with the stdlib codecs instead
+        if data[:2] == b"PK":
+            records = _xlsx_records(data)
+        elif ole.is_cfb(data):
+            records = ole.xls_records(data)
+        else:
+            raise ValueError(
+                "unrecognized excel container (neither xlsx zip nor OLE2)"
             ) from None
-        records = _xlsx_records(data)
     # ref :52-54: per-cell clean_value (NaN -> null, strings cleaned)
     records = [{k: clean_value(v) for k, v in r.items()} for r in records]
     return _json.dumps(records, ensure_ascii=False, default=str)
@@ -158,16 +166,19 @@ def _docx_paragraphs(data: bytes) -> list[str]:
 
 def read_doc(data: bytes) -> str:
     """ref S4 (knowledgeGraph.py:62-65): per-paragraph texts, cleaned.
-    docx parses pure-stdlib (zip + document.xml); legacy binary .doc (OLE)
-    still needs antiword/python-docx — surfaced as the error column."""
-    if data[:2] != b"PK":
-        raise NotImplementedError(
-            "legacy binary .doc needs an OLE codec (absent); .docx parses "
-            "without it"
+    docx parses pure-stdlib (zip + document.xml); legacy binary .doc parses
+    via the pure-stdlib OLE2 piece-table codec (kgspark.ole)."""
+    from kgspark import ole
+
+    if data[:2] == b"PK":
+        paras = _docx_paragraphs(data)
+    elif ole.is_cfb(data):
+        paras = ole.doc_paragraphs(data)
+    else:
+        raise ValueError(
+            "unrecognized doc container (neither docx zip nor OLE2)"
         )
-    return _json.dumps(
-        [clean_text(p) for p in _docx_paragraphs(data)], ensure_ascii=False
-    )
+    return _json.dumps([clean_text(p) for p in paras], ensure_ascii=False)
 
 
 def _pdf_literal(s: bytes) -> str:

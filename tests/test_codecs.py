@@ -90,11 +90,13 @@ def test_docx_paragraphs_roundtrip():
     assert got == ["Hello world", "Second paragraph", ""]  # clean_text applied
 
 
-def test_doc_legacy_binary_is_gated():
+def test_unknown_container_is_rejected():
     import pytest
 
-    with pytest.raises(NotImplementedError, match="OLE"):
-        read_doc(b"\xd0\xcf\x11\xe0 legacy ole container")
+    with pytest.raises(ValueError, match="container"):
+        read_doc(b"\x00\x01 not a doc")
+    with pytest.raises(ValueError, match="container"):
+        read_excel(b"\x00\x01 not a sheet")
 
 
 def test_xlsx_records_roundtrip():
@@ -139,3 +141,91 @@ def test_read_documents_scan_with_codecs(spark, tmp_path):
     assert json.loads(rows["c.xlsx"]["content"]) == [{"k": "v1"}, {"k": "v2"}]
     assert rows["d.txt"]["content"] == "plain text"
     assert all(r["error"] is None for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# legacy OLE2 codecs (.xls BIFF8, .doc piece table) — kgspark/ole.py
+# ---------------------------------------------------------------------------
+
+from tests.cfb_fixture import make_cfb, make_doc, make_xls  # noqa: E402
+
+from kgspark.ole import cfb_streams, doc_paragraphs, xls_records  # noqa: E402
+
+
+def test_cfb_container_roundtrip_mini_and_regular():
+    streams = {
+        "Small": b"tiny stream",  # < 4096 -> mini stream + mini FAT
+        "Tiny2": b"x" * 200,
+        "BigStream": bytes(range(256)) * 30,  # 7680 B -> regular FAT chain
+    }
+    got = cfb_streams(make_cfb(streams))
+    assert got == streams
+
+
+def test_cfb_rejects_non_ole():
+    import pytest
+
+    with pytest.raises(ValueError, match="OLE2"):
+        cfb_streams(b"PK\x03\x04 this is a zip")
+
+
+def test_xls_records_strings_and_numbers():
+    data = make_xls(["name", "qty", "price"],
+                    [["widget", 3, 2.5], ["gadget", -7, 10.0]])
+    assert xls_records(data) == [
+        {"name": "widget", "qty": 3, "price": 2.5},
+        {"name": "gadget", "qty": -7, "price": 10},
+    ]
+
+
+def test_xls_sst_continue_and_utf16():
+    rows = [[f"v{i}", i] for i in range(8)] + [["café ☃", 99]]
+    data = make_xls(["k", "n"], rows, continue_split=4)
+    got = xls_records(data)
+    assert got[-1] == {"k": "café ☃", "n": 99}
+    assert [r["k"] for r in got[:8]] == [f"v{i}" for i in range(8)]
+
+
+def test_xls_big_workbook_regular_chain():
+    data = make_xls(["a"], [["b"], ["c"]], pad_to=8192)
+    assert xls_records(data) == [{"a": "b"}, {"a": "c"}]
+
+
+def test_read_excel_routes_legacy_xls():
+    data = make_xls(["h"], [["v", ], [3.25]])
+    assert json.loads(read_excel(data)) == [{"h": "v"}, {"h": 3.25}]
+
+
+def test_doc_paragraphs_cp1252():
+    data = make_doc(["First paragraph", "Café notes", ""])
+    assert doc_paragraphs(data) == ["First paragraph", "Café notes", ""]
+
+
+def test_doc_paragraphs_utf16_and_two_pieces():
+    paras = ["Unicode ☃ snowman", "second über paragraph"]
+    assert doc_paragraphs(make_doc(paras, utf16=True)) == paras
+    # mixed piece table: leading CP1252 piece + trailing UTF-16 piece
+    # (the split lands mid-text, so the first half must stay CP1252-safe)
+    mixed = ["plain ascii lead-in text", "tail with unicode ☃"]
+    assert doc_paragraphs(make_doc(mixed, two_pieces=True)) == mixed
+
+
+def test_doc_big_stream_and_1table():
+    paras = [f"paragraph number {i}" for i in range(40)]
+    data = make_doc(paras, pad_to=8192, table_name="1Table")
+    assert doc_paragraphs(data) == paras
+
+
+def test_read_doc_routes_legacy_doc():
+    data = make_doc(["alpha   beta", "gamma"])
+    assert json.loads(read_doc(data)) == ["alpha beta", "gamma"]  # clean_text
+
+
+def test_dispatch_routes_legacy_ole_codecs():
+    row = dispatch("old.xls", make_xls(["k"], [["v"]]))
+    assert json.loads(row["content"]) == [{"k": "v"}] and row["error"] is None
+    row = dispatch("old.doc", make_doc(["para one"]))
+    assert json.loads(row["content"]) == ["para one"] and row["error"] is None
+    # corrupt OLE surfaces in the error column, never fatal
+    row = dispatch("bad.doc", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    assert row["content"] is None and row["error"]
