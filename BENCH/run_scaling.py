@@ -51,9 +51,12 @@ from kgspark.edges import concept_edges
 
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; repl = int(sys.argv[3])
 HEAVY = 8  # ~12 KB docs — realistic web-page text size
+import os as _os
+conf = {{"spark.driver.memory": "24g"}}
+conf.update(json.loads(_os.environ.get("KGSPARK_SCALING_CONF", "{{}}")))
 spark = get_spark("scaling", master=f"local[{{cpus}}]",
                   shuffle_partitions=2 * cpus,
-                  extra_conf={{"spark.driver.memory": "24g"}})
+                  extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
 pages = E._parts_pages(spark, sf_dir)
 n_parts = pages.count()
