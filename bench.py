@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "rel_sessionization",
     "rel_asof_join",
     "rel_range_join",
+    "corpus_split",
+    "corpus_pack",
+    "corpus_mix",
 ]
 
 

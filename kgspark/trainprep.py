@@ -1,0 +1,161 @@
+"""Training-data preparation operators: deterministic split, greedy sequence
+packing, domain-mixing resampling.
+
+The reference stops at KG construction; an LLM-training pipeline additionally
+needs the corpus -> training-set steps. All three operators here are
+deterministic functions of md5 over stable ids — replayable on retry, no RNG
+state, no global ordering — and every one is expressible in ANSI SQL, so each
+has a full DuckDB oracle in `__spark_entry__` (corpus_split / corpus_pack /
+corpus_mix).
+
+Scale posture (100 TB):
+  - `hash_split` is a pure projection — no shuffle, no state.
+  - `pack_greedy` shuffles once on a deterministic hash group and packs each
+    group independently in an Arrow-batched pandas stage; `n_groups` is the
+    parallelism/memory knob (set it so one group's (id, n_tokens) pairs fit
+    an executor; 10^5 groups at 10^9 docs -> 10^4 docs/group). Sequential
+    greedy packing is inherently order-dependent, so a single global stream
+    would serialize — per-group streams keep the same bin quality (fill loss
+    only at each group's final sequence) while scaling linearly.
+  - `mix_sources` aggregates one per-source count (source cardinality is
+    dimension-sized), broadcasts the acceptance ratios, and filters by each
+    doc's md5 fraction — no per-source sort/rank (a rank-based top-n_s would
+    funnel each source through one task: the skew trap `kgtrain.ranked_
+    entities` avoids for the same reason).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _hex6_int(col):
+    """First 6 md5 nibbles -> int in [0, 16^6); portable to DuckDB via
+    strpos arithmetic (see kgspark.kgtrain._hex6_to_int)."""
+    out = F.lit(0)
+    for i in range(6):
+        out = out * 16 + (F.instr(F.lit(_HEX), F.substring(col, i + 1, 1)) - 1)
+    return out
+
+
+def _doc_hash(id_col: str, salt: str):
+    return F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+
+
+def _doc_frac(id_col: str, salt: str):
+    """Deterministic uniform in [0, 1) per (salt, id)."""
+    return _hex6_int(_doc_hash(id_col, salt)).cast("double") / F.lit(
+        float(16 ** 6)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by hash — train/val/test membership is a
+    pure function of (salt, id): stable across runs, machines and row order,
+    and rows never leak between splits when the corpus is re-filtered or
+    re-partitioned. Weights must sum to 1; label boundaries are the running
+    cumulative sums (IEEE fp64 left-to-right, mirrored by the oracle)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    frac = _doc_frac(id_col, salt)
+    names = list(weights)
+    col = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = frac < F.lit(cum)
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    col = col.otherwise(names[-1]) if col is not None else F.lit(names[-1])
+    return df.withColumn("split", col)
+
+
+def split_cuts(weights: dict[str, float]) -> list[tuple[float, str]]:
+    """(cumulative upper bound, label) pairs exactly as `hash_split` computes
+    them — the oracle generator uses this so both engines share literals."""
+    out: list[tuple[float, str]] = []
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        out.append((cum, name))
+    return out
+
+
+_PACK_SCHEMA = "group_id long, seq_id long, doc_id long, n_tokens long"
+
+
+def pack_greedy(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_groups: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy sequential sequence packing: hash-route docs into `n_groups`
+    independent streams, pack each stream in id order — a doc opens a new
+    sequence when adding it would overflow `max_tokens`; docs longer than
+    `max_tokens` occupy a sequence alone. Output: one row per doc with its
+    (group_id, seq_id) bin assignment."""
+    group = (_hex6_int(_doc_hash(id_col, salt)) % n_groups).cast("long")
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        group.alias("group_id"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, cum = 0, 0
+        for n in pdf["n_tokens"]:
+            if cum > 0 and cum + n > max_tokens:
+                seq += 1
+                cum = 0
+            seq_ids.append(seq)
+            cum += n
+        pdf["seq_id"] = seq_ids
+        return pdf[["group_id", "seq_id", "doc_id", "n_tokens"]]
+
+    return base.groupBy("group_id").applyInPandas(pack, schema=_PACK_SCHEMA)
+
+
+def mix_sources(
+    df: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample the corpus toward a target domain mix. Given target
+    proportions p_s, the largest total consistent with availability is
+    T = min_s(n_s / p_s); each source keeps docs with acceptance ratio
+    (p_s * T) / n_s (= 1 for the binding source), selected by the doc's md5
+    fraction. Sources absent from `target` are dropped. Counts land within
+    binomial noise of exact — the price of having no per-source rank."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(p)) for s, p in target.items()], f"{source_col} string, p double"
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .join(tgt, source_col)
+    )
+    t_row = counts.agg(F.min(F.col("n") / F.col("p")).alias("t"))
+    ratios = counts.crossJoin(F.broadcast(t_row)).select(
+        source_col, ((F.col("p") * F.col("t")) / F.col("n")).alias("ratio")
+    )
+    frac = _doc_frac(id_col, salt)
+    return (
+        df.join(F.broadcast(ratios), source_col)
+        .where(frac < F.col("ratio"))
+        .drop("ratio")
+    )

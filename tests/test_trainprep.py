@@ -1,0 +1,95 @@
+"""Training-data prep operators (kgspark.trainprep): deterministic split,
+greedy sequence packing, domain-mixing resampler."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgspark.trainprep import hash_split, mix_sources, pack_greedy
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = _docs(spark)
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # pure function of (salt, id): same assignment on re-run and re-order
+    again = hash_split(docs.orderBy(F.desc("doc_id")),
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert (out.join(again.withColumnRenamed("split", "s2"), "doc_id")
+            .where(F.col("split") != F.col("s2")).count()) == 0
+    # different salt -> different assignment
+    salted = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="x")
+    assert (out.join(salted.withColumnRenamed("split", "s2"), "doc_id")
+            .where(F.col("split") != F.col("s2")).count()) > 0
+
+
+def test_hash_split_no_shuffle(spark):
+    plan = hash_split(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+
+
+def test_pack_greedy_respects_budget_and_order(spark):
+    rows = [(i, 30 + (i * 37) % 70) for i in range(300)] + [(999, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_greedy(df, max_tokens=128, n_groups=4).collect()
+    assert len(out) == 301
+    by_seq: dict[tuple, list] = {}
+    for r in out:
+        by_seq.setdefault((r["group_id"], r["seq_id"]), []).append(r)
+    for (g, s), members in by_seq.items():
+        total = sum(m["n_tokens"] for m in members)
+        if total > 128:  # only an oversized doc may exceed, and only alone
+            assert len(members) == 1 and members[0]["n_tokens"] > 128
+    # full greedy re-simulation per group: seq assignment must equal the spec
+    for g in {r["group_id"] for r in out}:
+        grp = sorted((r for r in out if r["group_id"] == g),
+                     key=lambda r: r["doc_id"])
+        cum, seq = 0, 0
+        for r in grp:
+            n = r["n_tokens"]
+            if cum > 0 and cum + n > 128:
+                seq += 1
+                cum = 0
+            assert r["seq_id"] == seq, (g, r["doc_id"], r["seq_id"], seq)
+            cum += n
+
+
+def test_pack_greedy_deterministic_groups(spark):
+    df = spark.createDataFrame([(i, 10) for i in range(100)],
+                               "doc_id long, n_tokens long")
+    a = {r["doc_id"]: (r["group_id"], r["seq_id"])
+         for r in pack_greedy(df, 64, n_groups=8).collect()}
+    b = {r["doc_id"]: (r["group_id"], r["seq_id"])
+         for r in pack_greedy(df.repartition(7), 64, n_groups=8).collect()}
+    assert a == b
+
+
+def test_mix_sources_hits_target_ratios(spark):
+    docs = _docs(spark, 4000)  # 4 sources x 1000
+    out = mix_sources(docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # binding source src0 (ratio 1.0) keeps everything; others halve
+    assert counts["src0"] == 1000
+    assert abs(counts["src1"] - 500) < 60 and abs(counts["src2"] - 500) < 60
+    assert "src3" not in counts  # absent from target -> dropped
+    # deterministic on replay
+    n1 = out.count()
+    assert mix_sources(docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}).count() == n1
+
+
+def test_mix_sources_no_global_sort(spark):
+    plan = (mix_sources(_docs(spark), {"src0": 0.6, "src1": 0.4})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "rangepartitioning" not in plan.lower()  # no per-source rank/sort
