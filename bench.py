@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "corpus_split",
     "corpus_pack",
     "corpus_mix",
+    "kg_triangles",
+    "kg_link_predict",
 ]
 
 

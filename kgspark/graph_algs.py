@@ -107,3 +107,120 @@ def k_hop(
         visited = materialize(visited.unionByName(nxt))
         frontier = nxt
     return visited.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(node, triangles): undirected triangle count per node.
+
+    Degree-ordered orientation (compact-forward): every undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher one, so each
+    triangle is counted exactly once as wedge u->v, u->w (v ordered before w)
+    closed by the oriented edge v->w. The orientation bounds oriented
+    out-degree by O(sqrt(m)) — the property that keeps the wedge self-join
+    from going quadratic on hub nodes at web scale (the naive neighbor
+    self-join blows up on exactly those)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = materialize(und)
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge from lower (deg, id) to higher (deg, id)
+    j = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    e = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    )
+    e = materialize(e)
+    x, y = e.alias("x"), e.alias("y")
+    wedges = x.join(y, on=(F.col("x.src") == F.col("y.src")) & (
+        (F.col("x.dst_d") < F.col("y.dst_d"))
+        | ((F.col("x.dst_d") == F.col("y.dst_d")) & (F.col("x.dst") < F.col("y.dst")))
+    )).select(
+        F.col("x.src").alias("u"), F.col("x.dst").alias("v"), F.col("y.dst").alias("w")
+    )
+    tris = wedges.join(
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    )
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v").alias("node")))
+        .union(tris.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+
+
+def common_neighbors(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_degree: int | None = None,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Link prediction over the undirected graph: for unlinked node pairs,
+    (u, v, common, jaccard) — shared-neighbor count and Jaccard coefficient
+    common / (deg_u + deg_v - common), keeping pairs with >= min_common.
+
+    The wedge join through a shared neighbor is quadratic in that neighbor's
+    degree; `max_degree` drops super-hub intermediates (standard practice —
+    a hub shared by everyone predicts nothing anyway). At web scale set it
+    near sqrt(corpus degree budget); None keeps all nodes."""
+    nbrs = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .where(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    nbrs = materialize(nbrs)
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    if max_degree is not None:
+        thru = deg.where(F.col("d") <= max_degree).select(
+            F.col("node").alias("nbr")
+        )
+        wedge_src = nbrs.join(thru, "nbr")
+    else:
+        wedge_src = nbrs
+    l, r = wedge_src.alias("l"), wedge_src.alias("r")
+    pairs = (
+        l.join(r, on=(F.col("l.nbr") == F.col("r.nbr"))
+               & (F.col("l.node") < F.col("r.node")))
+        .groupBy(F.col("l.node").alias("u"), F.col("r.node").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    linked = nbrs.select(F.col("node").alias("u"), F.col("nbr").alias("v"))
+    unlinked = pairs.join(linked, ["u", "v"], "left_anti")
+    return (
+        unlinked.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u", "v", F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -56,3 +56,53 @@ def test_k_hop_start_df(spark):
     start = e.agg(F.min("subj").alias("start"))
     got = {r["node"]: r["hop"] for r in k_hop(e, start, k=1).collect()}
     assert got == {"a": 0, "b": 1, "c": 1}
+
+
+def test_triangle_count_known_graph(spark):
+    from kgspark.graph_algs import triangle_count
+
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant path d-e-f
+    # (no new triangles); edge directions and duplicates must not matter
+    k4 = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d"),
+          ("c", "d"), ("d", "e"), ("e", "f"), ("b", "a"), ("a", "b")]
+    e = spark.createDataFrame(k4, "subj string, obj string")
+    got = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # self-loops are ignored
+    e2 = e.union(spark.createDataFrame([("a", "a")], "subj string, obj string"))
+    assert {r["node"]: r["triangles"]
+            for r in triangle_count(e2).collect()} == got
+
+
+def test_common_neighbors_link_prediction(spark):
+    from kgspark.graph_algs import common_neighbors
+
+    # square a-b-c-d-a: the two diagonals (a,c) and (b,d) each share exactly
+    # 2 neighbors and are unlinked; every adjacent pair is excluded
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    e = spark.createDataFrame(sq, "subj string, obj string")
+    got = {(r["u"], r["v"]): (r["common"], r["jaccard"])
+           for r in common_neighbors(e, min_common=2).collect()}
+    assert got == {("a", "c"): (2, 1.0), ("b", "d"): (2, 1.0)}
+    # jaccard denominator: deg(u)+deg(v)-common
+    star = sq + [("a", "x"), ("c", "x")]  # a,c now deg 3, still share b,d,x
+    e2 = spark.createDataFrame(star, "subj string, obj string")
+    got2 = {(r["u"], r["v"]): (r["common"], r["jaccard"])
+            for r in common_neighbors(e2, min_common=2).collect()}
+    assert got2[("a", "c")] == (3, 1.0)  # 3 / (3 + 3 - 3)
+    assert got2[("b", "x")] == (2, 1.0)
+
+
+def test_common_neighbors_max_degree_drops_hubs(spark):
+    from kgspark.graph_algs import common_neighbors
+
+    # hub h connects everyone; only wedges THROUGH low-degree nodes survive
+    hub = [("h", x) for x in "abcdef"] + [("a", "m"), ("b", "m")]
+    e = spark.createDataFrame(hub, "subj string, obj string")
+    with_hub = {(r["u"], r["v"])
+                for r in common_neighbors(e, min_common=1).collect()}
+    assert ("c", "d") in with_hub  # via the hub
+    pruned = {(r["u"], r["v"])
+              for r in common_neighbors(e, min_common=1, max_degree=3).collect()}
+    assert ("c", "d") not in pruned
+    assert ("a", "b") in pruned  # via m (degree 2)
