@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "corpus_mix",
     "kg_triangles",
     "kg_link_predict",
+    "text_pii",
+    "corpus_decontam",
 ]
 
 

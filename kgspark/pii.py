@@ -1,0 +1,55 @@
+"""PII detection + redaction as pure column expressions.
+
+Standard pre-training curation step (the reference has no equivalent; C4 /
+RefinedWeb-class pipelines all carry one): detect emails, IPv4 addresses,
+SSN-shaped ids, card-shaped numbers and phone numbers, count them per
+document, and emit a redacted text with typed placeholders.
+
+Everything is JVM-side `regexp_extract_all` / `regexp_replace` — no Python
+in the hot path, fully pushdown-friendly, and the patterns are written in
+the regex subset Java and RE2 interpret identically (no lookaround, no
+backreferences, `-` only at class end), so the DuckDB oracle (`text_pii`)
+runs the byte-same patterns.
+
+Redaction is a FIXED-ORDER chain (dict order below) and each type's count
+is taken on the text as already redacted by the earlier types — so
+overlapping matches (an SSN inside a longer digit run a phone pattern could
+grab) resolve deterministically and identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ordered most-specific -> most-general; the phone pattern is last because
+# it is the greediest digit-eater
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "card": r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+
+
+def _placeholder(name: str) -> str:
+    return f"[{name.upper()}]"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Adds `n_<type>` count columns (long), `n_pii` total, and `out_col`
+    with every match replaced by its typed placeholder."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        n = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        counts.append(n.cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, _placeholder(name))
+    out = df.select("*", *counts, cur.alias(out_col))
+    total = sum((F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0))
+    return out.withColumn("n_pii", total.cast("long"))

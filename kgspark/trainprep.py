@@ -107,7 +107,9 @@ def pack_greedy(
     group = (_hex6_int(_doc_hash(id_col, salt)) % n_groups).cast("long")
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(tokens_col).cast("long").alias("n_tokens"),
+        # null token counts (e.g. null text upstream) pack as 0-length —
+        # a NaN would poison the pandas cumulative loop for the whole group
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("n_tokens"),
         group.alias("group_id"),
     )
 

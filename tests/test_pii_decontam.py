@@ -1,0 +1,62 @@
+"""PII scrubbing (kgspark.pii) + benchmark decontamination (kgspark.decontam)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgspark.decontam import flag_contaminated
+from kgspark.pii import scrub_pii
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@corp.example.org today"),
+        (2, "server 192.168.10.1 answered; card 4111 1111 1111 1234 on file"),
+        (3, "ssn 123-45-6789 and phone +1 (555) 123-4567"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_pii"] == 1
+    assert "jane" not in got[1]["redacted"] and "[EMAIL]" in got[1]["redacted"]
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_card"] == 1
+    assert "[IPV4]" in got[2]["redacted"] and "[CARD]" in got[2]["redacted"]
+    # fixed order: the SSN is consumed by the ssn rule, not the phone rule
+    assert got[3]["n_ssn"] == 1 and got[3]["n_phone"] == 1
+    assert got[3]["redacted"] == "ssn [SSN] and phone [PHONE]"
+    assert got[4]["n_pii"] == 0 and got[4]["redacted"] == rows[3][1]
+
+
+def test_scrub_pii_is_pure_projection(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_flag_contaminated_known_overlap(spark):
+    shared = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+    corpus = spark.createDataFrame(
+        [
+            (1, "lead text " + shared + " trailing"),
+            (2, "completely different content with many words " * 3),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "bench prefix " + shared)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in flag_contaminated(corpus, bench, n=13).collect()}
+    assert len(got) == 3  # annotate-don't-drop: every corpus row present
+    assert got[1]["contaminated"] and got[1]["n_hit_grams"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_hit_grams"] == 0
+    assert not got[3]["contaminated"]  # < n tokens -> no grams, never flagged
+
+
+def test_flag_contaminated_counts_distinct_grams(spark):
+    text = "a b c d e a b c d e a b c d e"  # repeated -> distinct 5-grams only
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    r = flag_contaminated(corpus, bench, n=5).collect()[0]
+    # 11 positions but only 5 distinct 5-grams in the cyclic text
+    assert r["n_hit_grams"] == 5 and r["contaminated"]
