@@ -257,12 +257,14 @@ def _pii_sql() -> str:
         " || CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 ' ||"
         " lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
     )
+    # counts on coalesce(t, '') / redaction NULL-preserving — mirrors
+    # scrub_pii's NULL-text contract (0 counts, NULL redaction)
     ctes = ["pii_0 AS (SELECT doc_id, " + aug + " AS t FROM documents)"]
     for i, (name, pat) in enumerate(PII_PATTERNS.items(), 1):
         p = pat.replace("'", "''")
         ctes.append(
             f"pii_{i} AS (SELECT * EXCLUDE (t), "
-            f"len(regexp_extract_all(t, '{p}'))::BIGINT AS n_{name}, "
+            f"len(regexp_extract_all(coalesce(t, ''), '{p}'))::BIGINT AS n_{name}, "
             f"regexp_replace(t, '{p}', '{_placeholder(name)}', 'g') AS t "
             f"FROM pii_{i - 1})"
         )

@@ -80,7 +80,14 @@ def _recover_stale(spark: SparkSession, fs, root) -> None:
         if name.startswith(_BAK_PREFIX):
             primary = _child(spark, root, name[len(_BAK_PREFIX):])
             if not fs.exists(primary):
-                fs.rename(st.getPath(), primary)  # restore the original
+                # restore the original; Hadoop rename signals failure by
+                # returning false — proceeding without the primary would
+                # rewrite a partial table, so abort loudly instead
+                if not fs.rename(st.getPath(), primary):
+                    raise IOError(
+                        f"stale-recovery restore {name} failed; original "
+                        "preserved under the backup path"
+                    )
             else:
                 fs.delete(st.getPath(), True)
         elif name.startswith(_TMP_PREFIX):
@@ -120,7 +127,11 @@ def delete_document(
         tmp = _child(spark, parent, _TMP_PREFIX + root.getName())
         if fs.exists(bak):
             if not fs.exists(root):
-                fs.rename(bak, root)
+                if not fs.rename(bak, root):
+                    raise IOError(
+                        f"crash-recovery restore of {table_path} failed; "
+                        "original preserved under the backup path"
+                    )
             else:
                 fs.delete(bak, True)
         if fs.exists(tmp):
@@ -145,8 +156,21 @@ def delete_document(
         bak = _child(spark, staging_parent, _BAK_PREFIX + name)
         target = _child(spark, staging_parent, name)
         kept.write.mode("overwrite").parquet(tmp.toString())
-        fs.rename(target, bak)
-        fs.rename(tmp, target)
+        # Hadoop rename reports failure by RETURNING FALSE (unlike
+        # os.replace, which raises) — and renaming onto an existing dir
+        # nests the source INSIDE it, so an unchecked failure here would
+        # silently corrupt the table. Abort loudly instead.
+        if not fs.rename(target, bak):
+            fs.delete(tmp, True)
+            raise IOError(f"rename {target} -> {bak} failed; delete aborted")
+        if not fs.rename(tmp, target):
+            if not fs.rename(bak, target):  # roll the original back
+                raise IOError(
+                    f"promote failed AND rollback {bak} -> {target} failed; "
+                    "original preserved under the backup path"
+                )
+            fs.delete(tmp, True)
+            raise IOError(f"rename {tmp} -> {target} failed; delete rolled back")
         fs.delete(bak, True)
         return n_before - spark.read.parquet(target.toString()).count()
 

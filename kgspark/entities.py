@@ -179,16 +179,20 @@ def extract_entities(
 
 
 _AUTOMATON_CACHE: dict[int, tuple] = {}  # broadcast id -> built automaton
+_AUTOMATON_CACHE_MAX = 4  # a few gazetteers may legitimately coexist
 
 
 def extract_entities_udf(spark: SparkSession, aliases: DataFrame):
     """Vectorized extractor with the alias dict shipped as a broadcast var.
     The Aho-Corasick automaton is built ONCE per executor process, cached by
     the BROADCAST id (stable across UDF rebuilds over the same broadcast —
-    e.g. per streaming micro-batch) and bounded to the single most recent
-    entry, so repeated UDF construction cannot accumulate one full automaton
-    per build in long-lived executors. Only the plain dict crosses the wire;
-    scan cost per doc is O(len(text)), independent of gazetteer size."""
+    e.g. per streaming micro-batch) and bounded to a handful of entries in
+    FIFO order — a single-slot bound would make two gazetteers used in
+    alternation evict each other every batch, rebuilding the
+    O(gazetteer-size) automaton each time; an unbounded dict would leak one
+    automaton per distinct broadcast in long-lived executors. Only the plain
+    dict crosses the wire; scan cost per doc is O(len(text)), independent of
+    gazetteer size."""
     amap = {r["surface"]: r["canonical"] for r in aliases.collect()}
     bc = spark.sparkContext.broadcast(amap)
     cache_key = bc._jbroadcast.id()  # stable JVM broadcast id
@@ -199,7 +203,8 @@ def extract_entities_udf(spark: SparkSession, aliases: DataFrame):
         auto = _AUTOMATON_CACHE.get(cache_key)
         if auto is None:
             auto = build_automaton(m)
-            _AUTOMATON_CACHE.clear()  # bound: at most one automaton resident
+            while len(_AUTOMATON_CACHE) >= _AUTOMATON_CACHE_MAX:
+                _AUTOMATON_CACHE.pop(next(iter(_AUTOMATON_CACHE)))
             _AUTOMATON_CACHE[cache_key] = auto
         return texts.map(lambda t: extract_entities(t, m, automaton=auto))
 

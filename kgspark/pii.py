@@ -43,13 +43,16 @@ def scrub_pii(
     out_col: str = "redacted",
 ) -> DataFrame:
     """Adds `n_<type>` count columns (long), `n_pii` total, and `out_col`
-    with every match replaced by its typed placeholder."""
-    cur = F.col(text_col)
+    with every match replaced by its typed placeholder. NULL text yields
+    0 counts (not NULL — `where(n_pii > 0)` and `where(n_pii = 0)` must
+    partition the corpus) and a NULL redaction."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for name, pat in PII_PATTERNS.items():
         n = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
         counts.append(n.cast("long").alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, _placeholder(name))
-    out = df.select("*", *counts, cur.alias(out_col))
+    redacted = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(cur)
+    out = df.select("*", *counts, redacted.alias(out_col))
     total = sum((F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0))
     return out.withColumn("n_pii", total.cast("long"))

@@ -178,6 +178,42 @@ def _sink_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _migrate_legacy_sink(spark: SparkSession, path: str) -> None:
+    """One-time rewrite of a pre-bucketing (unpartitioned) triples sink into
+    the subj_bucket layout. MIXING the layouts is not an option: once a
+    bucketed append lands next to root-level legacy files, Spark's partition
+    discovery returns ONLY the partitioned rows — the legacy triples vanish
+    from every read and get re-appended as duplicates. So the whole legacy
+    sink is rewritten bucketed BEFORE the first bucketed append, via the
+    same rename-aside swap the catalog uses (crash between the renames
+    leaves the original intact under the backup path)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    parent, name = hpath.getParent(), hpath.getName()
+    tmp = jvm.org.apache.hadoop.fs.Path(parent, ".tmp_migrate." + name)
+    bak = jvm.org.apache.hadoop.fs.Path(parent, ".bak_migrate." + name)
+    legacy = spark.read.parquet(path).withColumn(
+        "subj_bucket", _subj_bucket("subj")
+    )
+    legacy.write.mode("overwrite").partitionBy("subj_bucket").parquet(
+        tmp.toString()
+    )
+    if not fs.rename(hpath, bak):
+        fs.delete(tmp, True)
+        raise IOError(f"legacy-sink migration: rename {path} aside failed")
+    if not fs.rename(tmp, hpath):
+        if not fs.rename(bak, hpath):
+            raise IOError(
+                f"legacy-sink migration: promote AND rollback failed for "
+                f"{path}; original preserved under {bak.toString()}"
+            )
+        fs.delete(tmp, True)
+        raise IOError(f"legacy-sink migration: promote failed, rolled back")
+    fs.delete(bak, True)
+
+
 def _subj_bucket(col_name: str):
     return F.pmod(F.crc32(F.col(col_name).cast("string")), F.lit(N_SINK_BUCKETS)).cast("int")
 
@@ -212,14 +248,17 @@ def start_incremental_kg(
         new = materialize(new)  # referenced by bucket-probe + anti-join + write
         if _sink_exists(ss, triples_path):
             existing = ss.read.parquet(triples_path)
-            if "subj_bucket" in existing.columns:
-                buckets = [r[0] for r in new.select("subj_bucket").distinct().collect()]
-                existing = existing.where(
-                    F.col("subj_bucket").isin(buckets)  # partition-pruned scan
-                )
-            # else: legacy unpartitioned sink (pre-bucketing format) — fall
-            # back to the full-table anti-join; new batches are written
-            # bucketed, so the sink converges to the pruned layout over time
+            if "subj_bucket" not in existing.columns:
+                # legacy unpartitioned sink (pre-bucketing format): migrate
+                # it to the bucketed layout NOW — appending bucketed dirs
+                # next to root-level files would make partition discovery
+                # drop every legacy row (silent data loss + re-append dups)
+                _migrate_legacy_sink(ss, triples_path)
+                existing = ss.read.parquet(triples_path)
+            buckets = [r[0] for r in new.select("subj_bucket").distinct().collect()]
+            existing = existing.where(
+                F.col("subj_bucket").isin(buckets)  # partition-pruned scan
+            )
             new = new.join(
                 existing.select("subj", "pred", "obj"),
                 ["subj", "pred", "obj"],

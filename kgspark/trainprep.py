@@ -30,16 +30,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HEX = "0123456789abcdef"
-
-
-def _hex6_int(col):
-    """First 6 md5 nibbles -> int in [0, 16^6); portable to DuckDB via
-    strpos arithmetic (see kgspark.kgtrain._hex6_to_int)."""
-    out = F.lit(0)
-    for i in range(6):
-        out = out * 16 + (F.instr(F.lit(_HEX), F.substring(col, i + 1, 1)) - 1)
-    return out
+# the DuckDB oracles mirror this expression byte-for-byte — one shared
+# definition, not a second copy that could silently diverge
+from kgspark.kgtrain import _hex6_to_int as _hex6_int
 
 
 def _doc_hash(id_col: str, salt: str):
@@ -88,9 +81,6 @@ def split_cuts(weights: dict[str, float]) -> list[tuple[float, str]]:
     return out
 
 
-_PACK_SCHEMA = "group_id long, seq_id long, doc_id long, n_tokens long"
-
-
 def pack_greedy(
     df: DataFrame,
     max_tokens: int,
@@ -103,15 +93,18 @@ def pack_greedy(
     independent streams, pack each stream in id order — a doc opens a new
     sequence when adding it would overflow `max_tokens`; docs longer than
     `max_tokens` occupy a sequence alone. Output: one row per doc with its
-    (group_id, seq_id) bin assignment."""
+    (group_id, seq_id) bin assignment. Ids keep their input type (string
+    uids pack in lexicographic order)."""
     group = (_hex6_int(_doc_hash(id_col, salt)) % n_groups).cast("long")
     base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         # null token counts (e.g. null text upstream) pack as 0-length —
         # a NaN would poison the pandas cumulative loop for the whole group
         F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("n_tokens"),
         group.alias("group_id"),
     )
+    id_type = base.schema["doc_id"].dataType.simpleString()
+    schema = f"group_id long, seq_id long, doc_id {id_type}, n_tokens long"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -126,7 +119,7 @@ def pack_greedy(
         pdf["seq_id"] = seq_ids
         return pdf[["group_id", "seq_id", "doc_id", "n_tokens"]]
 
-    return base.groupBy("group_id").applyInPandas(pack, schema=_PACK_SCHEMA)
+    return base.groupBy("group_id").applyInPandas(pack, schema=schema)
 
 
 def mix_sources(

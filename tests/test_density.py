@@ -63,3 +63,15 @@ def test_dbscan_or_fallback_selection(spark):
     assert method == "bisecting"
     # fallback guarantees exactly n_topics cluster labels for every row
     assert out.select("cluster").distinct().count() == 4
+
+
+def test_dbscan_min_samples_1_isolated_points_are_singletons(spark):
+    """DBSCAN(min_samples=1) has no noise: the isolated point must be a
+    singleton CORE cluster (sklearn semantics), not NULL-labeled."""
+    labels = {r["vec_id"]: (r["cluster"], r["is_core"])
+              for r in dbscan_labels(_emb(spark), cos_threshold=0.9,
+                                     min_samples=1).collect()}
+    assert labels[99] == (99, True)  # own cluster, core
+    assert labels[0][0] == labels[1][0] == labels[2][0] == 0
+    assert n_clusters(dbscan_labels(_emb(spark), cos_threshold=0.9,
+                                    min_samples=1)) == 3

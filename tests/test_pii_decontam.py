@@ -60,3 +60,14 @@ def test_flag_contaminated_counts_distinct_grams(spark):
     r = flag_contaminated(corpus, bench, n=5).collect()[0]
     # 11 positions but only 5 distinct 5-grams in the cyclic text
     assert r["n_hit_grams"] == 5 and r["contaminated"]
+
+
+def test_scrub_pii_null_text_zero_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a@b.co")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    # NULL text -> 0 counts (so n_pii filters partition the corpus), NULL out
+    assert got[1]["n_pii"] == 0 and got[1]["n_email"] == 0
+    assert got[1]["redacted"] is None
+    assert got[2]["n_email"] == 1

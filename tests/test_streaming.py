@@ -291,9 +291,12 @@ def test_stream_interval_join(spark, tmp_path):
 
 
 def test_incremental_merges_into_legacy_unbucketed_sink(spark, tmp_path):
-    """ADVICE r2: a sink written before subj-bucketing (no subj_bucket
-    column) must not crash the first micro-batch — the merge falls back to a
-    full-table anti-join and new batches land bucketed."""
+    """ADVICE r2 + r3 review: a sink written before subj-bucketing (no
+    subj_bucket column) must not crash the first micro-batch — AND must be
+    MIGRATED to the bucketed layout before the first bucketed append, never
+    mixed with it: Spark's partition discovery over a mixed dir returns only
+    the partitioned rows, silently dropping every legacy triple from reads
+    and re-appending them as duplicates."""
     in_dir = str(tmp_path / "drops")
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
@@ -312,13 +315,24 @@ def test_incremental_merges_into_legacy_unbucketed_sink(spark, tmp_path):
     ).write.parquet(tp)  # no subj_bucket column, no partition dirs
     n_legacy = spark.read.parquet(tp).count()
 
-    # same corpus again: full-table anti-join dedups everything
+    # same corpus again: the sink is migrated to the bucketed layout and the
+    # anti-join dedups everything — TOTAL count unchanged (no silent dups)
     _write_drop(spark, in_dir, 10, seed=3)
     start_incremental_kg(spark, in_dir, sink, ckpt)
     merged = spark.read.parquet(tp)
-    assert merged.select("subj", "pred", "obj").distinct().count() == n_legacy
+    assert merged.count() == n_legacy
+    assert "subj_bucket" in merged.columns  # fully migrated, single layout
+    assert not [
+        p for p in os.listdir(tp)
+        if p.endswith(".parquet") and os.path.isfile(os.path.join(tp, p))
+    ]  # no root-level legacy files left to be shadowed by partition dirs
 
-    # a genuinely new corpus appends (bucketed) without AnalysisException
+    # a genuinely new corpus appends (bucketed); every legacy row still read
     _write_drop(spark, in_dir, 10, seed=42)
     start_incremental_kg(spark, in_dir, sink, ckpt)
-    assert spark.read.parquet(tp).count() > n_legacy
+    final = spark.read.parquet(tp)
+    assert final.count() > n_legacy
+    legacy_keys = {(r["subj"], r["pred"], r["obj"]) for r in legacy_rows}
+    final_keys = {(r["subj"], r["pred"], r["obj"])
+                  for r in final.select("subj", "pred", "obj").collect()}
+    assert legacy_keys <= final_keys

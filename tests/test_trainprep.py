@@ -93,3 +93,19 @@ def test_mix_sources_no_global_sort(spark):
     plan = (mix_sources(_docs(spark), {"src0": 0.6, "src1": 0.4})
             ._jdf.queryExecution().executedPlan().toString())
     assert "rangepartitioning" not in plan.lower()  # no per-source rank/sort
+
+
+def test_pack_greedy_preserves_string_ids(spark):
+    df = spark.createDataFrame(
+        [(f"uid-{i:03d}", 40) for i in range(30)], "doc_uid string, n_tokens long"
+    )
+    out = pack_greedy(df, 100, id_col="doc_uid", n_groups=2).collect()
+    ids = {r["doc_id"] for r in out}
+    assert len(out) == 30 and None not in ids  # ids survive, not NULLed
+    assert all(isinstance(i, str) for i in ids)
+    # lexicographic greedy: within a group, seq_id nondecreasing in id order
+    for g in {r["group_id"] for r in out}:
+        grp = sorted((r for r in out if r["group_id"] == g),
+                     key=lambda r: r["doc_id"])
+        seqs = [r["seq_id"] for r in grp]
+        assert seqs == sorted(seqs)
