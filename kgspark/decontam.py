@@ -10,9 +10,11 @@ Scale posture: the corpus side is one materialized tokenize pass + a
 map-side distinct-gram explode (the token table is materialized FIRST —
 feeding a raw split() into the n-gram HOF makes Catalyst re-evaluate the
 tokenize subtree per slice, the projection-collapse trap documented in
-kgspark.topics.ngrams_of). Benchmark grams are dimension-sized next to a
-10^9-doc corpus and broadcast; if the benchmark ever outgrows broadcast
-range the same join degrades gracefully to a hash join on the md5 key.
+kgspark.topics.ngrams_of). The benchmark-gram join carries NO broadcast
+hint: AQE broadcasts it at runtime while the gram set is small
+(dimension-sized next to a 10^9-doc corpus) and falls back to a shuffle
+hash join when a large eval suite outgrows broadcast range — a hard
+F.broadcast() would bypass the threshold and OOM instead.
 """
 
 from __future__ import annotations
@@ -55,7 +57,7 @@ def flag_contaminated(
         F.col(id_col), F.md5("g").alias("h")
     )
     hits = (
-        grams.join(F.broadcast(bench), "h")
+        grams.join(bench, "h")  # no hint: AQE picks broadcast vs shuffle
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__n"))
     )

@@ -186,7 +186,11 @@ def common_neighbors(
     The wedge join through a shared neighbor is quadratic in that neighbor's
     degree; `max_degree` drops super-hub intermediates (standard practice —
     a hub shared by everyone predicts nothing anyway). At web scale set it
-    near sqrt(corpus degree budget); None keeps all nodes."""
+    near sqrt(corpus degree budget); None keeps all nodes. With max_degree
+    set, BOTH the common count and the Jaccard degrees are measured over
+    the hub-filtered graph (hub neighbors excluded from the neighbor sets)
+    — mixing filtered numerators with unfiltered denominators would bias
+    hub-adjacent pairs low."""
     nbrs = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
@@ -194,14 +198,17 @@ def common_neighbors(
         .distinct()
     )
     nbrs = materialize(nbrs)
-    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     if max_degree is not None:
-        thru = deg.where(F.col("d") <= max_degree).select(
+        full_deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        thru = full_deg.where(F.col("d") <= max_degree).select(
             F.col("node").alias("nbr")
         )
         wedge_src = nbrs.join(thru, "nbr")
     else:
         wedge_src = nbrs
+    # degrees over the SAME (possibly hub-filtered) neighbor sets the
+    # common counts come from, so jaccard is internally consistent
+    deg = wedge_src.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     l, r = wedge_src.alias("l"), wedge_src.alias("r")
     pairs = (
         l.join(r, on=(F.col("l.nbr") == F.col("r.nbr"))

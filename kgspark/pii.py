@@ -29,7 +29,12 @@ PII_PATTERNS: dict[str, str] = {
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
     "card": r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b",
-    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    # optional +CC prefix must carry its OWN separator: an optional-separator
+    # prefix would eat the area code of a bare 3-3-4 number and kill the
+    # match — '(555) 123-4567', '555-123-4567', '555.123.4567' and
+    # '+1-555-123-4567' all match this form; fully-joined digit runs
+    # ('+15551234567') are indistinguishable from ids and stay unmatched
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
 }
 
 

@@ -178,15 +178,7 @@ def _sink_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
-def _migrate_legacy_sink(spark: SparkSession, path: str) -> None:
-    """One-time rewrite of a pre-bucketing (unpartitioned) triples sink into
-    the subj_bucket layout. MIXING the layouts is not an option: once a
-    bucketed append lands next to root-level legacy files, Spark's partition
-    discovery returns ONLY the partitioned rows — the legacy triples vanish
-    from every read and get re-appended as duplicates. So the whole legacy
-    sink is rewritten bucketed BEFORE the first bucketed append, via the
-    same rename-aside swap the catalog uses (crash between the renames
-    leaves the original intact under the backup path)."""
+def _migration_paths(spark: SparkSession, path: str):
     sc = spark.sparkContext
     jvm = sc._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -194,6 +186,41 @@ def _migrate_legacy_sink(spark: SparkSession, path: str) -> None:
     parent, name = hpath.getParent(), hpath.getName()
     tmp = jvm.org.apache.hadoop.fs.Path(parent, ".tmp_migrate." + name)
     bak = jvm.org.apache.hadoop.fs.Path(parent, ".bak_migrate." + name)
+    return fs, hpath, tmp, bak
+
+
+def _recover_migration(spark: SparkSession, path: str) -> None:
+    """Heal a crashed `_migrate_legacy_sink`: a death between the two swap
+    renames strands the whole sink under .bak_migrate.* while the primary
+    path is missing — without this restore the next micro-batch would see
+    no sink and silently start a fresh empty one (catalog.py's
+    _recover_stale plays the identical role for its .bak_delete.* swap).
+    Runs once per merge; cost is one exists() probe."""
+    fs, hpath, tmp, bak = _migration_paths(spark, path)
+    if fs.exists(bak):
+        if not fs.exists(hpath):
+            if not fs.rename(bak, hpath):
+                raise IOError(
+                    f"migration crash-recovery restore of {path} failed; "
+                    "original preserved under the backup path"
+                )
+        else:
+            fs.delete(bak, True)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)  # incomplete rewrite; the migration re-runs
+
+
+def _migrate_legacy_sink(spark: SparkSession, path: str) -> None:
+    """One-time rewrite of a pre-bucketing (unpartitioned) triples sink into
+    the subj_bucket layout. MIXING the layouts is not an option: once a
+    bucketed append lands next to root-level legacy files, Spark's partition
+    discovery returns ONLY the partitioned rows — the legacy triples vanish
+    from every read and get re-appended as duplicates. So the whole legacy
+    sink is rewritten bucketed BEFORE the first bucketed append, via the
+    same rename-aside swap the catalog uses; a crash between the renames
+    leaves the original intact under the backup path and
+    `_recover_migration` restores it on the next batch."""
+    fs, hpath, tmp, bak = _migration_paths(spark, path)
     legacy = spark.read.parquet(path).withColumn(
         "subj_bucket", _subj_bucket("subj")
     )
@@ -240,6 +267,7 @@ def start_incremental_kg(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
+        _recover_migration(ss, triples_path)
         new = (
             batch_triples(batch_df)
             .dropDuplicates(["subj", "pred", "obj"])

@@ -58,6 +58,10 @@ def hash_split(
     re-partitioned. Weights must sum to 1; label boundaries are the running
     cumulative sums (IEEE fp64 left-to-right, mirrored by the oracle)."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        # the last label is the otherwise-branch, so a short total would
+        # silently hand it the whole residual hash space
+        raise ValueError(f"split weights must sum to 1, got {weights}")
     frac = _doc_frac(id_col, salt)
     names = list(weights)
     col = None

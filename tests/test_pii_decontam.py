@@ -71,3 +71,19 @@ def test_scrub_pii_null_text_zero_counts(spark):
     assert got[1]["n_pii"] == 0 and got[1]["n_email"] == 0
     assert got[1]["redacted"] is None
     assert got[2]["n_email"] == 1
+
+
+def test_scrub_pii_common_phone_formats(spark):
+    rows = [
+        (1, "call 555-123-4567 now"),
+        (2, "call (555) 123-4567 now"),
+        (3, "call 555.123.4567 now"),
+        (4, "call +1-555-123-4567 now"),
+        (5, "order id 12345678901 is not a phone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    for i in (1, 2, 3, 4):
+        assert got[i]["n_phone"] == 1, (i, got[i])
+        assert got[i]["redacted"] == "call [PHONE] now", got[i]["redacted"]
+    assert got[5]["n_phone"] == 0  # fully-joined digit runs stay unmatched

@@ -336,3 +336,29 @@ def test_incremental_merges_into_legacy_unbucketed_sink(spark, tmp_path):
     final_keys = {(r["subj"], r["pred"], r["obj"])
                   for r in final.select("subj", "pred", "obj").collect()}
     assert legacy_keys <= final_keys
+
+
+def test_incremental_recovers_crashed_migration(spark, tmp_path):
+    """A death between the migration's two renames leaves the sink stranded
+    under .bak_migrate.*; the next micro-batch must restore it, not start a
+    silent fresh sink."""
+    in_dir = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink, exist_ok=True)
+    _write_drop(spark, in_dir, 10, seed=3)
+    start_incremental_kg(spark, in_dir, sink, str(tmp_path / "ckpt0"))
+    tp = os.path.join(sink, "triples.parquet")
+    n0 = spark.read.parquet(tp).count()
+
+    # simulate the crash window: primary renamed aside, promote never ran
+    import shutil
+
+    shutil.move(tp, os.path.join(sink, ".bak_migrate.triples.parquet"))
+    os.makedirs(os.path.join(sink, ".tmp_migrate.triples.parquet"))
+
+    _write_drop(spark, in_dir, 10, seed=42)
+    start_incremental_kg(spark, in_dir, sink, str(tmp_path / "ckpt1"))
+    got = spark.read.parquet(tp)
+    assert got.count() > n0  # old rows restored AND new batch merged
+    assert not os.path.exists(os.path.join(sink, ".bak_migrate.triples.parquet"))
+    assert not os.path.exists(os.path.join(sink, ".tmp_migrate.triples.parquet"))
