@@ -511,3 +511,70 @@ def embedding_near_dup(
         .select("a", "b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    sep: str = "\n",
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """Drop lines that repeat across >= min_docs distinct documents.
+
+    The CCNet/RefinedWeb boilerplate pass: nav bars, cookie banners and
+    footers repeat verbatim across a site's pages, so any line occurring in
+    many DISTINCT documents is boilerplate and is removed from every
+    document (the reference has no corpus-level notion; beyond-reference
+    surface, SURVEY.md §8).
+
+    Returns (id, clean_text, n_lines, n_removed); clean_text is '' when
+    every line was boilerplate — the row is kept so callers can count
+    fully-boilerplate pages. Rows with a NULL text produce no lines and
+    are dropped; filter or coalesce upstream if they must survive.
+
+    Scale shape (no all-pairs anywhere):
+      explode lines -> distinct (id, line-md5) -> groupBy(md5) count
+      -> join lines against the boilerplate set -> groupBy(id) reassemble.
+    The md5 keeps shuffle keys 32 bytes regardless of line length. The
+    boilerplate set is tiny by construction (each member occurs >= min_docs
+    times, so |set| <= total_lines/min_docs and in practice ~thousands) —
+    broadcast it (`broadcast_boiler`) and the only wide shuffles left are
+    the distinct-count and the per-doc reassembly, both keyed well.
+    """
+    lines = materialize(df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__i", "__line"),
+    ).withColumn("__h", F.md5("__line")))
+    boiler = (
+        lines.select("__h", "__id").distinct()
+        .groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(True).alias("__boiler"))
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    tagged = lines.join(boiler, "__h", "left")
+    per_doc = tagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.col("__boiler")).alias("n_removed"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__boiler").isNull(),
+                           F.struct(F.col("__i"), F.col("__line")))
+                )),
+                lambda s: s["__line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col), "clean_text", "n_lines", "n_removed"
+    )

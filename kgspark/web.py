@@ -1,0 +1,168 @@
+"""Web-corpus operators: link extraction, URL normalization, host graph,
+per-domain capping.
+
+The reference ingests single uploaded documents (/root/reference/
+knowledgeGraph.py:85-97) and has no web-corpus notion; these operators are
+part of the beyond-reference LLM-data-pipeline surface (SURVEY.md §8),
+targeting the north-rule input shape — a Common-Crawl-style table of
+(url, warc_ts, html, text, lang) pages — where link structure, canonical
+URLs and per-domain quotas are first-class curation signals.
+
+Design for 100 TB:
+
+- Link extraction is a pure JVM `regexp_extract_all` column expression — no
+  Python in the hot path, stays inside WholeStageCodegen, zero shuffles
+  until the caller aggregates.
+- `host_graph` is a single groupBy((src_host, dst_host)) — one hash shuffle
+  on the edge key with map-side partial counts. Hot hub hosts skew that
+  key; AQE skew-split handles the shuffle, and the output is host-pair
+  granular (bounded by hosts², not pages²).
+- `normalize_url` is a chain of regexp_replace/extract in the Java∩RE2
+  regex subset (see kgspark/pii.py for the subset rationale) so the DuckDB
+  oracle can run the semantically identical chain; all JVM-side, codegen'd.
+- `domain_cap` is a per-host top-k window. Spark rewrites `rank <= k` into
+  WindowGroupLimit (partial per-partition top-k before the shuffle), so a
+  hot domain never materializes more than k rows per map partition.
+
+Regex notes (Java ∩ RE2 ∩ DuckDB): ASCII classes only, no lookaround, no
+\\s shorthand. Spark's regexp_replace backreference spells `$1` where
+DuckDB's spells `\\1` — the oracle SQL mirrors semantics, not bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# href scan: absolute http(s) targets in double-quoted attributes. The
+# deliberately narrow scope (no relative-URL resolution, no single quotes)
+# keeps the operator a pure regex both engines agree on; relative links
+# would need the base-url join the caller can do with `resolve=`.
+HREF_PATTERN = 'href="(https?://[^"]+)"'
+
+# scheme://host[:port] prefix (before path/query/fragment)
+_PREFIX_PATTERN = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+_HOST_PATTERN = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def links_of(html_col) -> Column:
+    """Array of absolute http(s) href targets in an HTML string column."""
+    return F.regexp_extract_all(html_col, F.lit(HREF_PATTERN), 1)
+
+
+def host_of(url_col) -> Column:
+    """Lowercased hostname of a URL column ('' when the URL has none)."""
+    return F.lower(F.regexp_extract(url_col, _HOST_PATTERN, 1))
+
+
+def registered_domain(host_col) -> Column:
+    """Last-two-labels registrable-domain heuristic ('example.com').
+
+    A real deployment swaps in the Public Suffix List (not in this
+    container); the two-label fallback is what the heuristic degrades to
+    and is deterministic, so oracles stay expressible.
+    """
+    return F.regexp_extract(host_col, "([^.]+[.][^.]+)$", 1)
+
+
+def page_links(df: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """Explode each page into its outgoing absolute links.
+
+    Returns (url, link) — one row per href occurrence (duplicates kept;
+    callers that want distinct edges aggregate downstream, which keeps this
+    operator shuffle-free).
+    """
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.explode(links_of(F.col(html_col))).alias("link"),
+    )
+
+
+def host_graph(df: DataFrame, url_col: str = "url", html_col: str = "html",
+               drop_self: bool = True) -> DataFrame:
+    """Host-level web graph: (src_host, dst_host, n) link counts.
+
+    One shuffle (the groupBy); everything upstream is codegen'd map work.
+    `drop_self` removes intra-host navigation edges, which dominate raw
+    crawl link counts and are rarely wanted in a host graph.
+    """
+    edges = page_links(df, url_col, html_col).select(
+        host_of(F.col("url")).alias("src_host"),
+        host_of(F.col("link")).alias("dst_host"),
+    )
+    if drop_self:
+        edges = edges.where(F.col("src_host") != F.col("dst_host"))
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def normalize_url(url_col) -> Column:
+    """Canonicalize a URL column; pure JVM expression chain.
+
+    Steps (each a deliberate, documented choice — canonicalization is
+    policy, not truth):
+      1. strip the #fragment
+      2. drop utm_* tracking params (query tidied: '?utm=x&id=1' -> '?id=1')
+      3. lowercase the scheme://host[:port] prefix (path/query case kept —
+         paths are case-sensitive per RFC 3986)
+      4. strip default ports (https :443, http :80)
+      5. strip a single trailing '/'
+
+    Everything is in the Java∩RE2 subset so the DuckDB oracle can run the
+    same chain (backreference spelling aside).
+    """
+    u = F.regexp_replace(url_col, "#.*", "")
+    # utm params: middle/first-with-successor/only — three passes keep the
+    # regexes lookaround-free
+    u = F.regexp_replace(u, "&utm_[a-zA-Z0-9_]*=[^&]*", "")
+    u = F.regexp_replace(u, "[?]utm_[a-zA-Z0-9_]*=[^&]*&", "?")
+    u = F.regexp_replace(u, "[?]utm_[a-zA-Z0-9_]*=[^&]*$", "")
+    pre = F.regexp_extract(u, _PREFIX_PATTERN, 1)
+    rest = F.substring(u, F.length(pre) + F.lit(1), F.lit(2147483647))
+    pre = F.lower(pre)
+    pre = F.regexp_replace(pre, "^(https://[^/:?#]+):443$", "$1")
+    pre = F.regexp_replace(pre, "^(http://[^/:?#]+):80$", "$1")
+    u = F.concat(pre, rest)
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL dedup: normalize, then keep = min(id) per canonical URL.
+
+    Returns (id, url_norm, keep_id, is_dup). One shuffle — the min()
+    aggregation on the normalized URL — plus the join back; at crawl scale
+    the aggregate side is ~unique-URL-sized, so AQE usually picks a
+    shuffle-hash join (no sort). The normalize itself is map-only.
+
+    Rows with a NULL url are dropped (NULL never equi-joins); filter or
+    repair upstream if they must be preserved.
+    """
+    norm = df.select(F.col(id_col), normalize_url(F.col(url_col)).alias("url_norm"))
+    keep = norm.groupBy("url_norm").agg(F.min(id_col).alias("keep_id"))
+    return (
+        norm.join(keep, "url_norm")
+        .select(
+            id_col, "url_norm", "keep_id",
+            (F.col(id_col) != F.col("keep_id")).alias("is_dup"),
+        )
+    )
+
+
+def domain_cap(df: DataFrame, host_col: str = "host", k: int = 5,
+               order_by: list | None = None) -> DataFrame:
+    """Keep at most k rows per host (crawl politeness / anti-spam quota).
+
+    `order_by` fixes WHICH k survive (default: ascending `doc_id`); it must
+    be a total order within a host or the survivor set is nondeterministic.
+    rank <= k compiles to WindowGroupLimit: each map partition pre-prunes
+    to its local top-k before the single shuffle on host.
+    """
+    order_by = order_by or [F.asc("doc_id")]
+    w = Window.partitionBy(host_col).orderBy(*order_by)
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= k)
+    )

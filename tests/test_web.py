@@ -1,0 +1,187 @@
+"""Web-corpus operators (kgspark.web) + line-level dedup (kgspark.dedup).
+
+Beyond-reference surface (SURVEY.md §8): the reference ingests single
+documents (/root/reference/knowledgeGraph.py:85-97) — these target the
+north-rule (url, html) Common-Crawl-style table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from kgspark.dedup import line_dedup
+from kgspark.web import (
+    domain_cap,
+    host_graph,
+    host_of,
+    links_of,
+    normalize_url,
+    page_links,
+    registered_domain,
+    url_dedup,
+)
+
+
+def _norm_one(spark, url: str) -> str:
+    df = spark.createDataFrame([Row(u=url)])
+    return df.select(normalize_url(F.col("u")).alias("n")).first()["n"]
+
+
+class TestNormalizeUrl:
+    def test_fragment_stripped(self, spark):
+        assert _norm_one(spark, "https://a.com/x#frag") == "https://a.com/x"
+
+    def test_utm_only_param_dropped_with_question_mark(self, spark):
+        assert _norm_one(spark, "https://a.com/x?utm_source=f") == "https://a.com/x"
+
+    def test_utm_first_of_many(self, spark):
+        assert (
+            _norm_one(spark, "https://a.com/x?utm_source=f&id=1")
+            == "https://a.com/x?id=1"
+        )
+
+    def test_utm_middle_and_last(self, spark):
+        assert (
+            _norm_one(spark, "https://a.com/x?id=1&utm_a=1&k=2&utm_b=2")
+            == "https://a.com/x?id=1&k=2"
+        )
+
+    def test_scheme_host_lowercased_path_kept(self, spark):
+        assert (
+            _norm_one(spark, "HTTPS://WWW.Ex.COM/CaseSensitive/Path")
+            == "https://www.ex.com/CaseSensitive/Path"
+        )
+
+    def test_default_ports_stripped(self, spark):
+        assert _norm_one(spark, "https://a.com:443/x") == "https://a.com/x"
+        assert _norm_one(spark, "http://a.com:80/x") == "http://a.com/x"
+
+    def test_non_default_port_kept(self, spark):
+        assert _norm_one(spark, "https://a.com:8443/x") == "https://a.com:8443/x"
+
+    def test_wrong_scheme_port_pair_kept(self, spark):
+        # :443 is only a default for https
+        assert _norm_one(spark, "http://a.com:443/x") == "http://a.com:443/x"
+
+    def test_trailing_slash(self, spark):
+        assert _norm_one(spark, "https://a.com/x/") == "https://a.com/x"
+
+
+class TestHostHelpers:
+    def test_host_of_and_registered_domain(self, spark):
+        df = spark.createDataFrame(
+            [Row(u="https://News.Sub.Example.co:8080/p?q=1")]
+        ).select(host_of(F.col("u")).alias("h"))
+        row = df.select(
+            "h", registered_domain(F.col("h")).alias("d")
+        ).first()
+        assert row["h"] == "news.sub.example.co"
+        assert row["d"] == "example.co"
+
+    def test_no_host_is_empty(self, spark):
+        df = spark.createDataFrame([Row(u="not a url")])
+        assert df.select(host_of(F.col("u")).alias("h")).first()["h"] == ""
+
+
+class TestLinksAndGraph:
+    HTML = (
+        '<a href="https://a.com/1">x</a> <a href="/relative">skip</a>'
+        " <a href='https://singlequote.com'>skip</a>"
+        ' <a href="http://b.org/2#f">y</a> <a href="https://a.com/1">again</a>'
+    )
+
+    def test_links_of_absolute_double_quoted_only(self, spark):
+        df = spark.createDataFrame([Row(html=self.HTML)])
+        links = df.select(links_of(F.col("html")).alias("l")).first()["l"]
+        assert links == ["https://a.com/1", "http://b.org/2#f", "https://a.com/1"]
+
+    def test_page_links_keeps_duplicates(self, spark):
+        df = spark.createDataFrame([Row(url="https://me.com/p", html=self.HTML)])
+        assert page_links(df).count() == 3
+
+    def test_host_graph_counts_and_self_drop(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(url="https://me.com/p",
+                    html='<a href="https://a.com/1"></a><a href="https://a.com/2">'
+                         '</a><a href="https://ME.com/self"></a>'),
+                Row(url="https://me.com/q",
+                    html='<a href="https://a.com/3"></a>'),
+            ]
+        )
+        rows = {(r["src_host"], r["dst_host"]): r["n"]
+                for r in host_graph(df).collect()}
+        assert rows == {("me.com", "a.com"): 3}
+
+    def test_host_graph_keep_self(self, spark):
+        df = spark.createDataFrame(
+            [Row(url="https://me.com/p", html='<a href="https://me.com/x"></a>')]
+        )
+        assert host_graph(df, drop_self=False).count() == 1
+
+
+class TestUrlDedupAndDomainCap:
+    def test_url_dedup_keep_is_min_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=3, url="https://A.com/x/"),
+                Row(doc_id=1, url="https://a.com/x#frag"),
+                Row(doc_id=2, url="https://b.com/y"),
+            ]
+        )
+        out = {r["doc_id"]: (r["keep_id"], r["is_dup"])
+               for r in url_dedup(df).collect()}
+        assert out == {1: (1, False), 3: (1, True), 2: (2, False)}
+
+    def test_domain_cap_deterministic_survivors(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, host="h%d" % (i % 2), score=i % 3) for i in range(10)]
+        )
+        out = domain_cap(df, host_col="host", k=2,
+                         order_by=[F.desc("score"), F.asc("doc_id")])
+        got = sorted((r["host"], r["doc_id"]) for r in out.collect())
+        # h0 scores: 0->0 2->2 4->1 6->0 8->2; h1: 1->1 3->0 5->2 7->1 9->0
+        assert got == [("h0", 2), ("h0", 8), ("h1", 1), ("h1", 5)]
+
+    def test_domain_cap_uses_window_group_limit(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, host="h%d" % (i % 3)) for i in range(30)]
+        )
+        plan = domain_cap(df, host_col="host", k=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestLineDedup:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+
+    def test_boilerplate_removed_order_kept(self, spark):
+        texts = ["boiler\nunique%d\nfooter" % i for i in range(5)]
+        texts.append("keepme\nboiler\nalso kept")
+        out = {r["doc_id"]: r for r in
+               line_dedup(self._df(spark, texts), min_docs=5).collect()}
+        assert out[0]["clean_text"] == "unique0"
+        assert out[0]["n_removed"] == 2  # boiler + footer (5 docs each)
+        assert out[5]["clean_text"] == "keepme\nalso kept"
+        assert out[5]["n_removed"] == 1
+
+    def test_fully_boilerplate_doc_kept_as_empty(self, spark):
+        texts = ["same"] * 4
+        out = line_dedup(self._df(spark, texts), min_docs=4).collect()
+        assert len(out) == 4
+        assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+
+    def test_repeats_within_one_doc_do_not_count(self, spark):
+        # 'x' appears 3 times but only in 1 distinct doc -> kept
+        out = line_dedup(self._df(spark, ["x\nx\nx", "y"]), min_docs=2).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[0]["clean_text"] == "x\nx\nx"
+        assert by_id[0]["n_removed"] == 0
+
+    def test_below_threshold_kept(self, spark):
+        texts = ["shared\na", "shared\nb"]
+        out = line_dedup(self._df(spark, texts), min_docs=3).collect()
+        assert all(r["n_removed"] == 0 for r in out)
