@@ -1260,6 +1260,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "host", F.col("host_rank").cast("long").alias("host_rank")
         )
 
+    def web_anchor_text(spark, sf_dir):
+        # anchor-text aggregation: pages built with anchors derived from
+        # the doc's first word (entity-linking signal construction)
+        from kgspark.web import host_anchor_summary
+
+        docs = _read(spark, sf_dir, "documents")
+        first_word = F.element_at(F.split("text", " "), 1)
+        html = F.concat(
+            F.lit('<a href="https://www.site'),
+            ((F.col("doc_id") * 3) % 40).cast("string"),
+            F.lit('.example.com/t" class="r">'), first_word,
+            F.lit(' page</a> <a href="https://hub.example.org/h">hub '),
+            (F.col("doc_id") % 9).cast("string"), F.lit("</a>"),
+        )
+        url = F.concat(F.lit("https://www.site"),
+                       (F.col("doc_id") % 50).cast("string"),
+                       F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+        pages = docs.select("doc_id", url.alias("url"), html.alias("html"))
+        out = host_anchor_summary(pages, k=3)
+        return out.select("dst_host", "anchor", "n",
+                          F.col("rank").cast("long").alias("rank"))
+
     def dedup_lines(spark, sf_dir):
         # CCNet-style boilerplate removal; lines synthesized so that
         # copyright (20 docs/variant) and subscribe (~36 docs/variant)
@@ -1299,7 +1321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "kg_degree": kg_degree,
         "kg_clean_text": kg_clean_text,
-        "kg_chunk": kg_chunk,
         "kg_link_entities": kg_link_entities,
         "kg_topic_terms": kg_topic_terms,
         "kg_tfidf": kg_tfidf,
@@ -1331,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_graph": web_host_graph,
         "web_url_dedup": web_url_dedup,
         "web_domain_cap": web_domain_cap,
+        "web_anchor_text": web_anchor_text,
         "dedup_lines": dedup_lines,
         "rel_tumbling_window": rel_tumbling_window,
         "rel_sessionization": rel_sessionization,
@@ -1344,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": text_pii,
         "corpus_decontam": corpus_decontam,
         # -- past position 50: see the ordering NOTE above ------------------
+        "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
         "rel_pricing_summary": rel_pricing_summary,
@@ -2355,6 +2378,36 @@ un_norm AS (
 un_keep AS (SELECT url_norm, min(doc_id) AS keep_id FROM un_norm GROUP BY url_norm)
 SELECT n.doc_id, n.url_norm, k.keep_id, n.doc_id <> k.keep_id AS is_dup
 FROM un_norm n JOIN un_keep k USING (url_norm)
+""",
+        # kgspark.web.host_anchor_summary: top-3 anchor texts per dst_host.
+        # DuckDB zips the parallel unnests of the two regexp_extract_all
+        # group slices positionally — same pairing as Spark's arrays_zip.
+        "web_anchor_text": """
+WITH an_pages AS (
+  SELECT doc_id,
+         '<a href="https://www.site' || ((doc_id * 3) % 40)
+           || '.example.com/t" class="r">' || string_split("text", ' ')[1]
+           || ' page</a> <a href="https://hub.example.org/h">hub '
+           || (doc_id % 9) || '</a>' AS html
+  FROM documents
+),
+an_pairs AS (
+  SELECT unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"[^>]*>([^<]*)<', 1)) AS link,
+         unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"[^>]*>([^<]*)<', 2)) AS anchor
+  FROM an_pages
+),
+an_counts AS (
+  SELECT lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+         anchor, count(*) AS n
+  FROM an_pairs GROUP BY 1, 2
+),
+an_rank AS (
+  SELECT dst_host, anchor, n,
+         row_number() OVER (PARTITION BY dst_host
+                            ORDER BY n DESC, anchor ASC) AS rank
+  FROM an_counts
+)
+SELECT dst_host, anchor, n, rank FROM an_rank WHERE rank <= 3
 """,
         # kgspark.web.domain_cap: per-host top-5 by (n_chars desc, doc_id)
         "web_domain_cap": """

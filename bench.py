@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "kg_link_predict",
     "text_pii",
     "corpus_decontam",
+    "web_host_graph",
+    "web_url_dedup",
+    "web_domain_cap",
+    "dedup_lines",
 ]
 
 

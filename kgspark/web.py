@@ -98,6 +98,54 @@ def host_graph(df: DataFrame, url_col: str = "url", html_col: str = "html",
     )
 
 
+ANCHOR_PATTERN = 'href="(https?://[^"]+)"[^>]*>([^<]*)<'
+
+
+def anchor_pairs(df: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """(url, link, anchor): absolute links with their visible anchor text.
+
+    Anchor text is the classic entity-linking signal — the crawl's own
+    human labeling of what the target page is about. Two regexp_extract_all
+    passes (group 1 / group 2) over the same pattern, zipped positionally:
+    the regex engine runs twice, which still beats dropping to Python, and
+    the whole thing stays map-only inside codegen.
+    """
+    links = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 1)
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 2)
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            F.explode(F.arrays_zip(links.alias("link"),
+                                   anchors.alias("anchor"))).alias("z"),
+        )
+        .select("url", F.col("z.link").alias("link"),
+                F.col("z.anchor").alias("anchor"))
+    )
+
+
+def host_anchor_summary(df: DataFrame, url_col: str = "url",
+                        html_col: str = "html", k: int = 3) -> DataFrame:
+    """Top-k anchor texts pointing at each host: (dst_host, anchor, n, rank).
+
+    One groupBy shuffle plus a per-host top-k window (WindowGroupLimit
+    pre-prunes map-side, so hub hosts — the skewed keys — never materialize
+    more than k rows per partition). Rank order is total and deterministic
+    (count desc, anchor asc).
+    """
+    pairs = anchor_pairs(df, url_col, html_col)
+    counts = (
+        pairs.select(host_of(F.col("link")).alias("dst_host"), "anchor")
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def normalize_url(url_col) -> Column:
     """Canonicalize a URL column; pure JVM expression chain.
 

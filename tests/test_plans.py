@@ -178,3 +178,38 @@ def test_curate_is_single_pass_plus_two_joins(spark):
     p = plan(curate(docs))
     n_joins = len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p))
     assert n_joins <= 3, f"curate plan regressed to {n_joins} joins:\n{p}"
+
+
+def test_host_graph_single_shuffle(spark):
+    """host_graph is one partial-agg'd hash shuffle; link extraction and
+    host parsing are pure map work ahead of it."""
+    import __spark_entry__ as E
+
+    q = E.queries()["web_host_graph"](spark, SF)
+    p = plan(q)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_url_dedup_no_sort_merge(spark):
+    """The norm->min(id)->join-back shape: aggregate side is unique-URL
+    sized, so the join must stay hash-based (no sort-merge at crawl scale)
+    and the normalize chain adds no extra shuffle."""
+    import __spark_entry__ as E
+
+    q = E.queries()["web_url_dedup"](spark, SF)
+    p = plan(q, execute=True)  # AQE picks the final join strategy
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_line_dedup_boiler_broadcast(spark):
+    """The boilerplate set (lines in >= min_docs docs) broadcasts; only the
+    distinct-count and the per-doc reassembly shuffle."""
+    from kgspark.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(line_dedup(docs, min_docs=3), execute=True)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -185,3 +185,30 @@ class TestLineDedup:
         texts = ["shared\na", "shared\nb"]
         out = line_dedup(self._df(spark, texts), min_docs=3).collect()
         assert all(r["n_removed"] == 0 for r in out)
+
+
+class TestAnchors:
+    def test_anchor_pairs_zip(self, spark):
+        from kgspark.web import anchor_pairs
+
+        df = spark.createDataFrame(
+            [Row(url="https://me.com/p",
+                 html='<a href="https://a.com/1" class="x">Apple Inc</a>'
+                      ' <a href="/rel">skip</a>'
+                      ' <a href="http://b.org/2">b page</a>')]
+        )
+        got = [(r["link"], r["anchor"]) for r in anchor_pairs(df).collect()]
+        assert got == [("https://a.com/1", "Apple Inc"),
+                       ("http://b.org/2", "b page")]
+
+    def test_host_anchor_summary_topk_deterministic(self, spark):
+        from kgspark.web import host_anchor_summary
+
+        rows = []
+        # host a.com: anchor "x" 3 times, "y" 2, "z" 1 -> k=2 keeps x,y
+        for i, a in enumerate(["x", "x", "x", "y", "y", "z"]):
+            rows.append(Row(url="https://me.com/%d" % i,
+                            html='<a href="https://a.com/p">%s</a>' % a))
+        out = host_anchor_summary(spark.createDataFrame(rows), k=2).collect()
+        got = sorted((r["dst_host"], r["anchor"], r["n"], r["rank"]) for r in out)
+        assert got == [("a.com", "x", 3, 1), ("a.com", "y", 2, 2)]
