@@ -1282,6 +1282,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("dst_host", "anchor", "n",
                           F.col("rank").cast("long").alias("rank"))
 
+    def web_anchor_prior(spark, sf_dir):
+        # Milne-Witten commonness prior P(dst_host | anchor) over the same
+        # synthetic anchor corpus as web_anchor_text
+        from kgspark.web import anchor_commonness
+
+        docs = _read(spark, sf_dir, "documents")
+        first_word = F.element_at(F.split("text", " "), 1)
+        html = F.concat(
+            F.lit('<a href="https://www.site'),
+            ((F.col("doc_id") * 3) % 40).cast("string"),
+            F.lit('.example.com/t" class="r">'), first_word,
+            F.lit(' page</a> <a href="https://hub.example.org/h">hub '),
+            (F.col("doc_id") % 9).cast("string"), F.lit("</a>"),
+        )
+        pages = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://me.example.com/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            html.alias("html"),
+        )
+        out = anchor_commonness(pages)
+        return out.select(
+            "anchor", "dst_host", F.col("n").cast("long").alias("n"),
+            F.round(F.col("prior") * 1e6, 0).cast("long").alias("prior_scaled"),
+        )
+
+    def text_lm_bits(spark, sf_dir):
+        # CCNet-style LM quality signal: bigram model trained ON the corpus,
+        # each doc scored by average bits per bigram (add-1 smoothing)
+        from kgspark.lm import score_bigram_lm, train_bigram_lm
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        uni, bi = train_bigram_lm(docs)
+        out = score_bigram_lm(docs, uni, bi)
+        return out.select(
+            "doc_id", "n_bigrams",
+            F.coalesce(F.round(F.col("bits") * 1e6, 0).cast("long"),
+                       F.lit(-1)).alias("bits_scaled"),
+        )
+
+    def kg_hits(spark, sf_dir):
+        # HITS hubs/authorities (2 L1-normalized rounds) over the triple graph
+        from kgspark.graph_algs import hits
+
+        t = _extract_triples(spark, sf_dir)
+        out = hits(t, iterations=2)
+        return out.select(
+            "node",
+            F.round(F.col("hub") * 1e6, 0).cast("long").alias("hub_scaled"),
+            F.round(F.col("auth") * 1e6, 0).cast("long").alias("auth_scaled"),
+        )
+
     def dedup_lines(spark, sf_dir):
         # CCNet-style boilerplate removal; lines synthesized so that
         # copyright (20 docs/variant) and subscribe (~36 docs/variant)
@@ -1366,6 +1418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": text_pii,
         "corpus_decontam": corpus_decontam,
         # -- past position 50: see the ordering NOTE above ------------------
+        "web_anchor_prior": web_anchor_prior,
+        "text_lm_bits": text_lm_bits,
+        "kg_hits": kg_hits,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -1650,6 +1705,36 @@ WHERE t.subj IS NULL
 WITH {_PARTS_ORACLE_CTE},
 {_pagerank_sql(5, 0.85)}
 SELECT node, rank FROM pr_out
+""",
+        # HITS unrolled 2 rounds; L1 normalization keeps the normalizer a
+        # plain SUM so the SQL twin is exact (kgspark/graph_algs.py hits())
+        "kg_hits": f"""
+WITH {_PARTS_ORACLE_CTE},
+ht_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples),
+ht_nodes AS (SELECT s AS node FROM ht_e UNION SELECT t FROM ht_e),
+ht_a1r AS (SELECT e.t AS node, sum(1.0) AS raw FROM ht_e e GROUP BY e.t),
+ht_a1 AS (SELECT node, raw / (SELECT sum(raw) FROM ht_a1r) AS auth FROM ht_a1r),
+ht_h1r AS (
+  SELECT e.s AS node, sum(a.auth) AS raw
+  FROM ht_e e JOIN ht_a1 a ON a.node = e.t GROUP BY e.s
+),
+ht_h1 AS (SELECT node, raw / (SELECT sum(raw) FROM ht_h1r) AS hub FROM ht_h1r),
+ht_a2r AS (
+  SELECT e.t AS node, sum(h.hub) AS raw
+  FROM ht_e e JOIN ht_h1 h ON h.node = e.s GROUP BY e.t
+),
+ht_a2 AS (SELECT node, raw / (SELECT sum(raw) FROM ht_a2r) AS auth FROM ht_a2r),
+ht_h2r AS (
+  SELECT e.s AS node, sum(a.auth) AS raw
+  FROM ht_e e JOIN ht_a2 a ON a.node = e.t GROUP BY e.s
+),
+ht_h2 AS (SELECT node, raw / (SELECT sum(raw) FROM ht_h2r) AS hub FROM ht_h2r)
+SELECT n.node,
+       round(coalesce(h.hub, 0.0) * 1e6, 0)::BIGINT AS hub_scaled,
+       round(coalesce(a.auth, 0.0) * 1e6, 0)::BIGINT AS auth_scaled
+FROM ht_nodes n
+LEFT JOIN ht_h2 h ON h.node = n.node
+LEFT JOIN ht_a2 a ON a.node = n.node
 """,
         "kg_khop": f"""
 WITH RECURSIVE {_PARTS_ORACLE_CTE},
@@ -2408,6 +2493,73 @@ an_rank AS (
   FROM an_counts
 )
 SELECT dst_host, anchor, n, rank FROM an_rank WHERE rank <= 3
+""",
+        # kgspark.web.anchor_commonness: P(dst_host | anchor) pooled over
+        # trimmed/lowercased anchors; prior as a 1e6-scaled integer
+        "web_anchor_prior": """
+WITH ap_pages AS (
+  SELECT doc_id,
+         '<a href="https://www.site' || ((doc_id * 3) % 40)
+           || '.example.com/t" class="r">' || string_split("text", ' ')[1]
+           || ' page</a> <a href="https://hub.example.org/h">hub '
+           || (doc_id % 9) || '</a>' AS html
+  FROM documents
+),
+ap_pairs AS (
+  SELECT unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"[^>]*>([^<]*)<', 1)) AS link,
+         unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"[^>]*>([^<]*)<', 2)) AS anchor
+  FROM ap_pages
+),
+ap_counts AS (
+  SELECT trim(lower(anchor)) AS anchor,
+         lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+         count(*) AS n
+  FROM ap_pairs
+  WHERE trim(lower(anchor)) <> ''
+  GROUP BY 1, 2
+)
+SELECT anchor, dst_host, n::BIGINT AS n,
+       round((n::DOUBLE / sum(n) OVER (PARTITION BY anchor)) * 1e6, 0)::BIGINT
+         AS prior_scaled
+FROM ap_counts
+""",
+        # kgspark.lm: bigram LM trained on the corpus, add-1 smoothed
+        # cross-entropy in bits per bigram; parallel unnests of the two
+        # token-array slices zip positionally (adjacent pairs)
+        "text_lm_bits": r"""
+WITH lm_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+lm_pairs AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM lm_toks WHERE len(t) >= 2
+),
+lm_uni AS (
+  SELECT w AS w1, count(*) AS c1
+  FROM (SELECT unnest(t) AS w FROM lm_toks) GROUP BY w
+),
+lm_vocab AS (SELECT count(*)::DOUBLE AS v FROM lm_uni),
+lm_bi AS (SELECT w1, w2, count(*) AS c12 FROM lm_pairs GROUP BY w1, w2),
+lm_lp AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c12, 0) + 1.0) / (u.c1 + 1.0 * lm_vocab.v)) AS lp
+  FROM lm_pairs p
+  JOIN lm_uni u ON u.w1 = p.w1
+  LEFT JOIN lm_bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  CROSS JOIN lm_vocab
+),
+lm_sc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         -sum(lp) / count(*) / ln(2.0) AS bits
+  FROM lm_lp GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(round(s.bits * 1e6, 0)::BIGINT, -1) AS bits_scaled
+FROM documents d LEFT JOIN lm_sc s USING (doc_id)
 """,
         # kgspark.web.domain_cap: per-host top-5 by (n_chars desc, doc_id)
         "web_domain_cap": """

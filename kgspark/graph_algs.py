@@ -73,6 +73,64 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(node, hub, auth) after `iterations` HITS rounds (Kleinberg 1999).
+
+    Per round: auth(v) = Σ_{u→v} hub(u), then L1-normalize; hub(u) =
+    Σ_{u→v} auth(v), then L1-normalize. L1 (sum=1) instead of the classic
+    L2 keeps the normalizer a plain SUM — expressible in the SQL oracle
+    and numerically identical across engines. On a host graph, hubs are
+    link directories, authorities the heavily-cited sites.
+
+    Scale shape mirrors pagerank(): each half-round is one shuffle join of
+    the edge table against the score vector plus one aggregation; the
+    normalizer rides as a 1-row DataFrame through a crossJoin (broadcast,
+    never a driver collect). Hub hosts skew the dst key; AQE splits them.
+    Lineage is truncated per round via materialize().
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    e = materialize(e)
+    nodes = e.select(F.col("s").alias("node")).union(
+        e.select(F.col("t").alias("node"))
+    ).distinct()
+    nodes = materialize(nodes)
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+    for _ in range(iterations):
+        auth = (
+            e.join(scores.select(F.col("node").alias("s"), "hub"), "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        auth = auth.crossJoin(auth.agg(F.sum("a_raw").alias("__z"))).select(
+            "node", (F.col("a_raw") / F.col("__z")).alias("auth")
+        )
+        hub = (
+            e.join(auth.select(F.col("node").alias("t"), "auth"), "t")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        hub = hub.crossJoin(hub.agg(F.sum("h_raw").alias("__z"))).select(
+            "node", (F.col("h_raw") / F.col("__z")).alias("hub")
+        )
+        scores = materialize(
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            )
+        )
+    return scores
+
+
 def k_hop(
     edges: DataFrame,
     start,

@@ -1,0 +1,138 @@
+"""Corpus n-gram language model: train bigram counts, score documents by
+cross-entropy (bits per bigram) — the CCNet-style LM quality filter.
+
+CCNet (public literature: Wenzek et al., "CCNet: Extracting high quality
+monolingual datasets from web crawl data", 2020) buckets web documents by
+language-model perplexity: boilerplate/gibberish scores high, fluent prose
+low. The reference repo has no corpus-level quality notion (it ingests
+single uploaded documents, /root/reference/knowledgeGraph.py:85-97); this
+module is part of the beyond-reference training-data surface (SURVEY.md
+§8), replacing CCNet's external KenLM with a model trained ON the corpus
+being scored — no model artifact to ship, fully distributed.
+
+Design for 100 TB:
+
+- Training is two groupBy aggregations over exploded tokens/bigram pairs —
+  pure map + partial-agg shuffles; count tables are bounded by distinct
+  vocabulary, not corpus size.
+- Scoring is two hash joins on the corpus-sized pair stream: (w1, w2)
+  against the bigram table, w1 against the unigram table (the smoothing
+  denominator must exist even when the bigram is unseen). Stop-bigrams
+  ("of the") skew both keys; AQE skew-join splits them. With a pruned
+  model (min_count) both count tables often broadcast outright.
+- Vocabulary size V rides along as a crossJoin of a 1-row aggregate
+  (broadcast nested loop over one row — never a driver collect).
+- All probability math is fp64 natural-log expressions inside codegen;
+  no Python in any hot path.
+
+Add-k smoothing: p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V). Unseen
+bigrams/unigrams (scoring a corpus the model wasn't trained on) fall back
+to c=0 via left joins — the smoothed mass keeps log p finite.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark.session import materialize
+from kgspark.textstats import ws_tokens
+
+__all__ = ["bigram_pairs", "train_bigram_lm", "score_bigram_lm"]
+
+
+def bigram_pairs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2): adjacent lowercased whitespace-token pairs per doc.
+
+    The token array is materialized BEFORE the two slice() references zip
+    it — CollapseProject would otherwise inline the tokenize subtree into
+    both slices and run the split twice per row (the HOF re-evaluation
+    trap, see CLAUDE.md).
+    """
+    toks = materialize(
+        df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("t"))
+    )
+    n = F.size("t")
+    z = F.arrays_zip(
+        F.slice("t", F.lit(1), n - 1).alias("w1"),
+        F.slice("t", F.lit(2), n - 1).alias("w2"),
+    )
+    return (
+        toks.where(n >= 2)
+        .select(F.col(id_col), F.explode(z).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_count: int = 1) -> tuple[DataFrame, DataFrame]:
+    """Count tables (unigrams: (w1, c1), bigrams: (w1, w2, c12, c1)).
+
+    The bigram table carries the denominator count c1 so scoring needs a
+    single join. `min_count` prunes rare BIGRAMS only (smoothing covers
+    them at score time); unigram counts stay exact or the conditional
+    denominators would drift.
+    """
+    uni = (
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        bigram_pairs(df, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    if min_count > 1:
+        bi = bi.where(F.col("c12") >= min_count)
+    return uni, bi.join(uni, "w1")
+
+
+def score_bigram_lm(df: DataFrame, unigrams: DataFrame, model: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    k: float = 1.0) -> DataFrame:
+    """(id, n_bigrams, bits): average bits per bigram under the model.
+
+    bits = -Σ log2 p(w2|w1) / n_bigrams, with add-k smoothing over the
+    model's vocabulary. Lower is more fluent; CCNet keeps the head/middle
+    buckets. Docs with <2 tokens score NULL bits with n_bigrams = 0.
+
+    `model` is train_bigram_lm()'s second table. Scoring a held-out corpus
+    works: unseen bigrams take c12=0, unseen left-words take c1=0 — both
+    stay finite under smoothing.
+    """
+    vocab = unigrams.agg(F.count(F.lit(1)).cast("double").alias("__v"))
+    pairs = bigram_pairs(df, text_col, id_col)
+    scored = (
+        pairs.join(model, ["w1", "w2"], "left")
+        .join(unigrams.select("w1", F.col("c1").alias("__c1")), "w1", "left")
+        .crossJoin(vocab)
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.coalesce("c12", F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("c1"), F.col("__c1"), F.lit(0))
+                       + F.lit(k) * F.col("__v"))
+                )
+            ).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("__lp") / F.count(F.lit(1)) / math.log(2.0)).alias("bits"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("bits").cast("double").alias("bits"),
+        )
+    )

@@ -146,6 +146,75 @@ def host_anchor_summary(df: DataFrame, url_col: str = "url",
     )
 
 
+def anchor_commonness(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html",
+                      min_count: int = 1) -> DataFrame:
+    """Commonness prior P(dst_host | anchor) from crawl anchor text.
+
+    The Milne-Witten commonness prior (public literature: "Learning to link
+    with Wikipedia", CIKM 2008): how often does this surface string, used
+    as a link anchor anywhere in the crawl, point at this target? Returns
+    (anchor, dst_host, n, prior) with prior = n / Σ_host n — the standard
+    context-free candidate score for entity linking; the reference scores
+    candidates inside an LLM prompt (/root/reference/knowledgeGraph.py), we
+    derive the score from the corpus itself.
+
+    Anchors are lowercased/trimmed so "Apple Inc" and "apple inc" pool.
+    Two shuffles: groupBy((anchor, dst_host)), then the per-anchor total as
+    a window over anchor. Both keys are bounded by distinct surface forms,
+    not pages; hot anchors ("here", "click") are the skewed keys and AQE
+    splits them. `min_count` prunes the one-off tail BEFORE the prior is
+    computed, so priors stay consistent with the retained counts.
+    """
+    pairs = anchor_pairs(df, url_col, html_col)
+    counts = (
+        pairs.select(
+            F.trim(F.lower(F.col("anchor"))).alias("anchor"),
+            host_of(F.col("link")).alias("dst_host"),
+        )
+        .where(F.col("anchor") != "")
+        .groupBy("anchor", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    w = Window.partitionBy("anchor")
+    return counts.withColumn(
+        "prior", F.col("n") / F.sum("n").over(w)
+    )
+
+
+def link_by_prior(mentions: DataFrame, priors: DataFrame,
+                  mention_col: str = "mention",
+                  broadcast_priors: bool = True) -> DataFrame:
+    """Resolve mentions to their most-common anchor target.
+
+    `mentions` carries arbitrary columns + `mention_col`; `priors` is
+    anchor_commonness() output (possibly filtered). Returns the mention
+    rows + (dst_host, prior); unmatched mentions keep NULLs (annotate,
+    don't drop). Argmax is deterministic: prior desc, dst_host asc.
+
+    The priors table is alias-table-sized (distinct surface forms), so the
+    default is a broadcast join — the mention side, which is corpus-sized,
+    never shuffles. Set broadcast_priors=False when the prior table is too
+    big for executor memory and let AQE pick the strategy.
+    """
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("prior"), F.asc("dst_host")
+    )
+    best = (
+        priors.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(F.col("anchor").alias("__a"), "dst_host", "prior")
+    )
+    if broadcast_priors:
+        best = F.broadcast(best)
+    key = F.trim(F.lower(F.col(mention_col)))
+    return (
+        mentions.join(best, key == F.col("__a"), "left")
+        .drop("__a")
+    )
+
+
 def normalize_url(url_col) -> Column:
     """Canonicalize a URL column; pure JVM expression chain.
 

@@ -106,3 +106,34 @@ def test_common_neighbors_max_degree_drops_hubs(spark):
               for r in common_neighbors(e, min_common=1, max_degree=3).collect()}
     assert ("c", "d") not in pruned
     assert ("a", "b") in pruned  # via m (degree 2)
+
+
+def test_hits_star_graph(spark):
+    from kgspark.graph_algs import hits
+
+    # h1,h2,h3 all point at A; h1 also points at B
+    edges = spark.createDataFrame(
+        [("h1", "A"), ("h2", "A"), ("h3", "A"), ("h1", "B")],
+        ["subj", "obj"],
+    )
+    one = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(edges, iterations=1).collect()}
+    # authorities: A gets 3 hub-units, B gets 1 -> 0.75 / 0.25
+    assert abs(one["A"][1] - 0.75) < 1e-9
+    assert abs(one["B"][1] - 0.25) < 1e-9
+    # hubs: h1 covers both (1.0 raw), h2/h3 cover A (0.75) -> L1-normalized
+    assert abs(one["h1"][0] - 1.0 / 2.5) < 1e-9
+    assert abs(one["h2"][0] - 0.75 / 2.5) < 1e-9
+    # pure authorities have zero hub mass; pure hubs zero authority
+    assert one["A"][0] == 0.0 and one["h1"][1] == 0.0
+
+    two = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(edges, iterations=2).collect()}
+    # round 2: auth_raw(A)=0.4+0.3+0.3=1.0, auth_raw(B)=0.4 -> 5/7, 2/7;
+    # hub_raw(h1)=1, h2=h3=5/7 -> 7/17, 5/17, 5/17
+    assert abs(two["A"][1] - 5.0 / 7.0) < 1e-9
+    assert abs(two["B"][1] - 2.0 / 7.0) < 1e-9
+    assert abs(two["h1"][0] - 7.0 / 17.0) < 1e-9
+    assert abs(two["h2"][0] - 5.0 / 17.0) < 1e-9
+    assert abs(sum(v[0] for v in two.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in two.values()) - 1.0) < 1e-9

@@ -1,0 +1,71 @@
+"""Bigram-LM perplexity filter (kgspark.lm) — the CCNet-style quality
+bucket signal, trained on the corpus itself (beyond-reference, SURVEY §8).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from kgspark.lm import bigram_pairs, score_bigram_lm, train_bigram_lm
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_bigram_pairs_adjacent_lowercased(spark):
+    df = _docs(spark, ["The cat  sat", "x", None, ""])
+    got = sorted((r["doc_id"], r["w1"], r["w2"])
+                 for r in bigram_pairs(df).collect())
+    assert got == [(0, "cat", "sat"), (0, "the", "cat")]
+
+
+def test_train_counts(spark):
+    uni, bi = train_bigram_lm(_docs(spark, ["a b a b", "a b"]))
+    u = {r["w1"]: r["c1"] for r in uni.collect()}
+    assert u == {"a": 3, "b": 3}
+    b = {(r["w1"], r["w2"]): (r["c12"], r["c1"]) for r in bi.collect()}
+    assert b == {("a", "b"): (3, 3), ("b", "a"): (1, 3)}
+
+
+def test_score_hand_computed(spark):
+    corpus = _docs(spark, ["a b a b", "a b"])
+    uni, bi = train_bigram_lm(corpus)
+    out = {r["doc_id"]: r for r in
+           score_bigram_lm(_docs(spark, ["a b", "c c", "a"]),
+                           uni, bi).collect()}
+    # V=2, k=1. p(b|a) = (3+1)/(3+2) = 0.8
+    assert out[0]["n_bigrams"] == 1
+    assert abs(out[0]["bits"] - (-math.log2(0.8))) < 1e-9
+    # unseen everything: p = (0+1)/(0+2) = 0.5 -> exactly 1 bit
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["bits"] - 1.0) < 1e-9
+    # <2 tokens: zero bigrams, NULL bits
+    assert out[2]["n_bigrams"] == 0 and out[2]["bits"] is None
+
+
+def test_fluent_scores_below_shuffled(spark):
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat rug cat the and the on sat"
+    corpus = _docs(spark, [fluent, "the cat sat on the rug",
+                           "the dog sat on the mat"])
+    uni, bi = train_bigram_lm(corpus)
+    out = {r["doc_id"]: r["bits"] for r in
+           score_bigram_lm(_docs(spark, [fluent, shuffled]),
+                           uni, bi).collect()}
+    assert out[0] < out[1]
+
+
+def test_min_count_pruning_keeps_denominators(spark):
+    corpus = _docs(spark, ["a b a b a c"])
+    uni, bi = train_bigram_lm(corpus, min_count=2)
+    b = {(r["w1"], r["w2"]) for r in bi.collect()}
+    assert b == {("a", "b"), ("b", "a")}  # (a,c) x1 pruned
+    # pruned bigram scores via smoothing with the EXACT unigram denominator
+    out = score_bigram_lm(_docs(spark, ["a c"]), uni, bi).collect()[0]
+    # V=3, k=1: p(c|a) = (0+1)/(3+3)
+    assert abs(out["bits"] - (-math.log2(1.0 / 6.0))) < 1e-9

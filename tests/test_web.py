@@ -212,3 +212,48 @@ class TestAnchors:
         out = host_anchor_summary(spark.createDataFrame(rows), k=2).collect()
         got = sorted((r["dst_host"], r["anchor"], r["n"], r["rank"]) for r in out)
         assert got == [("a.com", "x", 3, 1), ("a.com", "y", 2, 2)]
+
+
+class TestAnchorPrior:
+    def _pages(self, spark):
+        rows = []
+        # "apple" -> a.com 3x, b.org 1x; "pear" -> b.org 2x; case pools
+        targets = [("Apple", "https://a.com/1"), ("apple", "https://a.com/2"),
+                   ("apple ", "https://a.com/3"), ("apple", "http://b.org/x"),
+                   ("pear", "http://b.org/y"), ("pear", "http://b.org/z")]
+        for i, (a, link) in enumerate(targets):
+            rows.append(Row(url="https://me.com/%d" % i,
+                            html='<a href="%s">%s</a>' % (link, a)))
+        return spark.createDataFrame(rows)
+
+    def test_commonness_prior(self, spark):
+        from kgspark.web import anchor_commonness
+
+        out = anchor_commonness(self._pages(spark)).collect()
+        got = {(r["anchor"], r["dst_host"]): (r["n"], round(r["prior"], 6))
+               for r in out}
+        assert got == {
+            ("apple", "a.com"): (3, 0.75),
+            ("apple", "b.org"): (1, 0.25),
+            ("pear", "b.org"): (2, 1.0),
+        }
+
+    def test_min_count_prunes_before_prior(self, spark):
+        from kgspark.web import anchor_commonness
+
+        out = anchor_commonness(self._pages(spark), min_count=2).collect()
+        got = {(r["anchor"], r["dst_host"]): round(r["prior"], 6) for r in out}
+        # the b.org one-off is pruned BEFORE normalization -> apple is 1.0
+        assert got == {("apple", "a.com"): 1.0, ("pear", "b.org"): 1.0}
+
+    def test_link_by_prior_argmax_and_unmatched(self, spark):
+        from kgspark.web import anchor_commonness, link_by_prior
+
+        priors = anchor_commonness(self._pages(spark))
+        mentions = spark.createDataFrame(
+            [Row(doc_id=1, mention="Apple"), Row(doc_id=2, mention="PEAR "),
+             Row(doc_id=3, mention="durian")]
+        )
+        got = {r["doc_id"]: r["dst_host"]
+               for r in link_by_prior(mentions, priors).collect()}
+        assert got == {1: "a.com", 2: "b.org", 3: None}
