@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "web_url_dedup",
     "web_domain_cap",
     "dedup_lines",
+    "text_lm_bits",
+    "kg_hits",
 ]
 
 

@@ -213,3 +213,20 @@ def test_line_dedup_boiler_broadcast(spark):
     p = plan(line_dedup(docs, min_docs=3), execute=True)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_lm_score_stays_jvm_side(spark):
+    """LM train+score is pure expression math: no Python workers in the
+    plan (the tokenize/slice/zip chain is codegen'd), the model joins are
+    hash joins (count tables broadcast at this scale), and token arrays
+    are materialized once ahead of the bigram zip."""
+    from kgspark.lm import score_bigram_lm, train_bigram_lm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    uni, bi = train_bigram_lm(docs)
+    p = plan(score_bigram_lm(docs, uni, bi), execute=True)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the 1-row vocab scalar must ride a broadcast nested loop, never a
+    # shuffled cross join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
