@@ -2417,8 +2417,8 @@ wl AS (
   FROM wp
 ),
 we AS (
-  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
-         lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host
+  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS src_host,
+         lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS dst_host
   FROM wl
 )
 SELECT src_host, dst_host, count(*) AS n
@@ -2439,21 +2439,28 @@ WITH un_noisy AS (
          || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
   FROM documents
 ),
-un_step1 AS (
+un_frag AS (
+  SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM un_noisy
+),
+un_split AS (
   SELECT doc_id,
+         regexp_replace(u, '\?.*$', '') AS p,
+         regexp_extract(u, '(\?.*)$', 1) AS q
+  FROM un_frag
+),
+un_q AS (
+  SELECT doc_id, p,
          regexp_replace(
            regexp_replace(
-             regexp_replace(
-               regexp_replace(url, '#.*', ''),
-               '&utm_[a-zA-Z0-9_]*=[^&]*', '', 'g'),
-             '\?utm_[a-zA-Z0-9_]*=[^&]*&', '?'),
-           '\?utm_[a-zA-Z0-9_]*=[^&]*$', '') AS u
-  FROM un_noisy
+             regexp_replace(q, '&utm_[a-zA-Z0-9_]*=[^&]*', '', 'g'),
+             '^\?utm_[a-zA-Z0-9_]*=[^&]*&', '?'),
+           '^\?utm_[a-zA-Z0-9_]*=[^&]*$', '') AS q
+  FROM un_split
 ),
 un_pre AS (
-  SELECT doc_id, u,
-         regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS pre
-  FROM un_step1
+  SELECT doc_id, p, q,
+         regexp_extract(p, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS pre
+  FROM un_q
 ),
 un_norm AS (
   SELECT doc_id,
@@ -2461,8 +2468,8 @@ un_norm AS (
            regexp_replace(
              regexp_replace(lower(pre), '^(https://[^/:?#]+):443$', '\1'),
              '^(http://[^/:?#]+):80$', '\1')
-           || substr(u, length(pre) + 1),
-           '/$', '') AS url_norm
+           || substr(p, length(pre) + 1),
+           '/$', '') || q AS url_norm
   FROM un_pre
 ),
 un_keep AS (SELECT url_norm, min(doc_id) AS keep_id FROM un_norm GROUP BY url_norm)
@@ -2487,7 +2494,7 @@ an_pairs AS (
   FROM an_pages
 ),
 an_counts AS (
-  SELECT lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+  SELECT lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS dst_host,
          anchor, count(*) AS n
   FROM an_pairs GROUP BY 1, 2
 ),
@@ -2517,7 +2524,7 @@ ap_pairs AS (
 ),
 ap_counts AS (
   SELECT trim(lower(anchor)) AS anchor,
-         lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+         lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS dst_host,
          count(*) AS n
   FROM ap_pairs
   WHERE trim(lower(anchor)) <> ''

@@ -548,9 +548,14 @@ def line_dedup(
     broadcast it (`broadcast_boiler`) and the only wide shuffles left are
     the distinct-count and the per-doc reassembly, both keyed well.
     """
+    # \Q...\E-quote the separator: F.split takes a Java regex but the
+    # concat_ws reassembly below is literal — quoting keeps both sides at
+    # literal semantics for any sep (e.g. '|', '.')
     lines = materialize(df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__i", "__line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("__i", "__line"),
     ).withColumn("__h", F.md5("__line")))
     boiler = (
         lines.select("__h", "__id").distinct()

@@ -103,22 +103,26 @@ def hits(
         "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     )
     for _ in range(iterations):
-        auth = (
+        # each raw-sum table is materialized before its normalizer
+        # re-aggregates it (the pagerank pattern) — without this, the
+        # crossJoin references the edge-join subplan twice and only
+        # ReuseExchange luck avoids paying it twice
+        a_raw = materialize(
             e.join(scores.select(F.col("node").alias("s"), "hub"), "s")
             .groupBy(F.col("t").alias("node"))
             .agg(F.sum("hub").alias("a_raw"))
         )
-        auth = auth.crossJoin(auth.agg(F.sum("a_raw").alias("__z"))).select(
-            "node", (F.col("a_raw") / F.col("__z")).alias("auth")
-        )
-        hub = (
+        auth = a_raw.crossJoin(
+            a_raw.agg(F.sum("a_raw").alias("__z"))
+        ).select("node", (F.col("a_raw") / F.col("__z")).alias("auth"))
+        h_raw = materialize(
             e.join(auth.select(F.col("node").alias("t"), "auth"), "t")
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("auth").alias("h_raw"))
         )
-        hub = hub.crossJoin(hub.agg(F.sum("h_raw").alias("__z"))).select(
-            "node", (F.col("h_raw") / F.col("__z")).alias("hub")
-        )
+        hub = h_raw.crossJoin(
+            h_raw.agg(F.sum("h_raw").alias("__z"))
+        ).select("node", (F.col("h_raw") / F.col("__z")).alias("hub"))
         scores = materialize(
             nodes.join(hub, "node", "left")
             .join(auth, "node", "left")

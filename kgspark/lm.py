@@ -43,18 +43,21 @@ from kgspark.textstats import ws_tokens
 __all__ = ["bigram_pairs", "train_bigram_lm", "score_bigram_lm"]
 
 
-def bigram_pairs(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(id, w1, w2): adjacent lowercased whitespace-token pairs per doc.
+def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Materialized (id, token-array) table — the one tokenize pass.
 
-    The token array is materialized BEFORE the two slice() references zip
-    it — CollapseProject would otherwise inline the tokenize subtree into
-    both slices and run the split twice per row (the HOF re-evaluation
+    Materialized BEFORE any slice/zip/explode references it: the regex
+    split over every document is the most expensive map stage here, and
+    CollapseProject would otherwise inline the tokenize subtree into each
+    reference and run it multiple times per row (the HOF re-evaluation
     trap, see CLAUDE.md).
     """
-    toks = materialize(
+    return materialize(
         df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("t"))
     )
+
+
+def _pairs_of(toks: DataFrame, id_col: str) -> DataFrame:
     n = F.size("t")
     z = F.arrays_zip(
         F.slice("t", F.lit(1), n - 1).alias("w1"),
@@ -67,23 +70,32 @@ def bigram_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_pairs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2): adjacent lowercased whitespace-token pairs per doc."""
+    return _pairs_of(_token_table(df, text_col, id_col), id_col)
+
+
 def train_bigram_lm(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     min_count: int = 1) -> tuple[DataFrame, DataFrame]:
     """Count tables (unigrams: (w1, c1), bigrams: (w1, w2, c12, c1)).
 
-    The bigram table carries the denominator count c1 so scoring needs a
-    single join. `min_count` prunes rare BIGRAMS only (smoothing covers
+    The bigram table carries the denominator count c1 so the seen-bigram
+    path of scoring needs no extra lookup. Both counts derive from ONE
+    materialized token table — the corpus is tokenized once, not once per
+    n-gram order. `min_count` prunes rare BIGRAMS only (smoothing covers
     them at score time); unigram counts stay exact or the conditional
     denominators would drift.
     """
+    toks = _token_table(df, text_col, id_col)
     uni = (
-        df.select(F.explode(ws_tokens(F.col(text_col))).alias("w1"))
+        toks.select(F.explode("t").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     bi = (
-        bigram_pairs(df, text_col, id_col)
+        _pairs_of(toks, id_col)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
