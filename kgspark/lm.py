@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
-__all__ = ["bigram_pairs", "train_bigram_lm", "score_bigram_lm"]
+__all__ = ["bigram_pairs", "train_bigram_lm", "score_bigram_lm",
+           "lm_buckets"]
 
 
 def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -148,3 +149,65 @@ def score_bigram_lm(df: DataFrame, unigrams: DataFrame, model: DataFrame,
             F.col("bits").cast("double").alias("bits"),
         )
     )
+
+
+def lm_buckets(scores: DataFrame, n: int = 3,
+               id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail split: equal-count buckets by LM score.
+
+    Input is score_bigram_lm() output; returns it + `bucket` (1 = head =
+    most fluent ... n = tail, exact SQL NTILE semantics: the first
+    total%n buckets get one extra row). Unscoreable docs (NULL bits) sort
+    as +inf and land in the tail bucket — the conservative call for a
+    quality filter. The order is total (bits, then id) so assignment is
+    deterministic and replayable.
+
+    A bare `Window.orderBy` ntile would funnel the whole corpus through
+    ONE task (the global-window scale-killer, see kgtrain.ranked_entities)
+    — instead: range-partition on the sort key, rank within each sorted
+    range, add the cumulative counts of earlier ranges (one #partitions-
+    row collect), then map the global rank to its NTILE bucket with plain
+    arithmetic. Every corpus-sized stage is parallel.
+    """
+    from pyspark.sql import Window
+
+    spark = scores.sparkSession
+    key = F.coalesce("bits", F.lit(float("inf")))
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = materialize(
+        scores.repartitionByRange(parts, key.asc(), F.col(id_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, total = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = total
+        total += sizes[pid]
+    if total == 0:
+        return scores.withColumn("bucket", F.lit(None).cast("int"))
+    off = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(key.asc(), F.col(id_col).asc())
+    rank = (F.row_number().over(w) - 1 + F.col("__off")).alias("__rank")
+    q, r = divmod(total, n)
+    big = r * (q + 1)  # rows living in the size-(q+1) head buckets
+    ranked = ranged.join(F.broadcast(off), "__pid").select(
+        *scores.columns, rank
+    )
+    if q == 0:
+        bucket = (F.col("__rank") + 1).cast("int")  # fewer rows than buckets
+    else:
+        # integer `div`, not float /: fp64 truncation can misbucket at
+        # billion-row ranks
+        bucket = (
+            F.when(F.col("__rank") < big,
+                   F.expr(f"__rank div {q + 1}"))
+            .otherwise(F.expr(f"{r} + (__rank - {big}) div {q}"))
+            + 1
+        ).cast("int")
+    return ranked.withColumn("bucket", bucket).drop("__rank")

@@ -69,3 +69,25 @@ def test_min_count_pruning_keeps_denominators(spark):
     out = score_bigram_lm(_docs(spark, ["a c"]), uni, bi).collect()[0]
     # V=3, k=1: p(c|a) = (0+1)/(3+3)
     assert abs(out["bits"] - (-math.log2(1.0 / 6.0))) < 1e-9
+
+
+def test_lm_buckets_ntile_semantics(spark):
+    # 7 scored docs -> sizes 3,2,2; NULL bits sorts to the tail
+    rows = [Row(doc_id=i, n_bigrams=5, bits=float(i)) for i in range(6)]
+    rows.append(Row(doc_id=6, n_bigrams=0, bits=None))
+    from kgspark.lm import lm_buckets
+
+    out = {r["doc_id"]: r["bucket"]
+           for r in lm_buckets(spark.createDataFrame(rows), n=3).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3}
+
+
+def test_lm_buckets_fewer_rows_than_buckets(spark):
+    from kgspark.lm import lm_buckets
+
+    df = spark.createDataFrame([Row(doc_id=0, n_bigrams=1, bits=2.0),
+                                Row(doc_id=1, n_bigrams=1, bits=1.0)])
+    out = {r["doc_id"]: r["bucket"] for r in lm_buckets(df, n=5).collect()}
+    assert out == {1: 1, 0: 2}
+    empty = lm_buckets(df.limit(0), n=3)
+    assert empty.count() == 0 and "bucket" in empty.columns
