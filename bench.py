@@ -91,7 +91,14 @@ BENCH_QUERIES = [
     "web_domain_cap",
     "dedup_lines",
     "text_lm_bits",
+    "text_lm_buckets",
     "kg_hits",
+    "web_anchor_text",
+    "web_anchor_prior",
+    "kg_quotes",
+    "kg_hearst",
+    "kg_pmi",
+    "kg_lpa",
 ]
 
 

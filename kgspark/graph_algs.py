@@ -234,6 +234,63 @@ def triangle_count(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(node, label): synchronous label-propagation communities (LPA,
+    Raghavan et al. 2007) over the undirected graph.
+
+    Labels start as the node's own id; each round every node adopts the
+    most frequent label among its neighbors, ties broken by minimum label.
+    The SYNCHRONOUS variant (all nodes update from the previous round's
+    labels) with the total tie-break makes the result deterministic and
+    SQL-expressible — the oracle unrolls the same rounds as chained CTEs.
+    (Asynchronous LPA converges faster but is order-dependent; the
+    deterministic form is the one a replayable pipeline wants.)
+
+    Scale shape: per round one shuffle join of the adjacency against the
+    label vector, one (node, label) count, and one per-node window argmax
+    — the window partitions by node, so no global single-task stage. Hub
+    nodes skew the nbr join key; AQE splits them. Lineage truncated per
+    round via materialize(). Isolated nodes (no edges) are absent from
+    the output, matching the adjacency's domain."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    adj = materialize(
+        e.select(F.col("s").alias("node"), F.col("t").alias("nbr"))
+        .union(e.select(F.col("t").alias("node"), F.col("s").alias("nbr")))
+        .distinct()
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        cnt = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = materialize(
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
 def common_neighbors(
     edges: DataFrame,
     min_common: int = 2,

@@ -137,3 +137,33 @@ def test_hits_star_graph(spark):
     assert abs(two["h2"][0] - 5.0 / 17.0) < 1e-9
     assert abs(sum(v[0] for v in two.values()) - 1.0) < 1e-9
     assert abs(sum(v[1] for v in two.values()) - 1.0) < 1e-9
+
+
+def test_label_propagation_two_communities(spark):
+    from kgspark.graph_algs import label_propagation
+
+    # triangle {a,b,c} bridged (c-x) to triangle {x,y,z}; synchronous LPA
+    # with min-label ties is exactly hand-simulable
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"),
+         ("c", "x"), ("x", "y"), ("x", "z"), ("y", "z")],
+        ["subj", "obj"],
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=2).collect()}
+    # round 1: a->b b->a c->a x->c y->x z->x; round 2 as asserted
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "c", "z": "c"}
+
+
+def test_label_propagation_ignores_direction_dupes_loops(spark):
+    from kgspark.graph_algs import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")],
+        ["subj", "obj"],
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=1).collect()}
+    # one undirected edge: each adopts the other's label; self-loop dropped
+    assert got == {"a": "b", "b": "a"}

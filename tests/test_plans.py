@@ -230,3 +230,25 @@ def test_lm_score_stays_jvm_side(spark):
     # the 1-row vocab scalar must ride a broadcast nested loop, never a
     # shuffled cross join
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_hearst_and_quotes_are_shuffle_free(spark):
+    # pure regexp column expressions: a taxonomy/attribution pass over the
+    # corpus must be map-only — zero Exchanges end to end
+    from kgspark.hearst import hearst_triples
+    from kgspark.quotes import quote_triples
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for q in (hearst_triples(docs), quote_triples(docs)):
+        assert "Exchange" not in plan(q)
+
+
+def test_pmi_vocab_join_broadcast_pair_agg_partial(spark):
+    # the vocabulary filter must broadcast (corpus never shuffles for it);
+    # the pair count must map-side combine before its one pair-key exchange
+    from kgspark.cooc import pmi_edges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(pmi_edges(docs), execute=True)
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p
