@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "kg_hearst",
     "kg_pmi",
     "kg_lpa",
+    "text_readability",
+    "kg_trustrank",
 ]
 
 

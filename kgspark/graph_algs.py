@@ -234,6 +234,80 @@ def triangle_count(
     )
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(node, rank): TrustRank (Gyöngyi et al., VLDB 2004) — PageRank with
+    teleport restricted to a trusted seed set; the standard web-spam
+    demotion signal over a host graph (good seeds keep mass in their
+    neighborhoods, spam farms starve).
+
+      rank_{i+1}(v) = (1-d)*t(v) + d*(sum_{u->v} rank_i(u)/outdeg(u)
+                                      + dangling_mass_i * t(v))
+
+    with t(v) = 1/|S| on the seed set, 0 elsewhere; rank_0 = t. Dangling
+    mass flows back to the seeds (the teleport distribution), not
+    uniformly — that is what differentiates it from pagerank().
+
+    Seeds outside the graph's node set are ignored. Scale shape is
+    pagerank()'s: one join + one agg per round, the dangling mass and the
+    seed count ride as 1-row/dimension-sized DataFrames through broadcast
+    joins, lineage truncated via materialize()."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    e = materialize(e)
+    nodes = e.select(F.col("s").alias("node")).union(
+        e.select(F.col("t").alias("node"))
+    ).distinct()
+    nodes = materialize(nodes)
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+    )
+    seed_nodes = materialize(seed_nodes)
+    ns = seed_nodes.count()
+    if ns == 0:
+        raise ValueError("trustrank: no seed intersects the graph")
+    tvec = materialize(
+        nodes.join(
+            F.broadcast(seed_nodes.select("node", F.lit(1.0 / ns).alias("t"))),
+            "node", "left",
+        ).select("node", F.coalesce("t", F.lit(0.0)).alias("t"))
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    ranks = tvec.select("node", F.col("t").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(deg, "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("d")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = materialize(
+            tvec.join(contribs, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0))
+                       + F.col("dm") * F.col("t"))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 2,

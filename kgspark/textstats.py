@@ -138,6 +138,45 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-doc readability: Flesch reading ease + Flesch-Kincaid grade.
+
+    The classic curation signal for separating fluent prose from word-salad
+    and legalese (Flesch 1948; Kincaid 1975) — a standard quality-filter
+    column in web-corpus pipelines alongside the stopword/LM scores.
+
+      syllables ~= count of vowel-group runs [aeiouy]+ per text — the
+                   standard dictionary-free estimator
+      sentences  = count of terminator runs [.!?]+, floored at 1
+      ease       = 206.835 - 1.015*(words/sents) - 84.6*(syll/words)
+      fk_grade   = 0.39*(words/sents) + 11.8*(syll/words) - 15.59
+
+    Pure column expressions (regexp_count + arithmetic) — map-only, zero
+    shuffles. Docs with no words get NULL scores (annotate-don't-drop).
+    The integer inputs (n_words, n_sentences, n_syllables) are returned so
+    exact cross-engine checks can clear the fp64 denominators (the
+    contract oracle compares the integer combination
+    206835*w*s - 1015*w*w - 84600*sy*s, which is ease*1000*w*s exactly)."""
+    t = F.col(text_col)
+    w = token_count(t)
+    s = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    sy = F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+    wps = w.cast("double") / s.cast("double")
+    spw = sy.cast("double") / w.cast("double")
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    has_words = w > 0
+    return df.select(
+        F.col(id_col),
+        w.cast("long").alias("n_words"),
+        s.cast("long").alias("n_sentences"),
+        sy.cast("long").alias("n_syllables"),
+        F.when(has_words, F.round(ease, 4)).alias("flesch_ease"),
+        F.when(has_words, F.round(grade, 4)).alias("fk_grade"),
+    )
+
+
 def corpus_report(
     df: DataFrame,
     group_col: str = "source",

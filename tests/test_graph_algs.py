@@ -167,3 +167,47 @@ def test_label_propagation_ignores_direction_dupes_loops(spark):
            for r in label_propagation(edges, iterations=1).collect()}
     # one undirected edge: each adopts the other's label; self-loop dropped
     assert got == {"a": "b", "b": "a"}
+
+
+def _reference_trustrank(edges, seeds, iters=3, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, _t in edges:
+        out[s] = out.get(s, 0) + 1
+    t = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    rank = dict(t)
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, v in edges:
+            contrib[v] += rank[s] / out[s]
+        dm = sum(r for v, r in rank.items() if v not in out)
+        rank = {v: (1 - d) * t[v] + d * (contrib[v] + dm * t[v])
+                for v in nodes}
+    return rank
+
+
+def test_trustrank_matches_reference_iteration(spark):
+    from kgspark.graph_algs import trustrank
+
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["rank"]
+           for r in trustrank(_edges(spark), seeds, iterations=3).collect()}
+    want = _reference_trustrank(EDGES, {"a"})
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # mass conserved: teleport + dangling both return to the seed set
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    # un-seeded spam-farm style node keeps less mass than under pagerank's
+    # uniform teleport: d gets NO teleport at all here
+    assert got["d"] == 0.0
+
+
+def test_trustrank_seed_outside_graph_raises(spark):
+    import pytest as _pytest
+
+    from kgspark.graph_algs import trustrank
+
+    seeds = spark.createDataFrame([("zz",)], ["node"])
+    with _pytest.raises(ValueError):
+        trustrank(_edges(spark), seeds)

@@ -164,3 +164,22 @@ def test_salted_join_rejects_unsafe_join_types(spark):
     for bad in ("right", "full", "outer", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="not salt-safe"):
             salted_join(ev, dim, ["k"], salt_buckets=4, how=bad)
+
+
+def test_readability_flesch_values(spark):
+    from kgspark.textstats import readability
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat. it ran fast!"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r0 = got[0]
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (6, 2, 6)
+    # ease = 206.835 - 1.015*(6/2) - 84.6*(6/6); grade = 0.39*3 + 11.8 - 15.59
+    assert abs(r0["flesch_ease"] - 119.19) < 1e-9
+    assert abs(r0["fk_grade"] - (-2.62)) < 1e-9
+    # no words -> NULL scores, sentence floor stays 1
+    assert got[1]["n_words"] == 0 and got[1]["flesch_ease"] is None
+    assert got[1]["n_sentences"] == 1
+    assert got[2]["flesch_ease"] is None
