@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "kg_lpa",
     "text_readability",
     "kg_trustrank",
+    "text_summarize",
 ]
 
 
