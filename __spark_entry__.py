@@ -357,12 +357,17 @@ trd{i} AS (
 ),
 tr{i} AS (
   SELECT tv.node,
-         (1 - {d})::DOUBLE * tv.t
-           + {d} * (coalesce(x.contrib, 0.0) + dd.dm * tv.t) AS rank
+         (1.0::DOUBLE - {d}::DOUBLE) * tv.t
+           + {d}::DOUBLE * (coalesce(x.contrib, 0.0) + dd.dm * tv.t) AS rank
   FROM tr_t tv CROSS JOIN trd{i} dd LEFT JOIN trc{i} x ON x.node = tv.node
 )""")
+    # 1.0::DOUBLE - d::DOUBLE reproduces Python's float(1.0 - d) bit-exactly
+    # (the bare DECIMAL (1 - d) is 2 ulps off); integer-scaled output per
+    # the rounded-float-ties rule
     return ",".join(parts) + f"""
-, tr_out AS (SELECT node, round(rank, 6) AS rank FROM tr{iterations})
+, tr_out AS (
+  SELECT node, round(rank * 1e6, 0)::BIGINT AS rank_scaled FROM tr{iterations}
+)
 """
 
 
@@ -1385,12 +1390,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def text_lm_buckets(spark, sf_dir):
         # CCNet head/middle/tail split on the LM scores — scale-safe NTILE
-        # (range-partitioned rank + offsets, no single-task global window)
+        # (range-partitioned rank + offsets, no single-task global window).
+        # Bucket on the INTEGER-scaled score (round(bits*1e6) — the same
+        # quantization text_lm_bits compares): sorting raw fp64 sums across
+        # engines risks ulp-order flips exactly at bucket boundaries.
         from kgspark.lm import lm_buckets, score_bigram_lm, train_bigram_lm
 
         docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
         uni, bi = train_bigram_lm(docs)
-        out = lm_buckets(score_bigram_lm(docs, uni, bi), n=3)
+        sc = score_bigram_lm(docs, uni, bi).withColumn(
+            "bits", F.round(F.col("bits") * 1e6, 0)
+        )
+        out = lm_buckets(sc, n=3)
         return out.select("doc_id", F.col("bucket").cast("long").alias("bucket"))
 
     def kg_hearst(spark, sf_dir):
@@ -1484,7 +1495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("subj")
         )
         out = trustrank(t, seeds, iterations=3, damping=0.85)
-        return out.select("node", F.round("rank", 6).alias("rank"))
+        return out.select(
+            "node",
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_scaled"),
+        )
 
     def kg_hits(spark, sf_dir):
         # HITS hubs/authorities (2 L1-normalized rounds) over the triple graph
@@ -2795,7 +2809,8 @@ lm_sc AS (
 )
 SELECT d.doc_id,
        ntile(3) OVER (
-         ORDER BY coalesce(s.bits, 'infinity'::DOUBLE) ASC, d.doc_id ASC
+         ORDER BY coalesce(round(s.bits * 1e6, 0), 'infinity'::DOUBLE) ASC,
+                  d.doc_id ASC
        )::BIGINT AS bucket
 FROM documents d LEFT JOIN lm_sc s USING (doc_id)
 """,
@@ -2849,10 +2864,12 @@ hr_text AS (
 hr_m AS (
 {hearst_arms}
 )
-SELECT doc_id,
-       unnest(string_split_regex(l, '{LIST_SEP}')) AS hyponym,
-       hyper AS hypernym, pattern
-FROM hr_m
+SELECT doc_id, hyponym, hypernym, pattern FROM (
+  SELECT doc_id,
+         unnest(string_split_regex(l, '{LIST_SEP}')) AS hyponym,
+         hyper AS hypernym, pattern
+  FROM hr_m
+) WHERE hyponym <> 'other'
 """,
         # kgspark.cooc.pmi_edges: document-level PMI in fp64, identical
         # expression tree (n_pair * N / (df1 * df2)) on both engines
@@ -3006,7 +3023,7 @@ FROM sm_rk WHERE rn <= 2
         "kg_trustrank": f"""
 WITH {_PARTS_ORACLE_CTE},
 {_trustrank_sql(3, 0.85)}
-SELECT node, rank FROM tr_out
+SELECT node, rank_scaled FROM tr_out
 """,
         # kgspark.web.domain_cap: per-host top-5 by (n_chars desc, doc_id)
         "web_domain_cap": """

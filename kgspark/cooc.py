@@ -48,11 +48,10 @@ def pmi_edges(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     rows, including docs with no qualifying tokens — the standard
     corpus-size denominator.
     """
-    n_total = df.count()
-    if n_total == 0:
-        return df.sparkSession.createDataFrame(
-            [], "w1 string, w2 string, n_pair long, pmi double"
-        )
+    # N rides as a broadcast 1-row aggregate (the lm.py vocab pattern) —
+    # no eager driver count, no extra corpus scan, the whole operator
+    # stays lazy until the caller acts on it
+    n_df = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     toks = materialize(
         df.select(
             F.col(id_col).alias("doc"),
@@ -64,7 +63,12 @@ def pmi_edges(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col("dfreq") >= min_df
     )
     if max_df_ratio is not None:
-        vocab = vocab.where(F.col("dfreq") <= int(max_df_ratio * n_total))
+        vocab = (
+            vocab.crossJoin(F.broadcast(n_df))
+            .where(F.col("dfreq")
+                   <= F.floor(F.lit(max_df_ratio) * F.col("__n")))
+            .drop("__n")
+        )
     t = toks.join(F.broadcast(materialize(vocab)), "w")
     left = t.select("doc", F.col("w").alias("w1"), F.col("dfreq").alias("df1"))
     right = t.select("doc", F.col("w").alias("w2"),
@@ -77,10 +81,10 @@ def pmi_edges(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .where(F.col("n_pair") >= min_pair)
     )
     pmi = F.log(
-        F.col("n_pair").cast("double") * F.lit(float(n_total))
+        F.col("n_pair").cast("double") * F.col("__n")
         / (F.col("df1") * F.col("df2")).cast("double")
     )
-    return pairs.select(
+    return pairs.crossJoin(F.broadcast(n_df)).select(
         "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
         pmi.alias("pmi"),
     )

@@ -74,9 +74,16 @@ def hearst_triples(df: DataFrame, text_col: str = "text",
     Duplicate extractions within a document are kept (frequency is
     extraction confidence signal); aggregate downstream — e.g.
     groupBy(hyponym, hypernym).count() for corpus-level edge weights.
+
+    The literal word 'other' is dropped as a hyponym: in 'X such as A, B
+    and other Y' the greedy coordinated-list tail absorbs 'and other', so
+    the list split would otherwise emit the bogus (other, is_a, X) — and
+    the lookbehind-free Java∩RE2∩DuckDB subset cannot exclude it in the
+    pattern itself. (A, B still surface correctly under BOTH X via
+    such_as and Y via and_other.)
     """
     out = None
     for name, pattern, hg, lg in PATTERNS:
         part = _pattern_triples(df, id_col, text_col, name, pattern, hg, lg)
         out = part if out is None else out.unionByName(part)
-    return out
+    return out.where(F.col("hyponym") != "other")

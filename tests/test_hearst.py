@@ -69,3 +69,16 @@ def test_multiple_patterns_same_doc(spark):
         ("logs", "assets", "and_other"),
         ("pg", "dbs", "such_as"),
     ]
+
+
+def test_combined_list_tail_never_emits_other(spark):
+    # 'animals such as cats, dogs and other pets': the greedy list tail
+    # absorbs 'and other' in the such_as capture; the 'other' hyponym is
+    # filtered while cats/dogs surface under BOTH hypernyms
+    df = _df(spark, ["animals such as cats, dogs and other pets."])
+    assert _triples(hearst_triples(df)) == [
+        ("cats", "animals", "such_as"),
+        ("cats", "pets", "and_other"),
+        ("dogs", "animals", "such_as"),
+        ("dogs", "pets", "and_other"),
+    ]
