@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "text_readability",
     "kg_trustrank",
     "text_summarize",
+    "text_keywords",
+    "kg_kcore",
 ]
 
 

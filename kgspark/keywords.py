@@ -1,0 +1,71 @@
+"""Per-document keyword extraction: TF-IDF-ranked salient terms.
+
+The per-document complement of kgspark/topics.py's corpus-level TF-IDF
+(which feeds clustering): for each document, the k terms that are frequent
+in it and rare in the corpus — the standard keyword/tag column of a
+web-corpus pipeline (doc tagging, index terms, weak labels for
+classifiers).
+
+Ranking is by the integer-deterministic key (tf desc, dfreq asc, token
+asc): monotone-equivalent in spirit to tf·idf (term frequency up, document
+frequency down) but immune to the cross-engine fp64 rank-boundary flips
+that ordering by a float score invites (two terms with tf·idf equal to a
+few ulps can order differently per engine). The fp64
+tfidf = tf · ln(N/df) column is still carried for consumers; it just never
+decides the ranking.
+
+Design for 100 TB: term frequencies are one (doc, token) groupBy; document
+frequencies are one vocabulary-sized aggregation broadcast back; ranking
+windows partition by document — no global single-task stage, no pairwise
+anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark.session import materialize
+from kgspark.textstats import ws_tokens
+
+__all__ = ["doc_keywords"]
+
+
+def doc_keywords(df: DataFrame, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token, tf, dfreq, tfidf): top-k keywords per document.
+
+    tf = in-document occurrence count, dfreq = number of documents
+    containing the token, tfidf = tf * ln(N / dfreq) with N the total
+    input row count (riding as a broadcast 1-row aggregate — no driver
+    count). Rank: (tf desc, dfreq asc, token asc), top k per document.
+    Documents with no tokens yield no rows."""
+    from pyspark.sql import Window
+
+    n_df = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    tf = materialize(
+        toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tf").desc(), F.col("dfreq").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc").alias(id_col),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dfreq").cast("long").alias("dfreq"),
+            (F.col("tf").cast("double")
+             * F.log(F.col("__n") / F.col("dfreq").cast("double")))
+            .alias("tfidf"),
+        )
+    )

@@ -211,3 +211,27 @@ def test_trustrank_seed_outside_graph_raises(spark):
     seeds = spark.createDataFrame([("zz",)], ["node"])
     with _pytest.raises(ValueError):
         trustrank(_edges(spark), seeds)
+
+
+def test_k_core_peels_pendants(spark):
+    from kgspark.graph_algs import k_core
+
+    # triangle {a,b,c} + pendant chain c-d-e; 2-core = the triangle
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        ["subj", "obj"],
+    )
+    got = {r["node"]: r["degree"]
+           for r in k_core(edges, k=2, rounds=3).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # one round only removes e; d survives with its pre-peel degree 2
+    one = {r["node"]: r["degree"]
+           for r in k_core(edges, k=2, rounds=1).collect()}
+    assert one == {"a": 2, "b": 2, "c": 3, "d": 2}
+
+
+def test_k_core_empty_when_k_too_large(spark):
+    from kgspark.graph_algs import k_core
+
+    edges = spark.createDataFrame([("a", "b")], ["subj", "obj"])
+    assert k_core(edges, k=2, rounds=2).count() == 0
