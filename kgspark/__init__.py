@@ -35,6 +35,27 @@ Module map (SURVEY.md §7.1):
   checkpoint — per-stage manifest, lineage counters + timings, resume
   io_tables  — Iceberg-or-parquet catalog seam, table schemas
   pipeline   — end-to-end spark-submit driver
+
+Round-2/3 additions:
+  graph_algs — pagerank / HITS / trustrank / k-hop BFS / triangles /
+               common-neighbor link prediction / LPA communities / k-core
+  density    — DBSCAN via banded-LSH eps-graph + connected components
+  relops     — as-of join, bucketized range join
+  kgtrain    — deterministic KG-embedding negative sampling
+  curate     — fused single-pass corpus curation (annotate-don't-drop)
+  skew       — salted aggregation/joins, hot-key detection
+  ole        — pure-stdlib OLE2/CFB + BIFF8 .xls + [MS-DOC] .doc codecs
+  trainprep  — train/val/test hash split, greedy packing, source mixing
+  pii        — regex PII detect/count/redact (Java∩RE2 subset)
+  decontam   — 13-gram benchmark decontamination
+  web        — host graph, URL-canonical dedup, domain caps, anchor text,
+               Milne-Witten commonness priors + mention linking
+  lm         — corpus-trained bigram-LM perplexity + CCNet NTILE buckets
+  quotes     — quotation attribution (speaker, said, quote)
+  hearst     — Hearst-pattern hypernym triples
+  cooc       — document-level PMI association edges
+  summarize  — token-overlap centrality extractive summaries
+  keywords   — per-document TF-IDF keyword extraction
 """
 
 __version__ = "0.1.0"

@@ -252,3 +252,17 @@ def test_pmi_vocab_join_broadcast_pair_agg_partial(spark):
     p = plan(pmi_edges(docs), execute=True)
     assert "BroadcastHashJoin" in p
     assert "partial_count" in p
+
+
+def test_lpa_and_kcore_no_cartesian(spark):
+    # iterative graph rounds must stay key-partitioned joins — a
+    # CartesianProduct anywhere means an unkeyed blowup at web scale
+    from kgspark.graph_algs import k_core, label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["subj", "obj"]
+    )
+    for q in (label_propagation(edges, iterations=2),
+              k_core(edges, k=2, rounds=2)):
+        p = plan(q)
+        assert "CartesianProduct" not in p
