@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "text_summarize",
     "text_keywords",
     "kg_kcore",
+    "web_domain_quality",
+    "corpus_sample",
 ]
 
 

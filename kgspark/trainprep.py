@@ -158,3 +158,28 @@ def mix_sources(
         .where(frac < F.col("ratio"))
         .drop("ratio")
     )
+
+
+def stratified_sample(df: DataFrame, n_per: int,
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic n-per-stratum sample (eval-set carving, per-source
+    audits): rank rows within each stratum by (md5(salt:id), id) ascending
+    and keep the first n_per. A pure function of the data — re-runs,
+    repartitions and corpus re-filters reproduce the same sample, and the
+    salt gives independent draws (the hash_split convention, same shared
+    hash expression the DuckDB oracles mirror).
+
+    Scale: the window partitions by stratum and rank<=k compiles to
+    WindowGroupLimit, so each map partition pre-prunes to its local top-k
+    before the one shuffle on strata_col (same shape as web.domain_cap).
+    Strata with fewer than n_per rows keep everything."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _doc_hash(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per)
+    )

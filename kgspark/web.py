@@ -298,3 +298,25 @@ def domain_cap(df: DataFrame, host_col: str = "host", k: int = 5,
         df.withColumn("host_rank", F.row_number().over(w))
         .where(F.col("host_rank") <= k)
     )
+
+
+def domain_quality(df: DataFrame, score_col: str,
+                   host_col: str = "host") -> DataFrame:
+    """(host, n_docs, total_score, mean_score): per-domain quality rollup.
+
+    The CCNet/RefinedWeb-style domain-filtering step: aggregate a per-doc
+    quality signal (token count, LM bits, quality score) to host level so
+    allow/block decisions happen per DOMAIN, not per page — one low-quality
+    page is noise, a whole low-quality host is a farm. Compose with
+    domain_cap / url_dedup upstream and a threshold filter downstream.
+
+    One partial-aggregated groupBy on host — the single cheapest shape
+    Spark has. With INTEGER per-doc scores the sum is exact, so
+    mean = sum/count is the identical fp64 division on every engine —
+    use integer signals when the output feeds a cross-engine contract."""
+    return df.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(score_col).cast("long").alias("total_score"),
+        (F.sum(score_col).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean_score"),
+    )

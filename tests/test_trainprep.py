@@ -109,3 +109,27 @@ def test_pack_greedy_preserves_string_ids(spark):
                      key=lambda r: r["doc_id"])
         seqs = [r["seq_id"] for r in grp]
         assert seqs == sorted(seqs)
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    from kgspark.trainprep import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(30)] + [(100, "tiny")],
+        "doc_id long, source string",
+    )
+    out1 = sorted((r["doc_id"], r["source"], r["sample_rank"])
+                  for r in stratified_sample(df, 4).collect())
+    out2 = sorted((r["doc_id"], r["source"], r["sample_rank"])
+                  for r in stratified_sample(df, 4).collect())
+    assert out1 == out2                       # replayable
+    per = {}
+    for _id, s, rk in out1:
+        per.setdefault(s, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert {s: len(v) for s, v in per.items()} == {
+        "s0": 4, "s1": 4, "s2": 4, "tiny": 1}  # short stratum keeps all
+    # a different salt draws a different sample
+    alt = sorted((r["doc_id"], r["source"], r["sample_rank"])
+                 for r in stratified_sample(df, 4, salt="other").collect())
+    assert alt != out1

@@ -295,3 +295,15 @@ class TestReviewEdges:
                line_dedup(df, min_docs=3, sep="|").collect()}
         assert out[0]["n_lines"] == 2 and out[0]["n_removed"] == 1
         assert out[0]["clean_text"] == "a"
+
+
+def test_domain_quality_integer_exact(spark):
+    from kgspark.web import domain_quality
+
+    df = spark.createDataFrame(
+        [("a.com", 10), ("a.com", 20), ("b.com", 7)],
+        "host string, n_tok long",
+    )
+    got = {r["host"]: (r["n_docs"], r["total_score"], r["mean_score"])
+           for r in domain_quality(df, "n_tok").collect()}
+    assert got == {"a.com": (2, 30, 15.0), "b.com": (1, 7, 7.0)}
