@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "kg_kcore",
     "web_domain_quality",
     "corpus_sample",
+    "kg_entity_cooc",
+    "kg_graph_report",
 ]
 
 

@@ -240,3 +240,45 @@ def entities_table(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def entity_cooccurrence(
+    docs: DataFrame,
+    aliases: DataFrame,
+    text_col: str = "content",
+    id_col: str = "filename",
+    min_docs: int = 1,
+) -> DataFrame:
+    """(e1, e2, n_docs): entity co-mention edges — canonical entity pairs
+    mentioned in the same document, counted over documents (e1 < e2, each
+    unordered pair once). The bipartite doc×entity projection that turns
+    gazetteer mentions into an entity-association graph (the edge-weight
+    complement of the per-entity `relationships` arrays the E3 extractor
+    carries; ref /root/reference/knowledge_graph_builder.py builds
+    concept-pair links via prompting).
+
+    Scale shape mirrors kgspark/cooc.py pmi_edges: mentions are distinct
+    per (doc, canonical) BEFORE pairing, the within-doc pair join is
+    quadratic only in per-document entity count (gazetteer-bounded), and
+    the final aggregation is one (e1, e2) pair-key groupBy."""
+    from kgspark.session import materialize
+
+    udf = extract_entities_udf(docs.sparkSession, aliases)
+    ments = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(udf(F.col(text_col))).alias("e"),
+        )
+        .select("doc", F.col("e.text").alias("ent"))
+        .distinct()
+    )
+    ments = materialize(ments)
+    left = ments.select("doc", F.col("ent").alias("e1"))
+    right = ments.select("doc", F.col("ent").alias("e2"))
+    return (
+        left.join(right, "doc")
+        .where(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -474,3 +474,47 @@ def common_neighbors(
             ).alias("jaccard"),
         )
     )
+
+
+def graph_report(
+    edges: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+) -> DataFrame:
+    """(pred, n_edges, n_src, n_dst, n_reciprocal): per-predicate structural
+    summary of the triple graph — the KG-quality audit table (edge volume,
+    endpoint fan-out, and how many edges have their same-predicate reverse
+    present; the reference emits fwd/rev pairs, so reciprocity is a direct
+    consistency probe on its output).
+
+    One distinct + one groupBy + one self-semi-join on the reversed key —
+    every stage is key-partitioned; n_reciprocal's join is on the full
+    (dst, src, pred) key, so hubs don't explode it."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("t")
+    ).distinct()
+    e = materialize(e)
+    rec = (
+        e.alias("x")
+        .join(
+            e.select(
+                F.col("t").alias("s"), F.col("p").alias("p"),
+                F.col("s").alias("t"),
+            ).alias("y"),
+            ["s", "p", "t"],
+            "left_semi",
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    stats = e.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("s").cast("long").alias("n_src"),
+        F.countDistinct("t").cast("long").alias("n_dst"),
+    )
+    return stats.join(rec, "p", "left").select(
+        F.col("p").alias(pred), "n_edges", "n_src", "n_dst",
+        F.coalesce(F.col("n_reciprocal"), F.lit(0)).cast("long")
+        .alias("n_reciprocal"),
+    )

@@ -60,3 +60,32 @@ def test_subquadratic_scan_at_1e4_surfaces():
     t_naive = time.perf_counter() - t0
     assert ac_res == naive_res
     assert t_ac < t_naive / 2, (t_ac, t_naive)
+
+
+def test_entity_cooccurrence_pairs_within_doc(spark):
+    from kgspark.entities import entity_cooccurrence
+    from kgspark.linking import alias_table
+
+    aliases = alias_table(spark, [
+        ("spark", "Apache Spark", 1.0),
+        ("duckdb", "DuckDB", 1.0),
+        ("flink", "Apache Flink", 1.0),
+    ])
+    docs = spark.createDataFrame(
+        [(0, "spark beats duckdb"), (1, "spark and duckdb and flink"),
+         (2, "only spark here"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["e1"], r["e2"], r["n_docs"])
+        for r in entity_cooccurrence(
+            docs, aliases, text_col="text", id_col="doc_id").collect()
+    )
+    assert got == [
+        ("Apache Flink", "Apache Spark", 1),
+        ("Apache Flink", "DuckDB", 1),
+        ("Apache Spark", "DuckDB", 2),
+    ]
+    assert entity_cooccurrence(
+        docs, aliases, text_col="text", id_col="doc_id", min_docs=2
+    ).count() == 1

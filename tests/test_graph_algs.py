@@ -235,3 +235,28 @@ def test_k_core_empty_when_k_too_large(spark):
 
     edges = spark.createDataFrame([("a", "b")], ["subj", "obj"])
     assert k_core(edges, k=2, rounds=2).count() == 0
+
+
+def test_graph_report_reciprocity(spark):
+    from kgspark.graph_algs import graph_report
+
+    edges = spark.createDataFrame(
+        [("a", "likes", "b"), ("b", "likes", "a"),   # reciprocal pair
+         ("a", "likes", "c"),                        # one-way
+         ("a", "owns", "c"), ("c", "owns", "a"),     # reciprocal, other pred
+         ("a", "owns", "c")],                        # duplicate collapses
+        ["subj", "pred", "obj"],
+    )
+    got = {r["pred"]: (r["n_edges"], r["n_src"], r["n_dst"], r["n_reciprocal"])
+           for r in graph_report(edges).collect()}
+    assert got == {"likes": (3, 2, 3, 2), "owns": (2, 2, 2, 2)}
+
+
+def test_graph_report_no_reciprocal_edges(spark):
+    from kgspark.graph_algs import graph_report
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], ["subj", "pred", "obj"]
+    )
+    got = graph_report(edges).collect()[0]
+    assert (got["n_edges"], got["n_reciprocal"]) == (2, 0)
