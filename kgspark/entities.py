@@ -269,6 +269,12 @@ def entity_cooccurrence(
             F.col(id_col).alias("doc"),
             F.explode(udf(F.col(text_col))).alias("e"),
         )
+        # gazetteer hits ONLY: the extractor also emits a weight-0.5 SPAN
+        # pseudo-entity per distinct capitalized span, which would both
+        # pollute the edge list with non-canonical strings and void the
+        # gazetteer bound on the within-doc pair join (a page with 10k
+        # capitalized names would otherwise pair ~5e7 rows)
+        .where(F.col("e.source") == F.lit("dict"))
         .select("doc", F.col("e.text").alias("ent"))
         .distinct()
     )

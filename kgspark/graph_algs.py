@@ -258,6 +258,8 @@ def k_core(
     alive set on EACH endpoint plus one per-node degree count — all
     key-partitioned shuffles, no global stage; lineage truncated per
     round via materialize()."""
+    if rounds < 1:
+        raise ValueError(f"k_core needs rounds >= 1, got {rounds}")
     adj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
