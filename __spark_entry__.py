@@ -1499,6 +1499,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return graph_report(_extract_triples(spark, sf_dir))
 
+    def kg_bgp(spark, sf_dir):
+        # conjunctive triple-pattern query (SPARQL BGP): parts with their
+        # type and a brand that points back at them — a 3-pattern cyclic
+        # join the reference's substring-only query surface cannot express
+        from kgspark.graph_api import bgp_match
+
+        t = _extract_triples(spark, sf_dir)
+        return bgp_match(
+            t,
+            [
+                ("?part", "is_a", "?typ"),
+                ("?part", "has", "?brand"),
+                ("?brand", "related_to", "?part"),
+            ],
+        )
+
     def web_domain_quality(spark, sf_dir):
         # per-domain quality rollup (CCNet-style domain filtering) over an
         # INTEGER per-doc signal: sum exact, mean = exact/exact fp64
@@ -1693,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": corpus_sample,
         "kg_entity_cooc": kg_entity_cooc,
         "kg_graph_report": kg_graph_report,
+        "kg_bgp": kg_bgp,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3139,6 +3156,17 @@ SELECT st.p AS pred, st.n_edges::BIGINT AS n_edges,
        st.n_src::BIGINT AS n_src, st.n_dst::BIGINT AS n_dst,
        coalesce(r.n_reciprocal, 0)::BIGINT AS n_reciprocal
 FROM gr_stats st LEFT JOIN gr_rec r ON r.p = st.p
+""",
+        # kgspark.graph_api.bgp_match: 3-pattern cyclic conjunctive query;
+        # variable columns in sorted-name order (brand, part, typ)
+        "kg_bgp": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT DISTINCT h.obj AS brand, h.subj AS part, i.obj AS typ
+FROM triples i
+JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
+JOIN triples r ON r.subj = h.obj AND r.obj = h.subj
+                AND r.pred = 'related_to'
+WHERE i.pred = 'is_a'
 """,
         # kgspark.web.domain_quality over the synthesized page urls;
         # integer token counts -> exact sum -> identical fp64 mean

@@ -9,6 +9,8 @@ confidence (:717-723), relationship validation (:725-738).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,104 @@ def query_graph(triples: DataFrame, query: str) -> DataFrame:
         F.col("pred").alias("relation"),
         F.col("obj").alias("object"),
     )
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+    allow_product: bool = False,
+) -> DataFrame:
+    """Conjunctive triple-pattern (SPARQL basic-graph-pattern) matching.
+
+    Each pattern is an (s, p, o) term triple; a term starting with ``?`` is
+    a variable, anything else an exact-match constant. The result has one
+    string column per distinct variable, one row per satisfying binding
+    (set semantics by default). This upgrades the reference's query surface
+    — substring scan only (ref /root/reference/knowledge_graph_builder.py:
+    679-686) — to real conjunctive queries over the same triples table.
+
+    Plan shape (the 100 TB posture): every pattern compiles to a constant
+    filter + projection over the SAME triples scan — predicate constants
+    reach the parquet reader as pushed filters, so a pred-partitioned
+    triples table prunes to the touched predicates. Patterns are then
+    joined pairwise on their shared variables in greedy most-constants-
+    first order (the classic selectivity heuristic); every join is a hash
+    join on binding columns, and AQE broadcasts whichever side a selective
+    constant has made small. Nothing runs on the driver except plan
+    construction over len(patterns) items.
+
+    A pattern set whose join graph is disconnected requires a Cartesian
+    product of binding tables; that is a scale error, so it raises unless
+    ``allow_product=True`` (constants-only existence patterns are exempt —
+    they join as broadcast 1-row guards).
+    """
+    if not patterns:
+        raise ValueError("bgp_match: need at least one pattern")
+
+    def is_var(t: str) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    cols = (subj, pred, obj)
+    compiled: list[tuple[DataFrame, frozenset[str], int]] = []
+    for pat_i, (s_t, p_t, o_t) in enumerate(patterns):
+        terms = (s_t, p_t, o_t)
+        df = triples
+        n_const = 0
+        for col, term in zip(cols, terms):
+            if not is_var(term):
+                df = df.where(F.col(col) == F.lit(term))
+                n_const += 1
+        # repeated variable inside one pattern => equality constraint
+        seen: dict[str, str] = {}
+        for col, term in zip(cols, terms):
+            if is_var(term):
+                if term in seen:
+                    df = df.where(F.col(seen[term]) == F.col(col))
+                else:
+                    seen[term] = col
+        proj = [F.col(c).alias(v[1:]) for v, c in seen.items()]
+        if proj:
+            df = df.select(*proj)
+        else:  # constants-only existence guard: 1-row broadcast semi
+            df = df.select(F.lit(1).alias(f"__exists_{pat_i}")).limit(1)
+        compiled.append((df, frozenset(v[1:] for v in seen), n_const))
+
+    # greedy join order: seed with the most-constant pattern that binds a
+    # variable (existence guards attach as 1-row broadcasts), then always
+    # attach a pattern sharing >= 1 already-bound variable
+    compiled.sort(key=lambda t: (-bool(t[1]), -t[2]))
+    acc, bound, _ = compiled[0]
+    rest = compiled[1:]
+    while rest:
+        idx = next(
+            (i for i, (_, vs, _) in enumerate(rest) if (vs & bound) or not vs),
+            None,
+        )
+        if idx is None:
+            if not allow_product:
+                raise ValueError(
+                    "bgp_match: pattern join graph is disconnected (would "
+                    "need a Cartesian product); pass allow_product=True to "
+                    "force it"
+                )
+            idx = 0
+        nxt, vs, _ = rest.pop(idx)
+        if not vs:  # existence guard
+            acc = acc.crossJoin(F.broadcast(nxt))
+        elif vs & bound:
+            acc = acc.join(nxt, on=sorted(vs & bound), how="inner")
+            bound |= vs
+        else:
+            acc = acc.crossJoin(nxt)
+            bound |= vs
+    if not bound:  # all patterns were existence guards: 0/1-row verdict
+        return acc.select(F.lit(True).alias("exists")).limit(1)
+    out = acc.select(*sorted(bound))
+    return out.distinct() if distinct else out
 
 
 def get_node_history(triples: DataFrame, nodes: DataFrame, node_id: str) -> DataFrame:
