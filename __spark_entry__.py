@@ -1548,6 +1548,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("sample_rank").cast("long").alias("sample_rank"),
         )
 
+    def corpus_delta(spark, sf_dir):
+        # incremental snapshot diff: old = docs minus (id%11==3), new = docs
+        # minus (id%7==0) with (id%5==0) texts revised — removed / added /
+        # changed rows with audit hashes; the batch resume primitive
+        from kgspark.trainprep import snapshot_delta
+
+        docs = _read(spark, sf_dir, "documents")
+        old = docs.where(F.col("doc_id") % 11 != 3)
+        new = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        out = snapshot_delta(old, new)
+        return out.select(
+            "doc_id", "status",
+            # the gate's canonical sort chokes on NULLs — blank sentinel
+            F.coalesce("old_hash", F.lit("")).alias("old_hash"),
+            F.coalesce("new_hash", F.lit("")).alias("new_hash"),
+        )
+
     def text_summarize(spark, sf_dir):
         # extractive summary (token-overlap centrality) over synthesized
         # multi-sentence text (corpus docs are single-sentence; overlapping
@@ -1710,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooc": kg_entity_cooc,
         "kg_graph_report": kg_graph_report,
         "kg_bgp": kg_bgp,
+        "corpus_delta": corpus_delta,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3167,6 +3191,35 @@ JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
 JOIN triples r ON r.subj = h.obj AND r.obj = h.subj
                 AND r.pred = 'related_to'
 WHERE i.pred = 'is_a'
+""",
+        # kgspark.trainprep.snapshot_delta: content-hash full-outer diff;
+        # single content column, so the fingerprint is md5(coalesce(text,
+        # NUL)) on both engines
+        "corpus_delta": r"""
+WITH cd_old AS (
+  SELECT doc_id, md5(coalesce("text", chr(0))) AS old_hash
+  FROM documents WHERE doc_id % 11 <> 3
+),
+cd_new AS (
+  SELECT doc_id,
+         md5(coalesce(
+           CASE WHEN doc_id % 5 = 0 THEN "text" || ' v2' ELSE "text" END,
+           chr(0))) AS new_hash
+  FROM documents WHERE doc_id % 7 <> 0
+),
+cd_j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash
+  FROM cd_old o FULL OUTER JOIN cd_new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       coalesce(old_hash, '') AS old_hash,
+       coalesce(new_hash, '') AS new_hash
+FROM cd_j
+WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
 """,
         # kgspark.web.domain_quality over the synthesized page urls;
         # integer token counts -> exact sum -> identical fp64 mean

@@ -160,6 +160,55 @@ def mix_sources(
     )
 
 
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Incremental corpus diff between two snapshots: one row per id that
+    was `added`, `removed` or `changed` (content hash differs), with both
+    content hashes for audit. Feeds incremental reprocessing — rerun the
+    expensive extraction/embedding stages only on added+changed ids
+    instead of the whole corpus (the batch analogue of
+    `streaming.start_incremental_kg`'s anti-join resume).
+
+    The content fingerprint is md5 over the content columns joined with a
+    unit separator, nulls as NUL — a pure projection on each side. The
+    only shuffle is the full-outer hash join on id; at 10^9 rows that is
+    one key-partitioned exchange per side, no window, no global order.
+    With `include_unchanged` the unchanged rows ride along labeled (full
+    audit mode) instead of being filtered before the exchange.
+    """
+    sep, nul = "\x1f", "\x00"
+
+    def fingerprint(df: DataFrame) -> F.Column:
+        return F.md5(F.concat_ws(
+            sep, *[F.coalesce(F.col(c).cast("string"), F.lit(nul))
+                   for c in content_cols],
+        ))
+
+    o = old.select(F.col(id_col).alias("id"), fingerprint(old).alias("old_hash"))
+    n = new.select(F.col(id_col).alias("id"), fingerprint(new).alias("new_hash"))
+    joined = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    out = joined.select(
+        F.col("id").alias(id_col),
+        status.alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
 def stratified_sample(df: DataFrame, n_per: int,
                       strata_col: str = "source", id_col: str = "doc_id",
                       salt: str = "sample") -> DataFrame:

@@ -133,3 +133,55 @@ def test_stratified_sample_deterministic_and_capped(spark):
     alt = sorted((r["doc_id"], r["source"], r["sample_rank"])
                  for r in stratified_sample(df, 4, salt="other").collect())
     assert alt != out1
+
+
+def test_snapshot_delta_statuses(spark):
+    from kgspark.trainprep import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, None), (5, "e")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in snapshot_delta(old, new).collect()}
+    assert out == {1: "removed", 3: "changed", 5: "added"}
+
+    full = {r["doc_id"]: r["status"]
+            for r in snapshot_delta(old, new, include_unchanged=True).collect()}
+    assert full == {1: "removed", 2: "unchanged", 3: "changed",
+                    4: "unchanged", 5: "added"}
+
+
+def test_snapshot_delta_null_vs_empty_and_multicol(spark):
+    from kgspark.trainprep import snapshot_delta
+
+    old = spark.createDataFrame([(1, None, "x")],
+                                "doc_id long, text string, title string")
+    new = spark.createDataFrame([(1, "", "x")],
+                                "doc_id long, text string, title string")
+    # null -> "" is a real content change (NUL sentinel != empty string)
+    out = snapshot_delta(old, new, content_cols=("text", "title")).collect()
+    assert [(r["doc_id"], r["status"]) for r in out] == [(1, "changed")]
+    # hash covers every content column
+    same = snapshot_delta(old, old, content_cols=("text", "title")).count()
+    assert same == 0
+
+
+def test_snapshot_delta_single_join_plan(spark):
+    from kgspark.trainprep import snapshot_delta
+
+    old = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text"))
+    new = spark.range(50, 150).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text"))
+    out = snapshot_delta(old, new)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 1
+    got = {r["status"] for r in out.collect()}
+    assert got == {"added", "removed"}
+    assert out.count() == 100  # 50 removed + 50 added
