@@ -1571,6 +1571,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("new_hash", F.lit("")).alias("new_hash"),
         )
 
+    def text_nb(spark, sf_dir):
+        # corpus-trained multinomial NB source classifier (fastText-style
+        # curation signal); fixed-point micro-nat scores => exact argmax
+        from kgspark.nb import classify_nb, score_nb, train_nb
+
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", "text", F.col("source").alias("label")
+        )
+        classes, counts = train_nb(docs)
+        return classify_nb(score_nb(docs, classes, counts))
+
     def text_summarize(spark, sf_dir):
         # extractive summary (token-overlap centrality) over synthesized
         # multi-sentence text (corpus docs are single-sentence; overlapping
@@ -1734,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_report": kg_graph_report,
         "kg_bgp": kg_bgp,
         "corpus_delta": corpus_delta,
+        "text_nb": text_nb,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3220,6 +3232,71 @@ SELECT doc_id,
        coalesce(new_hash, '') AS new_hash
 FROM cd_j
 WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+""",
+        # kgspark.nb: multinomial NB trained on source labels; every
+        # log term quantized to integer micro-nats BEFORE the sum, so the
+        # scores are exact long arithmetic on both engines
+        "text_nb": r"""
+WITH nb_toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+nb_stream AS (
+  SELECT doc_id, source, unnest(t) AS token FROM nb_toks
+),
+nb_cnt AS (
+  SELECT source AS label, token, count(*) AS cnt
+  FROM nb_stream WHERE source IS NOT NULL GROUP BY 1, 2
+),
+nb_tot AS (
+  SELECT source AS label, count(*) AS tot
+  FROM nb_stream WHERE source IS NOT NULL GROUP BY 1
+),
+nb_v AS (SELECT count(DISTINCT token) AS v FROM nb_cnt),
+nb_n AS (SELECT count(*) AS n FROM documents WHERE source IS NOT NULL),
+nb_classes AS (
+  SELECT d.source AS label,
+         round(ln(count(*)::DOUBLE / any_value(nb_n.n)::DOUBLE) * 1e6, 0)::BIGINT
+           AS prior_unats,
+         coalesce(any_value(t.tot), 0) AS tot,
+         any_value(nb_v.v) AS v
+  FROM documents d
+  LEFT JOIN nb_tot t ON t.label = d.source
+  CROSS JOIN nb_n CROSS JOIN nb_v
+  WHERE d.source IS NOT NULL
+  GROUP BY d.source
+),
+nb_ll AS (
+  SELECT s.doc_id, c.label,
+         round(ln((coalesce(tc.cnt, 0) + 1)::DOUBLE
+                  / (c.tot + c.v)::DOUBLE) * 1e6, 0)::BIGINT AS ll
+  FROM nb_stream s
+  CROSS JOIN nb_classes c
+  LEFT JOIN nb_cnt tc ON tc.label = c.label AND tc.token = s.token
+),
+nb_sum AS (
+  SELECT doc_id, label, sum(ll) AS s FROM nb_ll GROUP BY 1, 2
+),
+nb_score AS (
+  SELECT d.doc_id, c.label, c.prior_unats + coalesce(m.s, 0) AS score_unats
+  FROM documents d
+  CROSS JOIN nb_classes c
+  LEFT JOIN nb_sum m ON m.doc_id = d.doc_id AND m.label = c.label
+),
+nb_rk AS (
+  SELECT doc_id, label, score_unats,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY score_unats DESC, label ASC) AS rn,
+         lead(score_unats) OVER (
+           PARTITION BY doc_id
+           ORDER BY score_unats DESC, label ASC) AS s2
+  FROM nb_score
+)
+SELECT doc_id, label AS pred, score_unats::BIGINT AS score_unats,
+       coalesce(score_unats - s2, 0)::BIGINT AS margin_unats
+FROM nb_rk WHERE rn = 1
 """,
         # kgspark.web.domain_quality over the synthesized page urls;
         # integer token counts -> exact sum -> identical fp64 mean

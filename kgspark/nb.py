@@ -1,0 +1,176 @@
+"""Distributed multinomial Naive Bayes: corpus-trained source/quality
+classifier in pure DataFrame aggregations — no MLlib fit, no model artifact.
+
+A training-data pipeline constantly needs cheap document classifiers
+(which crawl source does this look like? wiki-like vs boilerplate?); the
+classic fastText/CCNet filtering step is a linear text classifier. The
+reference has no classifier surface at all (it ingests one uploaded file,
+/root/reference/knowledgeGraph.py:85-97); this module is part of the
+beyond-reference curation surface (SURVEY.md §8), in the spirit of
+`kgspark.lm` (corpus-trained bigram LM) but supervised by an existing
+label column.
+
+Train = three bounded aggregations over ONE materialized token table:
+  - class priors:        groupBy(label)        -> n_docs, tot_tokens
+  - token likelihoods:   groupBy(label, token) -> cnt
+  - vocabulary size:     distinct token count (1-row aggregate)
+Count tables are bounded by |vocab| x |classes|, not corpus size.
+
+Score = the (id, token) occurrence stream replicated per class (classes
+are dimension-sized, broadcast), left-joined against the count table on
+(label, token) — one key-partitioned shuffle; stop-word keys are exactly
+the token-frequency skew AQE's skew-join handles.
+
+Determinism contract: every per-token log-likelihood is quantized to
+INTEGER micro-nats (round(ln(p) * 1e6) as long) BEFORE summation. Long
+addition is associative, so document scores are bit-identical across
+partitionings, AQE re-plans, retries — and across engines, which is what
+lets the DuckDB oracle reproduce them exactly (fp64 sum order is the one
+thing a cross-engine hash check cannot pin down; see CLAUDE.md). The
+~1e-6-nat quantization error is orders of magnitude below any decision
+margin a bag-of-words classifier produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgspark.session import materialize
+from kgspark.textstats import ws_tokens
+
+__all__ = ["train_nb", "score_nb", "classify_nb"]
+
+_QUANT = 1e6  # micro-nats
+
+
+def _unats(log_col: F.Column) -> F.Column:
+    return F.round(log_col * F.lit(_QUANT), 0).cast("long")
+
+
+def _token_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = materialize(
+        df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("t"))
+    )
+    return toks.select(F.col(id_col), F.explode("t").alias("token"))
+
+
+def train_nb(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model; returns (classes, token_counts).
+
+    classes: (label, prior_unats, tot_tokens, v) — one row per class,
+    carrying the quantized log prior ln(n_docs_c / n_docs) and the
+    add-1-smoothing denominator ingredients. token_counts: (label, token,
+    cnt) — observed occurrence counts only (absent pairs take cnt=0 at
+    score time; the smoothed value needs no |V| x |C| materialization).
+    Rows with a NULL label are excluded from the fit.
+    """
+    labeled = df.where(F.col(label_col).isNotNull())
+    stream = _token_stream(labeled, text_col, id_col).join(
+        labeled.select(F.col(id_col), F.col(label_col).alias("label")), id_col
+    )
+    token_counts = (
+        stream.groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tok_per_class = (
+        stream.groupBy("label").agg(F.count(F.lit(1)).alias("tot_tokens"))
+    )
+    docs_per_class = (
+        labeled.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n_total = labeled.agg(F.count(F.lit(1)).alias("__n"))
+    vocab = token_counts.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    classes = (
+        docs_per_class
+        # classes with zero tokens (all-empty docs) still get a prior
+        .join(tok_per_class, "label", "left")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            _unats(
+                F.log(F.col("n_docs").cast("double")
+                      / F.col("__n").cast("double"))
+            ).alias("prior_unats"),
+            F.coalesce("tot_tokens", F.lit(0)).cast("long")
+            .alias("tot_tokens"),
+            F.col("__v").cast("long").alias("v"),
+        )
+    )
+    return classes, token_counts
+
+
+def score_nb(
+    df: DataFrame,
+    classes: DataFrame,
+    token_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(doc, class) log-posterior scores in micro-nats: prior +
+    Σ_occurrences ln((cnt + 1) / (tot_tokens_c + v)). Every document gets
+    a row for every class (empty/NULL-text docs score on priors alone);
+    out-of-vocabulary tokens take the smoothed cnt=0 likelihood, so
+    scoring a corpus the model never saw stays finite."""
+    stream = _token_stream(df, text_col, id_col)
+    per_class = stream.crossJoin(
+        F.broadcast(classes.select("label", "tot_tokens", "v"))
+    )
+    ll = per_class.join(token_counts, ["label", "token"], "left").select(
+        F.col(id_col),
+        "label",
+        _unats(
+            F.log(
+                (F.coalesce("cnt", F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("tot_tokens") + F.col("v")).cast("double")
+            )
+        ).alias("__ll"),
+    )
+    sums = ll.groupBy(id_col, "label").agg(F.sum("__ll").alias("__sum"))
+    return (
+        df.select(F.col(id_col))
+        .crossJoin(F.broadcast(classes.select("label", "prior_unats")))
+        .join(sums, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            "label",
+            (F.col("prior_unats") + F.coalesce("__sum", F.lit(0)))
+            .cast("long")
+            .alias("score_unats"),
+        )
+    )
+
+
+def classify_nb(scores: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Argmax over score_nb() output: (id, pred, score_unats, margin_unats)
+    with margin = best - runner-up (LONG arithmetic end-to-end, so the
+    decision is exactly reproducible). Ties break on label ascending. The
+    window partitions by document — thousands of rows per partition key
+    at most |classes|, never a global window."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_unats").desc(), F.col("label").asc()
+    )
+    return (
+        scores.select(
+            F.col(id_col),
+            F.col("label").alias("pred"),
+            "score_unats",
+            F.row_number().over(w).alias("__rn"),
+            # runner-up rides the same window pass; single-class margin = 0
+            F.coalesce(
+                F.col("score_unats") - F.lead("score_unats").over(w),
+                F.lit(0),
+            ).cast("long").alias("margin_unats"),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

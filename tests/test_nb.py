@@ -1,0 +1,120 @@
+"""Multinomial Naive Bayes: train/score/classify, fixed-point determinism."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark.nb import classify_nb, score_nb, train_nb
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark spark shuffle", "eng"),
+        (2, "spark join", "eng"),
+        (3, "cat dog dog", "pets"),
+        (4, "dog hamster", "pets"),
+        (5, "spark cat", "eng"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label string")
+
+
+def test_train_counts(corpus):
+    classes, counts = train_nb(corpus)
+    cl = {r["label"]: r for r in classes.collect()}
+    assert cl["eng"]["tot_tokens"] == 7 and cl["pets"]["tot_tokens"] == 5
+    assert cl["eng"]["v"] == 6 and cl["pets"]["v"] == 6  # shared vocab
+    assert cl["eng"]["prior_unats"] == round(math.log(3 / 5) * 1e6)
+    got = {(r["label"], r["token"]): r["cnt"] for r in counts.collect()}
+    assert got[("eng", "spark")] == 4
+    assert got[("pets", "dog")] == 3
+    assert ("pets", "spark") not in got  # absent pairs are not materialized
+
+
+def test_score_matches_hand_computation(corpus):
+    classes, counts = train_nb(corpus)
+    scores = score_nb(corpus, classes, counts)
+    got = {
+        (r["doc_id"], r["label"]): r["score_unats"] for r in scores.collect()
+    }
+    # doc 2 = "spark join" under eng: prior ln(3/5), spark (4+1)/(7+6),
+    # join (1+1)/(7+6); every term quantized BEFORE the sum
+    exp = (
+        round(math.log(3 / 5) * 1e6)
+        + round(math.log(5 / 13) * 1e6)
+        + round(math.log(2 / 13) * 1e6)
+    )
+    assert got[(2, "eng")] == exp
+    # under pets: spark unseen -> (0+1)/(5+6), join unseen -> 1/11
+    exp_p = round(math.log(2 / 5) * 1e6) + 2 * round(math.log(1 / 11) * 1e6)
+    assert got[(2, "pets")] == exp_p
+    assert got[(2, "eng")] > got[(2, "pets")]
+    # every doc gets every class
+    assert len(got) == 5 * 2
+
+
+def test_classify_argmax_and_margin(corpus):
+    classes, counts = train_nb(corpus)
+    out = classify_nb(score_nb(corpus, classes, counts))
+    pred = {r["doc_id"]: r for r in out.collect()}
+    assert [pred[i]["pred"] for i in (1, 2, 3, 4)] == [
+        "eng", "eng", "pets", "pets"]
+    assert all(r["margin_unats"] >= 0 for r in pred.values())
+    sc = {
+        (r["doc_id"], r["label"]): r["score_unats"]
+        for r in score_nb(corpus, classes, counts).collect()
+    }
+    assert pred[3]["margin_unats"] == sc[(3, "pets")] - sc[(3, "eng")]
+
+
+def test_score_oov_and_empty_docs(spark, corpus):
+    classes, counts = train_nb(corpus)
+    unseen = spark.createDataFrame(
+        [(10, "zebra zebra"), (11, ""), (12, None)],
+        "doc_id long, text string",
+    )
+    scores = score_nb(unseen, classes, counts)
+    got = {(r["doc_id"], r["label"]): r["score_unats"]
+           for r in scores.collect()}
+    assert len(got) == 6  # every doc x every class, even null text
+    # empty & null docs score on priors alone
+    pri = {r["label"]: r["prior_unats"] for r in classes.collect()}
+    assert got[(11, "eng")] == pri["eng"] and got[(12, "pets")] == pri["pets"]
+    # OOV tokens take the smoothed zero count, stay finite
+    assert got[(10, "eng")] == pri["eng"] + 2 * round(
+        math.log(1 / 13) * 1e6)
+
+
+def test_null_labels_excluded_from_fit(spark, corpus):
+    extra = spark.createDataFrame(
+        [(99, "spark spark spark", None)],
+        "doc_id long, text string, label string",
+    )
+    classes, _ = train_nb(corpus.unionByName(extra))
+    cl = {r["label"]: r for r in classes.collect()}
+    assert set(cl) == {"eng", "pets"}
+    assert cl["eng"]["tot_tokens"] == 7  # unlabeled doc not counted
+
+
+def test_determinism_across_partitionings(corpus):
+    classes, counts = train_nb(corpus)
+    a = sorted(map(tuple, classify_nb(
+        score_nb(corpus, classes, counts)).collect()))
+    b = sorted(map(tuple, classify_nb(
+        score_nb(corpus.repartition(7), classes, counts)).collect()))
+    assert a == b
+
+
+def test_no_global_window_in_classify(corpus):
+    classes, counts = train_nb(corpus)
+    out = classify_nb(score_nb(corpus, classes, counts))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the argmax window must partition by document (a bare orderBy window
+    # would funnel the corpus through one task); the only SinglePartition
+    # exchanges allowed are the 1-row scalar aggregates (vocab size, n)
+    assert "windowspecdefinition(doc_id" in plan
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate(keys=[]" in chunk.splitlines()[1]
