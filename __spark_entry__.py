@@ -1571,6 +1571,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("new_hash", F.lit("")).alias("new_hash"),
         )
 
+    def dedup_containment(spark, sf_dir):
+        # asymmetric containment join over the corpus + planted snippets
+        # (first-8-token excerpts of every 10th doc): snippet-inside-
+        # article detection that resemblance Jaccard cannot see
+        from kgspark.dedup import containment_pairs
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.split(F.col("text"), r"\s+")
+        snip = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 8)).alias("text"),
+        )
+        out = containment_pairs(
+            docs.unionByName(snip), n=3, threshold=0.8
+        )
+        # integer evidence columns only: n_common/n_a reconstruct the
+        # ratio without a cross-engine fp-rounding surface
+        return out.select("a", "b", "n_common", "n_a")
+
     def text_nb(spark, sf_dir):
         # corpus-trained multinomial NB source classifier (fastText-style
         # curation signal); fixed-point micro-nat scores => exact argmax
@@ -1746,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": kg_bgp,
         "corpus_delta": corpus_delta,
         "text_nb": text_nb,
+        "dedup_containment": dedup_containment,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3232,6 +3252,23 @@ SELECT doc_id,
        coalesce(new_hash, '') AS new_hash
 FROM cd_j
 WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+""",
+        # kgspark.dedup.containment_pairs: brute-force containment over
+        # corpus + planted snippets; integer evidence columns
+        "dedup_containment": f"""
+WITH ct_docs AS (
+  SELECT doc_id, "text" FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(string_split_regex("text", '\\s+')[1:8], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+ct_g AS (SELECT doc_id, {_sh_sql('"text"', 3)} AS g FROM ct_docs)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       len(list_intersect(a.g, b.g))::BIGINT AS n_common,
+       len(a.g)::BIGINT AS n_a
+FROM ct_g a JOIN ct_g b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE >= 0.8
 """,
         # kgspark.nb: multinomial NB trained on source labels; every
         # log term quantized to integer micro-nats BEFORE the sum, so the

@@ -406,6 +406,95 @@ def ngram_jaccard_pairs(
 # Embedding-cosine near-dup (sign-LSH blocked)
 # ---------------------------------------------------------------------------
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact ASYMMETRIC near-duplicate join: all ordered pairs (a, b) with
+    Jaccard containment |grams(a) ∩ grams(b)| / |grams(a)| >= t — "a is
+    mostly inside b". Resemblance (ngram_jaccard_pairs) misses exactly the
+    cases a curation pipeline most wants caught: a tweet-length snippet
+    quoted inside a long article, a boilerplate template wrapping real
+    content, a doc re-crawled with a nav bar appended — all near-zero
+    Jaccard, containment ~1. Broder's original resemblance/containment
+    distinction (public literature: Broder, "On the resemblance and
+    containment of documents", 1997).
+
+    Prefix filter, asymmetric variant: order the shingle universe by
+    ascending document frequency (rare first, ties by hash). If C(a->b)
+    >= t, the overlap is >= ceil(t*|a|), so a must share one of its first
+    |a| - ceil(t*|a|) + 1 rarest shingles with b — candidates are an
+    equi-join of a's exploded PREFIX against b's FULL posting list (the
+    probed side has no prefix bound: b may be arbitrarily larger), plus
+    the size guard |b| >= ceil(t*|a|). Rare-first prefixes keep the join
+    keys cold; the full-posting side is the same corpus-gram volume every
+    decontam/LM pass already shuffles. Exact verification on the full
+    hash arrays closes with zero false positives. Pairs come out in both
+    directions when both containments clear t (a != b, no a < b
+    normalization — containment is directional)."""
+    t = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), r"\s+").alias("__toks"),
+        )
+        .select(
+            "id",
+            F.array_sort(
+                F.transform(
+                    word_shingles_from(F.col("__toks"), n), lambda g: F.md5(g)
+                )
+            ).alias("h"),
+        )
+        .withColumn("nsh", F.size("h"))
+        .where(F.col("nsh") >= 1)
+    )
+    t = materialize(t)
+    ex = t.select("id", "nsh", F.explode("h").alias("p"))
+    freq = ex.groupBy("p").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("p"))
+    p_len = (
+        F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")).cast("int") + 1
+    )
+    pre = materialize(
+        ex.join(freq, "p")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .where(F.col("rk") <= p_len)
+        .select("id", "nsh", "p")
+    )
+    post = ex.select(
+        F.col("id").alias("b"), F.col("nsh").alias("nb"), "p"
+    )
+    cand = (
+        pre.alias("l")
+        .join(
+            post.alias("r"),
+            (F.col("l.p") == F.col("r.p"))
+            & (F.col("l.id") != F.col("r.b"))
+            & (F.col("r.nb") >= F.ceil(F.lit(threshold) * F.col("l.nsh"))),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.b").alias("b"))
+        .distinct()
+    )
+    ha = t.select(F.col("id").alias("a"), F.col("h").alias("ha"))
+    hb = t.select(F.col("id").alias("b"), F.col("h").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("long")
+    na = F.size("ha").cast("long")
+    return (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .select(
+            "a", "b",
+            inter.alias("n_common"),
+            na.alias("n_a"),
+            (inter / na).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def sign_bucket(emb_col, bits: int = 8):
     """Hypercube sign-quantization bucket: bit i set iff emb[i] > 0. A
     classic SRP-LSH with axis-aligned planes. SINGLE-table few-bit blocking:

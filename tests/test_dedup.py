@@ -189,3 +189,67 @@ def test_banded_pairs_track_similarity_not_bucket_hotness(spark):
     assert len(pairs) < 0.2 * all_pairs, (
         f"banded candidates {len(pairs)} not << all-pairs {all_pairs}"
     )
+
+
+def test_containment_pairs_asymmetric(spark):
+    from kgspark.dedup import containment_pairs
+
+    article = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    snippet = "delta epsilon zeta eta theta iota"          # inside article
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, article), (2, snippet), (3, other)], "doc_id long, text string"
+    )
+    out = {(r["a"], r["b"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.8).collect()}
+    assert (2, 1) in out and out[(2, 1)] == 1.0  # snippet fully contained
+    assert (1, 2) not in out                     # direction matters
+    assert not any(3 in p for p in out)          # unrelated never paired
+
+
+def test_containment_pairs_exact_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from kgspark.dedup import containment_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        k = rng.randint(4, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    # plant snippets of longer docs
+    for i in range(5):
+        toks = docs[i][1].split()
+        docs.append((100 + i, " ".join(toks[2 : 2 + max(4, len(toks) // 2)])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in
+           containment_pairs(df, n=3, threshold=0.7).collect()}
+
+    def grams(text, n=3):
+        t = text.split()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.permutations(docs, 2):
+        ga, gb = grams(ta), grams(tb)
+        if len(ga & gb) / len(ga) >= 0.7:
+            want.add((ia, ib))
+    assert got == want  # exact recall AND precision
+
+
+def test_containment_handles_empty_and_null(spark):
+    from kgspark.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(df, threshold=0.5).collect()
+    # null/empty texts never crash; both shingle to [""] so they may pair
+    # with each other but never with a real document
+    assert all({r["a"], r["b"]} == {2, 3} for r in out)
