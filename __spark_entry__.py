@@ -1571,6 +1571,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("new_hash", F.lit("")).alias("new_hash"),
         )
 
+    def corpus_overlap(spark, sf_dir):
+        # cross-source contamination matrix: shared distinct trigrams per
+        # source pair + each side's totals (containment = shared/total)
+        from kgspark.decontam import source_overlap
+
+        docs = _read(spark, sf_dir, "documents")
+        return source_overlap(docs, n=3)
+
     def dedup_containment(spark, sf_dir):
         # asymmetric containment join over the corpus + planted snippets
         # (first-8-token excerpts of every 10th doc): snippet-inside-
@@ -1766,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_delta": corpus_delta,
         "text_nb": text_nb,
         "dedup_containment": dedup_containment,
+        "corpus_overlap": corpus_overlap,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3252,6 +3261,34 @@ SELECT doc_id,
        coalesce(new_hash, '') AS new_hash
 FROM cd_j
 WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+""",
+        # kgspark.decontam.source_overlap: distinct trigrams per source,
+        # pairwise shared counts (ws_tokens convention: lower, \s+, drop
+        # empties; <3-token docs contribute no grams)
+        "corpus_overlap": r"""
+WITH so_t AS (
+  SELECT source,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+so_g AS (
+  SELECT DISTINCT source AS src, unnest(CASE WHEN len(ts) >= 3
+    THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, len(ts) - 1)])
+    ELSE []::VARCHAR[] END) AS g
+  FROM so_t
+),
+so_sz AS (SELECT src, count(*) AS n_grams FROM so_g GROUP BY src),
+so_sh AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+  FROM so_g a JOIN so_g b ON a.g = b.g AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared::BIGINT AS n_shared,
+       sa.n_grams::BIGINT AS n_a, sb.n_grams::BIGINT AS n_b
+FROM so_sh
+JOIN so_sz sa ON sa.src = src_a
+JOIN so_sz sb ON sb.src = src_b
 """,
         # kgspark.dedup.containment_pairs: brute-force containment over
         # corpus + planted snippets; integer evidence columns

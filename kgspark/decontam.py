@@ -37,6 +37,62 @@ def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int):
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source pair,
+    how many distinct token n-grams they share, plus each side's distinct-
+    gram total — the corpus-level audit behind questions like "how much of
+    the web crawl is already in the wiki dump?" (containment either way =
+    n_shared / n_a or / n_b). Complements `flag_contaminated`, which
+    answers the per-document version against one benchmark set.
+
+    Scale: one map-side tokenize+explode, one distinct on (source, gram)
+    — after which each gram carries at most |sources| rows, so the gram-
+    keyed self-join emits at most C(|sources|, 2) pairs per gram: total
+    candidate volume is linear in distinct grams, never corpus x corpus.
+    All joins/aggs key on the md5 gram or the dimension-sized source pair.
+    """
+    grams = (
+        _distinct_grams(df, source_col, text_col, n)
+        .select(F.col(source_col).alias("src"), F.md5("g").alias("h"))
+        .distinct()
+    )
+    sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("src").alias("src_a"),
+                                     F.col("n_grams").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("src_b"),
+                                     F.col("n_grams").alias("n_b"))),
+            "src_b",
+        )
+        .select("src_a", "src_b",
+                F.col("n_shared").cast("long").alias("n_shared"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"))
+    )
+
+
 def flag_contaminated(
     corpus: DataFrame,
     benchmark: DataFrame,

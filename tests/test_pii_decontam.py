@@ -87,3 +87,57 @@ def test_scrub_pii_common_phone_formats(spark):
         assert got[i]["n_phone"] == 1, (i, got[i])
         assert got[i]["redacted"] == "call [PHONE] now", got[i]["redacted"]
     assert got[5]["n_phone"] == 0  # fully-joined digit runs stay unmatched
+
+
+def test_source_overlap_matrix(spark):
+    from kgspark.decontam import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "wiki", "alpha beta gamma delta"),
+            (2, "wiki", "epsilon zeta eta"),
+            (3, "web", "alpha beta gamma theta"),       # shares 2 grams w/ wiki
+            (4, "web", "iota kappa lambda"),
+            (5, "books", "mu nu xi"),                   # disjoint
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["src_a"], r["src_b"]): r
+           for r in source_overlap(df, n=3).collect()}
+    # wiki grams: {abg, bgd, ezh(1 each doc: 'epsilon zeta eta')} = 3+... doc1: 2 grams, doc2: 1 -> 3
+    # web: doc3: 2 grams, doc4: 1 -> 3 ; shared wiki&web = {'alpha beta gamma'} = 1
+    r = out[("web", "wiki")]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 3, 3)
+    # disjoint pairs emit no row (sparse matrix)
+    assert ("books", "wiki") not in out and ("books", "web") not in out
+
+
+def test_source_overlap_counts_distinct_within_source(spark):
+    from kgspark.decontam import source_overlap
+
+    # duplicate grams inside one source count once
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x y z"),
+            (2, "a", "x y z"),
+            (3, "b", "x y z w"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    [r] = source_overlap(df, n=3).collect()
+    assert (r["src_a"], r["src_b"], r["n_shared"], r["n_a"], r["n_b"]) == (
+        "a", "b", 1, 1, 2)
+
+
+def test_source_overlap_short_and_null_docs(spark):
+    from kgspark.decontam import source_overlap
+
+    df = spark.createDataFrame(
+        [(1, "a", "one two"), (2, "b", None), (3, "a", "p q r"),
+         (4, "b", "p q r")],
+        "doc_id long, source string, text string",
+    )
+    [r] = source_overlap(df, n=3).collect()
+    # <3-token and null docs contribute nothing
+    assert (r["src_a"], r["src_b"], r["n_shared"], r["n_a"], r["n_b"]) == (
+        "a", "b", 1, 1, 1)
