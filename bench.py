@@ -108,6 +108,14 @@ BENCH_QUERIES = [
     "corpus_sample",
     "kg_entity_cooc",
     "kg_graph_report",
+    "kg_bgp",
+    "corpus_delta",
+    "text_nb",
+    "dedup_containment",
+    "corpus_overlap",
+    "kg_metapaths",
+    "text_typo_pairs",
+    "corpus_vocab",
 ]
 
 

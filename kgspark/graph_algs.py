@@ -520,3 +520,45 @@ def graph_report(
         F.coalesce(F.col("n_reciprocal"), F.lit(0)).cast("long")
         .alias("n_reciprocal"),
     )
+
+
+def metapath_census(
+    edges: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+) -> DataFrame:
+    """(p1, p2, n_paths, n_pairs): census of length-2 predicate sequences —
+    for every ordered predicate pair, how many 2-edge paths a->b->c compose
+    them and how many DISTINCT (a, c) endpoint pairs those paths connect.
+    The schema-level view of graph composition (which relations chain into
+    which), the standard precursor to metapath-based similarity and to
+    mining inference rules like has(x,brand) ∧ belongs_to(brand,y) =>
+    related(x,y).
+
+    One distinct + one self-join keyed on the shared middle node + one
+    groupBy — all key-partitioned. Hub middle nodes fan out quadratically
+    in their degree (inherent to path counting); AQE's skew-join split
+    handles the shuffle side, and n_pairs stays bounded because it counts
+    distinct endpoints, not paths. Self-loop composition (a->a->a) is
+    counted like any other path; filter upstream if unwanted."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("t")
+    ).distinct()
+    e = materialize(e)
+    paths = e.alias("x").join(
+        e.select(
+            F.col("s").alias("t"), F.col("p").alias("p2"),
+            F.col("t").alias("t2"),
+        ).alias("y"),
+        "t",
+    )
+    return (
+        paths.groupBy(
+            F.col("x.p").alias("p1"), F.col("y.p2").alias("p2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.countDistinct("x.s", "y.t2").cast("long").alias("n_pairs"),
+        )
+    )

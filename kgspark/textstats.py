@@ -272,3 +272,35 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.array_join(F.slice(hashes, 1, bottom_k), "|").alias("fingerprint"),
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source vocabulary profile: (source, n_tokens, n_types, n_hapax)
+    — total token occurrences, distinct types, and hapax legomena (types
+    occurring exactly once in that source). Type/token and hapax/type
+    ratios are the standard lexical-diversity diagnostics for corpus
+    drift: scraped boilerplate collapses TTR, OCR noise and spam inflate
+    the hapax share (every garbled word is unique).
+
+    Two stacked aggregations — (source, token) counts, then per-source
+    rollup — both partial-aggregated map-side; intermediate cardinality
+    is per-source vocabulary, not corpus size. NULL sources roll up into
+    their own row (audit-everything posture; filter upstream to drop)."""
+    per_tok = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(ws_tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_tok.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long").alias("n_hapax"),
+    )

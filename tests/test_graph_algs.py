@@ -260,3 +260,41 @@ def test_graph_report_no_reciprocal_edges(spark):
     )
     got = graph_report(edges).collect()[0]
     assert (got["n_edges"], got["n_reciprocal"]) == (2, 0)
+
+
+def test_metapath_census_counts_paths_and_pairs(spark):
+    from kgspark.graph_algs import metapath_census
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "p", "m"), ("b", "p", "m"),          # two p-edges into m
+            ("m", "q", "x"), ("m", "q", "y"),          # two q-edges out of m
+            ("a", "r", "z"),                            # r composes with nothing
+            ("z", "q", "a"), ("a", "p", "m"),          # dup edge ignored
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r["p1"], r["p2"]): (r["n_paths"], r["n_pairs"])
+           for r in metapath_census(edges).collect()}
+    # p->q paths: {a,b} x {x,y} through m = 4 paths, 4 distinct pairs
+    assert out[("p", "q")] == (4, 4)
+    # q->p: z->a->m via (q, p) = 1 ; q->r: z->a->z = 1
+    assert out[("q", "p")] == (1, 1)
+    assert out[("q", "r")] == (1, 1)
+    assert ("r", "q") not in out or out[("r", "q")][0] >= 1  # a->z->a
+    # r->q exists: a-r->z, z-q->a -> 1 path
+    assert out[("r", "q")] == (1, 1)
+
+
+def test_metapath_census_distinct_pairs_vs_paths(spark):
+    from kgspark.graph_algs import metapath_census
+
+    # two parallel paths between the SAME endpoints: n_paths 2, n_pairs 1
+    edges = spark.createDataFrame(
+        [("a", "p", "m1"), ("a", "p", "m2"),
+         ("m1", "q", "c"), ("m2", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    out = {(r["p1"], r["p2"]): (r["n_paths"], r["n_pairs"])
+           for r in metapath_census(edges).collect()}
+    assert out == {("p", "q"): (2, 1)}

@@ -183,3 +183,24 @@ def test_readability_flesch_values(spark):
     assert got[1]["n_words"] == 0 and got[1]["flesch_ease"] is None
     assert got[1]["n_sentences"] == 1
     assert got[2]["flesch_ease"] is None
+
+
+def test_vocab_stats_per_source(spark):
+    from kgspark.textstats import vocab_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "the cat the dog"),
+            (2, "a", "the bird"),
+            (3, "b", "one two three"),
+            (4, "b", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in vocab_stats(df).collect()}
+    # source a: tokens the,cat,the,dog,the,bird = 6; types {the,cat,dog,bird}=4
+    # hapax in a: cat,dog,bird = 3 ('the' occurs 3x)
+    assert (out["a"]["n_tokens"], out["a"]["n_types"],
+            out["a"]["n_hapax"]) == (6, 4, 3)
+    assert (out["b"]["n_tokens"], out["b"]["n_types"],
+            out["b"]["n_hapax"]) == (3, 3, 3)
