@@ -106,7 +106,11 @@ def train_nb(
             F.col("__v").cast("long").alias("v"),
         )
     )
-    return classes, token_counts
+    # |classes| rows, but its lineage is three full-corpus aggregations and
+    # score_nb references it several times (two broadcasts per scoring
+    # pass) — materialize so the corpus is aggregated once, not per
+    # reference
+    return materialize(classes), token_counts
 
 
 def score_nb(
