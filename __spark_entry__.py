@@ -1600,6 +1600,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return vocab_stats(_read(spark, sf_dir, "documents"))
 
+    def text_bm25(spark, sf_dir):
+        # BM25 top-20 retrieval for a fixed 3-term query; integer
+        # micro-unit scores (kgspark/search.py)
+        from kgspark.search import bm25_topk
+
+        docs = _read(spark, sf_dir, "documents")
+        return bm25_topk(docs, ["hash", "join", "vector"], top_k=20)
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1809,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapaths": kg_metapaths,
         "text_typo_pairs": text_typo_pairs,
         "corpus_vocab": corpus_vocab,
+        "text_bm25": text_bm25,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3348,6 +3357,41 @@ vs_c AS (SELECT source, tok, count(*) AS cnt FROM vs_s GROUP BY 1, 2)
 SELECT source, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
        sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
 FROM vs_c GROUP BY source
+""",
+        # kgspark.search.bm25_topk: Okapi BM25 (k1=1.2, b=0.75, Lucene
+        # idf), per-(doc, term) contribution quantized to integer
+        # micro-units BEFORE the per-doc sum; expression trees mirror the
+        # Spark side exactly (all-DOUBLE, same association)
+        "text_bm25": r"""
+WITH bm_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+bm_corpus AS (SELECT count(*) AS n_docs, sum(len(ts)) AS sum_dl FROM bm_t),
+bm_s AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM bm_t
+),
+bm_f AS (SELECT * FROM bm_s WHERE token IN ('hash', 'join', 'vector')),
+bm_tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM bm_f GROUP BY 1, 2, 3),
+bm_df AS (SELECT token, count(DISTINCT doc_id) AS df FROM bm_f GROUP BY 1),
+bm_c AS (
+  SELECT t.doc_id,
+    round(
+      ln(1.0::DOUBLE
+         + (CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+           / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      * ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2::DOUBLE * (0.25::DOUBLE
+                + 0.75::DOUBLE * CAST(t.dl AS DOUBLE)
+                  / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
+      * 1000000.0::DOUBLE, 0)::BIGINT AS c
+  FROM bm_tf t JOIN bm_df d USING (token), bm_corpus c
+)
+SELECT doc_id, sum(c)::BIGINT AS score_unats, count(*)::BIGINT AS n_hit_terms
+FROM bm_c GROUP BY doc_id
+ORDER BY score_unats DESC, doc_id ASC LIMIT 20
 """,
         # kgspark.decontam.source_overlap: distinct trigrams per source,
         # pairwise shared counts (ws_tokens convention: lower, \s+, drop

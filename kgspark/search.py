@@ -1,0 +1,124 @@
+"""BM25 keyword retrieval over the corpus — inverted-index-shaped, in pure
+DataFrame aggregations.
+
+A curation pipeline needs targeted retrieval constantly (pull the docs that
+mention a contaminated benchmark phrase, audit what matched a filter rule,
+build seed sets for classifier training). The reference has only a
+substring probe over node names (/root/reference/kg_query_engine.py:38-52,
+`find_nodes_by_substring`); ranked full-text retrieval over the document
+corpus is part of the beyond-reference curation surface (SURVEY.md §8).
+
+Shape, and why it scales:
+  - The token stream is FILTERED to the query terms before anything
+    shuffles — shuffle volume is proportional to the matched postings
+    (|query| × df), never to corpus token volume. At 10^12 docs a 5-term
+    query moves only those five posting lists.
+  - Per-term document frequency and the corpus stats (N, Σdl) are tiny
+    aggregates broadcast back onto the postings.
+  - Top-k is a TakeOrdered (per-partition heap + driver merge of k rows),
+    not a global sort.
+
+Determinism contract (cross-engine, cross-partitioning): the per-(doc,
+term) BM25 contribution is quantized to INTEGER micro-units
+(round(score·1e6) as long) BEFORE the per-document sum, so document
+scores are exact long arithmetic — same posture as `kgspark.nb` /
+`kgspark.lm`. Ranking breaks ties on doc_id ascending.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark.session import materialize
+from kgspark.textstats import ws_tokens
+
+__all__ = ["bm25_topk"]
+
+_QUANT = 1e6
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under Okapi BM25.
+
+    Uses the Lucene-style non-negative idf ln(1 + (N - df + 0.5)/(df +
+    0.5)). Returns (doc_id, score_unats, n_hit_terms) — only documents
+    matching ≥1 query term appear; order = score desc, doc_id asc,
+    LIMIT top_k. Document length is the whitespace-token count of the
+    full text (query-relevant or not), computed before the posting
+    filter so it is independent of the query.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = materialize(
+        docs.select(
+            F.col(id_col),
+            F.coalesce(
+                ws_tokens(F.col(text_col)),
+                F.expr("cast(array() as array<string>)"),
+            ).alias("__t"),
+        )
+    )
+    # dl rides the posting rows (constant per doc) so the corpus-sized
+    # length table never joins back — the only shuffle keyed on doc is
+    # the matched-postings groupBy below
+    stream = toks.select(
+        F.col(id_col),
+        F.size("__t").alias("dl"),
+        F.explode("__t").alias("token"),
+    ).where(F.col("token").isin(list(terms)))
+
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__t")).cast("long").alias("sum_dl"),
+    )
+    tf = stream.groupBy(id_col, "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = (
+        stream.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    n = F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (n - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("sum_dl").cast("double") / n
+    tfd = F.col("tf").cast("double")
+    w = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            F.round(idf * w * F.lit(_QUANT), 0).cast("long").alias("__c"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("score_unats"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+    )
+    return scored.orderBy(
+        F.col("score_unats").desc(), F.col(id_col).asc()
+    ).limit(top_k)

@@ -1,0 +1,69 @@
+"""BM25 retrieval (kgspark.search)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark.search import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_tf_and_length(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "hash hash hash join"),          # high tf, short
+            (2, "hash join " + "pad " * 50),      # low tf, long
+            (3, "hash"),                          # one term only
+            (4, "nothing relevant here"),         # no hit
+        ],
+    )
+    out = bm25_topk(docs, ["hash", "join"], top_k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids
+    # doc 1 beats doc 2: more tf, shorter
+    assert ids.index(1) < ids.index(2)
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_hit_terms == 2
+    assert by_id[3].n_hit_terms == 1
+    assert all(r.score_unats > 0 for r in out)
+
+
+def test_bm25_topk_limit_and_ties(spark):
+    rows = [(i, "join") for i in range(30)]
+    out = bm25_topk(_docs(spark, rows), ["join"], top_k=5).collect()
+    # identical docs -> identical scores -> tie broken on doc_id asc
+    assert [r.doc_id for r in out] == [0, 1, 2, 3, 4]
+    assert len({r.score_unats for r in out}) == 1
+
+
+def test_bm25_case_fold_and_dedup_terms(spark):
+    docs = _docs(spark, [(1, "Hash JOIN hash")])
+    out = bm25_topk(docs, ["HASH", "hash", "Join"]).collect()
+    assert len(out) == 1 and out[0].n_hit_terms == 2
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark, [(1, "x")]), [])
+
+
+def test_bm25_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "join join"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["join"]).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_bm25_determinism_across_partitionings(spark):
+    rows = [(i, ("hash " * (i % 5 + 1)) + ("join " * (i % 3))) for i in range(60)]
+    docs = _docs(spark, rows)
+    a = bm25_topk(docs.repartition(1), ["hash", "join"], top_k=15).collect()
+    b = bm25_topk(docs.repartition(17), ["hash", "join"], top_k=15).collect()
+    assert [(r.doc_id, r.score_unats) for r in a] == [
+        (r.doc_id, r.score_unats) for r in b
+    ]
