@@ -1608,6 +1608,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf_dir, "documents")
         return bm25_topk(docs, ["hash", "join", "vector"], top_k=20)
 
+    def corpus_dsir(spark, sf_dir):
+        # DSIR importance weights: target = src0/src1 docs, raw = rest;
+        # hashed unigram+bigram buckets (kgspark/dsir.py)
+        from kgspark.dsir import dsir_weights
+
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "is_target", F.col("source").isin("src0", "src1")
+        )
+        return dsir_weights(docs, "is_target", n_buckets=1024)
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1818,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_typo_pairs": text_typo_pairs,
         "corpus_vocab": corpus_vocab,
         "text_bm25": text_bm25,
+        "corpus_dsir": corpus_dsir,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3392,6 +3403,55 @@ bm_c AS (
 SELECT doc_id, sum(c)::BIGINT AS score_unats, count(*)::BIGINT AS n_hit_terms
 FROM bm_c GROUP BY doc_id
 ORDER BY score_unats DESC, doc_id ASC LIMIT 20
+""",
+        # kgspark.dsir.dsir_weights: hashed unigram+bigram buckets
+        # (md5-hex6 mod 1024), add-1-smoothed target/raw log-ratio per
+        # bucket quantized to integer micro-nats BEFORE the per-doc sum
+        "corpus_dsir": f"""
+WITH ds_t AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS is_target,
+         list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+ds_g AS (
+  SELECT doc_id, is_target,
+         unnest(ts || (CASE WHEN len(ts) >= 2
+           THEN [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]
+           ELSE []::VARCHAR[] END)) AS g
+  FROM ds_t
+),
+ds_b AS (
+  SELECT doc_id, is_target,
+         ({_hex6_sql("md5(g)")}) % 1024 AS b
+  FROM ds_g
+),
+ds_cnt AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+  FROM ds_b GROUP BY b
+),
+ds_tot AS (
+  SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS tr
+  FROM ds_b
+),
+ds_lr AS (
+  SELECT b,
+         round((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+                - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE)))
+               * 1000000.0::DOUBLE, 0)::BIGINT AS lr_unats
+  FROM ds_cnt, ds_tot
+),
+ds_sum AS (
+  SELECT doc_id, sum(lr_unats)::BIGINT AS score_unats,
+         count(*)::BIGINT AS n_grams
+  FROM ds_b JOIN ds_lr USING (b) GROUP BY doc_id
+)
+SELECT t.doc_id, t.is_target,
+       coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(s.score_unats, 0)::BIGINT AS score_unats
+FROM ds_t t LEFT JOIN ds_sum s ON s.doc_id = t.doc_id
 """,
         # kgspark.decontam.source_overlap: distinct trigrams per source,
         # pairwise shared counts (ws_tokens convention: lower, \s+, drop
