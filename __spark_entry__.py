@@ -1618,6 +1618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dsir_weights(docs, "is_target", n_buckets=1024)
 
+    def rel_bursts(spark, sf_dir):
+        # daily burst cells per event type; exact-integer z-test
+        # (kgspark/relops.py burst_windows)
+        from kgspark.relops import burst_windows
+
+        return burst_windows(
+            _read(spark, sf_dir, "events"), granularity="day", z=2.0
+        )
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1829,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": corpus_vocab,
         "text_bm25": text_bm25,
         "corpus_dsir": corpus_dsir,
+        "rel_bursts": rel_bursts,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3403,6 +3413,31 @@ bm_c AS (
 SELECT doc_id, sum(c)::BIGINT AS score_unats, count(*)::BIGINT AS n_hit_terms
 FROM bm_c GROUP BY doc_id
 ORDER BY score_unats DESC, doc_id ASC LIMIT 20
+""",
+        # kgspark.relops.burst_windows: one-sided z-test multiplied out to
+        # exact integer arithmetic (no stddev_samp — fp64 merge order is
+        # engine-dependent); z=2 -> z^2*1e6 = 4000000
+        "rel_bursts": r"""
+WITH bw_c AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         count(*) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+bw_s AS (
+  SELECT event_type, window_start, cnt,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(cnt) OVER (PARTITION BY event_type) AS s,
+         sum(cnt * cnt) OVER (PARTITION BY event_type) AS ss
+  FROM bw_c
+)
+SELECT event_type, window_start, cnt::BIGINT AS cnt,
+       (n * cnt > s AND
+        (n * cnt - s)::HUGEINT * (n * cnt - s)::HUGEINT
+          * (n - 1)::HUGEINT * 1000000::HUGEINT
+        > 4000000::HUGEINT * n::HUGEINT
+          * (n::HUGEINT * ss::HUGEINT - s::HUGEINT * s::HUGEINT)) AS is_burst
+FROM bw_s
 """,
         # kgspark.dsir.dsir_weights: hashed unigram+bigram buckets
         # (md5-hex6 mod 1024), add-1-smoothed target/raw log-ratio per

@@ -105,3 +105,75 @@ def range_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return out.drop("__bucket")
+
+
+def burst_windows(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    granularity: str = "day",
+    z: float = 2.0,
+) -> DataFrame:
+    """Tumbling-window burst detection: flag (type, window) cells whose
+    event count sits more than `z` sample standard deviations above that
+    type's mean per-window count.
+
+    The z-test is evaluated in EXACT integer arithmetic — the condition
+    (cnt - mean)^2 > z^2 * var_samp is multiplied out to
+
+        (n*cnt - sum)^2 * (n-1) * 1e6  >  round(z^2*1e6) * n * (n*sumsq - sum^2)
+
+    over decimal(38,0) (counts are integers, so n, sum, sumsq are too; no
+    fp division, no sqrt, no accumulation-order sensitivity). This makes
+    the burst flag bit-reproducible across partitionings and engines —
+    stddev_samp itself is NOT (fp64 merge order varies), which is why it
+    never appears. One-sided: only cnt above the mean can flag.
+
+    Statistics are computed over OBSERVED windows (those with >= 1 event
+    of the type); all-empty windows are absent from parquet-shaped event
+    logs anyway and their inclusion would need a calendar densify the
+    caller can do upstream. Per-type stats ride a partitionBy(type)
+    window — thousands of rows per type at most (windows, not events),
+    never a global window. The only corpus-sized shuffle is the
+    (type, window) count groupBy, which map-side combines.
+
+    Returns (event_type, window_start, cnt, is_burst); windows for types
+    with a single observed window never flag (n-1 = 0 zeroes the LHS and
+    variance is undefined).
+    """
+    z2_micro = int(round(z * z * 1e6))
+    cells = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(granularity, F.col(ts_col)).alias("window_start"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    d = lambda c: c.cast("decimal(38,0)")
+    stats = cells.select(
+        "event_type",
+        "window_start",
+        "cnt",
+        F.count(F.lit(1)).over(w).cast("long").alias("__n"),
+        F.sum("cnt").over(w).cast("long").alias("__s"),
+        # sum of squares in decimal(38,0): at 1e9-count cells a long
+        # overflows (1e18 per square); decimal holds to 1e38
+        F.sum(d(F.col("cnt")) * d(F.col("cnt"))).over(w).alias("__ss"),
+    )
+    lhs_root = d(F.col("__n") * F.col("cnt") - F.col("__s"))
+    rhs = (
+        d(F.lit(z2_micro))
+        * d(F.col("__n"))
+        * (d(F.col("__n")) * F.col("__ss") - d(F.col("__s")) * d(F.col("__s")))
+    )
+    return stats.select(
+        "event_type",
+        "window_start",
+        "cnt",
+        (
+            (F.col("__n") * F.col("cnt") > F.col("__s"))
+            & (lhs_root * lhs_root * d(F.col("__n") - 1) * d(F.lit(1000000)) > rhs)
+        ).alias("is_burst"),
+    )
