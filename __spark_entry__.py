@@ -1627,6 +1627,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "events"), granularity="day", z=2.0
         )
 
+    def text_bpe_pairs(spark, sf_dir):
+        # round-1 BPE pair statistics over the corpus word table
+        # (kgspark/bpe.py); lhs/rhs aliases dodge the SQL LEFT/RIGHT
+        # keywords in the oracle
+        from kgspark.bpe import pair_stats, word_counts
+
+        docs = _read(spark, sf_dir, "documents")
+        return pair_stats(word_counts(docs)).select(
+            F.col("left").alias("lhs"),
+            F.col("right").alias("rhs"),
+            "weight",
+        )
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1839,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": text_bm25,
         "corpus_dsir": corpus_dsir,
         "rel_bursts": rel_bursts,
+        "text_bpe_pairs": text_bpe_pairs,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3413,6 +3427,24 @@ bm_c AS (
 SELECT doc_id, sum(c)::BIGINT AS score_unats, count(*)::BIGINT AS n_hit_terms
 FROM bm_c GROUP BY doc_id
 ORDER BY score_unats DESC, doc_id ASC LIMIT 20
+""",
+        # kgspark.bpe.pair_stats: adjacent char-pair weights over the word
+        # table (multiplicity in-word, weighted by corpus frequency) —
+        # round-1 BPE statistics
+        "text_bpe_pairs": r"""
+WITH bp_w AS (
+  SELECT tok AS word, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower("text"), '\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents) GROUP BY tok
+),
+bp_p AS (
+  SELECT unnest([struct_pack(l := word[i:i], r := word[i+1:i+1])
+                 for i in range(1, len(word))]) AS p, cnt
+  FROM bp_w WHERE len(word) >= 2
+)
+SELECT p.l AS lhs, p.r AS rhs, sum(cnt)::BIGINT AS weight
+FROM bp_p GROUP BY 1, 2
 """,
         # kgspark.relops.burst_windows: one-sided z-test multiplied out to
         # exact integer arithmetic (no stddev_samp — fp64 merge order is

@@ -1,0 +1,134 @@
+"""Byte-pair-encoding token induction over the corpus — the vocabulary
+side of training a tokenizer on 100 TB of text.
+
+The insight that makes BPE training distributable: after ONE corpus-sized
+shuffle (word counts), every training round runs over the WORD TABLE
+(|vocab| rows, each carrying its corpus frequency), never the corpus.
+Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units", public) train exactly this way — pair counts are weighted
+by word frequency. At web scale the vocab table is ~1e8 rows vs 1e14
+tokens: each merge round is a narrow map (fold over a ≤word-length symbol
+array) plus one map-side-combined aggregation, and the argmax is a 1-row
+TakeOrdered. No per-row Python anywhere — the greedy merge application is
+an `aggregate` (fold) higher-order function, JVM-side.
+
+Determinism contract: pair scores are exact integer weights (sums of
+corpus counts); argmax ties break on (left asc, right asc); the greedy
+merge is left-to-right (fold order), so the merge table is
+bit-reproducible across partitionings and engines. `pair_stats` (round-1
+statistics) has a line-for-line DuckDB oracle; the iterative trainer is
+anchored by a golden pytest on the classic Sennrich example.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark.session import materialize
+from kgspark.textstats import ws_tokens
+
+__all__ = ["word_counts", "pair_stats", "bpe_train"]
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt) over whitespace tokens — the one corpus-sized shuffle."""
+    return (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _adjacent_pairs(syms_col):
+    """explode-ready array of (left, right) structs for adjacent symbols."""
+    return F.when(
+        F.size(syms_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms_col) - 1),
+            lambda i: F.struct(
+                F.element_at(syms_col, i).alias("left"),
+                F.element_at(syms_col, i + 1).alias("right"),
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<left:string,right:string>>)"))
+
+
+def pair_stats(words: DataFrame) -> DataFrame:
+    """Adjacent character-pair weights over a (word, cnt) table: the
+    round-1 BPE statistics. Multiplicity inside a word counts ("aaa"
+    contributes (a,a) twice), weighted by corpus frequency. Returns
+    (left, right, weight)."""
+    syms = words.select(
+        F.split(F.col("word"), "").alias("s"), F.col("cnt")
+    )
+    return (
+        syms.select(F.explode(_adjacent_pairs(F.col("s"))).alias("p"), "cnt")
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("cnt").cast("long").alias("weight"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn `n_merges` BPE merges; returns (rank, left, right, weight).
+
+    Driver loop of n_merges bounded rounds — each round aggregates the
+    vocab-sized symbol table (a deliberate, documented driver loop over
+    DISTRIBUTED rounds, like topics.silhouette_sweep): count pairs,
+    take the heaviest (ties: left asc, right asc), fold the merge into
+    every word's symbol array. Stops early when no pair remains.
+    """
+    spark = docs.sparkSession
+    syms = materialize(
+        word_counts(docs, text_col).select(
+            F.split(F.col("word"), "").alias("s"), F.col("cnt")
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            syms.select(
+                F.explode(_adjacent_pairs(F.col("s"))).alias("p"), "cnt"
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("cnt").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, weight = top[0].left, top[0].right, top[0].weight
+        merges.append((rank, left, right, int(weight)))
+        merged = F.lit(left + right)
+        # greedy left-to-right merge: fold symbols, replacing an
+        # (acc-tail == left, current == right) adjacency by the merged
+        # symbol; a freshly merged symbol only re-merges if a LATER rank
+        # learns it, matching reference BPE semantics
+        syms = materialize(
+            syms.select(
+                F.aggregate(
+                    F.col("s"),
+                    F.expr("cast(array() as array<string>)"),
+                    lambda acc, cur: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(left))
+                        & (cur == F.lit(right)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(merged),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(cur))),
+                ).alias("s"),
+                F.col("cnt"),
+            )
+        )
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, weight long"
+    )
