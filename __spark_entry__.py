@@ -323,6 +323,32 @@ pr{i} AS (
 """
 
 
+def _sssp_sql(rounds: int = 4) -> str:
+    """Unrolled frontier Bellman-Ford twin of kgspark.graph_algs.sssp.
+    Full relaxation per round computes the same dist_i (min cost over
+    paths of <= i edges) as the Spark side's frontier-only relaxation;
+    every path cost is the identical left-to-right fp64 addition chain,
+    so min() is value-deterministic on both engines."""
+    parts = ["""
+ss_e AS (
+  SELECT s, t, min(w) AS w
+  FROM (SELECT subj AS s, obj AS t, weight AS w FROM triples)
+  GROUP BY s, t
+),
+ss0 AS (SELECT min(subj) AS node, 0.0::DOUBLE AS dist FROM triples)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+ss{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM ss{i - 1}
+    UNION ALL
+    SELECT e.t AS node, p.dist + e.w AS dist
+    FROM ss{i - 1} p JOIN ss_e e ON e.s = p.node
+  ) GROUP BY node
+)""")
+    return ",".join(parts)
+
+
 def _trustrank_sql(iterations: int = 3, d: float = 0.85) -> str:
     """Unrolled seeded power iteration (TrustRank) — mirrors
     kgspark.graph_algs.trustrank: teleport AND dangling mass go to the
@@ -652,6 +678,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = _extract_triples(spark, sf_dir)
         start = t.agg(F.min("subj").alias("start"))
         return k_hop(t, start, k=2)
+
+    def kg_sssp(spark, sf_dir):
+        # weighted shortest paths from the lexicographically-first subject,
+        # 4 frontier Bellman-Ford rounds (kgspark/graph_algs.py sssp)
+        from kgspark.graph_algs import sssp
+
+        t = _extract_triples(spark, sf_dir)
+        start = t.agg(F.min("subj").alias("start"))
+        d = sssp(t, start, rounds=4)
+        return d.select(
+            "node",
+            F.round(F.col("dist") * F.lit(1e6), 0).cast("long")
+            .alias("dist_scaled"),
+        )
 
     def kg_node_asof(spark, sf_dir):
         # temporal as-of state: latest event per user at or before T
@@ -1853,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir": corpus_dsir,
         "rel_bursts": rel_bursts,
         "text_bpe_pairs": text_bpe_pairs,
+        "kg_sssp": kg_sssp,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -2150,6 +2191,12 @@ WHERE t.subj IS NULL
 WITH {_PARTS_ORACLE_CTE},
 {_pagerank_sql(5, 0.85)}
 SELECT node, rank FROM pr_out
+""",
+        "kg_sssp": f"""
+WITH {_PARTS_ORACLE_CTE},
+{_sssp_sql(4)}
+SELECT node, round(dist * 1000000.0::DOUBLE, 0)::BIGINT AS dist_scaled
+FROM ss4
 """,
         # HITS unrolled 2 rounds; L1 normalization keeps the normalizer a
         # plain SUM so the SQL twin is exact (kgspark/graph_algs.py hits())

@@ -562,3 +562,66 @@ def metapath_census(
             F.countDistinct("x.s", "y.t2").cast("long").alias("n_pairs"),
         )
     )
+
+
+def sssp(
+    edges: DataFrame,
+    start,
+    rounds: int = 4,
+    src: str = "subj",
+    dst: str = "obj",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(node, dist): weighted shortest-path distance from `start` over at
+    most `rounds` edges — frontier Bellman-Ford.
+
+    Each round relaxes ONLY the nodes whose distance improved last round
+    (the frontier), which provably yields the same dist_i as full
+    relaxation: dist_i(v) = min cost over paths of <= i edges. The
+    frontier is shortest-path-tree-growth-sized, so both joins broadcast
+    it and the edge table never shuffles (k_hop's posture; at web scale
+    with huge frontiers swap the broadcast for a key-partitioned join —
+    the round structure is unchanged). Parallel edges collapse to their
+    minimum weight. Distances are fp64 sums accumulated edge-by-edge
+    along the path — the same binary tree every engine and partitioning
+    produces, so min() is value-deterministic (no fp64 SUM aggregation
+    anywhere). `start` may be a literal or a 1-row DataFrame.
+    """
+    e = materialize(
+        edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("t"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("s", "t")
+        .agg(F.min("w").alias("w"))
+    )
+    if isinstance(start, DataFrame):
+        best = start.select(
+            F.col(start.columns[0]).alias("node"), F.lit(0.0).alias("dist")
+        )
+    else:
+        best = edges.sparkSession.createDataFrame(
+            [(start, 0.0)], "node string, dist double"
+        )
+    best = materialize(best)
+    frontier = best
+    for _ in range(rounds):
+        cand = (
+            e.join(F.broadcast(frontier), e["s"] == frontier["node"])
+            .select(F.col("t").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = materialize(
+            cand.join(
+                best.select("node", F.col("dist").alias("__old")), "node", "left"
+            )
+            .where(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+            .select("node", "dist")
+        )
+        best = materialize(
+            best.unionByName(improved).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        frontier = improved
+    return best
