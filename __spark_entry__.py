@@ -1680,6 +1680,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "weight",
         )
 
+    def text_entropy(spark, sf_dir):
+        # char-distribution entropy ingredients, exact integers only
+        # (kgspark/textstats.py char_entropy_stats); the fp64 entropy
+        # column is for humans and stays out of the hash contract
+        from kgspark.textstats import char_entropy_stats
+
+        return char_entropy_stats(_read(spark, sf_dir, "documents")).select(
+            "doc_id", "n_chars_counted", "sum_clnc_unats"
+        )
+
+    def text_novelty(spark, sf_dir):
+        # corpus-common-gram boilerplate score (kgspark/textstats.py
+        # novelty_stats): distinct trigrams per doc vs document frequency
+        from kgspark.textstats import novelty_stats
+
+        return novelty_stats(_read(spark, sf_dir, "documents"), n=3, min_df=2)
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1894,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_bursts": rel_bursts,
         "text_bpe_pairs": text_bpe_pairs,
         "kg_sssp": kg_sssp,
+        "text_entropy": text_entropy,
+        "text_novelty": text_novelty,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3474,6 +3493,50 @@ bm_c AS (
 SELECT doc_id, sum(c)::BIGINT AS score_unats, count(*)::BIGINT AS n_hit_terms
 FROM bm_c GROUP BY doc_id
 ORDER BY score_unats DESC, doc_id ASC LIMIT 20
+""",
+        # kgspark.textstats.char_entropy_stats: per-char cnt·ln(cnt)
+        # quantized to integer micro-nats BEFORE summation; comprehension
+        # split (string_split(x, '') mis-handles empty strings)
+        "text_entropy": r"""
+WITH te_c AS (
+  SELECT doc_id,
+         unnest([("text")[i:i] for i in range(1, len("text") + 1)]) AS c
+  FROM documents
+),
+te_pc AS (SELECT doc_id, c, count(*) AS cnt FROM te_c GROUP BY 1, 2),
+te_d AS (
+  SELECT doc_id, sum(cnt) AS n_chars_counted,
+         sum(cnt * round(ln(CAST(cnt AS DOUBLE)) * 1000000.0::DOUBLE, 0)::BIGINT) AS s
+  FROM te_pc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_chars_counted, 0)::BIGINT AS n_chars_counted,
+       coalesce(s, 0)::BIGINT AS sum_clnc_unats
+FROM documents d LEFT JOIN te_d USING (doc_id)
+""",
+        # kgspark.textstats.novelty_stats: distinct trigrams per doc,
+        # document frequency, common = df >= 2
+        "text_novelty": r"""
+WITH nv_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+nv_g AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+    THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, len(ts) - 1)])
+    ELSE []::VARCHAR[] END) AS g
+  FROM nv_t
+),
+nv_df AS (SELECT g, count(*) AS df FROM nv_g GROUP BY g),
+nv_d AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_common
+  FROM nv_g JOIN nv_df USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       coalesce(n_common, 0)::BIGINT AS n_common
+FROM documents d LEFT JOIN nv_d USING (doc_id)
 """,
         # kgspark.bpe.pair_stats: adjacent char-pair weights over the word
         # table (multiplicity in-word, weighted by corpus frequency) —

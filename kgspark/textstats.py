@@ -304,3 +304,115 @@ def vocab_stats(
         F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
         .cast("long").alias("n_hapax"),
     )
+
+
+def char_entropy_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-distribution entropy ingredients, in exact
+    integer arithmetic.
+
+    Shannon entropy H = ln(n) - (Σ_c cnt_c·ln(cnt_c)) / n over the raw
+    characters of the text. Garbled/binary-ish junk scores high, repeated
+    filler scores low — a classic cheap quality signal. To keep the score
+    bit-reproducible across engines and partitionings, the fp64 piece is
+    quantized per distinct character BEFORE any summation:
+    sum_clnc_unats = Σ_c cnt_c · round(ln(cnt_c)·1e6) — exact long
+    arithmetic (the integer posture of kgspark.nb/lm/search). `entropy`
+    (fp64 nats, derived from the integers) is for human use; contract
+    queries compare the integer columns.
+
+    Shape: one explode + a map-side-combined (doc, char) count, then a
+    doc-keyed sum — two shuffles, both combiner-friendly; no UDFs.
+    Returns (id, n_chars_counted, sum_clnc_unats, entropy); empty/NULL
+    texts keep a row with zeros.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            # split('', '') yields [''] — drop empties so empty/NULL texts
+            # contribute zero characters (the oracle's comprehension form
+            # never emits '')
+            F.filter(
+                F.coalesce(
+                    F.split(F.col(text_col), ""),
+                    F.expr("cast(array() as array<string>)"),
+                ),
+                lambda c: c != "",
+            )
+        ).alias("c"),
+    )
+    per_char = chars.groupBy(id_col, "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_doc = per_char.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_chars_counted"),
+        F.sum(
+            F.col("cnt")
+            * F.round(F.log(F.col("cnt").cast("double")) * F.lit(1e6), 0)
+            .cast("long")
+        ).cast("long").alias("sum_clnc_unats"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chars_counted", F.lit(0)).cast("long")
+            .alias("n_chars_counted"),
+            F.coalesce("sum_clnc_unats", F.lit(0)).cast("long")
+            .alias("sum_clnc_unats"),
+            F.when(
+                F.col("n_chars_counted") > 0,
+                F.log(F.col("n_chars_counted").cast("double"))
+                - F.col("sum_clnc_unats").cast("double")
+                / (F.col("n_chars_counted").cast("double") * F.lit(1e6)),
+            ).otherwise(F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def novelty_stats(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate-ness: how many of a doc's distinct word
+    n-grams are CORPUS-COMMON (appear in >= min_df documents).
+
+    The soft-dedup signal: a doc whose gram mass is mostly corpus-common
+    is template/boilerplate even when no single near-duplicate exists
+    (complements dedup's pairwise detectors and repetition_stats'
+    within-doc view). Returns (id, n_grams, n_common) — exact integers.
+
+    Shape: distinct grams per doc (one corpus-sized shuffle, map-side
+    combined), gram document-frequencies (same stream re-aggregated), one
+    gram-keyed join back. Stop-phrase grams are the hot keys; AQE
+    skew-join splits them. Docs with < n tokens have no grams and report
+    zeros.
+    """
+    from kgspark.decontam import _distinct_grams
+    from kgspark.session import materialize
+
+    grams = materialize(_distinct_grams(df, id_col, text_col, n))
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = (
+        grams.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0))
+            .cast("long").alias("n_common"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+    )

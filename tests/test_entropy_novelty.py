@@ -1,0 +1,59 @@
+"""char_entropy_stats and novelty_stats (kgspark.textstats)."""
+
+import math
+
+from kgspark.textstats import char_entropy_stats, novelty_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_entropy_ingredients_match_hand_computation(spark):
+    out = {r.doc_id: r for r in char_entropy_stats(
+        _docs(spark, [(1, "aab"), (2, "aaaa"), (3, ""), (4, None)])
+    ).collect()}
+    # doc 1: counts a=2, b=1 -> sum = 2*round(ln2*1e6) + 1*0
+    assert out[1].n_chars_counted == 3
+    assert out[1].sum_clnc_unats == 2 * round(math.log(2) * 1e6)
+    assert abs(out[1].entropy - (math.log(3) - 2 * math.log(2) / 3)) < 1e-5
+    # uniform repetition: entropy 0
+    assert out[2].sum_clnc_unats == 4 * round(math.log(4) * 1e6)
+    assert abs(out[2].entropy) < 1e-5
+    # empty / NULL keep zero rows
+    assert out[3].n_chars_counted == 0 and out[3].entropy == 0.0
+    assert out[4].n_chars_counted == 0 and out[4].sum_clnc_unats == 0
+
+
+def test_entropy_diverse_beats_repetitive(spark):
+    out = {r.doc_id: r.entropy for r in char_entropy_stats(
+        _docs(spark, [(1, "abcdefgh"), (2, "abababab")])
+    ).collect()}
+    assert out[1] > out[2] > 0
+
+
+def test_novelty_counts_common_grams(spark):
+    boiler = "subscribe to our newsletter now"
+    docs = _docs(
+        spark,
+        [
+            (1, boiler + " unique alpha beta"),
+            (2, boiler + " other gamma delta words"),
+            (3, "totally fresh content nothing shared here"),
+            (4, "ab"),  # < 3 tokens -> no grams
+        ],
+    )
+    out = {r.doc_id: r for r in novelty_stats(docs, n=3, min_df=2).collect()}
+    # the 3 boilerplate trigrams inside `boiler` appear in docs 1 and 2
+    assert out[1].n_common == 3 and out[2].n_common == 3
+    assert out[3].n_common == 0 and out[3].n_grams == 4
+    assert out[4].n_grams == 0 and out[4].n_common == 0
+    assert len(out) == 4
+
+
+def test_novelty_determinism_across_partitionings(spark):
+    rows = [(i, " ".join(f"w{(i + j) % 9}" for j in range(6))) for i in range(50)]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, novelty_stats(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, novelty_stats(docs.repartition(13)).collect()))
+    assert a == b
