@@ -1697,6 +1697,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return novelty_stats(_read(spark, sf_dir, "documents"), n=3, min_df=2)
 
+    def corpus_split_safe(spark, sf_dir):
+        # leakage-safe split: hash keyed on exact-content md5 so duplicate
+        # docs never straddle splits (kgspark/trainprep.py)
+        from kgspark.trainprep import leakage_safe_split
+
+        docs = _read(spark, sf_dir, "documents")
+        return leakage_safe_split(docs).select("doc_id", "split")
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1913,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sssp": kg_sssp,
         "text_entropy": text_entropy,
         "text_novelty": text_novelty,
+        "corpus_split_safe": corpus_split_safe,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3912,6 +3921,15 @@ SELECT doc_id,
        CASE {_split_case_sql({"train": 0.9, "val": 0.05, "test": 0.05})} END AS split
 FROM (SELECT doc_id, ({_hex6_sql('h')})::DOUBLE / 16777216.0 AS frac
       FROM (SELECT doc_id, md5('split:' || doc_id::VARCHAR) AS h FROM documents))
+""",
+        # kgspark.trainprep.leakage_safe_split: hash_split keyed on the
+        # exact-content md5 (duplicates share a split by construction)
+        "corpus_split_safe": f"""
+SELECT doc_id,
+       CASE {_split_case_sql({"train": 0.9, "val": 0.05, "test": 0.05})} END AS split
+FROM (SELECT doc_id, ({_hex6_sql('h')})::DOUBLE / 16777216.0 AS frac
+      FROM (SELECT doc_id, md5('split:' || md5(coalesce("text", ''))) AS h
+            FROM documents))
 """,
         # kgspark.trainprep.pack_greedy: greedy sequential packing is a
         # linear recurrence over each hash group's id-ordered stream —

@@ -232,3 +232,35 @@ def stratified_sample(df: DataFrame, n_per: int,
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n_per)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    cluster_col: str | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """hash_split keyed on the DUPLICATE-CLUSTER key instead of the row id,
+    so duplicated documents can never straddle a split boundary — the
+    train/test contamination channel Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", public) showed inflates
+    eval scores.
+
+    Pass `cluster_col` (e.g. a canon.connected-components cluster id from
+    the MinHash near-dup pipeline) to protect near-duplicates; by default
+    the key is the exact-content md5, which already pins byte-identical
+    copies — the split stays a pure function of (salt, cluster key), so
+    re-runs, re-partitions and re-filters of the corpus never move a
+    cluster between splits. Adds `split`; same weights semantics as
+    hash_split.
+    """
+    key = (
+        F.col(cluster_col).cast("string")
+        if cluster_col
+        else F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    out = hash_split(
+        df.withColumn("__skey", key), weights, id_col="__skey", salt=salt
+    )
+    return out.drop("__skey")
