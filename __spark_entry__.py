@@ -1705,6 +1705,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf_dir, "documents")
         return leakage_safe_split(docs).select("doc_id", "split")
 
+    def text_rrf(spark, sf_dir):
+        # hybrid retrieval: BM25 top-50 fused with a quality-prior top-50
+        # by reciprocal-rank fusion (kgspark/search.py rrf_fuse)
+        from kgspark.search import bm25_topk, rrf_fuse
+        from kgspark.textstats import quality_features
+
+        docs = _read(spark, sf_dir, "documents")
+        lex = bm25_topk(docs, ["hash", "join", "vector"], top_k=50).select(
+            "doc_id", F.col("score_unats").cast("double").alias("score")
+        )
+        qual = (
+            quality_features(docs)
+            .select("doc_id", F.col("quality_score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(50)
+        )
+        return rrf_fuse([lex, qual], k=60, top_k=20)
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1922,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": text_entropy,
         "text_novelty": text_novelty,
         "corpus_split_safe": corpus_split_safe,
+        "text_rrf": text_rrf,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3638,6 +3657,80 @@ SELECT t.doc_id, t.is_target,
        coalesce(s.n_grams, 0)::BIGINT AS n_grams,
        coalesce(s.score_unats, 0)::BIGINT AS score_unats
 FROM ds_t t LEFT JOIN ds_sum s ON s.doc_id = t.doc_id
+""",
+        # kgspark.search.rrf_fuse over (bm25 top-50, quality top-50):
+        # per-list 1/(60+rank) quantized to integer nano-units before the
+        # fusion sum; ranks tie-break on doc_id asc in both lists
+        "text_rrf": f"""
+WITH rf_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+rf_corpus AS (SELECT count(*) AS n_docs, sum(len(ts)) AS sum_dl FROM rf_t),
+rf_s AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM rf_t),
+rf_f AS (SELECT * FROM rf_s WHERE token IN ('hash', 'join', 'vector')),
+rf_tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM rf_f GROUP BY 1, 2, 3),
+rf_df AS (SELECT token, count(DISTINCT doc_id) AS df FROM rf_f GROUP BY 1),
+rf_c AS (
+  SELECT t.doc_id,
+    round(
+      ln(1.0::DOUBLE
+         + (CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+           / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      * ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2::DOUBLE * (0.25::DOUBLE
+                + 0.75::DOUBLE * CAST(t.dl AS DOUBLE)
+                  / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
+      * 1000000.0::DOUBLE, 0)::BIGINT AS c
+  FROM rf_tf t JOIN rf_df d USING (token), rf_corpus c
+),
+rf_lex AS (
+  SELECT doc_id, sum(c)::DOUBLE AS score FROM rf_c GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 50
+),
+rf_q0 AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower("text"), '\\s+'), x -> x <> '')) AS n_tok,
+         length("text") AS n_chars,
+         {stop_hits('en')} AS stop_hits
+  FROM documents
+),
+rf_q1 AS (
+  SELECT doc_id,
+         (n_chars - (n_tok - 1)) * 1.0 / greatest(n_tok, 1) AS mean_tok_len,
+         stop_hits * 1.0 / greatest(n_tok, 1) AS stop_ratio,
+         n_tok
+  FROM rf_q0
+),
+rf_qual AS (
+  SELECT doc_id,
+         round(0.4 * (least(stop_ratio, 0.5) / 0.5)
+             + 0.3 * (least(n_tok, 100) / 100.0)
+             + 0.3 * (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12
+                           THEN 1.0 ELSE 0.5 END), 6) AS score
+  FROM rf_q1
+  ORDER BY score DESC, doc_id ASC LIMIT 50
+),
+rf_r1 AS (
+  SELECT doc_id,
+         round(1000000000.0::DOUBLE
+               / (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC))::DOUBLE,
+               0)::BIGINT AS c
+  FROM rf_lex
+),
+rf_r2 AS (
+  SELECT doc_id,
+         round(1000000000.0::DOUBLE
+               / (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC))::DOUBLE,
+               0)::BIGINT AS c
+  FROM rf_qual
+),
+rf_all AS (SELECT * FROM rf_r1 UNION ALL SELECT * FROM rf_r2)
+SELECT doc_id, sum(c)::BIGINT AS rrf_nanos, count(*)::BIGINT AS n_lists
+FROM rf_all GROUP BY doc_id
+ORDER BY rrf_nanos DESC, doc_id ASC LIMIT 20
 """,
         # kgspark.decontam.source_overlap: distinct trigrams per source,
         # pairwise shared counts (ws_tokens convention: lower, \s+, drop

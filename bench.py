@@ -116,6 +116,14 @@ BENCH_QUERIES = [
     "kg_metapaths",
     "text_typo_pairs",
     "corpus_vocab",
+    "text_bm25",
+    "corpus_dsir",
+    "rel_bursts",
+    "text_bpe_pairs",
+    "kg_sssp",
+    "text_entropy",
+    "text_novelty",
+    "corpus_split_safe",
 ]
 
 

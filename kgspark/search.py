@@ -29,13 +29,13 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 _QUANT = 1e6
 
@@ -122,3 +122,51 @@ def bm25_topk(
     return scored.orderBy(
         F.col("score_unats").desc(), F.col(id_col).asc()
     ).limit(top_k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of candidate lists:
+    rrf(d) = Σ_lists 1/(k + rank_list(d)) — the standard way to fuse a
+    lexical (BM25) ranking with a dense/quality ranking without score
+    calibration.
+
+    Each input is a CANDIDATE LIST — (id, score), higher-is-better,
+    already truncated to its own top-N (fusing full corpus-sized rankings
+    would put a global row_number over every doc through one task; RRF is
+    defined over top-k lists anyway). Ranks break ties on id ascending;
+    each 1/(k+rank) contribution is quantized to integer nano-units
+    before summation (the kgspark integer posture), so fused scores are
+    exact long arithmetic. Returns (id, rrf_nanos, n_lists) ordered by
+    (rrf desc, id asc), LIMIT top_k.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = []
+    for r in rankings:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(
+            r.select(id_col, score_col).select(
+                F.col(id_col),
+                F.round(
+                    F.lit(1e9)
+                    / (F.lit(k) + F.row_number().over(w)).cast("double"),
+                    0,
+                ).cast("long").alias("__c"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("rrf_nanos"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    return fused.orderBy(F.col("rrf_nanos").desc(), F.col(id_col).asc()).limit(
+        top_k
+    )

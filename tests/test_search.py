@@ -67,3 +67,46 @@ def test_bm25_determinism_across_partitionings(spark):
     assert [(r.doc_id, r.score_unats) for r in a] == [
         (r.doc_id, r.score_unats) for r in b
     ]
+
+
+def test_rrf_fuse_combines_lists(spark):
+    from kgspark.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 8.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, score double"
+    )
+    out = rrf_fuse([a, b], k=60, top_k=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1: rank 1 + rank 3; doc 3: rank 3 + rank 1 -> tie on score,
+    # broken by id asc
+    assert by_id[1].rrf_nanos == by_id[3].rrf_nanos
+    assert [r.doc_id for r in out][:2] == [1, 3]
+    assert by_id[1].n_lists == 2 and by_id[2].n_lists == 1
+    expected = round(1e9 / 61) + round(1e9 / 63)
+    assert by_id[1].rrf_nanos == expected
+
+
+def test_rrf_single_list_and_empty_raises(spark):
+    import pytest as _pytest
+
+    from kgspark.search import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1.0)], "doc_id long, score double")
+    out = rrf_fuse([a]).collect()
+    assert out[0].doc_id == 5 and out[0].rrf_nanos == round(1e9 / 61)
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_rrf_tie_scores_rank_by_id(spark):
+    from kgspark.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(9, 1.0), (2, 1.0), (5, 1.0)], "doc_id long, score double"
+    )
+    out = rrf_fuse([a], top_k=3).collect()
+    # equal scores -> rank order 2, 5, 9
+    assert [r.doc_id for r in out] == [2, 5, 9]
