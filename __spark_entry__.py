@@ -1723,6 +1723,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rrf_fuse([lex, qual], k=60, top_k=20)
 
+    def sketch_cms(spark, sf_dir):
+        # Count-Min sketch table (4x1024) over the corpus token stream
+        # (kgspark/sketch.py) — the sketch IS the output: exact integers
+        from kgspark.sketch import cms_table
+
+        docs = _read(spark, sf_dir, "documents")
+        stream = docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("token")
+        )
+        return cms_table(stream, "token", depth=4, width=1024)
+
+    def sketch_hll(spark, sf_dir):
+        # HyperLogLog register table (p=10) over the corpus token stream
+        from kgspark.sketch import hll_registers
+
+        docs = _read(spark, sf_dir, "documents")
+        stream = docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("token")
+        )
+        return hll_registers(stream, "token", p=10)
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1944,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": text_novelty,
         "corpus_split_safe": corpus_split_safe,
         "text_rrf": text_rrf,
+        "sketch_cms": sketch_cms,
+        "sketch_hll": sketch_hll,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3660,6 +3691,45 @@ SELECT t.doc_id, t.is_target,
        coalesce(s.n_grams, 0)::BIGINT AS n_grams,
        coalesce(s.score_unats, 0)::BIGINT AS score_unats
 FROM ds_t t LEFT JOIN ds_sum s ON s.doc_id = t.doc_id
+""",
+        # kgspark.sketch.cms_table: depth x width counter table, bucket =
+        # hex6(md5(d || ':' || token)) % width — exact integers
+        "sketch_cms": f"""
+WITH sc_s AS (
+  SELECT unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                t -> t <> '')) AS v
+  FROM documents
+),
+sc_b AS (
+  SELECT r.d AS d,
+         ({_hex6_sql("md5(r.d::VARCHAR || ':' || v)")}) % 1024 AS b
+  FROM sc_s, range(0, 4) r(d)
+)
+SELECT d::BIGINT AS d, b::BIGINT AS b, count(*)::BIGINT AS cnt
+FROM sc_b GROUP BY 1, 2
+""",
+        # kgspark.sketch.hll_registers: idx = hex6(md5(v)) % 2^10; rho =
+        # 1 + leading zeros of the 24-bit word hex6(md5(v)[7:12]),
+        # computed as 24 exact integer comparisons (no fp64 log)
+        "sketch_hll": f"""
+WITH sh_s AS (
+  SELECT md5(unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                    t -> t <> ''))) AS h
+  FROM documents
+),
+sh_w AS (
+  SELECT ({_hex6_sql('h')}) % 1024 AS idx,
+         ({_hex6_sql("substr(h, 7, 6)")}) AS w
+  FROM sh_s
+),
+sh_r AS (
+  SELECT idx,
+         25 - ({' + '.join(f'(CASE WHEN w >= {1 << j} THEN 1 ELSE 0 END)'
+                           for j in range(24))}) AS rho
+  FROM sh_w
+)
+SELECT idx::BIGINT AS idx, max(rho)::BIGINT AS max_rho
+FROM sh_r GROUP BY idx
 """,
         # kgspark.search.rrf_fuse over (bm25 top-50, quality top-50):
         # per-list 1/(60+rank) quantized to integer nano-units before the

@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "text_entropy",
     "text_novelty",
     "corpus_split_safe",
+    "text_rrf",
+    "sketch_cms",
+    "sketch_hll",
 ]
 
 

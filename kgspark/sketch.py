@@ -1,0 +1,163 @@
+"""Mergeable frequency/cardinality sketches in pure DataFrame aggregations:
+Count-Min (Cormode & Muthukrishnan 2005) and HyperLogLog registers
+(Flajolet et al. 2007) — both public-literature constructions.
+
+Why sketches in a 100 TB pipeline: the exact answers (full token counts,
+exact distinct counts per partition/source) are themselves huge shuffles;
+a sketch is a BOUNDED-SIZE summary (depth×width counters / 2^p registers)
+that map-side combines perfectly — the groupBy state never exceeds the
+sketch size regardless of corpus size — and merges across
+days/shards/sources by elementwise sum (CMS) / max (HLL). Spark ships
+approx_count_distinct, but its binary sketch state is opaque and
+engine-private; these produce PORTABLE, engine-checkable sketch tables.
+
+Determinism contract: hashing is md5-hex6 (the repo-wide convention,
+kgtrain._hex6_to_int) and every counter/register is exact integer
+arithmetic — both sketch tables are bit-reproducible across
+partitionings, retries, and engines (full DuckDB oracles). HLL's fp64
+harmonic-mean ESTIMATE is derived for human use and stays out of the
+hash contract (the register table is the sketch), because Σ2^-M_j is
+not exactly representable once registers spread >52 powers apart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark.kgtrain import _hex6_to_int
+
+__all__ = ["cms_table", "cms_lookup", "hll_registers", "hll_estimate"]
+
+
+def _bucket(value_col, row: int, width: int):
+    """row-salted md5 bucket — the d independent CMS hash functions."""
+    return (
+        _hex6_to_int(F.md5(F.concat_ws(":", F.lit(str(row)), value_col)))
+        % F.lit(width)
+    ).cast("long")
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of a value stream as a (d, b, cnt) table —
+    depth×width counters, built by ONE map-side-combined groupBy whose
+    state is bounded by the sketch size, never the stream size.
+
+    Point estimates read min_d cnt[d, h_d(v)] (see cms_lookup): always an
+    OVERcount, within eps·N with probability 1-delta for width=ceil(e/eps),
+    depth=ceil(ln(1/delta)). Sketches over shards merge by summing cnt on
+    (d, b). NULL values are dropped (no frequency to attribute).
+    """
+    v = F.col(value_col)
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                _bucket(v, d, width).alias("b"),
+            )
+            for d in range(depth)
+        ])
+    ).alias("r")
+    return (
+        df.where(v.isNotNull())
+        .select(rows)
+        .groupBy(F.col("r.d").alias("d"), F.col("r.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    values: Sequence[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate the sketch for a small set of probe values:
+    (value, est) with est = min over rows d of the (d, h_d(v)) counter
+    (0 when a row's bucket is empty — the true count is then 0 too).
+    The probe table is dimension-sized and broadcast; the sketch table is
+    sketch-sized. depth/width must match the build."""
+    if not values:
+        raise ValueError("cms_lookup: values must be non-empty")
+    spark = cms.sparkSession
+    probes = spark.createDataFrame(
+        [(str(x),) for x in sorted(set(values))], "value string"
+    )
+    keyed = probes.select(
+        "value",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("d"),
+                    _bucket(F.col("value"), d, width).alias("b"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("r"),
+    ).select("value", F.col("r.d").alias("d"), F.col("r.b").alias("b"))
+    return (
+        keyed.join(cms, ["d", "b"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def _leading_zeros_24(w_col):
+    """Leading zeros of a 24-bit integer via 24 exact comparisons —
+    24 - (position of highest set bit); no fp64 log anywhere."""
+    highest = sum(
+        [F.when(w_col >= F.lit(1 << j), 1).otherwise(0) for j in range(24)],
+        F.lit(0),
+    )
+    return F.lit(24) - highest
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str = "token",
+    p: int = 10,
+) -> DataFrame:
+    """HyperLogLog register table: (idx, max_rho) with idx = md5-hex6(v)
+    mod 2^p and rho = leading zeros of a second independent 24-bit hash
+    + 1 (25 for a zero hash word). 2^p rows at most, one
+    map-side-combined max-groupBy; shards merge by max on idx. The table
+    is the sketch — exact integers, engine-portable."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll_registers: p must be in [4, 16]")
+    v = F.col(value_col)
+    h = F.md5(v)
+    idx = (_hex6_to_int(h) % F.lit(1 << p)).cast("long")
+    w = _hex6_to_int(F.substring(h, 7, 6))
+    rho = (_leading_zeros_24(w) + F.lit(1)).cast("long")
+    return (
+        df.where(v.isNotNull())
+        .select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> float:
+    """Harmonic-mean cardinality estimate from a register table — driver
+    helper over the (≤2^p)-row sketch, fp64 by nature (NOT in any hash
+    contract). Applies the standard small-range linear-counting
+    correction; empty registers count as rho=0."""
+    import math
+
+    m = 1 << p
+    rows = registers.collect()
+    seen = {int(r["idx"]): int(r["max_rho"]) for r in rows}
+    s = sum(2.0 ** -seen.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / s
+    zeros = m - len(seen)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -1,0 +1,97 @@
+"""Count-Min and HyperLogLog sketches (kgspark.sketch)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark.sketch import cms_lookup, cms_table, hll_estimate, hll_registers
+
+
+def _stream(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "token string")
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    vals = ["a"] * 50 + ["b"] * 20 + ["c"] * 5
+    cms = cms_table(_stream(spark, vals), depth=4, width=1024)
+    est = {r.value: r.est for r in
+           cms_lookup(cms, ["a", "b", "c", "zzz"], depth=4, width=1024).collect()}
+    assert est["a"] >= 50 and est["b"] >= 20 and est["c"] >= 5
+    # 3 values in 1024 buckets x 4 rows: collisions essentially impossible
+    assert est["a"] == 50 and est["b"] == 20 and est["c"] == 5
+    assert est["zzz"] == 0
+
+
+def test_cms_shard_merge_is_elementwise_sum(spark):
+    a = ["x"] * 10 + ["y"] * 3
+    b = ["x"] * 7 + ["z"] * 2
+    ca = cms_table(_stream(spark, a))
+    cb = cms_table(_stream(spark, b))
+    merged = (
+        ca.unionByName(cb).groupBy("d", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = cms_table(_stream(spark, a + b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_total_mass_per_row_equals_stream_size(spark):
+    vals = [f"v{i % 37}" for i in range(500)]
+    cms = cms_table(_stream(spark, vals), depth=4, width=256)
+    per_row = {r.d: r.s for r in
+               cms.groupBy("d").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {0: 500, 1: 500, 2: 500, 3: 500}
+
+
+def test_cms_lookup_empty_probe_raises(spark):
+    cms = cms_table(_stream(spark, ["a"]))
+    with pytest.raises(ValueError):
+        cms_lookup(cms, [])
+
+
+def test_hll_estimate_within_tolerance(spark):
+    n = 5000
+    regs = hll_registers(_stream(spark, [f"tok{i}" for i in range(n)]), p=10)
+    est = hll_estimate(regs, p=10)
+    # p=10 -> standard error ~3.2%; allow 4 sigma
+    assert abs(est - n) / n < 0.13
+    # multiplicity must not change the registers
+    regs2 = hll_registers(
+        _stream(spark, [f"tok{i % n}" for i in range(3 * n)]), p=10
+    )
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, regs2.collect())
+    )
+
+
+def test_hll_shard_merge_is_elementwise_max(spark):
+    a = [f"a{i}" for i in range(300)]
+    b = [f"b{i}" for i in range(300)] + a[:100]
+    ra, rb = hll_registers(_stream(spark, a)), hll_registers(_stream(spark, b))
+    merged = (
+        ra.unionByName(rb).groupBy("idx")
+        .agg(F.max("max_rho").cast("long").alias("max_rho"))
+    )
+    whole = hll_registers(_stream(spark, a + b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_bad_p_and_null_values(spark):
+    with pytest.raises(ValueError):
+        hll_registers(_stream(spark, ["a"]), p=2)
+    df = spark.createDataFrame([("a",), (None,)], "token string")
+    assert hll_registers(df, p=10).count() == 1
+
+
+def test_sketch_determinism_across_partitionings(spark):
+    vals = [f"w{i % 101}" for i in range(1000)]
+    s1, s17 = _stream(spark, vals).repartition(1), _stream(spark, vals).repartition(17)
+    assert sorted(map(tuple, cms_table(s1).collect())) == sorted(
+        map(tuple, cms_table(s17).collect())
+    )
+    assert sorted(map(tuple, hll_registers(s1).collect())) == sorted(
+        map(tuple, hll_registers(s17).collect())
+    )
