@@ -693,6 +693,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dist_scaled"),
         )
 
+    def kg_hyperball(spark, sf_dir):
+        # HyperANF: per-node HLL registers of the 2-hop out-ball, p=4
+        # (kgspark/graph_algs.py hyperball)
+        from kgspark.graph_algs import hyperball
+
+        t = _extract_triples(spark, sf_dir)
+        return hyperball(t, rounds=2, p=4)
+
     def kg_node_asof(spark, sf_dir):
         # temporal as-of state: latest event per user at or before T
         ev = _read(spark, sf_dir, "events")
@@ -1975,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rrf": text_rrf,
         "sketch_cms": sketch_cms,
         "sketch_hll": sketch_hll,
+        "kg_hyperball": kg_hyperball,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -2278,6 +2287,40 @@ WITH {_PARTS_ORACLE_CTE},
 {_sssp_sql(4)}
 SELECT node, round(dist * 1000000.0::DOUBLE, 0)::BIGINT AS dist_scaled
 FROM ss4
+""",
+        # kgspark.graph_algs.hyperball: 2 unrolled max-merge rounds over
+        # per-node HLL registers (p=4); rho via 24 integer comparisons
+        "kg_hyperball": f"""
+WITH {_PARTS_ORACLE_CTE},
+hb_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples),
+hb_nodes AS (SELECT s AS node FROM hb_e UNION SELECT t FROM hb_e),
+hb_w AS (
+  SELECT node,
+         ({_hex6_sql('md5(node)')}) % 16 AS idx,
+         ({_hex6_sql('substr(md5(node), 7, 6)')}) AS w
+  FROM hb_nodes
+),
+hb0 AS (
+  SELECT node, idx,
+         25 - ({' + '.join(f'(CASE WHEN w >= {1 << j} THEN 1 ELSE 0 END)'
+                           for j in range(24))}) AS rho
+  FROM hb_w
+),
+hb1 AS (
+  SELECT node, idx, max(rho) AS rho FROM (
+    SELECT node, idx, rho FROM hb0
+    UNION ALL
+    SELECT e.s AS node, r.idx, r.rho FROM hb0 r JOIN hb_e e ON e.t = r.node
+  ) GROUP BY node, idx
+),
+hb2 AS (
+  SELECT node, idx, max(rho) AS rho FROM (
+    SELECT node, idx, rho FROM hb1
+    UNION ALL
+    SELECT e.s AS node, r.idx, r.rho FROM hb1 r JOIN hb_e e ON e.t = r.node
+  ) GROUP BY node, idx
+)
+SELECT node, idx::BIGINT AS idx, rho::BIGINT AS max_rho FROM hb2
 """,
         # HITS unrolled 2 rounds; L1 normalization keeps the normalizer a
         # plain SUM so the SQL twin is exact (kgspark/graph_algs.py hits())

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "text_rrf",
     "sketch_cms",
     "sketch_hll",
+    "kg_hyperball",
 ]
 
 

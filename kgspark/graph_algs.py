@@ -625,3 +625,62 @@ def sssp(
         )
         frontier = improved
     return best
+
+
+def hyperball(
+    edges: DataFrame,
+    rounds: int = 2,
+    p: int = 4,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """HyperBall / HyperANF (Boldi & Vigna 2013, public): per-node
+    HyperLogLog registers of the <= `rounds`-hop out-neighborhood ball
+    (including the node itself). Returns (node, idx, max_rho) — the
+    register tables, exact integers.
+
+    This is how web-graph neighborhood functions (ball sizes, effective
+    diameter, harmonic centrality) are computed at 10^11-edge scale:
+    exact k-hop neighborhood SETS are quadratic, but each node's
+    neighborhood SKETCH is <= 2^p registers, merged along edges by
+    elementwise max. Per round: one edge-vs-registers join plus one
+    (node, idx) max-groupBy — state is <= 2^p * |V| rows forever, and max
+    is idempotent/commutative so the round is retry- and
+    partitioning-proof. Register hashing matches kgspark.sketch
+    (md5-hex6 idx, 24-comparison leading-zero rank), so ball-size
+    estimates come from kgspark.sketch.hll_estimate on any node's slice.
+    """
+    from kgspark.kgtrain import _hex6_to_int
+    from kgspark.sketch import _leading_zeros_24
+
+    if not 2 <= p <= 16:
+        raise ValueError("hyperball: p must be in [2, 16]")
+    e = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    h = F.md5(F.col("node"))
+    regs = materialize(
+        nodes.select(
+            "node",
+            (_hex6_to_int(h) % F.lit(1 << p)).cast("long").alias("idx"),
+            (_leading_zeros_24(_hex6_to_int(F.substring(h, 7, 6))) + F.lit(1))
+            .cast("long")
+            .alias("max_rho"),
+        )
+    )
+    for _ in range(rounds):
+        prop = (
+            e.join(regs, e["t"] == regs["node"])
+            .select(F.col("s").alias("node"), "idx", "max_rho")
+        )
+        regs = materialize(
+            regs.unionByName(prop)
+            .groupBy("node", "idx")
+            .agg(F.max("max_rho").cast("long").alias("max_rho"))
+        )
+    return regs
