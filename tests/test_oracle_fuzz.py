@@ -107,3 +107,188 @@ def test_label_propagation_matches_sql_on_random_graph(spark):
           WHERE rn = 1)
         SELECT node, label FROM l2""").fetchall())
     assert got == want
+
+
+def test_bm25_matches_sql_on_tiny_vocab_ties(spark):
+    from pyspark.sql import functions as F
+
+    from kgspark.search import bm25_topk
+
+    rng = random.Random(17)
+    vocab = ["q1", "q2", "pad"]
+    texts = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score_unats"], r["n_hit_terms"])
+        for r in bm25_topk(df, ["q1", "q2"], top_k=25).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", texts)
+    want = con.execute(r"""
+WITH bm_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+  FROM d
+),
+bm_corpus AS (SELECT count(*) AS n_docs, sum(len(ts)) AS sum_dl FROM bm_t),
+bm_s AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM bm_t),
+bm_f AS (SELECT * FROM bm_s WHERE token IN ('q1', 'q2')),
+bm_tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM bm_f GROUP BY 1, 2, 3),
+bm_df AS (SELECT token, count(DISTINCT doc_id) AS df FROM bm_f GROUP BY 1),
+bm_c AS (
+  SELECT t.doc_id,
+    round(
+      ln(1.0::DOUBLE
+         + (CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+           / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      * ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2::DOUBLE * (0.25::DOUBLE
+                + 0.75::DOUBLE * CAST(t.dl AS DOUBLE)
+                  / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
+      * 1000000.0::DOUBLE, 0)::BIGINT AS c
+  FROM bm_tf t JOIN bm_df d USING (token), bm_corpus c
+)
+SELECT doc_id, sum(c)::BIGINT, count(*)::BIGINT
+FROM bm_c GROUP BY doc_id ORDER BY 2 DESC, 1 ASC LIMIT 25""").fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_bursts_matches_sql_on_random_counts(spark):
+    from datetime import datetime
+
+    from kgspark.relops import burst_windows
+
+    rng = random.Random(19)
+    rows = []
+    for _ in range(400):
+        rows.append((
+            rng.choice(["a", "b", "c"]),
+            datetime(2024, 1, rng.randint(1, 28), rng.randint(0, 23), 0),
+        ))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = sorted(
+        (r["event_type"], r["window_start"], r["cnt"], r["is_burst"])
+        for r in burst_windows(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev(event_type VARCHAR, ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+    want = sorted(con.execute("""
+WITH c AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS w, count(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+s AS (
+  SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+         sum(cnt) OVER (PARTITION BY event_type) AS s,
+         sum(cnt * cnt) OVER (PARTITION BY event_type) AS ss
+  FROM c
+)
+SELECT event_type, w, cnt::BIGINT,
+       (n * cnt > s AND
+        (n * cnt - s)::HUGEINT * (n * cnt - s)::HUGEINT
+          * (n - 1)::HUGEINT * 1000000::HUGEINT
+        > 4000000::HUGEINT * n::HUGEINT
+          * (n::HUGEINT * ss::HUGEINT - s::HUGEINT * s::HUGEINT))
+FROM s""").fetchall())
+    assert got == [tuple(w) for w in want]
+
+
+def test_dsir_matches_sql_on_random_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from kgspark.dsir import dsir_weights
+
+    rng = random.Random(23)
+    texts = [
+        (i, " ".join(f"w{rng.randint(0, 20)}" for _ in range(rng.randint(0, 9))),
+         rng.random() < 0.3)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string, is_target boolean")
+    got = sorted(tuple(r) for r in dsir_weights(df, n_buckets=64).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR, is_target BOOLEAN)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", texts)
+    hex6 = "0"
+    for i in range(6):
+        hex6 = (f"(({hex6}) * 16 + "
+                f"(strpos('0123456789abcdef', substr(md5(g), {i + 1}, 1)) - 1))")
+    want = sorted(tuple(w) for w in con.execute(rf"""
+WITH t AS (
+  SELECT doc_id, is_target,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+  FROM d
+),
+g AS (
+  SELECT doc_id, is_target,
+         unnest(ts || (CASE WHEN len(ts) >= 2
+           THEN [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]
+           ELSE []::VARCHAR[] END)) AS g
+  FROM t
+),
+b AS (SELECT doc_id, is_target, ({hex6}) % 64 AS b FROM g),
+cnt AS (
+  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+  FROM b GROUP BY b
+),
+tot AS (
+  SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS tr
+  FROM b
+),
+lr AS (
+  SELECT b, round((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+                 - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)))
+                 * 1000000.0::DOUBLE, 0)::BIGINT AS lr
+  FROM cnt, tot
+),
+s AS (SELECT doc_id, sum(lr)::BIGINT AS sc, count(*)::BIGINT AS ng
+      FROM b JOIN lr USING (b) GROUP BY doc_id)
+SELECT t.doc_id, t.is_target, coalesce(s.ng, 0)::BIGINT,
+       coalesce(s.sc, 0)::BIGINT
+FROM t LEFT JOIN s USING (doc_id)""").fetchall())
+    assert got == want
+
+
+def test_sssp_matches_sql_on_random_weighted_graph(spark):
+    from kgspark.graph_algs import sssp
+
+    rng = random.Random(29)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    edges = sorted({
+        (rng.choice(nodes), rng.choice(nodes), round(rng.uniform(0.1, 5.0), 2))
+        for _ in range(80)
+    })
+    df = spark.createDataFrame(edges, "subj string, obj string, weight double")
+    start = min(e[0] for e in edges)
+    got = sorted(
+        (r["node"], round(r["dist"] * 1e6))
+        for r in sssp(df, start, rounds=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(s VARCHAR, t VARCHAR, w DOUBLE)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", edges)
+    want = sorted(con.execute(f"""
+WITH ed AS (SELECT s, t, min(w) AS w FROM e GROUP BY 1, 2),
+d0 AS (SELECT '{start}' AS node, 0.0::DOUBLE AS dist),
+d1 AS (SELECT node, min(dist) AS dist FROM (
+  SELECT node, dist FROM d0
+  UNION ALL SELECT e.t, p.dist + e.w FROM d0 p JOIN ed e ON e.s = p.node
+) GROUP BY node),
+d2 AS (SELECT node, min(dist) AS dist FROM (
+  SELECT node, dist FROM d1
+  UNION ALL SELECT e.t, p.dist + e.w FROM d1 p JOIN ed e ON e.s = p.node
+) GROUP BY node),
+d3 AS (SELECT node, min(dist) AS dist FROM (
+  SELECT node, dist FROM d2
+  UNION ALL SELECT e.t, p.dist + e.w FROM d2 p JOIN ed e ON e.s = p.node
+) GROUP BY node)
+SELECT node, round(dist * 1000000.0::DOUBLE, 0)::BIGINT FROM d3""").fetchall())
+    assert got == [tuple(w) for w in want]
