@@ -3735,17 +3735,17 @@ SELECT t.doc_id, t.is_target,
        coalesce(s.score_unats, 0)::BIGINT AS score_unats
 FROM ds_t t LEFT JOIN ds_sum s ON s.doc_id = t.doc_id
 """,
-        # kgspark.sketch.cms_table: depth x width counter table, bucket =
-        # hex6(md5(d || ':' || token)) % width — exact integers
+        # kgspark.sketch.cms_table: depth x width counter table; row d's
+        # hash = the d-th disjoint 6-nibble window of ONE md5 — exact ints
         "sketch_cms": f"""
 WITH sc_s AS (
-  SELECT unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
-                t -> t <> '')) AS v
+  SELECT md5(unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                    t -> t <> ''))) AS h
   FROM documents
 ),
 sc_b AS (
   SELECT r.d AS d,
-         ({_hex6_sql("md5(r.d::VARCHAR || ':' || v)")}) % 1024 AS b
+         ({_hex6_sql("substr(h, r.d * 6 + 1, 6)")}) % 1024 AS b
   FROM sc_s, range(0, 4) r(d)
 )
 SELECT d::BIGINT AS d, b::BIGINT AS b, count(*)::BIGINT AS cnt

@@ -72,18 +72,24 @@ def dsir_weights(
             ).alias("__t"),
         )
     )
-    grams = toks.select(
-        F.col(id_col),
-        "__tgt",
-        F.explode(
-            F.concat(F.col("__t"), ngrams_of(F.col("__t"), 2))
-        ).alias("g"),
-    ).select(
-        F.col(id_col),
-        "__tgt",
-        (_hex6_to_int(F.md5(F.col("g"))) % F.lit(n_buckets))
-        .cast("long")
-        .alias("b"),
+    # materialized: three consumers (bucket counts, totals, scoring join)
+    # would otherwise each replay the explode + md5 hex-decode over the
+    # whole corpus — the bucketed stream is 3 small columns per gram,
+    # far cheaper to store than to recompute
+    grams = materialize(
+        toks.select(
+            F.col(id_col),
+            "__tgt",
+            F.explode(
+                F.concat(F.col("__t"), ngrams_of(F.col("__t"), 2))
+            ).alias("g"),
+        ).select(
+            F.col(id_col),
+            "__tgt",
+            (_hex6_to_int(F.md5(F.col("g"))) % F.lit(n_buckets))
+            .cast("long")
+            .alias("b"),
+        )
     )
 
     buckets = grams.groupBy("b").agg(

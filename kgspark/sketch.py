@@ -32,11 +32,13 @@ from kgspark.kgtrain import _hex6_to_int
 __all__ = ["cms_table", "cms_lookup", "hll_registers", "hll_estimate"]
 
 
-def _bucket(value_col, row: int, width: int):
-    """row-salted md5 bucket — the d independent CMS hash functions."""
+def _bucket(md5_col, row: int, width: int):
+    """CMS row hash d: 24 bits from the d-th disjoint nibble window of ONE
+    md5 (md5 has 32 nibbles -> depth <= 5 windows). Disjoint bits of a
+    strong hash give the d independent functions CMS needs at a quarter
+    of the hashing cost of d salted md5 calls."""
     return (
-        _hex6_to_int(F.md5(F.concat_ws(":", F.lit(str(row)), value_col)))
-        % F.lit(width)
+        _hex6_to_int(F.substring(md5_col, 6 * row + 1, 6)) % F.lit(width)
     ).cast("long")
 
 
@@ -55,12 +57,15 @@ def cms_table(
     depth=ceil(ln(1/delta)). Sketches over shards merge by summing cnt on
     (d, b). NULL values are dropped (no frequency to attribute).
     """
+    if not 1 <= depth <= 5:
+        raise ValueError("cms_table: depth must be in [1, 5] (md5 windows)")
     v = F.col(value_col)
+    h = F.md5(v)
     rows = F.explode(
         F.array(*[
             F.struct(
                 F.lit(d).cast("long").alias("d"),
-                _bucket(v, d, width).alias("b"),
+                _bucket(h, d, width).alias("b"),
             )
             for d in range(depth)
         ])
@@ -96,7 +101,7 @@ def cms_lookup(
             F.array(*[
                 F.struct(
                     F.lit(d).cast("long").alias("d"),
-                    _bucket(F.col("value"), d, width).alias("b"),
+                    _bucket(F.md5(F.col("value")), d, width).alias("b"),
                 )
                 for d in range(depth)
             ])
