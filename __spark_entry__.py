@@ -1760,6 +1760,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return hll_registers(stream, "token", p=10)
 
+    def corpus_wsample(spark, sf_dir):
+        # weight-proportional sample (Efraimidis-Spirakis priorities),
+        # weight = n_chars (kgspark/trainprep.py weighted_sample)
+        from kgspark.trainprep import weighted_sample
+
+        docs = _read(spark, sf_dir, "documents")
+        return weighted_sample(docs, n=100, weight_col="n_chars")
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1984,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": sketch_cms,
         "sketch_hll": sketch_hll,
         "kg_hyperball": kg_hyperball,
+        "corpus_wsample": corpus_wsample,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -4130,6 +4139,20 @@ SELECT doc_id,
        CASE {_split_case_sql({"train": 0.9, "val": 0.05, "test": 0.05})} END AS split
 FROM (SELECT doc_id, ({_hex6_sql('h')})::DOUBLE / 16777216.0 AS frac
       FROM (SELECT doc_id, md5('split:' || doc_id::VARCHAR) AS h FROM documents))
+""",
+        # kgspark.trainprep.weighted_sample: priority = ln(md5-frac)/w,
+        # top-n by the RAW fp64 priority (ties impossible: md5 fracs are
+        # distinct dyadic rationals), quantized only in the output
+        "corpus_wsample": f"""
+SELECT doc_id, n_chars AS weight,
+       round((ln(frac) / CAST(n_chars AS DOUBLE)) * 1000000.0::DOUBLE, 0)::BIGINT
+         AS priority_unats
+FROM (SELECT doc_id, n_chars,
+             ({_hex6_sql('h')})::DOUBLE / 16777216.0 AS frac
+      FROM (SELECT doc_id, n_chars, md5('wsample:' || doc_id::VARCHAR) AS h
+            FROM documents))
+WHERE n_chars IS NOT NULL AND n_chars > 0 AND frac > 0
+ORDER BY (ln(frac) / CAST(n_chars AS DOUBLE)) DESC, doc_id ASC LIMIT 100
 """,
         # kgspark.trainprep.leakage_safe_split: hash_split keyed on the
         # exact-content md5 (duplicates share a split by construction)

@@ -264,3 +264,50 @@ def leakage_safe_split(
         df.withColumn("__skey", key), weights, id_col="__skey", salt=salt
     )
     return out.drop("__skey")
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, public): each row gets priority ln(u) / w with u the
+    row's md5 hash fraction; the n highest priorities are a
+    weight-proportional sample — the standard importance-sampling step
+    when upweighting high-quality documents in a training mix.
+
+    Replayability: u is a pure function of (salt, id) (the hash_split
+    convention), so the sample is identical across runs, partitionings
+    and engines — no RNG state. Rows with NULL or non-positive weight are
+    excluded. u is an exact dyadic rational (hex6/2^24, exactly
+    representable in fp64), so ln(u)/w is the same fp64 value everywhere
+    the expression tree matches; the top-n is a TakeOrdered (priority
+    desc, id asc), never a global sort. Returns (id, weight,
+    priority_unats) with the priority quantized to micro-units for
+    hash-contract output; ordering happens on the raw fp64.
+    """
+    w = F.col(weight_col).cast("double")
+    u = _doc_frac(id_col, salt)
+    pri = F.log(u) / w
+    return (
+        # u == 0 (1-in-2^24 hash) would make ln(u) = -inf: deterministic
+        # but it poisons the quantized output column — exclude it, the
+        # row had sampling probability ~0 anyway
+        df.where(w.isNotNull() & (w > 0) & (u > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            pri.alias("__pri"),
+        )
+        .orderBy(F.col("__pri").desc(), F.col(id_col).asc())
+        .limit(n)
+        .select(
+            F.col(id_col),
+            "weight",
+            F.round(F.col("__pri") * F.lit(1e6), 0).cast("long")
+            .alias("priority_unats"),
+        )
+    )

@@ -44,3 +44,38 @@ def test_split_proportions_roughly_hold(spark):
     assert 0.85 < frac["train"] < 0.95
     assert 0.02 < frac["val"] < 0.08
     assert 0.02 < frac["test"] < 0.08
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from kgspark.trainprep import weighted_sample
+
+    # 500 light (w=1) + 100 heavy (w=50): heavy rows carry ~91% of total
+    # weight and should dominate a 60-row sample
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, 60, "w").collect()
+    assert len(out) == 60
+    heavy = sum(1 for r in out if r.doc_id >= 1000)
+    assert heavy > 40
+
+
+def test_weighted_sample_determinism_and_filters(spark):
+    from kgspark.trainprep import weighted_sample
+
+    rows = [(i, i % 7) for i in range(200)]  # w=0 rows must drop
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [tuple(r) for r in weighted_sample(df.repartition(1), 30, "w").collect()]
+    b = [tuple(r) for r in weighted_sample(df.repartition(13), 30, "w").collect()]
+    assert a == b
+    assert all(r[1] > 0 for r in a)
+    # null weights drop too
+    df2 = spark.createDataFrame([(1, None), (2, 5)], "doc_id long, w long")
+    out = weighted_sample(df2, 10, "w").collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_weighted_sample_n_exceeds_population(spark):
+    from kgspark.trainprep import weighted_sample
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_id long, w long")
+    assert weighted_sample(df, 100, "w").count() == 2
