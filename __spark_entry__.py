@@ -1768,6 +1768,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf_dir, "documents")
         return weighted_sample(docs, n=100, weight_col="n_chars")
 
+    def rel_retention(spark, sf_dir):
+        # weekly cohort retention matrix over the events table
+        from kgspark.relops import retention_matrix
+
+        return retention_matrix(_read(spark, sf_dir, "events"))
+
+    def rel_funnel(spark, sf_dir):
+        # ordered signup -> click -> purchase funnel per user
+        from kgspark.relops import funnel_counts
+
+        return funnel_counts(
+            _read(spark, sf_dir, "events"), ["signup", "click", "purchase"]
+        )
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -1993,6 +2007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": sketch_hll,
         "kg_hyperball": kg_hyperball,
         "corpus_wsample": corpus_wsample,
+        "rel_retention": rel_retention,
+        "rel_funnel": rel_funnel,
         "kg_chunk": kg_chunk,
         "kg_node_upsert": kg_node_upsert,
         "kg_node_history": kg_node_history,
@@ -3669,6 +3685,37 @@ bp_p AS (
 )
 SELECT p.l AS lhs, p.r AS rhs, sum(cnt)::BIGINT AS weight
 FROM bp_p GROUP BY 1, 2
+""",
+        # kgspark.relops.retention_matrix: ISO-week cohorts, exact-integer
+        # week offsets (both week truncs are Monday-aligned timestamps)
+        "rel_retention": r"""
+WITH rt_e AS (
+  SELECT user_id AS u, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+rt_c AS (SELECT u, min(w) AS cw FROM rt_e GROUP BY u)
+SELECT cw AS cohort_week,
+       (datediff('day', cw, w) // 7)::BIGINT AS week_offset,
+       count(DISTINCT u)::BIGINT AS n_users
+FROM rt_e JOIN rt_c USING (u)
+GROUP BY 1, 2
+""",
+        # kgspark.relops.funnel_counts: stage k's timestamp = earliest
+        # event at-or-after stage k-1's; counts are exact ints
+        "rel_funnel": r"""
+WITH fn_e AS (
+  SELECT user_id AS u, event_type AS et, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+f1 AS (SELECT u, min(ts) AS t FROM fn_e WHERE et = 'signup' GROUP BY u),
+f2 AS (SELECT e.u, min(e.ts) AS t FROM fn_e e JOIN f1 ON f1.u = e.u
+       WHERE e.et = 'click' AND e.ts >= f1.t GROUP BY e.u),
+f3 AS (SELECT e.u, min(e.ts) AS t FROM fn_e e JOIN f2 ON f2.u = e.u
+       WHERE e.et = 'purchase' AND e.ts >= f2.t GROUP BY e.u)
+SELECT 1::BIGINT AS stage, 'signup' AS step,
+       (SELECT count(*) FROM f1)::BIGINT AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)
 """,
         # kgspark.relops.burst_windows: one-sided z-test multiplied out to
         # exact integer arithmetic (no stddev_samp — fp64 merge order is

@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "sketch_cms",
     "sketch_hll",
     "kg_hyperball",
+    "corpus_wsample",
+    "rel_retention",
+    "rel_funnel",
 ]
 
 

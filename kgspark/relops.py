@@ -177,3 +177,91 @@ def burst_windows(
             & (lhs_root * lhs_root * d(F.col("__n") - 1) * d(F.lit(1000000)) > rhs)
         ).alias("is_burst"),
     )
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the ISO week of their FIRST
+    event; each cell counts how many of a cohort's users were active k
+    weeks later. Returns (cohort_week, week_offset, n_users) — exact
+    integers and truncated timestamps only, no fp anywhere.
+
+    Shape: one per-user min aggregation (map-side combined), one join of
+    the cohort table back onto the events (user-keyed — the same shuffle
+    key, so AQE reuses the exchange), one (cohort, offset) distinct-count.
+    All three scale linearly; no window functions, no global order.
+    """
+    ev = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user"),
+        F.date_trunc("week", F.col(ts_col)).alias("__week"),
+    )
+    cohorts = ev.groupBy("user").agg(F.min("__week").alias("cohort_week"))
+    return (
+        ev.join(cohorts, "user")
+        .select(
+            "user",
+            "cohort_week",
+            (
+                F.datediff(F.col("__week"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user").cast("long").alias("n_users"))
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: how many users completed step k AFTER completing
+    steps 1..k-1 in order (each step's timestamp = the earliest
+    occurrence at-or-after the previous step's; ties allowed). Returns
+    (stage, step, n_users) for stage 1..len(steps).
+
+    Shape: one user-keyed aggregation per step — stage k's pass computes
+    min(ts | type = step_k, ts >= t_{k-1}) with t_{k-1} joined from the
+    previous pass (user-keyed join, same exchange). len(steps) is small
+    and fixed, so this is a bounded chain of linear passes; no per-user
+    event-list collection, no window sort.
+    """
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    ev = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ets"),
+    )
+    spark = events.sparkSession
+    reached = None  # (user, t_k)
+    counts: list[tuple[int, str, int]] = []
+    for k, step in enumerate(steps):
+        if reached is None:
+            cur = ev.where(F.col("etype") == step).groupBy("user").agg(
+                F.min("ets").alias("t")
+            )
+        else:
+            cur = (
+                ev.where(F.col("etype") == step)
+                .join(reached.select("user", F.col("t").alias("__prev")), "user")
+                .where(F.col("ets") >= F.col("__prev"))
+                .groupBy("user")
+                .agg(F.min("ets").alias("t"))
+            )
+        from kgspark.session import materialize
+
+        cur = materialize(cur)
+        counts.append((k + 1, step, cur.count()))
+        reached = cur
+    return spark.createDataFrame(counts, "stage long, step string, n_users long")
