@@ -701,6 +701,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = _extract_triples(spark, sf_dir)
         return hyperball(t, rounds=2, p=4)
 
+    def kg_modularity(spark, sf_dir):
+        # exact-integer Newman modularity of the 2-round LPA partition
+        # (kgspark/graph_algs.py modularity): q_num = intra2*2m - deg_sum^2,
+        # Q = sum(q_num)/(2m)^2; decimal internally, long at this scale
+        from kgspark.graph_algs import label_propagation, modularity
+
+        t = _extract_triples(spark, sf_dir)
+        labs = label_propagation(t, iterations=2)
+        return modularity(t, labs).select(
+            "label",
+            "n_nodes",
+            "intra2",
+            "deg_sum",
+            F.col("q_num").cast("long").alias("q_num"),
+        )
+
     def kg_node_asof(spark, sf_dir):
         # temporal as-of state: latest event per user at or before T
         ev = _read(spark, sf_dir, "events")
@@ -1999,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_bursts": rel_bursts,
         "text_bpe_pairs": text_bpe_pairs,
         "kg_sssp": kg_sssp,
+        "kg_modularity": kg_modularity,
         "text_entropy": text_entropy,
         "text_novelty": text_novelty,
         "corpus_split_safe": corpus_split_safe,
@@ -3376,6 +3393,78 @@ lp_l2 AS (
   ) WHERE rn = 1
 )
 SELECT node, label FROM lp_l2
+""",
+        # kgspark.graph_algs.modularity over the kg_lpa partition: same LPA
+        # unroll, then q_num = intra2*2m - deg_sum^2 (all-integer; Q =
+        # sum(q_num)/(2m)^2 never materialized cross-engine)
+        "kg_modularity": f"""
+WITH {_PARTS_ORACLE_CTE},
+lp_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples WHERE subj <> obj),
+lp_adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT s AS node, t AS nbr FROM lp_e
+    UNION ALL SELECT t AS node, s AS nbr FROM lp_e
+  )
+),
+lp_l0 AS (SELECT DISTINCT node, node AS label FROM lp_adj),
+lp_c1 AS (
+  SELECT a.node, l.label, count(*) AS c
+  FROM lp_adj a JOIN lp_l0 l ON l.node = a.nbr
+  GROUP BY a.node, l.label
+),
+lp_l1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM lp_c1
+  ) WHERE rn = 1
+),
+lp_c2 AS (
+  SELECT a.node, l.label, count(*) AS c
+  FROM lp_adj a JOIN lp_l1 l ON l.node = a.nbr
+  GROUP BY a.node, l.label
+),
+lp_l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM lp_c2
+  ) WHERE rn = 1
+),
+md_e AS (
+  SELECT DISTINCT least(subj, obj) AS s, greatest(subj, obj) AS t
+  FROM triples WHERE subj <> obj
+),
+md_m AS (SELECT 2 * count(*) AS two_m FROM md_e),
+md_deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT s AS node FROM md_e UNION ALL SELECT t AS node FROM md_e
+  ) GROUP BY node
+),
+md_tot AS (
+  SELECT l.label, count(*) AS n_nodes, sum(d.deg) AS deg_sum
+  FROM md_deg d JOIN lp_l2 l USING (node)
+  GROUP BY l.label
+),
+md_intra AS (
+  SELECT ls.label, 2 * count(*) AS intra2
+  FROM md_e e
+  JOIN lp_l2 ls ON ls.node = e.s
+  JOIN lp_l2 lt ON lt.node = e.t
+  WHERE ls.label = lt.label
+  GROUP BY ls.label
+)
+SELECT t.label,
+       t.n_nodes::BIGINT AS n_nodes,
+       coalesce(i.intra2, 0)::BIGINT AS intra2,
+       t.deg_sum::BIGINT AS deg_sum,
+       (coalesce(i.intra2, 0) * m.two_m
+        - t.deg_sum * t.deg_sum)::BIGINT AS q_num
+FROM md_tot t
+LEFT JOIN md_intra i USING (label)
+CROSS JOIN md_m m
 """,
         # kgspark.textstats.readability: integer inputs + the exact
         # checksum ease*1000*w*s = 206835*w*s - 1015*w^2 - 84600*sy*s

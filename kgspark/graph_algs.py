@@ -684,3 +684,80 @@ def hyperball(
             .agg(F.max("max_rho").cast("long").alias("max_rho"))
         )
     return regs
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(label, n_nodes, intra2, deg_sum, q_num): exact-integer Newman
+    modularity contributions of a node partition over the undirected
+    simple graph.
+
+    Q = sum_c [ in_c/(2m) - (tot_c/(2m))^2 ]  (Newman & Girvan 2004),
+    where in_c = 2 x intra-community edge count and tot_c = sum of member
+    degrees. Cross-engine fp64 division is a parity trap, so the engine
+    emits the numerators multiplied out over the common denominator
+    (2m)^2:  q_num = in_c * 2m - tot_c^2,  with Q = sum(q_num) / (2m)^2.
+    decimal(38,0) arithmetic: at web scale tot_c approaches 2m ~ 10^12+
+    and tot_c^2 overflows int64 long before the graph is interesting.
+
+    Partner of label_propagation(): LPA gives the communities, this grades
+    them — the standard accept/reject gate before a community-based domain
+    cap or dedup block is trusted.
+
+    Scale shape: one distinct + degree aggregation, two label-key joins
+    (node-keyed, broadcast-eligible label vector at dimension scale, AQE
+    otherwise), one groupBy label. 2m rides as a 1-row DataFrame through a
+    crossJoin — no driver collect. Reference has no analogue (its graph is
+    driver-memory networkx, knowledge_graph_builder.py:595-607).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("t"),
+        )
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    e = materialize(e)
+    lab = labels.select("node", "label")
+    dec = lambda c: c.cast("decimal(38,0)")
+    # 2m as a 1-row frame (never .collect() the edge count on the driver)
+    two_m = e.agg((F.count(F.lit(1)) * 2).alias("two_m"))
+    deg = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tot = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    intra = (
+        e.join(lab.select(F.col("node").alias("s"), F.col("label").alias("ls")), "s")
+        .join(lab.select(F.col("node").alias("t"), F.col("label").alias("lt")), "t")
+        .where(F.col("ls") == F.col("lt"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg((F.count(F.lit(1)) * 2).alias("intra2"))
+    )
+    return (
+        tot.join(intra, "label", "left")
+        .na.fill({"intra2": 0})
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "label",
+            "n_nodes",
+            F.col("intra2").cast("long").alias("intra2"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            (dec(F.col("intra2")) * dec(F.col("two_m"))
+             - dec(F.col("deg_sum")) * dec(F.col("deg_sum"))).alias("q_num"),
+        )
+    )

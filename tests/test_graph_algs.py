@@ -298,3 +298,50 @@ def test_metapath_census_distinct_pairs_vs_paths(spark):
     out = {(r["p1"], r["p2"]): (r["n_paths"], r["n_pairs"])
            for r in metapath_census(edges).collect()}
     assert out == {("p", "q"): (2, 1)}
+
+
+def test_modularity_two_triangles_bridge(spark):
+    # two triangles joined by one bridge edge: the textbook partition
+    # {a,b,c} / {d,e,f} has Q = 70/196 = 5/14 (Newman & Girvan 2004)
+    from kgspark.graph_algs import modularity
+
+    tri = [("a", "b"), ("a", "c"), ("b", "c"),
+           ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")]
+    e = spark.createDataFrame(tri, "subj string, obj string")
+    labs = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"),
+         ("d", "R"), ("e", "R"), ("f", "R")],
+        "node string, label string",
+    )
+    rows = {r["label"]: r for r in modularity(e, labs).collect()}
+    assert set(rows) == {"L", "R"}
+    for lab in ("L", "R"):
+        r = rows[lab]
+        assert r["n_nodes"] == 3
+        assert r["intra2"] == 6          # 3 intra edges x 2
+        assert r["deg_sum"] == 7         # 2+2+3
+        assert int(r["q_num"]) == 6 * 14 - 49  # = 35; Q = (35+35)/14^2
+    # duplicate/reversed/self edges do not change the canonical edge set
+    e2 = spark.createDataFrame(
+        tri + [("b", "a"), ("a", "a"), ("c", "d")],
+        "subj string, obj string",
+    )
+    rows2 = {r["label"]: int(r["q_num"]) for r in modularity(e2, labs).collect()}
+    assert rows2 == {"L": 35, "R": 35}
+
+
+def test_modularity_zero_intra_community(spark):
+    # a label whose members share no internal edge gets intra2=0 and a
+    # negative contribution (the left-join + fill path)
+    from kgspark.graph_algs import modularity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "subj string, obj string")
+    labs = spark.createDataFrame(
+        [("a", "X"), ("c", "X"), ("b", "Y"), ("d", "Y")],
+        "node string, label string",
+    )
+    rows = {r["label"]: r for r in modularity(e, labs).collect()}
+    # 2m = 4; each label: deg_sum 2, intra2 0 -> q_num = -4
+    assert {k: int(v["q_num"]) for k, v in rows.items()} == {"X": -4, "Y": -4}
+    assert all(v["intra2"] == 0 for v in rows.values())
