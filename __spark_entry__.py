@@ -717,6 +717,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("q_num").cast("long").alias("q_num"),
         )
 
+    def kg_random_walks(spark, sf_dir):
+        # deterministic hash-driven walk corpus (DeepWalk/node2vec input):
+        # 2 walks x 3 steps from every node, next hop =
+        # md5(start:walk_no:step) mod degree (kgspark/graph_algs.py
+        # random_walks); oracle unrolls the same 3 steps
+        from kgspark.graph_algs import random_walks
+
+        t = _extract_triples(spark, sf_dir)
+        return random_walks(t, length=3, num_walks=2).select(
+            "start",
+            F.col("walk_no").cast("long").alias("walk_no"),
+            F.col("step").cast("long").alias("step"),
+            "node",
+        )
+
     def kg_node_asof(spark, sf_dir):
         # temporal as-of state: latest event per user at or before T
         ev = _read(spark, sf_dir, "events")
@@ -2016,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pairs": text_bpe_pairs,
         "kg_sssp": kg_sssp,
         "kg_modularity": kg_modularity,
+        "kg_random_walks": kg_random_walks,
         "text_entropy": text_entropy,
         "text_novelty": text_novelty,
         "corpus_split_safe": corpus_split_safe,
@@ -3465,6 +3481,53 @@ SELECT t.label,
 FROM md_tot t
 LEFT JOIN md_intra i USING (label)
 CROSS JOIN md_m m
+""",
+        # kgspark.graph_algs.random_walks: 2 walks x 3 steps per node,
+        # hop k = sorted-neighbor index md5(start:walk_no:k) mod deg
+        "kg_random_walks": f"""
+WITH {_PARTS_ORACLE_CTE},
+rw_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples WHERE subj <> obj),
+rw_adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT s AS node, t AS nbr FROM rw_e
+    UNION ALL SELECT t AS node, s AS nbr FROM rw_e
+  )
+),
+rw_idx AS (
+  SELECT node, nbr,
+         row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS i,
+         count(*) OVER (PARTITION BY node) AS deg
+  FROM rw_adj
+),
+rw_w0 AS (
+  SELECT node AS start, wn AS walk_no, node AS cur
+  FROM (SELECT DISTINCT node FROM rw_adj)
+  CROSS JOIN (VALUES (0), (1)) v(wn)
+),
+rw_w1 AS (
+  SELECT w.start, w.walk_no, x.nbr AS cur
+  FROM rw_w0 w
+  JOIN rw_idx x ON x.node = w.cur
+   AND x.i = ({_hex6_sql("md5(w.start || ':' || w.walk_no::VARCHAR || ':1')")}) % x.deg
+),
+rw_w2 AS (
+  SELECT w.start, w.walk_no, x.nbr AS cur
+  FROM rw_w1 w
+  JOIN rw_idx x ON x.node = w.cur
+   AND x.i = ({_hex6_sql("md5(w.start || ':' || w.walk_no::VARCHAR || ':2')")}) % x.deg
+),
+rw_w3 AS (
+  SELECT w.start, w.walk_no, x.nbr AS cur
+  FROM rw_w2 w
+  JOIN rw_idx x ON x.node = w.cur
+   AND x.i = ({_hex6_sql("md5(w.start || ':' || w.walk_no::VARCHAR || ':3')")}) % x.deg
+)
+SELECT start, walk_no::BIGINT AS walk_no, step::BIGINT AS step, node FROM (
+  SELECT start, walk_no, 0 AS step, cur AS node FROM rw_w0
+  UNION ALL SELECT start, walk_no, 1 AS step, cur FROM rw_w1
+  UNION ALL SELECT start, walk_no, 2 AS step, cur FROM rw_w2
+  UNION ALL SELECT start, walk_no, 3 AS step, cur FROM rw_w3
+)
 """,
         # kgspark.textstats.readability: integer inputs + the exact
         # checksum ease*1000*w*s = 206835*w*s - 1015*w^2 - 84600*sy*s

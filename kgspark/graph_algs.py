@@ -761,3 +761,95 @@ def modularity(
              - dec(F.col("deg_sum")) * dec(F.col("deg_sum"))).alias("q_num"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 3,
+    num_walks: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(start, walk_no, step, node): a deterministic random-walk corpus
+    over the undirected simple graph — the training input for
+    DeepWalk/node2vec-style KG embeddings (Perozzi 2014, Grover 2016).
+
+    `num_walks` walks of `length` steps start from every non-isolated
+    node. The "randomness" is a hash: at step k the walk at node v moves
+    to sorted-neighbor index md5(start:walk_no:k) mod deg(v). Replayable
+    (same corpus every run, resumable mid-pipeline) and SQL-expressible,
+    so the walk generator itself is oracle-checkable — the property a
+    curation pipeline needs from its sampling stages; see
+    kgspark/kgtrain.py for the same philosophy on negative sampling.
+
+    Scale shape: the adjacency is indexed ONCE (row_number within node —
+    the per-node window never sees more rows than the max degree) and
+    materialized; each step is one node-keyed join of the W*N-row walk
+    frontier against it (hub keys skew the probe side — AQE splits), with
+    lineage truncated per step. No driver-side state. Walk count scales
+    as W*N rows regardless of length; emitted long-format so downstream
+    skip-gram windowing is a self-join on (start, walk_no).
+
+    Reference has no analogue (driver-memory networkx graph,
+    knowledge_graph_builder.py:595-607).
+    """
+    from pyspark.sql import Window
+
+    from kgspark.kgtrain import _hex6_to_int
+
+    if length < 1 or num_walks < 1:
+        raise ValueError("length and num_walks must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("s").alias("node"), F.col("t").alias("nbr"))
+        .union(e.select(F.col("t").alias("node"), F.col("s").alias("nbr")))
+        .distinct()
+    )
+    w = Window.partitionBy("node").orderBy("nbr")
+    idx = materialize(
+        adj.select(
+            "node", "nbr", (F.row_number().over(w) - 1).alias("i"),
+            F.count(F.lit(1)).over(Window.partitionBy("node")).alias("deg"),
+        )
+    )
+    walks = idx.select("node").distinct().select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_walks - 1))
+        ).alias("walk_no"),
+        F.col("node").alias("cur"),
+    )
+    out = walks.select(
+        "start", "walk_no", F.lit(0).alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for k in range(1, length + 1):
+        pick = (
+            _hex6_to_int(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("start"),
+                        F.col("walk_no").cast("string"),
+                        F.lit(str(k)),
+                    )
+                )
+            )
+            % F.col("deg")
+        )
+        walks = materialize(
+            walks.join(idx, walks["cur"] == idx["node"])
+            .where(F.col("i") == pick)
+            .select("start", "walk_no", F.col("nbr").alias("cur"))
+        )
+        out = out.unionAll(
+            walks.select(
+                "start", "walk_no", F.lit(k).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

@@ -345,3 +345,44 @@ def test_modularity_zero_intra_community(spark):
     # 2m = 4; each label: deg_sum 2, intra2 0 -> q_num = -4
     assert {k: int(v["q_num"]) for k, v in rows.items()} == {"X": -4, "Y": -4}
     assert all(v["intra2"] == 0 for v in rows.values())
+
+
+def test_random_walks_deterministic_and_edge_valid(spark):
+    from hashlib import md5 as _md5
+
+    from kgspark.graph_algs import random_walks
+
+    tri = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    e = spark.createDataFrame(tri, "subj string, obj string")
+    rows = random_walks(e, length=3, num_walks=2).collect()
+    # 4 nodes x 2 walks x 4 positions (step 0..3)
+    assert len(rows) == 4 * 2 * 4
+    edge_set = {frozenset(p) for p in tri}
+    walks = {}
+    for r in rows:
+        walks.setdefault((r["start"], r["walk_no"]), {})[r["step"]] = r["node"]
+    nbrs = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "b", "d"], "d": ["c"]}
+    for (start, wn), path in walks.items():
+        assert path[0] == start
+        for k in range(1, 4):
+            # consecutive positions are graph edges
+            assert frozenset((path[k - 1], path[k])) in edge_set
+            # and exactly the hash-prescribed neighbor
+            h = int(_md5(f"{start}:{wn}:{k}".encode()).hexdigest()[:6], 16)
+            cand = nbrs[path[k - 1]]
+            assert path[k] == cand[h % len(cand)]
+    # replayable: a second invocation yields the identical corpus
+    again = random_walks(e, length=3, num_walks=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_random_walks_validates_params(spark):
+    import pytest as _pytest
+
+    from kgspark.graph_algs import random_walks
+
+    e = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    with _pytest.raises(ValueError):
+        random_walks(e, length=0)
+    with _pytest.raises(ValueError):
+        random_walks(e, num_walks=0)
