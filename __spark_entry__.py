@@ -1925,6 +1925,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return line_dedup(lt, min_docs=10)
 
+    def dedup_spans(spark, sf_dir):
+        # ExactSubstr-style duplicated k-gram span coverage (Lee et al.
+        # 2022) — k=3 at contract scale so the interval-union merge is
+        # exercised hard (kgspark/dedup.py dup_span_stats)
+        from kgspark.dedup import dup_span_stats
+
+        return dup_span_stats(_read(spark, sf_dir, "documents"), k=3)
+
+    def kg_scc(spark, sf_dir):
+        # strongly connected components of the DIRECTED triple graph via
+        # forward-backward min-label coloring (kgspark/graph_algs.py scc);
+        # oracle is an exact mutual-reachability recursive CTE
+        from kgspark.graph_algs import scc
+
+        return scc(_extract_triples(spark, sf_dir))
+
+    def rel_scd2(spark, sf_dir):
+        # SCD-2 compaction of the event log: consecutive same-state runs
+        # per user become validity intervals (kgspark/relops.py)
+        from kgspark.relops import scd2_compact
+
+        return scd2_compact(_read(spark, sf_dir, "events"))
+
+    def rel_decay(spark, sf_dir):
+        # exponentially time-decayed event mass per user; per-event fp64
+        # weights quantized to micro-units BEFORE the sum (kgspark/relops.py)
+        from kgspark.relops import decayed_counts
+
+        return decayed_counts(_read(spark, sf_dir, "events"))
+
+    def text_stopwords(spark, sf_dir):
+        # corpus-driven stopword discovery (kgspark/textstats.py)
+        from kgspark.textstats import stopword_discovery
+
+        return stopword_discovery(_read(spark, sf_dir, "documents"))
+
+    def _c4_pages(spark, sf_dir):
+        # deterministic lined web-page corpus for the C4 filter: 7-token
+        # lines, 1-in-3 missing terminal punctuation, lorem/javascript/
+        # brace pages salted in by doc_id residue
+        from kgspark.session import materialize
+
+        docs = _read(spark, sf_dir, "documents")
+        toks = materialize(
+            docs.select(
+                "doc_id",
+                F.filter(F.split(F.lower("text"), r"\s+"),
+                         lambda t: t != "").alias("__toks"),
+            )
+        )
+        nl = F.ceil(F.size("__toks") / F.lit(7.0)).cast("int")
+        base = F.when(
+            nl >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nl),
+                lambda i: F.concat(
+                    F.concat_ws(" ", F.slice("__toks", (i - 1) * 7 + 1, 7)),
+                    F.when((F.col("doc_id") + i) % 3 == 0, F.lit(""))
+                     .otherwise(F.lit(".")),
+                ),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        extras = F.filter(
+            F.array(
+                F.when(F.col("doc_id") % 11 == 0,
+                       F.lit("lorem ipsum dolor sit amet.")),
+                F.when(F.col("doc_id") % 13 == 0,
+                       F.lit("please enable javascript to continue.")),
+                F.when(F.col("doc_id") % 17 == 0,
+                       F.lit("function f() { return 0; }")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return toks.select(
+            "doc_id", F.concat_ws("\n", F.concat(base, extras)).alias("text")
+        )
+
+    def web_c4_filters(spark, sf_dir):
+        # C4-recipe line+page cleaning over the lined corpus (kgspark/c4.py)
+        from kgspark.c4 import c4_line_stats
+
+        return c4_line_stats(_c4_pages(spark, sf_dir))
+
+    def kg_salience(spark, sf_dir):
+        # position-decayed entity salience over single-token alias hits
+        # (kgspark/entities.py entity_salience; JVM fast path of the
+        # Aho-Corasick extractor)
+        from kgspark.entities import entity_salience
+        from kgspark.linking import alias_table
+
+        return entity_salience(
+            _read(spark, sf_dir, "documents"), alias_table(spark)
+        )
+
+    def kg_textrank(spark, sf_dir):
+        # corpus-level TextRank: PageRank over the window-2 word graph
+        # (kgspark/keywords.py textrank_terms)
+        from kgspark.keywords import textrank_terms
+
+        tr = textrank_terms(_read(spark, sf_dir, "documents"))
+        return tr.select("node", F.round("rank", 6).alias("rank"))
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2056,6 +2158,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys": skew_hot_keys,
         "skew_salted_agg": skew_salted_agg,
         "text_fingerprint": text_fingerprint,
+        "dedup_spans": dedup_spans,
+        "kg_scc": kg_scc,
+        "rel_scd2": rel_scd2,
+        "rel_decay": rel_decay,
+        "text_stopwords": text_stopwords,
+        "web_c4_filters": web_c4_filters,
+        "kg_salience": kg_salience,
+        "kg_textrank": kg_textrank,
     }
 
 
@@ -2104,6 +2214,30 @@ FROM hr_text"""
     pick = "CASE " + " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
 
     en_words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+    # kg_textrank: unrolled PageRank over the window-2 word graph — the
+    # same 5-iteration dangling-corrected recurrence as the kg_pagerank
+    # oracle, generated here instead of hand-unrolled
+    tr_iter_ctes = []
+    for it in range(1, 6):
+        prev = f"tr_pr{it - 1}"
+        tr_iter_ctes.append(f"""
+trc{it} AS (
+  SELECT e.t AS node, sum(p.rank / g.d) AS contrib
+  FROM tr_e e JOIN {prev} p ON p.node = e.s JOIN tr_deg g ON g.s = e.s
+  GROUP BY e.t
+),
+trd{it} AS (
+  SELECT coalesce(sum(p.rank), 0.0) AS dm
+  FROM {prev} p LEFT JOIN tr_deg g ON g.s = p.node WHERE g.s IS NULL
+),
+tr_pr{it} AS (
+  SELECT n.node,
+         (1 - 0.85)::DOUBLE / c.n + 0.85 * (coalesce(x.contrib, 0.0) + dd.dm / c.n) AS rank
+  FROM tr_nodes n CROSS JOIN tr_cnt c CROSS JOIN trd{it} dd
+  LEFT JOIN trc{it} x ON x.node = n.node
+)""")
+    textrank_iters = ",".join(tr_iter_ctes)
 
     return {
         "kg_extract_triples": f"""
@@ -4402,5 +4536,202 @@ SELECT d.doc_id, d.source
 FROM (SELECT doc_id, source, md5('mix:' || doc_id::VARCHAR) AS h FROM documents) d
 JOIN mx_r r ON d.source = r.source
 WHERE ({_hex6_sql('h')})::DOUBLE / 16777216.0 < r.ratio
+""",
+        # kgspark.dedup.dup_span_stats (k=3): duplicated-3-gram occurrences
+        # and interval-union coverage; pos is 1-based here vs Spark's
+        # 0-based posexplode index — coverage arithmetic is shift-invariant
+        "dedup_spans": r"""
+WITH ds_t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+ds_o AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'g': array_to_string(ts[i:i+2], ' ')}
+                 for i in range(1, greatest(len(ts) - 2, 0) + 1)],
+                recursive := true)
+  FROM ds_t
+),
+ds_dup AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM ds_o) GROUP BY g HAVING count(*) >= 2
+),
+ds_sp AS (SELECT o.doc_id, o.pos FROM ds_o o JOIN ds_dup USING (g)),
+ds_cov AS (
+  SELECT doc_id,
+         greatest(pos + 3 - greatest(pos,
+           coalesce(max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)), 0) AS addl
+  FROM ds_sp
+),
+ds_d AS (SELECT doc_id, count(*) AS n_dup_grams, sum(addl) AS covered FROM ds_cov GROUP BY doc_id)
+SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+       coalesce(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(covered, 0)::BIGINT AS covered_tokens
+FROM ds_t t LEFT JOIN ds_d USING (doc_id)
+""",
+        # kgspark.graph_algs.scc: exact mutual-reachability ground truth —
+        # scc_id = min over {w : v ->* w AND w ->* v} (self-pair seeded)
+        "kg_scc": f"""
+WITH RECURSIVE {_PARTS_ORACLE_CTE},
+sc_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples),
+sc_n AS (SELECT s AS node FROM sc_e UNION SELECT t FROM sc_e),
+sc_reach(src, dst) AS (
+  SELECT node, node FROM sc_n
+  UNION
+  SELECT r.src, e.t FROM sc_reach r JOIN sc_e e ON e.s = r.dst
+)
+SELECT a.src AS node, min(a.dst) AS scc_id
+FROM sc_reach a JOIN sc_reach b ON a.src = b.dst AND a.dst = b.src
+GROUP BY a.src
+""",
+        # kgspark.relops.scd2_compact: gaps-and-islands run compaction,
+        # half-open intervals, 9999-12-31 sentinel on the open run
+        "rel_scd2": r"""
+WITH sc2_r AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+  FROM events
+),
+sc2_g AS (
+  SELECT user_id, event_type AS state, min(ts) AS valid_from,
+         count(*) AS n_events, min(event_id) AS first_id
+  FROM sc2_r GROUP BY user_id, event_type, grp
+)
+SELECT user_id, state, valid_from,
+       coalesce(lead(valid_from) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       n_events::BIGINT AS n_events,
+       (lead(valid_from) OVER w IS NULL) AS is_current
+FROM sc2_g WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, first_id)
+""",
+        # kgspark.relops.decayed_counts: ages in exact epoch-seconds
+        # (second-truncated both engines), per-event weight quantized to
+        # micro-units BEFORE the integer sum
+        "rel_decay": r"""
+WITH dc_ref AS (SELECT max(ts) AS ref FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(round(power(2.0, -(((epoch(date_trunc('second', ref))::BIGINT
+                              - epoch(date_trunc('second', ts))::BIGINT) / 86400.0) / 7.0))
+                 * 1000000.0, 0)::BIGINT) AS decayed_micro
+FROM events, dc_ref GROUP BY user_id
+""",
+        # kgspark.textstats.stopword_discovery
+        "text_stopwords": r"""
+WITH st_t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+st_n AS (SELECT count(*) AS n FROM documents),
+st_tf AS (SELECT token, count(*) AS term_freq FROM st_t GROUP BY token),
+st_df AS (
+  SELECT token, count(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, token FROM st_t) GROUP BY token
+)
+SELECT token, doc_freq::BIGINT AS doc_freq, term_freq::BIGINT AS term_freq,
+       (doc_freq >= 0.5 * n) AS is_stopword
+FROM st_tf JOIN st_df USING (token), st_n
+""",
+        # kgspark.c4.c4_line_stats over the same deterministically-lined
+        # corpus the Spark query synthesizes (7-token lines, 1-in-3 without
+        # terminal punctuation, lorem/javascript/brace pages by residue)
+        "web_c4_filters": r"""
+WITH c4_t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+c4_l AS (
+  SELECT doc_id,
+    [array_to_string(ts[(i-1)*7+1:(i-1)*7+7], ' ') ||
+       (CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END)
+     for i in range(1, cast(ceil(len(ts) / 7.0) AS INT) + 1)]
+    || [x for x in [
+         CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+         CASE WHEN doc_id % 13 = 0 THEN 'please enable javascript to continue.' END,
+         CASE WHEN doc_id % 17 = 0 THEN 'function f() { return 0; }' END]
+        if x IS NOT NULL] AS ls
+  FROM c4_t
+),
+c4_s AS (
+  SELECT doc_id, ls,
+         list_filter(ls, l -> regexp_matches(l, '[.!?"'']\s*$')
+             AND len(list_filter(string_split_regex(trim(l), '\s+'), w -> w <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')) AS kept,
+         list_filter(ls, l -> contains(lower(l), 'javascript')) AS js,
+         lower(array_to_string(ls, chr(10))) AS low
+  FROM c4_l
+)
+SELECT doc_id,
+       len(ls)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept_lines,
+       len(js)::BIGINT AS n_js_lines,
+       contains(low, 'lorem ipsum') AS has_lorem,
+       (contains(low, '{') OR contains(low, '}')) AS has_brace,
+       (len(kept) >= 3 AND NOT contains(low, 'lorem ipsum')
+        AND NOT (contains(low, '{') OR contains(low, '}'))) AS keep_page,
+       array_to_string(kept, chr(10)) AS kept_text
+FROM c4_s
+""",
+        # kgspark.entities.entity_salience: single-token alias hits,
+        # best-candidate-resolved alias table (max score, lexicographic
+        # canonical), fp64 score tree quantized once at the end
+        "kg_salience": f"""
+WITH sal0(surface, canonical, score) AS (VALUES {{alias_values}}),
+sal_al AS (
+  SELECT surface, canonical FROM (
+    SELECT surface, canonical,
+           row_number() OVER (PARTITION BY surface ORDER BY score DESC, canonical ASC) AS rn
+    FROM sal0
+  ) WHERE rn = 1 AND NOT contains(surface, ' ')
+),
+sal_t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+sal_p AS (
+  SELECT doc_id, len(ts) AS n,
+         unnest([{{'pos': i - 1, 'token': ts[i]}} for i in range(1, len(ts) + 1)],
+                recursive := true)
+  FROM sal_t
+),
+sal_h AS (
+  SELECT p.doc_id, p.n, p.pos, a.canonical
+  FROM sal_p p JOIN sal_al a ON a.surface = p.token
+),
+sal AS (
+  SELECT doc_id, canonical, count(*) AS n_mentions, min(pos) AS first_pos,
+         max(n) AS n
+  FROM sal_h GROUP BY doc_id, canonical
+)
+SELECT doc_id, canonical, n_mentions::BIGINT AS n_mentions,
+       first_pos::BIGINT AS first_pos,
+       round(((n_mentions * 1.0 / n) * power(2.0, -(first_pos / 16.0)) * 1000000.0)::DOUBLE, 0)::BIGINT AS salience_micro
+FROM sal
+""".replace("{alias_values}", alias_values),
+        # kgspark.keywords.textrank_terms: window-2 word graph (both
+        # directions, self-pairs dropped) + the unrolled 5-iteration
+        # dangling-corrected PageRank generated above
+        "kg_textrank": f"""
+WITH tr_t AS (
+  SELECT list_filter(string_split_regex(lower("text"), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+tr_p AS (
+  SELECT unnest([{{'a': ts[i], 'b': ts[i+1]}}
+                 for i in range(1, greatest(len(ts) - 1, 0) + 1)],
+                recursive := true)
+  FROM tr_t
+),
+tr_e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT a AS s, b AS t FROM tr_p UNION ALL SELECT b, a FROM tr_p
+  ) WHERE s <> t
+),
+tr_nodes AS (SELECT s AS node FROM tr_e UNION SELECT t FROM tr_e),
+tr_cnt AS (SELECT count(*)::DOUBLE AS n FROM tr_nodes),
+tr_deg AS (SELECT s, count(*)::DOUBLE AS d FROM tr_e GROUP BY s),
+tr_pr0 AS (SELECT node, 1.0 / tr_cnt.n AS rank FROM tr_nodes, tr_cnt),
+{textrank_iters}
+SELECT node, round(rank, 6) AS rank FROM tr_pr5
 """,
     }

@@ -672,3 +672,94 @@ def line_dedup(
     return per_doc.select(
         F.col("__id").alias(id_col), "clean_text", "n_lines", "n_removed"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span coverage (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Per-document coverage by exactly-duplicated k-token spans — the
+    signal behind suffix-array ExactSubstr dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022), re-expressed as
+    a rolling-hash plan instead of a monolithic suffix array:
+
+      1. one tokenize pass (materialized — HOF slice over a raw split()
+         re-evaluates the tokenizer per gram, see kgspark.topics)
+      2. every k-gram occurrence becomes (doc, pos, md5(gram)) — ~n_tokens
+         rows, the same footprint as any shingle op
+      3. grams appearing in >= 2 DISTINCT docs are "duplicated"; their
+         occurrences join back (md5-keyed; AQE broadcasts while small)
+      4. per doc, overlapping spans [pos, pos+k) are union-merged with the
+         classic running-max-end window — partitioned by doc, never global
+
+    Returns (id, n_tokens, n_dup_grams, covered_tokens): n_dup_grams =
+    duplicated k-gram occurrences in the doc, covered_tokens = tokens under
+    at least one duplicated span. Downstream policy (drop doc, cut spans)
+    stays with the caller — annotate-don't-drop, as in kgspark.curate.
+
+    Scale: two shuffles (gram doc-frequency agg; the occurrence join back),
+    both keyed on the md5 gram hash — uniform keys, no all-pairs shape.
+    The reference's corpus ops have no span-level dedup analogue; closest
+    is whole-doc distinct (SURVEY.md Set1-3).
+    """
+    toks = materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != "").alias("__toks"),
+        )
+    )
+    # sequence(1, 0) is DESCENDING in Spark (see module header) — the
+    # when() guard yields NULL for sub-k docs, and posexplode drops NULLs.
+    n_grams = F.size("__toks") - (k - 1)
+    occ = materialize(
+        toks.select(
+            "__id",
+            F.posexplode(
+                F.when(
+                    n_grams >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_grams),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice("__toks", i, k))
+                        ),
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    dup = (
+        occ.select("gh", "__id").distinct()
+        .groupBy("gh").agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("gh")
+    )
+    spans = occ.join(dup, "gh").select("__id", "pos")
+    w = (
+        Window.partitionBy("__id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + k
+    prev_end = F.coalesce(F.max(F.col("pos") + k).over(w), F.lit(0))
+    add = F.greatest(end - F.greatest(F.col("pos"), prev_end), F.lit(0))
+    per_doc = spans.select("__id", add.alias("__add")).groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum("__add").alias("covered_tokens"),
+    )
+    return (
+        toks.select("__id", F.size("__toks").alias("n_tokens"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+             .alias("covered_tokens"),
+        )
+    )

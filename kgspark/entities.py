@@ -288,3 +288,64 @@ def entity_cooccurrence(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def entity_salience(
+    df: DataFrame,
+    aliases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, canonical, n_mentions, first_pos, salience_micro): how central
+    each linked entity is to each document, scored frequency x earliness:
+
+        salience = (n_mentions / n_tokens) * 2^(-first_pos / 16)
+
+    — the classic position-decayed mention-rate prior used to rank entity
+    candidates before expensive disambiguation. The score is quantized to
+    integer micro-units at the END of an all-fp64 expression tree (one
+    round, no summation of rounded terms), so it is cross-engine
+    hash-stable.
+
+    This is the JVM-only fast path for SINGLE-TOKEN alias surfaces: one
+    tokenize+posexplode pass joined to the broadcast alias dimension.
+    Multi-token surfaces go through the Aho-Corasick pandas UDF above
+    (extract_entities_udf) — same output shape, higher per-row cost; a
+    production run unions both. Reference scores candidates inside its
+    LLM prompt (ref knowledge_graph_builder.py extract path) — here the
+    prior is explicit, deterministic, and engine-side.
+
+    Scale: alias table is dimension-sized (broadcast); the only shuffle is
+    the (doc, canonical) agg, keyed by doc — uniform. No all-pairs shape.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("__toks"),
+    )
+    pos = toks.select(
+        "__id", F.size("__toks").alias("__n"),
+        F.posexplode("__toks").alias("pos", "token"),
+    )
+    single = aliases.where(~F.col("surface").contains(" ")).select(
+        F.col("surface").alias("token"), "canonical"
+    )
+    hits = pos.join(F.broadcast(single), "token")
+    per = hits.groupBy("__id", "canonical").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.min("pos").alias("first_pos"),
+        F.first("__n").alias("__n"),
+    )
+    sal = F.round(
+        (F.col("n_mentions") / F.col("__n"))
+        * F.pow(F.lit(2.0), -(F.col("first_pos") / F.lit(16.0)))
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return per.select(
+        F.col("__id").alias(id_col),
+        "canonical",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        sal.alias("salience_micro"),
+    )

@@ -853,3 +853,104 @@ def random_walks(
             )
         )
     return out
+
+
+def _min_reach_labels(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """(node, lbl): lbl = min node id over {v} + everything that can REACH v
+    along edges(s -> t), by min-label propagation with path-halving pointer
+    jumping (labels are node ids, so label(label(v)) is a valid shortcut:
+    lbl(v)=u means u reaches v, lbl(u)=w means w reaches u, hence w reaches
+    v — min-monotone and sound, the same argument as canon.py's CC).
+    O(log diameter) rounds; raises on non-convergence."""
+    labels = materialize(
+        nodes.select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(max_iter):
+        pred_min = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.min("lbl").alias("pmin"))
+        )
+        prop = labels.join(pred_min, "node", "left").select(
+            "node",
+            F.least("lbl", F.coalesce("pmin", "lbl")).alias("lbl"),
+        )
+        hop = prop.select(F.col("node").alias("lbl"), F.col("lbl").alias("l2"))
+        new_labels = materialize(
+            prop.join(hop, "lbl", "left")
+            .join(labels.select("node", F.col("lbl").alias("__old")), "node")
+            .select(
+                "node",
+                F.least("lbl", F.coalesce("l2", "lbl")).alias("lbl"),
+                "__old",
+            )
+        )
+        changed = (
+            new_labels.where(F.col("lbl") != F.col("__old")).limit(1).count()
+        )
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iter} rounds"
+    )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_peel: int = 20,
+) -> DataFrame:
+    """(node, scc_id): strongly connected components of the DIRECTED graph,
+    by forward-backward min-label coloring (Fleischer/Hendrickson/Pinar's
+    FW-BW scheme, the standard Pregel/GraphX SCC) — never a transitive
+    closure, which is the O(n*m) trap at web scale:
+
+      fwd(v) = min id that can reach v; bwd(v) = min id v can reach.
+      fwd(v) == bwd(v) == m  =>  m and v reach each other => v in SCC(m);
+      and both labels are constant on an SCC (members share reach sets),
+      so every SCC whose pivot's label survives is assigned WHOLE. Peeling
+      assigned nodes out and repeating terminates: the SCC of the smallest
+      remaining id is always assigned (its id is both labels).
+
+    Each peel round is two O(log diameter) label propagations over the
+    still-active subgraph (shrinking every round); the active edge set is
+    re-materialized per peel so late rounds shuffle only the residue.
+    Reference has no graph algorithms at all (SURVEY.md section 2.6 —
+    its graph lives in NetworkX on the driver); this is engine-side.
+    """
+    e = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    )
+    nodes = materialize(
+        e.select(F.col("s").alias("node"))
+        .union(e.select("t"))
+        .distinct()
+    )
+    rev = e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    done: DataFrame | None = None
+    for _ in range(max_peel):
+        fwd = _min_reach_labels(e, nodes)
+        bwd = _min_reach_labels(rev, nodes).withColumnRenamed("lbl", "blbl")
+        both = fwd.join(bwd, "node")
+        assigned = materialize(
+            both.where(F.col("lbl") == F.col("blbl"))
+            .select("node", F.col("lbl").alias("scc_id"))
+        )
+        done = assigned if done is None else done.union(assigned)
+        nodes = materialize(
+            both.where(F.col("lbl") != F.col("blbl")).select("node")
+        )
+        if nodes.limit(1).count() == 0:
+            return done
+        alive = nodes.select(F.col("node").alias("s"))
+        e = materialize(
+            e.join(alive, "s")
+            .join(nodes.select(F.col("node").alias("t")), "t")
+            .select("s", "t")
+        )
+        rev = e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    raise RuntimeError(f"SCC peeling did not converge in {max_peel} rounds")

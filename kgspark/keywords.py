@@ -69,3 +69,57 @@ def doc_keywords(df: DataFrame, k: int = 3, text_col: str = "text",
             .alias("tfidf"),
         )
     )
+
+
+def textrank_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(token, rank): corpus-level TextRank (Mihalcea & Tarau 2004) — build
+    the window-2 word co-occurrence graph (adjacent tokens, both
+    directions, self-pairs dropped) and power-iterate PageRank over it.
+    Centrality-ranked salient terms complement the TF-IDF ranking above:
+    TF-IDF finds terms that discriminate documents, TextRank finds terms
+    that organize the corpus (high-connectivity hubs of usage).
+
+    The graph is VOCABULARY-sized, not corpus-sized: the edge build is one
+    tokenize pass + one distinct, after which iteration cost is independent
+    of document count — the same reduction that makes bpe.py's trainer
+    scale. Reuses graph_algs.pagerank (dangling-mass correction included).
+    """
+    from kgspark.graph_algs import pagerank
+
+    toks = materialize(
+        df.select(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != "").alias("__toks")
+        )
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard with when() (NULL
+    # arrays explode to zero rows), the word_shingles_from pattern.
+    k = F.size("__toks") - 1
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i).alias("a"),
+                        F.element_at("__toks", i + 1).alias("b"),
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    edges = (
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return pagerank(
+        edges, iterations=iterations, damping=damping, src="a", dst="b"
+    )

@@ -265,3 +265,97 @@ def funnel_counts(
         counts.append((k + 1, step, cur.count()))
         reached = cur
     return spark.createDataFrame(counts, "stage long, step string, n_users long")
+
+
+def scd2_compact(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction of an observation log:
+    collapse each key's consecutive runs of an identical state into one
+    validity interval (key, state, valid_from, valid_to, n_events,
+    is_current) — the standard warehouse shape for "what was the entity's
+    state as of T" without storing every observation.
+
+    Runs are found with the gaps-and-islands trick: two row_numbers (one
+    per key, one per key+state, both ordered by (ts, tiebreak) so ts ties
+    are deterministic) differ by a constant within a run; grouping on the
+    difference is one shuffle on the key. valid_to = next run's
+    valid_from (half-open intervals that tile the timeline), sentinel
+    9999-12-31 on the open run so downstream as-of filters and the
+    cross-engine hash contract (NULLs break ordering) need no NULL logic.
+
+    Scale: every window and the final agg partition by the key — no
+    global window, one shuffle total; a 10^9-user log fans out across
+    executors by key hash. Compaction typically shrinks the table by the
+    run-length factor, which is the point of materializing it.
+    """
+    w_all = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    w_st = Window.partitionBy(key_col, state_col).orderBy(ts_col, tiebreak_col)
+    runs = df.select(
+        key_col, state_col, ts_col, tiebreak_col,
+        (F.row_number().over(w_all) - F.row_number().over(w_st)).alias("__grp"),
+    ).groupBy(key_col, state_col, "__grp").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(tiebreak_col).alias("__first_id"),
+    )
+    w_next = Window.partitionBy(key_col).orderBy("valid_from", "__first_id")
+    return runs.select(
+        key_col,
+        F.col(state_col).alias("state"),
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w_next),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lead("valid_from").over(w_next).isNull().alias("is_current"),
+    )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+    ref_ts=None,
+) -> DataFrame:
+    """Exponentially time-decayed event mass per key: each event weighs
+    2^(-age/half_life) relative to `ref_ts` (default: the global max event
+    time, computed as a 1-row aggregate that rides along via crossJoin —
+    never a driver round-trip). The freshness prior behind trending-topic
+    ranking and decayed engagement scores.
+
+    Cross-engine determinism: each event's fp64 weight is quantized to
+    integer micro-units BEFORE summation (round(w * 1e6)), so the
+    aggregate is an exact integer sum — immune to fp64 summation-order
+    drift across engines/partitionings (the kgspark parity rule used by
+    bm25/dsir/bursts). Ages are exact integer epoch-seconds.
+
+    Scale: one map-side expression pass + one agg shuffle on the key.
+    """
+    if ref_ts is None:
+        ref = df.agg(F.max(ts_col).alias("__ref"))
+    else:
+        ref = df.sparkSession.range(1).select(
+            F.lit(ref_ts).cast("timestamp").alias("__ref")
+        )
+    age_s = F.unix_timestamp("__ref") - F.unix_timestamp(ts_col)
+    w_micro = F.round(
+        F.pow(F.lit(2.0), -(age_s / F.lit(86400.0)) / F.lit(half_life_days))
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .select(F.col(key_col), w_micro.alias("__w"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__w").alias("decayed_micro"),
+        )
+    )

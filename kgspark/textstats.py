@@ -416,3 +416,47 @@ def novelty_stats(
             F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
         )
     )
+
+
+def stopword_discovery(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_ratio: float = 0.5,
+) -> DataFrame:
+    """Corpus-driven stopword table: (token, doc_freq, term_freq,
+    is_stopword) where is_stopword marks tokens appearing in >= df_ratio of
+    documents. The data-derived replacement for the fixed per-language
+    stopword lists above — at web scale the corpus itself says which tokens
+    carry no signal (and does so per-domain/per-language slice if grouped
+    upstream).
+
+    Scale: one tokenize+explode pass, one agg shuffle keyed by token, and
+    the corpus doc count rides along as a broadcast 1-row aggregate. The
+    token-keyed agg is the same footprint as any vocabulary build
+    (kgspark.bpe.word_counts); skewed head tokens are exactly what partial
+    (map-side) aggregation absorbs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), ws_tokens(F.col(text_col)).alias("__t")
+    )
+    ex = toks.select("__id", F.explode("__t").alias("token"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    # doc frequency the scalable way: distinct (map-side combinable) then
+    # count — never a collect_list of doc ids per token, which OOMs on a
+    # 10^9-doc head token.
+    docfreq = ex.distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    tf = ex.groupBy("token").agg(F.count(F.lit(1)).alias("term_freq"))
+    return (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("term_freq").cast("long").alias("term_freq"),
+            (F.col("doc_freq") >= F.lit(df_ratio) * F.col("__n"))
+            .alias("is_stopword"),
+        )
+    )
