@@ -460,3 +460,41 @@ def stopword_discovery(
             .alias("is_stopword"),
         )
     )
+
+
+def script_mix(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-class census per document: (id, n_chars, n_latin, n_digit,
+    n_ws, n_other, latin_permille). The cheap script/encoding triage that
+    runs BEFORE language ID in a multilingual crawl — mojibake, binary
+    spill, and CJK/Cyrillic pages all surface as n_other spikes without
+    any per-language model. All counts are regex-strip lengths in the
+    Java∩RE2∩DuckDB subset ([ -~] printable-ASCII idiom, no \\p classes),
+    so the op is one map-side JVM expression and the oracle is literal.
+
+    latin_permille is exact integer arithmetic (1000*latin div chars) —
+    no fp64 in the contract columns.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_latin = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_ws = F.length(F.regexp_replace(t, r"[^ \t\n\r]", ""))
+    n_other = n_chars - n_latin - n_digit - n_ws
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_latin.cast("long").alias("n_latin"),
+        n_digit.cast("long").alias("n_digit"),
+        n_ws.cast("long").alias("n_ws"),
+        n_other.cast("long").alias("n_other"),
+        # floor((1000*latin)/chars): fp64 division of two small ints can't
+        # land within an ulp of an integer unless the quotient IS that
+        # integer (denominator <= ~1e6), so floor() == exact integer DIV
+        # on both engines
+        F.when(
+            n_chars > 0,
+            F.floor((F.lit(1000) * n_latin) / n_chars),
+        ).otherwise(F.lit(0)).cast("long").alias("latin_permille"),
+    )

@@ -57,3 +57,21 @@ def test_novelty_determinism_across_partitionings(spark):
     a = sorted(map(tuple, novelty_stats(docs.repartition(1)).collect()))
     b = sorted(map(tuple, novelty_stats(docs.repartition(13)).collect()))
     assert a == b
+
+
+def test_script_mix_census(spark):
+    from kgspark.textstats import script_mix
+
+    docs = _docs(spark, [
+        (1, "Ab1 \t x"),      # 3 latin, 1 digit, 3 ws, 0 other
+        (2, "!!##"),           # all other
+        (3, ""),               # empty -> permille 0 guard
+        (4, "abcd"),           # pure latin -> 1000 permille
+    ])
+    out = {r.doc_id: r for r in script_mix(docs).collect()}
+    assert (out[1].n_chars, out[1].n_latin, out[1].n_digit,
+            out[1].n_ws, out[1].n_other) == (7, 3, 1, 3, 0)
+    assert out[1].latin_permille == 3000 // 7
+    assert (out[2].n_other, out[2].latin_permille) == (4, 0)
+    assert out[3].n_chars == 0 and out[3].latin_permille == 0
+    assert out[4].latin_permille == 1000

@@ -386,3 +386,43 @@ def test_random_walks_validates_params(spark):
         random_walks(e, length=0)
     with _pytest.raises(ValueError):
         random_walks(e, num_walks=0)
+
+
+def test_adamic_adar_square_and_hub_discount(spark):
+    import math
+
+    from kgspark.graph_algs import adamic_adar
+
+    # square a-b-c-d-a: diagonals (a,c)/(b,d) share 2 neighbors, each of
+    # degree 2 -> aa = 2 * 1/ln(2); micro-units = 2 * round(1e6/ln 2)
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    e = spark.createDataFrame(sq, "subj string, obj string")
+    got = {(r["u"], r["v"]): (r["common"], r["aa_micro"])
+           for r in adamic_adar(e, min_common=2).collect()}
+    unit2 = round(1000000.0 / math.log(2))
+    assert got == {("a", "c"): (2, 2 * unit2), ("b", "d"): (2, 2 * unit2)}
+
+    # hub discount: add hub h adjacent to all of a..d. (a,c) now share
+    # b, d (degree 3 each: the square plus h) and h itself (degree 4);
+    # higher-degree shared neighbors contribute strictly less
+    hub = sq + [("h", x) for x in "abcd"]
+    e2 = spark.createDataFrame(hub, "subj string, obj string")
+    got2 = {(r["u"], r["v"]): (r["common"], r["aa_micro"])
+            for r in adamic_adar(e2, min_common=2).collect()}
+    unit3 = round(1000000.0 / math.log(3))
+    unit4 = round(1000000.0 / math.log(4))
+    assert got2[("a", "c")] == (3, 2 * unit3 + unit4)
+    assert unit4 < unit3 < unit2
+
+
+def test_adamic_adar_max_degree_prunes_hub_wedges(spark):
+    from kgspark.graph_algs import adamic_adar
+
+    hub = [("h", x) for x in "abcdef"] + [("a", "m"), ("b", "m")]
+    e = spark.createDataFrame(hub, "subj string, obj string")
+    full = {(r["u"], r["v"]) for r in adamic_adar(e, min_common=1).collect()}
+    assert ("c", "d") in full  # via the hub
+    pruned = {(r["u"], r["v"])
+              for r in adamic_adar(e, min_common=1, max_degree=3).collect()}
+    assert ("c", "d") not in pruned
+    assert ("a", "b") in pruned  # via m (degree 2)
