@@ -1791,6 +1791,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return hll_registers(stream, "token", p=10)
 
+    def sketch_bloom(spark, sf_dir):
+        # Bloom set-bit table (m=65536, k=3) over the src0/src1 token
+        # vocabulary (kgspark/sketch.py bloom_bits) — the membership
+        # pre-filter that replaces a big-side shuffle with a broadcast
+        from kgspark.sketch import bloom_bits
+        from kgspark.textstats import ws_tokens
+
+        docs = _read(spark, sf_dir, "documents")
+        build = docs.where(F.col("source").isin("src0", "src1")).select(
+            F.explode(ws_tokens(F.col("text"))).alias("token")
+        )
+        return bloom_bits(build, "token", m_bits=65536, k=3)
+
+    def sketch_bloom_probe(spark, sf_dir):
+        # probe the other sources' per-doc distinct tokens against the
+        # src0/src1 Bloom filter: n_new tokens are DEFINITELY unseen —
+        # the decontamination/novelty pre-filter, big side never shuffled
+        from kgspark.sketch import bloom_bits, bloom_member
+        from kgspark.textstats import ws_tokens
+
+        docs = _read(spark, sf_dir, "documents")
+        build = docs.where(F.col("source").isin("src0", "src1")).select(
+            F.explode(ws_tokens(F.col("text"))).alias("token")
+        )
+        bits = bloom_bits(build, "token", m_bits=65536, k=3)
+        probe = (
+            docs.where(~F.col("source").isin("src0", "src1"))
+            .select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+            .distinct()
+        )
+        ann = bloom_member(probe, bits, "token", m_bits=65536, k=3)
+        return (
+            ann.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tok"),
+                F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_maybe"),
+            )
+            .withColumn("n_new", (F.col("n_tok") - F.col("n_maybe")).cast("long"))
+        )
+
     def corpus_wsample(spark, sf_dir):
         # weight-proportional sample (Efraimidis-Spirakis priorities),
         # weight = n_chars (kgspark/trainprep.py weighted_sample)
@@ -2185,6 +2227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_textrank": kg_textrank,
         "kg_adamic_adar": kg_adamic_adar,
         "text_script_mix": text_script_mix,
+        "sketch_bloom": sketch_bloom,
+        "sketch_bloom_probe": sketch_bloom_probe,
     }
 
 
@@ -4184,6 +4228,54 @@ sh_r AS (
 )
 SELECT idx::BIGINT AS idx, max(rho)::BIGINT AS max_rho
 FROM sh_r GROUP BY idx
+""",
+        # kgspark.sketch.bloom_bits: k=3 disjoint 6-nibble md5 windows
+        # mod 65536; the set-bit table IS the filter
+        "sketch_bloom": f"""
+WITH bl_s AS (
+  SELECT md5(unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                    t -> t <> ''))) AS h
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+bl_p AS (
+  SELECT ({_hex6_sql("substr(h, r.j * 6 + 1, 6)")}) % 65536 AS bit
+  FROM bl_s, range(0, 3) r(j)
+)
+SELECT DISTINCT bit::BIGINT AS bit FROM bl_p
+""",
+        # kgspark.sketch.bloom_member over per-doc distinct tokens of the
+        # non-build sources: maybe = all 3 positions set
+        "sketch_bloom_probe": f"""
+WITH bp_build AS (
+  SELECT md5(unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                    t -> t <> ''))) AS h
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+bp_bits AS (
+  SELECT DISTINCT ({_hex6_sql("substr(h, r.j * 6 + 1, 6)")}) % 65536 AS bit
+  FROM bp_build, range(0, 3) r(j)
+),
+bp_probe AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                  t -> t <> '')) AS token
+    FROM documents WHERE source NOT IN ('src0', 'src1'))
+),
+bp_h AS (SELECT doc_id, md5(token) AS h FROM bp_probe),
+bp_f AS (
+  SELECT doc_id,
+         (({_hex6_sql("substr(h, 1, 6)")}) % 65536 IN (SELECT bit FROM bp_bits))
+     AND (({_hex6_sql("substr(h, 7, 6)")}) % 65536 IN (SELECT bit FROM bp_bits))
+     AND (({_hex6_sql("substr(h, 13, 6)")}) % 65536 IN (SELECT bit FROM bp_bits))
+         AS maybe
+  FROM bp_h
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tok,
+       sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+       (count(*) - sum(CASE WHEN maybe THEN 1 ELSE 0 END))::BIGINT AS n_new
+FROM bp_f GROUP BY doc_id
 """,
         # kgspark.search.rrf_fuse over (bm25 top-50, quality top-50):
         # per-list 1/(60+rank) quantized to integer nano-units before the

@@ -131,6 +131,20 @@ BENCH_QUERIES = [
     "corpus_wsample",
     "rel_retention",
     "rel_funnel",
+    "dedup_spans",
+    "kg_scc",
+    "rel_scd2",
+    "rel_decay",
+    "text_stopwords",
+    "web_c4_filters",
+    "kg_salience",
+    "kg_textrank",
+    "kg_modularity",
+    "kg_random_walks",
+    "kg_adamic_adar",
+    "text_script_mix",
+    "sketch_bloom",
+    "sketch_bloom_probe",
 ]
 
 

@@ -29,7 +29,14 @@ from pyspark.sql import functions as F
 
 from kgspark.kgtrain import _hex6_to_int
 
-__all__ = ["cms_table", "cms_lookup", "hll_registers", "hll_estimate"]
+__all__ = [
+    "bloom_bits",
+    "bloom_member",
+    "cms_table",
+    "cms_lookup",
+    "hll_registers",
+    "hll_estimate",
+]
 
 
 def _bucket(md5_col, row: int, width: int):
@@ -166,3 +173,87 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+def _bloom_pos(md5_col, j: int, m_bits: int):
+    """Bloom hash j: the j-th disjoint 6-nibble window of ONE md5, mod m —
+    the same disjoint-window trick as the CMS rows (md5 has 32 nibbles ->
+    k <= 5 windows), k independent functions for one hash call."""
+    return (
+        _hex6_to_int(F.substring(md5_col, 6 * j + 1, 6)) % F.lit(m_bits)
+    ).cast("long")
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str = "token",
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom filter of a value set as its table of SET bit positions —
+    one distinct over the exploded k positions per value, bounded by
+    m_bits rows no matter how many values stream in. Shards/days merge
+    by union+distinct (bitwise OR in table form).
+
+    Why this shape at 100 TB: membership pruning (decontamination
+    allowlists, 'seen before' URL filters, semi-join pre-filters) must
+    not shuffle the big side. The bits table is sketch-sized, so the
+    probe side (bloom_member) is a broadcast join — the big table never
+    moves. False-positive rate ~ (1 - e^{-kn/m})^k; pick m_bits ~ 10n
+    bits for ~1% at k=3. Exact integers end-to-end (md5 nibble windows,
+    the repo determinism convention) — the table is engine-portable and
+    DuckDB-oracle-checkable, unlike Spark's opaque bloom_filter_agg
+    binary state.
+    """
+    if not 1 <= k <= 5:
+        raise ValueError("bloom_bits: k must be in [1, 5]")
+    if not 2 <= m_bits <= (1 << 24):
+        raise ValueError("bloom_bits: m_bits must be in [2, 2^24]")
+    v = F.col(value_col)
+    h = F.md5(v)
+    pos = F.array(*[_bloom_pos(h, j, m_bits) for j in range(k)])
+    return (
+        df.where(v.isNotNull())
+        .select(F.explode(pos).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_member(
+    df: DataFrame,
+    bits: DataFrame,
+    value_col: str = "token",
+    m_bits: int = 4096,
+    k: int = 3,
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """Annotate each row with `maybe_member`: true iff ALL k Bloom
+    positions of value_col are set in `bits` (false => definitely not in
+    the built set; true => member or false positive, rate per
+    bloom_bits). NULL values probe false.
+
+    Plan shape: k broadcast LEFT joins of the (<= m_bits)-row bits table
+    against per-row positions — the probed table is never shuffled, so
+    this composes as a pre-filter in front of any exact semi-join
+    (probe, filter, then exact-verify only the survivors). m_bits and k
+    must match the bloom_bits call that built the table.
+    """
+    if not 1 <= k <= 5:
+        raise ValueError("bloom_member: k must be in [1, 5]")
+    h = F.md5(F.col(value_col))
+    out = df
+    hit_cols = []
+    for j in range(k):
+        bcol = f"__bloom_b{j}"
+        out = out.join(
+            F.broadcast(bits.select(F.col("bit").alias(bcol))),
+            on=_bloom_pos(h, j, m_bits) == F.col(bcol),
+            how="left",
+        )
+        hit_cols.append(F.col(bcol).isNotNull())
+    flag = hit_cols[0]
+    for c in hit_cols[1:]:
+        flag = flag & c
+    return out.withColumn(flag_col, flag).drop(
+        *[f"__bloom_b{j}" for j in range(k)]
+    )

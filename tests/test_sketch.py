@@ -95,3 +95,53 @@ def test_sketch_determinism_across_partitionings(spark):
     assert sorted(map(tuple, hll_registers(s1).collect())) == sorted(
         map(tuple, hll_registers(s17).collect())
     )
+
+
+def test_bloom_no_false_negatives_and_prune_power(spark):
+    from kgspark.sketch import bloom_bits, bloom_member
+
+    build = _stream(spark, [f"in{i}" for i in range(200)])
+    bits = bloom_bits(build, m_bits=65536, k=3)
+    # every built value MUST probe true (no false negatives, ever)
+    members = bloom_member(build.distinct(), bits, m_bits=65536, k=3)
+    assert members.where(~F.col("maybe_member")).count() == 0
+    # at m/n ~ 328 bits/value the filter rejects nearly all outsiders;
+    # any that survive are bounded false positives, never misses
+    probe = _stream(spark, [f"out{i}" for i in range(500)]).distinct()
+    fp = bloom_member(probe, bits, m_bits=65536, k=3)
+    assert fp.where(F.col("maybe_member")).count() <= 5
+    # bits table is bounded by m and by 3 * n_values
+    assert bits.count() <= 3 * 200
+
+
+def test_bloom_shard_merge_is_union_distinct(spark):
+    from kgspark.sketch import bloom_bits
+
+    a = _stream(spark, [f"a{i}" for i in range(50)])
+    b = _stream(spark, [f"b{i}" for i in range(50)])
+    merged = bloom_bits(a, m_bits=4096, k=2).union(
+        bloom_bits(b, m_bits=4096, k=2)
+    ).distinct()
+    whole = bloom_bits(a.union(b), m_bits=4096, k=2)
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in whole.collect()
+    )
+
+
+def test_bloom_param_validation_and_nulls(spark):
+    from kgspark.sketch import bloom_bits, bloom_member
+
+    s = _stream(spark, ["x"])
+    with pytest.raises(ValueError):
+        bloom_bits(s, k=6)
+    with pytest.raises(ValueError):
+        bloom_bits(s, m_bits=1)
+    with pytest.raises(ValueError):
+        bloom_member(s, bloom_bits(s), k=0)
+    # NULL values: dropped from the build, probe false
+    nulls = spark.createDataFrame([(None,), ("x",)], "token string")
+    bits = bloom_bits(nulls, m_bits=4096, k=3)
+    assert bits.count() <= 3
+    probed = bloom_member(nulls, bits, m_bits=4096, k=3).collect()
+    got = {r["token"]: r["maybe_member"] for r in probed}
+    assert got["x"] is True and got[None] is False
