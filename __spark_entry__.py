@@ -1855,6 +1855,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "events"), ["signup", "click", "purchase"]
         )
 
+    def rel_islands(spark, sf_dir):
+        # gaps-and-islands activity streaks per user (kgspark/relops.py
+        # activity_islands) — distinct days first, lag-flag window second
+        from kgspark.relops import activity_islands
+
+        return activity_islands(_read(spark, sf_dir, "events"))
+
+    def rel_rolling(spark, sf_dir):
+        # per-user daily totals + trailing 7-day rolling sums over a RANGE
+        # window on epoch seconds; values quantized to integer micro-units
+        # per row BEFORE any sum (kgspark/relops.py rolling_daily)
+        from kgspark.relops import rolling_daily
+
+        return rolling_daily(_read(spark, sf_dir, "events"))
+
     def corpus_overlap(spark, sf_dir):
         # cross-source contamination matrix: shared distinct trigrams per
         # source pair + each side's totals (containment = shared/total)
@@ -2229,6 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_mix": text_script_mix,
         "sketch_bloom": sketch_bloom,
         "sketch_bloom_probe": sketch_bloom_probe,
+        "rel_islands": rel_islands,
+        "rel_rolling": rel_rolling,
     }
 
 
@@ -4115,6 +4132,50 @@ SELECT 1::BIGINT AS stage, 'signup' AS step,
        (SELECT count(*) FROM f1)::BIGINT AS n_users
 UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
 UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)
+""",
+        # kgspark.relops.activity_islands: distinct (user, day), lag-flag
+        # when the day gap exceeds 1, running sum of flags = island id
+        "rel_islands": r"""
+WITH il_d AS (
+  SELECT DISTINCT user_id AS usr, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+il_f AS (
+  SELECT usr, day,
+         CASE WHEN date_diff('day',
+                             lag(day) OVER (PARTITION BY usr ORDER BY day),
+                             day) > 1
+              THEN 1 ELSE 0 END AS nw
+  FROM il_d
+),
+il_g AS (
+  SELECT usr, day,
+         1 + sum(nw) OVER (PARTITION BY usr ORDER BY day) AS island_no
+  FROM il_f
+)
+SELECT usr AS user, island_no::BIGINT AS island_no,
+       min(day) AS start_day, max(day) AS end_day,
+       count(*)::BIGINT AS n_days
+FROM il_g GROUP BY usr, island_no
+""",
+        # kgspark.relops.rolling_daily: per-row micro-unit quantization
+        # BEFORE the daily sum, trailing 7-day RANGE window over days
+        "rel_rolling": r"""
+WITH rd_q AS (
+  SELECT user_id AS usr, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         coalesce(CAST(round("value" * 1000000.0, 0) AS BIGINT), 0) AS vmic
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+rd_d AS (
+  SELECT usr, day, count(*)::BIGINT AS n_day, sum(vmic)::BIGINT AS vmic_day
+  FROM rd_q GROUP BY usr, day
+)
+SELECT usr AS user, day, n_day, vmic_day,
+       CAST(sum(n_day) OVER w AS BIGINT) AS n_roll,
+       CAST(sum(vmic_day) OVER w AS BIGINT) AS vmic_roll
+FROM rd_d
+WINDOW w AS (PARTITION BY usr ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
 """,
         # kgspark.relops.burst_windows: one-sided z-test multiplied out to
         # exact integer arithmetic (no stddev_samp — fp64 merge order is

@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "text_script_mix",
     "sketch_bloom",
     "sketch_bloom_probe",
+    "rel_islands",
+    "rel_rolling",
 ]
 
 

@@ -359,3 +359,105 @@ def decayed_counts(
             F.sum("__w").alias("decayed_micro"),
         )
     )
+
+
+def activity_islands(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_days: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of per-user active DAYS where
+    consecutive active days are at most `gap_days` apart. Returns one row
+    per island: (user, island_no, start_day, end_day, n_days) — island_no
+    is 1-based in day order, n_days counts DISTINCT active days inside
+    the island. Exact integers and truncated timestamps only.
+
+    Shape: distinct (user, day) first (map-side combined — raw event
+    volume collapses to at most users x days rows BEFORE any window),
+    then the standard lag-flag + running-count-of-flags trick inside a
+    user-partitioned window. Windows are per-user: no global order, no
+    skew beyond a single user's day count (bounded by the calendar).
+    """
+    if gap_days < 1:
+        raise ValueError("activity_islands: gap_days must be >= 1")
+    days = (
+        events.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("user"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user").orderBy("day")
+    flagged = days.select(
+        "user",
+        "day",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day", 1).over(w))
+            > F.lit(gap_days),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new"),
+    )
+    grouped = flagged.select(
+        "user",
+        "day",
+        (F.sum("__new").over(w) + F.lit(1)).cast("long").alias("island_no"),
+    )
+    return grouped.groupBy("user", "island_no").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
+def rolling_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-user daily activity with trailing `window_days`-day rolling
+    totals: (user, day, n_day, vmic_day, n_roll, vmic_roll). Values are
+    quantized per ROW to integer micro-units before any sum (the
+    repo-wide fp64 parity rule), so every aggregate — daily and rolling —
+    is an exact integer on any engine and any partitioning.
+
+    Shape: ONE groupBy collapses raw events to (user, day) rows (map-side
+    combined — this is what makes the op 100 TB-safe: the window below
+    runs over daily aggregates, at most users x days rows, never over raw
+    events), then a user-partitioned RANGE window over epoch seconds
+    computes the trailing totals without a self-join.
+    """
+    if window_days < 1:
+        raise ValueError("rolling_daily: window_days must be >= 1")
+    vmic = F.round(F.col(value_col) * 1000000.0, 0).cast("long")
+    daily = (
+        events.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("user"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.coalesce(vmic, F.lit(0)).alias("__vmic"),
+        )
+        .groupBy("user", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_day"),
+            F.sum("__vmic").cast("long").alias("vmic_day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-(window_days - 1) * 86400, 0)
+    )
+    return daily.select(
+        "user",
+        "day",
+        "n_day",
+        "vmic_day",
+        F.sum("n_day").over(w).cast("long").alias("n_roll"),
+        F.sum("vmic_day").over(w).cast("long").alias("vmic_roll"),
+    )

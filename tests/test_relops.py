@@ -72,3 +72,58 @@ def test_range_join_plan_is_equi(spark):
     )
     p = _plan(range_join(left, iv, ["user_id"]))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_activity_islands_splits_on_gap(spark):
+    from kgspark.relops import activity_islands
+
+    rows = [
+        # user 1: days 1-3 consecutive, then day 6-7 (gap 3 > 1 splits)
+        (1, _ts("2024-01-01 09:00:00")),
+        (1, _ts("2024-01-01 17:00:00")),  # same day, collapses
+        (1, _ts("2024-01-02 10:00:00")),
+        (1, _ts("2024-01-03 10:00:00")),
+        (1, _ts("2024-01-06 10:00:00")),
+        (1, _ts("2024-01-07 10:00:00")),
+        # user 2: single day
+        (2, _ts("2024-02-01 00:00:00")),
+        # null user/ts dropped
+        (None, _ts("2024-01-01 00:00:00")),
+        (3, None),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user"], r["island_no"]): (
+            r["start_day"].day, r["end_day"].day, r["n_days"])
+        for r in activity_islands(ev).collect()
+    }
+    assert got == {
+        (1, 1): (1, 3, 3),
+        (1, 2): (6, 7, 2),
+        (2, 1): (1, 1, 1),
+    }
+    # gap_days=3 merges user 1 into one island
+    merged = activity_islands(ev, gap_days=3).where(F.col("user") == 1)
+    assert [r["n_days"] for r in merged.collect()] == [5]
+
+
+def test_rolling_daily_trailing_window(spark):
+    from kgspark.relops import rolling_daily
+
+    rows = [
+        (1, _ts("2024-01-01 09:00:00"), 1.5),
+        (1, _ts("2024-01-01 10:00:00"), 2.5),   # day 1: n=2, vmic=4e6
+        (1, _ts("2024-01-05 10:00:00"), 1.0),   # day 5: within 7d of day 1
+        (1, _ts("2024-01-20 10:00:00"), None),  # null value -> 0 micro
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["day"].day: r for r in rolling_daily(ev).collect()}
+    assert (got[1]["n_day"], got[1]["vmic_day"]) == (2, 4_000_000)
+    assert (got[1]["n_roll"], got[1]["vmic_roll"]) == (2, 4_000_000)
+    # day 5 trailing window [day -1 .. day 5] includes day 1
+    assert (got[5]["n_roll"], got[5]["vmic_roll"]) == (3, 5_000_000)
+    # day 20 is beyond any window; null value contributes 0
+    assert (got[20]["n_roll"], got[20]["vmic_roll"]) == (1, 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rolling_daily(ev, window_days=0)
