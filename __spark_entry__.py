@@ -1855,6 +1855,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "events"), ["signup", "click", "purchase"]
         )
 
+    def web_frontier(spark, sf_dir):
+        # politeness-partitioned crawl-frontier schedule (kgspark/web.py
+        # frontier_schedule): host-hash fetcher buckets + per-host waves
+        from kgspark.web import frontier_schedule
+
+        docs = _read(spark, sf_dir, "documents")
+        urls = docs.select(
+            "doc_id", "n_chars",
+            F.concat(F.lit("www.site"), (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.concat(F.lit("https://www.site"),
+                     (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".example.com/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+        )
+        out = frontier_schedule(urls, priority_col="n_chars",
+                                n_buckets=16, max_waves=8)
+        return out.select("url", "host", "bucket", "wave")
+
+    def text_collocations(spark, sf_dir):
+        # Dunning-LLR adjacent-bigram collocations (kgspark/cooc.py
+        # llr_collocations): integer contingency counts, one fixed fp64
+        # expression tree, quantized once at the end
+        from kgspark.cooc import llr_collocations
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        return llr_collocations(docs, min_count=3)
+
     def rel_islands(spark, sf_dir):
         # gaps-and-islands activity streaks per user (kgspark/relops.py
         # activity_islands) — distinct days first, lag-flag window second
@@ -2246,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_probe": sketch_bloom_probe,
         "rel_islands": rel_islands,
         "rel_rolling": rel_rolling,
+        "text_collocations": text_collocations,
+        "web_frontier": web_frontier,
     }
 
 
@@ -3634,6 +3664,41 @@ JOIN co_df da ON da.w = p.w1
 JOIN co_df db ON db.w = p.w2
 CROSS JOIN co_n
 """,
+        # kgspark.cooc.llr_collocations: Dunning G^2 over the bigram event
+        # space; xlx terms mirror the Spark expression tree left-to-right
+        # (integer inputs, ln bit-stable, one quantization at the end)
+        "text_collocations": (lambda xlx: r"""
+WITH lc_t AS (
+  SELECT list_filter(string_split_regex(lower("text"), '\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+lc_b AS (
+  SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+  FROM lc_t WHERE len(ts) >= 2
+),
+lc_n AS (SELECT count(*)::BIGINT AS n FROM lc_b),
+lc_k AS (
+  SELECT w1, w2, count(*)::BIGINT AS k11 FROM lc_b
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+lc_c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM lc_b GROUP BY 1),
+lc_c2 AS (SELECT w2, count(*)::BIGINT AS c2 FROM lc_b GROUP BY 1)
+SELECT k.w1, k.w2, k.k11 AS n_pair,
+       CAST(round(2.0::DOUBLE * (""" + xlx("k11") + " + "
+            + xlx("(c1 - k11)") + " + " + xlx("(c2 - k11)") + " + "
+            + xlx("(n - c1 - c2 + k11)") + " + " + xlx("n") + " - "
+            + xlx("(k11 + (c1 - k11))") + " - "
+            + xlx("(k11 + (c2 - k11))") + " - "
+            + xlx("((c1 - k11) + (n - c1 - c2 + k11))") + " - "
+            + xlx("((c2 - k11) + (n - c1 - c2 + k11))") + r"""
+       ) * 1000000.0::DOUBLE, 0) AS BIGINT) AS llr_micro
+FROM lc_k k
+JOIN lc_c1 ON lc_c1.w1 = k.w1
+JOIN lc_c2 ON lc_c2.w2 = k.w2
+CROSS JOIN lc_n
+""")(lambda x: f"(CASE WHEN {x} > 0 THEN ({x})::DOUBLE * ln(({x})::DOUBLE)"
+               " ELSE 0.0::DOUBLE END)"),
         # kgspark.graph_algs.label_propagation: 2 synchronous rounds
         # unrolled; min-label tie-break makes each round deterministic
         "kg_lpa": f"""
@@ -4628,6 +4693,26 @@ dr AS (
   FROM dh
 )
 SELECT doc_id, host, host_rank FROM dr WHERE host_rank <= 5
+""",
+        # kgspark.web.frontier_schedule: bucket = hex6(md5(host)) % 16,
+        # wave = row_number per host (priority desc, url asc), capped at 8
+        "web_frontier": f"""
+WITH fr_u AS (
+  SELECT 'https://www.site' || (doc_id % 50) || '.example.com/p/' || doc_id
+           AS url,
+         'www.site' || (doc_id % 50) || '.example.com' AS host,
+         n_chars
+  FROM documents
+),
+fr_w AS (
+  SELECT url, host,
+         ({_hex6_sql('md5(host)')}) % 16 AS bucket,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, url ASC) AS wave
+  FROM fr_u
+)
+SELECT url, host, bucket::BIGINT AS bucket, wave::BIGINT AS wave
+FROM fr_w WHERE wave <= 8
 """,
         # kgspark.dedup.line_dedup: lines in >= 10 distinct docs are
         # boilerplate and removed everywhere; reassembly preserves line order

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "sketch_bloom_probe",
     "rel_islands",
     "rel_rolling",
+    "text_collocations",
+    "web_frontier",
 ]
 
 

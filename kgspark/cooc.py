@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
-__all__ = ["pmi_edges"]
+__all__ = ["llr_collocations", "pmi_edges"]
 
 
 def pmi_edges(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -87,4 +87,72 @@ def pmi_edges(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return pairs.crossJoin(F.broadcast(n_df)).select(
         "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
         pmi.alias("pmi"),
+    )
+
+
+def _xlx(c):
+    """x*ln(x) with xlx(0) = 0 — the entropy term of Dunning's G^2."""
+    d = c.cast("double")
+    return F.when(c > 0, d * F.log(d)).otherwise(F.lit(0.0))
+
+
+def llr_collocations(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_count: int = 3) -> DataFrame:
+    """Adjacent-bigram collocations scored by Dunning's log-likelihood
+    ratio (Dunning 1993) — the standard collocation test that, unlike
+    PMI, does not blow up on rare pairs. Returns (w1, w2, n_pair,
+    llr_micro) for bigrams seen >= min_count times; llr_micro is the
+    G^2 statistic in integer micro-units.
+
+    Contingency table over the BIGRAM event space (N = total bigrams):
+    k11 = count(w1 w2), c1 = count(w1 *), c2 = count(* w2),
+    k12 = c1-k11, k21 = c2-k11, k22 = N-c1-c2+k11, and
+    G^2 = 2*(sum xlx(k) + xlx(N) - xlx(row/col sums)), xlx(x)=x ln x.
+
+    Determinism: every input to the fp64 expression is an exact integer
+    (counts), ln(integer) is bit-stable across engines (verified), and
+    the term order is fixed left-to-right — the DuckDB oracle mirrors
+    the exact expression tree, then both sides quantize once at the end.
+
+    Shape for 100 TB: one materialized tokenize pass, one bigram explode,
+    three groupBys (pair / first-position / second-position marginals),
+    two keyed joins of pair rows to vocabulary-sized marginal tables,
+    N rides as a broadcast 1-row aggregate. min_count prunes the pair
+    table BEFORE the marginal joins.
+    """
+    from kgspark.lm import bigram_pairs
+
+    if min_count < 1:
+        raise ValueError("llr_collocations: min_count must be >= 1")
+    pairs = materialize(
+        bigram_pairs(df, text_col=text_col, id_col=id_col)
+        .select("w1", "w2")
+    )
+    n_df = pairs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    k11 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k11"))
+        .where(F.col("k11") >= min_count)
+    )
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    t = (
+        k11.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_df))
+    )
+    k11c, c1c, c2c, nn = F.col("k11"), F.col("c1"), F.col("c2"), F.col("__n")
+    k12 = c1c - k11c
+    k21 = c2c - k11c
+    k22 = nn - c1c - c2c + k11c
+    llr = F.lit(2.0) * (
+        _xlx(k11c) + _xlx(k12) + _xlx(k21) + _xlx(k22) + _xlx(nn)
+        - _xlx(k11c + k12) - _xlx(k11c + k21)
+        - _xlx(k12 + k22) - _xlx(k21 + k22)
+    )
+    return t.select(
+        "w1", "w2",
+        k11c.cast("long").alias("n_pair"),
+        F.round(llr * 1000000.0, 0).cast("long").alias("llr_micro"),
     )

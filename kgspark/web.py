@@ -320,3 +320,46 @@ def domain_quality(df: DataFrame, score_col: str,
         (F.sum(score_col).cast("double")
          / F.count(F.lit(1)).cast("double")).alias("mean_score"),
     )
+
+
+def frontier_schedule(df: DataFrame, url_col: str = "url",
+                      host_col: str = "host",
+                      priority_col: str | None = None,
+                      n_buckets: int = 64,
+                      max_waves: int | None = None) -> DataFrame:
+    """Politeness-partitioned crawl-frontier schedule: adds
+    (bucket, wave) to each frontier URL.
+
+      bucket = md5-hex6(host) % n_buckets — ALL of a host's URLs land on
+      one fetcher partition, so per-host rate limiting is purely local
+      state: no cross-executor coordination, no token service. Hash
+      placement keeps the 1000-fetcher layout stable as the frontier
+      grows (adding URLs never moves a host).
+      wave = row_number within host, priority desc then url asc — one
+      fetch per host per wave IS the politeness delay, expressed as data.
+
+    `max_waves`, when set, caps the per-host queue (the domain_cap quota,
+    fused here so the window runs once); rank <= k compiles to
+    WindowGroupLimit and pre-prunes map-side. The window partitions by
+    host: per-host frontiers are crawl-bounded (far below executor
+    memory), and hot mega-hosts are exactly what the wave cap truncates.
+    """
+    from kgspark.kgtrain import _hex6_to_int
+
+    if n_buckets < 1:
+        raise ValueError("frontier_schedule: n_buckets must be >= 1")
+    if max_waves is not None and max_waves < 1:
+        raise ValueError("frontier_schedule: max_waves must be >= 1")
+    order = (
+        [F.desc(priority_col)] if priority_col is not None else []
+    ) + [F.asc(url_col)]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = df.select(
+        "*",
+        (_hex6_to_int(F.md5(F.col(host_col))) % F.lit(n_buckets))
+        .cast("long").alias("bucket"),
+        F.row_number().over(w).cast("long").alias("wave"),
+    )
+    if max_waves is not None:
+        out = out.where(F.col("wave") <= max_waves)
+    return out

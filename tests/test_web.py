@@ -307,3 +307,36 @@ def test_domain_quality_integer_exact(spark):
     got = {r["host"]: (r["n_docs"], r["total_score"], r["mean_score"])
            for r in domain_quality(df, "n_tok").collect()}
     assert got == {"a.com": (2, 30, 15.0), "b.com": (1, 7, 7.0)}
+
+
+def test_frontier_schedule_buckets_and_waves(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kgspark.web import frontier_schedule
+
+    rows = [
+        ("https://a.com/1", "a.com", 10),
+        ("https://a.com/2", "a.com", 30),
+        ("https://a.com/3", "a.com", 30),  # priority tie -> url asc
+        ("https://b.com/1", "b.com", 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, prio long")
+    out = frontier_schedule(df, priority_col="prio", n_buckets=8).collect()
+    by_url = {r["url"]: r for r in out}
+    # waves: priority desc, tie by url asc
+    assert by_url["https://a.com/2"]["wave"] == 1
+    assert by_url["https://a.com/3"]["wave"] == 2
+    assert by_url["https://a.com/1"]["wave"] == 3
+    assert by_url["https://b.com/1"]["wave"] == 1
+    # a host's rows all share one bucket; buckets stay in range
+    a_buckets = {r["bucket"] for r in out if r["host"] == "a.com"}
+    assert len(a_buckets) == 1 and all(0 <= r["bucket"] < 8 for r in out)
+    # max_waves caps the per-host queue
+    capped = frontier_schedule(df, priority_col="prio", n_buckets=8,
+                               max_waves=2)
+    assert capped.where(F.col("host") == "a.com").count() == 2
+    with _pytest.raises(ValueError):
+        frontier_schedule(df, n_buckets=0)
+    with _pytest.raises(ValueError):
+        frontier_schedule(df, max_waves=0)
