@@ -1018,3 +1018,49 @@ def adamic_adar(
             F.col("aa_micro").cast("long").alias("aa_micro"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Local clustering coefficient per node: (node, deg, n_tri,
+    coef_micro) with coef_micro = (2e6 * triangles) DIV (deg*(deg-1)) —
+    exact integer division on both engines (SQL `div` / DuckDB `//`),
+    no fp64 in the contract. deg < 2 nodes emit 0 (no wedge to close).
+
+    Reuses triangle_count's degree-ordered orientation (the O(sqrt m)
+    oriented-degree bound is what keeps the wedge join subquadratic on
+    hubs); degrees come from one extra distinct-edge aggregation.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = materialize(und)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_count(und.select(F.col("a").alias(src),
+                                    F.col("b").alias(dst)), src, dst)
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("n_tri"),
+        (F.lit(2000000) * F.coalesce(F.col("triangles"), F.lit(0)))
+        .cast("long").alias("__num"),
+        (F.col("deg") * (F.col("deg") - F.lit(1))).cast("long").alias("__den"),
+    )
+    return joined.select(
+        "node", "deg", "n_tri",
+        F.when(F.col("deg") >= 2, F.expr("__num div __den"))
+        .otherwise(F.lit(0)).cast("long").alias("coef_micro"),
+    )

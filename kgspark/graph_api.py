@@ -173,3 +173,42 @@ def validate_relationship(
         "type_matches": row[0]["pred"] == pred,
         "confidence": float(row[0]["confidence"]),
     }
+
+
+def relation_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate cardinality profile: (pred, n_edges, n_subj, n_obj,
+    max_out, max_in, functional, inverse_functional) — the KG schema
+    quality census (OWL-style functionality detection from data). A
+    predicate with max_out == 1 behaves as a function subj -> obj
+    (safe to key a dimension table on); max_in == 1 marks an
+    inverse-functional (identifier-like) predicate. Exact integers only.
+
+    Shape: two two-level aggregations ((pred, subj) then pred; same for
+    obj) plus one flat count — all partial-aggregated groupBys on keys
+    the data is already skew-diluted on (pred alone is low-cardinality,
+    but the first level groups on (pred, node), which spreads hot
+    predicates across the cluster before the tiny per-pred rollup)."""
+    out_deg = (
+        triples.groupBy("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subj"),
+            F.max("__o").cast("long").alias("max_out"),
+            F.sum("__o").cast("long").alias("n_edges"),
+        )
+    )
+    in_deg = (
+        triples.groupBy("pred", "obj")
+        .agg(F.count(F.lit(1)).alias("__i"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obj"),
+            F.max("__i").cast("long").alias("max_in"),
+        )
+    )
+    return out_deg.join(in_deg, "pred").select(
+        "pred", "n_edges", "n_subj", "n_obj", "max_out", "max_in",
+        (F.col("max_out") == 1).alias("functional"),
+        (F.col("max_in") == 1).alias("inverse_functional"),
+    )

@@ -426,3 +426,39 @@ def test_adamic_adar_max_degree_prunes_hub_wedges(spark):
               for r in adamic_adar(e, min_common=1, max_degree=3).collect()}
     assert ("c", "d") not in pruned
     assert ("a", "b") in pruned  # via m (degree 2)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from kgspark.graph_algs import clustering_coefficient
+
+    # K4 on {a,b,c,d} plus pendant path d-e-f: a/b/c close every wedge
+    # (coef 1.0), d has 3 of 6 wedges closed (0.5), e has an open wedge
+    # (0.0), f has no wedge (deg<2 -> 0 by convention)
+    k4 = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d"),
+          ("c", "d"), ("d", "e"), ("e", "f"), ("b", "a")]
+    e = spark.createDataFrame(k4, "subj string, obj string")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["coef_micro"])
+           for r in clustering_coefficient(e).collect()}
+    assert got == {
+        "a": (3, 3, 1000000), "b": (3, 3, 1000000), "c": (3, 3, 1000000),
+        "d": (4, 3, 500000), "e": (2, 0, 0), "f": (1, 0, 0),
+    }
+
+
+def test_relation_profile_functionality_census(spark):
+    from kgspark.graph_api import relation_profile
+
+    t = spark.createDataFrame(
+        [("a", "type", "T"), ("b", "type", "T"),
+         ("a", "id", "x1"), ("b", "id", "x2"),
+         ("a", "likes", "b"), ("a", "likes", "c")],
+        "subj string, pred string, obj string",
+    )
+    got = {r["pred"]: r.asDict() for r in relation_profile(t).collect()}
+    assert got["type"] == {"pred": "type", "n_edges": 2, "n_subj": 2,
+                           "n_obj": 1, "max_out": 1, "max_in": 2,
+                           "functional": True, "inverse_functional": False}
+    assert got["id"]["functional"] and got["id"]["inverse_functional"]
+    assert got["likes"] == {"pred": "likes", "n_edges": 2, "n_subj": 1,
+                            "n_obj": 2, "max_out": 2, "max_in": 1,
+                            "functional": False, "inverse_functional": True}

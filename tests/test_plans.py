@@ -266,3 +266,47 @@ def test_lpa_and_kcore_no_cartesian(spark):
               k_core(edges, k=2, rounds=2)):
         p = plan(q)
         assert "CartesianProduct" not in p
+
+
+def test_bloom_probe_broadcast_only(spark):
+    # the whole point of the Bloom pre-filter: the probed (big) side must
+    # never shuffle — k broadcast joins, zero SortMergeJoin/Exchange-on-probe
+    from kgspark.sketch import bloom_bits, bloom_member
+
+    vals = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100)], "token string"
+    )
+    bits = bloom_bits(vals, m_bits=4096, k=3)
+    p = plan(bloom_member(vals, bits, m_bits=4096, k=3))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_frontier_wave_cap_prunes_map_side(spark):
+    # rank <= k over the host window must compile to WindowGroupLimit so
+    # mega-host frontiers are truncated before the shuffle
+    from kgspark.web import frontier_schedule
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"h{i % 3}", i) for i in range(30)],
+        "url string, host string, prio long",
+    )
+    p = plan(frontier_schedule(df, priority_col="prio", max_waves=2))
+    assert "WindowGroupLimit" in p
+
+
+def test_rolling_daily_single_shuffle_into_window(spark):
+    # daily collapse and the rolling window share the user key: the plan
+    # must show partial aggregation and no second user-keyed exchange
+    # beyond the one feeding the window sort
+    from datetime import datetime
+
+    from kgspark.relops import rolling_daily
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1 + i % 5), float(i)) for i in range(20)],
+        "user_id long, ts timestamp, value double",
+    )
+    p = plan(rolling_daily(ev))
+    assert "partial" in p.lower() or "HashAggregate" in p
+    assert "CartesianProduct" not in p
