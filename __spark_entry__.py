@@ -2156,6 +2156,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("inverse_functional").cast("long").alias("inverse_functional"),
         )
 
+    def rel_intervals(spark, sf_dir):
+        # temporal-KG validity-window compaction (kgspark/relops.py
+        # interval_coalesce): per-customer order intervals with a
+        # deterministic o_orderkey-derived duration; one key-partitioned
+        # window, no self-join
+        from kgspark.relops import interval_coalesce
+
+        o = _read(spark, sf_dir, "orders")
+        iv = o.select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.expr(
+                "o_orderdate + make_interval(0, 0, 0,"
+                " cast(o_orderkey % 30 as int) + 1)"
+            ).alias("valid_to"),
+        )
+        return interval_coalesce(iv, key_cols=("cust",))
+
+    def kg_wl_classes(spark, sf_dir):
+        # Weisfeiler-Leman structural roles over the extracted triple
+        # graph (kgspark/graph_algs.py wl_refine), 2 refinement rounds;
+        # md5 colors hash identically cross-engine
+        from kgspark.graph_algs import wl_refine
+
+        return wl_refine(_extract_triples(spark, sf_dir), rounds=2)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2307,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_frontier": web_frontier,
         "kg_clustering_coef": kg_clustering_coef,
         "kg_relation_profile": kg_relation_profile,
+        "rel_intervals": rel_intervals,
+        "kg_wl_classes": kg_wl_classes,
     }
 
 
@@ -5137,5 +5165,77 @@ SELECT rp_o.pred, n_edges, n_subj, n_obj, max_out, max_in,
        (max_out = 1)::BIGINT AS functional,
        (max_in = 1)::BIGINT AS inverse_functional
 FROM rp_o JOIN rp_i ON rp_o.pred = rp_i.pred
+""",
+        # kgspark.relops.interval_coalesce: running-max-of-prior-ends
+        # island flag, overlapping-or-touching windows merge
+        "rel_intervals": """
+WITH ic_iv AS (
+  SELECT o_custkey AS cust, o_orderdate AS valid_from,
+         o_orderdate + ((o_orderkey % 30 + 1)::INT * INTERVAL 1 DAY)
+           AS valid_to
+  FROM orders
+),
+ic_fl AS (
+  SELECT cust, valid_from, valid_to,
+         CASE WHEN valid_from > max(valid_to) OVER (
+                PARTITION BY cust ORDER BY valid_from, valid_to
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nw
+  FROM ic_iv
+),
+ic_gr AS (
+  SELECT cust, valid_from, valid_to,
+         sum(nw) OVER (PARTITION BY cust
+                       ORDER BY valid_from, valid_to) AS isl
+  FROM ic_fl
+)
+SELECT cust, min(valid_from) AS valid_from, max(valid_to) AS valid_to,
+       count(*)::BIGINT AS n_merged
+FROM ic_gr GROUP BY cust, isl
+""",
+        # kgspark.graph_algs.wl_refine: 2 unrolled WL rounds; per-round
+        # signature = md5 over the sorted count-annotated (dir,pred,color)
+        # message list, new color = md5(old || '|' || sig)
+        "kg_wl_classes": f"""
+WITH {_PARTS_ORACLE_CTE},
+wl_nodes AS (SELECT subj AS node FROM triples UNION SELECT obj FROM triples),
+wl_c0 AS (SELECT node, md5('wl0') AS color FROM wl_nodes),
+wl_m1 AS (
+  SELECT t.subj AS node, '>' || t.pred || ':' || c.color AS m
+  FROM triples t JOIN wl_c0 c ON c.node = t.obj
+  UNION ALL
+  SELECT t.obj, '<' || t.pred || ':' || c.color
+  FROM triples t JOIN wl_c0 c ON c.node = t.subj
+),
+wl_k1 AS (SELECT node, m, count(*) AS k FROM wl_m1 GROUP BY node, m),
+wl_s1 AS (
+  SELECT node, md5(string_agg(m || '*' || k::VARCHAR, '|'
+                              ORDER BY m || '*' || k::VARCHAR)) AS sig
+  FROM wl_k1 GROUP BY node
+),
+wl_c1 AS (
+  SELECT c.node, md5(c.color || '|' || coalesce(s.sig, '')) AS color
+  FROM wl_c0 c LEFT JOIN wl_s1 s ON s.node = c.node
+),
+wl_m2 AS (
+  SELECT t.subj AS node, '>' || t.pred || ':' || c.color AS m
+  FROM triples t JOIN wl_c1 c ON c.node = t.obj
+  UNION ALL
+  SELECT t.obj, '<' || t.pred || ':' || c.color
+  FROM triples t JOIN wl_c1 c ON c.node = t.subj
+),
+wl_k2 AS (SELECT node, m, count(*) AS k FROM wl_m2 GROUP BY node, m),
+wl_s2 AS (
+  SELECT node, md5(string_agg(m || '*' || k::VARCHAR, '|'
+                              ORDER BY m || '*' || k::VARCHAR)) AS sig
+  FROM wl_k2 GROUP BY node
+),
+wl_c2 AS (
+  SELECT c.node, md5(c.color || '|' || coalesce(s.sig, '')) AS color
+  FROM wl_c1 c LEFT JOIN wl_s2 s ON s.node = c.node
+)
+SELECT node, color AS wl_color,
+       count(*) OVER (PARTITION BY color)::BIGINT AS class_size
+FROM wl_c2
 """,
     }

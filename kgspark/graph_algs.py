@@ -1064,3 +1064,84 @@ def clustering_coefficient(
         F.when(F.col("deg") >= 2, F.expr("__num div __den"))
         .otherwise(F.lit(0)).cast("long").alias("coef_micro"),
     )
+
+
+def wl_refine(
+    edges: DataFrame,
+    src: str = "subj",
+    pred_col: str = "pred",
+    dst: str = "obj",
+    rounds: int = 2,
+) -> DataFrame:
+    """Weisfeiler-Leman color refinement over the typed (directed) triple
+    graph: nodes that play the same structural role — same multiset of
+    (direction, predicate, neighbor-class) at every refinement depth —
+    converge to the same color. The distributed schema-discovery
+    counterpart of the reference's per-batch type census
+    (/root/reference/knowledge_graph_builder.py:219-246). Returns
+    (node, wl_color, class_size) after `rounds` refinements.
+
+    Per round: one message union (two projections of the edge table), a
+    two-level aggregation — (node, message) counts first, so a hub's
+    signature size is bounded by distinct (pred, neighbor-color) pairs,
+    NOT by its degree — then md5 over the sorted count-annotated message
+    list. Each round is two shuffles; colors are materialized per round so
+    the plan stays linear in `rounds`.
+    """
+    if rounds < 1:
+        raise ValueError("wl_refine: rounds must be >= 1")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    colors = materialize(nodes.select("node", F.md5(F.lit("wl0")).alias("color")))
+    e = materialize(
+        edges.select(
+            F.col(src).alias("__s"),
+            F.col(pred_col).alias("__p"),
+            F.col(dst).alias("__d"),
+        )
+    )
+    for _ in range(rounds):
+        sc = colors.select(F.col("node").alias("__s"), F.col("color").alias("__sc"))
+        dc = colors.select(F.col("node").alias("__d"), F.col("color").alias("__dc"))
+        ed = e.join(sc, "__s").join(dc, "__d")
+        msgs = ed.select(
+            F.col("__s").alias("node"),
+            F.concat(F.lit(">"), F.col("__p"), F.lit(":"), F.col("__dc")).alias("m"),
+        ).union(
+            ed.select(
+                F.col("__d"),
+                F.concat(F.lit("<"), F.col("__p"), F.lit(":"), F.col("__sc")),
+            )
+        )
+        cnt = msgs.groupBy("node", "m").agg(F.count(F.lit(1)).alias("k"))
+        sig = cnt.groupBy("node").agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat(F.col("m"), F.lit("*"), F.col("k").cast("string"))
+                        )
+                    ),
+                )
+            ).alias("sig")
+        )
+        colors = materialize(
+            colors.join(sig, "node", "left").select(
+                "node",
+                F.md5(
+                    F.concat(F.col("color"), F.lit("|"), F.coalesce("sig", F.lit("")))
+                ).alias("color"),
+            )
+        )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("color")
+    return colors.select(
+        "node",
+        F.col("color").alias("wl_color"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("class_size"),
+    )

@@ -461,3 +461,46 @@ def rolling_daily(
         F.sum("n_day").over(w).cast("long").alias("n_roll"),
         F.sum("vmic_day").over(w).cast("long").alias("vmic_roll"),
     )
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key_cols=("subj", "pred", "obj"),
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Merge overlapping-or-touching validity intervals per key — the
+    temporal-KG compaction that turns N observations of the same fact into
+    its maximal validity windows (ref keeps one LWW row per node,
+    knowledge_graph_builder.py:170-194; validity intervals are the
+    beyond-reference temporal generalization). Returns one row per merged
+    window: (*key_cols, valid_from, valid_to, n_merged).
+
+    Shape: ONE shuffle on the key into a window sort — the classic
+    running-max-of-prior-ends island flag; no self-join, no theta-join.
+    Per-key window only, so 100 TB cost is a single key-partitioned sort;
+    skew is bounded by the hottest key's observation count.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prior_end = (
+        F.max(end_col)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = df.select(
+        *keys,
+        F.col(start_col),
+        F.col(end_col),
+        F.when(F.col(start_col) > prior_end, 1).otherwise(0).alias("__new"),
+    )
+    grouped = flagged.select(
+        *keys,
+        start_col,
+        end_col,
+        F.sum("__new").over(w).alias("__island"),
+    )
+    return grouped.groupBy(*keys, "__island").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    ).drop("__island")

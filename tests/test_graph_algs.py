@@ -462,3 +462,27 @@ def test_relation_profile_functionality_census(spark):
     assert got["likes"] == {"pred": "likes", "n_edges": 2, "n_subj": 1,
                             "n_obj": 2, "max_out": 2, "max_in": 1,
                             "functional": False, "inverse_functional": True}
+
+
+def test_wl_refine_structural_classes(spark):
+    from kgspark.graph_algs import wl_refine
+
+    # directed 4-cycle: every node has one in + one out of the same pred ->
+    # a single structural class at every depth
+    cyc = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("d", "p", "a")]
+    e = spark.createDataFrame(cyc, "subj string, pred string, obj string")
+    out = wl_refine(e, rounds=2).collect()
+    assert {r["class_size"] for r in out} == {4}
+    assert len({r["wl_color"] for r in out}) == 1
+
+    # directed path a->b->c: source / middle / sink are three roles
+    path = [("a", "p", "b"), ("b", "p", "c")]
+    e2 = spark.createDataFrame(path, "subj string, pred string, obj string")
+    got = {r["node"]: r["wl_color"] for r in wl_refine(e2, rounds=2).collect()}
+    assert len(set(got.values())) == 3
+
+    # predicate types matter: star with two edge types splits the leaves
+    star = [("h", "p", "x"), ("h", "p", "y"), ("h", "q", "z")]
+    e3 = spark.createDataFrame(star, "subj string, pred string, obj string")
+    got3 = {r["node"]: r["wl_color"] for r in wl_refine(e3, rounds=1).collect()}
+    assert got3["x"] == got3["y"] != got3["z"]

@@ -127,3 +127,42 @@ def test_rolling_daily_trailing_window(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rolling_daily(ev, window_days=0)
+
+
+def test_interval_coalesce_merges_overlaps_and_touches(spark):
+    from datetime import datetime
+
+    from kgspark.relops import interval_coalesce
+
+    d = datetime
+    rows = [
+        # k1: [1,5] + [3,8] overlap, [8,10] touches -> one [1,10] window
+        ("k1", d(2024, 1, 1), d(2024, 1, 5)),
+        ("k1", d(2024, 1, 3), d(2024, 1, 8)),
+        ("k1", d(2024, 1, 8), d(2024, 1, 10)),
+        # k1: gap -> second window
+        ("k1", d(2024, 2, 1), d(2024, 2, 2)),
+        # k2: single
+        ("k2", d(2024, 1, 1), d(2024, 1, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, valid_from timestamp, valid_to timestamp"
+    )
+    got = {
+        (r["subj"], r["valid_from"], r["valid_to"]): r["n_merged"]
+        for r in interval_coalesce(df, key_cols=("subj",)).collect()
+    }
+    assert got == {
+        ("k1", d(2024, 1, 1), d(2024, 1, 10)): 3,
+        ("k1", d(2024, 2, 1), d(2024, 2, 2)): 1,
+        ("k2", d(2024, 1, 1), d(2024, 1, 2)): 1,
+    }
+    # contained interval does not extend the running max
+    df2 = spark.createDataFrame(
+        [("k", d(2024, 1, 1), d(2024, 1, 9)),
+         ("k", d(2024, 1, 2), d(2024, 1, 3)),
+         ("k", d(2024, 1, 4), d(2024, 1, 12))],
+        "subj string, valid_from timestamp, valid_to timestamp",
+    )
+    out = interval_coalesce(df2, key_cols=("subj",)).collect()
+    assert len(out) == 1 and out[0]["n_merged"] == 3
