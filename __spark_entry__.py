@@ -73,6 +73,70 @@ triples AS (
 """
 
 
+# robots.txt parse replica (kgspark/web.py robots_rules): same line regex,
+# same lag-flag group windows; ends in rb_rules/rb_agents.
+_ROBOTS_ORACLE_CTE = """
+rb_h AS (
+  SELECT DISTINCT 'site' || (doc_id % 10)::VARCHAR || '.example.com' AS host,
+         (doc_id % 10)::VARCHAR AS d
+  FROM documents
+),
+rb_t AS (
+  SELECT host,
+         '# robots for ' || host || chr(10) ||
+         'User-agent: *' || chr(10) ||
+         'Disallow: /private' || chr(10) ||
+         'Allow: /private/pub' || chr(10) || chr(10) ||
+         'User-agent: kgbot' || chr(10) ||
+         'Disallow: /d' || d || chr(10) ||
+         'Allow: /d' || d || '/open' || chr(10) AS txt
+  FROM rb_h
+),
+rb_l AS (
+  SELECT host, unnest(l) AS raw,
+         generate_subscripts(l, 1) - 1 AS line_no
+  FROM (SELECT host, string_split(txt, chr(10)) AS l FROM rb_t)
+),
+rb_p AS (
+  SELECT host, line_no,
+    lower(regexp_extract(regexp_replace(raw, '#.*$', ''),
+          '^[ \\t]*([A-Za-z-]+)[ \\t]*:[ \\t]*(.*)$', 1)) AS directive,
+    regexp_replace(regexp_extract(regexp_replace(raw, '#.*$', ''),
+          '^[ \\t]*([A-Za-z-]+)[ \\t]*:[ \\t]*(.*)$', 2),
+          '[ \\t]+$', '') AS value
+  FROM rb_l
+),
+rb_f AS (
+  SELECT * FROM rb_p
+  WHERE directive IN ('user-agent', 'allow', 'disallow')
+),
+rb_s AS (
+  SELECT host, line_no, directive, value,
+         CASE WHEN directive = 'user-agent' AND
+                   (lag(directive) OVER (PARTITION BY host ORDER BY line_no)
+                      IS NULL
+                    OR lag(directive) OVER (PARTITION BY host ORDER BY line_no)
+                      <> 'user-agent')
+              THEN 1 ELSE 0 END AS st
+  FROM rb_f
+),
+rb_g AS (
+  SELECT *, sum(st) OVER (PARTITION BY host ORDER BY line_no) AS grp
+  FROM rb_s
+),
+rb_agents AS (
+  SELECT host, grp, lower(value) AS agent FROM rb_g
+  WHERE directive = 'user-agent'
+),
+rb_rules AS (
+  SELECT g.host, a.agent, g.directive AS rule, g.value AS path,
+         length(g.value)::BIGINT AS path_len, g.line_no::BIGINT AS line_no
+  FROM rb_g g JOIN rb_agents a ON a.host = g.host AND a.grp = g.grp
+  WHERE g.directive IN ('allow', 'disallow') AND g.grp > 0 AND g.value <> ''
+)
+"""
+
+
 def _extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages -> rule extraction -> fwd/rev edge generation -> distinct."""
     from kgspark.edges import concept_edges
@@ -2182,6 +2246,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wl_refine(_extract_triples(spark, sf_dir), rounds=2)
 
+    def _robots_fixture(spark, sf_dir):
+        # deterministic per-host robots.txt corpus: a '*' group plus a
+        # kgbot group whose rules differ per host digit
+        docs = _read(spark, sf_dir, "documents")
+        d = (F.col("doc_id") % 10).cast("string")
+        host = F.concat(F.lit("site"), d, F.lit(".example.com"))
+        nl = "\n"
+        txt = F.concat(
+            F.lit("# robots for "), host, F.lit(nl),
+            F.lit("User-agent: *" + nl),
+            F.lit("Disallow: /private" + nl),
+            F.lit("Allow: /private/pub" + nl),
+            F.lit(nl),
+            F.lit("User-agent: kgbot" + nl),
+            F.lit("Disallow: /d"), d, F.lit(nl),
+            F.lit("Allow: /d"), d, F.lit("/open" + nl),
+        )
+        return docs.select(host.alias("host"), txt.alias("robots_txt")).distinct()
+
+    def web_robots_rules(spark, sf_dir):
+        # RFC 9309 group-structured robots.txt parse (kgspark/web.py
+        # robots_rules): posexplode + host-windows, rules join to every
+        # agent of their group
+        from kgspark.web import robots_rules
+
+        return robots_rules(_robots_fixture(spark, sf_dir))
+
+    def web_robots_check(spark, sf_dir):
+        # longest-prefix allow/deny evaluation for agent 'kgbot'
+        # (kgspark/web.py robots_allowed): specific group shadows '*',
+        # allow beats disallow on equal prefix length
+        from kgspark.web import robots_allowed, robots_rules
+
+        docs = _read(spark, sf_dir, "documents")
+        d = (F.col("doc_id") % 10).cast("string")
+        i = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("site"), d, F.lit(".example.com"))
+        path = (
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/private/x"), i))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("/d"), d, F.lit("/open/f"), i))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("/d"), d, F.lit("/raw"), i))
+            .otherwise(F.concat(F.lit("/free/"), i))
+        )
+        urls = docs.select(
+            F.concat(F.lit("https://"), host, path).alias("url")
+        )
+        rules = robots_rules(_robots_fixture(spark, sf_dir))
+        return robots_allowed(urls, rules, "kgbot")
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2335,6 +2450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relation_profile": kg_relation_profile,
         "rel_intervals": rel_intervals,
         "kg_wl_classes": kg_wl_classes,
+        "web_robots_rules": web_robots_rules,
+        "web_robots_check": web_robots_check,
     }
 
 
@@ -5237,5 +5354,58 @@ wl_c2 AS (
 SELECT node, color AS wl_color,
        count(*) OVER (PARTITION BY color)::BIGINT AS class_size
 FROM wl_c2
+""",
+        # kgspark.web.robots_rules: RFC 9309 group-structured parse
+        "web_robots_rules": f"""
+WITH {_ROBOTS_ORACLE_CTE}
+SELECT host, agent, rule, path, path_len, line_no FROM rb_rules
+""",
+        # kgspark.web.robots_allowed for agent 'kgbot': specific group
+        # shadows '*'; longest prefix wins, allow beats disallow on ties
+        "web_robots_check": f"""
+WITH {_ROBOTS_ORACLE_CTE},
+rc_u AS (
+  SELECT 'https://site' || (doc_id % 10)::VARCHAR || '.example.com' ||
+         CASE
+           WHEN doc_id % 4 = 0 THEN '/private/x' || doc_id::VARCHAR
+           WHEN doc_id % 4 = 1 THEN '/d' || (doc_id % 10)::VARCHAR
+                                    || '/open/f' || doc_id::VARCHAR
+           WHEN doc_id % 4 = 2 THEN '/d' || (doc_id % 10)::VARCHAR
+                                    || '/raw' || doc_id::VARCHAR
+           ELSE '/free/' || doc_id::VARCHAR
+         END AS url
+  FROM documents
+),
+rc_uu AS (
+  SELECT url,
+         lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS host,
+         coalesce(nullif(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)', 1), ''), '/') AS p
+  FROM rc_u
+),
+rc_spec AS (SELECT DISTINCT host FROM rb_rules WHERE agent = 'kgbot'),
+rc_r AS (
+  SELECT r.host, r.rule, r.path, r.path_len
+  FROM rb_rules r LEFT JOIN rc_spec s ON s.host = r.host
+  WHERE (s.host IS NOT NULL AND r.agent = 'kgbot')
+     OR (s.host IS NULL AND r.agent = '*')
+),
+rc_c AS (
+  SELECT u.url, u.host, r.rule, r.path, r.path_len
+  FROM rc_uu u LEFT JOIN rc_r r
+    ON r.host = u.host AND starts_with(u.p, r.path)
+),
+rc_b AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY url
+           ORDER BY path_len DESC NULLS LAST, rule ASC, path ASC) AS rk
+  FROM rc_c
+)
+SELECT url, host,
+       (rule IS NULL OR rule = 'allow')::BIGINT AS allowed,
+       coalesce(rule, 'none') AS matched_rule,
+       coalesce(path, '') AS matched_path
+FROM rc_b WHERE rk = 1
 """,
     }

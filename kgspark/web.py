@@ -363,3 +363,151 @@ def frontier_schedule(df: DataFrame, url_col: str = "url",
     if max_waves is not None:
         out = out.where(F.col("wave") <= max_waves)
     return out
+
+
+# robots.txt line grammar (RFC 9309 §2.1), comments stripped first.
+# Leading blanks and blanks around ':' are [ \t]* explicitly — NOT trim()
+# or \s, whose semantics differ across Java/RE2/DuckDB (see pii.py).
+_ROBOTS_LINE = "^[ \\t]*([A-Za-z-]+)[ \\t]*:[ \\t]*(.*)$"
+_URL_PATH = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)"
+
+
+def robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into a flat rule table:
+    (host, agent, rule, path, path_len, line_no).
+
+    Group semantics per RFC 9309 §2.1: consecutive User-agent lines open a
+    group; each Allow/Disallow line attaches to EVERY agent of the most
+    recent group; rules before any User-agent line are ignored; empty-path
+    Disallow ("allow everything") contributes no rule. Prefix-match subset:
+    '*'/'$' wildcards inside paths are matched literally (documented
+    non-goal — the RFC's optional wildcard extension).
+
+    Shape: one posexplode + two host-partitioned windows (lag for group
+    starts, running sum for group ids) + one group-local equi-join of
+    rules to agents. robots.txt bodies are bounded (RFC caps parseable
+    size at 500 KiB), so per-host work is constant at any corpus scale.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("line_no", "raw"),
+    ).select(
+        "host",
+        "line_no",
+        F.regexp_replace("raw", "#.*$", "").alias("line"),
+    )
+    parsed = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.regexp_extract("line", _ROBOTS_LINE, 1)).alias("directive"),
+        F.regexp_replace(
+            F.regexp_extract("line", _ROBOTS_LINE, 2), "[ \\t]+$", ""
+        ).alias("value"),
+    ).where(F.col("directive").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = parsed.select(
+        "host",
+        "line_no",
+        "directive",
+        "value",
+        F.sum(
+            F.when(
+                (F.col("directive") == "user-agent")
+                & (
+                    F.lag("directive", 1).over(w).isNull()
+                    | (F.lag("directive", 1).over(w) != "user-agent")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("grp"),
+    )
+    agents = grouped.where(F.col("directive") == "user-agent").select(
+        "host", "grp", F.lower("value").alias("agent")
+    )
+    rules = grouped.where(
+        F.col("directive").isin("allow", "disallow")
+        & (F.col("grp") > 0)
+        & (F.col("value") != "")
+    ).select(
+        "host",
+        "grp",
+        F.col("directive").alias("rule"),
+        F.col("value").alias("path"),
+        F.length("value").cast("long").alias("path_len"),
+        F.col("line_no").cast("long").alias("line_no"),
+    )
+    return rules.join(agents, ["host", "grp"]).select(
+        "host", "agent", "rule", "path", "path_len", "line_no"
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Evaluate crawl permission per URL against a `robots_rules` table:
+    (url, host, allowed, matched_rule, matched_path).
+
+    RFC 9309 §2.2.1/§2.2.2: if any group names `agent` exactly, ONLY that
+    group applies (the '*' group is ignored for this agent); the matching
+    rule is the longest path prefix, with allow beating disallow on equal
+    length; no matching rule (or no rules at all) means allowed.
+
+    Shape: rules are per-host dimension data (bounded bodies), so this is
+    a host equi-join + prefix filter + per-URL top-1 window — candidates
+    are local to a host, never corpus×rules.
+    """
+    a = agent.lower()
+    r = rules.where(F.col("agent").isin(a, "*"))
+    spec = (
+        r.where(F.col("agent") == a)
+        .select("host")
+        .distinct()
+        .withColumn("__has_spec", F.lit(True))
+    )
+    r = r.join(spec, "host", "left").where(
+        (F.col("__has_spec").isNotNull() & (F.col("agent") == a))
+        | (F.col("__has_spec").isNull() & (F.col("agent") == "*"))
+    )
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        host_of(F.col(url_col)).alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(url_col, _URL_PATH, 1), F.lit("")),
+            F.lit("/"),
+        ).alias("__path"),
+    )
+    rr = r.select(
+        F.col("host").alias("__rhost"), "rule", "path", "path_len"
+    )
+    # the prefix test rides in the join condition so a URL with rules on
+    # its host but no matching prefix still survives (as unmatched ->
+    # default allow) instead of being filtered away
+    cand = u.join(
+        rr,
+        (F.col("host") == F.col("__rhost"))
+        & F.col("__path").startswith(F.col("path")),
+        "left",
+    )
+    # allow < disallow lexicographically: ties on path_len resolve to allow
+    wu = Window.partitionBy("url").orderBy(
+        F.desc_nulls_last("path_len"), F.asc("rule"), F.asc("path")
+    )
+    best = cand.withColumn("__rk", F.row_number().over(wu)).where(F.col("__rk") == 1)
+    return best.select(
+        "url",
+        "host",
+        (F.col("rule").isNull() | (F.col("rule") == "allow"))
+        .cast("long")
+        .alias("allowed"),
+        F.coalesce("rule", F.lit("none")).alias("matched_rule"),
+        F.coalesce("path", F.lit("")).alias("matched_path"),
+    )

@@ -340,3 +340,78 @@ def test_frontier_schedule_buckets_and_waves(spark):
         frontier_schedule(df, n_buckets=0)
     with _pytest.raises(ValueError):
         frontier_schedule(df, max_waves=0)
+
+
+ROBOTS = """# demo robots
+User-agent: *
+Disallow: /private
+Allow: /private/pub
+
+User-agent: kgbot
+User-agent: altbot
+Disallow: /kg/raw
+Allow: /kg
+Disallow:
+"""
+
+
+def test_robots_rules_groups_and_comments(spark):
+    from kgspark.web import robots_rules
+
+    df = spark.createDataFrame([("h1", ROBOTS)], "host string, robots_txt string")
+    rows = {(r["agent"], r["rule"], r["path"])
+            for r in robots_rules(df).collect()}
+    assert rows == {
+        ("*", "disallow", "/private"),
+        ("*", "allow", "/private/pub"),
+        ("kgbot", "disallow", "/kg/raw"),
+        ("kgbot", "allow", "/kg"),
+        ("altbot", "disallow", "/kg/raw"),
+        ("altbot", "allow", "/kg"),
+    }
+    # rules before any group and empty Disallow are both dropped
+    orphan = spark.createDataFrame(
+        [("h2", "Disallow: /x\nUser-agent: a\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    assert robots_rules(orphan).count() == 0
+
+
+def test_robots_allowed_specific_group_wins(spark):
+    from kgspark.web import robots_allowed, robots_rules
+
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("site.example.com", ROBOTS)], "host string, robots_txt string"
+        )
+    )
+    urls = spark.createDataFrame(
+        [("https://site.example.com/private/secret",),   # * disallows; kgbot group silent -> allowed
+         ("https://site.example.com/kg/raw/dump",),      # kgbot disallow
+         ("https://site.example.com/kg/page",),          # kgbot allow
+         ("https://site.example.com/elsewhere",),        # no rule -> allowed
+         ("https://other.example.com/private/x",)],      # no rules at all -> allowed
+        "url string",
+    )
+    got = {r["url"]: (r["allowed"], r["matched_rule"], r["matched_path"])
+           for r in robots_allowed(urls, rules, "KgBot").collect()}
+    assert got["https://site.example.com/private/secret"] == (1, "none", "")
+    assert got["https://site.example.com/kg/raw/dump"] == (0, "disallow", "/kg/raw")
+    assert got["https://site.example.com/kg/page"] == (1, "allow", "/kg")
+    assert got["https://site.example.com/elsewhere"] == (1, "none", "")
+    assert got["https://other.example.com/private/x"] == (1, "none", "")
+
+    # unknown agent falls back to the '*' group
+    got2 = {r["url"]: r["allowed"]
+            for r in robots_allowed(urls, rules, "nobody").collect()}
+    assert got2["https://site.example.com/private/secret"] == 0
+    assert got2["https://site.example.com/kg/raw/dump"] == 1
+
+    # longest-prefix + allow-beats-disallow-on-tie
+    tie = spark.createDataFrame(
+        [("t.example.com", "User-agent: *\nDisallow: /a\nAllow: /a\n")],
+        "host string, robots_txt string",
+    )
+    u = spark.createDataFrame([("https://t.example.com/a/x",)], "url string")
+    r = robots_allowed(u, robots_rules(tie), "any").collect()[0]
+    assert (r["allowed"], r["matched_rule"]) == (1, "allow")
