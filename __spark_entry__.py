@@ -2297,6 +2297,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rules = robots_rules(_robots_fixture(spark, sf_dir))
         return robots_allowed(urls, rules, "kgbot")
 
+    _FS_PARAMS = {"name": (0.95, 0.01), "code": (0.9, 0.001), "seg": (0.9, 0.2)}
+
+    def link_fs_pairs(spark, sf_dir):
+        # Fellegi-Sunter blocked record linkage (kgspark/linkrec.py
+        # fs_link): customers vs a deterministically perturbed copy,
+        # blocked on (nation, custkey%20); per-field log2 weights are
+        # driver-side integer micro-bit constants, so the distributed
+        # score is exact integer arithmetic
+        from kgspark.linkrec import fs_link
+
+        c = _read(spark, sf_dir, "customer")
+        code = F.round(F.col("c_acctbal") * 100, 0).cast("long").cast("string")
+        base = c.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("blk_nat"),
+            (F.col("c_custkey") % 20).alias("blk_h"),
+            F.col("c_name").alias("name"),
+            code.alias("code"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        pert = c.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("blk_nat"),
+            (F.col("c_custkey") % 20).alias("blk_h"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lower("c_name"))
+            .otherwise(F.col("c_name")).alias("name"),
+            F.when(F.col("c_custkey") % 5 == 0,
+                   F.concat(F.lit("0"), F.expr("substring(" +
+                       "cast(cast(round(c_acctbal * 100, 0) as long) as string), 2)")))
+            .otherwise(code).alias("code"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        return fs_link(base, pert, "id", ["name", "code", "seg"],
+                       _FS_PARAMS, ["blk_nat", "blk_h"],
+                       threshold_micro=4_000_000)
+
+    def link_fs_u(spark, sf_dir):
+        # random-agreement (u) estimation as exact integers: per-field
+        # sum of squared value counts (kgspark/linkrec.py u_estimates)
+        from kgspark.linkrec import u_estimates
+
+        c = _read(spark, sf_dir, "customer").select(
+            "c_name", "c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nation")
+        )
+        return u_estimates(c, ["c_name", "c_mktsegment", "c_nation"])
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2452,6 +2498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl_classes": kg_wl_classes,
         "web_robots_rules": web_robots_rules,
         "web_robots_check": web_robots_check,
+        "link_fs_pairs": link_fs_pairs,
+        "link_fs_u": link_fs_u,
     }
 
 
@@ -2461,9 +2509,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgspark.linkrec import fs_constants
     from kgspark.synth import alias_rows
     from kgspark.textstats import LANG_STOPWORDS
     from kgspark.topics import STOPWORDS
+
+    # link_fs_pairs: the SAME driver-side integer micro-bit constants the
+    # Spark operator embeds (kgspark/linkrec.py fs_constants)
+    _fsc = fs_constants(
+        {"name": (0.95, 0.01), "code": (0.9, 0.001), "seg": (0.9, 0.2)}
+    )
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
@@ -5407,5 +5462,66 @@ SELECT url, host,
        coalesce(rule, 'none') AS matched_rule,
        coalesce(path, '') AS matched_path
 FROM rc_b WHERE rk = 1
+""",
+        # kgspark.linkrec.fs_link: blocked pairs + integer micro-bit
+        # agreement weights (constants injected from fs_constants)
+        "link_fs_pairs": f"""
+WITH fs_code AS (
+  SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+         (round(c_acctbal * 100, 0)::BIGINT)::VARCHAR AS code
+  FROM customer
+),
+fs_a AS (
+  SELECT c_custkey AS id_a, c_nationkey AS bn, c_custkey % 20 AS bh,
+         c_name AS name_a, code AS code_a, c_mktsegment AS seg_a
+  FROM fs_code
+),
+fs_b AS (
+  SELECT c_custkey AS id_b, c_nationkey AS bn, c_custkey % 20 AS bh,
+         CASE WHEN c_custkey % 3 = 0 THEN lower(c_name) ELSE c_name END
+           AS name_b,
+         CASE WHEN c_custkey % 5 = 0 THEN '0' || substr(code, 2) ELSE code END
+           AS code_b,
+         c_mktsegment AS seg_b
+  FROM fs_code
+),
+fs_p AS (
+  SELECT id_a, id_b,
+         CASE WHEN name_a IS NULL OR name_b IS NULL THEN 0
+              WHEN name_a = name_b THEN 1 ELSE 0 END AS name_agree,
+         CASE WHEN code_a IS NULL OR code_b IS NULL THEN 0
+              WHEN code_a = code_b THEN 1 ELSE 0 END AS code_agree,
+         CASE WHEN seg_a IS NULL OR seg_b IS NULL THEN 0
+              WHEN seg_a = seg_b THEN 1 ELSE 0 END AS seg_agree,
+         (CASE WHEN name_a IS NULL OR name_b IS NULL THEN 0
+               WHEN name_a = name_b THEN {_fsc['name'][0]}
+               ELSE {_fsc['name'][1]} END
+          + CASE WHEN code_a IS NULL OR code_b IS NULL THEN 0
+                 WHEN code_a = code_b THEN {_fsc['code'][0]}
+                 ELSE {_fsc['code'][1]} END
+          + CASE WHEN seg_a IS NULL OR seg_b IS NULL THEN 0
+                 WHEN seg_a = seg_b THEN {_fsc['seg'][0]}
+                 ELSE {_fsc['seg'][1]} END)::BIGINT AS score_micro
+  FROM fs_a a JOIN fs_b b ON a.bn = b.bn AND a.bh = b.bh
+)
+SELECT id_a, id_b, name_agree::BIGINT AS name_agree,
+       code_agree::BIGINT AS code_agree, seg_agree::BIGINT AS seg_agree,
+       score_micro, (score_micro >= 4000000)::BIGINT AS is_match
+FROM fs_p
+""",
+        # kgspark.linkrec.u_estimates: per-field sum of squared counts
+        "link_fs_u": """
+SELECT 'c_name' AS field, sum(n * n)::BIGINT AS sum_sq,
+       sum(n)::BIGINT AS n_total
+FROM (SELECT count(*) AS n FROM customer
+      WHERE c_name IS NOT NULL GROUP BY c_name)
+UNION ALL
+SELECT 'c_mktsegment', sum(n * n)::BIGINT, sum(n)::BIGINT
+FROM (SELECT count(*) AS n FROM customer
+      WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
+UNION ALL
+SELECT 'c_nation', sum(n * n)::BIGINT, sum(n)::BIGINT
+FROM (SELECT count(*) AS n FROM customer
+      WHERE c_nationkey IS NOT NULL GROUP BY c_nationkey)
 """,
     }

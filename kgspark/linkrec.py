@@ -1,0 +1,133 @@
+"""Probabilistic record linkage (Fellegi & Sunter 1969): blocked candidate
+generation + per-field agreement log-likelihood scoring.
+
+The reference dedups entities by exact text equality against a seen-set
+(/root/reference/knowledge_graph_builder.py:170-194); this module is the
+beyond-reference generalization for linking noisy entity records (crawl
+contact records, directory pages, KG node variants) where fields disagree
+but the totality of evidence identifies a match.
+
+Scoring: for each field i with match/non-match conditional probabilities
+(m_i, u_i), an agreeing field contributes log2(m_i/u_i), a disagreeing one
+log2((1-m_i)/(1-u_i)), a missing one 0 (no evidence either way). The two
+constants per field are computed ONCE on the driver in fp64 and quantized
+to integer micro-bits, so the distributed sum is exact integer arithmetic —
+cross-engine deterministic by construction (no fp64 leaves the driver).
+
+Design for 100 TB:
+- Candidates come from an equi-join on the caller's blocking key(s) — the
+  classic blocking step. Cost is sum over blocks of |A_b|x|B_b|, never
+  |A|x|B|; pick keys so blocks stay small (hash fragments, phonetic codes,
+  geo cells). Hot blocks are ordinary join skew — AQE skew-split applies.
+- Scoring is a pure JVM column expression over the joined rows: one CASE
+  chain per field, one integer sum — whole-stage codegen, no Python.
+- `u_estimates` (the random-agreement rates) needs only per-field value
+  frequencies: one groupBy per field over each input, never a pair join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fs_constants(params: dict[str, tuple[float, float]]) -> dict[str, tuple[int, int]]:
+    """(m, u) per field -> (agree_micro, disagree_micro) integer log2
+    weights in micro-bits. Raises on degenerate probabilities."""
+    out = {}
+    for f, (m, u) in params.items():
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(f"fs_constants: need 0 < u < m < 1 for {f!r}")
+        out[f] = (
+            int(round(math.log2(m / u) * 1_000_000)),
+            int(round(math.log2((1.0 - m) / (1.0 - u)) * 1_000_000)),
+        )
+    return out
+
+
+def fs_link(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    fields: list[str],
+    params: dict[str, tuple[float, float]],
+    block_cols: list[str],
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Score all blocked (a, b) record pairs: returns
+    (id_a, id_b, <field>_agree... , score_micro, is_match).
+
+    Agreement is exact equality; a NULL on either side scores 0 and flags
+    the field 0 (missing = no evidence, the standard FS treatment).
+    `is_match` = score_micro >= threshold_micro (1/0 long).
+    """
+    consts = fs_constants({f: params[f] for f in fields})
+    aa = a.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c) for c in block_cols],
+        *[F.col(f).alias(f"{f}_a") for f in fields],
+    )
+    bb = b.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c) for c in block_cols],
+        *[F.col(f).alias(f"{f}_b") for f in fields],
+    )
+    pairs = aa.join(bb, list(block_cols))
+    agree_cols = []
+    terms = []
+    for f in fields:
+        fa, fb = F.col(f"{f}_a"), F.col(f"{f}_b")
+        agree = (
+            F.when(fa.isNull() | fb.isNull(), 0)
+            .when(fa == fb, 1)
+            .otherwise(0)
+        )
+        agree_cols.append(agree.cast("long").alias(f"{f}_agree"))
+        aw, dw = consts[f]
+        terms.append(
+            F.when(fa.isNull() | fb.isNull(), F.lit(0))
+            .when(fa == fb, F.lit(aw))
+            .otherwise(F.lit(dw))
+            .cast("long")
+        )
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return pairs.select(
+        "id_a",
+        "id_b",
+        *agree_cols,
+        score.alias("score_micro"),
+        (score >= F.lit(threshold_micro)).cast("long").alias("is_match"),
+    )
+
+
+def u_estimates(df: DataFrame, fields: list[str]) -> DataFrame:
+    """Estimate each field's random-agreement probability u_i = the chance
+    two independently drawn records agree on the field — sum over values v
+    of (n_v / N)^2, NULLs excluded. Returned as exact integers
+    (field, sum_sq, n_total) so the caller forms u = sum_sq / n_total^2 in
+    whatever precision it needs; nothing inexact crosses the engine.
+
+    One groupBy per field (map-side combined); no pair enumeration.
+    """
+    parts = []
+    for f in fields:
+        cnt = (
+            df.where(F.col(f).isNotNull())
+            .groupBy(F.col(f).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        parts.append(
+            cnt.agg(
+                F.lit(f).alias("field"),
+                F.sum(F.col("__n") * F.col("__n")).cast("long").alias("sum_sq"),
+                F.sum("__n").cast("long").alias("n_total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

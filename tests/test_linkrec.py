@@ -1,0 +1,58 @@
+"""Fellegi-Sunter record linkage (kgspark/linkrec.py)."""
+import math
+
+import pytest
+
+
+def test_fs_constants_and_validation():
+    from kgspark.linkrec import fs_constants
+
+    c = fs_constants({"name": (0.9, 0.1)})["name"]
+    assert c == (round(math.log2(9) * 1e6), round(math.log2(0.1 / 0.9) * 1e6))
+    assert c[0] > 0 > c[1]
+    with pytest.raises(ValueError):
+        fs_constants({"x": (0.1, 0.9)})
+
+
+def test_fs_link_scores_and_missing_fields(spark):
+    from kgspark.linkrec import fs_constants, fs_link
+
+    params = {"name": (0.95, 0.01), "phone": (0.9, 0.001)}
+    cn = fs_constants(params)
+    a = spark.createDataFrame(
+        [(1, "blk", "alice", "555-1"), (2, "blk", "bob", "555-2"),
+         (3, "blk", "carol", None)],
+        "id long, blk string, name string, phone string",
+    )
+    b = spark.createDataFrame(
+        [(11, "blk", "alice", "555-1"),   # full match with 1
+         (12, "blk", "bob", "999-9"),     # phone disagrees with 2
+         (13, "blk", "carol", "555-3")],  # phone missing on a-side -> 0
+        "id long, blk string, name string, phone string",
+    )
+    got = {(r["id_a"], r["id_b"]): (r["name_agree"], r["phone_agree"],
+                                    r["score_micro"], r["is_match"])
+           for r in fs_link(a, b, "id", ["name", "phone"], params,
+                            ["blk"], threshold_micro=1).collect()}
+    assert len(got) == 9  # 3x3 within the block
+    assert got[(1, 11)] == (1, 1, cn["name"][0] + cn["phone"][0], 1)
+    assert got[(2, 12)] == (1, 0, cn["name"][0] + cn["phone"][1], 1)
+    assert got[(3, 13)] == (1, 0, cn["name"][0], 1)
+    assert got[(1, 12)] == (0, 0, cn["name"][1] + cn["phone"][1], 0)
+    # different blocks never pair
+    c = spark.createDataFrame([(9, "other", "alice", "555-1")],
+                              "id long, blk string, name string, phone string")
+    assert fs_link(a, c, "id", ["name", "phone"], params, ["blk"]).count() == 0
+
+
+def test_u_estimates_exact_integers(spark):
+    from kgspark.linkrec import u_estimates
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", None), ("y", 3), ("z", 4)],
+        "name string, v int",
+    )
+    got = {r["field"]: (r["sum_sq"], r["n_total"])
+           for r in u_estimates(df, ["name", "v"]).collect()}
+    assert got["name"] == (4 + 4 + 1, 5)   # x:2, y:2, z:1
+    assert got["v"] == (4, 4)              # all distinct, null dropped
