@@ -293,6 +293,41 @@ sh_h AS (SELECT doc_id, {expr} AS simhash FROM sh_t)
 """
 
 
+# Winnowing fingerprint selection (kgspark/dedup.py winnow_fingerprints,
+# k=8 w=10): normalize to ASCII alnum, hash every char 8-gram, and take the
+# rightmost-min of each 10-wide hash window via the same hash||lpad(1e9-pos)
+# composite-key trick the Spark side uses — one window pass, no argmax join.
+_WINNOW_CTE = """
+WITH wn_base AS (
+  SELECT doc_id AS id,
+         lower(regexp_replace("text", '[^A-Za-z0-9]', '', 'g')) AS t
+  FROM documents
+  WHERE length(regexp_replace("text", '[^A-Za-z0-9]', '', 'g')) >= 8
+),
+wn_pos AS (
+  SELECT id, t, unnest(generate_series(1, length(t) - 7)) AS pos FROM wn_base
+),
+wn_g AS (
+  SELECT id, pos,
+         substr(md5(substr(t, pos::INT, 8)), 1, 12)
+         || lpad((1000000000 - pos)::VARCHAR, 10, '0') AS ck
+  FROM wn_pos
+),
+wn_m AS (
+  SELECT id, pos,
+         count(*) OVER (PARTITION BY id) AS n,
+         min(ck) OVER (PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS m
+  FROM wn_g
+),
+wn_sel AS (
+  SELECT DISTINCT id AS doc_id,
+         1000000000 - substr(m, 13, 10)::BIGINT AS pos,
+         substr(m, 1, 12) AS fp
+  FROM wn_m WHERE pos <= n - 9
+)"""
+
+
 def _hex6_sql(col: str) -> str:
     """First 6 md5 nibbles -> int (mirrors kgspark.kgtrain._hex6_to_int)."""
     out = "0"
@@ -2343,6 +2378,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return u_estimates(c, ["c_name", "c_mktsegment", "c_nation"])
 
+    def dedup_winnow(spark, sf_dir):
+        # winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+        # per-doc selected (pos, hash) sketch reduced to exact integers —
+        # count, position sum, and a hex6 checksum over the fp hashes
+        from kgspark.dedup import winnow_fingerprints
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        fps = winnow_fingerprints(docs, k=8, w=10)
+        fp6 = F.conv(F.substring("fp", 1, 6), 16, 10).cast("long")
+        return fps.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.sum("pos").cast("long").alias("pos_sum"),
+            F.sum(fp6).cast("long").alias("fp_sum"),
+        )
+
+    def dedup_winnow_pairs(spark, sf_dir):
+        # local near-copy candidates from shared winnowing fingerprints
+        # with a max-df boilerplate guard before the self-join
+        from kgspark.dedup import winnow_fingerprints, winnow_matches
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        fps = winnow_fingerprints(docs, k=8, w=10)
+        return winnow_matches(fps, max_doc_freq=20)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2500,6 +2559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_check": web_robots_check,
         "link_fs_pairs": link_fs_pairs,
         "link_fs_u": link_fs_u,
+        "dedup_winnow": dedup_winnow,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
     }
 
 
@@ -5523,5 +5584,25 @@ UNION ALL
 SELECT 'c_nation', sum(n * n)::BIGINT, sum(n)::BIGINT
 FROM (SELECT count(*) AS n FROM customer
       WHERE c_nationkey IS NOT NULL GROUP BY c_nationkey)
+""",
+        # kgspark.dedup.winnow_fingerprints: same rightmost-min encoding
+        # (hash || lpad(1e9 - pos)) and the same one-pass window both sides
+        "dedup_winnow": f"""
+{_WINNOW_CTE}
+SELECT doc_id, count(*)::BIGINT AS n_fp, sum(pos)::BIGINT AS pos_sum,
+       sum({_hex6_sql('fp')})::BIGINT AS fp_sum
+FROM wn_sel GROUP BY doc_id
+""",
+        # kgspark.dedup.winnow_matches: shared-fingerprint candidate pairs
+        # with the max-df boilerplate guard applied BEFORE the self-join
+        "dedup_winnow_pairs": f"""
+{_WINNOW_CTE},
+wn_d AS (SELECT DISTINCT doc_id, fp FROM wn_sel),
+wn_keep AS (SELECT fp FROM wn_d GROUP BY fp HAVING count(*) <= 20)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM (SELECT doc_id, fp FROM wn_d JOIN wn_keep USING (fp)) a
+JOIN (SELECT doc_id, fp FROM wn_d JOIN wn_keep USING (fp)) b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """,
     }

@@ -763,3 +763,101 @@ def dup_span_stats(
              .alias("covered_tokens"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): normalize, hash every char k-gram,
+    and per sliding window of w consecutive hashes keep the minimum,
+    breaking ties by the RIGHTMOST position; the distinct selected
+    (position, hash) set is the fingerprint sketch. Guarantees every
+    shared substring of length >= w + k - 1 contributes a shared
+    fingerprint, at ~2/(w+1) sampling density — position-robust local
+    dedup/plagiarism evidence, unlike a doc-level minhash.
+
+    Returns (id_col, pos, fp) distinct; docs with fewer than w k-grams
+    after normalization emit nothing (winnowing is undefined below one
+    window — pair them via exact/minhash dedup instead).
+
+    Cross-engine trick: the rightmost-min selection is encoded as a plain
+    sliding-window min over the string hash || lpad(1e9 - pos), so both
+    engines run the same one-pass window — no per-window argmax pass.
+    Shape: one explode to gram rows (bounded by total chars), one
+    doc-partitioned window, one distinct — no self-join.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    # strip to ASCII alnum FIRST, then lower: lowercasing pure ASCII is
+    # byte-identical across engines, while full-Unicode case folding is not
+    # (e.g. U+0130 lowers into ASCII 'i' + combining dot in Java)
+    norm = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    base = df.select(F.col(id_col).alias("__id"), norm.alias("__t")).where(
+        F.length("__t") >= k
+    )
+    grams = base.select(
+        "__id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - F.lit(k - 1))
+        ).alias("pos"),
+        F.col("__t"),
+    ).select(
+        "__id",
+        "pos",
+        F.concat(
+            F.substring(F.md5(F.expr(f"substring(__t, pos, {k})")), 1, 12),
+            F.lpad((F.lit(1000000000) - F.col("pos")).cast("string"), 10, "0"),
+        ).alias("ck"),
+    )
+    wd = Window.partitionBy("__id").orderBy("pos")
+    n_grams = F.count(F.lit(1)).over(Window.partitionBy("__id"))
+    win_min = F.min("ck").over(wd.rowsBetween(0, w - 1))
+    sel = (
+        grams.select(
+            "__id",
+            "pos",
+            n_grams.alias("__n"),
+            win_min.alias("__m"),
+        )
+        .where(F.col("pos") <= F.col("__n") - F.lit(w - 1))
+        .select(
+            F.col("__id").alias(id_col),
+            (F.lit(1000000000) - F.substring("__m", 13, 10).cast("long"))
+            .cast("long")
+            .alias("pos"),
+            F.substring("__m", 1, 12).alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_matches(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Candidate near-copy pairs from shared winnowing fingerprints:
+    (id_a, id_b, n_shared) with id_a < id_b. Fingerprints present in more
+    than `max_doc_freq` documents are boilerplate (headers, licenses) and
+    are dropped BEFORE the self-join — the same max-df guard as minhash
+    banding, so no single hot hash goes quadratic.
+    """
+    d = fps.select(F.col(id_col).alias("__id"), "fp").distinct()
+    freq = d.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    kept = d.join(
+        freq.where(F.col("__df") <= max_doc_freq).select("fp"), "fp"
+    )
+    a = kept.select(F.col("__id").alias("id_a"), "fp")
+    b = kept.select(F.col("__id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -253,3 +253,56 @@ def test_containment_handles_empty_and_null(spark):
     # null/empty texts never crash; both shingle to [""] so they may pair
     # with each other but never with a real document
     assert all({r["a"], r["b"]} == {2, 3} for r in out)
+
+
+def _brute_winnow(text, k, w):
+    import hashlib
+    import re
+    t = re.sub("[^A-Za-z0-9]", "", text).lower()
+    grams = [t[i:i + k] for i in range(len(t) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:12] for g in grams]
+    sel = set()
+    for t0 in range(len(hs) - w + 1):
+        win = hs[t0:t0 + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        j = max(i for i, h in enumerate(win) if h == m)
+        sel.add((t0 + j + 1, m))  # 1-based pos
+    return sel
+
+
+def test_winnow_fingerprints_match_bruteforce(spark):
+    from kgspark.dedup import winnow_fingerprints
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog!"),
+        (2, "aaaaaaaaaa"),                    # all-tie windows -> rightmost
+        (3, "xy"),                            # shorter than k -> nothing
+        (4, None),                            # null text -> nothing
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert got[1] == _brute_winnow(docs[0][1], 5, 4)
+    assert got[2] == _brute_winnow(docs[1][1], 5, 4)
+    assert 3 not in got and 4 not in got
+
+
+def test_winnow_matches_shared_substring_and_maxdf(spark):
+    from kgspark.dedup import winnow_fingerprints, winnow_matches
+
+    shared = "this exact sentence is copied between the two documents"
+    docs = [
+        (1, "intro text. " + shared + " outro one."),
+        (2, "different start. " + shared + " different end."),
+        (3, "completely unrelated content about graphs and spark plans"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, w=4)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in winnow_matches(fps).collect()}
+    assert got.get((1, 2), 0) > 0
+    assert (1, 3) not in got and (2, 3) not in got
+    # a fingerprint shared by all docs is dropped at max_doc_freq=1
+    assert winnow_matches(fps, max_doc_freq=0).count() == 0
