@@ -2402,6 +2402,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fps = winnow_fingerprints(docs, k=8, w=10)
         return winnow_matches(fps, max_doc_freq=20)
 
+    def rel_markov(spark, sf_dir):
+        # first-order Markov transition census over per-user event streams;
+        # probabilities as integer ppm (floor division) — zero fp surface
+        from kgspark.relops import markov_transitions
+
+        return markov_transitions(_read(spark, sf_dir, "events"))
+
+    def rel_quantiles(spark, sf_dir):
+        # exact per-event-type value quantiles (percentile_disc semantics,
+        # integer permille ranks, deterministic (value, event_id) order)
+        from kgspark.relops import group_quantiles
+
+        return group_quantiles(
+            _read(spark, sf_dir, "events"),
+            "event_type",
+            "value",
+            "event_id",
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2561,6 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fs_u": link_fs_u,
         "dedup_winnow": dedup_winnow,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        "rel_markov": rel_markov,
+        "rel_quantiles": rel_quantiles,
     }
 
 
@@ -5604,5 +5625,45 @@ FROM (SELECT doc_id, fp FROM wn_d JOIN wn_keep USING (fp)) a
 JOIN (SELECT doc_id, fp FROM wn_d JOIN wn_keep USING (fp)) b
   ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+""",
+        # kgspark.relops.markov_transitions: lead() in (ts, event_id)
+        # order, terminal '__END__', integer-ppm row probabilities
+        "rel_markov": """
+WITH mk_base AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+mk_pairs AS (
+  SELECT event_type AS from_type,
+         coalesce(lead(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id),
+                  '__END__') AS to_type
+  FROM mk_base
+),
+mk_cnt AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM mk_pairs GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ((n * 1000000) // sum(n) OVER (PARTITION BY from_type))::BIGINT
+         AS p_ppm
+FROM mk_cnt
+""",
+        # kgspark.relops.group_quantiles: percentile_disc semantics with
+        # integer permille ranks and a total (value, event_id) tie order
+        "rel_quantiles": """
+WITH gq_r AS (
+  SELECT event_type AS grp,
+         CAST(round("value" * 1000000.0, 0) AS BIGINT) AS vmic,
+         row_number() OVER
+           (PARTITION BY event_type ORDER BY "value", event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE event_type IS NOT NULL AND "value" IS NOT NULL
+),
+gq_e AS (
+  SELECT grp, vmic, rn, n, unnest([250, 500, 750, 900]) AS q_pml FROM gq_r
+)
+SELECT grp AS event_type, q_pml::BIGINT AS q_pml, vmic AS v_micro
+FROM gq_e WHERE rn = (q_pml * n + 999) // 1000
 """,
     }

@@ -504,3 +504,115 @@ def interval_coalesce(
         F.max(end_col).alias(end_col),
         F.count(F.lit(1)).cast("long").alias("n_merged"),
     ).drop("__island")
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    end_token: str = "__END__",
+) -> DataFrame:
+    """First-order Markov transition census over per-user event streams:
+    (from_type, to_type, n, p_ppm) where to_type is the next event of the
+    same user in (ts, id) order and each user's final event transitions to
+    `end_token`. p_ppm is the row probability in parts-per-million computed
+    with INTEGER floor division (n * 1e6 div row-total) — no fp anywhere,
+    so the table is bit-identical on any engine (the repo-wide parity
+    rule; see CLAUDE.md).
+
+    Shape: one user-partitioned window (lead) + one groupBy on the type
+    pair + one type-partitioned window for the row totals. Per-user
+    windows shuffle on user_id — no global sort; the transition table
+    itself is at most |types|² + |types| rows, so the second window is
+    dimension-sized. Skew is bounded by the hottest user's event count.
+    """
+    base = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__id")
+    pairs = base.select(
+        F.col("__t").alias("from_type"),
+        F.coalesce(F.lead("__t", 1).over(w), F.lit(end_token)).alias(
+            "to_type"
+        ),
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("__num"),
+        tot.cast("long").alias("__tot"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__num div __tot").cast("long").alias("p_ppm"),
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    permilles=(250, 500, 750, 900),
+) -> DataFrame:
+    """Exact per-group quantiles — percentile_disc semantics with a fully
+    deterministic tie order: the q-quantile is the value at 1-based rank
+    ceil(q * n) where rows are ordered by (value, order_col). Ranks are
+    computed as (permille * n + 999) div 1000 in pure INTEGER arithmetic —
+    no fp fraction ever multiplies a count, so Spark and any SQL engine
+    pick the identical row (DuckDB evaluates 0.9 as DECIMAL, Spark as
+    DOUBLE — permille integers sidestep that entire trap). Values are
+    returned as micro-unit longs (v_micro) per the repo parity rule.
+
+    Returns (group, q_pml, v_micro): one row per group per permille.
+
+    Shape: one group-partitioned window sort, then a map-side explode of
+    the |permilles| targets and a filter — no percentile_approx (which is
+    approximate and engine-specific) and no self-join. At 100 TB this is
+    one shuffle on the group key; skew is bounded by the largest group's
+    row count (same bound as any exact order statistic).
+    """
+    pmls = sorted(set(int(p) for p in permilles))
+    if not pmls or pmls[0] < 1 or pmls[-1] > 1000:
+        raise ValueError("group_quantiles: permilles must be in [1, 1000]")
+    w = Window.partitionBy(group_col).orderBy(value_col, order_col)
+    ranked = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 1000000.0, 0).cast("long").alias(
+            "__vmic"
+        ),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    exploded = ranked.select(
+        "grp",
+        "__vmic",
+        "__rn",
+        "__n",
+        F.explode(F.array(*[F.lit(p) for p in pmls])).alias("q_pml"),
+    )
+    return exploded.where(
+        F.col("__rn")
+        == F.expr("(q_pml * __n + 999) div 1000")
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("q_pml").cast("long").alias("q_pml"),
+        F.col("__vmic").alias("v_micro"),
+    )

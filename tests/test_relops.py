@@ -166,3 +166,59 @@ def test_interval_coalesce_merges_overlaps_and_touches(spark):
     )
     out = interval_coalesce(df2, key_cols=("subj",)).collect()
     assert len(out) == 1 and out[0]["n_merged"] == 3
+
+
+def test_markov_transitions_counts_and_ppm(spark):
+    from kgspark.relops import markov_transitions
+
+    d = datetime
+    rows = [
+        # user 1: a -> b -> a -> END
+        (1, d(2024, 1, 1, 0, 0, 0), 1, "a"),
+        (2, d(2024, 1, 1, 0, 0, 1), 1, "b"),
+        (3, d(2024, 1, 1, 0, 0, 2), 1, "a"),
+        # user 2: a -> a -> END ; same-ts tie broken by event_id
+        (4, d(2024, 1, 1, 0, 0, 0), 2, "a"),
+        (5, d(2024, 1, 1, 0, 0, 0), 2, "a"),
+        # null rows dropped
+        (6, d(2024, 1, 1), None, "a"),
+        (7, d(2024, 1, 1), 3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p_ppm"])
+        for r in markov_transitions(df).collect()
+    }
+    # from 'a': b x1, a x1, END x2 -> 4 total
+    assert got[("a", "b")] == (1, 250000)
+    assert got[("a", "a")] == (1, 250000)
+    assert got[("a", "__END__")] == (2, 500000)
+    assert got[("b", "a")] == (1, 1000000)
+    assert sum(n for n, _ in got.values()) == 5
+
+
+def test_group_quantiles_exact_ranks(spark):
+    from kgspark.relops import group_quantiles
+
+    rows = [("g", i, float(i)) for i in range(1, 11)]  # values 1..10
+    rows += [("h", 1, 42.0), ("h", 2, None)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    got = {
+        (r["grp"], r["q_pml"]): r["v_micro"]
+        for r in group_quantiles(
+            df, "grp", "v", "id", permilles=(250, 500, 900, 1000)
+        ).collect()
+    }
+    # ceil-rank percentile_disc on 1..10: p25 -> rank 3, p50 -> 5,
+    # p90 -> 9, p100 -> 10
+    assert got[("g", 250)] == 3_000_000
+    assert got[("g", 500)] == 5_000_000
+    assert got[("g", 900)] == 9_000_000
+    assert got[("g", 1000)] == 10_000_000
+    # singleton group: every quantile is the one value; nulls dropped
+    assert all(got[("h", p)] == 42_000_000 for p in (250, 500, 900, 1000))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        group_quantiles(df, "grp", "v", "id", permilles=(0,))
