@@ -328,6 +328,31 @@ wn_sel AS (
 )"""
 
 
+def _rproj_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Signed-random-projection oracle: the SAME rproj_signs() ±1 matrix the
+    Spark operator embeds, expanded to per-dim signed sums over a once-
+    quantized micro-unit array (kgspark/embed.py signed_random_projection)."""
+    from kgspark.embed import rproj_signs
+
+    signs = rproj_signs(out_dim, in_dim)
+    cols = []
+    for j in range(out_dim):
+        terms = " ".join(
+            ("+ " if s > 0 else "- ") + f"m[{i + 1}]"
+            for i, s in enumerate(signs[j])
+        )
+        cols.append(f"(0 {terms})::BIGINT AS rp_{j}")
+    return f"""
+WITH rp_m AS (
+  SELECT vec_id,
+         [CAST(round(embedding[i]::DOUBLE * 1000000.0, 0) AS BIGINT)
+          for i in range(1, {in_dim + 1})] AS m
+  FROM embeddings
+)
+SELECT vec_id, {", ".join(cols)} FROM rp_m
+"""
+
+
 def _hex6_sql(col: str) -> str:
     """First 6 md5 nibbles -> int (mirrors kgspark.kgtrain._hex6_to_int)."""
     out = "0"
@@ -2421,6 +2446,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id",
         )
 
+    def embed_rproj(spark, sf_dir):
+        # Johnson–Lindenstrauss signed random projection 64 -> 16 dims,
+        # exact integer micro-units (quantize once, then ±1 sums only)
+        from kgspark.embed import signed_random_projection
+
+        emb = _read(spark, sf_dir, "embeddings")
+        out = signed_random_projection(emb, out_dim=16, in_dim=64)
+        return out.select("vec_id", *[f"rp_{j}" for j in range(16)])
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2582,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "rel_markov": rel_markov,
         "rel_quantiles": rel_quantiles,
+        "embed_rproj": embed_rproj,
     }
 
 
@@ -5666,4 +5701,7 @@ gq_e AS (
 SELECT grp AS event_type, q_pml::BIGINT AS q_pml, vmic AS v_micro
 FROM gq_e WHERE rn = (q_pml * n + 999) // 1000
 """,
+        # kgspark.embed.signed_random_projection: the SAME md5-derived ±1
+        # sign matrix (rproj_signs), quantize-once-then-integer-sum
+        "embed_rproj": _rproj_oracle_sql(out_dim=16, in_dim=64),
     }

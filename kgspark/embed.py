@@ -157,3 +157,68 @@ def cosine_cols(a, b, na=None, nb=None):
     if nb is None:
         nb = l2_norm(b)
     return dot_cols(a, b) / (na * nb)
+
+
+def rproj_signs(out_dim: int, in_dim: int, seed: str = "rp") -> list:
+    """Deterministic ±1 Rademacher sign matrix for signed random
+    projection, derived from md5 so ANY engine (or the SQL oracle) can
+    reproduce it: sign[j][i] = +1 if the first md5 nibble of
+    f"{seed}:{j}:{i}" is even else -1. Achlioptas (JACM 2003) shows ±1
+    entries satisfy the Johnson–Lindenstrauss lemma with the same
+    distortion bounds as Gaussian projections — no float RNG needed."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def signed_random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix: out[j] = Σ_i sign[j][i] · v[i], emitted as exact integer
+    micro-units. Each input element is quantized ONCE
+    (round(v·1e6) as long) and then only multiplied by ±1 and summed —
+    pure integer arithmetic after the single rounding, so the result is
+    bit-identical on any engine and any partition order (the repo fp64
+    parity rule, applied before the sum as always).
+
+    Returns the input row plus `rp_0..rp_{out_dim-1}` long columns.
+
+    Shape: a narrow projection — one transform() to micro-quantize, then
+    out_dim JVM-side zip_with/aggregate passes per row; no shuffle, no
+    UDF, no Python crossing. At 100 TB this is a map-only stage that
+    whole-stage-codegens; the sign matrix is out_dim×in_dim literals in
+    the plan (≤ a few KB), not a broadcast."""
+    signs = rproj_signs(out_dim, in_dim, seed)
+    vmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    out = df.withColumn("__vmic", vmic)
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        out = out.withColumn(
+            f"rp_{j}",
+            F.aggregate(
+                F.zip_with("__vmic", sj, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out.drop("__vmic")

@@ -218,3 +218,38 @@ def test_textrank_hub_outranks_leaf(spark):
     assert set(ranks) == {"alpha", "beta", "gamma", "delta", "core"}
     assert ranks["core"] == max(ranks.values())
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# signed_random_projection
+# ---------------------------------------------------------------------------
+
+def test_rproj_matches_bruteforce_and_preserves_similarity(spark):
+    from kgspark.embed import rproj_signs, signed_random_projection
+
+    vecs = [
+        (1, [0.5] * 8),
+        (2, [0.5] * 7 + [0.4]),          # near-dup of 1
+        (3, [(-1.0) ** i * 0.3 for i in range(8)]),  # far from 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: [r[f"rp_{j}"] for j in range(4)]
+        for r in signed_random_projection(
+            df, out_dim=4, in_dim=8
+        ).collect()
+    }
+    signs = rproj_signs(4, 8)
+    for vid, emb in vecs:
+        # fp32 storage: replicate the float cast
+        import struct
+        mic = [
+            round(struct.unpack("f", struct.pack("f", v))[0] * 1e6)
+            for v in emb
+        ]
+        want = [sum(s * m for s, m in zip(signs[j], mic)) for j in range(4)]
+        assert out[vid] == want, vid
+    # JL sanity: near-dup pair stays closer than the far pair in L1
+    d12 = sum(abs(a - b) for a, b in zip(out[1], out[2]))
+    d13 = sum(abs(a - b) for a, b in zip(out[1], out[3]))
+    assert d12 < d13
