@@ -2455,6 +2455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = signed_random_projection(emb, out_dim=16, in_dim=64)
         return out.select("vec_id", *[f"rp_{j}" for j in range(16)])
 
+    def web_reciprocal(spark, sf_dir):
+        # per-host link reciprocity (link-farm signal): mutual-pair fold
+        # with NO self-join, integer-ppm reciprocity rate
+        from kgspark.web import host_graph, reciprocity_census
+
+        return reciprocity_census(host_graph(_web_pages(spark, sf_dir)))
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2617,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_markov": rel_markov,
         "rel_quantiles": rel_quantiles,
         "embed_rproj": embed_rproj,
+        "web_reciprocal": web_reciprocal,
     }
 
 
@@ -5704,4 +5712,58 @@ FROM gq_e WHERE rn = (q_pml * n + 999) // 1000
         # kgspark.embed.signed_random_projection: the SAME md5-derived ±1
         # sign matrix (rproj_signs), quantize-once-then-integer-sum
         "embed_rproj": _rproj_oracle_sql(out_dim=16, in_dim=64),
+        # kgspark.web.reciprocity_census over host_graph(_web_pages):
+        # unordered-pair fold (no self-join), integer-ppm rate
+        "web_reciprocal": """
+WITH wp AS (
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 50) || '.example.com/p/' || doc_id AS url,
+         '<html><body><p>' || "text" || '</p><a href="https://www.site'
+           || ((doc_id * 7) % 50) || '.example.com/p/' || (doc_id % 97)
+           || '">x</a> <a href="http://www.site' || ((doc_id * 13) % 50)
+           || '.example.com/q'
+           || CASE WHEN doc_id % 5 = 0
+                THEN '">y</a><a href="https://cdn.assets-host.org/lib.js'
+                ELSE '">y</a>' END
+           || '"></body></html>' AS html
+  FROM documents
+),
+wl AS (
+  SELECT url,
+         unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"', 1)) AS link
+  FROM wp
+),
+we AS (
+  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS src_host,
+         lower(regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS dst_host
+  FROM wl
+),
+wg AS (
+  SELECT src_host, dst_host, count(*) AS n FROM we
+  WHERE src_host <> dst_host GROUP BY 1, 2
+),
+wk AS (
+  SELECT least(src_host, dst_host) AS host_a,
+         greatest(src_host, dst_host) AS host_b,
+         CASE WHEN src_host < dst_host THEN n ELSE 0 END AS fwd,
+         CASE WHEN src_host > dst_host THEN n ELSE 0 END AS rev
+  FROM wg
+),
+wm AS (
+  SELECT host_a, host_b, sum(fwd)::BIGINT AS n_ab, sum(rev)::BIGINT AS n_ba
+  FROM wk GROUP BY 1, 2 HAVING sum(fwd) > 0 AND sum(rev) > 0
+),
+wdeg AS (
+  SELECT src_host AS host, count(DISTINCT dst_host)::BIGINT AS n_out
+  FROM wg GROUP BY 1
+),
+wrec AS (
+  SELECT host, count(*)::BIGINT AS n_recip FROM (
+    SELECT host_a AS host FROM wm UNION ALL SELECT host_b FROM wm
+  ) GROUP BY 1
+)
+SELECT d.host, d.n_out, coalesce(r.n_recip, 0)::BIGINT AS n_recip,
+       ((coalesce(r.n_recip, 0) * 1000000) // d.n_out)::BIGINT AS recip_ppm
+FROM wdeg d LEFT JOIN wrec r USING (host)
+""",
     }

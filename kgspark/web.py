@@ -511,3 +511,77 @@ def robots_allowed(
         F.coalesce("rule", F.lit("none")).alias("matched_rule"),
         F.coalesce("path", F.lit("")).alias("matched_path"),
     )
+
+
+def reciprocal_pairs(edges: DataFrame, src_col: str = "src_host",
+                     dst_col: str = "dst_host",
+                     n_col: str = "n") -> DataFrame:
+    """Mutual host-link pairs from a host graph: (host_a, host_b, n_ab,
+    n_ba) with host_a < host_b and BOTH directions present. Reciprocal
+    linking at abnormal density is the classic link-farm / link-exchange
+    signal (e.g. TrustRank-era spam literature) — organic host graphs are
+    strongly asymmetric.
+
+    Shape: NO self-join — each directed edge maps to its unordered pair
+    key and one groupBy folds the two directions together with
+    conditional sums; mutual pairs are the rows where both sides landed.
+    One shuffle on the pair key, linear in edge count at any scale.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    keyed = edges.where(a != b).select(
+        F.least(a, b).alias("host_a"),
+        F.greatest(a, b).alias("host_b"),
+        F.when(a < b, F.col(n_col)).otherwise(F.lit(0)).alias("__fwd"),
+        F.when(a > b, F.col(n_col)).otherwise(F.lit(0)).alias("__rev"),
+    )
+    return (
+        keyed.groupBy("host_a", "host_b")
+        .agg(
+            F.sum("__fwd").cast("long").alias("n_ab"),
+            F.sum("__rev").cast("long").alias("n_ba"),
+        )
+        .where((F.col("n_ab") > 0) & (F.col("n_ba") > 0))
+    )
+
+
+def reciprocity_census(edges: DataFrame, src_col: str = "src_host",
+                       dst_col: str = "dst_host",
+                       n_col: str = "n") -> DataFrame:
+    """Per-host reciprocity: (host, n_out, n_recip, recip_ppm) where n_out
+    counts distinct out-neighbors, n_recip counts how many of them link
+    back, and recip_ppm = n_recip·1e6 div n_out (integer floor division —
+    zero fp surface). Hosts with high out-degree AND recip_ppm near 1e6
+    are link-exchange candidates; crawl schedulers and quality scorers
+    downweight them.
+
+    Shape: the pair fold above + one explode of mutual pairs to both
+    endpoints + one out-degree groupBy + a broadcast-sized join when host
+    cardinality is dimension-like, a plain shuffled join otherwise (left
+    to AQE). Nothing quadratic anywhere.
+    """
+    deg = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("host"), F.col(dst_col).alias("__d"))
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    )
+    mutual = reciprocal_pairs(edges, src_col, dst_col, n_col)
+    recip = (
+        mutual.select(
+            F.explode(F.array("host_a", "host_b")).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    )
+    return (
+        deg.join(recip, "host", "left")
+        .select(
+            "host",
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+            F.expr(
+                "coalesce(n_recip, 0) * 1000000 div n_out"
+            ).cast("long").alias("recip_ppm"),
+        )
+    )

@@ -415,3 +415,35 @@ def test_robots_allowed_specific_group_wins(spark):
     u = spark.createDataFrame([("https://t.example.com/a/x",)], "url string")
     r = robots_allowed(u, robots_rules(tie), "any").collect()[0]
     assert (r["allowed"], r["matched_rule"]) == (1, "allow")
+
+
+def test_reciprocal_pairs_and_census(spark):
+    from kgspark.web import reciprocal_pairs, reciprocity_census
+
+    edges = spark.createDataFrame(
+        [
+            ("a.com", "b.com", 3),   # mutual with b->a
+            ("b.com", "a.com", 2),
+            ("a.com", "c.com", 5),   # one-way
+            ("c.com", "d.com", 1),   # one-way
+            ("d.com", "c.com", 4),   # mutual with c->d
+            ("e.com", "e.com", 9),   # self edge dropped
+        ],
+        "src_host string, dst_host string, n long",
+    )
+    pairs = {
+        (r["host_a"], r["host_b"]): (r["n_ab"], r["n_ba"])
+        for r in reciprocal_pairs(edges).collect()
+    }
+    assert pairs == {("a.com", "b.com"): (3, 2), ("c.com", "d.com"): (1, 4)}
+
+    census = {
+        r["host"]: (r["n_out"], r["n_recip"], r["recip_ppm"])
+        for r in reciprocity_census(edges).collect()
+    }
+    # a links out to b,c (2), one reciprocal -> 500000 ppm
+    assert census["a.com"] == (2, 1, 500000)
+    assert census["b.com"] == (1, 1, 1000000)
+    assert census["c.com"] == (1, 1, 1000000)
+    assert census["d.com"] == (1, 1, 1000000)
+    assert "e.com" not in census  # only self edge -> no out-neighbors
