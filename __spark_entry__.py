@@ -2462,6 +2462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return reciprocity_census(host_graph(_web_pages(spark, sf_dir)))
 
+    def text_heaps(spark, sf_dir):
+        # Heaps-law vocabulary-growth curve at 10 corpus-prefix
+        # checkpoints; cumulative window runs over 10 rows, not the corpus
+        from kgspark.textstats import heaps_curve
+
+        return heaps_curve(_read(spark, sf_dir, "documents"), buckets=10)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2625,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_quantiles": rel_quantiles,
         "embed_rproj": embed_rproj,
         "web_reciprocal": web_reciprocal,
+        "text_heaps": text_heaps,
     }
 
 
@@ -5765,5 +5773,38 @@ wrec AS (
 SELECT d.host, d.n_out, coalesce(r.n_recip, 0)::BIGINT AS n_recip,
        ((coalesce(r.n_recip, 0) * 1000000) // d.n_out)::BIGINT AS recip_ppm
 FROM wdeg d LEFT JOIN wrec r USING (host)
+""",
+        # kgspark.textstats.heaps_curve: type first-occurrence attribution
+        # by min(bucket), cumulative window over the 10-row bucket table
+        "text_heaps": r"""
+WITH hp_base AS (
+  SELECT doc_id AS id, "text" AS t FROM documents
+  WHERE doc_id IS NOT NULL AND "text" IS NOT NULL
+),
+hp_max AS (SELECT max(id) AS mx FROM hp_base),
+hp_tok AS (
+  SELECT id,
+         least(9, (id * 10) // (mx + 1))::BIGINT AS bucket,
+         unnest(list_filter(string_split_regex(lower(t), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM hp_base CROSS JOIN hp_max
+),
+hp_b AS (
+  SELECT bucket, count(*)::BIGINT AS n_tok,
+         count(DISTINCT id)::BIGINT AS n_docs
+  FROM hp_tok GROUP BY bucket
+),
+hp_new AS (
+  SELECT bucket, count(*)::BIGINT AS n_new FROM (
+    SELECT tok, min(bucket) AS bucket FROM hp_tok GROUP BY tok
+  ) GROUP BY bucket
+)
+SELECT b.bucket,
+       (sum(b.n_docs) OVER w)::BIGINT AS cum_docs,
+       (sum(b.n_tok) OVER w)::BIGINT AS cum_tokens,
+       (sum(coalesce(n.n_new, 0)) OVER w)::BIGINT AS cum_types
+FROM hp_b b LEFT JOIN hp_new n USING (bucket)
+WINDOW w AS (ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
 """,
     }

@@ -10,7 +10,7 @@ unicode semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small high-frequency function-word lists; enough signal for n-gram-free
@@ -497,4 +497,68 @@ def script_mix(
             n_chars > 0,
             F.floor((F.lit(1000) * n_latin) / n_chars),
         ).otherwise(F.lit(0)).cast("long").alias("latin_permille"),
+    )
+
+
+def heaps_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative token count vs
+    cumulative distinct type count at `buckets` corpus-prefix checkpoints
+    (docs in id order). The curve V(n) ≈ K·n^β (Heaps 1978) is the
+    standard corpus-health diagnostic — a near-linear curve means the
+    corpus keeps injecting novel vocabulary (OCR noise, boilerplate IDs),
+    a flat one means it's saturated/duplicated.
+
+    Returns (bucket, cum_docs, cum_tokens, cum_types) — all exact longs,
+    all cumulative over the id-ordered corpus prefix.
+
+    Shape: tokens explode once; new-type attribution is min(id) per type
+    (one groupBy); per-bucket sums reduce everything to `buckets` rows and
+    ONLY THEN does a cumulative window run — the global order lives on a
+    buckets-row table, never on the corpus. At 100 TB: two shuffles
+    (type groupBy, bucket groupBy) and a trivially small window.
+    """
+    if buckets < 1:
+        raise ValueError("heaps_curve: buckets must be >= 1")
+    base = df.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    hi = base.agg(F.max("__id").alias("__max"))
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.expr(f"__id * {buckets} div (__max + 1)"),
+    ).cast("long")
+    toks = base.crossJoin(F.broadcast(hi)).select(
+        "__id",
+        bucket.alias("bucket"),
+        F.explode(ws_tokens(F.col("__t"))).alias("tok"),
+    )
+    per_bucket_tokens = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("__id").cast("long").alias("n_docs"),
+    )
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    folded = per_bucket_tokens.join(new_types, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return folded.select(
+        "bucket",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new").over(w).cast("long").alias("cum_types"),
     )

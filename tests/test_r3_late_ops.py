@@ -253,3 +253,27 @@ def test_rproj_matches_bruteforce_and_preserves_similarity(spark):
     d12 = sum(abs(a - b) for a, b in zip(out[1], out[2]))
     d13 = sum(abs(a - b) for a, b in zip(out[1], out[3]))
     assert d12 < d13
+
+
+# ---------------------------------------------------------------------------
+# heaps_curve
+# ---------------------------------------------------------------------------
+
+def test_heaps_curve_cumulative_and_saturation(spark):
+    from kgspark.textstats import heaps_curve
+
+    # ids 0..9 with buckets=2 -> bucket 0 = ids 0-4, bucket 1 = ids 5-9
+    rows = [(i, "alpha beta") for i in range(5)]
+    rows += [(i, "alpha gamma delta") for i in range(5, 10)]
+    rows += [(10, None)]  # null text dropped (max id still counts? no: dropped)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["cum_docs"], r["cum_tokens"], r["cum_types"])
+        for r in heaps_curve(df, buckets=2).collect()
+    }
+    # null-text row dropped BEFORE max(): max id = 9, split at id 5
+    assert got[0] == (5, 10, 2)            # alpha,beta
+    assert got[1] == (10, 25, 4)           # + gamma,delta
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heaps_curve(df, buckets=0)
