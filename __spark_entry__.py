@@ -2469,6 +2469,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return heaps_curve(_read(spark, sf_dir, "documents"), buckets=10)
 
+    def kg_ktruss(spark, sf_dir):
+        # 2 synchronous 4-truss peel rounds (edges in >= 2 surviving
+        # triangles) over the part-attribute co-occurrence graph — the
+        # extracted triple graph is triangle-free at small SF (see
+        # kg_triangles), so truss peeling is exercised where triangles
+        # exist by construction
+        from kgspark.graph_algs import k_truss
+
+        p = _read(spark, sf_dir, "part").withColumn(
+            "p_sz", F.concat(F.lit("size:"), F.col("p_size").cast("string"))
+        )
+        e = (
+            p.select(F.col("p_brand").alias("subj"), F.col("p_type").alias("obj"))
+            .union(p.select(F.col("p_type"), F.col("p_sz")))
+            .union(p.select(F.col("p_brand"), F.col("p_sz")))
+        )
+        return k_truss(e, k=4, rounds=2)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2633,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_rproj": embed_rproj,
         "web_reciprocal": web_reciprocal,
         "text_heaps": text_heaps,
+        "kg_ktruss": kg_ktruss,
     }
 
 
@@ -5806,5 +5825,48 @@ SELECT b.bucket,
 FROM hp_b b LEFT JOIN hp_new n USING (bucket)
 WINDOW w AS (ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING
              AND CURRENT ROW)
+""",
+        # kgspark.graph_algs.k_truss (k=4, rounds=2) over the part-attribute
+        # co-occurrence graph: the oracle enumerates each triangle once as
+        # x<y<z over canonical edges — the same triangle set the Spark side
+        # finds via degree-ordered orientation
+        "kg_ktruss": """
+WITH kt_raw AS (
+  SELECT p_brand AS subj, p_type AS obj FROM part
+  UNION ALL SELECT p_type, 'size:' || p_size::VARCHAR FROM part
+  UNION ALL SELECT p_brand, 'size:' || p_size::VARCHAR FROM part
+),
+kt_e0 AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM kt_raw WHERE subj <> obj
+),
+kt_t0 AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM kt_e0 e1
+  JOIN kt_e0 e2 ON e2.a = e1.b
+  JOIN kt_e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+kt_s0 AS (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM kt_t0
+    UNION ALL SELECT y AS a, z AS b FROM kt_t0
+    UNION ALL SELECT x AS a, z AS b FROM kt_t0
+  ) GROUP BY a, b HAVING count(*) >= 2
+),
+kt_e1 AS (SELECT a, b FROM kt_s0),
+kt_t1 AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM kt_e1 e1
+  JOIN kt_e1 e2 ON e2.a = e1.b
+  JOIN kt_e1 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+kt_s1 AS (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM kt_t1
+    UNION ALL SELECT y AS a, z AS b FROM kt_t1
+    UNION ALL SELECT x AS a, z AS b FROM kt_t1
+  ) GROUP BY a, b HAVING count(*) >= 2
+)
+SELECT a, b, sup::BIGINT AS support FROM kt_s1
 """,
     }

@@ -486,3 +486,27 @@ def test_wl_refine_structural_classes(spark):
     e3 = spark.createDataFrame(star, "subj string, pred string, obj string")
     got3 = {r["node"]: r["wl_color"] for r in wl_refine(e3, rounds=1).collect()}
     assert got3["x"] == got3["y"] != got3["z"]
+
+
+def test_k_truss_peels_tail_edges(spark):
+    from kgspark.graph_algs import k_truss
+
+    # K4 on {a,b,c,d}: every edge in 2 triangles -> survives 4-truss.
+    # Pendant triangle {d,e,f}: edges have support 1 -> peeled at k=4.
+    # Bridge edge f-g: support 0 -> peeled immediately.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    extra = [("d", "e"), ("d", "f"), ("e", "f"), ("f", "g")]
+    edges = spark.createDataFrame(k4 + extra, "subj string, obj string")
+    out = {(r["a"], r["b"]): r["support"]
+           for r in k_truss(edges, k=4, rounds=2).collect()}
+    assert set(out) == set(k4)
+    assert all(s == 2 for s in out.values())
+    # k=3 keeps the pendant triangle too
+    out3 = {(r["a"], r["b"]): r["support"]
+            for r in k_truss(edges, k=3, rounds=2).collect()}
+    assert set(out3) == set(k4) | {("d", "e"), ("d", "f"), ("e", "f")}
+    assert ("f", "g") not in out3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        k_truss(edges, k=2)
