@@ -2487,6 +2487,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return k_truss(e, k=4, rounds=2)
 
+    def link_blocking(spark, sf_dir):
+        # blocking-scheme quality census: reduction ratio + pairs
+        # completeness as integer ppm; the perturbed copy re-hashes every
+        # 11th key into a different block to create genuine blocking misses
+        from kgspark.linkrec import blocking_quality
+
+        c = _read(spark, sf_dir, "customer")
+        base = c.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("blk_nat"),
+            (F.col("c_custkey") % 20).alias("blk_h"),
+        )
+        pert = c.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("blk_nat"),
+            F.when(F.col("c_custkey") % 11 == 0,
+                   (F.col("c_custkey") * 7) % 20)
+            .otherwise(F.col("c_custkey") % 20).alias("blk_h"),
+        )
+        truth = c.select(
+            F.col("c_custkey").alias("id_a"),
+            F.col("c_custkey").alias("id_b"),
+        )
+        return blocking_quality(
+            base, pert, "id", ["blk_nat", "blk_h"], truth
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2652,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_reciprocal": web_reciprocal,
         "text_heaps": text_heaps,
         "kg_ktruss": kg_ktruss,
+        "link_blocking": link_blocking,
     }
 
 
@@ -5868,5 +5896,41 @@ kt_s1 AS (
   ) GROUP BY a, b HAVING count(*) >= 2
 )
 SELECT a, b, sup::BIGINT AS support FROM kt_s1
+""",
+        # kgspark.linkrec.blocking_quality: candidate volume from per-block
+        # COUNT products, coverage from id joins — never forms a pair
+        "link_blocking": """
+WITH lb_a AS (
+  SELECT c_custkey AS id, c_nationkey AS blk_nat,
+         c_custkey % 20 AS blk_h
+  FROM customer
+),
+lb_b AS (
+  SELECT c_custkey AS id, c_nationkey AS blk_nat,
+         CASE WHEN c_custkey % 11 = 0 THEN (c_custkey * 7) % 20
+              ELSE c_custkey % 20 END AS blk_h
+  FROM customer
+),
+lb_ca AS (SELECT blk_nat, blk_h, count(*) AS na FROM lb_a GROUP BY 1, 2),
+lb_cb AS (SELECT blk_nat, blk_h, count(*) AS nb FROM lb_b GROUP BY 1, 2),
+lb_cand AS (
+  SELECT coalesce(sum(na * nb), 0)::BIGINT AS n_cand
+  FROM lb_ca JOIN lb_cb USING (blk_nat, blk_h)
+),
+lb_sz AS (
+  SELECT (SELECT count(*) FROM lb_a)::BIGINT AS n_a,
+         (SELECT count(*) FROM lb_b)::BIGINT AS n_b
+),
+lb_cov AS (
+  SELECT count(*)::BIGINT AS n_true,
+         coalesce(sum(CASE WHEN a.blk_nat = b.blk_nat
+                            AND a.blk_h = b.blk_h
+                      THEN 1 ELSE 0 END), 0)::BIGINT AS n_covered
+  FROM lb_a a JOIN lb_b b ON a.id = b.id
+)
+SELECT n_a, n_b, n_cand, n_true, n_covered,
+       ((n_a * n_b - n_cand) * 1000000 // (n_a * n_b))::BIGINT AS rr_ppm,
+       (n_covered * 1000000 // n_true)::BIGINT AS pc_ppm
+FROM lb_sz CROSS JOIN lb_cand CROSS JOIN lb_cov
 """,
     }

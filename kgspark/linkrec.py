@@ -131,3 +131,94 @@ def u_estimates(df: DataFrame, fields: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def blocking_quality(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    true_pairs: DataFrame,
+) -> DataFrame:
+    """Blocking-scheme quality census (Christen, *Data Matching* 2012,
+    ch. 4): ONE row of exact integers —
+
+      n_a, n_b        input sizes
+      n_cand          candidate pairs the blocking generates
+                      (Σ_blocks |A_b|·|B_b|, computed from per-block
+                      COUNTS — the pairs themselves are never formed)
+      n_true          ground-truth match pairs
+      n_covered       true pairs whose records share a block key
+      rr_ppm          reduction ratio  = (n_a·n_b − n_cand)·1e6 div n_a·n_b
+      pc_ppm          pairs completeness = n_covered·1e6 div n_true
+
+    The two ppm numbers are THE standard blocking trade-off: rr → 1 means
+    cheap, pc → 1 means no missed matches. Integer floor division keeps
+    the row bit-identical on any engine; an empty input or empty
+    true-pair set yields the -1 sentinel instead of NULL (the repo's
+    sortable-output rule).
+
+    Shape: one groupBy per side on the block key (map-side combined), a
+    key-to-key join of two COUNT tables (block-cardinality-sized, not
+    record-sized), and two id joins for coverage — nothing ever
+    materializes a record pair, so the census itself is 100 TB-safe even
+    when the blocking it measures is not.
+
+    `true_pairs` must have columns (id_a, id_b). NULL block keys never
+    match anything (SQL equality semantics), mirroring the join the
+    blocking would actually run.
+    """
+    blk = [F.col(c) for c in block_cols]
+    ca = a.groupBy(*blk).agg(F.count(F.lit(1)).alias("__na"))
+    cb = b.groupBy(*blk).agg(F.count(F.lit(1)).alias("__nb"))
+    cand = (
+        ca.join(cb, list(block_cols))
+        .agg(F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0))
+             .cast("long").alias("n_cand"))
+    )
+    sizes = (
+        a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+    )
+    akeys = a.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__ka_{c}") for c in block_cols],
+    )
+    bkeys = b.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__kb_{c}") for c in block_cols],
+    )
+    shared = None
+    for c in block_cols:
+        eq = F.col(f"__ka_{c}") == F.col(f"__kb_{c}")
+        shared = eq if shared is None else (shared & eq)
+    cov = (
+        true_pairs.select("id_a", "id_b")
+        .join(akeys, "id_a")
+        .join(bkeys, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.coalesce(
+                F.sum(F.when(shared, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_covered"),
+        )
+    )
+    return (
+        sizes.crossJoin(cand)
+        .crossJoin(cov)
+        .select(
+            "n_a",
+            "n_b",
+            "n_cand",
+            "n_true",
+            "n_covered",
+            F.expr(
+                "CASE WHEN n_a * n_b = 0 THEN -1"
+                " ELSE (n_a * n_b - n_cand) * 1000000 div (n_a * n_b) END"
+            ).cast("long").alias("rr_ppm"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN -1"
+                " ELSE n_covered * 1000000 div n_true END"
+            ).cast("long").alias("pc_ppm"),
+        )
+    )

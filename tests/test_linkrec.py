@@ -56,3 +56,30 @@ def test_u_estimates_exact_integers(spark):
            for r in u_estimates(df, ["name", "v"]).collect()}
     assert got["name"] == (4 + 4 + 1, 5)   # x:2, y:2, z:1
     assert got["v"] == (4, 4)              # all distinct, null dropped
+
+
+def test_blocking_quality_metrics(spark):
+    from kgspark.linkrec import blocking_quality
+
+    # 4 records each side; blocking on k. b3's key moved to a different
+    # block -> 1 of 4 true pairs not covered.
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "z")], "id long, k string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "q"), (4, "z")], "id long, k string"
+    )
+    truth = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "id_a long, id_b long"
+    )
+    row = blocking_quality(a, b, "id", ["k"], truth).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (4, 4)
+    # blocks: x -> 2*2, z -> 1*1 (y/q don't align) = 5 candidates
+    assert row["n_cand"] == 5
+    assert row["n_true"] == 4 and row["n_covered"] == 3
+    assert row["rr_ppm"] == (16 - 5) * 1000000 // 16
+    assert row["pc_ppm"] == 750000
+    # empty truth -> -1 sentinel, never NULL
+    empty = truth.limit(0)
+    row2 = blocking_quality(a, b, "id", ["k"], empty).collect()[0]
+    assert row2["pc_ppm"] == -1 and row2["n_true"] == 0
