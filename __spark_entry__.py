@@ -2514,6 +2514,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base, pert, "id", ["blk_nat", "blk_h"], truth
         )
 
+    def text_phrase(spark, sf_dir):
+        # exact consecutive-token phrase query (decontamination audit
+        # shape): anchors on the first term's postings, verifies the rest
+        # via element_at on the materialized token array — no joins
+        from kgspark.search import phrase_search
+
+        return phrase_search(
+            _read(spark, sf_dir, "documents"), ["key", "scan"]
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2680,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heaps": text_heaps,
         "kg_ktruss": kg_ktruss,
         "link_blocking": link_blocking,
+        "text_phrase": text_phrase,
     }
 
 
@@ -5932,5 +5943,22 @@ SELECT n_a, n_b, n_cand, n_true, n_covered,
        ((n_a * n_b - n_cand) * 1000000 // (n_a * n_b))::BIGINT AS rr_ppm,
        (n_covered * 1000000 // n_true)::BIGINT AS pc_ppm
 FROM lb_sz CROSS JOIN lb_cand CROSS JOIN lb_cov
+""",
+        # kgspark.search.phrase_search(["key","scan"]): adjacent-token
+        # match via direct array indexing over the same tokenization
+        "text_phrase": r"""
+WITH ph_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents WHERE "text" IS NOT NULL
+),
+ph_hit AS (
+  SELECT doc_id, i AS pos
+  FROM ph_t, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE l[i] = 'key' AND l[i + 1] = 'scan'
+)
+SELECT doc_id, count(*)::BIGINT AS n_hits, min(pos)::BIGINT AS first_pos
+FROM ph_hit GROUP BY doc_id
 """,
     }

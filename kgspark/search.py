@@ -170,3 +170,54 @@ def rrf_fuse(
     return fused.orderBy(F.col("rrf_nanos").desc(), F.col(id_col).asc()).limit(
         top_k
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase query (consecutive-token match) over the corpus:
+    (doc_id, n_hits, first_pos) for documents containing `phrase` as
+    adjacent whitespace tokens (lowercased — the same tokenization as
+    bm25_topk, so the two compose into match-then-rank). first_pos is
+    1-based. The workhorse of decontamination audits ("which documents
+    contain this benchmark prompt verbatim?") where BM25's bag-of-words
+    scoring is too loose.
+
+    Shape: map-only until the final per-doc groupBy — the token array is
+    materialized ONCE (the Catalyst HOF re-evaluation trap; CLAUDE.md),
+    candidate anchors come from posexplode filtered to the FIRST phrase
+    term (so downstream work is proportional to df(first term), not token
+    volume), and the remaining terms verify via element_at on the same
+    row. No joins, no position-list intersection shuffles.
+    """
+    terms = [t.lower() for t in phrase]
+    if not terms or any(not t or " " in t for t in terms):
+        raise ValueError("phrase_search: phrase must be non-empty tokens")
+    toks = materialize(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            ws_tokens(F.col(text_col)).alias("__l"),
+        )
+    )
+    anchors = toks.select(
+        "__id",
+        "__l",
+        F.posexplode("__l").alias("__i", "__tok"),
+    ).where(F.col("__tok") == terms[0])
+    cond = F.lit(True)
+    for k, t in enumerate(terms[1:], start=1):
+        # try_element_at: an anchor too close to the array tail is a
+        # non-match, not an ANSI out-of-bounds error
+        cond = cond & (
+            F.try_element_at("__l", F.col("__i") + F.lit(k + 1)) == t
+        )
+    hits = anchors.where(cond).select(
+        "__id", (F.col("__i") + 1).alias("pos")
+    )
+    return hits.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

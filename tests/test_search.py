@@ -110,3 +110,30 @@ def test_rrf_tie_scores_rank_by_id(spark):
     out = rrf_fuse([a], top_k=3).collect()
     # equal scores -> rank order 2, 5, 9
     assert [r.doc_id for r in out] == [2, 5, 9]
+
+
+def test_phrase_search_adjacency_and_overlap(spark):
+    from kgspark.search import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Quick brown fox the quick brown wolf"),
+            (2, "quick the brown fox"),          # terms present, not adjacent
+            (3, "ends with quick brown"),        # match at tail
+            (4, "quick"),                        # phrase longer than doc
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in phrase_search(df, ["quick", "brown"]).collect()}
+    assert got == {1: (2, 2), 3: (1, 3)}
+    # overlapping matches count each anchor: "a a a" has 2 hits of "a a"
+    df2 = spark.createDataFrame([(9, "a a a")], "doc_id long, text string")
+    got2 = phrase_search(df2, ["a", "a"]).collect()[0]
+    assert (got2["n_hits"], got2["first_pos"]) == (2, 1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phrase_search(df, ["two words"])
+    with _pytest.raises(ValueError):
+        phrase_search(df, [])
