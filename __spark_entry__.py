@@ -2524,6 +2524,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), ["key", "scan"]
         )
 
+    def rel_paths(spark, sf_dir):
+        # order-3 behavioural path census within 30-min gap sessions;
+        # one user shuffle serves both window passes
+        from kgspark.relops import session_paths
+
+        return session_paths(
+            _read(spark, sf_dir, "events"), n=3, gap_minutes=30
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2691,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ktruss": kg_ktruss,
         "link_blocking": link_blocking,
         "text_phrase": text_phrase,
+        "rel_paths": rel_paths,
     }
 
 
@@ -5960,5 +5970,35 @@ ph_hit AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_hits, min(pos)::BIGINT AS first_pos
 FROM ph_hit GROUP BY doc_id
+""",
+        # kgspark.relops.session_paths (n=3, 30-min gap): full-precision
+        # INTERVAL gap flag + cumsum sessions + two leads within sessions
+        "rel_paths": """
+WITH sp_base AS (
+  SELECT user_id AS u, ts, event_id AS id, event_type AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+sp_f AS (
+  SELECT u, ts, id, t,
+         CASE WHEN ts > lag(ts) OVER (PARTITION BY u ORDER BY ts, id)
+                     + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS nw
+  FROM sp_base
+),
+sp_s AS (
+  SELECT u, ts, id, t,
+         sum(nw) OVER (PARTITION BY u ORDER BY ts, id
+                       ROWS UNBOUNDED PRECEDING) AS s
+  FROM sp_f
+),
+sp_p AS (
+  SELECT t AS t_1,
+         lead(t, 1) OVER ws AS t_2,
+         lead(t, 2) OVER ws AS t_3
+  FROM sp_s WINDOW ws AS (PARTITION BY u, s ORDER BY ts, id)
+)
+SELECT t_1, t_2, t_3, count(*)::BIGINT AS n_paths
+FROM sp_p WHERE t_2 IS NOT NULL AND t_3 IS NOT NULL
+GROUP BY 1, 2, 3
 """,
     }

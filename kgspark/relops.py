@@ -616,3 +616,73 @@ def group_quantiles(
         F.col("q_pml").cast("long").alias("q_pml"),
         F.col("__vmic").alias("v_micro"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    n: int = 3,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Order-n behavioural path census: counts of every n-long run of
+    consecutive event types WITHIN a session (sessions split on
+    inactivity > `gap_minutes`). The classic clickstream funnel-mining
+    primitive — markov_transitions is its n=2 cousin without the session
+    boundary. Returns (t_1..t_n, n_paths), exact longs.
+
+    Shape: ONE shuffle on user_id serves both window passes (the gap-flag
+    cumsum that numbers sessions, then n-1 lead()s within (user, session))
+    — Spark reuses the partitioning, only the secondary sort differs.
+    No arrays are collected; hot users cost one sort, never memory.
+    """
+    if n < 2:
+        raise ValueError("session_paths: n must be >= 2")
+    base = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__id")
+    # full-precision timestamp + INTERVAL comparison (never truncate to
+    # epoch seconds first — microsecond gaps must sessionize identically
+    # on every engine; same pattern as streaming.sessionize)
+    prev = F.lag("__ts", 1).over(w)
+    flagged = base.select(
+        "__u",
+        "__ts",
+        "__id",
+        "__t",
+        F.when(
+            F.col("__ts")
+            > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES"),
+            1,
+        ).otherwise(0).alias("__new"),
+    )
+    sess = flagged.select(
+        "__u",
+        "__ts",
+        "__id",
+        "__t",
+        F.sum("__new").over(w).alias("__s"),
+    )
+    ws = Window.partitionBy("__u", "__s").orderBy("__ts", "__id")
+    cols = [F.col("__t").alias("t_1")]
+    cond = None
+    for k in range(1, n):
+        c = F.lead("__t", k).over(ws)
+        cols.append(c.alias(f"t_{k + 1}"))
+        cond = c.isNotNull() if cond is None else (cond & c.isNotNull())
+    return (
+        sess.select(*cols, cond.alias("__ok"))
+        .where(F.col("__ok"))
+        .groupBy(*[f"t_{k + 1}" for k in range(n)])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )

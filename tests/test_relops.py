@@ -222,3 +222,37 @@ def test_group_quantiles_exact_ranks(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         group_quantiles(df, "grp", "v", "id", permilles=(0,))
+
+
+def test_session_paths_respects_session_boundary(spark):
+    from kgspark.relops import session_paths
+
+    d = datetime
+    rows = [
+        # user 1 session 1: a b c d -> paths abc, bcd
+        (1, d(2024, 1, 1, 10, 0), 1, "a"),
+        (2, d(2024, 1, 1, 10, 5), 1, "b"),
+        (3, d(2024, 1, 1, 10, 10), 1, "c"),
+        (4, d(2024, 1, 1, 10, 15), 1, "d"),
+        # >30 min gap -> new session: e f g -> path efg (no d-e-f bridge)
+        (5, d(2024, 1, 1, 11, 0), 1, "e"),
+        (6, d(2024, 1, 1, 11, 1), 1, "f"),
+        (7, d(2024, 1, 1, 11, 2), 1, "g"),
+        # user 2: too short for n=3
+        (8, d(2024, 1, 1, 10, 0), 2, "a"),
+        (9, d(2024, 1, 1, 10, 1), 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r["t_1"], r["t_2"], r["t_3"]): r["n_paths"]
+           for r in session_paths(df, n=3, gap_minutes=30).collect()}
+    assert got == {("a", "b", "c"): 1, ("b", "c", "d"): 1,
+                   ("e", "f", "g"): 1}
+    # n=2 within sessions: d->e bridge still excluded
+    got2 = {(r["t_1"], r["t_2"]): r["n_paths"]
+            for r in session_paths(df, n=2, gap_minutes=30).collect()}
+    assert ("d", "e") not in got2 and got2[("a", "b")] == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        session_paths(df, n=1)
