@@ -2533,6 +2533,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "events"), n=3, gap_minutes=30
         )
 
+    def corpus_temperature(spark, sf_dir):
+        # T5-style temperature mixing weights (alpha = 0.5 via IEEE-exact
+        # sqrt, quantized before the normalizing integer division)
+        from kgspark.trainprep import temperature_weights
+
+        return temperature_weights(
+            _read(spark, sf_dir, "documents"), alpha_permille=500
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2701,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_blocking": link_blocking,
         "text_phrase": text_phrase,
         "rel_paths": rel_paths,
+        "corpus_temperature": corpus_temperature,
     }
 
 
@@ -6000,5 +6010,26 @@ sp_p AS (
 SELECT t_1, t_2, t_3, count(*)::BIGINT AS n_paths
 FROM sp_p WHERE t_2 IS NOT NULL AND t_3 IS NOT NULL
 GROUP BY 1, 2, 3
+""",
+        # kgspark.trainprep.temperature_weights (alpha=0.5): sqrt is
+        # IEEE-correctly-rounded, quantized before the integer division
+        "corpus_temperature": """
+WITH tw_c AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents
+  WHERE source IS NOT NULL GROUP BY source
+),
+tw_s AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(n_docs::DOUBLE) * 1000000.0, 0) AS BIGINT)
+           AS w_scaled
+  FROM tw_c
+),
+tw_t AS (
+  SELECT sum(w_scaled)::BIGINT AS tw, sum(n_docs)::BIGINT AS tn FROM tw_s
+)
+SELECT source, n_docs, w_scaled,
+       (w_scaled * 1000000 // tw)::BIGINT AS weight_ppm,
+       ((w_scaled * 1000000 // tw) * tn // n_docs)::BIGINT AS boost_ppm
+FROM tw_s CROSS JOIN tw_t
 """,
     }

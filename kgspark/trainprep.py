@@ -311,3 +311,65 @@ def weighted_sample(
             .alias("priority_unats"),
         )
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha_permille: int = 500,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights (the T5/mT5 recipe,
+    Raffel et al. 2020 §3.4.3): sampling weight ∝ n_s^α with α ∈ (0, 1]
+    flattening the source distribution so low-resource sources are not
+    drowned out. α is passed in permille (500 = the classic α = 0.5).
+
+    Returns one dimension-sized row per source:
+      (source, n_docs, w_scaled, weight_ppm, boost_ppm) where
+      w_scaled    = round(n_docs^α · 1e6)  — quantized ONCE per source
+      weight_ppm  = w_scaled · 1e6 div Σ w_scaled   (integer floor div)
+      boost_ppm   = weight_ppm · total_docs div n_docs — how many ppm of
+                    the mixed corpus each ORIGINAL doc of that source
+                    represents (>1e6 ⇒ upsampled)
+
+    Parity: α = 0.5 (the default and the contract value) computes via
+    sqrt(), which IEEE 754 REQUIRES to be correctly rounded — so the
+    quantized w_scaled is bit-identical on any engine. Other α use
+    pow(), which libms only round to ~1 ulp; a round() boundary hit is
+    then possible cross-engine (documented, not contract-exercised).
+    Either way the value is quantized to a long BEFORE the normalizing
+    sum, so the division is pure integer arithmetic (the repo rule).
+
+    Shape: one map-side-combined groupBy on source; everything after
+    runs on the dimension-sized source table. The output feeds
+    mix_sources-style acceptance sampling.
+    """
+    if not (0 < alpha_permille <= 1000):
+        raise ValueError(
+            "temperature_weights: alpha_permille must be in (0, 1000]"
+        )
+    cnt = (
+        df.where(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    if alpha_permille == 500:
+        raw = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        raw = F.pow(
+            F.col("n_docs").cast("double"), F.lit(alpha_permille / 1000.0)
+        )
+    w = F.round(raw * 1000000.0, 0).cast("long")
+    scored = cnt.select("source", "n_docs", w.alias("w_scaled"))
+    tot = scored.agg(
+        F.sum("w_scaled").cast("long").alias("__tw"),
+        F.sum("n_docs").cast("long").alias("__tn"),
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_scaled",
+        F.expr("w_scaled * 1000000 div __tw").cast("long")
+        .alias("weight_ppm"),
+        F.expr("(w_scaled * 1000000 div __tw) * __tn div n_docs")
+        .cast("long").alias("boost_ppm"),
+    )

@@ -185,3 +185,27 @@ def test_snapshot_delta_single_join_plan(spark):
     got = {r["status"] for r in out.collect()}
     assert got == {"added", "removed"}
     assert out.count() == 100  # 50 removed + 50 added
+
+
+def test_temperature_weights_flatten_distribution(spark):
+    import math
+
+    from kgspark.trainprep import temperature_weights
+
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small")
+                                              for i in range(10)]
+    rows.append((999, None))  # null source dropped
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in temperature_weights(df).collect()}
+    wb = round(math.sqrt(90) * 1e6)
+    ws = round(math.sqrt(10) * 1e6)
+    assert got["big"]["w_scaled"] == wb and got["small"]["w_scaled"] == ws
+    assert got["big"]["weight_ppm"] == wb * 1000000 // (wb + ws)
+    # alpha=0.5 flattens: small's share (25%) beats its raw share (10%)
+    assert got["small"]["weight_ppm"] > 100000
+    assert got["big"]["weight_ppm"] + got["small"]["weight_ppm"] <= 1000000
+    # boost: small docs upsampled (>1e6 ppm each), big downsampled
+    assert got["small"]["boost_ppm"] > 1000000 > got["big"]["boost_ppm"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_weights(df, alpha_permille=0)
