@@ -222,3 +222,93 @@ def signed_random_projection(
             ),
         )
     return out.drop("__vmic")
+
+
+def pq_codebook(
+    m: int = 8, k: int = 16, dsub: int = 8, seed: str = "pq",
+    half_range: int = 200000,
+) -> list:
+    """Deterministic integer PQ codebook: centroid value (micro-units) for
+    (subspace s, centroid c, dim d) = hex6(md5(f"{seed}:{s}:{c}:{d}"))
+    mod (2·half_range + 1) − half_range. A data-independent codebook is
+    the degenerate-but-deterministic end of the PQ spectrum (Jégou et al.
+    2011 use k-means; any codebook quantizes, trained ones just quantize
+    tighter) — and it makes every assignment reproducible on any engine
+    with no training artifact to ship."""
+    import hashlib
+
+    span = 2 * half_range + 1
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"{seed}:{s}:{c}:{d}".encode()).hexdigest()[
+                        :6
+                    ],
+                    16,
+                )
+                % span
+                - half_range
+                for d in range(dsub)
+            ]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    in_dim: int = 64,
+    seed: str = "pq",
+) -> DataFrame:
+    """Product-quantization code assignment: split the vector into `m`
+    subvectors, assign each to its nearest codebook centroid (squared L2),
+    emit `code_0..code_{m-1}` plus the total quantization distortion.
+    PQ codes are the memory layout of billion-scale ANN (IVF-PQ): 64 fp32
+    dims become m small ints — 32× smaller — and distance evaluation
+    becomes table lookups.
+
+    Determinism: the input is micro-quantized ONCE (round(v·1e6) long);
+    centroids are integers by construction; every distance is an exact
+    integer sum of squared integer diffs; argmin ties break to the lowest
+    centroid index (first position of the min). Bit-identical anywhere.
+
+    Shape: map-only — zip_with/aggregate JVM expressions per (subspace,
+    centroid), no shuffle, no UDF, no broadcast (the codebook is plan
+    literals, a few KB). Whole-stage codegen handles the m·k expressions.
+    """
+    if in_dim % m != 0:
+        raise ValueError("pq_assign: in_dim must be divisible by m")
+    dsub = in_dim // m
+    book = pq_codebook(m, k, dsub, seed)
+    vmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    out = df.withColumn("__vmic", vmic)
+    total = F.lit(0).cast("long")
+    for s in range(m):
+        sub = F.slice("__vmic", s * dsub + 1, dsub)
+        dists = []
+        for c in range(k):
+            cent = F.array(*[F.lit(v).cast("long") for v in book[s][c]])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            )
+        arr = F.array(*dists)
+        mind = F.array_min(arr)
+        out = out.withColumn(
+            f"code_{s}",
+            (F.array_position(arr, mind) - 1).cast("long"),
+        ).withColumn(f"__d_{s}", mind)
+        total = total + F.col(f"__d_{s}")
+    out = out.withColumn("distortion", total.cast("long"))
+    return out.drop("__vmic", *[f"__d_{s}" for s in range(m)])

@@ -277,3 +277,38 @@ def test_heaps_curve_cumulative_and_saturation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         heaps_curve(df, buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# pq_assign
+# ---------------------------------------------------------------------------
+
+def test_pq_assign_matches_bruteforce(spark):
+    import struct
+
+    from kgspark.embed import pq_assign, pq_codebook
+
+    vecs = [
+        (1, [0.1 * ((i % 5) - 2) for i in range(8)]),
+        (2, [0.0] * 8),
+        (3, [-0.2, 0.2] * 4),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    m, k, dsub = 2, 4, 4
+    out = {r["vec_id"]: r for r in pq_assign(df, m=m, k=k, in_dim=8).collect()}
+    book = pq_codebook(m, k, dsub)
+    for vid, emb in vecs:
+        mic = [round(struct.unpack("f", struct.pack("f", v))[0] * 1e6)
+               for v in emb]
+        total = 0
+        for s in range(m):
+            sub = mic[s * dsub:(s + 1) * dsub]
+            dists = [sum((a - b) ** 2 for a, b in zip(sub, book[s][c]))
+                     for c in range(k)]
+            best = min(range(k), key=lambda c: (dists[c], c))
+            assert out[vid][f"code_{s}"] == best, (vid, s)
+            total += dists[best]
+        assert out[vid]["distortion"] == total
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pq_assign(df, m=3, in_dim=8)
