@@ -173,3 +173,84 @@ def ivf_topk(
                             na=F.col("nrm"), nb=F.col("qnrm")), 6).alias("cos"),
     )
     return _topk_per_query(scored, k)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "pq",
+) -> DataFrame:
+    """IVF-PQ-style asymmetric distance search (Jégou et al. 2011): the
+    corpus is represented ONLY by its PQ codes (m small ints per vector —
+    the 32×-compressed layout billion-scale ANN actually stores); each
+    query keeps its exact vector and scores a candidate as
+
+        dist(q, x) = Σ_s ‖q_s − centroid_s[code_s(x)]‖²   (ADC)
+
+    Returns (query_id, vec_id, dist, rank) — top-k per query by
+    (dist asc, vec_id asc). All arithmetic is exact integer micro-units
+    (same quantization as pq_assign), so ranks are engine-independent.
+
+    Shape: corpus → codes is map-only (pq_assign); the query side is a
+    broadcast crossJoin (queries are few) and the per-pair ADC is a JVM
+    expression — element_at into the codebook literal per subspace, one
+    zip_with/aggregate per subspace. No Python, no shuffle of the corpus;
+    the only shuffle is the per-query top-k window over scored rows, and
+    a TakeOrdered-shaped aggregation bounds that at k rows per query.
+    At scale the codes table is what you persist; re-scoring never
+    touches the original vectors.
+    """
+    from kgspark.embed import pq_assign, pq_codebook
+
+    if in_dim % m != 0:
+        raise ValueError("pq_topk: in_dim must be divisible by m")
+    dsub = in_dim // m
+    book = pq_codebook(m, n_centroids, dsub, seed)
+    coded = pq_assign(
+        corpus, vec_col=vec_col, m=m, k=n_centroids, in_dim=in_dim,
+        seed=seed,
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        *[f"code_{s}" for s in range(m)],
+    )
+    qmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qmic.alias("__q")
+    )
+    pairs = coded.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dist = F.lit(0).cast("long")
+    for s in range(m):
+        cb = F.array(*[
+            F.array(*[F.lit(v).cast("long") for v in book[s][c]])
+            for c in range(n_centroids)
+        ])
+        cent = F.element_at(cb, (F.col(f"code_{s}") + 1).cast("int"))
+        sub = F.slice("__q", s * dsub + 1, dsub)
+        dist = dist + F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    scored = pairs.select(
+        "query_id", "vec_id", dist.cast("long").alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist",
+                F.col("rank").cast("long").alias("rank"))
+    )

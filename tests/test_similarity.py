@@ -55,3 +55,44 @@ def test_ivf_recall_at_nprobe_all(emb, queries):
     # probing 2/4 lists: results are a subset of the corpus with exact scores
     ivf2 = ivf_topk(assigned, centers, queries, k=5, nprobe=2)
     assert ivf2.count() > 0
+
+
+def test_pq_topk_adc_matches_bruteforce(spark):
+    import struct
+
+    from kgspark.embed import pq_codebook
+    from kgspark.similarity import pq_topk
+
+    vecs = [(i, [0.05 * ((i * 7 + j) % 9 - 4) for j in range(8)])
+            for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = pq_topk(df, df.where("vec_id < 1"), k=3, m=2, n_centroids=4,
+                  in_dim=8).collect()
+    # brute-force replica
+    m, cn, dsub = 2, 4, 4
+    book = pq_codebook(m, cn, dsub)
+
+    def mic(v):
+        return [round(struct.unpack("f", struct.pack("f", x))[0] * 1e6)
+                for x in v]
+
+    codes = {}
+    for vid, emb in vecs:
+        q = mic(emb)
+        codes[vid] = [
+            min(range(cn), key=lambda c: (
+                sum((a - b) ** 2
+                    for a, b in zip(q[s * dsub:(s + 1) * dsub], book[s][c])),
+                c))
+            for s in range(m)
+        ]
+    q0 = mic(vecs[0][1])
+    want = sorted(
+        (sum(sum((a - b) ** 2 for a, b in zip(
+            q0[s * dsub:(s + 1) * dsub], book[s][codes[vid][s]]))
+            for s in range(m)), vid)
+        for vid, _ in vecs if vid != 0
+    )[:3]
+    got = sorted((r["dist"], r["vec_id"]) for r in out)
+    assert got == want
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
