@@ -2675,6 +2675,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_centroids=16, in_dim=64,
         )
 
+    def rel_mad(spark, sf_dir):
+        # robust MAD outlier census per event type (3-MAD rule as integer
+        # tenths); lower medians at rank (n+1) div 2, zero fp surface
+        from kgspark.relops import mad_outliers
+
+        return mad_outliers(
+            _read(spark, sf_dir, "events"),
+            "event_type",
+            "value",
+            "event_id",
+            k_tenths=30,
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2846,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature": corpus_temperature,
         "embed_pq": embed_pq,
         "ann_pq": ann_pq,
+        "rel_mad": rel_mad,
     }
 
 
@@ -6172,4 +6186,41 @@ FROM tw_s CROSS JOIN tw_t
         "embed_pq": _pq_oracle_sql(m=8, k=16, in_dim=64),
         # kgspark.similarity.pq_topk: codes + VALUES codebook join ADC
         "ann_pq": _pq_topk_oracle_sql(m=8, k=16, in_dim=64, topk=5),
+        # kgspark.relops.mad_outliers: lower medians at rank (n+1)//2
+        # under (value, event_id) order, 3-MAD rule in integer tenths
+        "rel_mad": """
+WITH md_b AS (
+  SELECT event_type AS grp,
+         CAST(round("value" * 1000000.0, 0) AS BIGINT) AS v,
+         event_id AS o
+  FROM events WHERE event_type IS NOT NULL AND "value" IS NOT NULL
+),
+md_r AS (
+  SELECT grp, v, o,
+         row_number() OVER (PARTITION BY grp ORDER BY v, o) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM md_b
+),
+md_m AS (
+  SELECT grp, v AS med_micro, n::BIGINT AS n
+  FROM md_r WHERE rn = (n + 1) // 2
+),
+md_d AS (
+  SELECT b.grp, m.n, m.med_micro, b.o, abs(b.v - m.med_micro) AS d
+  FROM md_b b JOIN md_m m USING (grp)
+),
+md_dr AS (
+  SELECT grp, n, med_micro, d,
+         row_number() OVER (PARTITION BY grp ORDER BY d, o) AS rn
+  FROM md_d
+),
+md_mad AS (
+  SELECT grp, d AS mad_micro FROM md_dr WHERE rn = (n + 1) // 2
+)
+SELECT d.grp AS event_type, d.n, d.med_micro, a.mad_micro,
+       sum(CASE WHEN d.d * 10 > 30 * a.mad_micro THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM md_d d JOIN md_mad a USING (grp)
+GROUP BY 1, 2, 3, 4
+""",
     }

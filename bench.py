@@ -149,6 +149,28 @@ BENCH_QUERIES = [
     "rel_rolling",
     "text_collocations",
     "web_frontier",
+    "kg_clustering_coef",
+    "kg_relation_profile",
+    "rel_intervals",
+    "kg_wl_classes",
+    "web_robots_rules",
+    "web_robots_check",
+    "link_fs_pairs",
+    "link_fs_u",
+    "dedup_winnow",
+    "dedup_winnow_pairs",
+    "rel_markov",
+    "rel_quantiles",
+    "embed_rproj",
+    "web_reciprocal",
+    "text_heaps",
+    "kg_ktruss",
+    "link_blocking",
+    "text_phrase",
+    "rel_paths",
+    "corpus_temperature",
+    "embed_pq",
+    "ann_pq",
 ]
 
 

@@ -686,3 +686,89 @@ def session_paths(
         .groupBy(*[f"t_{k + 1}" for k in range(n)])
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    k_tenths: int = 30,
+) -> DataFrame:
+    """Robust per-group outlier census via the median absolute deviation:
+    (group, n, med_micro, mad_micro, n_outliers) where an outlier is
+    |x − median| · 10 > k_tenths · MAD (k_tenths = 30 ⇒ the classic 3·MAD
+    rule, expressed in integer tenths so no fp constant exists). Medians
+    are percentile_disc-style lower medians at rank ceil(n/2) under the
+    total (value, order_col) order — the same exact-integer rank trick as
+    group_quantiles, applied twice (once to values, once to absolute
+    deviations). MAD-based detection is the robust alternative to the
+    z-test in burst_windows: one wild value cannot drag the threshold.
+
+    All comparisons run in micro-unit longs; zero fp surface anywhere.
+
+    Shape: two group-partitioned window sorts + two dimension-sized joins
+    (one row per group each) + one conditional count. At 100 TB: two
+    shuffles on the group key; skew bounded by the largest group, as for
+    any exact order statistic.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 1000000.0, 0).cast("long").alias(
+            "__v"
+        ),
+        F.col(order_col).alias("__o"),
+    )
+    w1 = Window.partitionBy("grp").orderBy("__v", "__o")
+    ranked = base.select(
+        "grp",
+        "__v",
+        "__o",
+        F.row_number().over(w1).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("__n"),
+    )
+    med = ranked.where(
+        F.col("__rn") == F.expr("(__n + 1) div 2")
+    ).select("grp", F.col("__v").alias("med_micro"),
+             F.col("__n").cast("long").alias("n"))
+    dev = base.join(med, "grp").select(
+        "grp",
+        "n",
+        "med_micro",
+        "__o",
+        F.abs(F.col("__v") - F.col("med_micro")).alias("__d"),
+    )
+    w2 = Window.partitionBy("grp").orderBy("__d", "__o")
+    dranked = dev.select(
+        "grp",
+        "n",
+        "med_micro",
+        "__d",
+        F.row_number().over(w2).alias("__rn"),
+    )
+    mad = dranked.where(
+        F.col("__rn") == F.expr("(n + 1) div 2")
+    ).select("grp", F.col("__d").alias("mad_micro"))
+    return (
+        dev.join(mad, "grp")
+        .groupBy("grp", "n", "med_micro", "mad_micro")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__d") * 10 > F.lit(k_tenths) * F.col(
+                        "mad_micro"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "med_micro",
+            "mad_micro",
+            "n_outliers",
+        )
+    )

@@ -256,3 +256,27 @@ def test_session_paths_respects_session_boundary(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         session_paths(df, n=1)
+
+
+def test_mad_outliers_robust_to_single_spike(spark):
+    from kgspark.relops import mad_outliers
+
+    # g: values 1..9 plus one wild spike 1000. Median=5 (lower median of
+    # 10 values -> rank 5), deviations {0..4, 995}; MAD = lower median of
+    # sorted devs [0,1,1,2,2,3,3,4,4,995] -> rank 5 -> 2.
+    rows = [("g", i, float(i)) for i in range(1, 10)]
+    rows.append(("g", 99, 1000.0))
+    rows += [("h", 1, 7.0)]           # singleton: MAD 0, no outliers
+    rows += [("i", 1, None)]          # null dropped
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    got = {r["grp"]: r for r in
+           mad_outliers(df, "grp", "v", "id", k_tenths=30).collect()}
+    g = got["g"]
+    assert (g["n"], g["med_micro"], g["mad_micro"]) == (10, 5_000_000,
+                                                        2_000_000)
+    # outliers: |x-5|*10 > 30*2 -> |x-5| > 6 -> only the spike
+    assert g["n_outliers"] == 1
+    h = got["h"]
+    assert (h["n"], h["med_micro"], h["mad_micro"], h["n_outliers"]) == (
+        1, 7_000_000, 0, 0)
+    assert "i" not in got
