@@ -584,6 +584,50 @@ ss{i} AS (
     return ",".join(parts)
 
 
+def _ppr_sql(iterations: int = 2, d: float = 0.85) -> str:
+    """Unrolled multi-seed personalized PageRank — mirrors
+    kgspark.graph_algs.personalized_pagerank: teleport AND dangling mass
+    return to each walk's OWN seed; seeds = top-2 out-degree subjects."""
+    parts = ["""
+pp_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples),
+pp_deg AS (SELECT s, count(*)::DOUBLE AS d FROM pp_e GROUP BY s),
+pp_seed AS (
+  SELECT s AS node FROM (
+    SELECT s, row_number() OVER (ORDER BY count(*) DESC, s ASC) AS rn
+    FROM pp_e GROUP BY s
+  ) WHERE rn <= 2
+),
+pp0 AS (SELECT node AS seed, node, 1.0::DOUBLE AS rank FROM pp_seed)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f"""
+ppc{i} AS (
+  SELECT p.seed, e.t AS node, sum(p.rank / g.d) AS contrib
+  FROM pp_e e JOIN pp{i - 1} p ON p.node = e.s JOIN pp_deg g ON g.s = e.s
+  GROUP BY 1, 2
+),
+ppd{i} AS (
+  SELECT p.seed, coalesce(sum(p.rank), 0.0) AS dm
+  FROM pp{i - 1} p LEFT JOIN pp_deg g ON g.s = p.node WHERE g.s IS NULL
+  GROUP BY 1
+),
+pp{i} AS (
+  SELECT seed, node, sum(rank) AS rank FROM (
+    SELECT seed, node, {d}::DOUBLE * contrib AS rank FROM ppc{i}
+    UNION ALL
+    SELECT s.node AS seed, s.node AS node,
+           (1.0::DOUBLE - {d}::DOUBLE)
+             + {d}::DOUBLE * coalesce(dd.dm, 0.0) AS rank
+    FROM pp_seed s LEFT JOIN ppd{i} dd ON dd.seed = s.node
+  ) GROUP BY 1, 2
+)""")
+    return ",".join(parts) + f"""
+, pp_out AS (
+  SELECT seed, node, round(rank * 1e6, 0)::BIGINT AS rank_scaled
+  FROM pp{iterations}
+)
+"""
+
+
 def _trustrank_sql(iterations: int = 3, d: float = 0.85) -> str:
     """Unrolled seeded power iteration (TrustRank) — mirrors
     kgspark.graph_algs.trustrank: teleport AND dangling mass go to the
@@ -2688,6 +2732,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k_tenths=30,
         )
 
+    def kg_ppr(spark, sf_dir):
+        # multi-seed personalized PageRank (2 rounds): every seed's
+        # locality-biased rank vector in the SAME two shuffles per round
+        from kgspark.graph_algs import personalized_pagerank
+
+        t = _extract_triples(spark, sf_dir)
+        seeds = (
+            t.select("subj", "obj").distinct()
+            .groupBy("subj").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("subj").asc())
+            .limit(2)
+            .select("subj")
+        )
+        out = personalized_pagerank(t, seeds, iterations=2, damping=0.85)
+        return out.select(
+            "seed",
+            "node",
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias(
+                "rank_scaled"
+            ),
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2860,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq": embed_pq,
         "ann_pq": ann_pq,
         "rel_mad": rel_mad,
+        "kg_ppr": kg_ppr,
     }
 
 
@@ -6222,5 +6289,12 @@ SELECT d.grp AS event_type, d.n, d.med_micro, a.mad_micro,
          AS n_outliers
 FROM md_d d JOIN md_mad a USING (grp)
 GROUP BY 1, 2, 3, 4
+""",
+        # kgspark.graph_algs.personalized_pagerank: 2 unrolled rounds
+        # (see _ppr_sql); seeds = top-2 out-degree subjects
+        "kg_ppr": f"""
+WITH {_PARTS_ORACLE_CTE},
+{_ppr_sql(2, 0.85)}
+SELECT seed, node, rank_scaled FROM pp_out
 """,
     }

