@@ -2754,6 +2754,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def web_url_features(spark, sf_dir):
+        # structural URL features (pagination/facet/session-id signals)
+        # over synthesized crawl URLs — map-only column expressions
+        from kgspark.web import url_features
+
+        docs = _read(spark, sf_dir, "documents")
+        url = F.concat(
+            F.lit("https://www.site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/cat/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/item/"),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("?page="),
+                            (F.col("doc_id") % 9).cast("string")))
+            .when(F.col("doc_id") % 4 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#frag"))
+            .otherwise(F.lit("")),
+        )
+        return url_features(
+            docs.select("doc_id", url.alias("url"))
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2927,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": ann_pq,
         "rel_mad": rel_mad,
         "kg_ppr": kg_ppr,
+        "web_url_features": web_url_features,
     }
 
 
@@ -6296,5 +6322,42 @@ GROUP BY 1, 2, 3, 4
 WITH {_PARTS_ORACLE_CTE},
 {_ppr_sql(2, 0.85)}
 SELECT seed, node, rank_scaled FROM pp_out
+""",
+        # kgspark.web.url_features: same RE2-subset regexes both sides
+        "web_url_features": """
+WITH uf_u AS (
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 50) || '.example.com/cat/'
+         || (doc_id % 7) || '/item/' || (doc_id % 900 + 100)
+         || CASE WHEN doc_id % 4 = 0 THEN '?page=' || (doc_id % 9)
+                 WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+uf_p AS (
+  SELECT doc_id, url,
+         regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '[?]([^#]*)', 1) AS query,
+         lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1))
+           AS host
+  FROM uf_u
+)
+SELECT doc_id, url, host,
+       len(list_filter(string_split(path, '/'), s -> s <> ''))::BIGINT
+         AS path_depth,
+       len(list_filter(string_split(query, '&'),
+                       s -> regexp_matches(s, '^[^=]+=')))::BIGINT
+         AS n_params,
+       (CASE WHEN regexp_matches(url, '#') THEN 1 ELSE 0 END)::BIGINT
+         AS has_fragment,
+       (CASE WHEN regexp_matches(url, '/page/[0-9]+')
+                  OR regexp_matches(query, '(^|&)(page|p|offset|start)=')
+             THEN 1 ELSE 0 END)::BIGINT AS is_paginated,
+       (CASE WHEN regexp_matches(path, '/[0-9]{3,}(/|$)')
+             THEN 1 ELSE 0 END)::BIGINT AS has_numeric_id,
+       length(path)::BIGINT AS path_chars
+FROM uf_p
 """,
     }

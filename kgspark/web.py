@@ -585,3 +585,50 @@ def reciprocity_census(edges: DataFrame, src_col: str = "src_host",
             ).cast("long").alias("recip_ppm"),
         )
     )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Structural URL features — the cheap pre-fetch signals crawl
+    schedulers and corpus filters cut on (calendar/pagination traps,
+    infinite facet spaces, session-id churn): adds to each row
+
+      host          lowercased hostname
+      path_depth    number of non-empty path segments
+      n_params      query parameters (k=v pairs)
+      has_fragment  1/0
+      is_paginated  1/0 — /page/N path segment or a page/p/offset/start
+                    query parameter
+      has_numeric_id 1/0 — any pure-digit path segment of >= 3 digits
+      path_chars    path length in characters
+
+    All integers/flags via regex in the Java∩RE2∩DuckDB-common subset
+    (ASCII classes, no lookaround) — map-only, codegen'd, zero shuffle.
+    """
+    u = F.col(url_col)
+    path = F.regexp_extract(
+        u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(u, "[?]([^#]*)", 1)
+    return df.select(
+        "*",
+        host_of(u).alias("host"),
+        F.size(
+            F.filter(F.split(path, "/"), lambda s: s != "")
+        ).cast("long").alias("path_depth"),
+        F.size(
+            F.filter(
+                F.split(query, "&"), lambda s: s.rlike("^[^=]+=")
+            )
+        ).cast("long").alias("n_params"),
+        F.when(u.rlike("#"), 1).otherwise(0).cast("long").alias(
+            "has_fragment"
+        ),
+        F.when(
+            u.rlike("/page/[0-9]+")
+            | query.rlike("(^|&)(page|p|offset|start)="),
+            1,
+        ).otherwise(0).cast("long").alias("is_paginated"),
+        F.when(path.rlike("/[0-9]{3,}(/|$)"), 1).otherwise(0)
+        .cast("long").alias("has_numeric_id"),
+        F.length(path).cast("long").alias("path_chars"),
+    )

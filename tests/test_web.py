@@ -447,3 +447,29 @@ def test_reciprocal_pairs_and_census(spark):
     assert census["c.com"] == (1, 1, 1000000)
     assert census["d.com"] == (1, 1, 1000000)
     assert "e.com" not in census  # only self edge -> no out-neighbors
+
+
+def test_url_features_flags(spark):
+    from kgspark.web import url_features
+
+    urls = [
+        (1, "https://a.com/cat/x/item/123?page=2#frag"),
+        (2, "http://b.org/"),
+        (3, "https://c.net/a/b/c?x=1&y=2&noval"),
+        (4, "https://d.io/page/77"),
+        (5, "https://e.com/post/42"),          # 2-digit id: not numeric_id
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in url_features(df).collect()}
+    r1 = got[1]
+    assert (r1["host"], r1["path_depth"], r1["n_params"]) == ("a.com", 4, 1)
+    assert r1["has_fragment"] == 1 and r1["is_paginated"] == 1
+    assert r1["has_numeric_id"] == 1
+    r2 = got[2]
+    assert (r2["path_depth"], r2["n_params"], r2["has_fragment"]) == (0, 0, 0)
+    r3 = got[3]
+    assert r3["n_params"] == 2          # bare 'noval' is not a k=v pair
+    assert r3["is_paginated"] == 0
+    assert got[4]["is_paginated"] == 1  # /page/N path form
+    assert got[5]["has_numeric_id"] == 0
+    assert got[5]["path_chars"] == len("/post/42")
