@@ -353,6 +353,60 @@ SELECT vec_id, {", ".join(cols)} FROM rp_m
 """
 
 
+# text_bpe_apply: the pinned merge list BOTH sides fold, in rank order
+# (chosen to fire on the corpus vocabulary: 'table' -> [tab, le, ...])
+_BPE_APPLY_MERGES = [
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("s", "c"), ("a", "n"),
+    ("an", "d"),
+]
+
+
+def _bpe_apply_oracle_sql() -> str:
+    """Recursive-CTE twin of kgspark.bpe.bpe_apply_census over the SAME
+    pinned merges: state (word, merge-index mi, scan position, acc, cur)
+    steps one symbol per recursion row; finishing a pass promotes acc to
+    cur and advances mi — the exact fold_merge left-to-right semantics."""
+    n = len(_BPE_APPLY_MERGES)
+    vals = ", ".join(
+        f"({i + 1}, '{left}', '{right}')"
+        for i, (left, right) in enumerate(_BPE_APPLY_MERGES)
+    )
+    return rf"""
+WITH RECURSIVE
+ba_w AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower("text"), '\s+'),
+                              t -> t <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+ba_m AS (SELECT * FROM (VALUES {vals}) AS t(mi, l, r)),
+ba_r AS (
+  SELECT word, 1 AS mi, 1 AS pos,
+         CAST([] AS VARCHAR[]) AS acc,
+         [substring(word, i, 1) for i in range(1, length(word) + 1)] AS cur
+  FROM (SELECT DISTINCT word FROM ba_w)
+  UNION ALL
+  SELECT s.word,
+         CASE WHEN s.pos <= len(s.cur) THEN s.mi ELSE s.mi + 1 END,
+         CASE WHEN s.pos <= len(s.cur) THEN s.pos + 1 ELSE 1 END,
+         CASE WHEN s.pos <= len(s.cur) THEN
+           CASE WHEN len(s.acc) > 0 AND s.acc[-1] = m.l
+                     AND s.cur[s.pos] = m.r
+                THEN list_concat(s.acc[1:len(s.acc) - 1], [m.l || m.r])
+                ELSE list_concat(s.acc, [s.cur[s.pos]]) END
+         ELSE CAST([] AS VARCHAR[]) END,
+         CASE WHEN s.pos <= len(s.cur) THEN s.cur ELSE s.acc END
+  FROM ba_r s JOIN ba_m m ON m.mi = s.mi
+  WHERE s.mi <= {n}
+),
+ba_f AS (SELECT word, cur AS syms FROM ba_r WHERE mi = {n + 1})
+SELECT u.s AS subword, sum(w.cnt)::BIGINT AS n
+FROM ba_w w JOIN ba_f f USING (word), unnest(f.syms) AS u(s)
+GROUP BY u.s
+"""
+
+
 def _pq_oracle_sql(m: int = 8, k: int = 16, in_dim: int = 64) -> str:
     """Product-quantization oracle: the SAME pq_codebook() integer
     centroids the Spark operator embeds; exact integer squared-L2 sums,
@@ -2779,6 +2833,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", url.alias("url"))
         )
 
+    def text_bpe_apply(spark, sf_dir):
+        # tokenizer APPLY side: corpus subword census after folding a
+        # pinned merge list over the distinct-word table (Arrow-batched
+        # vocab segmentation; the corpus never re-tokenizes in Python)
+        from kgspark.bpe import bpe_apply_census
+
+        return bpe_apply_census(
+            _read(spark, sf_dir, "documents"), _BPE_APPLY_MERGES
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -2953,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_mad": rel_mad,
         "kg_ppr": kg_ppr,
         "web_url_features": web_url_features,
+        "text_bpe_apply": text_bpe_apply,
     }
 
 
@@ -6360,4 +6425,7 @@ SELECT doc_id, url, host,
        length(path)::BIGINT AS path_chars
 FROM uf_p
 """,
+        # kgspark.bpe.bpe_apply_census over the pinned _BPE_APPLY_MERGES:
+        # recursive-CTE fold, one symbol per recursion row
+        "text_bpe_apply": _bpe_apply_oracle_sql(),
     }

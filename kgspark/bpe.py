@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
-__all__ = ["word_counts", "pair_stats", "bpe_train"]
+__all__ = ["word_counts", "pair_stats", "bpe_train", "fold_merge",
+           "bpe_segment_words", "bpe_apply_census"]
 
 
 def word_counts(
@@ -131,4 +132,73 @@ def bpe_train(
         )
     return spark.createDataFrame(
         merges, "rank long, left string, right string, weight long"
+    )
+
+
+def fold_merge(syms: list, left: str, right: str) -> list:
+    """Greedy left-to-right application of ONE merge to a symbol list —
+    the exact fold bpe_train uses ((acc-tail == left, cur == right) →
+    replace tail with left+right; a freshly merged symbol only re-merges
+    if a later-scanned adjacency matches it). Shared by the pandas apply
+    path and the tests so Spark, Python, and the SQL oracle all agree."""
+    acc: list = []
+    for cur in syms:
+        if acc and acc[-1] == left and cur == right:
+            acc[-1] = left + right
+        else:
+            acc.append(cur)
+    return acc
+
+
+def bpe_segment_words(words: DataFrame, merges) -> DataFrame:
+    """(word, syms): segment each distinct word by applying `merges` (an
+    ordered [(left, right), ...] list, or a bpe_train output DataFrame
+    read in rank order) — each merge is one fold_merge pass, the same
+    semantics the trainer used, so re-applying a trained table to its
+    training vocabulary reproduces the trainer's final symbol state.
+
+    Scale shape: segmentation runs over the DISTINCT-WORD table (1e8
+    rows at web scale, not 1e14 tokens) in an Arrow-batched mapInPandas
+    — the classic tokenizer-apply layout; the corpus only ever joins the
+    segmented vocab back by word. The merge list is a driver-side
+    constant captured in the closure (tokenizer merge tables are a few
+    e4 entries — broadcast-sized by construction)."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    merges = list(merges)
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                syms = list(w)
+                for left, right in merges:
+                    syms = fold_merge(syms, left, right)
+                out.append(syms)
+            yield pd.DataFrame({"word": pdf["word"], "syms": out})
+
+    return words.select("word").distinct().mapInPandas(
+        seg, "word string, syms array<string>"
+    )
+
+
+def bpe_apply_census(
+    docs: DataFrame, merges, text_col: str = "text"
+) -> DataFrame:
+    """(subword, n): corpus subword-usage census after applying `merges`
+    — the fast sanity readout of a tokenizer against a corpus (fertility,
+    dead merges, coverage). One corpus shuffle (word counts), vocab-sized
+    segmentation, one weighted groupBy."""
+    wc = materialize(word_counts(docs, text_col))
+    seg = bpe_segment_words(wc, merges)
+    return (
+        wc.join(seg, "word")
+        .select(F.explode("syms").alias("subword"), "cnt")
+        .groupBy("subword")
+        .agg(F.sum("cnt").cast("long").alias("n"))
     )

@@ -69,3 +69,45 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     docs = spark.createDataFrame([("a b c",)], "text string")
     got = bpe_train(docs, 5).collect()
     assert got == []  # single-char words: nothing to merge
+
+
+def test_bpe_apply_reproduces_trainer_state(spark):
+    from kgspark.bpe import bpe_apply_census, bpe_segment_words, bpe_train, fold_merge
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=4)
+    mlist = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    # invariant: re-applying trained merges to the training vocab yields
+    # the same segmentation the trainer's fold produced
+    words = {r["word"]: r["syms"] for r in bpe_segment_words(
+        spark.createDataFrame(
+            [(w,) for w in ["low", "lower", "lowest", "new", "newer",
+                            "newest"]], "word string"),
+        merges).collect()}
+    for w, syms in words.items():
+        expect = list(w)
+        for left, right in mlist:
+            expect = fold_merge(expect, left, right)
+        assert syms == expect, w
+    # census: weighted by corpus word counts
+    census = {r["subword"]: r["n"]
+              for r in bpe_apply_census(docs, mlist).collect()}
+    total_syms = sum(census.values())
+    # 'low' appears 3x -> its symbols carry weight 3
+    assert total_syms > 0
+    low_syms = words["low"]
+    for s in set(low_syms):
+        assert census[s] >= 3 * low_syms.count(s)
+
+
+def test_fold_merge_greedy_left_to_right():
+    from kgspark.bpe import fold_merge
+
+    # freshly merged symbol does not chain within the same pass
+    assert fold_merge(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert fold_merge(list("aaa"), "a", "a") == ["aa", "a"]
+    assert fold_merge(["aa", "a", "a"], "aa", "a") == ["aaa", "a"]
+    assert fold_merge(list("xy"), "a", "b") == ["x", "y"]
