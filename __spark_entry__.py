@@ -2843,6 +2843,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), _BPE_APPLY_MERGES
         )
 
+    def web_warc(spark, sf_dir):
+        # WARC codec round-trip proof: serialize each doc as a WARC/1.0
+        # response record (stdlib writer in the same batch), parse it back
+        # with kgspark.warc.parse_warc_records, emit what the parser saw —
+        # the oracle computes the expected values straight from documents
+        docs = _read(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        ).select("doc_id", "text")
+
+        def roundtrip(batches):
+            import pandas as pd
+
+            from kgspark.warc import parse_warc_records
+
+            for pdf in batches:
+                rows = []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    body = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain"
+                        b"\r\n\r\n" + text.encode("utf-8")
+                    )
+                    blob = (
+                        b"WARC/1.0\r\n"
+                        b"WARC-Type: response\r\n"
+                        + f"WARC-Target-URI: https://corpus/{did}\r\n"
+                        .encode()
+                        + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                        + body + b"\r\n\r\n"
+                    )
+                    for rec in parse_warc_records(blob):
+                        rows.append({
+                            "target_uri": rec["target_uri"],
+                            "http_status": rec["http_status"],
+                            "n_payload_bytes": len(rec["payload"] or b""),
+                        })
+                yield pd.DataFrame(
+                    rows,
+                    columns=["target_uri", "http_status",
+                             "n_payload_bytes"],
+                )
+
+        return docs.mapInPandas(
+            roundtrip,
+            "target_uri string, http_status int, n_payload_bytes long",
+        ).select(
+            "target_uri",
+            F.col("http_status").cast("long").alias("http_status"),
+            "n_payload_bytes",
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3018,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": kg_ppr,
         "web_url_features": web_url_features,
         "text_bpe_apply": text_bpe_apply,
+        "web_warc": web_warc,
     }
 
 
@@ -6428,4 +6480,13 @@ FROM uf_p
         # kgspark.bpe.bpe_apply_census over the pinned _BPE_APPLY_MERGES:
         # recursive-CTE fold, one symbol per recursion row
         "text_bpe_apply": _bpe_apply_oracle_sql(),
+        # kgspark.warc round-trip: expected values computed directly from
+        # documents — any parser drift (URI, status, payload bytes) breaks
+        # the hash
+        "web_warc": """
+SELECT 'https://corpus/' || doc_id AS target_uri,
+       200::BIGINT AS http_status,
+       octet_length(encode("text"))::BIGINT AS n_payload_bytes
+FROM documents WHERE "text" IS NOT NULL
+""",
     }

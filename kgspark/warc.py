@@ -1,0 +1,176 @@
+"""WARC (Web ARChive, ISO 28500) reader — the container format every
+web-scale corpus actually arrives in (Common Crawl ships WARC; C4/CCNet
+start from it). The reference ingests loose files by extension
+(/root/reference/knowledgeGraph.py:85-97); WARC is the beyond-reference
+source a crawl-fed pipeline needs first.
+
+Pure-stdlib record parsing (the format is version line + CRLF headers +
+Content-Length-delimited payload + CRLF CRLF), gzip member support via
+zlib, HTTP response splitting — no external warc library exists in this
+container, none is needed.
+
+Scale shape: `warc_records` is a binaryFile scan + Arrow-batched
+mapInPandas — one Python pass per WARC file, records stream out as rows;
+per-record errors are captured in an `error` column (the sources.py
+posture) so one torn record never kills a 100 TB job. WARC files are
+independently splittable at the file level (Common Crawl shards are ~1 GB
+gzip members), which is exactly the parallel unit this layout uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_FIELDS = (
+    "path string, record_no long, warc_type string, target_uri string, "
+    "warc_date string, http_status int, content_type string, "
+    "payload binary, error string"
+)
+
+
+def split_warc_members(data: bytes) -> list:
+    """Split a (possibly multi-member gzip) WARC file into decompressed
+    chunks. Plain (uncompressed) input returns [data]."""
+    if data[:2] != b"\x1f\x8b":
+        return [data]
+    import zlib
+
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data[pos:]))
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return out
+
+
+def parse_warc_records(data: bytes):
+    """Yield dicts for each WARC record in a decompressed chunk. Torn or
+    malformed records yield a row with `error` set and parsing continues
+    at the next well-formed record boundary."""
+    pos = 0
+    n = len(data)
+    rec_no = 0
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            yield {"record_no": rec_no, "error": "truncated header block"}
+            return
+        head = data[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        row = {
+            "record_no": rec_no,
+            "warc_type": None,
+            "target_uri": None,
+            "warc_date": None,
+            "http_status": None,
+            "content_type": None,
+            "payload": None,
+            "error": None,
+        }
+        if not lines[0].startswith("WARC/"):
+            yield {**row, "error": f"bad version line: {lines[0][:40]!r}"}
+            return
+        hdrs = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            hdrs[k.strip().lower()] = v.strip()
+        row["warc_type"] = hdrs.get("warc-type")
+        row["target_uri"] = hdrs.get("warc-target-uri")
+        row["warc_date"] = hdrs.get("warc-date")
+        row["content_type"] = hdrs.get("content-type")
+        try:
+            length = int(hdrs.get("content-length", ""))
+        except ValueError:
+            yield {**row, "error": "missing/invalid Content-Length"}
+            return
+        body = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if len(body) < length:
+            row["error"] = "truncated payload"
+        if row["warc_type"] == "response" and body.startswith(b"HTTP/"):
+            # split the HTTP envelope: status line + headers, then payload
+            split = body.find(b"\r\n\r\n")
+            if split >= 0:
+                status_line = body[: body.find(b"\r\n")].decode(
+                    "latin-1", "replace"
+                )
+                parts = status_line.split(" ")
+                if len(parts) >= 2 and parts[1].isdigit():
+                    row["http_status"] = int(parts[1])
+                http_head = body[:split].decode("latin-1", "replace")
+                for ln in http_head.split("\r\n")[1:]:
+                    k, _, v = ln.partition(":")
+                    if k.strip().lower() == "content-type":
+                        row["content_type"] = v.strip()
+                row["payload"] = body[split + 4 :]
+            else:
+                row["payload"] = body
+        else:
+            row["payload"] = body
+        yield row
+        rec_no += 1
+
+
+def warc_records(
+    spark: SparkSession, input_dir: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """binaryFile scan over WARC files -> one row per WARC record:
+    (path, record_no, warc_type, target_uri, warc_date, http_status,
+    content_type, payload, error). Gzip members are detected per file."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(input_dir)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    chunks = split_warc_members(bytes(blob))
+                except Exception as e:  # captured per file
+                    rows.append({
+                        "path": path, "record_no": -1, "warc_type": None,
+                        "target_uri": None, "warc_date": None,
+                        "http_status": None, "content_type": None,
+                        "payload": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    })
+                    continue
+                base = 0
+                for chunk in chunks:
+                    for rec in parse_warc_records(chunk):
+                        rec_out = {
+                            "path": path,
+                            "record_no": base + rec.get("record_no", 0),
+                            "warc_type": rec.get("warc_type"),
+                            "target_uri": rec.get("target_uri"),
+                            "warc_date": rec.get("warc_date"),
+                            "http_status": rec.get("http_status"),
+                            "content_type": rec.get("content_type"),
+                            "payload": rec.get("payload"),
+                            "error": rec.get("error"),
+                        }
+                        rows.append(rec_out)
+                        base = rec_out["record_no"] + 1
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "record_no", "warc_type", "target_uri",
+                         "warc_date", "http_status", "content_type",
+                         "payload", "error"],
+            )
+
+    return raw.mapInPandas(parse, WARC_FIELDS)

@@ -1,0 +1,92 @@
+"""WARC reader: stdlib record parsing, gzip members, HTTP splitting,
+per-record error capture."""
+
+from __future__ import annotations
+
+import gzip
+
+
+def _record(uri, body, rtype="response", http=True, status=200):
+    if http and rtype == "response":
+        payload = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n\r\n"
+        ).encode() + body
+    else:
+        payload = body
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+    ).encode()
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def test_parse_warc_records_plain_and_http_split():
+    from kgspark.warc import parse_warc_records
+
+    data = (
+        _record("https://a.com/", b"<html>A</html>")
+        + _record("https://b.com/x", b"<html>B</html>", status=404)
+        + _record("meta", b"not http", rtype="warcinfo", http=False)
+    )
+    recs = list(parse_warc_records(data))
+    assert len(recs) == 3
+    a, b, w = recs
+    assert a["target_uri"] == "https://a.com/" and a["http_status"] == 200
+    assert a["payload"] == b"<html>A</html>"
+    assert a["content_type"] == "text/html"  # from the HTTP envelope
+    assert b["http_status"] == 404
+    assert w["warc_type"] == "warcinfo" and w["http_status"] is None
+    assert w["payload"] == b"not http"
+    assert all(r["error"] is None for r in recs)
+
+
+def test_parse_warc_truncated_and_bad_version():
+    from kgspark.warc import parse_warc_records
+
+    good = _record("https://ok.com/", b"fine")
+    torn = good[: len(good) - 8]  # cut inside the payload
+    recs = list(parse_warc_records(torn))
+    assert recs[0]["error"] == "truncated payload"
+    recs2 = list(parse_warc_records(b"NOTWARC\r\nX: 1\r\n\r\nbody"))
+    assert "bad version line" in recs2[0]["error"]
+
+
+def test_split_warc_members_multi_gzip():
+    from kgspark.warc import parse_warc_records, split_warc_members
+
+    r1 = _record("https://a.com/", b"one")
+    r2 = _record("https://b.com/", b"two")
+    blob = gzip.compress(r1) + gzip.compress(r2)  # two gzip members
+    chunks = split_warc_members(blob)
+    assert len(chunks) == 2
+    uris = [rec["target_uri"] for c in chunks for rec in parse_warc_records(c)]
+    assert uris == ["https://a.com/", "https://b.com/"]
+    # plain passthrough
+    assert split_warc_members(r1) == [r1]
+
+
+def test_warc_records_distributed_scan(spark, tmp_path):
+    from kgspark.warc import warc_records
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _record("https://a.com/", b"<html>A</html>")
+        + _record("https://a.com/2", b"<html>A2</html>")
+    )
+    (d / "b.warc.gz").write_bytes(
+        gzip.compress(_record("https://b.com/", b"<html>B</html>"))
+    )
+    (d / "junk.warc").write_bytes(b"NOTWARC\r\n\r\nxx")
+    out = warc_records(spark, str(d)).collect()
+    by_uri = {r["target_uri"]: r for r in out if r["target_uri"]}
+    assert set(by_uri) == {"https://a.com/", "https://a.com/2",
+                           "https://b.com/"}
+    assert bytes(by_uri["https://b.com/"]["payload"]) == b"<html>B</html>"
+    errs = [r for r in out if r["error"]]
+    assert len(errs) == 1 and "bad version line" in errs[0]["error"]
+    assert len(out) == 4
