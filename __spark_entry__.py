@@ -2894,6 +2894,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_payload_bytes",
         )
 
+    def kg_closure(spark, sf_dir):
+        # bounded (depth-3) transitive closure of the triple graph with
+        # min BFS depth — the ontology-subsumption materialization
+        from kgspark.graph_algs import bounded_closure
+
+        return bounded_closure(_extract_triples(spark, sf_dir), depth=3)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3070,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_features": web_url_features,
         "text_bpe_apply": text_bpe_apply,
         "web_warc": web_warc,
+        "kg_closure": kg_closure,
     }
 
 
@@ -6488,5 +6496,26 @@ SELECT 'https://corpus/' || doc_id AS target_uri,
        200::BIGINT AS http_status,
        octet_length(encode("text"))::BIGINT AS n_payload_bytes
 FROM documents WHERE "text" IS NOT NULL
+""",
+        # kgspark.graph_algs.bounded_closure (depth 3): semi-naive
+        # frontier joins unrolled, min-depth fold at the end
+        "kg_closure": f"""
+WITH {_PARTS_ORACLE_CTE},
+bc_e AS (
+  SELECT DISTINCT subj AS a, obj AS b FROM triples WHERE subj <> obj
+),
+bc_1 AS (SELECT a, b, 1 AS d FROM bc_e),
+bc_2 AS (
+  SELECT DISTINCT f.a, e.b, 2 AS d
+  FROM bc_1 f JOIN bc_e e ON e.a = f.b WHERE f.a <> e.b
+),
+bc_3 AS (
+  SELECT DISTINCT f.a, e.b, 3 AS d
+  FROM bc_2 f JOIN bc_e e ON e.a = f.b WHERE f.a <> e.b
+)
+SELECT a AS anc, b AS "desc", min(d)::BIGINT AS min_depth FROM (
+  SELECT * FROM bc_1 UNION ALL SELECT * FROM bc_2
+  UNION ALL SELECT * FROM bc_3
+) GROUP BY 1, 2
 """,
     }

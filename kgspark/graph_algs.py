@@ -1296,3 +1296,57 @@ def personalized_pagerank(
             .agg(F.sum("rank").alias("rank"))
         )
     return state
+
+
+def bounded_closure(
+    edges: DataFrame,
+    depth: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(anc, desc, min_depth): all-pairs reachability within `depth` hops
+    — the bounded transitive closure that materializes ontology
+    subsumption ("every ancestor type of every node", is-a chains),
+    category rollups, and dependency cones. min_depth is the BFS
+    distance. Self-pairs are excluded; cycles simply stop contributing
+    once both directions are recorded.
+
+    Use on pred-filtered subgraphs (taxonomies, is-a forests) — a bounded
+    closure of a dense social graph explodes combinatorially by design,
+    which is a property of the QUERY, not the plan. Depth is pinned so
+    the operator is deterministic and its oracle unrolls (the k-core /
+    LPA posture).
+
+    Scale shape: semi-naive — each round joins the NEW frontier pairs
+    (not the whole closure) against the edge table, one key-partitioned
+    shuffle per round; the min-depth fold is one groupBy at the end.
+    Lineage truncated per round via materialize().
+    """
+    if depth < 1:
+        raise ValueError(f"bounded_closure needs depth >= 1, got {depth}")
+    e = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    frontier = e.select("a", "b", F.lit(1).alias("d"))
+    layers = [frontier]
+    for i in range(2, depth + 1):
+        frontier = materialize(
+            frontier.join(
+                e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+                "b",
+            )
+            .select(
+                "a", F.col("c").alias("b"), F.lit(i).alias("d")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        layers.append(frontier)
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.unionByName(lay)
+    return out.groupBy(
+        F.col("a").alias("anc"), F.col("b").alias("desc")
+    ).agg(F.min("d").cast("long").alias("min_depth"))

@@ -538,3 +538,27 @@ def test_personalized_pagerank_locality(spark):
     ghost = spark.createDataFrame([("zzz",)], "seed string")
     assert personalized_pagerank(edges, ghost.union(seeds.limit(0)),
                                  iterations=1).count() == 0
+
+
+def test_bounded_closure_depths_and_cycle(spark):
+    from kgspark.graph_algs import bounded_closure
+
+    # chain a->b->c->d->e plus shortcut a->c plus a 2-cycle x<->y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"),
+         ("x", "y"), ("y", "x")],
+        "subj string, obj string",
+    )
+    got = {(r["anc"], r["desc"]): r["min_depth"]
+           for r in bounded_closure(edges, depth=3).collect()}
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 1        # shortcut beats the 2-hop path
+    assert got[("a", "d")] == 2        # via the shortcut
+    assert got[("a", "e")] == 3
+    assert ("b", "e") in got and got[("b", "e")] == 3
+    # depth cap: a->...-> nothing past 3 hops from chain start at depth 2
+    assert ("a", "a") not in got       # self pairs excluded (cycle safe)
+    assert got[("x", "y")] == 1 and got[("y", "x")] == 1
+    got2 = {(r["anc"], r["desc"]): r["min_depth"]
+            for r in bounded_closure(edges, depth=2).collect()}
+    assert ("a", "e") not in got2
