@@ -2901,6 +2901,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bounded_closure(_extract_triples(spark, sf_dir), depth=3)
 
+    def text_jsd(spark, sf_dir):
+        # pairwise Jensen-Shannon divergence between source unigram
+        # distributions (corpus-drift matrix), per-term micro-nat sums
+        from kgspark.textstats import source_divergence
+
+        return source_divergence(_read(spark, sf_dir, "documents"))
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3078,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_apply": text_bpe_apply,
         "web_warc": web_warc,
         "kg_closure": kg_closure,
+        "text_jsd": text_jsd,
     }
 
 
@@ -6517,5 +6525,53 @@ SELECT a AS anc, b AS "desc", min(d)::BIGINT AS min_depth FROM (
   SELECT * FROM bc_1 UNION ALL SELECT * FROM bc_2
   UNION ALL SELECT * FROM bc_3
 ) GROUP BY 1, 2
+""",
+        # kgspark.textstats.source_divergence: identical expression trees,
+        # per-token micro-nat quantization before the pair sums
+        "text_jsd": r"""
+WITH jd_t AS (
+  SELECT source AS src,
+         unnest(list_filter(string_split_regex(lower("text"), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents WHERE source IS NOT NULL AND "text" IS NOT NULL
+),
+jd_c AS (SELECT src, tok, count(*)::BIGINT AS c FROM jd_t GROUP BY 1, 2),
+jd_n AS (SELECT src, sum(c)::BIGINT AS n FROM jd_c GROUP BY 1),
+jd_p AS (SELECT c.src, c.tok, c.c, n.n FROM jd_c c JOIN jd_n n USING (src)),
+jd_b AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         count(*)::BIGINT AS n_shared,
+         sum(CAST(round((
+           (a.c::DOUBLE / a.n::DOUBLE)
+             * ln(2.0::DOUBLE * (a.c::DOUBLE / a.n::DOUBLE)
+                  / ((a.c::DOUBLE / a.n::DOUBLE)
+                     + (b.c::DOUBLE / b.n::DOUBLE)))
+           + (b.c::DOUBLE / b.n::DOUBLE)
+             * ln(2.0::DOUBLE * (b.c::DOUBLE / b.n::DOUBLE)
+                  / ((a.c::DOUBLE / a.n::DOUBLE)
+                     + (b.c::DOUBLE / b.n::DOUBLE)))
+         ) * 1000000.0, 0) AS BIGINT))::BIGINT AS shared_micro,
+         sum(a.c)::BIGINT AS ca_shared,
+         sum(b.c)::BIGINT AS cb_shared
+  FROM jd_p a JOIN jd_p b ON a.tok = b.tok AND a.src < b.src
+  GROUP BY 1, 2
+),
+jd_f AS (
+  SELECT fa.src AS source_a, fb.src AS source_b, fa.n AS na, fb.n AS nb,
+         coalesce(b.n_shared, 0)::BIGINT AS n_shared,
+         coalesce(b.shared_micro, 0) AS shared_micro,
+         coalesce(b.ca_shared, 0) AS ca_shared,
+         coalesce(b.cb_shared, 0) AS cb_shared
+  FROM jd_n fa JOIN jd_n fb ON fa.src < fb.src
+  LEFT JOIN jd_b b ON b.source_a = fa.src AND b.source_b = fb.src
+)
+SELECT source_a, source_b, n_shared,
+       (shared_micro
+        + CAST(round((1.0::DOUBLE - ca_shared::DOUBLE / na::DOUBLE)
+                     * ln(2.0::DOUBLE) * 1000000.0, 0) AS BIGINT)
+        + CAST(round((1.0::DOUBLE - cb_shared::DOUBLE / nb::DOUBLE)
+                     * ln(2.0::DOUBLE) * 1000000.0, 0) AS BIGINT)
+       )::BIGINT AS jsd2_micro
+FROM jd_f
 """,
     }

@@ -562,3 +562,109 @@ def heaps_curve(
         F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
         F.sum("n_new").over(w).cast("long").alias("cum_types"),
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the corpus-drift / domain-shift matrix ("how unlike
+    is src_a's language vs src_b's?") that mixing policies and
+    contamination triage read first. Returns one row per unordered pair:
+
+      (source_a, source_b, n_shared, jsd2_micro)
+
+    where jsd2_micro = 2·JSD in integer micro-nats. JSD = ½Σ_t
+    [P ln(2P/(P+Q)) + Q ln(2Q/(P+Q))] with absent-token terms collapsing
+    to (missing-side mass)·ln 2; bounded in [0, ln 2].
+
+    Determinism: every token's contribution is quantized to a micro-nat
+    long BEFORE summation (the kgspark.nb posture), so the pair sums are
+    exact integer arithmetic under any partitioning; the two one-sided
+    mass terms are single quantized fp64 ops each.
+
+    Shape: one corpus shuffle (token counts per source), then a
+    token-keyed self-join of the per-source COUNT table (rows = Σ_t
+    C(sources_with_t, 2) — source cardinality is dimension-like, so this
+    is vocab-sized, never corpus-sized) and one pair groupBy.
+    """
+    toks = df.where(
+        F.col(source_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(source_col).alias("src"),
+        F.explode(ws_tokens(F.col(text_col))).alias("tok"),
+    )
+    cnt = toks.groupBy("src", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("n"))
+    probs = cnt.join(tot, "src")
+    a = probs.select(
+        F.col("src").alias("source_a"), "tok",
+        F.col("c").alias("ca"), F.col("n").alias("na"),
+    )
+    b = probs.select(
+        F.col("src").alias("source_b"), "tok",
+        F.col("c").alias("cb"), F.col("n").alias("nb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term = F.round(
+        (
+            pa * F.log(F.lit(2.0) * pa / (pa + pb))
+            + pb * F.log(F.lit(2.0) * pb / (pa + pb))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    both = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(term).cast("long").alias("shared_micro"),
+            F.sum("ca").cast("long").alias("ca_shared"),
+            F.sum("cb").cast("long").alias("cb_shared"),
+        )
+    )
+    # every unordered source pair appears, even fully disjoint ones
+    # (JSD = ln 2) — the pair frame comes from the dimension-sized
+    # totals table, so this is a tiny crossJoin, never corpus-sized
+    frame = (
+        tot.select(F.col("src").alias("source_a"), F.col("n").alias("na"))
+        .crossJoin(
+            tot.select(F.col("src").alias("source_b"),
+                       F.col("n").alias("nb"))
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    filled = frame.join(both, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.coalesce("shared_micro", F.lit(0)).alias("shared_micro"),
+        F.coalesce("ca_shared", F.lit(0)).alias("ca_shared"),
+        F.coalesce("cb_shared", F.lit(0)).alias("cb_shared"),
+        "na",
+        "nb",
+    )
+    ln2 = F.log(F.lit(2.0))
+    only_a = F.round(
+        (F.lit(1.0) - F.col("ca_shared").cast("double")
+         / F.col("na").cast("double")) * ln2 * 1000000.0, 0
+    ).cast("long")
+    only_b = F.round(
+        (F.lit(1.0) - F.col("cb_shared").cast("double")
+         / F.col("nb").cast("double")) * ln2 * 1000000.0, 0
+    ).cast("long")
+    return filled.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        (F.col("shared_micro") + only_a + only_b).cast("long").alias(
+            "jsd2_micro"
+        ),
+    )

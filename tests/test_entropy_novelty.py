@@ -75,3 +75,42 @@ def test_script_mix_census(spark):
     assert (out[2].n_other, out[2].latin_permille) == (4, 0)
     assert out[3].n_chars == 0 and out[3].latin_permille == 0
     assert out[4].latin_permille == 1000
+
+
+def test_source_divergence_identical_and_disjoint(spark):
+    import math
+
+    from kgspark.textstats import source_divergence
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "a b c", "s2"),      # identical distribution to s1
+            (3, "x y z", "s3"),      # disjoint from both
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["source_a"], r["source_b"]): r
+           for r in source_divergence(df).collect()}
+    # identical distributions -> JSD 0
+    r12 = got[("s1", "s2")]
+    assert r12["n_shared"] == 3 and r12["jsd2_micro"] == 0
+    # fully disjoint pairs still appear, at maximal divergence 2 ln 2
+    two_ln2 = 2 * round(math.log(2.0) * 1e6)
+    for pair in [("s1", "s3"), ("s2", "s3")]:
+        r = got[pair]
+        assert r["n_shared"] == 0 and r["jsd2_micro"] == two_ln2
+    assert len(got) == 3
+    df2 = spark.createDataFrame(
+        [(1, "a a b", "p"), (2, "a c c", "q")],
+        "doc_id long, text string, source string",
+    )
+    r = source_divergence(df2).collect()[0]
+    # manual: P(a)=2/3 P(b)=1/3; Q(a)=1/3 Q(c)=2/3; shared token = a
+    pa, qa = 2 / 3, 1 / 3
+    term_a = round((pa * math.log(2 * pa / (pa + qa))
+                    + qa * math.log(2 * qa / (pa + qa))) * 1e6)
+    only = round((1 - pa) * math.log(2.0) * 1e6)  # b mass
+    only_q = round((1 - qa) * math.log(2.0) * 1e6)  # c mass
+    assert r["n_shared"] == 1
+    assert r["jsd2_micro"] == term_a + only + only_q
