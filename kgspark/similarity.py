@@ -254,3 +254,54 @@ def pq_topk(
         .select("query_id", "vec_id", "dist",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    ks=(1, 5, 10),
+) -> DataFrame:
+    """Retrieval-quality census over a ranked candidate list: ONE row
+    (n_queries, sum_rr_ppm, hits_1, hits_5, hits_10, n_no_rel) from
+    `ranked(query_id, vec_id, rank)` and `truth(query_id, vec_id)`
+    (the relevant pairs). sum_rr_ppm = Σ_q (1e6 div first-relevant-rank)
+    — the MRR numerator in exact integer ppm (divide by n_queries
+    downstream, in a report, not in the engine); hits_k counts queries
+    with a relevant candidate at rank ≤ k; queries whose ranking contains
+    NO relevant candidate count in n_no_rel and contribute 0 everywhere
+    (the standard "MRR over retrieved" convention, stated explicitly).
+
+    Shape: one semi-join of ranked against truth (both candidate-list-
+    sized, k rows per query), one per-query min, one global fold. The
+    corpus never appears — this evaluates rankings, it does not produce
+    them. Exact integers only.
+    """
+    rel = ranked.join(
+        truth.select("query_id", "vec_id").distinct(),
+        ["query_id", "vec_id"],
+        "left_semi",
+    )
+    first = rel.groupBy("query_id").agg(
+        F.min("rank").alias("first_rank")
+    )
+    per_q = (
+        ranked.select("query_id").distinct()
+        .join(first, "query_id", "left")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.coalesce(
+            F.sum(F.expr("1000000 div first_rank")), F.lit(0)
+        ).cast("long").alias("sum_rr_ppm"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(
+                F.when(F.col("first_rank") <= k, 1).otherwise(0)
+            ).cast("long").alias(f"hits_{k}")
+        )
+    aggs.append(
+        F.sum(F.when(F.col("first_rank").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_no_rel")
+    )
+    return per_q.agg(*aggs)

@@ -96,3 +96,28 @@ def test_pq_topk_adc_matches_bruteforce(spark):
     got = sorted((r["dist"], r["vec_id"]) for r in out)
     assert got == want
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_ranking_metrics_exact(spark):
+    from kgspark.similarity import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [
+            # q1: relevant at rank 2
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            # q2: relevant at rank 1
+            (2, 20, 1), (2, 21, 2),
+            # q3: nothing relevant retrieved
+            (3, 30, 1), (3, 31, 2),
+        ],
+        "query_id long, vec_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (1, 99), (2, 20), (3, 777)],
+        "query_id long, vec_id long",
+    )
+    row = ranking_metrics(ranked, truth, ks=(1, 2)).collect()[0]
+    assert row["n_queries"] == 3
+    assert row["sum_rr_ppm"] == 1000000 // 2 + 1000000  # q1 + q2
+    assert row["hits_1"] == 1 and row["hits_2"] == 2
+    assert row["n_no_rel"] == 1
