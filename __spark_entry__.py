@@ -2969,6 +2969,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ranking_metrics(ranked, truth, ks=(1, 5, 10))
 
+    def corpus_pack_stats(spark, sf_dir):
+        # packing-efficiency census over pack_greedy output: fill ppm,
+        # sequence counts, truncation candidates — exact integers
+        from kgspark.textstats import token_count
+        from kgspark.trainprep import pack_greedy, pack_stats
+
+        docs = _read(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        return pack_stats(
+            pack_greedy(base, max_tokens=120, n_groups=8), max_tokens=120
+        )
+
+    def rel_densify(spark, sf_dir):
+        # calendar densification: explicit 0 cells for every (type, day)
+        # between the global min and max — the burst_windows upstream fix
+        from kgspark.trainprep import densify_calendar
+
+        cells = (
+            _read(spark, sf_dir, "events")
+            .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            .groupBy(
+                "event_type",
+                F.date_trunc("day", F.col("ts")).alias("window_start"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        return densify_calendar(cells)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3150,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_confusion": text_langid_confusion,
         "kg_degree_dist": kg_degree_dist,
         "kg_mrr": kg_mrr,
+        "corpus_pack_stats": corpus_pack_stats,
+        "rel_densify": rel_densify,
     }
 
 
@@ -6705,5 +6737,70 @@ SELECT count(*)::BIGINT AS n_queries,
        sum(CASE WHEN first_rank IS NULL THEN 1 ELSE 0 END)::BIGINT
          AS n_no_rel
 FROM mr_all a LEFT JOIN mr_rel r USING (query_id)
+""",
+        # kgspark.trainprep.pack_stats over the SAME recursive-CTE pack
+        # assignment the corpus_pack oracle replicates
+        "corpus_pack_stats": f"""
+WITH RECURSIVE ps_docs AS (
+  SELECT doc_id, n_tokens, group_id,
+         row_number() OVER (PARTITION BY group_id ORDER BY doc_id) AS rn
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower("text"), '\\s+'),
+                           t -> t <> ''))::BIGINT AS n_tokens,
+           (({_hex6_sql('h')}) % 8)::BIGINT AS group_id
+    FROM (SELECT doc_id, "text", md5('pack:' || doc_id::VARCHAR) AS h
+          FROM documents)
+  )
+),
+ps AS (
+  SELECT group_id, 0::BIGINT AS seq_id, doc_id, n_tokens, rn,
+         n_tokens AS cum
+  FROM ps_docs WHERE rn = 1
+  UNION ALL
+  SELECT d.group_id,
+         CASE WHEN p.cum > 0 AND p.cum + d.n_tokens > 120
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.cum > 0 AND p.cum + d.n_tokens > 120
+              THEN d.n_tokens ELSE p.cum + d.n_tokens END
+  FROM ps_docs d JOIN ps p ON d.group_id = p.group_id AND d.rn = p.rn + 1
+),
+ps_seq AS (
+  SELECT group_id, seq_id, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS fill
+  FROM ps GROUP BY 1, 2
+)
+SELECT sum(n_docs)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_seqs,
+       sum(fill)::BIGINT AS total_tokens,
+       (count(*) * 120)::BIGINT AS capacity,
+       (sum(fill) * 1000000 // (count(*) * 120))::BIGINT AS fill_ppm,
+       sum(CASE WHEN n_docs = 1 AND fill > 120 THEN 1 ELSE 0 END)::BIGINT
+         AS n_overflow_docs
+FROM ps_seq
+""",
+        # kgspark.trainprep.densify_calendar over per-day event-type cells
+        "rel_densify": """
+WITH dz_c AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         count(*)::BIGINT AS cnt
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+dz_span AS (
+  SELECT min(window_start) AS lo, max(window_start) AS hi FROM dz_c
+),
+dz_spine AS (
+  SELECT k.event_type, CAST(u.d AS TIMESTAMP) AS window_start
+  FROM (SELECT DISTINCT event_type FROM dz_c) k
+  CROSS JOIN dz_span,
+       unnest(generate_series(dz_span.lo, dz_span.hi,
+                              INTERVAL 1 DAY)) AS u(d)
+)
+SELECT s.event_type, s.window_start,
+       coalesce(c.cnt, 0)::BIGINT AS cnt
+FROM dz_spine s LEFT JOIN dz_c c USING (event_type, window_start)
 """,
     }

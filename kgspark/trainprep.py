@@ -373,3 +373,77 @@ def temperature_weights(
         F.expr("(w_scaled * 1000000 div __tw) * __tn div n_docs")
         .cast("long").alias("boost_ppm"),
     )
+
+
+def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Packing-efficiency census over pack_greedy output: ONE exact-integer
+    row — (n_docs, n_seqs, total_tokens, capacity, fill_ppm,
+    n_overflow_docs). fill_ppm = total·1e6 div capacity is THE number a
+    training pipeline watches (padding waste = 1e6 − fill_ppm);
+    n_overflow_docs counts documents longer than max_tokens (each
+    occupying a sequence alone — truncation candidates).
+
+    Shape: one groupBy on (group, seq) then a global fold of a
+    seq-count-sized table; no joins.
+    """
+    seqs = packed.groupBy("group_id", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("fill"),
+    )
+    return seqs.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.lit(max_tokens)).cast("long").alias(
+            "capacity"
+        ),
+        F.expr(
+            f"CASE WHEN count(1) = 0 THEN -1"
+            f" ELSE sum(fill) * 1000000 div (count(1) * {int(max_tokens)})"
+            f" END"
+        ).cast("long").alias("fill_ppm"),
+        F.sum(
+            F.when(
+                (F.col("n_docs") == 1) & (F.col("fill") > max_tokens), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_overflow_docs"),
+    )
+
+
+def densify_calendar(
+    cells: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "window_start",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Calendar densification: fill every (key, day) cell between the
+    GLOBAL min and max day with an explicit 0 — the upstream step
+    burst_windows documents as the caller's job (all-empty windows are
+    absent from event logs, and z-stats over observed-only windows
+    understate variance). Returns (key, day, cnt) with zeros present.
+
+    Shape: the day spine is one sequence() explode of a 1-row global
+    aggregate crossJoined with the dimension-sized key set; the fill is
+    one left join of spine against observed cells — the observed table
+    shuffles once on (key, day). Never a per-key min/max window.
+    """
+    span = cells.agg(
+        F.min(day_col).alias("__lo"), F.max(day_col).alias("__hi")
+    )
+    keys = cells.select(F.col(key_col)).distinct()
+    spine = keys.crossJoin(F.broadcast(span)).select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias(day_col),
+    )
+    return spine.join(cells, [key_col, day_col], "left").select(
+        key_col,
+        day_col,
+        F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias(
+            count_col
+        ),
+    )

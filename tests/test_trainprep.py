@@ -209,3 +209,39 @@ def test_temperature_weights_flatten_distribution(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_weights(df, alpha_permille=0)
+
+
+def test_pack_stats_fill_and_overflow(spark):
+    from kgspark.trainprep import pack_greedy, pack_stats
+
+    rows = [(i, 50) for i in range(6)] + [(100, 300)]  # one overflow doc
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_greedy(df, max_tokens=120, n_groups=1)
+    row = pack_stats(packed, max_tokens=120).collect()[0]
+    # group packs in id order: [50,50] [50,50] [50,50] [300]
+    assert row["n_docs"] == 7 and row["n_seqs"] == 4
+    assert row["total_tokens"] == 600 and row["capacity"] == 480
+    assert row["fill_ppm"] == 600 * 1000000 // 480
+    assert row["n_overflow_docs"] == 1
+    # empty input -> sentinel, never a divide-by-zero
+    empty = pack_stats(packed.limit(0), max_tokens=120).collect()[0]
+    assert empty["fill_ppm"] == -1 and empty["n_seqs"] == 0
+
+
+def test_densify_calendar_zero_fill(spark):
+    from datetime import datetime
+
+    from kgspark.trainprep import densify_calendar
+
+    d = datetime
+    cells = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 5), ("a", d(2024, 1, 3), 2),
+         ("b", d(2024, 1, 2), 7)],
+        "event_type string, window_start timestamp, cnt long",
+    )
+    got = {(r["event_type"], r["window_start"].day): r["cnt"]
+           for r in densify_calendar(cells).collect()}
+    # global span = Jan 1..3, both keys densified
+    assert len(got) == 6
+    assert got[("a", 1)] == 5 and got[("a", 2)] == 0 and got[("a", 3)] == 2
+    assert got[("b", 1)] == 0 and got[("b", 2)] == 7 and got[("b", 3)] == 0
