@@ -2999,6 +2999,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return densify_calendar(cells)
 
+    def dedup_recall(spark, sf_dir):
+        # measured recall/precision of minhash-LSH banding vs exact
+        # all-pairs Jaccard truth on a bounded calibration sample —
+        # the "measure, don't guess" evidence for the banding scheme
+        from kgspark.dedup import lsh_recall_report
+
+        docs = _read(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 150
+        )
+        return lsh_recall_report(
+            docs, num_hashes=8, bands=4, shingle_n=3,
+            threshold_permille=500,
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3182,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mrr": kg_mrr,
         "corpus_pack_stats": corpus_pack_stats,
         "rel_densify": rel_densify,
+        "dedup_recall": dedup_recall,
     }
 
 
@@ -6802,5 +6817,56 @@ dz_spine AS (
 SELECT s.event_type, s.window_start,
        coalesce(c.cnt, 0)::BIGINT AS cnt
 FROM dz_spine s LEFT JOIN dz_c c USING (event_type, window_start)
+""",
+        # kgspark.dedup.lsh_recall_report (8 hashes / 4 bands / 3-shingles,
+        # 500-permille threshold) on the doc_id < 150 calibration sample:
+        # integer Jaccard compare, band-key candidates, ppm confusion row
+        "dedup_recall": f"""
+WITH rr_t AS (
+  SELECT doc_id AS id, {_sh_sql('"text"', 3)} AS sh
+  FROM documents WHERE "text" IS NOT NULL AND doc_id < 150
+),
+rr_sigs AS (
+  SELECT id, sh,
+         [{", ".join(f"list_min(list_transform(sh, g -> md5('{i}:' || g)))"
+                     for i in range(8))}] AS sig
+  FROM rr_t
+),
+rr_banded AS (
+  SELECT id, unnest([{", ".join(
+      "'%d|' || %s" % (b, " || '|' || ".join(
+          f"sig[{b * 2 + r + 1}]" for r in range(2)))
+      for b in range(4))}]) AS band_key
+  FROM rr_sigs
+),
+rr_cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM rr_banded l JOIN rr_banded r
+    ON l.band_key = r.band_key AND l.id < r.id
+),
+rr_truth AS (
+  SELECT a.id AS a, b.id AS b,
+         (len(list_intersect(a.sh, b.sh)) * 1000
+            >= 500 * len(list_distinct(a.sh || b.sh))) AS is_true
+  FROM rr_t a JOIN rr_t b ON a.id < b.id
+),
+rr_j AS (
+  SELECT t.a, t.b, t.is_true, (c.a IS NOT NULL) AS is_cand
+  FROM rr_truth t LEFT JOIN rr_cand c ON c.a = t.a AND c.b = t.b
+),
+rr_agg AS (
+  SELECT (SELECT count(*) FROM rr_t)::BIGINT AS n_docs,
+         sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true,
+         sum(CASE WHEN is_cand THEN 1 ELSE 0 END)::BIGINT AS n_cand,
+         sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)::BIGINT
+           AS n_hit
+  FROM rr_j
+)
+SELECT n_docs, n_true, n_cand, n_hit,
+       (CASE WHEN n_true = 0 THEN -1
+             ELSE n_hit * 1000000 // n_true END)::BIGINT AS recall_ppm,
+       (CASE WHEN n_cand = 0 THEN -1
+             ELSE n_hit * 1000000 // n_cand END)::BIGINT AS precision_ppm
+FROM rr_agg
 """,
     }

@@ -861,3 +861,116 @@ def winnow_matches(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold_permille: int = 500,
+) -> DataFrame:
+    """Measured recall/precision of minhash-LSH candidate generation
+    against EXACT all-pairs Jaccard ground truth — ONE exact-integer row:
+
+      (n_docs, n_true, n_cand, n_hit, recall_ppm, precision_ppm)
+
+    n_true  = pairs with true Jaccard ≥ threshold (integer compare:
+              |∩|·1000 ≥ permille·|∪| — no fp boundary),
+      n_cand  = distinct band-blocked candidate pairs,
+      n_hit   = candidates that are true pairs,
+      recall  = n_hit·1e6 div n_true, precision likewise vs n_cand
+      (-1 sentinels when a denominator is 0).
+
+    The ground truth is an all-pairs crossJoin — BY DESIGN this runs on a
+    bounded calibration sample (pass df.where(...) of a few hundred
+    docs), the standard way to measure a banding scheme before trusting
+    it at corpus scale ("measure, don't guess"). The candidate side is
+    the same band-blocked join production dedup uses.
+    """
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .where(F.col("t").isNotNull())
+        .withColumn("__toks", F.split(F.col("t"), r"\s+"))
+        .withColumn("sh", word_shingles_from(F.col("__toks"), shingle_n))
+        .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
+        .drop("t", "__toks")
+    )
+    base = materialize(base)
+    a = base.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    b = base.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    is_true = inter * 1000 >= F.lit(threshold_permille) * union
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", is_true.alias("is_true"))
+    )
+    rows = num_hashes // bands
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(bk)),
+                        *[F.col("sig")[bk * rows + r] for r in range(rows)],
+                    )
+                    for bk in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+        .withColumn("is_cand", F.lit(True))
+    )
+    joined = truth.join(cand, ["a", "b"], "left").select(
+        "a",
+        "b",
+        "is_true",
+        F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
+    )
+    n_docs = base.count()
+    # coalesce: a 0- or 1-doc sample has an EMPTY pair frame, and sum()
+    # over nothing is NULL, which would break the sortable-output rule
+    return joined.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_true"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_cand"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_cand"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("is_true") & F.col("is_cand"), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_hit"),
+    ).select(
+        "n_docs",
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.expr(
+            "CASE WHEN n_true = 0 THEN -1"
+            " ELSE n_hit * 1000000 div n_true END"
+        ).cast("long").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_cand = 0 THEN -1"
+            " ELSE n_hit * 1000000 div n_cand END"
+        ).cast("long").alias("precision_ppm"),
+    )

@@ -306,3 +306,29 @@ def test_winnow_matches_shared_substring_and_maxdf(spark):
     assert (1, 3) not in got and (2, 3) not in got
     # a fingerprint shared by all docs is dropped at max_doc_freq=1
     assert winnow_matches(fps, max_doc_freq=0).count() == 0
+
+
+def test_lsh_recall_report_perfect_on_identical_docs(spark):
+    from kgspark.dedup import lsh_recall_report
+
+    # identical pairs (J=1) MUST be candidates in every band -> recall 1e6
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven"),
+        (5, "totally unrelated words appear here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = lsh_recall_report(df, num_hashes=8, bands=4,
+                            threshold_permille=500).collect()[0]
+    assert row["n_docs"] == 5
+    assert row["n_true"] == 2            # (1,2) and (3,4)
+    assert row["n_hit"] == 2
+    assert row["recall_ppm"] == 1000000
+    assert 0 < row["precision_ppm"] <= 1000000
+    # no true pairs at an impossible threshold -> -1 sentinel
+    row2 = lsh_recall_report(
+        df.where("doc_id >= 5"), num_hashes=8, bands=4
+    ).collect()[0]
+    assert row2["n_true"] == 0 and row2["recall_ppm"] == -1
