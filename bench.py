@@ -171,6 +171,19 @@ BENCH_QUERIES = [
     "corpus_temperature",
     "embed_pq",
     "ann_pq",
+    "rel_mad",
+    "kg_ppr",
+    "web_url_features",
+    "text_bpe_apply",
+    "web_warc",
+    "kg_closure",
+    "text_jsd",
+    "text_langid_confusion",
+    "kg_degree_dist",
+    "kg_mrr",
+    "corpus_pack_stats",
+    "rel_densify",
+    "dedup_recall",
 ]
 
 
