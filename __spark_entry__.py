@@ -3013,6 +3013,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold_permille=500,
         )
 
+    def rel_seasonality(spark, sf_dir):
+        # ISO day-of-week seasonality per event type; uniformity chi2
+        # numerator multiplied out to exact integers (no fp, no stddev)
+        from kgspark.relops import dow_seasonality
+
+        return dow_seasonality(_read(spark, sf_dir, "events"))
+
+    def kg_inverse_preds(spark, sf_dir):
+        # owl:inverseOf mining: reversed-pair support per predicate pair
+        # (p = q rows measure symmetry), integer-ppm rates
+        from kgspark.graph_algs import inverse_predicates
+
+        return inverse_predicates(_extract_triples(spark, sf_dir))
+
+    def dedup_curve(spark, sf_dir):
+        # duplicate-volume-vs-threshold curve on the calibration sample —
+        # how a pipeline picks its dedup threshold before corpus scale
+        from kgspark.dedup import jaccard_threshold_curve
+
+        docs = _read(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 150
+        )
+        return jaccard_threshold_curve(
+            docs, shingle_n=3, permilles=(300, 500, 700, 800, 900, 1000)
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3199,6 +3225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_stats": corpus_pack_stats,
         "rel_densify": rel_densify,
         "dedup_recall": dedup_recall,
+        "rel_seasonality": rel_seasonality,
+        "kg_inverse_preds": kg_inverse_preds,
+        "dedup_curve": dedup_curve,
     }
 
 
@@ -6870,5 +6899,70 @@ SELECT n_docs, n_true, n_cand, n_hit,
        (CASE WHEN n_cand = 0 THEN -1
              ELSE n_hit * 1000000 // n_cand END)::BIGINT AS precision_ppm
 FROM rr_agg
+""",
+        # kgspark.relops.dow_seasonality: isodow cells + integer chi2
+        "rel_seasonality": f"""
+WITH ss_c AS (
+  SELECT event_type, isodow(ts)::BIGINT AS dow, count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+ss_f AS (
+  SELECT event_type, sum(n)::BIGINT AS n_total,
+         {", ".join(
+             f"coalesce(sum(CASE WHEN dow = {d} THEN n END), 0)::BIGINT"
+             f" AS dow_{d}" for d in range(1, 8))}
+  FROM ss_c GROUP BY 1
+)
+SELECT event_type, n_total,
+       {", ".join(f"dow_{d}" for d in range(1, 8))},
+       ({" + ".join(
+           f"(7 * dow_{d} - n_total) * (7 * dow_{d} - n_total)"
+           for d in range(1, 8))})::BIGINT AS chi7_num
+FROM ss_f
+""",
+        # kgspark.graph_algs.inverse_predicates: reversed-pair equi-join
+        "kg_inverse_preds": f"""
+WITH {_PARTS_ORACLE_CTE},
+iv_t AS (SELECT DISTINCT subj AS a, pred AS p, obj AS b FROM triples),
+iv_n AS (SELECT p, count(*)::BIGINT AS n FROM iv_t GROUP BY p),
+iv_i AS (
+  SELECT t.p AS pred_p, r.p AS pred_q, count(*)::BIGINT AS n_inverse
+  FROM iv_t t JOIN iv_t r ON r.a = t.b AND r.b = t.a
+  GROUP BY 1, 2
+)
+SELECT pred_p, pred_q, np.n AS n_p, nq.n AS n_q, n_inverse,
+       (n_inverse * 1000000 // np.n)::BIGINT AS inv_ppm
+FROM iv_i JOIN iv_n np ON np.p = pred_p JOIN iv_n nq ON nq.p = pred_q
+""",
+        # kgspark.dedup.jaccard_threshold_curve on the doc_id < 150
+        # sample: integer Jaccard compares, two aggregations
+        "dedup_curve": f"""
+WITH dc_t AS (
+  SELECT doc_id AS id, {_sh_sql('"text"', 3)} AS sh
+  FROM documents WHERE "text" IS NOT NULL AND doc_id < 150
+),
+dc_p AS (
+  SELECT a.id AS a, b.id AS b,
+         len(list_intersect(a.sh, b.sh)) * 1000 AS i1000,
+         len(list_distinct(a.sh || b.sh)) AS u
+  FROM dc_t a JOIN dc_t b ON a.id < b.id
+),
+dc_e AS (
+  SELECT a, b, t_pml
+  FROM dc_p, unnest([300, 500, 700, 800, 900, 1000]) AS t(t_pml)
+  WHERE i1000 >= t_pml * u
+),
+dc_np AS (
+  SELECT t_pml::BIGINT AS t_pml, count(*)::BIGINT AS n_pairs
+  FROM dc_e GROUP BY 1
+),
+dc_nd AS (
+  SELECT t_pml::BIGINT AS t_pml, count(DISTINCT d)::BIGINT AS n_docs_hit
+  FROM (SELECT t_pml, a AS d FROM dc_e
+        UNION ALL SELECT t_pml, b FROM dc_e)
+  GROUP BY 1
+)
+SELECT p.t_pml, n_pairs, n_docs_hit FROM dc_np p JOIN dc_nd USING (t_pml)
 """,
     }

@@ -974,3 +974,68 @@ def lsh_recall_report(
             " ELSE n_hit * 1000000 div n_cand END"
         ).cast("long").alias("precision_ppm"),
     )
+
+
+def jaccard_threshold_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    permilles=(300, 500, 700, 800, 900, 1000),
+) -> DataFrame:
+    """Duplicate-volume curve on a bounded calibration sample: for each
+    Jaccard threshold (integer permille), how many pairs would near-dup
+    dedup remove — (t_pml, n_pairs, n_docs_hit). The curve is how a
+    pipeline CHOOSES its threshold before running corpus-scale dedup
+    (too low amputates topical clusters, too high leaves templates).
+
+    Integer compare only: |∩|·1000 ≥ t·|∪|. All-pairs by design — pass a
+    bounded sample (same posture as lsh_recall_report).
+    """
+    pmls = sorted(set(int(p) for p in permilles))
+    if not pmls or pmls[0] < 1 or pmls[-1] > 1000:
+        raise ValueError("jaccard_threshold_curve: permilles in [1,1000]")
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .where(F.col("t").isNotNull())
+        .withColumn("__toks", F.split(F.col("t"), r"\s+"))
+        .select(
+            "id",
+            word_shingles_from(F.col("__toks"), shingle_n).alias("sh"),
+        )
+    )
+    base = materialize(base)
+    a = base.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    b = base.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (inter * 1000).alias("__i1000"),
+            union.alias("__u"),
+        )
+    )
+    exploded = materialize(
+        pairs.select(
+            "a",
+            "b",
+            F.explode(F.array(*[F.lit(p) for p in pmls])).alias("t_pml"),
+            "__i1000",
+            "__u",
+        )
+        .where(F.col("__i1000") >= F.col("t_pml") * F.col("__u"))
+        .select("a", "b", F.col("t_pml").cast("long").alias("t_pml"))
+    )
+    n_pairs = exploded.groupBy("t_pml").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        exploded.select("t_pml", F.explode(F.array("a", "b")).alias("d"))
+        .groupBy("t_pml")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs_hit"))
+    )
+    return n_pairs.join(n_docs, "t_pml")

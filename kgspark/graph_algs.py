@@ -1350,3 +1350,57 @@ def bounded_closure(
     return out.groupBy(
         F.col("a").alias("anc"), F.col("b").alias("desc")
     ).agg(F.min("d").cast("long").alias("min_depth"))
+
+
+def inverse_predicates(
+    triples: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+) -> DataFrame:
+    """Inverse-predicate mining (owl:inverseOf discovery): for every
+    predicate pair (p, q) count how many p(a, b) facts have a matching
+    q(b, a) fact — (pred_p, pred_q, n_p, n_q, n_inverse, inv_ppm) with
+    inv_ppm = n_inverse·1e6 div n_p. p = q rows measure predicate
+    SYMMETRY (a marriedTo b ⟺ b marriedTo a). High-ppm pairs feed schema
+    alignment and edge canonicalization (keep one direction).
+
+    Shape: one distinct, one self-join keyed on the REVERSED node pair
+    (a key-partitioned equi-join — never all-pairs), one pair groupBy
+    plus a dimension-sized predicate-count join.
+    """
+    t = triples.select(
+        F.col(src).alias("a"), F.col(pred).alias("p"), F.col(dst).alias("b")
+    ).distinct()
+    t = materialize(t)
+    n_per = t.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rev = t.select(
+        F.col("b").alias("a"), F.col("p").alias("q"), F.col("a").alias("b")
+    )
+    inv = (
+        t.join(rev, ["a", "b"])
+        .groupBy(F.col("p").alias("pred_p"), F.col("q").alias("pred_q"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inverse"))
+    )
+    return (
+        inv.join(
+            n_per.select(F.col("p").alias("pred_p"),
+                         F.col("n").alias("n_p")),
+            "pred_p",
+        )
+        .join(
+            n_per.select(F.col("p").alias("pred_q"),
+                         F.col("n").alias("n_q")),
+            "pred_q",
+        )
+        .select(
+            "pred_p",
+            "pred_q",
+            "n_p",
+            "n_q",
+            "n_inverse",
+            F.expr("n_inverse * 1000000 div n_p").cast("long").alias(
+                "inv_ppm"
+            ),
+        )
+    )

@@ -772,3 +772,58 @@ def mad_outliers(
             "n_outliers",
         )
     )
+
+
+def dow_seasonality(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week seasonality census per event type: (event_type, n_total,
+    plus dow_1..dow_7 counts, chi7_num) where chi7_num = Σ_d (7·n_d − N)²
+    — the numerator of the uniformity chi-square multiplied out to exact
+    integers (the burst_windows posture: counts are integers, so no fp
+    division/stddev ever appears; compare chi7_num across types or
+    against 7·N·(7−1)·z² downstream). dow is ISO (1 = Monday).
+
+    Shape: one map-side-combined groupBy to (type, dow) cells, one pivot
+    fold on the dimension-sized cell table. No windows, no joins.
+    """
+    cells = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.dayofweek(ts_col).alias("__dow_sun1"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # Spark dayofweek: 1 = Sunday; convert to ISO 1 = Monday
+        .select(
+            "event_type",
+            ((F.col("__dow_sun1") + 5) % 7 + 1).alias("dow"),
+            "n",
+        )
+    )
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("dow") == d, F.col("n"))), F.lit(0)
+        ).cast("long").alias(f"dow_{d}")
+        for d in range(1, 8)
+    ]
+    folded = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_total"), *aggs
+    )
+    chi = None
+    for d in range(1, 8):
+        term = (
+            F.lit(7) * F.col(f"dow_{d}") - F.col("n_total")
+        )
+        sq = term * term
+        chi = sq if chi is None else chi + sq
+    return folded.select(
+        "event_type",
+        "n_total",
+        *[f"dow_{d}" for d in range(1, 8)],
+        chi.cast("long").alias("chi7_num"),
+    )

@@ -332,3 +332,26 @@ def test_lsh_recall_report_perfect_on_identical_docs(spark):
         df.where("doc_id >= 5"), num_hashes=8, bands=4
     ).collect()[0]
     assert row2["n_true"] == 0 and row2["recall_ppm"] == -1
+
+
+def test_jaccard_threshold_curve_monotone(spark):
+    from kgspark.dedup import jaccard_threshold_curve
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),            # J=1 with 1
+        (3, "a b c d x y"),            # partial overlap with 1/2
+        (4, "p q r s t u"),            # disjoint
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["t_pml"]: (r["n_pairs"], r["n_docs_hit"])
+           for r in jaccard_threshold_curve(
+               df, permilles=(100, 500, 1000)).collect()}
+    # identical pair survives every threshold
+    assert got[1000] == (1, 2)
+    # lower thresholds only add pairs (monotone non-increasing in t)
+    assert got[100][0] >= got[500][0] >= got[1000][0]
+    assert got[100][0] >= 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        jaccard_threshold_curve(df, permilles=(0,))

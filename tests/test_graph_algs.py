@@ -562,3 +562,26 @@ def test_bounded_closure_depths_and_cycle(spark):
     got2 = {(r["anc"], r["desc"]): r["min_depth"]
             for r in bounded_closure(edges, depth=2).collect()}
     assert ("a", "e") not in got2
+
+
+def test_inverse_predicates_symmetry_and_inverse(spark):
+    from kgspark.graph_algs import inverse_predicates
+
+    t = spark.createDataFrame(
+        [
+            ("a", "parentOf", "b"), ("b", "childOf", "a"),   # inverses
+            ("c", "parentOf", "d"), ("d", "childOf", "c"),
+            ("x", "marriedTo", "y"), ("y", "marriedTo", "x"),  # symmetric
+            ("p", "knows", "q"),                              # one-way
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["pred_p"], r["pred_q"]): r
+           for r in inverse_predicates(t).collect()}
+    po = got[("parentOf", "childOf")]
+    assert (po["n_p"], po["n_q"], po["n_inverse"]) == (2, 2, 2)
+    assert po["inv_ppm"] == 1000000
+    assert got[("childOf", "parentOf")]["inv_ppm"] == 1000000
+    mm = got[("marriedTo", "marriedTo")]
+    assert mm["n_inverse"] == 2 and mm["inv_ppm"] == 1000000
+    assert not any("knows" in k for k in got)

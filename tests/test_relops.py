@@ -280,3 +280,27 @@ def test_mad_outliers_robust_to_single_spike(spark):
     assert (h["n"], h["med_micro"], h["mad_micro"], h["n_outliers"]) == (
         1, 7_000_000, 0, 0)
     assert "i" not in got
+
+
+def test_dow_seasonality_iso_and_chi(spark):
+    from kgspark.relops import dow_seasonality
+
+    d = datetime
+    rows = [
+        # 2024-01-01 is a Monday (ISO dow 1); 2024-01-07 a Sunday (7)
+        (1, d(2024, 1, 1), 1, "a"),
+        (2, d(2024, 1, 1), 1, "a"),
+        (3, d(2024, 1, 7), 1, "a"),
+        (4, d(2024, 1, 2), 1, "b"),   # Tuesday
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["event_type"]: r for r in dow_seasonality(df).collect()}
+    a = got["a"]
+    assert a["n_total"] == 3 and a["dow_1"] == 2 and a["dow_7"] == 1
+    assert a["dow_2"] == 0
+    # chi7_num = (7*2-3)^2 + (7*1-3)^2 + 5*(0-3)^2 = 121 + 16 + 45
+    assert a["chi7_num"] == (14 - 3) ** 2 + (7 - 3) ** 2 + 5 * 9
+    b = got["b"]
+    assert b["dow_2"] == 1 and b["n_total"] == 1
