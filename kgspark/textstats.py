@@ -668,3 +668,103 @@ def source_divergence(
             "jsd2_micro"
         ),
     )
+
+
+def code_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Code-vs-prose signals — the curation split every pretraining mix
+    needs (route code to the code pipeline, keep prose filters from
+    eating source files): per doc exact-integer counts of
+
+      n_braces / n_semis / n_equals   {} ; = occurrences
+      n_indent_lines                  lines starting with 2+ spaces or tab
+      n_camel                         lowerUpper camelCase boundaries
+      n_snake                         [a-z0-9]_[a-z] snake_case joints
+      max_line_chars                  longest line
+      is_codey                        1 when the integer rule fires:
+                                      10·(braces+semis) ≥ n_lines AND
+                                      n_indent_lines·3 ≥ n_lines
+
+    Pure regexp_count/aggregate column expressions in the
+    Java∩RE2∩DuckDB-common subset — map-only, codegen'd.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_braces = F.regexp_count(t, F.lit(r"[{}]"))
+    n_semis = F.regexp_count(t, F.lit(";"))
+    n_equals = F.regexp_count(t, F.lit("="))
+    n_indent = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^(  |\t)"))
+    )
+    n_camel = F.regexp_count(t, F.lit("[a-z][A-Z]"))
+    n_snake = F.regexp_count(t, F.lit("[a-z0-9]_[a-z]"))
+    max_line = F.array_max(
+        F.transform(lines, lambda ln: F.length(ln))
+    )
+    codey = (
+        (F.lit(10) * (n_braces + n_semis) >= n_lines)
+        & (n_indent * 3 >= n_lines)
+    )
+    return df.where(t.isNotNull()).select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        n_braces.cast("long").alias("n_braces"),
+        n_semis.cast("long").alias("n_semis"),
+        n_equals.cast("long").alias("n_equals"),
+        n_indent.cast("long").alias("n_indent_lines"),
+        n_camel.cast("long").alias("n_camel"),
+        n_snake.cast("long").alias("n_snake"),
+        max_line.cast("long").alias("max_line_chars"),
+        F.when(codey, 1).otherwise(0).cast("long").alias("is_codey"),
+    )
+
+
+def rank_correlation(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two per-row signals as ONE
+    exact-integer row: (n, sum_d2, rho_ppm) with
+
+      rho_ppm = ((n³−n) − 6·Σd²) · 1e6 div (n³−n)
+
+    — the classic Spearman formula multiplied out so no fp division ever
+    happens; ranks are row_number under the total (value, id) order (the
+    deterministic tie policy every ranked contract in this repo uses;
+    with ties this is a rank-ordering correlation, stated explicitly).
+    The cross-signal diagnostic for curation scorers: "does my cheap
+    signal order documents like my expensive one?"
+
+    Shape: two global-ish window sorts — acceptable because the input is
+    a per-document SIGNAL table (one row per doc, two longs), and at
+    true corpus scale the caller samples first (the same calibration
+    posture as lsh_recall_report). Rows with a NULL signal are dropped.
+    """
+    base = df.where(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(a_col).alias("__a"),
+        F.col(b_col).alias("__b"),
+    )
+    ra = F.row_number().over(Window.orderBy("__a", "__id"))
+    ranked_a = base.select("__id", "__b", ra.alias("__ra"))
+    rb = F.row_number().over(Window.orderBy("__b", "__id"))
+    ranked = ranked_a.select("__id", "__ra", rb.alias("__rb"))
+    d = (F.col("__ra") - F.col("__rb")).cast("long")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(d * d), F.lit(0)).cast("long").alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        F.expr(
+            "CASE WHEN n < 2 THEN -1"
+            " ELSE ((n*n*n - n) - 6 * sum_d2) * 1000000"
+            " div (n*n*n - n) END"
+        ).cast("long").alias("rho_ppm"),
+    )

@@ -114,3 +114,41 @@ def test_source_divergence_identical_and_disjoint(spark):
     only_q = round((1 - qa) * math.log(2.0) * 1e6)  # c mass
     assert r["n_shared"] == 1
     assert r["jsd2_micro"] == term_a + only + only_q
+
+
+def test_code_signals_flags_code(spark):
+    from kgspark.textstats import code_signals
+
+    code = ("def f(x):\n  y_z = x;\n  return {x: y_z}\n"
+            "  callFn(aB)\n  more;")
+    prose = "This is ordinary prose. It has sentences and no braces."
+    df = spark.createDataFrame(
+        [(1, code), (2, prose), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in code_signals(df).collect()}
+    c = got[1]
+    assert c["n_braces"] == 2 and c["n_semis"] == 2
+    assert c["n_indent_lines"] == 4 and c["n_snake"] == 2
+    assert c["n_camel"] == 2  # llF in callFn + aB
+    assert c["is_codey"] == 1
+    p = got[2]
+    assert p["n_braces"] == 0 and p["is_codey"] == 0
+    assert p["max_line_chars"] == len(prose)
+    assert 3 not in got  # null text dropped
+
+
+def test_rank_correlation_extremes(spark):
+    from kgspark.textstats import rank_correlation
+
+    up = spark.createDataFrame(
+        [(i, i, i * 10) for i in range(1, 6)], "id long, a long, b long"
+    )
+    r = rank_correlation(up, "a", "b", "id").collect()[0]
+    assert (r["n"], r["sum_d2"], r["rho_ppm"]) == (5, 0, 1000000)
+    down = spark.createDataFrame(
+        [(i, i, -i) for i in range(1, 6)], "id long, a long, b long"
+    )
+    r2 = rank_correlation(down, "a", "b", "id").collect()[0]
+    assert r2["rho_ppm"] == -1000000
+    single = rank_correlation(up.limit(1), "a", "b", "id").collect()[0]
+    assert single["rho_ppm"] == -1  # sentinel below n=2
