@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgspark.session import materialize
+
 # href scan: absolute http(s) targets in double-quoted attributes. The
 # deliberately narrow scope (no relative-URL resolution, no single quotes)
 # keeps the operator a pure regex both engines agree on; to resolve
@@ -631,4 +633,110 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.when(path.rlike("/[0-9]{3,}(/|$)"), 1).otherwise(0)
         .cast("long").alias("has_numeric_id"),
         F.length(path).cast("long").alias("path_chars"),
+    )
+
+
+BLOCK_SPLIT = "</?(?:p|div|h[1-6]|li|td|section|article)[^>]*>"
+
+
+def content_blocks(df: DataFrame, url_col: str = "url",
+                   html_col: str = "html",
+                   min_chars: int = 30,
+                   max_link_ppm: int = 500000) -> DataFrame:
+    """Block-level boilerplate segmentation (the densitometric idea of
+    Kohlschütter et al., WSDM 2010: content blocks have long text and low
+    link density; nav/footer chrome is short and link-heavy): split HTML
+    on block-level tags, per non-empty block emit
+
+      (url, block_no, n_chars, link_chars, link_ppm, is_content)
+
+    with link_ppm = anchor-text chars ·1e6 div text chars and is_content
+    = n_chars ≥ min_chars AND link_ppm < max_link_ppm — pure integers.
+    Complements dedup_lines (cross-doc line frequency): this classifier
+    needs no second pass over the corpus.
+
+    Map-only: one split + posexplode + regex census per block; block_no
+    is the 1-based position among NON-empty blocks of the page.
+    """
+    blocks = F.split(F.col(html_col), BLOCK_SPLIT)
+    exploded = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(blocks).alias("__pos", "__raw"),
+    )
+    text = F.trim(F.regexp_replace(F.col("__raw"), "<[^>]+>", ""))
+    link_text = F.aggregate(
+        F.regexp_extract_all(
+            F.col("__raw"), F.lit("<a [^>]*>([^<]*)</a>"), F.lit(1)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    scored = exploded.select(
+        "url",
+        "__pos",
+        F.length(text).alias("n_chars"),
+        link_text.alias("link_chars"),
+    ).where(F.col("n_chars") > 0)
+    w = Window.partitionBy("url").orderBy("__pos")
+    link_ppm = F.expr("link_chars * 1000000 div n_chars")
+    return scored.select(
+        "url",
+        F.row_number().over(w).cast("long").alias("block_no"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("link_chars").cast("long").alias("link_chars"),
+        link_ppm.cast("long").alias("link_ppm"),
+        F.when(
+            (F.col("n_chars") >= min_chars)
+            & (link_ppm < max_link_ppm),
+            1,
+        ).otherwise(0).cast("long").alias("is_content"),
+    )
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 3,
+                      src_col: str = "src", dst_col: str = "dst"
+                      ) -> DataFrame:
+    """Bounded redirect-chain resolution — crawl canonicalization: follow
+    each (src → dst) redirect up to `max_hops`, emit (src, final, hops,
+    is_cycle, resolved). A chain longer than max_hops (or a loop) leaves
+    resolved = 0; is_cycle flags chains that revisit their origin.
+    Multiple redirects from one src collapse deterministically to
+    min(dst) before chasing (real crawls dedupe per fetch anyway).
+
+    Shape: max_hops key-partitioned left joins of the frontier against
+    the (dimension-like) redirect table — the bounded pointer-chase; no
+    iteration-to-fixpoint, no driver loop over data.
+    """
+    if max_hops < 1:
+        raise ValueError("resolve_redirects: max_hops must be >= 1")
+    e = edges.groupBy(F.col(src_col).alias("__s")).agg(
+        F.min(dst_col).alias("__d")
+    )
+    e = materialize(e)
+    state = e.select(
+        F.col("__s").alias("src"),
+        F.col("__d").alias("cur"),
+        F.lit(1).alias("hops"),
+        (F.col("__d") == F.col("__s")).alias("is_cycle"),
+    )
+    for _ in range(max_hops - 1):
+        nxt = e.select(F.col("__s").alias("cur"), F.col("__d").alias("__n"))
+        state = state.join(nxt, "cur", "left").select(
+            "src",
+            F.coalesce("__n", F.col("cur")).alias("cur"),
+            (F.col("hops")
+             + F.when(F.col("__n").isNotNull(), 1).otherwise(0))
+            .alias("hops"),
+            (F.col("is_cycle") | (F.col("__n") == F.col("src")))
+            .alias("is_cycle"),
+        )
+    has_out = e.select(F.col("__s").alias("cur"), F.lit(1).alias("__o"))
+    return state.join(has_out, "cur", "left").select(
+        "src",
+        F.col("cur").alias("final"),
+        F.col("hops").cast("long").alias("hops"),
+        F.coalesce(F.col("is_cycle"), F.lit(False)).cast("long")
+        .alias("is_cycle"),
+        F.when(F.col("__o").isNull(), 1).otherwise(0).cast("long")
+        .alias("resolved"),
     )

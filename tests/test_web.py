@@ -473,3 +473,49 @@ def test_url_features_flags(spark):
     assert got[4]["is_paginated"] == 1  # /page/N path form
     assert got[5]["has_numeric_id"] == 0
     assert got[5]["path_chars"] == len("/post/42")
+
+
+def test_content_blocks_density_rule(spark):
+    from kgspark.web import content_blocks
+
+    long_text = "word " * 20  # 100 chars, no links
+    html = (
+        "<html><body>"
+        f"<p>{long_text}</p>"
+        '<div><a href="x">home</a> <a href="y">about</a></div>'
+        "<p></p>"  # empty block dropped
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    got = {r["block_no"]: r for r in content_blocks(df).collect()}
+    # block 1 = the long paragraph: content
+    assert got[1]["is_content"] == 1 and got[1]["link_chars"] == 0
+    # block 2 = nav links: short + link-dense -> boilerplate
+    nav = got[2]
+    assert nav["is_content"] == 0
+    assert nav["link_chars"] == len("home") + len("about")
+    assert nav["link_ppm"] > 500000
+    assert len(got) == 2
+
+
+def test_resolve_redirects_chain_cycle_unresolved(spark):
+    from kgspark.web import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),  # depth-4 chain
+         ("x", "y"), ("y", "x"),                          # 2-cycle
+         ("q", "final")],                                 # 1 hop
+        "src string, dst string",
+    )
+    got = {r["src"]: r for r in resolve_redirects(edges, max_hops=3).collect()}
+    q = got["q"]
+    assert (q["final"], q["hops"], q["resolved"], q["is_cycle"]) == (
+        "final", 1, 1, 0)
+    # b -> c -> d -> e resolves in exactly 3 hops
+    b = got["b"]
+    assert (b["final"], b["hops"], b["resolved"]) == ("e", 3, 1)
+    # a needs 4 hops -> lands on d, unresolved at max_hops=3
+    a = got["a"]
+    assert (a["final"], a["resolved"]) == ("d", 0)
+    x = got["x"]
+    assert x["is_cycle"] == 1 and x["resolved"] == 0
