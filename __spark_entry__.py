@@ -3113,6 +3113,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return resolve_redirects(chain.unionByName(cyc), max_hops=3)
 
+    def dedup_incremental(spark, sf_dir):
+        # ingest-gate dedup: every 10th doc re-ingested (+1e6 ids) checks
+        # against the existing corpus — asymmetric band join, exact verify
+        from kgspark.dedup import incremental_near_dups
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        batch = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        return incremental_near_dups(
+            docs, batch, num_hashes=8, bands=4, shingle_n=3,
+            threshold_permille=500,
+        )
+
+    def web_blocklist(spark, sf_dir):
+        # domain-blocklist annotation with the subdomain suffix rule;
+        # blocked_by coalesced to '' for the sortable-output contract
+        from kgspark.web import blocklist_filter
+
+        docs = _read(spark, sf_dir, "documents")
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://www.site"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        bl = spark.createDataFrame(
+            [("site7.example.com",), ("www.site3.example.com",),
+             ("cdn.example.com",)],
+            "domain string",
+        )
+        out = blocklist_filter(urls, bl)
+        return out.select(
+            "doc_id", "url", "host",
+            F.coalesce("blocked_by", F.lit("")).alias("blocked_by"),
+            "is_blocked",
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3306,6 +3347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corr": text_corr,
         "web_blocks": web_blocks,
         "web_redirects": web_redirects,
+        "dedup_incremental": dedup_incremental,
+        "web_blocklist": web_blocklist,
     }
 
 
@@ -7193,5 +7236,91 @@ SELECT src, cur AS final, hops::BIGINT AS hops,
          AS is_cycle,
        (CASE WHEN o.s IS NULL THEN 1 ELSE 0 END)::BIGINT AS resolved
 FROM wr_3 LEFT JOIN wr_e o ON o.s = wr_3.cur
+""",
+        # kgspark.dedup.incremental_near_dups: asymmetric band join of the
+        # re-ingested batch against the corpus index, integer verify
+        "dedup_incremental": f"""
+WITH inc_c AS (
+  SELECT doc_id AS id, {_sh_sql('"text"', 3)} AS sh
+  FROM documents WHERE "text" IS NOT NULL
+),
+inc_b AS (
+  SELECT doc_id + 1000000 AS id, {_sh_sql('"text"', 3)} AS sh
+  FROM documents WHERE "text" IS NOT NULL AND doc_id % 10 = 0
+),
+inc_cs AS (
+  SELECT id, sh,
+         [{", ".join(f"list_min(list_transform(sh, g -> md5('{i}:' || g)))"
+                     for i in range(8))}] AS sig
+  FROM inc_c
+),
+inc_bs AS (
+  SELECT id, sh,
+         [{", ".join(f"list_min(list_transform(sh, g -> md5('{i}:' || g)))"
+                     for i in range(8))}] AS sig
+  FROM inc_b
+),
+inc_cb AS (
+  SELECT id AS corpus_id, sh AS shc,
+         unnest([{", ".join(
+             "'%d|' || %s" % (b, " || '|' || ".join(
+                 f"sig[{b * 2 + r + 1}]" for r in range(2)))
+             for b in range(4))}]) AS band_key
+  FROM inc_cs
+),
+inc_bb AS (
+  SELECT id AS batch_id, sh AS shb,
+         unnest([{", ".join(
+             "'%d|' || %s" % (b, " || '|' || ".join(
+                 f"sig[{b * 2 + r + 1}]" for r in range(2)))
+             for b in range(4))}]) AS band_key
+  FROM inc_bs
+),
+inc_cand AS (
+  SELECT batch_id, corpus_id,
+         any_value(shb) AS shb, any_value(shc) AS shc
+  FROM inc_bb JOIN inc_cb USING (band_key)
+  GROUP BY 1, 2
+)
+SELECT batch_id, corpus_id,
+       (len(list_intersect(shb, shc)) * 1000)::BIGINT AS i1000,
+       len(list_distinct(shb || shc))::BIGINT AS u
+FROM inc_cand
+WHERE len(list_intersect(shb, shc)) * 1000
+        >= 500 * len(list_distinct(shb || shc))
+""",
+        # kgspark.web.blocklist_filter: suffix rule inside the left join
+        "web_blocklist": """
+WITH blu AS (
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 50) || '.example.com/p/' || doc_id
+           AS url
+  FROM documents
+),
+blh AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1))
+           AS host
+  FROM blu
+),
+bll(domain) AS (VALUES ('site7.example.com'), ('www.site3.example.com'),
+                       ('cdn.example.com')),
+blb AS (
+  SELECT lower(domain) AS bd,
+         regexp_extract(lower(domain), '([^.]+[.][^.]+)$', 1) AS brd
+  FROM bll
+),
+blj AS (
+  SELECT h.doc_id, h.url, h.host, min(b.bd) AS blocked_by
+  FROM blh h LEFT JOIN blb b
+    ON regexp_extract(h.host, '([^.]+[.][^.]+)$', 1) = b.brd
+   AND (h.host = b.bd OR h.host LIKE '%.' || b.bd)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, url, host, coalesce(blocked_by, '') AS blocked_by,
+       (CASE WHEN blocked_by IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS is_blocked
+FROM blj
 """,
     }

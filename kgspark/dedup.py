@@ -1039,3 +1039,82 @@ def jaccard_threshold_curve(
         .agg(F.countDistinct("d").cast("long").alias("n_docs_hit"))
     )
     return n_pairs.join(n_docs, "t_pml")
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold_permille: int = 500,
+) -> DataFrame:
+    """Ingest-gate dedup: for each NEW batch document, find its near-dups
+    in the EXISTING corpus — (batch_id, corpus_id, i1000, u) pairs with
+    integer-exact Jaccard evidence (i1000 = |∩|·1000, u = |∪|; the ratio
+    is i1000/1000u, kept as integers per the repo parity rule) at
+    Jaccard ≥ threshold. The asymmetric shape every streaming/batch
+    ingest pipeline needs: the corpus is indexed ONCE (its banded keys
+    are what you persist), each batch joins its own tiny banded table
+    against that index — never a corpus self-join per ingest.
+
+    Shape: band-key equi-join (batch side is small ⇒ broadcastable),
+    exact verify on candidates only.
+    """
+    def _prep(df):
+        return materialize(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+            .where(F.col("t").isNotNull())
+            .withColumn("__toks", F.split(F.col("t"), r"\s+"))
+            .withColumn("sh", word_shingles_from(F.col("__toks"), shingle_n))
+            .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
+            .drop("t", "__toks")
+        )
+
+    rows = num_hashes // bands
+
+    def _banded(base):
+        return base.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[F.col("sig")[b * rows + r]
+                              for r in range(rows)],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+
+    cb = _banded(_prep(corpus)).select(
+        F.col("id").alias("corpus_id"), F.col("sh").alias("shc"),
+        "band_key",
+    )
+    bb = _banded(_prep(batch)).select(
+        F.col("id").alias("batch_id"), F.col("sh").alias("shb"),
+        "band_key",
+    )
+    cand = (
+        cb.join(F.broadcast(bb), "band_key")
+        .select("batch_id", "corpus_id", "shb", "shc")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    inter = F.size(F.array_intersect("shb", "shc"))
+    union = F.size(F.array_union("shb", "shc"))
+    return (
+        cand.select(
+            "batch_id",
+            "corpus_id",
+            (inter * 1000).cast("long").alias("i1000"),
+            union.cast("long").alias("u"),
+        )
+        .where(F.col("i1000") >= F.lit(threshold_permille) * F.col("u"))
+    )

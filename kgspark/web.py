@@ -740,3 +740,45 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 3,
         F.when(F.col("__o").isNull(), 1).otherwise(0).cast("long")
         .alias("resolved"),
     )
+
+
+def blocklist_filter(df: DataFrame, blocked_domains: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Domain-blocklist annotation — the first gate of every web-corpus
+    pipeline (adult/malware/spam domain lists): adds (host, blocked_by,
+    is_blocked) where a URL is blocked when its host EQUALS a listed
+    domain or is a SUBDOMAIN of one (host ends with '.' + domain — the
+    suffix rule real blocklists use; bare substring matching would block
+    'notexample.com' for 'example.com'). Annotate-don't-drop: callers
+    filter on is_blocked so rejects stay auditable.
+
+    `blocked_domains` has one column `domain` (lowercase). Shape: the
+    list is dimension-sized ⇒ broadcast; matching is one broadcast join
+    on the registrable domain plus an endswith verify — the corpus never
+    shuffles. Multiple matches collapse deterministically to min(domain).
+    """
+    base = df.withColumn("host", host_of(F.col(url_col)))
+    bl = blocked_domains.select(
+        F.lower(F.col("domain")).alias("__bd"),
+        registered_domain(F.lower(F.col("domain"))).alias("__brd"),
+    ).distinct()
+    probe = base.withColumn("__rd", registered_domain(F.col("host")))
+    # the suffix verify lives IN the left-join condition: a host whose
+    # registrable domain matches a listed entry but fails the suffix rule
+    # must stay an UNMATCHED row, not vanish in a post-join filter
+    cond = (F.col("__rd") == F.col("__brd")) & (
+        (F.col("host") == F.col("__bd"))
+        | F.col("host").endswith(F.concat(F.lit("."), F.col("__bd")))
+    )
+    hit = (
+        probe.join(F.broadcast(bl), cond, "left")
+        .groupBy(*df.columns, "host")
+        .agg(F.min("__bd").alias("blocked_by"))
+    )
+    return hit.select(
+        *df.columns,
+        "host",
+        "blocked_by",
+        F.when(F.col("blocked_by").isNotNull(), 1).otherwise(0)
+        .cast("long").alias("is_blocked"),
+    )

@@ -355,3 +355,30 @@ def test_jaccard_threshold_curve_monotone(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         jaccard_threshold_curve(df, permilles=(0,))
+
+
+def test_incremental_near_dups_batch_vs_corpus(spark):
+    from kgspark.dedup import incremental_near_dups
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "unrelated corpus content entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # dup of 1
+            (101, "fresh new never seen words only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["batch_id"], r["corpus_id"]): (r["i1000"], r["u"])
+           for r in incremental_near_dups(corpus, batch,
+                                          num_hashes=8, bands=4).collect()}
+    assert set(got) == {(100, 1)}
+    i1000, u = got[(100, 1)]
+    assert i1000 == 1000 * u  # exact dup: J = 1
+    # batch never pairs with itself (100 vs 101 absent by construction)

@@ -519,3 +519,25 @@ def test_resolve_redirects_chain_cycle_unresolved(spark):
     assert (a["final"], a["resolved"]) == ("d", 0)
     x = got["x"]
     assert x["is_cycle"] == 1 and x["resolved"] == 0
+
+
+def test_blocklist_suffix_rule(spark):
+    from kgspark.web import blocklist_filter
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://bad.example.com/x"),      # exact
+            (2, "https://sub.bad.example.com/y"),  # subdomain
+            (3, "https://notbad.example.com/z"),   # NOT a suffix match
+            (4, "https://clean.org/a"),            # different domain
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.example.com",)], "domain string")
+    got = {r["doc_id"]: (r["is_blocked"], r["blocked_by"])
+           for r in blocklist_filter(urls, bl).collect()}
+    assert got[1] == (1, "bad.example.com")
+    assert got[2] == (1, "bad.example.com")
+    assert got[3] == (0, None)     # same registrable domain, wrong suffix
+    assert got[4] == (0, None)
+    assert len(got) == 4           # no row ever vanishes
