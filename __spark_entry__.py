@@ -3154,6 +3154,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_blocked",
         )
 
+    def embed_protos(spark, sf_dir):
+        # per-label class prototypes (floor-mean micro ints); arrays are
+        # reduced to leading dims + a checksum for the hashable contract
+        from kgspark.embed import label_prototypes
+
+        out = label_prototypes(_read(spark, sf_dir, "embeddings"))
+        return out.select(
+            "label",
+            "n_vecs",
+            *[
+                F.element_at("proto", d + 1).alias(f"proto_{d}")
+                for d in range(4)
+            ],
+            F.aggregate(
+                "proto", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("proto_sum"),
+        )
+
+    def embed_proto_eval(spark, sf_dir):
+        # nearest-class-mean accuracy over the labeled embedding table —
+        # exact integer distances, lowest-label ties, one census row
+        from kgspark.embed import prototype_eval
+
+        return prototype_eval(_read(spark, sf_dir, "embeddings"))
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3349,6 +3374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_redirects": web_redirects,
         "dedup_incremental": dedup_incremental,
         "web_blocklist": web_blocklist,
+        "embed_protos": embed_protos,
+        "embed_proto_eval": embed_proto_eval,
     }
 
 
@@ -7322,5 +7349,71 @@ SELECT doc_id, url, host, coalesce(blocked_by, '') AS blocked_by,
        (CASE WHEN blocked_by IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
          AS is_blocked
 FROM blj
+""",
+        # kgspark.embed.label_prototypes: integer dim sums, floor means
+        "embed_protos": f"""
+WITH ep_v AS (
+  SELECT label,
+         [CAST(round(embedding[i]::DOUBLE * 1000000.0, 0) AS BIGINT)
+          for i in range(1, 65)] AS v
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+ep_s AS (
+  SELECT label, count(*)::BIGINT AS n_vecs,
+         [{", ".join(f"sum(v[{d + 1}])" for d in range(64))}] AS s
+  FROM ep_v GROUP BY label
+),
+ep_m AS (
+  SELECT label, n_vecs,
+         [CAST(s[i] // n_vecs AS BIGINT) for i in range(1, 65)] AS p
+  FROM ep_s
+)
+SELECT label, n_vecs,
+       {", ".join(f"p[{d + 1}]::BIGINT AS proto_{d}" for d in range(4))},
+       list_sum(p)::BIGINT AS proto_sum
+FROM ep_m
+""",
+        # kgspark.embed.prototype_eval: nearest floor-mean prototype,
+        # exact integer squared-L2, lowest-label ties
+        "embed_proto_eval": f"""
+WITH pe_v AS (
+  SELECT vec_id AS id, label AS true_label,
+         [CAST(round(embedding[i]::DOUBLE * 1000000.0, 0) AS BIGINT)
+          for i in range(1, 65)] AS v
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+pe_s AS (
+  SELECT true_label AS label, count(*)::BIGINT AS n,
+         [{", ".join(f"sum(v[{d + 1}])" for d in range(64))}] AS s
+  FROM pe_v GROUP BY true_label
+),
+pe_p AS (
+  SELECT label AS cand,
+         [CAST(s[i] // n AS BIGINT) for i in range(1, 65)] AS p
+  FROM pe_s
+),
+pe_d AS (
+  SELECT v.id, v.true_label, c.cand,
+         list_sum([(v.v[i] - c.p[i]) * (v.v[i] - c.p[i])
+                   for i in range(1, 65)]) AS d
+  FROM pe_v v CROSS JOIN pe_p c
+),
+pe_b AS (
+  SELECT id, true_label, cand FROM (
+    SELECT id, true_label, cand,
+           row_number() OVER (PARTITION BY id ORDER BY d, cand) AS rn
+    FROM pe_d
+  ) WHERE rn = 1
+),
+pe_a AS (
+  SELECT count(*)::BIGINT AS n_total,
+         coalesce(sum(CASE WHEN cand = true_label THEN 1 ELSE 0 END),
+                  0)::BIGINT AS n_correct
+  FROM pe_b
+)
+SELECT n_total, n_correct,
+       (CASE WHEN n_total = 0 THEN -1
+             ELSE n_correct * 1000000 // n_total END)::BIGINT AS acc_ppm
+FROM pe_a
 """,
     }

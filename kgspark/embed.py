@@ -25,7 +25,7 @@ from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, FloatType
@@ -312,3 +312,98 @@ def pq_assign(
         total = total + F.col(f"__d_{s}")
     out = out.withColumn("distortion", total.cast("long"))
     return out.drop("__vmic", *[f"__d_{s}" for s in range(m)])
+
+
+def label_prototypes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    in_dim: int = 64,
+) -> DataFrame:
+    """Per-label class prototypes as exact integers: (label, n_vecs,
+    proto) where proto is the per-dimension FLOOR-mean in micro-units
+    (Σ round(v·1e6) div n — quantize once, integer sums, integer
+    division; bit-identical on any engine and partitioning). The
+    nearest-class-mean layout behind cheap few-shot classifiers and
+    label-quality audits over embedding tables.
+
+    Shape: one map-side-combined groupBy on label; in_dim sum aggregates
+    over a dimension-sized result. No shuffles of the corpus beyond the
+    label groupBy."""
+    vmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(label_col).alias("label"), vmic.alias("__v"))
+    sums = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        *[
+            F.sum(F.element_at("__v", d + 1)).alias(f"__s{d}")
+            for d in range(in_dim)
+        ],
+    )
+    proto = F.array(
+        *[F.expr(f"__s{d} div n_vecs").cast("long") for d in range(in_dim)]
+    )
+    return sums.select("label", "n_vecs", proto.alias("proto"))
+
+
+def prototype_eval(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+) -> DataFrame:
+    """Nearest-class-mean accuracy census: assign every vector to its
+    nearest label prototype (exact integer squared-L2 in micro-units,
+    ties to the lowest label) and compare with the true label — ONE row
+    (n_total, n_correct, acc_ppm). The 5-second answer to "are these
+    labels/embeddings coherent at all?" before anyone trains a probe.
+
+    Shape: prototypes are dimension-sized ⇒ broadcast crossJoin; the
+    per-(vector, label) distance is a JVM zip_with/aggregate; one
+    per-vector argmin via min_by struct ordering, one global fold.
+    """
+    protos = label_prototypes(df, vec_col, label_col, in_dim)
+    vmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("true_label"),
+        vmic.alias("__v"),
+    )
+    pairs = base.crossJoin(
+        F.broadcast(protos.select(F.col("label").alias("cand"), "proto"))
+    )
+    dist = F.aggregate(
+        F.zip_with("__v", "proto", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("id", "true_label", "cand", dist.alias("d"))
+    w = Window.partitionBy("id").orderBy(F.asc("d"), F.asc("cand"))
+    best = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return best.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("cand") == F.col("true_label"), 1)
+                  .otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_correct"),
+    ).select(
+        "n_total",
+        "n_correct",
+        F.expr(
+            "CASE WHEN n_total = 0 THEN -1"
+            " ELSE n_correct * 1000000 div n_total END"
+        ).cast("long").alias("acc_ppm"),
+    )

@@ -121,3 +121,28 @@ def test_ranking_metrics_exact(spark):
     assert row["sum_rr_ppm"] == 1000000 // 2 + 1000000  # q1 + q2
     assert row["hits_1"] == 1 and row["hits_2"] == 2
     assert row["n_no_rel"] == 1
+
+
+def test_label_prototypes_and_eval(spark):
+    from kgspark.embed import label_prototypes, prototype_eval
+
+    # two tight clusters around (+1e5 micro) and (-1e5 micro)
+    rows = [
+        (1, [0.10, 0.10], 0), (2, [0.12, 0.08], 0), (3, [0.08, 0.12], 0),
+        (4, [-0.10, -0.10], 1), (5, [-0.12, -0.08], 1),
+        (6, [0.09, 0.11], 1),  # mislabeled point near cluster 0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    protos = {r["label"]: (r["n_vecs"], r["proto"])
+              for r in label_prototypes(df, in_dim=2).collect()}
+    assert protos[0][0] == 3
+    # floor mean of [100000, 120000, 80000] = 100000
+    assert protos[0][1][0] == 100000
+    ev = prototype_eval(df, in_dim=2).collect()[0]
+    # the mislabeled point classifies to 0, everything else correct
+    assert (ev["n_total"], ev["n_correct"]) == (6, 5)
+    assert ev["acc_ppm"] == 5 * 1000000 // 6
+    empty = prototype_eval(df.limit(0), in_dim=2).collect()[0]
+    assert empty["acc_ppm"] == -1
