@@ -447,3 +447,58 @@ def densify_calendar(
             count_col
         ),
     )
+
+
+def budget_allocation(
+    df: DataFrame,
+    budget_docs: int,
+    source_col: str = "source",
+    alpha_permille: int = 500,
+) -> DataFrame:
+    """Training-budget planner: split a doc budget across sources in
+    proportion to their temperature weights, capped by availability, with
+    ONE integer redistribution round for the capped sources' shortfall —
+    (source, n_docs, weight_ppm, alloc_docs, saturated). All arithmetic
+    is integer floor division on top of temperature_weights' exact
+    w_scaled, so the plan is bit-identical anywhere; the single
+    redistribution round means tiny floor-residues may remain unspent
+    (≤ |sources| docs — a planner, not a packer).
+
+    Shape: everything after the one groupBy in temperature_weights runs
+    on the dimension-sized source table (two 1-row aggregates broadcast
+    back).
+    """
+    if budget_docs < 0:
+        raise ValueError("budget_allocation: budget_docs must be >= 0")
+    w = temperature_weights(df, source_col, alpha_permille)
+    a1 = F.least(
+        F.col("n_docs"),
+        F.expr(f"weight_ppm * {int(budget_docs)} div 1000000"),
+    )
+    staged = w.select(
+        "source", "n_docs", "weight_ppm", a1.alias("__a1")
+    )
+    tot = staged.agg(
+        F.coalesce(F.sum("__a1"), F.lit(0)).alias("__spent"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a1") < F.col("n_docs"),
+                         F.col("weight_ppm"))),
+            F.lit(0),
+        ).alias("__unsat_w"),
+    )
+    j = staged.crossJoin(F.broadcast(tot))
+    bonus = F.when(
+        (F.col("__a1") < F.col("n_docs")) & (F.col("__unsat_w") > 0),
+        F.expr(
+            f"weight_ppm * ({int(budget_docs)} - __spent) div __unsat_w"
+        ),
+    ).otherwise(F.lit(0))
+    alloc = F.least(F.col("n_docs"), F.col("__a1") + bonus)
+    return j.select(
+        "source",
+        "n_docs",
+        "weight_ppm",
+        alloc.cast("long").alias("alloc_docs"),
+        F.when(alloc >= F.col("n_docs"), 1).otherwise(0).cast("long")
+        .alias("saturated"),
+    )

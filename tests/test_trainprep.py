@@ -245,3 +245,25 @@ def test_densify_calendar_zero_fill(spark):
     assert len(got) == 6
     assert got[("a", 1)] == 5 and got[("a", 2)] == 0 and got[("a", 3)] == 2
     assert got[("b", 1)] == 0 and got[("b", 2)] == 7 and got[("b", 3)] == 0
+
+
+def test_budget_allocation_caps_and_redistributes(spark):
+    from kgspark.trainprep import budget_allocation
+
+    # big: 96 docs, tiny: 4 docs. sqrt weights ~ (9.8M, 2M) -> ppm
+    rows = [(i, "big") for i in range(96)] + [(100 + i, "tiny")
+                                              for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r
+           for r in budget_allocation(df, budget_docs=50).collect()}
+    tiny = got["tiny"]
+    # tiny's fair share (~8 docs) exceeds availability -> capped + flagged
+    assert tiny["alloc_docs"] == 4 and tiny["saturated"] == 1
+    big = got["big"]
+    # big absorbs the redistributed shortfall but never exceeds budget
+    assert big["saturated"] == 0
+    assert big["alloc_docs"] > 50 * big["weight_ppm"] // 1000000
+    assert big["alloc_docs"] + tiny["alloc_docs"] <= 50
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        budget_allocation(df, budget_docs=-1)
