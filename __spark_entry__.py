@@ -3189,6 +3189,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             alpha_permille=500,
         )
 
+    def kg_window_chunks(spark, sf_dir):
+        # RAG-style token-window passages (size 24, stride 16) — fixed
+        # compute per passage, integer-ceil window counts
+        from kgspark.chunk import window_chunks
+
+        return window_chunks(
+            _read(spark, sf_dir, "documents"), size=24, stride=16
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3387,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_protos": embed_protos,
         "embed_proto_eval": embed_proto_eval,
         "corpus_budget": corpus_budget,
+        "kg_window_chunks": kg_window_chunks,
     }
 
 
@@ -7468,5 +7478,30 @@ SELECT source, n_docs, weight_ppm,
                        ELSE 0 END) >= n_docs THEN 1 ELSE 0 END)::BIGINT
          AS saturated
 FROM cb_a1 CROSS JOIN cb_agg
+""",
+        # kgspark.chunk.window_chunks (size 24, stride 16): integer-ceil
+        # window counts, slice + join per window
+        "kg_window_chunks": r"""
+WITH wc_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE "text" IS NOT NULL
+),
+wc_n AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) > 24
+              THEN (len(t) - 24 + 15) // 16 ELSE 0 END AS extra
+  FROM wc_t WHERE len(t) > 0
+),
+wc_e AS (
+  SELECT doc_id, t, u.c AS chunk_no
+  FROM wc_n, unnest(generate_series(0, extra)) AS u(c)
+)
+SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+       len(t[chunk_no * 16 + 1 : chunk_no * 16 + 24])::BIGINT AS n_tokens,
+       array_to_string(t[chunk_no * 16 + 1 : chunk_no * 16 + 24], ' ')
+         AS chunk_text
+FROM wc_e
 """,
     }

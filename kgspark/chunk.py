@@ -86,3 +86,61 @@ def chunk_documents(
         docs.withColumn("_chunks", chunks_udf(max_length)(F.col(text_col)))
         .select(*carry, F.posexplode("_chunks").alias("chunk_id", "chunk_text"))
     )
+
+
+def window_chunks(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token-window passage chunking with overlap — the RAG /
+    retrieval-index layout (window `size` tokens, advance `stride`, so
+    consecutive passages overlap by size − stride). Returns
+    (doc_id, chunk_no, n_tokens, chunk_text): chunk_no is 0-based;
+    the final window is the possibly-short tail; a doc shorter than
+    `size` yields exactly one chunk. Empty/null docs yield nothing.
+
+    Complements sentence_chunks (structure-aware, variable length):
+    fixed windows are what embedding indexes actually want — uniform
+    compute per passage and no pathological giant sentences.
+
+    Shape: materialize the token array once (the HOF re-evaluation
+    trap), then one sequence()+transform explode — map-only; chunk
+    count per doc is ceil((n-size)/stride)+1, linear in corpus tokens.
+    """
+    if size < 1 or stride < 1 or stride > size:
+        raise ValueError(
+            "window_chunks: need 1 <= stride <= size"
+        )
+    from kgspark.session import materialize
+    from kgspark.textstats import ws_tokens
+
+    toks = materialize(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            ws_tokens(F.col(text_col)).alias("__t"),
+        ).where(F.size("__t") > 0)
+    )
+    # number of windows: 1 + max(0, ceil((n - size) / stride)) — the
+    # ceil is pure integer arithmetic (no fp ratio anywhere)
+    n = F.size("__t")
+    extra = F.when(
+        n > size,
+        F.expr(f"(size(__t) - {size} + {stride - 1}) div {stride}"),
+    ).otherwise(F.lit(0))
+    out = toks.select(
+        "__id",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(0), extra)
+        ).alias("chunk_no"),
+    )
+    piece = F.slice("__t", F.col("chunk_no") * stride + 1, size)
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -312,3 +312,32 @@ def test_pq_assign_matches_bruteforce(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pq_assign(df, m=3, in_dim=8)
+
+
+# ---------------------------------------------------------------------------
+# window_chunks
+# ---------------------------------------------------------------------------
+
+def test_window_chunks_stride_and_tail(spark):
+    from kgspark.chunk import window_chunks
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text10), (2, "a b c"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in window_chunks(df, size=4, stride=3).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_no"]] = (
+            r["n_tokens"], r["chunk_text"])
+    # doc 1: 10 tokens, size 4 stride 3 -> ceil(6/3)=2 extra -> 3 chunks
+    assert set(got[1]) == {0, 1, 2}
+    assert got[1][0] == (4, "w0 w1 w2 w3")
+    assert got[1][1] == (4, "w3 w4 w5 w6")
+    assert got[1][2] == (4, "w6 w7 w8 w9")
+    # short doc -> single chunk; null/empty yield nothing
+    assert got[2] == {0: (3, "a b c")}
+    assert 3 not in got and 4 not in got
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        window_chunks(df, size=4, stride=5)
