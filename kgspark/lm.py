@@ -41,7 +41,7 @@ from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
 __all__ = ["bigram_pairs", "train_bigram_lm", "score_bigram_lm",
-           "lm_buckets"]
+           "lm_buckets", "train_trigram_lm", "score_trigram_lm"]
 
 
 def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -211,3 +211,126 @@ def lm_buckets(scores: DataFrame, n: int = 3,
             + 1
         ).cast("int")
     return ranked.withColumn("bucket", bucket).drop("__rank")
+
+
+def _triples_of(toks: DataFrame, id_col: str) -> DataFrame:
+    n = F.size("t")
+    z = F.arrays_zip(
+        F.slice("t", F.lit(1), n - 2).alias("w1"),
+        F.slice("t", F.lit(2), n - 2).alias("w2"),
+        F.slice("t", F.lit(3), n - 2).alias("w3"),
+    )
+    return (
+        toks.where(n >= 3)
+        .select(F.col(id_col), F.explode(z).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"), F.col("p.w3").alias("w3"))
+    )
+
+
+def train_trigram_lm(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Stupid-backoff trigram model (Brants et al., EMNLP 2007 — the
+    web-scale LM recipe: no discounting to estimate, counts only):
+    returns (tri, bi, uni, totals) count tables —
+    tri(w1,w2,w3,c123,c12), bi(w2,w3,c23,c2), uni(w3,c3),
+    totals(__n,__v). ONE materialized token table feeds every order."""
+    toks = _token_table(df, text_col, id_col)
+    uni = (
+        toks.select(F.explode("t").alias("w3"))
+        .groupBy("w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    uni = materialize(uni)
+    bi12 = (
+        _pairs_of(toks, id_col)
+        .groupBy(F.col("w1"), F.col("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi12 = materialize(bi12)
+    tri = (
+        _triples_of(toks, id_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .join(
+            bi12.select(F.col("w1"), F.col("w2"), F.col("c").alias("c12")),
+            ["w1", "w2"],
+        )
+    )
+    bi = bi12.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c").alias("c23"),
+    ).join(
+        uni.select(F.col("w3").alias("w2"), F.col("c3").alias("c2")),
+        "w2",
+    )
+    totals = uni.agg(
+        F.sum("c3").cast("double").alias("__n"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    return tri, bi, uni, totals
+
+
+def score_trigram_lm(df: DataFrame, tri: DataFrame, bi: DataFrame,
+                     uni: DataFrame, totals: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, n_trigrams, sum_unats): stupid-backoff trigram score with
+    every per-trigram −ln p quantized to INTEGER micro-nats BEFORE the
+    per-document sum (the kgspark.nb posture — exact longs under any
+    partitioning; bits/char etc. derive downstream):
+
+        p = c123/c12                      if the trigram was seen
+          | 0.4 · c23/c2                  else if the bigram was seen
+          | 0.16 · (c3+1)/(N+V)           else (add-1 unigram)
+
+    Docs with <3 tokens emit n_trigrams = 0, sum_unats = 0.
+    Shape: three left hash joins on the trigram stream (the count tables
+    prune/broadcast like the bigram scorer); skewed stop-ngrams split
+    under AQE."""
+    stream = _triples_of(_token_table(df, text_col, id_col), id_col)
+    j = (
+        stream.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi, ["w2", "w3"], "left")
+        .join(uni, "w3", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.col("c123").cast("double") / F.col("c12").cast("double"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(0.4)
+            * (F.col("c23").cast("double") / F.col("c2").cast("double")),
+        )
+        .otherwise(
+            F.lit(0.4) * F.lit(0.4)
+            * (
+                (F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+                 + F.lit(1.0))
+                / (F.col("__n") + F.col("__v"))
+            )
+        )
+    )
+    unats = F.round(-F.log(p) * 1000000.0, 0).cast("long")
+    scored = (
+        j.select(F.col(id_col), unats.alias("__u"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("__u").cast("long").alias("sum_unats"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).cast("long")
+            .alias("n_trigrams"),
+            F.coalesce("sum_unats", F.lit(0)).cast("long")
+            .alias("sum_unats"),
+        )
+    )

@@ -91,3 +91,33 @@ def test_lm_buckets_fewer_rows_than_buckets(spark):
     assert out == {1: 1, 0: 2}
     empty = lm_buckets(df.limit(0), n=3)
     assert empty.count() == 0 and "bucket" in empty.columns
+
+
+def test_trigram_backoff_tiers(spark):
+    import math
+
+    from kgspark.lm import score_trigram_lm, train_trigram_lm
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    tri, bi, uni, totals = train_trigram_lm(train)
+    # seen trigram 'a b c' twice out of c12('a b')=2 -> p=1
+    score = spark.createDataFrame(
+        [(10, "a b c"),          # 1 trigram, seen: p = 2/2 = 1 -> 0 unats
+         (11, "b c d"),          # seen once / c12(b c)=2 -> p=.5
+         (12, "x b c"),          # unseen tri; bigram (b c) seen -> backoff
+         (13, "x y zzz"),        # full backoff to add-1 unigram (zzz unseen)
+         (14, "a b")],           # too short -> 0 trigrams
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           score_trigram_lm(score, tri, bi, uni, totals).collect()}
+    assert got[10]["sum_unats"] == 0 and got[10]["n_trigrams"] == 1
+    assert got[11]["sum_unats"] == round(-math.log(0.5) * 1e6)
+    # backoff tier: 0.4 * c23/c2; c23('b c')=2, c2 = c('b')=2 -> 0.4
+    assert got[12]["sum_unats"] == round(-math.log(0.4 * 1.0) * 1e6)
+    # full backoff: 0.16 * (0+1)/(N+V); N=8 tokens, V=5 types
+    exp = 0.4 * 0.4 * (1.0 / (8 + 5))
+    assert got[13]["sum_unats"] == round(-math.log(exp) * 1e6)
+    assert got[14]["n_trigrams"] == 0 and got[14]["sum_unats"] == 0
