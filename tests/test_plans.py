@@ -310,3 +310,73 @@ def test_rolling_daily_single_shuffle_into_window(spark):
     p = plan(rolling_daily(ev))
     assert "partial" in p.lower() or "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_pq_topk_broadcasts_queries_never_shuffles_corpus(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["ann_pq"](spark, SF)
+    p = plan(q)
+    # the query side broadcasts; no cartesian/BNL beyond the tiny
+    # broadcast-nested-loop the crossJoin of a broadcast side lowers to
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    # the only hash exchange is the per-query top-k window
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_session_paths_single_user_shuffle(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["rel_paths"](spark, SF)
+    p = plan(q)
+    # ONE shuffle on user serves both window passes (the session cumsum
+    # and the in-session leads); the final pair groupBy adds one more
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_markov_no_global_window(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["rel_markov"](spark, SF)
+    p = plan(q)
+    # no partitionless window (Exchange SinglePartition feeding a Window)
+    assert "Exchange SinglePartition, ENSURE_REQUIREMENTS" not in p.split(
+        "Window"
+    )[0] or "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_dedup_broadcasts_batch(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["dedup_incremental"](spark, SF)
+    p = plan(q, execute=True)
+    # the re-ingested batch is the broadcast side of the band join
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_winnow_single_doc_window(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["dedup_winnow"](spark, SF)
+    p = plan(q)
+    # doc-partitioned window + final groupBy: no global sort, no join
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_heaps_windows_only_bucket_table(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()["text_heaps"](spark, SF)
+    p = plan(q)
+    # the cumulative window runs over the 10-row bucket table; the
+    # single-partition exchange it needs is fed by aggregates, and the
+    # corpus-sized stages never see a global sort; assert the cheap form:
+    assert "CartesianProduct" not in p
+    # 3 single-partition exchanges, ALL on aggregate-sized inputs: the
+    # global max(id), the 10-row bucket window, the final fold — none of
+    # them sees corpus-sized data
+    assert p.count("Exchange SinglePartition") <= 3
