@@ -184,6 +184,20 @@ BENCH_QUERIES = [
     "corpus_pack_stats",
     "rel_densify",
     "dedup_recall",
+    "rel_seasonality",
+    "kg_inverse_preds",
+    "dedup_curve",
+    "text_code",
+    "text_corr",
+    "web_blocks",
+    "web_redirects",
+    "dedup_incremental",
+    "web_blocklist",
+    "embed_protos",
+    "embed_proto_eval",
+    "corpus_budget",
+    "kg_window_chunks",
+    "text_lm3",
 ]
 
 
