@@ -3207,6 +3207,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tri, bi, uni, totals = train_trigram_lm(docs)
         return score_trigram_lm(docs, tri, bi, uni, totals)
 
+    def kg_assortativity(spark, sf_dir):
+        # degree assortativity (Newman 2002) of the triple graph as the
+        # exact-integer Spearman census — disassortativity KG check
+        from kgspark.graph_algs import degree_assortativity
+
+        return degree_assortativity(_extract_triples(spark, sf_dir))
+
+    def web_feed(spark, sf_dir):
+        # RSS item extraction over synthesized 2-item feeds per document
+        from kgspark.web import feed_items
+
+        docs = _read(spark, sf_dir, "documents")
+        t = F.coalesce(F.col("text"), F.lit(""))
+        xml = F.concat(
+            F.lit("<rss><channel><item><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" part 1</title><link>https://feeds/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/1</link><pubDate>2024-01-0"),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("</pubDate><description>"),
+            F.substring(t, 1, 40),
+            F.lit("</description></item><item><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" part 2</title><link>https://feeds/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/2</link></item></channel></rss>"),
+        )
+        feeds = docs.select(
+            F.concat(F.lit("https://feeds/site"),
+                     (F.col("doc_id") % 10).cast("string"),
+                     F.lit("/rss"), F.col("doc_id").cast("string"))
+            .alias("feed_url"),
+            xml.alias("xml"),
+        )
+        return feed_items(feeds)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3407,6 +3444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget": corpus_budget,
         "kg_window_chunks": kg_window_chunks,
         "text_lm3": text_lm3,
+        "kg_assortativity": kg_assortativity,
+        "web_feed": web_feed,
     }
 
 
@@ -7574,5 +7613,70 @@ l3_sc AS (
 SELECT d.doc_id, coalesce(n_trigrams, 0)::BIGINT AS n_trigrams,
        coalesce(sum_unats, 0)::BIGINT AS sum_unats
 FROM documents d LEFT JOIN l3_sc USING (doc_id)
+""",
+        # kgspark.graph_algs.degree_assortativity: endpoint-degree ranks
+        # over undirected distinct edges, the rank_correlation formula
+        "kg_assortativity": f"""
+WITH {_PARTS_ORACLE_CTE},
+as_u AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+as_d AS (
+  SELECT n, count(*)::BIGINT AS d
+  FROM (SELECT a AS n FROM as_u UNION ALL SELECT b FROM as_u)
+  GROUP BY n
+),
+as_s AS (
+  SELECT u.a || '|' || u.b AS edge_id, x.d AS da, y.d AS db
+  FROM as_u u JOIN as_d x ON x.n = u.a JOIN as_d y ON y.n = u.b
+),
+as_r AS (
+  SELECT row_number() OVER (ORDER BY da, edge_id) AS ra,
+         row_number() OVER (ORDER BY db, edge_id) AS rb
+  FROM as_s
+),
+as_a AS (
+  SELECT count(*)::BIGINT AS n,
+         coalesce(sum((ra - rb) * (ra - rb)), 0)::BIGINT AS sum_d2
+  FROM as_r
+)
+SELECT n, sum_d2,
+       (CASE WHEN n < 2 THEN -1
+             ELSE ((n*n*n - n) - 6 * sum_d2) * 1000000 // (n*n*n - n)
+        END)::BIGINT AS rho_ppm
+FROM as_a
+""",
+        # kgspark.web.feed_items over the synthesized 2-item RSS feeds
+        "web_feed": """
+WITH ff AS (
+  SELECT 'https://feeds/site' || (doc_id % 10) || '/rss' || doc_id
+           AS feed_url,
+         '<rss><channel><item><title>Doc ' || doc_id
+         || ' part 1</title><link>https://feeds/' || doc_id
+         || '/1</link><pubDate>2024-01-0' || (doc_id % 9 + 1)
+         || '</pubDate><description>'
+         || substr(coalesce("text", ''), 1, 40)
+         || '</description></item><item><title>Doc ' || doc_id
+         || ' part 2</title><link>https://feeds/' || doc_id
+         || '/2</link></item></channel></rss>' AS xml
+  FROM documents
+),
+fi AS (
+  SELECT feed_url, i AS item_no,
+         regexp_extract_all(xml, '<item>(.*?)</item>', 1) AS items
+  FROM ff, unnest(generate_series(1,
+         len(regexp_extract_all(xml, '<item>(.*?)</item>', 1)))) AS t(i)
+)
+SELECT feed_url, item_no::BIGINT AS item_no,
+       regexp_extract(items[item_no], '<title>([^<]*)</title>', 1)
+         AS title,
+       regexp_extract(items[item_no], '<link>([^<]*)</link>', 1) AS link,
+       regexp_extract(items[item_no], '<pubDate>([^<]*)</pubDate>', 1)
+         AS pub_date,
+       length(regexp_extract(items[item_no],
+              '<description>([^<]*)</description>', 1))::BIGINT
+         AS n_desc_chars
+FROM fi
 """,
     }

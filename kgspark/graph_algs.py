@@ -1404,3 +1404,50 @@ def inverse_predicates(
             ),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Degree-assortativity census as exact integers: Spearman rank
+    correlation between the endpoint degrees of every undirected edge —
+    (n, sum_d2, rho_ppm), via kgspark.textstats.rank_correlation.
+    Positive rho: hubs link hubs (social/citation graphs); negative:
+    hubs link leaves (web/biology, Newman 2002). The one-number
+    disassortativity check a KG-quality report leads with.
+
+    Shape: one degree groupBy + two dimension joins onto the edge list,
+    then rank_correlation's two sorts over the EDGE table (one row per
+    edge, two longs — the calibration-scale posture documented there).
+    """
+    from kgspark.textstats import rank_correlation
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = materialize(und)
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    sig = (
+        und.join(deg.select(F.col("n").alias("a"),
+                            F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"),
+                         F.col("d").alias("db")), "b")
+        .select(
+            F.concat_ws("|", "a", "b").alias("edge_id"),
+            "da",
+            "db",
+        )
+    )
+    return rank_correlation(sig, "da", "db", "edge_id")

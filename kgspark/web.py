@@ -782,3 +782,42 @@ def blocklist_filter(df: DataFrame, blocked_domains: DataFrame,
         F.when(F.col("blocked_by").isNotNull(), 1).otherwise(0)
         .cast("long").alias("is_blocked"),
     )
+
+
+FEED_ITEM = "<item>(.*?)</item>"
+
+
+def feed_items(df: DataFrame, xml_col: str = "xml",
+               feed_col: str = "feed_url") -> DataFrame:
+    """RSS 2.0 item extraction — the other web-corpus front door next to
+    WARC (news/blog ingestion): per <item> emit (feed_url, item_no,
+    title, link, pub_date, n_desc_chars). Regex-scoped to the RSS subset
+    every generator emits (flat <item> children, no CDATA nesting) in the
+    Java∩RE2∩DuckDB-common subset — a full XML parser belongs in a
+    pandas stage; this is the fast structured-feed path.
+
+    Map-only: one regexp_extract_all + posexplode, three child-tag
+    extracts per item.
+    """
+    items = F.regexp_extract_all(
+        F.col(xml_col), F.lit(FEED_ITEM), F.lit(1)
+    )
+    ex = df.select(
+        F.col(feed_col).alias("feed_url"),
+        F.posexplode(items).alias("__pos", "__item"),
+    )
+
+    def child(tag: str):
+        return F.regexp_extract(
+            F.col("__item"), f"<{tag}>([^<]*)</{tag}>", 1
+        )
+
+    return ex.select(
+        "feed_url",
+        (F.col("__pos") + 1).cast("long").alias("item_no"),
+        child("title").alias("title"),
+        child("link").alias("link"),
+        child("pubDate").alias("pub_date"),
+        F.length(child("description")).cast("long")
+        .alias("n_desc_chars"),
+    )

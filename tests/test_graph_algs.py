@@ -585,3 +585,45 @@ def test_inverse_predicates_symmetry_and_inverse(spark):
     mm = got[("marriedTo", "marriedTo")]
     assert mm["n_inverse"] == 2 and mm["inv_ppm"] == 1000000
     assert not any("knows" in k for k in got)
+
+
+def test_degree_assortativity_matches_bruteforce(spark):
+    from collections import Counter
+
+    from kgspark.graph_algs import degree_assortativity
+
+    # mixed graph: a hub-leaf star bridged to a triangle — degree ranks
+    # vary on both endpoints, so the Spearman census is non-degenerate
+    edges = [("h", "l1"), ("h", "l2"), ("h", "l3"),
+             ("h", "t1"), ("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    r = degree_assortativity(df).collect()[0]
+
+    # brute-force replica of the operator's exact semantics (canonical
+    # edges, degree counts, row_number ranks tied by edge_id)
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    sig = [(f"{a}|{b}", deg[a], deg[b]) for a, b in und]
+    ra = {e: i + 1 for i, (e, da, _) in enumerate(
+        sorted(sig, key=lambda s: (s[1], s[0])))}
+    rb = {e: i + 1 for i, (e, _, db) in enumerate(
+        sorted(sig, key=lambda s: (s[2], s[0])))}
+    n = len(sig)
+    sum_d2 = sum((ra[e] - rb[e]) ** 2 for e, _, _ in sig)
+    # Spark `div` (and DuckDB `//`) truncate toward ZERO on negatives;
+    # Python's // floors — replicate the engines, not Python
+    num = ((n ** 3 - n) - 6 * sum_d2) * 1000000
+    den = n ** 3 - n
+    rho = -((-num) // den) if num < 0 else num // den
+    assert (r["n"], r["sum_d2"], r["rho_ppm"]) == (n, sum_d2, rho)
+    # a clique of equal degrees degenerates to +1 under the documented
+    # tie policy (both rank orders collapse to edge_id order)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    r2 = degree_assortativity(
+        spark.createDataFrame(k4, "subj string, obj string")
+    ).collect()[0]
+    assert r2["rho_ppm"] == 1000000

@@ -541,3 +541,25 @@ def test_blocklist_suffix_rule(spark):
     assert got[3] == (0, None)     # same registrable domain, wrong suffix
     assert got[4] == (0, None)
     assert len(got) == 4           # no row ever vanishes
+
+
+def test_feed_items_extraction(spark):
+    from kgspark.web import feed_items
+
+    xml = (
+        "<rss><channel>"
+        "<item><title>T1</title><link>https://x/1</link>"
+        "<pubDate>2024-01-01</pubDate><description>hello</description>"
+        "</item>"
+        "<item><title>T2</title><link>https://x/2</link></item>"
+        "</channel></rss>"
+    )
+    df = spark.createDataFrame([("f1", xml), ("f2", "<rss></rss>")],
+                               "feed_url string, xml string")
+    got = {(r["feed_url"], r["item_no"]): r for r in feed_items(df).collect()}
+    a = got[("f1", 1)]
+    assert (a["title"], a["link"], a["pub_date"], a["n_desc_chars"]) == (
+        "T1", "https://x/1", "2024-01-01", 5)
+    b = got[("f1", 2)]
+    assert b["title"] == "T2" and b["pub_date"] == "" and b["n_desc_chars"] == 0
+    assert not any(k[0] == "f2" for k in got)  # itemless feed -> no rows
