@@ -1451,3 +1451,34 @@ def degree_assortativity(
         )
     )
     return rank_correlation(sig, "da", "db", "edge_id")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair census from a walk corpus — the
+    co-occurrence table DeepWalk/node2vec actually train on (Perozzi
+    2014): within each walk, every ordered pair of nodes at step distance
+    1..window contributes one count. Input is random_walks() output
+    (start, walk_no, step, node); returns (center, context, n).
+
+    Shape: one self-join keyed on the walk id (walks are length+1 rows —
+    the join is per-walk-local, never cross-walk) + one pair groupBy.
+    """
+    if window < 1:
+        raise ValueError("skipgram_pairs: window must be >= 1")
+    a = walks.select(
+        F.col("start"), F.col("walk_no"),
+        F.col("step").alias("si"), F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start"), F.col("walk_no"),
+        F.col("step").alias("sj"), F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["start", "walk_no"])
+        .where(
+            (F.col("sj") != F.col("si"))
+            & (F.abs(F.col("sj") - F.col("si")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

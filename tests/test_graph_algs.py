@@ -627,3 +627,26 @@ def test_degree_assortativity_matches_bruteforce(spark):
         spark.createDataFrame(k4, "subj string, obj string")
     ).collect()[0]
     assert r2["rho_ppm"] == 1000000
+
+
+def test_skipgram_pairs_window_and_counts(spark):
+    from kgspark.graph_algs import skipgram_pairs
+
+    # one walk: n0 n1 n2 n3 (steps 0..3)
+    walks = spark.createDataFrame(
+        [("n0", 0, s, f"n{s}") for s in range(4)],
+        "start string, walk_no long, step long, node string",
+    )
+    got = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    # distance 1 and 2 pairs exist, distance 3 does not
+    assert got[("n0", "n1")] == 1 and got[("n0", "n2")] == 1
+    assert ("n0", "n3") not in got
+    assert got[("n1", "n0")] == 1        # symmetric (ordered pairs)
+    # window 1 drops the distance-2 pairs
+    got1 = {(r["center"], r["context"]) for r in
+            skipgram_pairs(walks, window=1).collect()}
+    assert ("n0", "n2") not in got1 and ("n1", "n2") in got1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skipgram_pairs(walks, window=0)
