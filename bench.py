@@ -198,6 +198,9 @@ BENCH_QUERIES = [
     "corpus_budget",
     "kg_window_chunks",
     "text_lm3",
+    "kg_assortativity",
+    "web_feed",
+    "kg_walk_pairs",
 ]
 
 
