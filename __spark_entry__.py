@@ -3300,6 +3300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             random_walks(t, length=3, num_walks=2), window=2
         )
 
+    def embed_norms(spark, sf_dir):
+        # per-label vector-norm census (degenerate-embedding detector),
+        # exact integer micro-unit norms via the IEEE sqrt path
+        from kgspark.embed import norm_stats
+
+        return norm_stats(_read(spark, sf_dir, "embeddings"))
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3503,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity": kg_assortativity,
         "web_feed": web_feed,
         "kg_walk_pairs": kg_walk_pairs,
+        "embed_norms": embed_norms,
     }
 
 
@@ -7706,5 +7714,21 @@ FROM rw_all a JOIN rw_all b
   ON a.start = b.start AND a.walk_no = b.walk_no
  AND a.step <> b.step AND abs(b.step - a.step) <= 2
 GROUP BY 1, 2
+""",
+        # kgspark.embed.norm_stats: quantize-once integer sum of squares,
+        # IEEE-correctly-rounded sqrt, one final round
+        "embed_norms": """
+WITH nm_v AS (
+  SELECT label,
+         CAST(round(sqrt(list_sum(
+           [CAST(round(embedding[i]::DOUBLE * 1000000.0, 0) AS BIGINT)
+            * CAST(round(embedding[i]::DOUBLE * 1000000.0, 0) AS BIGINT)
+            for i in range(1, 65)])::DOUBLE), 0) AS BIGINT) AS nrm
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       min(nrm)::BIGINT AS min_norm, max(nrm)::BIGINT AS max_norm,
+       sum(nrm)::BIGINT AS sum_norm
+FROM nm_v GROUP BY label
 """,
     }

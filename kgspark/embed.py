@@ -407,3 +407,38 @@ def prototype_eval(
             " ELSE n_correct * 1000000 div n_total END"
         ).cast("long").alias("acc_ppm"),
     )
+
+
+def norm_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    in_dim: int = 64,
+) -> DataFrame:
+    """Per-label vector-norm census — the degenerate-embedding detector
+    (collapsed models emit near-zero or constant-norm vectors; truncated
+    files emit zero tails): (label, n_vecs, min_norm, max_norm, sum_norm)
+    with every norm an exact integer micro-unit —
+
+        norm_micro = round(sqrt(Σ_d round(v_d·1e6)²))
+
+    (quantize once; the integer sum of squares is exact; sqrt is
+    IEEE-correctly-rounded; one final round). Pure map + one groupBy.
+    """
+    vmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    ss = F.aggregate(
+        vmic, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    norm = F.round(F.sqrt(ss.cast("double")), 0).cast("long")
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(label_col).alias("label"), norm.alias("__n"))
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("__n").cast("long").alias("min_norm"),
+        F.max("__n").cast("long").alias("max_norm"),
+        F.sum("__n").cast("long").alias("sum_norm"),
+    )

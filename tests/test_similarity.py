@@ -146,3 +146,27 @@ def test_label_prototypes_and_eval(spark):
     assert ev["acc_ppm"] == 5 * 1000000 // 6
     empty = prototype_eval(df.limit(0), in_dim=2).collect()[0]
     assert empty["acc_ppm"] == -1
+
+
+def test_norm_stats_exact(spark):
+    import math
+
+    from kgspark.embed import norm_stats
+
+    rows = [
+        (1, [0.3, 0.4], 0),          # norm = 0.5 -> 500000 micro
+        (2, [0.0, 0.0], 0),          # zero vector -> 0
+        (3, [1.0, 0.0], 1),
+        (4, None, 1),                # null vec dropped
+        (5, [1.0, 1.0], None),       # null label dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in norm_stats(df, in_dim=2).collect()}
+    a = got[0]
+    assert (a["n_vecs"], a["min_norm"], a["max_norm"]) == (2, 0, 500000)
+    assert a["sum_norm"] == 500000
+    b = got[1]
+    assert (b["n_vecs"], b["min_norm"]) == (1, 1000000)
+    assert set(got) == {0, 1}
