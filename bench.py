@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "kg_assortativity",
     "web_feed",
     "kg_walk_pairs",
+    "embed_norms",
 ]
 
 
