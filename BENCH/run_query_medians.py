@@ -32,8 +32,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# the heaviest queries of the round-2 suite (everything that measured >4 s
-# in either of the final r2 runs) — the set where drift actually matters
+# the heaviest queries of the suite (everything that measured >4 s in a
+# recent single-shot run) — the set where drift actually matters; the
+# continuation-session heavies (PQ/winnow/PPR/walk-pairs) joined in r3
 HEAVY_QUERIES = [
     "kg_topics",
     "kg_topics_density",
@@ -45,6 +46,14 @@ HEAVY_QUERIES = [
     "kg_tfidf",
     "kg_pagerank",
     "dedup_minhash",
+    "ann_pq",
+    "embed_pq",
+    "dedup_winnow_pairs",
+    "dedup_winnow",
+    "kg_ppr",
+    "kg_walk_pairs",
+    "kg_inverse_preds",
+    "kg_assortativity",
 ]
 
 
