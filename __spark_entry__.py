@@ -3307,6 +3307,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return norm_stats(_read(spark, sf_dir, "embeddings"))
 
+    def multimodal_image_meta(spark, sf_dir):
+        # image-header codec round-trip proof: build a structurally valid
+        # PNG per doc (dims/color from doc_id), parse it back with the
+        # pure-stdlib header parser — the oracle recomputes the expected
+        # metadata from the same arithmetic
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            from kgspark.imagemeta import make_png
+
+            colors = [0, 2, 3, 4, 6]
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    rows.append({
+                        "doc_id": did,
+                        "payload": make_png(
+                            int(did) % 500 + 16,
+                            (int(did) * 3) % 400 + 16,
+                            bit_depth=8,
+                            color_type=colors[int(did) % 5],
+                        ),
+                    })
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.imagemeta import image_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        out = image_meta(blobs)
+        return out.select(
+            "doc_id", "format", "width", "height", "bit_depth",
+            "n_channels",
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3511,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_feed": web_feed,
         "kg_walk_pairs": kg_walk_pairs,
         "embed_norms": embed_norms,
+        "multimodal_image_meta": multimodal_image_meta,
     }
 
 
@@ -7730,5 +7767,16 @@ SELECT label, count(*)::BIGINT AS n_vecs,
        min(nrm)::BIGINT AS min_norm, max(nrm)::BIGINT AS max_norm,
        sum(nrm)::BIGINT AS sum_norm
 FROM nm_v GROUP BY label
+""",
+        # kgspark.imagemeta round-trip: expected header values recomputed
+        # from the same doc_id arithmetic — any parser drift breaks it
+        "multimodal_image_meta": """
+SELECT doc_id, 'png' AS format,
+       (doc_id % 500 + 16)::BIGINT AS width,
+       ((doc_id * 3) % 400 + 16)::BIGINT AS height,
+       8::BIGINT AS bit_depth,
+       (CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+                        WHEN 3 THEN 2 ELSE 4 END)::BIGINT AS n_channels
+FROM documents
 """,
     }

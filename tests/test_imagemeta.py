@@ -1,0 +1,53 @@
+"""Pure-stdlib image header parsing (kgspark.imagemeta)."""
+
+from __future__ import annotations
+
+import struct
+
+
+def test_parse_png_jpeg_gif_headers():
+    from kgspark.imagemeta import make_png, parse_image_meta
+
+    png = parse_image_meta(make_png(640, 480, bit_depth=8, color_type=6))
+    assert (png["format"], png["width"], png["height"],
+            png["bit_depth"], png["n_channels"], png["error"]) == (
+        "png", 640, 480, 8, 4, None)
+    # minimal JPEG: SOI + APP0 stub + SOF0 (prec 8, 100x200, 3 comps)
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof = (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+           + struct.pack(">HH", 100, 200) + bytes([3, 0, 0, 0]))
+    jpg = parse_image_meta(b"\xff\xd8" + app0 + sof)
+    assert (jpg["format"], jpg["width"], jpg["height"],
+            jpg["bit_depth"], jpg["n_channels"]) == ("jpeg", 200, 100, 8, 3)
+    gif = parse_image_meta(b"GIF89a" + struct.pack("<HH", 32, 16) + b"\0\0")
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 32, 16)
+
+
+def test_parse_image_meta_errors_never_raise():
+    from kgspark.imagemeta import make_png, parse_image_meta
+
+    assert parse_image_meta(b"")["error"] == "unknown image format"
+    assert "truncated" in parse_image_meta(
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)["error"]
+    # JPEG with no SOF
+    assert "no SOF" in parse_image_meta(
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 2))["error"]
+    # PNG with an unknown color type still reports dimensions
+    bad = parse_image_meta(make_png(10, 10, color_type=7))
+    assert bad["width"] == 10 and "unknown color type" in bad["error"]
+
+
+def test_image_meta_distributed(spark):
+    from kgspark.imagemeta import image_meta, make_png
+
+    rows = [
+        (1, bytearray(make_png(64, 64))),
+        (2, bytearray(b"not an image")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_meta(df).collect()}
+    assert (got[1]["format"], got[1]["width"]) == ("png", 64)
+    assert got[2]["format"] is None and got[2]["error"]
+    assert got[3]["error"] == "unknown image format"
+    assert len(got) == 3
