@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "web_feed",
     "kg_walk_pairs",
     "embed_norms",
+    "multimodal_image_meta",
 ]
 
 
