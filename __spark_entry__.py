@@ -3343,6 +3343,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_channels",
         )
 
+    def dedup_cc_sizes(spark, sf_dir):
+        # near-dup FAMILY census: cluster-size histogram over the
+        # connected components of the exact n-gram-Jaccard pair graph —
+        # the one-page answer to "how duplicated is this corpus?"
+        from kgspark.canon import connected_components
+
+        docs = _read(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+        nodes = docs.select(F.col("doc_id").alias("name"))
+        cc = connected_components(nodes, pairs)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3548,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_pairs": kg_walk_pairs,
         "embed_norms": embed_norms,
         "multimodal_image_meta": multimodal_image_meta,
+        "dedup_cc_sizes": dedup_cc_sizes,
     }
 
 
@@ -7778,5 +7797,25 @@ SELECT doc_id, 'png' AS format,
        (CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
                         WHEN 3 THEN 2 ELSE 4 END)::BIGINT AS n_channels
 FROM documents
+""",
+        # dedup family census: the kg_connected_components recursive CC
+        # folded into a cluster-size histogram
+        "dedup_cc_sizes": f"""
+WITH RECURSIVE {_ngram_pairs_sql(3, 0.5)},
+cs_edges AS (SELECT a, b FROM ng_pairs WHERE jaccard >= 0.5),
+cs_sym AS (SELECT a, b FROM cs_edges UNION SELECT b, a FROM cs_edges),
+cs_reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.lab FROM cs_reach r JOIN cs_sym s ON s.a = r.node
+),
+cs_cc AS (SELECT node, min(lab) AS component FROM cs_reach GROUP BY node),
+cs_sz AS (
+  SELECT component, count(*)::BIGINT AS cluster_size
+  FROM cs_cc GROUP BY component
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       sum(cluster_size)::BIGINT AS n_docs
+FROM cs_sz GROUP BY cluster_size
 """,
     }
