@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "kg_walk_pairs",
     "embed_norms",
     "multimodal_image_meta",
+    "dedup_cc_sizes",
 ]
 
 
