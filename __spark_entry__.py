@@ -3361,6 +3361,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("cluster_size").cast("long").alias("n_docs"),
         )
 
+    def link_er_clusters(spark, sf_dir):
+        # multi-source ER consolidation: base + 2 case-perturbed feeds
+        # match on (nation, lower(name)); golden cluster id = min record
+        from kgspark.linkrec import er_clusters
+
+        c = _read(spark, sf_dir, "customer")
+
+        def feed(offset, name_expr):
+            return c.select(
+                (F.col("c_custkey") + offset).alias("rid"),
+                F.col("c_nationkey").alias("blk"),
+                F.lower(name_expr).alias("match_key"),
+            )
+
+        base = feed(0, F.col("c_name"))
+        f1 = feed(1000000,
+                  F.when(F.col("c_custkey") % 3 == 0,
+                         F.upper(F.col("c_name")))
+                  .otherwise(F.col("c_name")))
+        f2 = feed(2000000,
+                  F.when(F.col("c_custkey") % 5 == 0,
+                         F.concat(F.col("c_name"), F.lit("-alt")))
+                  .otherwise(F.col("c_name")))
+        return er_clusters([base, f1, f2], "rid", block_cols=["blk"])
+
+    def rel_gaps(spark, sf_dir):
+        # per-type inter-arrival quantiles (median + p90 gap micros)
+        from kgspark.relops import interarrival_quantiles
+
+        return interarrival_quantiles(_read(spark, sf_dir, "events"))
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed in r2), so never-yet-gate-proven queries sit inside the
     # window and the entries past position 50 are the ones with the
@@ -3567,6 +3598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_norms": embed_norms,
         "multimodal_image_meta": multimodal_image_meta,
         "dedup_cc_sizes": dedup_cc_sizes,
+        "link_er_clusters": link_er_clusters,
+        "rel_gaps": rel_gaps,
     }
 
 
@@ -7817,5 +7850,58 @@ cs_sz AS (
 SELECT cluster_size, count(*)::BIGINT AS n_clusters,
        sum(cluster_size)::BIGINT AS n_docs
 FROM cs_sz GROUP BY cluster_size
+""",
+        # kgspark.linkrec.er_clusters: equality-key ER — cluster id is
+        # the min record id per (block, lower(name)) group
+        "link_er_clusters": """
+WITH er_f AS (
+  SELECT c_custkey AS rid, c_nationkey AS blk,
+         lower(c_name) AS k
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_nationkey,
+         lower(CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+                    ELSE c_name END)
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 2000000, c_nationkey,
+         lower(CASE WHEN c_custkey % 5 = 0 THEN c_name || '-alt'
+                    ELSE c_name END)
+  FROM customer
+)
+SELECT rid AS record_id,
+       min(rid) OVER (PARTITION BY blk, k) AS cluster_id,
+       (count(*) OVER (PARTITION BY blk, k))::BIGINT AS cluster_size
+FROM er_f
+""",
+        # kgspark.relops.interarrival_quantiles: epoch-microsecond gaps,
+        # permille-integer ranks (the group_quantiles machinery)
+        "rel_gaps": """
+WITH ia_b AS (
+  SELECT event_type AS t, user_id AS u, ts, event_id AS id
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL
+),
+ia_g AS (
+  SELECT t, id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY t, u ORDER BY ts, id)) AS gap
+  FROM ia_b
+),
+ia_r AS (
+  SELECT t,
+         CAST(round((gap::DOUBLE / 1000000.0) * 1000000.0, 0) AS BIGINT)
+           AS vmic,
+         row_number() OVER
+           (PARTITION BY t ORDER BY gap::DOUBLE / 1000000.0, id) AS rn,
+         count(*) OVER (PARTITION BY t) AS n
+  FROM ia_g WHERE gap IS NOT NULL
+),
+ia_e AS (
+  SELECT t, vmic, rn, n, unnest([500, 900]) AS q_pml FROM ia_r
+)
+SELECT t AS event_type, q_pml::BIGINT AS q_pml, vmic AS gap_micros
+FROM ia_e WHERE rn = (q_pml * n + 999) // 1000
 """,
     }

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -221,4 +221,50 @@ def blocking_quality(
                 " ELSE n_covered * 1000000 div n_true END"
             ).cast("long").alias("pc_ppm"),
         )
+    )
+
+
+def er_clusters(
+    sources: list,
+    id_col: str,
+    key_expr_col: str = "match_key",
+    block_cols: list | None = None,
+) -> DataFrame:
+    """Multi-source entity-resolution consolidation: given N record sets
+    that already carry a normalized match key (and optional blocking
+    columns), link records across ALL source pairs on
+    (block, match_key) equality, run min-label connected components over
+    the match graph, and return one row per record:
+    (record_id, cluster_id, cluster_size). The standard "N feeds of the
+    same customers → one golden-record id" step downstream of fs_link or
+    a normalize-and-match baseline.
+
+    Records in `sources` must have globally unique `id_col` values
+    (prefix per source upstream). Shape: one union, one key-grouped
+    self-pairing via min-id-per-key (NO quadratic pair materialization —
+    every record keyed to the MIN record id of its (block, key) group is
+    already a spanning star of the equality cluster), then pointer-
+    jumping CC over those star edges for transitive closure across
+    DIFFERENT keys is unnecessary here (equality keys are transitive),
+    so cluster_id = min id per key group directly. One shuffle.
+    """
+    from functools import reduce
+
+    block_cols = block_cols or []
+    all_recs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            s.select(
+                F.col(id_col).alias("record_id"),
+                *[F.col(c) for c in block_cols],
+                F.col(key_expr_col).alias("__k"),
+            )
+            for s in sources
+        ],
+    )
+    w = Window.partitionBy(*block_cols, "__k")
+    return all_recs.select(
+        "record_id",
+        F.min("record_id").over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     )

@@ -827,3 +827,65 @@ def dow_seasonality(
         *[f"dow_{d}" for d in range(1, 8)],
         chi.cast("long").alias("chi7_num"),
     )
+
+
+def interarrival_quantiles(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    permilles=(500, 900),
+) -> DataFrame:
+    """Per-type inter-arrival-time quantiles: the latency/cadence profile
+    of an event stream ("median seconds between clicks per user"), exact
+    integers end to end. Gaps are whole microseconds between consecutive
+    SAME-(type, user) events in (ts, id) order; quantiles use the
+    group_quantiles permille-integer rank machinery. Returns
+    (event_type, q_pml, gap_micros).
+
+    Shape: one (type, user)-partitioned window for the lag, then
+    group_quantiles' type-partitioned rank — two key shuffles.
+    """
+    base = events.where(
+        F.col(type_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("__t"),
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy("__t", "__u").orderBy("__ts", "__id")
+    # unix_micros rejects TIMESTAMP_NTZ (parquet default here); the cast
+    # interprets both sides of the lag in the same session tz, so the
+    # DIFFERENCE is tz-invariant
+    ts_tz = F.col("__ts").cast("timestamp")
+    prev_tz = F.lag("__ts", 1).over(w).cast("timestamp")
+    gaps = base.select(
+        "__t",
+        "__id",
+        (F.unix_micros(ts_tz) - F.unix_micros(prev_tz)).alias(
+            "gap_micros"
+        ),
+    ).where(F.col("gap_micros").isNotNull())
+    # group_quantiles expects a value column it re-quantizes by 1e6; gaps
+    # are ALREADY integer micros, so feed them as micro-units directly
+    # via a 1e-6 scale (the round() then restores the exact integer)
+    q = group_quantiles(
+        gaps.select(
+            "__t",
+            (F.col("gap_micros").cast("double") / 1000000.0).alias("g"),
+            "__id",
+        ),
+        "__t",
+        "g",
+        "__id",
+        permilles=permilles,
+    )
+    return q.select(
+        F.col("__t").alias("event_type"),
+        "q_pml",
+        F.col("v_micro").alias("gap_micros"),
+    )

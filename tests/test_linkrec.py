@@ -83,3 +83,24 @@ def test_blocking_quality_metrics(spark):
     empty = truth.limit(0)
     row2 = blocking_quality(a, b, "id", ["k"], empty).collect()[0]
     assert row2["pc_ppm"] == -1 and row2["n_true"] == 0
+
+
+def test_er_clusters_equality_key(spark):
+    from kgspark.linkrec import er_clusters
+
+    a = spark.createDataFrame(
+        [(1, 10, "acme corp"), (2, 10, "beta llc"), (3, 20, "acme corp")],
+        "rid long, blk long, match_key string",
+    )
+    b = spark.createDataFrame(
+        [(101, 10, "acme corp"), (102, 10, "gamma inc")],
+        "rid long, blk long, match_key string",
+    )
+    got = {r["record_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in er_clusters([a, b], "rid",
+                                block_cols=["blk"]).collect()}
+    # acme in block 10 clusters records 1 and 101; block 20's acme stays
+    # separate (blocking is part of the match key)
+    assert got[1] == (1, 2) and got[101] == (1, 2)
+    assert got[3] == (3, 1)
+    assert got[2] == (2, 1) and got[102] == (102, 1)

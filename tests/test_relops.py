@@ -304,3 +304,27 @@ def test_dow_seasonality_iso_and_chi(spark):
     assert a["chi7_num"] == (14 - 3) ** 2 + (7 - 3) ** 2 + 5 * 9
     b = got["b"]
     assert b["dow_2"] == 1 and b["n_total"] == 1
+
+
+def test_interarrival_quantiles_exact(spark):
+    from kgspark.relops import interarrival_quantiles
+
+    d = datetime
+    rows = [
+        # user 1, type a: gaps of 10s, 20s, 30s
+        (1, d(2024, 1, 1, 0, 0, 0), 1, "a"),
+        (2, d(2024, 1, 1, 0, 0, 10), 1, "a"),
+        (3, d(2024, 1, 1, 0, 0, 30), 1, "a"),
+        (4, d(2024, 1, 1, 0, 1, 0), 1, "a"),
+        # user 2, type a: single event -> no gap
+        (5, d(2024, 1, 1), 2, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r["event_type"], r["q_pml"]): r["gap_micros"]
+           for r in interarrival_quantiles(
+               df, permilles=(500, 1000)).collect()}
+    # gaps sorted: [10s, 20s, 30s]; p50 -> rank 2 = 20s, p100 -> 30s
+    assert got[("a", 500)] == 20_000_000
+    assert got[("a", 1000)] == 30_000_000
