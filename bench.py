@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "embed_norms",
     "multimodal_image_meta",
     "dedup_cc_sizes",
+    "link_er_clusters",
+    "rel_gaps",
 ]
 
 
