@@ -305,21 +305,30 @@ def main() -> None:
     times["pipeline_e2e_1k_pages"] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "kgspark bench suite (KG construct + curation ops)",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cpus": cpus,
-                "throughput_docs_per_sec": round(n_docs / tp_sec, 1),
-                "throughput_docs": n_docs,
-                "pipeline_e2e_triples": n_triples,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "kgspark bench suite (KG construct + curation ops)",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "cpus": cpus,
+            "throughput_docs_per_sec": round(n_docs / tp_sec, 1),
+            "throughput_docs": n_docs,
+            "pipeline_e2e_triples": n_triples,
+        }
     )
+    # stdout (single line, flushed) AND a durable copy: the r3 driver record
+    # was lost to tail-capture overflow, so the JSON is also written to disk.
+    print(line, flush=True)
+    try:
+        os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH", "bench_latest.json"), "w"
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No \r-progress-bar noise on stderr/stdout: the driver's bench-tail
+        # capture must see the single JSON line, not 180 queries of bars.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
