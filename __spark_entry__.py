@@ -3343,6 +3343,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_channels",
         )
 
+    def multimodal_header_mix(spark, sf_dir):
+        # mixed-format header round-trip: PNG / JPEG SOF0 / GIF fixtures
+        # built per doc (format = doc_id % 3, dims from doc_id arithmetic),
+        # parsed back by the pure-stdlib header parser — the deterministic
+        # "header half" of multimodal featurization as a hash oracle; the
+        # pixel-decode half stays the documented rows-only stub seam
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            from kgspark.imagemeta import make_gif, make_jpeg, make_png
+
+            colors = [0, 2, 3, 4, 6]
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    w, h = d % 300 + 20, (d * 7) % 200 + 20
+                    if d % 3 == 0:
+                        blob = make_png(w, h, 8, colors[d % 5])
+                    elif d % 3 == 1:
+                        blob = make_jpeg(w, h, 8, 3 if d % 2 == 0 else 1)
+                    else:
+                        blob = make_gif(w, h)
+                    rows.append({"doc_id": did, "payload": blob})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.imagemeta import image_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return image_meta(blobs).select(
+            "doc_id", "format", "width", "height", "bit_depth", "n_channels"
+        )
+
     def dedup_cc_sizes(spark, sf_dir):
         # near-dup FAMILY census: cluster-size histogram over the
         # connected components of the exact n-gram-Jaccard pair graph —
@@ -3458,6 +3493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_er_clusters": link_er_clusters,
         "rel_gaps": rel_gaps,
         # -- past position 50: see the ordering NOTE above ------------------
+        # round-4-new queries first (rotate into the round-5 window):
+        "multimodal_header_mix": multimodal_header_mix,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -7806,6 +7843,23 @@ SELECT label, count(*)::BIGINT AS n_vecs,
        min(nrm)::BIGINT AS min_norm, max(nrm)::BIGINT AS max_norm,
        sum(nrm)::BIGINT AS sum_norm
 FROM nm_v GROUP BY label
+""",
+        # mixed PNG/JPEG/GIF header round-trip: expected values recomputed
+        # from the same doc_id arithmetic per format branch
+        "multimodal_header_mix": """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       ELSE 'gif' END AS format,
+       (doc_id % 300 + 20)::BIGINT AS width,
+       ((doc_id * 7) % 200 + 20)::BIGINT AS height,
+       8::BIGINT AS bit_depth,
+       (CASE doc_id % 3
+          WHEN 0 THEN CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                      WHEN 2 THEN 1 WHEN 3 THEN 2
+                                      ELSE 4 END
+          WHEN 1 THEN CASE doc_id % 2 WHEN 0 THEN 3 ELSE 1 END
+          ELSE 3 END)::BIGINT AS n_channels
+FROM documents
 """,
         # kgspark.imagemeta round-trip: expected header values recomputed
         # from the same doc_id arithmetic — any parser drift breaks it

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "dedup_cc_sizes",
     "link_er_clusters",
     "rel_gaps",
+    "multimodal_header_mix",
 ]
 
 

@@ -134,3 +134,30 @@ def make_png(width: int, height: int, bit_depth: int = 8,
     chunk = b"IHDR" + ihdr
     return (_PNG_SIG + struct.pack(">I", len(ihdr)) + chunk
             + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+
+
+def make_jpeg(width: int, height: int, precision: int = 8,
+              n_components: int = 3) -> bytes:
+    """Minimal structurally-valid JPEG prefix: SOI + JFIF APP0 + SOF0
+    frame header with per-component specs (ITU T.81 §B.2.2). Entropy-coded
+    data is omitted — header parsing must not need it."""
+    app0_body = (b"JFIF\x00" + b"\x01\x02"  # version 1.2
+                 + b"\x00"                   # density units
+                 + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_body)) + app0_body
+    comps = b"".join(
+        struct.pack("BBB", i + 1, 0x22 if i == 0 else 0x11, 0)
+        for i in range(n_components)
+    )
+    sof_body = (struct.pack("B", precision)
+                + struct.pack(">HH", height, width)
+                + struct.pack("B", n_components) + comps)
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    return b"\xff\xd8" + app0 + sof
+
+
+def make_gif(width: int, height: int, version: bytes = b"89a") -> bytes:
+    """Minimal structurally-valid GIF: signature + logical screen
+    descriptor (width/height little-endian u16) + trailer."""
+    return (b"GIF" + version + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00" + b"\x3b")

@@ -23,6 +23,19 @@ def test_parse_png_jpeg_gif_headers():
     assert (gif["format"], gif["width"], gif["height"]) == ("gif", 32, 16)
 
 
+def test_make_jpeg_gif_fixture_roundtrip():
+    from kgspark.imagemeta import make_gif, make_jpeg, parse_image_meta
+
+    for w, h, prec, nc in [(123, 45, 8, 3), (300, 200, 12, 1), (20, 20, 8, 4)]:
+        m = parse_image_meta(make_jpeg(w, h, prec, nc))
+        assert (m["format"], m["width"], m["height"], m["bit_depth"],
+                m["n_channels"], m["error"]) == ("jpeg", w, h, prec, nc, None)
+    for w, h, ver in [(77, 88, b"89a"), (1, 1, b"87a"), (65535, 2, b"89a")]:
+        g = parse_image_meta(make_gif(w, h, ver))
+        assert (g["format"], g["width"], g["height"], g["bit_depth"],
+                g["n_channels"], g["error"]) == ("gif", w, h, 8, 3, None)
+
+
 def test_parse_image_meta_errors_never_raise():
     from kgspark.imagemeta import make_png, parse_image_meta
 
