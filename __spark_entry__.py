@@ -518,6 +518,176 @@ SELECT query_id, vec_id, dist, rank FROM (
 """
 
 
+def _lloyd_sql(prefix: str, src: str, init_book: list, rounds: int,
+               dsub: int) -> str:
+    """Unrolled bounded-round integer Lloyd k-means CTE chain — the DuckDB
+    replica of kgspark.embed.train_pq_codebook. `src` is a CTE exposing
+    (vid, s, sub: BIGINT[dsub]); emits CTEs ending in {prefix}_book(s, c,
+    vals). Init centroids are the data-independent pq_codebook literals
+    (pure function of the seed, embedded on BOTH sides); assignment =
+    exact integer squared-L2 with ties to the lowest centroid index;
+    update = per-dim integer mean truncated toward zero (DuckDB `//` ==
+    Spark `div`); empty clusters keep the previous centroid."""
+    m, k = len(init_book), len(init_book[0])
+    rows = ", ".join(
+        f"({s}, {c}, {init_book[s][c]}::BIGINT[])"
+        for s in range(m) for c in range(k)
+    )
+    ctes = [f"{prefix}_b0 AS (SELECT * FROM (VALUES {rows}) AS t(s, c, vals))"]
+    for r in range(rounds):
+        sums = ", ".join(
+            f"sum(sub[{d + 1}])::BIGINT AS s_{d}" for d in range(dsub)
+        )
+        mean = ", ".join(f"mm.s_{d} // mm.n" for d in range(dsub))
+        ctes.append(f"""{prefix}_a{r} AS (
+  SELECT v.vid, v.s, v.sub, cb.c,
+         list_sum([(v.sub[i] - cb.vals[i]) * (v.sub[i] - cb.vals[i])
+                   for i in range(1, {dsub + 1})]) AS d
+  FROM {src} v JOIN {prefix}_b{r} cb ON cb.s = v.s
+)""")
+        ctes.append(f"""{prefix}_c{r} AS (
+  SELECT vid, s, sub, c FROM (
+    SELECT vid, s, sub, c,
+           row_number() OVER (PARTITION BY vid, s ORDER BY d, c) AS rn
+    FROM {prefix}_a{r}) WHERE rn = 1
+)""")
+        ctes.append(f"""{prefix}_m{r} AS (
+  SELECT s, c, count(*)::BIGINT AS n, {sums}
+  FROM {prefix}_c{r} GROUP BY s, c
+)""")
+        ctes.append(f"""{prefix}_b{r + 1} AS (
+  SELECT b.s, b.c,
+         CASE WHEN mm.n IS NULL THEN b.vals ELSE [{mean}] END AS vals
+  FROM {prefix}_b{r} b
+  LEFT JOIN {prefix}_m{r} mm ON mm.s = b.s AND mm.c = b.c
+)""")
+    ctes.append(
+        f"{prefix}_book AS (SELECT s, c, vals FROM {prefix}_b{rounds})"
+    )
+    return ",\n".join(ctes)
+
+
+def _pq_trained_oracle_sql(m: int = 8, k: int = 16, in_dim: int = 64,
+                           rounds: int = 2) -> str:
+    """Trained-PQ-codebook oracle: same init literals, same unrolled
+    integer Lloyd rounds (kgspark/embed.py train_pq_codebook)."""
+    from kgspark.embed import pq_codebook
+
+    dsub = in_dim // m
+    lloyd = _lloyd_sql("tpq", "tpq_src", pq_codebook(m, k, dsub), rounds,
+                       dsub)
+    return f"""
+WITH tpq_m AS (
+  SELECT vec_id,
+         [CAST(round(embedding[i]::DOUBLE * 1000000.0, 0) AS BIGINT)
+          for i in range(1, {in_dim + 1})] AS v
+  FROM embeddings
+),
+tpq_src AS (
+  SELECT vec_id AS vid, u.s AS s,
+         [v[u.s * {dsub} + i] for i in range(1, {dsub + 1})] AS sub
+  FROM tpq_m, unnest(generate_series(0, {m - 1})) AS u(s)
+),
+{lloyd}
+SELECT b.s::BIGINT AS s, b.c::BIGINT AS c, (u.i - 1)::BIGINT AS dim,
+       b.vals[u.i]::BIGINT AS val
+FROM tpq_book b, unnest(generate_series(1, {dsub})) AS u(i)
+"""
+
+
+def _ivfpq_oracle_sql(nlist: int = 8, nprobe: int = 2, m: int = 8,
+                      k: int = 16, in_dim: int = 64,
+                      coarse_rounds: int = 2, pq_rounds: int = 2,
+                      topk: int = 5, nq: int = 3) -> str:
+    """Composed IVF-PQ oracle (kgspark/similarity.py ivfpq_topk): trained
+    coarse quantizer (single-subspace Lloyd over the full vector) ->
+    residual encoding -> trained product quantizer on residuals ->
+    nprobe coarse probe -> integer ADC -> top-k."""
+    from kgspark.embed import pq_codebook
+
+    dsub = in_dim // m
+    lc = _lloyd_sql("iqc", "iq_csrc", pq_codebook(1, nlist, in_dim, "ivf"),
+                    coarse_rounds, in_dim)
+    lp = _lloyd_sql("iqp", "iq_psrc", pq_codebook(m, k, dsub, "pq"),
+                    pq_rounds, dsub)
+    return f"""
+WITH iq_m AS (
+  SELECT vec_id,
+         [CAST(round(embedding[i]::DOUBLE * 1000000.0, 0) AS BIGINT)
+          for i in range(1, {in_dim + 1})] AS v
+  FROM embeddings
+),
+iq_csrc AS (SELECT vec_id AS vid, 0 AS s, v AS sub FROM iq_m),
+{lc},
+iq_ad AS (
+  SELECT mv.vec_id AS vid, mv.v, cb.c, cb.vals,
+         list_sum([(mv.v[i] - cb.vals[i]) * (mv.v[i] - cb.vals[i])
+                   for i in range(1, {in_dim + 1})]) AS d
+  FROM iq_m mv JOIN iqc_book cb ON cb.s = 0
+),
+iq_asn AS (
+  SELECT vid, c AS list_id,
+         [v[i] - vals[i] for i in range(1, {in_dim + 1})] AS res
+  FROM (SELECT vid, v, c, vals,
+               row_number() OVER (PARTITION BY vid ORDER BY d, c) AS rn
+        FROM iq_ad) WHERE rn = 1
+),
+iq_psrc AS (
+  SELECT vid, u.s AS s,
+         [res[u.s * {dsub} + i] for i in range(1, {dsub + 1})] AS sub
+  FROM iq_asn, unnest(generate_series(0, {m - 1})) AS u(s)
+),
+{lp},
+iq_cd AS (
+  SELECT v.vid, v.s, cb.c,
+         list_sum([(v.sub[i] - cb.vals[i]) * (v.sub[i] - cb.vals[i])
+                   for i in range(1, {dsub + 1})]) AS d
+  FROM iq_psrc v JOIN iqp_book cb ON cb.s = v.s
+),
+iq_codes AS (
+  SELECT vid, s, c AS code FROM (
+    SELECT vid, s, c,
+           row_number() OVER (PARTITION BY vid, s ORDER BY d, c) AS rn
+    FROM iq_cd) WHERE rn = 1
+),
+iq_q AS (SELECT vec_id AS query_id, v FROM iq_m WHERE vec_id < {nq}),
+iq_qd AS (
+  SELECT q.query_id, q.v, cb.c AS list_id, cb.vals,
+         list_sum([(q.v[i] - cb.vals[i]) * (q.v[i] - cb.vals[i])
+                   for i in range(1, {in_dim + 1})]) AS d
+  FROM iq_q q JOIN iqc_book cb ON cb.s = 0
+),
+iq_pr AS (
+  SELECT query_id, list_id,
+         [v[i] - vals[i] for i in range(1, {in_dim + 1})] AS qres
+  FROM (SELECT query_id, list_id, v, vals,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, list_id) AS rn
+        FROM iq_qd) WHERE rn <= {nprobe}
+),
+iq_sd AS (
+  SELECT p.query_id, c2.vid,
+         list_sum([(p.qres[c2.s * {dsub} + i] - bk.vals[i])
+                   * (p.qres[c2.s * {dsub} + i] - bk.vals[i])
+                   for i in range(1, {dsub + 1})]) AS d
+  FROM iq_codes c2
+  JOIN iq_asn a ON a.vid = c2.vid
+  JOIN iq_pr p ON p.list_id = a.list_id
+  JOIN iqp_book bk ON bk.s = c2.s AND bk.c = c2.code
+  WHERE c2.vid <> p.query_id
+),
+iq_sc AS (
+  SELECT query_id, vid AS vec_id, sum(d)::BIGINT AS dist
+  FROM iq_sd GROUP BY 1, 2
+)
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, vec_id) AS rank
+  FROM iq_sc) WHERE rank <= {topk}
+"""
+
+
 def _walks_sql() -> str:
     """Shared unrolled walk corpus (kgspark.graph_algs.random_walks,
     2 walks x 3 steps, hop k = sorted-neighbor md5(start:walk_no:k) mod
@@ -2819,6 +2989,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_centroids=16, in_dim=64,
         )
 
+    def embed_pq_trained(spark, sf_dir):
+        # TRAINED PQ codebook: 2 rounds of distributed integer Lloyd per
+        # subspace (exact micro-unit arithmetic, trunc-toward-zero means,
+        # empty clusters keep previous centroid) — the Jégou 2011 k-means
+        # codebook, bit-deterministic; oracle unrolls the same rounds
+        from kgspark.embed import train_pq_codebook
+
+        emb = _read(spark, sf_dir, "embeddings")
+        book = train_pq_codebook(emb, m=8, k=16, in_dim=64, rounds=2)
+        rows = [
+            (s, c, d, int(v))
+            for s, sub in enumerate(book)
+            for c, cent in enumerate(sub)
+            for d, v in enumerate(cent)
+        ]
+        return spark.createDataFrame(rows, "s long, c long, dim long, val long")
+
+    def ann_ivfpq(spark, sf_dir):
+        # composed IVF-PQ (trained coarse quantizer -> residual PQ codes
+        # inside inverted lists -> nprobe probe + integer ADC): the
+        # billion-scale ANN layout, every step exact-integer
+        from kgspark.similarity import ivfpq_topk
+
+        emb = _read(spark, sf_dir, "embeddings")
+        return ivfpq_topk(
+            emb, emb.where(F.col("vec_id") < 3), k=5, nlist=8, nprobe=2,
+            m=8, n_centroids=16, in_dim=64,
+        )
+
     def rel_mad(spark, sf_dir):
         # robust MAD outlier census per event type (3-MAD rule as integer
         # tenths); lower medians at rank (n+1) div 2, zero fp surface
@@ -3495,6 +3694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past position 50: see the ordering NOTE above ------------------
         # round-4-new queries first (rotate into the round-5 window):
         "multimodal_header_mix": multimodal_header_mix,
+        "embed_pq_trained": embed_pq_trained,
+        "ann_ivfpq": ann_ivfpq,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -6910,6 +7111,12 @@ FROM tw_s CROSS JOIN tw_t
         "embed_pq": _pq_oracle_sql(m=8, k=16, in_dim=64),
         # kgspark.similarity.pq_topk: codes + VALUES codebook join ADC
         "ann_pq": _pq_topk_oracle_sql(m=8, k=16, in_dim=64, topk=5),
+        # trained PQ codebook: the same 2 unrolled integer-Lloyd rounds
+        "embed_pq_trained": _pq_trained_oracle_sql(m=8, k=16, in_dim=64,
+                                                   rounds=2),
+        # composed IVF-PQ: trained coarse + residual PQ + probe + ADC
+        "ann_ivfpq": _ivfpq_oracle_sql(nlist=8, nprobe=2, m=8, k=16,
+                                       in_dim=64, topk=5),
         # kgspark.relops.mad_outliers: lower medians at rank (n+1)//2
         # under (value, event_id) order, 3-MAD rule in integer tenths
         "rel_mad": """

@@ -257,6 +257,113 @@ def pq_codebook(
     ]
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncated toward zero (Spark `div` / DuckDB `//`
+    semantics — Python's `//` floors, which differs on negatives)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def train_pq_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    in_dim: int = 64,
+    rounds: int = 2,
+    seed: str = "pq",
+    half_range: int = 200000,
+    pre_quantized: bool = False,
+) -> list:
+    """Distributed bounded-round Lloyd k-means per subspace over exact
+    integer micro-units — the TRAINED codebook of Jégou et al. 2011 §II,
+    replacing the data-independent hash init with centroids fitted to the
+    corpus (trained codebooks quantize tighter; see pq_codebook docstring).
+
+    Determinism (engine-independent, hash-oracle-able):
+      - init = pq_codebook(seed) — a pure function, no RNG state;
+      - assignment = exact integer squared-L2 argmin, ties -> lowest
+        centroid index;
+      - update = per-dimension integer mean, truncated toward zero
+        (Spark `div` / DuckDB `//` semantics);
+      - empty clusters keep their previous centroid;
+      - `rounds` is pinned (bounded-rounds posture, same as k-core/LPA):
+        a fixed small round count keeps the result replicable cross-engine
+        while capturing most of the k-means distortion drop.
+
+    Shape: ONE map-side job per round — subvectors posexploded once and
+    materialized, assignment is a JVM expression over a nested codebook
+    literal, the update aggregate returns exactly m*k rows to the driver
+    (a few KB). All m subspaces train simultaneously in the same job, so
+    the driver loop is `rounds` jobs total, not rounds*m.
+
+    Returns the same nested-list shape as pq_codebook, so trained books
+    drop into pq_assign(book=...) / pq_topk unchanged.
+
+    If `pre_quantized`, `vec_col` is already array<long> micro-units
+    (e.g. IVF residuals) and the micro-quantization step is skipped.
+    """
+    if in_dim % m != 0:
+        raise ValueError("train_pq_codebook: in_dim must be divisible by m")
+    from kgspark.session import materialize
+
+    dsub = in_dim // m
+    if pre_quantized:
+        vmic = F.col(vec_col)
+    else:
+        vmic = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * 1000000.0, 0).cast("long"),
+        )
+    subs = materialize(
+        df.select(
+            F.posexplode(
+                F.array(*[
+                    F.slice(vmic, s * dsub + 1, dsub) for s in range(m)
+                ])
+            ).alias("s", "sub")
+        )
+    )
+    book = pq_codebook(m, k, dsub, seed, half_range)
+    for _r in range(rounds):
+        cb_lit = F.array(*[
+            F.array(*[
+                F.array(*[F.lit(v).cast("long") for v in book[s][c]])
+                for c in range(k)
+            ])
+            for s in range(m)
+        ])
+        cb_s = F.element_at(cb_lit, (F.col("s") + 1).cast("int"))
+        dists = F.transform(
+            cb_s,
+            lambda cent: F.aggregate(
+                F.zip_with(F.col("sub"), cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        stats = (
+            subs.withColumn("code", code)
+            .groupBy("s", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("sub", d + 1)).alias(f"s_{d}")
+                    for d in range(dsub)
+                ],
+            )
+            .collect()  # exactly <= m*k rows: the codebook update, not data
+        )
+        new_book = [[list(book[s][c]) for c in range(k)] for s in range(m)]
+        for row in stats:
+            new_book[row["s"]][row["code"]] = [
+                _tdiv(int(row[f"s_{d}"]), int(row["n"])) for d in range(dsub)
+            ]
+        book = new_book
+    return book
+
+
 def pq_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -264,6 +371,8 @@ def pq_assign(
     k: int = 16,
     in_dim: int = 64,
     seed: str = "pq",
+    book: list | None = None,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Product-quantization code assignment: split the vector into `m`
     subvectors, assign each to its nearest codebook centroid (squared L2),
@@ -284,11 +393,15 @@ def pq_assign(
     if in_dim % m != 0:
         raise ValueError("pq_assign: in_dim must be divisible by m")
     dsub = in_dim // m
-    book = pq_codebook(m, k, dsub, seed)
-    vmic = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * 1000000.0, 0).cast("long"),
-    )
+    if book is None:
+        book = pq_codebook(m, k, dsub, seed)
+    if pre_quantized:  # vec_col already array<long> micro-units
+        vmic = F.col(vec_col)
+    else:
+        vmic = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * 1000000.0, 0).cast("long"),
+        )
     out = df.withColumn("__vmic", vmic)
     total = F.lit(0).cast("long")
     for s in range(m):

@@ -256,6 +256,156 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_centroids: int = 16,
+    in_dim: int = 64,
+    coarse_rounds: int = 2,
+    pq_rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_seed: str = "ivf",
+    pq_seed: str = "pq",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Composed IVF-PQ: the billion-scale ANN layout of Jégou et al. 2011 —
+    a TRAINED coarse quantizer partitions the corpus into nlist inverted
+    lists, each vector is stored only as the PQ codes of its RESIDUAL
+    (vector minus its coarse centroid), and a query probes the nprobe
+    nearest lists scoring candidates by asymmetric distance (ADC) between
+    the query residual and the candidate's reconstructed residual.
+
+    Both quantizers are trained with bounded-round integer Lloyd
+    (kgspark.embed.train_pq_codebook): the coarse one is a single-subspace
+    book over the full vector (m=1, k=nlist); the product one is trained on
+    residuals. All arithmetic is exact integer micro-units end-to-end, so
+    ranks are engine-independent (hash-oracle-able).
+
+    Shape at 100 TB: training touches the corpus `coarse_rounds+pq_rounds`
+    times map-side with a m*k-row driver update each round; list assignment,
+    residuals and code assignment are map-only JVM expressions (no shuffle
+    of the corpus); query probes are a broadcast; the candidate scan is
+    list-pruned (join on list_id — partition-prunable when the codes table
+    is written partitioned by list_id) and per-candidate work is integer
+    table lookups. The only shuffle is the per-query top-k window.
+
+    Returns (query_id, vec_id, dist, rank) — top-k per query by
+    (dist asc, vec_id asc), dist in squared integer micro-units.
+    """
+    from kgspark.embed import train_pq_codebook
+
+    if in_dim % m != 0:
+        raise ValueError("ivfpq_topk: in_dim must be divisible by m")
+    dsub = in_dim // m
+
+    # -- coarse quantizer: trained single-subspace book over the full vector
+    coarse = train_pq_codebook(
+        emb, vec_col=vec_col, m=1, k=nlist, in_dim=in_dim,
+        rounds=coarse_rounds, seed=coarse_seed,
+    )[0]
+    coarse_lit = F.array(*[
+        F.array(*[F.lit(v).cast("long") for v in c]) for c in coarse
+    ])
+
+    def _sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    vmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    cdists = F.transform(coarse_lit, lambda cent: _sq_l2(F.col("__v"), cent))
+    assigned = (
+        emb.select(F.col(id_col).alias("vec_id"), vmic.alias("__v"))
+        .withColumn(
+            "list_id",
+            (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int"),
+        )
+        .withColumn(
+            "res",
+            F.zip_with(
+                F.col("__v"),
+                F.element_at(coarse_lit, F.col("list_id") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        .drop("__v")
+    )
+
+    # -- product quantizer trained on residuals, codes stored per list
+    from kgspark.session import materialize
+
+    assigned = materialize(assigned)
+    book = train_pq_codebook(
+        assigned, vec_col="res", m=m, k=n_centroids, in_dim=in_dim,
+        rounds=pq_rounds, seed=pq_seed, pre_quantized=True,
+    )
+    from kgspark.embed import pq_assign
+
+    coded = pq_assign(
+        assigned, vec_col="res", m=m, k=n_centroids, in_dim=in_dim,
+        book=book, pre_quantized=True,
+    ).select("vec_id", "list_id", *[f"code_{s}" for s in range(m)])
+
+    # -- query side: probe nprobe nearest lists, residual per probed list
+    qmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), qmic.alias("__q"))
+        .select(
+            "query_id", "__q",
+            F.posexplode(coarse_lit).alias("list_id", "cent"),
+        )
+        .withColumn("cdist", _sq_l2(F.col("__q"), F.col("cent")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("cdist"), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("crank") <= nprobe)
+        .select(
+            "query_id", "list_id",
+            F.zip_with("__q", "cent", lambda a, b: a - b).alias("qres"),
+        )
+    )
+
+    # -- ADC: integer lookup distance between query residual and codes
+    j = coded.join(F.broadcast(probes), "list_id")
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    dist = F.lit(0).cast("long")
+    for s in range(m):
+        cb = F.array(*[
+            F.array(*[F.lit(v).cast("long") for v in book[s][c]])
+            for c in range(n_centroids)
+        ])
+        cent = F.element_at(cb, (F.col(f"code_{s}") + 1).cast("int"))
+        sub = F.slice("qres", s * dsub + 1, dsub)
+        dist = dist + _sq_l2(sub, cent)
+    scored = j.select("query_id", "vec_id", dist.cast("long").alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ranking_metrics(
     ranked: DataFrame,
     truth: DataFrame,
