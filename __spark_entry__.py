@@ -3018,6 +3018,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             m=8, n_centroids=16, in_dim=64,
         )
 
+    def dedup_span_scrub(spark, sf_dir):
+        # ExactSubstr REMOVAL (Lee et al. 2022): cut cross-doc duplicated
+        # k-gram runs from the text, keep the (min doc, min pos) occurrence
+        # — k=3 at contract scale so interval merges + full-doc wipes are
+        # exercised (kgspark/dedup.py span_scrub)
+        from kgspark.dedup import span_scrub
+
+        return span_scrub(_read(spark, sf_dir, "documents"), k=3)
+
     def rel_mad(spark, sf_dir):
         # robust MAD outlier census per event type (3-MAD rule as integer
         # tenths); lower medians at rank (n+1) div 2, zero fp surface
@@ -3696,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_header_mix": multimodal_header_mix,
         "embed_pq_trained": embed_pq_trained,
         "ann_ivfpq": ann_ivfpq,
+        "dedup_span_scrub": dedup_span_scrub,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -7117,6 +7127,69 @@ FROM tw_s CROSS JOIN tw_t
         # composed IVF-PQ: trained coarse + residual PQ + probe + ADC
         "ann_ivfpq": _ivfpq_oracle_sql(nlist=8, nprobe=2, m=8, k=16,
                                        in_dim=64, topk=5),
+        # kgspark.dedup.span_scrub: ExactSubstr removal — dup 3-grams
+        # (>=2 distinct docs), owner = (min doc, min pos), other
+        # occurrences' [pos, pos+3) spans union-merged and cut; text
+        # rebuilt space-joined, case-preserving
+        "dedup_span_scrub": r"""
+WITH ss_t AS (
+  SELECT doc_id, list_filter(string_split_regex("text", '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+ss_o AS (
+  SELECT doc_id,
+         unnest([{'pos': i - 1, 'g': array_to_string(ts[i:i+2], ' ')}
+                 for i in range(1, greatest(len(ts) - 2, 0) + 1)],
+                recursive := true)
+  FROM ss_t
+),
+ss_dup AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM ss_o) GROUP BY g HAVING count(*) >= 2
+),
+ss_rem AS (
+  SELECT doc_id, pos FROM (
+    SELECT o.doc_id, o.pos,
+           row_number() OVER (PARTITION BY o.g ORDER BY o.doc_id, o.pos) AS rn
+    FROM ss_o o JOIN ss_dup USING (g))
+  WHERE rn > 1
+),
+ss_i0 AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 3) OVER (PARTITION BY doc_id
+                ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1) THEN 1 ELSE 0 END AS isnew
+  FROM ss_rem
+),
+ss_i1 AS (
+  SELECT doc_id, pos,
+         sum(isnew) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM ss_i0
+),
+ss_iv AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e FROM ss_i1 GROUP BY doc_id, grp
+),
+ss_tok AS (
+  SELECT t.doc_id, u.i AS i, t.ts[u.i] AS tok
+  FROM ss_t t, unnest(generate_series(1, len(t.ts))) AS u(i)
+),
+ss_keep AS (
+  SELECT k.doc_id, k.i, k.tok
+  FROM ss_tok k
+  WHERE NOT EXISTS (SELECT 1 FROM ss_iv v
+                    WHERE v.doc_id = k.doc_id
+                      AND k.i - 1 >= v.s AND k.i - 1 < v.e)
+),
+ss_txt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM ss_keep GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+       (len(t.ts) - coalesce(x.n_kept, 0))::BIGINT AS removed_tokens,
+       coalesce(x.clean_text, '') AS clean_text
+FROM ss_t t LEFT JOIN ss_txt x USING (doc_id)
+""",
         # kgspark.relops.mad_outliers: lower medians at rank (n+1)//2
         # under (value, event_id) order, 3-MAD rule in integer tenths
         "rel_mad": """

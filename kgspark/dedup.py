@@ -765,6 +765,114 @@ def dup_span_stats(
     )
 
 
+def span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Exact repeated-substring REMOVAL (the ExactSubstr dedup of Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"):
+    where dup_span_stats only *reports* cross-document duplicated k-token
+    spans, this emits the cleaned text with those spans cut, keeping the
+    FIRST occurrence by (doc_id asc, pos asc) of each duplicated k-gram.
+
+    Policy (deterministic, engine-independent):
+      - a k-gram is duplicated iff it occurs in >= 2 distinct docs;
+      - its single kept occurrence is the (min doc_id, min pos) one; every
+        other occurrence marks its [pos, pos+k) token span for removal;
+      - per doc, removal spans are union-merged (gaps-and-islands) and the
+        surviving tokens are re-joined with single spaces — so output text
+        is whitespace-normalized but case-preserving. A kept occurrence's
+        tokens can still be removed if an overlapping *other* duplicated
+        gram covers them — removal is the union of non-owner spans.
+
+    Returns (id, n_tokens, removed_tokens, clean_text). removed_tokens =
+    n_tokens - len(kept); clean_text = '' when everything was duplicated.
+
+    Scale: same two md5-gram-keyed shuffles as dup_span_stats (doc-
+    frequency agg + occurrence join back) plus one per-doc interval merge
+    window and one per-doc collect_list of merged intervals (bounded by
+    the doc's own span count, never cross-doc) — the suffix-array pass of
+    the paper re-expressed as rolling-hash joins; no all-pairs shape.
+    Reference has no span-level dedup (closest: whole-doc distinct,
+    SURVEY.md Set1-3).
+    """
+    toks = materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda t: t != "").alias("__toks"),
+        )
+    )
+    n_grams = F.size("__toks") - (k - 1)
+    occ = materialize(
+        toks.select(
+            "__id",
+            F.posexplode(
+                F.when(
+                    n_grams >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_grams),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice("__toks", i, k))
+                        ),
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    dup = (
+        occ.select("gh", "__id").distinct()
+        .groupBy("gh").agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("gh")
+    )
+    w_own = Window.partitionBy("gh").orderBy("__id", "pos")
+    rem = (
+        occ.join(dup, "gh")
+        .withColumn("__rn", F.row_number().over(w_own))
+        .where(F.col("__rn") > 1)
+        .select("__id", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("__id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(-1))
+    w_run = (
+        Window.partitionBy("__id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = F.sum((F.col("pos") > prev_end).cast("long")).over(w_run)
+    ivs = (
+        rem.withColumn("__grp", grp)
+        .groupBy("__id", "__grp")
+        .agg(F.min("pos").alias("__start"),
+             (F.max("pos") + k).alias("__end"))
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list(F.struct("__start", "__end")))
+             .alias("__ivs"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — bound per call site
+        "__ivs", lambda iv: (i >= iv["__start"]) & (i < iv["__end"])
+    )
+    kept = F.when(F.col("__ivs").isNull(), F.col("__toks")).otherwise(
+        F.filter("__toks", lambda t, i: ~covered(i))
+    )
+    return (
+        toks.join(ivs, "__id", "left")
+        .withColumn("__kept", kept)
+        .select(
+            F.col("__id").alias(id_col),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.size("__kept")).cast("long")
+             .alias("removed_tokens"),
+            F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

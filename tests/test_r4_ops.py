@@ -176,3 +176,54 @@ def test_ivfpq_nprobe_prunes_candidates(emb):
         # same (query, candidate) pair scores identically either way:
         # dist depends only on the candidate's own list residual
         assert full_d[(r["query_id"], r["vec_id"])] == r["dist"]
+
+
+# ---------------------------------------------------------------------------
+# span_scrub: exact repeated-substring REMOVAL (r3 verdict item #5)
+# ---------------------------------------------------------------------------
+
+def test_span_scrub_byte_exact_on_crafted_corpus(spark):
+    """Byte-exact expected output: 'a b c' owned by doc 0 pos 0; doc 2's
+    three overlapping dup grams merge into one [0, 5) cut; docs 3/4 are
+    wiped entirely; empty doc survives as ''."""
+    from kgspark.dedup import span_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "x y a b c z"),
+            (2, "a b c d e q"),
+            (3, "a b c"),
+            (4, "a b c"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_scrub(docs, k=3).collect()}
+    want = {
+        0: (6, 0, "a b c d e f"),   # owner of every dup gram it has
+        1: (6, 3, "x y z"),         # [2, 5) cut
+        2: (6, 5, "q"),             # [0,3)+[1,4)+[2,5) merged to [0,5)
+        3: (3, 3, ""),              # whole doc duplicated
+        4: (3, 3, ""),
+        5: (0, 0, ""),              # no tokens at all
+    }
+    assert len(got) == len(want)
+    for did, (nt, rm, txt) in want.items():
+        r = got[did]
+        assert (r["n_tokens"], r["removed_tokens"], r["clean_text"]) == \
+            (nt, rm, txt), did
+
+
+def test_span_scrub_preserves_unique_docs(spark):
+    """Docs sharing no k-gram pass through whitespace-normalized only."""
+    from kgspark.dedup import span_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "alpha  beta\tgamma delta"), (1, "one two three four")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_scrub(docs, k=3).collect()}
+    assert out[0]["clean_text"] == "alpha beta gamma delta"
+    assert out[0]["removed_tokens"] == 0
+    assert out[1]["clean_text"] == "one two three four"
