@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
-__all__ = ["word_counts", "pair_stats", "bpe_train", "fold_merge",
-           "bpe_segment_words", "bpe_apply_census"]
+__all__ = ["word_counts", "pair_stats", "bpe_train", "bpe_train_batched",
+           "fold_merge", "bpe_segment_words", "bpe_apply_census"]
 
 
 def word_counts(
@@ -126,6 +126,129 @@ def bpe_train(
                             F.array(merged),
                         ),
                     ).otherwise(F.concat(acc, F.array(cur))),
+                ).alias("s"),
+                F.col("cnt"),
+            )
+        )
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, weight long"
+    )
+
+
+def select_disjoint_pairs(
+    candidates: list, batch_m: int
+) -> list:
+    """Greedy scan of (left, right, weight) candidates in rank order,
+    keeping up to `batch_m` MUTUALLY DISJOINT pairs: a pair is taken only
+    if its left, right, AND merged string (left+right) are all unseen
+    among previously-taken pairs' lefts/rights/merged strings. Disjointness
+    is what makes a batch exactly order-independent: no taken pair can
+    consume, produce, or string-collide with a symbol another taken pair
+    touches, so applying the batch in ONE fold pass equals applying its
+    pairs one-at-a-time in rank order, and each pair's recorded weight is
+    its true pre-round weight (merges fuse symbols — they never create or
+    destroy an adjacency of two symbols they don't touch).
+
+    Driver-side helper over an already-bounded candidate slice; shared
+    with the in-memory test replica so both implement identical policy."""
+    used: set = set()
+    chosen = []
+    for left, right, weight in candidates:
+        if left in used or right in used or (left + right) in used:
+            continue
+        chosen.append((left, right, int(weight)))
+        used.update((left, right, left + right))
+        if len(chosen) >= batch_m:
+            break
+    return chosen
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int,
+    batch_m: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn `n_merges` BPE merges taking up to `batch_m` mutually
+    disjoint pairs per distributed round — the bounded-jobs trainer for
+    real tokenizer sizes (50k merges in ~ceil(50k/M) rounds instead of
+    50k sequential jobs; the r3-verdict scale fix for bpe_train).
+
+    DOCUMENTED DEVIATION from single-pair BPE: within a round, the 2nd..
+    M-th pairs are chosen from the same pre-round counts, so a pair whose
+    count would only be overtaken after an earlier same-round merge can be
+    ranked differently than strict Sennrich order. The batch is restricted
+    to DISJOINT pairs (see select_disjoint_pairs), which keeps every
+    recorded weight exact and the batch application order-independent —
+    the result is a valid BPE merge table trained under batched-greedy
+    semantics, and with batch_m=1 the output is bit-identical to
+    bpe_train. Selection scans the top (8*batch_m + 256) candidates per
+    round; heavier-conflicting tails wait for the next round (the bound
+    only binds when that many top pairs mutually conflict).
+
+    Per round: ONE pair-count aggregation over the vocab-sized symbol
+    table + one fold application (a single when-chain HOF — at most one
+    branch can match any adjacency, by disjointness). Returns
+    (rank, left, right, weight) in global selection order.
+    """
+    spark = docs.sparkSession
+    syms = materialize(
+        word_counts(docs, text_col).select(
+            F.split(F.col("word"), "").alias("s"), F.col("cnt")
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    empty_arr = "cast(array() as array<string>)"
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
+        cand = (
+            syms.select(
+                F.explode(_adjacent_pairs(F.col("s"))).alias("p"), "cnt"
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("cnt").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("left"), F.asc("right"))
+            .limit(8 * batch_m + 256)
+            .collect()
+        )
+        batch = select_disjoint_pairs(
+            [(r["left"], r["right"], r["weight"]) for r in cand], want
+        )
+        if not batch:
+            break
+        base = len(merges)
+        merges.extend(
+            (base + i, l, r, w) for i, (l, r, w) in enumerate(batch)
+        )
+
+        # closure FACTORY, not a default arg: pyspark binds extra lambda
+        # params to HOF index columns (see module gotchas / CLAUDE.md)
+        def make_step(pairs):
+            def step(acc, cur):
+                out = F.concat(acc, F.array(cur))
+                branch = None
+                for left, right, _w in pairs:
+                    c = (
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(left))
+                        & (cur == F.lit(right))
+                    )
+                    rep = F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(left + right)),
+                    )
+                    branch = (
+                        F.when(c, rep) if branch is None
+                        else branch.when(c, rep)
+                    )
+                return branch.otherwise(out)
+
+            return step
+
+        syms = materialize(
+            syms.select(
+                F.aggregate(
+                    F.col("s"), F.expr(empty_arr), make_step(tuple(batch))
                 ).alias("s"),
                 F.col("cnt"),
             )
