@@ -319,6 +319,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    suffix_filter: bool = True,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity join (all pairs with J >= t),
     via PREFIX FILTERING — the scalable exact-recall algorithm (PPJoin family):
@@ -336,7 +337,37 @@ def ngram_jaccard_pairs(
 
     The hashed-shingle table and the prefix table are materialized
     (materialize): the plan references each 3-5 times and recomputing
-    the md5+sort subtree per reference dominates runtime otherwise."""
+    the md5+sort subtree per reference dominates runtime otherwise.
+
+    ``suffix_filter=False`` disables the PPJoin+ suffix tightening (same
+    results, more exact-verification candidates) — kept as a seam so the
+    candidate-count plan test can prove the filter's effect."""
+    t, cand = _ngram_candidates(df, text_col, id_col, n, threshold, suffix_filter)
+    ha = t.select(F.col("id").alias("a"), F.col("h").alias("ha"))
+    hb = t.select(F.col("id").alias("b"), F.col("h").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size(F.array_union("ha", "hb"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    suffix_filter: bool = True,
+) -> tuple:
+    """Candidate-pair generation for :func:`ngram_jaccard_pairs` (prefix +
+    size + positional + optional PPJoin+ suffix filter). Returns
+    ``(hashed_shingle_table, candidate_pairs)`` — split out so tests can
+    count candidates under each filter configuration."""
     t = (
         df.select(
             F.col(id_col).alias("id"),
@@ -344,9 +375,16 @@ def ngram_jaccard_pairs(
         )
         .select(
             "id",
+            # array_distinct: set semantics, so nsh and every filter bound
+            # below agree exactly with the set-Jaccard the verify step
+            # computes (repeated shingles would otherwise inflate sizes and
+            # over-tighten req — a theoretical recall hole).
             F.array_sort(
-                F.transform(
-                    word_shingles_from(F.col("__toks"), n), lambda g: F.md5(g)
+                F.array_distinct(
+                    F.transform(
+                        word_shingles_from(F.col("__toks"), n),
+                        lambda g: F.md5(g),
+                    )
                 )
             ).alias("h"),
         )
@@ -377,29 +415,60 @@ def ngram_jaccard_pairs(
     pos_bound = 1 + F.least(
         F.col("l.nsh") - F.col("l.rk"), F.col("r.nsh") - F.col("r.rk")
     )
-    cand = (
-        l.join(
-            r,
-            (F.col("l.p") == F.col("r.p"))
-            & (F.col("l.id") < F.col("r.id"))
-            & (F.col("l.nsh") >= threshold * F.col("r.nsh"))
-            & (F.col("r.nsh") >= threshold * F.col("l.nsh"))
-            & (pos_bound >= req),
+    base_cond = (
+        (F.col("l.p") == F.col("r.p"))
+        & (F.col("l.id") < F.col("r.id"))
+        & (F.col("l.nsh") >= threshold * F.col("r.nsh"))
+        & (F.col("r.nsh") >= threshold * F.col("l.nsh"))
+    )
+    if not suffix_filter:
+        cand = (
+            l.join(r, base_cond & (pos_bound >= req))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct()
         )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
+        return t, cand
+    # Group positional filter (PPJoin+-style tightening, Xiao et al. 2011,
+    # expressed declaratively): aggregate ALL shared prefix elements per
+    # pair — no per-element positional cut inside the join, because any
+    # row-level cut provably makes the group bound a no-op (the surviving
+    # max-rank element then satisfies the per-element bound, which forces
+    # sp + min(...) >= req). Ranks follow one global order (df asc, hash
+    # asc), so the shared-element sequence is monotone in BOTH docs, the
+    # per-side max ranks (i_max, j_max) are attained at the globally-last
+    # shared prefix element e_max, and every shared element NOT counted
+    # (outside either prefix) is ordered after e_max. Hence
+    #     overlap <= s_p + min(|A| - i_max, |B| - j_max)
+    # with s_p = |prefix(A) ∩ prefix(B)|. This bound is uniformly <= the
+    # per-element positional bound at the earliest shared element (between
+    # the earliest and e_max there are s_p distinct ranks), so it subsumes
+    # the classic positional filter and is strictly tighter whenever a
+    # pair shares >= 2 prefix elements — the exact shape hot near-miss
+    # pairs take. The join emits more raw rows (no per-element cut), but
+    # partial aggregation combines them map-side and far fewer pairs reach
+    # exact verification.
+    suffix_bound = F.col("sp") + F.least(
+        F.col("lnsh") - F.col("li"), F.col("rnsh") - F.col("rj")
     )
-    ha = t.select(F.col("id").alias("a"), F.col("h").alias("ha"))
-    hb = t.select(F.col("id").alias("b"), F.col("h").alias("hb"))
-    inter = F.size(F.array_intersect("ha", "hb"))
-    union = F.size(F.array_union("ha", "hb"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        cand.join(ha, "a")
-        .join(hb, "b")
-        .select("a", "b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    req_g = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("lnsh") + F.col("rnsh"))
     )
+    cand = (
+        l.join(r, base_cond)
+        .groupBy(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.nsh").alias("lnsh"),
+            F.col("r.nsh").alias("rnsh"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sp"),
+            F.max("l.rk").alias("li"),
+            F.max("r.rk").alias("rj"),
+        )
+        .where(suffix_bound >= req_g)
+    )
+    return t, cand.select("a", "b")
 
 
 # ---------------------------------------------------------------------------

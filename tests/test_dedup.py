@@ -382,3 +382,66 @@ def test_incremental_near_dups_batch_vs_corpus(spark):
     i1000, u = got[(100, 1)]
     assert i1000 == 1000 * u  # exact dup: J = 1
     # batch never pairs with itself (100 vs 101 absent by construction)
+
+
+def _zipf_docs(spark):
+    """Skewed token-set fixture for the PPJoin+ group-positional filter:
+    80 docs drawing 16-28 distinct tokens from a Zipf-ish 120-token pool
+    (hot head tokens -> many near-miss pairs sharing several mid-rank
+    prefix elements), plus 8 planted near-dups above the 0.5 threshold."""
+    import random
+
+    rng = random.Random(42)
+    pool = [f"t{k}" for k in range(120)]
+    weights = [1.0 / (k + 1) ** 0.7 for k in range(120)]
+    docs = []
+    for i in range(80):
+        size = rng.randint(16, 28)
+        toks = set()
+        while len(toks) < size:
+            toks.add(rng.choices(pool, weights)[0])
+        docs.append((i, " ".join(sorted(toks))))
+    for j in range(8):
+        base = docs[j][1].split()
+        for s in range(3):
+            base[s] = f"swap{j}_{s}"
+        docs.append((100 + j, " ".join(base)))
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_ngram_suffix_filter_prunes_candidates(spark):
+    """The group positional (PPJoin+-style) filter must (a) emit strictly
+    fewer exact-verification candidates than the per-element positional
+    filter on a skewed near-miss-heavy fixture, and (b) change nothing
+    about the verified output."""
+    from kgspark.dedup import _ngram_candidates
+
+    df = _zipf_docs(spark)
+    _, cand_off = _ngram_candidates(
+        df, "text", "doc_id", 1, 0.5, suffix_filter=False
+    )
+    _, cand_on = _ngram_candidates(
+        df, "text", "doc_id", 1, 0.5, suffix_filter=True
+    )
+    n_off, n_on = cand_off.count(), cand_on.count()
+    assert n_on < n_off, (n_on, n_off)
+    # the cut is material on this fixture (measured ~40%), not epsilon
+    assert n_on <= 0.8 * n_off, (n_on, n_off)
+
+    out_off = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, n=1, suffix_filter=False
+        ).collect()
+    )
+    out_on = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, n=1, suffix_filter=True
+        ).collect()
+    )
+    assert out_on == out_off
+    # the 8 planted near-dups are all found (recall safety, not just parity)
+    found = {(a, b) for a, b, _ in out_on}
+    for j in range(8):
+        assert (j, 100 + j) in found
