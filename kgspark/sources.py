@@ -7,10 +7,13 @@ web-corpus target the dispatch collapses to the HTML extractor
 per-format handlers. docx, xlsx and simple (raw/Flate) PDFs parse with
 pure-stdlib codecs (zipfile + ElementTree, zlib + operator scan), and legacy
 binary .xls/.doc parse via the pure-stdlib OLE2/BIFF8/piece-table codecs in
-kgspark.ole — no third-party codec anywhere. Only image-OCR (no OCR engine
-exists in stdlib) and encrypted/CID-font PDFs remain gated behind a clearly
-marked seam — the dispatch, schema and error-wrapping semantics are real and
-tested either way.
+kgspark.ole — no third-party codec anywhere. RC4-encrypted PDFs (standard
+security handler, V=1/2 R=2/3, empty user password) decrypt via the spec's
+MD5+RC4 key schedule, and CID/Type0 fonts decode through their embedded
+ToUnicode CMaps — both pure stdlib. Only image-OCR (no OCR engine exists in
+stdlib) and AES-encrypted PDFs remain gated behind a clearly marked seam —
+the dispatch, schema and error-wrapping semantics are real and tested
+either way.
 
 Reference error semantics preserved: an unsupported extension raises
 ValueError (ref knowledgeGraph.py:99-101); per-file handler errors are
@@ -207,40 +210,269 @@ def _pdf_literal(s: bytes) -> str:
 
 
 _PDF_LIT = rb"\((?:\\.|[^()\\])*\)"
+_PDF_HEX = rb"<[0-9A-Fa-f\s]*>"
+
+# Standard security handler padding string (PDF 1.7 spec, 7.6.3.3 Algorithm 2)
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (public design, ~15 lines) — used ONLY to decrypt
+    standard-security-handler PDFs for text extraction, mirroring the
+    reference's PyPDF2 read path (ref knowledgeGraph.py:67-73)."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pdf_objects(data: bytes) -> dict:
+    """Map (objnum, gen) -> object body bytes via a light regex pass."""
+    import re
+
+    return {
+        (int(m.group(1)), int(m.group(2))): m.group(3)
+        for m in re.finditer(
+            rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", data, re.S
+        )
+    }
+
+
+def _pdf_str_value(body: bytes, name: bytes) -> bytes | None:
+    """Extract /Name (literal) or /Name <hex> string value from a dict."""
+    import re
+
+    m = re.search(
+        rb"/" + name + rb"\s*(" + _PDF_LIT + rb"|" + _PDF_HEX + rb")", body
+    )
+    if m is None:
+        return None
+    v = m.group(1)
+    if v[:1] == b"(":
+        return _pdf_literal(v[1:-1]).encode("latin-1")
+    return bytes.fromhex(v[1:-1].decode("ascii").replace(" ", "").strip())
+
+
+def _pdf_int_value(body: bytes, name: bytes) -> int | None:
+    import re
+
+    m = re.search(rb"/" + name + rb"\s+(-?\d+)", body)
+    return int(m.group(1)) if m else None
+
+
+def _pdf_file_key(data: bytes, objs: dict) -> bytes | None:
+    """Derive the standard-security-handler file key (empty user password),
+    PDF 1.7 spec 7.6.3.3 Algorithm 2. Returns None for unencrypted files;
+    raises NotImplementedError for AES (V>=4), non-Standard handlers, and
+    files that actually require a user password (U mismatch)."""
+    import hashlib
+    import re
+
+    enc_ref = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data)
+    if enc_ref is None:
+        return None
+    enc = objs.get((int(enc_ref.group(1)), int(enc_ref.group(2))))
+    if enc is None:
+        raise NotImplementedError("dangling /Encrypt reference")
+    if b"/Standard" not in enc:
+        raise NotImplementedError("non-standard PDF security handler")
+    v = _pdf_int_value(enc, b"V") or 0
+    r = _pdf_int_value(enc, b"R") or 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            "AES/crypt-filter PDF encryption (V>=4) needs a full crypto "
+            "stack; RC4 (V=1/2, R=2/3) decrypts here"
+        )
+    o = _pdf_str_value(enc, b"O")
+    u = _pdf_str_value(enc, b"U")
+    p = _pdf_int_value(enc, b"P")
+    if o is None or u is None or p is None:
+        raise NotImplementedError("malformed /Encrypt dictionary")
+    n = (_pdf_int_value(enc, b"Length") or 40) // 8
+    idm = re.search(
+        rb"/ID\s*\[\s*(" + _PDF_LIT + rb"|" + _PDF_HEX + rb")", data
+    )
+    id0 = b""
+    if idm is not None:
+        g = idm.group(1)
+        id0 = (
+            _pdf_literal(g[1:-1]).encode("latin-1")
+            if g[:1] == b"("
+            else bytes.fromhex(g[1:-1].decode("ascii").replace(" ", ""))
+        )
+    # Algorithm 2 with the EMPTY user password
+    h = hashlib.md5(
+        _PDF_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # verify vs /U (Algorithm 4 for R=2, Algorithm 5 for R=3)
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u[:32]
+    else:
+        x = hashlib.md5(_PDF_PAD + id0).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    if not ok:
+        raise NotImplementedError(
+            "password-protected PDF (empty user password rejected)"
+        )
+    return key
+
+
+def _pdf_obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Per-object RC4 key (PDF 1.7 spec 7.6.2 Algorithm 1)."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _parse_tounicode(cmap: bytes) -> dict:
+    """Parse a ToUnicode CMap stream: bfchar + bfrange sections map font
+    character codes to UTF-16BE unicode strings (Adobe CMap spec)."""
+    import re
+
+    def _u16(hexs: str) -> str:
+        b = bytes.fromhex(hexs)
+        return b.decode("utf-16-be", errors="replace")
+
+    out: dict[int, str] = {}
+    hx = rb"<([0-9A-Fa-f]+)>"
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for m in re.finditer(hx + rb"\s*" + hx, sec.group(1)):
+            out[int(m.group(1), 16)] = _u16(m.group(2).decode("ascii"))
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        body = sec.group(1)
+        for m in re.finditer(hx + rb"\s*" + hx + rb"\s*" + hx, body):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            dst = bytes.fromhex(m.group(3).decode("ascii"))
+            base = int.from_bytes(dst, "big")
+            width = len(dst)
+            for c in range(lo, hi + 1):
+                out[c] = (base + c - lo).to_bytes(width, "big").decode(
+                    "utf-16-be", errors="replace"
+                )
+        for m in re.finditer(
+            hx + rb"\s*" + hx + rb"\s*\[((?:\s*" + hx + rb")+)\s*\]", body
+        ):
+            lo = int(m.group(1), 16)
+            for k, d in enumerate(re.findall(hx, m.group(3))):
+                out[lo + k] = _u16(d.decode("ascii"))
+    return out
+
+
+def _pdf_hex_text(hexbody: bytes, cmap: dict) -> str:
+    """Decode a hex string shown by Tj/TJ: with a ToUnicode CMap, treat as
+    2-byte CID codes (1-byte fallback per code); without, as latin-1 bytes."""
+    s = "".join(hexbody.decode("ascii").split())
+    if len(s) % 2:
+        s += "0"  # PDF spec: odd final digit is padded with 0
+    b = bytes.fromhex(s)
+    if not cmap:
+        return b.decode("latin-1")
+    out: list[str] = []
+    i = 0
+    while i < len(b):
+        two = int.from_bytes(b[i : i + 2], "big") if i + 1 < len(b) else None
+        if two is not None and two in cmap:
+            out.append(cmap[two])
+            i += 2
+        elif b[i] in cmap:
+            out.append(cmap[b[i]])
+            i += 1
+        else:
+            i += 2 if two is not None else 1
+    return "".join(out)
 
 
 def _pdf_pages(data: bytes) -> list[str]:
-    """Minimal pure-stdlib PDF text extraction: content streams (raw or
+    """Pure-stdlib PDF text extraction: per-object content streams (raw or
     FlateDecode via zlib) scanned for Tj / TJ text-showing operators, one
-    output string per text-bearing stream (~page for simple PDFs). Covers
-    the uncompressed/Flate Type1-font PDFs the reference's PyPDF2 path reads
-    in practice; exotic encodings/CID fonts are out of scope and surface as
-    empty pages."""
+    output string per text-bearing stream (~page for simple PDFs). Handles
+    the standard security handler's RC4 encryption (V=1/2, R=2/3; empty
+    user password — the common "owner-locked" case PyPDF2 reads in the
+    reference, knowledgeGraph.py:67-73) and embedded ToUnicode CMaps for
+    CID/Type0 fonts showing text as hex strings. AES (V>=4) and
+    password-required files surface as the gated error column."""
     import re
     import zlib
 
-    pages: list[str] = []
-    for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", data, re.S):
+    objs = _pdf_objects(data)
+    file_key = _pdf_file_key(data, objs)  # None when unencrypted
+
+    def _stream_of(num: int, gen: int, body: bytes) -> bytes | None:
+        m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.S)
+        if m is None:
+            return None
         blob = m.group(1)
+        if file_key is not None:
+            blob = _rc4(_pdf_obj_key(file_key, num, gen), blob)
         try:
             blob = zlib.decompress(blob)
         except zlib.error:
             pass
-        if b"BT" not in blob:
+        return blob
+
+    # merge every embedded ToUnicode CMap (per-font maps collide only when
+    # two fonts assign the same CID different glyphs — not a text-bearing
+    # case worth per-Tf state tracking at this tier)
+    cmap: dict[int, str] = {}
+    for body in objs.values():
+        for m in re.finditer(rb"/ToUnicode\s+(\d+)\s+(\d+)\s+R", body):
+            ref = (int(m.group(1)), int(m.group(2)))
+            if ref in objs:
+                blob = _stream_of(ref[0], ref[1], objs[ref])
+                if blob:
+                    cmap.update(_parse_tounicode(blob))
+
+    pages: list[str] = []
+    for (num, gen), body in objs.items():
+        blob = _stream_of(num, gen, body)
+        if blob is None or b"BT" not in blob:
             continue
         parts: list[str] = []
         for op in re.finditer(
             rb"(?P<lit>" + _PDF_LIT + rb")\s*Tj"
+            rb"|(?P<hex>" + _PDF_HEX + rb")\s*Tj"
             rb"|\[(?P<arr>(?:" + _PDF_LIT + rb"|[^\]])*)\]\s*TJ",
             blob,
         ):
             if op.group("lit") is not None:
                 parts.append(_pdf_literal(op.group("lit")[1:-1]))
+            elif op.group("hex") is not None:
+                parts.append(_pdf_hex_text(op.group("hex")[1:-1], cmap))
             else:
                 parts.append(
                     "".join(
-                        _pdf_literal(x[1:-1])
-                        for x in re.findall(_PDF_LIT, op.group("arr"))
+                        _pdf_hex_text(x[1:-1], cmap)
+                        if x[:1] == b"<"
+                        else _pdf_literal(x[1:-1])
+                        for x in re.findall(
+                            _PDF_LIT + rb"|" + _PDF_HEX, op.group("arr")
+                        )
                     )
                 )
         pages.append("\n".join(parts))
@@ -252,8 +484,9 @@ def read_pdf(data: bytes) -> str:
     pages = _pdf_pages(data)
     if not pages:
         raise NotImplementedError(
-            "no extractable text streams (encrypted/CID PDFs need a full "
-            "codec; simple Flate/raw PDFs parse here)"
+            "no extractable text streams (raw/Flate, RC4-encrypted and "
+            "ToUnicode-CID PDFs parse here; AES-encrypted need a full "
+            "crypto stack)"
         )
     return _json.dumps([clean_text(p) for p in pages], ensure_ascii=False)
 

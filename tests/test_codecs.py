@@ -229,3 +229,183 @@ def test_dispatch_routes_legacy_ole_codecs():
     # corrupt OLE surfaces in the error column, never fatal
     row = dispatch("bad.doc", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
     assert row["content"] is None and row["error"]
+
+
+# ---------------------------------------------------------------------------
+# RC4-encrypted + ToUnicode-CID PDFs (verdict r3 item: close the PDF tail)
+# ---------------------------------------------------------------------------
+
+def _pad_pw(pw: bytes) -> bytes:
+    from kgspark.sources import _PDF_PAD
+
+    return (pw + _PDF_PAD)[:32]
+
+
+def make_encrypted_pdf(pages, r=2, owner_pw=b"owner", user_pw=b"", p=-44):
+    """Build an RC4-encrypted PDF per the PDF 1.7 spec's standard security
+    handler (Algorithms 2/3/4/5) — the ENCRYPTION side, implemented from the
+    spec here in the test, cross-checks the reader's decryption side."""
+    import hashlib
+
+    from kgspark.sources import _PDF_PAD, _pdf_obj_key, _rc4
+
+    n = 5 if r == 2 else 16
+    id0 = hashlib.md5(b"kgspark-pdf-fixture").digest()
+    # Algorithm 3: /O
+    h = hashlib.md5(_pad_pw(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    rc4key = h[:n]
+    o = _rc4(rc4key, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4key), o)
+    # Algorithm 2: file key (from the USER password)
+    h = hashlib.md5(
+        _pad_pw(user_pw) + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # Algorithm 4/5: /U
+    if r == 2:
+        u = _rc4(key, _PDF_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u += b"\x00" * 16
+
+    out = [b"%PDF-1.4\n"]
+    objs = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    objs.append(
+        f"2 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> "
+        f"endobj\n".encode()
+    )
+    for i, text in enumerate(pages):
+        pid, cid = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            f"{pid} 0 obj << /Type /Page /Parent 2 0 R /Contents {cid} 0 R "
+            f"/MediaBox [0 0 612 792] >> endobj\n".encode()
+        )
+        esc = (
+            text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        )
+        stream = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
+        stream = zlib.compress(stream)
+        stream = _rc4(_pdf_obj_key(key, cid, 0), stream)
+        objs.append(
+            f"{cid} 0 obj << /Filter /FlateDecode /Length {len(stream)} >> "
+            f"stream\n".encode()
+            + stream + b"\nendstream endobj\n"
+        )
+    enc_num = 3 + 2 * n_pages
+    v = 1 if r == 2 else 2
+    objs.append(
+        f"{enc_num} 0 obj << /Filter /Standard /V {v} /R {r} "
+        f"/Length {n * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> >> "
+        f"endobj\n".encode()
+    )
+    trailer = (
+        f"trailer << /Root 1 0 R /Encrypt {enc_num} 0 R "
+        f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\n%%EOF\n".encode()
+    )
+    return b"".join(out + objs + [trailer])
+
+
+def make_cid_pdf(text, codes, compress=True) -> bytes:
+    """PDF whose content shows TEXT as 2-byte CID hex strings through an
+    embedded ToUnicode CMap (bfchar for odd codes, bfrange for a run)."""
+    bfchars = "".join(
+        f"<{c:04x}> <{ord(ch):04x}>\n" for ch, c in codes.items()
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        f"{len(codes)} beginbfchar\n{bfchars}endbfchar\n"
+        "1 beginbfrange\n<0100> <0109> <0030>\nendbfrange\n"
+        "endcmap\nend\n"
+    ).encode("ascii")
+    hexstr = "".join(f"{codes[ch]:04x}" for ch in text)
+    stream = f"BT /F1 12 Tf 72 720 Td <{hexstr}> Tj ET".encode("ascii")
+    filt = b""
+    if compress:
+        stream = zlib.compress(stream)
+        filt = b"/Filter /FlateDecode "
+    return b"".join(
+        [
+            b"%PDF-1.4\n",
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+            f"4 0 obj << {filt.decode()}/Length {len(stream)} >> "
+            f"stream\n".encode() + stream + b"\nendstream endobj\n",
+            b"5 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >> "
+            b"endobj\n",
+            f"6 0 obj << /Length {len(cmap)} >> stream\n".encode()
+            + cmap + b"\nendstream endobj\n",
+            b"trailer << /Root 1 0 R >>\n%%EOF\n",
+        ]
+    )
+
+
+def test_rc4_known_vector():
+    """RC4 against the classic public test vector (key 'Key')."""
+    from kgspark.sources import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert _rc4(b"Key", _rc4(b"Key", b"secret")) == b"secret"
+
+
+def test_pdf_rc4_encrypted_roundtrip():
+    for r in (2, 3):
+        data = make_encrypted_pdf(["Locked (RC4) page", "Second page"], r=r)
+        got = json.loads(read_pdf(data))
+        assert got == ["Locked (RC4) page", "Second page"], (r, got)
+
+
+def test_pdf_password_required_is_gated():
+    import pytest
+
+    data = make_encrypted_pdf(["hidden"], user_pw=b"hunter2")
+    with pytest.raises(NotImplementedError, match="password"):
+        read_pdf(data)
+
+
+def test_pdf_aes_is_gated():
+    import pytest
+
+    data = make_encrypted_pdf(["x"]).replace(b"/V 1", b"/V 4")
+    with pytest.raises(NotImplementedError, match="AES"):
+        read_pdf(data)
+
+
+def test_pdf_tounicode_cid_roundtrip():
+    codes = {"H": 3, "e": 7, "l": 11, "o": 13, " ": 17, "w": 19, "r": 23,
+             "d": 29, "Ü": 31, "✓": 37}
+    text = "Hello world Ü ✓"
+    got = json.loads(read_pdf(make_cid_pdf(text, codes)))
+    assert got == [text]
+
+
+def test_pdf_tounicode_bfrange_digits():
+    # bfrange <0100>-<0109> -> '0'..'9', shown via a second hex Tj
+    import re
+
+    codes = {"#": 997}
+    digits = "".join(f"{0x0100 + k:04x}" for k in range(10))
+    data = make_cid_pdf("#", codes, compress=False)
+    data = data.replace(b"> Tj ET", f"> Tj <{digits}> Tj ET".encode())
+    data = re.sub(
+        rb"/Length \d+ >> stream\n(BT[^\n]*ET)",
+        lambda m: b"/Length %d >> stream\n%s" % (len(m.group(1)), m.group(1)),
+        data,
+    )
+    # two Tj ops join with \n, which clean_text folds to a single space
+    got = json.loads(read_pdf(data))
+    assert got == ["# 0123456789"]
