@@ -3027,6 +3027,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return span_scrub(_read(spark, sf_dir, "documents"), k=3)
 
+    def kg_pred_cardinality(spark, sf_dir):
+        # OWL-style cardinality profile per predicate (functional /
+        # inverse-functional / 1:1 / n:m) — exact-integer fan-out/in ppm;
+        # feeds canonicalization key selection (kgspark/graph_algs.py
+        # predicate_profile)
+        from kgspark.graph_algs import predicate_profile
+
+        return predicate_profile(_extract_triples(spark, sf_dir))
+
+    def kg_pred_cooc(spark, sf_dir):
+        # schema association mining: subjects exhibiting BOTH predicates,
+        # P(q|p) + subject-set Jaccard as integer ppm — subject-keyed
+        # self-join with schema-bounded fan-out (predicate_cooccurrence)
+        from kgspark.graph_algs import predicate_cooccurrence
+
+        return predicate_cooccurrence(_extract_triples(spark, sf_dir))
+
+    def text_mojibake(spark, sf_dir):
+        # encoding-artifact census per source; testdata is clean, so the
+        # query injects deterministic artifacts first (same arithmetic in
+        # the oracle): every 5th doc a CP1252-mojibake tail, every 7th a
+        # U+FFFD, every 11th a C0 control (kgspark/textstats.py
+        # mojibake_stats)
+        from kgspark.textstats import mojibake_stats
+
+        # explicit escapes: immune to source-encoding surprises
+        moji = " na\u00c3\u00afve caf\u00c3\u00a9 \u00e2\u20ac\u201d"
+        repl = " bad\ufffdbyte"
+        ctrl = " ding\x07dong"
+        t = F.coalesce(F.col("text"), F.lit(""))
+        t = F.when(F.col("doc_id") % 5 == 0, F.concat(t, F.lit(moji))).otherwise(t)
+        t = F.when(F.col("doc_id") % 7 == 0, F.concat(t, F.lit(repl))).otherwise(t)
+        t = F.when(F.col("doc_id") % 11 == 0, F.concat(t, F.lit(ctrl))).otherwise(t)
+        docs = _read(spark, sf_dir, "documents").withColumn("text", t)
+        return mojibake_stats(docs)
+
     def rel_mad(spark, sf_dir):
         # robust MAD outlier census per event type (3-MAD rule as integer
         # tenths); lower medians at rank (n+1) div 2, zero fp surface
@@ -3706,6 +3742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_trained": embed_pq_trained,
         "ann_ivfpq": ann_ivfpq,
         "dedup_span_scrub": dedup_span_scrub,
+        "kg_pred_cardinality": kg_pred_cardinality,
+        "kg_pred_cooc": kg_pred_cooc,
+        "text_mojibake": text_mojibake,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -7127,6 +7166,83 @@ FROM tw_s CROSS JOIN tw_t
         # composed IVF-PQ: trained coarse + residual PQ + probe + ADC
         "ann_ivfpq": _ivfpq_oracle_sql(nlist=8, nprobe=2, m=8, k=16,
                                        in_dim=64, topk=5),
+        # kgspark.graph_algs.predicate_profile: per-predicate cardinality
+        # classes + exact-integer fan ppm over the extracted triples
+        "kg_pred_cardinality": f"""
+WITH {_PARTS_ORACLE_CTE},
+pc_t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM triples),
+pc_o AS (SELECT p, s, count(*) AS k FROM pc_t GROUP BY 1, 2),
+pc_out AS (
+  SELECT p, sum(k)::BIGINT AS n_triples, count(*)::BIGINT AS n_subj,
+         max(k)::BIGINT AS max_out
+  FROM pc_o GROUP BY p
+),
+pc_i AS (SELECT p, o, count(*) AS k FROM pc_t GROUP BY 1, 2),
+pc_in AS (
+  SELECT p, count(*)::BIGINT AS n_obj, max(k)::BIGINT AS max_in
+  FROM pc_i GROUP BY p
+)
+SELECT p AS pred, n_triples, n_subj, n_obj, max_out, max_in,
+       (n_triples * 1000000 // n_subj)::BIGINT AS fanout_ppm,
+       (n_triples * 1000000 // n_obj)::BIGINT AS fanin_ppm,
+       CASE WHEN max_out = 1 AND max_in = 1 THEN 'one_to_one'
+            WHEN max_out = 1 THEN 'functional'
+            WHEN max_in = 1 THEN 'inverse_functional'
+            ELSE 'many_to_many' END AS card_class
+FROM pc_out JOIN pc_in USING (p)
+""",
+        # kgspark.graph_algs.predicate_cooccurrence: subjects exhibiting
+        # both predicates, conf + Jaccard as integer ppm
+        "kg_pred_cooc": f"""
+WITH {_PARTS_ORACLE_CTE},
+co_sp AS (SELECT DISTINCT subj AS s, pred AS p FROM triples),
+co_n AS (SELECT p, count(*)::BIGINT AS n FROM co_sp GROUP BY p),
+co_b AS (
+  SELECT a.p AS pred_p, b.p AS pred_q, count(*)::BIGINT AS n_both
+  FROM co_sp a JOIN co_sp b ON a.s = b.s AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT pred_p, pred_q, np.n AS n_p, nq.n AS n_q, n_both,
+       (n_both * 1000000 // np.n)::BIGINT AS conf_p_ppm,
+       (n_both * 1000000 // (np.n + nq.n - n_both))::BIGINT AS jaccard_ppm
+FROM co_b JOIN co_n np ON np.p = pred_p JOIN co_n nq ON nq.p = pred_q
+""",
+        # kgspark.textstats.mojibake_stats over the deterministic
+        # artifact injection (chr() code points keep this SQL ASCII)
+        "text_mojibake": """
+WITH mj_t AS (
+  SELECT source,
+         coalesce("text", '')
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' na' || chr(195) || chr(175) || 've caf' || chr(195)
+                      || chr(169) || ' ' || chr(226) || chr(8364) || chr(8221)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' bad' || chr(65533) || 'byte' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' ding' || chr(7) || 'dong' ELSE '' END AS t
+  FROM documents
+),
+mj_f AS (
+  SELECT source,
+         CASE WHEN position(chr(195) IN t) > 0
+                   OR position(chr(226) || chr(8364) IN t) > 0
+                   OR position(chr(194) IN t) > 0
+              THEN 1 ELSE 0 END AS is_moji,
+         CASE WHEN position(chr(65533) IN t) > 0 THEN 1 ELSE 0 END AS is_repl,
+         CASE WHEN regexp_matches(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+              THEN 1 ELSE 0 END AS is_ctrl
+  FROM mj_t
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(is_moji)::BIGINT AS n_mojibake,
+       sum(is_repl)::BIGINT AS n_replacement,
+       sum(is_ctrl)::BIGINT AS n_ctrl,
+       (sum(is_moji) * 1000000 // count(*))::BIGINT AS mojibake_ppm,
+       (sum(is_repl) * 1000000 // count(*))::BIGINT AS replacement_ppm,
+       (sum(is_ctrl) * 1000000 // count(*))::BIGINT AS ctrl_ppm
+FROM mj_f GROUP BY source
+""",
         # kgspark.dedup.span_scrub: ExactSubstr removal — dup 3-grams
         # (>=2 distinct docs), owner = (min doc, min pos), other
         # occurrences' [pos, pos+3) spans union-merged and cut; text

@@ -1482,3 +1482,132 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def predicate_profile(
+    triples: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+) -> DataFrame:
+    """Per-predicate cardinality profile (ontology induction over extracted
+    triples, ref's flat edge model knowledge_graph_builder.py as spec): for
+    each predicate — n_triples, n_subj, n_obj, max fan-out (objects per
+    subject), max fan-in (subjects per object), integer-ppm mean fan-out/in,
+    and the OWL-style cardinality class:
+
+      one_to_one          max_out = 1 and max_in = 1
+      functional          max_out = 1  (each subject has one object — n:1)
+      inverse_functional  max_in  = 1  (each object has one subject — 1:n)
+      many_to_many        otherwise
+
+    Functional predicates feed entity canonicalization (two subjects
+    sharing an inverse-functional object are merge candidates); many-many
+    predicates are excluded from such keys. All outputs exact integers.
+
+    Shape: one distinct, two composite-key groupBys ((pred, subj) and
+    (pred, obj) — partial-agg combines map-side; hot predicates don't hot
+    the composite keys), one pred-level rollup each, one dimension-sized
+    join. Never all-pairs; safe at any corpus scale.
+    """
+    t = triples.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("o")
+    ).distinct()
+    t = materialize(t)
+    out = (
+        t.groupBy("p", "s")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("p")
+        .agg(
+            F.sum("k").cast("long").alias("n_triples"),
+            F.count(F.lit(1)).cast("long").alias("n_subj"),
+            F.max("k").cast("long").alias("max_out"),
+        )
+    )
+    inn = (
+        t.groupBy("p", "o")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obj"),
+            F.max("k").cast("long").alias("max_in"),
+        )
+    )
+    return (
+        out.join(inn, "p")
+        .select(
+            F.col("p").alias("pred"),
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            "max_out",
+            "max_in",
+            F.expr("n_triples * 1000000 div n_subj").cast("long").alias(
+                "fanout_ppm"
+            ),
+            F.expr("n_triples * 1000000 div n_obj").cast("long").alias(
+                "fanin_ppm"
+            ),
+            F.when((F.col("max_out") == 1) & (F.col("max_in") == 1),
+                   F.lit("one_to_one"))
+            .when(F.col("max_out") == 1, F.lit("functional"))
+            .when(F.col("max_in") == 1, F.lit("inverse_functional"))
+            .otherwise(F.lit("many_to_many"))
+            .alias("card_class"),
+        )
+    )
+
+
+def predicate_cooccurrence(
+    triples: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    min_both: int = 1,
+) -> DataFrame:
+    """Schema association mining: for every predicate pair (p < q), the
+    number of subjects exhibiting BOTH — (pred_p, pred_q, n_p, n_q, n_both,
+    conf_p_ppm, jaccard_ppm) with conf_p_ppm = n_both·1e6 div n_p (P(q|p))
+    and jaccard_ppm over the subject sets. High-confidence pairs induce
+    schema shapes ("subjects with `capital` also have `population`") and
+    drive attribute-completeness checks in KG QA.
+
+    Shape: (subj, pred) distinct, subject-keyed self-join — fan-out per
+    subject is bounded by the PREDICATE VOCABULARY (schema-sized, not
+    corpus-sized), so no subject is a hot key even at 10^12 triples —
+    one pair groupBy + a dimension-sized per-predicate count join.
+    """
+    sp = triples.select(
+        F.col(src).alias("s"), F.col(pred).alias("p")
+    ).distinct()
+    sp = materialize(sp)
+    n_per = sp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    both = (
+        sp.join(sp.select("s", F.col("p").alias("q")), "s")
+        .where(F.col("p") < F.col("q"))
+        .groupBy(F.col("p").alias("pred_p"), F.col("q").alias("pred_q"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= min_both)
+    )
+    return (
+        both.join(
+            n_per.select(F.col("p").alias("pred_p"), F.col("n").alias("n_p")),
+            "pred_p",
+        )
+        .join(
+            n_per.select(F.col("p").alias("pred_q"), F.col("n").alias("n_q")),
+            "pred_q",
+        )
+        .select(
+            "pred_p",
+            "pred_q",
+            "n_p",
+            "n_q",
+            "n_both",
+            F.expr("n_both * 1000000 div n_p").cast("long").alias(
+                "conf_p_ppm"
+            ),
+            F.expr(
+                "n_both * 1000000 div (n_p + n_q - n_both)"
+            ).cast("long").alias("jaccard_ppm"),
+        )
+    )

@@ -768,3 +768,60 @@ def rank_correlation(
             " div (n*n*n - n) END"
         ).cast("long").alias("rho_ppm"),
     )
+
+
+def mojibake_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Encoding-artifact census per source — the first health check a
+    web-corpus curation pipeline runs after text extraction (ref's
+    clean_text normalizes but cannot repair double-encoded text,
+    knowledgeGraph.py:14-30): per source —
+
+      n_docs
+      n_mojibake     docs showing classic UTF-8-read-as-CP1252 artifacts
+                     (literal 'Ã', 'â€', 'Â'): é -> Ã©, ' -> â€™, NBSP -> Â
+      n_replacement  docs containing U+FFFD (lossy transcode happened)
+      n_ctrl         docs with C0 control bytes other than \\t \\n \\r
+      *_ppm          integer-ppm rates (exact, cross-engine stable)
+
+    Sources with high rates get routed back through charset re-detection
+    before any downstream op trusts their tokens.
+
+    Shape: substring probes (JVM `contains`, no regex backtracking) + one
+    source-keyed groupBy — map-side combinable, scan-dominated, safe at
+    any corpus scale.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    is_moji = (
+        t.contains("Ã") | t.contains("â€") | t.contains("Â")
+    ).cast("long")
+    is_repl = t.contains("�").cast("long")
+    is_ctrl = t.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").cast("long")
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(is_moji).cast("long").alias("n_mojibake"),
+            F.sum(is_repl).cast("long").alias("n_replacement"),
+            F.sum(is_ctrl).cast("long").alias("n_ctrl"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_mojibake",
+            "n_replacement",
+            "n_ctrl",
+            F.expr("n_mojibake * 1000000 div n_docs").cast("long").alias(
+                "mojibake_ppm"
+            ),
+            F.expr("n_replacement * 1000000 div n_docs").cast("long").alias(
+                "replacement_ppm"
+            ),
+            F.expr("n_ctrl * 1000000 div n_docs").cast("long").alias(
+                "ctrl_ppm"
+            ),
+        )
+    )

@@ -328,3 +328,92 @@ def test_bpe_batched_bounded_rounds(spark, monkeypatch):
     assert len(out) == 32
     rounds = calls["n"] - 1  # first call materializes the symbol table
     assert rounds <= 16      # >= 2 merges/round on average; 4 if conflict-free
+
+
+# ---------------------------------------------------------------------------
+# Predicate schema mining + encoding census (round-4 ops)
+# ---------------------------------------------------------------------------
+
+def test_predicate_profile_cardinality_classes(spark):
+    from kgspark.graph_algs import predicate_profile
+
+    triples = spark.createDataFrame(
+        [
+            # born_in: each subject one object, objects shared -> functional
+            ("alice", "born_in", "paris"),
+            ("bob", "born_in", "paris"),
+            ("carol", "born_in", "rome"),
+            # isbn_of: 1:1 both ways
+            ("book1", "isbn_of", "i1"),
+            ("book2", "isbn_of", "i2"),
+            # capital_of: each object one subject, subject repeated ->
+            # inverse_functional
+            ("paris", "capital_of", "france"),
+            ("paris", "capital_of", "gaul"),
+            # knows: many-many
+            ("alice", "knows", "bob"),
+            ("alice", "knows", "carol"),
+            ("bob", "knows", "alice"),
+            ("bob", "knows", "carol"),
+            ("bob", "knows", "carol"),  # dup collapses via distinct
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r["pred"]: r.asDict() for r in predicate_profile(triples).collect()}
+    assert out["born_in"]["card_class"] == "functional"
+    assert out["born_in"]["n_triples"] == 3
+    assert out["born_in"]["n_subj"] == 3
+    assert out["born_in"]["n_obj"] == 2
+    assert out["isbn_of"]["card_class"] == "one_to_one"
+    assert out["capital_of"]["card_class"] == "inverse_functional"
+    assert out["knows"]["card_class"] == "many_to_many"
+    assert out["knows"]["n_triples"] == 4  # dup dropped
+    assert out["knows"]["fanout_ppm"] == 2_000_000
+    assert out["knows"]["max_out"] == 2 and out["knows"]["max_in"] == 2
+
+
+def test_predicate_cooccurrence_conf_and_jaccard(spark):
+    from kgspark.graph_algs import predicate_cooccurrence
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "capital", "x"), ("s1", "population", "y"),
+            ("s2", "capital", "x"), ("s2", "population", "y"),
+            ("s3", "capital", "x"),
+            ("s4", "flag", "z"), ("s4", "population", "y"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r["pred_p"], r["pred_q"]): r.asDict()
+           for r in predicate_cooccurrence(triples).collect()}
+    cp = out[("capital", "population")]
+    assert cp["n_p"] == 3 and cp["n_q"] == 3 and cp["n_both"] == 2
+    assert cp["conf_p_ppm"] == 666_666       # 2e6 div 3, truncated
+    assert cp["jaccard_ppm"] == 500_000      # 2 / (3+3-2)
+    fp = out[("flag", "population")]
+    assert fp["n_both"] == 1 and fp["n_p"] == 1
+    assert ("population", "capital") not in out  # p < q only
+
+
+def test_mojibake_stats_census(spark):
+    from kgspark.textstats import mojibake_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean text", "a"),
+            (1, "double enc: naÃ¯ve", "a"),         # Ã
+            (2, "smart quote gone â€œbad", "a"),  # â€
+            (3, "lossy � here", "b"),
+            (4, "bell \x07 char", "b"),
+            (5, None, "b"),
+            (6, "tabs\tand\nnewlines are fine", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in mojibake_stats(docs).collect()}
+    assert out["a"]["n_docs"] == 3 and out["a"]["n_mojibake"] == 2
+    assert out["a"]["mojibake_ppm"] == 666_666
+    assert out["b"]["n_replacement"] == 1
+    assert out["b"]["n_ctrl"] == 1          # \t\n don't count
+    assert out["b"]["n_mojibake"] == 0
+    assert out["b"]["ctrl_ppm"] == 250_000
