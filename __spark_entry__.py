@@ -3044,6 +3044,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return predicate_cooccurrence(_extract_triples(spark, sf_dir))
 
+    def kg_ifp_sameas(spark, sf_dir):
+        # owl:sameAs candidates via quasi-inverse-functional predicates:
+        # subjects sharing a near-key (pred, obj) value; junk groups
+        # (> max_group) dropped pre-join (kgspark/canon.py ifp_sameas).
+        # fanin threshold 6e6 ppm admits has_instance on this corpus
+        from kgspark.canon import ifp_sameas
+
+        return ifp_sameas(
+            _extract_triples(spark, sf_dir),
+            fanin_max_ppm=6_000_000,
+            max_group=10,
+        )
+
     def text_mojibake(spark, sf_dir):
         # encoding-artifact census per source; testdata is clean, so the
         # query injects deterministic artifacts first (same arithmetic in
@@ -3744,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_scrub": dedup_span_scrub,
         "kg_pred_cardinality": kg_pred_cardinality,
         "kg_pred_cooc": kg_pred_cooc,
+        "kg_ifp_sameas": kg_ifp_sameas,
         "text_mojibake": text_mojibake,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
@@ -7206,6 +7220,27 @@ SELECT pred_p, pred_q, np.n AS n_p, nq.n AS n_q, n_both,
        (n_both * 1000000 // np.n)::BIGINT AS conf_p_ppm,
        (n_both * 1000000 // (np.n + nq.n - n_both))::BIGINT AS jaccard_ppm
 FROM co_b JOIN co_n np ON np.p = pred_p JOIN co_n nq ON nq.p = pred_q
+""",
+        # kgspark.canon.ifp_sameas: quasi-IFP near-key blocking, group
+        # cap 2..10, witnesses = distinct shared (pred, obj)
+        "kg_ifp_sameas": f"""
+WITH {_PARTS_ORACLE_CTE},
+sa_t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM triples),
+sa_q AS (
+  SELECT p FROM (
+    SELECT p, sum(k) AS n, count(*) AS n_obj
+    FROM (SELECT p, o, count(*) AS k FROM sa_t GROUP BY 1, 2)
+    GROUP BY p
+  ) WHERE n * 1000000 // n_obj <= 6000000
+),
+sa_g AS (
+  SELECT p, o FROM sa_t WHERE p IN (SELECT p FROM sa_q)
+  GROUP BY p, o HAVING count(*) BETWEEN 2 AND 10
+),
+sa_tt AS (SELECT t.s, t.p, t.o FROM sa_t t JOIN sa_g USING (p, o))
+SELECT l.s AS a, r.s AS b, count(*)::BIGINT AS n_witnesses
+FROM sa_tt l JOIN sa_tt r ON l.p = r.p AND l.o = r.o AND l.s < r.s
+GROUP BY 1, 2
 """,
         # kgspark.textstats.mojibake_stats over the deterministic
         # artifact injection (chr() code points keep this SQL ASCII)

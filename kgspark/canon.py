@@ -201,3 +201,61 @@ def canonical_map(
     comp = connected_components(nodes, pairs)
     rep = comp.groupBy("component").agg(F.min("name").alias("canonical"))
     return comp.join(rep, "component").select("name", "canonical")
+
+
+def ifp_sameas(
+    triples: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+    fanin_max_ppm: int = 1_100_000,
+    max_group: int = 10,
+) -> DataFrame:
+    """owl:sameAs candidate generation via quasi-inverse-functional
+    predicates: two subjects sharing an object under a predicate whose
+    MEAN fan-in is ~1 (fanin_ppm <= fanin_max_ppm) are duplicate-entity
+    candidates — the shared object is a near-key (email, ISBN, canonical
+    URL) that only a duplicated entity legitimately repeats. Output
+    (a, b, n_witnesses): distinct (pred, obj) near-key values the pair
+    shares, a < b. The standard ER-candidate recipe over extracted triples
+    (Hogan et al., "Scalable OWL 2 Reasoning", and every linked-data
+    smushing pipeline since FOAF's ifp smush).
+
+    Groups larger than max_group are dropped BEFORE the self-join — a
+    value shared by many subjects under a near-key predicate is a junk
+    literal ("N/A"), and the cap bounds the join fan-out to max_group^2
+    per group (the classic blocking hot-key guard), so no key is hot at
+    any corpus scale. The predicate profile is schema-sized and
+    broadcasts.
+    """
+    t = triples.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("o")
+    ).distinct()
+    t = materialize(t)
+    quasi = (
+        t.groupBy("p", "o")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("p")
+        .agg(F.sum("k").alias("n"), F.count(F.lit(1)).alias("n_obj"))
+        .where(F.expr("n * 1000000 div n_obj") <= fanin_max_ppm)
+        .select("p")
+    )
+    tq = t.join(F.broadcast(quasi), "p")
+    g_ok = (
+        tq.groupBy("p", "o")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where((F.col("k") >= 2) & (F.col("k") <= max_group))
+        .select("p", "o")
+    )
+    tt = tq.join(g_ok, ["p", "o"])
+    l, r = tt.alias("l"), tt.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.p") == F.col("r.p"))
+            & (F.col("l.o") == F.col("r.o"))
+            & (F.col("l.s") < F.col("r.s")),
+        )
+        .groupBy(F.col("l.s").alias("a"), F.col("r.s").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_witnesses"))
+    )

@@ -380,3 +380,48 @@ def test_heaps_windows_only_bucket_table(spark):
     # global max(id), the 10-row bucket window, the final fold — none of
     # them sees corpus-sized data
     assert p.count("Exchange SinglePartition") <= 3
+
+
+def test_ifp_sameas_broadcasts_schema_sized_sides(spark):
+    """The quasi-predicate list is schema-sized and must broadcast; the
+    pair join is an equi-join on (p, o) — never a cartesian product."""
+    from kgspark.canon import ifp_sameas
+
+    tri = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x"), ("c", "p", "y")],
+        "subj string, pred string, obj string",
+    )
+    p = plan(ifp_sameas(tri))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p  # pair agg combines map-side
+
+
+def test_ngram_group_positional_partial_agg_no_cartesian(spark):
+    """The PPJoin+ pair aggregation must combine map-side (the join emits
+    multiple rows per pair; partial agg collapses them before the pair
+    shuffle) and the candidate join must stay an equi-join on the prefix
+    element."""
+    from kgspark.dedup import _ngram_candidates
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g")], "doc_id long, text string"
+    )
+    _, cand = _ngram_candidates(docs, "text", "doc_id", 3, 0.5, True)
+    p = plan(cand)
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+    # the equi-join key is the prefix element p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_predicate_cooc_no_cartesian_partial_agg(spark):
+    from kgspark.graph_algs import predicate_cooccurrence
+
+    tri = spark.createDataFrame(
+        [("s", "p", "o"), ("s", "q", "o")],
+        "subj string, pred string, obj string",
+    )
+    p = plan(predicate_cooccurrence(tri))
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p

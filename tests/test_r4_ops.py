@@ -417,3 +417,39 @@ def test_mojibake_stats_census(spark):
     assert out["b"]["n_ctrl"] == 1          # \t\n don't count
     assert out["b"]["n_mojibake"] == 0
     assert out["b"]["ctrl_ppm"] == 250_000
+
+
+def test_ifp_sameas_candidates(spark):
+    from kgspark.canon import ifp_sameas
+
+    rows = [
+        # 'email' is a near-key: one shared value (the dup pair)...
+        ("alice", "email", "a@x.com"),
+        ("alice_dup", "email", "a@x.com"),
+        # ...plus singletons so mean fan-in 11/10 = 1.1e6 ppm (<= default)
+        *[(f"e{k}", "email", f"e{k}@x.com") for k in range(9)],
+        # second witness for the same pair, same arithmetic
+        ("alice", "phone", "555"),
+        ("alice_dup", "phone", "555"),
+        *[(f"p{k}", "phone", f"55{k + 6}") for k in range(9)],
+        # junk value shared by 4 subjects (> max_group 3) under a
+        # qualifying near-key predicate: 33/30 = 1.1e6 ppm
+        ("s1", "fax", "N/A"), ("s2", "fax", "N/A"), ("s3", "fax", "N/A"),
+        ("s4", "fax", "N/A"),
+        *[(f"u{k}", "fax", f"f{k}") for k in range(29)],
+        # high-fan-in predicate: excluded by the ppm threshold (4e6)
+        ("alice", "type", "Person"), ("alice_dup", "type", "Person"),
+        ("bob", "type", "Person"), ("carol", "type", "Person"),
+    ]
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    out = {(r["a"], r["b"]): r["n_witnesses"]
+           for r in ifp_sameas(triples, max_group=3).collect()}
+    # alice/alice_dup share email AND phone -> 2 witnesses
+    assert out.get(("alice", "alice_dup")) == 2
+    # 'type' (fan-in 4e6 ppm) excluded: no Person-driven pairs
+    assert ("alice", "bob") not in out and ("bob", "carol") not in out
+    # the N/A fax group (size 4 > max_group 3) is dropped entirely
+    assert not any("s1" in p or "s2" in p for p in out)
+    assert out == {("alice", "alice_dup"): 2}
