@@ -3044,6 +3044,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return predicate_cooccurrence(_extract_triples(spark, sf_dir))
 
+    def kg_domain_range(spark, sf_dir):
+        # ontology induction: per-predicate (subj_type, obj_type) usage
+        # distribution, typing entities by their is_a objects; untyped ->
+        # 'unknown' (kgspark/graph_algs.py domain_range)
+        from kgspark.graph_algs import domain_range
+
+        return domain_range(_extract_triples(spark, sf_dir))
+
     def kg_ifp_sameas(spark, sf_dir):
         # owl:sameAs candidates via quasi-inverse-functional predicates:
         # subjects sharing a near-key (pred, obj) value; junk groups
@@ -3757,6 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_scrub": dedup_span_scrub,
         "kg_pred_cardinality": kg_pred_cardinality,
         "kg_pred_cooc": kg_pred_cooc,
+        "kg_domain_range": kg_domain_range,
         "kg_ifp_sameas": kg_ifp_sameas,
         "text_mojibake": text_mojibake,
         "web_anchor_prior": web_anchor_prior,
@@ -7220,6 +7229,30 @@ SELECT pred_p, pred_q, np.n AS n_p, nq.n AS n_q, n_both,
        (n_both * 1000000 // np.n)::BIGINT AS conf_p_ppm,
        (n_both * 1000000 // (np.n + nq.n - n_both))::BIGINT AS jaccard_ppm
 FROM co_b JOIN co_n np ON np.p = pred_p JOIN co_n nq ON nq.p = pred_q
+""",
+        # kgspark.graph_algs.domain_range: per-predicate type-usage
+        # distribution, entities typed by is_a objects, untyped='unknown'
+        "kg_domain_range": f"""
+WITH {_PARTS_ORACLE_CTE},
+dr_t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM triples),
+dr_ty AS (SELECT DISTINCT s AS ent, o AS typ FROM dr_t WHERE p = 'is_a'),
+dr_b AS (SELECT * FROM dr_t WHERE p <> 'is_a'),
+dr_x AS (
+  SELECT b.p,
+         coalesce(st.typ, 'unknown') AS subj_type,
+         coalesce(ot.typ, 'unknown') AS obj_type
+  FROM dr_b b
+  LEFT JOIN dr_ty st ON st.ent = b.s
+  LEFT JOIN dr_ty ot ON ot.ent = b.o
+),
+dr_d AS (
+  SELECT p, subj_type, obj_type, count(*)::BIGINT AS n
+  FROM dr_x GROUP BY 1, 2, 3
+),
+dr_n AS (SELECT p, sum(n)::BIGINT AS n_pred FROM dr_d GROUP BY p)
+SELECT p AS pred, subj_type, obj_type, n, n_pred,
+       (n * 1000000 // n_pred)::BIGINT AS share_ppm
+FROM dr_d JOIN dr_n USING (p)
 """,
         # kgspark.canon.ifp_sameas: quasi-IFP near-key blocking, group
         # cap 2..10, witnesses = distinct shared (pred, obj)

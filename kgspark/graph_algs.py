@@ -1611,3 +1611,69 @@ def predicate_cooccurrence(
             ).cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+def domain_range(
+    triples: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+    isa_pred: str = "is_a",
+) -> DataFrame:
+    """Domain/range induction per predicate (the ontology-induction
+    companion to predicate_profile): typing every entity by its `isa_pred`
+    objects, emit for each non-isa predicate the (subject-type,
+    object-type) distribution — (pred, subj_type, obj_type, n, share_ppm)
+    with share_ppm = n·1e6 div n_pred. Untyped endpoints surface as
+    'unknown' (they are a data-quality signal, not discardable rows).
+    Multi-typed entities contribute one row per (subj_type, obj_type)
+    combination — the standard type-usage distribution semantics.
+
+    Shape: the type table is entity-keyed (joins are equi-joins on the
+    entity column; type fan-out is bounded by the type vocabulary), the
+    final distribution is schema-sized, and per-pred totals come from a
+    post-aggregation groupBy — no windows over corpus-sized data.
+    """
+    t = triples.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("o")
+    ).distinct()
+    types = (
+        t.where(F.col("p") == isa_pred)
+        .select(F.col("s").alias("ent"), F.col("o").alias("typ"))
+        .distinct()
+    )
+    base = t.where(F.col("p") != isa_pred)
+    typed = (
+        base.join(
+            types.select(F.col("ent").alias("s"),
+                         F.col("typ").alias("styp")),
+            "s",
+            "left",
+        )
+        .join(
+            types.select(F.col("ent").alias("o"),
+                         F.col("typ").alias("otyp")),
+            "o",
+            "left",
+        )
+        .select(
+            "p",
+            F.coalesce("styp", F.lit("unknown")).alias("subj_type"),
+            F.coalesce("otyp", F.lit("unknown")).alias("obj_type"),
+        )
+    )
+    dist = typed.groupBy("p", "subj_type", "obj_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = dist.groupBy("p").agg(F.sum("n").cast("long").alias("n_pred"))
+    return (
+        dist.join(totals, "p")
+        .select(
+            F.col("p").alias("pred"),
+            "subj_type",
+            "obj_type",
+            "n",
+            "n_pred",
+            F.expr("n * 1000000 div n_pred").cast("long").alias("share_ppm"),
+        )
+    )

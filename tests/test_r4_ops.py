@@ -453,3 +453,29 @@ def test_ifp_sameas_candidates(spark):
     # the N/A fax group (size 4 > max_group 3) is dropped entirely
     assert not any("s1" in p or "s2" in p for p in out)
     assert out == {("alice", "alice_dup"): 2}
+
+
+def test_domain_range_induction(spark):
+    from kgspark.graph_algs import domain_range
+
+    triples = spark.createDataFrame(
+        [
+            ("paris", "is_a", "City"),
+            ("france", "is_a", "Country"),
+            ("rome", "is_a", "City"),
+            ("rome", "is_a", "Capital"),      # multi-typed
+            ("paris", "capital_of", "france"),
+            ("rome", "capital_of", "italy"),  # italy untyped
+            ("alice", "lives_in", "paris"),   # alice untyped
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r["pred"], r["subj_type"], r["obj_type"]): (r["n"], r["share_ppm"])
+           for r in domain_range(triples).collect()}
+    # paris(City)->france(Country); rome is City AND Capital -> 2 rows
+    assert out[("capital_of", "City", "Country")] == (1, 333_333)
+    assert out[("capital_of", "City", "unknown")] == (1, 333_333)
+    assert out[("capital_of", "Capital", "unknown")] == (1, 333_333)
+    assert out[("lives_in", "unknown", "City")] == (1, 1_000_000)
+    # is_a rows themselves are excluded from the distribution
+    assert not any(p == "is_a" for p, _, _ in out)
