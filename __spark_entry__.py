@@ -3555,6 +3555,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feed_items(feeds)
 
+    def web_sitemap(spark, sf_dir):
+        # sitemaps.org <urlset> extraction over synthesized 2-entry
+        # sitemaps per document (kgspark/web.py sitemap_urls); every 3rd
+        # entry omits lastmod/priority to exercise the empty-extract path
+        from kgspark.web import sitemap_urls
+
+        d = F.col("doc_id").cast("string")
+        opt = F.when(
+            F.col("doc_id") % 3 == 0, F.lit("")
+        ).otherwise(
+            F.concat(
+                F.lit("<lastmod>2024-0"), (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-15</lastmod><priority>0."),
+                (F.col("doc_id") % 10).cast("string"), F.lit("</priority>"),
+            )
+        )
+        xml = F.concat(
+            F.lit("<urlset><url><loc>https://s"), d,
+            F.lit(".example.com/page/"), d, F.lit("</loc>"), opt,
+            F.lit("<changefreq>daily</changefreq></url><url><loc>https://s"),
+            d, F.lit(".example.com/archive/"), d,
+            F.lit("</loc></url></urlset>"),
+        )
+        maps = _read(spark, sf_dir, "documents").select(
+            F.concat(F.lit("https://s"), d, F.lit(".example.com/sitemap.xml"))
+            .alias("sitemap_url"),
+            xml.alias("xml"),
+        )
+        return sitemap_urls(maps)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -3768,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domain_range": kg_domain_range,
         "kg_ifp_sameas": kg_ifp_sameas,
         "text_mojibake": text_mojibake,
+        "web_sitemap": web_sitemap,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -8280,6 +8311,37 @@ SELECT feed_url, item_no::BIGINT AS item_no,
               '<description>([^<]*)</description>', 1))::BIGINT
          AS n_desc_chars
 FROM fi
+""",
+        # kgspark.web.sitemap_urls over the same synthesized urlsets
+        "web_sitemap": """
+WITH sm AS (
+  SELECT 'https://s' || doc_id || '.example.com/sitemap.xml' AS sitemap_url,
+         '<urlset><url><loc>https://s' || doc_id || '.example.com/page/'
+         || doc_id || '</loc>'
+         || CASE WHEN doc_id % 3 = 0 THEN ''
+                 ELSE '<lastmod>2024-0' || (doc_id % 9 + 1)
+                      || '-15</lastmod><priority>0.' || (doc_id % 10)
+                      || '</priority>' END
+         || '<changefreq>daily</changefreq></url><url><loc>https://s'
+         || doc_id || '.example.com/archive/' || doc_id
+         || '</loc></url></urlset>' AS xml
+  FROM documents
+),
+se AS (
+  SELECT sitemap_url, i AS url_no,
+         regexp_extract_all(xml, '<url>(.*?)</url>', 1) AS entries
+  FROM sm, unnest(generate_series(1,
+         len(regexp_extract_all(xml, '<url>(.*?)</url>', 1)))) AS t(i)
+)
+SELECT sitemap_url, url_no::BIGINT AS url_no,
+       regexp_extract(entries[url_no], '<loc>([^<]*)</loc>', 1) AS loc,
+       regexp_extract(entries[url_no], '<lastmod>([^<]*)</lastmod>', 1)
+         AS lastmod,
+       regexp_extract(entries[url_no],
+                      '<changefreq>([^<]*)</changefreq>', 1) AS changefreq,
+       regexp_extract(entries[url_no], '<priority>([^<]*)</priority>', 1)
+         AS priority
+FROM se
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

@@ -821,3 +821,41 @@ def feed_items(df: DataFrame, xml_col: str = "xml",
         F.length(child("description")).cast("long")
         .alias("n_desc_chars"),
     )
+
+
+SITEMAP_URL = "<url>(.*?)</url>"
+
+
+def sitemap_urls(df: DataFrame, xml_col: str = "xml",
+                 site_col: str = "sitemap_url") -> DataFrame:
+    """Sitemap-protocol <urlset> extraction (sitemaps.org 0.9) — the third
+    web-corpus front door next to WARC and RSS: per <url> entry emit
+    (sitemap_url, url_no, loc, lastmod, changefreq, priority). A crawl
+    scheduler joins loc/lastmod against the frontier for freshness-driven
+    recrawl; priority/changefreq stay strings (the census is equality/
+    grouping — parsing publisher-supplied decimals buys nothing and costs
+    cross-engine fp determinism). Same Java∩RE2∩DuckDB-common regex
+    subset and map-only shape as feed_items: one regexp_extract_all +
+    posexplode, four child-tag extracts per entry.
+    """
+    entries = F.regexp_extract_all(
+        F.col(xml_col), F.lit(SITEMAP_URL), F.lit(1)
+    )
+    ex = df.select(
+        F.col(site_col).alias("sitemap_url"),
+        F.posexplode(entries).alias("__pos", "__entry"),
+    )
+
+    def child(tag: str):
+        return F.regexp_extract(
+            F.col("__entry"), f"<{tag}>([^<]*)</{tag}>", 1
+        )
+
+    return ex.select(
+        "sitemap_url",
+        (F.col("__pos") + 1).cast("long").alias("url_no"),
+        child("loc").alias("loc"),
+        child("lastmod").alias("lastmod"),
+        child("changefreq").alias("changefreq"),
+        child("priority").alias("priority"),
+    )

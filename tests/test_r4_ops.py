@@ -479,3 +479,28 @@ def test_domain_range_induction(spark):
     assert out[("lives_in", "unknown", "City")] == (1, 1_000_000)
     # is_a rows themselves are excluded from the distribution
     assert not any(p == "is_a" for p, _, _ in out)
+
+
+def test_sitemap_urls_extraction(spark):
+    from kgspark.web import sitemap_urls
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a/1</loc><lastmod>2024-01-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a/2</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("https://a/sitemap.xml", xml), ("https://b/sitemap.xml", "<urlset></urlset>")],
+        "sitemap_url string, xml string",
+    )
+    rows = {(r["sitemap_url"], r["url_no"]): r.asDict()
+            for r in sitemap_urls(df).collect()}
+    r1 = rows[("https://a/sitemap.xml", 1)]
+    assert r1["loc"] == "https://a/1" and r1["lastmod"] == "2024-01-01"
+    assert r1["changefreq"] == "daily" and r1["priority"] == "0.8"
+    r2 = rows[("https://a/sitemap.xml", 2)]
+    assert r2["loc"] == "https://a/2" and r2["lastmod"] == ""
+    # empty urlset contributes nothing
+    assert not any(k[0] == "https://b/sitemap.xml" for k in rows)
