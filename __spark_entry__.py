@@ -3044,6 +3044,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return predicate_cooccurrence(_extract_triples(spark, sf_dir))
 
+    def kg_harmonic(spark, sf_dir):
+        # bounded harmonic centrality (Boldi-Vigna): 1e6 div d summed over
+        # in-reaching nodes within 3 hops, exact integers
+        # (kgspark/graph_algs.py harmonic_centrality)
+        from kgspark.graph_algs import harmonic_centrality
+
+        return harmonic_centrality(_extract_triples(spark, sf_dir), depth=3)
+
     def kg_domain_range(spark, sf_dir):
         # ontology induction: per-predicate (subj_type, obj_type) usage
         # distribution, typing entities by their is_a objects; untyped ->
@@ -3796,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_cardinality": kg_pred_cardinality,
         "kg_pred_cooc": kg_pred_cooc,
         "kg_domain_range": kg_domain_range,
+        "kg_harmonic": kg_harmonic,
         "kg_ifp_sameas": kg_ifp_sameas,
         "text_mojibake": text_mojibake,
         "web_sitemap": web_sitemap,
@@ -7260,6 +7269,32 @@ SELECT pred_p, pred_q, np.n AS n_p, nq.n AS n_q, n_both,
        (n_both * 1000000 // np.n)::BIGINT AS conf_p_ppm,
        (n_both * 1000000 // (np.n + nq.n - n_both))::BIGINT AS jaccard_ppm
 FROM co_b JOIN co_n np ON np.p = pred_p JOIN co_n nq ON nq.p = pred_q
+""",
+        # kgspark.graph_algs.harmonic_centrality: the kg_closure unroll +
+        # one node rollup, 1e6 div depth in exact integers
+        "kg_harmonic": f"""
+WITH {_PARTS_ORACLE_CTE},
+bc_e AS (
+  SELECT DISTINCT subj AS a, obj AS b FROM triples WHERE subj <> obj
+),
+bc_1 AS (SELECT a, b, 1 AS d FROM bc_e),
+bc_2 AS (
+  SELECT DISTINCT f.a, e.b, 2 AS d
+  FROM bc_1 f JOIN bc_e e ON e.a = f.b WHERE f.a <> e.b
+),
+bc_3 AS (
+  SELECT DISTINCT f.a, e.b, 3 AS d
+  FROM bc_2 f JOIN bc_e e ON e.a = f.b WHERE f.a <> e.b
+),
+hc AS (
+  SELECT a, b, min(d)::BIGINT AS md FROM (
+    SELECT * FROM bc_1 UNION ALL SELECT * FROM bc_2
+    UNION ALL SELECT * FROM bc_3
+  ) GROUP BY 1, 2
+)
+SELECT b AS node, count(*)::BIGINT AS n_in,
+       sum(1000000 // md)::BIGINT AS h_micro
+FROM hc GROUP BY b
 """,
         # kgspark.graph_algs.domain_range: per-predicate type-usage
         # distribution, entities typed by is_a objects, untyped='unknown'

@@ -1677,3 +1677,31 @@ def domain_range(
             F.expr("n * 1000000 div n_pred").cast("long").alias("share_ppm"),
         )
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    depth: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Bounded harmonic centrality — Boldi & Vigna's ("Axioms for
+    Centrality", 2014) recommended centrality for web-scale graphs because
+    unreachable pairs contribute 0 instead of breaking the mean (vs
+    closeness): h(v) = Σ 1/d(u, v) over nodes u that reach v within
+    `depth` hops, in exact integer micro-units (1e6 div d — cross-engine
+    stable). Emits (node, n_in, h_micro). Depth is pinned for determinism
+    and an unrollable oracle — the k-core/LPA/bounded-closure posture;
+    HyperBall (kgspark.graph_algs.hyperball) is the sketched variant when
+    the closure itself is too large to materialize.
+
+    Scale shape: the semi-naive bounded closure (one key-partitioned
+    shuffle per round) plus a single node-keyed rollup.
+    """
+    cl = bounded_closure(edges, depth, src, dst)
+    return cl.groupBy(F.col("desc").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum(F.expr("1000000 div min_depth")).cast("long").alias(
+            "h_micro"
+        ),
+    )

@@ -504,3 +504,20 @@ def test_sitemap_urls_extraction(spark):
     assert r2["loc"] == "https://a/2" and r2["lastmod"] == ""
     # empty urlset contributes nothing
     assert not any(k[0] == "https://b/sitemap.xml" for k in rows)
+
+
+def test_harmonic_centrality_chain(spark):
+    from kgspark.graph_algs import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "subj string, obj string",
+    )
+    out = {r["node"]: (r["n_in"], r["h_micro"])
+           for r in harmonic_centrality(edges, depth=3).collect()}
+    # into d within 3 hops: c@1, b@2, a@3 -> 1e6 + 500000 + 333333
+    assert out["d"] == (3, 1_833_333)
+    # into e: d@1, c@2, b@3 (a is 4 hops away -> excluded by the bound)
+    assert out["e"] == (3, 1_833_333)
+    assert out["b"] == (1, 1_000_000)
+    assert "a" not in out  # nothing reaches the source
