@@ -207,6 +207,16 @@ BENCH_QUERIES = [
     "link_er_clusters",
     "rel_gaps",
     "multimodal_header_mix",
+    "embed_pq_trained",
+    "ann_ivfpq",
+    "dedup_span_scrub",
+    "kg_pred_cardinality",
+    "kg_pred_cooc",
+    "kg_ifp_sameas",
+    "text_mojibake",
+    "kg_domain_range",
+    "kg_harmonic",
+    "web_sitemap",
 ]
 
 
