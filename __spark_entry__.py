@@ -3044,6 +3044,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return predicate_cooccurrence(_extract_triples(spark, sf_dir))
 
+    def kg_violations(spark, sf_dir):
+        # constraint checking: declare is_a/has functional, report every
+        # subject holding >1 object under them — the QA gate consuming
+        # predicate_profile (kgspark/graph_algs.py cardinality_violations)
+        from kgspark.graph_algs import cardinality_violations
+
+        declared = spark.createDataFrame(
+            [("is_a", "functional"), ("has", "functional")],
+            "pred string, card_class string",
+        )
+        return cardinality_violations(
+            _extract_triples(spark, sf_dir), declared
+        )
+
+    def kg_type_completeness(spark, sf_dir):
+        # SHACL-lite property-completeness matrix per (is_a type, pred)
+        # (kgspark/graph_algs.py type_completeness)
+        from kgspark.graph_algs import type_completeness
+
+        return type_completeness(_extract_triples(spark, sf_dir))
+
     def kg_harmonic(spark, sf_dir):
         # bounded harmonic centrality (Boldi-Vigna): 1e6 div d summed over
         # in-reaching nodes within 3 hops, exact integers
@@ -3805,6 +3826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_cooc": kg_pred_cooc,
         "kg_domain_range": kg_domain_range,
         "kg_harmonic": kg_harmonic,
+        "kg_violations": kg_violations,
+        "kg_type_completeness": kg_type_completeness,
         "kg_ifp_sameas": kg_ifp_sameas,
         "text_mojibake": text_mojibake,
         "web_sitemap": web_sitemap,
@@ -7269,6 +7292,35 @@ SELECT pred_p, pred_q, np.n AS n_p, nq.n AS n_q, n_both,
        (n_both * 1000000 // np.n)::BIGINT AS conf_p_ppm,
        (n_both * 1000000 // (np.n + nq.n - n_both))::BIGINT AS jaccard_ppm
 FROM co_b JOIN co_n np ON np.p = pred_p JOIN co_n nq ON nq.p = pred_q
+""",
+        # kgspark.graph_algs.cardinality_violations: is_a/has declared
+        # functional; subjects with >1 object, min object as witness
+        "kg_violations": f"""
+WITH {_PARTS_ORACLE_CTE},
+cv_t AS (
+  SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM triples
+  WHERE pred IN ('is_a', 'has')
+)
+SELECT p AS pred, s AS subj, count(*)::BIGINT AS n_objects,
+       min(o) AS sample_obj
+FROM cv_t GROUP BY 1, 2 HAVING count(*) > 1
+""",
+        # kgspark.graph_algs.type_completeness: per (is_a type, pred)
+        # distinct-entity coverage in integer ppm
+        "kg_type_completeness": f"""
+WITH {_PARTS_ORACLE_CTE},
+tc_t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM triples),
+tc_ty AS (SELECT DISTINCT s AS ent, o AS typ FROM tc_t WHERE p = 'is_a'),
+tc_n AS (SELECT typ, count(*)::BIGINT AS n_typed FROM tc_ty GROUP BY typ),
+tc_w AS (
+  SELECT ty.typ, b.p, count(*)::BIGINT AS n_with
+  FROM (SELECT DISTINCT s AS ent, p FROM tc_t WHERE p <> 'is_a') b
+  JOIN tc_ty ty USING (ent)
+  GROUP BY 1, 2
+)
+SELECT typ AS subj_type, p AS pred, n_typed, n_with,
+       (n_with * 1000000 // n_typed)::BIGINT AS completeness_ppm
+FROM tc_w JOIN tc_n USING (typ)
 """,
         # kgspark.graph_algs.harmonic_centrality: the kg_closure unroll +
         # one node rollup, 1e6 div depth in exact integers

@@ -1705,3 +1705,97 @@ def harmonic_centrality(
             "h_micro"
         ),
     )
+
+
+def cardinality_violations(
+    triples: DataFrame,
+    declared: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+) -> DataFrame:
+    """Constraint checking against a declared schema: for predicates
+    declared `functional` (or `one_to_one`), report every subject holding
+    MORE than one object — (pred, subj, n_objects, sample_obj) with
+    sample_obj = the lexicographic min (deterministic witness). The QA
+    consumer of predicate_profile: profile yesterday's KG, declare the
+    stable classes, gate today's build on new violations.
+
+    `declared` is (pred, card_class) — schema-sized, broadcast.
+
+    Shape: one broadcast semi-join + one (pred, subj) groupBy — the same
+    composite key as predicate_profile, partial-agg combined.
+    """
+    fns = declared.where(
+        F.col("card_class").isin("functional", "one_to_one")
+    ).select(F.col("pred").alias("p"))
+    t = triples.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("o")
+    ).distinct()
+    return (
+        t.join(F.broadcast(fns), "p")
+        .groupBy("p", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+            F.min("o").alias("sample_obj"),
+        )
+        .where(F.col("n_objects") > 1)
+        .select(
+            F.col("p").alias("pred"),
+            F.col("s").alias("subj"),
+            "n_objects",
+            "sample_obj",
+        )
+    )
+
+
+def type_completeness(
+    triples: DataFrame,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+    isa_pred: str = "is_a",
+) -> DataFrame:
+    """Property-completeness matrix (SHACL-lite schema QA): for every
+    (entity type, predicate) pair — how many entities of that type carry
+    the predicate at least once — (subj_type, pred, n_typed, n_with,
+    completeness_ppm). Low-ppm cells are either optional properties or
+    extraction gaps; a KG build gates on cells that DROP round-over-round.
+    Types come from `isa_pred` objects; multi-typed entities count toward
+    each of their types.
+
+    Shape: entity-keyed equi-joins (type fan-out bounded by the type
+    vocabulary), one (type, pred) distinct-entity groupBy, one
+    dimension-sized per-type total join. Schema-sized output.
+    """
+    t = triples.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("o")
+    ).distinct()
+    types = (
+        t.where(F.col("p") == isa_pred)
+        .select(F.col("s").alias("ent"), F.col("o").alias("typ"))
+        .distinct()
+    )
+    totals = types.groupBy("typ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_typed")
+    )
+    withp = (
+        t.where(F.col("p") != isa_pred)
+        .select(F.col("s").alias("ent"), "p")
+        .distinct()
+        .join(types, "ent")
+        .groupBy("typ", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_with"))
+    )
+    return (
+        withp.join(totals, "typ")
+        .select(
+            F.col("typ").alias("subj_type"),
+            F.col("p").alias("pred"),
+            "n_typed",
+            "n_with",
+            F.expr("n_with * 1000000 div n_typed").cast("long").alias(
+                "completeness_ppm"
+            ),
+        )
+    )

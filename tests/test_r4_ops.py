@@ -521,3 +521,48 @@ def test_harmonic_centrality_chain(spark):
     assert out["e"] == (3, 1_833_333)
     assert out["b"] == (1, 1_000_000)
     assert "a" not in out  # nothing reaches the source
+
+
+def test_cardinality_violations(spark):
+    from kgspark.graph_algs import cardinality_violations
+
+    triples = spark.createDataFrame(
+        [
+            ("alice", "born_in", "paris"),
+            ("alice", "born_in", "rome"),    # violation: 2 objects
+            ("bob", "born_in", "rome"),
+            ("alice", "knows", "bob"),
+            ("alice", "knows", "carol"),     # not declared -> ignored
+            ("bob", "born_in", "rome"),      # dup row collapses
+        ],
+        "subj string, pred string, obj string",
+    )
+    declared = spark.createDataFrame(
+        [("born_in", "functional"), ("knows", "many_to_many")],
+        "pred string, card_class string",
+    )
+    out = {(r["pred"], r["subj"]): (r["n_objects"], r["sample_obj"])
+           for r in cardinality_violations(triples, declared).collect()}
+    assert out == {("born_in", "alice"): (2, "paris")}
+
+
+def test_type_completeness(spark):
+    from kgspark.graph_algs import type_completeness
+
+    triples = spark.createDataFrame(
+        [
+            ("paris", "is_a", "City"),
+            ("rome", "is_a", "City"),
+            ("lyon", "is_a", "City"),
+            ("paris", "capital_of", "france"),
+            ("rome", "capital_of", "italy"),
+            ("paris", "population", "2m"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r["subj_type"], r["pred"]):
+           (r["n_typed"], r["n_with"], r["completeness_ppm"])
+           for r in type_completeness(triples).collect()}
+    assert out[("City", "capital_of")] == (3, 2, 666_666)
+    assert out[("City", "population")] == (3, 1, 333_333)
+    assert not any(p == "is_a" for _, p in out)
