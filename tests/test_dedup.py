@@ -445,3 +445,21 @@ def test_ngram_suffix_filter_prunes_candidates(spark):
     found = {(a, b) for a, b, _ in out_on}
     for j in range(8):
         assert (j, 100 + j) in found
+
+
+def test_containment_adaptive_prefix_parity_and_pruning(spark):
+    """AdaptJoin extended prefix must not change results (recall safety)
+    while demanding >= prefix_ext+1 prefix matches per candidate."""
+    from kgspark.dedup import containment_pairs
+
+    docs = _zipf_docs(spark)
+    base = {(r["a"], r["b"], r["n_common"], r["n_a"])
+            for r in containment_pairs(docs, n=1, threshold=0.7,
+                                       prefix_ext=0).collect()}
+    ext = {(r["a"], r["b"], r["n_common"], r["n_a"])
+           for r in containment_pairs(docs, n=1, threshold=0.7,
+                                      prefix_ext=2).collect()}
+    assert ext == base
+    # the planted near-dups are contained in their originals
+    assert any(a == 100 + j and b == j for a, b, _, _ in ext
+               for j in range(8))
