@@ -3614,6 +3614,174 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sitemap_urls(maps)
 
+    # -- structured data / RDF / temporal KG ---------------------------------
+    # (kgspark/structdata.py, kgspark/rdf.py, kgspark/temporal.py) — the
+    # schema.org front door, the N-Triples interchange sink, and the
+    # bitemporal fact layer. Inputs are synthesized deterministically from
+    # `documents` (same construction in each oracle).
+
+    def _struct_pages(spark, sf_dir):
+        # deterministic (url, html) pages carrying meta tags (including a
+        # property-less charset tag that must be dropped) and one or two
+        # HTML tables per doc with inner markup to strip
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        url = F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/p/"), d,
+        )
+        head = F.concat(
+            F.lit('<head><meta charset="utf-8"/>'
+                  '<meta property="og:title" content="doc '), d,
+            F.lit('"/><meta name="description" content="'),
+            F.substring("text", 1, 40),
+            F.lit('"/><meta property="og:type" content="'),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("article"))
+            .otherwise(F.lit("website")),
+            F.lit('"/></head>'),
+        )
+        t2 = F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('<table class="x"><tr><td>only '), d,
+                     F.lit("</td></tr></table>")),
+        ).otherwise(F.lit(""))
+        body = F.concat(
+            F.lit("<body><table><tr><th>k</th><th>v</th></tr>"
+                  "<tr><td><b>id</b></td><td> "),
+            d, F.lit(" </td></tr></table>"), t2, F.lit("</body>"),
+        )
+        return docs.select(
+            url.alias("url"),
+            F.concat(F.lit("<html>"), head, body, F.lit("</html>"))
+            .alias("html"),
+        )
+
+    def web_meta_tags(spark, sf_dir):
+        # OpenGraph/meta extraction (kgspark/structdata.py meta_tags):
+        # map-only regexp_extract_all + posexplode, charset tag dropped
+        from kgspark.structdata import meta_tags
+
+        return meta_tags(_struct_pages(spark, sf_dir))
+
+    def web_html_tables(spark, sf_dir):
+        # <table> flattening to (url, table_no, row_no, col_no, cell)
+        # with markup stripped (kgspark/structdata.py html_tables)
+        from kgspark.structdata import html_tables
+
+        return html_tables(_struct_pages(spark, sf_dir))
+
+    def kg_jsonld(spark, sf_dir):
+        # schema.org JSON-LD triples (kgspark/structdata.py
+        # jsonld_triples): per doc one Article node with a nested Person
+        # (blank label) and a keyword array; every 10th doc carries a
+        # truncated payload to exercise the @error row. The oracle
+        # reconstructs the expected triples from the same arithmetic
+        # (multimodal_image_meta pattern).
+        from kgspark.structdata import jsonld_triples
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        iri = F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/p/"), d,
+        )
+        payload = F.when(
+            F.col("doc_id") % 10 == 0, F.lit('{"@type":"Article",')
+        ).otherwise(F.concat(
+            F.lit('{"@context":"https://schema.org","@type":"Article",'
+                  '"@id":"'), iri,
+            F.lit('","headline":"doc '), d,
+            F.lit('","wordCount":'), F.col("n_chars").cast("string"),
+            F.lit(',"author":{"@type":"Person","name":"author '),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit('"},"keywords":["k'), (F.col("doc_id") % 5).cast("string"),
+            F.lit('","k'), (F.col("doc_id") % 7).cast("string"),
+            F.lit('"]}'),
+        ))
+        pages = docs.select(
+            iri.alias("url"),
+            F.concat(
+                F.lit('<html><head><script type="application/ld+json">'),
+                payload,
+                F.lit("</script></head><body></body></html>"),
+            ).alias("html"),
+        )
+        return jsonld_triples(pages)
+
+    def kg_ntriples(spark, sf_dir):
+        # RDF 1.1 N-Triples serialization (kgspark/rdf.py) over a
+        # synthesized triple table covering every term kind: IRI / blank /
+        # minted subjects, IRI / minted predicates, IRI / blank /
+        # escape-laden-literal / plain-literal objects
+        from kgspark.rdf import ntriples_lines
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        subj = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("https://www.site"),
+                         (F.col("doc_id") % 50).cast("string"),
+                         F.lit(".example.com/p/"), d),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("_:bn"), d))
+            .otherwise(F.concat(F.lit("ent"), d))
+        )
+        pred = F.when(F.col("doc_id") % 2 == 0, F.lit("knows")).otherwise(
+            F.lit("https://schema.org/name")
+        )
+        obj = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("https://kg.example.org/e/"), d),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("_:bo"), d))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(F.lit('q"b\\\n\t\rend'), d),
+            )
+            .otherwise(F.substring("text", 1, 24))
+        )
+        return ntriples_lines(
+            docs.select(subj.alias("subj"), pred.alias("pred"),
+                        obj.alias("obj"))
+        )
+
+    def _kg_obs(spark, sf_dir):
+        # deterministic fact-observation stream: 46 (subj, pred) groups,
+        # the object value rotates every 150 doc_ids so each group sees
+        # multi-observation runs (re-observations extend intervals)
+        docs = _read(spark, sf_dir, "documents")
+        return docs.select(
+            F.concat(F.lit("e"), (F.col("doc_id") % 23).cast("string"))
+            .alias("subj"),
+            F.concat(F.lit("p"), (F.col("doc_id") % 2).cast("string"))
+            .alias("pred"),
+            F.concat(F.lit("v"),
+                     (F.expr("doc_id div 150") % 3).cast("string"))
+            .alias("obj"),
+            F.col("doc_id").alias("ts"),
+        )
+
+    def kg_triple_intervals(spark, sf_dir):
+        # SCD-2 validity intervals over the fact stream (kgspark/
+        # temporal.py triple_intervals); open intervals coalesce
+        # valid_to to -1 so the driver's canonical sort never sees NULL
+        from kgspark.temporal import triple_intervals
+
+        iv = triple_intervals(_kg_obs(spark, sf_dir))
+        return iv.select(
+            "subj", "pred", "obj", "valid_from",
+            F.coalesce("valid_to", F.lit(-1)).alias("valid_to"), "n_obs",
+        )
+
+    def kg_asof_triples(spark, sf_dir):
+        # point-in-time graph state at ts<=300 (kgspark/temporal.py
+        # asof_snapshot): latest observation per (subj, pred)
+        from kgspark.temporal import asof_snapshot
+
+        return asof_snapshot(_kg_obs(spark, sf_dir), 300)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -3831,6 +3999,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ifp_sameas": kg_ifp_sameas,
         "text_mojibake": text_mojibake,
         "web_sitemap": web_sitemap,
+        "web_meta_tags": web_meta_tags,
+        "web_html_tables": web_html_tables,
+        "kg_jsonld": kg_jsonld,
+        "kg_ntriples": kg_ntriples,
+        "kg_triple_intervals": kg_triple_intervals,
+        "kg_asof_triples": kg_asof_triples,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -8429,6 +8603,216 @@ SELECT sitemap_url, url_no::BIGINT AS url_no,
        regexp_extract(entries[url_no], '<priority>([^<]*)</priority>', 1)
          AS priority
 FROM se
+""",
+        # kgspark.structdata.meta_tags over the _struct_pages synth: same
+        # per-tag regex, body captured then attributes extracted, the
+        # property-less charset tag drops out
+        "web_meta_tags": """
+WITH sp AS (
+  SELECT 'https://www.site' || (doc_id % 50) || '.example.com/p/' || doc_id
+           AS url,
+         '<html><head><meta charset="utf-8"/>'
+         || '<meta property="og:title" content="doc ' || doc_id || '"/>'
+         || '<meta name="description" content="' || substr(text, 1, 40)
+         || '"/><meta property="og:type" content="'
+         || CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'website' END
+         || '"/></head><body><table><tr><th>k</th><th>v</th></tr>'
+         || '<tr><td><b>id</b></td><td> ' || doc_id || ' </td></tr></table>'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '<table class="x"><tr><td>only ' || doc_id
+                      || '</td></tr></table>' ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+),
+tg AS (
+  SELECT url, i AS tag_no,
+         regexp_extract_all(html, '<meta ([^>]*?)/?>', 1) AS tags
+  FROM sp, unnest(generate_series(1,
+         len(regexp_extract_all(html, '<meta ([^>]*?)/?>', 1)))) AS t(i)
+)
+SELECT url, tag_no::BIGINT AS tag_no,
+       regexp_extract(tags[tag_no], '(?:property|name)="([^"]*)"', 1)
+         AS prop,
+       regexp_extract(tags[tag_no], 'content="([^"]*)"', 1) AS content
+FROM tg
+WHERE regexp_extract(tags[tag_no], '(?:property|name)="([^"]*)"', 1) <> ''
+""",
+        # kgspark.structdata.html_tables over the same pages: three nested
+        # extract_all+unnest levels, markup stripped with a global
+        # regexp_replace (DuckDB needs the explicit 'g' flag)
+        "web_html_tables": """
+WITH sp AS (
+  SELECT 'https://www.site' || (doc_id % 50) || '.example.com/p/' || doc_id
+           AS url,
+         '<html><head><meta charset="utf-8"/>'
+         || '<meta property="og:title" content="doc ' || doc_id || '"/>'
+         || '<meta name="description" content="' || substr(text, 1, 40)
+         || '"/><meta property="og:type" content="'
+         || CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'website' END
+         || '"/></head><body><table><tr><th>k</th><th>v</th></tr>'
+         || '<tr><td><b>id</b></td><td> ' || doc_id || ' </td></tr></table>'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '<table class="x"><tr><td>only ' || doc_id
+                      || '</td></tr></table>' ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+),
+tb AS (
+  SELECT url, ti AS table_no,
+         regexp_extract_all(html, '(?s)<table[^>]*>(.*?)</table>', 1) AS tbl
+  FROM sp, unnest(generate_series(1,
+         len(regexp_extract_all(html,
+             '(?s)<table[^>]*>(.*?)</table>', 1)))) AS a(ti)
+),
+rw AS (
+  SELECT url, table_no, ri AS row_no,
+         regexp_extract_all(tbl[table_no],
+                            '(?s)<tr[^>]*>(.*?)</tr>', 1) AS rows_
+  FROM tb, unnest(generate_series(1,
+         len(regexp_extract_all(tbl[table_no],
+             '(?s)<tr[^>]*>(.*?)</tr>', 1)))) AS b(ri)
+),
+cl AS (
+  SELECT url, table_no, row_no, ci AS col_no,
+         regexp_extract_all(rows_[row_no],
+                            '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1) AS cells
+  FROM rw, unnest(generate_series(1,
+         len(regexp_extract_all(rows_[row_no],
+             '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1)))) AS c(ci)
+)
+SELECT url, table_no::BIGINT AS table_no, row_no::BIGINT AS row_no,
+       col_no::BIGINT AS col_no,
+       trim(regexp_replace(cells[col_no], '<[^>]*>', '', 'g')) AS cell
+FROM cl
+""",
+        # kgspark.structdata.jsonld_triples: the oracle reconstructs the
+        # expected triple set from the same synthesis arithmetic (the
+        # multimodal_image_meta pattern) — 9 rows per parseable doc
+        # (@context/@type/headline/wordCount/author link/nested Person
+        # @type+name/2 keywords), 1 @error row per truncated payload
+        "kg_jsonld": """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         'https://www.site' || (doc_id % 50) || '.example.com/p/' || doc_id
+           AS url
+  FROM documents
+),
+good AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+bad AS (SELECT * FROM d WHERE doc_id % 10 = 0)
+SELECT url, 1::BIGINT AS block_no, 1::BIGINT AS node_no, url AS subj,
+       '@context' AS pred, 'https://schema.org' AS obj FROM good
+UNION ALL SELECT url, 1::BIGINT, 1::BIGINT, url, '@type', 'Article'
+  FROM good
+UNION ALL SELECT url, 1::BIGINT, 1::BIGINT, url, 'headline',
+       'doc ' || doc_id FROM good
+UNION ALL SELECT url, 1::BIGINT, 1::BIGINT, url, 'wordCount',
+       n_chars::VARCHAR FROM good
+UNION ALL SELECT url, 1::BIGINT, 1::BIGINT, url, 'author', '_:b1.1.1'
+  FROM good
+UNION ALL SELECT url, 1::BIGINT, 1::BIGINT, '_:b1.1.1', '@type', 'Person'
+  FROM good
+UNION ALL SELECT url, 1::BIGINT, 1::BIGINT, '_:b1.1.1', 'name',
+       'author ' || (doc_id % 13) FROM good
+UNION ALL SELECT url, 1::BIGINT, 1::BIGINT, url, 'keywords',
+       'k' || (doc_id % 5) FROM good
+UNION ALL SELECT url, 1::BIGINT, 1::BIGINT, url, 'keywords',
+       'k' || (doc_id % 7) FROM good
+UNION ALL SELECT url, 1::BIGINT, 0::BIGINT, '', '@error', 'json_decode'
+  FROM bad
+""",
+        # kgspark.rdf.ntriples_lines: same term-kind dispatch + canonical
+        # ECHAR escape chain (backslash first) in replace() calls
+        "kg_ntriples": """
+WITH t AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN 'https://www.site' || (doc_id % 50)
+                   || '.example.com/p/' || doc_id
+              WHEN doc_id % 3 = 1 THEN '_:bn' || doc_id
+              ELSE 'ent' || doc_id END AS subj,
+         CASE WHEN doc_id % 2 = 0 THEN 'knows'
+              ELSE 'https://schema.org/name' END AS pred,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'https://kg.example.org/e/' || doc_id
+              WHEN doc_id % 4 = 1 THEN '_:bo' || doc_id
+              WHEN doc_id % 4 = 2
+              THEN 'q"b' || chr(92) || chr(10) || chr(9) || chr(13)
+                   || 'end' || doc_id
+              ELSE substr(text, 1, 24) END AS obj
+  FROM documents
+),
+e AS (
+  SELECT subj, pred, obj,
+         replace(replace(replace(replace(replace(obj,
+           chr(92), chr(92) || chr(92)),
+           '"', chr(92) || '"'),
+           chr(10), chr(92) || 'n'),
+           chr(13), chr(92) || 'r'),
+           chr(9), chr(92) || 't') AS esc
+  FROM t
+)
+SELECT subj, pred, obj,
+       (CASE WHEN starts_with(subj, 'http://')
+                  OR starts_with(subj, 'https://')
+             THEN '<' || subj || '>'
+             WHEN starts_with(subj, '_:') THEN subj
+             ELSE '<https://kg.example.org/' || subj || '>' END)
+       || ' '
+       || (CASE WHEN starts_with(pred, 'http://')
+                     OR starts_with(pred, 'https://')
+                THEN '<' || pred || '>'
+                ELSE '<https://kg.example.org/prop/' || pred || '>' END)
+       || ' '
+       || (CASE WHEN starts_with(obj, 'http://')
+                     OR starts_with(obj, 'https://')
+                THEN '<' || obj || '>'
+                WHEN starts_with(obj, '_:') THEN obj
+                ELSE '"' || esc || '"' END)
+       || ' .' AS line
+FROM e
+""",
+        # kgspark.temporal.triple_intervals: gaps-and-islands (lag-change
+        # flag -> running sum -> group), open intervals -> -1 sentinel
+        "kg_triple_intervals": """
+WITH obs AS (
+  SELECT 'e' || (doc_id % 23) AS subj, 'p' || (doc_id % 2) AS pred,
+         'v' || ((doc_id // 150) % 3) AS obj, doc_id AS ts
+  FROM documents
+),
+fl AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS NULL
+                      OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS chg
+  FROM obs WINDOW w AS (PARTITION BY subj, pred ORDER BY ts)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY subj, pred ORDER BY ts) AS island
+  FROM fl
+),
+runs AS (
+  SELECT subj, pred, island, min(obj) AS obj, min(ts) AS valid_from,
+         count(*)::BIGINT AS n_obs
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT subj, pred, obj, valid_from,
+       coalesce(lead(valid_from) OVER
+                (PARTITION BY subj, pred ORDER BY valid_from),
+                -1)::BIGINT AS valid_to,
+       n_obs
+FROM runs
+""",
+        # kgspark.temporal.asof_snapshot at ts<=300: latest observation
+        # per (subj, pred), ties broken by descending object
+        "kg_asof_triples": """
+WITH obs AS (
+  SELECT 'e' || (doc_id % 23) AS subj, 'p' || (doc_id % 2) AS pred,
+         'v' || ((doc_id // 150) % 3) AS obj, doc_id AS ts
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER
+           (PARTITION BY subj, pred ORDER BY ts DESC, obj DESC) AS rn
+  FROM obs WHERE ts <= 300
+)
+SELECT subj, pred, obj, ts AS as_of_ts FROM r WHERE rn = 1
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

@@ -1,0 +1,83 @@
+"""RDF 1.1 N-Triples serialization — the interchange sink of a KG build.
+
+The reference materializes its graph as a JSON envelope
+(knowledge_graph_builder.py:744-768 via json_validator.py); a web-scale
+KG additionally needs the line-oriented RDF interchange format every
+triple store ingests (W3C RDF 1.1 N-Triples, canonical form §4): one
+`<subj> <pred> obj .` line per triple, IRIs in angle brackets, literals
+quoted with ECHAR escapes. Line-oriented output is also the
+Spark-friendly shape — each row is independent, so the sink is a
+map-only select that writes as text with no shuffle.
+
+Escaping is the canonical-form chain (backslash first, then quote and
+the control characters) implemented with `replace` column ops — pure
+JVM, byte-replicable in any SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _escape_literal(col: Column) -> Column:
+    """ECHAR escapes in canonical order: \\ " \\n \\r \\t (RDF 1.1
+    N-Triples §4; backslash must be first or it re-escapes its own
+    output)."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return c
+
+
+def _term(col: Column) -> Column:
+    """Render an object term: IRIs (http/https) and blank nodes (`_:`)
+    pass through as resources; everything else is a quoted literal."""
+    is_iri = col.startswith("http://") | col.startswith("https://")
+    is_blank = col.startswith("_:")
+    return (
+        F.when(is_iri, F.concat(F.lit("<"), col, F.lit(">")))
+        .when(is_blank, col)
+        .otherwise(F.concat(F.lit('"'), _escape_literal(col), F.lit('"')))
+    )
+
+
+def ntriples_lines(triples: DataFrame, subj_col: str = "subj",
+                   pred_col: str = "pred", obj_col: str = "obj",
+                   base_iri: str = "https://kg.example.org/",
+                   pred_base: str = "https://kg.example.org/prop/",
+                   ) -> DataFrame:
+    """Serialize a (subj, pred, obj) table to canonical N-Triples lines:
+    (subj, pred, obj, line). Subjects/objects that are already IRIs or
+    blank nodes pass through; bare subject names are minted under
+    `base_iri`; predicates are minted under `pred_base` unless already
+    IRIs. Objects follow the resource-vs-literal rule of `_term`.
+
+    Map-only column expressions; write the `line` column with
+    `df.select("line").write.text(...)` for a shuffle-free sink.
+    """
+    s = F.col(subj_col)
+    s_res = (
+        F.when(
+            s.startswith("http://") | s.startswith("https://"),
+            F.concat(F.lit("<"), s, F.lit(">")),
+        )
+        .when(s.startswith("_:"), s)
+        .otherwise(F.concat(F.lit("<"), F.lit(base_iri), s, F.lit(">")))
+    )
+    p = F.col(pred_col)
+    p_res = F.when(
+        p.startswith("http://") | p.startswith("https://"),
+        F.concat(F.lit("<"), p, F.lit(">")),
+    ).otherwise(F.concat(F.lit("<"), F.lit(pred_base), p, F.lit(">")))
+    line = F.concat(
+        s_res, F.lit(" "), p_res, F.lit(" "), _term(F.col(obj_col)),
+        F.lit(" ."),
+    )
+    return triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+        line.alias("line"),
+    )

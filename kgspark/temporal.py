@@ -1,0 +1,83 @@
+"""Temporal KG operators — validity intervals and point-in-time queries.
+
+A crawl-fed KG sees each fact many times with a `warc_ts` capture
+timestamp (BASELINE input_hint); the reference keeps only last-write-wins
+node state (knowledge_graph_builder.py:714-741 upsert). These operators
+add the bitemporal layer a longitudinal corpus needs: compact the
+observation stream into validity intervals (SCD-2 / gaps-and-islands) and
+answer "what did the graph say at time T" without replaying the stream.
+
+Scale posture: both are single-shuffle window plans partitioned by
+(subj, pred) — the natural key of the fact stream, so the shuffle is the
+minimal one any per-fact history needs; no self-joins, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def triple_intervals(obs: DataFrame, subj_col: str = "subj",
+                     pred_col: str = "pred", obj_col: str = "obj",
+                     ts_col: str = "ts") -> DataFrame:
+    """Compact an observation stream (subj, pred, obj, ts) into SCD-2
+    validity intervals: (subj, pred, obj, valid_from, valid_to, n_obs),
+    one row per maximal run of consecutive observations with the same
+    object. `valid_to` is the timestamp of the next differing
+    observation (half-open interval), NULL for the current value.
+    Re-observations of an unchanged object extend the run (n_obs counts
+    them) rather than opening a new interval.
+
+    Gaps-and-islands: lag-change flag → running sum → group — one
+    window shuffle on (subj, pred), one aggregation on the same keys
+    (no second shuffle; the island id is a function of the partition
+    key).
+    """
+    w = Window.partitionBy(subj_col, pred_col).orderBy(ts_col)
+    flagged = obs.withColumn(
+        "__chg",
+        F.when(
+            F.lag(obj_col).over(w).isNull()
+            | (F.lag(obj_col).over(w) != F.col(obj_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__island", F.sum("__chg").over(w))
+    runs = flagged.groupBy(subj_col, pred_col, "__island").agg(
+        F.first(obj_col).alias("obj"),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w2 = Window.partitionBy(subj_col, pred_col).orderBy("valid_from")
+    return runs.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    ).select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        "obj", "valid_from", "valid_to",
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )
+
+
+def asof_snapshot(obs: DataFrame, as_of, subj_col: str = "subj",
+                  pred_col: str = "pred", obj_col: str = "obj",
+                  ts_col: str = "ts") -> DataFrame:
+    """Point-in-time graph state: the latest observation per (subj, pred)
+    with ts <= as_of → (subj, pred, obj, as_of_ts). Ties on ts break by
+    descending object for determinism. The filter runs before the window
+    (predicate pushdown to the scan), so a far-past snapshot reads only
+    its prefix of the stream.
+    """
+    w = Window.partitionBy(subj_col, pred_col).orderBy(
+        F.desc(ts_col), F.desc(obj_col)
+    )
+    return (
+        obs.where(F.col(ts_col) <= F.lit(as_of))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+            F.col(ts_col).alias("as_of_ts"),
+        )
+    )

@@ -425,3 +425,36 @@ def test_predicate_cooc_no_cartesian_partial_agg(spark):
     p = plan(predicate_cooccurrence(tri))
     assert "CartesianProduct" not in p
     assert "partial_count" in p
+
+
+def test_structdata_extractors_shuffle_free(spark):
+    """meta_tags / html_tables / ntriples_lines are map-only column
+    pipelines — any Exchange means a regression into a shuffle the
+    100 TB scan doesn't need."""
+    from kgspark.rdf import ntriples_lines
+    from kgspark.structdata import html_tables, meta_tags
+
+    pages = spark.createDataFrame(
+        [("u", '<meta property="p" content="c"/><table><tr><td>x</td></tr></table>')],
+        "url string, html string",
+    )
+    assert "Exchange" not in plan(meta_tags(pages))
+    assert "Exchange" not in plan(html_tables(pages))
+    tri = spark.createDataFrame(
+        [("s", "p", "o")], "subj string, pred string, obj string"
+    )
+    assert "Exchange" not in plan(ntriples_lines(tri))
+
+
+def test_triple_intervals_single_shuffle(spark):
+    """Gaps-and-islands compaction: exactly ONE hash exchange on the
+    (subj, pred) fact key — the window, the island groupBy and the
+    valid_to lead window all reuse that partitioning."""
+    from kgspark.temporal import triple_intervals
+
+    obs = spark.createDataFrame(
+        [("e", "p", "a", 1), ("e", "p", "b", 2)],
+        "subj string, pred string, obj string, ts long",
+    )
+    p = plan(triple_intervals(obs))
+    assert p.count("Exchange hashpartitioning") == 1

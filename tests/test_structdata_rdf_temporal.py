@@ -1,0 +1,156 @@
+"""Structured-data extraction, N-Triples serialization, temporal KG.
+
+Crafted-input unit tests for kgspark/structdata.py (meta tags, HTML
+tables, JSON-LD triples), kgspark/rdf.py (canonical N-Triples lines) and
+kgspark/temporal.py (SCD-2 intervals, as-of snapshots). The contract
+queries prove the same operators against DuckDB oracles at sf0.01; these
+tests pin the edge semantics the synthesized corpus can't reach
+(attribute-order variants, deep JSON-LD nesting, escape chains, tie
+breaks).
+"""
+
+from __future__ import annotations
+
+from kgspark.rdf import ntriples_lines
+from kgspark.structdata import html_tables, jsonld_triples, meta_tags
+from kgspark.temporal import asof_snapshot, triple_intervals
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_meta_tags_attribute_order_and_charset_drop(spark):
+    html = (
+        '<head><meta charset="utf-8"/>'
+        '<meta content="rev" property="og:type"/>'
+        '<meta name="author" content="ada"/></head>'
+    )
+    out = meta_tags(_pages(spark, [("u1", html)])).collect()
+    got = {(r.tag_no, r.prop, r.content) for r in out}
+    # charset tag (no property/name) is dropped; tag_no counts ALL meta
+    # tags so the survivors keep their document positions 2 and 3
+    assert got == {(2, "og:type", "rev"), (3, "author", "ada")}
+
+
+def test_meta_tags_content_before_property(spark):
+    # attribute order must not matter: content= preceding property=
+    html = '<meta content="x" property="p"/>'
+    [r] = meta_tags(_pages(spark, [("u", html)])).collect()
+    assert (r.prop, r.content) == ("p", "x")
+
+
+def test_html_tables_two_tables_markup_stripped(spark):
+    html = (
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td><b>a</b></td><td> b </td></tr></table>"
+        '<p>x</p><table id="t2"><tr><td>solo</td></tr></table>'
+    )
+    out = html_tables(_pages(spark, [("u", html)])).collect()
+    got = {(r.table_no, r.row_no, r.col_no, r.cell) for r in out}
+    assert got == {
+        (1, 1, 1, "h1"), (1, 1, 2, "h2"),
+        (1, 2, 1, "a"), (1, 2, 2, "b"),
+        (2, 1, 1, "solo"),
+    }
+
+
+def _jsonld_page(payloads):
+    return "".join(
+        f'<script type="application/ld+json">{p}</script>' for p in payloads
+    )
+
+
+def test_jsonld_nested_blank_labels_and_arrays(spark):
+    payload = (
+        '{"@id":"https://e/1","@type":"Article",'
+        '"author":{"name":"ada","affil":{"name":"acme"}},'
+        '"keywords":["a","b"],"wordCount":7,"free":true}'
+    )
+    rows = jsonld_triples(
+        _pages(spark, [("u", _jsonld_page([payload]))])
+    ).collect()
+    got = {(r.subj, r.pred, r.obj) for r in rows}
+    assert got == {
+        ("https://e/1", "@type", "Article"),
+        ("https://e/1", "author", "_:b1.1.1"),
+        ("_:b1.1.1", "name", "ada"),
+        ("_:b1.1.1", "affil", "_:b1.1.2"),
+        ("_:b1.1.2", "name", "acme"),
+        ("https://e/1", "keywords", "a"),
+        ("https://e/1", "keywords", "b"),
+        ("https://e/1", "wordCount", "7"),
+        ("https://e/1", "free", "true"),
+    }
+    assert all(r.block_no == 1 and r.node_no == 1 for r in rows)
+
+
+def test_jsonld_toplevel_array_and_error_row(spark):
+    page = _jsonld_page(['[{"a":"x"},{"@id":"n2","b":"y"}]', "{broken"])
+    rows = jsonld_triples(_pages(spark, [("u", page)])).collect()
+    got = {(r.block_no, r.node_no, r.subj, r.pred, r.obj) for r in rows}
+    assert got == {
+        (1, 1, "_:b1.1", "a", "x"),
+        (1, 2, "n2", "b", "y"),
+        (2, 0, "", "@error", "json_decode"),
+    }
+
+
+def test_jsonld_no_blocks_yields_nothing(spark):
+    assert jsonld_triples(
+        _pages(spark, [("u", "<html><body>plain</body></html>")])
+    ).count() == 0
+
+
+def test_ntriples_escape_chain_and_term_kinds(spark):
+    triples = spark.createDataFrame(
+        [
+            ("https://s/1", "https://p/1", "https://o/1"),
+            ("_:b1", "rel", "_:b2"),
+            ("alice", "says", 'q"\\' + "\n\t\rz"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    lines = {r.subj: r.line for r in ntriples_lines(triples).collect()}
+    assert lines["https://s/1"] == "<https://s/1> <https://p/1> <https://o/1> ."
+    assert lines["_:b1"] == "_:b1 <https://kg.example.org/prop/rel> _:b2 ."
+    # backslash escaped FIRST, then quote and the control characters
+    assert lines["alice"] == (
+        "<https://kg.example.org/alice> <https://kg.example.org/prop/says> "
+        '"q\\"\\\\\\n\\t\\rz" .'
+    )
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts long"
+    )
+
+
+def test_triple_intervals_runs_and_open_interval(spark):
+    obs = _obs(spark, [
+        ("e", "p", "a", 1), ("e", "p", "a", 2), ("e", "p", "b", 3),
+        ("e", "p", "a", 5), ("e", "q", "z", 4),
+    ])
+    rows = triple_intervals(obs).collect()
+    got = {
+        (r.subj, r.pred, r.obj, r.valid_from, r.valid_to, r.n_obs)
+        for r in rows
+    }
+    assert got == {
+        ("e", "p", "a", 1, 3, 2),   # re-observation extends, n_obs=2
+        ("e", "p", "b", 3, 5, 1),
+        ("e", "p", "a", 5, None, 1),  # value can recur as a NEW interval
+        ("e", "q", "z", 4, None, 1),
+    }
+
+
+def test_asof_snapshot_filter_and_tiebreak(spark):
+    obs = _obs(spark, [
+        ("e", "p", "old", 1), ("e", "p", "new", 5), ("e", "p", "late", 9),
+        ("e", "q", "a", 5), ("e", "q", "b", 5),   # ts tie -> desc obj
+        ("f", "p", "only_after", 8),
+    ])
+    rows = asof_snapshot(obs, 5).collect()
+    got = {(r.subj, r.pred, r.obj, r.as_of_ts) for r in rows}
+    assert got == {("e", "p", "new", 5), ("e", "q", "b", 5)}
