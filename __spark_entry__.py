@@ -3782,6 +3782,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return asof_snapshot(_kg_obs(spark, sf_dir), 300)
 
+    def web_microdata(spark, sf_dir):
+        # HTML-microdata extraction (kgspark/structdata.py
+        # microdata_items): one content=-valued meta, one text-valued
+        # span, one text-valued link per page
+        from kgspark.structdata import microdata_items
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        html = F.concat(
+            F.lit('<html><body><div itemscope itemtype="https://schema.org/'
+                  'Article"><span itemprop="name"> doc '), d,
+            F.lit('</span><meta itemprop="wordCount" content="'),
+            F.col("n_chars").cast("string"),
+            F.lit('"/><a itemprop="url" href="/p">link '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</a></div></body></html>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://m"), d, F.lit(".example.com/")).alias("url"),
+            html.alias("html"),
+        )
+        return microdata_items(pages)
+
+    def _fusion_obs(spark, sf_dir):
+        # conflicting fact observations: 120 (subj, pred) keys, each
+        # asserted by several docs whose objects disagree; the doc's
+        # `source` column is the voting source
+        docs = _read(spark, sf_dir, "documents")
+        return docs.select(
+            F.concat(F.lit("e"), (F.col("doc_id") % 40).cast("string"))
+            .alias("subj"),
+            F.concat(F.lit("p"), (F.col("doc_id") % 3).cast("string"))
+            .alias("pred"),
+            F.concat(F.lit("v"),
+                     (F.expr("doc_id div 120") % 3).cast("string"))
+            .alias("obj"),
+            F.col("source").alias("source"),
+            F.col("doc_id").alias("ts"),
+        )
+
+    def kg_fact_fusion(spark, sf_dir):
+        # weighted majority-vote fact fusion (kgspark/fusion.py
+        # fuse_facts): integer-ppm source weights derived from the source
+        # id; source index 3 is withheld from the weight table to
+        # exercise the weight-0 vote path
+        from kgspark.fusion import fuse_facts
+
+        docs = _read(spark, sf_dir, "documents")
+        idx = F.substring("source", 4, 10).cast("long")
+        weights = (
+            docs.select("source").distinct()
+            .where(idx % 5 != 3)
+            .select("source",
+                    (F.lit(300000) + idx * 123000).alias("weight_ppm"))
+        )
+        return fuse_facts(_fusion_obs(spark, sf_dir), weights)
+
+    def kg_provenance(spark, sf_dir):
+        # per-triple provenance rollup (kgspark/fusion.py
+        # triple_provenance): observation count, distinct sources,
+        # capture window
+        from kgspark.fusion import triple_provenance
+
+        return triple_provenance(_fusion_obs(spark, sf_dir))
+
+    def kg_sameas_rewrite(spark, sf_dir):
+        # owl:sameAs smush (kgspark/canon.py sameas_rewrite): 3-entity
+        # chains e{k}~e{k+40}~e{k+80} close transitively; every triple
+        # endpoint rewrites to the lexicographic-min member and
+        # newly-identical triples collapse with n_merged counts
+        from kgspark.canon import sameas_rewrite
+
+        docs = _read(spark, sf_dir, "documents")
+        t = docs.select(
+            F.concat(F.lit("e"), (F.col("doc_id") % 120).cast("string"))
+            .alias("subj"),
+            F.concat(F.lit("p"), (F.col("doc_id") % 4).cast("string"))
+            .alias("pred"),
+            F.concat(F.lit("e"),
+                     ((F.col("doc_id") * 7) % 120).cast("string"))
+            .alias("obj"),
+        )
+        lo = docs.where(F.col("doc_id") < 40)
+        k = F.col("doc_id").cast("string")
+        pairs = lo.select(
+            F.concat(F.lit("e"), k).alias("a"),
+            F.concat(F.lit("e"), (F.col("doc_id") + 40).cast("string"))
+            .alias("b"),
+        ).union(lo.select(
+            F.concat(F.lit("e"), (F.col("doc_id") + 40).cast("string"))
+            .alias("a"),
+            F.concat(F.lit("e"), (F.col("doc_id") + 80).cast("string"))
+            .alias("b"),
+        ))
+        return sameas_rewrite(t, pairs)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4005,6 +4101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": kg_ntriples,
         "kg_triple_intervals": kg_triple_intervals,
         "kg_asof_triples": kg_asof_triples,
+        "web_microdata": web_microdata,
+        "kg_fact_fusion": kg_fact_fusion,
+        "kg_provenance": kg_provenance,
+        "kg_sameas_rewrite": kg_sameas_rewrite,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -8813,6 +8913,113 @@ r AS (
   FROM obs WHERE ts <= 300
 )
 SELECT subj, pred, obj, ts AS as_of_ts FROM r WHERE rn = 1
+""",
+        # kgspark.structdata.microdata_items: same element regex, value =
+        # content attribute when present else trimmed immediate text
+        "web_microdata": """
+WITH mp AS (
+  SELECT 'https://m' || doc_id || '.example.com/' AS url,
+         '<html><body><div itemscope itemtype="https://schema.org/Article">'
+         || '<span itemprop="name"> doc ' || doc_id || '</span>'
+         || '<meta itemprop="wordCount" content="' || n_chars || '"/>'
+         || '<a itemprop="url" href="/p">link ' || (doc_id % 7)
+         || '</a></div></body></html>' AS html
+  FROM documents
+),
+me AS (
+  SELECT url, i AS item_no,
+         regexp_extract_all(html,
+           '<[a-zA-Z0-9]+ [^>]*itemprop="[^"]*"[^>]*>[^<]*', 0) AS elems
+  FROM mp, unnest(generate_series(1,
+         len(regexp_extract_all(html,
+           '<[a-zA-Z0-9]+ [^>]*itemprop="[^"]*"[^>]*>[^<]*', 0)))) AS t(i)
+)
+SELECT url, item_no::BIGINT AS item_no,
+       regexp_extract(elems[item_no], 'itemprop="([^"]*)"', 1) AS prop,
+       CASE WHEN regexp_extract(elems[item_no],
+                                'content="([^"]*)"', 1) <> ''
+            THEN regexp_extract(elems[item_no], 'content="([^"]*)"', 1)
+            ELSE trim(regexp_extract(elems[item_no], '>([^<]*)$', 1)) END
+         AS value
+FROM me
+""",
+        # kgspark.fusion.fuse_facts: integer-ppm weighted vote per
+        # (subj, pred), ties by ascending object; source index 3 votes
+        # with weight 0 (absent from the weight table)
+        "kg_fact_fusion": """
+WITH obs AS (
+  SELECT 'e' || (doc_id % 40) AS subj, 'p' || (doc_id % 3) AS pred,
+         'v' || ((doc_id // 120) % 3) AS obj, source
+  FROM documents
+),
+w AS (
+  SELECT source, 300000 + substr(source, 4)::BIGINT * 123000 AS weight_ppm
+  FROM (SELECT DISTINCT source FROM documents)
+  WHERE substr(source, 4)::BIGINT % 5 <> 3
+),
+scored AS (
+  SELECT subj, pred, obj,
+         sum(coalesce(w.weight_ppm, 0))::BIGINT AS score_ppm,
+         count(*)::BIGINT AS n_votes
+  FROM obs LEFT JOIN w USING (source)
+  GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY score_ppm DESC, obj ASC) AS rn,
+         count(*) OVER (PARTITION BY subj, pred) AS n_candidates
+  FROM scored
+)
+SELECT subj, pred, obj, score_ppm, n_votes,
+       n_candidates::BIGINT AS n_candidates
+FROM rk WHERE rn = 1
+""",
+        # kgspark.fusion.triple_provenance: one groupBy on the triple key
+        "kg_provenance": """
+WITH obs AS (
+  SELECT 'e' || (doc_id % 40) AS subj, 'p' || (doc_id % 3) AS pred,
+         'v' || ((doc_id // 120) % 3) AS obj, source, doc_id AS ts
+  FROM documents
+)
+SELECT subj, pred, obj, count(*)::BIGINT AS n_obs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       min(ts) AS first_seen, max(ts) AS last_seen
+FROM obs GROUP BY 1, 2, 3
+""",
+        # kgspark.canon.sameas_rewrite: recursive-CTE closure over the
+        # symmetric sameAs pair graph, lexicographic-min representative,
+        # endpoints rewritten, duplicates collapsed
+        "kg_sameas_rewrite": """
+WITH RECURSIVE t AS (
+  SELECT 'e' || (doc_id % 120) AS subj, 'p' || (doc_id % 4) AS pred,
+         'e' || ((doc_id * 7) % 120) AS obj
+  FROM documents
+),
+pr AS (
+  SELECT 'e' || doc_id AS a, 'e' || (doc_id + 40) AS b
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT 'e' || (doc_id + 40), 'e' || (doc_id + 80)
+  FROM documents WHERE doc_id < 40
+),
+sym AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach(node, lab) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+),
+canon AS (SELECT node, min(lab) AS canonical FROM reach GROUP BY node),
+rw AS (
+  SELECT coalesce(cs.canonical, t.subj) AS subj, t.pred,
+         coalesce(co.canonical, t.obj) AS obj
+  FROM t
+  LEFT JOIN canon cs ON cs.node = t.subj
+  LEFT JOIN canon co ON co.node = t.obj
+)
+SELECT subj, pred, obj, count(*)::BIGINT AS n_merged
+FROM rw GROUP BY 1, 2, 3
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

@@ -259,3 +259,71 @@ def ifp_sameas(
         .groupBy(F.col("l.s").alias("a"), F.col("r.s").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_witnesses"))
     )
+
+
+def sameas_rewrite(
+    triples: DataFrame,
+    sameas: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Canonicalize a triple table through the owl:sameAs closure: compute
+    connected components over the sameAs pair graph (pointer-jumping, so
+    multi-hop chains a~b~c smush transitively), pick the lexicographic-min
+    member as each component's representative, rewrite BOTH endpoints of
+    every triple, and collapse newly-identical triples ->
+    (subj, pred, obj, n_merged). n_merged > 1 marks facts that were
+    asserted about entities later discovered to be the same — the payoff
+    metric of the smush. Completes ifp_sameas: candidates in, a
+    consolidated graph out (the linked-data smushing step; Hogan et al.).
+
+    Scale posture: the sameAs map covers only entities that HAVE a
+    duplicate — a small fraction of any real KG — so both rewrite joins
+    broadcast it; the triple stream itself is never shuffled until the
+    final duplicate-collapsing groupBy (partial agg collapses map-side).
+    The CC loop runs over the pair graph, not the triples.
+    """
+    nodes = (
+        sameas.select(F.col(a_col).alias("name"))
+        .union(sameas.select(F.col(b_col).alias("name")))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, sameas.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")),
+        max_iter=max_iter,
+    )
+    rep = comp.groupBy("component").agg(F.min("name").alias("canonical"))
+    smap = (
+        comp.join(rep, "component")
+        .where(F.col("name") != F.col("canonical"))
+        .select("name", "canonical")
+    )
+    smap = materialize(smap)
+    t = triples.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    rewritten = (
+        t.join(
+            F.broadcast(smap.select(F.col("name").alias("subj"),
+                                    F.col("canonical").alias("__cs"))),
+            "subj", "left",
+        )
+        .join(
+            F.broadcast(smap.select(F.col("name").alias("obj"),
+                                    F.col("canonical").alias("__co"))),
+            "obj", "left",
+        )
+        .select(
+            F.coalesce(F.col("__cs"), F.col("subj")).alias("subj"),
+            "pred",
+            F.coalesce(F.col("__co"), F.col("obj")).alias("obj"),
+        )
+    )
+    return rewritten.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged")
+    )

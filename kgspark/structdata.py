@@ -41,6 +41,14 @@ META_CONTENT = 'content="([^"]*)"'
 # JSON-LD script blocks; (?s) because embedded JSON routinely spans lines.
 JSONLD_BLOCK = '(?s)<script type="application/ld\\+json">(.*?)</script>'
 
+# One element carrying an itemprop: tag name, attributes (no '>'), the
+# closing '>', then the immediate text run. content= and inner text are
+# pulled from the match afterwards.
+MICRO_ELEM = '<[a-zA-Z0-9]+ [^>]*itemprop="[^"]*"[^>]*>[^<]*'
+MICRO_PROP = 'itemprop="([^"]*)"'
+MICRO_CONTENT = 'content="([^"]*)"'
+MICRO_TEXT = ">([^<]*)$"
+
 # HTML tables; (?s) for multi-line markup, lazy to split adjacent tables.
 TABLE_BLOCK = "(?s)<table[^>]*>(.*?)</table>"
 TABLE_ROW = "(?s)<tr[^>]*>(.*?)</tr>"
@@ -71,6 +79,36 @@ def meta_tags(df: DataFrame, url_col: str = "url",
             F.regexp_extract("__tag", META_CONTENT, 1).alias("content"),
         )
         .where(F.col("prop") != "")
+    )
+
+
+def microdata_items(df: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Extract HTML-microdata properties per page: (url, item_no, prop,
+    value) — the second structured-markup channel next to JSON-LD (WHATWG
+    HTML microdata). An element's value is its content= attribute when
+    present (meta/link style), else its immediate text run trimmed
+    (span/a style, per the spec's textContent rule restricted to the flat
+    first text node — nesting is out of scope and documented). itemscope
+    grouping is not reconstructed; item_no is the document-order property
+    index, which downstream blocking keys on alongside prop.
+
+    Map-only: one regexp_extract_all + posexplode, three per-match
+    extracts — same shape as meta_tags.
+    """
+    elems = F.regexp_extract_all(F.col(html_col), F.lit(MICRO_ELEM),
+                                 F.lit(0))
+    ex = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(elems).alias("__pos", "__elem"),
+    )
+    content = F.regexp_extract("__elem", MICRO_CONTENT, 1)
+    text = F.trim(F.regexp_extract("__elem", MICRO_TEXT, 1))
+    return ex.select(
+        "url",
+        (F.col("__pos") + 1).cast("long").alias("item_no"),
+        F.regexp_extract("__elem", MICRO_PROP, 1).alias("prop"),
+        F.when(content != "", content).otherwise(text).alias("value"),
     )
 
 

@@ -458,3 +458,32 @@ def test_triple_intervals_single_shuffle(spark):
     )
     p = plan(triple_intervals(obs))
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_fuse_facts_broadcasts_weight_table(spark):
+    """The source-weight table is schema-sized: it must broadcast, and the
+    observation stream must partial-aggregate before the key shuffle."""
+    from kgspark.fusion import fuse_facts
+
+    obs = spark.createDataFrame(
+        [("e", "p", "x", "s1")],
+        "subj string, pred string, obj string, source string",
+    )
+    w = spark.createDataFrame([("s1", 100)], "source string, weight_ppm long")
+    p = plan(fuse_facts(obs, w))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_sameas_rewrite_broadcasts_map(spark):
+    """Both endpoint-rewrite joins broadcast the sameAs map — the triple
+    stream is never shuffled until the duplicate-collapsing groupBy."""
+    from kgspark.canon import sameas_rewrite
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    sameas = spark.createDataFrame([("a", "b")], "a string, b string")
+    p = plan(sameas_rewrite(triples, sameas))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "partial_count" in p

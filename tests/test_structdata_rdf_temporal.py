@@ -154,3 +154,82 @@ def test_asof_snapshot_filter_and_tiebreak(spark):
     rows = asof_snapshot(obs, 5).collect()
     got = {(r.subj, r.pred, r.obj, r.as_of_ts) for r in rows}
     assert got == {("e", "p", "new", 5), ("e", "q", "b", 5)}
+
+
+def test_microdata_content_vs_text_value(spark):
+    html = (
+        '<div itemscope><span itemprop="name"> Ada </span>'
+        '<meta itemprop="wc" content="42"/>'
+        '<a itemprop="url" href="/x">home</a>'
+        '<b>no prop</b></div>'
+    )
+    from kgspark.structdata import microdata_items
+
+    out = microdata_items(_pages(spark, [("u", html)])).collect()
+    got = {(r.item_no, r.prop, r.value) for r in out}
+    assert got == {(1, "name", "Ada"), (2, "wc", "42"), (3, "url", "home")}
+
+
+def test_fuse_facts_weighted_vote_and_missing_source(spark):
+    from kgspark.fusion import fuse_facts
+
+    obs = spark.createDataFrame(
+        [
+            ("e", "p", "x", "s1"), ("e", "p", "x", "s1"),
+            ("e", "p", "y", "s2"),              # heavier single vote wins
+            ("e", "q", "a", "s3"), ("e", "q", "b", "s3"),  # tie -> asc obj
+            ("f", "p", "z", "s_unknown"),       # weight-0 vote still counts
+        ],
+        "subj string, pred string, obj string, source string",
+    )
+    w = spark.createDataFrame(
+        [("s1", 100), ("s2", 300), ("s3", 50)],
+        "source string, weight_ppm long",
+    )
+    got = {
+        (r.subj, r.pred): (r.obj, r.score_ppm, r.n_votes, r.n_candidates)
+        for r in fuse_facts(obs, w).collect()
+    }
+    assert got[("e", "p")] == ("y", 300, 1, 2)
+    assert got[("e", "q")] == ("a", 50, 1, 2)
+    assert got[("f", "p")] == ("z", 0, 1, 1)
+
+
+def test_triple_provenance_rollup(spark):
+    from kgspark.fusion import triple_provenance
+
+    obs = spark.createDataFrame(
+        [
+            ("e", "p", "x", "s1", 3), ("e", "p", "x", "s2", 7),
+            ("e", "p", "x", "s1", 5), ("e", "p", "y", "s1", 9),
+        ],
+        "subj string, pred string, obj string, source string, ts long",
+    )
+    got = {
+        (r.subj, r.pred, r.obj):
+            (r.n_obs, r.n_sources, r.first_seen, r.last_seen)
+        for r in triple_provenance(obs).collect()
+    }
+    assert got[("e", "p", "x")] == (3, 2, 3, 7)
+    assert got[("e", "p", "y")] == (1, 1, 9, 9)
+
+
+def test_sameas_rewrite_transitive_chain_collapses(spark):
+    from kgspark.canon import sameas_rewrite
+
+    triples = spark.createDataFrame(
+        [
+            ("a", "p", "q"), ("b", "p", "q"),   # a~b~c: both collapse
+            ("c", "r", "b"),                    # obj rewrites too
+            ("z", "p", "q"),                    # untouched entity
+        ],
+        "subj string, pred string, obj string",
+    )
+    sameas = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "a string, b string"
+    )
+    got = {
+        (r.subj, r.pred, r.obj): r.n_merged
+        for r in sameas_rewrite(triples, sameas).collect()
+    }
+    assert got == {("a", "p", "q"): 2, ("a", "r", "a"): 1, ("z", "p", "q"): 1}
