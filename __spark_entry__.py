@@ -3878,6 +3878,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ))
         return sameas_rewrite(t, pairs)
 
+    def kg_entity_card(spark, sf_dir):
+        # bounded per-entity fact summaries (kgspark/graph_api.py
+        # entity_card): ~16 facts per subject, cap 12 so truncation is
+        # exercised (n_facts > 12 with a 12-fact card)
+        from kgspark.graph_api import entity_card
+
+        docs = _read(spark, sf_dir, "documents")
+        t = docs.select(
+            F.concat(F.lit("e"), (F.col("doc_id") % 30).cast("string"))
+            .alias("subj"),
+            F.concat(F.lit("p"), (F.col("doc_id") % 5).cast("string"))
+            .alias("pred"),
+            F.concat(F.lit("o"),
+                     ((F.col("doc_id") * 3) % 40).cast("string"))
+            .alias("obj"),
+        )
+        return entity_card(t, max_facts=12)
+
+    def kg_fact_churn(spark, sf_dir):
+        # per-predicate fact volatility census over the same observation
+        # stream as kg_triple_intervals (kgspark/temporal.py fact_churn)
+        from kgspark.temporal import fact_churn
+
+        return fact_churn(_kg_obs(spark, sf_dir))
+
+    def web_canonical(spark, sf_dir):
+        # declared rel=canonical clustering (kgspark/web.py
+        # canonical_clusters); every 5th page omits the tag
+        from kgspark.web import canonical_clusters
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        site = (F.col("doc_id") % 50).cast("string")
+        canon = F.concat(F.lit("https://www.s"), site,
+                         F.lit(".example.com/c/"),
+                         (F.col("doc_id") % 150).cast("string"))
+        html = F.concat(
+            F.lit("<html><head>"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit('<link rel="canonical" href="'), canon,
+                         F.lit('"/>'))
+            ),
+            F.lit("</head><body>x</body></html>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://www.s"), site, F.lit(".example.com/p/"),
+                     d).alias("url"),
+            html.alias("html"),
+        )
+        return canonical_clusters(pages)
+
+    def kg_shapes(spark, sf_dir):
+        # SHACL-lite shape audit (kgspark/schema_induce.py shape_report):
+        # int/iri/text kind checks + per-subject cardinality caps, with
+        # deliberate violations seeded on residues 11 and 13 and a
+        # 3-assertion subject tail over p3's cap of 2
+        from kgspark.schema_induce import shape_report
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        obj = (
+            F.when(
+                d % 4 == 0,
+                F.when(d % 11 == 0, F.lit("n/a"))
+                .otherwise((d % 90).cast("string")),
+            )
+            .when(
+                d % 4 == 1,
+                F.when(d % 13 == 0,
+                       F.concat(F.lit("bare"), d.cast("string")))
+                .otherwise(F.concat(F.lit("https://e/"),
+                                    (d % 50).cast("string"))),
+            )
+            .when(d % 4 == 2,
+                  F.concat(F.lit("w"), (d % 30).cast("string")))
+            .otherwise((d % 7).cast("string"))
+        )
+        t = docs.select(
+            F.concat(F.lit("e"), (d % 60).cast("string")).alias("subj"),
+            F.concat(F.lit("p"), (d % 4).cast("string")).alias("pred"),
+            obj.alias("obj"),
+        )
+        shapes = spark.createDataFrame(
+            [("p0", "int", 99), ("p1", "iri", 99), ("p2", "text", 99),
+             ("p3", "int", 2)],
+            "pred string, kind string, max_per_subj int",
+        )
+        return shape_report(t, shapes)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4105,6 +4194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_fusion": kg_fact_fusion,
         "kg_provenance": kg_provenance,
         "kg_sameas_rewrite": kg_sameas_rewrite,
+        "kg_entity_card": kg_entity_card,
+        "kg_fact_churn": kg_fact_churn,
+        "web_canonical": web_canonical,
+        "kg_shapes": kg_shapes,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9020,6 +9113,107 @@ rw AS (
 )
 SELECT subj, pred, obj, count(*)::BIGINT AS n_merged
 FROM rw GROUP BY 1, 2, 3
+""",
+        # kgspark.graph_api.entity_card: rank-within-subject cap BEFORE
+        # the aggregation, lexicographic card order
+        "kg_entity_card": """
+WITH f AS (
+  SELECT 'e' || (doc_id % 30) AS subj,
+         'p' || (doc_id % 5) || '=' || 'o' || ((doc_id * 3) % 40) AS fact
+  FROM documents
+),
+r AS (
+  SELECT subj, fact,
+         row_number() OVER (PARTITION BY subj ORDER BY fact) AS rn,
+         count(*) OVER (PARTITION BY subj) AS tot
+  FROM f
+)
+SELECT subj, max(tot)::BIGINT AS n_facts,
+       string_agg(fact, '|' ORDER BY fact) AS card
+FROM r WHERE rn <= 12 GROUP BY subj
+""",
+        # kgspark.temporal.fact_churn: lag-change flag summed per key,
+        # then a predicate-level volatility census
+        "kg_fact_churn": """
+WITH obs AS (
+  SELECT 'e' || (doc_id % 23) AS subj, 'p' || (doc_id % 2) AS pred,
+         'v' || ((doc_id // 150) % 3) AS obj, doc_id AS ts
+  FROM documents
+),
+fl AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS NULL
+                      OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS chg
+  FROM obs WINDOW w AS (PARTITION BY subj, pred ORDER BY ts)
+),
+pk AS (
+  SELECT subj, pred, sum(chg) AS iv, count(*) AS n
+  FROM fl GROUP BY 1, 2
+)
+SELECT pred, count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_obs,
+       sum(iv)::BIGINT AS n_intervals,
+       sum(CASE WHEN iv > 1 THEN 1 ELSE 0 END)::BIGINT AS n_changed_keys,
+       max(iv)::BIGINT AS max_intervals
+FROM pk GROUP BY pred
+""",
+        # kgspark.web.canonical_clusters: declared-canonical grouping,
+        # tag-less pages (every 5th) drop out
+        "web_canonical": """
+WITH cp AS (
+  SELECT 'https://www.s' || (doc_id % 50) || '.example.com/p/' || doc_id
+           AS url,
+         CASE WHEN doc_id % 5 = 0 THEN ''
+              ELSE 'https://www.s' || (doc_id % 50) || '.example.com/c/'
+                   || (doc_id % 150) END AS canonical
+  FROM documents
+)
+SELECT canonical, count(*)::BIGINT AS n_pages,
+       count(DISTINCT url)::BIGINT AS n_urls, min(url) AS min_url
+FROM cp WHERE canonical <> '' GROUP BY canonical
+""",
+        # kgspark.schema_induce.shape_report: same syntactic kind
+        # detection + per-subject cardinality, shapes as VALUES
+        "kg_shapes": """
+WITH t AS (
+  SELECT 'e' || (doc_id % 60) AS subj, 'p' || (doc_id % 4) AS pred,
+         CASE WHEN doc_id % 4 = 0 THEN
+                CASE WHEN doc_id % 11 = 0 THEN 'n/a'
+                     ELSE (doc_id % 90)::VARCHAR END
+              WHEN doc_id % 4 = 1 THEN
+                CASE WHEN doc_id % 13 = 0 THEN 'bare' || doc_id
+                     ELSE 'https://e/' || (doc_id % 50) END
+              WHEN doc_id % 4 = 2 THEN 'w' || (doc_id % 30)
+              ELSE (doc_id % 7)::VARCHAR END AS obj
+  FROM documents
+),
+sh(pred, kind, maxc) AS (
+  VALUES ('p0', 'int', 99), ('p1', 'iri', 99), ('p2', 'text', 99),
+         ('p3', 'int', 2)
+),
+j AS (
+  SELECT t.subj, t.pred, sh.maxc,
+         CASE WHEN (CASE WHEN regexp_matches(obj, '^[0-9]+$') THEN 'int'
+                         WHEN starts_with(obj, 'http://')
+                              OR starts_with(obj, 'https://') THEN 'iri'
+                         ELSE 'text' END) <> sh.kind
+              THEN 1 ELSE 0 END AS bad
+  FROM t JOIN sh USING (pred)
+),
+bp AS (
+  SELECT pred, count(*)::BIGINT AS n_triples, sum(bad)::BIGINT AS n_type_bad
+  FROM j GROUP BY pred
+),
+bs0 AS (
+  SELECT pred, subj, count(*) AS n, max(maxc) AS maxc
+  FROM j GROUP BY 1, 2
+),
+bs AS (
+  SELECT pred, count(*)::BIGINT AS n_subj,
+         sum(CASE WHEN n > maxc THEN 1 ELSE 0 END)::BIGINT
+           AS n_subj_over_card
+  FROM bs0 GROUP BY pred
+)
+SELECT bp.pred, n_triples, n_type_bad, n_subj, n_subj_over_card
+FROM bp JOIN bs USING (pred)
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

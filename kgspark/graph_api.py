@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -211,4 +211,44 @@ def relation_profile(triples: DataFrame) -> DataFrame:
         "pred", "n_edges", "n_subj", "n_obj", "max_out", "max_in",
         (F.col("max_out") == 1).alias("functional"),
         (F.col("max_in") == 1).alias("inverse_functional"),
+    )
+
+
+def entity_card(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    max_facts: int = 12,
+) -> DataFrame:
+    """Per-entity summary card — (subj, n_facts, card) where card is the
+    first `max_facts` outgoing assertions rendered `pred=obj`, sorted
+    lexicographically and pipe-joined: the concise-bounded-description
+    export a serving layer or an LLM-context builder reads per entity.
+    n_facts counts ALL facts, so a truncated card is detectable
+    (n_facts > max_facts).
+
+    The cap is applied BEFORE collect_list, so a hub entity with millions
+    of assertions never materializes an unbounded array: one window +
+    groupBy on the same key — a single shuffle, and the per-group state
+    is max_facts strings.
+    """
+    fact = F.concat(F.col(pred_col), F.lit("="), F.col(obj_col))
+    ranked = triples.select(
+        F.col(subj_col).alias("subj"), fact.alias("__fact")
+    ).select(
+        "subj", "__fact",
+        F.row_number().over(
+            Window.partitionBy("subj").orderBy("__fact")
+        ).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("subj")).alias("__tot"),
+    )
+    return (
+        ranked.where(F.col("__rn") <= max_facts)
+        .groupBy("subj")
+        .agg(
+            F.max("__tot").cast("long").alias("n_facts"),
+            F.array_join(F.sort_array(F.collect_list("__fact")), "|")
+            .alias("card"),
+        )
     )

@@ -87,3 +87,65 @@ def induce_schema(df: DataFrame, json_col: str = "raw_json") -> DataFrame:
         .select("r.kind", "r.a", "r.rel", "r.b")
         .distinct()
     )
+
+
+def shape_report(
+    triples: DataFrame,
+    shapes: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    kind_col: str = "kind",
+    max_card_col: str = "max_per_subj",
+) -> DataFrame:
+    """SHACL-lite shape validation census: per shaped predicate, how many
+    assertions conform to the declared object kind and how many subjects
+    exceed the declared per-subject cardinality -> (pred, n_triples,
+    n_type_bad, n_subj, n_subj_over_card). Object kinds are detected
+    syntactically: 'int' = all-digits, 'iri' = http(s) scheme, 'text' =
+    anything else (the W3C SHACL datatype/maxCount constraint pair,
+    reduced to the lexical checks a string triple store can make).
+    Unshaped predicates are not reported — shapes drive the audit.
+
+    The shape table is schema-sized and broadcasts; the two censuses are
+    partial-aggregated groupBys ((pred) and (pred, subj)) joined on the
+    predicate-sized result.
+    """
+    detected = (
+        F.when(F.col(obj_col).rlike("^[0-9]+$"), F.lit("int"))
+        .when(
+            F.col(obj_col).startswith("http://")
+            | F.col(obj_col).startswith("https://"),
+            F.lit("iri"),
+        )
+        .otherwise(F.lit("text"))
+    )
+    j = triples.join(
+        F.broadcast(
+            shapes.select(
+                F.col(pred_col).alias("__p"),
+                F.col(kind_col).alias("__kind"),
+                F.col(max_card_col).alias("__maxc"),
+            )
+        ),
+        triples[pred_col] == F.col("__p"),
+    ).select(
+        F.col(subj_col).alias("subj"), F.col("__p").alias("pred"),
+        (detected != F.col("__kind")).cast("int").alias("__bad"),
+        F.col("__maxc").alias("__maxc"),
+    )
+    by_pred = j.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.sum("__bad").cast("long").alias("n_type_bad"),
+    )
+    by_subj = (
+        j.groupBy("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("__maxc").alias("__maxc"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subj"),
+            F.sum(F.when(F.col("__n") > F.col("__maxc"), 1).otherwise(0))
+            .cast("long").alias("n_subj_over_card"),
+        )
+    )
+    return by_pred.join(by_subj, "pred")

@@ -81,3 +81,38 @@ def asof_snapshot(obs: DataFrame, as_of, subj_col: str = "subj",
             F.col(ts_col).alias("as_of_ts"),
         )
     )
+
+
+def fact_churn(obs: DataFrame, subj_col: str = "subj",
+               pred_col: str = "pred", obj_col: str = "obj",
+               ts_col: str = "ts") -> DataFrame:
+    """Per-predicate fact volatility census over the observation stream:
+    (pred, n_keys, n_obs, n_intervals, n_changed_keys, max_intervals).
+    A key's interval count is its number of value runs (the same
+    lag-change flag triple_intervals islands on, summed instead of
+    grouped); n_changed_keys counts keys whose value changed at least
+    once. The census tells a recrawl scheduler which predicates are
+    volatile (revisit often) vs append-only facts.
+
+    One window shuffle on the fact key reused by the per-key groupBy,
+    then a predicate-sized aggregation.
+    """
+    w = Window.partitionBy(subj_col, pred_col).orderBy(ts_col)
+    chg = F.when(
+        F.lag(obj_col).over(w).isNull()
+        | (F.lag(obj_col).over(w) != F.col(obj_col)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_key = (
+        obs.withColumn("__chg", chg)
+        .groupBy(subj_col, pred_col)
+        .agg(F.sum("__chg").alias("__iv"), F.count(F.lit(1)).alias("__n"))
+    )
+    return per_key.groupBy(F.col(pred_col).alias("pred")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__n").cast("long").alias("n_obs"),
+        F.sum("__iv").cast("long").alias("n_intervals"),
+        F.sum(F.when(F.col("__iv") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_changed_keys"),
+        F.max("__iv").cast("long").alias("max_intervals"),
+    )

@@ -859,3 +859,32 @@ def sitemap_urls(df: DataFrame, xml_col: str = "xml",
         child("changefreq").alias("changefreq"),
         child("priority").alias("priority"),
     )
+
+
+CANONICAL_LINK = '<link rel="canonical" href="([^"]*)"'
+
+
+def canonical_clusters(df: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """Group pages by their DECLARED rel=canonical target -> (canonical,
+    n_pages, n_urls, min_url). Publishers mark parametrized/mirrored
+    variants with <link rel="canonical">; clustering on it collapses them
+    without any content comparison — the declared-intent complement to
+    url_dedup's syntactic normalization (Google/sitemaps canonicalization
+    practice). Pages without the tag are out (they are their own
+    canonical).
+
+    One regexp_extract + one partial-aggregated groupBy on the canonical
+    URL; count_distinct rides Spark's two-phase distinct aggregation.
+    """
+    canon = F.regexp_extract(F.col(html_col), CANONICAL_LINK, 1)
+    return (
+        df.select(F.col(url_col).alias("url"), canon.alias("canonical"))
+        .where(F.col("canonical") != "")
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.min("url").alias("min_url"),
+        )
+    )

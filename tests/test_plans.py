@@ -487,3 +487,28 @@ def test_sameas_rewrite_broadcasts_map(spark):
     p = plan(sameas_rewrite(triples, sameas))
     assert p.count("BroadcastHashJoin") >= 2
     assert "partial_count" in p
+
+
+def test_entity_card_single_shuffle(spark):
+    """The window cap and the card groupBy share the subject key — one
+    exchange; a hub entity never materializes an unbounded array."""
+    from kgspark.graph_api import entity_card
+
+    t = spark.createDataFrame(
+        [("e", "p", "o")], "subj string, pred string, obj string"
+    )
+    assert plan(entity_card(t)).count("Exchange hashpartitioning") == 1
+
+
+def test_shape_report_broadcasts_shapes(spark):
+    from kgspark.schema_induce import shape_report
+
+    t = spark.createDataFrame(
+        [("s", "p", "1")], "subj string, pred string, obj string"
+    )
+    sh = spark.createDataFrame(
+        [("p", "int", 9)], "pred string, kind string, max_per_subj int"
+    )
+    p = plan(shape_report(t, sh))
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p

@@ -233,3 +233,72 @@ def test_sameas_rewrite_transitive_chain_collapses(spark):
         for r in sameas_rewrite(triples, sameas).collect()
     }
     assert got == {("a", "p", "q"): 2, ("a", "r", "a"): 1, ("z", "p", "q"): 1}
+
+
+def test_entity_card_truncation_and_order(spark):
+    from kgspark.graph_api import entity_card
+
+    triples = spark.createDataFrame(
+        [("e", "b", str(i)) for i in range(5)] + [("e", "a", "x"),
+                                                  ("f", "p", "q")],
+        "subj string, pred string, obj string",
+    )
+    got = {r.subj: (r.n_facts, r.card)
+           for r in entity_card(triples, max_facts=3).collect()}
+    # cap keeps the 3 lexicographically-first facts; n_facts counts all 6
+    assert got["e"] == (6, "a=x|b=0|b=1")
+    assert got["f"] == (1, "p=q")
+
+
+def test_fact_churn_census(spark):
+    from kgspark.temporal import fact_churn
+
+    obs = _obs(spark, [
+        ("e", "p", "a", 1), ("e", "p", "b", 2), ("e", "p", "b", 3),
+        ("f", "p", "z", 1),
+        ("e", "q", "x", 1), ("e", "q", "y", 2), ("e", "q", "x", 3),
+    ])
+    obs = obs.withColumn("__dummy", obs.ts).drop("__dummy")
+    got = {r.pred: (r.n_keys, r.n_obs, r.n_intervals, r.n_changed_keys,
+                    r.max_intervals)
+           for r in fact_churn(obs).collect()}
+    assert got["p"] == (2, 4, 3, 1, 2)   # e/p: 2 runs; f/p: 1 run
+    assert got["q"] == (1, 3, 3, 1, 3)   # x->y->x = 3 runs
+
+
+def test_canonical_clusters_groups_declared_targets(spark):
+    from kgspark.web import canonical_clusters
+
+    mk = '<link rel="canonical" href="%s"/>'
+    pages = _pages(spark, [
+        ("u1", mk % "https://c/1"), ("u2", mk % "https://c/1"),
+        ("u2", mk % "https://c/1"),          # same url twice
+        ("u3", mk % "https://c/2"),
+        ("u4", "<html>no tag</html>"),
+    ])
+    got = {r.canonical: (r.n_pages, r.n_urls, r.min_url)
+           for r in canonical_clusters(pages).collect()}
+    assert got == {"https://c/1": (3, 2, "u1"), "https://c/2": (1, 1, "u3")}
+
+
+def test_shape_report_kind_and_cardinality(spark):
+    from kgspark.schema_induce import shape_report
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "age", "41"), ("s1", "age", "xx"),      # 1 type-bad
+            ("s2", "age", "7"),
+            ("s1", "link", "https://a"), ("s1", "link", "http://b"),
+            ("s1", "link", "https://c"),                   # s1 over cap 2
+            ("s2", "link", "nope"),                        # type-bad
+        ],
+        "subj string, pred string, obj string",
+    )
+    shapes = spark.createDataFrame(
+        [("age", "int", 9), ("link", "iri", 2)],
+        "pred string, kind string, max_per_subj int",
+    )
+    got = {r.pred: (r.n_triples, r.n_type_bad, r.n_subj, r.n_subj_over_card)
+           for r in shape_report(triples, shapes).collect()}
+    assert got["age"] == (3, 1, 2, 0)
+    assert got["link"] == (4, 1, 2, 1)
