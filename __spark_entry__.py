@@ -3967,6 +3967,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return shape_report(t, shapes)
 
+    def _rdfs_schema(spark, sf_dir):
+        # ontology derived from the data + literal property axioms:
+        # every is_a type ("standard part") specializes "part" which
+        # specializes "thing" (a 2-level chain, so the closure genuinely
+        # adds depth-2 edges); 'has' is a sub-property of the asserted
+        # 'related_to' (entailments dedup to asserted) and 'belongs_to'
+        # of the NEW 'associated_with'; has's domain/range type both
+        # endpoints
+        t = _extract_triples(spark, sf_dir)
+        typs = t.where(F.col("pred") == "is_a").select(
+            F.col("obj").alias("typ")
+        ).distinct()
+        sc = typs.select(
+            F.col("typ").alias("s"), F.lit("subClassOf").alias("p"),
+            F.lit("part").alias("o"),
+        )
+        lit = spark.createDataFrame(
+            [("part", "subClassOf", "thing"),
+             ("has", "subPropertyOf", "related_to"),
+             ("belongs_to", "subPropertyOf", "associated_with"),
+             ("has", "domain", "branded item"),
+             ("has", "range", "brand")],
+            "s string, p string, o string",
+        )
+        return t, sc.union(lit)
+
+    def kg_rdfs(spark, sf_dir):
+        # rho-df RDFS materialization (kgspark/reason.py rdfs_materialize):
+        # schema closed first (WebPIE ordering), then ONE broadcast-join
+        # pass — rdfs7 sub-property, rdfs2/3 domain-range typing, rdfs9
+        # supertyping through the 2-level subClassOf chain
+        from kgspark.reason import rdfs_materialize
+
+        t, schema = _rdfs_schema(spark, sf_dir)
+        return rdfs_materialize(t, schema, type_pred="is_a")
+
+    def kg_owl_infer(spark, sf_dir):
+        # OWL-Horst property rules (kgspark/reason.py owl_property_rules):
+        # inverseOf(has_instance, instance_of) mints new reversed facts,
+        # symmetric(related_to) dedups to asserted (idempotence proof),
+        # transitive(is_a) closes the 3-hop entity->type->part->thing
+        # chain once the subclass edges are asserted as is_a facts
+        from kgspark.reason import owl_property_rules
+
+        t, schema = _rdfs_schema(spark, sf_dir)
+        base = t.select("subj", "pred", "obj").union(
+            schema.where(F.col("p") == "subClassOf").select(
+                F.col("s").alias("subj"), F.lit("is_a").alias("pred"),
+                F.col("o").alias("obj"),
+            )
+        )
+        axioms = spark.createDataFrame(
+            [("has_instance", "inverseOf", "instance_of"),
+             ("related_to", "symmetric", "true"),
+             ("is_a", "transitive", "true")],
+            "s string, p string, o string",
+        )
+        return owl_property_rules(base, axioms, trans_depth=4)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4198,6 +4257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_churn": kg_fact_churn,
         "web_canonical": web_canonical,
         "kg_shapes": kg_shapes,
+        "kg_rdfs": kg_rdfs,
+        "kg_owl_infer": kg_owl_infer,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9214,6 +9275,111 @@ bs AS (
 )
 SELECT bp.pred, n_triples, n_type_bad, n_subj, n_subj_over_card
 FROM bp JOIN bs USING (pred)
+""",
+        # kgspark.reason.rdfs_materialize: schema closed (depth-2 chain
+        # unrolled), then rdfs7 -> rdfs2/3 -> rdfs9 in one pass; min-rank
+        # dedup, ranks follow kgspark.reason._RULE_PRIORITY
+        "kg_rdfs": f"""
+WITH {_PARTS_ORACLE_CTE},
+rf_t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+rf_typ AS (SELECT DISTINCT obj AS typ FROM rf_t WHERE pred = 'is_a'),
+rf_sc AS (
+  SELECT typ AS s, 'part' AS o FROM rf_typ
+  UNION SELECT 'part', 'thing'
+),
+rf_scc AS (
+  SELECT s, o FROM rf_sc WHERE s <> o
+  UNION
+  SELECT a.s, b.o FROM rf_sc a JOIN rf_sc b ON a.o = b.s AND a.s <> b.o
+),
+rf_sp(s, o) AS (VALUES ('has', 'related_to'),
+                       ('belongs_to', 'associated_with')),
+rf_dom(s, o) AS (VALUES ('has', 'branded item')),
+rf_rng(s, o) AS (VALUES ('has', 'brand')),
+rf_base AS (SELECT subj, pred, obj, 0 AS rk FROM rf_t),
+rf_r7 AS (
+  SELECT t.subj, sp.o AS pred, t.obj, 1 AS rk
+  FROM rf_t t JOIN rf_sp sp ON sp.s = t.pred
+),
+rf_t1 AS (SELECT * FROM rf_base UNION ALL SELECT * FROM rf_r7),
+rf_r2 AS (
+  SELECT t.subj, 'is_a' AS pred, d.o AS obj, 2 AS rk
+  FROM rf_t1 t JOIN rf_dom d ON d.s = t.pred
+),
+rf_r3 AS (
+  SELECT t.obj AS subj, 'is_a' AS pred, r.o AS obj, 3 AS rk
+  FROM rf_t1 t JOIN rf_rng r ON r.s = t.pred
+),
+rf_t2 AS (
+  SELECT * FROM rf_t1 UNION ALL SELECT * FROM rf_r2
+  UNION ALL SELECT * FROM rf_r3
+),
+rf_r9 AS (
+  SELECT t.subj, 'is_a' AS pred, c.o AS obj, 4 AS rk
+  FROM rf_t2 t JOIN rf_scc c ON c.s = t.obj
+  WHERE t.pred = 'is_a'
+),
+rf_all AS (SELECT * FROM rf_t2 UNION ALL SELECT * FROM rf_r9)
+SELECT subj, pred, obj,
+       CASE min(rk) WHEN 0 THEN 'asserted' WHEN 1 THEN 'rdfs7'
+            WHEN 2 THEN 'rdfs2' WHEN 3 THEN 'rdfs3'
+            ELSE 'rdfs9' END AS rule
+FROM rf_all GROUP BY 1, 2, 3
+""",
+        # kgspark.reason.owl_property_rules over base+subclass-as-is_a:
+        # inverseOf / symmetric single joins, transitive is_a closure
+        # unrolled to the data's 3-hop depth; min-rank dedup (inv=5,
+        # sym=6, trans=7 per _RULE_PRIORITY)
+        "kg_owl_infer": f"""
+WITH {_PARTS_ORACLE_CTE},
+ow_typ AS (
+  SELECT DISTINCT obj AS typ FROM triples WHERE pred = 'is_a'
+),
+ow_sc AS (
+  SELECT typ AS s, 'part' AS o FROM ow_typ
+  UNION SELECT 'part', 'thing'
+),
+ow_t AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM triples
+    UNION ALL SELECT s, 'is_a', o FROM ow_sc
+  )
+),
+ow_base AS (SELECT subj, pred, obj, 0 AS rk FROM ow_t),
+ow_inv AS (
+  SELECT obj AS subj, 'instance_of' AS pred, subj AS obj, 5 AS rk
+  FROM ow_t WHERE pred = 'has_instance'
+),
+ow_sym AS (
+  SELECT obj AS subj, pred, subj AS obj, 6 AS rk
+  FROM ow_t WHERE pred = 'related_to'
+),
+ow_e AS (
+  SELECT subj AS s, obj AS o FROM ow_t
+  WHERE pred = 'is_a' AND subj <> obj
+),
+ow_d2 AS (
+  SELECT DISTINCT a.s, b.o FROM ow_e a JOIN ow_e b
+  ON a.o = b.s AND a.s <> b.o
+),
+ow_d3 AS (
+  SELECT DISTINCT a.s, b.o FROM ow_d2 a JOIN ow_e b
+  ON a.o = b.s AND a.s <> b.o
+),
+ow_tr AS (
+  SELECT s AS subj, 'is_a' AS pred, o AS obj, 7 AS rk FROM (
+    SELECT s, o FROM ow_d2 UNION SELECT s, o FROM ow_d3
+  ) c
+  WHERE NOT EXISTS (SELECT 1 FROM ow_e e WHERE e.s = c.s AND e.o = c.o)
+),
+ow_all AS (
+  SELECT * FROM ow_base UNION ALL SELECT * FROM ow_inv
+  UNION ALL SELECT * FROM ow_sym UNION ALL SELECT * FROM ow_tr
+)
+SELECT subj, pred, obj,
+       CASE min(rk) WHEN 0 THEN 'asserted' WHEN 5 THEN 'inv'
+            WHEN 6 THEN 'sym' ELSE 'trans' END AS rule
+FROM ow_all GROUP BY 1, 2, 3
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy
