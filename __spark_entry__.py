@@ -4026,6 +4026,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return owl_property_rules(base, axioms, trans_depth=4)
 
+    def kg_table_triples(spark, sf_dir):
+        # infobox mining: header-layout <table> cells lifted to
+        # (subj, pred, obj) facts (kgspark/structdata.py table_triples
+        # over html_tables). Each page carries one 3-col table: header
+        # (name, color, size), a data row for item{d%40} with inline
+        # markup to strip, and a row for thing{d} whose color cell is
+        # EMPTY — that triple must be dropped.
+        from kgspark.structdata import html_tables, table_triples
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        url = F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/p/"), d,
+        )
+        color = F.element_at(
+            F.array(*[F.lit(c) for c in
+                      ["red", "green", "blue", "cyan", "plum", "gold"]]),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        )
+        html = F.concat(
+            F.lit("<html><body><table>"
+                  "<tr><th>name</th><th>color</th><th>size</th></tr>"
+                  "<tr><td>item"), (F.col("doc_id") % 40).cast("string"),
+            F.lit("</td><td><i>"), color,
+            F.lit("</i></td><td> "), (F.col("doc_id") % 9).cast("string"),
+            F.lit(" </td></tr><tr><td>thing"), d,
+            F.lit("</td><td></td><td>"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("</td></tr></table></body></html>"),
+        )
+        pages = docs.select(url.alias("url"), html.alias("html"))
+        return table_triples(html_tables(pages))
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4259,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shapes": kg_shapes,
         "kg_rdfs": kg_rdfs,
         "kg_owl_infer": kg_owl_infer,
+        "kg_table_triples": kg_table_triples,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9380,6 +9414,28 @@ SELECT subj, pred, obj,
        CASE min(rk) WHEN 0 THEN 'asserted' WHEN 5 THEN 'inv'
             WHEN 6 THEN 'sym' ELSE 'trans' END AS rule
 FROM ow_all GROUP BY 1, 2, 3
+""",
+        # kgspark.structdata.table_triples over html_tables: the oracle
+        # reconstructs the expected facts from the synthesis arithmetic
+        # (the empty color cell of the thing-row never yields a triple)
+        "kg_table_triples": """
+WITH tt_d AS (
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 50) || '.example.com/p/' || doc_id
+           AS url,
+         'item' || (doc_id % 40) AS item_subj,
+         'thing' || doc_id AS thing_subj,
+         CASE doc_id % 6 WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+              WHEN 2 THEN 'blue' WHEN 3 THEN 'cyan' WHEN 4 THEN 'plum'
+              ELSE 'gold' END AS color
+  FROM documents
+)
+SELECT url, 1::BIGINT AS table_no, 2::BIGINT AS row_no,
+       item_subj AS subj, 'color' AS pred, color AS obj FROM tt_d
+UNION ALL
+SELECT url, 1, 2, item_subj, 'size', (doc_id % 9)::VARCHAR FROM tt_d
+UNION ALL
+SELECT url, 1, 3, thing_subj, 'size', (doc_id % 5)::VARCHAR FROM tt_d
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

@@ -242,3 +242,67 @@ def jsonld_triples(df: DataFrame, url_col: str = "url",
             })
 
     return ex.mapInPandas(parse, schema)
+
+
+def table_triples(cells: DataFrame, layout: str = "header") -> DataFrame:
+    """Lift flattened table cells (html_tables output) into KG facts —
+    the infobox/list-page mining step of web-scale KG construction
+    (reference keeps tables as opaque text, knowledgeGraph.py:43-55;
+    this is the structured channel it never taps).
+
+    layout='header' (horizontal list tables):
+      row 1 is the header; each later row describes the entity named in
+      its first cell: (subj=row col 1, pred=header[col], obj=cell) for
+      every col > 1 that has BOTH a header and a non-empty cell.
+    layout='attribute' (vertical infobox tables):
+      no header; every row with >= 2 cells is a fact about the PAGE:
+      (subj=url, pred=col-1 cell, obj=col-2 cell).
+
+    Empty subjects/preds/objs are dropped (stripped markup leaves ''
+    cells). Output: (url, table_no, row_no, subj, pred, obj).
+
+    Scale shape: two (one for 'attribute') self-equi-joins keyed on
+    (url, table_no) — both sides partition identically so the second
+    join reuses the first's exchange; header/subject sides are
+    row-pruned before shuffling. No UDF, no collect.
+    """
+    if layout == "attribute":
+        k = cells.where((F.col("col_no") == 1) & (F.col("cell") != ""))
+        v = cells.where((F.col("col_no") == 2) & (F.col("cell") != ""))
+        return (
+            k.alias("k")
+            .join(
+                v.alias("v"),
+                (F.col("k.url") == F.col("v.url"))
+                & (F.col("k.table_no") == F.col("v.table_no"))
+                & (F.col("k.row_no") == F.col("v.row_no")),
+            )
+            .select(
+                F.col("k.url").alias("url"),
+                F.col("k.table_no").alias("table_no"),
+                F.col("k.row_no").alias("row_no"),
+                F.col("k.url").alias("subj"),
+                F.col("k.cell").alias("pred"),
+                F.col("v.cell").alias("obj"),
+            )
+        )
+    if layout != "header":
+        raise ValueError(f"layout must be 'header' or 'attribute', got {layout!r}")
+    hdr = (
+        cells.where((F.col("row_no") == 1) & (F.col("cell") != ""))
+        .select("url", "table_no", "col_no", F.col("cell").alias("pred"))
+    )
+    subj = (
+        cells.where((F.col("row_no") > 1) & (F.col("col_no") == 1)
+                    & (F.col("cell") != ""))
+        .select("url", "table_no", "row_no", F.col("cell").alias("subj"))
+    )
+    data = cells.where(
+        (F.col("row_no") > 1) & (F.col("col_no") > 1) & (F.col("cell") != "")
+    )
+    return (
+        data.join(hdr, ["url", "table_no", "col_no"])
+        .join(subj, ["url", "table_no", "row_no"])
+        .select("url", "table_no", "row_no", "subj", "pred",
+                F.col("cell").alias("obj"))
+    )

@@ -302,3 +302,49 @@ def test_shape_report_kind_and_cardinality(spark):
            for r in shape_report(triples, shapes).collect()}
     assert got["age"] == (3, 1, 2, 0)
     assert got["link"] == (4, 1, 2, 1)
+
+
+def test_table_triples_header_layout(spark):
+    from kgspark.structdata import table_triples
+
+    html = (
+        "<table><tr><th>name</th><th>color</th></tr>"
+        "<tr><td>a</td><td>red</td></tr>"
+        "<tr><td>b</td><td></td></tr>"          # empty obj -> dropped
+        "<tr><td></td><td>blue</td></tr>"       # empty subj -> dropped
+        "<tr><td>c</td><td>green</td><td>9</td></tr>"  # no header col 3
+        "</table>"
+    )
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    got = {
+        (r.subj, r.pred, r.obj, r.row_no)
+        for r in table_triples(html_tables(pages)).collect()
+    }
+    assert got == {("a", "color", "red", 2), ("c", "color", "green", 5)}
+
+
+def test_table_triples_attribute_layout(spark):
+    from kgspark.structdata import table_triples
+
+    html = (
+        "<table><tr><td>born</td><td>1912</td></tr>"
+        "<tr><td>field</td><td>logic</td></tr>"
+        "<tr><td>orphan</td></tr>"              # no value cell -> dropped
+        "</table>"
+    )
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in table_triples(html_tables(pages), layout="attribute").collect()
+    }
+    assert got == {("u", "born", "1912"), ("u", "field", "logic")}
+
+
+def test_table_triples_bad_layout_raises(spark):
+    import pytest as _pytest
+    from kgspark.structdata import table_triples
+
+    pages = spark.createDataFrame([("u", "<table></table>")],
+                                  "url string, html string")
+    with _pytest.raises(ValueError, match="layout"):
+        table_triples(html_tables(pages), layout="pivot")
