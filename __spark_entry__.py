@@ -4059,6 +4059,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.select(url.alias("url"), html.alias("html"))
         return table_triples(html_tables(pages))
 
+    def kg_paths(spark, sf_dir):
+        # bounded simple-path enumeration (kgspark/graph_api.py
+        # paths_between): every <=2-hop directed path from a type node to
+        # a brand node, with the rendered "a -pred-> b" chain; the
+        # visited set blocks type->item->type backtracking
+        from kgspark.graph_api import paths_between
+
+        t = _extract_triples(spark, sf_dir)
+        starts = t.where(F.col("pred") == "is_a").select("obj").distinct()
+        ends = t.where(F.col("pred") == "has").select("obj").distinct()
+        return paths_between(t, starts, ends, max_hops=2)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4293,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs": kg_rdfs,
         "kg_owl_infer": kg_owl_infer,
         "kg_table_triples": kg_table_triples,
+        "kg_paths": kg_paths,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9436,6 +9449,25 @@ UNION ALL
 SELECT url, 1, 2, item_subj, 'size', (doc_id % 9)::VARCHAR FROM tt_d
 UNION ALL
 SELECT url, 1, 3, thing_subj, 'size', (doc_id % 5)::VARCHAR FROM tt_d
+""",
+        # kgspark.graph_api.paths_between: recursive CTE replica — same
+        # '|'-delimited visited guard, same path rendering, hop bound 2
+        "kg_paths": f"""
+WITH RECURSIVE {_PARTS_ORACLE_CTE},
+pb_e AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM triples),
+pb_st AS (SELECT DISTINCT obj AS n FROM triples WHERE pred = 'is_a'),
+pb_en AS (SELECT DISTINCT obj AS n FROM triples WHERE pred = 'has'),
+pb_walk(start, node, path, visited, hops) AS (
+  SELECT n, n, n, '|' || n || '|', 0 FROM pb_st
+  UNION ALL
+  SELECT w.start, e.o, w.path || ' -' || e.p || '-> ' || e.o,
+         w.visited || e.o || '|', w.hops + 1
+  FROM pb_walk w JOIN pb_e e ON e.s = w.node
+  WHERE w.hops < 2 AND position('|' || e.o || '|' IN w.visited) = 0
+)
+SELECT w.start, w.node AS end_node, w.hops::BIGINT AS hops, w.path
+FROM pb_walk w JOIN pb_en ON w.node = pb_en.n
+WHERE w.hops > 0
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

@@ -14,6 +14,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgspark.session import materialize
+
 
 def query_graph(triples: DataFrame, query: str) -> DataFrame:
     """Case-insensitive substring match on subject OR object (ref :679-686),
@@ -252,3 +254,78 @@ def entity_card(
             .alias("card"),
         )
     )
+
+
+def paths_between(
+    triples: DataFrame,
+    starts: DataFrame,
+    ends: DataFrame,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Enumerate SIMPLE directed paths from any start node to any end node
+    within max_hops edges: (start, end_node, hops, path) where path is the
+    human-readable chain "a -pred-> b -pred-> c" — the "how does X relate
+    to Y" explanation query the reference's UI answers by eyeballing the
+    rendered graph (ref templates/index.html force layout; no API exists).
+
+    starts/ends: one-column DataFrames of node names (first column used).
+
+    Semantics: simple paths only (a per-path visited set blocks revisits),
+    every qualifying path is emitted (not just shortest — kg_sssp covers
+    that), deterministic output. Path ENUMERATION is exponential in the
+    worst case by nature; the hop bound is the contract (bounded_closure
+    posture) and the intended inputs are pred-filtered or taxonomy-like
+    subgraphs. Use bounded_closure for reachability-only questions.
+
+    Scale shape: semi-naive frontier expansion — each round joins the
+    CURRENT frontier (paths of length r) against the edge table on one
+    key, shuffle partitioned by node; the visited check is a JVM-side
+    array_contains on a bounded (<= max_hops) array. Ends are joined once
+    per round so finished paths leave the frontier's lineage via
+    materialize().
+    """
+    if max_hops < 1:
+        raise ValueError(f"paths_between needs max_hops >= 1, got {max_hops}")
+    e = materialize(
+        triples.select(
+            F.col(subj_col).alias("s"), F.col(pred_col).alias("p"),
+            F.col(obj_col).alias("o"),
+        ).distinct()
+    )
+    st = starts.select(F.col(starts.columns[0]).alias("start")).distinct()
+    en = materialize(
+        ends.select(F.col(ends.columns[0]).alias("end_node")).distinct()
+    )
+    frontier = st.select(
+        "start",
+        F.col("start").alias("node"),
+        F.col("start").alias("path"),
+        F.array(F.col("start")).alias("visited"),
+    )
+    out = None
+    for hop in range(1, max_hops + 1):
+        frontier = materialize(
+            frontier.join(e, frontier["node"] == e["s"])
+            .where(~F.array_contains(F.col("visited"), F.col("o")))
+            .select(
+                "start",
+                F.col("o").alias("node"),
+                F.concat(
+                    F.col("path"), F.lit(" -"), F.col("p"), F.lit("-> "),
+                    F.col("o"),
+                ).alias("path"),
+                F.array_append(F.col("visited"), F.col("o")).alias("visited"),
+            )
+        )
+        hit = frontier.join(
+            en, frontier["node"] == en["end_node"]
+        ).select(
+            "start", "end_node", F.lit(hop).cast("long").alias("hops"), "path"
+        )
+        out = hit if out is None else out.unionByName(hit)
+        if frontier.limit(1).count() == 0:
+            break
+    return out

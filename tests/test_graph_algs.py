@@ -650,3 +650,30 @@ def test_skipgram_pairs_window_and_counts(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         skipgram_pairs(walks, window=0)
+
+
+def test_paths_between_simple_paths_and_bound(spark):
+    from kgspark.graph_api import paths_between
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("c", "r", "d"),
+         ("a", "x", "c"),            # alternate shorter route
+         ("b", "back", "a")],        # cycle edge: visited guard territory
+        "subj string, pred string, obj string",
+    )
+    st = spark.createDataFrame([("a",)], "n string")
+    en = spark.createDataFrame([("d",)], "n string")
+    got = {(r.hops, r.path) for r in paths_between(t, st, en, max_hops=3).collect()}
+    assert got == {
+        (2, "a -x-> c -r-> d"),
+        (3, "a -p-> b -q-> c -r-> d"),
+    }
+    # hop bound cuts the 3-edge path
+    got2 = {r.path for r in paths_between(t, st, en, max_hops=2).collect()}
+    assert got2 == {"a -x-> c -r-> d"}
+    # cycle a->b->a is never walked (start is in visited); no path inflation
+    en_a = spark.createDataFrame([("a",)], "n string")
+    assert paths_between(t, st, en_a, max_hops=3).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_hops"):
+        paths_between(t, st, en, max_hops=0)
