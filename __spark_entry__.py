@@ -4071,6 +4071,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ends = t.where(F.col("pred") == "has").select("obj").distinct()
         return paths_between(t, starts, ends, max_hops=2)
 
+    def kg_coref(spark, sf_dir):
+        # coref-lite recency heuristic (kgspark/coref.py resolve_pronouns):
+        # sentence-initial pronouns resolve to the nearest preceding
+        # sentence SUBJECT; every 3rd doc opens with an antecedent-less
+        # pronoun sentence that must stay unresolved (antecedent = '')
+        from kgspark.coref import resolve_pronouns
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        nm = F.concat(
+            F.element_at(
+                F.array(F.lit("Alice"), F.lit("Bob"), F.lit("Carol"),
+                        F.lit("Dan")),
+                (d % 4 + 1).cast("int"),
+            ),
+            (d % 20).cast("string"),
+        )
+        text = F.concat(
+            F.when(d % 3 == 0, F.lit("It is old. ")).otherwise(F.lit("")),
+            nm, F.lit(" founded Rome"), (d % 7).cast("string"),
+            F.lit(". It grew fast. She praised Eve"),
+            (d % 11).cast("string"), F.lit("."),
+        )
+        return resolve_pronouns(docs.select("doc_id", text.alias("text")))
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4306,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_infer": kg_owl_infer,
         "kg_table_triples": kg_table_triples,
         "kg_paths": kg_paths,
+        "kg_coref": kg_coref,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9468,6 +9494,49 @@ pb_walk(start, node, path, visited, hops) AS (
 SELECT w.start, w.node AS end_node, w.hops::BIGINT AS hops, w.path
 FROM pb_walk w JOIN pb_en ON w.node = pb_en.n
 WHERE w.hops > 0
+""",
+        # kgspark.coref.resolve_pronouns: same sentence regex, same
+        # subject pattern, IGNORE NULLS recency window
+        "kg_coref": """
+WITH cf_t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'It is old. ' ELSE '' END
+         || CASE doc_id % 4 WHEN 0 THEN 'Alice' WHEN 1 THEN 'Bob'
+                 WHEN 2 THEN 'Carol' ELSE 'Dan' END || (doc_id % 20)
+         || ' founded Rome' || (doc_id % 7)
+         || '. It grew fast. She praised Eve' || (doc_id % 11) || '.' AS t
+  FROM documents
+),
+cf_s0 AS (
+  SELECT doc_id, unnest(l) AS raw,
+         generate_subscripts(l, 1)::BIGINT AS sent_no
+  FROM (SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]') AS l FROM cf_t)
+),
+cf_a AS (
+  SELECT doc_id, sent_no, trim(raw) AS sentence,
+         regexp_matches(trim(raw), '^(It|He|She|They|This) ') AS isp,
+         CASE WHEN NOT regexp_matches(trim(raw), '^(It|He|She|They|This) ')
+              THEN nullif(regexp_extract(trim(raw),
+                                         '^([A-Z][A-Za-z0-9]*)', 1), '')
+         END AS subj
+  FROM cf_s0
+),
+cf_w AS (
+  SELECT doc_id, sent_no, sentence, isp,
+         last_value(subj IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY sent_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ante
+  FROM cf_a
+)
+SELECT doc_id, sent_no, sentence,
+       CASE WHEN isp AND ante IS NOT NULL THEN ante ELSE '' END
+         AS antecedent,
+       CASE WHEN isp AND ante IS NOT NULL
+            THEN regexp_replace(sentence, '^(It|He|She|They|This) ',
+                                ante || ' ')
+            ELSE sentence END AS resolved,
+       (CASE WHEN isp THEN 1 ELSE 0 END)::INTEGER AS had_pronoun
+FROM cf_w
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy
