@@ -4096,6 +4096,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return resolve_pronouns(docs.select("doc_id", text.alias("text")))
 
+    def kg_polarity(spark, sf_dir):
+        # negation/hedge gate on extraction sentences (kgspark/openie.py
+        # sentence_polarity): cue-word polarity + integer confidence
+        # multiplier; residue 4 -> negated, residue 5 (mod 4 != 0) ->
+        # hedged, 'may not' proves negation outranks hedging
+        from kgspark.openie import sentence_polarity
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        sent = (
+            F.when(d % 4 == 0,
+                   F.when(d % 5 == 0,
+                          F.concat(F.lit("Acme"), (d % 9).cast("string"),
+                                   F.lit(" may not own Zeta.")))
+                   .otherwise(
+                       F.concat(F.lit("Acme"), (d % 9).cast("string"),
+                                F.lit(" is not a member of Beta."))))
+            .when(d % 5 == 0,
+                  F.concat(F.lit("Acme"), (d % 9).cast("string"),
+                           F.lit(" reportedly acquired Gamma.")))
+            .otherwise(
+                F.concat(F.lit("Acme"), (d % 9).cast("string"),
+                         F.lit(" owns Delta.")))
+        )
+        return sentence_polarity(
+            docs.select("doc_id", sent.alias("sentence"))
+        )
+
+    def web_templates(spark, sf_dir):
+        # URL path template mining (kgspark/web.py url_templates):
+        # digit segments -> {n}, long hex -> {hex}; oracle reconstructs
+        # templates from the synthesis branches (round-trip pattern)
+        from kgspark.web import url_templates
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        host = F.concat(F.lit("www.s"), (d % 20).cast("string"),
+                        F.lit(".example.com"))
+        path = (
+            F.when(d % 3 == 0,
+                   F.concat(F.lit("/product/"), d.cast("string"),
+                            F.lit("/view")))
+            .when(d % 3 == 1,
+                  F.concat(F.lit("/post/"),
+                           F.substring(F.md5(d.cast("string")), 1, 12)))
+            .otherwise(F.lit("/about"))
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://"), host, path).alias("url")
+        )
+        return url_templates(pages, min_urls=2)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4332,6 +4384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_table_triples": kg_table_triples,
         "kg_paths": kg_paths,
         "kg_coref": kg_coref,
+        "kg_polarity": kg_polarity,
+        "web_templates": web_templates,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9537,6 +9591,61 @@ SELECT doc_id, sent_no, sentence,
             ELSE sentence END AS resolved,
        (CASE WHEN isp THEN 1 ELSE 0 END)::INTEGER AS had_pronoun
 FROM cf_w
+""",
+        # kgspark.openie.sentence_polarity: same cue regexes on the
+        # synthesized sentences; negation outranks hedging
+        "kg_polarity": """
+WITH pl_s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+                CASE WHEN doc_id % 5 = 0
+                     THEN 'Acme' || (doc_id % 9) || ' may not own Zeta.'
+                     ELSE 'Acme' || (doc_id % 9)
+                          || ' is not a member of Beta.' END
+              WHEN doc_id % 5 = 0
+                   THEN 'Acme' || (doc_id % 9)
+                        || ' reportedly acquired Gamma.'
+              ELSE 'Acme' || (doc_id % 9) || ' owns Delta.' END AS sentence
+  FROM documents
+)
+SELECT doc_id, sentence,
+       CASE WHEN regexp_matches(lower(sentence),
+                 '\\b(not|never|cannot|nor|without)\\b') THEN 'negated'
+            WHEN regexp_matches(lower(sentence),
+                 '\\b(may|might|possibly|reportedly|allegedly|perhaps|rumored)\\b')
+                 THEN 'hedged'
+            ELSE 'asserted' END AS polarity,
+       (CASE WHEN regexp_matches(lower(sentence),
+                  '\\b(not|never|cannot|nor|without)\\b') THEN 100000
+             WHEN regexp_matches(lower(sentence),
+                  '\\b(may|might|possibly|reportedly|allegedly|perhaps|rumored)\\b')
+                  THEN 500000
+             ELSE 1000000 END)::BIGINT AS confidence_ppm
+FROM pl_s
+""",
+        # kgspark.web.url_templates: oracle reconstructs each branch's
+        # template directly (round-trip pattern; the regex semantics are
+        # pytest-proven on crafted paths)
+        "web_templates": """
+WITH ut_u AS (
+  SELECT 'www.s' || (doc_id % 20) || '.example.com' AS host,
+         'https://www.s' || (doc_id % 20) || '.example.com'
+         || CASE WHEN doc_id % 3 = 0 THEN '/product/' || doc_id || '/view'
+                 WHEN doc_id % 3 = 1
+                      THEN '/post/' || substr(md5(doc_id::VARCHAR), 1, 12)
+                 ELSE '/about' END AS url,
+         CASE WHEN doc_id % 3 = 0 THEN '/product/{n}/view'
+              WHEN doc_id % 3 = 1 THEN
+                -- digit rule outranks hex: an all-digit md5 prefix is {n}
+                CASE WHEN regexp_matches(substr(md5(doc_id::VARCHAR), 1, 12),
+                                         '^[0-9]+$')
+                     THEN '/post/{n}' ELSE '/post/{hex}' END
+              ELSE '/about' END AS template
+  FROM documents
+)
+SELECT host, template, count(DISTINCT url)::BIGINT AS n_urls,
+       min(url) AS example
+FROM ut_u GROUP BY 1, 2 HAVING count(DISTINCT url) >= 2
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

@@ -124,3 +124,49 @@ def extract_concepts(text: str) -> list[dict]:
 def extract_concepts_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched extraction: Series[str] -> Series[list[concept struct]]."""
     return texts.map(extract_concepts)
+
+
+# --- sentence polarity (negation / hedge gating) -------------------------
+# Extraction treats every sentence as an assertion; "X is not a member of
+# Y" must NOT become (X, member_of, Y) at full confidence. The reference
+# has no polarity handling at all (ref knowledge_graph_builder.py:114-180
+# extracts through negation unchanged) — this is the standard cue-word
+# gate (NegEx-style lexical baseline, Chapman et al. 2001) every IE
+# pipeline applies before committing facts.
+#
+# JVM-side regex columns only (no UDF); the cue lists are ASCII literals
+# in the Java-and-RE2-common subset so a DuckDB oracle replicates exactly.
+
+NEGATION_CUES = ("not", "never", "cannot", "nor", "without")
+HEDGE_CUES = ("may", "might", "possibly", "reportedly", "allegedly",
+              "perhaps", "rumored")
+
+POLARITY_PPM = {"asserted": 1_000_000, "hedged": 500_000, "negated": 100_000}
+
+
+def sentence_polarity(df, text_col: str = "sentence"):
+    """Append (polarity, confidence_ppm) to per-sentence rows.
+
+    polarity: 'negated' if any negation cue appears as a whole word
+    (case-insensitive), else 'hedged' if any hedge cue does, else
+    'asserted'. confidence_ppm is the integer weight multiplier
+    downstream edge generation applies (exact-integer: parity-safe).
+    Negation outranks hedging ("may not" is negated).
+    """
+    from pyspark.sql import functions as F
+
+    neg = r"\b(" + "|".join(NEGATION_CUES) + r")\b"
+    hedge = r"\b(" + "|".join(HEDGE_CUES) + r")\b"
+    low = F.lower(F.col(text_col))
+    pol = (
+        F.when(low.rlike(neg), F.lit("negated"))
+        .when(low.rlike(hedge), F.lit("hedged"))
+        .otherwise(F.lit("asserted"))
+    )
+    ppm = (
+        F.when(pol == "negated", F.lit(POLARITY_PPM["negated"]))
+        .when(pol == "hedged", F.lit(POLARITY_PPM["hedged"]))
+        .otherwise(F.lit(POLARITY_PPM["asserted"]))
+        .cast("long")
+    )
+    return df.withColumn("polarity", pol).withColumn("confidence_ppm", ppm)

@@ -888,3 +888,39 @@ def canonical_clusters(df: DataFrame, url_col: str = "url",
             F.min("url").alias("min_url"),
         )
     )
+
+
+def url_templates(df: DataFrame, url_col: str = "url",
+                  min_urls: int = 2) -> DataFrame:
+    """Mine URL path TEMPLATES per host: every path segment that is a pure
+    digit run becomes '{n}' and every >=8-char lowercase-hex run becomes
+    '{hex}', then identical generalized paths group. The crawl-frontier
+    view of a site's URL space ("/product/{n}", "/post/{hex}/comments") —
+    what dedup-by-pattern, trap detection, and sitemap diffing consume.
+
+    Output: (host, template, n_urls, example) for templates covering at
+    least min_urls distinct URLs; example = lexicographic-min member.
+
+    Map-only generalization (two regexp_replace passes in the
+    Java-and-RE2-common subset, no lookaround) + ONE groupBy on
+    (host, template); count and min fold map-side, so no key is hot at
+    corpus scale beyond the template's true popularity.
+    """
+    u = F.col(url_col)
+    path = F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    tpl = F.regexp_replace(path, "/[0-9]+(/|$)", "/{n}$1")
+    # a second pass catches alternating /1/2/3/ runs the first pass's
+    # consumed separator skipped
+    tpl = F.regexp_replace(tpl, "/[0-9]+(/|$)", "/{n}$1")
+    tpl = F.regexp_replace(tpl, "/[0-9a-f]{8,}(/|$)", "/{hex}$1")
+    return (
+        df.select(host_of(u).alias("host"), tpl.alias("template"),
+                  u.alias("url"))
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.min("url").alias("example"),
+        )
+        .where(F.col("n_urls") >= min_urls)
+    )

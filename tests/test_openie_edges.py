@@ -81,3 +81,25 @@ def test_edge_count_property(spark):
 def test_hierarchy_weights_table():
     assert HIERARCHY_WEIGHTS["is_a"] == 1.0
     assert HIERARCHY_WEIGHTS["mentioned_in"] == 0.3
+
+
+def test_sentence_polarity_cues_and_precedence(spark):
+    from kgspark.openie import sentence_polarity
+
+    df = spark.createDataFrame(
+        [(1, "Acme owns Beta."),
+         (2, "Acme is not a member of Beta."),
+         (3, "Acme reportedly acquired Gamma."),
+         (4, "Acme may not own Zeta."),        # negation beats hedge
+         (5, "Nothing notes notable knots."),  # substrings never match
+         (6, "They CANNOT leave.")],           # case-insensitive
+        "doc_id long, sentence string",
+    )
+    got = {r.doc_id: (r.polarity, r.confidence_ppm)
+           for r in sentence_polarity(df).collect()}
+    assert got[1] == ("asserted", 1_000_000)
+    assert got[2] == ("negated", 100_000)
+    assert got[3] == ("hedged", 500_000)
+    assert got[4] == ("negated", 100_000)
+    assert got[5] == ("asserted", 1_000_000)
+    assert got[6] == ("negated", 100_000)

@@ -563,3 +563,27 @@ def test_feed_items_extraction(spark):
     b = got[("f1", 2)]
     assert b["title"] == "T2" and b["pub_date"] == "" and b["n_desc_chars"] == 0
     assert not any(k[0] == "f2" for k in got)  # itemless feed -> no rows
+
+
+def test_url_templates_generalization(spark):
+    from kgspark.web import url_templates
+
+    urls = [
+        "https://a.com/p/1/x", "https://a.com/p/22/x",     # -> /p/{n}/x
+        "https://a.com/r/1/2/3",                            # alternating runs
+        "https://a.com/r/7/8/9",
+        "https://a.com/h/deadbeef00", "https://a.com/h/cafebabe11",
+        "https://a.com/h/beef",                             # short hex: kept raw
+        "https://a.com/lone/5",                             # below min_urls
+        "https://a.com",                                    # empty path -> /
+        "https://b.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {(r.host, r.template, r.n_urls, r.example)
+           for r in url_templates(df, min_urls=2).collect()}
+    assert ("a.com", "/p/{n}/x", 2, "https://a.com/p/1/x") in got
+    assert ("a.com", "/r/{n}/{n}/{n}", 2, "https://a.com/r/1/2/3") in got
+    assert ("a.com", "/h/{hex}", 2, "https://a.com/h/cafebabe11") in got
+    # below-threshold and singleton templates are gone
+    assert not any(t == "/lone/{n}" for _, t, _, _ in got)
+    assert not any(t == "/h/beef" for _, t, _, _ in got)
