@@ -4148,6 +4148,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return url_templates(pages, min_urls=2)
 
+    def kg_conflicts(spark, sf_dir):
+        # cross-source temporal contradictions (kgspark/temporal.py
+        # interval_conflicts): two sources with phase-shifted value
+        # rotations (offset 75 of period 150) assert different objects
+        # over overlapping SCD-2 intervals; open-ended overlaps -> -1
+        from kgspark.temporal import interval_conflicts
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        obj = F.when(
+            d % 2 == 0,
+            F.concat(F.lit("v"), (F.expr("doc_id div 150") % 3)
+                     .cast("string")),
+        ).otherwise(
+            F.concat(F.lit("v"), (F.expr("(doc_id + 75) div 150") % 3)
+                     .cast("string"))
+        )
+        obs = docs.select(
+            F.concat(F.lit("e"), (d % 11).cast("string")).alias("subj"),
+            F.lit("p0").alias("pred"),
+            obj.alias("obj"),
+            d.alias("ts"),
+            F.concat(F.lit("s"), (d % 2).cast("string")).alias("source"),
+        )
+        out = interval_conflicts(obs)
+        return out.select(
+            "subj", "pred", "src_a", "obj_a", "src_b", "obj_b",
+            "overlap_from",
+            F.coalesce("overlap_to", F.lit(-1)).alias("overlap_to"),
+        )
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4386,6 +4417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref": kg_coref,
         "kg_polarity": kg_polarity,
         "web_templates": web_templates,
+        "kg_conflicts": kg_conflicts,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9646,6 +9678,52 @@ WITH ut_u AS (
 SELECT host, template, count(DISTINCT url)::BIGINT AS n_urls,
        min(url) AS example
 FROM ut_u GROUP BY 1, 2 HAVING count(DISTINCT url) >= 2
+""",
+        # kgspark.temporal.interval_conflicts: per-source gaps-and-islands
+        # (the kg_triple_intervals CTE with source in the key) + the
+        # half-open overlap self-join; NULL valid_to = +infinity
+        "kg_conflicts": """
+WITH cx_obs AS (
+  SELECT 'e' || (doc_id % 11) AS subj, 'p0' AS pred,
+         CASE WHEN doc_id % 2 = 0 THEN 'v' || ((doc_id // 150) % 3)
+              ELSE 'v' || (((doc_id + 75) // 150) % 3) END AS obj,
+         doc_id AS ts, 's' || (doc_id % 2) AS source
+  FROM documents
+),
+cx_fl AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS NULL
+                      OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS chg
+  FROM cx_obs WINDOW w AS (PARTITION BY subj, pred, source ORDER BY ts)
+),
+cx_isl AS (
+  SELECT *, sum(chg) OVER
+            (PARTITION BY subj, pred, source ORDER BY ts) AS island
+  FROM cx_fl
+),
+cx_runs AS (
+  SELECT subj, pred, source, island, min(obj) AS obj,
+         min(ts) AS valid_from
+  FROM cx_isl GROUP BY 1, 2, 3, 4
+),
+cx_iv AS (
+  SELECT subj, pred, source, obj, valid_from,
+         lead(valid_from) OVER
+           (PARTITION BY subj, pred, source ORDER BY valid_from)
+           AS valid_to
+  FROM cx_runs
+)
+SELECT a.subj, a.pred, a.source AS src_a, a.obj AS obj_a,
+       b.source AS src_b, b.obj AS obj_b,
+       greatest(a.valid_from, b.valid_from)::BIGINT AS overlap_from,
+       coalesce(CASE WHEN a.valid_to IS NULL THEN b.valid_to
+                     WHEN b.valid_to IS NULL THEN a.valid_to
+                     ELSE least(a.valid_to, b.valid_to) END,
+                -1)::BIGINT AS overlap_to
+FROM cx_iv a JOIN cx_iv b
+  ON a.subj = b.subj AND a.pred = b.pred AND a.source < b.source
+ AND a.obj <> b.obj
+ AND (b.valid_to IS NULL OR a.valid_from < b.valid_to)
+ AND (a.valid_to IS NULL OR b.valid_from < a.valid_to)
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

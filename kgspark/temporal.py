@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def triple_intervals(obs: DataFrame, subj_col: str = "subj",
                      pred_col: str = "pred", obj_col: str = "obj",
-                     ts_col: str = "ts") -> DataFrame:
+                     ts_col: str = "ts",
+                     extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Compact an observation stream (subj, pred, obj, ts) into SCD-2
     validity intervals: (subj, pred, obj, valid_from, valid_to, n_obs),
     one row per maximal run of consecutive observations with the same
@@ -32,8 +33,13 @@ def triple_intervals(obs: DataFrame, subj_col: str = "subj",
     window shuffle on (subj, pred), one aggregation on the same keys
     (no second shuffle; the island id is a function of the partition
     key).
+
+    extra_keys: additional history-key columns (e.g. the asserting
+    source) appended to the (subj, pred) partition key and carried in
+    the output — per-source histories for conflict detection.
     """
-    w = Window.partitionBy(subj_col, pred_col).orderBy(ts_col)
+    keys = [subj_col, pred_col, *extra_keys]
+    w = Window.partitionBy(*keys).orderBy(ts_col)
     flagged = obs.withColumn(
         "__chg",
         F.when(
@@ -42,17 +48,18 @@ def triple_intervals(obs: DataFrame, subj_col: str = "subj",
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("__island", F.sum("__chg").over(w))
-    runs = flagged.groupBy(subj_col, pred_col, "__island").agg(
+    runs = flagged.groupBy(*keys, "__island").agg(
         F.first(obj_col).alias("obj"),
         F.min(ts_col).alias("valid_from"),
         F.count(F.lit(1)).alias("n_obs"),
     )
-    w2 = Window.partitionBy(subj_col, pred_col).orderBy("valid_from")
+    w2 = Window.partitionBy(*keys).orderBy("valid_from")
     return runs.withColumn(
         "valid_to", F.lead("valid_from").over(w2)
     ).select(
         F.col(subj_col).alias("subj"),
         F.col(pred_col).alias("pred"),
+        *extra_keys,
         "obj", "valid_from", "valid_to",
         F.col("n_obs").cast("long").alias("n_obs"),
     )
@@ -115,4 +122,65 @@ def fact_churn(obs: DataFrame, subj_col: str = "subj",
         F.sum(F.when(F.col("__iv") > 1, 1).otherwise(0)).cast("long")
         .alias("n_changed_keys"),
         F.max("__iv").cast("long").alias("max_intervals"),
+    )
+
+
+def interval_conflicts(obs: DataFrame, subj_col: str = "subj",
+                       pred_col: str = "pred", obj_col: str = "obj",
+                       ts_col: str = "ts",
+                       source_col: str = "source") -> DataFrame:
+    """Cross-source temporal contradiction report for FUNCTIONAL facts:
+    two sources asserting DIFFERENT objects for the same (subj, pred)
+    over OVERLAPPING validity intervals. The multi-source complement of
+    cardinality_violations (which is timeless) and fuse_facts (which
+    votes without looking at time): a fusion pipeline routes exactly
+    these rows to arbitration.
+
+    Per-source SCD-2 histories via triple_intervals(extra_keys=source),
+    then ONE self-join keyed on (subj, pred) with src_a < src_b,
+    obj_a != obj_b and half-open interval overlap (NULL valid_to =
+    still current = +infinity). Output: (subj, pred, src_a, obj_a,
+    src_b, obj_b, overlap_from, overlap_to) where overlap_to is NULL
+    when both intervals are open.
+
+    Scale shape: the join key is the fact key, so fan-out per key =
+    (#sources x runs)^2 for THAT key only — sources per fact are
+    bounded in any real crawl (distinct hosts asserting the fact), and
+    the interval build is the same single window shuffle
+    triple_intervals does.
+    """
+    iv = triple_intervals(obs, subj_col, pred_col, obj_col, ts_col,
+                          extra_keys=(source_col,))
+    a, b = iv.alias("a"), iv.alias("b")
+    sc = lambda side: F.col(f"{side}.{source_col}")  # noqa: E731
+    overlap = (
+        (F.col("b.valid_to").isNull()
+         | (F.col("a.valid_from") < F.col("b.valid_to")))
+        & (F.col("a.valid_to").isNull()
+           | (F.col("b.valid_from") < F.col("a.valid_to")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.subj") == F.col("b.subj"))
+            & (F.col("a.pred") == F.col("b.pred"))
+            & (sc("a") < sc("b"))
+            & (F.col("a.obj") != F.col("b.obj"))
+            & overlap,
+        )
+        .select(
+            F.col("a.subj").alias("subj"),
+            F.col("a.pred").alias("pred"),
+            sc("a").alias("src_a"),
+            F.col("a.obj").alias("obj_a"),
+            sc("b").alias("src_b"),
+            F.col("b.obj").alias("obj_b"),
+            F.greatest("a.valid_from", "b.valid_from").alias("overlap_from"),
+            F.when(
+                F.col("a.valid_to").isNull(), F.col("b.valid_to")
+            )
+            .when(F.col("b.valid_to").isNull(), F.col("a.valid_to"))
+            .otherwise(F.least("a.valid_to", "b.valid_to"))
+            .alias("overlap_to"),
+        )
     )

@@ -348,3 +348,31 @@ def test_table_triples_bad_layout_raises(spark):
                                   "url string, html string")
     with _pytest.raises(ValueError, match="layout"):
         table_triples(html_tables(pages), layout="pivot")
+
+
+def test_interval_conflicts_overlap_and_open_intervals(spark):
+    from kgspark.temporal import interval_conflicts
+
+    obs = spark.createDataFrame(
+        [
+            # source A: ceo=x for [0,40), ceo=z from 40 (open)
+            ("co", "ceo", "x", 0, "A"), ("co", "ceo", "x", 20, "A"),
+            ("co", "ceo", "z", 40, "A"),
+            # source B: ceo=y for [10,30), ceo=z from 30 (open)
+            ("co", "ceo", "y", 10, "B"), ("co", "ceo", "z", 30, "B"),
+            # agreeing fact elsewhere: never a conflict
+            ("co", "hq", "paris", 0, "A"), ("co", "hq", "paris", 5, "B"),
+        ],
+        "subj string, pred string, obj string, ts long, source string",
+    )
+    got = {
+        (r.obj_a, r.obj_b, r.overlap_from, r.overlap_to)
+        for r in interval_conflicts(obs).collect()
+    }
+    assert ("x", "y", 10, 30) in got   # A:x[0,40) vs B:y[10,30)
+    assert ("x", "z", 30, 40) in got   # A:x[0,40) vs B:z[30,open)
+    # A:z[40,None) vs B:z[30,None): same obj -> no conflict
+    assert not any(a == "z" and b == "z" for a, b, _, _ in got)
+    # A:z[40,None) vs B:y[10,30): disjoint -> no conflict
+    assert ("z", "y", 40, 30) not in got and ("z", "y", 10, 30) not in got
+    assert len(got) == 2
