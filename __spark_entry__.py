@@ -4179,6 +4179,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("overlap_to", F.lit(-1)).alias("overlap_to"),
         )
 
+    def kg_bgp_opt(spark, sf_dir):
+        # SPARQL OPTIONAL over the BGP engine (kgspark/graph_api.py
+        # bgp_match optional_patterns): ?s related_to ?o with an
+        # optional ?o is_a ?t — typed when ?o is an item, '' when ?o is
+        # a brand (brands carry no is_a)
+        from kgspark.graph_api import bgp_match
+
+        return bgp_match(
+            _extract_triples(spark, sf_dir),
+            [("?s", "related_to", "?o")],
+            optional_patterns=[("?o", "is_a", "?t")],
+        )
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4418,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_polarity": kg_polarity,
         "web_templates": web_templates,
         "kg_conflicts": kg_conflicts,
+        "kg_bgp_opt": kg_bgp_opt,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9724,6 +9738,18 @@ FROM cx_iv a JOIN cx_iv b
  AND a.obj <> b.obj
  AND (b.valid_to IS NULL OR a.valid_from < b.valid_to)
  AND (a.valid_to IS NULL OR b.valid_from < a.valid_to)
+""",
+        # kgspark.graph_api.bgp_match optional_patterns: required pattern
+        # inner-scans, optional LEFT-joins on the shared var, unbound -> ''
+        "kg_bgp_opt": f"""
+WITH {_PARTS_ORACLE_CTE},
+bo_t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+bo_r AS (SELECT DISTINCT subj AS s, obj AS o FROM bo_t
+         WHERE pred = 'related_to'),
+bo_o AS (SELECT DISTINCT subj AS o, obj AS t FROM bo_t
+         WHERE pred = 'is_a')
+SELECT DISTINCT r.o AS o, r.s AS s, coalesce(b.t, '') AS t
+FROM bo_r r LEFT JOIN bo_o b USING (o)
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

@@ -38,6 +38,7 @@ def bgp_match(
     obj: str = "obj",
     distinct: bool = True,
     allow_product: bool = False,
+    optional_patterns: Sequence[tuple[str, str, str]] = (),
 ) -> DataFrame:
     """Conjunctive triple-pattern (SPARQL basic-graph-pattern) matching.
 
@@ -62,6 +63,13 @@ def bgp_match(
     product of binding tables; that is a scale error, so it raises unless
     ``allow_product=True`` (constants-only existence patterns are exempt —
     they join as broadcast 1-row guards).
+
+    optional_patterns: SPARQL OPTIONAL semantics — each pattern LEFT-joins
+    onto the required bindings via its shared variables (>= 1 required,
+    else it raises: an unconstrained optional is a product). Variables
+    bound only by optional patterns come back as '' for rows without a
+    match (unbound-as-empty keeps the result a flat string table).
+    Multiple optional matches multiply rows, exactly as SPARQL does.
     """
     if not patterns:
         raise ValueError("bgp_match: need at least one pattern")
@@ -124,7 +132,40 @@ def bgp_match(
             bound |= vs
     if not bound:  # all patterns were existence guards: 0/1-row verdict
         return acc.select(F.lit(True).alias("exists")).limit(1)
-    out = acc.select(*sorted(bound))
+
+    optional_only: set[str] = set()
+    for s_t, p_t, o_t in optional_patterns:
+        terms = (s_t, p_t, o_t)
+        df = triples
+        for col, term in zip(cols, terms):
+            if not is_var(term):
+                df = df.where(F.col(col) == F.lit(term))
+        seen: dict[str, str] = {}
+        for col, term in zip(cols, terms):
+            if is_var(term):
+                if term in seen:
+                    df = df.where(F.col(seen[term]) == F.col(col))
+                else:
+                    seen[term] = col
+        vs = frozenset(v[1:] for v in seen)
+        shared = vs & bound
+        if not shared:
+            raise ValueError(
+                "bgp_match: optional pattern shares no variable with the "
+                "required patterns (would be a Cartesian product)"
+            )
+        df = df.select(*[F.col(c).alias(v[1:]) for v, c in seen.items()])
+        acc = acc.join(df, on=sorted(shared), how="left")
+        optional_only |= vs - bound
+        bound |= vs
+
+    out = acc.select(
+        *[
+            F.coalesce(F.col(v), F.lit("")).alias(v)
+            if v in optional_only else F.col(v)
+            for v in sorted(bound)
+        ]
+    )
     return out.distinct() if distinct else out
 
 

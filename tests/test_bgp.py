@@ -128,3 +128,53 @@ def test_no_cartesian_in_connected_plan(triples):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bgp_optional_left_join_and_unbound_empty(spark):
+    from kgspark.graph_api import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "knows", "b"), ("a", "knows", "c"),
+         ("b", "age", "30"), ("b", "age", "31")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.y, r.age)
+        for r in bgp_match(
+            t, [("a", "knows", "?y")],
+            optional_patterns=[("?y", "age", "?age")],
+        ).collect()
+    }
+    # b matches twice (SPARQL row multiplication), c is unbound -> ''
+    assert got == {("b", "30"), ("b", "31"), ("c", "")}
+
+
+def test_bgp_optional_disconnected_raises(spark):
+    import pytest as _pytest
+    from kgspark.graph_api import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    with _pytest.raises(ValueError, match="optional"):
+        bgp_match(t, [("?s", "p", "?o")],
+                  optional_patterns=[("?q", "z", "?r")])
+
+
+def test_bgp_optional_chains_through_prior_optional(spark):
+    from kgspark.graph_api import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "lives", "rome"), ("rome", "in", "it"),
+         ("a", "knows", "c")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.y, r.city, r.country)
+        for r in bgp_match(
+            t, [("a", "knows", "?y")],
+            optional_patterns=[("?y", "lives", "?city"),
+                               ("?city", "in", "?country")],
+        ).collect()
+    }
+    assert got == {("b", "rome", "it"), ("c", "", "")}
