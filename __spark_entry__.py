@@ -4192,6 +4192,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             optional_patterns=[("?o", "is_a", "?t")],
         )
 
+    def web_hreflang(spark, sf_dir):
+        # declared language-alternate clusters (kgspark/web.py
+        # hreflang_clusters): en/de always, fr omitted on every 5th page
+        # (n_alternates drops to 2); cluster_key = min href = the /de/
+        # variant
+        from kgspark.web import hreflang_clusters
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        g = (d % 80).cast("string")
+        url = F.concat(F.lit("https://www.s"), (d % 50).cast("string"),
+                       F.lit(".example.com/p/"), d.cast("string"))
+
+        def tag(lang):
+            return F.concat(
+                F.lit(f'<link rel="alternate" hreflang="{lang}" '
+                      f'href="https://ex.com/{lang}/'), g, F.lit('"/>'),
+            )
+
+        html = F.concat(
+            F.lit("<html><head>"), tag("en"),
+            F.when(d % 5 == 0, F.lit("")).otherwise(tag("fr")),
+            tag("de"), F.lit("</head></html>"),
+        )
+        pages = docs.select(url.alias("url"), html.alias("html"))
+        return hreflang_clusters(pages)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4432,6 +4459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_templates": web_templates,
         "kg_conflicts": kg_conflicts,
         "kg_bgp_opt": kg_bgp_opt,
+        "web_hreflang": web_hreflang,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9750,6 +9778,32 @@ bo_o AS (SELECT DISTINCT subj AS o, obj AS t FROM bo_t
          WHERE pred = 'is_a')
 SELECT DISTINCT r.o AS o, r.s AS s, coalesce(b.t, '') AS t
 FROM bo_r r LEFT JOIN bo_o b USING (o)
+""",
+        # kgspark.web.hreflang_clusters: oracle reconstructs the declared
+        # alternate rows from the synthesis arithmetic; cluster key is the
+        # per-page min href (the /de/ variant sorts first)
+        "web_hreflang": """
+WITH hl_d AS (
+  SELECT doc_id,
+         'https://www.s' || (doc_id % 50) || '.example.com/p/' || doc_id
+           AS url,
+         (doc_id % 80)::VARCHAR AS g,
+         CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 3 END AS n_alt
+  FROM documents
+),
+hl_r AS (
+  SELECT url, 'en' AS hreflang, 'https://ex.com/en/' || g AS href,
+         g, n_alt FROM hl_d
+  UNION ALL
+  SELECT url, 'fr', 'https://ex.com/fr/' || g, g, n_alt
+  FROM hl_d WHERE n_alt = 3
+  UNION ALL
+  SELECT url, 'de', 'https://ex.com/de/' || g, g, n_alt FROM hl_d
+)
+SELECT url, hreflang, href,
+       'https://ex.com/de/' || g AS cluster_key,
+       n_alt::BIGINT AS n_alternates
+FROM hl_r
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

@@ -924,3 +924,42 @@ def url_templates(df: DataFrame, url_col: str = "url",
         )
         .where(F.col("n_urls") >= min_urls)
     )
+
+
+HREFLANG_LINK = '<link rel="alternate" hreflang="([^"]*)" href="([^"]*)"'
+
+
+def hreflang_clusters(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Extract declared language alternates (<link rel="alternate"
+    hreflang=...>) and roll them into translation clusters: one row per
+    (url, hreflang, href) plus the CLUSTER key — the lexicographic-min
+    href among the page's declared alternates including itself, which is
+    identical for every member of a well-formed hreflang group (each
+    variant lists the full set, Google's bidirectional-annotation rule).
+    A multilingual corpus curator samples one language per cluster_key to
+    avoid near-duplicate translations; a KG builder keys entities on it.
+
+    Output: (url, hreflang, href, cluster_key, n_alternates).
+
+    Map-only extraction (regexp_extract_all + posexplode, JVM-side); the
+    cluster key is a per-PAGE min over its own declared set — a window
+    over the page key, which arrives pre-grouped from the explode (no
+    extra shuffle at scale when the page id partitions the scan).
+    """
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(HREFLANG_LINK),
+                                F.lit(0))
+    rows = df.select(
+        F.col(url_col).alias("url"),
+        F.explode(tags).alias("__tag"),
+    ).select(
+        "url",
+        F.regexp_extract("__tag", HREFLANG_LINK, 1).alias("hreflang"),
+        F.regexp_extract("__tag", HREFLANG_LINK, 2).alias("href"),
+    ).where((F.col("hreflang") != "") & (F.col("href") != ""))
+    w = Window.partitionBy("url")
+    return rows.select(
+        "url", "hreflang", "href",
+        F.min("href").over(w).alias("cluster_key"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_alternates"),
+    )

@@ -587,3 +587,30 @@ def test_url_templates_generalization(spark):
     # below-threshold and singleton templates are gone
     assert not any(t == "/lone/{n}" for _, t, _, _ in got)
     assert not any(t == "/h/beef" for _, t, _, _ in got)
+
+
+def test_hreflang_clusters_extraction_and_key(spark):
+    from kgspark.web import hreflang_clusters
+
+    html_full = (
+        '<link rel="alternate" hreflang="en" href="https://e.com/en/1"/>'
+        '<link rel="alternate" hreflang="fr" href="https://e.com/fr/1"/>'
+    )
+    html_partial = (
+        '<link rel="alternate" hreflang="en" href="https://e.com/en/1"/>'
+        '<link rel="alternate" hreflang="" href="https://e.com/xx/1"/>'  # dropped
+    )
+    df = spark.createDataFrame(
+        [("u1", html_full), ("u2", html_partial), ("u3", "<p>no links</p>")],
+        "url string, html string",
+    )
+    rows = hreflang_clusters(df).collect()
+    by_url: dict = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(r)
+    assert {r.hreflang for r in by_url["u1"]} == {"en", "fr"}
+    assert all(r.cluster_key == "https://e.com/en/1" for r in by_url["u1"])
+    assert all(r.n_alternates == 2 for r in by_url["u1"])
+    assert [r.hreflang for r in by_url["u2"]] == ["en"]  # empty lang dropped
+    assert by_url["u2"][0].n_alternates == 1
+    assert "u3" not in by_url
