@@ -73,6 +73,66 @@ triples AS (
 """
 
 
+# OWL-Horst-closed graph replica (kgspark/reason.py owl_property_rules as
+# configured by the kg_owl_infer query): base triples + subclass edges
+# asserted as is_a, then inverseOf(has_instance, instance_of),
+# symmetric(related_to), transitive(is_a) unrolled to the data's 3-hop
+# depth; min-rank dedup (asserted=0 < inv=5 < sym=6 < trans=7, matching
+# kgspark.reason._RULE_PRIORITY). Ends in ow_closed(subj, pred, obj, rule)
+# — shared by the kg_owl_infer and kg_rules oracles.
+_OWL_CLOSED_CTE = f"""{_PARTS_ORACLE_CTE},
+ow_typ AS (
+  SELECT DISTINCT obj AS typ FROM triples WHERE pred = 'is_a'
+),
+ow_sc AS (
+  SELECT typ AS s, 'part' AS o FROM ow_typ
+  UNION SELECT 'part', 'thing'
+),
+ow_t AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM triples
+    UNION ALL SELECT s, 'is_a', o FROM ow_sc
+  )
+),
+ow_base AS (SELECT subj, pred, obj, 0 AS rk FROM ow_t),
+ow_inv AS (
+  SELECT obj AS subj, 'instance_of' AS pred, subj AS obj, 5 AS rk
+  FROM ow_t WHERE pred = 'has_instance'
+),
+ow_sym AS (
+  SELECT obj AS subj, pred, subj AS obj, 6 AS rk
+  FROM ow_t WHERE pred = 'related_to'
+),
+ow_e AS (
+  SELECT subj AS s, obj AS o FROM ow_t
+  WHERE pred = 'is_a' AND subj <> obj
+),
+ow_d2 AS (
+  SELECT DISTINCT a.s, b.o FROM ow_e a JOIN ow_e b
+  ON a.o = b.s AND a.s <> b.o
+),
+ow_d3 AS (
+  SELECT DISTINCT a.s, b.o FROM ow_d2 a JOIN ow_e b
+  ON a.o = b.s AND a.s <> b.o
+),
+ow_tr AS (
+  SELECT s AS subj, 'is_a' AS pred, o AS obj, 7 AS rk FROM (
+    SELECT s, o FROM ow_d2 UNION SELECT s, o FROM ow_d3
+  ) c
+  WHERE NOT EXISTS (SELECT 1 FROM ow_e e WHERE e.s = c.s AND e.o = c.o)
+),
+ow_all AS (
+  SELECT * FROM ow_base UNION ALL SELECT * FROM ow_inv
+  UNION ALL SELECT * FROM ow_sym UNION ALL SELECT * FROM ow_tr
+),
+ow_closed AS (
+  SELECT subj, pred, obj,
+         CASE min(rk) WHEN 0 THEN 'asserted' WHEN 5 THEN 'inv'
+              WHEN 6 THEN 'sym' ELSE 'trans' END AS rule
+  FROM ow_all GROUP BY 1, 2, 3
+)"""
+
+
 # robots.txt parse replica (kgspark/web.py robots_rules): same line regex,
 # same lag-flag group windows; ends in rb_rules/rb_agents.
 _ROBOTS_ORACLE_CTE = """
@@ -4219,6 +4279,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.select(url.alias("url"), html.alias("html"))
         return hreflang_clusters(pages)
 
+    def kg_rules(spark, sf_dir):
+        # AMIE-lite chain-rule mining (kgspark/rulemine.py
+        # mine_chain_rules) over the OWL-closed graph: the miner
+        # rediscovers the applied axioms (is_a transitivity and the
+        # instance_of;is_a composition surface at conf 1e6)
+        from kgspark.reason import owl_property_rules
+        from kgspark.rulemine import mine_chain_rules
+
+        t, schema = _rdfs_schema(spark, sf_dir)
+        base = t.select("subj", "pred", "obj").union(
+            schema.where(F.col("p") == "subClassOf").select(
+                F.col("s").alias("subj"), F.lit("is_a").alias("pred"),
+                F.col("o").alias("obj"),
+            )
+        )
+        axioms = spark.createDataFrame(
+            [("has_instance", "inverseOf", "instance_of"),
+             ("related_to", "symmetric", "true"),
+             ("is_a", "transitive", "true")],
+            "s string, p string, o string",
+        )
+        closed = owl_property_rules(base, axioms, trans_depth=4)
+        return mine_chain_rules(closed, min_support=2)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4460,6 +4544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conflicts": kg_conflicts,
         "kg_bgp_opt": kg_bgp_opt,
         "web_hreflang": web_hreflang,
+        "kg_rules": kg_rules,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9532,55 +9617,33 @@ FROM rf_all GROUP BY 1, 2, 3
         # unrolled to the data's 3-hop depth; min-rank dedup (inv=5,
         # sym=6, trans=7 per _RULE_PRIORITY)
         "kg_owl_infer": f"""
-WITH {_PARTS_ORACLE_CTE},
-ow_typ AS (
-  SELECT DISTINCT obj AS typ FROM triples WHERE pred = 'is_a'
+WITH {_OWL_CLOSED_CTE}
+SELECT subj, pred, obj, rule FROM ow_closed
+""",
+        # kgspark.rulemine.mine_chain_rules over the OWL-closed graph:
+        # the miner rediscovers the axioms the reasoner applied
+        # (is_a transitivity, instance_of;is_a composition) at high
+        # confidence; exact-integer support / n_body / conf_ppm
+        "kg_rules": f"""
+WITH {_OWL_CLOSED_CTE},
+rm_t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM ow_closed),
+rm_body AS (
+  SELECT DISTINCT a.p AS body_q, b.p AS body_r, a.s AS x, b.o AS y
+  FROM rm_t a JOIN rm_t b ON a.o = b.s
+  WHERE a.s <> b.o
 ),
-ow_sc AS (
-  SELECT typ AS s, 'part' AS o FROM ow_typ
-  UNION SELECT 'part', 'thing'
+rm_nb AS (
+  SELECT body_q, body_r, count(*)::BIGINT AS n_body
+  FROM rm_body GROUP BY 1, 2
 ),
-ow_t AS (
-  SELECT DISTINCT subj, pred, obj FROM (
-    SELECT subj, pred, obj FROM triples
-    UNION ALL SELECT s, 'is_a', o FROM ow_sc
-  )
-),
-ow_base AS (SELECT subj, pred, obj, 0 AS rk FROM ow_t),
-ow_inv AS (
-  SELECT obj AS subj, 'instance_of' AS pred, subj AS obj, 5 AS rk
-  FROM ow_t WHERE pred = 'has_instance'
-),
-ow_sym AS (
-  SELECT obj AS subj, pred, subj AS obj, 6 AS rk
-  FROM ow_t WHERE pred = 'related_to'
-),
-ow_e AS (
-  SELECT subj AS s, obj AS o FROM ow_t
-  WHERE pred = 'is_a' AND subj <> obj
-),
-ow_d2 AS (
-  SELECT DISTINCT a.s, b.o FROM ow_e a JOIN ow_e b
-  ON a.o = b.s AND a.s <> b.o
-),
-ow_d3 AS (
-  SELECT DISTINCT a.s, b.o FROM ow_d2 a JOIN ow_e b
-  ON a.o = b.s AND a.s <> b.o
-),
-ow_tr AS (
-  SELECT s AS subj, 'is_a' AS pred, o AS obj, 7 AS rk FROM (
-    SELECT s, o FROM ow_d2 UNION SELECT s, o FROM ow_d3
-  ) c
-  WHERE NOT EXISTS (SELECT 1 FROM ow_e e WHERE e.s = c.s AND e.o = c.o)
-),
-ow_all AS (
-  SELECT * FROM ow_base UNION ALL SELECT * FROM ow_inv
-  UNION ALL SELECT * FROM ow_sym UNION ALL SELECT * FROM ow_tr
+rm_sup AS (
+  SELECT body_q, body_r, h.p AS head_p, count(*)::BIGINT AS support
+  FROM rm_body bd JOIN rm_t h ON h.s = bd.x AND h.o = bd.y
+  GROUP BY 1, 2, 3 HAVING count(*) >= 2
 )
-SELECT subj, pred, obj,
-       CASE min(rk) WHEN 0 THEN 'asserted' WHEN 5 THEN 'inv'
-            WHEN 6 THEN 'sym' ELSE 'trans' END AS rule
-FROM ow_all GROUP BY 1, 2, 3
+SELECT body_q, body_r, head_p, support, n_body,
+       (support * 1000000 // n_body)::BIGINT AS conf_ppm
+FROM rm_sup JOIN rm_nb USING (body_q, body_r)
 """,
         # kgspark.structdata.table_triples over html_tables: the oracle
         # reconstructs the expected facts from the synthesis arithmetic
