@@ -4303,6 +4303,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         closed = owl_property_rules(base, axioms, trans_depth=4)
         return mine_chain_rules(closed, min_support=2)
 
+    def kg_truth(spark, sf_dir):
+        # iterative truth discovery (kgspark/fusion.py truth_discovery,
+        # 2 rounds): 3 consistent sources vs 2 noisy ones — the mutual
+        # trust/confidence reinforcement lifts the consistent value to
+        # the winner everywhere; all-integer ppm
+        from kgspark.fusion import truth_discovery
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        obj = F.when(
+            d % 5 <= 2,
+            F.concat(F.lit("v"), ((d % 7) % 3).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("w"), (F.expr("doc_id div 35") % 4)
+                     .cast("string"))
+        )
+        obs = docs.select(
+            F.concat(F.lit("e"), (d % 7).cast("string")).alias("subj"),
+            F.lit("p0").alias("pred"),
+            obj.alias("obj"),
+            F.concat(F.lit("s"), (d % 5).cast("string")).alias("source"),
+        )
+        return truth_discovery(obs, rounds=2)
+
     def kg_walk_pairs(spark, sf_dir):
         # skip-gram (center, context) co-occurrence census over the
         # deterministic walk corpus — the DeepWalk training table
@@ -4545,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_opt": kg_bgp_opt,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
+        "kg_truth": kg_truth,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_lm_buckets": text_lm_buckets,
@@ -9867,6 +9892,57 @@ SELECT url, hreflang, href,
        'https://ex.com/de/' || g AS cluster_key,
        n_alt::BIGINT AS n_alternates
 FROM hl_r
+""",
+        # kgspark.fusion.truth_discovery, 2 rounds unrolled: uniform
+        # trust init, conf = trust-share per key, trust = mean conf of
+        # asserted objects, all integer // (non-negative: same as div)
+        "kg_truth": """
+WITH td_o AS (
+  SELECT 'e' || (doc_id % 7) AS subj, 'p0' AS pred,
+         CASE WHEN doc_id % 5 <= 2 THEN 'v' || ((doc_id % 7) % 3)
+              ELSE 'w' || ((doc_id // 35) % 4) END AS obj,
+         's' || (doc_id % 5) AS source
+  FROM documents
+),
+td_c AS (SELECT DISTINCT subj, pred, obj, source FROM td_o),
+td_t0 AS (
+  SELECT source, 500000::BIGINT AS tr
+  FROM (SELECT DISTINCT source FROM td_c)
+),
+td_s1 AS (
+  SELECT subj, pred, obj, sum(tr)::BIGINT AS sc
+  FROM td_c JOIN td_t0 USING (source) GROUP BY 1, 2, 3
+),
+td_k1 AS (SELECT subj, pred, sum(sc)::BIGINT AS tot FROM td_s1 GROUP BY 1, 2),
+td_c1 AS (
+  SELECT s.subj, s.pred, s.obj,
+         (CASE WHEN tot > 0 THEN sc * 1000000 // tot ELSE 0 END)::BIGINT
+           AS conf
+  FROM td_s1 s JOIN td_k1 USING (subj, pred)
+),
+td_t1 AS (
+  SELECT source, (sum(conf) // count(*))::BIGINT AS tr
+  FROM td_c JOIN td_c1 USING (subj, pred, obj) GROUP BY source
+),
+td_s2 AS (
+  SELECT subj, pred, obj, sum(tr)::BIGINT AS sc
+  FROM td_c JOIN td_t1 USING (source) GROUP BY 1, 2, 3
+),
+td_k2 AS (SELECT subj, pred, sum(sc)::BIGINT AS tot FROM td_s2 GROUP BY 1, 2),
+td_c2 AS (
+  SELECT s.subj, s.pred, s.obj,
+         (CASE WHEN tot > 0 THEN sc * 1000000 // tot ELSE 0 END)::BIGINT
+           AS conf
+  FROM td_s2 s JOIN td_k2 USING (subj, pred)
+),
+td_w AS (
+  SELECT *, row_number() OVER
+              (PARTITION BY subj, pred ORDER BY conf DESC, obj ASC) AS rn,
+         count(*) OVER (PARTITION BY subj, pred) AS ncand
+  FROM td_c2
+)
+SELECT subj, pred, obj, conf AS conf_ppm, ncand::BIGINT AS n_candidates
+FROM td_w WHERE rn = 1
 """,
         # kgspark.graph_algs.skipgram_pairs over the SAME unrolled walk
         # corpus (window 2): per-walk self-join + pair groupBy

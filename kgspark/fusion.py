@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
+from kgspark.session import materialize
+
 
 def fuse_facts(obs: DataFrame, source_weights: DataFrame,
                subj_col: str = "subj", pred_col: str = "pred",
@@ -95,4 +97,76 @@ def triple_provenance(obs: DataFrame, subj_col: str = "subj",
             F.min(F.col(ts_col)).alias("first_seen"),
             F.max(F.col(ts_col)).alias("last_seen"),
         )
+    )
+
+
+def truth_discovery(obs: DataFrame, rounds: int = 3,
+                    init_ppm: int = 500_000,
+                    subj_col: str = "subj", pred_col: str = "pred",
+                    obj_col: str = "obj",
+                    source_col: str = "source") -> DataFrame:
+    """Iterative truth discovery: alternate fact-confidence and
+    source-trust estimates (TruthFinder-style mutual reinforcement, Yin
+    et al. KDD 2007 — the simplified additive variant) instead of
+    fuse_facts' STATIC weight table.
+
+      conf(key, obj)  = sum of asserting sources' trust * 1e6 div
+                        sum of ALL trust voting on that key
+      trust(source)   = mean conf of the objects it asserted (int div)
+
+    All-integer ppm arithmetic from a uniform init -> bit-deterministic,
+    oracle-unrollable (the k-core/LPA pinned-rounds posture; TruthFinder
+    iterates to convergence, we pin `rounds`). Returns one row per fact
+    key: (subj, pred, obj, conf_ppm, n_candidates) — the winning object
+    (ties: ascending object), its final confidence, and how many objects
+    competed.
+
+    Scale shape per round: one groupBy on the claim key (partial agg),
+    one key-total groupBy reusing the same partitioning, one broadcast
+    of the source-sized trust table back onto claims. The claim stream
+    is never self-joined; rounds are bounded.
+    """
+    claims = obs.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"), F.col(source_col).alias("source"),
+    ).distinct()
+    claims = materialize(claims)
+    trust = claims.select("source").distinct().select(
+        "source", F.lit(init_ppm).cast("long").alias("trust")
+    )
+    conf = None
+    for _ in range(rounds):
+        scored = claims.join(broadcast(trust), "source")
+        obj_score = scored.groupBy("subj", "pred", "obj").agg(
+            F.sum("trust").alias("score")
+        )
+        key_total = obj_score.groupBy("subj", "pred").agg(
+            F.sum("score").alias("total")
+        )
+        conf = obj_score.join(key_total, ["subj", "pred"]).select(
+            "subj", "pred", "obj",
+            F.expr(
+                "CASE WHEN total > 0 THEN score * 1000000 div total "
+                "ELSE 0 END"
+            ).cast("long").alias("conf_ppm"),
+        )
+        conf = materialize(conf)
+        trust = (
+            claims.join(conf, ["subj", "pred", "obj"])
+            .groupBy("source")
+            .agg(F.expr("sum(conf_ppm) div count(1)").cast("long")
+                 .alias("trust"))
+        )
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.desc("conf_ppm"), F.asc("obj")
+    )
+    return (
+        conf.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_candidates",
+            F.count(F.lit(1)).over(Window.partitionBy("subj", "pred"))
+            .cast("long"),
+        )
+        .where(F.col("__rn") == 1)
+        .select("subj", "pred", "obj", "conf_ppm", "n_candidates")
     )

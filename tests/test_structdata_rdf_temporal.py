@@ -376,3 +376,39 @@ def test_interval_conflicts_overlap_and_open_intervals(spark):
     # A:z[40,None) vs B:y[10,30): disjoint -> no conflict
     assert ("z", "y", 40, 30) not in got and ("z", "y", 10, 30) not in got
     assert len(got) == 2
+
+
+def test_truth_discovery_reinforcement_beats_majority_split(spark):
+    from kgspark.fusion import truth_discovery
+
+    # good sources g1,g2 corroborate each other on A/C/D while the
+    # liars l1,l2,l3 each assert unique junk there; on B the liars
+    # gang up on y (3 votes vs 2). Uniform voting loses B; by round 3
+    # the goods' compounded trust (ratio > 1.5x) flips B to x.
+    goods, liars = ["g1", "g2"], ["l1", "l2", "l3"]
+    rows = []
+    for fact in ["A", "C", "D"]:
+        rows += [(fact, "p", "x", g) for g in goods]
+        rows += [(fact, "p", f"junk_{fact}_{s}", s) for s in liars]
+    rows += [("B", "p", "x", g) for g in goods]
+    rows += [("B", "p", "y", s) for s in liars]
+    obs = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, source string",
+    )
+    got = {r.subj: (r.obj, r.conf_ppm, r.n_candidates)
+           for r in truth_discovery(obs, rounds=3).collect()}
+    assert got["A"][0] == "x" and got["A"][2] == 4
+    assert got["B"][0] == "x" and got["B"][2] == 2
+    # reinforcement: winner confidence strictly above the uniform share
+    assert got["B"][1] > 500_000
+
+
+def test_truth_discovery_deterministic_tie(spark):
+    from kgspark.fusion import truth_discovery
+
+    obs = spark.createDataFrame(
+        [("A", "p", "b", "s1"), ("A", "p", "a", "s2")],
+        "subj string, pred string, obj string, source string",
+    )
+    rows = truth_discovery(obs, rounds=2).collect()
+    assert len(rows) == 1 and rows[0].obj == "a"  # tie -> ascending obj
