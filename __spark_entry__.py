@@ -4252,6 +4252,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             optional_patterns=[("?o", "is_a", "?t")],
         )
 
+    def kg_bgp_union(spark, sf_dir):
+        # SPARQL UNION over the BGP engine (kgspark/graph_api.py
+        # bgp_union): branch 1 = typed part+brand bindings; branch 2 =
+        # the SAME pairs rediscovered through an INVERSE predicate term
+        # (^has), typ unbound -> '' — exercises branch alignment and
+        # inverse-path compilation in one query
+        from kgspark.graph_api import bgp_union
+
+        return bgp_union(
+            _extract_triples(spark, sf_dir),
+            [
+                {"patterns": [("?part", "is_a", "?typ"),
+                              ("?part", "has", "?brand")]},
+                {"patterns": [("?brand", "^has", "?part")]},
+            ],
+        )
+
+    def kg_bgp_filter(spark, sf_dir):
+        # SPARQL FILTER subset over the BGP engine: substring, ordering,
+        # and var-vs-var inequality constraints on the bound variables
+        from kgspark.graph_api import bgp_match
+
+        return bgp_match(
+            _extract_triples(spark, sf_dir),
+            [("?p", "is_a", "?t"), ("?p", "has", "?b")],
+            filters=[("?t", "strstarts", "s"),
+                     ("?b", ">=", "Brand#2"),
+                     ("?p", "!=", "?b")],
+        )
+
+    def kg_bgp_path(spark, sf_dir):
+        # SPARQL property path p{2,3} (kgspark/graph_api.py _pred_rel
+        # bounded closure): is_a deepened with typ->part->thing schema
+        # levels, so 2- and 3-hop ancestors differ per row
+        from kgspark.graph_api import bgp_match
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        typs = (
+            t.where(F.col("pred") == "is_a")
+            .select(F.col("obj").alias("subj")).distinct()
+            .select("subj", F.lit("is_a").alias("pred"),
+                    F.lit("part").alias("obj"))
+        )
+        root = spark.createDataFrame(
+            [("part", "is_a", "thing")],
+            "subj string, pred string, obj string",
+        )
+        t2 = t.union(typs).union(root)
+        return bgp_match(t2, [("?x", "is_a{2,3}", "?anc")])
+
     def web_hreflang(spark, sf_dir):
         # declared language-alternate clusters (kgspark/web.py
         # hreflang_clusters): en/de always, fr omitted on every 5th page
@@ -4567,6 +4617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_templates": web_templates,
         "kg_conflicts": kg_conflicts,
         "kg_bgp_opt": kg_bgp_opt,
+        "kg_bgp_union": kg_bgp_union,
+        "kg_bgp_filter": kg_bgp_filter,
+        "kg_bgp_path": kg_bgp_path,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9866,6 +9919,44 @@ bo_o AS (SELECT DISTINCT subj AS o, obj AS t FROM bo_t
          WHERE pred = 'is_a')
 SELECT DISTINCT r.o AS o, r.s AS s, coalesce(b.t, '') AS t
 FROM bo_r r LEFT JOIN bo_o b USING (o)
+""",
+        # kgspark.graph_api.bgp_union: branch 1 = typed (part,typ,brand)
+        # bindings, branch 2 = inverse-^has pairs with typ unbound -> '';
+        # DISTINCT across branches = SPARQL UNION set semantics
+        "kg_bgp_union": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT DISTINCT brand, part, typ FROM (
+  SELECT h.obj AS brand, i.subj AS part, i.obj AS typ
+  FROM triples i JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
+  WHERE i.pred = 'is_a'
+  UNION
+  SELECT obj AS brand, subj AS part, '' AS typ FROM triples
+  WHERE pred = 'has'
+)
+""",
+        # kgspark.graph_api.bgp_match filters: contains / >= / var-vs-var
+        # inequality, all plain lexicographic string predicates
+        "kg_bgp_filter": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT DISTINCT h.obj AS b, i.subj AS p, i.obj AS t
+FROM triples i JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
+WHERE i.pred = 'is_a' AND starts_with(i.obj, 's')
+  AND h.obj >= 'Brand#2' AND i.subj <> h.obj
+""",
+        # kgspark.graph_api property path is_a{{2,3}}: the bounded closure
+        # unrolled as chained joins over is_a deepened with typ->part->
+        # thing schema levels
+        "kg_bgp_path": f"""
+WITH {_PARTS_ORACLE_CTE},
+bp_e AS (
+  SELECT DISTINCT subj AS s, obj AS o FROM triples WHERE pred = 'is_a'
+  UNION SELECT DISTINCT obj, 'part' FROM triples WHERE pred = 'is_a'
+  UNION SELECT 'part', 'thing'
+),
+bp_h2 AS (SELECT DISTINCT a.s, b.o FROM bp_e a JOIN bp_e b ON a.o = b.s),
+bp_h3 AS (SELECT DISTINCT a.s, b.o FROM bp_h2 a JOIN bp_e b ON a.o = b.s)
+SELECT DISTINCT o AS anc, s AS x
+FROM (SELECT * FROM bp_h2 UNION SELECT * FROM bp_h3)
 """,
         # kgspark.web.hreflang_clusters: oracle reconstructs the declared
         # alternate rows from the synthesis arithmetic; cluster key is the

@@ -30,6 +30,178 @@ def query_graph(triples: DataFrame, query: str) -> DataFrame:
     )
 
 
+import re as _re
+
+_PATH_RE = _re.compile(r"^(\^?)([^+{}|^?]+(?:\|[^+{}|^?]+)*)(\+|\{(\d+),(\d+)\})?$")
+
+
+def _is_var(t: str) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+def _pred_rel(
+    triples: DataFrame, p_t: str, subj: str, pred: str, obj: str,
+    max_path_hops: int,
+    s_const: str | None = None,
+    o_const: str | None = None,
+) -> tuple[DataFrame, bool]:
+    """Compile a predicate TERM into a relation.
+
+    Returns (df, has_pred_col). Simple constants / variables keep the raw
+    triples columns (has_pred_col=True). SPARQL-1.1 property-path subset —
+    ``^p`` inverse, ``a|b`` alternation, ``p+`` / ``p{m,n}`` bounded-length
+    paths — compiles to a two-column (subj, obj) endpoint relation
+    (has_pred_col=False). Paths are BOUNDED (``+`` means 1..max_path_hops,
+    the repo-wide bounded-closure posture: true Kleene closure depth is
+    data-dependent and unbounded, a non-starter for a deterministic
+    distributed job); each extra hop is one distinct self-join, so the plan
+    is max_hops shuffles over the (deduplicated) pair set — never a
+    materialized path table.
+
+    s_const / o_const: the pattern's CONSTANT endpoints, if any. A path
+    closure with a constant endpoint is seeded from that endpoint (forward
+    from the subject, or over reversed edges from the object) so the
+    frontier only ever holds pairs reachable from the constant — at scale
+    the difference between a node neighbourhood and the full transitive
+    closure. The caller re-applies the endpoint equality afterwards, so
+    seeding is purely a pruning step.
+    """
+    if _is_var(p_t):
+        return triples, True
+    m = _PATH_RE.match(p_t)
+    if not m:
+        raise ValueError(f"bgp_match: cannot parse predicate term {p_t!r}")
+    inv, alts, path_suffix = m.group(1), m.group(2).split("|"), m.group(3)
+    if len(alts) == 1:
+        df = triples.where(F.col(pred) == F.lit(alts[0]))
+    else:
+        df = triples.where(F.col(pred).isin(alts))
+    s_col, o_col = (obj, subj) if inv else (subj, obj)
+    if not path_suffix:
+        if inv or len(alts) > 1:
+            # normalize to endpoint relation (pred identity is lost, as in
+            # SPARQL alternation)
+            return (
+                df.select(F.col(s_col).alias(subj), F.col(o_col).alias(obj)),
+                False,
+            )
+        return df, True
+    if path_suffix == "+":
+        lo, hi = 1, max_path_hops
+    else:
+        lo, hi = int(m.group(4)), int(m.group(5))
+    if lo < 1 or hi < lo:
+        raise ValueError(f"bgp_match: bad path bounds in {p_t!r}")
+    edges = df.select(
+        F.col(s_col).alias("s"), F.col(o_col).alias("o")
+    ).distinct()
+    reverse = s_const is None and o_const is not None
+    if reverse:  # walk backwards from the constant object
+        edges = edges.select(
+            F.col("o").alias("s"), F.col("s").alias("o")
+        )
+        seed = o_const
+    else:
+        seed = s_const
+    cur = edges.where(F.col("s") == F.lit(seed)) if seed is not None else edges
+    acc = cur if lo <= 1 else None
+    for hop in range(2, hi + 1):
+        cur = (
+            cur.alias("a")
+            .join(edges.alias("b"), F.col("a.o") == F.col("b.s"))
+            .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+            .distinct()
+        )
+        if hop >= lo:
+            acc = cur if acc is None else acc.unionByName(cur)
+    if reverse:
+        acc = acc.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    out = acc.distinct().select(
+        F.col("s").alias(subj), F.col("o").alias(obj)
+    )
+    return out, False
+
+
+def _compile_pattern(
+    triples: DataFrame,
+    pat: tuple[str, str, str],
+    pat_i: int,
+    subj: str,
+    pred: str,
+    obj: str,
+    max_path_hops: int,
+) -> tuple[DataFrame, frozenset[str], int]:
+    """One (s, p, o) term triple -> (binding DataFrame, variable set,
+    n_constants). Shared by required / optional / union compilation."""
+    s_t, p_t, o_t = pat
+    df, has_pred = _pred_rel(
+        triples, p_t, subj, pred, obj, max_path_hops,
+        s_const=None if _is_var(s_t) else s_t,
+        o_const=None if _is_var(o_t) else o_t,
+    )
+    if has_pred and not _is_var(p_t):
+        n_const = 1  # the simple-constant pred filter is already applied
+        terms = ((subj, s_t), (obj, o_t))
+    elif has_pred:
+        n_const = 0
+        terms = ((subj, s_t), (pred, p_t), (obj, o_t))
+    else:  # endpoint relation: pred consumed by the path/alt/inverse compile
+        n_const = 1
+        terms = ((subj, s_t), (obj, o_t))
+    for col, term in terms:
+        if not _is_var(term):
+            df = df.where(F.col(col) == F.lit(term))
+            n_const += 1
+    # repeated variable inside one pattern => equality constraint
+    seen: dict[str, str] = {}
+    for col, term in terms:
+        if _is_var(term):
+            if term in seen:
+                df = df.where(F.col(seen[term]) == F.col(col))
+            else:
+                seen[term] = col
+    proj = [F.col(c).alias(v[1:]) for v, c in seen.items()]
+    if proj:
+        df = df.select(*proj)
+    else:  # constants-only existence guard: 1-row broadcast semi
+        df = df.select(F.lit(1).alias(f"__exists_{pat_i}")).limit(1)
+    return df, frozenset(v[1:] for v in seen), n_const
+
+
+_FILTER_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "contains": lambda a, b: a.contains(b),
+    "strstarts": lambda a, b: a.startswith(b),
+    "strends": lambda a, b: a.endswith(b),
+}
+
+
+def _apply_filters(
+    df: DataFrame, filters: Sequence[tuple[str, str, str]],
+    bound: set[str],
+) -> DataFrame:
+    """SPARQL FILTER subset: each (lhs, op, rhs) with ``?var`` or constant
+    terms, op in =, !=, <, <=, >, >=, contains, strstarts, strends (string
+    comparisons are lexicographic on both engines). Filters are plain
+    column predicates applied after the binding joins — Catalyst pushes
+    single-pattern filters back through the join on its own."""
+    for lhs, op, rhs in filters:
+        if op not in _FILTER_OPS:
+            raise ValueError(f"bgp_match: unknown filter op {op!r}")
+        for t in (lhs, rhs):
+            if _is_var(t) and t[1:] not in bound:
+                raise ValueError(f"bgp_match: filter var {t} is unbound")
+        le = F.col(lhs[1:]) if _is_var(lhs) else F.lit(lhs)
+        re_ = F.col(rhs[1:]) if _is_var(rhs) else F.lit(rhs)
+        df = df.where(_FILTER_OPS[op](le, re_))
+    return df
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: Sequence[tuple[str, str, str]],
@@ -39,6 +211,8 @@ def bgp_match(
     distinct: bool = True,
     allow_product: bool = False,
     optional_patterns: Sequence[tuple[str, str, str]] = (),
+    filters: Sequence[tuple[str, str, str]] = (),
+    max_path_hops: int = 6,
 ) -> DataFrame:
     """Conjunctive triple-pattern (SPARQL basic-graph-pattern) matching.
 
@@ -48,6 +222,11 @@ def bgp_match(
     (set semantics by default). This upgrades the reference's query surface
     — substring scan only (ref /root/reference/knowledge_graph_builder.py:
     679-686) — to real conjunctive queries over the same triples table.
+
+    Predicate terms additionally support a SPARQL 1.1 property-path subset:
+    ``^p`` (inverse), ``a|b`` (alternation), ``p+`` (1..max_path_hops-hop
+    path) and ``p{m,n}`` (m..n-hop path) — see ``_pred_rel`` for the
+    bounded-closure posture.
 
     Plan shape (the 100 TB posture): every pattern compiles to a constant
     filter + projection over the SAME triples scan — predicate constants
@@ -70,37 +249,20 @@ def bgp_match(
     bound only by optional patterns come back as '' for rows without a
     match (unbound-as-empty keeps the result a flat string table).
     Multiple optional matches multiply rows, exactly as SPARQL does.
+
+    filters: SPARQL FILTER subset over bound variables — see
+    ``_apply_filters``.
     """
     if not patterns:
         raise ValueError("bgp_match: need at least one pattern")
 
-    def is_var(t: str) -> bool:
-        return isinstance(t, str) and t.startswith("?")
-
-    cols = (subj, pred, obj)
     compiled: list[tuple[DataFrame, frozenset[str], int]] = []
-    for pat_i, (s_t, p_t, o_t) in enumerate(patterns):
-        terms = (s_t, p_t, o_t)
-        df = triples
-        n_const = 0
-        for col, term in zip(cols, terms):
-            if not is_var(term):
-                df = df.where(F.col(col) == F.lit(term))
-                n_const += 1
-        # repeated variable inside one pattern => equality constraint
-        seen: dict[str, str] = {}
-        for col, term in zip(cols, terms):
-            if is_var(term):
-                if term in seen:
-                    df = df.where(F.col(seen[term]) == F.col(col))
-                else:
-                    seen[term] = col
-        proj = [F.col(c).alias(v[1:]) for v, c in seen.items()]
-        if proj:
-            df = df.select(*proj)
-        else:  # constants-only existence guard: 1-row broadcast semi
-            df = df.select(F.lit(1).alias(f"__exists_{pat_i}")).limit(1)
-        compiled.append((df, frozenset(v[1:] for v in seen), n_const))
+    for pat_i, pat in enumerate(patterns):
+        compiled.append(
+            _compile_pattern(
+                triples, pat, pat_i, subj, pred, obj, max_path_hops
+            )
+        )
 
     # greedy join order: seed with the most-constant pattern that binds a
     # variable (existence guards attach as 1-row broadcasts), then always
@@ -134,27 +296,16 @@ def bgp_match(
         return acc.select(F.lit(True).alias("exists")).limit(1)
 
     optional_only: set[str] = set()
-    for s_t, p_t, o_t in optional_patterns:
-        terms = (s_t, p_t, o_t)
-        df = triples
-        for col, term in zip(cols, terms):
-            if not is_var(term):
-                df = df.where(F.col(col) == F.lit(term))
-        seen: dict[str, str] = {}
-        for col, term in zip(cols, terms):
-            if is_var(term):
-                if term in seen:
-                    df = df.where(F.col(seen[term]) == F.col(col))
-                else:
-                    seen[term] = col
-        vs = frozenset(v[1:] for v in seen)
+    for pat_i, pat in enumerate(optional_patterns):
+        df, vs, _ = _compile_pattern(
+            triples, pat, 10_000 + pat_i, subj, pred, obj, max_path_hops
+        )
         shared = vs & bound
         if not shared:
             raise ValueError(
                 "bgp_match: optional pattern shares no variable with the "
                 "required patterns (would be a Cartesian product)"
             )
-        df = df.select(*[F.col(c).alias(v[1:]) for v, c in seen.items()])
         acc = acc.join(df, on=sorted(shared), how="left")
         optional_only |= vs - bound
         bound |= vs
@@ -166,7 +317,66 @@ def bgp_match(
             for v in sorted(bound)
         ]
     )
+    out = _apply_filters(out, filters, set(bound))
     return out.distinct() if distinct else out
+
+
+def bgp_union(
+    triples: DataFrame,
+    branches: Sequence[dict],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+    max_path_hops: int = 6,
+) -> DataFrame:
+    """SPARQL UNION over BGP branches.
+
+    Each branch is a dict accepted by :func:`bgp_match` — ``{"patterns":
+    [...], "optional_patterns": [...], "filters": [...]}`` (only
+    ``patterns`` required). The result schema is the sorted union of every
+    branch's variables; a variable a branch does not bind comes back as
+    ``''`` for that branch's rows (the same unbound-as-empty convention as
+    OPTIONAL, keeping the result a flat string table). ``distinct=True``
+    dedupes ACROSS branches, i.e. SELECT DISTINCT over the UNION.
+
+    Plan shape: each branch is an independent join tree over the shared
+    triples scan; the union is a zero-shuffle concatenation (Spark
+    unionByName), so branches parallelize freely and the only added cost
+    of the union itself is the final distinct when requested.
+    """
+    if not branches:
+        raise ValueError("bgp_union: need at least one branch")
+    outs: list[DataFrame] = []
+    for br in branches:
+        outs.append(
+            bgp_match(
+                triples,
+                br["patterns"],
+                subj=subj,
+                pred=pred,
+                obj=obj,
+                distinct=False,
+                allow_product=bool(br.get("allow_product", False)),
+                optional_patterns=br.get("optional_patterns", ()),
+                filters=br.get("filters", ()),
+                max_path_hops=max_path_hops,
+            )
+        )
+    all_vars = sorted({c for o in outs for c in o.columns})
+    aligned = [
+        o.select(
+            *[
+                (F.col(v) if v in o.columns else F.lit("")).alias(v)
+                for v in all_vars
+            ]
+        )
+        for o in outs
+    ]
+    acc = aligned[0]
+    for o in aligned[1:]:
+        acc = acc.unionByName(o)
+    return acc.distinct() if distinct else acc
 
 
 def get_node_history(triples: DataFrame, nodes: DataFrame, node_id: str) -> DataFrame:

@@ -161,6 +161,139 @@ def test_bgp_optional_disconnected_raises(spark):
                   optional_patterns=[("?q", "z", "?r")])
 
 
+@pytest.fixture(scope="module")
+def hier(spark):
+    rows = [
+        ("a", "is_a", "T1"), ("b", "is_a", "T1"), ("T1", "is_a", "T0"),
+        ("T0", "is_a", "root"),
+        ("a", "has", "B1"), ("b", "has", "B2"),
+        ("B1", "belongs_to", "a"),
+        ("a", "related_to", "B1"), ("B1", "related_to", "a"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_path_plus_bounded_closure(hier):
+    out = bgp_match(hier, [("?x", "is_a+", "root")], max_path_hops=4)
+    assert {r["x"] for r in out.collect()} == {"a", "b", "T1", "T0"}
+    # hop bound respected: at 1 hop only T0 reaches root
+    out1 = bgp_match(hier, [("?x", "is_a+", "root")], max_path_hops=1)
+    assert {r["x"] for r in out1.collect()} == {"T0"}
+
+
+def test_path_mn_bounds(hier):
+    out = bgp_match(hier, [("?x", "is_a{2,3}", "?y")])
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {
+        ("a", "T0"), ("b", "T0"), ("T1", "root"),
+        ("a", "root"), ("b", "root"),
+    }
+
+
+def test_path_cycle_terminates(hier):
+    # related_to is a 2-cycle: bounded hops terminate, pairs dedupe
+    out = bgp_match(hier, [("?x", "related_to+", "?y")], max_path_hops=5)
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("a", "B1"), ("B1", "a"), ("a", "a"), ("B1", "B1")}
+
+
+def test_inverse_pred(hier):
+    out = bgp_match(hier, [("?b", "^has", "?p")])
+    assert {(r["b"], r["p"]) for r in out.collect()} == {
+        ("B1", "a"), ("B2", "b")
+    }
+
+
+def test_alternation_pred(hier):
+    out = bgp_match(hier, [("?s", "has|belongs_to", "?o")])
+    assert {(r["s"], r["o"]) for r in out.collect()} == {
+        ("a", "B1"), ("b", "B2"), ("B1", "a")
+    }
+
+
+def test_inverse_path_combo(hier):
+    # ^is_a+ : descendants of root within 4 hops
+    out = bgp_match(hier, [("root", "^is_a+", "?d")], max_path_hops=4)
+    assert {r["d"] for r in out.collect()} == {"a", "b", "T1", "T0"}
+
+
+def test_bad_path_bounds_raise(hier):
+    with pytest.raises(ValueError, match="bounds"):
+        bgp_match(hier, [("?x", "is_a{3,2}", "?y")])
+    with pytest.raises(ValueError, match="bounds"):
+        bgp_match(hier, [("?x", "is_a{0,2}", "?y")])
+
+
+def test_filters(hier):
+    out = bgp_match(
+        hier, [("?x", "is_a", "?y")],
+        filters=[("?y", "strstarts", "T"), ("?x", "!=", "b")],
+    )
+    assert {(r["x"], r["y"]) for r in out.collect()} == {
+        ("a", "T1"), ("T1", "T0")
+    }
+    out2 = bgp_match(
+        hier, [("?x", "has", "?b")], filters=[("?b", "contains", "2")]
+    )
+    assert {(r["x"], r["b"]) for r in out2.collect()} == {("b", "B2")}
+
+
+def test_filter_var_vs_var_and_unbound_raises(hier):
+    out = bgp_match(
+        hier, [("?x", "is_a", "?y")], filters=[("?x", "<", "?y")]
+    )
+    # ASCII lexicographic: uppercase sorts before lowercase, so 'a' > 'T1'
+    assert {(r["x"], r["y"]) for r in out.collect()} == {("T0", "root")}
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_match(hier, [("?x", "is_a", "?y")],
+                  filters=[("?z", "=", "a")])
+    with pytest.raises(ValueError, match="unknown filter op"):
+        bgp_match(hier, [("?x", "is_a", "?y")],
+                  filters=[("?x", "~~", "a")])
+
+
+def test_union_aligns_unbound_as_empty(hier):
+    from kgspark.graph_api import bgp_union
+
+    out = bgp_union(
+        hier,
+        [
+            {"patterns": [("?p", "is_a", "?t"), ("?p", "has", "?b")]},
+            {"patterns": [("?b", "belongs_to", "?p")]},
+        ],
+    )
+    assert out.columns == ["b", "p", "t"]
+    got = {(r["b"], r["p"], r["t"]) for r in out.collect()}
+    assert got == {("B1", "a", "T1"), ("B2", "b", "T1"), ("B1", "a", "")}
+
+
+def test_union_distinct_across_branches(hier):
+    from kgspark.graph_api import bgp_union
+
+    # identical branches collapse under set semantics
+    br = {"patterns": [("?x", "has", "?y")]}
+    out = bgp_union(hier, [br, br])
+    assert out.count() == 2
+    bag = bgp_union(hier, [br, br], distinct=False)
+    assert bag.count() == 4
+
+
+def test_union_branch_filters_and_optional(hier):
+    from kgspark.graph_api import bgp_union
+
+    out = bgp_union(
+        hier,
+        [
+            {"patterns": [("?x", "has", "?y")],
+             "filters": [("?y", "=", "B1")]},
+            {"patterns": [("?x", "is_a", "T1")],
+             "optional_patterns": [("?x", "has", "?y")]},
+        ],
+    )
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("a", "B1"), ("b", "B2")}
+
+
 def test_bgp_optional_chains_through_prior_optional(spark):
     from kgspark.graph_api import bgp_match
 
