@@ -245,6 +245,25 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+def _transe_l1_sql(s: str, p: str, o: str, dim: int = 8) -> str:
+    """TransE L1 energy replica of kgspark.kgembed: coordinate i of an
+    embedding is md5 byte i (salt 'e' for entities, 'r' for relations)
+    shifted to [-128, 127]; energy = sum_i |s_i + p_i - o_i|. Exact
+    integers on both engines."""
+
+    def b(x: str, salt: str, i: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{salt}' || {x}), {2 * i + 1}, 2))::INT"
+            " - 128)"
+        )
+
+    terms = [
+        f"abs({b(s, 'e', i)} + {b(p, 'r', i)} - {b(o, 'e', i)})"
+        for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
 def _banded_sql(table: str, id_col: str, bands: int, bits: int) -> str:
     """(id, band, val) exploded banded sign-LSH values of `table`.embedding —
     mirrors kgspark.dedup.banded_sign_values: STRIDED coordinate subsets,
@@ -4302,6 +4321,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t2 = t.union(typs).union(root)
         return bgp_match(t2, [("?x", "is_a{2,3}", "?anc")])
 
+    def kg_transe(spark, sf_dir):
+        # TransE L1 plausibility per triple (kgspark/kgembed.py
+        # transe_score) with deterministic md5-byte integer embeddings —
+        # scores are exact integers, three hash joins + map-only zip_with
+        from kgspark.kgembed import hash_embeddings, transe_score
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        ents = t.select(F.col("subj").alias("e")).union(
+            t.select(F.col("obj").alias("e"))
+        )
+        ent = hash_embeddings(ents, "e", salt="e")
+        rel = hash_embeddings(
+            t.select(F.col("pred").alias("r")), "r", salt="r"
+        ).withColumnRenamed("entity", "rel")
+        return transe_score(t, ent, rel)
+
+    def kg_lp_ranks(spark, sf_dir):
+        # filtered link-prediction ranks (kgspark/kgembed.py lp_ranks):
+        # predicate-range candidates, Bordes-filtered, deterministic
+        # energy-asc/candidate-asc tie-break — restricted to the two
+        # bounded-range predicates (is_a ~6 types, has ~25 brands)
+        from kgspark.kgembed import hash_embeddings, lp_ranks
+
+        t = (
+            _extract_triples(spark, sf_dir)
+            .select("subj", "pred", "obj")
+            .where(F.col("pred").isin("is_a", "has"))
+        )
+        ents = t.select(F.col("subj").alias("e")).union(
+            t.select(F.col("obj").alias("e"))
+        )
+        ent = hash_embeddings(ents, "e", salt="e")
+        rel = hash_embeddings(
+            t.select(F.col("pred").alias("r")), "r", salt="r"
+        ).withColumnRenamed("entity", "rel")
+        return lp_ranks(t, ent, rel, filtered=True)
+
     def web_hreflang(spark, sf_dir):
         # declared language-alternate clusters (kgspark/web.py
         # hreflang_clusters): en/de always, fr omitted on every 5th page
@@ -4620,6 +4676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_union": kg_bgp_union,
         "kg_bgp_filter": kg_bgp_filter,
         "kg_bgp_path": kg_bgp_path,
+        "kg_transe": kg_transe,
+        "kg_lp_ranks": kg_lp_ranks,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9957,6 +10015,42 @@ bp_h2 AS (SELECT DISTINCT a.s, b.o FROM bp_e a JOIN bp_e b ON a.o = b.s),
 bp_h3 AS (SELECT DISTINCT a.s, b.o FROM bp_h2 a JOIN bp_e b ON a.o = b.s)
 SELECT DISTINCT o AS anc, s AS x
 FROM (SELECT * FROM bp_h2 UNION SELECT * FROM bp_h3)
+""",
+        # kgspark.kgembed.transe_score with md5-byte integer embeddings:
+        # the L1 energy is a pure column expression on both engines
+        "kg_transe": f"""
+WITH {_PARTS_ORACLE_CTE},
+te_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
+SELECT subj, pred, obj,
+       {_transe_l1_sql('subj', 'pred', 'obj')} AS l1_score
+FROM te_t
+""",
+        # kgspark.kgembed.lp_ranks, filtered protocol: predicate-range
+        # candidates minus other true objects; rank = 1 + #(energy, cand)
+        # pairs sorting before the true object's (energy, obj)
+        "kg_lp_ranks": f"""
+WITH {_PARTS_ORACLE_CTE},
+lr_t AS (SELECT DISTINCT subj, pred, obj FROM triples
+         WHERE pred IN ('is_a', 'has')),
+lr_c AS (SELECT DISTINCT pred, obj AS cand FROM lr_t),
+lr_p AS (
+  SELECT t.subj, t.pred, t.obj, c.cand
+  FROM lr_t t JOIN lr_c c USING (pred)
+  WHERE c.cand = t.obj OR NOT EXISTS (
+    SELECT 1 FROM lr_t x
+    WHERE x.subj = t.subj AND x.pred = t.pred AND x.obj = c.cand)
+),
+lr_s AS (
+  SELECT subj, pred, obj, cand,
+         {_transe_l1_sql('subj', 'pred', 'cand')} AS e,
+         {_transe_l1_sql('subj', 'pred', 'obj')} AS te
+  FROM lr_p
+)
+SELECT subj, pred, obj,
+       (1 + sum(CASE WHEN e < te OR (e = te AND cand < obj)
+                     THEN 1 ELSE 0 END))::BIGINT AS rank,
+       count(*)::BIGINT AS n_cand
+FROM lr_s GROUP BY 1, 2, 3
 """,
         # kgspark.web.hreflang_clusters: oracle reconstructs the declared
         # alternate rows from the synthesis arithmetic; cluster key is the

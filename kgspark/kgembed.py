@@ -1,0 +1,181 @@
+"""Knowledge-graph embedding scoring — TransE-style plausibility + link
+prediction.
+
+The reference has no KG-completion surface at all (its graph API stops at
+lookups, /root/reference/knowledge_graph_builder.py:675-738); this module
+adds the standard translational-embedding evaluation stack (Bordes et al.
+2013, "Translating Embeddings for Modeling Multi-relational Data"): score
+every triple by || e_s + e_p - e_o ||_1 and rank each test triple's true
+object among a candidate set under the filtered protocol.
+
+Embeddings are INPUTS here — any (entity, emb array<int|float>) /
+(rel, emb) tables work; training is out of scope (an SGD loop is a
+different engine concern). :func:`hash_embeddings` supplies deterministic
+integer embeddings (md5-byte coordinates) so scores are exact integers —
+the cross-engine-reproducible calibration path used by the contract
+queries; swap in trained vectors for real ranking quality.
+
+Scale posture (100 TB): scoring is three hash joins (entity/relation
+tables broadcast when they fit) followed by map-only array arithmetic —
+no shuffle beyond the joins. Link-prediction candidates are the
+PREDICATE RANGE (objects observed for that predicate), never "all
+entities": an all-entity cross join at web scale is a deliberate no-op,
+while predicate ranges are the type-compatible candidate set and bounded
+by the data's own schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_embeddings(
+    df: DataFrame, col: str, dim: int = 8, salt: str = ""
+) -> DataFrame:
+    """Deterministic integer embeddings: coordinate i is byte i of
+    md5(salt || value) shifted to [-128, 127].
+
+    Exact-integer by construction, so every downstream L1 score is an
+    exact integer too — the property the DuckDB oracles hash against.
+    dim <= 16 (md5 has 16 bytes).
+    """
+    if not 1 <= dim <= 16:
+        raise ValueError(f"hash_embeddings: dim must be in 1..16, got {dim}")
+    h = F.md5(F.concat(F.lit(salt), F.col("entity")))
+    dims = [
+        (F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("int") - 128)
+        for i in range(dim)
+    ]
+    return (
+        df.select(F.col(col).alias("entity"))
+        .where(F.col("entity").isNotNull())
+        .distinct()
+        .select("entity", F.array(*dims).alias("emb"))
+    )
+
+
+def _l1_spo(se, pe, oe):
+    """sum_i | se_i + pe_i - oe_i | as a long (sequential fold, so float
+    inputs are order-stable too)."""
+    diff = F.zip_with(
+        F.zip_with(se, pe, lambda x, y: x + y), oe,
+        lambda x, y: F.abs(x - y),
+    )
+    return F.aggregate(
+        diff, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+
+
+def transe_score(
+    triples: DataFrame, ent_emb: DataFrame, rel_emb: DataFrame
+) -> DataFrame:
+    """Score every (subj, pred, obj) triple with the TransE L1 energy
+    || e_s + e_p - e_o ||_1 (LOWER = more plausible).
+
+    ent_emb: (entity, emb), rel_emb: (rel, emb). Returns the triple columns
+    plus ``l1_score`` (long for integer embeddings). Triples whose subject,
+    predicate, or object has no embedding row are dropped (inner joins) —
+    embedding coverage is the caller's contract.
+    """
+    out = (
+        triples.select("subj", "pred", "obj")
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("subj"), F.col("emb").alias("_se")
+            ),
+            "subj",
+        )
+        .join(
+            rel_emb.select(
+                F.col("rel").alias("pred"), F.col("emb").alias("_pe")
+            ),
+            "pred",
+        )
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("obj"), F.col("emb").alias("_oe")
+            ),
+            "obj",
+        )
+    )
+    return out.select(
+        "subj", "pred", "obj",
+        _l1_spo(F.col("_se"), F.col("_pe"), F.col("_oe")).alias("l1_score"),
+    )
+
+
+def lp_ranks(
+    triples: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    filtered: bool = True,
+) -> DataFrame:
+    """Filtered link-prediction ranks (the standard KG-completion eval):
+    for each distinct (subj, pred, obj) triple, rank the true object among
+    the predicate-range candidates by TransE L1 energy.
+
+    rank = 1 + #candidates strictly better + #equal-energy candidates that
+    sort before the true object (total deterministic order: energy asc,
+    candidate asc — no cross-engine tie ambiguity). ``filtered=True`` drops
+    candidates c != obj where (subj, pred, c) is itself a true triple
+    (Bordes et al. 2013's "filtered" protocol, so other correct answers
+    don't count as errors). Returns (subj, pred, obj, rank, n_cand).
+
+    Plan: candidates = distinct (pred, obj) pairs — a predicate-range
+    dimension table; the pair table is triples x range(pred), scored with
+    map-only array arithmetic; rank is one window over the (subj, pred,
+    obj) candidate groups. No all-entity cross join anywhere.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    cand = t.select("pred", F.col("obj").alias("cand")).distinct()
+    pairs = t.join(cand, "pred")
+    if filtered:
+        truth = t.select(
+            "subj", "pred", F.col("obj").alias("cand"),
+            F.lit(1).alias("_is_true"),
+        ).distinct()
+        pairs = pairs.join(truth, ["subj", "pred", "cand"], "left").where(
+            F.col("_is_true").isNull() | (F.col("cand") == F.col("obj"))
+        ).drop("_is_true")
+    scored = (
+        pairs.join(
+            ent_emb.select(
+                F.col("entity").alias("subj"), F.col("emb").alias("_se")
+            ),
+            "subj",
+        )
+        .join(
+            rel_emb.select(
+                F.col("rel").alias("pred"), F.col("emb").alias("_pe")
+            ),
+            "pred",
+        )
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("cand"), F.col("emb").alias("_oe")
+            ),
+            "cand",
+        )
+        .select(
+            "subj", "pred", "obj", "cand",
+            _l1_spo(F.col("_se"), F.col("_pe"), F.col("_oe")).alias("_e"),
+        )
+    )
+    w = Window.partitionBy("subj", "pred", "obj")
+    true_e = F.max(
+        F.when(F.col("cand") == F.col("obj"), F.col("_e"))
+    ).over(w)
+    better = F.when(
+        (F.col("_e") < true_e)
+        | ((F.col("_e") == true_e) & (F.col("cand") < F.col("obj"))),
+        1,
+    ).otherwise(0)
+    return (
+        scored.select("subj", "pred", "obj", better.alias("_b"))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            (F.sum("_b") + F.lit(1)).cast("long").alias("rank"),
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+        )
+    )

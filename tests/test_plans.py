@@ -512,3 +512,59 @@ def test_shape_report_broadcasts_shapes(spark):
     p = plan(shape_report(t, sh))
     assert "BroadcastHashJoin" in p
     assert "partial_count" in p
+
+
+def test_transe_score_no_cartesian_no_python_udf(spark):
+    """TransE scoring is three hash joins + map-only array arithmetic:
+    no CartesianProduct, no BatchEvalPython (the energy stays JVM-side)."""
+    from kgspark.kgembed import hash_embeddings, transe_score
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a")],
+        "subj string, pred string, obj string",
+    )
+    ents = t.select(F.col("subj").alias("e")).union(t.select("obj"))
+    ent = hash_embeddings(ents, "e", salt="e")
+    rel = hash_embeddings(
+        t.select(F.col("pred").alias("r")), "r", salt="r"
+    ).withColumnRenamed("entity", "rel")
+    p = plan(transe_score(t, ent, rel))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_lp_ranks_candidate_join_is_keyed(spark):
+    """Link-prediction candidates come from the predicate range, joined on
+    the pred key — never an all-entity cross join; rank is one hash
+    aggregation over (subj, pred, obj) groups."""
+    from kgspark.kgembed import hash_embeddings, lp_ranks
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "p", "d")],
+        "subj string, pred string, obj string",
+    )
+    ents = t.select(F.col("subj").alias("e")).union(t.select("obj"))
+    ent = hash_embeddings(ents, "e", salt="e")
+    rel = hash_embeddings(
+        t.select(F.col("pred").alias("r")), "r", salt="r"
+    ).withColumnRenamed("entity", "rel")
+    p = plan(lp_ranks(t, ent, rel))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bgp_path_closure_no_cartesian(spark):
+    """Property-path closure is hop-bounded distinct self-joins on the
+    endpoint key; a constant endpoint seeds the frontier (the filter must
+    reach the first-hop scan, not sit above the closure)."""
+    from kgspark.graph_api import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "is_a", "b"), ("b", "is_a", "c")],
+        "subj string, pred string, obj string",
+    )
+    p = plan(bgp_match(t, [("a", "is_a+", "?y")], max_path_hops=3))
+    assert "CartesianProduct" not in p
+    # the seed constant appears as a pushed/applied filter on subj
+    assert "isnotnull(subj" in p or "(subj" in p
