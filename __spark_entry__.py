@@ -4358,6 +4358,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("entity", "rel")
         return lp_ranks(t, ent, rel, filtered=True)
 
+    def kg_wu_palmer(spark, sf_dir):
+        # Wu-Palmer taxonomy similarity (kgspark/taxo.py) over is_a
+        # deepened with typ->part->thing schema levels; candidate pairs =
+        # same-brand part pairs (blocked, a<b) + (part, its type) pairs —
+        # three depth mixes: same-type 666666, cross-type 333333,
+        # part-vs-type 800000
+        from kgspark.taxo import taxonomy_similarity
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        isa = t.where(F.col("pred") == "is_a").select(
+            F.col("subj").alias("child"), F.col("obj").alias("parent")
+        )
+        levels = isa.select(F.col("parent").alias("child")).distinct().select(
+            "child", F.lit("part").alias("parent")
+        ).union(
+            spark.createDataFrame(
+                [("part", "thing")], "child string, parent string"
+            )
+        )
+        taxo = isa.union(levels)
+        has = t.where(F.col("pred") == "has").select("subj", "obj")
+        same_brand = (
+            has.alias("x")
+            .join(has.alias("y"),
+                  (F.col("x.obj") == F.col("y.obj"))
+                  & (F.col("x.subj") < F.col("y.subj")))
+            .select(F.col("x.subj").alias("a"), F.col("y.subj").alias("b"))
+        )
+        isa_pairs = t.where(F.col("pred") == "is_a").select(
+            F.col("subj").alias("a"), F.col("obj").alias("b")
+        )
+        return taxonomy_similarity(
+            taxo, same_brand.union(isa_pairs), "thing", max_depth=4
+        )
+
     def web_hreflang(spark, sf_dir):
         # declared language-alternate clusters (kgspark/web.py
         # hreflang_clusters): en/de always, fr omitted on every 5th page
@@ -4678,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_path": kg_bgp_path,
         "kg_transe": kg_transe,
         "kg_lp_ranks": kg_lp_ranks,
+        "kg_wu_palmer": kg_wu_palmer,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -10051,6 +10087,59 @@ SELECT subj, pred, obj,
                      THEN 1 ELSE 0 END))::BIGINT AS rank,
        count(*)::BIGINT AS n_cand
 FROM lr_s GROUP BY 1, 2, 3
+""",
+        # kgspark.taxo.taxonomy_similarity: closure unrolled to the
+        # fixture's 3-hop depth, depth = max hops to 'thing', LCS = deepest
+        # common ancestor (min name on depth ties), ppm = truncating //
+        "kg_wu_palmer": f"""
+WITH {_PARTS_ORACLE_CTE},
+tx_e AS (
+  SELECT DISTINCT subj AS c, obj AS p FROM triples WHERE pred = 'is_a'
+  UNION SELECT DISTINCT obj, 'part' FROM triples WHERE pred = 'is_a'
+  UNION SELECT 'part', 'thing'
+),
+tx_n AS (SELECT c AS n FROM tx_e UNION SELECT p FROM tx_e),
+tx_h AS (
+  SELECT n AS node, n AS anc, 0 AS h FROM tx_n
+  UNION ALL SELECT c, p, 1 FROM tx_e
+  UNION ALL
+  SELECT a.c, b.p, 2 FROM tx_e a JOIN tx_e b ON a.p = b.c
+  UNION ALL
+  SELECT a.c, c2.p, 3 FROM tx_e a JOIN tx_e b ON a.p = b.c
+                        JOIN tx_e c2 ON b.p = c2.c
+),
+tx_cl AS (SELECT node, anc, max(h) AS hops FROM tx_h GROUP BY 1, 2),
+tx_d AS (SELECT node, hops AS depth FROM tx_cl WHERE anc = 'thing'),
+wp_pr AS (
+  SELECT x.subj AS a, y.subj AS b
+  FROM triples x JOIN triples y
+    ON x.obj = y.obj AND x.pred = 'has' AND y.pred = 'has'
+   AND x.subj < y.subj
+  UNION
+  SELECT subj, obj FROM triples WHERE pred = 'is_a'
+),
+wp_j AS (
+  SELECT pr.a, pr.b, ca.anc, d.depth AS ad
+  FROM wp_pr pr
+  JOIN tx_cl ca ON ca.node = pr.a
+  JOIN tx_cl cb ON cb.node = pr.b AND cb.anc = ca.anc
+  JOIN tx_d d ON d.node = ca.anc
+),
+wp_bd AS (SELECT a, b, max(ad) AS lcs_depth FROM wp_j GROUP BY 1, 2),
+wp_lc AS (
+  SELECT j.a, j.b, bd.lcs_depth, min(j.anc) AS lcs
+  FROM wp_j j JOIN wp_bd bd
+    ON bd.a = j.a AND bd.b = j.b AND j.ad = bd.lcs_depth
+  GROUP BY 1, 2, 3
+)
+SELECT l.a, l.b, da.depth::BIGINT AS depth_a, db.depth::BIGINT AS depth_b,
+       l.lcs, l.lcs_depth::BIGINT AS lcs_depth,
+       (CASE WHEN da.depth + db.depth = 0 THEN 1000000
+             ELSE (2000000 * l.lcs_depth) // (da.depth + db.depth)
+        END)::BIGINT AS wu_palmer_ppm
+FROM wp_lc l
+JOIN tx_d da ON da.node = l.a
+JOIN tx_d db ON db.node = l.b
 """,
         # kgspark.web.hreflang_clusters: oracle reconstructs the declared
         # alternate rows from the synthesis arithmetic; cluster key is the
