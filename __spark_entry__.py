@@ -3854,6 +3854,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("valid_to", F.lit(-1)).alias("valid_to"), "n_obs",
         )
 
+    def kg_allen(spark, sf_dir):
+        # Allen interval-algebra relations between same-subject fact
+        # intervals (kgspark/temporal.py allen_relations); interval set
+        # bounded to valid_from < 3000 (first 20 value blocks) so the
+        # pair join stays oracle-sized
+        from kgspark.temporal import allen_relations, triple_intervals
+
+        iv = triple_intervals(_kg_obs(spark, sf_dir)).where(
+            F.col("valid_from") < 3000
+        )
+        return allen_relations(iv)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4714,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe": kg_transe,
         "kg_lp_ranks": kg_lp_ranks,
         "kg_wu_palmer": kg_wu_palmer,
+        "kg_allen": kg_allen,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9510,6 +9523,51 @@ SELECT subj, pred, obj, valid_from,
                 -1)::BIGINT AS valid_to,
        n_obs
 FROM runs
+""",
+        # kgspark.temporal.allen_relations over the SCD-2 intervals
+        # (valid_from < 3000): pairs oriented by row-value order on
+        # (vf, vt, pred, obj), NULL valid_to = +inf, 7-way CASE chain
+        "kg_allen": """
+WITH obs AS (
+  SELECT 'e' || (doc_id % 23) AS subj, 'p' || (doc_id % 2) AS pred,
+         'v' || ((doc_id // 150) % 3) AS obj, doc_id AS ts
+  FROM documents
+),
+fl AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS NULL
+                      OR lag(obj) OVER w <> obj THEN 1 ELSE 0 END AS chg
+  FROM obs WINDOW w AS (PARTITION BY subj, pred ORDER BY ts)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY subj, pred ORDER BY ts) AS island
+  FROM fl
+),
+runs AS (
+  SELECT subj, pred, island, min(obj) AS obj, min(ts) AS valid_from
+  FROM isl GROUP BY 1, 2, 3
+),
+iv AS (
+  SELECT subj, pred, obj, valid_from AS vf,
+         coalesce(lead(valid_from) OVER
+                  (PARTITION BY subj, pred ORDER BY valid_from),
+                  9223372036854775807) AS vt
+  FROM runs
+),
+ivb AS (SELECT * FROM iv WHERE vf < 3000)
+SELECT a.subj,
+       a.pred AS a_pred, a.obj AS a_obj,
+       b.pred AS b_pred, b.obj AS b_obj,
+       CASE WHEN a.vt < b.vf THEN 'precedes'
+            WHEN a.vt = b.vf THEN 'meets'
+            WHEN a.vf = b.vf AND a.vt = b.vt THEN 'equals'
+            WHEN a.vf = b.vf AND a.vt < b.vt THEN 'starts'
+            WHEN a.vf < b.vf AND a.vt = b.vt THEN 'finished_by'
+            WHEN a.vf < b.vf AND a.vt > b.vt THEN 'contains'
+            ELSE 'overlaps' END AS relation
+FROM ivb a JOIN ivb b
+  ON a.subj = b.subj
+ AND (a.pred <> b.pred OR a.obj <> b.obj)
+ AND (a.vf, a.vt, a.pred, a.obj) < (b.vf, b.vt, b.pred, b.obj)
 """,
         # kgspark.temporal.asof_snapshot at ts<=300: latest observation
         # per (subj, pred), ties broken by descending object

@@ -184,3 +184,68 @@ def interval_conflicts(obs: DataFrame, subj_col: str = "subj",
             .alias("overlap_to"),
         )
     )
+
+
+def allen_relations(intervals: DataFrame) -> DataFrame:
+    """Allen interval-algebra relations (Allen, CACM 1983) between the
+    fact intervals of the SAME subject.
+
+    Input: SCD-2 rows (subj, pred, obj, valid_from, valid_to) — the
+    :func:`triple_intervals` output; NULL valid_to (still-current)
+    compares as +infinity. Every unordered pair of DISTINCT facts of one
+    subject appears exactly once, oriented so interval ``a`` sorts before
+    ``b`` on (valid_from, valid_to, pred, obj) — with that orientation the
+    13 Allen relations collapse to the 7 canonical ones (the other 6 are
+    the reversed pair): precedes, meets, overlaps, starts, contains,
+    finished_by, equals.
+
+    Returns (subj, a_pred, a_obj, b_pred, b_obj, relation).
+
+    Plan: one self-join on the subject key with a strict struct-ordering
+    predicate (each pair once, no mirror dedup pass); the relation is a
+    CASE chain over the four endpoints — exact integer comparisons, no
+    window, no second shuffle. Pair count is sum over subjects of
+    n_facts^2 — per-entity fact counts bound it, exactly like the
+    conflict-detection join above.
+    """
+    inf = F.lit(9223372036854775807)
+    iv = intervals.select(
+        "subj", "pred", "obj",
+        F.col("valid_from").cast("long").alias("vf"),
+        F.coalesce(F.col("valid_to").cast("long"), inf).alias("vt"),
+    )
+
+    def key(side: str):
+        return F.struct(
+            F.col(f"{side}.vf"), F.col(f"{side}.vt"),
+            F.col(f"{side}.pred"), F.col(f"{side}.obj"),
+        )
+
+    pairs = iv.alias("a").join(
+        iv.alias("b"),
+        (F.col("a.subj") == F.col("b.subj"))
+        & (
+            (F.col("a.pred") != F.col("b.pred"))
+            | (F.col("a.obj") != F.col("b.obj"))
+        )
+        & (key("a") < key("b")),
+    )
+    avf, avt = F.col("a.vf"), F.col("a.vt")
+    bvf, bvt = F.col("b.vf"), F.col("b.vt")
+    relation = (
+        F.when(avt < bvf, F.lit("precedes"))
+        .when(avt == bvf, F.lit("meets"))
+        .when((avf == bvf) & (avt == bvt), F.lit("equals"))
+        .when((avf == bvf) & (avt < bvt), F.lit("starts"))
+        .when((avf < bvf) & (avt == bvt), F.lit("finished_by"))
+        .when((avf < bvf) & (avt > bvt), F.lit("contains"))
+        .otherwise(F.lit("overlaps"))
+    )
+    return pairs.select(
+        F.col("a.subj").alias("subj"),
+        F.col("a.pred").alias("a_pred"),
+        F.col("a.obj").alias("a_obj"),
+        F.col("b.pred").alias("b_pred"),
+        F.col("b.obj").alias("b_obj"),
+        relation.alias("relation"),
+    )
