@@ -3866,6 +3866,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return allen_relations(iv)
 
+    def kg_simrank(spark, sf_dir):
+        # bounded-round integer-ppm SimRank (kgspark/graph_algs.py
+        # simrank) over a three-layer citation graph (u->v->w + u->w
+        # shortcuts, doc_id < 400 so co-citation coverage is partial and
+        # scores vary); rounds=2 so w-pairs gain from similar v's
+        from kgspark.graph_algs import simrank
+
+        docs = _read(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 400
+        )
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w1 = F.concat(F.lit("w"), (d % 5).cast("string"))
+        w2 = F.concat(F.lit("w"), (F.expr("doc_id div 5") % 5).cast("string"))
+        edges = (
+            docs.select(u.alias("src"), v.alias("dst"))
+            .union(docs.select(v.alias("src"), w1.alias("dst")))
+            .union(docs.select(u.alias("src"), w2.alias("dst")))
+        )
+        return simrank(edges, rounds=2)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4727,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lp_ranks": kg_lp_ranks,
         "kg_wu_palmer": kg_wu_palmer,
         "kg_allen": kg_allen,
+        "kg_simrank": kg_simrank,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9568,6 +9591,70 @@ FROM ivb a JOIN ivb b
   ON a.subj = b.subj
  AND (a.pred <> b.pred OR a.obj <> b.obj)
  AND (a.vf, a.vt, a.pred, a.obj) < (b.vf, b.vt, b.pred, b.obj)
+""",
+        # kgspark.graph_algs.simrank, 2 rounds unrolled: support pairs =
+        # same-depth common ancestors (d=1, d=2) under the group cap,
+        # round-1 identity lookups, round-2 lookups against round-1
+        # positives; all ppm integer // arithmetic
+        "kg_simrank": """
+WITH sr_d AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+sr_e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'u' || (d % 40) AS src, 'v' || (d % 9) AS dst FROM sr_d
+    UNION ALL SELECT 'v' || (d % 9), 'w' || (d % 5) FROM sr_d
+    UNION ALL SELECT 'u' || (d % 40), 'w' || ((d // 5) % 5) FROM sr_d
+  ) WHERE src <> dst
+),
+sr_in AS (SELECT dst AS node, src AS nb FROM sr_e),
+sr_deg AS (SELECT node, count(*)::BIGINT AS deg FROM sr_in GROUP BY 1),
+sr_r1 AS (SELECT node, nb AS anc FROM sr_in),
+sr_r2 AS (
+  SELECT DISTINCT r.node, e.nb AS anc
+  FROM sr_r1 r JOIN sr_in e ON r.anc = e.node
+),
+sr_p1 AS (
+  SELECT DISTINCT x.node AS a, y.node AS b
+  FROM sr_r1 x JOIN sr_r1 y ON x.anc = y.anc AND x.node < y.node
+  WHERE x.anc IN (SELECT anc FROM sr_r1 GROUP BY 1
+                  HAVING count(*) <= 256)
+),
+sr_p2 AS (
+  SELECT DISTINCT x.node AS a, y.node AS b
+  FROM sr_r2 x JOIN sr_r2 y ON x.anc = y.anc AND x.node < y.node
+  WHERE x.anc IN (SELECT anc FROM sr_r2 GROUP BY 1
+                  HAVING count(*) <= 256)
+),
+sr_p AS (
+  SELECT p.a, p.b, da.deg AS na, db.deg AS nb_deg
+  FROM (SELECT * FROM sr_p1 UNION SELECT * FROM sr_p2) p
+  JOIN sr_deg da ON da.node = p.a
+  JOIN sr_deg db ON db.node = p.b
+  WHERE da.deg * db.deg <= 1000000
+),
+sr_q AS (
+  SELECT p.a, p.b, p.na, p.nb_deg, ia.nb AS i, ib.nb AS j
+  FROM sr_p p
+  JOIN sr_in ia ON ia.node = p.a
+  JOIN sr_in ib ON ib.node = p.b
+),
+sr_s1 AS (
+  SELECT a, b,
+         (800000 * sum(CASE WHEN i = j THEN 1000000 ELSE 0 END))
+           // (na * nb_deg * 1000000) AS s
+  FROM sr_q GROUP BY a, b, na, nb_deg
+),
+sr_s1p AS (SELECT a, b, s FROM sr_s1 WHERE s > 0),
+sr_l2 AS (
+  SELECT q.a, q.b, q.na, q.nb_deg,
+         CASE WHEN q.i = q.j THEN 1000000
+              ELSE coalesce(s1.s, 0) END AS sp
+  FROM sr_q q LEFT JOIN sr_s1p s1
+    ON s1.a = least(q.i, q.j) AND s1.b = greatest(q.i, q.j)
+)
+SELECT a, b,
+       ((800000 * sum(sp)) // (na * nb_deg * 1000000))::BIGINT AS s_ppm
+FROM sr_l2 GROUP BY a, b, na, nb_deg
+HAVING (800000 * sum(sp)) // (na * nb_deg * 1000000) > 0
 """,
         # kgspark.temporal.asof_snapshot at ts<=300: latest observation
         # per (subj, pred), ties broken by descending object

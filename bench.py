@@ -217,6 +217,41 @@ BENCH_QUERIES = [
     "kg_domain_range",
     "kg_harmonic",
     "web_sitemap",
+    "kg_violations",
+    "kg_type_completeness",
+    "web_meta_tags",
+    "web_html_tables",
+    "kg_jsonld",
+    "kg_ntriples",
+    "kg_triple_intervals",
+    "kg_asof_triples",
+    "web_microdata",
+    "kg_fact_fusion",
+    "kg_provenance",
+    "kg_sameas_rewrite",
+    "kg_entity_card",
+    "kg_fact_churn",
+    "web_canonical",
+    "kg_shapes",
+    "kg_rdfs",
+    "kg_owl_infer",
+    "kg_table_triples",
+    "kg_paths",
+    "kg_coref",
+    "kg_polarity",
+    "web_templates",
+    "kg_conflicts",
+    "kg_bgp_opt",
+    "kg_bgp_union",
+    "kg_bgp_filter",
+    "kg_bgp_path",
+    "kg_transe",
+    "kg_lp_ranks",
+    "kg_wu_palmer",
+    "kg_allen",
+    "web_hreflang",
+    "kg_rules",
+    "kg_truth",
 ]
 
 

@@ -1799,3 +1799,138 @@ def type_completeness(
             ),
         )
     )
+
+
+def simrank(
+    edges: DataFrame,
+    rounds: int = 2,
+    c_ppm: int = 800_000,
+    max_group: int = 256,
+    max_degree_product: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round SimRank (Jeh & Widom, KDD 2002): two nodes are
+    similar if their in-neighbors are similar, seeded from the identity.
+
+        s_0(a, b) = 1 iff a = b
+        s_k(a, b) = C / (|I(a)||I(b)|) * sum_{i in I(a), j in I(b)}
+                    s_{k-1}(i, j)
+
+    Integer parts-per-million arithmetic throughout (C = c_ppm, sums of
+    ppm scores, truncating division) — bit-identical cross-engine. The
+    reference has no node-similarity surface at all; within this repo
+    SimRank complements common_neighbors/adamic_adar (one-hop overlap
+    counts) with the recursive structural-equivalence measure used for
+    entity resolution and collaborative filtering.
+
+    BOUNDED-ROUNDS POSTURE (repo-wide, see k_core): s_rounds exactly, not
+    the fixpoint — a fixpoint's round count is data-dependent. The score
+    support after k rounds is exactly the pairs with a common ancestor at
+    the SAME in-path depth d <= k, so the pair universe is generated from
+    the d-step in-reach tables, never all n^2 pairs. Two skew guards, both
+    deliberate approximations documented here: ancestor groups larger than
+    ``max_group`` are dropped from pair generation (hub ancestors — the
+    blocking-cap precedent from ifp_sameas), and pairs with
+    |I(a)|*|I(b)| > ``max_degree_product`` are dropped (also keeps the
+    ppm products inside long range). Dropped pairs read as score-0 in the
+    next round's lookups.
+
+    Returns (a, b, s_ppm) for canonical a < b pairs with s_ppm > 0.
+
+    Plan per round: pair table x two in-neighbor joins x one lookup join
+    against the previous round's scores (identity diagonal inlined as a
+    CASE), then one (a, b) aggregation. Everything keyed; no windows.
+    """
+    if rounds < 1:
+        raise ValueError(f"simrank: rounds >= 1, got {rounds}")
+    e = (
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nb"))
+        .where(F.col("node") != F.col("nb"))
+        .distinct()
+    )
+    e = materialize(e)
+    deg = e.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+
+    # support pairs: common same-depth ancestor within `rounds` in-steps
+    reach = e.select("node", F.col("nb").alias("anc"))
+    pairs = None
+    for d in range(1, rounds + 1):
+        if d > 1:
+            reach = (
+                reach.alias("r")
+                .join(e.alias("e"), F.col("r.anc") == F.col("e.node"))
+                .select(F.col("r.node").alias("node"),
+                        F.col("e.nb").alias("anc"))
+                .distinct()
+            )
+        # count-prefilter BEFORE any pair fan-out: hub ancestors never
+        # materialize their quadratic group
+        ok = reach.groupBy("anc").agg(
+            F.count(F.lit(1)).alias("n")
+        ).where(F.col("n") <= max_group).select("anc")
+        kept = reach.join(ok, "anc")
+        p_d = (
+            kept.alias("x")
+            .join(kept.alias("y"),
+                  (F.col("x.anc") == F.col("y.anc"))
+                  & (F.col("x.node") < F.col("y.node")))
+            .select(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+            .distinct()
+        )
+        pairs = p_d if pairs is None else pairs.unionByName(p_d).distinct()
+    pairs = (
+        pairs.join(deg.select(F.col("node").alias("a"),
+                              F.col("deg").alias("na")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("nb_deg")), "b")
+        .where(F.col("na") * F.col("nb_deg") <= F.lit(max_degree_product))
+    )
+    pairs = materialize(pairs)
+
+    prev = None  # identity only
+    for _ in range(rounds):
+        quads = (
+            pairs.join(e.select(F.col("node").alias("a"),
+                                F.col("nb").alias("i")), "a")
+            .join(e.select(F.col("node").alias("b"),
+                           F.col("nb").alias("j")), "b")
+        )
+        lo = F.least("i", "j")
+        hi = F.greatest("i", "j")
+        if prev is None:
+            looked = quads.select(
+                "a", "b", "na", "nb_deg",
+                F.when(F.col("i") == F.col("j"), F.lit(1_000_000))
+                .otherwise(F.lit(0)).alias("s_prev"),
+            )
+        else:
+            looked = (
+                quads.select("a", "b", "na", "nb_deg",
+                             lo.alias("lo"), hi.alias("hi"),
+                             (F.col("i") == F.col("j")).alias("diag"))
+                .join(
+                    prev.select(F.col("a").alias("lo"),
+                                F.col("b").alias("hi"),
+                                F.col("s_ppm").alias("s_lookup")),
+                    ["lo", "hi"], "left",
+                )
+                .select(
+                    "a", "b", "na", "nb_deg",
+                    F.when(F.col("diag"), F.lit(1_000_000))
+                    .otherwise(F.coalesce("s_lookup", F.lit(0)))
+                    .alias("s_prev"),
+                )
+            )
+        cur = (
+            looked.groupBy("a", "b", "na", "nb_deg")
+            .agg(F.sum("s_prev").alias("s_sum"))
+            .select(
+                "a", "b",
+                F.expr(
+                    f"({c_ppm} * s_sum) div (na * nb_deg * 1000000)"
+                ).cast("long").alias("s_ppm"),
+            )
+        )
+        prev = materialize(cur.where(F.col("s_ppm") > 0))
+    return prev

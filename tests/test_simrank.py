@@ -1,0 +1,93 @@
+"""simrank: bounded-round integer-ppm SimRank vs a brute-force replica."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from kgspark.graph_algs import simrank
+
+
+def _brute(edges, rounds, c_ppm=800_000):
+    """Exact replica of the documented semantics: identity seed, ppm
+    truncating division, support = same-depth common ancestors."""
+    inn = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            inn[d].add(s)
+    nodes = {n for e in edges for n in e}
+
+    def s0(i, j):
+        return 1_000_000 if i == j else 0
+
+    prev = s0
+    for _ in range(rounds):
+        cur_scores = {}
+        for a in nodes:
+            for b in nodes:
+                if a >= b or not inn[a] or not inn[b]:
+                    continue
+                tot = sum(prev(i, j) for i in inn[a] for j in inn[b])
+                v = (c_ppm * tot) // (len(inn[a]) * len(inn[b]) * 1_000_000)
+                if v > 0:
+                    cur_scores[(a, b)] = v
+        snap = dict(cur_scores)
+
+        def cur(i, j, _s=snap):
+            if i == j:
+                return 1_000_000
+            k = (i, j) if i < j else (j, i)
+            return _s.get(k, 0)
+
+        prev = cur
+    return snap
+
+
+@pytest.fixture(scope="module")
+def edges():
+    # three-layer graph: u's -> v's -> w's, plus u -> w shortcuts, so
+    # round 2 strictly extends round 1 (w-pairs gain from similar v's)
+    rows = []
+    for d in range(60):
+        rows.append((f"u{d % 7}", f"v{d % 4}"))
+        rows.append((f"v{d % 4}", f"w{(d // 4) % 3}"))
+        rows.append((f"u{d % 7}", f"w{(d // 3) % 3}"))
+    return sorted(set(rows))
+
+
+def test_simrank_matches_brute_force(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): r["s_ppm"]
+           for r in simrank(df, rounds=2).collect()}
+    assert got == _brute(edges, rounds=2)
+    assert got  # non-degenerate fixture
+
+
+def test_simrank_round1_is_common_neighbor_formula(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): r["s_ppm"]
+           for r in simrank(df, rounds=1).collect()}
+    assert got == _brute(edges, rounds=1)
+    # round 2 differs from round 1 somewhere (the fixture's point)
+    got2 = {(r["a"], r["b"]): r["s_ppm"]
+            for r in simrank(df, rounds=2).collect()}
+    assert got2 != got
+
+
+def test_simrank_guards(spark):
+    # x cites a, b, c: the co-cited pairs (a,b), (a,c), (b,c) share the
+    # hub ancestor x (group size 3)
+    df = spark.createDataFrame(
+        [("x", "a"), ("x", "b"), ("x", "c")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="rounds"):
+        simrank(df, rounds=0)
+    # hub ancestor dropped from pair generation when over the cap
+    assert simrank(df, rounds=1, max_group=2).count() == 0
+    assert simrank(df, rounds=1, max_group=3).count() == 3
+
+
+def test_simrank_self_loops_ignored_empty_ok(spark):
+    df = spark.createDataFrame([("a", "a")], "src string, dst string")
+    assert simrank(df, rounds=2).count() == 0
