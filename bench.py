@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "kg_lp_ranks",
     "kg_wu_palmer",
     "kg_allen",
+    "kg_simrank",
     "web_hreflang",
     "kg_rules",
     "kg_truth",
