@@ -3888,6 +3888,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return simrank(edges, rounds=2)
 
+    def kg_graphml(spark, sf_dir):
+        # GraphML interchange sink (kgspark/graphml.py graphml_lines):
+        # the full extracted KG as a deterministic (section, sort_key,
+        # line) table, edge weights as exact ppm integers
+        from kgspark.graphml import graphml_lines
+
+        t = _extract_triples(spark, sf_dir).withColumn(
+            "w_ppm", F.round(F.col("weight") * 1e6, 0).cast("long")
+        )
+        return graphml_lines(t, weight="w_ppm")
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4750,6 +4761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wu_palmer": kg_wu_palmer,
         "kg_allen": kg_allen,
         "kg_simrank": kg_simrank,
+        "kg_graphml": kg_graphml,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9591,6 +9603,48 @@ FROM ivb a JOIN ivb b
   ON a.subj = b.subj
  AND (a.pred <> b.pred OR a.obj <> b.obj)
  AND (a.vf, a.vt, a.pred, a.obj) < (b.vf, b.vt, b.pred, b.obj)
+""",
+        # kgspark.graphml.graphml_lines: same XML escape chain (& first),
+        # same section frame, node ids = distinct escaped endpoints,
+        # edge sort_key = escaped s||l||d, ppm integer weights
+        "kg_graphml": f"""
+WITH {_PARTS_ORACLE_CTE},
+gm_x AS (
+  SELECT DISTINCT
+    replace(replace(replace(replace(replace(subj,
+      '&','&amp;'),'<','&lt;'),'>','&gt;'),'"','&quot;'),'''','&apos;')
+      AS s,
+    replace(replace(replace(replace(replace(pred,
+      '&','&amp;'),'<','&lt;'),'>','&gt;'),'"','&quot;'),'''','&apos;')
+      AS l,
+    replace(replace(replace(replace(replace(obj,
+      '&','&amp;'),'<','&lt;'),'>','&gt;'),'"','&quot;'),'''','&apos;')
+      AS d,
+    round((weight * 1000000)::DOUBLE)::BIGINT::VARCHAR AS w
+  FROM triples
+),
+gm_hdr (section, sort_key, line) AS (VALUES
+  (0, '00', '<?xml version="1.0" encoding="UTF-8"?>'),
+  (0, '01', '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'),
+  (0, '02',
+   '<key id="label" for="edge" attr.name="label" attr.type="string"/>'),
+  (0, '03',
+   '<key id="weight" for="edge" attr.name="weight" attr.type="long"/>'),
+  (0, '04', '<graph id="G" edgedefault="directed">'),
+  (3, '00', '</graph>'),
+  (3, '01', '</graphml>')
+),
+gm_n AS (SELECT DISTINCT s AS id FROM gm_x
+         UNION SELECT DISTINCT d FROM gm_x)
+SELECT section, sort_key, line FROM gm_hdr
+UNION ALL
+SELECT 1, id, '<node id="' || id || '"/>' FROM gm_n
+UNION ALL
+SELECT 2, s || l || d,
+       '<edge source="' || s || '" target="' || d || '">' ||
+       '<data key="label">' || l || '</data>' ||
+       '<data key="weight">' || w || '</data></edge>'
+FROM gm_x
 """,
         # kgspark.graph_algs.simrank, 2 rounds unrolled: support pairs =
         # same-depth common ancestors (d=1, d=2) under the group cap,

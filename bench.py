@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "kg_wu_palmer",
     "kg_allen",
     "kg_simrank",
+    "kg_graphml",
     "web_hreflang",
     "kg_rules",
     "kg_truth",
