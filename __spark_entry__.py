@@ -3899,6 +3899,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphml_lines(t, weight="w_ppm")
 
+    def kg_anomalies(spark, sf_dir):
+        # embedding-based error candidates (kgspark/kgembed.py
+        # energy_outliers): top decile of TransE energy per predicate
+        # group under the integer-rank quantile pattern — the KG
+        # refinement pass that flags implausible assertions
+        from kgspark.kgembed import (
+            energy_outliers, hash_embeddings, transe_score,
+        )
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        ents = t.select(F.col("subj").alias("e")).union(
+            t.select(F.col("obj").alias("e"))
+        )
+        ent = hash_embeddings(ents, "e", salt="e")
+        rel = hash_embeddings(
+            t.select(F.col("pred").alias("r")), "r", salt="r"
+        ).withColumnRenamed("entity", "rel")
+        return energy_outliers(transe_score(t, ent, rel), permille=900)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4762,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_allen": kg_allen,
         "kg_simrank": kg_simrank,
         "kg_graphml": kg_graphml,
+        "kg_anomalies": kg_anomalies,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9645,6 +9665,28 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.kgembed.energy_outliers over transe_score: per-pred
+        # integer-rank decile threshold, total order (score, subj, obj)
+        "kg_anomalies": f"""
+WITH {_PARTS_ORACLE_CTE},
+an_t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+an_s AS (
+  SELECT subj, pred, obj,
+         {_transe_l1_sql('subj', 'pred', 'obj')} AS l1_score
+  FROM an_t
+),
+an_r AS (
+  SELECT subj, pred, obj, l1_score,
+         row_number() OVER (PARTITION BY pred
+                            ORDER BY l1_score, subj, obj)::BIGINT AS rank,
+         count(*) OVER (PARTITION BY pred)::BIGINT AS n
+  FROM an_s
+)
+SELECT subj, pred, obj, l1_score, rank, n,
+       ((n * 900) // 1000)::BIGINT AS thr_rank
+FROM an_r
+WHERE n >= 20 AND rank > (n * 900) // 1000
 """,
         # kgspark.graph_algs.simrank, 2 rounds unrolled: support pairs =
         # same-depth common ancestors (d=1, d=2) under the group cap,

@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "kg_allen",
     "kg_simrank",
     "kg_graphml",
+    "kg_anomalies",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

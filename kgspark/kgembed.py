@@ -179,3 +179,39 @@ def lp_ranks(
             F.count(F.lit(1)).cast("long").alias("n_cand"),
         )
     )
+
+
+def energy_outliers(
+    scored: DataFrame, permille: int = 900, min_group: int = 20
+) -> DataFrame:
+    """Embedding-based error candidates (KG refinement, Paulheim 2017
+    survey §4: outlier plausibility scores flag wrong assertions): the
+    triples whose TransE energy falls in the top (1000 - permille)
+    per-mille of their PREDICATE group — relation-specific thresholds,
+    since energies are not comparable across predicates.
+
+    Input: transe_score output (subj, pred, obj, l1_score). Output adds
+    (rank, n, thr_rank): rows with rank > thr_rank where
+    thr_rank = (n * permille) div 1000 under the total deterministic
+    order (l1_score asc, subj asc, obj asc) — the repo's integer-rank
+    quantile pattern, no floating percentiles. Groups smaller than
+    ``min_group`` are skipped (a permille threshold over a handful of
+    rows flags noise, not anomalies).
+
+    Plan: one window over the pred key (rank + count share the
+    partitioning), one filter — a single shuffle.
+    """
+    if not 0 < permille < 1000:
+        raise ValueError(f"energy_outliers: permille in 1..999, got {permille}")
+    w = Window.partitionBy("pred").orderBy("l1_score", "subj", "obj")
+    wn = Window.partitionBy("pred")
+    ranked = scored.select(
+        "subj", "pred", "obj", "l1_score",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    ).withColumn(
+        "thr_rank", F.expr(f"(n * {permille}) div 1000").cast("long")
+    )
+    return ranked.where(
+        (F.col("n") >= min_group) & (F.col("rank") > F.col("thr_rank"))
+    )

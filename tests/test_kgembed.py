@@ -130,3 +130,34 @@ def test_lp_rank_deterministic_tie_break(spark):
     raw = {r["obj"]: r["rank"]
            for r in lp_ranks(t, ent, rel, filtered=False).collect()}
     assert raw == {"o1": 1, "o2": 2, "o3": 3}
+
+
+def test_energy_outliers_integer_rank(spark):
+    from kgspark.kgembed import energy_outliers
+
+    rows = [("s%02d" % i, "p", "o", 100 + i) for i in range(40)]
+    rows += [("t%02d" % i, "q", "o", 50) for i in range(10)]  # small group
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, l1_score long"
+    )
+    out = energy_outliers(df, permille=900, min_group=20).collect()
+    # p group: n=40, thr = 36 -> ranks 37..40 = the 4 highest energies
+    assert sorted(r["subj"] for r in out) == ["s36", "s37", "s38", "s39"]
+    assert all(r["pred"] == "p" and r["n"] == 40 and r["thr_rank"] == 36
+               for r in out)
+    # q group skipped by min_group
+    import pytest as _p
+    with _p.raises(ValueError, match="permille"):
+        energy_outliers(df, permille=0)
+
+
+def test_energy_outliers_tie_break_deterministic(spark):
+    from kgspark.kgembed import energy_outliers
+
+    rows = [("s%02d" % i, "p", "o", 7) for i in range(20)]  # all equal
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, l1_score long"
+    )
+    out = energy_outliers(df, permille=900, min_group=20).collect()
+    # thr 18: ranks 19, 20 = last two subjects in (score, subj, obj) order
+    assert sorted(r["subj"] for r in out) == ["s18", "s19"]
