@@ -3918,6 +3918,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("entity", "rel")
         return energy_outliers(transe_score(t, ent, rel), permille=900)
 
+    def kg_reify(spark, sf_dir):
+        # standard RDF reification (kgspark/rdf.py reify): content-keyed
+        # blank statement nodes + rdf:subject/predicate/object + a ppm
+        # weight qualifier — provenance expressed IN RDF
+        from kgspark.rdf import reify
+
+        t = _extract_triples(spark, sf_dir).withColumn(
+            "w_ppm", F.round(F.col("weight") * 1e6, 0).cast("long")
+        )
+        return reify(t, qualifiers=("w_ppm",))
+
+    def kg_ntriples_star(spark, sf_dir):
+        # RDF-star quoted-triple annotation lines (kgspark/rdf.py
+        # ntriples_star_lines): << s p o >> qual "w" . per triple
+        from kgspark.rdf import ntriples_star_lines
+
+        t = _extract_triples(spark, sf_dir).withColumn(
+            "w_ppm", F.round(F.col("weight") * 1e6, 0).cast("long")
+        )
+        return ntriples_star_lines(
+            t, "https://kg.example.org/qual/weight_ppm", "w_ppm"
+        )
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4782,6 +4805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_simrank": kg_simrank,
         "kg_graphml": kg_graphml,
         "kg_anomalies": kg_anomalies,
+        "kg_reify": kg_reify,
+        "kg_ntriples_star": kg_ntriples_star,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9665,6 +9690,53 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.rdf.reify: same RS-separated md5 statement key, the
+        # 4 reification triples + the w_ppm qualifier, set-distinct
+        "kg_reify": f"""
+WITH {_PARTS_ORACLE_CTE},
+rf_t AS (
+  SELECT DISTINCT subj, pred, obj,
+         round((weight * 1000000)::DOUBLE)::BIGINT::VARCHAR AS w
+  FROM triples
+),
+rf_s AS (
+  SELECT *, '_:st' || md5(subj || chr(30) || pred || chr(30) || obj) AS st
+  FROM rf_t
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT st AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement' AS obj
+  FROM rf_s
+  UNION ALL
+  SELECT st, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject', subj
+  FROM rf_s
+  UNION ALL
+  SELECT st, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate', pred
+  FROM rf_s
+  UNION ALL
+  SELECT st, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#object', obj
+  FROM rf_s
+  UNION ALL
+  SELECT st, 'https://kg.example.org/qual/w_ppm', w FROM rf_s
+)
+""",
+        # kgspark.rdf.ntriples_star_lines: quoted-triple annotation line
+        # replica (terms are clean in this corpus, escape chain identity)
+        "kg_ntriples_star": f"""
+WITH {_PARTS_ORACLE_CTE},
+ns_t AS (
+  SELECT DISTINCT subj, pred, obj,
+         round((weight * 1000000)::DOUBLE)::BIGINT::VARCHAR AS w
+  FROM triples
+)
+SELECT subj, pred, obj,
+       '<< <https://kg.example.org/' || subj ||
+       '> <https://kg.example.org/prop/' || pred ||
+       '> "' || obj || '" >> <https://kg.example.org/qual/weight_ppm> "'
+       || w || '" .' AS line
+FROM ns_t
 """,
         # kgspark.kgembed.energy_outliers over transe_score: per-pred
         # integer-rank decile threshold, total order (score, subj, obj)

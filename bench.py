@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "kg_simrank",
     "kg_graphml",
     "kg_anomalies",
+    "kg_reify",
+    "kg_ntriples_star",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

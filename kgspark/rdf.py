@@ -81,3 +81,123 @@ def ntriples_lines(triples: DataFrame, subj_col: str = "subj",
         F.col(obj_col).alias("obj"),
         line.alias("line"),
     )
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def statement_id(subj: Column, pred: Column, obj: Column) -> Column:
+    """Deterministic blank-node statement id: `_:st` + md5 over the terms
+    joined with the RS control separator (chr(30) cannot appear in the
+    term values the cleaners emit, so the keying is unambiguous)."""
+    sep = F.lit("\x1e")
+    return F.concat(
+        F.lit("_:st"),
+        F.md5(F.concat(subj, sep, pred, sep, obj)),
+    )
+
+
+def reify(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    qualifiers: tuple[str, ...] = (),
+    qual_base: str = "https://kg.example.org/qual/",
+) -> DataFrame:
+    """Standard RDF reification (RDF 1.1 Semantics §RDF reification): each
+    input triple becomes a blank statement node carrying rdf:type
+    rdf:Statement, rdf:subject / rdf:predicate / rdf:object, plus one
+    qualifier triple per column named in ``qualifiers`` (cast to string,
+    minted under ``qual_base``) — provenance and confidence expressed IN
+    RDF, ingestible by any store (the pure-RDF counterpart of this repo's
+    triple_provenance rollups).
+
+    Returns a (subj, pred, obj) triple table — feed it to
+    :func:`ntriples_lines` for serialization. Statement ids are
+    content-keyed (:func:`statement_id`), so re-runs and duplicate
+    observations converge on the same node: the output is set-semantics
+    distinct. Map-only per row (4 + len(qualifiers) output rows each),
+    one final distinct.
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    st = statement_id(s, p, o)
+    parts = [
+        triples.select(
+            st.alias("subj"),
+            F.lit(_RDF_NS + "type").alias("pred"),
+            F.lit(_RDF_NS + "Statement").alias("obj"),
+        ),
+        triples.select(
+            st.alias("subj"), F.lit(_RDF_NS + "subject").alias("pred"),
+            s.alias("obj"),
+        ),
+        triples.select(
+            st.alias("subj"), F.lit(_RDF_NS + "predicate").alias("pred"),
+            p.alias("obj"),
+        ),
+        triples.select(
+            st.alias("subj"), F.lit(_RDF_NS + "object").alias("pred"),
+            o.alias("obj"),
+        ),
+    ]
+    for q in qualifiers:
+        parts.append(
+            triples.select(
+                st.alias("subj"),
+                F.lit(qual_base + q).alias("pred"),
+                F.col(q).cast("string").alias("obj"),
+            )
+        )
+    acc = parts[0]
+    for part in parts[1:]:
+        acc = acc.unionByName(part)
+    return acc.distinct()
+
+
+def ntriples_star_lines(
+    triples: DataFrame,
+    qual_pred: str,
+    qual_col: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    base_iri: str = "https://kg.example.org/",
+    pred_base: str = "https://kg.example.org/prop/",
+) -> DataFrame:
+    """RDF-star statement-level annotation lines (W3C RDF-star CG report
+    2021 §2: quoted triples): one
+
+        << <s> <p> o >> <qual_pred> "value" .
+
+    line per input row — the compact alternative to :func:`reify` when
+    the consumer speaks RDF-star (Jena, Oxigraph, Stardog). Term
+    rendering/minting matches :func:`ntriples_lines`; the annotation
+    value comes from ``qual_col`` (cast to string, escaped literal).
+    Map-only; returns (subj, pred, obj, line).
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    s_t = (
+        F.when(
+            s.startswith("http://") | s.startswith("https://"),
+            F.concat(F.lit("<"), s, F.lit(">")),
+        )
+        .when(s.startswith("_:"), s)
+        .otherwise(F.concat(F.lit("<"), F.lit(base_iri), s, F.lit(">")))
+    )
+    p_t = F.when(
+        p.startswith("http://") | p.startswith("https://"),
+        F.concat(F.lit("<"), p, F.lit(">")),
+    ).otherwise(F.concat(F.lit("<"), F.lit(pred_base), p, F.lit(">")))
+    q_t = F.concat(F.lit("<"), F.lit(qual_pred), F.lit(">"))
+    v_t = F.concat(F.lit('"'),
+                   _escape_literal(F.col(qual_col).cast("string")),
+                   F.lit('"'))
+    line = F.concat(
+        F.lit("<< "), s_t, F.lit(" "), p_t, F.lit(" "), _term(o),
+        F.lit(" >> "), q_t, F.lit(" "), v_t, F.lit(" ."),
+    )
+    return triples.select(
+        s.alias("subj"), p.alias("pred"), o.alias("obj"),
+        line.alias("line"),
+    )

@@ -412,3 +412,67 @@ def test_truth_discovery_deterministic_tie(spark):
     )
     rows = truth_discovery(obs, rounds=2).collect()
     assert len(rows) == 1 and rows[0].obj == "a"  # tie -> ascending obj
+
+
+def test_reify_statement_shape(spark):
+    import hashlib
+
+    from kgspark.rdf import reify
+
+    t = spark.createDataFrame(
+        [("a", "has", "b", "web", 480000),
+         ("a", "has", "b", "web", 480000)],  # dup collapses
+        "subj string, pred string, obj string, source string, w long",
+    )
+    out = reify(t, qualifiers=("source", "w")).collect()
+    ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    st = "_:st" + hashlib.md5("a\x1ehas\x1eb".encode()).hexdigest()
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out}
+    assert got == {
+        (st, ns + "type", ns + "Statement"),
+        (st, ns + "subject", "a"),
+        (st, ns + "predicate", "has"),
+        (st, ns + "object", "b"),
+        (st, "https://kg.example.org/qual/source", "web"),
+        (st, "https://kg.example.org/qual/w", "480000"),
+    }
+
+
+def test_reify_feeds_ntriples(spark):
+    from kgspark.rdf import ntriples_lines, reify
+
+    t = spark.createDataFrame(
+        [("a", "has", "b")], "subj string, pred string, obj string"
+    )
+    lines = [r["line"] for r in ntriples_lines(reify(t)).collect()]
+    assert len(lines) == 4
+    assert all(l.startswith("_:st") and l.endswith(" .") for l in lines)
+    # rdf:subject points at the minted IRI of the original subject
+    assert any(
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#subject> "
+        '"a"' in l or
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#subject> "
+        "<https://kg.example.org/a>" in l
+        for l in lines
+    )
+
+
+def test_ntriples_star_line(spark):
+    from kgspark.rdf import ntriples_star_lines
+
+    t = spark.createDataFrame(
+        [("a", "has", "b", 480000),
+         ("https://x.org/s", "has", 'say "hi"\n', 7)],
+        "subj string, pred string, obj string, w long",
+    )
+    got = {r["subj"]: r["line"] for r in ntriples_star_lines(
+        t, "https://kg.example.org/qual/w", "w"
+    ).collect()}
+    assert got["a"] == (
+        "<< <https://kg.example.org/a> <https://kg.example.org/prop/has> "
+        '"b" >> <https://kg.example.org/qual/w> "480000" .'
+    )
+    assert got["https://x.org/s"] == (
+        "<< <https://x.org/s> <https://kg.example.org/prop/has> "
+        '"say \\"hi\\"\\n" >> <https://kg.example.org/qual/w> "7" .'
+    )
