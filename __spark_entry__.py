@@ -3941,6 +3941,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t, "https://kg.example.org/qual/weight_ppm", "w_ppm"
         )
 
+    def kg_align(spark, sf_dir):
+        # extensional ontology alignment (kgspark/schema_induce.py
+        # align_classes): the extracted is_a typing vs an independent
+        # size-bucket typing over the same part instances — genuine
+        # partial overlaps, subsumptions only where the data says so
+        from kgspark.schema_induce import align_classes
+
+        t = _extract_triples(spark, sf_dir)
+        typing_a = t.where(F.col("pred") == "is_a").select(
+            F.col("subj").alias("instance"), F.col("obj").alias("cls")
+        )
+        p = _read(spark, sf_dir, "part")
+        nm = F.concat(
+            F.upper(F.substring("p_name", 1, 1)),
+            F.expr("substring(p_name, 2)"),
+        )
+        typing_b = p.select(
+            nm.alias("instance"),
+            F.concat(F.lit("size_"),
+                     F.expr("p_size div 10").cast("string")).alias("cls"),
+        )
+        return align_classes(typing_a, typing_b, min_overlap=2)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4807,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anomalies": kg_anomalies,
         "kg_reify": kg_reify,
         "kg_ntriples_star": kg_ntriples_star,
+        "kg_align": kg_align,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9690,6 +9714,34 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.schema_induce.align_classes: distinct memberships,
+        # co-occurrence pair counts, exact-integer Jaccard + verdicts
+        "kg_align": f"""
+WITH {_PARTS_ORACLE_CTE},
+al_a AS (SELECT DISTINCT subj AS i, obj AS cls_a FROM triples
+         WHERE pred = 'is_a'),
+al_b AS (
+  SELECT DISTINCT upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS i,
+         'size_' || (p_size // 10) AS cls_b
+  FROM part
+),
+al_na AS (SELECT cls_a, count(*)::BIGINT AS n_a FROM al_a GROUP BY 1),
+al_nb AS (SELECT cls_b, count(*)::BIGINT AS n_b FROM al_b GROUP BY 1),
+al_i AS (
+  SELECT a.cls_a, b.cls_b, count(*)::BIGINT AS n_common
+  FROM al_a a JOIN al_b b USING (i)
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT i.cls_a, i.cls_b, na.n_a, nb.n_b, i.n_common,
+       ((1000000 * i.n_common) // (na.n_a + nb.n_b - i.n_common))::BIGINT
+         AS jaccard_ppm,
+       CASE WHEN i.n_common = na.n_a AND i.n_common = nb.n_b
+              THEN 'equivalent'
+            WHEN i.n_common = na.n_a THEN 'a_in_b'
+            WHEN i.n_common = nb.n_b THEN 'b_in_a'
+            ELSE 'overlap' END AS verdict
+FROM al_i i JOIN al_na na USING (cls_a) JOIN al_nb nb USING (cls_b)
 """,
         # kgspark.rdf.reify: same RS-separated md5 statement key, the
         # 4 reification triples + the w_ppm qualifier, set-distinct

@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "kg_anomalies",
     "kg_reify",
     "kg_ntriples_star",
+    "kg_align",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

@@ -149,3 +149,62 @@ def shape_report(
         )
     )
     return by_pred.join(by_subj, "pred")
+
+
+def align_classes(
+    typing_a: DataFrame,
+    typing_b: DataFrame,
+    min_overlap: int = 2,
+    instance: str = "instance",
+    cls: str = "cls",
+) -> DataFrame:
+    """Extensional ontology alignment (Euzenat & Shvaiko, *Ontology
+    Matching*, ch. 5: extension-based techniques): match the classes of
+    two independently induced typings over a SHARED instance space by
+    instance-set overlap.
+
+    typing_a / typing_b: (instance, cls) membership tables (an instance
+    may carry several classes). For every class pair sharing at least
+    ``min_overlap`` instances the output row carries exact-integer
+    evidence: (cls_a, cls_b, n_a, n_b, n_common, jaccard_ppm, verdict)
+    with jaccard_ppm = 1e6 * |A∩B| // (|A| + |B| - |A∩B|) and verdict
+    `equivalent` (A = B as sets), `a_in_b` / `b_in_a` (subsumption), or
+    `overlap`. Label-based matching composes separately (fuzzy.py
+    SymSpell over class names); this op is the extensional leg.
+
+    Plan: one join on the instance key -> pair counts (partial aggregation
+    before the pair shuffle), class sizes broadcast back — candidate pairs
+    are only those that genuinely co-occur on an instance, never the
+    |A| x |B| class product.
+    """
+    a = typing_a.select(
+        F.col(instance).alias("i"), F.col(cls).alias("cls_a")
+    ).distinct()
+    b = typing_b.select(
+        F.col(instance).alias("i"), F.col(cls).alias("cls_b")
+    ).distinct()
+    na = a.groupBy("cls_a").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = b.groupBy("cls_b").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    inter = (
+        a.join(b, "i")
+        .groupBy("cls_a", "cls_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_overlap)
+    )
+    out = inter.join(na, "cls_a").join(nb, "cls_b")
+    verdict = (
+        F.when(
+            (F.col("n_common") == F.col("n_a"))
+            & (F.col("n_common") == F.col("n_b")),
+            F.lit("equivalent"),
+        )
+        .when(F.col("n_common") == F.col("n_a"), F.lit("a_in_b"))
+        .when(F.col("n_common") == F.col("n_b"), F.lit("b_in_a"))
+        .otherwise(F.lit("overlap"))
+    )
+    return out.select(
+        "cls_a", "cls_b", "n_a", "n_b", "n_common",
+        F.expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+        .cast("long").alias("jaccard_ppm"),
+        verdict.alias("verdict"),
+    )

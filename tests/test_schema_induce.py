@@ -1,0 +1,45 @@
+
+
+def test_align_classes_verdicts(spark):
+    from kgspark.schema_induce import align_classes
+
+    a = spark.createDataFrame(
+        [("i1", "A"), ("i2", "A"), ("i3", "A"),
+         ("i4", "X"), ("i5", "X"),
+         ("i6", "Z")],
+        "instance string, cls string",
+    )
+    b = spark.createDataFrame(
+        [("i1", "B"), ("i2", "B"), ("i3", "B"),        # B == A
+         ("i1", "S"), ("i2", "S"),                     # S subset of A
+         ("i4", "O"), ("i5", "O"), ("i6", "O"),        # O overlaps X and Z
+         ("i9", "Q")],                                 # disjoint
+        "instance string, cls string",
+    )
+    got = {
+        (r["cls_a"], r["cls_b"]):
+            (r["n_a"], r["n_b"], r["n_common"], r["jaccard_ppm"],
+             r["verdict"])
+        for r in align_classes(a, b, min_overlap=2).collect()
+    }
+    assert got[("A", "B")] == (3, 3, 3, 1000000, "equivalent")
+    assert got[("A", "S")] == (3, 2, 2, 666666, "b_in_a")
+    assert got[("X", "O")] == (2, 3, 2, 666666, "a_in_b")
+    # (Z, O) shares only 1 instance -> below min_overlap; Q disjoint
+    assert ("Z", "O") not in got
+    assert all(p[1] != "Q" for p in got)
+
+
+def test_align_classes_multityping_dedup(spark):
+    from kgspark.schema_induce import align_classes
+
+    # duplicate membership rows collapse before counting
+    a = spark.createDataFrame(
+        [("i1", "A"), ("i1", "A"), ("i2", "A")], "instance string, cls string"
+    )
+    b = spark.createDataFrame(
+        [("i1", "B"), ("i2", "B"), ("i2", "B")], "instance string, cls string"
+    )
+    rows = align_classes(a, b, min_overlap=2).collect()
+    assert len(rows) == 1 and rows[0]["verdict"] == "equivalent"
+    assert rows[0]["n_a"] == rows[0]["n_b"] == rows[0]["n_common"] == 2
