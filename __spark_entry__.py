@@ -3964,6 +3964,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return align_classes(typing_a, typing_b, min_overlap=2)
 
+    def kg_pathsim(spark, sf_dir):
+        # PathSim peer similarity (kgspark/graph_algs.py pathsim) over a
+        # weighted metapath-instance table: u->v path counts from the
+        # first 400 docs (partial coverage -> varied multiplicities)
+        from kgspark.graph_algs import pathsim
+
+        docs = _read(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 400
+        )
+        d = F.col("doc_id")
+        rel = (
+            docs.select(
+                F.concat(F.lit("u"), (d % 40).cast("string")).alias("x"),
+                F.concat(F.lit("v"), (d % 9).cast("string")).alias("y"),
+            )
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        return pathsim(rel)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4831,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reify": kg_reify,
         "kg_ntriples_star": kg_ntriples_star,
         "kg_align": kg_align,
+        "kg_pathsim": kg_pathsim,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9714,6 +9735,28 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.graph_algs.pathsim: commuting-count pairs via the
+        # shared-y self-join under the hub cap, ppm // normalization
+        "kg_pathsim": """
+WITH ps_r AS (
+  SELECT 'u' || (doc_id % 40) AS x, 'v' || (doc_id % 9) AS y,
+         count(*)::BIGINT AS c
+  FROM documents WHERE doc_id < 400 GROUP BY 1, 2
+),
+ps_d AS (SELECT x, sum(c * c)::BIGINT AS m_self FROM ps_r GROUP BY 1),
+ps_ok AS (SELECT y FROM ps_r GROUP BY 1 HAVING count(*) <= 256),
+ps_k AS (SELECT r.* FROM ps_r r JOIN ps_ok USING (y)),
+ps_m AS (
+  SELECT p.x AS a, q.x AS b, sum(p.c * q.c)::BIGINT AS m_ab
+  FROM ps_k p JOIN ps_k q ON p.y = q.y AND p.x < q.x
+  GROUP BY 1, 2
+)
+SELECT a, b, m_ab, da.m_self AS m_aa, db.m_self AS m_bb,
+       ((2000000 * m_ab) // (da.m_self + db.m_self))::BIGINT
+         AS pathsim_ppm
+FROM ps_m JOIN ps_d da ON da.x = a JOIN ps_d db ON db.x = b
+WHERE m_ab > 0
 """,
         # kgspark.schema_induce.align_classes: distinct memberships,
         # co-occurrence pair counts, exact-integer Jaccard + verdicts

@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "kg_reify",
     "kg_ntriples_star",
     "kg_align",
+    "kg_pathsim",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

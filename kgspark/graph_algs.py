@@ -1934,3 +1934,86 @@ def simrank(
         )
         prev = materialize(cur.where(F.col("s_ppm") > 0))
     return prev
+
+
+def compose_relation(
+    r1: DataFrame, r2: DataFrame,
+    x: str = "x", y: str = "y", c: str = "c",
+) -> DataFrame:
+    """Compose two weighted relations along the shared middle column:
+    out(x, y) = sum over m of r1(x, m) * r2(m, y) — the commuting-matrix
+    product that turns edge tables into metapath instance counts (feed
+    the result to :func:`pathsim`). r1 is read as (x, y=m, c), r2 as
+    (x=m, y, c); missing ``c`` columns default to count 1.
+    """
+    a = r1.select(
+        F.col(x).alias("_x"), F.col(y).alias("_m"),
+        (F.col(c) if c in r1.columns else F.lit(1)).cast("long").alias("_ca"),
+    )
+    b = r2.select(
+        F.col(x).alias("_m"), F.col(y).alias("_y"),
+        (F.col(c) if c in r2.columns else F.lit(1)).cast("long").alias("_cb"),
+    )
+    return (
+        a.join(b, "_m")
+        .groupBy(F.col("_x").alias(x), F.col("_y").alias(y))
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias(c))
+    )
+
+
+def pathsim(
+    rel: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    c: str = "c",
+    max_group: int = 256,
+) -> DataFrame:
+    """PathSim (Sun et al., VLDB 2011): similarity of two x-nodes under
+    the symmetric metapath P.P^-1, where ``rel`` holds the path-instance
+    counts of P as (x, y, c) — build composed metapaths with
+    :func:`compose_relation` first.
+
+        s(a, b) = 2 * M(a,b) / (M(a,a) + M(b,b)),
+        M(a, b) = sum_y c(a, y) * c(b, y)
+
+    Exact integers end to end (ppm with truncating division). Unlike
+    SimRank's recursive in-neighbor similarity, PathSim measures peer
+    similarity along a CHOSEN semantic path and normalizes by
+    self-visibility, so hubs don't dominate (the paper's motivation).
+
+    Returns (a, b, m_ab, m_aa, m_bb, pathsim_ppm) for canonical a < b
+    pairs with m_ab > 0. Candidate pairs come from the self-join on the
+    shared y key — co-visiting pairs only, never the x^2 product; y
+    groups larger than ``max_group`` distinct x are dropped first (the
+    repo's blocking-cap posture for hub keys).
+    """
+    r = rel.select(
+        F.col(x).alias("_x"), F.col(y).alias("_y"),
+        F.col(c).cast("long").alias("_c"),
+    ).where(F.col("_c") > 0)
+    diag = r.groupBy("_x").agg(
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("m_self")
+    )
+    ok = r.groupBy("_y").agg(F.count(F.lit(1)).alias("_n")).where(
+        F.col("_n") <= max_group
+    ).select("_y")
+    kept = r.join(ok, "_y")
+    m = (
+        kept.alias("p")
+        .join(kept.alias("q"),
+              (F.col("p._y") == F.col("q._y"))
+              & (F.col("p._x") < F.col("q._x")))
+        .groupBy(F.col("p._x").alias("a"), F.col("q._x").alias("b"))
+        .agg(F.sum(F.col("p._c") * F.col("q._c")).cast("long").alias("m_ab"))
+    )
+    out = (
+        m.join(diag.select(F.col("_x").alias("a"),
+                           F.col("m_self").alias("m_aa")), "a")
+        .join(diag.select(F.col("_x").alias("b"),
+                          F.col("m_self").alias("m_bb")), "b")
+    )
+    return out.select(
+        "a", "b", "m_ab", "m_aa", "m_bb",
+        F.expr("(2000000 * m_ab) div (m_aa + m_bb)").cast("long")
+        .alias("pathsim_ppm"),
+    )

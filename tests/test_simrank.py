@@ -91,3 +91,63 @@ def test_simrank_guards(spark):
 def test_simrank_self_loops_ignored_empty_ok(spark):
     df = spark.createDataFrame([("a", "a")], "src string, dst string")
     assert simrank(df, rounds=2).count() == 0
+
+
+def test_pathsim_brute_force(spark):
+    from collections import defaultdict
+
+    from kgspark.graph_algs import pathsim
+
+    rows = [("a", "y1", 2), ("a", "y2", 1), ("b", "y1", 1), ("b", "y3", 3),
+            ("c", "y2", 2), ("c", "y1", 1), ("d", "y4", 5)]
+    df = spark.createDataFrame(rows, "x string, y string, c long")
+    got = {(r["a"], r["b"]): (r["m_ab"], r["pathsim_ppm"])
+           for r in pathsim(df).collect()}
+    vec = defaultdict(dict)
+    for xx, yy, cc in rows:
+        vec[xx][yy] = cc
+
+    def m(p, q):
+        return sum(vec[p].get(k, 0) * vec[q].get(k, 0) for k in vec[p])
+
+    expect = {}
+    for p in vec:
+        for q in vec:
+            if p < q and m(p, q) > 0:
+                expect[(p, q)] = (
+                    m(p, q), (2_000_000 * m(p, q)) // (m(p, p) + m(q, q)))
+    assert got == expect
+    assert ("a", "d") not in got  # no shared y
+
+
+def test_pathsim_hub_cap_and_self_sim(spark):
+    from kgspark.graph_algs import pathsim
+
+    rows = [(f"x{i}", "hub", 1) for i in range(5)] + [
+        ("x0", "y", 1), ("x1", "y", 1)]
+    df = spark.createDataFrame(rows, "x string, y string, c long")
+    got = {(r["a"], r["b"]): r["pathsim_ppm"]
+           for r in pathsim(df, max_group=4).collect()}
+    # hub key dropped: only the y-pair survives; m_aa counts ALL paths
+    # (2 each: hub+y), so s = 2*1/(2+2)
+    assert got == {("x0", "x1"): 500000}
+
+
+def test_compose_relation_matrix_product(spark):
+    from kgspark.graph_algs import compose_relation, pathsim
+
+    pb = spark.createDataFrame(
+        [("p1", "b1", 1), ("p2", "b1", 1), ("p3", "b2", 1)],
+        "x string, y string, c long",
+    )
+    bt = spark.createDataFrame(
+        [("b1", "t1", 2), ("b2", "t1", 1)], "x string, y string, c long"
+    )
+    comp = {(r["x"], r["y"]): r["c"]
+            for r in compose_relation(pb, bt).collect()}
+    assert comp == {("p1", "t1"): 2, ("p2", "t1"): 2, ("p3", "t1"): 1}
+    sim = {(r["a"], r["b"]): r["pathsim_ppm"]
+           for r in pathsim(compose_relation(pb, bt)).collect()}
+    # p1~p2: m_ab=4, m_aa=m_bb=4 -> 1.0; p1~p3: m=2, (4+1) -> 0.8
+    assert sim == {("p1", "p2"): 1000000, ("p1", "p3"): 800000,
+                   ("p2", "p3"): 800000}
