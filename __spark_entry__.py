@@ -3984,6 +3984,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pathsim(rel)
 
+    def kg_partition_report(spark, sf_dir):
+        # physical-layout advisor (kgspark/skew.py partition_report):
+        # balance + edge-cut of a subject-hash k=16 partitioning of the
+        # extracted KG, engine-portable md5 buckets
+        from kgspark.skew import partition_report
+
+        t = _extract_triples(spark, sf_dir).select("subj", "obj")
+        return partition_report(t, k=16)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4852,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples_star": kg_ntriples_star,
         "kg_align": kg_align,
         "kg_pathsim": kg_pathsim,
+        "kg_partition_report": kg_partition_report,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9735,6 +9745,23 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.skew.partition_report: md5-prefix buckets mod 16,
+        # distinct-subject / edge / cross-edge counts per partition
+        "kg_partition_report": f"""
+WITH {_PARTS_ORACLE_CTE},
+pr_e AS (
+  SELECT ('0x' || substr(md5(subj), 1, 6))::BIGINT % 16 AS partition,
+         subj,
+         CASE WHEN ('0x' || substr(md5(subj), 1, 6))::BIGINT % 16
+                <> ('0x' || substr(md5(obj), 1, 6))::BIGINT % 16
+              THEN 1 ELSE 0 END AS cut
+  FROM (SELECT subj, obj FROM triples)
+)
+SELECT partition, count(DISTINCT subj)::BIGINT AS n_nodes,
+       count(*)::BIGINT AS n_edges, sum(cut)::BIGINT AS n_cut,
+       ((1000000 * sum(cut)) // count(*))::BIGINT AS cut_ppm
+FROM pr_e GROUP BY 1
 """,
         # kgspark.graph_algs.pathsim: commuting-count pairs via the
         # shared-y self-join under the hub cap, ppm // normalization

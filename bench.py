@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "kg_ntriples_star",
     "kg_align",
     "kg_pathsim",
+    "kg_partition_report",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

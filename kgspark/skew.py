@@ -107,3 +107,56 @@ def hot_keys(df: DataFrame, key: str, threshold_ratio: float = 4.0) -> DataFrame
         .where(F.col("ratio") >= threshold_ratio)
         .select(key, "n", "ratio")
     )
+
+
+def partition_report(
+    edges: DataFrame,
+    k: int = 32,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Layout advisor for a subject-hash-partitioned triple store: how
+    balanced would `k` partitions be, and what fraction of edges cross
+    partitions (each cross edge = one shuffled row in every
+    subject-co-located join against the object side).
+
+    The bucket function is md5-prefix mod k — engine-portable (unlike
+    Spark's internal Murmur `hash()`), so the report is replicable by any
+    downstream system deciding a physical layout. Per-partition row:
+    (partition, n_nodes distinct subjects, n_edges, n_cut edges whose
+    object lands elsewhere, cut_ppm). Balance reads off the n_edges
+    spread; a heavy partition is the salting signal (see salted_join
+    above), a high global cut ratio says subject-hash co-location buys
+    little for this graph and a different key (domain, connected
+    component) should be considered.
+
+    One pass: map-side bucket columns, one aggregation on the partition
+    key.
+    """
+    if k < 1:
+        raise ValueError(f"partition_report: k >= 1, got {k}")
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % k
+        )
+
+    e = edges.select(
+        bucket(F.col(src)).alias("partition"),
+        F.col(src).alias("_s"),
+        (bucket(F.col(src)) != bucket(F.col(dst))).alias("_cut"),
+    )
+    return (
+        e.groupBy("partition")
+        .agg(
+            F.countDistinct("_s").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.when(F.col("_cut"), 1).otherwise(0)).cast("long")
+            .alias("n_cut"),
+        )
+        .select(
+            "partition", "n_nodes", "n_edges", "n_cut",
+            F.expr("(1000000 * n_cut) div n_edges").cast("long")
+            .alias("cut_ppm"),
+        )
+    )
