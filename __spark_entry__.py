@@ -3993,6 +3993,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = _extract_triples(spark, sf_dir).select("subj", "obj")
         return partition_report(t, k=16)
 
+    def kg_fd(spark, sf_dir):
+        # unary functional-dependency mining between predicates
+        # (kgspark/schema_induce.py fd_mine, TANE g3): over the extracted
+        # KG, has->is_a holds partially (brands span types), is_a->has
+        # barely — genuine confidence spread
+        from kgspark.schema_induce import fd_mine
+
+        return fd_mine(
+            _extract_triples(spark, sf_dir).select("subj", "pred", "obj"),
+            min_support=10,
+        )
+
+    def kg_quotient(spark, sf_dir):
+        # SNAP-style quotient summary (kgspark/graph_algs.py
+        # quotient_graph): collapse the KG to type classes — parts to
+        # their is_a type, brands/types to fixed classes — and count
+        # super-edges
+        from kgspark.graph_algs import quotient_graph
+
+        t = _extract_triples(spark, sf_dir)
+        isa = t.where(F.col("pred") == "is_a")
+        labels = (
+            isa.select(F.col("subj").alias("node"),
+                       F.col("obj").alias("cls"))
+            .union(
+                t.where(F.col("pred") == "has").select(
+                    F.col("obj").alias("node"), F.lit("brand").alias("cls")
+                )
+            )
+            .union(
+                isa.select(F.col("obj").alias("node"),
+                           F.lit("class").alias("cls"))
+            )
+            .distinct()
+        )
+        edges = t.select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst"))
+        return quotient_graph(edges, labels)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4862,6 +4901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_align": kg_align,
         "kg_pathsim": kg_pathsim,
         "kg_partition_report": kg_partition_report,
+        "kg_fd": kg_fd,
+        "kg_quotient": kg_quotient,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9745,6 +9786,52 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.schema_induce.fd_mine: subject-joined value pairs,
+        # per-(p,q,vp) max-cell keeps, g3 ppm
+        "kg_fd": f"""
+WITH {_PARTS_ORACLE_CTE},
+fd_r AS (SELECT DISTINCT subj AS s, pred AS p, obj AS v FROM triples),
+fd_p AS (
+  SELECT a.p, b.p AS q, a.v AS vp, b.v AS vq
+  FROM fd_r a JOIN fd_r b ON a.s = b.s AND a.p <> b.p
+),
+fd_c AS (
+  SELECT p, q, vp, vq, count(*)::BIGINT AS c
+  FROM fd_p GROUP BY 1, 2, 3, 4
+),
+fd_g AS (
+  SELECT p, q, vp, max(c)::BIGINT AS keep, sum(c)::BIGINT AS tot
+  FROM fd_c GROUP BY 1, 2, 3
+)
+SELECT p, q, sum(tot)::BIGINT AS n_pairs,
+       count(*)::BIGINT AS n_groups, sum(keep)::BIGINT AS n_kept,
+       ((1000000 * sum(keep)) // sum(tot))::BIGINT AS fd_ppm
+FROM fd_g GROUP BY 1, 2 HAVING sum(tot) >= 10
+""",
+        # kgspark.graph_algs.quotient_graph with is_a/brand/class labels:
+        # two label joins + super-edge counts
+        "kg_quotient": f"""
+WITH {_PARTS_ORACLE_CTE},
+qg_lab AS (
+  SELECT DISTINCT node, cls FROM (
+    SELECT subj AS node, obj AS cls FROM triples WHERE pred = 'is_a'
+    UNION ALL
+    SELECT obj, 'brand' FROM triples WHERE pred = 'has'
+    UNION ALL
+    SELECT obj, 'class' FROM triples WHERE pred = 'is_a'
+  )
+),
+qg_e AS (
+  SELECT ls.cls AS cls_src, ld.cls AS cls_dst, t.subj, t.obj
+  FROM (SELECT subj, obj FROM triples) t
+  JOIN qg_lab ls ON ls.node = t.subj
+  JOIN qg_lab ld ON ld.node = t.obj
+)
+SELECT cls_src, cls_dst, count(*)::BIGINT AS n_edges,
+       count(DISTINCT subj)::BIGINT AS n_src,
+       count(DISTINCT obj)::BIGINT AS n_dst
+FROM qg_e GROUP BY 1, 2
 """,
         # kgspark.skew.partition_report: md5-prefix buckets mod 16,
         # distinct-subject / edge / cross-edge counts per partition

@@ -257,6 +257,8 @@ BENCH_QUERIES = [
     "kg_align",
     "kg_pathsim",
     "kg_partition_report",
+    "kg_fd",
+    "kg_quotient",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

@@ -2017,3 +2017,43 @@ def pathsim(
         F.expr("(2000000 * m_ab) div (m_aa + m_bb)").cast("long")
         .alias("pathsim_ppm"),
     )
+
+
+def quotient_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    cls: str = "cls",
+) -> DataFrame:
+    """Graph summarization by node-class quotient (the SNAP / k-SNAP
+    summary shape, Tian et al. SIGMOD 2008): collapse every node to its
+    class and count the super-edges.
+
+    ``labels`` assigns each node a class — any labeling works and each
+    gives a different summary: WL refinement classes (structural
+    bisimulation quotient), LPA communities, entity types from is_a,
+    partition buckets. Returns one row per (cls_src, cls_dst):
+    (n_edges, n_src distinct source nodes, n_dst distinct targets).
+    Edges with an unlabeled endpoint are dropped (inner joins): labeling
+    coverage is the caller's contract — coalesce a default class first
+    to keep strays.
+
+    Plan: two hash joins against the (dimension-sized) label table plus
+    one aggregation; the summary is class-cardinality-sized, the
+    canonical driver-safe "look at the whole 100 TB graph" output.
+    """
+    lab = labels.select(F.col(node).alias("_n"), F.col(cls).alias("_c"))
+    e = (
+        edges.select(F.col(src).alias("_sn"), F.col(dst).alias("_dn"))
+        .join(lab.select(F.col("_n").alias("_sn"),
+                         F.col("_c").alias("cls_src")), "_sn")
+        .join(lab.select(F.col("_n").alias("_dn"),
+                         F.col("_c").alias("cls_dst")), "_dn")
+    )
+    return e.groupBy("cls_src", "cls_dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("_sn").cast("long").alias("n_src"),
+        F.countDistinct("_dn").cast("long").alias("n_dst"),
+    )

@@ -208,3 +208,70 @@ def align_classes(
         .cast("long").alias("jaccard_ppm"),
         verdict.alias("verdict"),
     )
+
+
+def fd_mine(
+    triples: DataFrame,
+    min_support: int = 10,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Unary functional-dependency discovery between predicates (TANE's
+    g3 error, Huhtala et al. 1999, restated for SPO data): for an ordered
+    predicate pair (p, q), does a subject's p-value determine its
+    q-value?
+
+    Evidence tuples are the subject-joined value pairs (v_p, v_q); the
+    dependency confidence is the g3 ratio
+
+        fd_ppm = 1e6 * sum over v_p-groups of max single-v_q count
+                 // n_pairs
+
+    — exactly 1e6 iff the FD holds, and the complement is the minimum
+    fraction of tuples to delete to make it hold. Multi-valued
+    predicates contribute their value cross product, the standard
+    binary-relation reading. Pairs with fewer than ``min_support``
+    evidence tuples are dropped (an FD 'holding' over 3 rows is noise).
+
+    Returns (p, q, n_pairs, n_groups, n_kept, fd_ppm) for p != q.
+    Complements the existing schema miners: cardinality profiles say how
+    MANY values a predicate takes, quasi-IFP finds KEY-like predicates,
+    AMIE mines compositional rules — fd_mine finds value-level
+    determinations (e.g. brand -> type) that drive normalization and
+    error detection.
+
+    Plan: one subject-key self-join bounded by per-subject schema width,
+    then three keyed aggregations — no windows, no driver loops.
+    """
+    r = triples.select(
+        F.col(subj).alias("_s"), F.col(pred).alias("_p"),
+        F.col(obj).alias("_v"),
+    ).distinct()
+    pairs = (
+        r.alias("a")
+        .join(r.alias("b"),
+              (F.col("a._s") == F.col("b._s"))
+              & (F.col("a._p") != F.col("b._p")))
+        .select(
+            F.col("a._p").alias("p"), F.col("b._p").alias("q"),
+            F.col("a._v").alias("vp"), F.col("b._v").alias("vq"),
+        )
+    )
+    cell = pairs.groupBy("p", "q", "vp", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grp = cell.groupBy("p", "q", "vp").agg(
+        F.max("c").cast("long").alias("keep"),
+        F.sum("c").cast("long").alias("tot"),
+    )
+    out = grp.groupBy("p", "q").agg(
+        F.sum("tot").cast("long").alias("n_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("keep").cast("long").alias("n_kept"),
+    ).where(F.col("n_pairs") >= min_support)
+    return out.select(
+        "p", "q", "n_pairs", "n_groups", "n_kept",
+        F.expr("(1000000 * n_kept) div n_pairs").cast("long")
+        .alias("fd_ppm"),
+    )

@@ -43,3 +43,38 @@ def test_align_classes_multityping_dedup(spark):
     rows = align_classes(a, b, min_overlap=2).collect()
     assert len(rows) == 1 and rows[0]["verdict"] == "equivalent"
     assert rows[0]["n_a"] == rows[0]["n_b"] == rows[0]["n_common"] == 2
+
+
+def test_fd_mine_g3(spark):
+    from kgspark.schema_induce import fd_mine
+
+    # brand determines type (4/4); type does NOT determine brand
+    rows = [
+        ("s1", "brand", "B1"), ("s1", "type", "T1"),
+        ("s2", "brand", "B1"), ("s2", "type", "T1"),
+        ("s3", "brand", "B2"), ("s3", "type", "T1"),
+        ("s4", "brand", "B3"), ("s4", "type", "T2"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r["p"], r["q"]): (r["n_pairs"], r["n_groups"], r["n_kept"],
+                              r["fd_ppm"])
+           for r in fd_mine(t, min_support=1).collect()}
+    assert got[("brand", "type")] == (4, 3, 4, 1000000)
+    # type->brand: T1 group has B1,B1,B2 -> keep 2; T2 keeps 1 => 3/4
+    assert got[("type", "brand")] == (4, 2, 3, 750000)
+
+
+def test_fd_mine_multivalued_and_support(spark):
+    from kgspark.schema_induce import fd_mine
+
+    rows = [
+        ("s1", "p", "a"), ("s1", "p", "b"), ("s1", "q", "x"),
+        ("s2", "p", "a"), ("s2", "q", "y"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r["p"], r["q"]): (r["n_pairs"], r["n_kept"], r["fd_ppm"])
+           for r in fd_mine(t, min_support=1).collect()}
+    # p->q tuples: (a,x),(b,x),(a,y): group a keeps 1 of 2, group b 1
+    assert got[("p", "q")] == (3, 2, 666666)
+    # support filter
+    assert fd_mine(t, min_support=4).count() == 0

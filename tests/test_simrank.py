@@ -151,3 +151,21 @@ def test_compose_relation_matrix_product(spark):
     # p1~p2: m_ab=4, m_aa=m_bb=4 -> 1.0; p1~p3: m=2, (4+1) -> 0.8
     assert sim == {("p1", "p2"): 1000000, ("p1", "p3"): 800000,
                    ("p2", "p3"): 800000}
+
+
+def test_quotient_graph(spark):
+    from kgspark.graph_algs import quotient_graph
+
+    edges = spark.createDataFrame(
+        [("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("b1", "a1"),
+         ("a1", "zz")],  # zz unlabeled -> dropped
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+        "node string, cls string",
+    )
+    got = {(r["cls_src"], r["cls_dst"]): (r["n_edges"], r["n_src"],
+                                          r["n_dst"])
+           for r in quotient_graph(edges, labels).collect()}
+    assert got == {("A", "B"): (3, 2, 2), ("B", "A"): (1, 1, 1)}
