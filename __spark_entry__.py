@@ -4032,6 +4032,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("obj").alias("dst"))
         return quotient_graph(edges, labels)
 
+    def corpus_triplets(spark, sf_dir):
+        # contrastive training triplets from duplicate structure
+        # (kgspark/trainprep.py contrastive_triplets): banded-MinHash
+        # candidates, exact ppm Jaccard, best positive + hardest in-band
+        # negative per anchor
+        from kgspark.trainprep import contrastive_triplets
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        return contrastive_triplets(docs, pos_threshold_ppm=500_000)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4903,6 +4913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_partition_report": kg_partition_report,
         "kg_fd": kg_fd,
         "kg_quotient": kg_quotient,
+        "corpus_triplets": corpus_triplets,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9786,6 +9797,39 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.trainprep.contrastive_triplets: the dedup_minhash
+        # candidate chain + integer-ppm jaccard, per-anchor rank-1
+        # positive/negative, -1 sentinels for missing negatives
+        "corpus_triplets": f"""
+WITH {_minhash_pairs_sql(8, 4, 3, 0.5)},
+ct_ppm AS (
+  SELECT a, b,
+         (1000000 * len(list_intersect(sha, shb)))
+           // len(list_distinct(sha || shb)) AS ppm
+  FROM mh_cand
+),
+ct_sym AS (
+  SELECT a AS anchor, b AS other, ppm FROM ct_ppm
+  UNION ALL SELECT b, a, ppm FROM ct_ppm
+),
+ct_p AS (
+  SELECT anchor, other, ppm,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY ppm DESC, other) AS rn
+  FROM ct_sym WHERE ppm >= 500000
+),
+ct_n AS (
+  SELECT anchor, other, ppm,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY ppm DESC, other) AS rn
+  FROM ct_sym WHERE ppm < 500000
+)
+SELECT p.anchor, p.other AS pos_id, p.ppm::BIGINT AS pos_ppm,
+       coalesce(n.other, -1)::BIGINT AS neg_id,
+       coalesce(n.ppm, -1)::BIGINT AS neg_ppm
+FROM ct_p p LEFT JOIN ct_n n ON n.anchor = p.anchor AND n.rn = 1
+WHERE p.rn = 1
 """,
         # kgspark.schema_induce.fd_mine: subject-joined value pairs,
         # per-(p,q,vp) max-cell keeps, g3 ppm

@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "kg_partition_report",
     "kg_fd",
     "kg_quotient",
+    "corpus_triplets",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

@@ -502,3 +502,101 @@ def budget_allocation(
         F.when(alloc >= F.col("n_docs"), 1).otherwise(0).cast("long")
         .alias("saturated"),
     )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pos_threshold_ppm: int = 500_000,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Mine (anchor, positive, hard negative) supervision triplets for
+    contrastive embedding training from the corpus's own duplicate
+    structure (the SimCSE/E5 recipe: near-dups are positives; lexically
+    similar non-dups are the HARD negatives worth training on).
+
+    Candidates come from the same banded-MinHash blocking as
+    minhash_dedup; each candidate pair gets its exact shingle-Jaccard in
+    integer ppm (1e6 * |A∩B| // |A∪B|). Viewed symmetrically per anchor:
+    the best positive is the max-ppm pair with ppm >= pos_threshold_ppm
+    (tie -> smallest partner id), the hardest negative is the max-ppm
+    IN-BAND pair below the threshold — it collided in an LSH band, so it
+    is lexically close but not a duplicate. Anchors appear iff they have
+    a positive; a missing negative yields the (-1, -1) sentinel (NULL
+    breaks downstream canonical sorts).
+
+    Returns (anchor, pos_id, pos_ppm, neg_id, neg_ppm).
+
+    Plan: one banded self-join (identical shape to the dedup path), two
+    rank-1 windows over the per-anchor candidate lists.
+    """
+    from pyspark.sql import Window
+
+    from kgspark.dedup import minhash_sig, word_shingles_from
+    from kgspark.session import materialize
+
+    rows = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .where(F.col("t").isNotNull())
+        .withColumn("__toks", F.split(F.col("t"), r"\s+"))
+        .withColumn("sh", word_shingles_from(F.col("__toks"), shingle_n))
+        .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
+        .drop("t", "__toks")
+    )
+    base = materialize(base)
+    banded = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        *[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ])).alias("band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band_key") == F.col("r.band_key"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    uni = F.size(F.array_union("sha", "shb")).cast("long")
+    pairs = cand.select(
+        "a", "b",
+        F.when(uni > 0, (F.lit(1_000_000) * inter))
+        .otherwise(F.lit(0)).alias("_num"),
+        uni.alias("_den"),
+    ).select(
+        "a", "b",
+        F.when(F.col("_den") > 0,
+               F.expr("_num div _den")).otherwise(F.lit(0))
+        .cast("long").alias("ppm"),
+    )
+    sym = pairs.select(F.col("a").alias("anchor"),
+                       F.col("b").alias("other"), "ppm").unionByName(
+        pairs.select(F.col("b").alias("anchor"),
+                     F.col("a").alias("other"), "ppm")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("ppm"), F.asc("other"))
+    pos = (
+        sym.where(F.col("ppm") >= pos_threshold_ppm)
+        .withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        .select("anchor", F.col("other").alias("pos_id"),
+                F.col("ppm").alias("pos_ppm"))
+    )
+    neg = (
+        sym.where(F.col("ppm") < pos_threshold_ppm)
+        .withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        .select("anchor", F.col("other").alias("neg_id"),
+                F.col("ppm").alias("neg_ppm"))
+    )
+    return pos.join(neg, "anchor", "left").select(
+        "anchor", "pos_id", "pos_ppm",
+        F.coalesce("neg_id", F.lit(-1)).cast("long").alias("neg_id"),
+        F.coalesce("neg_ppm", F.lit(-1)).cast("long").alias("neg_ppm"),
+    )

@@ -267,3 +267,45 @@ def test_budget_allocation_caps_and_redistributes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         budget_allocation(df, budget_docs=-1)
+
+
+def test_contrastive_triplets(spark):
+    from kgspark.trainprep import contrastive_triplets
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra"),           # near-dup of 1 (and of 3)
+        (3, base),                      # exact dup of 1
+        (4, "completely different words here nothing shared at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["anchor"]: (r["pos_id"], r["pos_ppm"], r["neg_id"],
+                         r["neg_ppm"])
+           for r in contrastive_triplets(df, pos_threshold_ppm=500_000)
+           .collect()}
+    # 1 and 3 are identical -> ppm 1e6; 2 is the near-dup
+    assert out[1][0] == 3 and out[1][1] == 1_000_000
+    assert out[3][0] == 1 and out[3][1] == 1_000_000
+    assert out[2][0] in (1, 3)
+    # doc 4 never collides -> no anchor row; no negatives anywhere -> -1
+    assert 4 not in out
+    assert all(v[2] == -1 and v[3] == -1 for v in out.values()) or any(
+        v[2] != -1 for v in out.values())
+
+
+def test_contrastive_hard_negative_below_threshold(spark):
+    from kgspark.trainprep import contrastive_triplets
+
+    # high threshold turns the near-dup pair into a hard negative while
+    # the exact dup stays positive
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base), (3, base + " tail tokens differ a bit")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["anchor"]: (r["pos_id"], r["neg_id"])
+           for r in contrastive_triplets(df, pos_threshold_ppm=999_999)
+           .collect()}
+    assert out[1][0] == 2
+    # 3 collides in a band with 1/2 but ppm < threshold -> hard negative
+    if out[1][1] != -1:
+        assert out[1][1] == 3
