@@ -4042,6 +4042,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
         return contrastive_triplets(docs, pos_threshold_ppm=500_000)
 
+    def kg_temporal_reach(spark, sf_dir):
+        # earliest-arrival time-respecting reachability (kgspark/
+        # graph_algs.py temporal_reach) over a scrambled-timestamp event
+        # graph: 3 hops from 3 seeds, arrivals must not decrease
+        from kgspark.graph_algs import temporal_reach
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+        d = F.col("doc_id")
+        edges = docs.select(
+            F.concat(F.lit("n"), (d % 25).cast("string")).alias("src"),
+            F.concat(F.lit("n"), (F.expr("doc_id div 25") % 25)
+                     .cast("string")).alias("dst"),
+            ((d * 37) % 101).alias("ts"),
+        )
+        seeds = spark.createDataFrame([("n0",), ("n1",), ("n2",)],
+                                      "n string")
+        return temporal_reach(edges, seeds, max_hops=3)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4914,6 +4932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fd": kg_fd,
         "kg_quotient": kg_quotient,
         "corpus_triplets": corpus_triplets,
+        "kg_temporal_reach": kg_temporal_reach,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9797,6 +9816,48 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.graph_algs.temporal_reach, 3 rounds unrolled: each
+        # round expands the per-(start,node) MIN arrival (dominance: an
+        # earlier arrival allows every later continuation), final hops =
+        # first round achieving the earliest arrival
+        "kg_temporal_reach": """
+WITH tr_e AS (
+  SELECT DISTINCT 'n' || (doc_id % 25) AS u,
+         'n' || ((doc_id // 25) % 25) AS v,
+         ((doc_id * 37) % 101)::BIGINT AS t
+  FROM documents WHERE doc_id < 500
+),
+tr_a1 AS (
+  SELECT u AS start, v AS node, min(t) AS at
+  FROM tr_e WHERE u IN ('n0', 'n1', 'n2') GROUP BY 1, 2
+),
+tr_a2 AS (
+  SELECT a.start, e.v AS node, min(e.t) AS at
+  FROM tr_a1 a JOIN tr_e e ON e.u = a.node AND e.t >= a.at
+  GROUP BY 1, 2
+),
+tr_b2 AS (
+  SELECT start, node, min(at) AS at
+  FROM (SELECT * FROM tr_a1 UNION ALL SELECT * FROM tr_a2)
+  GROUP BY 1, 2
+),
+tr_a3 AS (
+  SELECT b.start, e.v AS node, min(e.t) AS at
+  FROM tr_b2 b JOIN tr_e e ON e.u = b.node AND e.t >= b.at
+  GROUP BY 1, 2
+),
+tr_r AS (
+  SELECT start, node, at, 1 AS r FROM tr_a1
+  UNION ALL SELECT start, node, at, 2 FROM tr_a2
+  UNION ALL SELECT start, node, at, 3 FROM tr_a3
+),
+tr_f AS (SELECT start, node, min(at) AS best FROM tr_r GROUP BY 1, 2)
+SELECT r.start, r.node, f.best::BIGINT AS earliest_ts,
+       min(r.r)::BIGINT AS hops
+FROM tr_r r JOIN tr_f f
+  ON f.start = r.start AND f.node = r.node AND r.at = f.best
+GROUP BY 1, 2, 3
 """,
         # kgspark.trainprep.contrastive_triplets: the dedup_minhash
         # candidate chain + integer-ppm jaccard, per-anchor rank-1

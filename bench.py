@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "kg_fd",
     "kg_quotient",
     "corpus_triplets",
+    "kg_temporal_reach",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

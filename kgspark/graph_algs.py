@@ -2057,3 +2057,96 @@ def quotient_graph(
         F.countDistinct("_sn").cast("long").alias("n_src"),
         F.countDistinct("_dn").cast("long").alias("n_dst"),
     )
+
+
+def temporal_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    strict: bool = False,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability (Wu et al., VLDB
+    2014 "Path Problems in Temporal Graphs"): from each seed node, which
+    nodes are reachable through a path whose edge timestamps never
+    decrease (``strict=True``: strictly increase), within ``max_hops``
+    edges — and what is the earliest possible arrival time?
+
+    A static-reachability answer is WRONG on event data (citations,
+    crawls, message logs): an edge that happened before you arrived
+    cannot be taken. Returns (start, node, earliest_ts, hops) — hops =
+    the fewest edges achieving that earliest arrival; seeds themselves
+    are not emitted.
+
+    Correctness of the compaction: with a monotone time constraint, an
+    earlier arrival at a node permits a superset of the continuations of
+    any later arrival, so keeping only the MIN arrival per (start, node)
+    per round preserves all earliest arrivals downstream — the frontier
+    stays node-sized, never path-sized. Bounded max_hops rounds, one
+    keyed join + one aggregation each.
+    """
+    if max_hops < 1:
+        raise ValueError(f"temporal_reach: max_hops >= 1, got {max_hops}")
+    e = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v"),
+        F.col(ts).cast("long").alias("_t"),
+    ).distinct()
+    e = materialize(e)
+    cond_ok = (lambda at, t: t > at) if strict else (lambda at, t: t >= at)
+
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("start")).distinct()
+        .join(e, F.col("start") == F.col("_u"))
+        .groupBy("start", F.col("_v").alias("node"))
+        .agg(F.min("_t").alias("at"))
+        .withColumn("hops", F.lit(1).cast("long"))
+    )
+    def _fresh(df):
+        # localCheckpoint keeps attribute ids, so best/improved would
+        # share exprIds across the self-join + union below and trip
+        # Catalyst's Union constraint rewrite; re-aliasing mints new ids
+        return df.select([F.col(c).alias(c) for c in df.columns])
+
+    best = _fresh(materialize(frontier))
+    frontier = best
+    for hop in range(2, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_u"])
+            .where(cond_ok(F.col("at"), F.col("_t")))
+            .groupBy("start", F.col("_v").alias("node"))
+            .agg(F.min("_t").alias("at"))
+            .withColumn("hops", F.lit(hop).cast("long"))
+        )
+        # keep only strict improvements over best-so-far
+        bmin = best.select(
+            F.col("start").alias("_bs"), F.col("node").alias("_bn"),
+            F.col("at").alias("_ba"),
+        )
+        improved = (
+            nxt.join(
+                bmin,
+                (F.col("start") == F.col("_bs"))
+                & (F.col("node") == F.col("_bn")),
+                "left",
+            )
+            .where(F.col("_ba").isNull() | (F.col("at") < F.col("_ba")))
+            .select("start", "node", "at", "hops")
+        )
+        improved = _fresh(materialize(improved))
+        if improved.isEmpty():
+            break
+        # an improved row strictly dominates (smaller at); replace, don't
+        # aggregate
+        kept = best.join(
+            improved.select(F.col("start").alias("_is"),
+                            F.col("node").alias("_in")),
+            (F.col("start") == F.col("_is")) & (F.col("node") == F.col("_in")),
+            "left_anti",
+        )
+        best = _fresh(materialize(kept.unionByName(improved)))
+        frontier = improved
+    return best.select(
+        "start", "node", F.col("at").alias("earliest_ts"), "hops"
+    )

@@ -169,3 +169,57 @@ def test_quotient_graph(spark):
                                           r["n_dst"])
            for r in quotient_graph(edges, labels).collect()}
     assert got == {("A", "B"): (3, 2, 2), ("B", "A"): (1, 1, 1)}
+
+
+def test_temporal_reach_respects_time(spark):
+    from kgspark.graph_algs import temporal_reach
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 3),   # too late: 3 < 5
+         ("a", "d", 1), ("d", "c", 2),   # valid: 1 <= 2
+         ("c", "e", 2)],                  # c@2 -> e@2 (non-strict ok)
+        "src string, dst string, ts long",
+    )
+    seeds = spark.createDataFrame([("a",)], "n string")
+    got = {(r["start"], r["node"]): (r["earliest_ts"], r["hops"])
+           for r in temporal_reach(edges, seeds, max_hops=4).collect()}
+    assert got[("a", "b")] == (5, 1)
+    assert got[("a", "d")] == (1, 1)
+    assert got[("a", "c")] == (2, 2)     # via d, NOT via b
+    assert got[("a", "e")] == (2, 3)     # c@2 then e@2
+    # strict mode kills the c@2 -> e@2 continuation
+    got_s = {(r["start"], r["node"])
+             for r in temporal_reach(edges, seeds, max_hops=4,
+                                     strict=True).collect()}
+    assert ("a", "e") not in got_s and ("a", "c") in got_s
+
+
+def test_temporal_reach_earliest_beats_fewest_hops(spark):
+    from kgspark.graph_algs import temporal_reach
+
+    # direct edge arrives at 9; 2-hop path arrives at 4
+    edges = spark.createDataFrame(
+        [("a", "z", 9), ("a", "m", 1), ("m", "z", 4)],
+        "src string, dst string, ts long",
+    )
+    seeds = spark.createDataFrame([("a",)], "n string")
+    got = {r["node"]: (r["earliest_ts"], r["hops"])
+           for r in temporal_reach(edges, seeds, max_hops=3).collect()}
+    assert got["z"] == (4, 2)
+    # hop bound 1 -> only direct arrivals
+    got1 = {r["node"]: r["earliest_ts"]
+            for r in temporal_reach(edges, seeds, max_hops=1).collect()}
+    assert got1 == {"z": 9, "m": 1}
+
+
+def test_temporal_reach_cycle_terminates(spark):
+    from kgspark.graph_algs import temporal_reach
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 2), ("a", "b", 3)],
+        "src string, dst string, ts long",
+    )
+    seeds = spark.createDataFrame([("a",)], "n string")
+    got = {(r["node"]): (r["earliest_ts"], r["hops"])
+           for r in temporal_reach(edges, seeds, max_hops=6).collect()}
+    assert got["b"] == (1, 1) and got["a"] == (2, 2)
