@@ -4060,6 +4060,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       "n string")
         return temporal_reach(edges, seeds, max_hops=3)
 
+    def kg_jsonld_out(spark, sf_dir):
+        # flattened JSON-LD node-object lines (kgspark/structdata.py
+        # jsonld_lines): the inverse of the jsonld_triples front door —
+        # canonical sorted keys/values, one standalone JSON doc per subj
+        from kgspark.structdata import jsonld_lines
+
+        return jsonld_lines(
+            _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        )
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4933,6 +4943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quotient": kg_quotient,
         "corpus_triplets": corpus_triplets,
         "kg_temporal_reach": kg_temporal_reach,
+        "kg_jsonld_out": kg_jsonld_out,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9816,6 +9827,27 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.structdata.jsonld_lines: sorted-distinct values per
+        # (subj, pred), fragments sorted per subj, same minting as Spark
+        "kg_jsonld_out": f"""
+WITH {_PARTS_ORACLE_CTE},
+jo_t AS (
+  SELECT DISTINCT 'https://kg.example.org/' || subj AS s,
+         'https://kg.example.org/prop/' || pred AS p, obj AS v
+  FROM triples
+),
+jo_v AS (
+  SELECT s, p,
+         '"' || p || '":["' ||
+         array_to_string(list_sort(list(DISTINCT v)), '","') || '"]'
+           AS frag
+  FROM jo_t GROUP BY s, p
+)
+SELECT s AS subj,
+       '{{"@id":"' || s || '",' ||
+       string_agg(frag, ',' ORDER BY frag) || '}}' AS line
+FROM jo_v GROUP BY s
 """,
         # kgspark.graph_algs.temporal_reach, 3 rounds unrolled: each
         # round expands the per-(start,node) MIN arrival (dominance: an

@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "kg_quotient",
     "corpus_triplets",
     "kg_temporal_reach",
+    "kg_jsonld_out",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

@@ -306,3 +306,72 @@ def table_triples(cells: DataFrame, layout: str = "header") -> DataFrame:
         .select("url", "table_no", "row_no", "subj", "pred",
                 F.col("cell").alias("obj"))
     )
+
+
+def _json_escape(col):
+    """Canonical JSON string escape chain (backslash first, then quote
+    and the control characters) — replace column ops, byte-replicable in
+    any SQL engine."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return c
+
+
+def jsonld_lines(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    base_iri: str = "https://kg.example.org/",
+    pred_base: str = "https://kg.example.org/prop/",
+) -> DataFrame:
+    """Serialize a (subj, pred, obj) table to flattened JSON-LD node
+    objects, one per line (W3C JSON-LD 1.1 flattened document form,
+    newline-delimited) — the inverse sink of :func:`jsonld_triples`, so
+    the schema.org front door round-trips.
+
+    Each subject becomes ``{"@id": <iri>, <pred-iri>: ["v", ...], ...}``
+    with predicates and values sorted (canonical output: a re-run or a
+    different partitioning emits byte-identical lines). Subjects/
+    predicates already IRIs pass through; bare names are minted under
+    ``base_iri`` / ``pred_base`` exactly like ntriples_lines. Objects
+    are emitted as JSON string literals with the canonical escape chain.
+
+    Returns (subj, line). Plan: one (subj, pred) aggregation + one subj
+    aggregation — two keyed shuffles, the second reusing the first's
+    hash partitioning on the subj prefix.
+    """
+    s, p = F.col(subj_col), F.col(pred_col)
+    s_iri = F.when(
+        s.startswith("http://") | s.startswith("https://"), s
+    ).otherwise(F.concat(F.lit(base_iri), s))
+    p_iri = F.when(
+        p.startswith("http://") | p.startswith("https://"), p
+    ).otherwise(F.concat(F.lit(pred_base), p))
+    vals = (
+        triples.select(
+            s_iri.alias("_s"), p_iri.alias("_p"),
+            _json_escape(F.col(obj_col).cast("string")).alias("_v"),
+        )
+        .groupBy("_s", "_p")
+        .agg(F.array_sort(F.collect_set("_v")).alias("_vs"))
+    )
+    frag = F.concat(
+        F.lit('"'), _json_escape(F.col("_p")), F.lit('":["'),
+        F.array_join("_vs", '","'), F.lit('"]'),
+    )
+    return (
+        vals.select("_s", frag.alias("_frag"))
+        .groupBy("_s")
+        .agg(F.array_sort(F.collect_list("_frag")).alias("_frags"))
+        .select(
+            F.col("_s").alias("subj"),
+            F.concat(
+                F.lit('{"@id":"'), _json_escape(F.col("_s")), F.lit('",'),
+                F.array_join("_frags", ","), F.lit("}"),
+            ).alias("line"),
+        )
+    )

@@ -476,3 +476,53 @@ def test_ntriples_star_line(spark):
         "<< <https://x.org/s> <https://kg.example.org/prop/has> "
         '"say \\"hi\\"\\n" >> <https://kg.example.org/qual/w> "7" .'
     )
+
+
+def test_jsonld_lines_roundtrip_parse(spark):
+    import json as _json
+
+    from kgspark.structdata import jsonld_lines
+
+    t = spark.createDataFrame(
+        [("a", "has", "b2"), ("a", "has", "b1"),
+         ("a", "https://schema.org/name", 'say "hi"\n'),
+         ("https://x.org/e", "p", "v")],
+        "subj string, pred string, obj string",
+    )
+    got = {r["subj"]: r["line"] for r in jsonld_lines(t).collect()}
+    d = _json.loads(got["https://kg.example.org/a"])
+    assert d["@id"] == "https://kg.example.org/a"
+    assert d["https://kg.example.org/prop/has"] == ["b1", "b2"]  # sorted
+    assert d["https://schema.org/name"] == ['say "hi"\n']
+    d2 = _json.loads(got["https://x.org/e"])
+    assert d2 == {"@id": "https://x.org/e",
+                  "https://kg.example.org/prop/p": ["v"]}
+    # keys sorted canonically (after @id)
+    keys = list(d.keys())[1:]
+    assert keys == sorted(keys)
+
+
+def test_jsonld_lines_roundtrips_with_parser(spark):
+    import json as _json
+
+    from kgspark.structdata import jsonld_lines
+
+    t = spark.createDataFrame(
+        [("e1", "p", "x"), ("e1", "q", "y"), ("e2", "p", "z")],
+        "subj string, pred string, obj string",
+    )
+    lines = [r["line"] for r in jsonld_lines(t).collect()]
+    # every line is standalone JSON and the triple multiset survives
+    back = set()
+    for ln in lines:
+        d = _json.loads(ln)
+        for k, vs in d.items():
+            if k == "@id":
+                continue
+            for v in vs:
+                back.add((d["@id"], k, v))
+    assert back == {
+        ("https://kg.example.org/e1", "https://kg.example.org/prop/p", "x"),
+        ("https://kg.example.org/e1", "https://kg.example.org/prop/q", "y"),
+        ("https://kg.example.org/e2", "https://kg.example.org/prop/p", "z"),
+    }
