@@ -568,3 +568,46 @@ def test_bgp_path_closure_no_cartesian(spark):
     assert "CartesianProduct" not in p
     # the seed constant appears as a pushed/applied filter on subj
     assert "isnotnull(subj" in p or "(subj" in p
+
+
+def test_session3_ops_no_cartesian_no_python(spark):
+    """Batch plan gate for the session-3 operators: all keyed joins +
+    JVM expressions — no CartesianProduct, no Python eval in any plan."""
+    from kgspark.graph_algs import pathsim, quotient_graph, temporal_reach
+    from kgspark.graphml import graphml_lines
+    from kgspark.schema_induce import align_classes, fd_mine
+    from kgspark.skew import partition_report
+    from kgspark.structdata import jsonld_lines
+    from kgspark.temporal import allen_relations
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    rel = spark.createDataFrame([("x", "y", 1)], "x string, y string, c long")
+    lab = spark.createDataFrame([("a", "A")], "node string, cls string")
+    iv = spark.createDataFrame(
+        [("e", "p", "v", 1, 2)],
+        "subj string, pred string, obj string, valid_from long, valid_to long",
+    )
+    seeds = spark.createDataFrame([("a",)], "n string")
+    typ = spark.createDataFrame([("i", "C")], "instance string, cls string")
+    plans = [
+        plan(pathsim(rel)),
+        plan(quotient_graph(
+            t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+            lab)),
+        plan(fd_mine(t, min_support=1)),
+        plan(align_classes(typ, typ, min_overlap=1)),
+        plan(partition_report(t.select("subj", "obj"), k=4)),
+        plan(allen_relations(iv)),
+        plan(graphml_lines(t)),
+        plan(jsonld_lines(t)),
+        plan(temporal_reach(
+            spark.createDataFrame([("a", "b", 1)],
+                                  "src string, dst string, ts long"),
+            seeds, max_hops=2)),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
