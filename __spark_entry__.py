@@ -4070,6 +4070,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
         )
 
+    def corpus_kappa(spark, sf_dir):
+        # weak-supervision label QA (kgspark/trainprep.py
+        # rater_agreement): confusion matrix + Cohen's kappa between two
+        # deterministic labelers that disagree on every 7th doc
+        from kgspark.trainprep import rater_agreement
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        labeled = docs.select(
+            F.concat(F.lit("l"), (d % 5).cast("string")).alias("a"),
+            F.concat(
+                F.lit("l"),
+                F.when(d % 7 == 0, (d + 1) % 5).otherwise(d % 5)
+                .cast("string"),
+            ).alias("b"),
+        )
+        confusion, summary = rater_agreement(labeled, "a", "b")
+        return confusion.crossJoin(
+            summary.select(
+                F.col("n").alias("n_total"), "n_agree", "kappa_ppm"
+            )
+        )
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4944,6 +4967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_triplets": corpus_triplets,
         "kg_temporal_reach": kg_temporal_reach,
         "kg_jsonld_out": kg_jsonld_out,
+        "corpus_kappa": corpus_kappa,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9827,6 +9851,34 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.trainprep.rater_agreement: confusion counts + the
+        # single-division integer kappa, summary cross-joined onto rows
+        "corpus_kappa": """
+WITH ck_l AS (
+  SELECT 'l' || (doc_id % 5) AS a,
+         'l' || (CASE WHEN doc_id % 7 = 0 THEN (doc_id + 1) % 5
+                      ELSE doc_id % 5 END) AS b
+  FROM documents
+),
+ck_c AS (SELECT a AS label_a, b AS label_b, count(*)::BIGINT AS n
+         FROM ck_l GROUP BY 1, 2),
+ck_ma AS (SELECT label_a AS l, sum(n) AS na FROM ck_c GROUP BY 1),
+ck_mb AS (SELECT label_b AS l, sum(n) AS nb FROM ck_c GROUP BY 1),
+ck_s AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS s
+         FROM ck_ma JOIN ck_mb USING (l)),
+ck_t AS (
+  SELECT sum(n)::BIGINT AS n_total,
+         sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)::BIGINT
+           AS n_agree
+  FROM ck_c
+)
+SELECT c.label_a, c.label_b, c.n, t.n_total, t.n_agree,
+       (CASE WHEN t.n_total * t.n_total = s.s THEN
+          CASE WHEN t.n_agree = t.n_total THEN 1000000 ELSE 0 END
+        ELSE (1000000 * (t.n_total * t.n_agree - s.s))
+               // (t.n_total * t.n_total - s.s) END)::BIGINT AS kappa_ppm
+FROM ck_c c, ck_t t, ck_s s
 """,
         # kgspark.structdata.jsonld_lines: sorted-distinct values per
         # (subj, pred), fragments sorted per subj, same minting as Spark

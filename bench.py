@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "corpus_triplets",
     "kg_temporal_reach",
     "kg_jsonld_out",
+    "corpus_kappa",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

@@ -600,3 +600,68 @@ def contrastive_triplets(
         F.coalesce("neg_id", F.lit(-1)).cast("long").alias("neg_id"),
         F.coalesce("neg_ppm", F.lit(-1)).cast("long").alias("neg_ppm"),
     )
+
+
+def rater_agreement(
+    df: DataFrame, a_col: str, b_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Label-quality QA for weak supervision (Cohen, 1960): the
+    confusion matrix and Cohen's kappa between two label columns — two
+    annotators, a heuristic vs a classifier, or two model versions.
+
+    Returns (confusion, summary):
+      confusion — (label_a, label_b, n) counts;
+      summary — ONE row (n, n_agree, agree_ppm, chance_ppm, kappa_ppm),
+      all exact integers:
+
+        kappa_ppm = 1e6 * (n * n_agree - S) div (n * n - S),
+        S = sum over labels of count_a(l) * count_b(l)
+
+    which is algebraically (po - pe) / (1 - pe) scaled to ppm with a
+    single truncating division (no intermediate float). Rows with a NULL
+    on either side are excluded (unlabeled, not disagreement). A
+    degenerate pair (pe = 1: both raters constant with the same label)
+    returns kappa_ppm = 1000000 when in full agreement, else 0, by the
+    CASE guard.
+
+    Plan: one aggregation for the matrix; the summary folds the matrix
+    (label-cardinality-sized) — driver-safe at any corpus size.
+    """
+    base = df.select(
+        F.col(a_col).cast("string").alias("label_a"),
+        F.col(b_col).cast("string").alias("label_b"),
+    ).where(F.col("label_a").isNotNull() & F.col("label_b").isNotNull())
+    confusion = base.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ca = confusion.groupBy(F.col("label_a").alias("l")).agg(
+        F.sum("n").alias("na")
+    )
+    cb = confusion.groupBy(F.col("label_b").alias("l")).agg(
+        F.sum("n").alias("nb")
+    )
+    s = ca.join(cb, "l").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long").alias("s")
+    )
+    tot = confusion.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("label_a") == F.col("label_b"),
+                         F.col("n")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).cast("long").alias("n_agree"),
+    )
+    summary = tot.crossJoin(s).select(
+        "n", "n_agree",
+        F.expr("CASE WHEN n > 0 THEN (1000000 * n_agree) div n "
+               "ELSE 0 END").cast("long").alias("agree_ppm"),
+        F.expr("CASE WHEN n > 0 THEN (1000000 * s) div (n * n) "
+               "ELSE 0 END").cast("long").alias("chance_ppm"),
+        F.expr(
+            "CASE WHEN n * n = s THEN "
+            "  CASE WHEN n_agree = n THEN 1000000 ELSE 0 END "
+            "ELSE (1000000 * (n * n_agree - s)) div (n * n - s) END"
+        ).cast("long").alias("kappa_ppm"),
+    )
+    return confusion, summary

@@ -309,3 +309,39 @@ def test_contrastive_hard_negative_below_threshold(spark):
     # 3 collides in a band with 1/2 but ppm < threshold -> hard negative
     if out[1][1] != -1:
         assert out[1][1] == 3
+
+
+def test_rater_agreement_kappa(spark):
+    from kgspark.trainprep import rater_agreement
+
+    # classic 2x2 example: n=100, agree=70, marginals a:(60,40) b:(50,50)
+    rows = ([("x", "x")] * 40 + [("x", "y")] * 20
+            + [("y", "x")] * 10 + [("y", "y")] * 30
+            + [(None, "x"), ("x", None)])  # nulls excluded
+    df = spark.createDataFrame(rows, "a string, b string")
+    confusion, summary = rater_agreement(df, "a", "b")
+    cm = {(r["label_a"], r["label_b"]): r["n"] for r in confusion.collect()}
+    assert cm == {("x", "x"): 40, ("x", "y"): 20, ("y", "x"): 10,
+                  ("y", "y"): 30}
+    s = summary.collect()[0]
+    # S = 60*50 + 40*50 = 5000; kappa = (100*70 - 5000)/(10000 - 5000)
+    assert (s["n"], s["n_agree"]) == (100, 70)
+    assert s["agree_ppm"] == 700000
+    assert s["chance_ppm"] == 500000
+    assert s["kappa_ppm"] == 400000
+
+
+def test_rater_agreement_degenerate_and_perfect(spark):
+    from kgspark.trainprep import rater_agreement
+
+    same = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    _, summ = rater_agreement(same, "a", "b")
+    assert summ.collect()[0]["kappa_ppm"] == 1000000  # pe=1, full agree
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
+    )
+    _, summ2 = rater_agreement(perfect, "a", "b")
+    assert summ2.collect()[0]["kappa_ppm"] == 1000000
+    empty = spark.createDataFrame([], "a string, b string")
+    _, summ3 = rater_agreement(empty, "a", "b")
+    assert summ3.collect()[0]["n"] == 0
