@@ -4093,6 +4093,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def kg_infer_types(spark, sf_dir):
+        # semi-supervised type inference (kgspark/graph_algs.py
+        # infer_types): u-layer seeds propagate to v (round 1) then w
+        # (round 2) by plurality vote with deterministic ties
+        from kgspark.graph_algs import infer_types
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        edges = docs.select(u.alias("src"), v.alias("dst")).union(
+            docs.select(v.alias("src"), w.alias("dst"))
+        )
+        seeds = docs.select(
+            u.alias("node"),
+            F.concat(F.lit("t"), ((d % 40) % 3).cast("string"))
+            .alias("type"),
+        ).distinct()
+        return infer_types(edges, seeds, rounds=2)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4968,6 +4989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_reach": kg_temporal_reach,
         "kg_jsonld_out": kg_jsonld_out,
         "corpus_kappa": corpus_kappa,
+        "kg_infer_types": kg_infer_types,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9851,6 +9873,59 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.graph_algs.infer_types, 2 synchronous rounds unrolled:
+        # undirected edges, plurality vote among already-typed neighbors,
+        # (votes desc, type asc) tie-break, seeds immutable
+        "kg_infer_types": """
+WITH it_d AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+it_raw AS (
+  SELECT 'u' || (d % 40) AS s, 'v' || (d % 9) AS t FROM it_d
+  UNION ALL SELECT 'v' || (d % 9), 'w' || (d % 5) FROM it_d
+),
+it_e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM it_raw
+    UNION ALL SELECT t, s FROM it_raw
+  ) WHERE a <> b
+),
+it_s AS (
+  SELECT DISTINCT 'u' || (d % 40) AS n, 't' || ((d % 40) % 3) AS ty,
+         0::BIGINT AS round
+  FROM it_d
+),
+it_v1 AS (
+  SELECT e.a AS n, s.ty, count(*) AS v
+  FROM it_e e JOIN it_s s ON s.n = e.b
+  WHERE e.a NOT IN (SELECT n FROM it_s)
+  GROUP BY 1, 2
+),
+it_n1 AS (
+  SELECT n, ty, 1::BIGINT AS round FROM (
+    SELECT n, ty, row_number() OVER (PARTITION BY n
+                                     ORDER BY v DESC, ty) AS rk
+    FROM it_v1
+  ) WHERE rk = 1
+),
+it_t1 AS (
+  SELECT n, ty, round FROM it_s
+  UNION ALL SELECT n, ty, round FROM it_n1
+),
+it_v2 AS (
+  SELECT e.a AS n, t1.ty, count(*) AS v
+  FROM it_e e JOIN it_t1 t1 ON t1.n = e.b
+  WHERE e.a NOT IN (SELECT n FROM it_t1)
+  GROUP BY 1, 2
+),
+it_n2 AS (
+  SELECT n, ty, 2::BIGINT AS round FROM (
+    SELECT n, ty, row_number() OVER (PARTITION BY n
+                                     ORDER BY v DESC, ty) AS rk
+    FROM it_v2
+  ) WHERE rk = 1
+)
+SELECT n AS node, ty AS type, round FROM it_t1
+UNION ALL SELECT n, ty, round FROM it_n2
 """,
         # kgspark.trainprep.rater_agreement: confusion counts + the
         # single-division integer kappa, summary cross-joined onto rows

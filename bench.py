@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "kg_temporal_reach",
     "kg_jsonld_out",
     "corpus_kappa",
+    "kg_infer_types",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

@@ -2150,3 +2150,71 @@ def temporal_reach(
     return best.select(
         "start", "node", F.col("at").alias("earliest_ts"), "hops"
     )
+
+
+def infer_types(
+    edges: DataFrame,
+    seed_types: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    type_col: str = "type",
+) -> DataFrame:
+    """Semi-supervised type inference by neighbor plurality (the
+    label-propagation completion recipe, Zhu & Ghahramani 2002, hard
+    labels): untyped nodes adopt the most common type among their ALREADY
+    TYPED neighbors; seeds never change; rounds are synchronous (round k
+    votes see only types assigned in rounds < k), ties break on
+    (votes desc, type asc) — fully deterministic, exact integer votes.
+
+    edges are treated as undirected (typing homophily has no direction).
+    Returns (node, type, round) with round=0 for seeds. Bounded
+    ``rounds`` (repo posture); nodes never reached stay absent —
+    explicitly untypeable is a shape_report signal, not a default type.
+
+    Plan per round: one join of the frontier-adjacent edges against the
+    typed table + one (node, type) count + one rank-1 window on the
+    candidate nodes. The typed table only grows; each round's work is
+    proportional to the newly reachable frontier.
+    """
+    if rounds < 1:
+        raise ValueError(f"infer_types: rounds >= 1, got {rounds}")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = materialize(und)
+    typed = seed_types.select(
+        F.col(node).alias("n"), F.col(type_col).alias("t"),
+        F.lit(0).cast("long").alias("round"),
+    ).distinct()
+    typed = materialize(typed)
+    for r in range(1, rounds + 1):
+        from pyspark.sql import Window
+
+        votes = (
+            und.join(
+                typed.select(F.col("n").alias("b"), "t"), "b"
+            )  # neighbor b is typed
+            .join(typed.select(F.col("n").alias("a")), "a", "left_anti")
+            .groupBy(F.col("a").alias("n"), "t")
+            .agg(F.count(F.lit(1)).alias("_v"))
+        )
+        w = Window.partitionBy("n").orderBy(F.desc("_v"), F.asc("t"))
+        newly = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("n", "t", F.lit(r).cast("long").alias("round"))
+        )
+        newly = materialize(newly)
+        if newly.isEmpty():
+            break
+        typed = materialize(typed.unionByName(newly))
+    return typed.select(
+        F.col("n").alias("node"), F.col("t").alias("type"), "round"
+    )

@@ -223,3 +223,40 @@ def test_temporal_reach_cycle_terminates(spark):
     got = {(r["node"]): (r["earliest_ts"], r["hops"])
            for r in temporal_reach(edges, seeds, max_hops=6).collect()}
     assert got["b"] == (1, 1) and got["a"] == (2, 2)
+
+
+def test_infer_types_plurality_and_rounds(spark):
+    from kgspark.graph_algs import infer_types
+
+    edges = spark.createDataFrame(
+        [("u1", "v"), ("u2", "v"), ("u3", "v"),   # v: 2x A vs 1x B -> A
+         ("v", "w"),                               # w typed in round 2
+         ("u9", "z")],                             # z's only nbr untyped u9
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("u1", "A"), ("u2", "A"), ("u3", "B")], "node string, type string"
+    )
+    got = {r["node"]: (r["type"], r["round"])
+           for r in infer_types(edges, seeds, rounds=3).collect()}
+    assert got["u1"] == ("A", 0) and got["u3"] == ("B", 0)  # seeds fixed
+    assert got["v"] == ("A", 1)
+    assert got["w"] == ("A", 2)
+    assert "z" not in got and "u9" not in got  # unreachable stay absent
+
+
+def test_infer_types_tie_breaks_to_min_type(spark):
+    from kgspark.graph_algs import infer_types
+
+    edges = spark.createDataFrame(
+        [("a", "v"), ("b", "v")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("a", "B"), ("b", "A")], "node string, type string"
+    )
+    got = {r["node"]: r["type"]
+           for r in infer_types(edges, seeds, rounds=1).collect()}
+    assert got["v"] == "A"  # 1-1 tie -> lexicographically smaller
+    import pytest as _p
+    with _p.raises(ValueError, match="rounds"):
+        infer_types(edges, seeds, rounds=0)
