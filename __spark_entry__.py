@@ -4114,6 +4114,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         return infer_types(edges, seeds, rounds=2)
 
+    def kg_bgp_agg(spark, sf_dir):
+        # SPARQL GROUP BY + aggregates over the BGP engine (kgspark/
+        # graph_api.py bgp_aggregate): per-type brand census under bag
+        # semantics
+        from kgspark.graph_api import bgp_aggregate
+
+        return bgp_aggregate(
+            _extract_triples(spark, sf_dir),
+            [("?p", "is_a", "?t"), ("?p", "has", "?b")],
+            group_by=["?t"],
+            aggs=[("count", None, "n"),
+                  ("count_distinct", "?b", "n_brands"),
+                  ("min", "?b", "min_b")],
+        )
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -4990,6 +5005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_jsonld_out": kg_jsonld_out,
         "corpus_kappa": corpus_kappa,
         "kg_infer_types": kg_infer_types,
+        "kg_bgp_agg": kg_bgp_agg,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9873,6 +9889,15 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.graph_api.bgp_aggregate: bag-semantics solution
+        # multiset grouped per type
+        "kg_bgp_agg": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT i.obj AS t, count(*)::BIGINT AS n,
+       count(DISTINCT h.obj)::BIGINT AS n_brands, min(h.obj) AS min_b
+FROM triples i JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
+WHERE i.pred = 'is_a' GROUP BY 1
 """,
         # kgspark.graph_algs.infer_types, 2 synchronous rounds unrolled:
         # undirected edges, plurality vote among already-typed neighbors,

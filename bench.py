@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "kg_jsonld_out",
     "corpus_kappa",
     "kg_infer_types",
+    "kg_bgp_agg",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

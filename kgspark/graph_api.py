@@ -580,3 +580,51 @@ def paths_between(
         if frontier.limit(1).count() == 0:
             break
     return out
+
+
+_BGP_AGGS = {
+    "count": lambda v: F.count(F.lit(1)),
+    "count_distinct": lambda v: F.countDistinct(F.col(v)),
+    "min": lambda v: F.min(F.col(v)),
+    "max": lambda v: F.max(F.col(v)),
+    "sum": lambda v: F.sum(F.col(v).cast("long")),
+}
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    group_by: Sequence[str],
+    aggs: Sequence[tuple[str, str | None, str]],
+    **kwargs,
+) -> DataFrame:
+    """SPARQL GROUP BY + aggregates over the BGP engine.
+
+    ``group_by``: variables (``?x``) to group on; ``aggs``: (op, var,
+    alias) with op in count / count_distinct / min / max / sum (count
+    ignores var — SPARQL's COUNT(*)). Aggregation runs over the BAG of
+    solutions (SPARQL 1.1 §11: the solution multiset feeds GROUP BY), so
+    the underlying match uses ``distinct=False`` — a COUNT over
+    set-deduplicated bindings would be a different (wrong) answer.
+    Accepts bgp_match's keyword surface (optional_patterns, filters,
+    property-path predicate terms, max_path_hops).
+
+    Counts are exact longs; the per-group shuffle is the only exchange
+    added on top of the match's join tree, and Catalyst pushes the
+    partial aggregation below it.
+    """
+    for g in group_by:
+        if not _is_var(g):
+            raise ValueError(f"bgp_aggregate: group_by needs ?vars, got {g!r}")
+    b = bgp_match(triples, patterns, distinct=False, **kwargs)
+    exprs = []
+    for op, var, alias in aggs:
+        if op not in _BGP_AGGS:
+            raise ValueError(f"bgp_aggregate: unknown agg op {op!r}")
+        if op != "count" and (var is None or not _is_var(var)):
+            raise ValueError(f"bgp_aggregate: {op} needs a ?var")
+        col = _BGP_AGGS[op](var[1:] if var else None)
+        if op in ("count", "count_distinct", "sum"):
+            col = col.cast("long")
+        exprs.append(col.alias(alias))
+    return b.groupBy(*[g[1:] for g in group_by]).agg(*exprs)

@@ -311,3 +311,39 @@ def test_bgp_optional_chains_through_prior_optional(spark):
         ).collect()
     }
     assert got == {("b", "rome", "it"), ("c", "", "")}
+
+
+def test_bgp_aggregate_bag_semantics(spark):
+    from kgspark.graph_api import bgp_aggregate
+
+    t = spark.createDataFrame(
+        [("a", "has", "b1"), ("a", "has", "b2"), ("c", "has", "b1"),
+         ("a", "is_a", "T"), ("c", "is_a", "T")],
+        "subj string, pred string, obj string",
+    )
+    out = {r["t"]: (r["n"], r["n_brands"], r["min_b"])
+           for r in bgp_aggregate(
+               t, [("?p", "is_a", "?t"), ("?p", "has", "?b")],
+               group_by=["?t"],
+               aggs=[("count", None, "n"),
+                     ("count_distinct", "?b", "n_brands"),
+                     ("min", "?b", "min_b")],
+           ).collect()}
+    # bag: a contributes 2 solutions, c contributes 1
+    assert out == {"T": (3, 2, "b1")}
+
+
+def test_bgp_aggregate_validation(spark):
+    from kgspark.graph_api import bgp_aggregate
+
+    t = spark.createDataFrame([("a", "p", "b")],
+                              "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="group_by"):
+        bgp_aggregate(t, [("?x", "p", "?y")], ["x"],
+                      [("count", None, "n")])
+    with pytest.raises(ValueError, match="unknown agg"):
+        bgp_aggregate(t, [("?x", "p", "?y")], ["?x"],
+                      [("avg", "?y", "a")])
+    with pytest.raises(ValueError, match="needs a"):
+        bgp_aggregate(t, [("?x", "p", "?y")], ["?x"],
+                      [("min", None, "m")])
