@@ -4129,6 +4129,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   ("min", "?b", "min_b")],
         )
 
+    def kg_betweenness(spark, sf_dir):
+        # source-sampled Brandes betweenness (kgspark/graph_algs.py
+        # betweenness) over a 4-layer event graph (u->v->w->x plus
+        # odd-u shortcuts); 3 even-u seeds so every shortest path runs
+        # through the v layer — exact sigma counts, per-term ppm //
+        from kgspark.graph_algs import betweenness
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        w2 = F.concat(F.lit("w"), (F.expr("doc_id div 5") % 5).cast("string"))
+        x = F.concat(F.lit("x"), (d % 3).cast("string"))
+        edges = (
+            docs.select(u.alias("src"), v.alias("dst"))
+            .union(docs.select(v.alias("src"), w.alias("dst")))
+            .union(
+                docs.where((d % 40) % 2 == 1)
+                .select(u.alias("src"), w2.alias("dst"))
+            )
+            .union(docs.select(w.alias("src"), x.alias("dst")))
+        )
+        seeds = spark.createDataFrame(
+            [("u0",), ("u2",), ("u4",)], "n string"
+        )
+        return betweenness(edges, seeds, max_depth=3)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -5006,6 +5034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kappa": corpus_kappa,
         "kg_infer_types": kg_infer_types,
         "kg_bgp_agg": kg_bgp_agg,
+        "kg_betweenness": kg_betweenness,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9889,6 +9918,72 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.graph_algs.betweenness: BFS levels with exact sigma
+        # path counts, backward dependency with one truncating // per
+        # term, sources excluded from their own accumulation
+        "kg_betweenness": """
+WITH bw_d AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+bw_e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT 'u' || (d % 40) AS u, 'v' || (d % 9) AS v FROM bw_d
+    UNION ALL SELECT 'v' || (d % 9), 'w' || (d % 5) FROM bw_d
+    UNION ALL
+    SELECT 'u' || (d % 40), 'w' || ((d // 5) % 5) FROM bw_d
+    WHERE (d % 40) % 2 = 1
+    UNION ALL SELECT 'w' || (d % 5), 'x' || (d % 3) FROM bw_d
+  ) WHERE u <> v
+),
+bw_v0 AS (
+  SELECT s, s AS node, 1::BIGINT AS sigma
+  FROM (VALUES ('u0'), ('u2'), ('u4')) t(s)
+),
+bw_v1 AS (
+  SELECT v0.s, e.v AS node, sum(v0.sigma)::BIGINT AS sigma
+  FROM bw_v0 v0 JOIN bw_e e ON e.u = v0.node
+  WHERE NOT EXISTS (SELECT 1 FROM bw_v0 x
+                    WHERE x.s = v0.s AND x.node = e.v)
+  GROUP BY 1, 2
+),
+bw_v2 AS (
+  SELECT v1.s, e.v AS node, sum(v1.sigma)::BIGINT AS sigma
+  FROM bw_v1 v1 JOIN bw_e e ON e.u = v1.node
+  WHERE NOT EXISTS (SELECT 1 FROM bw_v0 x
+                    WHERE x.s = v1.s AND x.node = e.v)
+    AND NOT EXISTS (SELECT 1 FROM bw_v1 y
+                    WHERE y.s = v1.s AND y.node = e.v)
+  GROUP BY 1, 2
+),
+bw_v3 AS (
+  SELECT v2.s, e.v AS node, sum(v2.sigma)::BIGINT AS sigma
+  FROM bw_v2 v2 JOIN bw_e e ON e.u = v2.node
+  WHERE NOT EXISTS (SELECT 1 FROM bw_v0 x
+                    WHERE x.s = v2.s AND x.node = e.v)
+    AND NOT EXISTS (SELECT 1 FROM bw_v1 y
+                    WHERE y.s = v2.s AND y.node = e.v)
+    AND NOT EXISTS (SELECT 1 FROM bw_v2 z
+                    WHERE z.s = v2.s AND z.node = e.v)
+  GROUP BY 1, 2
+),
+bw_d2 AS (
+  SELECT v2.s, v2.node,
+         sum((v2.sigma * 1000000) // v3.sigma)::BIGINT AS delta
+  FROM bw_v2 v2 JOIN bw_e e ON e.u = v2.node
+  JOIN bw_v3 v3 ON v3.s = v2.s AND v3.node = e.v
+  GROUP BY 1, 2
+),
+bw_d1 AS (
+  SELECT v1.s, v1.node,
+         sum((v1.sigma * (1000000 + coalesce(d2.delta, 0)))
+             // v2.sigma)::BIGINT AS delta
+  FROM bw_v1 v1 JOIN bw_e e ON e.u = v1.node
+  JOIN bw_v2 v2 ON v2.s = v1.s AND v2.node = e.v
+  LEFT JOIN bw_d2 d2 ON d2.s = v2.s AND d2.node = v2.node
+  GROUP BY 1, 2
+)
+SELECT node, sum(delta)::BIGINT AS bc_ppm
+FROM (SELECT * FROM bw_d1 UNION ALL SELECT * FROM bw_d2)
+GROUP BY 1
 """,
         # kgspark.graph_api.bgp_aggregate: bag-semantics solution
         # multiset grouped per type

@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "corpus_kappa",
     "kg_infer_types",
     "kg_bgp_agg",
+    "kg_betweenness",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

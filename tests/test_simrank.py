@@ -260,3 +260,81 @@ def test_infer_types_tie_breaks_to_min_type(spark):
     import pytest as _p
     with _p.raises(ValueError, match="rounds"):
         infer_types(edges, seeds, rounds=0)
+
+
+def _brute_betweenness(edge_list, sources, max_depth):
+    """Replica of the documented ppm semantics: BFS sigma, per-term
+    truncating-div dependency, sources excluded."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edge_list:
+        if u != v:
+            adj[u].add(v)
+    bc = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        for d in range(1, max_depth + 1):
+            nxt = defaultdict(int)
+            for v in levels[-1]:
+                for w in adj[v]:
+                    if w not in dist or dist[w] == d:
+                        nxt[w] += sigma[v]
+            new = [w for w in nxt if w not in dist]
+            if not new:
+                break
+            for w in new:
+                dist[w] = d
+                sigma[w] = nxt[w]
+            levels.append(sorted(new))
+        delta = defaultdict(int)
+        for d in range(len(levels) - 2, -1, -1):
+            for v in levels[d]:
+                tot = 0
+                for w in adj[v]:
+                    if dist.get(w) == d + 1:
+                        tot += (sigma[v] * (1_000_000 + delta[w])) // sigma[w]
+                delta[v] = tot
+            if d > 0:
+                for v in levels[d]:
+                    bc[v] += delta[v]
+    return {k: v for k, v in bc.items() if v}
+
+
+def test_betweenness_matches_brute(spark):
+    from kgspark.graph_algs import betweenness
+
+    edge_list = [
+        ("s1", "a"), ("s1", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+        ("s2", "c"), ("s2", "a"), ("d", "e"), ("b", "d"),
+    ]
+    e = spark.createDataFrame(edge_list, "src string, dst string")
+    seeds = spark.createDataFrame([("s1",), ("s2",)], "n string")
+    got = {r["node"]: r["bc_ppm"]
+           for r in betweenness(e, seeds, max_depth=4).collect()}
+    exp = _brute_betweenness(edge_list, ["s1", "s2"], 4)
+    assert got == exp
+    # b bridges s1 to both c and d: it dominates
+    assert got["b"] == max(got.values())
+
+
+def test_betweenness_chain_and_bounds(spark):
+    from kgspark.graph_algs import betweenness
+
+    # chain s -> a -> b -> c: delta(a)=(1+delta(b)), classic 2,1 pattern
+    e = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s",)], "n string")
+    got = {r["node"]: r["bc_ppm"]
+           for r in betweenness(e, seeds, max_depth=4).collect()}
+    assert got == {"a": 2_000_000, "b": 1_000_000}
+    # depth bound cuts the cone
+    got1 = {r["node"]: r["bc_ppm"]
+            for r in betweenness(e, seeds, max_depth=2).collect()}
+    assert got1 == {"a": 1_000_000}
+    import pytest as _p
+    with _p.raises(ValueError, match="max_depth"):
+        betweenness(e, seeds, max_depth=0)
