@@ -4157,6 +4157,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return betweenness(edges, seeds, max_depth=3)
 
+    def multimodal_blob_dedup(spark, sf_dir):
+        # codec-free binary near-dup (kgspark/multimodal.py
+        # blob_near_dups): groups of 3 items share a 150-char payload
+        # base; variant 1 appends a metadata tail, variant 2 a unique
+        # fragment — byte-shingle MinHash finds the reuse without any
+        # decoder
+        from kgspark.multimodal import blob_near_dups
+
+        docs = _read(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 600
+        ).select("doc_id", "text")
+        bases = docs.select(F.col("doc_id").alias("bid"),
+                            F.col("text").alias("btext"))
+        items = docs.withColumn(
+            "bid", F.expr("(doc_id div 3) * 3")
+        ).join(bases, "bid")
+        payload_text = F.concat(
+            F.substring("btext", 1, 150),
+            F.when(F.col("doc_id") % 3 == 1, F.lit("METATAILMETATAIL"))
+            .when(F.col("doc_id") % 3 == 2, F.substring("text", 1, 60))
+            .otherwise(F.lit("")),
+        )
+        media = items.select(
+            F.col("doc_id").alias("item_id"),
+            F.encode(payload_text, "UTF-8").alias("payload"),
+        )
+        return blob_near_dups(media, threshold_ppm=400_000)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -5035,6 +5063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_infer_types": kg_infer_types,
         "kg_bgp_agg": kg_bgp_agg,
         "kg_betweenness": kg_betweenness,
+        "multimodal_blob_dedup": multimodal_blob_dedup,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9918,6 +9947,61 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.multimodal.blob_near_dups: hex byte-shingles (32-char
+        # window, 16 stride), 8-hash/4-band MinHash, exact ppm verify —
+        # payload built from the same doc-text arithmetic
+        "multimodal_blob_dedup": """
+WITH mb_i AS (
+  SELECT d1.doc_id AS item_id,
+         substr(d2."text", 1, 150) ||
+         (CASE WHEN d1.doc_id % 3 = 1 THEN 'METATAILMETATAIL'
+               WHEN d1.doc_id % 3 = 2 THEN substr(d1."text", 1, 60)
+               ELSE '' END) AS ptxt
+  FROM documents d1
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id // 3) * 3
+  WHERE d1.doc_id < 600
+),
+mb_h AS (SELECT item_id, hex(ptxt::BLOB) AS h FROM mb_i),
+mb_sh AS (
+  SELECT item_id,
+         list_distinct([substr(h, i * 16 + 1, 32)
+           for i in range(0, greatest((length(h) - 32) // 16 + 1, 1))])
+           AS sh
+  FROM mb_h
+),
+mb_sig AS (
+  SELECT item_id, sh,
+         [list_min(list_transform(sh, g -> md5('0:' || g))),
+          list_min(list_transform(sh, g -> md5('1:' || g))),
+          list_min(list_transform(sh, g -> md5('2:' || g))),
+          list_min(list_transform(sh, g -> md5('3:' || g))),
+          list_min(list_transform(sh, g -> md5('4:' || g))),
+          list_min(list_transform(sh, g -> md5('5:' || g))),
+          list_min(list_transform(sh, g -> md5('6:' || g))),
+          list_min(list_transform(sh, g -> md5('7:' || g)))] AS sig
+  FROM mb_sh WHERE len(sh) > 0
+),
+mb_b AS (
+  SELECT item_id, sh, unnest([
+    '0|' || sig[1] || '|' || sig[2],
+    '1|' || sig[3] || '|' || sig[4],
+    '2|' || sig[5] || '|' || sig[6],
+    '3|' || sig[7] || '|' || sig[8]]) AS band_key
+  FROM mb_sig
+),
+mb_c AS (
+  SELECT DISTINCT l.item_id AS a, r.item_id AS b,
+         l.sh AS sha, r.sh AS shb
+  FROM mb_b l JOIN mb_b r
+    ON l.band_key = r.band_key AND l.item_id < r.item_id
+)
+SELECT a, b,
+       ((1000000 * len(list_intersect(sha, shb)))
+         // len(list_distinct(sha || shb)))::BIGINT AS jaccard_ppm
+FROM mb_c
+WHERE (1000000 * len(list_intersect(sha, shb)))
+        // len(list_distinct(sha || shb)) >= 400000
 """,
         # kgspark.graph_algs.betweenness: BFS levels with exact sigma
         # path counts, backward dependency with one truncating // per

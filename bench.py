@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "kg_infer_types",
     "kg_bgp_agg",
     "kg_betweenness",
+    "multimodal_blob_dedup",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

@@ -153,3 +153,83 @@ def sample_frames(media: DataFrame, frame_size: int = 256, stride: int = 4) -> D
         .select("media_id", "payload")
         .mapInPandas(run, schema=FRAME_SCHEMA)
     )
+
+
+def blob_near_dups(
+    media: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "item_id",
+    chunk_bytes: int = 16,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Codec-free near-duplicate detection for opaque media blobs —
+    image/audio/video columns deduped WITHOUT decoding them.
+
+    Byte-level shingles: overlapping ``chunk_bytes``-byte windows at
+    half-chunk stride over the hex encoding, then the same banded-MinHash
+    + exact-Jaccard-verify pipeline as text dedup (kgspark.dedup). This
+    catches the byte-reuse duplicate classes — identical payloads with
+    different metadata tails, truncations, container-level copies — and
+    deliberately NOT perceptual similarity (re-encodes change every
+    byte; perceptual hashing needs the decoder, which is the documented
+    environment seam in decode_image/decode_audio above). Fixed-stride
+    chunking is insertion-alignment-fragile by design; content-defined
+    chunking would fix alignment at the cost of a rolling-hash pass, and
+    byte-identical classes dominate real crawl dedup.
+
+    Returns (a, b, jaccard_ppm) pairs with a < b and exact integer
+    jaccard_ppm >= threshold_ppm. Blobs shorter than one chunk form a
+    single whole-blob shingle. Plan: map-only shingling + the banded
+    self-join — identical shape (and cost) to minhash_dedup.
+    """
+    from kgspark.dedup import minhash_sig
+    from kgspark.session import materialize
+
+    step = chunk_bytes  # in hex chars: 2*chunk_bytes window, this stride
+    win = 2 * chunk_bytes
+    h = F.hex(F.col(blob_col))
+    n_sh = F.greatest(
+        (F.length(h) - win) / F.lit(step) + 1, F.lit(1)
+    ).cast("int")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: h.substr(i * step + 1, F.lit(win)),
+        )
+    )
+    base = (
+        media.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+        .where(F.size("sh") > 0)
+        .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
+    )
+    base = materialize(base)
+    rows = num_hashes // bands
+    banded = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        *[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ])).alias("band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band_key") == F.col("r.band_key"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    uni = F.size(F.array_union("sha", "shb")).cast("long")
+    return (
+        cand.select(
+            "a", "b",
+            (F.lit(1_000_000) * inter).alias("_num"), uni.alias("_den"),
+        )
+        .select("a", "b",
+                F.expr("_num div _den").cast("long").alias("jaccard_ppm"))
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+    )
