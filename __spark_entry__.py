@@ -4185,6 +4185,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return blob_near_dups(media, threshold_ppm=400_000)
 
+    def multimodal_cdc_dedup(spark, sf_dir):
+        # content-defined-chunking near-dup (kgspark/multimodal.py
+        # cdc_near_dups): variant 1 INSERTS 5 bytes mid-payload —
+        # the alignment case fixed-stride shingles can't survive
+        from kgspark.multimodal import cdc_near_dups
+
+        docs = _read(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 600
+        ).select("doc_id", "text")
+        bases = docs.select(F.col("doc_id").alias("bid"),
+                            F.col("text").alias("btext"))
+        items = docs.withColumn(
+            "bid", F.expr("(doc_id div 3) * 3")
+        ).join(bases, "bid")
+        base150 = F.substring("btext", 1, 150)
+        payload_text = (
+            F.when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.substring("btext", 1, 40), F.lit("INSRT"),
+                         F.expr("substring(btext, 41, 110)")),
+            )
+            .when(F.col("doc_id") % 3 == 2,
+                  F.concat(base150, F.substring("text", 1, 60)))
+            .otherwise(base150)
+        )
+        media = items.select(
+            F.col("doc_id").alias("item_id"),
+            F.encode(payload_text, "UTF-8").alias("payload"),
+        )
+        return cdc_near_dups(media, threshold_ppm=300_000)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -5064,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_agg": kg_bgp_agg,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
+        "multimodal_cdc_dedup": multimodal_cdc_dedup,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
         "kg_truth": kg_truth,
@@ -9947,6 +9979,76 @@ SELECT 2, s || l || d,
        '<data key="label">' || l || '</data>' ||
        '<data key="weight">' || w || '</data></edge>'
 FROM gm_x
+""",
+        # kgspark.multimodal.cdc_near_dups: stateless CDC boundaries
+        # (md5 of every 8-byte window, 4-hex-prefix mod 32), chunk-md5
+        # sets, same 8/4 MinHash banding + exact ppm verify
+        "multimodal_cdc_dedup": """
+WITH mc_i AS (
+  SELECT d1.doc_id AS item_id,
+         CASE WHEN d1.doc_id % 3 = 1
+              THEN substr(d2."text", 1, 40) || 'INSRT'
+                   || substr(d2."text", 41, 110)
+              WHEN d1.doc_id % 3 = 2
+              THEN substr(d2."text", 1, 150) || substr(d1."text", 1, 60)
+              ELSE substr(d2."text", 1, 150) END AS ptxt
+  FROM documents d1
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id // 3) * 3
+  WHERE d1.doc_id < 600
+),
+mc_h AS (SELECT item_id, hex(ptxt::BLOB) AS h FROM mc_i),
+mc_b AS (
+  SELECT item_id, h,
+         [i for i in range(1, greatest(length(h) // 2 - 8 + 1, 0) + 1)
+          if ('0x' || substr(md5(substr(h, (i - 1) * 2 + 1, 16)), 1, 4))
+               ::BIGINT % 32 = 0] AS bounds
+  FROM mc_h
+),
+mc_c AS (
+  SELECT item_id, h,
+         list_sort(list_distinct(
+           [0] || bounds || [length(h) // 2])) AS cuts
+  FROM mc_b
+),
+mc_sh AS (
+  SELECT item_id,
+         list_distinct(
+           [md5(substr(h, cuts[j] * 2 + 1, (cuts[j + 1] - cuts[j]) * 2))
+            for j in range(1, len(cuts))]) AS sh
+  FROM mc_c WHERE len(cuts) >= 2
+),
+mc_sig AS (
+  SELECT item_id, sh,
+         [list_min(list_transform(sh, g -> md5('0:' || g))),
+          list_min(list_transform(sh, g -> md5('1:' || g))),
+          list_min(list_transform(sh, g -> md5('2:' || g))),
+          list_min(list_transform(sh, g -> md5('3:' || g))),
+          list_min(list_transform(sh, g -> md5('4:' || g))),
+          list_min(list_transform(sh, g -> md5('5:' || g))),
+          list_min(list_transform(sh, g -> md5('6:' || g))),
+          list_min(list_transform(sh, g -> md5('7:' || g)))] AS sig
+  FROM mc_sh WHERE len(sh) > 0
+),
+mc_band AS (
+  SELECT item_id, sh, unnest([
+    '0|' || sig[1] || '|' || sig[2],
+    '1|' || sig[3] || '|' || sig[4],
+    '2|' || sig[5] || '|' || sig[6],
+    '3|' || sig[7] || '|' || sig[8]]) AS band_key
+  FROM mc_sig
+),
+mc_cand AS (
+  SELECT DISTINCT l.item_id AS a, r.item_id AS b,
+         l.sh AS sha, r.sh AS shb
+  FROM mc_band l JOIN mc_band r
+    ON l.band_key = r.band_key AND l.item_id < r.item_id
+)
+SELECT a, b,
+       ((1000000 * len(list_intersect(sha, shb)))
+         // len(list_distinct(sha || shb)))::BIGINT AS jaccard_ppm
+FROM mc_cand
+WHERE (1000000 * len(list_intersect(sha, shb)))
+        // len(list_distinct(sha || shb)) >= 300000
 """,
         # kgspark.multimodal.blob_near_dups: hex byte-shingles (32-char
         # window, 16 stride), 8-hash/4-band MinHash, exact ppm verify —

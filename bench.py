@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "kg_bgp_agg",
     "kg_betweenness",
     "multimodal_blob_dedup",
+    "multimodal_cdc_dedup",
     "web_hreflang",
     "kg_rules",
     "kg_truth",

@@ -175,9 +175,9 @@ def blob_near_dups(
     deliberately NOT perceptual similarity (re-encodes change every
     byte; perceptual hashing needs the decoder, which is the documented
     environment seam in decode_image/decode_audio above). Fixed-stride
-    chunking is insertion-alignment-fragile by design; content-defined
-    chunking would fix alignment at the cost of a rolling-hash pass, and
-    byte-identical classes dominate real crawl dedup.
+    chunking is insertion-alignment-fragile by design; see
+    :func:`cdc_near_dups` for the content-defined-chunking variant that
+    survives insertions.
 
     Returns (a, b, jaccard_ppm) pairs with a < b and exact integer
     jaccard_ppm >= threshold_ppm. Blobs shorter than one chunk form a
@@ -201,6 +201,117 @@ def blob_near_dups(
     )
     base = (
         media.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+        .where(F.size("sh") > 0)
+        .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
+    )
+    base = materialize(base)
+    rows = num_hashes // bands
+    banded = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        *[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ])).alias("band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band_key") == F.col("r.band_key"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    uni = F.size(F.array_union("sha", "shb")).cast("long")
+    return (
+        cand.select(
+            "a", "b",
+            (F.lit(1_000_000) * inter).alias("_num"), uni.alias("_den"),
+        )
+        .select("a", "b",
+                F.expr("_num div _den").cast("long").alias("jaccard_ppm"))
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+    )
+
+
+def cdc_near_dups(
+    media: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "item_id",
+    window_bytes: int = 8,
+    boundary_mod: int = 32,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Content-defined-chunking near-dup for opaque blobs — the
+    alignment-ROBUST upgrade to :func:`blob_near_dups` (rsync/LBFS
+    lineage, Muthitacharoen et al. SOSP 2001): chunk boundaries are
+    declared wherever the fingerprint of the local ``window_bytes``-byte
+    context hashes to 0 mod ``boundary_mod``, so inserting or deleting
+    bytes only disturbs the chunks touching the edit — every other
+    chunk hash survives and the Jaccard stays high.
+
+    Boundary detection here is stateless-per-position (md5 of the byte
+    window at every offset), which is expressible as pure column HOFs on
+    BOTH engines — no sequential rolling-hash state, hence an exact
+    DuckDB oracle. Cost is one md5 per byte offset: fine for metadata-
+    sized media records; for multi-MB blobs swap in a gear-hash pandas
+    UDF with identical boundary semantics (the documented fast path).
+
+    Returns (a, b, jaccard_ppm) with a < b over chunk-md5 sets, exact
+    integer ppm >= threshold_ppm; expected chunk length is
+    ``boundary_mod`` bytes. Plan: map-only chunking (materialized once),
+    then the banded-MinHash self-join shared with the rest of the dedup
+    stack.
+    """
+    from kgspark.dedup import minhash_sig
+    from kgspark.session import materialize
+
+    h = F.hex(F.col(blob_col))
+    wh = 2 * window_bytes
+    n_pos = F.greatest(
+        F.expr(f"length(hex({blob_col})) div 2") - window_bytes + 1,
+        F.lit(0),
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard the empty-window case
+    positions = F.when(
+        n_pos >= 1, F.sequence(F.lit(1), n_pos)
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.filter(
+        positions,
+        lambda i: F.conv(
+            F.md5(h.substr((i - 1) * 2 + 1, F.lit(wh))).substr(1, 4),
+            16, 10,
+        ).cast("long") % boundary_mod == 0,
+    )
+    # cut points: 0, each boundary offset, blob length (in bytes)
+    cuts = F.array_union(
+        F.array_union(F.array(F.lit(0)), bounds),
+        F.array(F.expr(f"length(hex({blob_col})) div 2")),
+    )
+    cuts = F.array_sort(F.array_distinct(cuts))
+    chunk_ids = F.when(
+        F.size(cuts) >= 2, F.sequence(F.lit(1), F.size(cuts) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.array_distinct(
+        F.filter(
+            F.transform(
+                chunk_ids,
+                lambda j: F.md5(
+                    h.substr(
+                        F.element_at(cuts, j) * 2 + 1,
+                        (F.element_at(cuts, j + 1) - F.element_at(cuts, j))
+                        * 2,
+                    )
+                ),
+            ),
+            lambda c: c.isNotNull(),
+        )
+    )
+    base = (
+        media.select(F.col(id_col).alias("id"), chunks.alias("sh"))
         .where(F.size("sh") > 0)
         .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
     )

@@ -28,3 +28,51 @@ def test_blob_near_dups_short_blob_whole_shingle(spark):
     got = {(r["a"], r["b"]): r["jaccard_ppm"]
            for r in blob_near_dups(df).collect()}
     assert got == {(1, 2): 1_000_000}
+
+
+def test_cdc_survives_insertion_where_fixed_stride_fails(spark):
+    import hashlib
+
+    from kgspark.multimodal import blob_near_dups, cdc_near_dups
+
+    # long pseudo-random body (hash-derived, deterministic)
+    body = b"".join(
+        hashlib.md5(f"seg{i}".encode()).digest() for i in range(80)
+    )  # 1280 bytes
+    shifted = body[:37] + b"INSRT" + body[37:]  # 5-byte insertion (off-stride)
+    df = spark.createDataFrame(
+        [(1, body), (2, shifted)], "item_id long, payload binary"
+    )
+    cdc = {(r["a"], r["b"]): r["jaccard_ppm"]
+           for r in cdc_near_dups(df, threshold_ppm=300_000).collect()}
+    assert (1, 2) in cdc and cdc[(1, 2)] > 600_000
+    fixed = {(r["a"], r["b"]): r["jaccard_ppm"]
+             for r in blob_near_dups(df, threshold_ppm=1).collect()}
+    # fixed-stride similarity collapses after the shift (or no candidate)
+    assert fixed.get((1, 2), 0) < cdc[(1, 2)]
+
+
+def test_cdc_identical_and_disjoint(spark):
+    import hashlib
+
+    from kgspark.multimodal import cdc_near_dups
+
+    b1 = b"".join(hashlib.md5(f"a{i}".encode()).digest() for i in range(40))
+    b2 = b"".join(hashlib.md5(f"b{i}".encode()).digest() for i in range(40))
+    df = spark.createDataFrame(
+        [(1, b1), (2, b1), (3, b2)], "item_id long, payload binary"
+    )
+    got = {(r["a"], r["b"]): r["jaccard_ppm"]
+           for r in cdc_near_dups(df).collect()}
+    assert got == {(1, 2): 1_000_000}
+
+
+def test_cdc_empty_and_tiny_blobs(spark):
+    from kgspark.multimodal import cdc_near_dups
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"ab"), (3, b"ab")], "item_id long, payload binary"
+    )
+    got = {(r["a"], r["b"]): r["jaccard_ppm"]
+           for r in cdc_near_dups(df).collect()}
+    assert got == {(2, 3): 1_000_000}  # empty blob dropped, tiny = 1 chunk
