@@ -611,3 +611,18 @@ def test_session3_ops_no_cartesian_no_python(spark):
     for p in plans:
         assert "CartesianProduct" not in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_binary_dedup_ops_no_python_no_cartesian(spark):
+    """Both binary dedup paths stay JVM-side: hex/md5/HOF chunking plus
+    the banded self-join — no Python eval, no CartesianProduct."""
+    from kgspark.multimodal import blob_near_dups, cdc_near_dups
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefgh" * 8), (2, b"abcdefgh" * 8)],
+        "item_id long, payload binary",
+    )
+    for op in (blob_near_dups, cdc_near_dups):
+        p = plan(op(df))
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
