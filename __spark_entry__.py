@@ -4806,6 +4806,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         closed = owl_property_rules(base, axioms, trans_depth=4)
         return mine_chain_rules(closed, min_support=2)
 
+    def kg_rule_apply(spark, sf_dir):
+        # rule APPLICATION (kgspark/rulemine.py apply_chain_rules): mine
+        # the axioms from the OWL-closed graph, fire the confident ones
+        # against the pre-closure BASE graph — the predictions re-derive
+        # the closure's added triples, scored by the best firing rule
+        from kgspark.reason import owl_property_rules
+        from kgspark.rulemine import apply_chain_rules, mine_chain_rules
+
+        t, schema = _rdfs_schema(spark, sf_dir)
+        base = t.select("subj", "pred", "obj").union(
+            schema.where(F.col("p") == "subClassOf").select(
+                F.col("s").alias("subj"), F.lit("is_a").alias("pred"),
+                F.col("o").alias("obj"),
+            )
+        )
+        axioms = spark.createDataFrame(
+            [("has_instance", "inverseOf", "instance_of"),
+             ("related_to", "symmetric", "true"),
+             ("is_a", "transitive", "true")],
+            "s string, p string, o string",
+        )
+        closed = owl_property_rules(base, axioms, trans_depth=4)
+        rules = mine_chain_rules(closed, min_support=2)
+        return apply_chain_rules(base, rules, min_conf_ppm=600_000)
+
     def kg_truth(spark, sf_dir):
         # iterative truth discovery (kgspark/fusion.py truth_discovery,
         # 2 rounds): 3 consistent sources vs 2 noisy ones — the mutual
@@ -5098,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
         "web_hreflang": web_hreflang,
         "kg_rules": kg_rules,
+        "kg_rule_apply": kg_rule_apply,
         "kg_truth": kg_truth,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
@@ -10908,6 +10934,52 @@ rm_sup AS (
 SELECT body_q, body_r, head_p, support, n_body,
        (support * 1000000 // n_body)::BIGINT AS conf_ppm
 FROM rm_sup JOIN rm_nb USING (body_q, body_r)
+""",
+        # kgspark.rulemine.apply_chain_rules: rules mined on ow_closed
+        # (same arithmetic as kg_rules), confident ones fired against the
+        # BASE graph ow_t; predictions = derivable heads the base lacks,
+        # grouped with n_rules + best-rule conf_ppm (exact integers)
+        "kg_rule_apply": f"""
+WITH {_OWL_CLOSED_CTE},
+ra_t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM ow_t),
+rm_t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM ow_closed),
+rm_body AS (
+  SELECT DISTINCT a.p AS body_q, b.p AS body_r, a.s AS x, b.o AS y
+  FROM rm_t a JOIN rm_t b ON a.o = b.s
+  WHERE a.s <> b.o
+),
+rm_nb AS (
+  SELECT body_q, body_r, count(*)::BIGINT AS n_body
+  FROM rm_body GROUP BY 1, 2
+),
+rm_sup AS (
+  SELECT body_q, body_r, h.p AS head_p, count(*)::BIGINT AS support
+  FROM rm_body bd JOIN rm_t h ON h.s = bd.x AND h.o = bd.y
+  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+),
+ra_rules AS (
+  SELECT DISTINCT body_q, body_r, head_p,
+         (support * 1000000 // n_body)::BIGINT AS conf_ppm
+  FROM rm_sup JOIN rm_nb USING (body_q, body_r)
+  WHERE support * 1000000 // n_body >= 600000
+),
+ra_fired AS (
+  SELECT DISTINCT a.s AS x, r.head_p, b.o AS y,
+         r.body_q, r.body_r, r.conf_ppm
+  FROM ra_t a
+  JOIN ra_rules r ON a.p = r.body_q
+  JOIN ra_t b ON b.s = a.o AND b.p = r.body_r
+  WHERE a.s <> b.o
+),
+ra_novel AS (
+  SELECT * FROM ra_fired f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ra_t t WHERE t.s = f.x AND t.p = f.head_p AND t.o = f.y)
+)
+SELECT x AS subj, head_p AS pred, y AS obj,
+       count(DISTINCT body_q || '~' || body_r)::BIGINT AS n_rules,
+       max(conf_ppm)::BIGINT AS conf_ppm
+FROM ra_novel GROUP BY 1, 2, 3
 """,
         # kgspark.structdata.table_triples over html_tables: the oracle
         # reconstructs the expected facts from the synthesis arithmetic

@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "multimodal_cdc_dedup",
     "web_hreflang",
     "kg_rules",
+    "kg_rule_apply",
     "kg_truth",
 ]
 

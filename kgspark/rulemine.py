@@ -87,3 +87,70 @@ def mine_chain_rules(
         "body_q", "body_r", "head_p", "support", "n_body",
         F.expr("support * 1000000 div n_body").alias("conf_ppm"),
     )
+
+
+def apply_chain_rules(
+    triples: DataFrame,
+    rules: DataFrame,
+    min_conf_ppm: int = 500_000,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Rule APPLICATION — the prediction step AMIE rules exist for: fire
+    every mined chain rule  q(x,z) ∧ r(z,y) ⇒ p(x,y)  with
+    conf_ppm >= min_conf_ppm against `triples` and emit the head triples
+    the KG does NOT yet assert, scored by the best firing rule.
+
+    -> (subj, pred, obj, n_rules, conf_ppm): one row per predicted-missing
+    triple; n_rules = how many distinct qualifying rules derive it,
+    conf_ppm = the max confidence among them. Exact integers throughout —
+    hash-deterministic cross-engine.
+
+    Scale shape: the rule table is schema-bounded (predicates³) and
+    broadcast; the body is ONE mid-node equi-join over the rule-filtered
+    atom sets (each side shrinks to the predicates the rules mention
+    before shuffling), and the novelty check is a left_anti join on the
+    full key — no all-pairs stage anywhere. Ref has no inference layer
+    (its graph is write-only below the UI, ref knowledge_graph_builder.py).
+    """
+    t = materialize(
+        triples.select(
+            F.col(subj_col).alias("s"), F.col(pred_col).alias("p"),
+            F.col(obj_col).alias("o"),
+        ).distinct()
+    )
+    r = (
+        rules.where(F.col("conf_ppm") >= F.lit(min_conf_ppm))
+        .select("body_q", "body_r", "head_p", "conf_ppm")
+        .distinct()
+    )
+    left = t.join(
+        F.broadcast(r), t["p"] == F.col("body_q")
+    ).select(
+        F.col("s").alias("x"), F.col("o").alias("z"),
+        "body_q", "body_r", "head_p", "conf_ppm",
+    )
+    right = t.select(
+        F.col("s").alias("z"), F.col("p").alias("rp"), F.col("o").alias("y")
+    )
+    fired = (
+        left.join(right, "z")
+        .where((F.col("rp") == F.col("body_r")) & (F.col("x") != F.col("y")))
+        .select("x", "head_p", "y", "body_q", "body_r", "conf_ppm")
+        .distinct()
+    )
+    novel = fired.join(
+        t,
+        (fired["x"] == t["s"]) & (fired["head_p"] == t["p"])
+        & (fired["y"] == t["o"]),
+        "left_anti",
+    )
+    return novel.groupBy(
+        F.col("x").alias("subj"), F.col("head_p").alias("pred"),
+        F.col("y").alias("obj"),
+    ).agg(
+        F.count_distinct(F.col("body_q"), F.col("body_r")).cast("long")
+        .alias("n_rules"),
+        F.max("conf_ppm").cast("long").alias("conf_ppm"),
+    )

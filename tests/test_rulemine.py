@@ -1,8 +1,8 @@
-"""kgspark.rulemine: AMIE-lite chain-rule mining."""
+"""kgspark.rulemine: AMIE-lite chain-rule mining + application."""
 
 from __future__ import annotations
 
-from kgspark.rulemine import mine_chain_rules
+from kgspark.rulemine import apply_chain_rules, mine_chain_rules
 
 
 def _t(spark, rows):
@@ -66,3 +66,47 @@ def test_mine_chain_rules_mid_degree_guard(spark):
         .collect()
     }
     assert capped[("p", "q", "r")] == (2, 2, 1000000)
+
+
+def test_apply_chain_rules_predicts_missing_heads_only(spark):
+    # bornIn ∘ cityIn ⇒ nationality fires for ada/alan/kurt; ada already
+    # asserts the head -> only alan and kurt are predictions
+    t = _t(spark, [
+        ("ada", "bornIn", "london"), ("london", "cityIn", "uk"),
+        ("ada", "nationality", "uk"),
+        ("alan", "bornIn", "london"),
+        ("kurt", "bornIn", "vienna"), ("vienna", "cityIn", "at"),
+    ])
+    rules = spark.createDataFrame(
+        [("bornIn", "cityIn", "nationality", 666666)],
+        "body_q string, body_r string, head_p string, conf_ppm long",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_rules, r.conf_ppm)
+        for r in apply_chain_rules(t, rules).collect()
+    }
+    assert got == {
+        ("alan", "nationality", "uk"): (1, 666666),
+        ("kurt", "nationality", "at"): (1, 666666),
+    }
+
+
+def test_apply_chain_rules_conf_filter_and_best_rule_scoring(spark):
+    # two rules derive the same missing head -> n_rules=2, conf = max;
+    # a below-threshold rule must not fire
+    t = _t(spark, [
+        ("a", "p", "m"), ("m", "q", "b"),
+        ("a", "p2", "m"), ("m", "q2", "b"),
+        ("a", "lowp", "m"), ("m", "lowq", "b"),
+    ])
+    rules = spark.createDataFrame(
+        [("p", "q", "head", 900000),
+         ("p2", "q2", "head", 700000),
+         ("lowp", "lowq", "head", 100000)],
+        "body_q string, body_r string, head_p string, conf_ppm long",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_rules, r.conf_ppm)
+        for r in apply_chain_rules(t, rules, min_conf_ppm=500000).collect()
+    }
+    assert got == {("a", "head", "b"): (2, 900000)}
