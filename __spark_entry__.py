@@ -3160,6 +3160,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return domain_range(_extract_triples(spark, sf_dir))
 
+    def kg_type_violations(spark, sf_dir):
+        # constraint-based KG error detection (kgspark/graph_algs.py
+        # type_violations): names whose md5 starts with '0' (~1/16) are
+        # deliberately mis-typed as 'brand'; the induced dominant
+        # (branded item, brand) signature of 'has' flags exactly them
+        from kgspark.graph_algs import type_violations
+
+        p = _read(spark, sf_dir, "part").select(
+            F.concat(
+                F.upper(F.substring("p_name", 1, 1)),
+                F.expr("substr(p_name, 2)"),
+            ).alias("nm"),
+            F.col("p_brand").alias("br"),
+        )
+        bad = F.substring(F.md5(F.col("nm")), 1, 1) == "0"
+        t = (
+            p.select(
+                F.col("nm").alias("subj"), F.lit("is_a").alias("pred"),
+                F.when(bad, F.lit("brand"))
+                .otherwise(F.lit("branded item")).alias("obj"),
+            )
+            .unionAll(p.select(
+                F.col("br").alias("subj"), F.lit("is_a").alias("pred"),
+                F.lit("brand").alias("obj"),
+            ))
+            .unionAll(p.select(
+                F.col("nm").alias("subj"), F.lit("has").alias("pred"),
+                F.col("br").alias("obj"),
+            ))
+        )
+        return type_violations(t)
+
     def kg_ifp_sameas(spark, sf_dir):
         # owl:sameAs candidates via quasi-inverse-functional predicates:
         # subjects sharing a near-key (pred, obj) value; junk groups
@@ -5066,6 +5098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_cardinality": kg_pred_cardinality,
         "kg_pred_cooc": kg_pred_cooc,
         "kg_domain_range": kg_domain_range,
+        "kg_type_violations": kg_type_violations,
         "kg_harmonic": kg_harmonic,
         "kg_violations": kg_violations,
         "kg_type_completeness": kg_type_completeness,
@@ -8641,6 +8674,64 @@ hc AS (
 SELECT b AS node, count(*)::BIGINT AS n_in,
        sum(1000000 // md)::BIGINT AS h_micro
 FROM hc GROUP BY b
+""",
+        # kgspark.graph_algs.type_violations: planted mis-typing (names
+        # with md5 starting '0' typed 'brand'); dominant-signature
+        # induction + any-combo-matches verdict, exact integer shares
+        "kg_type_violations": """
+WITH tv_p AS (
+  SELECT DISTINCT nm, br, substr(md5(nm), 1, 1) = '0' AS bad FROM (
+    SELECT upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS nm,
+           p_brand AS br
+    FROM part
+  )
+),
+tv_t AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT nm AS subj, 'is_a' AS pred,
+           CASE WHEN bad THEN 'brand' ELSE 'branded item' END AS obj
+    FROM tv_p
+    UNION ALL SELECT br, 'is_a', 'brand' FROM tv_p
+    UNION ALL SELECT nm, 'has', br FROM tv_p
+  )
+),
+tv_ty AS (SELECT DISTINCT subj AS ent, obj AS typ FROM tv_t
+          WHERE pred = 'is_a'),
+tv_c AS (
+  SELECT t.subj AS s, t.pred AS p, t.obj AS o,
+         coalesce(st.typ, 'unknown') AS styp,
+         coalesce(ot.typ, 'unknown') AS otyp
+  FROM tv_t t
+  LEFT JOIN tv_ty st ON st.ent = t.subj
+  LEFT JOIN tv_ty ot ON ot.ent = t.obj
+  WHERE t.pred <> 'is_a'
+),
+tv_d AS (SELECT p, styp, otyp, count(*)::BIGINT AS n
+         FROM tv_c GROUP BY 1, 2, 3),
+tv_n AS (SELECT p, sum(n)::BIGINT AS n_pred FROM tv_d GROUP BY 1),
+tv_sig AS (
+  SELECT p, styp AS exp_subj_type, otyp AS exp_obj_type,
+         (n * 1000000 // n_pred)::BIGINT AS sig_share_ppm
+  FROM (
+    SELECT d.p, d.styp, d.otyp, d.n, t.n_pred,
+           row_number() OVER (PARTITION BY d.p
+                              ORDER BY d.n DESC, d.styp ASC, d.otyp ASC)
+             AS rk
+    FROM tv_d d JOIN tv_n t USING (p)
+  ) WHERE rk = 1 AND n * 1000000 // n_pred >= 500000
+),
+tv_v AS (
+  SELECT c.s, c.p, c.o, g.exp_subj_type, g.exp_obj_type, g.sig_share_ppm,
+         max(CASE WHEN c.styp = g.exp_subj_type
+                   AND c.otyp = g.exp_obj_type THEN 1 ELSE 0 END) AS ok,
+         string_agg(DISTINCT c.styp, ',' ORDER BY c.styp) AS subj_types,
+         string_agg(DISTINCT c.otyp, ',' ORDER BY c.otyp) AS obj_types
+  FROM tv_c c JOIN tv_sig g ON c.p = g.p
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s AS subj, p AS pred, o AS obj, subj_types, obj_types,
+       exp_subj_type, exp_obj_type, sig_share_ppm
+FROM tv_v WHERE ok = 0
 """,
         # kgspark.graph_algs.domain_range: per-predicate type-usage
         # distribution, entities typed by is_a objects, untyped='unknown'

@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "web_hreflang",
     "kg_rules",
     "kg_rule_apply",
+    "kg_type_violations",
     "kg_truth",
 ]
 

@@ -18,7 +18,7 @@ the same iterations as chained CTEs), rounded at the comparison boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgspark.session import materialize
@@ -1676,6 +1676,96 @@ def domain_range(
             "n_pred",
             F.expr("n * 1000000 div n_pred").cast("long").alias("share_ppm"),
         )
+    )
+
+
+def type_violations(
+    triples: DataFrame,
+    min_share_ppm: int = 500_000,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+    isa_pred: str = "is_a",
+) -> DataFrame:
+    """Constraint-based KG error detection (the SDType/SHACL posture over
+    INDUCED constraints): per predicate, take the dominant (subject-type,
+    object-type) signature from the domain_range distribution — provided it
+    is dominant enough (share_ppm >= min_share_ppm) — and flag every triple
+    none of whose type combinations matches that signature.
+
+    -> (subj, pred, obj, subj_types, obj_types, exp_subj_type,
+    exp_obj_type, sig_share_ppm): one row per violating triple;
+    subj_types/obj_types are the observed type sets rendered as sorted
+    ','-joined strings ('unknown' for untyped endpoints), exp_* the
+    induced signature, sig_share_ppm its dominance. Multi-typed entities
+    are NOT flagged when any of their combinations matches — the standard
+    any-match semantics. Exact integers/strings → hash-deterministic.
+
+    Scale shape: the same entity-keyed type joins as domain_range; the
+    signature table is schema-sized (argmax via a window over the
+    predicate-type distribution, never over corpus rows); the verdict is
+    one groupBy on the triple key. Ref has no typing layer at all
+    (ref knowledge_graph_builder.py stores untyped edges).
+    """
+    t = triples.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("o")
+    ).distinct()
+    types = (
+        t.where(F.col("p") == isa_pred)
+        .select(F.col("s").alias("ent"), F.col("o").alias("typ"))
+        .distinct()
+    )
+    combos = (
+        t.where(F.col("p") != isa_pred)
+        .join(types.select(F.col("ent").alias("s"),
+                           F.col("typ").alias("styp")), "s", "left")
+        .join(types.select(F.col("ent").alias("o"),
+                           F.col("typ").alias("otyp")), "o", "left")
+        .select(
+            "s", "p", "o",
+            F.coalesce("styp", F.lit("unknown")).alias("styp"),
+            F.coalesce("otyp", F.lit("unknown")).alias("otyp"),
+        )
+    )
+    dist = combos.groupBy("p", "styp", "otyp").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = dist.groupBy("p").agg(F.sum("n").cast("long").alias("n_pred"))
+    w = Window.partitionBy("p").orderBy(
+        F.col("n").desc(), F.col("styp").asc(), F.col("otyp").asc()
+    )
+    sig = (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(totals, "p")
+        .select(
+            "p",
+            F.col("styp").alias("exp_subj_type"),
+            F.col("otyp").alias("exp_obj_type"),
+            F.expr("n * 1000000 div n_pred").cast("long")
+            .alias("sig_share_ppm"),
+        )
+        .where(F.col("sig_share_ppm") >= F.lit(min_share_ppm))
+    )
+    verdict = (
+        combos.join(F.broadcast(sig), "p")
+        .groupBy("s", "p", "o", "exp_subj_type", "exp_obj_type",
+                 "sig_share_ppm")
+        .agg(
+            F.max(
+                ((F.col("styp") == F.col("exp_subj_type"))
+                 & (F.col("otyp") == F.col("exp_obj_type"))).cast("int")
+            ).alias("ok"),
+            F.concat_ws(",", F.sort_array(F.collect_set("styp")))
+            .alias("subj_types"),
+            F.concat_ws(",", F.sort_array(F.collect_set("otyp")))
+            .alias("obj_types"),
+        )
+    )
+    return verdict.where(F.col("ok") == 0).select(
+        F.col("s").alias("subj"), F.col("p").alias("pred"),
+        F.col("o").alias("obj"), "subj_types", "obj_types",
+        "exp_subj_type", "exp_obj_type", "sig_share_ppm",
     )
 
 

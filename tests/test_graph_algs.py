@@ -677,3 +677,43 @@ def test_paths_between_simple_paths_and_bound(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_hops"):
         paths_between(t, st, en, max_hops=0)
+
+
+def test_type_violations_flags_minority_and_untyped_combos(spark):
+    from kgspark.graph_algs import type_violations
+
+    t = spark.createDataFrame(
+        [("a1", "is_a", "T"), ("a2", "is_a", "T"), ("a3", "is_a", "B"),
+         ("a4", "is_a", "B"), ("a4", "is_a", "T"),
+         ("b1", "is_a", "U"), ("b2", "is_a", "U"),
+         ("a1", "has", "b1"), ("a2", "has", "b2"), ("a3", "has", "b1"),
+         ("a4", "has", "b2"),        # multi-typed: one combo matches
+         ("u1", "has", "b1")],       # untyped subject
+        "subj string, pred string, obj string",
+    )
+    # 'has' combos: (T,U)x3 (a1,a2,a4), (B,U)x2 (a3,a4), (unknown,U)x1
+    # -> signature (T,U) at 3/6 = 500000 ppm, violations a3 and u1 only
+    got = {
+        (r.subj, r.pred, r.obj): (r.subj_types, r.obj_types,
+                                  r.exp_subj_type, r.exp_obj_type,
+                                  r.sig_share_ppm)
+        for r in type_violations(t).collect()
+    }
+    assert got == {
+        ("a3", "has", "b1"): ("B", "U", "T", "U", 500000),
+        ("u1", "has", "b1"): ("unknown", "U", "T", "U", 500000),
+    }
+    # raising the dominance bar drops the predicate entirely
+    assert type_violations(t, min_share_ppm=600000).count() == 0
+
+
+def test_type_violations_signature_tie_breaks_lexicographically(spark):
+    from kgspark.graph_algs import type_violations
+
+    t = spark.createDataFrame(
+        [("m1", "is_a", "X"), ("m2", "is_a", "Y"), ("b1", "is_a", "U"),
+         ("m1", "mix", "b1"), ("m2", "mix", "b1")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.subj, r.exp_subj_type) for r in type_violations(t).collect()}
+    assert got == {("m2", "X")}
