@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "kg_rules",
     "kg_rule_apply",
     "kg_type_violations",
+    "kg_completeness",
     "kg_truth",
 ]
 
