@@ -3018,6 +3018,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base, pert, "id", ["blk_nat", "blk_h"], truth
         )
 
+    def link_sorted_blocks(spark, sf_dir):
+        # sorted-neighborhood candidate generation (kgspark/linkrec.py
+        # sorted_neighborhood): customers sorted by nation|segment|name-tail,
+        # window 3 — near-misses meet even across hash-block boundaries
+        from kgspark.linkrec import sorted_neighborhood
+
+        c = _read(spark, sf_dir, "customer")
+        recs = c.select(
+            F.col("c_custkey").alias("rec_id"),
+            F.concat(
+                F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+                F.lit("|"), F.col("c_mktsegment"),
+                F.lit("|"), F.expr("right(c_name, 3)"),
+            ).alias("block_key"),
+        )
+        return sorted_neighborhood(recs, window=3)
+
     def text_phrase(spark, sf_dir):
         # exact consecutive-token phrase query (decontamination audit
         # shape): anchors on the first term's postings, verifies the rest
@@ -5108,6 +5125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_cooc": kg_pred_cooc,
         "kg_domain_range": kg_domain_range,
         "kg_type_violations": kg_type_violations,
+        "link_sorted_blocks": link_sorted_blocks,
         "kg_harmonic": kg_harmonic,
         "kg_violations": kg_violations,
         "kg_type_completeness": kg_type_completeness,
@@ -10910,6 +10928,23 @@ FROM cp WHERE canonical <> '' GROUP BY canonical
 """,
         # kgspark.schema_induce.shape_report: same syntactic kind
         # detection + per-subject cardinality, shapes as VALUES
+        # kgspark.linkrec.sorted_neighborhood: rank over (key, id) total
+        # order, pairs at rank distance 1..window-1 — the oracle's global
+        # row_number replicates the range-partition + offset rank exactly
+        "link_sorted_blocks": """
+WITH sn_r AS (
+  SELECT c_custkey AS rid,
+         lpad(c_nationkey::VARCHAR, 2, '0') || '|' || c_mktsegment
+           || '|' || right(c_name, 3) AS bk
+  FROM customer
+),
+sn_rk AS (
+  SELECT rid, bk, row_number() OVER (ORDER BY bk, rid) - 1 AS rk FROM sn_r
+)
+SELECT a.rid AS id_a, b.rid AS id_b, a.bk AS key_a, b.bk AS key_b,
+       (b.rk - a.rk)::BIGINT AS rank_dist
+FROM sn_rk a JOIN sn_rk b ON b.rk BETWEEN a.rk + 1 AND a.rk + 2
+""",
         # kgspark.schema_induce.class_completeness: full class x predicate
         # grid over the extracted KG, zero-coverage cells included; exact
         # integer coverage_ppm

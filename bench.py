@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "kg_rule_apply",
     "kg_type_violations",
     "kg_completeness",
+    "link_sorted_blocks",
     "kg_truth",
 ]
 

@@ -268,3 +268,83 @@ def er_clusters(
         F.min("record_id").over(w).alias("cluster_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     )
+
+
+def sorted_neighborhood(
+    records: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "rec_id",
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo,
+    SIGMOD 1995) — the classic complement to hash blocking: sort the
+    records by a fuzzy blocking key and pair every record with the
+    `window-1` records that FOLLOW it in the sorted order, so near-misses
+    that land in different hash blocks (typos, prefix drift) still meet.
+
+    -> (id_a, id_b, key_a, key_b, rank_dist), rank_dist in 1..window-1;
+    (key, id) is the sort key, so output is a pure function of the data's
+    total order — hash-deterministic. `id_col` must be unique per record.
+
+    Scale shape: the global rank uses the range-partition + offset pattern
+    (NOT a single-partition Window.orderBy — kgtrain.ranked_entities has
+    the rationale); pairing is an EQUI-join on rank after exploding each
+    row to its window-1 successor ranks — never an inequality self-join.
+    Cost is (window-1)·n rows, linear in the corpus.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from kgspark.session import materialize
+
+    spark = records.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    base = records.select(
+        F.col(id_col).alias("rid"), F.col(key_col).alias("bk")
+    )
+    ranged = materialize(
+        base.repartitionByRange(parts, F.col("bk"), F.col("rid"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)],
+        "__pid int, __off long",
+    )
+    w = Window.partitionBy("__pid").orderBy("bk", "rid")
+    ranked = materialize(
+        ranged.join(F.broadcast(off), "__pid").select(
+            "rid", "bk",
+            (F.row_number().over(w) - 1 + F.col("__off")).alias("rk"),
+        )
+    )
+    left = ranked.select(
+        F.col("rid").alias("id_a"), F.col("bk").alias("key_a"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("d"),
+        F.col("rk").alias("rk_a"),
+    ).select(
+        "id_a", "key_a", "rk_a",
+        (F.col("rk_a") + F.col("d")).alias("rk_b"),
+    )
+    return (
+        left.join(
+            ranked.select(
+                F.col("rk").alias("rk_b"), F.col("rid").alias("id_b"),
+                F.col("bk").alias("key_b"),
+            ),
+            "rk_b",
+        )
+        .select(
+            "id_a", "id_b", "key_a", "key_b",
+            (F.col("rk_b") - F.col("rk_a")).cast("long").alias("rank_dist"),
+        )
+    )

@@ -104,3 +104,35 @@ def test_er_clusters_equality_key(spark):
     assert got[1] == (1, 2) and got[101] == (1, 2)
     assert got[3] == (3, 1)
     assert got[2] == (2, 1) and got[102] == (102, 1)
+
+
+def test_sorted_neighborhood_window_pairs(spark):
+    from kgspark.linkrec import sorted_neighborhood
+
+    recs = spark.createDataFrame(
+        [(1, "aa"), (2, "ab"), (3, "ac"), (4, "zz"), (5, "ab")],
+        "rec_id long, block_key string",
+    )
+    # sorted order by (key, id): (aa,1) (ab,2) (ab,5) (ac,3) (zz,4)
+    got = {
+        (r.id_a, r.id_b): (r.key_a, r.key_b, r.rank_dist)
+        for r in sorted_neighborhood(recs, window=2).collect()
+    }
+    assert got == {
+        (1, 2): ("aa", "ab", 1),
+        (2, 5): ("ab", "ab", 1),
+        (5, 3): ("ab", "ac", 1),
+        (3, 4): ("ac", "zz", 1),
+    }
+    # window=3 adds the rank_dist=2 pairs
+    got3 = {
+        (r.id_a, r.id_b): r.rank_dist
+        for r in sorted_neighborhood(recs, window=3).collect()
+    }
+    assert got3 == {
+        (1, 2): 1, (2, 5): 1, (5, 3): 1, (3, 4): 1,
+        (1, 5): 2, (2, 3): 2, (5, 4): 2,
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood(recs, window=1)
