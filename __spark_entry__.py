@@ -3035,6 +3035,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sorted_neighborhood(recs, window=3)
 
+    def link_edit_pairs(spark, sf_dir):
+        # blocked Levenshtein comparator join (kgspark/linkrec.py
+        # edit_pairs): customer names within 1 edit inside each
+        # nation|segment block — typo-tolerant linkage candidates
+        from kgspark.linkrec import edit_pairs
+
+        c = _read(spark, sf_dir, "customer")
+        recs = c.select(
+            F.col("c_custkey").alias("rec_id"),
+            F.concat(
+                F.col("c_nationkey").cast("string"), F.lit("|"),
+                F.col("c_mktsegment"),
+            ).alias("block_key"),
+            F.col("c_name").alias("text"),
+        )
+        return edit_pairs(recs, max_dist=1)
+
     def text_phrase(spark, sf_dir):
         # exact consecutive-token phrase query (decontamination audit
         # shape): anchors on the first term's postings, verifies the rest
@@ -5126,6 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domain_range": kg_domain_range,
         "kg_type_violations": kg_type_violations,
         "link_sorted_blocks": link_sorted_blocks,
+        "link_edit_pairs": link_edit_pairs,
         "kg_harmonic": kg_harmonic,
         "kg_violations": kg_violations,
         "kg_type_completeness": kg_type_completeness,
@@ -10928,6 +10946,20 @@ FROM cp WHERE canonical <> '' GROUP BY canonical
 """,
         # kgspark.schema_induce.shape_report: same syntactic kind
         # detection + per-subject cardinality, shapes as VALUES
+        # kgspark.linkrec.edit_pairs: same block equi-join + classic
+        # Levenshtein DP (exact integers in both engines)
+        "link_edit_pairs": """
+WITH ep_r AS (
+  SELECT c_custkey AS rid,
+         c_nationkey::VARCHAR || '|' || c_mktsegment AS bk,
+         c_name AS txt
+  FROM customer
+)
+SELECT a.rid AS id_a, b.rid AS id_b, a.txt AS text_a, b.txt AS text_b,
+       levenshtein(a.txt, b.txt)::BIGINT AS dist
+FROM ep_r a JOIN ep_r b ON a.bk = b.bk AND a.rid < b.rid
+WHERE levenshtein(a.txt, b.txt) <= 1
+""",
         # kgspark.linkrec.sorted_neighborhood: rank over (key, id) total
         # order, pairs at rank distance 1..window-1 — the oracle's global
         # row_number replicates the range-partition + offset rank exactly

@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "kg_type_violations",
     "kg_completeness",
     "link_sorted_blocks",
+    "link_edit_pairs",
     "kg_truth",
 ]
 

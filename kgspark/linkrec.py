@@ -348,3 +348,49 @@ def sorted_neighborhood(
             (F.col("rk_b") - F.col("rk_a")).cast("long").alias("rank_dist"),
         )
     )
+
+
+def edit_pairs(
+    records: DataFrame,
+    max_dist: int = 1,
+    block_col: str = "block_key",
+    text_col: str = "text",
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Blocked edit-distance comparator join: within each block, every
+    unordered record pair whose texts are within `max_dist` Levenshtein
+    edits -> (id_a, id_b, text_a, text_b, dist). The string-similarity
+    companion to fs_link's categorical agreement scoring (and to
+    kgspark.fuzzy's token-level SymSpell): classic typo-tolerant record
+    linkage over names/titles.
+
+    Exact integer distances (classic DP, same in every engine) ->
+    hash-deterministic. id_a < id_b emits each pair once.
+
+    Scale shape: candidates come from the equi-join on the caller's
+    blocking key (cost = sum of block sizes squared, never corpus²; pick
+    keys that keep blocks bounded — the fs_link posture, skew handled by
+    AQE skew-split), and the distance runs JVM-side with the early-exit
+    threshold form of levenshtein — rows that blow past max_dist abandon
+    the DP without filling the matrix. No Python in the hot path.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    a = records.select(
+        F.col(block_col).alias("bk"), F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    b = records.select(
+        F.col(block_col).alias("bk"), F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    d = F.levenshtein(F.col("text_a"), F.col("text_b"), max_dist)
+    return (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "text_a", "text_b",
+            d.cast("long").alias("dist"),
+        )
+        .where(F.col("dist") >= 0)
+    )

@@ -136,3 +136,28 @@ def test_sorted_neighborhood_window_pairs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="window"):
         sorted_neighborhood(recs, window=1)
+
+
+def test_edit_pairs_threshold_and_blocking(spark):
+    from kgspark.linkrec import edit_pairs
+
+    recs = spark.createDataFrame(
+        [(1, "b1", "smith"), (2, "b1", "smyth"), (3, "b1", "jones"),
+         (4, "b2", "smith"),                    # other block: never paired
+         (5, "b1", "smithe")],
+        "rec_id long, block_key string, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_pairs(recs, max_dist=1).collect()
+    }
+    # smith~smyth=1, smith~smithe=1, smyth~smithe=2 (cut), jones far
+    assert got == {(1, 2): 1, (1, 5): 1}
+    got2 = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_pairs(recs, max_dist=2).collect()
+    }
+    assert got2 == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_dist"):
+        edit_pairs(recs, max_dist=-1)
