@@ -4474,14 +4474,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return shape_report(t, shapes)
 
-    def kg_completeness(spark, sf_dir):
-        # ReCoin-style relative-completeness census
-        # (kgspark/schema_induce.py class_completeness) over the extracted
-        # KG: per (part-type class, predicate) grid cell, how many typed
-        # instances assert the predicate — zero-coverage cells included
-        from kgspark.schema_induce import class_completeness
-
-        return class_completeness(_extract_triples(spark, sf_dir))
 
     def _rdfs_schema(spark, sf_dir):
         # ontology derived from the data + literal property axioms:
@@ -5164,7 +5156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_churn": kg_fact_churn,
         "web_canonical": web_canonical,
         "kg_shapes": kg_shapes,
-        "kg_completeness": kg_completeness,
         "kg_rdfs": kg_rdfs,
         "kg_owl_infer": kg_owl_infer,
         "kg_table_triples": kg_table_triples,
@@ -10976,30 +10967,6 @@ sn_rk AS (
 SELECT a.rid AS id_a, b.rid AS id_b, a.bk AS key_a, b.bk AS key_b,
        (b.rk - a.rk)::BIGINT AS rank_dist
 FROM sn_rk a JOIN sn_rk b ON b.rk BETWEEN a.rk + 1 AND a.rk + 2
-""",
-        # kgspark.schema_induce.class_completeness: full class x predicate
-        # grid over the extracted KG, zero-coverage cells included; exact
-        # integer coverage_ppm
-        "kg_completeness": f"""
-WITH {_PARTS_ORACLE_CTE},
-cc_t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM triples),
-cc_ty AS (SELECT DISTINCT s AS ent, o AS typ FROM cc_t WHERE p = 'is_a'),
-cc_sz AS (SELECT typ, count(*)::BIGINT AS n_instances FROM cc_ty GROUP BY 1),
-cc_f AS (SELECT s, p FROM cc_t WHERE p <> 'is_a'),
-cc_pr AS (SELECT DISTINCT p FROM cc_f),
-cc_ob AS (
-  SELECT ty.typ, f.p, count(DISTINCT f.s)::BIGINT AS n_with,
-         count(*)::BIGINT AS n_facts
-  FROM cc_f f JOIN cc_ty ty ON ty.ent = f.s
-  GROUP BY 1, 2
-)
-SELECT g.typ, g.p AS pred, g.n_instances,
-       coalesce(o.n_with, 0)::BIGINT AS n_with,
-       coalesce(o.n_facts, 0)::BIGINT AS n_facts,
-       (coalesce(o.n_with, 0) * 1000000 // g.n_instances)::BIGINT
-         AS coverage_ppm
-FROM (SELECT * FROM cc_sz CROSS JOIN cc_pr) g
-LEFT JOIN cc_ob o ON o.typ = g.typ AND o.p = g.p
 """,
         "kg_shapes": """
 WITH t AS (

@@ -272,7 +272,6 @@ BENCH_QUERIES = [
     "kg_rules",
     "kg_rule_apply",
     "kg_type_violations",
-    "kg_completeness",
     "link_sorted_blocks",
     "link_edit_pairs",
     "kg_truth",

@@ -275,66 +275,3 @@ def fd_mine(
         F.expr("(1000000 * n_kept) div n_pairs").cast("long")
         .alias("fd_ppm"),
     )
-
-
-def class_completeness(
-    triples: DataFrame,
-    min_class_size: int = 1,
-    subj_col: str = "subj",
-    pred_col: str = "pred",
-    obj_col: str = "obj",
-    isa_pred: str = "is_a",
-) -> DataFrame:
-    """Relative-completeness census (the ReCoin signal, Balaraman et al.,
-    CIKM 2018): for every (class, predicate) cell of the schema grid, how
-    many of the class's instances assert the predicate at all ->
-    (typ, pred, n_instances, n_with, n_facts, coverage_ppm). Cells where
-    NO instance asserts the predicate are emitted with zeros — the missing
-    cells ARE the completeness finding. Classes come from `isa_pred`
-    objects; classes below min_class_size instances are dropped (their
-    coverage ratios are noise). Exact integers -> hash-deterministic.
-
-    Scale shape: the instance typing join is entity-keyed; per-cell counts
-    are one (typ, pred) groupBy with map-side partial aggregation; the
-    full grid is a crossJoin of two SCHEMA-sized dimension tables (classes
-    x predicates), never of data rows. Ref has no completeness notion
-    (its graph is write-only below the UI, ref knowledge_graph_builder.py).
-    """
-    t = triples.select(
-        F.col(subj_col).alias("s"), F.col(pred_col).alias("p"),
-        F.col(obj_col).alias("o"),
-    ).distinct()
-    types = (
-        t.where(F.col("p") == isa_pred)
-        .select(F.col("s").alias("ent"), F.col("o").alias("typ"))
-        .distinct()
-    )
-    sizes = (
-        types.groupBy("typ")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_instances"))
-        .where(F.col("n_instances") >= F.lit(min_class_size))
-    )
-    facts = t.where(F.col("p") != isa_pred)
-    preds = facts.select("p").distinct()
-    observed = (
-        facts.join(types.withColumnRenamed("ent", "s"), "s")
-        .groupBy("typ", "p")
-        .agg(
-            F.count_distinct("s").cast("long").alias("n_with"),
-            F.count(F.lit(1)).cast("long").alias("n_facts"),
-        )
-    )
-    grid = sizes.crossJoin(preds)
-    return (
-        grid.join(observed, ["typ", "p"], "left")
-        .select(
-            "typ",
-            F.col("p").alias("pred"),
-            "n_instances",
-            F.coalesce("n_with", F.lit(0)).cast("long").alias("n_with"),
-            F.coalesce("n_facts", F.lit(0)).cast("long").alias("n_facts"),
-            F.expr(
-                "coalesce(n_with, 0) * 1000000 div n_instances"
-            ).cast("long").alias("coverage_ppm"),
-        )
-    )

@@ -78,30 +78,3 @@ def test_fd_mine_multivalued_and_support(spark):
     assert got[("p", "q")] == (3, 2, 666666)
     # support filter
     assert fd_mine(t, min_support=4).count() == 0
-
-
-def test_class_completeness_grid_zeros_and_counts(spark):
-    from kgspark.schema_induce import class_completeness
-
-    t = spark.createDataFrame(
-        [("a1", "is_a", "T"), ("a2", "is_a", "T"), ("b1", "is_a", "U"),
-         ("a1", "has", "x"), ("a1", "has", "y"),    # a1: 2 has-facts
-         ("a2", "likes", "x"),
-         ("u9", "has", "x")],                       # untyped subject
-        "subj string, pred string, obj string",
-    )
-    got = {
-        (r.typ, r.pred): (r.n_instances, r.n_with, r.n_facts,
-                          r.coverage_ppm)
-        for r in class_completeness(t).collect()
-    }
-    # grid = {T,U} x {has, likes}; U has zero coverage everywhere
-    assert got == {
-        ("T", "has"): (2, 1, 2, 500000),
-        ("T", "likes"): (2, 1, 1, 500000),
-        ("U", "has"): (1, 0, 0, 0),
-        ("U", "likes"): (1, 0, 0, 0),
-    }
-    # min_class_size drops the singleton class U
-    got2 = {r.typ for r in class_completeness(t, min_class_size=2).collect()}
-    assert got2 == {"T"}
