@@ -2553,6 +2553,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ratio without a cross-engine fp-rounding surface
         return out.select("a", "b", "n_common", "n_a")
 
+    def corpus_auc(spark, sf_dir):
+        # exact tie-adjusted ROC-AUC (kgspark/nb.py roc_auc): does doc
+        # length separate English from the rest — Mann-Whitney U identity
+        # in pure integer arithmetic, range-partitioned cumulative
+        from kgspark.nb import roc_auc
+
+        d = _read(spark, sf_dir, "documents")
+        return roc_auc(d.select(
+            F.col("n_chars").alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label"),
+        ))
+
+    def corpus_calibration(spark, sf_dir):
+        # reliability-diagram census (kgspark/nb.py calibration_bins):
+        # synthetic scorer whose hit-rate tracks its stated probability
+        # by construction; per-bin gap_ppm is the ECE integrand
+        from kgspark.nb import calibration_bins
+
+        e = _read(spark, sf_dir, "events")
+        prob = (F.col("event_id") * 7919) % 1000001
+        hit = ((F.col("event_id") * 31) % 1000001) < prob
+        return calibration_bins(
+            e.select(prob.alias("prob_ppm"),
+                     hit.cast("int").alias("label")),
+            n_bins=10,
+        )
+
     def text_nb(spark, sf_dir):
         # corpus-trained multinomial NB source classifier (fastText-style
         # curation signal); fixed-point micro-nat scores => exact argmax
@@ -5136,6 +5163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_violations": kg_type_violations,
         "link_sorted_blocks": link_sorted_blocks,
         "link_edit_pairs": link_edit_pairs,
+        "corpus_auc": corpus_auc,
+        "corpus_calibration": corpus_calibration,
         "kg_harmonic": kg_harmonic,
         "kg_violations": kg_violations,
         "kg_type_completeness": kg_type_completeness,
@@ -10937,6 +10966,49 @@ FROM cp WHERE canonical <> '' GROUP BY canonical
 """,
         # kgspark.schema_induce.shape_report: same syntactic kind
         # detection + per-subject cardinality, shapes as VALUES
+        # kgspark.nb.roc_auc: same grouped-score U-statistic; the global
+        # window here replicates the range-partition + offset cumulative
+        "corpus_auc": """
+WITH au_s AS (
+  SELECT n_chars AS sc, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lb
+  FROM documents
+),
+au_g AS (
+  SELECT sc, sum(lb)::BIGINT AS p, sum(1 - lb)::BIGINT AS n
+  FROM au_s GROUP BY 1
+),
+au_c AS (
+  SELECT p, n,
+         coalesce(sum(n) OVER (ORDER BY sc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM au_g
+)
+SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+       sum(p * (2 * cb + n))::BIGINT AS auc_num_x2,
+       (CASE WHEN sum(p) * sum(n) = 0 THEN -1
+             ELSE sum(p * (2 * cb + n)) * 1000000
+                  // (2 * sum(p) * sum(n)) END)::BIGINT AS auc_ppm
+FROM au_c
+""",
+        # kgspark.nb.calibration_bins: equal-width ppm bins, floor-div
+        # means, abs gap — exact integers end-to-end
+        "corpus_calibration": """
+WITH cb_s AS (
+  SELECT (event_id * 7919) % 1000001 AS pp,
+         CASE WHEN (event_id * 31) % 1000001
+                   < (event_id * 7919) % 1000001 THEN 1 ELSE 0 END AS lb
+  FROM events
+),
+cb_b AS (
+  SELECT least(pp * 10 // 1000000, 9)::BIGINT AS bin, pp, lb FROM cb_s
+)
+SELECT bin, count(*)::BIGINT AS n, sum(lb)::BIGINT AS n_pos,
+       (sum(pp) // count(*))::BIGINT AS mean_prob_ppm,
+       (sum(lb) * 1000000 // count(*))::BIGINT AS frac_pos_ppm,
+       abs(sum(pp) // count(*) - sum(lb) * 1000000 // count(*))::BIGINT
+         AS gap_ppm
+FROM cb_b GROUP BY 1
+""",
         # kgspark.linkrec.edit_pairs: same block equi-join + classic
         # Levenshtein DP (exact integers in both engines)
         "link_edit_pairs": """

@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "kg_type_violations",
     "link_sorted_blocks",
     "link_edit_pairs",
+    "corpus_auc",
+    "corpus_calibration",
     "kg_truth",
 ]
 

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
-__all__ = ["train_nb", "score_nb", "classify_nb"]
+__all__ = ["train_nb", "score_nb", "classify_nb", "roc_auc",
+           "calibration_bins"]
 
 _QUANT = 1e6  # micro-nats
 
@@ -177,4 +178,127 @@ def classify_nb(scores: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         .where(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def roc_auc(
+    scores: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC of a binary scorer, tie-adjusted (the Mann-Whitney U
+    identity): ONE row (n_pos, n_neg, auc_num_x2, auc_ppm) where
+
+        auc_num_x2 = Σ over distinct scores s of p_s·(2·neg_below(s) + n_s)
+        auc_ppm    = auc_num_x2 · 1e6  div  (2 · n_pos · n_neg)
+
+    p_s/n_s = positives/negatives AT score s, neg_below = negatives with a
+    strictly smaller score — ties contribute the standard ½ via the
+    un-halved numerator, so everything stays exact integers and the row is
+    hash-identical on any engine. Degenerate inputs (no positives or no
+    negatives) emit the -1 sentinel in auc_ppm.
+
+    Scale shape: one (score)-groupBy collapses the corpus to the distinct
+    score values; the running negatives-below uses the range-partition +
+    per-partition-offset pattern (kgtrain.ranked_entities rationale), NOT
+    a single-partition global Window — the grouped table may still be
+    corpus-sized when scores are fine-grained micro-nat sums.
+    """
+    spark = scores.sparkSession
+    g = (
+        scores.select(
+            F.col(score_col).cast("long").alias("sc"),
+            F.col(label_col).cast("int").alias("lb"),
+        )
+        .groupBy("sc")
+        .agg(
+            F.sum("lb").cast("long").alias("p"),
+            F.sum(1 - F.col("lb")).cast("long").alias("n"),
+        )
+    )
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = materialize(
+        g.repartitionByRange(parts, F.col("sc"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["tn"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("n").alias("tn")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid] or 0
+    off = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)],
+        "__pid int, __off long",
+    )
+    w = (
+        Window.partitionBy("__pid").orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        ranged.join(F.broadcast(off), "__pid")
+        .select(
+            "p", "n",
+            (F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("__off"))
+            .alias("cb"),
+        )
+    )
+    return cum.agg(
+        F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(
+            F.sum(F.col("p") * (2 * F.col("cb") + F.col("n"))), F.lit(0)
+        ).cast("long").alias("auc_num_x2"),
+    ).select(
+        "n_pos", "n_neg", "auc_num_x2",
+        F.expr(
+            "CASE WHEN n_pos * n_neg = 0 THEN -1 "
+            "ELSE auc_num_x2 * 1000000 div (2 * n_pos * n_neg) END"
+        ).cast("long").alias("auc_ppm"),
+    )
+
+
+def calibration_bins(
+    scores: DataFrame,
+    n_bins: int = 10,
+    prob_col: str = "prob_ppm",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram census (the table behind ECE, Naeini et al.,
+    AAAI 2015): bucket predicted probabilities (integer ppm, 0..1e6) into
+    `n_bins` equal-width bins -> (bin, n, n_pos, mean_prob_ppm,
+    frac_pos_ppm, gap_ppm) with gap_ppm = |mean_prob − frac_pos| — the
+    per-bin calibration error; Σ n·gap div N downstream is ECE. Exact
+    integer arithmetic (floor-div means) -> hash-deterministic. Empty bins
+    are simply absent (the census reports evidence, not the grid).
+
+    Scale shape: ONE map-side-combined groupBy on the bin id; no windows,
+    no joins.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    binned = scores.select(
+        F.col(prob_col).cast("long").alias("pp"),
+        F.col(label_col).cast("long").alias("lb"),
+    ).select(
+        F.least(
+            F.expr(f"pp * {n_bins} div 1000000"), F.lit(n_bins - 1)
+        ).cast("long").alias("bin"),
+        "pp", "lb",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lb").cast("long").alias("n_pos"),
+        F.sum("pp").cast("long").alias("sum_pp"),
+    )
+    return agg.select(
+        "bin", "n", "n_pos",
+        F.expr("sum_pp div n").cast("long").alias("mean_prob_ppm"),
+        F.expr("n_pos * 1000000 div n").cast("long").alias("frac_pos_ppm"),
+        F.expr(
+            "abs(sum_pp div n - n_pos * 1000000 div n)"
+        ).cast("long").alias("gap_ppm"),
     )

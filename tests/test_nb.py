@@ -118,3 +118,53 @@ def test_no_global_window_in_classify(corpus):
     assert "windowspecdefinition(doc_id" in plan
     for chunk in plan.split("Exchange SinglePartition")[1:]:
         assert "HashAggregate(keys=[]" in chunk.splitlines()[1]
+
+
+def test_roc_auc_tie_adjusted_hand_case(spark):
+    from kgspark.nb import roc_auc
+
+    sc = spark.createDataFrame(
+        [(3, 1), (2, 0), (1, 1), (1, 0)], "score long, label int"
+    )
+    r = roc_auc(sc).collect()[0]
+    # pairs: (3>2) win, (3>1) win, (1<2) loss, (1=1) tie=1/2 -> 2.5/4
+    assert (r.n_pos, r.n_neg, r.auc_num_x2, r.auc_ppm) == (2, 2, 5, 625000)
+    # degenerate: single class -> sentinel
+    one = spark.createDataFrame([(5, 1), (3, 1)], "score long, label int")
+    assert roc_auc(one).collect()[0].auc_ppm == -1
+
+
+def test_roc_auc_matches_bruteforce_pair_count(spark):
+    from kgspark.nb import roc_auc
+
+    # deterministic pseudo-data: score correlated with label via modular
+    # arithmetic, plenty of ties
+    rows = [((i * 37) % 23 + 10 * ((i * 13) % 7 == 0), int((i * 13) % 7 == 0))
+            for i in range(200)]
+    sc = spark.createDataFrame(rows, "score long, label int")
+    r = roc_auc(sc).collect()[0]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    num2 = sum(2 for p in pos for n in neg if p > n) + sum(
+        1 for p in pos for n in neg if p == n)
+    assert r.auc_num_x2 == num2
+    assert r.auc_ppm == num2 * 1000000 // (2 * len(pos) * len(neg))
+
+
+def test_calibration_bins_edges_and_gaps(spark):
+    from kgspark.nb import calibration_bins
+
+    sc = spark.createDataFrame(
+        [(50000, 0), (150000, 1), (999999, 1), (1000000, 1)],
+        "prob_ppm long, label int",
+    )
+    got = {r.bin: (r.n, r.n_pos, r.mean_prob_ppm, r.frac_pos_ppm, r.gap_ppm)
+           for r in calibration_bins(sc).collect()}
+    assert got == {
+        0: (1, 0, 50000, 0, 50000),
+        1: (1, 1, 150000, 1000000, 850000),
+        9: (2, 2, 999999, 1000000, 1),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(sc, n_bins=0)
