@@ -4222,6 +4222,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   ("min", "?b", "min_b")],
         )
 
+    def kg_construct(spark, sf_dir):
+        # SPARQL CONSTRUCT (kgspark/graph_api.py bgp_construct): rewrite
+        # the (part is_a type, part has brand) wedge into a derived
+        # brand_of_type graph plus branded_item flags — set semantics
+        from kgspark.graph_api import bgp_construct
+
+        return bgp_construct(
+            _extract_triples(spark, sf_dir),
+            [("?x", "is_a", "?t"), ("?x", "has", "?b")],
+            [("?b", "brand_of_type", "?t"), ("?x", "branded_item", "true")],
+        )
+
     def kg_betweenness(spark, sf_dir):
         # source-sampled Brandes betweenness (kgspark/graph_algs.py
         # betweenness) over a 4-layer event graph (u->v->w->x plus
@@ -5217,6 +5229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kappa": corpus_kappa,
         "kg_infer_types": kg_infer_types,
         "kg_bgp_agg": kg_bgp_agg,
+        "kg_construct": kg_construct,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -10356,6 +10369,21 @@ GROUP BY 1
 """,
         # kgspark.graph_api.bgp_aggregate: bag-semantics solution
         # multiset grouped per type
+        # kgspark.graph_api.bgp_construct: wedge join + template
+        # instantiation union, SELECT DISTINCT for set semantics
+        "kg_construct": f"""
+WITH {_PARTS_ORACLE_CTE},
+ct_t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+ct_b AS (
+  SELECT a.subj AS x, a.obj AS t, b.obj AS b
+  FROM ct_t a JOIN ct_t b ON a.subj = b.subj
+  WHERE a.pred = 'is_a' AND b.pred = 'has'
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT b AS subj, 'brand_of_type' AS pred, t AS obj FROM ct_b
+  UNION ALL SELECT x, 'branded_item', 'true' FROM ct_b
+)
+""",
         "kg_bgp_agg": f"""
 WITH {_PARTS_ORACLE_CTE}
 SELECT i.obj AS t, count(*)::BIGINT AS n,

@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "corpus_kappa",
     "kg_infer_types",
     "kg_bgp_agg",
+    "kg_construct",
     "kg_betweenness",
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",

@@ -379,6 +379,74 @@ def bgp_union(
     return acc.distinct() if distinct else acc
 
 
+def bgp_construct(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    template: Sequence[tuple[str, str, str]],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+    optional_patterns: Sequence[tuple[str, str, str]] = (),
+    filters: Sequence[tuple[str, str, str]] = (),
+    max_path_hops: int = 6,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate `template` triples from the bindings
+    of a basic graph pattern — the graph-to-graph rewrite primitive
+    (reshape predicates, materialize views, derive edges). Template terms
+    are the same ``?var`` / constant syntax as patterns; the result is the
+    constructed graph (subj, pred, obj), deduplicated by default (a graph
+    is a SET of triples, per the SPARQL 1.1 spec).
+
+    Instantiations touching a variable an OPTIONAL left unbound ('' under
+    this engine's unbound-as-empty convention) are skipped, exactly as
+    SPARQL drops incomplete template triples.
+
+    Plan shape: the binding table is computed ONCE (materialized — its
+    join tree must not replay per template entry), each template entry is
+    a map-only projection over it, and the union is a zero-shuffle
+    concatenation; the only added shuffle is the final distinct.
+    """
+    if not template:
+        raise ValueError("bgp_construct: need at least one template triple")
+    bindings = materialize(
+        bgp_match(
+            triples,
+            patterns,
+            subj=subj,
+            pred=pred,
+            obj=obj,
+            distinct=False,
+            optional_patterns=optional_patterns,
+            filters=filters,
+            max_path_hops=max_path_hops,
+        )
+    )
+    outs: list[DataFrame] = []
+    for ts, tp, to in template:
+        cols, guards = [], []
+        for term, name in ((ts, "subj"), (tp, "pred"), (to, "obj")):
+            if _is_var(term):
+                v = term[1:]
+                if v not in bindings.columns:
+                    raise ValueError(
+                        f"bgp_construct: template variable ?{v} is not "
+                        "bound by the patterns"
+                    )
+                cols.append(F.col(v).alias(name))
+                guards.append(F.col(v) != F.lit(""))
+            else:
+                cols.append(F.lit(term).alias(name))
+        out = bindings
+        for g in guards:
+            out = out.where(g)
+        outs.append(out.select(*cols))
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc.unionByName(o)
+    return acc.distinct() if distinct else acc
+
+
 def get_node_history(triples: DataFrame, nodes: DataFrame, node_id: str) -> DataFrame:
     """Union of node-created + relationship events for one node, ordered by
     timestamp (ref :688-715: `history.sort(key=timestamp)`)."""

@@ -347,3 +347,51 @@ def test_bgp_aggregate_validation(spark):
     with pytest.raises(ValueError, match="needs a"):
         bgp_aggregate(t, [("?x", "p", "?y")], ["?x"],
                       [("min", None, "m")])
+
+
+def test_bgp_construct_rewrites_and_dedups(spark):
+    from kgspark.graph_api import bgp_construct
+
+    t = spark.createDataFrame(
+        [("a", "is_a", "T"), ("a", "has", "b1"), ("a", "has", "b2"),
+         ("c", "is_a", "T"), ("c", "has", "b1")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in bgp_construct(
+            t,
+            [("?x", "is_a", "?t"), ("?x", "has", "?b")],
+            [("?b", "brand_of_type", "?t"), ("?x", "branded", "true")],
+        ).collect()
+    }
+    # b1 pairs with T twice (a and c) -> constructed set dedups it
+    assert got == {
+        ("b1", "brand_of_type", "T"), ("b2", "brand_of_type", "T"),
+        ("a", "branded", "true"), ("c", "branded", "true"),
+    }
+
+
+def test_bgp_construct_skips_unbound_optional_and_validates(spark):
+    from kgspark.graph_api import bgp_construct
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("a", "alt", "z")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in bgp_construct(
+            t,
+            [("?s", "p", "?o")],
+            [("?s", "seen_alt", "?a")],
+            optional_patterns=[("?s", "alt", "?a")],
+        ).collect()
+    }
+    # b has no alt binding -> its template instantiation is skipped
+    assert got == {("a", "seen_alt", "z")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not.*bound|bound"):
+        bgp_construct(t, [("?s", "p", "?o")], [("?s", "q", "?zz")])
+    with _pytest.raises(ValueError, match="template"):
+        bgp_construct(t, [("?s", "p", "?o")], [])
