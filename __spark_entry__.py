@@ -3710,6 +3710,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), size=24, stride=16
         )
 
+    def text_tiling(spark, sf_dir):
+        # TextTiling-style topic segmentation (kgspark/chunk.py
+        # topic_boundaries): 15-token blocks, shared-distinct-token gap
+        # cohesion, local-minimum depth test — exact integers
+        from kgspark.chunk import topic_boundaries
+
+        return topic_boundaries(
+            _read(spark, sf_dir, "documents"), window=15, min_depth=2
+        )
+
     def text_lm3(spark, sf_dir):
         # corpus-trained stupid-backoff trigram LM scores; every -ln p
         # quantized to micro-nats BEFORE the per-doc sum (exact longs)
@@ -5230,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_infer_types": kg_infer_types,
         "kg_bgp_agg": kg_bgp_agg,
         "kg_construct": kg_construct,
+        "text_tiling": text_tiling,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -9714,6 +9725,47 @@ FROM cb_a1 CROSS JOIN cb_agg
 """,
         # kgspark.chunk.window_chunks (size 24, stride 16): integer-ceil
         # window counts, slice + join per window
+        # kgspark.chunk.topic_boundaries: same block/overlap/depth
+        # arithmetic; '\\s+' split parity proven by the other token ops
+        "text_tiling": r"""
+WITH tb_l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+tb_p AS (
+  SELECT doc_id, unnest(l) AS tok,
+         generate_subscripts(l, 1) - 1 AS pos
+  FROM tb_l
+),
+tb_bt AS (SELECT DISTINCT doc_id, pos // 15 AS blk, tok FROM tb_p),
+tb_nb AS (SELECT doc_id, max(blk) + 1 AS nb FROM tb_bt GROUP BY 1),
+tb_ov AS (
+  SELECT a.doc_id, a.blk, count(*)::BIGINT AS ov
+  FROM tb_bt a
+  JOIN tb_bt b ON a.doc_id = b.doc_id AND b.blk = a.blk + 1
+              AND a.tok = b.tok
+  GROUP BY 1, 2
+),
+tb_g AS (
+  SELECT d.doc_id, d.blk AS gap_no, coalesce(o.ov, 0)::BIGINT AS score
+  FROM (SELECT DISTINCT doc_id, blk FROM tb_bt) d
+  JOIN tb_nb n ON n.doc_id = d.doc_id
+  LEFT JOIN tb_ov o ON o.doc_id = d.doc_id AND o.blk = d.blk
+  WHERE d.blk < n.nb - 1
+),
+tb_d AS (
+  SELECT doc_id, gap_no::BIGINT AS gap_no, score,
+         (greatest(coalesce(lag(score) OVER w, score) - score, 0)
+        + greatest(coalesce(lead(score) OVER w, score) - score, 0))::BIGINT
+           AS depth
+  FROM tb_g WINDOW w AS (PARTITION BY doc_id ORDER BY gap_no)
+)
+SELECT doc_id, gap_no, score, depth,
+       (CASE WHEN depth >= 2 THEN 1 ELSE 0 END)::BIGINT AS is_boundary
+FROM tb_d
+""",
         "kg_window_chunks": r"""
 WITH wc_t AS (
   SELECT doc_id,

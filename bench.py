@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "kg_infer_types",
     "kg_bgp_agg",
     "kg_construct",
+    "text_tiling",
     "kg_betweenness",
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",

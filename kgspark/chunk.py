@@ -19,7 +19,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
@@ -143,4 +143,88 @@ def window_chunks(
         F.col("chunk_no").cast("long").alias("chunk_no"),
         F.size(piece).cast("long").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def topic_boundaries(
+    docs: DataFrame,
+    window: int = 20,
+    min_depth: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst, CL 1997), restated in
+    exact integers: cut each document into fixed `window`-token blocks,
+    score every block gap by lexical cohesion = |shared DISTINCT lowercased
+    tokens| between the two adjacent blocks, and flag gaps that are local
+    cohesion minima with combined one-step depth
+    (score[g-1]−score[g]) + (score[g+1]−score[g]) >= min_depth (each side
+    clamped at 0; a missing neighbor contributes 0 — the 1-step depth
+    approximation of Hearst's climb-to-peak, pinned for cross-engine
+    determinism). -> (doc_id, gap_no, score, depth, is_boundary).
+
+    The semantic chunker for pretraining pipelines: boundaries feed
+    window_chunks so packing cuts at topic shifts instead of mid-topic.
+
+    Scale shape: tokens materialize ONCE (the HOF re-evaluation trap);
+    block token sets are a distinct on (doc, block, token); gap scores are
+    ONE equi-join on (doc, token, block+1=block) + a count; depth is a
+    lag/lead window partitioned BY DOCUMENT (rows per key = blocks per
+    doc, never corpus-wide). Docs shorter than 2 blocks emit nothing.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from kgspark.session import materialize
+    from kgspark.textstats import ws_tokens
+
+    toks = materialize(
+        docs.select(
+            F.col(id_col).alias("did"), ws_tokens(F.col(text_col)).alias("t")
+        )
+    )
+    pos = toks.select(
+        "did", F.posexplode("t").alias("pos", "tok")
+    ).select("did", F.expr(f"pos div {window}").alias("blk"), "tok")
+    blk_toks = materialize(pos.distinct())
+    n_blk = blk_toks.groupBy("did").agg(
+        (F.max("blk") + 1).alias("nb")
+    )
+    overlap = (
+        blk_toks.alias("a")
+        .join(
+            blk_toks.select(
+                F.col("did").alias("did"), (F.col("blk") - 1).alias("blk"),
+                F.col("tok").alias("tok"),
+            ).alias("b"),
+            ["did", "blk", "tok"],
+        )
+        .groupBy("did", "blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    gaps = (
+        blk_toks.select("did", "blk").distinct()
+        .join(n_blk, "did")
+        .where(F.col("blk") < F.col("nb") - 1)
+        .join(overlap, ["did", "blk"], "left")
+        .select(
+            "did", F.col("blk").alias("gap_no"),
+            F.coalesce("ov", F.lit(0)).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("did").orderBy("gap_no")
+    depth = (
+        F.greatest(
+            F.coalesce(F.lag("score").over(w), F.col("score"))
+            - F.col("score"), F.lit(0),
+        )
+        + F.greatest(
+            F.coalesce(F.lead("score").over(w), F.col("score"))
+            - F.col("score"), F.lit(0),
+        )
+    ).cast("long")
+    return gaps.select(
+        F.col("did").alias(id_col),
+        F.col("gap_no").cast("long").alias("gap_no"), "score",
+        depth.alias("depth"),
+        (depth >= F.lit(min_depth)).cast("long").alias("is_boundary"),
     )

@@ -341,3 +341,26 @@ def test_window_chunks_stride_and_tail(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         window_chunks(df, size=4, stride=5)
+
+
+def test_topic_boundaries_hand_case(spark):
+    from kgspark.chunk import topic_boundaries
+
+    # window=2 blocks: [a b][a c][x y][x z] — cohesion 1,0,1 across the
+    # 3 gaps; gap 1 is a local min with depth (1-0)+(1-0)=2
+    docs = spark.createDataFrame(
+        [(1, "a b a c x y x z"), (2, "a b")],   # doc 2: single block
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.gap_no): (r.score, r.depth, r.is_boundary)
+        for r in topic_boundaries(docs, window=2, min_depth=2).collect()
+    }
+    assert got == {
+        (1, 0): (1, 0, 0),
+        (1, 1): (0, 2, 1),
+        (1, 2): (1, 0, 0),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window"):
+        topic_boundaries(docs, window=0)
