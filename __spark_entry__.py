@@ -264,6 +264,24 @@ def _transe_l1_sql(s: str, p: str, o: str, dim: int = 8) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+def _distmult_sql(s: str, p: str, o: str, dim: int = 8) -> str:
+    """DistMult bilinear-product replica of kgspark.kgembed
+    distmult_score over the same md5-byte embeddings: sum_i s_i*p_i*o_i.
+    Exact integers on both engines."""
+
+    def b(x: str, salt: str, i: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{salt}' || {x}), {2 * i + 1}, 2))::INT"
+            " - 128)"
+        )
+
+    terms = [
+        f"({b(s, 'e', i)} * {b(p, 'r', i)} * {b(o, 'e', i)})"
+        for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
 def _banded_sql(table: str, id_col: str, bands: int, bits: int) -> str:
     """(id, band, val) exploded banded sign-LSH values of `table`.embedding —
     mirrors kgspark.dedup.banded_sign_values: STRIDED coordinate subsets,
@@ -4815,6 +4833,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("entity", "rel")
         return transe_score(t, ent, rel)
 
+    def kg_distmult(spark, sf_dir):
+        # DistMult bilinear plausibility per triple (kgspark/kgembed.py
+        # distmult_score), same md5-byte integer embeddings — the
+        # diagonal-bilinear geometry next to kg_transe's translational one
+        from kgspark.kgembed import distmult_score, hash_embeddings
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        ents = t.select(F.col("subj").alias("e")).union(
+            t.select(F.col("obj").alias("e"))
+        )
+        ent = hash_embeddings(ents, "e", salt="e")
+        rel = hash_embeddings(
+            t.select(F.col("pred").alias("r")), "r", salt="r"
+        ).withColumnRenamed("entity", "rel")
+        return distmult_score(t, ent, rel)
+
     def kg_lp_ranks(spark, sf_dir):
         # filtered link-prediction ranks (kgspark/kgembed.py lp_ranks):
         # predicate-range candidates, Bordes-filtered, deterministic
@@ -5220,6 +5254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_filter": kg_bgp_filter,
         "kg_bgp_path": kg_bgp_path,
         "kg_transe": kg_transe,
+        "kg_distmult": kg_distmult,
         "kg_lp_ranks": kg_lp_ranks,
         "kg_wu_palmer": kg_wu_palmer,
         "kg_allen": kg_allen,
@@ -11535,6 +11570,15 @@ te_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
 SELECT subj, pred, obj,
        {_transe_l1_sql('subj', 'pred', 'obj')} AS l1_score
 FROM te_t
+""",
+        # kgspark.kgembed.distmult_score with the same md5-byte
+        # embeddings: bilinear product as a pure column expression
+        "kg_distmult": f"""
+WITH {_PARTS_ORACLE_CTE},
+dm_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
+SELECT subj, pred, obj,
+       {_distmult_sql('subj', 'pred', 'obj')} AS dm_score
+FROM dm_t
 """,
         # kgspark.kgembed.lp_ranks, filtered protocol: predicate-range
         # candidates minus other true objects; rank = 1 + #(energy, cand)

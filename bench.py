@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "kg_bgp_filter",
     "kg_bgp_path",
     "kg_transe",
+    "kg_distmult",
     "kg_lp_ranks",
     "kg_wu_palmer",
     "kg_allen",

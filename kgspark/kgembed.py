@@ -105,6 +105,56 @@ def transe_score(
     )
 
 
+def distmult_score(
+    triples: DataFrame, ent_emb: DataFrame, rel_emb: DataFrame
+) -> DataFrame:
+    """Score every (subj, pred, obj) triple with the DistMult bilinear
+    product Σ_i e_s[i]·e_p[i]·e_o[i] (Yang et al., ICLR 2015; HIGHER =
+    more plausible) — the diagonal-bilinear counterpart to
+    :func:`transe_score`'s translational energy. DistMult's known
+    symmetry (score(s,p,o) = score(o,p,s)) is inherited, not hidden —
+    callers ranking antisymmetric predicates should prefer TransE.
+
+    Same contract as transe_score: (entity, emb)/(rel, emb) inputs, inner
+    joins drop uncovered triples, exact longs for integer embeddings
+    (sequential fold keeps float inputs order-stable too). Scale shape is
+    identical: three hash joins + map-only zip_with/aggregate.
+    """
+    prod = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col("_se"), F.col("_pe"), lambda x, y: x * y
+            ),
+            F.col("_oe"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    out = (
+        triples.select("subj", "pred", "obj")
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("subj"), F.col("emb").alias("_se")
+            ),
+            "subj",
+        )
+        .join(
+            rel_emb.select(
+                F.col("rel").alias("pred"), F.col("emb").alias("_pe")
+            ),
+            "pred",
+        )
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("obj"), F.col("emb").alias("_oe")
+            ),
+            "obj",
+        )
+    )
+    return out.select("subj", "pred", "obj", prod.alias("dm_score"))
+
+
 def lp_ranks(
     triples: DataFrame,
     ent_emb: DataFrame,

@@ -161,3 +161,22 @@ def test_energy_outliers_tie_break_deterministic(spark):
     out = energy_outliers(df, permille=900, min_group=20).collect()
     # thr 18: ranks 19, 20 = last two subjects in (score, subj, obj) order
     assert sorted(r["subj"] for r in out) == ["s18", "s19"]
+
+
+def test_distmult_score_hand_case_and_symmetry(spark):
+    from kgspark.kgembed import distmult_score
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a"), ("a", "p", "zz")],
+        "subj string, pred string, obj string",
+    )
+    ent = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3, -1])], "entity string, emb array<int>"
+    )
+    rel = spark.createDataFrame(
+        [("p", [2, 5])], "rel string, emb array<int>"
+    )
+    got = {(r.subj, r.obj): r.dm_score
+           for r in distmult_score(t, ent, rel).collect()}
+    # a·p·b = 1*2*3 + 2*5*(-1) = -4; symmetric; zz uncovered -> dropped
+    assert got == {("a", "b"): -4, ("b", "a"): -4}
