@@ -626,3 +626,91 @@ def test_binary_dedup_ops_no_python_no_cartesian(spark):
         p = plan(op(df))
         assert "CartesianProduct" not in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_session4_ops_no_cartesian_no_python(spark):
+    """Batch plan gate for the session-4 operators: keyed joins + JVM
+    expressions only — no CartesianProduct, no Python eval anywhere."""
+    from kgspark.chunk import topic_boundaries
+    from kgspark.graph_algs import type_violations
+    from kgspark.graph_api import bgp_construct
+    from kgspark.kgembed import distmult_score, hash_embeddings
+    from kgspark.linkrec import edit_pairs, sorted_neighborhood
+    from kgspark.nb import calibration_bins, roc_auc
+    from kgspark.rulemine import apply_chain_rules
+
+    t = spark.createDataFrame(
+        [("a", "is_a", "T"), ("a", "has", "b"), ("b", "is_a", "U")],
+        "subj string, pred string, obj string",
+    )
+    rules = spark.createDataFrame(
+        [("is_a", "is_a", "is_a", 900000)],
+        "body_q string, body_r string, head_p string, conf_ppm long",
+    )
+    recs = spark.createDataFrame(
+        [(1, "k1", "smith"), (2, "k1", "smyth")],
+        "rec_id long, block_key string, text string",
+    )
+    sc = spark.createDataFrame([(3, 1), (1, 0)], "score long, label int")
+    pp = spark.createDataFrame([(500000, 1)], "prob_ppm long, label int")
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    ent = hash_embeddings(
+        t.select(F.col("subj").alias("e")), "e", salt="e"
+    )
+    rel = hash_embeddings(
+        t.select(F.col("pred").alias("r")), "r", salt="r"
+    ).withColumnRenamed("entity", "rel")
+    plans = [
+        plan(apply_chain_rules(t, rules)),
+        plan(type_violations(t)),
+        plan(sorted_neighborhood(recs, window=2)),
+        plan(edit_pairs(recs, max_dist=1)),
+        plan(roc_auc(sc)),
+        plan(calibration_bins(pp)),
+        plan(bgp_construct(t, [("?x", "is_a", "?t")],
+                           [("?x", "typed", "?t")])),
+        plan(topic_boundaries(docs, window=2)),
+        plan(distmult_score(t, ent, rel)),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_session4_broadcast_and_rank_shapes(spark):
+    """Targeted shapes: rule/signature tables broadcast; the
+    sorted-neighborhood and AUC ranks never use a global (empty
+    partition-key) window — their sorts stay range-partitioned."""
+    from kgspark.graph_algs import type_violations
+    from kgspark.linkrec import sorted_neighborhood
+    from kgspark.nb import roc_auc
+    from kgspark.rulemine import apply_chain_rules
+
+    t = spark.createDataFrame(
+        [("a", "is_a", "T"), ("a", "has", "b"), ("b", "is_a", "U")],
+        "subj string, pred string, obj string",
+    )
+    rules = spark.createDataFrame(
+        [("is_a", "is_a", "is_a", 900000)],
+        "body_q string, body_r string, head_p string, conf_ppm long",
+    )
+    assert "BroadcastHashJoin" in plan(apply_chain_rules(t, rules))
+    assert "BroadcastHashJoin" in plan(type_violations(t))
+    recs = spark.createDataFrame(
+        [(1, "k1", "x")], "rec_id long, block_key string, text string"
+    )
+    sc = spark.createDataFrame([(3, 1), (1, 0)], "score long, label int")
+    # the rank stage runs BEFORE the materialize() boundary (its __pid
+    # windowing is the ranked_entities pattern, plan-gated at
+    # test_ranked_entities_no_global_window); here gate what the OUTPUT
+    # side must not contain: a global window or a single-partition sort
+    p_sn = plan(sorted_neighborhood(recs, window=2))
+    assert "windowspecdefinition" not in p_sn
+    assert "Exchange SinglePartition" not in p_sn
+    # roc_auc's cumulative window runs AFTER the materialize boundary, so
+    # it IS in the output plan — and must be keyed by __pid, never global
+    p_auc = plan(roc_auc(sc))
+    assert "windowspecdefinition(__pid" in p_auc
+    assert "windowspecdefinition" not in p_auc.replace(
+        "windowspecdefinition(__pid", ""
+    )
