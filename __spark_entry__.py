@@ -3738,6 +3738,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), window=15, min_depth=2
         )
 
+    def kg_timex(spark, sf_dir):
+        # TIMEX-lite date normalization (kgspark/timex.py extract_dates):
+        # each doc plants ONE date in a doc_id-chosen surface form (ISO /
+        # long prose / abbreviated prose); the extractor must find exactly
+        # it and normalize to the same ISO the oracle reconstructs
+        from kgspark.timex import _ABBR, _FULL, extract_dates
+
+        d = F.col("doc_id")
+        m = ((d % 12) + 1).cast("int")
+        dy = (d % 28) + 1
+        yr = d % 25 + 2000
+        mf = F.element_at(F.array(*[F.lit(x) for x in _FULL]), m)
+        ma = F.element_at(F.array(*[F.lit(x) for x in _ABBR]), m)
+        iso = F.concat_ws(
+            "-", yr.cast("string"),
+            F.lpad(m.cast("string"), 2, "0"),
+            F.lpad(dy.cast("string"), 2, "0"),
+        )
+        surface = (
+            F.when(d % 3 == 0, iso)
+            .when(d % 3 == 1, F.concat(
+                mf, F.lit(" "), dy.cast("string"), F.lit(", "),
+                yr.cast("string")))
+            .otherwise(F.concat(
+                dy.cast("string"), F.lit(" "), ma, F.lit(" "),
+                yr.cast("string")))
+        )
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.lit("as of "), surface, F.lit(" the page stands"))
+            .alias("text"),
+        )
+        return extract_dates(docs)
+
     def text_lm3(spark, sf_dir):
         # corpus-trained stupid-backoff trigram LM scores; every -ln p
         # quantized to micro-nats BEFORE the per-doc sum (exact longs)
@@ -5276,6 +5310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_agg": kg_bgp_agg,
         "kg_construct": kg_construct,
         "text_tiling": text_tiling,
+        "kg_timex": kg_timex,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -9762,6 +9797,36 @@ FROM cb_a1 CROSS JOIN cb_agg
         # window counts, slice + join per window
         # kgspark.chunk.topic_boundaries: same block/overlap/depth
         # arithmetic; '\\s+' split parity proven by the other token ops
+        # kgspark.timex.extract_dates over planted dates: the oracle
+        # reconstructs the one mention per doc the regex must recover
+        "kg_timex": """
+WITH tx_d AS (
+  SELECT doc_id, ((doc_id % 12) + 1)::INT AS m,
+         (doc_id % 28) + 1 AS dy, 2000 + (doc_id % 25) AS yr,
+         doc_id % 3 AS f
+  FROM documents
+),
+tx_m AS (
+  SELECT doc_id, f,
+         (list_value('January','February','March','April','May','June',
+                     'July','August','September','October','November',
+                     'December'))[m] AS mf,
+         (list_value('Jan','Feb','Mar','Apr','May','Jun','Jul','Aug',
+                     'Sep','Oct','Nov','Dec'))[m] AS ma,
+         dy::VARCHAR AS dys, yr::VARCHAR AS yrs,
+         yr::VARCHAR || '-' || lpad(m::VARCHAR, 2, '0') || '-'
+           || lpad(dy::VARCHAR, 2, '0') AS iso
+  FROM tx_d
+)
+SELECT doc_id,
+       CASE f WHEN 0 THEN iso
+              WHEN 1 THEN mf || ' ' || dys || ', ' || yrs
+              ELSE dys || ' ' || ma || ' ' || yrs END AS mention,
+       CASE f WHEN 0 THEN 'iso' WHEN 1 THEN 'long'
+              ELSE 'abbr' END AS fmt,
+       iso AS iso_date
+FROM tx_m
+""",
         "text_tiling": r"""
 WITH tb_l AS (
   SELECT doc_id,

@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "kg_bgp_agg",
     "kg_construct",
     "text_tiling",
+    "kg_timex",
     "kg_betweenness",
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",
