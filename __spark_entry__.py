@@ -3772,6 +3772,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_dates(docs)
 
+    def kg_units(spark, sf_dir):
+        # quantity-literal canonicalization (kgspark/units.py
+        # extract_quantities): each doc plants one <number unit> mention
+        # cycling all 13 unit symbols (half with a fraction digit); the
+        # extractor must recover it and the exact base-unit integer
+        from kgspark.units import extract_quantities
+
+        d = F.col("doc_id")
+        ip = (d % 900) + 1
+        fd = d % 10
+        ui = ((d % 13) + 1).cast("int")
+        unit = F.element_at(F.array(*[F.lit(x) for x in [
+            "mg", "g", "kg", "t", "mm", "cm", "m", "km",
+            "B", "KB", "MB", "GB", "TB"]]), ui)
+        mention = F.when(
+            d % 2 == 0,
+            F.concat(ip.cast("string"), F.lit("."), fd.cast("string"),
+                     F.lit(" "), unit),
+        ).otherwise(F.concat(ip.cast("string"), F.lit(" "), unit))
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.lit("item weighs "), mention, F.lit(" in total"))
+            .alias("text"),
+        )
+        return extract_quantities(docs)
+
     def text_lm3(spark, sf_dir):
         # corpus-trained stupid-backoff trigram LM scores; every -ln p
         # quantized to micro-nats BEFORE the per-doc sum (exact longs)
@@ -5311,6 +5337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": kg_construct,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
+        "kg_units": kg_units,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -9797,6 +9824,37 @@ FROM cb_a1 CROSS JOIN cb_agg
         # window counts, slice + join per window
         # kgspark.chunk.topic_boundaries: same block/overlap/depth
         # arithmetic; '\\s+' split parity proven by the other token ops
+        # kgspark.units.extract_quantities over planted quantities: the
+        # oracle reconstructs mention + exact base-unit integer per doc
+        "kg_units": """
+WITH un_d AS (
+  SELECT doc_id, (doc_id % 900) + 1 AS ip, doc_id % 10 AS fd,
+         ((doc_id % 13) + 1)::INT AS ui, doc_id % 2 = 0 AS hasf
+  FROM documents
+),
+un_m AS (
+  SELECT doc_id, ip, fd, hasf,
+         (list_value('mg','g','kg','t','mm','cm','m','km',
+                     'B','KB','MB','GB','TB'))[ui] AS unit,
+         (list_value('mass','mass','mass','mass','length','length',
+                     'length','length','data','data','data','data',
+                     'data'))[ui] AS dimension,
+         (list_value('mg','mg','mg','mg','mm','mm','mm','mm',
+                     'B','B','B','B','B'))[ui] AS base_unit,
+         (list_value(1, 1000, 1000000, 1000000000, 1, 10, 1000, 1000000,
+                     1, 1000, 1000000, 1000000000,
+                     1000000000000))[ui] AS sc
+  FROM un_d
+)
+SELECT doc_id,
+       CASE WHEN hasf THEN ip::VARCHAR || '.' || fd::VARCHAR || ' ' || unit
+            ELSE ip::VARCHAR || ' ' || unit END AS mention,
+       dimension, unit, base_unit,
+       (ip * sc
+        + (CASE WHEN hasf THEN fd * 100 ELSE 0 END) * sc // 1000)::BIGINT
+         AS base_value
+FROM un_m
+""",
         # kgspark.timex.extract_dates over planted dates: the oracle
         # reconstructs the one mention per doc the regex must recover
         "kg_timex": """

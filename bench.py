@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "kg_construct",
     "text_tiling",
     "kg_timex",
+    "kg_units",
     "kg_betweenness",
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",
