@@ -3798,6 +3798,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_quantities(docs)
 
+    def kg_geo(spark, sf_dir):
+        # coordinate-literal canonicalization (kgspark/geo.py
+        # extract_coords): one planted degree-marked coordinate per doc
+        # cycling hemisphere, fraction presence, and spacing; extractor
+        # must recover the exact signed micro-degree integer
+        from kgspark.geo import extract_coords
+
+        d = F.col("doc_id")
+        hemi_i = ((d % 4) + 1).cast("int")
+        hemi = F.element_at(
+            F.array(F.lit("N"), F.lit("S"), F.lit("E"), F.lit("W")), hemi_i
+        )
+        deg = F.when(hemi_i <= 2, d % 91).otherwise(d % 181)
+        fd = d % 1000
+        mention = F.concat(
+            deg.cast("string"),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit("."), fd.cast("string")))
+            .otherwise(F.lit("")),
+            F.when(d % 5 < 3, F.lit("° ")).otherwise(F.lit("°")),
+            hemi,
+        )
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.lit("located at "), mention, F.lit(" on the map"))
+            .alias("text"),
+        )
+        return extract_coords(docs)
+
     def text_lm3(spark, sf_dir):
         # corpus-trained stupid-backoff trigram LM scores; every -ln p
         # quantized to micro-nats BEFORE the per-doc sum (exact longs)
@@ -5338,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
         "kg_units": kg_units,
+        "kg_geo": kg_geo,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -9824,6 +9854,37 @@ FROM cb_a1 CROSS JOIN cb_agg
         # window counts, slice + join per window
         # kgspark.chunk.topic_boundaries: same block/overlap/depth
         # arithmetic; '\\s+' split parity proven by the other token ops
+        # kgspark.geo.extract_coords over planted coordinates: the
+        # oracle reconstructs mention + signed micro-degrees per doc
+        "kg_geo": """
+WITH ge_d AS (
+  SELECT doc_id, ((doc_id % 4) + 1)::INT AS hi,
+         doc_id % 1000 AS fd, doc_id % 2 = 0 AS hasf,
+         doc_id % 5 < 3 AS sp
+  FROM documents
+),
+ge_m AS (
+  SELECT doc_id, fd, hasf, sp,
+         (list_value('N','S','E','W'))[hi] AS hemi,
+         CASE WHEN hi <= 2 THEN 'lat' ELSE 'lon' END AS axis,
+         CASE WHEN hi <= 2 THEN doc_id % 91 ELSE doc_id % 181 END AS deg,
+         CASE WHEN hi IN (2, 4) THEN -1 ELSE 1 END AS sgn
+  FROM ge_d
+)
+SELECT doc_id,
+       deg::VARCHAR
+         || CASE WHEN hasf THEN '.' || fd::VARCHAR ELSE '' END
+         || CASE WHEN sp THEN chr(176) || ' ' ELSE chr(176) END
+         || hemi AS mention,
+       axis, hemi,
+       (sgn * (deg * 1000000
+        + CASE WHEN hasf THEN rpad(fd::VARCHAR, 6, '0')::BIGINT
+               ELSE 0 END))::BIGINT AS microdeg
+FROM ge_m
+WHERE abs(deg * 1000000
+      + CASE WHEN hasf THEN rpad(fd::VARCHAR, 6, '0')::BIGINT ELSE 0 END)
+      <= CASE WHEN axis = 'lat' THEN 90000000 ELSE 180000000 END
+""",
         # kgspark.units.extract_quantities over planted quantities: the
         # oracle reconstructs mention + exact base-unit integer per doc
         "kg_units": """

@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "text_tiling",
     "kg_timex",
     "kg_units",
+    "kg_geo",
     "kg_betweenness",
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",
