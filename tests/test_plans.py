@@ -714,3 +714,22 @@ def test_session4_broadcast_and_rank_shapes(spark):
     assert "windowspecdefinition" not in p_auc.replace(
         "windowspecdefinition(__pid", ""
     )
+
+
+def test_literal_front_doors_map_only(spark):
+    """timex/units/geo literal canonicalizers must be pure map-side JVM
+    plans: no Python eval, no join, no shuffle exchange at all."""
+    from kgspark.geo import extract_coords
+    from kgspark.timex import extract_dates
+    from kgspark.units import extract_quantities
+
+    docs = spark.createDataFrame(
+        [(1, "on 2024-05-13 ship 2.5 kg to 40.7° N")],
+        "doc_id long, text string",
+    )
+    for df in [extract_dates(docs), extract_quantities(docs),
+               extract_coords(docs)]:
+        p = plan(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Join" not in p
+        assert "Exchange" not in p
