@@ -2081,6 +2081,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("prior") * 1e6, 0).cast("long").alias("prior_scaled"),
         )
 
+    def web_link_coherent(spark, sf_dir):
+        # coherence-reranked entity linking (kgspark/web.py
+        # link_coherent): ambiguous 'topic k' anchors + unambiguous
+        # 'hub k' context anchors over a synthetic crawl; candidate
+        # priors, inlink-overlap relatedness, and the argmax all in
+        # exact integer ppm
+        from kgspark.web import anchor_pairs, link_coherent
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        amb = F.when(d % 5 == 0, (d * 3) % 40).otherwise(d % 40)
+        html = F.concat(
+            F.lit('<a href="https://www.site'), amb.cast("string"),
+            F.lit('.example.com/t">topic '), (d % 7).cast("string"),
+            F.lit('</a> <a href="https://hub'), (d % 9).cast("string"),
+            F.lit('.example.org/h">hub '), (d % 9).cast("string"),
+            F.lit("</a>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://src"), (d % 13).cast("string"),
+                     F.lit(".example.com/p"), d.cast("string")).alias("url"),
+            html.alias("html"),
+        )
+        mentions = docs.select(
+            "doc_id",
+            F.when(d % 2 == 0,
+                   F.concat(F.lit("topic "), (d % 7).cast("string")))
+            .otherwise(F.concat(F.lit("hub "), (d % 9).cast("string")))
+            .alias("mention"),
+        )
+        return link_coherent(mentions, anchor_pairs(pages), k=3)
+
     def text_lm_bits(spark, sf_dir):
         # CCNet-style LM quality signal: bigram model trained ON the corpus,
         # each doc scored by average bits per bigram (add-1 smoothing)
@@ -5368,6 +5400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_timex": kg_timex,
         "kg_units": kg_units,
         "kg_geo": kg_geo,
+        "web_link_coherent": web_link_coherent,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -9854,6 +9887,104 @@ FROM cb_a1 CROSS JOIN cb_agg
         # window counts, slice + join per window
         # kgspark.chunk.topic_boundaries: same block/overlap/depth
         # arithmetic; '\\s+' split parity proven by the other token ops
+        # kgspark.web.link_coherent replica: pairs reconstructed from
+        # the synthesis arithmetic, then the same integer-ppm prior /
+        # inlink-overlap relatedness / coherence argmax pipeline
+        "web_link_coherent": """
+WITH lc_p AS (
+  SELECT 'src' || (doc_id % 13)::VARCHAR || '.example.com' AS s,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'www.site' || ((doc_id * 3) % 40)::VARCHAR
+                   || '.example.com'
+              ELSE 'www.site' || (doc_id % 40)::VARCHAR
+                   || '.example.com' END AS amb_host,
+         'hub' || (doc_id % 9)::VARCHAR || '.example.org' AS hub_host,
+         'topic ' || (doc_id % 7)::VARCHAR AS amb_anchor,
+         'hub ' || (doc_id % 9)::VARCHAR AS hub_anchor,
+         doc_id
+  FROM documents
+),
+lc_pairs AS (
+  SELECT s, amb_host AS e, amb_anchor AS anchor FROM lc_p
+  UNION ALL SELECT s, hub_host, hub_anchor FROM lc_p
+),
+lc_il AS (SELECT DISTINCT e, s FROM lc_pairs),
+lc_sz AS (SELECT e, count(*)::BIGINT AS sz FROM lc_il GROUP BY 1),
+lc_cnt AS (SELECT anchor, e AS dst, count(*)::BIGINT AS n
+           FROM lc_pairs GROUP BY 1, 2),
+lc_tot AS (SELECT anchor, sum(n)::BIGINT AS tot,
+                  count(*)::BIGINT AS n_cand
+           FROM lc_cnt GROUP BY 1),
+lc_cand AS (
+  SELECT anchor, dst AS cand_host,
+         (n * 1000000 // tot)::BIGINT AS prior_ppm, n_cand
+  FROM (
+    SELECT c.anchor, c.dst, c.n, t.tot, t.n_cand,
+           row_number() OVER (PARTITION BY c.anchor
+                              ORDER BY c.n DESC, c.dst ASC) AS rk
+    FROM lc_cnt c JOIN lc_tot t USING (anchor)
+  ) WHERE rk <= 3
+),
+lc_m AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'topic ' || (doc_id % 7)::VARCHAR
+              ELSE 'hub ' || (doc_id % 9)::VARCHAR END AS m
+  FROM documents
+),
+lc_k AS (SELECT DISTINCT id, m FROM lc_m),
+lc_mc AS (
+  SELECT k.id, k.m, c.cand_host, c.prior_ppm, c.n_cand
+  FROM lc_k k JOIN lc_cand c ON c.anchor = k.m
+),
+lc_ctx AS (SELECT DISTINCT id, cand_host AS ctx_host
+           FROM lc_mc WHERE n_cand = 1),
+lc_need AS (
+  SELECT mc.id, mc.m, mc.cand_host, x.ctx_host
+  FROM lc_mc mc JOIN lc_ctx x ON x.id = mc.id
+  WHERE x.ctx_host <> mc.cand_host
+),
+lc_pk AS (SELECT DISTINCT cand_host AS a, ctx_host AS b FROM lc_need),
+lc_com AS (
+  SELECT p.a, p.b, count(*)::BIGINT AS nc
+  FROM lc_pk p
+  JOIN lc_il ia ON ia.e = p.a
+  JOIN lc_il ib ON ib.e = p.b AND ib.s = ia.s
+  GROUP BY 1, 2
+),
+lc_rel AS (
+  SELECT a, b, (nc * 1000000 // least(za.sz, zb.sz))::BIGINT AS rel_ppm
+  FROM lc_com
+  JOIN lc_sz za ON za.e = a
+  JOIN lc_sz zb ON zb.e = b
+),
+lc_coh AS (
+  SELECT n.id, n.m, n.cand_host,
+         sum(coalesce(r.rel_ppm, 0))::BIGINT AS coherence_ppm
+  FROM lc_need n
+  LEFT JOIN lc_rel r ON r.a = n.cand_host AND r.b = n.ctx_host
+  GROUP BY 1, 2, 3
+),
+lc_sc AS (
+  SELECT mc.id, mc.m, mc.cand_host, mc.prior_ppm,
+         coalesce(h.coherence_ppm, 0)::BIGINT AS coherence_ppm,
+         (coalesce(h.coherence_ppm, 0) + mc.prior_ppm)::BIGINT AS score
+  FROM lc_mc mc
+  LEFT JOIN lc_coh h ON h.id = mc.id AND h.m = mc.m
+                    AND h.cand_host = mc.cand_host
+),
+lc_best AS (
+  SELECT id, m, cand_host AS linked_host, prior_ppm, coherence_ppm, score,
+         row_number() OVER (PARTITION BY id, m
+                            ORDER BY score DESC, cand_host ASC) AS rb
+  FROM lc_sc
+)
+SELECT l.id AS doc_id, l.m AS mention, b.linked_host, b.prior_ppm,
+       b.coherence_ppm, b.score
+FROM lc_m l
+LEFT JOIN (SELECT * FROM lc_best WHERE rb = 1) b
+  ON b.id = l.id AND b.m = l.m
+""",
         # kgspark.geo.extract_coords over planted coordinates: the
         # oracle reconstructs mention + signed micro-degrees per doc
         "kg_geo": """

@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "kg_timex",
     "kg_units",
     "kg_geo",
+    "web_link_coherent",
     "kg_betweenness",
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",

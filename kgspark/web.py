@@ -963,3 +963,155 @@ def hreflang_clusters(df: DataFrame, url_col: str = "url",
         F.min("href").over(w).alias("cluster_key"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_alternates"),
     )
+
+
+def link_coherent(
+    mentions: DataFrame,
+    pairs: DataFrame,
+    k: int = 3,
+    mention_col: str = "mention",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Coherence-reranked entity linking — the context stage Milne &
+    Witten put after the commonness prior ("Learning to link with
+    Wikipedia", CIKM 2008): among the top-`k` prior candidates for each
+    mention, prefer the one most related to the document's UNAMBIGUOUS
+    mentions' targets. link_by_prior is the context-free baseline; this
+    operator is what separates "Paris the city" from "Paris the host" when
+    the page also mentions unambiguous neighbors.
+
+    `pairs` is an anchor_pairs()-shaped crawl table (url, link, anchor);
+    it supplies both the candidate priors and the relatedness evidence.
+    All arithmetic is exact integer ppm:
+
+      prior_ppm        n(anchor→host)·1e6 div n(anchor)
+      rel_ppm(a, b)    |in(a) ∩ in(b)|·1e6 div min(|in(a)|, |in(b)|)
+                       (inlink sets of distinct source hosts)
+      coherence_ppm    Σ over context entities of rel_ppm
+      score            coherence_ppm + prior_ppm, argmax per mention
+                       (ties: linked_host asc)
+
+    Context = targets of mentions with exactly ONE candidate (the standard
+    unambiguous-context choice); a document with no unambiguous mention
+    falls back to the prior ranking (coherence 0 everywhere). Mentions
+    absent from the prior table pass through with NULLs (annotate, don't
+    drop — the link_by_prior contract).
+
+    Scale shape: the candidate table is alias-table-sized and broadcasts;
+    relatedness is computed ONLY for the (candidate, context) pairs that
+    occur (semi-join discipline — never all-pairs over entities), via one
+    shared-inlinker equi-join; per-doc context fan-out is bounded by the
+    document's own mention count. Hot anchors/hub hosts are ordinary join
+    skew — AQE splits them.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    il = materialize(
+        pairs.select(
+            host_of(F.col("link")).alias("e"),
+            host_of(F.col("url")).alias("s"),
+        )
+        .where((F.col("e") != "") & (F.col("s") != ""))
+        .distinct()
+    )
+    sizes = il.groupBy("e").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    counts = (
+        pairs.select(
+            F.trim(F.lower(F.col("anchor"))).alias("anchor"),
+            host_of(F.col("link")).alias("dst"),
+        )
+        .where((F.col("anchor") != "") & (F.col("dst") != ""))
+        .groupBy("anchor", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.groupBy("anchor").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("n").desc(), F.col("dst").asc()
+    )
+    cand = materialize(
+        counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .join(tot, "anchor")
+        .select(
+            "anchor", F.col("dst").alias("cand_host"),
+            F.expr("n * 1000000 div tot").cast("long").alias("prior_ppm"),
+            "n_cand",
+        )
+    )
+    men = mentions.select(
+        F.col(id_col).alias("__id"), F.col(mention_col).alias("__m")
+    ).withColumn("__norm", F.trim(F.lower(F.col("__m"))))
+    keys = men.select("__id", "__norm").distinct()
+    mc = keys.join(
+        F.broadcast(cand), keys["__norm"] == cand["anchor"]
+    ).drop("anchor")
+    ctx = (
+        mc.where(F.col("n_cand") == 1)
+        .select("__id", F.col("cand_host").alias("ctx_host"))
+        .distinct()
+    )
+    need = mc.select("__id", "__norm", "cand_host").join(ctx, "__id").where(
+        F.col("ctx_host") != F.col("cand_host")
+    )
+    pair_keys = need.select(
+        F.col("cand_host").alias("a"), F.col("ctx_host").alias("b")
+    ).distinct()
+    ia = il.select(F.col("e").alias("a"), "s")
+    ib = il.select(F.col("e").alias("b"), "s")
+    common = (
+        pair_keys.join(ia, "a").join(ib, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    rel = (
+        common
+        .join(sizes.select(F.col("e").alias("a"),
+                           F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("e").alias("b"),
+                           F.col("sz").alias("szb")), "b")
+        .select(
+            "a", "b",
+            F.expr("nc * 1000000 div least(sza, szb)").cast("long")
+            .alias("rel_ppm"),
+        )
+    )
+    coh = (
+        need.join(
+            rel,
+            (need["cand_host"] == rel["a"]) & (need["ctx_host"] == rel["b"]),
+            "left",
+        )
+        .groupBy("__id", "__norm", "cand_host")
+        .agg(F.sum(F.coalesce("rel_ppm", F.lit(0))).cast("long")
+             .alias("coherence_ppm"))
+    )
+    scored = (
+        mc.join(coh, ["__id", "__norm", "cand_host"], "left")
+        .withColumn(
+            "coherence_ppm",
+            F.coalesce("coherence_ppm", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "score", (F.col("coherence_ppm") + F.col("prior_ppm"))
+            .cast("long"),
+        )
+    )
+    wb = Window.partitionBy("__id", "__norm").orderBy(
+        F.col("score").desc(), F.col("cand_host").asc()
+    )
+    best = (
+        scored.withColumn("__rb", F.row_number().over(wb))
+        .where(F.col("__rb") == 1)
+        .select("__id", "__norm", F.col("cand_host").alias("linked_host"),
+                "prior_ppm", "coherence_ppm", "score")
+    )
+    return (
+        men.join(best, ["__id", "__norm"], "left")
+        .select(
+            F.col("__id").alias(id_col), F.col("__m").alias(mention_col),
+            "linked_host", "prior_ppm", "coherence_ppm", "score",
+        )
+    )
