@@ -4371,6 +4371,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   ("min", "?b", "min_b")],
         )
 
+    def kg_bgp_minus(spark, sf_dir):
+        # SPARQL MINUS (kgspark/graph_api.py bgp_minus): (part, brand)
+        # pairs minus every part that (under any of its keys) carries
+        # Brand#11 — one left_anti hash join on the shared ?x
+        from kgspark.graph_api import bgp_minus
+
+        return bgp_minus(
+            _extract_triples(spark, sf_dir),
+            [("?x", "has", "?b")],
+            [("?x", "has", "Brand#11")],
+        )
+
     def kg_construct(spark, sf_dir):
         # SPARQL CONSTRUCT (kgspark/graph_api.py bgp_construct): rewrite
         # the (part is_a type, part has brand) wedge into a derived
@@ -5396,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_infer_types": kg_infer_types,
         "kg_bgp_agg": kg_bgp_agg,
         "kg_construct": kg_construct,
+        "kg_bgp_minus": kg_bgp_minus,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
         "kg_units": kg_units,
@@ -10771,6 +10784,17 @@ GROUP BY 1
 """,
         # kgspark.graph_api.bgp_aggregate: bag-semantics solution
         # multiset grouped per type
+        # kgspark.graph_api.bgp_minus: anti-join on the shared variable
+        "kg_bgp_minus": f"""
+WITH {_PARTS_ORACLE_CTE},
+bm_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
+SELECT DISTINCT a.subj AS x, a.obj AS b
+FROM bm_t a
+WHERE a.pred = 'has' AND NOT EXISTS (
+  SELECT 1 FROM bm_t m
+  WHERE m.pred = 'has' AND m.obj = 'Brand#11'
+    AND m.subj = a.subj)
+""",
         # kgspark.graph_api.bgp_construct: wedge join + template
         # instantiation union, SELECT DISTINCT for set semantics
         "kg_construct": f"""

@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "kg_infer_types",
     "kg_bgp_agg",
     "kg_construct",
+    "kg_bgp_minus",
     "text_tiling",
     "kg_timex",
     "kg_units",

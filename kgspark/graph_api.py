@@ -379,6 +379,49 @@ def bgp_union(
     return acc.distinct() if distinct else acc
 
 
+def bgp_minus(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    minus_patterns: Sequence[tuple[str, str, str]],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+    max_path_hops: int = 6,
+) -> DataFrame:
+    """SPARQL MINUS: keep the bindings of `patterns` that are NOT
+    compatible with any binding of `minus_patterns` on their SHARED
+    variables — the negation piece of the BGP algebra (OPTIONAL/UNION/
+    FILTER/aggregate/CONSTRUCT are siblings on this engine).
+
+    Per the SPARQL 1.1 spec, a MINUS branch sharing NO variable with the
+    left side removes nothing (vacuous compatibility is NOT elimination) —
+    that degenerate call raises here instead, because it is always a query
+    bug. Variables bound only inside the minus branch are projected away
+    before the anti-join, exactly as MINUS scopes them.
+
+    Plan shape: one left_anti hash join on the shared variable columns —
+    the minus side is a binding table like any other, so selective
+    constants broadcast it; nothing new shuffles beyond the two BGPs.
+    """
+    left = bgp_match(
+        triples, patterns, subj=subj, pred=pred, obj=obj,
+        distinct=False, max_path_hops=max_path_hops,
+    )
+    right = bgp_match(
+        triples, minus_patterns, subj=subj, pred=pred, obj=obj,
+        distinct=False, max_path_hops=max_path_hops,
+    )
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        raise ValueError(
+            "bgp_minus: minus_patterns share no variable with patterns — "
+            "SPARQL MINUS would remove nothing"
+        )
+    out = left.join(right.select(*shared).distinct(), shared, "left_anti")
+    return out.distinct() if distinct else out
+
+
 def bgp_construct(
     triples: DataFrame,
     patterns: Sequence[tuple[str, str, str]],

@@ -395,3 +395,24 @@ def test_bgp_construct_skips_unbound_optional_and_validates(spark):
         bgp_construct(t, [("?s", "p", "?o")], [("?s", "q", "?zz")])
     with _pytest.raises(ValueError, match="template"):
         bgp_construct(t, [("?s", "p", "?o")], [])
+
+
+def test_bgp_minus_removes_compatible_bindings(spark):
+    from kgspark.graph_api import bgp_minus
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("c", "p", "z"),
+         ("a", "flag", "1"), ("c", "flag", "1")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.s, r.o)
+        for r in bgp_minus(
+            t, [("?s", "p", "?o")], [("?s", "flag", "1")]
+        ).collect()
+    }
+    # a and c carry the flag -> removed; b survives
+    assert got == {("b", "y")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="share no variable"):
+        bgp_minus(t, [("?s", "p", "?o")], [("?x", "flag", "1")])
