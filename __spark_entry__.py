@@ -4372,15 +4372,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def kg_bgp_minus(spark, sf_dir):
-        # SPARQL MINUS (kgspark/graph_api.py bgp_minus): (part, brand)
-        # pairs minus every part that (under any of its keys) carries
-        # Brand#11 — one left_anti hash join on the shared ?x
+        # SPARQL MINUS (kgspark/graph_api.py bgp_minus): (entity, value)
+        # pairs minus the flagged third of the entity space — one
+        # left_anti hash join on the shared ?x; the synthesis keeps the
+        # surviving fraction stable at every scale factor
         from kgspark.graph_api import bgp_minus
 
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        base = docs.select(
+            F.concat(F.lit("e"), (d % 60).cast("string")).alias("subj"),
+            F.lit("p").alias("pred"),
+            F.concat(F.lit("v"), (d % 7).cast("string")).alias("obj"),
+        )
+        flags = docs.where(d % 3 == 0).select(
+            F.concat(F.lit("e"), (d % 60).cast("string")).alias("subj"),
+            F.lit("flag").alias("pred"), F.lit("1").alias("obj"),
+        )
         return bgp_minus(
-            _extract_triples(spark, sf_dir),
-            [("?x", "has", "?b")],
-            [("?x", "has", "Brand#11")],
+            base.unionByName(flags),
+            [("?x", "p", "?v")],
+            [("?x", "flag", "1")],
         )
 
     def kg_construct(spark, sf_dir):
@@ -10785,15 +10797,18 @@ GROUP BY 1
         # kgspark.graph_api.bgp_aggregate: bag-semantics solution
         # multiset grouped per type
         # kgspark.graph_api.bgp_minus: anti-join on the shared variable
-        "kg_bgp_minus": f"""
-WITH {_PARTS_ORACLE_CTE},
-bm_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
-SELECT DISTINCT a.subj AS x, a.obj AS b
-FROM bm_t a
-WHERE a.pred = 'has' AND NOT EXISTS (
-  SELECT 1 FROM bm_t m
-  WHERE m.pred = 'has' AND m.obj = 'Brand#11'
-    AND m.subj = a.subj)
+        "kg_bgp_minus": """
+WITH bm_b AS (
+  SELECT DISTINCT 'e' || (doc_id % 60)::VARCHAR AS x,
+         'v' || (doc_id % 7)::VARCHAR AS v
+  FROM documents
+),
+bm_f AS (
+  SELECT DISTINCT 'e' || (doc_id % 60)::VARCHAR AS x
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT DISTINCT b.x, b.v FROM bm_b b
+WHERE NOT EXISTS (SELECT 1 FROM bm_f f WHERE f.x = b.x)
 """,
         # kgspark.graph_api.bgp_construct: wedge join + template
         # instantiation union, SELECT DISTINCT for set semantics
