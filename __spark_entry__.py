@@ -5256,6 +5256,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("cluster_size").cast("long").alias("n_docs"),
         )
 
+    def dedup_keep_best(spark, sf_dir):
+        # near-dup family representative selection (kgspark/dedup.py
+        # canonical_docs): CC over the exact n-gram-Jaccard pair graph,
+        # keep the longest doc per family (n_chars desc, id asc) — every
+        # doc annotated with family / keep / kept_id, never dropped
+        from kgspark.dedup import canonical_docs
+
+        docs = _read(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+        return canonical_docs(docs, pairs, "n_chars")
+
     def link_er_clusters(spark, sf_dir):
         # multi-source ER consolidation: base + 2 case-perturbed feeds
         # match on (nation, lower(name)); golden cluster id = min record
@@ -5350,6 +5361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_norms": embed_norms,
         "multimodal_image_meta": multimodal_image_meta,
         "dedup_cc_sizes": dedup_cc_sizes,
+        "dedup_keep_best": dedup_keep_best,
         "link_er_clusters": link_er_clusters,
         "rel_gaps": rel_gaps,
         # -- past position 50: see the ordering NOTE above ------------------
@@ -12165,6 +12177,38 @@ cs_sz AS (
 SELECT cluster_size, count(*)::BIGINT AS n_clusters,
        sum(cluster_size)::BIGINT AS n_docs
 FROM cs_sz GROUP BY cluster_size
+""",
+        # kgspark.dedup.canonical_docs over the same PPJoin pair graph
+        # as dedup_cc_sizes: per-family argmax by (n_chars desc, id asc)
+        "dedup_keep_best": f"""
+WITH RECURSIVE {_ngram_pairs_sql(3, 0.5)},
+kb_edges AS (SELECT a, b FROM ng_pairs WHERE jaccard >= 0.5),
+kb_sym AS (SELECT a, b FROM kb_edges UNION SELECT b, a FROM kb_edges),
+kb_reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.lab FROM kb_reach r JOIN kb_sym s ON s.a = r.node
+),
+kb_cc AS (SELECT node, min(lab) AS component FROM kb_reach GROUP BY node),
+kb_j AS (
+  SELECT d.doc_id AS id, d.n_chars AS q, c.component
+  FROM documents d JOIN kb_cc c ON c.node = d.doc_id
+),
+kb_r AS (
+  SELECT id, component,
+         count(*) OVER (PARTITION BY component) AS fsz,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY q DESC, id ASC) AS rk,
+         first_value(id) OVER (PARTITION BY component
+                               ORDER BY q DESC, id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS kept
+  FROM kb_j
+)
+SELECT id AS doc_id, component::BIGINT AS family, fsz::BIGINT AS family_size,
+       (CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS keep,
+       kept::BIGINT AS kept_id
+FROM kb_r
 """,
         # kgspark.linkrec.er_clusters: equality-key ER — cluster id is
         # the min record id per (block, lower(name)) group

@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "embed_norms",
     "multimodal_image_meta",
     "dedup_cc_sizes",
+    "dedup_keep_best",
     "link_er_clusters",
     "rel_gaps",
     "multimodal_header_mix",

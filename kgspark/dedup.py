@@ -1321,3 +1321,52 @@ def incremental_near_dups(
         )
         .where(F.col("i1000") >= F.lit(threshold_permille) * F.col("u"))
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup family REPRESENTATIVE selection — the step a curation
+    pipeline runs after candidate pairing: connected components over the
+    pair graph (any of this module's pair generators: ngram_jaccard_pairs,
+    minhash/simhash candidates, winnow_matches), then per family keep the
+    single best document by (quality desc, id asc).
+
+    -> (id, family, family_size, keep, kept_id): EVERY document gets a row
+    (annotate, never drop — the curate() auditability posture); singletons
+    are their own family with keep=1. `kept_id` names the family's chosen
+    representative on every member row, so downstream joins can rewrite
+    references the way canon.sameas_rewrite does for entities.
+
+    Scale shape: pointer-jumping CC touches only edge-incident docs
+    (canon.connected_components); the per-family argmax + size are ONE
+    window pass partitioned by family (rows per key = family size —
+    corpus-wide windows never appear). Quality must be a deterministic
+    column (integer scores keep the pick hash-stable cross-engine).
+    """
+    nodes = docs.select(F.col(id_col).alias("name"))
+    from kgspark.canon import connected_components
+
+    cc = connected_components(nodes, pairs.select("a", "b"))
+    j = docs.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("q")
+    ).join(cc.select(F.col("name").alias("id"), "component"), "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("q").desc(), F.col("id").asc()
+    )
+    wall = Window.partitionBy("component")
+    return j.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("family"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("family_size"),
+        (F.row_number().over(w) == 1).cast("long").alias("keep"),
+        F.first("id").over(
+            Window.partitionBy("component").orderBy(
+                F.col("q").desc(), F.col("id").asc()
+            ).rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+        ).alias("kept_id"),
+    )

@@ -463,3 +463,27 @@ def test_containment_adaptive_prefix_parity_and_pruning(spark):
     # the planted near-dups are contained in their originals
     assert any(a == 100 + j and b == j for a, b, _, _ in ext
                for j in range(8))
+
+
+def test_canonical_docs_picks_best_and_annotates_all(spark):
+    from kgspark.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 5), (9, 1)], "doc_id long, q long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    got = {
+        r.doc_id: (r.family, r.family_size, r.keep, r.kept_id)
+        for r in canonical_docs(docs, pairs, "q").collect()
+    }
+    fam = got[1][0]
+    assert got[1] == (fam, 3, 0, 2)
+    assert got[2] == (fam, 3, 1, 2)
+    assert got[3] == (fam, 3, 0, 2)
+    assert got[9] == (9, 1, 1, 9)           # singleton keeps itself
+    # quality tie -> lower id wins
+    docs2 = spark.createDataFrame([(4, 7), (5, 7)], "doc_id long, q long")
+    pairs2 = spark.createDataFrame([(4, 5)], "a long, b long")
+    got2 = {r.doc_id: (r.keep, r.kept_id)
+            for r in canonical_docs(docs2, pairs2, "q").collect()}
+    assert got2 == {4: (1, 4), 5: (0, 4)}
