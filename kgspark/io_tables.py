@@ -111,3 +111,42 @@ def write_table(df: DataFrame, base: str, name: str, mode: str = "overwrite",
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Driver-generated testdata tables (TESTDATA.md)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as an EXTERNAL bucketed parquet table — the co-located
+    layout the module header prescribes for triples (bucket by subj) and
+    entities (bucket by name): two tables bucketed on the same key with
+    the same bucket count join WITHOUT a shuffle exchange on either side,
+    and groupBy on the bucket key skips its exchange too (plan-gated in
+    tests/test_plans.py). At 100 TB this converts every subj-keyed join
+    of the KG's hot path from a full shuffle to a zipped per-bucket merge.
+
+    Catalog seam: Spark-native bucketing rides the session catalog
+    (saveAsTable), with the files at the explicit external `path`; when an
+    Iceberg catalog is configured the same call maps to a bucket(n, col)
+    partition transform (this sandbox carries no Iceberg jar — the
+    parquet path is the tested one, the documented posture since r1).
+
+    `sort_cols` adds within-bucket ordering (sorted-bucket merge joins +
+    better min/max pruning), at the usual write-time sort cost.
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    w = (
+        df.write.format("parquet").mode(mode).option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

@@ -189,3 +189,38 @@ def test_catalog_delete_unpartitioned_swap(spark, tmp_path):
     assert out.count() == 2
     # NULL-filename row preserved
     assert out.where(out.filename.isNull()).count() == 1
+
+
+def test_write_bucketed_join_and_agg_are_shuffle_free(spark, tmp_path):
+    """The 100 TB co-location claim, executed: two tables bucketed by the
+    same key join with ZERO Exchange operators (broadcast disabled so the
+    absence is bucketing, not a broadcast), and a groupBy on the bucket
+    key aggregates without its exchange."""
+    from kgspark.io_tables import write_bucketed
+
+    a = spark.range(0, 200).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 200).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "kb_bkt_a", str(tmp_path / "a"), ["k"], n_buckets=4)
+    write_bucketed(b, "kb_bkt_b", str(tmp_path / "b"), ["k"], n_buckets=4)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("kb_bkt_a").join(spark.table("kb_bkt_b"), "k")
+            p = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in p, p
+            assert j.count() == 200
+            g = (
+                spark.table("kb_bkt_a").groupBy("k")
+                .agg({"va": "sum"})
+            )
+            pg = g._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in pg, pg
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kb_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS kb_bkt_b")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket_cols"):
+        write_bucketed(a, "x", str(tmp_path / "x"), [])
