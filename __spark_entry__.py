@@ -2525,6 +2525,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return retention_matrix(_read(spark, sf_dir, "events"))
 
+    def rel_attribution(spark, sf_dir):
+        # first/last-touch conversion attribution (kgspark/relops.py
+        # touch_attribution): purchases credited to the first and last
+        # preceding view/click/signup touch per user, '(none)' fallback
+        from kgspark.relops import touch_attribution
+
+        return touch_attribution(
+            _read(spark, sf_dir, "events"), "purchase",
+            ["view", "click", "signup"],
+        )
+
     def rel_funnel(spark, sf_dir):
         # ordered signup -> click -> purchase funnel per user
         from kgspark.relops import funnel_counts
@@ -5487,6 +5498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_wsample": corpus_wsample,
         "rel_retention": rel_retention,
         "rel_funnel": rel_funnel,
+        "rel_attribution": rel_attribution,
         "dedup_spans": dedup_spans,
         "kg_scc": kg_scc,
         "rel_scd2": rel_scd2,
@@ -7448,6 +7460,33 @@ GROUP BY 1, 2
 """,
         # kgspark.relops.funnel_counts: stage k's timestamp = earliest
         # event at-or-after stage k-1's; counts are exact ints
+        # kgspark.relops.touch_attribution: same strictly-earlier
+        # (ts, event_id) window, first/last ignorenulls, (none) fallback
+        "rel_attribution": """
+WITH at_e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type IN ('view', 'click', 'signup')
+              THEN event_type END AS ch
+  FROM events
+),
+at_c AS (
+  SELECT coalesce(first_value(ch IGNORE NULLS) OVER w, '(none)') AS f,
+         coalesce(last_value(ch IGNORE NULLS) OVER w, '(none)') AS l,
+         event_type
+  FROM at_e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+at_p AS (SELECT f, l FROM at_c WHERE event_type = 'purchase'),
+at_f AS (SELECT f AS channel, count(*)::BIGINT AS n_first
+         FROM at_p GROUP BY 1),
+at_l AS (SELECT l AS channel, count(*)::BIGINT AS n_last
+         FROM at_p GROUP BY 1)
+SELECT coalesce(at_f.channel, at_l.channel) AS channel,
+       coalesce(n_first, 0)::BIGINT AS n_first,
+       coalesce(n_last, 0)::BIGINT AS n_last
+FROM at_f FULL OUTER JOIN at_l ON at_f.channel = at_l.channel
+""",
         "rel_funnel": r"""
 WITH fn_e AS (
   SELECT user_id AS u, event_type AS et, ts FROM events

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "corpus_wsample",
     "rel_retention",
     "rel_funnel",
+    "rel_attribution",
     "dedup_spans",
     "kg_scc",
     "rel_scd2",

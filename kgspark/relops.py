@@ -889,3 +889,60 @@ def interarrival_quantiles(
         "q_pml",
         F.col("v_micro").alias("gap_micros"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion: str,
+    channels: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution — the classic
+    marketing-analytics census restated for any event stream: for every
+    `conversion` event, credit the FIRST and the LAST preceding event
+    whose type is in `channels` (same user, strictly earlier by
+    (ts, event_id) — the id tiebreak makes simultaneous rows
+    deterministic). -> (channel, n_first, n_last, n_conversions_first,
+    ...) folded as (channel, n_first, n_last); conversions with no
+    preceding channel event are reported under channel '(none)'.
+
+    Scale shape: ONE window pass partitioned by user (rows per key =
+    that user's events, never corpus-wide) carrying running first/last
+    channel via first/last(ignorenulls), then a channel-sized groupBy
+    per model joined on channel. Exact counts.
+    """
+    ch = F.when(F.col(type_col).isin(*channels), F.col(type_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = (
+        events.select(
+            F.col(user_col), F.col(type_col), F.col(ts_col), F.col(id_col),
+            F.first(ch, ignorenulls=True).over(w).alias("__first"),
+            F.last(ch, ignorenulls=True).over(w).alias("__last"),
+        )
+        .where(F.col(type_col) == conversion)
+        .select(
+            F.coalesce("__first", F.lit("(none)")).alias("first_ch"),
+            F.coalesce("__last", F.lit("(none)")).alias("last_ch"),
+        )
+    )
+    nf = conv.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    nl = conv.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last")
+    )
+    return (
+        nf.join(nl, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last"),
+        )
+    )

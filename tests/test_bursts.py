@@ -60,3 +60,30 @@ def test_burst_determinism_across_partitionings(spark):
     a = sorted(map(tuple, burst_windows(df.repartition(1)).collect()))
     b = sorted(map(tuple, burst_windows(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_touch_attribution_first_last_and_none(spark):
+    from kgspark.relops import touch_attribution
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    ev = spark.createDataFrame(
+        [(1, 1, "ad", t(1)), (2, 1, "email", t(2)), (3, 1, "buy", t(3)),
+         (4, 2, "email", t(1)), (5, 2, "buy", t(2)),
+         (6, 3, "buy", t(1)),                  # no preceding touch
+         (7, 1, "ad", t(4)), (8, 1, "buy", t(5))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.channel: (r.n_first, r.n_last)
+        for r in touch_attribution(ev, "buy", ["ad", "email"]).collect()
+    }
+    # user1 buy@3: first=ad, last=email; user1 buy@5: first=ad, last=ad;
+    # user2: email/email; user3: none
+    assert got == {
+        "ad": (2, 1),
+        "email": (1, 2),
+        "(none)": (1, 1),
+    }
