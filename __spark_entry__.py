@@ -2113,6 +2113,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return link_coherent(mentions, anchor_pairs(pages), k=3)
 
+    def web_nil_mentions(spark, sf_dir):
+        # NIL mention clustering (kgspark/web.py nil_mentions): the
+        # 'mystery N' surfaces have no anchor prior — they cluster into
+        # the emerging-entity census; known surfaces vanish
+        from kgspark.web import anchor_commonness, nil_mentions
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        first_word = F.element_at(F.split("text", " "), 1)
+        html = F.concat(
+            F.lit('<a href="https://www.site'),
+            ((d * 3) % 40).cast("string"),
+            F.lit('.example.com/t" class="r">'), first_word,
+            F.lit(' page</a> <a href="https://hub.example.org/h">hub '),
+            (d % 9).cast("string"), F.lit("</a>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://me.example.com/"),
+                     d.cast("string")).alias("url"),
+            html.alias("html"),
+        )
+        mentions = docs.select(
+            "doc_id",
+            F.when(d % 3 == 0, F.concat(first_word, F.lit(" page")))
+            .when(d % 3 == 1,
+                  F.concat(F.lit("hub "), (d % 9).cast("string")))
+            .otherwise(
+                F.concat(F.lit("mystery "), (d % 13).cast("string")))
+            .alias("mention"),
+        )
+        return nil_mentions(mentions, anchor_commonness(pages))
+
     def text_lm_bits(spark, sf_dir):
         # CCNet-style LM quality signal: bigram model trained ON the corpus,
         # each doc scored by average bits per bigram (add-1 smoothing)
@@ -5449,6 +5481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_units": kg_units,
         "kg_geo": kg_geo,
         "web_link_coherent": web_link_coherent,
+        "web_nil_mentions": web_nil_mentions,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -9963,6 +9996,34 @@ FROM cb_a1 CROSS JOIN cb_agg
         # window counts, slice + join per window
         # kgspark.chunk.topic_boundaries: same block/overlap/depth
         # arithmetic; '\\s+' split parity proven by the other token ops
+        # kgspark.web.nil_mentions: known surfaces reconstructed from
+        # the synthesis; only the 'mystery N' mentions survive the
+        # anti-join and cluster by surface
+        "web_nil_mentions": """
+WITH nm_known AS (
+  SELECT DISTINCT lower(string_split(text, ' ')[1] || ' page') AS k
+  FROM documents
+  UNION
+  SELECT DISTINCT 'hub ' || (doc_id % 9)::VARCHAR FROM documents
+),
+nm_m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN lower(string_split(text, ' ')[1] || ' page')
+              WHEN doc_id % 3 = 1
+              THEN 'hub ' || (doc_id % 9)::VARCHAR
+              ELSE 'mystery ' || (doc_id % 13)::VARCHAR END AS m
+  FROM documents
+),
+nm_nil AS (
+  SELECT doc_id, m FROM nm_m
+  WHERE m <> '' AND NOT EXISTS (SELECT 1 FROM nm_known k WHERE k.k = nm_m.m)
+)
+SELECT m AS nil_surface, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc
+FROM nm_nil GROUP BY 1
+""",
         # kgspark.web.link_coherent replica: pairs reconstructed from
         # the synthesis arithmetic, then the same integer-ppm prior /
         # inlink-overlap relatedness / coherence argmax pipeline

@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "kg_units",
     "kg_geo",
     "web_link_coherent",
+    "web_nil_mentions",
     "kg_betweenness",
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",

@@ -1115,3 +1115,39 @@ def link_coherent(
             "linked_host", "prior_ppm", "coherence_ppm", "score",
         )
     )
+
+
+def nil_mentions(
+    mentions: DataFrame,
+    priors: DataFrame,
+    mention_col: str = "mention",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NIL mention clustering — the step after linking: mentions whose
+    normalized surface has NO entry in the prior/alias table are the
+    knowledge base's missing entities; cluster them by surface (the
+    TAC-KBP surface-form baseline, which is the strong baseline for NIL
+    clustering) and census each cluster -> (nil_surface, n_mentions,
+    n_docs, min_doc). High-count clusters are emerging entities worth a
+    KB page; min_doc gives a deterministic exemplar pointer.
+
+    `priors` is anchor_commonness() output (or any table with an
+    `anchor` column of known surfaces). Scale shape: one broadcast
+    left_anti join against the alias-table-sized surface set + one
+    surface-keyed groupBy. Exact integers.
+    """
+    known = priors.select(
+        F.trim(F.lower(F.col("anchor"))).alias("__k")
+    ).distinct()
+    men = mentions.select(
+        F.col(id_col).alias("__id"),
+        F.trim(F.lower(F.col(mention_col))).alias("__norm"),
+    ).where(F.col("__norm") != "")
+    nil = men.join(
+        F.broadcast(known), men["__norm"] == known["__k"], "left_anti"
+    )
+    return nil.groupBy(F.col("__norm").alias("nil_surface")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.count_distinct("__id").cast("long").alias("n_docs"),
+        F.min("__id").cast("long").alias("min_doc"),
+    )

@@ -34,3 +34,23 @@ def test_link_coherent_context_flips_the_prior(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k"):
         link_coherent(mentions, pairs, k=0)
+
+
+def test_nil_mentions_clusters_unknown_surfaces(spark):
+    from kgspark.web import nil_mentions
+
+    priors = spark.createDataFrame(
+        [("paris", "citya.com", 3, 0.6)],
+        "anchor string, dst_host string, n long, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "Paris"), (1, "Zorgon"), (2, "zorgon"), (2, "zorgon"),
+         (3, "Blip"), (4, "  ")],
+        "doc_id long, mention string",
+    )
+    got = {
+        r.nil_surface: (r.n_mentions, r.n_docs, r.min_doc)
+        for r in nil_mentions(mentions, priors).collect()
+    }
+    # paris is known; blank normalizes away; zorgon pools across docs
+    assert got == {"zorgon": (3, 2, 1), "blip": (1, 1, 3)}
