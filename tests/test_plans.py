@@ -733,3 +733,47 @@ def test_literal_front_doors_map_only(spark):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "Join" not in p
         assert "Exchange" not in p
+
+
+def test_session4_late_ops_no_cartesian_no_python(spark):
+    """Late session-4 batch: MINUS, canonical pick, attribution, NIL,
+    coherence linking — keyed joins + JVM expressions only."""
+    import datetime as dt
+
+    from kgspark.dedup import canonical_docs
+    from kgspark.graph_api import bgp_minus
+    from kgspark.relops import touch_attribution
+    from kgspark.web import link_coherent, nil_mentions
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "flag", "1")],
+        "subj string, pred string, obj string",
+    )
+    docs = spark.createDataFrame([(1, 5), (2, 9)], "doc_id long, q long")
+    dpairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    ev = spark.createDataFrame(
+        [(1, 1, "ad", dt.datetime(2024, 1, 1))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    apairs = spark.createDataFrame(
+        [("http://s.com/p", "https://a.com/x", "alpha")],
+        "url string, link string, anchor string",
+    )
+    priors = spark.createDataFrame(
+        [("alpha", "a.com", 1, 1.0)],
+        "anchor string, dst_host string, n long, prior double",
+    )
+    mentions = spark.createDataFrame([(1, "alpha")],
+                                     "doc_id long, mention string")
+    plans = [
+        plan(bgp_minus(t, [("?s", "p", "?o")], [("?s", "flag", "1")])),
+        plan(canonical_docs(docs, dpairs, "q")),
+        plan(touch_attribution(ev, "ad", ["x"])),
+        plan(nil_mentions(mentions, priors)),
+        plan(link_coherent(mentions, apairs)),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # NIL anti-join must broadcast the alias-table side
+    assert "Broadcast" in plan(nil_mentions(mentions, priors))
