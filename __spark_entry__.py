@@ -4438,6 +4438,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?x", "flag", "1")],
         )
 
+    def kg_bgp_nps(spark, sf_dir):
+        # SPARQL negated property set (kgspark/graph_api.py _pred_rel
+        # '!' support): every edge whose predicate is OUTSIDE
+        # {is_a, related_to, has_instance} — the taxonomy-free view
+        from kgspark.graph_api import bgp_match
+
+        return bgp_match(
+            _extract_triples(spark, sf_dir),
+            [("?x", "!is_a|related_to|has_instance", "?y")],
+        )
+
     def kg_construct(spark, sf_dir):
         # SPARQL CONSTRUCT (kgspark/graph_api.py bgp_construct): rewrite
         # the (part is_a type, part has brand) wedge into a derived
@@ -5476,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_agg": kg_bgp_agg,
         "kg_construct": kg_construct,
         "kg_bgp_minus": kg_bgp_minus,
+        "kg_bgp_nps": kg_bgp_nps,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
         "kg_units": kg_units,
@@ -10908,6 +10920,12 @@ GROUP BY 1
 """,
         # kgspark.graph_api.bgp_aggregate: bag-semantics solution
         # multiset grouped per type
+        # negated property set: NOT IN over the predicate column
+        "kg_bgp_nps": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT DISTINCT subj AS x, obj AS y FROM triples
+WHERE pred NOT IN ('is_a', 'related_to', 'has_instance')
+""",
         # kgspark.graph_api.bgp_minus: anti-join on the shared variable
         "kg_bgp_minus": """
 WITH bm_b AS (

@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "kg_bgp_agg",
     "kg_construct",
     "kg_bgp_minus",
+    "kg_bgp_nps",
     "text_tiling",
     "kg_timex",
     "kg_units",

@@ -32,7 +32,9 @@ def query_graph(triples: DataFrame, query: str) -> DataFrame:
 
 import re as _re
 
-_PATH_RE = _re.compile(r"^(\^?)([^+{}|^?]+(?:\|[^+{}|^?]+)*)(\+|\{(\d+),(\d+)\})?$")
+_PATH_RE = _re.compile(
+    r"^(\^?)(!?)([^+{}|^?!]+(?:\|[^+{}|^?!]+)*)(\+|\{(\d+),(\d+)\})?$"
+)
 
 
 def _is_var(t: str) -> bool:
@@ -71,7 +73,24 @@ def _pred_rel(
     m = _PATH_RE.match(p_t)
     if not m:
         raise ValueError(f"bgp_match: cannot parse predicate term {p_t!r}")
-    inv, alts, path_suffix = m.group(1), m.group(2).split("|"), m.group(3)
+    inv, neg, alts, path_suffix = (
+        m.group(1), m.group(2), m.group(3).split("|"), m.group(4)
+    )
+    if neg:
+        # SPARQL 1.1 negated property set !(a|b): any predicate OUTSIDE
+        # the set, one hop only (a negated closure is unbounded by
+        # construction — rejected, the bounded-closure posture)
+        if path_suffix:
+            raise ValueError(
+                f"bgp_match: negated property set cannot take a path "
+                f"suffix: {p_t!r}"
+            )
+        df = triples.where(~F.col(pred).isin(alts))
+        s_col, o_col = (obj, subj) if inv else (subj, obj)
+        return (
+            df.select(F.col(s_col).alias(subj), F.col(o_col).alias(obj)),
+            False,
+        )
     if len(alts) == 1:
         df = triples.where(F.col(pred) == F.lit(alts[0]))
     else:
@@ -89,7 +108,7 @@ def _pred_rel(
     if path_suffix == "+":
         lo, hi = 1, max_path_hops
     else:
-        lo, hi = int(m.group(4)), int(m.group(5))
+        lo, hi = int(m.group(5)), int(m.group(6))
     if lo < 1 or hi < lo:
         raise ValueError(f"bgp_match: bad path bounds in {p_t!r}")
     edges = df.select(

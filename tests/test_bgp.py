@@ -416,3 +416,27 @@ def test_bgp_minus_removes_compatible_bindings(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="share no variable"):
         bgp_minus(t, [("?s", "p", "?o")], [("?x", "flag", "1")])
+
+
+def test_bgp_negated_property_set(spark):
+    from kgspark.graph_api import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "is_a", "T"), ("a", "has", "b"), ("a", "rel", "c"),
+         ("b", "is_a", "U")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.x, r.y)
+        for r in bgp_match(t, [("?x", "!is_a|rel", "?y")]).collect()
+    }
+    assert got == {("a", "b")}
+    # inverse composes: ^!is_a walks the non-is_a edges backwards
+    got2 = {
+        (r.x, r.y)
+        for r in bgp_match(t, [("?x", "^!is_a", "?y")]).collect()
+    }
+    assert got2 == {("b", "a"), ("c", "a")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="negated"):
+        bgp_match(t, [("?x", "!is_a+", "?y")])
