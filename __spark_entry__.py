@@ -5415,7 +5415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_norms": embed_norms,
         "multimodal_image_meta": multimodal_image_meta,
         "dedup_cc_sizes": dedup_cc_sizes,
-        "dedup_keep_best": dedup_keep_best,
         "link_er_clusters": link_er_clusters,
         "rel_gaps": rel_gaps,
         # -- past position 50: see the ordering NOTE above ------------------
@@ -5488,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": kg_construct,
         "kg_bgp_minus": kg_bgp_minus,
         "kg_bgp_nps": kg_bgp_nps,
+        "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
         "kg_units": kg_units,
