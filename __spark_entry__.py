@@ -5352,6 +5352,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return interarrival_quantiles(_read(spark, sf_dir, "events"))
 
+    def corpus_kanon(spark, sf_dir):
+        # k-anonymity / l-diversity audit (kgspark/pii.py kanon_report):
+        # quasi-identifiers = (event_type, hour, user bucket); sensitive =
+        # integer cents; census of equivalence-class sizes
+        from kgspark.pii import kanon_report
+
+        ev = _read(spark, sf_dir, "events").select(
+            F.col("event_type").alias("qa"),
+            F.hour("ts").alias("qb"),
+            (F.col("user_id") % 10).alias("qc"),
+            F.floor(F.col("value") * 100).cast("long").alias("sv"),
+        )
+        return kanon_report(
+            ev, ["qa", "qb", "qc"], k=5, sensitive_col="sv", l_div=2
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -5494,6 +5510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_geo": kg_geo,
         "web_link_coherent": web_link_coherent,
         "web_nil_mentions": web_nil_mentions,
+        "corpus_kanon": corpus_kanon,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -10011,6 +10028,27 @@ FROM cb_a1 CROSS JOIN cb_agg
         # kgspark.web.nil_mentions: known surfaces reconstructed from
         # the synthesis; only the 'mystery N' mentions survive the
         # anti-join and cluster by surface
+        # kgspark.pii.kanon_report replica: quasi-identifier equivalence
+        # classes, then the class-size census with l-diversity exposure
+        "corpus_kanon": """
+WITH ka_e AS (
+  SELECT event_type AS qa, hour(ts)::BIGINT AS qb,
+         (user_id % 10)::BIGINT AS qc,
+         floor(value * 100)::BIGINT AS sv
+  FROM events
+),
+ka_s AS (
+  SELECT qa, qb, qc, count(*)::BIGINT AS sz,
+         count(DISTINCT sv)::BIGINT AS nd
+  FROM ka_e GROUP BY 1, 2, 3
+)
+SELECT sz AS class_size,
+       count(*)::BIGINT AS n_classes,
+       (sz * count(*))::BIGINT AS n_rows,
+       (CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS below_k,
+       sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END)::BIGINT AS n_classes_low_div
+FROM ka_s GROUP BY sz
+""",
         "web_nil_mentions": """
 WITH nm_known AS (
   SELECT DISTINCT lower(string_split(text, ' ')[1] || ' page') AS k

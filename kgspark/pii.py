@@ -61,3 +61,56 @@ def scrub_pii(
     out = df.select("*", *counts, redacted.alias(out_col))
     total = sum((F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0))
     return out.withColumn("n_pii", total.cast("long"))
+
+
+def kanon_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns
+    (Sweeney 2002; Machanavajjhala 2007). Rows sharing a quasi-identifier
+    tuple form an equivalence class; a class smaller than `k` re-identifies
+    its members. Returns one row per distinct class SIZE:
+
+      (class_size, n_classes, n_rows, below_k,
+       [n_classes_low_div when sensitive_col])
+
+    `below_k` is 1 when class_size < k. With `sensitive_col`,
+    `n_classes_low_div` counts classes of that size holding fewer than
+    `l_div` distinct sensitive values (homogeneity attack exposure).
+    All counts are exact BIGINTs.
+
+    The reference stores raw node text with no privacy surface (ref
+    /root/reference/knowledge_graph_builder.py:137-168); this is
+    beyond-reference curation-audit surface, standard before releasing
+    quasi-structured web data.
+
+    Scale shape: one map-side-combinable groupBy on the quasi tuple, then
+    a class-size-domain-sized second agg (tiny). Hot classes are mere
+    counters — no skew risk; nothing is collected.
+    """
+    aggs = [F.count(F.lit(1)).alias("__sz")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("__nd"))
+    sizes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    outs = [
+        F.count(F.lit(1)).alias("n_classes"),
+    ]
+    if sensitive_col is not None:
+        outs.append(
+            F.sum((F.col("__nd") < l_div).cast("long"))
+            .alias("n_classes_low_div")
+        )
+    rep = sizes.groupBy("__sz").agg(*outs)
+    cols = [
+        F.col("__sz").cast("long").alias("class_size"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        (F.col("__sz") * F.col("n_classes")).cast("long").alias("n_rows"),
+        (F.col("__sz") < k).cast("long").alias("below_k"),
+    ]
+    if sensitive_col is not None:
+        cols.append(F.col("n_classes_low_div").cast("long"))
+    return rep.select(*cols)

@@ -141,3 +141,40 @@ def test_source_overlap_short_and_null_docs(spark):
     # <3-token and null docs contribute nothing
     assert (r["src_a"], r["src_b"], r["n_shared"], r["n_a"], r["n_b"]) == (
         "a", "b", 1, 1, 1)
+
+
+def test_kanon_report_class_census(spark):
+    from kgspark.pii import kanon_report
+
+    # 5 rows in class (a,1); 2 rows in (b,1); 1 row in (b,2)
+    rows = (
+        [("a", 1, 10)] * 3 + [("a", 1, 20)] * 2
+        + [("b", 1, 30), ("b", 1, 30), ("b", 2, 40)]
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sv int")
+    rep = {
+        r["class_size"]: r
+        for r in kanon_report(
+            df, ["q1", "q2"], k=3, sensitive_col="sv", l_div=2
+        ).collect()
+    }
+    assert set(rep) == {5, 2, 1}
+    # size-5 class: 1 class, 5 rows, >= k, 2 distinct sv -> not low-div
+    assert (rep[5]["n_classes"], rep[5]["n_rows"]) == (1, 5)
+    assert rep[5]["below_k"] == 0 and rep[5]["n_classes_low_div"] == 0
+    # size-2 class (b,1): below k, single sv value -> low diversity
+    assert rep[2]["below_k"] == 1 and rep[2]["n_classes_low_div"] == 1
+    # singleton (b,2): below k and trivially homogeneous
+    assert rep[1]["below_k"] == 1 and rep[1]["n_classes_low_div"] == 1
+
+
+def test_kanon_report_without_sensitive(spark):
+    from kgspark.pii import kanon_report
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2)], "q1 string, q2 int"
+    )
+    out = kanon_report(df, ["q1", "q2"], k=2)
+    assert "n_classes_low_div" not in out.columns
+    got = {r["class_size"]: r["below_k"] for r in out.collect()}
+    assert got == {2: 0, 1: 1}
