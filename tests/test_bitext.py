@@ -1,0 +1,130 @@
+"""Bitext mining tests: brute-force Python replica of the banded-LSH +
+ratio-margin pipeline, plus hub-suppression behavior."""
+
+from __future__ import annotations
+
+import math
+
+from kgspark.bitext import mine_bitext
+
+DIM = 16
+BANDS, BITS, K = 8, 8, 4
+
+
+def _vec(*pairs):
+    v = [0.0] * DIM
+    for i, x in pairs:
+        v[i] = x
+    return v
+
+
+# left shard: 3 sources. right shard: a true mate for 0 and 2, a hub that
+# sits near BOTH 0 and 2, and a far distractor.
+LEFT = {
+    0: _vec((0, 1.0), (1, 0.2)),
+    2: _vec((2, 1.0), (3, 0.3)),
+    4: _vec((5, 1.0), (6, -0.4)),
+}
+RIGHT = {
+    101: _vec((0, 1.0), (1, 0.2)),            # exact mate of 0
+    103: _vec((2, 0.9), (3, 0.35)),           # near mate of 2
+    105: _vec((0, 0.7), (1, 0.1), (2, 0.7), (3, 0.2)),  # hub: near 0 AND 2
+    107: _vec((7, 1.0)),                      # unrelated
+}
+
+
+def _bands_of(v):
+    out = []
+    for b in range(BANDS):
+        val = 0
+        for i in range(BITS):
+            idx = b + i * BANDS
+            if idx < len(v) and v[idx] > 0:
+                val |= 1 << i
+        out.append(val)
+    return out
+
+
+def _cos_ppm(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return int(round(round(dot / (na * nb), 6) * 1e6))
+
+
+def _replica(margin_ppm=1_050_000):
+    lb = {i: _bands_of(v) for i, v in LEFT.items()}
+    rb = {j: _bands_of(v) for j, v in RIGHT.items()}
+    scored = {}
+    for i in LEFT:
+        for j in RIGHT:
+            if any(a == b for a, b in zip(lb[i], rb[j])):
+                c = _cos_ppm(LEFT[i], RIGHT[j])
+                if c > 0:
+                    scored[(i, j)] = c
+    def top(key_side):
+        agg = {}
+        for (i, j), c in scored.items():
+            k = i if key_side == 0 else j
+            agg.setdefault(k, []).append((-c, (j if key_side == 0 else i), c))
+        out = {}
+        for k, lst in agg.items():
+            lst.sort()
+            head = [c for _, _, c in lst[:K]]
+            out[k] = (sum(head), len(head))
+        return out
+    nl, nr = top(0), top(1)
+    rows = {}
+    for (i, j), c in scored.items():
+        sl, cl = nl[i]
+        sr, cr = nr[j]
+        m = math.floor(2e6 * c * cl * cr / (sl * cr + sr * cl))
+        cur = rows.get(i)
+        if cur is None or (-m, j) < (-cur[2], cur[0]):
+            rows[i] = (j, c, m)
+    return {
+        i: (j, c, m)
+        for i, (j, c, m) in rows.items()
+        if m >= margin_ppm
+    }
+
+
+def _shards(spark):
+    l = spark.createDataFrame(
+        [(i, v) for i, v in LEFT.items()], "id long, embedding array<double>"
+    )
+    r = spark.createDataFrame(
+        [(j, v) for j, v in RIGHT.items()], "id long, embedding array<double>"
+    )
+    return l, r
+
+
+def test_mine_bitext_matches_brute_force(spark):
+    l, r = _shards(spark)
+    got = {
+        row["src"]: (row["tgt"], row["cos_ppm"], row["margin_ppm"])
+        for row in mine_bitext(l, r, k=K).collect()
+    }
+    assert got == _replica()
+    assert len(got) >= 1  # the planted exact mate must survive
+
+
+def test_exact_mate_wins_over_hub(spark):
+    l, r = _shards(spark)
+    got = {row["src"]: row for row in mine_bitext(l, r, k=K).collect()}
+    # src 0's best is its exact copy (cos_ppm = 1e6), not the hub 105
+    assert got[0]["tgt"] == 101
+    assert got[0]["cos_ppm"] == 1_000_000
+    assert got[0]["margin_ppm"] > 1_000_000
+
+
+def test_hub_margin_suppressed(spark):
+    l, r = _shards(spark)
+    # with a very low threshold, src 2 is still mated to its true near
+    # mate 103, not the hub, because the hub's fat neighborhood deflates
+    # its margin
+    got = {row["src"]: row for row in mine_bitext(l, r, k=K, margin_ppm=0).collect()}
+    assert got[2]["tgt"] == 103
+    # exactly one row per src, and src 4 (no positive-cos candidate mate
+    # with margin above 0) appears at most once
+    assert all(isinstance(v["margin_ppm"], int) for v in got.values())

@@ -777,3 +777,24 @@ def test_session4_late_ops_no_cartesian_no_python(spark):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # NIL anti-join must broadcast the alias-table side
     assert "Broadcast" in plan(nil_mentions(mentions, priors))
+
+
+def test_bitext_banded_join_no_cartesian_windowlimit(spark):
+    """mine_bitext: LSH candidates come from an equi-join (never a
+    CartesianProduct / nested-loop between shards), the kNN heads compile
+    to WindowGroupLimit, and everything stays JVM-side."""
+    from kgspark.bitext import mine_bitext
+
+    l = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, -0.5, 0.25]) for i in range(6)],
+        "id long, embedding array<double>",
+    )
+    r = spark.createDataFrame(
+        [(100 + i, [float(i % 3), 1.0, -0.5, 0.25]) for i in range(6)],
+        "id long, embedding array<double>",
+    )
+    p = plan(mine_bitext(l, r, bands=4, band_bits=4, k=2, margin_ppm=0))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WindowGroupLimit" in p
