@@ -128,3 +128,52 @@ def test_hub_margin_suppressed(spark):
     # exactly one row per src, and src 4 (no positive-cos candidate mate
     # with margin above 0) appears at most once
     assert all(isinstance(v["margin_ppm"], int) for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# mirror_hosts (lives here to avoid another Spark-session test module)
+# ---------------------------------------------------------------------------
+
+T1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+T2 = "one two three four five six seven eight nine ten eleven twelve"
+T3 = "totally different content about nothing shared with the others here"
+
+
+def _shset(texts, n=5):
+    out = set()
+    for t in texts:
+        toks = t.split(" ")
+        if len(toks) >= n:
+            out |= {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        else:
+            out.add(" ".join(toks))
+    return out
+
+
+def test_mirror_hosts_exact_jaccard(spark):
+    from kgspark.web import mirror_hosts
+
+    rows = [("h1", T1), ("h1", T2), ("m1", T1), ("h2", T3)]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {(r["host_a"], r["host_b"]): r
+           for r in mirror_hosts(df, threshold_ppm=0).collect()}
+    a = _shset([T1, T2])
+    b = _shset([T1])
+    inter = len(a & b)
+    union = len(a | b)
+    key = ("h1", "m1")
+    assert key in got
+    assert got[key]["n_inter"] == inter
+    assert got[key]["n_union"] == union
+    assert got[key]["jaccard_ppm"] == math.floor(1e6 * inter / union)
+    # h2 shares nothing: no pair involving it survives even at threshold 0
+    assert not any("h2" in k for k in got)
+
+
+def test_mirror_hosts_threshold(spark):
+    from kgspark.web import mirror_hosts
+
+    rows = [("h1", T1), ("h1", T2), ("m1", T1), ("h2", T3)]
+    df = spark.createDataFrame(rows, "host string, text string")
+    # the h1/m1 jaccard is well under 900000: a high threshold empties it
+    assert mirror_hosts(df, threshold_ppm=900_000).count() == 0

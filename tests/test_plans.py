@@ -798,3 +798,20 @@ def test_bitext_banded_join_no_cartesian_windowlimit(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_mirror_hosts_sketch_windowlimit_no_cartesian(spark):
+    """mirror_hosts: the bottom-s sketch compiles to WindowGroupLimit
+    (per-host head capped map-side), candidates are fingerprint equi-joins,
+    everything JVM-side."""
+    from kgspark.web import mirror_hosts
+
+    df = spark.createDataFrame(
+        [(f"h{i % 3}", f"w{i} x{i} y{i} z{i} a b c d e f") for i in range(12)],
+        "host string, text string",
+    )
+    p = plan(mirror_hosts(df, threshold_ppm=0, materialize_intermediates=False))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WindowGroupLimit" in p
