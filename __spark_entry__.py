@@ -5416,6 +5416,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shingle_n=5, s=16, threshold_ppm=100_000,
         )
 
+    def kg_taxo_reduction(spark, sf_dir):
+        # transitive-reduction audit (kgspark/taxo.py): the extracted is_a
+        # taxonomy deepened with typ->part->thing levels, plus planted
+        # redundant shortcut edges — md5-selected 50% of parts assert
+        # is_a 'part' directly (implied at 2 hops) and 25% assert is_a
+        # 'thing' (implied at 3) — bounded, scale-stable selections
+        from kgspark.taxo import transitive_reduction
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        isa = t.where(F.col("pred") == "is_a").select(
+            F.col("subj").alias("child"), F.col("obj").alias("parent")
+        )
+        levels = isa.select(F.col("parent").alias("child")).distinct().select(
+            "child", F.lit("part").alias("parent")
+        ).union(
+            spark.createDataFrame(
+                [("part", "thing")], "child string, parent string"
+            )
+        )
+        short1 = isa.where(F.substring(F.md5("child"), 1, 1) < "8").select(
+            "child", F.lit("part").alias("parent")
+        )
+        short2 = isa.where(F.substring(F.md5("child"), 1, 1) < "4").select(
+            "child", F.lit("thing").alias("parent")
+        )
+        return transitive_reduction(
+            isa.union(levels).union(short1).union(short2), max_depth=4
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -5561,6 +5590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kanon": corpus_kanon,
         "corpus_bitext": corpus_bitext,
         "web_mirrors": web_mirrors,
+        "kg_taxo_reduction": kg_taxo_reduction,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -10145,6 +10175,41 @@ FROM mh_int i
 JOIN mh_sizes sa ON sa.host = i.host_a
 JOIN mh_sizes sb ON sb.host = i.host_b
 WHERE floor(1e6 * i.n_inter / (sa.n + sb.n - i.n_inter)) >= 100000
+""",
+        # kgspark.taxo.transitive_reduction replica: the query's taxonomy
+        # (is_a edges + typ->part->thing levels + md5-planted shortcut
+        # edges), 4-hop unrolled max-path closure, direct edges annotated
+        "kg_taxo_reduction": f"""
+WITH {_PARTS_ORACLE_CTE},
+tr_isa AS (SELECT DISTINCT subj AS c, obj AS p FROM triples WHERE pred = 'is_a'),
+tr_ed AS (
+  SELECT DISTINCT c, p FROM (
+    SELECT c, p FROM tr_isa
+    UNION SELECT DISTINCT p, 'part' FROM tr_isa
+    UNION SELECT 'part', 'thing'
+    UNION SELECT c, 'part' FROM tr_isa WHERE substring(md5(c), 1, 1) < '8'
+    UNION SELECT c, 'thing' FROM tr_isa WHERE substring(md5(c), 1, 1) < '4'
+  ) WHERE c <> p
+),
+tr_h AS (
+  SELECT c, p, 1 AS h FROM tr_ed
+  UNION ALL
+  SELECT a.c, b.p, 2 FROM tr_ed a JOIN tr_ed b ON a.p = b.c
+  WHERE a.c <> b.p
+  UNION ALL
+  SELECT a.c, c2.p, 3 FROM tr_ed a JOIN tr_ed b ON a.p = b.c
+                        JOIN tr_ed c2 ON b.p = c2.c
+  WHERE a.c <> c2.p
+  UNION ALL
+  SELECT a.c, d2.p, 4 FROM tr_ed a JOIN tr_ed b ON a.p = b.c
+                        JOIN tr_ed c2 ON b.p = c2.c
+                        JOIN tr_ed d2 ON c2.p = d2.c
+  WHERE a.c <> d2.p
+),
+tr_cl AS (SELECT c, p, max(h) AS hops FROM tr_h GROUP BY 1, 2)
+SELECT e.c AS child, e.p AS parent, cl.hops::BIGINT AS max_hops,
+       (CASE WHEN cl.hops >= 2 THEN 1 ELSE 0 END)::BIGINT AS redundant
+FROM tr_ed e JOIN tr_cl cl ON cl.c = e.c AND cl.p = e.p
 """,
         # kgspark.bitext.mine_bitext replica: banded sign-LSH candidates
         # between the vec_id-parity shards, integer-ppm cosines, top-4

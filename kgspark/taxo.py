@@ -157,3 +157,44 @@ def taxonomy_similarity(
             "ELSE (2000000 * lcs_depth) div (depth_a + depth_b) END"
         ).cast("long").alias("wu_palmer_ppm"),
     )
+
+
+def transitive_reduction(
+    isa: DataFrame, max_depth: int = 16,
+    child: str = "child", parent: str = "parent",
+) -> DataFrame:
+    """Transitive-reduction audit of an is_a DAG (Aho, Garey & Ullman
+    1972 semantics): a direct edge (c, p) is REDUNDANT iff some other
+    path c ->+ p of length >= 2 exists — deleting it leaves reachability
+    unchanged. Asserted shortcut edges ("x is_a thing" when the hierarchy
+    already implies it) are classic ontology noise: they distort
+    Wu-Palmer depths (taxonomy_similarity), inflate rule-mining supports
+    and double-count closure materialization. The reference stores is_a
+    edges verbatim with no such audit (ref knowledge_graph_builder.py:
+    131-141).
+
+    Returns every distinct non-self edge ANNOTATED, never dropped:
+    (child, parent, max_hops, redundant) with max_hops = the longest
+    c->...->p path length found within max_depth and redundant = 1 iff
+    max_hops >= 2. Cycles terminate at the hop bound, so flags follow the
+    bounded-closure semantics there (documented posture shared with
+    ancestor_closure).
+
+    100 TB: one hop-bounded ancestor closure (taxonomies are shallow — the
+    bound is a schema property) + one edge-keyed hash join. No n² shape.
+    """
+    edges = isa.select(
+        F.col(child).alias("child"), F.col(parent).alias("parent")
+    ).where(F.col("child") != F.col("parent")).distinct()
+    cl = ancestor_closure(isa, max_depth, child=child, parent=parent).select(
+        F.col("node").alias("child"),
+        F.col("anc").alias("parent"),
+        "hops",
+    )
+    return edges.join(cl, ["child", "parent"]).select(
+        "child",
+        "parent",
+        F.col("hops").cast("long").alias("max_hops"),
+        F.when(F.col("hops") >= 2, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("redundant"),
+    )

@@ -177,3 +177,28 @@ def test_mirror_hosts_threshold(spark):
     df = spark.createDataFrame(rows, "host string, text string")
     # the h1/m1 jaccard is well under 900000: a high threshold empties it
     assert mirror_hosts(df, threshold_ppm=900_000).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# transitive_reduction
+# ---------------------------------------------------------------------------
+
+def test_transitive_reduction_flags(spark):
+    from kgspark.taxo import transitive_reduction
+
+    # chain a->b->c->d with asserted shortcuts a->d (longest path 3) and
+    # b->d (2); diamond x->y1->z, x->y2->z keeps both non-redundant, but
+    # the extra x->z edge is redundant
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("b", "d"),
+             ("x", "y1"), ("x", "y2"), ("y1", "z"), ("y2", "z"), ("x", "z"),
+             ("s", "s")]  # self-loop must be dropped
+    df = spark.createDataFrame(edges, "child string, parent string")
+    got = {(r["child"], r["parent"]): (r["max_hops"], r["redundant"])
+           for r in transitive_reduction(df, max_depth=8).collect()}
+    assert got[("a", "d")] == (3, 1)
+    assert got[("b", "d")] == (2, 1)
+    assert got[("x", "z")] == (2, 1)
+    assert got[("a", "b")] == (1, 0)
+    assert got[("y1", "z")] == (1, 0)
+    assert ("s", "s") not in got
+    assert len(got) == 10
