@@ -282,6 +282,31 @@ def _distmult_sql(s: str, p: str, o: str, dim: int = 8) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+def _complex_sql(s: str, p: str, o: str, dim: int = 8) -> str:
+    """ComplEx replica of kgspark.kgembed complex_score over the same
+    md5-byte embeddings (length-dim arrays read real-parts-first, d =
+    dim // 2): Re(<e_s, e_p, conj(e_o)>). Exact integers on both
+    engines."""
+    d = dim // 2
+
+    def b(x: str, salt: str, i: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{salt}' || {x}), {2 * i + 1}, 2))::INT"
+            " - 128)"
+        )
+
+    terms = []
+    for i in range(d):
+        sr, si = b(s, "e", i), b(s, "e", i + d)
+        pr, pi = b(p, "r", i), b(p, "r", i + d)
+        orr, oi = b(o, "e", i), b(o, "e", i + d)
+        terms.append(
+            f"({sr}*{pr}*{orr} + {si}*{pr}*{oi}"
+            f" + {sr}*{pi}*{oi} - {si}*{pi}*{orr})"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
 def _banded_sql(table: str, id_col: str, bands: int, bits: int) -> str:
     """(id, band, val) exploded banded sign-LSH values of `table`.embedding —
     mirrors kgspark.dedup.banded_sign_values: STRIDED coordinate subsets,
@@ -5048,6 +5073,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("entity", "rel")
         return distmult_score(t, ent, rel)
 
+    def kg_complex(spark, sf_dir):
+        # ComplEx plausibility per triple (kgspark/kgembed.py
+        # complex_score), same md5-byte integer embeddings read as
+        # complex 4-vectors — the antisymmetry-capable member of the
+        # kg_transe / kg_distmult scoring family
+        from kgspark.kgembed import complex_score, hash_embeddings
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        ents = t.select(F.col("subj").alias("e")).union(
+            t.select(F.col("obj").alias("e"))
+        )
+        ent = hash_embeddings(ents, "e", salt="e")
+        rel = hash_embeddings(
+            t.select(F.col("pred").alias("r")), "r", salt="r"
+        ).withColumnRenamed("entity", "rel")
+        return complex_score(t, ent, rel)
+
     def kg_lp_ranks(spark, sf_dir):
         # filtered link-prediction ranks (kgspark/kgembed.py lp_ranks):
         # predicate-range candidates, Bordes-filtered, deterministic
@@ -5591,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bitext": corpus_bitext,
         "web_mirrors": web_mirrors,
         "kg_taxo_reduction": kg_taxo_reduction,
+        "kg_complex": kg_complex,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -12310,6 +12353,16 @@ dm_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
 SELECT subj, pred, obj,
        {_distmult_sql('subj', 'pred', 'obj')} AS dm_score
 FROM dm_t
+""",
+        # kgspark.kgembed.complex_score with the same md5-byte
+        # embeddings read real-parts-first: Re(<s, p, conj(o)>) as a
+        # pure column expression
+        "kg_complex": f"""
+WITH {_PARTS_ORACLE_CTE},
+cx_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
+SELECT subj, pred, obj,
+       {_complex_sql('subj', 'pred', 'obj')} AS cx_score
+FROM cx_t
 """,
         # kgspark.kgembed.lp_ranks, filtered protocol: predicate-range
         # candidates minus other true objects; rank = 1 + #(energy, cand)

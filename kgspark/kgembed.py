@@ -155,6 +155,74 @@ def distmult_score(
     return out.select("subj", "pred", "obj", prod.alias("dm_score"))
 
 
+def complex_score(
+    triples: DataFrame, ent_emb: DataFrame, rel_emb: DataFrame
+) -> DataFrame:
+    """Score every (subj, pred, obj) triple with ComplEx (Trouillon et
+    al., ICML 2016, "Complex Embeddings for Simple Link Prediction";
+    HIGHER = more plausible). An embedding array of even length 2d is a
+    complex d-vector stored real-parts-first: [re_0..re_{d-1},
+    im_0..im_{d-1}]; the score is Re(<e_s, e_p, conj(e_o)>) =
+
+        Σ_i  sr·pr·or + si·pr·oi + sr·pi·oi − si·pi·or
+
+    DistMult is the Im=0 special case — its blind spot is symmetry
+    (score(s,p,o) = score(o,p,s) always); ComplEx's imaginary relation
+    parts break that, so antisymmetric predicates (part_of, before,
+    capital_of) get direction-aware scores. The reference has no
+    KG-completion surface at all (ref /root/reference/
+    knowledge_graph_builder.py:675-738).
+
+    Same contract as :func:`distmult_score`: (entity, emb)/(rel, emb)
+    inputs, inner joins drop uncovered triples, exact longs for integer
+    embeddings. Odd-length arrays use d = len div 2 (the last coordinate
+    is ignored). Scale shape identical: three hash joins (small embedding
+    tables broadcast) + map-only slice/zip_with/aggregate arithmetic.
+    """
+    def half(c, first):
+        d = (F.size(c) / 2).cast("int")
+        return F.slice(c, F.lit(1) if first else d + 1, d)
+
+    def term(a, b, c):
+        return F.aggregate(
+            F.zip_with(
+                F.zip_with(a, b, lambda x, y: x * y), c, lambda x, y: x * y
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        )
+
+    sr, si = half(F.col("_se"), True), half(F.col("_se"), False)
+    pr, pi = half(F.col("_pe"), True), half(F.col("_pe"), False)
+    orr, oi = half(F.col("_oe"), True), half(F.col("_oe"), False)
+    score = (
+        term(sr, pr, orr) + term(si, pr, oi)
+        + term(sr, pi, oi) - term(si, pi, orr)
+    )
+    out = (
+        triples.select("subj", "pred", "obj")
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("subj"), F.col("emb").alias("_se")
+            ),
+            "subj",
+        )
+        .join(
+            rel_emb.select(
+                F.col("rel").alias("pred"), F.col("emb").alias("_pe")
+            ),
+            "pred",
+        )
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("obj"), F.col("emb").alias("_oe")
+            ),
+            "obj",
+        )
+    )
+    return out.select("subj", "pred", "obj", score.alias("cx_score"))
+
+
 def lp_ranks(
     triples: DataFrame,
     ent_emb: DataFrame,

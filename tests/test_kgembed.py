@@ -180,3 +180,26 @@ def test_distmult_score_hand_case_and_symmetry(spark):
            for r in distmult_score(t, ent, rel).collect()}
     # a·p·b = 1*2*3 + 2*5*(-1) = -4; symmetric; zz uncovered -> dropped
     assert got == {("a", "b"): -4, ("b", "a"): -4}
+
+
+def test_complex_score_hand_case_and_antisymmetry(spark):
+    from kgspark.kgembed import complex_score
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a"), ("a", "p", "zz")],
+        "subj string, pred string, obj string",
+    )
+    # arrays are [re_0, re_1, im_0, im_1]
+    ent = spark.createDataFrame(
+        [("a", [1, 2, 3, -1]), ("b", [2, 0, 1, 1])],
+        "entity string, emb array<int>",
+    )
+    rel = spark.createDataFrame(
+        [("p", [1, 1, 2, -2])], "rel string, emb array<int>"
+    )
+    got = {(r.subj, r.obj): r.cx_score
+           for r in complex_score(t, ent, rel).collect()}
+    # hand-computed Re(<s, p, conj(o)>): i=0 gives 2+3+2-12, i=1 gives
+    # 0-1-4-0 -> -10; the reverse direction differs (antisymmetry, the
+    # property DistMult cannot have); zz uncovered -> dropped
+    assert got == {("a", "b"): -10, ("b", "a"): 18}
