@@ -5090,6 +5090,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("entity", "rel")
         return complex_score(t, ent, rel)
 
+    def link_metablock(spark, sf_dir):
+        # meta-blocking WNP pruning (kgspark/linkrec.py meta_blocking):
+        # customers token-blocked three ways (nation|segment, name-tail-2,
+        # name-tail-3) — CBS + ARCS weights, per-node mean pruning; the
+        # purge cap only bites above bench scale
+        from kgspark.linkrec import meta_blocking
+
+        c = _read(spark, sf_dir, "customer")
+        blocks = c.select(
+            F.col("c_custkey").alias("rec_id"),
+            F.explode(F.array(
+                F.concat(F.lit("ns:"), F.col("c_nationkey").cast("string"),
+                         F.lit("|"), F.col("c_mktsegment")),
+                F.concat(F.lit("t2:"), F.expr("right(c_name, 2)")),
+                F.concat(F.lit("t3:"), F.expr("right(c_name, 3)")),
+            )).alias("block_key"),
+        )
+        return meta_blocking(blocks, max_block_size=500)
+
     def kg_lp_ranks(spark, sf_dir):
         # filtered link-prediction ranks (kgspark/kgembed.py lp_ranks):
         # predicate-range candidates, Bordes-filtered, deterministic
@@ -5634,6 +5653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_mirrors": web_mirrors,
         "kg_taxo_reduction": kg_taxo_reduction,
         "kg_complex": kg_complex,
+        "link_metablock": link_metablock,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -12363,6 +12383,49 @@ cx_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
 SELECT subj, pred, obj,
        {_complex_sql('subj', 'pred', 'obj')} AS cx_score
 FROM cx_t
+""",
+        # kgspark.linkrec.meta_blocking replica: token blocks from the
+        # synthesis arithmetic, per-block comparison counts, CBS/ARCS
+        # integer weights, divisionless WNP keep test
+        "link_metablock": """
+WITH mb_b AS (
+  SELECT DISTINCT rec_id, block_key FROM (
+    SELECT c_custkey AS rec_id,
+           'ns:' || c_nationkey || '|' || c_mktsegment AS block_key
+    FROM customer
+    UNION ALL SELECT c_custkey, 't2:' || right(c_name, 2) FROM customer
+    UNION ALL SELECT c_custkey, 't3:' || right(c_name, 3) FROM customer
+  )
+),
+mb_s AS (
+  SELECT block_key, count(*) AS n FROM mb_b GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= 500
+),
+mb_sz AS (
+  SELECT b.rec_id, b.block_key, (s.n * (s.n - 1) // 2) AS cmp
+  FROM mb_b b JOIN mb_s s USING (block_key)
+),
+mb_e AS (
+  SELECT x.rec_id AS id_a, y.rec_id AS id_b,
+         count(*)::BIGINT AS cbs,
+         sum(1000000000 // x.cmp)::BIGINT AS arcs_ppb
+  FROM mb_sz x
+  JOIN mb_sz y ON x.block_key = y.block_key AND x.rec_id < y.rec_id
+  GROUP BY 1, 2
+),
+mb_n AS (
+  SELECT nd, count(*)::BIGINT AS deg, sum(w)::BIGINT AS sw FROM (
+    SELECT id_a AS nd, arcs_ppb AS w FROM mb_e
+    UNION ALL SELECT id_b, arcs_ppb FROM mb_e
+  ) GROUP BY 1
+)
+SELECT e.id_a, e.id_b, e.cbs, e.arcs_ppb,
+       (CASE WHEN e.arcs_ppb * na.deg >= na.sw
+                  OR e.arcs_ppb * nb.deg >= nb.sw
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM mb_e e
+JOIN mb_n na ON na.nd = e.id_a
+JOIN mb_n nb ON nb.nd = e.id_b
 """,
         # kgspark.kgembed.lp_ranks, filtered protocol: predicate-range
         # candidates minus other true objects; rank = 1 + #(energy, cand)

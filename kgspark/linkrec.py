@@ -394,3 +394,104 @@ def edit_pairs(
         )
         .where(F.col("dist") >= 0)
     )
+
+
+def meta_blocking(
+    blocks: DataFrame,
+    rec_col: str = "rec_id",
+    block_col: str = "block_key",
+    max_block_size: int = 0,
+) -> DataFrame:
+    """Meta-blocking comparison pruning (Papadakis et al., TKDE 2014,
+    "Meta-Blocking: Taking Entity Resolution to the Next Level"): given a
+    many-to-many (record, block) assignment — token blocking, multi-key
+    blocking — build the comparison graph (records co-occurring in >= 1
+    block) and prune its weak edges BEFORE any comparator runs. This is
+    the standard answer to redundancy-positive blocking's quadratic
+    candidate blow-up; the reference resolves entities by exact-key
+    lookup only (ref /root/reference/knowledge_graph_builder.py:221-266)
+    and has no candidate-pruning tier at all.
+
+    Edge weights, both exact integers:
+      cbs       common-blocks count (CBS scheme)
+      arcs_ppb  Aggregate Reciprocal Comparisons: Σ_b 10^9 div cmp(b)
+                over shared blocks, cmp(b) = |b|(|b|-1)/2 — small blocks
+                are strong evidence, mega-blocks near-worthless
+
+    Pruning is redefined Weighted Node Pruning (WNP): an edge survives
+    iff its ARCS weight reaches the mean incident-edge weight of EITHER
+    endpoint, tested without division as w·deg >= Σw (exact longs).
+    Every candidate edge is returned ANNOTATED (id_a, id_b, cbs,
+    arcs_ppb, keep) so callers can audit what pruning discarded.
+
+    max_block_size > 0 enables block purging (the standard companion
+    guard): blocks larger than the cap contribute no comparisons.
+    Singleton blocks never do.
+
+    Scale shape (100 TB): per-block self-join bounded by the purge cap
+    (cost = Σ min(|b|, cap)², never corpus²), one groupBy to fold edges,
+    one explode+groupBy for node sums, two broadcast-friendly joins to
+    annotate — no driver loops, no Python.
+    """
+    b = blocks.select(
+        F.col(rec_col).alias("rec"), F.col(block_col).alias("bk")
+    ).where(F.col("rec").isNotNull() & F.col("bk").isNotNull()).distinct()
+    sizes = b.groupBy("bk").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sizes.where(F.col("n") >= 2)
+    if max_block_size > 0:
+        sizes = sizes.where(F.col("n") <= max_block_size)
+    sized = b.join(
+        sizes.select(
+            "bk",
+            (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("cmp"),
+        ),
+        "bk",
+    )
+    edges = (
+        sized.alias("x")
+        .join(sized.alias("y"),
+              (F.col("x.bk") == F.col("y.bk"))
+              & (F.col("x.rec") < F.col("y.rec")))
+        .select(
+            F.col("x.rec").alias("id_a"), F.col("y.rec").alias("id_b"),
+            F.col("x.cmp").alias("cmp"),
+        )
+        # integer div, not float-divide-then-truncate: double rounding at
+        # near-integer quotients would flip the last ppb cross-engine
+        .select(
+            "id_a", "id_b",
+            F.expr("cast(1000000000 as bigint) div cmp").alias("arc"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cbs"),
+            F.sum("arc").cast("long").alias("arcs_ppb"),
+        )
+    )
+    from kgspark.session import materialize
+
+    edges = materialize(edges)  # feeds node sums AND the final annotate
+    node = (
+        edges.select(F.col("id_a").alias("nd"), "arcs_ppb")
+        .unionByName(edges.select(F.col("id_b").alias("nd"), "arcs_ppb"))
+        .groupBy("nd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("deg"),
+            F.sum("arcs_ppb").cast("long").alias("sw"),
+        )
+    )
+    na = node.select(F.col("nd").alias("id_a"),
+                     F.col("deg").alias("_da"), F.col("sw").alias("_sa"))
+    nb = node.select(F.col("nd").alias("id_b"),
+                     F.col("deg").alias("_db"), F.col("sw").alias("_sb"))
+    return (
+        edges.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "cbs", "arcs_ppb",
+            F.when(
+                (F.col("arcs_ppb") * F.col("_da") >= F.col("_sa"))
+                | (F.col("arcs_ppb") * F.col("_db") >= F.col("_sb")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )

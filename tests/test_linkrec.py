@@ -161,3 +161,40 @@ def test_edit_pairs_threshold_and_blocking(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_dist"):
         edit_pairs(recs, max_dist=-1)
+
+
+# ---------------------------------------------------------------------------
+# meta_blocking
+# ---------------------------------------------------------------------------
+
+def test_meta_blocking_wnp_hand_case(spark):
+    from kgspark.linkrec import meta_blocking
+
+    # b1={1,2,3} (cmp 3), b2={1,2} (cmp 1), b3={3,4} (cmp 1); singleton
+    # block b4 contributes nothing
+    rows = [(1, "b1"), (2, "b1"), (3, "b1"), (1, "b2"), (2, "b2"),
+            (3, "b3"), (4, "b3"), (9, "b4")]
+    df = spark.createDataFrame(rows, "rec_id long, block_key string")
+    got = {(r.id_a, r.id_b): (r.cbs, r.arcs_ppb, r.keep)
+           for r in meta_blocking(df).collect()}
+    third = 1_000_000_000 // 3
+    # hand-derived WNP: (1,2) strong (two shared blocks incl. tiny b2),
+    # (3,4) strong (tiny b3 + node 4's only edge); the b1-only edges are
+    # below both endpoints' mean weight
+    assert got == {
+        (1, 2): (2, third + 1_000_000_000, 1),
+        (1, 3): (1, third, 0),
+        (2, 3): (1, third, 0),
+        (3, 4): (1, 1_000_000_000, 1),
+    }
+
+
+def test_meta_blocking_purge_cap(spark):
+    from kgspark.linkrec import meta_blocking
+
+    rows = [(1, "big"), (2, "big"), (3, "big"), (1, "tiny"), (2, "tiny")]
+    df = spark.createDataFrame(rows, "rec_id long, block_key string")
+    got = {(r.id_a, r.id_b): (r.cbs, r.arcs_ppb, r.keep)
+           for r in meta_blocking(df, max_block_size=2).collect()}
+    # the 3-record block is purged; only the tiny block pairs survive
+    assert got == {(1, 2): (1, 1_000_000_000, 1)}

@@ -635,7 +635,7 @@ def test_session4_ops_no_cartesian_no_python(spark):
     from kgspark.graph_algs import type_violations
     from kgspark.graph_api import bgp_construct
     from kgspark.kgembed import complex_score, distmult_score, hash_embeddings
-    from kgspark.linkrec import edit_pairs, sorted_neighborhood
+    from kgspark.linkrec import edit_pairs, meta_blocking, sorted_neighborhood
     from kgspark.nb import calibration_bins, roc_auc
     from kgspark.rulemine import apply_chain_rules
 
@@ -665,6 +665,7 @@ def test_session4_ops_no_cartesian_no_python(spark):
         plan(type_violations(t)),
         plan(sorted_neighborhood(recs, window=2)),
         plan(edit_pairs(recs, max_dist=1)),
+        plan(meta_blocking(recs.select("rec_id", "block_key"))),
         plan(roc_auc(sc)),
         plan(calibration_bins(pp)),
         plan(bgp_construct(t, [("?x", "is_a", "?t")],
