@@ -5109,6 +5109,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return meta_blocking(blocks, max_block_size=500)
 
+    def kg_bgp_values(spark, sf_dir):
+        # SPARQL VALUES + BIND (kgspark/graph_api.py bgp_match): inline
+        # binding table restricts ?v to 3 of the 7 bounded values
+        # (broadcast literal join), BIND derives a computed column —
+        # bounded id spaces keep selectivity scale-stable
+        from kgspark.graph_api import bgp_match
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        base = docs.select(
+            F.concat(F.lit("e"), (d % 60).cast("string")).alias("subj"),
+            F.lit("p").alias("pred"),
+            F.concat(F.lit("v"), (d % 7).cast("string")).alias("obj"),
+        )
+        return bgp_match(
+            base, [("?x", "p", "?v")],
+            values=(["?v"], [["v1"], ["v3"], ["v5"]]),
+            binds=[("?tag", "concat(v, '@', x)")],
+        )
+
     def kg_lp_ranks(spark, sf_dir):
         # filtered link-prediction ranks (kgspark/kgembed.py lp_ranks):
         # predicate-range candidates, Bordes-filtered, deterministic
@@ -5654,6 +5674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_taxo_reduction": kg_taxo_reduction,
         "kg_complex": kg_complex,
         "link_metablock": link_metablock,
+        "kg_bgp_values": kg_bgp_values,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -12426,6 +12447,16 @@ SELECT e.id_a, e.id_b, e.cbs, e.arcs_ppb,
 FROM mb_e e
 JOIN mb_n na ON na.nd = e.id_a
 JOIN mb_n nb ON nb.nd = e.id_b
+""",
+        # kgspark.graph_api.bgp_match VALUES+BIND: inline table as an IN
+        # restriction, bind as a computed column, set semantics
+        "kg_bgp_values": """
+WITH bv_b AS (
+  SELECT DISTINCT 'e' || (doc_id % 60) AS x, 'v' || (doc_id % 7) AS v
+  FROM documents
+)
+SELECT DISTINCT x, v, v || '@' || x AS tag
+FROM bv_b WHERE v IN ('v1', 'v3', 'v5')
 """,
         # kgspark.kgembed.lp_ranks, filtered protocol: predicate-range
         # candidates minus other true objects; rank = 1 + #(energy, cand)

@@ -232,6 +232,8 @@ def bgp_match(
     optional_patterns: Sequence[tuple[str, str, str]] = (),
     filters: Sequence[tuple[str, str, str]] = (),
     max_path_hops: int = 6,
+    values: tuple[Sequence[str], Sequence[Sequence[str]]] | None = None,
+    binds: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """Conjunctive triple-pattern (SPARQL basic-graph-pattern) matching.
 
@@ -271,6 +273,21 @@ def bgp_match(
 
     filters: SPARQL FILTER subset over bound variables — see
     ``_apply_filters``.
+
+    values: SPARQL VALUES — ``(["?v", ...], [[row...], ...])``, an inline
+    binding table INNER-joined onto the solution on its shared variables
+    (SPARQL's join semantics; rows must be non-None strings — UNDEF is
+    outside this subset). With no shared variable the table multiplies the
+    solutions, which is safe because it is a broadcast literal. The join
+    happens BEFORE optional unbound-as-'' coalescing, so a '' row never
+    matches an unmatched optional. Scale: always a broadcast hash join
+    against a literal-sized table.
+
+    binds: SPARQL BIND subset — ``(("?new", "<sql expr over bound
+    column names>"), ...)`` appended in order as string-cast computed
+    columns (map-side, no shuffle); each new variable is visible to later
+    binds and to ``filters``. The expression references the bare column
+    names (``concat(t, ':', b)``), not ``?``-prefixed terms.
     """
     if not patterns:
         raise ValueError("bgp_match: need at least one pattern")
@@ -329,6 +346,33 @@ def bgp_match(
         optional_only |= vs - bound
         bound |= vs
 
+    if values is not None:
+        vvars, vrows = values
+        if not vvars or not vrows:
+            raise ValueError("bgp_match: values needs variables and rows")
+        for v in vvars:
+            if not _is_var(v):
+                raise ValueError(f"bgp_match: values term {v!r} is not a "
+                                 "?variable")
+        names = [v[1:] for v in vvars]
+        for r in vrows:
+            if len(r) != len(names) or any(x is None for x in r):
+                raise ValueError(
+                    "bgp_match: every values row needs one non-None string "
+                    "per variable (UNDEF is outside this subset)"
+                )
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(r) for r in vrows],
+            ", ".join(f"{n} string" for n in names),
+        ).distinct()
+        shared_v = sorted(set(names) & bound)
+        if shared_v:
+            acc = acc.join(F.broadcast(vdf), on=shared_v, how="inner")
+        else:
+            acc = acc.crossJoin(F.broadcast(vdf))
+        optional_only -= set(names)  # a values var is never unbound
+        bound |= set(names)
+
     out = acc.select(
         *[
             F.coalesce(F.col(v), F.lit("")).alias(v)
@@ -336,7 +380,17 @@ def bgp_match(
             for v in sorted(bound)
         ]
     )
-    out = _apply_filters(out, filters, set(bound))
+    bound = set(bound)
+    for var, expr in binds:
+        if not _is_var(var):
+            raise ValueError(f"bgp_match: bind target {var!r} is not a "
+                             "?variable")
+        name = var[1:]
+        if name in bound:
+            raise ValueError(f"bgp_match: bind var {var} is already bound")
+        out = out.withColumn(name, F.expr(expr).cast("string"))
+        bound.add(name)
+    out = _apply_filters(out, filters, bound)
     return out.distinct() if distinct else out
 
 

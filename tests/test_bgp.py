@@ -440,3 +440,69 @@ def test_bgp_negated_property_set(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="negated"):
         bgp_match(t, [("?x", "!is_a+", "?y")])
+
+
+# ---------------------------------------------------------------------------
+# VALUES + BIND
+# ---------------------------------------------------------------------------
+
+def test_bgp_values_restricts_and_extends(spark):
+    from kgspark.graph_api import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "is_a", "cat"), ("b", "is_a", "dog"), ("c", "is_a", "fox"),
+         ("a", "likes", "b")],
+        "subj string, pred string, obj string",
+    )
+    # shared var: VALUES restricts ?t to two types
+    got = {(r.x, r.t) for r in bgp_match(
+        t, [("?x", "is_a", "?t")],
+        values=(["?t"], [["cat"], ["dog"]]),
+    ).collect()}
+    assert got == {("a", "cat"), ("b", "dog")}
+
+    # no shared var: broadcast literal multiplies solutions
+    got2 = {(r.x, r.w) for r in bgp_match(
+        t, [("?x", "likes", "b")],
+        values=(["?w"], [["u"], ["v"]]),
+    ).collect()}
+    assert got2 == {("a", "u"), ("a", "v")}
+
+    # two-column VALUES rows join as tuples
+    got3 = {(r.x, r.t) for r in bgp_match(
+        t, [("?x", "is_a", "?t")],
+        values=(["?x", "?t"], [["a", "cat"], ["b", "fox"]]),
+    ).collect()}
+    assert got3 == {("a", "cat")}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="values"):
+        bgp_match(t, [("?x", "is_a", "?t")], values=(["?t"], [[None]]))
+    with _pytest.raises(ValueError, match="variable"):
+        bgp_match(t, [("?x", "is_a", "?t")], values=(["t"], [["cat"]]))
+
+
+def test_bgp_bind_and_filter_on_bound(spark):
+    from kgspark.graph_api import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "is_a", "cat"), ("b", "is_a", "dog")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.x, r.t, r.key) for r in bgp_match(
+        t, [("?x", "is_a", "?t")],
+        binds=[("?key", "concat(t, ':', x)")],
+    ).collect()}
+    assert got == {("a", "cat", "cat:a"), ("b", "dog", "dog:b")}
+
+    # later filters see the bind var; chained binds see earlier ones
+    got2 = {r.u for r in bgp_match(
+        t, [("?x", "is_a", "?t")],
+        binds=[("?key", "concat(t, ':', x)"), ("?u", "upper(key)")],
+        filters=[("?key", "strstarts", "cat")],
+    ).collect()}
+    assert got2 == {"CAT:A"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already bound"):
+        bgp_match(t, [("?x", "is_a", "?t")], binds=[("?x", "t")])
