@@ -4603,6 +4603,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return microdata_items(pages)
 
+    def web_rdfa(spark, sf_dir):
+        # RDFa-Lite extraction (kgspark/structdata.py rdfa_properties):
+        # per page a text-valued span, a content=-valued meta, an href=
+        # IRI anchor, and a resource= IRI link — covers all three object
+        # resolution paths plus the is_iri flag.
+        from kgspark.structdata import rdfa_properties
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        html = F.concat(
+            F.lit('<html><body><div vocab="https://schema.org/" '
+                  'typeof="Article"><span property="name"> doc '), d,
+            F.lit('</span><meta property="wordCount" content="'),
+            F.col("n_chars").cast("string"),
+            F.lit('"/><a property="url" href="/p/'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('">link</a><link property="sameAs" '
+                  'resource="https://wd.example.org/Q'),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit('"/></div></body></html>'),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://r"), d, F.lit(".example.com/")).alias("url"),
+            html.alias("html"),
+        )
+        return rdfa_properties(pages)
+
     def _fusion_obs(spark, sf_dir):
         # conflicting fact observations: 120 (subj, pred) keys, each
         # asserted by several docs whose objects disagree; the doc's
@@ -5618,6 +5645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_intervals": kg_triple_intervals,
         "kg_asof_triples": kg_asof_triples,
         "web_microdata": web_microdata,
+        "web_rdfa": web_rdfa,
         "kg_fact_fusion": kg_fact_fusion,
         "kg_provenance": kg_provenance,
         "kg_sameas_rewrite": kg_sameas_rewrite,
@@ -11759,6 +11787,41 @@ SELECT url, item_no::BIGINT AS item_no,
             ELSE trim(regexp_extract(elems[item_no], '>([^<]*)$', 1)) END
          AS value
 FROM me
+""",
+        # kgspark.structdata.rdfa_properties: same element regex; value
+        # precedence content= > resource=/href= (is_iri=1) > trimmed text
+        "web_rdfa": """
+WITH rp AS (
+  SELECT 'https://r' || doc_id || '.example.com/' AS url,
+         '<html><body><div vocab="https://schema.org/" typeof="Article">'
+         || '<span property="name"> doc ' || doc_id || '</span>'
+         || '<meta property="wordCount" content="' || n_chars || '"/>'
+         || '<a property="url" href="/p/' || (doc_id % 7) || '">link</a>'
+         || '<link property="sameAs" resource="https://wd.example.org/Q'
+         || (doc_id % 13) || '"/></div></body></html>' AS html
+  FROM documents
+),
+re AS (
+  SELECT url, i AS item_no,
+         regexp_extract_all(html,
+           '<[a-zA-Z0-9]+ [^>]*property="[^"]*"[^>]*>[^<]*', 0) AS elems
+  FROM rp, unnest(generate_series(1,
+         len(regexp_extract_all(html,
+           '<[a-zA-Z0-9]+ [^>]*property="[^"]*"[^>]*>[^<]*', 0)))) AS t(i)
+),
+rv AS (
+  SELECT url, item_no,
+         regexp_extract(elems[item_no], 'property="([^"]*)"', 1) AS prop,
+         regexp_extract(elems[item_no], 'content="([^"]*)"', 1) AS c,
+         regexp_extract(elems[item_no],
+                        '(?:resource|href)="([^"]*)"', 1) AS r,
+         trim(regexp_extract(elems[item_no], '>([^<]*)$', 1)) AS t
+  FROM re
+)
+SELECT url, item_no::BIGINT AS item_no, prop,
+       CASE WHEN c <> '' THEN c WHEN r <> '' THEN r ELSE t END AS value,
+       (CASE WHEN c = '' AND r <> '' THEN 1 ELSE 0 END)::BIGINT AS is_iri
+FROM rv
 """,
         # kgspark.fusion.fuse_facts: integer-ppm weighted vote per
         # (subj, pred), ties by ascending object; source index 3 votes

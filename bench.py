@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "kg_triple_intervals",
     "kg_asof_triples",
     "web_microdata",
+    "web_rdfa",
     "kg_fact_fusion",
     "kg_provenance",
     "kg_sameas_rewrite",

@@ -49,6 +49,15 @@ MICRO_PROP = 'itemprop="([^"]*)"'
 MICRO_CONTENT = 'content="([^"]*)"'
 MICRO_TEXT = ">([^<]*)$"
 
+# One element carrying an RDFa-Lite property=: same flat-element shape as
+# MICRO_ELEM. RDFa Lite (W3C) and HTML microdata are sibling syntaxes;
+# OpenGraph <meta property="og:..."> is RDFa, so it lands here too.
+RDFA_ELEM = '<[a-zA-Z0-9]+ [^>]*property="[^"]*"[^>]*>[^<]*'
+RDFA_PROP = 'property="([^"]*)"'
+RDFA_CONTENT = 'content="([^"]*)"'
+RDFA_RESOURCE = '(?:resource|href)="([^"]*)"'
+RDFA_TEXT = ">([^<]*)$"
+
 # HTML tables; (?s) for multi-line markup, lazy to split adjacent tables.
 TABLE_BLOCK = "(?s)<table[^>]*>(.*?)</table>"
 TABLE_ROW = "(?s)<tr[^>]*>(.*?)</tr>"
@@ -109,6 +118,46 @@ def microdata_items(df: DataFrame, url_col: str = "url",
         (F.col("__pos") + 1).cast("long").alias("item_no"),
         F.regexp_extract("__elem", MICRO_PROP, 1).alias("prop"),
         F.when(content != "", content).otherwise(text).alias("value"),
+    )
+
+
+def rdfa_properties(df: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Extract RDFa-Lite property annotations per page: (url, item_no,
+    prop, value, is_iri) — the third embedded-markup channel next to
+    JSON-LD and microdata (W3C RDFa Lite 1.1). The reference mines free
+    text only (knowledge_graph_builder.py:268-340); a Common-Crawl-scale
+    KG run reads all three publisher syntaxes.
+
+    Object resolution follows RDFa Core's processing order restricted to
+    flat elements: a content= attribute yields a literal (is_iri=0);
+    otherwise resource=/href= yields an IRI object (is_iri=1); otherwise
+    the element's immediate text run, trimmed, is the literal. Chaining /
+    nested typeof subjects are out of scope (documented; item_no is the
+    document-order property index, as in microdata_items). prefix=
+    expansion is left to the caller — prop is emitted verbatim, so
+    og:title / schema:name CURIEs survive for downstream vocab joins.
+
+    Scale: map-only — one regexp_extract_all + posexplode, three per-match
+    extracts, all JVM column expressions (no Python, no shuffle).
+    """
+    elems = F.regexp_extract_all(F.col(html_col), F.lit(RDFA_ELEM), F.lit(0))
+    ex = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(elems).alias("__pos", "__elem"),
+    )
+    content = F.regexp_extract("__elem", RDFA_CONTENT, 1)
+    resource = F.regexp_extract("__elem", RDFA_RESOURCE, 1)
+    text = F.trim(F.regexp_extract("__elem", RDFA_TEXT, 1))
+    return ex.select(
+        "url",
+        (F.col("__pos") + 1).cast("long").alias("item_no"),
+        F.regexp_extract("__elem", RDFA_PROP, 1).alias("prop"),
+        F.when(content != "", content)
+         .otherwise(F.when(resource != "", resource).otherwise(text))
+         .alias("value"),
+        F.when((content == "") & (resource != ""), F.lit(1))
+         .otherwise(F.lit(0)).cast("long").alias("is_iri"),
     )
 
 

@@ -170,6 +170,29 @@ def test_microdata_content_vs_text_value(spark):
     assert got == {(1, "name", "Ada"), (2, "wc", "42"), (3, "url", "home")}
 
 
+def test_rdfa_properties_value_resolution(spark):
+    html = (
+        '<div vocab="https://schema.org/" typeof="Article">'
+        '<span property="name"> Ada </span>'
+        '<meta property="wc" content="42"/>'
+        '<a property="url" href="/x">home</a>'
+        '<link property="sameAs" resource="https://wd.example.org/Q1"/>'
+        '<meta property="both" content="lit" href="/iri"/>'
+        '<b>no prop</b></div>'
+    )
+    from kgspark.structdata import rdfa_properties
+
+    out = rdfa_properties(_pages(spark, [("u", html)])).collect()
+    got = {(r.item_no, r.prop, r.value, r.is_iri) for r in out}
+    assert got == {
+        (1, "name", "Ada", 0),             # immediate text, trimmed
+        (2, "wc", "42", 0),                # content= literal
+        (3, "url", "/x", 1),               # href= -> IRI object
+        (4, "sameAs", "https://wd.example.org/Q1", 1),  # resource= IRI
+        (5, "both", "lit", 0),             # content= beats href=
+    }
+
+
 def test_fuse_facts_weighted_vote_and_missing_source(spark):
     from kgspark.fusion import fuse_facts
 
