@@ -5400,6 +5400,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "format", "width", "height", "bit_depth", "n_channels"
         )
 
+    def multimodal_audio_meta(spark, sf_dir):
+        # audio-header round-trip: PCM WAV / MPEG1-L3 MP3 fixtures built
+        # per doc (format = parity, params from doc_id arithmetic; every
+        # 7th odd doc carries an ID3v2 prefix), parsed back by the
+        # pure-stdlib header walker (kgspark/audiometa.py) — the audio
+        # analogue of multimodal_header_mix; sample decode stays the
+        # documented env seam
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            from kgspark.audiometa import make_mp3, make_wav
+
+            sr_wav = [8000, 16000, 22050, 44100]
+            br_mp3 = [64, 128, 192, 320]
+            sr_mp3 = [44100, 48000, 32000]
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    if d % 2 == 0:
+                        blob = make_wav(
+                            (d // 2) % 2 + 1, sr_wav[(d // 2) % 4],
+                            8 if d % 3 == 0 else 16, d % 500 + 50)
+                    else:
+                        blob = make_mp3(
+                            d % 5 + 1, br_mp3[(d // 2) % 4],
+                            sr_mp3[(d // 2) % 3],
+                            mono=(d // 3) % 2 == 1,
+                            id3_size=17 if d % 7 == 0 else 0)
+                    rows.append({"doc_id": did, "payload": blob})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.audiometa import audio_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return audio_meta(blobs).select(
+            "doc_id", "format", "n_channels", "sample_rate",
+            "bits_per_sample", "bitrate_kbps", "n_samples", "duration_ms"
+        )
+
     def dedup_cc_sizes(spark, sf_dir):
         # near-dup FAMILY census: cluster-size histogram over the
         # connected components of the exact n-gram-Jaccard pair graph —
@@ -5621,6 +5663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past position 50: see the ordering NOTE above ------------------
         # round-4-new queries first (rotate into the round-5 window):
         "multimodal_header_mix": multimodal_header_mix,
+        "multimodal_audio_meta": multimodal_audio_meta,
         "embed_pq_trained": embed_pq_trained,
         "ann_ivfpq": ann_ivfpq,
         "dedup_span_scrub": dedup_span_scrub,
@@ -12707,6 +12750,39 @@ FROM nm_v GROUP BY label
 """,
         # mixed PNG/JPEG/GIF header round-trip: expected values recomputed
         # from the same doc_id arithmetic per format branch
+        # kgspark.audiometa: every emitted field is exact-integer, so the
+        # oracle replays the fixture arithmetic (WAV: block align * rate;
+        # MP3: frames * 1152, duration via integer ms division)
+        "multimodal_audio_meta": """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 = 0 AS is_wav,
+         (doc_id // 2) % 2 + 1 AS wch,
+         CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS wsr,
+         CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS wbits,
+         doc_id % 500 + 50 AS wn,
+         doc_id % 5 + 1 AS mframes,
+         CASE (doc_id // 2) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                                WHEN 2 THEN 192 ELSE 320 END AS mbr,
+         CASE (doc_id // 2) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                ELSE 32000 END AS msr,
+         CASE WHEN (doc_id // 3) % 2 = 1 THEN 1 ELSE 2 END AS mch
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN is_wav THEN 'wav' ELSE 'mp3' END AS format,
+       (CASE WHEN is_wav THEN wch ELSE mch END)::BIGINT AS n_channels,
+       (CASE WHEN is_wav THEN wsr ELSE msr END)::BIGINT AS sample_rate,
+       (CASE WHEN is_wav THEN wbits ELSE 0 END)::BIGINT AS bits_per_sample,
+       (CASE WHEN is_wav THEN wsr * (wch * wbits // 8) * 8 // 1000
+             ELSE mbr END)::BIGINT AS bitrate_kbps,
+       (CASE WHEN is_wav THEN wn
+             ELSE mframes * 1152 END)::BIGINT AS n_samples,
+       (CASE WHEN is_wav THEN wn * 1000 // wsr
+             ELSE mframes * 1152 * 1000 // msr END)::BIGINT AS duration_ms
+FROM p
+""",
         "multimodal_header_mix": """
 SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "kg_asof_triples",
     "web_microdata",
     "web_rdfa",
+    "multimodal_audio_meta",
     "kg_fact_fusion",
     "kg_provenance",
     "kg_sameas_rewrite",

@@ -64,3 +64,59 @@ def test_image_meta_distributed(spark):
     assert got[2]["format"] is None and got[2]["error"]
     assert got[3]["error"] == "unknown image format"
     assert len(got) == 3
+
+
+def test_parse_wav_round_trip():
+    from kgspark.audiometa import make_wav, parse_audio_meta
+
+    m = parse_audio_meta(make_wav(2, 44100, 16, 1000))
+    assert m["error"] is None
+    assert (m["format"], m["n_channels"], m["sample_rate"],
+            m["bits_per_sample"]) == ("wav", 2, 44100, 16)
+    assert m["bitrate_kbps"] == 44100 * 2 * 2 * 8 // 1000  # 1411
+    assert m["n_samples"] == 1000
+    assert m["duration_ms"] == 1000 * 1000 // 44100  # 22
+
+
+def test_parse_mp3_frame_walk_and_id3():
+    from kgspark.audiometa import make_mp3, parse_audio_meta
+
+    m = parse_audio_meta(make_mp3(5, 128, 44100, mono=False, id3_size=17))
+    assert m["error"] is None
+    assert (m["format"], m["n_channels"], m["sample_rate"],
+            m["bitrate_kbps"]) == ("mp3", 2, 44100, 128)
+    assert m["n_samples"] == 5 * 1152
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 44100  # 130
+    mono = parse_audio_meta(make_mp3(1, 320, 32000, mono=True))
+    assert (mono["n_channels"], mono["sample_rate"],
+            mono["n_samples"]) == (1, 32000, 1152)
+
+
+def test_parse_audio_meta_errors_never_raise():
+    from kgspark.audiometa import parse_audio_meta
+
+    assert parse_audio_meta(b"")["error"] == "unknown audio format"
+    assert parse_audio_meta(b"junkjunkjunk")["error"] \
+        == "unknown audio format"
+    assert "missing fmt" in parse_audio_meta(b"RIFF\x04\x00\x00\x00WAVE")["error"]
+    # free-bitrate index is rejected, not decoded
+    hdr = struct.pack(">I", 0x7FF << 21 | 3 << 19 | 1 << 17 | 1 << 16)
+    assert "bitrate" in parse_audio_meta(hdr)["error"]
+
+
+def test_audio_meta_distributed(spark):
+    from kgspark.audiometa import audio_meta, make_mp3, make_wav
+
+    rows = [
+        (1, bytearray(make_wav(1, 8000, 8, 400))),
+        (2, bytearray(make_mp3(3, 64, 48000))),
+        (3, bytearray(b"not audio")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_meta(df).collect()}
+    assert (got[1]["format"], got[1]["duration_ms"]) == ("wav", 50)
+    assert (got[2]["format"], got[2]["n_samples"]) == ("mp3", 3456)
+    assert got[3]["error"] == "unknown audio format"
+    assert got[4]["error"] == "unknown audio format"
+    assert len(got) == 4
