@@ -4630,6 +4630,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rdfa_properties(pages)
 
+    def web_breadcrumbs(spark, sf_dir):
+        # site-taxonomy induction from breadcrumb navs (kgspark/
+        # structdata.py breadcrumb_trails + breadcrumb_edges): 2-3 level
+        # trails over bounded label spaces (cat%5 / sub%7 / item%4 —
+        # scale-stable: every SF exercises the same edge vocabulary),
+        # terminal item is the aria-current span
+        from kgspark.structdata import breadcrumb_edges, breadcrumb_trails
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        deep = (d % 3 == 0)
+        html = F.concat(
+            F.lit('<nav aria-label="breadcrumb"><a href="/">Home</a>'
+                  '<a href="/c">cat'), (d % 5).cast("string"),
+            F.lit("</a>"),
+            F.when(
+                deep,
+                F.concat(F.lit('<a href="/s">sub'), (d % 7).cast("string"),
+                         F.lit('</a><span aria-current="page">item'),
+                         (d % 4).cast("string"), F.lit("</span>")),
+            ).otherwise(
+                F.concat(F.lit('<span aria-current="page">sub'),
+                         (d % 7).cast("string"), F.lit("</span>")),
+            ),
+            F.lit("</nav>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://b"), d.cast("string"),
+                     F.lit(".example.com/")).alias("url"),
+            html.alias("html"),
+        )
+        return breadcrumb_edges(breadcrumb_trails(pages))
+
     def _fusion_obs(spark, sf_dir):
         # conflicting fact observations: 120 (subj, pred) keys, each
         # asserted by several docs whose objects disagree; the doc's
@@ -5689,6 +5722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_triples": kg_asof_triples,
         "web_microdata": web_microdata,
         "web_rdfa": web_rdfa,
+        "web_breadcrumbs": web_breadcrumbs,
         "kg_fact_fusion": kg_fact_fusion,
         "kg_provenance": kg_provenance,
         "kg_sameas_rewrite": kg_sameas_rewrite,
@@ -11865,6 +11899,20 @@ SELECT url, item_no::BIGINT AS item_no, prop,
        CASE WHEN c <> '' THEN c WHEN r <> '' THEN r ELSE t END AS value,
        (CASE WHEN c = '' AND r <> '' THEN 1 ELSE 0 END)::BIGINT AS is_iri
 FROM rv
+""",
+        # kgspark.structdata.breadcrumb_edges: consecutive-pair census —
+        # the oracle replays the trail synthesis as explicit pair rows
+        "web_breadcrumbs": """
+WITH pairs AS (
+  SELECT 'Home' AS parent, 'cat' || (doc_id % 5) AS child FROM documents
+  UNION ALL
+  SELECT 'cat' || (doc_id % 5), 'sub' || (doc_id % 7) FROM documents
+  UNION ALL
+  SELECT 'sub' || (doc_id % 7), 'item' || (doc_id % 4)
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT parent, child, count(*)::BIGINT AS n_pages
+FROM pairs GROUP BY parent, child
 """,
         # kgspark.fusion.fuse_facts: integer-ppm weighted vote per
         # (subj, pred), ties by ascending object; source index 3 votes

@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "web_microdata",
     "web_rdfa",
     "multimodal_audio_meta",
+    "web_breadcrumbs",
     "kg_fact_fusion",
     "kg_provenance",
     "kg_sameas_rewrite",

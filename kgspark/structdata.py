@@ -58,6 +58,16 @@ RDFA_CONTENT = 'content="([^"]*)"'
 RDFA_RESOURCE = '(?:resource|href)="([^"]*)"'
 RDFA_TEXT = ">([^<]*)$"
 
+# Breadcrumb trail container (ARIA authoring practice / Bootstrap
+# convention: <nav aria-label="breadcrumb">) and its items — anchors plus
+# the aria-current="page" terminal span, one alternation so document
+# order is preserved in a single extract_all pass.
+CRUMB_NAV = '(?s)<nav [^>]*aria-label="breadcrumb"[^>]*>(.*?)</nav>'
+CRUMB_ITEM = ('<a [^>]*href="[^"]*"[^>]*>[^<]*</a>'
+              '|<span [^>]*aria-current="page"[^>]*>[^<]*</span>')
+CRUMB_HREF = 'href="([^"]*)"'
+CRUMB_LABEL = ">([^<]*)</"
+
 # HTML tables; (?s) for multi-line markup, lazy to split adjacent tables.
 TABLE_BLOCK = "(?s)<table[^>]*>(.*?)</table>"
 TABLE_ROW = "(?s)<tr[^>]*>(.*?)</tr>"
@@ -158,6 +168,60 @@ def rdfa_properties(df: DataFrame, url_col: str = "url",
          .alias("value"),
         F.when((content == "") & (resource != ""), F.lit(1))
          .otherwise(F.lit(0)).cast("long").alias("is_iri"),
+    )
+
+
+def breadcrumb_trails(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Extract breadcrumb navigation trails per page: (url, pos, label,
+    href) — pos is 1-based position within the page's breadcrumb nav(s),
+    href is '' for the aria-current="page" terminal item. Breadcrumbs are
+    the publisher's own statement of where a page sits in the site
+    taxonomy (schema.org BreadcrumbList's HTML form); the reference has
+    no site-structure channel at all (its KG is text-extraction only,
+    knowledge_graph_builder.py:268-340).
+
+    Map-only: nav-block extract + item posexplode + per-item extracts,
+    all JVM regex (Java∩RE2∩DuckDB subset).
+    """
+    navs = F.regexp_extract_all(F.col(html_col), F.lit(CRUMB_NAV), F.lit(1))
+    # concat multiple navs before item extraction so pos numbers the
+    # page's full crumb sequence (multi-nav pages are vanishingly rare
+    # and still deterministic here)
+    items = F.regexp_extract_all(
+        F.array_join(navs, ""), F.lit(CRUMB_ITEM), F.lit(0))
+    ex = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(items).alias("__pos", "__item"),
+    )
+    return ex.select(
+        "url",
+        (F.col("__pos") + 1).cast("long").alias("pos"),
+        F.trim(F.regexp_extract("__item", CRUMB_LABEL, 1)).alias("label"),
+        F.regexp_extract("__item", CRUMB_HREF, 1).alias("href"),
+    )
+
+
+def breadcrumb_edges(trails: DataFrame) -> DataFrame:
+    """Site-taxonomy induction from breadcrumb trails: consecutive-item
+    pairs aggregated across pages into (parent, child, n_pages) edges —
+    the corpus-level is-under graph (category → subcategory → leaf) that
+    entity-linking and topic blocking join against.
+
+    Scale: one window (partition by url — page-cardinality keys, no
+    skew) for the successor lookup, then a partial-aggregating groupBy
+    on the bounded label-pair space.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("pos")
+    pairs = trails.select(
+        "url", "label", F.lead("label").over(w).alias("__next")
+    ).where(F.col("__next").isNotNull())
+    return (
+        pairs.groupBy(F.col("label").alias("parent"),
+                      F.col("__next").alias("child"))
+        .agg(F.count("*").cast("long").alias("n_pages"))
     )
 
 

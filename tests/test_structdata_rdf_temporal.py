@@ -193,6 +193,37 @@ def test_rdfa_properties_value_resolution(spark):
     }
 
 
+def test_breadcrumb_trails_and_edges(spark):
+    html1 = (
+        '<nav aria-label="breadcrumb"><ol>'
+        '<li><a href="/">Home</a></li>'
+        '<li><a href="/sci">Science</a></li>'
+        '<li><span aria-current="page"> Physics </span></li>'
+        '</ol></nav>'
+    )
+    html2 = (
+        '<nav aria-label="breadcrumb">'
+        '<a href="/">Home</a><a href="/sci">Science</a>'
+        '<span aria-current="page">Chemistry</span></nav>'
+        '<nav aria-label="main"><a href="/x">not a crumb</a></nav>'
+    )
+    from kgspark.structdata import breadcrumb_edges, breadcrumb_trails
+
+    trails = breadcrumb_trails(
+        _pages(spark, [("u1", html1), ("u2", html2), ("u3", "<p>none</p>")]))
+    got = {(r.url, r.pos, r.label, r.href) for r in trails.collect()}
+    assert got == {
+        ("u1", 1, "Home", "/"), ("u1", 2, "Science", "/sci"),
+        ("u1", 3, "Physics", ""),
+        ("u2", 1, "Home", "/"), ("u2", 2, "Science", "/sci"),
+        ("u2", 3, "Chemistry", ""),
+    }
+    edges = {(r.parent, r.child): r.n_pages
+             for r in breadcrumb_edges(trails).collect()}
+    assert edges == {("Home", "Science"): 2, ("Science", "Physics"): 1,
+                     ("Science", "Chemistry"): 1}
+
+
 def test_fuse_facts_weighted_vote_and_missing_source(spark):
     from kgspark.fusion import fuse_facts
 
