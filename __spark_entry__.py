@@ -4663,6 +4663,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return breadcrumb_edges(breadcrumb_trails(pages))
 
+    def kg_copy_detect(spark, sf_dir):
+        # pairwise source copy-detection (kgspark/fusion.py
+        # copy_detection): 8 sources over a 40-subject claim space;
+        # sources s6/s7 inject +10-offset objects on r%4==0 subjects —
+        # the shared-minority fingerprint the op scores
+        from kgspark.fusion import copy_detection
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        src_no = (d.cast("long") / 40).cast("long") % 8
+        wrong = src_no.isin(6, 7) & (d % 4 == 0)
+        obs = docs.select(
+            F.concat(F.lit("e"), (d % 40).cast("string")).alias("subj"),
+            F.concat(F.lit("p"), (d % 2).cast("string")).alias("pred"),
+            F.concat(F.lit("v"),
+                     ((d % 3) + F.when(wrong, 10).otherwise(0))
+                     .cast("string")).alias("obj"),
+            F.concat(F.lit("s"), src_no.cast("string")).alias("source"),
+        )
+        return copy_detection(obs)
+
     def _fusion_obs(spark, sf_dir):
         # conflicting fact observations: 120 (subj, pred) keys, each
         # asserted by several docs whose objects disagree; the doc's
@@ -5724,6 +5745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_rdfa": web_rdfa,
         "web_breadcrumbs": web_breadcrumbs,
         "kg_fact_fusion": kg_fact_fusion,
+        "kg_copy_detect": kg_copy_detect,
         "kg_provenance": kg_provenance,
         "kg_sameas_rewrite": kg_sameas_rewrite,
         "kg_entity_card": kg_entity_card,
@@ -11945,6 +11967,48 @@ rk AS (
 SELECT subj, pred, obj, score_ppm, n_votes,
        n_candidates::BIGINT AS n_candidates
 FROM rk WHERE rn = 1
+""",
+        # kgspark.fusion.copy_detection: shared-minority fingerprint per
+        # source pair (Dong et al. VLDB 2009 counting core); plurality by
+        # distinct-source votes with tie on ascending obj; max-df guard
+        # drops claims with >20 asserting sources from the pair join
+        "kg_copy_detect": """
+WITH obs AS (
+  SELECT 'e' || (doc_id % 40) AS subj, 'p' || (doc_id % 2) AS pred,
+         'v' || ((doc_id % 3) + CASE WHEN ((doc_id // 40) % 8) IN (6, 7)
+                                      AND doc_id % 4 = 0
+                                     THEN 10 ELSE 0 END) AS obj,
+         's' || ((doc_id // 40) % 8) AS source
+  FROM documents
+),
+claims AS (SELECT DISTINCT subj, pred, obj, source FROM obs),
+votes AS (
+  SELECT subj, pred, obj, count(*) AS n FROM claims GROUP BY 1, 2, 3
+),
+flagged AS (
+  SELECT subj, pred, obj, n,
+         (row_number() OVER (PARTITION BY subj, pred
+                             ORDER BY n DESC, obj ASC) = 1) AS is_maj
+  FROM votes
+),
+keyed AS (
+  SELECT c.subj, c.pred, c.obj, c.source, f.is_maj
+  FROM claims c JOIN flagged f USING (subj, pred, obj)
+  WHERE f.n <= 20
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.is_maj
+  FROM keyed a
+  JOIN keyed b ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj
+  WHERE a.source < b.source
+)
+SELECT source_a, source_b, count(*)::BIGINT AS shared_total,
+       sum(CASE WHEN is_maj THEN 0 ELSE 1 END)::BIGINT AS shared_minority,
+       (sum(CASE WHEN is_maj THEN 0 ELSE 1 END) * 1000000
+        // count(*))::BIGINT AS copy_ppm
+FROM pairs
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """,
         # kgspark.fusion.triple_provenance: one groupBy on the triple key
         "kg_provenance": """

@@ -170,3 +170,71 @@ def truth_discovery(obs: DataFrame, rounds: int = 3,
         .where(F.col("__rn") == 1)
         .select("subj", "pred", "obj", "conf_ppm", "n_candidates")
     )
+
+
+def copy_detection(obs: DataFrame, min_shared: int = 2,
+                   max_sources_per_claim: int = 20,
+                   subj_col: str = "subj", pred_col: str = "pred",
+                   obj_col: str = "obj",
+                   source_col: str = "source") -> DataFrame:
+    """Pairwise source copy-detection: independent sources agree mostly
+    on majority (likely-true) values, while a copier inherits its
+    original's MINORITY (likely-false) values too — shared errors are
+    the copying fingerprint (Dong, Berti-Equille & Srivastava, "Integrating
+    Conflicting Data: The Role of Source Dependence", VLDB 2009 — the
+    counting core of their Bayesian model, kept integer-exact).
+
+    Per source pair sharing >= min_shared claims:
+      (source_a, source_b, shared_total, shared_minority,
+       copy_ppm = shared_minority * 1e6 div shared_total)
+    where a claim is "minority" when its object is NOT the per-(subj,
+    pred) plurality object (plurality by distinct-source votes, ties by
+    ascending object). High copy_ppm pairs feed a downstream trust
+    discount (a copier's votes shouldn't count as independent evidence
+    in fuse_facts / truth_discovery).
+
+    Scale posture: the only pair-producing join is claim-key-grouped and
+    max-df-guarded — claims asserted by more than max_sources_per_claim
+    sources are dropped from the PAIR join (the winnow_matches hot-key
+    pattern; a claim the whole web repeats carries no copying signal).
+    Everything else is partial-aggregated groupBys + one top-1 window.
+    """
+    claims = obs.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"), F.col(source_col).alias("source"),
+    ).distinct()
+    claims = materialize(claims)
+    votes = claims.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("__n")
+    )
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.desc("__n"), F.asc("obj")
+    )
+    flagged = votes.select(
+        "subj", "pred", "obj", "__n",
+        (F.row_number().over(w) == 1).alias("__is_maj"),
+    ).where(F.col("__n") <= max_sources_per_claim)
+    keyed = claims.join(flagged, ["subj", "pred", "obj"])
+    keyed = materialize(keyed.select("subj", "pred", "obj", "source",
+                                     "__is_maj"))
+    a = keyed.select("subj", "pred", "obj", "__is_maj",
+                     F.col("source").alias("source_a"))
+    b = keyed.select("subj", "pred", "obj",
+                     F.col("source").alias("source_b"))
+    pairs = a.join(b, ["subj", "pred", "obj"]).where(
+        F.col("source_a") < F.col("source_b")
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("shared_total"),
+            F.sum(F.when(F.col("__is_maj"), 0).otherwise(1))
+             .cast("long").alias("shared_minority"),
+        )
+        .where(F.col("shared_total") >= min_shared)
+        .withColumn(
+            "copy_ppm",
+            F.expr("shared_minority * 1000000 div shared_total")
+             .cast("long"),
+        )
+    )

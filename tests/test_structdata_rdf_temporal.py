@@ -249,6 +249,31 @@ def test_fuse_facts_weighted_vote_and_missing_source(spark):
     assert got[("f", "p")] == ("z", 0, 1, 1)
 
 
+def test_copy_detection_shared_minority_fingerprint(spark):
+    from kgspark.fusion import copy_detection
+
+    obs = spark.createDataFrame(
+        [("e", "p", "x", s) for s in ("s1", "s2", "s3")]  # majority
+        + [("e", "p", "w", "s4"), ("e", "p", "w", "s5")]  # shared error
+        + [("f", "p", "y", s) for s in ("s1", "s2", "s4", "s5")],
+        "subj string, pred string, obj string, source string",
+    )
+    got = {(r.source_a, r.source_b):
+           (r.shared_total, r.shared_minority, r.copy_ppm)
+           for r in copy_detection(obs).collect()}
+    # honest pair: all shared values are the plurality
+    assert got[("s1", "s2")] == (2, 0, 0)
+    # copier pair: half their overlap is a shared minority value
+    assert got[("s4", "s5")] == (2, 1, 500000)
+    # pairs sharing a single claim fall under min_shared
+    assert ("s1", "s4") not in got
+    # max-df guard drops web-wide claims from the pair join
+    guarded = {(r.source_a, r.source_b): (r.shared_total, r.shared_minority)
+               for r in copy_detection(
+                   obs, min_shared=1, max_sources_per_claim=2).collect()}
+    assert guarded == {("s4", "s5"): (1, 1)}
+
+
 def test_triple_provenance_rollup(spark):
     from kgspark.fusion import triple_provenance
 
