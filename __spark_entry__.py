@@ -5496,6 +5496,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bits_per_sample", "bitrate_kbps", "n_samples", "duration_ms"
         )
 
+    def multimodal_video_meta(spark, sf_dir):
+        # video-header round-trip: ISO-BMFF (MP4) fixtures built per doc
+        # (timescale/duration/dims/track-layout from doc_id arithmetic;
+        # every 7th doc uses the 64-bit v1 mvhd/tkhd layout, every 3rd
+        # carries an audio track), parsed back by the pure-stdlib box
+        # walker (kgspark/videometa.py) — the video third of the header
+        # triad; frame decode stays the documented env seam
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            from kgspark.videometa import make_mp4
+
+            ts_tab = [1000, 600, 90000, 30000]
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    blob = make_mp4(
+                        ts_tab[d % 4], d % 4000 + 500,
+                        d % 640 + 16, (d * 3) % 480 + 16,
+                        with_audio=(d % 3 == 0), v1=(d % 7 == 0))
+                    rows.append({"doc_id": did, "payload": blob})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.videometa import video_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return video_meta(blobs).select(
+            "doc_id", "format", "brand", "timescale", "duration_ms",
+            "n_tracks", "width", "height", "has_audio"
+        )
+
     def dedup_cc_sizes(spark, sf_dir):
         # near-dup FAMILY census: cluster-size histogram over the
         # connected components of the exact n-gram-Jaccard pair graph —
@@ -5718,6 +5752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4-new queries first (rotate into the round-5 window):
         "multimodal_header_mix": multimodal_header_mix,
         "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_video_meta": multimodal_video_meta,
         "embed_pq_trained": embed_pq_trained,
         "ann_ivfpq": ann_ivfpq,
         "dedup_span_scrub": dedup_span_scrub,
@@ -12893,6 +12928,26 @@ SELECT doc_id,
              ELSE mframes * 1152 END)::BIGINT AS n_samples,
        (CASE WHEN is_wav THEN wn * 1000 // wsr
              ELSE mframes * 1152 * 1000 // msr END)::BIGINT AS duration_ms
+FROM p
+""",
+        # kgspark.videometa round-trip: expected ISO-BMFF header values
+        # recomputed from the same doc_id arithmetic (duration via exact
+        # integer ms division on the per-doc timescale)
+        "multimodal_video_meta": """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 600
+                         WHEN 2 THEN 90000 ELSE 30000 END AS ts,
+         doc_id % 4000 + 500 AS dur
+  FROM documents
+)
+SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+       ts::BIGINT AS timescale,
+       (dur * 1000 // ts)::BIGINT AS duration_ms,
+       (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_tracks,
+       (doc_id % 640 + 16)::BIGINT AS width,
+       ((doc_id * 3) % 480 + 16)::BIGINT AS height,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_audio
 FROM p
 """,
         "multimodal_header_mix": """

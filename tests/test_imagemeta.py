@@ -120,3 +120,55 @@ def test_audio_meta_distributed(spark):
     assert got[3]["error"] == "unknown audio format"
     assert got[4]["error"] == "unknown audio format"
     assert len(got) == 4
+
+def test_parse_mp4_box_walk_round_trip():
+    from kgspark.videometa import make_mp4, parse_video_meta
+
+    m = parse_video_meta(make_mp4(90000, 450000, 1280, 720,
+                                  with_audio=True))
+    assert m["error"] is None
+    assert (m["format"], m["brand"], m["timescale"]) == ("mp4", "isom", 90000)
+    assert m["duration_ms"] == 450000 * 1000 // 90000
+    assert (m["width"], m["height"]) == (1280, 720)
+    assert (m["n_tracks"], m["has_audio"]) == (2, 1)
+    # 64-bit v1 mvhd/tkhd layout
+    big = parse_video_meta(make_mp4(600, 6000, 320, 240, v1=True))
+    assert (big["duration_ms"], big["width"], big["n_tracks"],
+            big["has_audio"]) == (10000, 320, 1, 0)
+
+
+def test_parse_video_meta_errors_never_raise():
+    from kgspark.videometa import make_mp4, parse_video_meta
+
+    assert parse_video_meta(b"")["error"] == "unknown video format"
+    assert parse_video_meta(b"RIFF\x00\x00\x00\x00AVI ")["error"] \
+        == "unknown video format"
+    # ftyp but no moov
+    assert "missing moov" in parse_video_meta(
+        b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")["error"]
+    # truncated: moov box claims more bytes than the file has
+    blob = make_mp4(1000, 1000, 64, 64)
+    cut = blob[: len(blob) - 20]
+    assert "overruns" in parse_video_meta(cut)["error"]
+    # zero timescale guarded, not a ZeroDivisionError
+    zer = make_mp4(0, 1000, 64, 64)
+    assert "zero mvhd timescale" in parse_video_meta(zer)["error"]
+
+
+def test_video_meta_distributed(spark):
+    from kgspark.videometa import make_mp4, video_meta
+
+    rows = [
+        (1, bytearray(make_mp4(1000, 2500, 640, 480))),
+        (2, bytearray(make_mp4(600, 1200, 0, 0, with_audio=True, v1=True))),
+        (3, bytearray(b"not video")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in video_meta(df).collect()}
+    assert (got[1]["format"], got[1]["duration_ms"],
+            got[1]["width"]) == ("mp4", 2500, 640)
+    assert (got[2]["duration_ms"], got[2]["has_audio"]) == (2000, 1)
+    assert got[3]["error"] == "unknown video format"
+    assert got[4]["error"] == "unknown video format"
+    assert len(got) == 4
