@@ -5210,6 +5210,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             binds=[("?tag", "concat(v, '@', x)")],
         )
 
+    def kg_bgp_topk(spark, sf_dir):
+        # SPARQL solution modifiers ORDER BY / LIMIT / OFFSET
+        # (kgspark/graph_api.py bgp_match): total-order cut (explicit key +
+        # all-vars tiebreak) so the page is deterministic cross-engine;
+        # Spark plan = TakeOrderedAndProject (per-partition heap), never a
+        # global sort. Bounded id spaces (60 x 7 combos, complete for any
+        # corpus >= 420 docs) keep the page scale-stable.
+        from kgspark.graph_api import bgp_match
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        base = docs.select(
+            F.concat(F.lit("e"), (d % 60).cast("string")).alias("subj"),
+            F.lit("p").alias("pred"),
+            F.concat(F.lit("v"), (d % 7).cast("string")).alias("obj"),
+        )
+        return bgp_match(
+            base, [("?x", "p", "?v")],
+            binds=[("?tag", "concat(v, '@', x)")],
+            order_by=[("?v", False)],
+            limit_n=30, offset_n=7,
+        )
+
     def kg_lp_ranks(spark, sf_dir):
         # filtered link-prediction ranks (kgspark/kgembed.py lp_ranks):
         # predicate-range candidates, Bordes-filtered, deterministic
@@ -5837,6 +5860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_complex": kg_complex,
         "link_metablock": link_metablock,
         "kg_bgp_values": kg_bgp_values,
+        "kg_bgp_topk": kg_bgp_topk,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -12710,6 +12734,18 @@ WITH bv_b AS (
 )
 SELECT DISTINCT x, v, v || '@' || x AS tag
 FROM bv_b WHERE v IN ('v1', 'v3', 'v5')
+""",
+        # kgspark.graph_api.bgp_match ORDER BY/LIMIT/OFFSET: the engine's
+        # total order is (explicit keys, then remaining vars ascending by
+        # name) — here v DESC, tag ASC, x ASC
+        "kg_bgp_topk": """
+WITH bt_b AS (
+  SELECT DISTINCT 'e' || (doc_id % 60) AS x, 'v' || (doc_id % 7) AS v
+  FROM documents
+)
+SELECT x, v, tag FROM (
+  SELECT x, v, v || '@' || x AS tag FROM bt_b
+) ORDER BY v DESC, tag ASC, x ASC LIMIT 30 OFFSET 7
 """,
         # kgspark.kgembed.lp_ranks, filtered protocol: predicate-range
         # candidates minus other true objects; rank = 1 + #(energy, cand)

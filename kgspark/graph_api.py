@@ -234,6 +234,9 @@ def bgp_match(
     max_path_hops: int = 6,
     values: tuple[Sequence[str], Sequence[Sequence[str]]] | None = None,
     binds: Sequence[tuple[str, str]] = (),
+    order_by: Sequence[tuple[str, bool]] = (),
+    limit_n: int | None = None,
+    offset_n: int = 0,
 ) -> DataFrame:
     """Conjunctive triple-pattern (SPARQL basic-graph-pattern) matching.
 
@@ -288,6 +291,19 @@ def bgp_match(
     columns (map-side, no shuffle); each new variable is visible to later
     binds and to ``filters``. The expression references the bare column
     names (``concat(t, ':', b)``), not ``?``-prefixed terms.
+
+    order_by / limit_n / offset_n: SPARQL solution modifiers (ORDER BY,
+    LIMIT, OFFSET). ``order_by`` is ``(("?var", ascending), ...)``; the
+    remaining bound variables are appended ascending as a tiebreak so the
+    cut is a TOTAL order — a LIMIT under a partial order is
+    nondeterministic across engines and across reruns, which is a
+    correctness bug at any scale. Scale posture: ORDER BY + LIMIT k
+    compiles to Spark's TakeOrderedAndProject — a per-partition
+    (offset+k)-row heap followed by a single-reducer merge of tiny
+    per-partition tops — NOT a global sort-shuffle; ORDER BY alone (no
+    limit) is an honest range-partitioned global sort, so pass a limit
+    whenever the consumer only needs the head. OFFSET without ORDER BY is
+    rejected (meaningless under hash-partitioned nondeterminism).
     """
     if not patterns:
         raise ValueError("bgp_match: need at least one pattern")
@@ -391,7 +407,34 @@ def bgp_match(
         out = out.withColumn(name, F.expr(expr).cast("string"))
         bound.add(name)
     out = _apply_filters(out, filters, bound)
-    return out.distinct() if distinct else out
+    out = out.distinct() if distinct else out
+
+    if offset_n and not order_by:
+        raise ValueError(
+            "bgp_match: OFFSET without ORDER BY skips an arbitrary subset "
+            "under hash partitioning — pass order_by"
+        )
+    if order_by:
+        keyed: list[str] = []
+        sort_cols = []
+        for var, asc in order_by:
+            if not _is_var(var):
+                raise ValueError(
+                    f"bgp_match: order_by term {var!r} is not a ?variable"
+                )
+            name = var[1:]
+            if name not in bound:
+                raise ValueError(f"bgp_match: order_by var {var} is unbound")
+            sort_cols.append(F.col(name).asc() if asc else F.col(name).desc())
+            keyed.append(name)
+        # total-order tiebreak: remaining vars ascending, name order
+        sort_cols += [F.col(v).asc() for v in sorted(bound) if v not in keyed]
+        out = out.orderBy(*sort_cols)
+        if offset_n:
+            out = out.offset(offset_n)
+    if limit_n is not None:
+        out = out.limit(limit_n)
+    return out
 
 
 def bgp_union(

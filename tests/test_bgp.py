@@ -506,3 +506,36 @@ def test_bgp_bind_and_filter_on_bound(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="already bound"):
         bgp_match(t, [("?x", "is_a", "?t")], binds=[("?x", "t")])
+
+
+def test_order_limit_offset_total_order(triples):
+    # knows-edges ordered by ?b desc; tiebreak appends ?a asc, so the
+    # page cut is a total order: sorted desc by (b), then asc by (a)
+    out = bgp_match(
+        triples, [("?a", "knows", "?b")],
+        order_by=[("?b", False)], limit_n=3,
+    )
+    rows = [(r["a"], r["b"]) for r in out.collect()]
+    allrows = sorted(
+        {(r["a"], r["b"])
+         for r in bgp_match(triples, [("?a", "knows", "?b")]).collect()},
+        key=lambda t: (tuple(-ord(c) for c in t[1]), t[0]),
+    )
+    assert rows == allrows[:3]
+    # offset pages past the head deterministically
+    out2 = bgp_match(
+        triples, [("?a", "knows", "?b")],
+        order_by=[("?b", False)], limit_n=2, offset_n=3,
+    )
+    assert [(r["a"], r["b"]) for r in out2.collect()] == allrows[3:5]
+
+
+def test_order_limit_validation(triples):
+    with pytest.raises(ValueError, match="OFFSET without ORDER BY"):
+        bgp_match(triples, [("?a", "knows", "?b")], offset_n=2)
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_match(triples, [("?a", "knows", "?b")],
+                  order_by=[("?zzz", True)])
+    with pytest.raises(ValueError, match="not a .variable"):
+        bgp_match(triples, [("?a", "knows", "?b")],
+                  order_by=[("a", True)])
