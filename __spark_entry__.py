@@ -5233,6 +5233,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             limit_n=30, offset_n=7,
         )
 
+    def text_zipf(spark, sf_dir):
+        # per-source Zipf decade profile (kgspark/textstats.py
+        # zipf_profile): term + exact integer frequency + decade decay
+        # ppm at ranks 1/10/100/1000 — the log-log slope diagnostic with
+        # no floats; WindowGroupLimit prunes the rank window map-side
+        from kgspark.textstats import zipf_profile
+
+        docs = _read(spark, sf_dir, "documents")
+        return zipf_profile(docs)
+
     def kg_lp_ranks(spark, sf_dir):
         # filtered link-prediction ranks (kgspark/kgembed.py lp_ranks):
         # predicate-range candidates, Bordes-filtered, deterministic
@@ -5861,6 +5871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_metablock": link_metablock,
         "kg_bgp_values": kg_bgp_values,
         "kg_bgp_topk": kg_bgp_topk,
+        "text_zipf": text_zipf,
         "kg_betweenness": kg_betweenness,
         "multimodal_blob_dedup": multimodal_blob_dedup,
         "multimodal_cdc_dedup": multimodal_cdc_dedup,
@@ -12746,6 +12757,33 @@ WITH bt_b AS (
 SELECT x, v, tag FROM (
   SELECT x, v, v || '@' || x AS tag FROM bt_b
 ) ORDER BY v DESC, tag ASC, x ASC LIMIT 30 OFFSET 7
+""",
+        # kgspark.textstats.zipf_profile: exact integer frequencies at
+        # decade ranks + decade decay ppm; rank order (freq desc, term
+        # asc) is total so every row is deterministic
+        "text_zipf": r"""
+WITH zp_s AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower("text"), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+zp_c AS (SELECT source, term, count(*) AS freq FROM zp_s GROUP BY 1, 2),
+zp_r AS (
+  SELECT source, term, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, term ASC) AS rnk
+  FROM zp_c
+),
+zp_k AS (SELECT * FROM zp_r WHERE rnk IN (1, 10, 100, 1000))
+SELECT k.source, k.rnk::BIGINT AS rank, k.term, k.freq::BIGINT AS freq,
+       (CASE WHEN p.freq IS NOT NULL THEN k.freq * 1000000 // p.freq
+             ELSE 1000000 END)::BIGINT AS decay_ppm
+FROM zp_k k
+LEFT JOIN zp_k p
+  ON p.source = k.source
+ AND p.rnk = CASE k.rnk WHEN 10 THEN 1 WHEN 100 THEN 10
+                        WHEN 1000 THEN 100 END
 """,
         # kgspark.kgembed.lp_ranks, filtered protocol: predicate-range
         # candidates minus other true objects; rank = 1 + #(energy, cand)

@@ -825,3 +825,82 @@ def mojibake_stats(
             ),
         )
     )
+
+
+def zipf_profile(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    ranks: tuple[int, ...] = (1, 10, 100, 1000),
+) -> DataFrame:
+    """Per-source Zipf decade profile: the term, its frequency, and the
+    decade-to-decade frequency decay at fixed frequency ranks (1, 10,
+    100, 1000 by default). ``decay_ppm`` = freq(rank) * 1e6 //
+    freq(previous decade rank) — for an ideal Zipf law (freq ∝ 1/rank)
+    every decade decays to ~100000 ppm; boilerplate-heavy scrapes decay
+    much faster at the head, spam/OCR noise much slower at the tail.
+    This is the slope diagnostic of a log-log rank/frequency plot with
+    NO floating point: frequencies at fixed ranks are exact integers, so
+    the profile hashes identically cross-engine (the repo-wide
+    integer-parity posture; an OLS fit of ln f on ln r would ride on
+    order-dependent float sums).
+
+    Scale: token counts are two map-side partial aggregations over the
+    per-source vocabulary (never corpus-row cardinality). The rank
+    window filters ``rank <= max(ranks)`` immediately above the
+    row_number, which Spark rewrites to WindowGroupLimit — each map task
+    keeps only its local top-k per source before the shuffle, so a 100M-
+    type source never sorts its full vocabulary in one task. The decade
+    self-join runs on <= len(ranks) rows per source. Ranks are totally
+    ordered by (freq desc, term asc) so every emitted row is
+    deterministic. Sources with fewer types than a rank simply have no
+    row at that rank.
+    """
+    ranks = tuple(sorted(set(int(r) for r in ranks)))
+    if not ranks or ranks[0] < 1:
+        raise ValueError("zipf_profile: ranks must be positive integers")
+    per_tok = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(ws_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    ranked = (
+        per_tok.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ranks[-1])
+        .where(F.col("rank").isin(list(ranks)))
+        .select("source", "rank", "term", F.col("freq").cast("long"))
+    )
+    prev_case = F.lit(None).cast("int")
+    for prev_r, r in zip(ranks, ranks[1:]):
+        prev_case = F.when(F.col("rank") == r, F.lit(prev_r)).otherwise(
+            prev_case
+        )
+    prev = ranked.select(
+        F.col("source").alias("source"),
+        F.col("rank").alias("__prev_rank"),
+        F.col("freq").alias("__prev_freq"),
+    )
+    out = (
+        ranked.withColumn("__prev_rank", prev_case)
+        .join(prev, ["source", "__prev_rank"], "left")
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "freq",
+            F.when(
+                F.col("__prev_freq").isNotNull(),
+                F.expr("freq * 1000000 div __prev_freq"),
+            )
+            .otherwise(F.lit(1000000))
+            .cast("long")
+            .alias("decay_ppm"),
+        )
+    )
+    return out
