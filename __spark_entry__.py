@@ -307,6 +307,31 @@ def _complex_sql(s: str, p: str, o: str, dim: int = 8) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+def _rotate_sql(s: str, p: str, o: str, dim: int = 8) -> str:
+    """RotatE replica of kgspark.kgembed rotate_score over the same
+    md5-byte embeddings (length-dim arrays read real-parts-first, d =
+    dim // 2): || e_s ∘ e_p − e_o ||_1 with the elementwise complex
+    product. Exact integers on both engines."""
+    d = dim // 2
+
+    def b(x: str, salt: str, i: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{salt}' || {x}), {2 * i + 1}, 2))::INT"
+            " - 128)"
+        )
+
+    terms = []
+    for i in range(d):
+        sr, si = b(s, "e", i), b(s, "e", i + d)
+        pr, pi = b(p, "r", i), b(p, "r", i + d)
+        orr, oi = b(o, "e", i), b(o, "e", i + d)
+        terms.append(
+            f"(abs({sr}*{pr} - {si}*{pi} - {orr})"
+            f" + abs({sr}*{pi} + {si}*{pr} - {oi}))"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
 def _banded_sql(table: str, id_col: str, bands: int, bits: int) -> str:
     """(id, band, val) exploded banded sign-LSH values of `table`.embedding —
     mirrors kgspark.dedup.banded_sign_values: STRIDED coordinate subsets,
@@ -5171,6 +5196,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("entity", "rel")
         return complex_score(t, ent, rel)
 
+    def kg_rotate(spark, sf_dir):
+        # RotatE relational-rotation plausibility per triple
+        # (kgspark/kgembed.py rotate_score), same md5-byte integer
+        # embeddings read as complex 4-vectors — the composition-capable
+        # member of the kg_transe / kg_distmult / kg_complex family
+        from kgspark.kgembed import hash_embeddings, rotate_score
+
+        t = _extract_triples(spark, sf_dir).select("subj", "pred", "obj")
+        ents = t.select(F.col("subj").alias("e")).union(
+            t.select(F.col("obj").alias("e"))
+        )
+        ent = hash_embeddings(ents, "e", salt="e")
+        rel = hash_embeddings(
+            t.select(F.col("pred").alias("r")), "r", salt="r"
+        ).withColumnRenamed("entity", "rel")
+        return rotate_score(t, ent, rel)
+
     def link_metablock(spark, sf_dir):
         # meta-blocking WNP pruning (kgspark/linkrec.py meta_blocking):
         # customers token-blocked three ways (nation|segment, name-tail-2,
@@ -5868,6 +5910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_mirrors": web_mirrors,
         "kg_taxo_reduction": kg_taxo_reduction,
         "kg_complex": kg_complex,
+        "kg_rotate": kg_rotate,
         "link_metablock": link_metablock,
         "kg_bgp_values": kg_bgp_values,
         "kg_bgp_topk": kg_bgp_topk,
@@ -12692,6 +12735,16 @@ cx_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
 SELECT subj, pred, obj,
        {_complex_sql('subj', 'pred', 'obj')} AS cx_score
 FROM cx_t
+""",
+        # kgspark.kgembed.rotate_score with the same md5-byte
+        # embeddings read real-parts-first: || s ∘ p − o ||_1 as a
+        # pure column expression
+        "kg_rotate": f"""
+WITH {_PARTS_ORACLE_CTE},
+ro_t AS (SELECT DISTINCT subj, pred, obj FROM triples)
+SELECT subj, pred, obj,
+       {_rotate_sql('subj', 'pred', 'obj')} AS ro_score
+FROM ro_t
 """,
         # kgspark.linkrec.meta_blocking replica: token blocks from the
         # synthesis arithmetic, per-block comparison counts, CBS/ARCS

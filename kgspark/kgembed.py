@@ -223,6 +223,80 @@ def complex_score(
     return out.select("subj", "pred", "obj", score.alias("cx_score"))
 
 
+def rotate_score(
+    triples: DataFrame, ent_emb: DataFrame, rel_emb: DataFrame
+) -> DataFrame:
+    """Score every (subj, pred, obj) triple with RotatE (Sun et al., ICLR
+    2019, "RotatE: Knowledge Graph Embedding by Relational Rotation in
+    Complex Space"; LOWER = more plausible): the L1 distance
+    || e_s ∘ e_p − e_o ||_1 where ∘ is the elementwise complex product.
+    Arrays of even length 2d are complex d-vectors stored
+    real-parts-first (same layout as :func:`complex_score`):
+
+        Σ_i  |sr·pr − si·pi − or|  +  |sr·pi + si·pr − oi|
+
+    RotatE's rotation geometry models COMPOSITION (r3 = r1 ∘ r2) and
+    inversion, which neither TransE (composition but not symmetry) nor
+    ComplEx (no composition) capture — the fourth member of the scoring
+    family. The unit-modulus constraint on relations is a TRAINING-side
+    projection; this scorer accepts any complex relation vector, so the
+    deterministic integer embeddings stay exact longs (trained unit
+    rotations slot in unchanged). The reference has no KG-completion
+    surface (ref /root/reference/knowledge_graph_builder.py:675-738).
+
+    Same contract as :func:`complex_score`: (entity, emb)/(rel, emb)
+    inputs, inner joins drop uncovered triples, odd lengths use
+    d = len div 2. Scale shape identical: three hash joins (embedding
+    tables broadcast when dimension-sized) + map-only slice/zip_with
+    arithmetic — no extra shuffle.
+    """
+    def half(c, first):
+        d = (F.size(c) / 2).cast("int")
+        return F.slice(c, F.lit(1) if first else d + 1, d)
+
+    def l1term(a, b, c, d, t, sign):
+        # sum_i |a_i*b_i + sign*c_i*d_i - t_i| as a long
+        prod = F.zip_with(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.zip_with(c, d, lambda x, y: x * y),
+            (lambda x, y: x + y) if sign > 0 else (lambda x, y: x - y),
+        )
+        diff = F.zip_with(prod, t, lambda x, y: F.abs(x - y))
+        return F.aggregate(
+            diff, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        )
+
+    sr, si = half(F.col("_se"), True), half(F.col("_se"), False)
+    pr, pi = half(F.col("_pe"), True), half(F.col("_pe"), False)
+    orr, oi = half(F.col("_oe"), True), half(F.col("_oe"), False)
+    score = (
+        l1term(sr, pr, si, pi, orr, -1)   # |sr·pr − si·pi − or|
+        + l1term(sr, pi, si, pr, oi, +1)  # |sr·pi + si·pr − oi|
+    )
+    out = (
+        triples.select("subj", "pred", "obj")
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("subj"), F.col("emb").alias("_se")
+            ),
+            "subj",
+        )
+        .join(
+            rel_emb.select(
+                F.col("rel").alias("pred"), F.col("emb").alias("_pe")
+            ),
+            "pred",
+        )
+        .join(
+            ent_emb.select(
+                F.col("entity").alias("obj"), F.col("emb").alias("_oe")
+            ),
+            "obj",
+        )
+    )
+    return out.select("subj", "pred", "obj", score.alias("ro_score"))
+
+
 def lp_ranks(
     triples: DataFrame,
     ent_emb: DataFrame,

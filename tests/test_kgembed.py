@@ -203,3 +203,26 @@ def test_complex_score_hand_case_and_antisymmetry(spark):
     # 0-1-4-0 -> -10; the reverse direction differs (antisymmetry, the
     # property DistMult cannot have); zz uncovered -> dropped
     assert got == {("a", "b"): -10, ("b", "a"): 18}
+
+
+def test_rotate_score_hand_case_and_direction(spark):
+    from kgspark.kgembed import rotate_score
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a"), ("a", "p", "zz")],
+        "subj string, pred string, obj string",
+    )
+    # arrays are [re_0, re_1, im_0, im_1] (same layout as complex_score)
+    ent = spark.createDataFrame(
+        [("a", [1, 2, 3, -1]), ("b", [2, 0, 1, 1])],
+        "entity string, emb array<int>",
+    )
+    rel = spark.createDataFrame(
+        [("p", [1, 1, 2, -2])], "rel string, emb array<int>"
+    )
+    got = {(r.subj, r.obj): r.ro_score
+           for r in rotate_score(t, ent, rel).collect()}
+    # hand-computed ||h∘r − t||_1: a∘p = (−5+5i, 0−5i), minus b=(2+i, 0+i)
+    # → |−7|+|4| + |0|+|−6| = 17; b∘p = (0+5i, 2+i), minus a=(1+3i, 2−i)
+    # → 3 + 2 = 5 — direction-sensitive; zz uncovered -> dropped
+    assert got == {("a", "b"): 17, ("b", "a"): 5}

@@ -634,7 +634,9 @@ def test_session4_ops_no_cartesian_no_python(spark):
     from kgspark.chunk import topic_boundaries
     from kgspark.graph_algs import type_violations
     from kgspark.graph_api import bgp_construct
-    from kgspark.kgembed import complex_score, distmult_score, hash_embeddings
+    from kgspark.kgembed import (
+        complex_score, distmult_score, hash_embeddings, rotate_score,
+    )
     from kgspark.linkrec import edit_pairs, meta_blocking, sorted_neighborhood
     from kgspark.nb import calibration_bins, roc_auc
     from kgspark.rulemine import apply_chain_rules
@@ -673,6 +675,7 @@ def test_session4_ops_no_cartesian_no_python(spark):
         plan(topic_boundaries(docs, window=2)),
         plan(distmult_score(t, ent, rel)),
         plan(complex_score(t, ent, rel)),
+        plan(rotate_score(t, ent, rel)),
     ]
     for p in plans:
         assert "CartesianProduct" not in p
