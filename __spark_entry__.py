@@ -5529,6 +5529,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "format", "width", "height", "bit_depth", "n_channels"
         )
 
+    def multimodal_header_mix2(spark, sf_dir):
+        # second mixed-format header round-trip: BMP / WEBP(VP8, VP8L,
+        # VP8X) / TIFF fixtures built per doc (format = doc_id % 5, dims
+        # + variant knobs from doc_id arithmetic), parsed back by the
+        # pure-stdlib header parser — extends multimodal_header_mix's
+        # hash-oracle posture to the RIFF/IFD container formats
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            from kgspark.imagemeta import make_bmp, make_tiff, make_webp
+
+            bpps = [8, 24, 32]
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    w, h = d % 300 + 20, (d * 7) % 200 + 20
+                    k, v = d % 5, d // 5
+                    if k == 0:
+                        blob = make_bmp(w, h, bpps[v % 3])
+                    elif k == 1:
+                        blob = make_webp(w, h, "vp8")
+                    elif k == 2:
+                        blob = make_webp(w, h, "vp8l", alpha=v % 2)
+                    elif k == 3:
+                        blob = make_webp(w, h, "vp8x", alpha=v % 2)
+                    else:
+                        blob = make_tiff(
+                            w, h, 8 if v % 3 == 0 else 16,
+                            3 if d % 3 == 0 else 1, big_endian=v % 2 == 1)
+                    rows.append({"doc_id": did, "payload": blob})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.imagemeta import image_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return image_meta(blobs).select(
+            "doc_id", "format", "width", "height", "bit_depth", "n_channels"
+        )
+
     def multimodal_audio_meta(spark, sf_dir):
         # audio-header round-trip: PCM WAV / MPEG1-L3 MP3 fixtures built
         # per doc (format = parity, params from doc_id arithmetic; every
@@ -5826,6 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past position 50: see the ordering NOTE above ------------------
         # round-4-new queries first (rotate into the round-5 window):
         "multimodal_header_mix": multimodal_header_mix,
+        "multimodal_header_mix2": multimodal_header_mix2,
         "multimodal_audio_meta": multimodal_audio_meta,
         "multimodal_video_meta": multimodal_video_meta,
         "embed_pq_trained": embed_pq_trained,
@@ -13090,6 +13133,28 @@ SELECT doc_id,
                                       ELSE 4 END
           WHEN 1 THEN CASE doc_id % 2 WHEN 0 THEN 3 ELSE 1 END
           ELSE 3 END)::BIGINT AS n_channels
+FROM documents
+""",
+        # kgspark.imagemeta BMP/WEBP/TIFF round-trip: expected header
+        # values recomputed from the same doc_id arithmetic
+        "multimodal_header_mix2": """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'bmp'
+            WHEN doc_id % 5 = 4 THEN 'tiff'
+            ELSE 'webp' END AS format,
+       (doc_id % 300 + 20)::BIGINT AS width,
+       ((doc_id * 7) % 200 + 20)::BIGINT AS height,
+       (CASE WHEN doc_id % 5 = 4
+             THEN CASE WHEN (doc_id // 5) % 3 = 0 THEN 8 ELSE 16 END
+             ELSE 8 END)::BIGINT AS bit_depth,
+       (CASE doc_id % 5
+          WHEN 0 THEN CASE (doc_id // 5) % 3
+                        WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+          WHEN 1 THEN 3
+          WHEN 2 THEN 3 + (doc_id // 5) % 2
+          WHEN 3 THEN 3 + (doc_id // 5) % 2
+          ELSE CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END
+        END)::BIGINT AS n_channels
 FROM documents
 """,
         # kgspark.imagemeta round-trip: expected header values recomputed

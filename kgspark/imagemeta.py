@@ -13,6 +13,17 @@ validity — lives in fixed-layout headers that plain byte arithmetic reads:
         precision, height, width, n_components (ITU T.81 §B.2.2).
   GIF   'GIF87a'/'GIF89a' signature; width/height little-endian u16 at
         offsets 6/8.
+  BMP   'BM' signature; BITMAPINFOHEADER: width s32 / height s32 (negative
+        = top-down) at 18/22, bits-per-pixel u16 at 28 (Windows GDI
+        BITMAPINFOHEADER layout).
+  WEBP  RIFF container ('RIFF' … 'WEBP'); first chunk fourcc selects the
+        bitstream: 'VP8 ' lossy (start code 9D 01 2A, 14-bit LE dims),
+        'VP8L' lossless (0x2F signature byte, dims-1 packed in a LE u32
+        with an alpha bit), 'VP8X' extended (flag byte + 24-bit LE
+        canvas dims-1) — RFC 9649 §2.
+  TIFF  'II*\\0' / 'MM\\0*' byte-order header, u32 offset to the first
+        IFD; 12-byte tag entries give ImageWidth(256) / ImageLength(257)
+        / BitsPerSample(258) / SamplesPerPixel(277) (TIFF 6.0 §2).
 
 Scale shape: an Arrow-batched mapInPandas over the binary column — one
 Python pass per batch, bytes sliced not decoded; per-file errors go into
@@ -38,6 +49,11 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # JPEG SOF markers: C0-CF minus C4 (DHT), C8 (JPG ext), CC (DAC)
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+# BMP bits-per-pixel -> (per-channel bit depth, channel count):
+# 1/4/8 are palette-indexed single-channel; 16 is 5-5-5 RGB; 24/32 are
+# 8-bit BGR(A) (Windows GDI BITMAPINFOHEADER semantics)
+_BMP_DEPTH_CHANNELS = {1: (1, 1), 4: (4, 1), 8: (8, 1),
+                       16: (5, 3), 24: (8, 3), 32: (8, 4)}
 
 
 def parse_image_meta(data: bytes) -> dict:
@@ -86,6 +102,89 @@ def parse_image_meta(data: bytes) -> dict:
             w, h = struct.unpack("<HH", data[6:10])
             out.update(format="gif", width=w, height=h, bit_depth=8,
                        n_channels=3)
+            return out
+        if data[:2] == b"BM":
+            if len(data) < 30:
+                out.update(format="bmp", error="bmp: truncated header")
+                return out
+            w = struct.unpack("<i", data[18:22])[0]
+            h = abs(struct.unpack("<i", data[22:26])[0])  # <0 = top-down
+            bpp = struct.unpack("<H", data[28:30])[0]
+            depth_ch = _BMP_DEPTH_CHANNELS.get(bpp)
+            if depth_ch is None:
+                out.update(format="bmp", error=f"bmp: unknown bpp {bpp}")
+                return out
+            out.update(format="bmp", width=w, height=h,
+                       bit_depth=depth_ch[0], n_channels=depth_ch[1])
+            return out
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            four = data[12:16]
+            if four == b"VP8 ":
+                if len(data) < 30 or data[23:26] != b"\x9d\x01\x2a":
+                    out.update(format="webp",
+                               error="webp: bad VP8 start code")
+                    return out
+                w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+                h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+                out.update(format="webp", width=w, height=h, bit_depth=8,
+                           n_channels=3)
+                return out
+            if four == b"VP8L":
+                if len(data) < 25 or data[20] != 0x2F:
+                    out.update(format="webp",
+                               error="webp: bad VP8L signature")
+                    return out
+                bits = struct.unpack("<I", data[21:25])[0]
+                alpha = (bits >> 28) & 1
+                out.update(format="webp", width=(bits & 0x3FFF) + 1,
+                           height=((bits >> 14) & 0x3FFF) + 1, bit_depth=8,
+                           n_channels=3 + alpha)
+                return out
+            if four == b"VP8X":
+                if len(data) < 30:
+                    out.update(format="webp", error="webp: truncated VP8X")
+                    return out
+                alpha = (data[20] >> 4) & 1
+                w = int.from_bytes(data[24:27], "little") + 1
+                h = int.from_bytes(data[27:30], "little") + 1
+                out.update(format="webp", width=w, height=h, bit_depth=8,
+                           n_channels=3 + alpha)
+                return out
+            out.update(format="webp",
+                       error=f"webp: unknown chunk {four!r}")
+            return out
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            end = "<" if data[:2] == b"II" else ">"
+            ifd = struct.unpack(end + "I", data[4:8])[0]
+            if ifd + 2 > len(data):
+                out.update(format="tiff", error="tiff: truncated IFD")
+                return out
+            n_ent = struct.unpack(end + "H", data[ifd:ifd + 2])[0]
+            tags = {}
+            for k in range(n_ent):
+                e0 = ifd + 2 + 12 * k
+                if e0 + 12 > len(data):
+                    break
+                tag, typ = struct.unpack(end + "HH", data[e0:e0 + 4])
+                cnt = struct.unpack(end + "I", data[e0 + 4:e0 + 8])[0]
+                if typ == 3 and cnt == 1:        # SHORT inline
+                    val = struct.unpack(end + "H", data[e0 + 8:e0 + 10])[0]
+                elif typ == 4 and cnt == 1:      # LONG inline
+                    val = struct.unpack(end + "I", data[e0 + 8:e0 + 12])[0]
+                elif typ == 3 and cnt > 1:       # SHORT array via offset
+                    off = struct.unpack(end + "I", data[e0 + 8:e0 + 12])[0]
+                    if off + 2 > len(data):
+                        continue
+                    val = struct.unpack(end + "H", data[off:off + 2])[0]
+                else:
+                    continue
+                tags[tag] = val
+            if 256 not in tags or 257 not in tags:
+                out.update(format="tiff", error="tiff: missing dimensions")
+                return out
+            out.update(format="tiff", width=tags[256], height=tags[257],
+                       bit_depth=tags.get(258, 1),
+                       n_channels=tags.get(277, 1))
             return out
         out["error"] = "unknown image format"
         return out
@@ -161,3 +260,54 @@ def make_gif(width: int, height: int, version: bytes = b"89a") -> bytes:
     descriptor (width/height little-endian u16) + trailer."""
     return (b"GIF" + version + struct.pack("<HH", width, height)
             + b"\x00\x00\x00" + b"\x3b")
+
+
+def make_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """Minimal structurally-valid BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER (pixel array omitted — header parsing must not
+    need it)."""
+    info = struct.pack("<IiiHH", 40, width, height, 1, bpp) + b"\x00" * 24
+    return (b"BM" + struct.pack("<I", 14 + len(info)) + b"\x00" * 4
+            + struct.pack("<I", 14 + len(info)) + info)
+
+
+def make_webp(width: int, height: int, kind: str = "vp8",
+              alpha: int = 0) -> bytes:
+    """Minimal structurally-valid WEBP header (RFC 9649): RIFF container
+    + one of the three bitstream chunk prefixes ('vp8' lossy / 'vp8l'
+    lossless / 'vp8x' extended). Compressed payload omitted."""
+    if kind == "vp8":
+        payload = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                   + struct.pack("<HH", width, height))
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    elif kind == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14) | ((alpha & 1) << 28)
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    elif kind == "vp8x":
+        payload = (bytes([0x10 if alpha else 0]) + b"\x00\x00\x00"
+                   + (width - 1).to_bytes(3, "little")
+                   + (height - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError(f"make_webp: kind must be vp8|vp8l|vp8x, got {kind}")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_tiff(width: int, height: int, bits_per_sample: int = 8,
+              samples_per_pixel: int = 1, big_endian: bool = False) -> bytes:
+    """Minimal structurally-valid TIFF (6.0): byte-order header + one IFD
+    with SHORT entries for ImageWidth / ImageLength / BitsPerSample /
+    SamplesPerPixel (ascending tag order, as the spec requires)."""
+    end = ">" if big_endian else "<"
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        end + "I", 8
+    )
+
+    def entry(tag: int, val: int) -> bytes:
+        return (struct.pack(end + "HHI", tag, 3, 1)
+                + struct.pack(end + "H", val) + b"\x00\x00")
+
+    ents = (entry(256, width) + entry(257, height)
+            + entry(258, bits_per_sample) + entry(277, samples_per_pixel))
+    return hdr + struct.pack(end + "H", 4) + ents + struct.pack(end + "I", 0)

@@ -50,6 +50,55 @@ def test_parse_image_meta_errors_never_raise():
     assert bad["width"] == 10 and "unknown color type" in bad["error"]
 
 
+def test_parse_bmp_webp_tiff_round_trip():
+    from kgspark.imagemeta import (
+        make_bmp, make_tiff, make_webp, parse_image_meta,
+    )
+
+    for bpp, (depth, nch) in [(8, (8, 1)), (16, (5, 3)), (24, (8, 3)),
+                              (32, (8, 4))]:
+        m = parse_image_meta(make_bmp(77, 33, bpp))
+        assert m["error"] is None
+        assert (m["format"], m["width"], m["height"], m["bit_depth"],
+                m["n_channels"]) == ("bmp", 77, 33, depth, nch)
+    # top-down BMP: negative height -> abs
+    import struct as _s
+    td = bytearray(make_bmp(10, 20, 24))
+    td[22:26] = _s.pack("<i", -20)
+    assert parse_image_meta(bytes(td))["height"] == 20
+
+    for kind, alpha, nch in [("vp8", 0, 3), ("vp8l", 0, 3), ("vp8l", 1, 4),
+                             ("vp8x", 0, 3), ("vp8x", 1, 4)]:
+        m = parse_image_meta(make_webp(321, 123, kind, alpha))
+        assert m["error"] is None, (kind, m)
+        assert (m["format"], m["width"], m["height"], m["n_channels"]) == (
+            "webp", 321, 123, nch), kind
+
+    for be in (False, True):
+        m = parse_image_meta(make_tiff(640, 480, 16, 3, big_endian=be))
+        assert m["error"] is None
+        assert (m["format"], m["width"], m["height"], m["bit_depth"],
+                m["n_channels"]) == ("tiff", 640, 480, 16, 3)
+
+
+def test_parse_bmp_webp_tiff_errors_never_raise():
+    from kgspark.imagemeta import parse_image_meta
+
+    assert "truncated" in parse_image_meta(b"BM" + b"\x00" * 10)["error"]
+    assert "start code" in parse_image_meta(
+        b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 14)["error"]
+    assert "unknown chunk" in parse_image_meta(
+        b"RIFF\x00\x00\x00\x00WEBPXXXX" + b"\x00" * 14)["error"]
+    assert "truncated IFD" in parse_image_meta(b"II*\x00\xff\x00\x00\x00")[
+        "error"]
+    # TIFF whose IFD lacks width/height
+    import struct as _s
+    t = (b"II*\x00" + _s.pack("<I", 8) + _s.pack("<H", 1)
+         + _s.pack("<HHI", 277, 3, 1) + _s.pack("<H", 3) + b"\x00\x00"
+         + _s.pack("<I", 0))
+    assert "missing dimensions" in parse_image_meta(t)["error"]
+
+
 def test_image_meta_distributed(spark):
     from kgspark.imagemeta import image_meta, make_png
 
