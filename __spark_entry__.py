@@ -3923,6 +3923,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_quantities(docs)
 
+    def kg_geo_near(spark, sf_dir):
+        # grid-cell blocked spatial near-join (kgspark/geo.py near_pairs):
+        # customers placed on a 30x30 city grid (2e6-microdeg spacing)
+        # with per-key jitter, radius 0.5 degrees — the oracle is a
+        # BRUTE-FORCE cross join, so it independently proves the 3x3
+        # cell blocking loses no qualifying pair
+        from kgspark.geo import near_pairs
+
+        c = F.col("c_custkey")
+        pts = _read(spark, sf_dir, "customer").select(
+            c.alias("id"),
+            ((c % 30) * 2_000_000 - 30_000_000 + (c % 7) * 60_000)
+            .cast("long").alias("lat_micro"),
+            (F.expr("c_custkey div 30") % 30 * 2_000_000 - 30_000_000
+             + (c % 11) * 40_000).cast("long").alias("lon_micro"),
+        )
+        return near_pairs(pts, 500_000)
+
     def kg_geo(spark, sf_dir):
         # coordinate-literal canonicalization (kgspark/geo.py
         # extract_coords): one planted degree-marked coordinate per doc
@@ -5946,6 +5964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_timex": kg_timex,
         "kg_units": kg_units,
         "kg_geo": kg_geo,
+        "kg_geo_near": kg_geo_near,
         "web_link_coherent": web_link_coherent,
         "web_nil_mentions": web_nil_mentions,
         "corpus_kanon": corpus_kanon,
@@ -10750,6 +10769,25 @@ LEFT JOIN (SELECT * FROM lc_best WHERE rb = 1) b
 """,
         # kgspark.geo.extract_coords over planted coordinates: the
         # oracle reconstructs mention + signed micro-degrees per doc
+        # kgspark.geo.near_pairs replica WITHOUT the grid: brute-force
+        # cross join + exact integer distance filter — proves the 3x3
+        # cell blocking is lossless at the contract radius
+        "kg_geo_near": """
+WITH gn_p AS (
+  SELECT c_custkey AS id,
+         ((c_custkey % 30) * 2000000 - 30000000
+          + (c_custkey % 7) * 60000)::BIGINT AS lat,
+         (((c_custkey // 30) % 30) * 2000000 - 30000000
+          + (c_custkey % 11) * 40000)::BIGINT AS lon
+  FROM customer
+)
+SELECT p.id AS a, q.id AS b,
+       ((p.lat - q.lat) * (p.lat - q.lat)
+        + (p.lon - q.lon) * (p.lon - q.lon))::BIGINT AS dist2
+FROM gn_p p JOIN gn_p q ON p.id < q.id
+WHERE (p.lat - q.lat) * (p.lat - q.lat)
+      + (p.lon - q.lon) * (p.lon - q.lon) <= 250000000000
+""",
         "kg_geo": """
 WITH ge_d AS (
   SELECT doc_id, ((doc_id % 4) + 1)::INT AS hi,

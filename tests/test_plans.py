@@ -634,6 +634,7 @@ def test_session4_ops_no_cartesian_no_python(spark):
     from kgspark.chunk import topic_boundaries
     from kgspark.graph_algs import type_violations
     from kgspark.graph_api import bgp_construct
+    from kgspark.geo import near_pairs
     from kgspark.kgembed import (
         complex_score, distmult_score, hash_embeddings, rotate_score,
     )
@@ -676,6 +677,9 @@ def test_session4_ops_no_cartesian_no_python(spark):
         plan(distmult_score(t, ent, rel)),
         plan(complex_score(t, ent, rel)),
         plan(rotate_score(t, ent, rel)),
+        plan(near_pairs(spark.createDataFrame(
+            [(1, 0, 0), (2, 100, 100)],
+            "id long, lat_micro long, lon_micro long"), 1000)),
     ]
     for p in plans:
         assert "CartesianProduct" not in p
