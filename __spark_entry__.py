@@ -4517,6 +4517,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?x", "!is_a|related_to|has_instance", "?y")],
         )
 
+    def kg_bgp_exists(spark, sf_dir):
+        # SPARQL FILTER EXISTS / NOT EXISTS (kgspark/graph_api.py
+        # bgp_filter_exists): keep (?x p ?v) solutions whose entity has
+        # some tag other than t0 (EXISTS + branch filter) and is never
+        # flagged (NOT EXISTS) — one left_semi plus one left_anti hash
+        # join on ?x; entity/tag/flag residues live on bounded id
+        # spaces so the surviving fraction is scale-stable
+        from kgspark.graph_api import bgp_filter_exists
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        ent = F.concat(F.lit("e"), (d % 60).cast("string"))
+        base = docs.select(
+            ent.alias("subj"), F.lit("p").alias("pred"),
+            F.concat(F.lit("v"), (d % 7).cast("string")).alias("obj"),
+        )
+        tags = docs.where(d % 2 == 0).select(
+            ent.alias("subj"), F.lit("tag").alias("pred"),
+            F.concat(F.lit("t"), (d % 5).cast("string")).alias("obj"),
+        )
+        flags = docs.where(d % 3 == 0).select(
+            ent.alias("subj"), F.lit("flag").alias("pred"),
+            F.lit("1").alias("obj"),
+        )
+        return bgp_filter_exists(
+            base.unionByName(tags).unionByName(flags),
+            [("?x", "p", "?v")],
+            [{"patterns": [("?x", "tag", "?t")],
+              "filters": [("?t", "!=", "t0")]},
+             {"patterns": [("?x", "flag", "1")], "negate": True}],
+        )
+
     def kg_construct(spark, sf_dir):
         # SPARQL CONSTRUCT (kgspark/graph_api.py bgp_construct): rewrite
         # the (part is_a type, part has brand) wedge into a derived
@@ -5959,6 +5991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": kg_construct,
         "kg_bgp_minus": kg_bgp_minus,
         "kg_bgp_nps": kg_bgp_nps,
+        "kg_bgp_exists": kg_bgp_exists,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -11591,6 +11624,27 @@ bm_f AS (
 )
 SELECT DISTINCT b.x, b.v FROM bm_b b
 WHERE NOT EXISTS (SELECT 1 FROM bm_f f WHERE f.x = b.x)
+""",
+        # kgspark.graph_api.bgp_filter_exists: semi-join EXISTS with a
+        # branch-local filter, anti-join NOT EXISTS
+        "kg_bgp_exists": """
+WITH be_b AS (
+  SELECT DISTINCT 'e' || (doc_id % 60)::VARCHAR AS x,
+         'v' || (doc_id % 7)::VARCHAR AS v
+  FROM documents
+),
+be_t AS (
+  SELECT DISTINCT 'e' || (doc_id % 60)::VARCHAR AS x,
+         't' || (doc_id % 5)::VARCHAR AS t
+  FROM documents WHERE doc_id % 2 = 0
+),
+be_f AS (
+  SELECT DISTINCT 'e' || (doc_id % 60)::VARCHAR AS x
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT DISTINCT b.x, b.v FROM be_b b
+WHERE EXISTS (SELECT 1 FROM be_t t WHERE t.x = b.x AND t.t <> 't0')
+  AND NOT EXISTS (SELECT 1 FROM be_f f WHERE f.x = b.x)
 """,
         # kgspark.graph_api.bgp_construct: wedge join + template
         # instantiation union, SELECT DISTINCT for set semantics

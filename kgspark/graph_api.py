@@ -538,6 +538,79 @@ def bgp_minus(
     return out.distinct() if distinct else out
 
 
+def bgp_filter_exists(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    exists_clauses: Sequence[dict],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+    max_path_hops: int = 6,
+) -> DataFrame:
+    """SPARQL ``FILTER EXISTS`` / ``FILTER NOT EXISTS`` over BGP bindings.
+
+    Each clause is a dict accepted by :func:`bgp_match` (``patterns``
+    required; ``filters`` / ``optional_patterns`` optional) plus a
+    ``negate`` flag: ``negate=False`` keeps the outer solutions for which
+    the clause's BGP has at least one compatible binding (FILTER EXISTS),
+    ``negate=True`` keeps those with none (FILTER NOT EXISTS). Clauses
+    apply conjunctively in order. This completes the negation corner of
+    the engine's SPARQL algebra next to :func:`bgp_minus` — the two
+    diverge exactly where the spec says they do: a clause sharing NO
+    variable with the outer BGP is vacuous under MINUS (and ``bgp_minus``
+    raises), but under EXISTS it is a global guard — EXISTS keeps
+    everything iff the branch has any solution at all, NOT EXISTS keeps
+    everything iff it has none. The reference has no negation surface at
+    all (substring scan only, /root/reference/knowledge_graph_builder.py:
+    679-686).
+
+    In this conjunctive subset the inner branch correlates with the outer
+    solution only through shared variables, so SPARQL's substitution
+    semantics coincide exactly with a semi-join; variables bound only
+    inside the branch stay existential (projected away before the join).
+
+    Plan shape (100 TB posture): one left_semi (EXISTS) or left_anti
+    (NOT EXISTS) hash join per clause on the shared variable columns —
+    never a row-multiplying join, so solution cardinality only shrinks;
+    selective constants inside a branch make its binding table small and
+    AQE broadcasts it. The uncorrelated-guard case joins a broadcast
+    ``limit(1)`` verdict row, costing one tiny job regardless of outer
+    size.
+    """
+    out = bgp_match(
+        triples, patterns, subj=subj, pred=pred, obj=obj,
+        distinct=False, max_path_hops=max_path_hops,
+    )
+    for cl in exists_clauses:
+        negate = bool(cl.get("negate", False))
+        branch = bgp_match(
+            triples,
+            cl["patterns"],
+            subj=subj,
+            pred=pred,
+            obj=obj,
+            distinct=False,
+            optional_patterns=cl.get("optional_patterns", ()),
+            filters=cl.get("filters", ()),
+            max_path_hops=max_path_hops,
+        )
+        shared = sorted(set(out.columns) & set(branch.columns))
+        how = "left_anti" if negate else "left_semi"
+        if shared:
+            out = out.join(branch.select(*shared).distinct(), shared, how)
+        else:
+            # uncorrelated guard: 0-or-1-row broadcast verdict on a
+            # constant key — keeps/drops ALL outer rows
+            guard = branch.select(F.lit(1).alias("__g")).limit(1)
+            out = (
+                out.withColumn("__g", F.lit(1))
+                .join(F.broadcast(guard), "__g", how)
+                .drop("__g")
+            )
+    return out.distinct() if distinct else out
+
+
 def bgp_construct(
     triples: DataFrame,
     patterns: Sequence[tuple[str, str, str]],

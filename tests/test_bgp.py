@@ -539,3 +539,76 @@ def test_order_limit_validation(triples):
     with pytest.raises(ValueError, match="not a .variable"):
         bgp_match(triples, [("?a", "knows", "?b")],
                   order_by=[("a", True)])
+
+
+# ---------------------------------------------------------------------------
+# FILTER EXISTS / NOT EXISTS
+# ---------------------------------------------------------------------------
+
+def test_bgp_filter_exists_and_not_exists(spark):
+    from kgspark.graph_api import bgp_filter_exists
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("c", "p", "z"),
+         ("a", "tag", "t1"), ("b", "tag", "t0"),
+         ("a", "flag", "1"), ("c", "flag", "1")],
+        "subj string, pred string, obj string",
+    )
+    # EXISTS tag: a, b qualify; NOT EXISTS flag: b, (c has flag) -> b only
+    got = {(r.s, r.o) for r in bgp_filter_exists(
+        t, [("?s", "p", "?o")],
+        [{"patterns": [("?s", "tag", "?t")]},
+         {"patterns": [("?s", "flag", "1")], "negate": True}],
+    ).collect()}
+    assert got == {("b", "y")}
+
+    # filters inside the branch apply BEFORE the semi-join: only a's
+    # tag survives ?t != t0
+    got2 = {r.s for r in bgp_filter_exists(
+        t, [("?s", "p", "?o")],
+        [{"patterns": [("?s", "tag", "?t")],
+          "filters": [("?t", "!=", "t0")]}],
+    ).collect()}
+    assert got2 == {"a"}
+
+
+def test_bgp_filter_exists_uncorrelated_guard(spark):
+    from kgspark.graph_api import bgp_filter_exists
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("g", "on", "1")],
+        "subj string, pred string, obj string",
+    )
+    # guard holds -> EXISTS keeps everything, NOT EXISTS drops everything
+    keep = bgp_filter_exists(
+        t, [("?s", "p", "?o")], [{"patterns": [("g", "on", "1")]}])
+    assert keep.count() == 2
+    drop = bgp_filter_exists(
+        t, [("?s", "p", "?o")],
+        [{"patterns": [("g", "on", "1")], "negate": True}])
+    assert drop.count() == 0
+    # guard fails -> roles swap
+    none_ = bgp_filter_exists(
+        t, [("?s", "p", "?o")], [{"patterns": [("g", "off", "1")]}])
+    assert none_.count() == 0
+    all_ = bgp_filter_exists(
+        t, [("?s", "p", "?o")],
+        [{"patterns": [("g", "off", "1")], "negate": True}])
+    assert all_.count() == 2
+
+
+def test_bgp_filter_exists_semi_never_multiplies(spark):
+    from kgspark.graph_api import bgp_filter_exists
+
+    # two matching tag rows for 'a' must NOT duplicate a's solution
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "tag", "t1"), ("a", "tag", "t2")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_filter_exists(
+        t, [("?s", "p", "?o")], [{"patterns": [("?s", "tag", "?t")]}],
+        distinct=False,
+    )
+    assert out.count() == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
