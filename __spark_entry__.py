@@ -4549,6 +4549,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              {"patterns": [("?x", "flag", "1")], "negate": True}],
         )
 
+    def kg_ask(spark, sf_dir):
+        # SPARQL ASK (kgspark/graph_api.py bgp_ask): four existence
+        # probes over the extracted triple graph — a true wedge, a
+        # false self-loop, an absent predicate, and a true alternation
+        # path; each is a limit(1)-short-circuited binding plan
+        from kgspark.graph_api import bgp_ask
+
+        t = _extract_triples(spark, sf_dir)
+        probes = [
+            ("branded_wedge", [("?x", "is_a", "?t"), ("?x", "has", "?b")]),
+            ("self_brand", [("?b", "belongs_to", "?b")]),
+            ("owned_by", [("?x", "owned_by", "?y")]),
+            ("brand_path", [("?b", "belongs_to|related_to", "?n"),
+                            ("?n", "is_a", "?t")]),
+        ]
+        out = None
+        for name, pats in probes:
+            one = bgp_ask(t, pats).select(
+                F.lit(name).alias("probe"),
+                F.col("ask").cast("long").alias("ask"),
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+
     def kg_construct(spark, sf_dir):
         # SPARQL CONSTRUCT (kgspark/graph_api.py bgp_construct): rewrite
         # the (part is_a type, part has brand) wedge into a derived
@@ -5992,6 +6016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_minus": kg_bgp_minus,
         "kg_bgp_nps": kg_bgp_nps,
         "kg_bgp_exists": kg_bgp_exists,
+        "kg_ask": kg_ask,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -11645,6 +11670,25 @@ be_f AS (
 SELECT DISTINCT b.x, b.v FROM be_b b
 WHERE EXISTS (SELECT 1 FROM be_t t WHERE t.x = b.x AND t.t <> 't0')
   AND NOT EXISTS (SELECT 1 FROM be_f f WHERE f.x = b.x)
+""",
+        # kgspark.graph_api.bgp_ask: EXISTS verdicts as 0/1 rows
+        "kg_ask": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT 'branded_wedge' AS probe,
+       (EXISTS (SELECT 1 FROM triples a JOIN triples b ON a.subj = b.subj
+                WHERE a.pred = 'is_a' AND b.pred = 'has'))::BIGINT AS ask
+UNION ALL
+SELECT 'self_brand',
+       (EXISTS (SELECT 1 FROM triples
+                WHERE pred = 'belongs_to' AND subj = obj))::BIGINT
+UNION ALL
+SELECT 'owned_by',
+       (EXISTS (SELECT 1 FROM triples WHERE pred = 'owned_by'))::BIGINT
+UNION ALL
+SELECT 'brand_path',
+       (EXISTS (SELECT 1 FROM triples a JOIN triples b ON a.obj = b.subj
+                WHERE a.pred IN ('belongs_to', 'related_to')
+                  AND b.pred = 'is_a'))::BIGINT
 """,
         # kgspark.graph_api.bgp_construct: wedge join + template
         # instantiation union, SELECT DISTINCT for set semantics

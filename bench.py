@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "corpus_auc",
     "corpus_calibration",
     "kg_truth",
+    "kg_bgp_exists",
+    "kg_ask",
 ]
 
 

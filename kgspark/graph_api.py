@@ -611,6 +611,41 @@ def bgp_filter_exists(
     return out.distinct() if distinct else out
 
 
+def bgp_ask(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    filters: Sequence[tuple[str, str, str]] = (),
+    optional_patterns: Sequence[tuple[str, str, str]] = (),
+    max_path_hops: int = 6,
+) -> DataFrame:
+    """SPARQL ``ASK`` — does the BGP have at least one solution?
+
+    Returns a single-row DataFrame ``(ask: boolean)``. Completes the
+    engine's SPARQL query-form surface next to SELECT (:func:`bgp_match`),
+    aggregates (:func:`bgp_aggregate`) and CONSTRUCT
+    (:func:`bgp_construct`); the reference answers existence questions
+    only by substring scan (/root/reference/knowledge_graph_builder.py:
+    679-686).
+
+    Plan shape (100 TB posture): ``limit(1)`` sits directly on the
+    binding plan, so Spark plants a LocalLimit under the exchange — each
+    task short-circuits after its first satisfying binding and the
+    CollectLimit takes one row from the first non-empty partition; the
+    aggregate then folds 0-or-1 rows. Constants in the pattern reach the
+    scan as pushed filters, so a selective ASK touches only the pruned
+    partitions.
+    """
+    hits = bgp_match(
+        triples, patterns, subj=subj, pred=pred, obj=obj,
+        distinct=False, filters=filters,
+        optional_patterns=optional_patterns, max_path_hops=max_path_hops,
+    )
+    return hits.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
 def bgp_construct(
     triples: DataFrame,
     patterns: Sequence[tuple[str, str, str]],

@@ -597,6 +597,24 @@ def test_bgp_filter_exists_uncorrelated_guard(spark):
     assert all_.count() == 2
 
 
+def test_bgp_ask(spark):
+    from kgspark.graph_api import bgp_ask
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("x", "q", "z"), ("b", "p", "b")],
+        "subj string, pred string, obj string",
+    )
+    assert bgp_ask(t, [("?s", "p", "?o"), ("?o", "q", "?z")]).first().ask
+    assert not bgp_ask(t, [("?s", "r", "?o")]).first().ask
+    # self-loop constraint via repeated variable
+    assert bgp_ask(t, [("?s", "p", "?s")]).first().ask
+    # filters apply before the verdict
+    assert not bgp_ask(t, [("?s", "p", "?o")],
+                       filters=[("?s", "=", "zzz")]).first().ask
+    # always exactly one row, even on empty input
+    assert bgp_ask(t.limit(0), [("?s", "p", "?o")]).count() == 1
+
+
 def test_bgp_filter_exists_semi_never_multiplies(spark):
     from kgspark.graph_api import bgp_filter_exists
 
