@@ -4585,6 +4585,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?b", "brand_of_type", "?t"), ("?x", "branded_item", "true")],
         )
 
+    def kg_katz(spark, sf_dir):
+        # bounded Katz centrality (kgspark/graph_algs.py
+        # katz_centrality): 3 rounds, alpha=1/2, exact integer ppm over
+        # the layered u->v->w graph (+ odd-u shortcuts) — walk COUNTS,
+        # not reachability, so the shortcut edges double-count into w
+        from kgspark.graph_algs import katz_centrality
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        edges = (
+            docs.select(u.alias("src"), v.alias("dst"))
+            .union(docs.select(v.alias("src"), w.alias("dst")))
+            .union(
+                docs.where((d % 40) % 2 == 1)
+                .select(u.alias("src"), w.alias("dst"))
+            )
+        ).distinct()
+        return katz_centrality(edges, rounds=3)
+
     def kg_betweenness(spark, sf_dir):
         # source-sampled Brandes betweenness (kgspark/graph_algs.py
         # betweenness) over a 4-layer event graph (u->v->w->x plus
@@ -6017,6 +6039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_nps": kg_bgp_nps,
         "kg_bgp_exists": kg_bgp_exists,
         "kg_ask": kg_ask,
+        "kg_katz": kg_katz,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -11689,6 +11712,39 @@ SELECT 'brand_path',
        (EXISTS (SELECT 1 FROM triples a JOIN triples b ON a.obj = b.subj
                 WHERE a.pred IN ('belongs_to', 'related_to')
                   AND b.pred = 'is_a'))::BIGINT
+""",
+        # kgspark.graph_algs.katz_centrality, rounds=3 alpha=1/2
+        # unrolled: paths_k via k chained joins, per-k floor division
+        "kg_katz": """
+WITH kz_d AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+kz_e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT 'u' || (d % 40) AS s, 'v' || (d % 9) AS t FROM kz_d
+    UNION ALL SELECT 'v' || (d % 9), 'w' || (d % 5) FROM kz_d
+    UNION ALL SELECT 'u' || (d % 40), 'w' || (d % 5) FROM kz_d
+    WHERE (d % 40) % 2 = 1
+  )
+),
+kz_n AS (
+  SELECT DISTINCT n FROM (SELECT s AS n FROM kz_e UNION ALL SELECT t FROM kz_e)
+),
+kz_w1 AS (SELECT t AS n, count(*)::BIGINT AS w FROM kz_e GROUP BY 1),
+kz_w2 AS (
+  SELECT e.t AS n, sum(w1.w)::BIGINT AS w
+  FROM kz_e e JOIN kz_w1 w1 ON w1.n = e.s GROUP BY 1
+),
+kz_w3 AS (
+  SELECT e.t AS n, sum(w2.w)::BIGINT AS w
+  FROM kz_e e JOIN kz_w2 w2 ON w2.n = e.s GROUP BY 1
+)
+SELECT n.n AS node,
+       ((coalesce(w1.w, 0) * 1000000) // 2
+      + (coalesce(w2.w, 0) * 1000000) // 4
+      + (coalesce(w3.w, 0) * 1000000) // 8)::BIGINT AS katz_ppm
+FROM kz_n n
+LEFT JOIN kz_w1 w1 ON w1.n = n.n
+LEFT JOIN kz_w2 w2 ON w2.n = n.n
+LEFT JOIN kz_w3 w3 ON w3.n = n.n
 """,
         # kgspark.graph_api.bgp_construct: wedge join + template
         # instantiation union, SELECT DISTINCT for set semantics

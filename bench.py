@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "kg_truth",
     "kg_bgp_exists",
     "kg_ask",
+    "kg_katz",
 ]
 
 

@@ -2407,3 +2407,64 @@ def betweenness(
     return acc.groupBy("node").agg(
         F.sum("delta").cast("long").alias("bc_ppm")
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    rounds: int = 3,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded Katz centrality (Katz 1953) in exact integer ppm:
+    katz_ppm(v) = Σ_{k=1..rounds} (paths_k(v) · 1e6 · alpha_num^k)
+    div alpha_den^k, where paths_k(v) counts directed walks of length k
+    ending at v. Unlike PageRank (kgspark.graph_algs.pagerank) there is
+    no out-degree normalization — prestige flows undamped along every
+    walk, attenuated only by alpha^k — and unlike harmonic centrality it
+    weights by walk COUNT, not reachability. Bounded `rounds` is the
+    same pinned-iteration posture as k-core/LPA: deterministic,
+    oracle-unrollable, and the k-th term is bounded by alpha^k so the
+    truncation error is geometric. Per-k floor division (nonnegative, so
+    Spark `div` == floor) keeps every term cross-engine integer-exact.
+    The reference has no centrality surface at all (networkx app,
+    /root/reference/knowledge_graph_builder.py).
+
+    Emits (node, katz_ppm) over ALL nodes (sink-only nodes score 0).
+
+    Scale shape: `rounds` frontier joins, each a node-keyed hash join
+    edges⋈weights followed by a dst-keyed partial-agg sum — the frontier
+    is node-count sized, never path-materializing; walk counts grow but
+    stay 64-bit for any alpha-damped depth worth running.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    w = nodes.withColumn("w", F.lit(1).cast("long"))
+    acc = None
+    num, den = 1, 1
+    for _k in range(1, rounds + 1):
+        num *= alpha_num
+        den *= alpha_den
+        w = materialize(
+            edges.join(w.withColumnRenamed("node", src), src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        term = w.select(
+            "node",
+            F.expr(f"(w * 1000000 * {num}) div {den}")
+            .cast("long").alias("t"),
+        )
+        acc = term if acc is None else acc.unionByName(term)
+    scores = acc.groupBy("node").agg(
+        F.sum("t").cast("long").alias("katz_ppm")
+    )
+    return (
+        nodes.join(scores, "node", "left")
+        .select("node", F.coalesce("katz_ppm", F.lit(0))
+                .cast("long").alias("katz_ppm"))
+    )

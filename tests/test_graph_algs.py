@@ -717,3 +717,35 @@ def test_type_violations_signature_tie_breaks_lexicographically(spark):
     )
     got = {(r.subj, r.exp_subj_type) for r in type_violations(t).collect()}
     assert got == {("m2", "X")}
+
+
+def test_katz_centrality_hand_computed(spark):
+    from kgspark.graph_algs import katz_centrality
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: r.katz_ppm
+           for r in katz_centrality(e, rounds=2).collect()}
+    # paths_1: b=1 c=2 d=1; paths_2: c=1 (a-b-c), d=2 (a-c-d, b-c-d)
+    assert got == {
+        "a": 0,
+        "b": 500_000,
+        "c": 2 * 500_000 + 250_000,
+        "d": 500_000 + 2 * 250_000,
+    }
+
+
+def test_katz_centrality_counts_walks_not_reach(spark):
+    from kgspark.graph_algs import katz_centrality
+
+    # diamond: two distinct length-2 walks a->d double-count
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: r.katz_ppm
+           for r in katz_centrality(e, rounds=3).collect()}
+    assert got["d"] == 2 * 500_000 + 2 * 250_000  # paths_1=2, paths_2=2
+    assert got["a"] == 0
