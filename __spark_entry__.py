@@ -4607,6 +4607,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         return katz_centrality(edges, rounds=3)
 
+    def kg_topo(spark, sf_dir):
+        # Kahn-peel topological layering + cycle detection (kgspark/
+        # graph_algs.py topo_levels): the u->v->w->x DAG resolves to
+        # levels 0..3; a planted 3-cycle c0->c1->c2->c0 and its fed
+        # tails y* stay unresolved (-1)
+        from kgspark.graph_algs import topo_levels
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        x = F.concat(F.lit("x"), (d % 3).cast("string"))
+        c = F.concat(F.lit("c"), (d % 3).cast("string"))
+        c2 = F.concat(F.lit("c"), ((d + 1) % 3).cast("string"))
+        y = F.concat(F.lit("y"), (d % 3).cast("string"))
+        edges = (
+            docs.select(u.alias("src"), v.alias("dst"))
+            .union(docs.select(v.alias("src"), w.alias("dst")))
+            .union(docs.select(w.alias("src"), x.alias("dst")))
+            .union(docs.where(d < 3).select(c.alias("src"), c2.alias("dst")))
+            .union(docs.where(d < 3).select(c.alias("src"), y.alias("dst")))
+        )
+        return topo_levels(edges, max_rounds=6)
+
     def kg_betweenness(spark, sf_dir):
         # source-sampled Brandes betweenness (kgspark/graph_algs.py
         # betweenness) over a 4-layer event graph (u->v->w->x plus
@@ -6040,6 +6065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_exists": kg_bgp_exists,
         "kg_ask": kg_ask,
         "kg_katz": kg_katz,
+        "kg_topo": kg_topo,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -11745,6 +11771,54 @@ FROM kz_n n
 LEFT JOIN kz_w1 w1 ON w1.n = n.n
 LEFT JOIN kz_w2 w2 ON w2.n = n.n
 LEFT JOIN kz_w3 w3 ON w3.n = n.n
+""",
+        # kgspark.graph_algs.topo_levels: Kahn peel unrolled — level r
+        # = in-degree-zero after removing rounds < r; never-peeled = -1
+        "kg_topo": """
+WITH tp_d AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+tp_e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT 'u' || (d % 40) AS s, 'v' || (d % 9) AS t FROM tp_d
+    UNION ALL SELECT 'v' || (d % 9), 'w' || (d % 5) FROM tp_d
+    UNION ALL SELECT 'w' || (d % 5), 'x' || (d % 3) FROM tp_d
+    UNION ALL SELECT 'c' || (d % 3), 'c' || ((d + 1) % 3) FROM tp_d
+    WHERE d < 3
+    UNION ALL SELECT 'c' || (d % 3), 'y' || (d % 3) FROM tp_d WHERE d < 3
+  )
+),
+tp_n AS (
+  SELECT DISTINCT n FROM (SELECT s AS n FROM tp_e UNION ALL SELECT t FROM tp_e)
+),
+l0 AS (SELECT n FROM tp_n
+       WHERE NOT EXISTS (SELECT 1 FROM tp_e e WHERE e.t = tp_n.n)),
+s0 AS (SELECT n FROM l0),
+l1 AS (SELECT n FROM tp_n WHERE n NOT IN (SELECT n FROM s0)
+       AND NOT EXISTS (SELECT 1 FROM tp_e e WHERE e.t = tp_n.n
+                       AND e.s NOT IN (SELECT n FROM s0))),
+s1 AS (SELECT n FROM s0 UNION SELECT n FROM l1),
+l2 AS (SELECT n FROM tp_n WHERE n NOT IN (SELECT n FROM s1)
+       AND NOT EXISTS (SELECT 1 FROM tp_e e WHERE e.t = tp_n.n
+                       AND e.s NOT IN (SELECT n FROM s1))),
+s2 AS (SELECT n FROM s1 UNION SELECT n FROM l2),
+l3 AS (SELECT n FROM tp_n WHERE n NOT IN (SELECT n FROM s2)
+       AND NOT EXISTS (SELECT 1 FROM tp_e e WHERE e.t = tp_n.n
+                       AND e.s NOT IN (SELECT n FROM s2))),
+s3 AS (SELECT n FROM s2 UNION SELECT n FROM l3),
+l4 AS (SELECT n FROM tp_n WHERE n NOT IN (SELECT n FROM s3)
+       AND NOT EXISTS (SELECT 1 FROM tp_e e WHERE e.t = tp_n.n
+                       AND e.s NOT IN (SELECT n FROM s3))),
+s4 AS (SELECT n FROM s3 UNION SELECT n FROM l4),
+l5 AS (SELECT n FROM tp_n WHERE n NOT IN (SELECT n FROM s4)
+       AND NOT EXISTS (SELECT 1 FROM tp_e e WHERE e.t = tp_n.n
+                       AND e.s NOT IN (SELECT n FROM s4))),
+s5 AS (SELECT n FROM s4 UNION SELECT n FROM l5)
+SELECT n AS node, 0::BIGINT AS level FROM l0
+UNION ALL SELECT n, 1 FROM l1
+UNION ALL SELECT n, 2 FROM l2
+UNION ALL SELECT n, 3 FROM l3
+UNION ALL SELECT n, 4 FROM l4
+UNION ALL SELECT n, 5 FROM l5
+UNION ALL SELECT n, -1 FROM tp_n WHERE n NOT IN (SELECT n FROM s5)
 """,
         # kgspark.graph_api.bgp_construct: wedge join + template
         # instantiation union, SELECT DISTINCT for set semantics

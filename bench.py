@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "kg_bgp_exists",
     "kg_ask",
     "kg_katz",
+    "kg_topo",
 ]
 
 

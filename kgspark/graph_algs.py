@@ -2468,3 +2468,68 @@ def katz_centrality(
         .select("node", F.coalesce("katz_ppm", F.lit(0))
                 .cast("long").alias("katz_ppm"))
     )
+
+
+def topo_levels(
+    edges: DataFrame,
+    max_rounds: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Topological layering by Kahn peeling, with cycle detection.
+
+    Round r removes every node whose remaining in-degree is zero and
+    stamps it ``level = r`` — so a DAG node's level is the length of the
+    longest path reaching it, the canonical layering for scheduling
+    derived-table builds or stratifying an is_a taxonomy. Nodes still
+    unpeeled after `max_rounds` get ``level = -1``: cycle members AND
+    everything downstream of a cycle (a node fed by a cycle can never
+    become a source — exactly the set whose stratum is undefined).
+    Bounded rounds is the pinned-iteration posture shared with
+    k-core/LPA: deterministic and oracle-unrollable; a graph deeper than
+    `max_rounds` reports the tail as unresolved rather than guessing.
+    The reference's graph layer (networkx app,
+    /root/reference/knowledge_graph_builder.py) has no ordering surface.
+
+    Emits (node, level) over all nodes.
+
+    Scale shape: each round is one dst-distinct projection + two
+    left_anti hash joins on the node key (no in-edge probe, then peel);
+    the per-round state is node/edge-table sized and shrinks
+    monotonically, and the loop exits early the first round nothing
+    peels.
+    """
+    e = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .distinct()
+    )
+    remaining_n = materialize(
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    remaining_e = e
+    acc = None
+    for r in range(max_rounds):
+        srcs = materialize(
+            remaining_n.join(
+                remaining_e.select(F.col("t").alias("node")).distinct(),
+                "node", "left_anti",
+            )
+        )
+        if srcs.isEmpty():
+            break
+        lev = srcs.withColumn("level", F.lit(r).cast("long"))
+        acc = lev if acc is None else acc.unionByName(lev)
+        remaining_n = materialize(
+            remaining_n.join(srcs, "node", "left_anti")
+        )
+        remaining_e = materialize(
+            remaining_e.join(
+                srcs.withColumnRenamed("node", "s"), "s", "left_anti"
+            )
+        )
+    leftover = remaining_n.withColumn(
+        "level", F.lit(-1).cast("long")
+    )
+    return leftover if acc is None else acc.unionByName(leftover)

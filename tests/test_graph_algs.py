@@ -749,3 +749,40 @@ def test_katz_centrality_counts_walks_not_reach(spark):
            for r in katz_centrality(e, rounds=3).collect()}
     assert got["d"] == 2 * 500_000 + 2 * 250_000  # paths_1=2, paths_2=2
     assert got["a"] == 0
+
+
+def test_topo_levels_dag_and_cycle(spark):
+    from kgspark.graph_algs import topo_levels
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),        # DAG: a=0 b=1 c=2
+         ("p", "q"), ("q", "p"),                    # 2-cycle
+         ("q", "z")],                               # downstream of cycle
+        "src string, dst string",
+    )
+    got = {r.node: r.level for r in topo_levels(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "p": -1, "q": -1, "z": -1}
+
+
+def test_topo_levels_longest_path_semantics(spark):
+    from kgspark.graph_algs import topo_levels
+
+    # c has in-edges from levels 0 AND 1 -> peels only at round 2
+    e = spark.createDataFrame(
+        [("a", "c"), ("a", "b"), ("b", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: r.level for r in topo_levels(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_topo_levels_round_budget_flags_deep_tail(spark):
+    from kgspark.graph_algs import topo_levels
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: r.level
+           for r in topo_levels(e, max_rounds=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": -1, "d": -1}
