@@ -2654,6 +2654,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
         return llr_collocations(docs, min_count=3)
 
+    def rel_cube(spark, sf_dir):
+        # one-pass CUBE census (kgspark/relops.py cube_census): order
+        # count + exact integer-cents revenue at every (status,
+        # priority) rollup level, grouping mask disambiguating rollups
+        from kgspark.relops import cube_census
+
+        return cube_census(
+            _read(spark, sf_dir, "orders"),
+            ["o_orderstatus", "o_orderpriority"], "o_totalprice",
+        )
+
+    def rel_pivot(spark, sf_dir):
+        # pinned-category crosstab (kgspark/relops.py pivot_table):
+        # per-day-of-week event-type counts as one conditional-agg pass
+        from kgspark.relops import pivot_table
+
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "dow", (F.dayofweek("ts") - 1).cast("long")
+        )
+        return pivot_table(
+            ev, "dow", "event_type",
+            ["click", "error", "purchase", "signup", "view"],
+        )
+
     def rel_islands(spark, sf_dir):
         # gaps-and-islands activity streaks per user (kgspark/relops.py
         # activity_islands) — distinct days first, lag-flag window second
@@ -6066,6 +6090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ask": kg_ask,
         "kg_katz": kg_katz,
         "kg_topo": kg_topo,
+        "rel_cube": rel_cube,
+        "rel_pivot": rel_pivot,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -11819,6 +11845,34 @@ UNION ALL SELECT n, 3 FROM l3
 UNION ALL SELECT n, 4 FROM l4
 UNION ALL SELECT n, 5 FROM l5
 UNION ALL SELECT n, -1 FROM tp_n WHERE n NOT IN (SELECT n FROM s5)
+""",
+        # kgspark.relops.cube_census: GROUP BY CUBE + GROUPING mask,
+        # per-row floor(x*100+0.5) cents before the sum
+        "rel_cube": """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       (GROUPING(o_orderstatus) * 2
+        + GROUPING(o_orderpriority))::BIGINT AS gmask,
+       count(*)::BIGINT AS n,
+       sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+        # kgspark.relops.pivot_table: pinned categories as conditional
+        # sums; DuckDB dow(Sunday=0) == Spark dayofweek - 1
+        "rel_pivot": """
+SELECT date_part('dow', ts)::BIGINT AS dow,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         AS p_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS p_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         AS p_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+         AS p_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+         AS p_view
+FROM events GROUP BY 1
 """,
         # kgspark.graph_api.bgp_construct: wedge join + template
         # instantiation union, SELECT DISTINCT for set semantics

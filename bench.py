@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "kg_ask",
     "kg_katz",
     "kg_topo",
+    "rel_cube",
+    "rel_pivot",
 ]
 
 

@@ -946,3 +946,75 @@ def touch_attribution(
             F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last"),
         )
     )
+
+
+def cube_census(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Multi-dimensional census over every subset of `dims` in one pass
+    (CUBE): per cell, row count and an exact integer-cents sum of
+    `value_col`. Emits each dim coalesced to `all_label` for the
+    rolled-up level plus `gmask` (bit i set, MSB-first over `dims`, iff
+    dim i is rolled up) so an `all_label`-valued data row can never be
+    confused with a rollup row. Cents go through floor(x*100 + 0.5) —
+    IEEE-identical in every engine for the near-integer money values this
+    is for, with no round() tie-mode dependence.
+
+    Scale shape: Spark plans CUBE as a single Expand (2^|dims| output
+    rows per input row) feeding one partial-aggregated hash shuffle —
+    one pass over the fact table, no self-unions; keep |dims| small
+    (2-4), which is also where cubes are useful.
+    """
+    cents = F.expr(
+        f"cast(floor({value_col} * 100 + 0.5) as bigint)"
+    ).alias("__cents")
+    base = df.select(*dims, cents)
+    n = len(dims)
+    mask = None
+    for i, d in enumerate(dims):
+        bit = F.grouping(d).cast("long") * (1 << (n - 1 - i))
+        mask = bit if mask is None else mask + bit
+    out = base.cube(*[F.col(d) for d in dims]).agg(
+        mask.alias("gmask"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__cents").cast("long").alias("sum_cents"),
+    )
+    return out.select(
+        *[F.coalesce(F.col(d), F.lit(all_label)).alias(d) for d in dims],
+        "gmask", "n", "sum_cents",
+    )
+
+
+def pivot_table(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    values: list[str],
+    value_col: str | None = None,
+    prefix: str = "p_",
+) -> DataFrame:
+    """Wide one-row-per-key crosstab: count (or exact integer-cents sum
+    of `value_col`) of each pinned `values` member of `pivot_col`, one
+    output column per value named ``prefix + value``. `values` MUST be
+    pinned by the caller: Spark otherwise runs an extra distinct job to
+    discover them and the output schema becomes data-dependent — the
+    wrong contract for a pipeline (and for any oracle). Unpinned
+    categories are simply not counted.
+
+    Scale shape: single groupBy(row_col) hash aggregate; the pivot turns
+    into |values| conditional aggregates inside one Expand-free pass —
+    no joins, no per-category scans.
+    """
+    if value_col is None:
+        cell = F.lit(1).cast("long")
+    else:
+        cell = F.expr(f"cast(floor({value_col} * 100 + 0.5) as bigint)")
+    aggs = [
+        F.sum(F.when(F.col(pivot_col) == v, cell).otherwise(F.lit(0)))
+        .cast("long").alias(f"{prefix}{v}")
+        for v in values
+    ]
+    return df.groupBy(row_col).agg(*aggs)

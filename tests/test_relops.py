@@ -328,3 +328,36 @@ def test_interarrival_quantiles_exact(spark):
     # gaps sorted: [10s, 20s, 30s]; p50 -> rank 2 = 20s, p100 -> 30s
     assert got[("a", 500)] == 20_000_000
     assert got[("a", 1000)] == 30_000_000
+
+
+def test_cube_census_cells_and_mask(spark):
+    from kgspark.relops import cube_census
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.00), ("a", "y", 2.00), ("b", "x", 4.00)],
+        "d1 string, d2 string, v double",
+    )
+    got = {(r.d1, r.d2): (r.gmask, r.n, r.sum_cents)
+           for r in cube_census(df, ["d1", "d2"], "v").collect()}
+    assert got[("a", "x")] == (0, 1, 100)
+    assert got[("a", "ALL")] == (1, 2, 300)
+    assert got[("ALL", "x")] == (2, 2, 500)
+    assert got[("ALL", "ALL")] == (3, 3, 700)
+    assert len(got) == 3 + 2 + 2 + 1  # cells + d1 rollup + d2 rollup + grand
+
+
+def test_pivot_table_counts_and_cents(spark):
+    from kgspark.relops import pivot_table
+
+    df = spark.createDataFrame(
+        [("u1", "click", 1.5), ("u1", "click", 2.0), ("u1", "buy", 10.0),
+         ("u2", "buy", 3.0), ("u2", "other", 9.9)],
+        "u string, t string, v double",
+    )
+    got = {r.u: (r.p_click, r.p_buy)
+           for r in pivot_table(df, "u", "t", ["click", "buy"]).collect()}
+    assert got == {"u1": (2, 1), "u2": (0, 1)}  # unpinned 'other' dropped
+    cents = {r.u: (r.p_click, r.p_buy)
+             for r in pivot_table(df, "u", "t", ["click", "buy"],
+                                  value_col="v").collect()}
+    assert cents == {"u1": (350, 1000), "u2": (0, 300)}
