@@ -150,3 +150,117 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+_TMP_COMPACT = ".tmp_compact."
+_BAK_COMPACT = ".bak_compact."
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet table directory into
+    ceil(total_bytes / target_bytes) files (per partition directory when
+    `partition_cols` is given) — the maintenance op every long-running
+    ingest needs, because streaming/incremental sinks accrete
+    KB-sized files until scan planning is metadata-bound (the parquet
+    analogue of Iceberg's rewrite_data_files; with an Iceberg catalog
+    this becomes that procedure call on the same seam as write_table).
+
+    Returns {"files_before", "files_after", "bytes", "compacted"};
+    no-ops (compacted=False) when the table already has no more files
+    than the target layout — compaction never splits big files.
+
+    Crash safety mirrors kgspark.catalog.delete_document: the rewrite
+    lands in a dot-prefixed staging dir Hadoop file discovery ignores,
+    the original is renamed to a dot-prefixed backup before the staging
+    dir takes its place, and the backup is dropped last — a crash at any
+    point leaves either the untouched original or a restorable backup,
+    which `_recover_stale_compact` (run on entry) restores. Readers
+    racing the swap see the full old or full new table, never a mix.
+
+    Scale shape: one coalesce(n) read-rewrite — no shuffle; each output
+    task streams whole input files. Hidden (`_`/`.`-prefixed) files are
+    neither counted nor copied.
+    """
+    from kgspark.catalog import _child, _fs
+
+    fs, root = _fs(spark, table_path)
+    parent = root.getParent()
+    name = root.getName()
+    _recover_stale_compact(spark, fs, parent, name)
+    if not fs.exists(root):
+        raise FileNotFoundError(table_path)
+
+    def _visible(path) -> bool:
+        p = path
+        while p is not None and str(p) != str(parent):
+            n = p.getName()
+            if n.startswith("_") or n.startswith("."):
+                return False
+            p = p.getParent()
+        return True
+
+    files = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        if _visible(st.getPath()) and st.getPath().getName().endswith(
+            ".parquet"
+        ):
+            files.append(st.getLen())
+    total = sum(files)
+    n_out = max(1, -(-total // max(1, target_bytes)))
+    if len(files) <= n_out:
+        return {"files_before": len(files), "files_after": len(files),
+                "bytes": total, "compacted": False}
+
+    df = spark.read.parquet(table_path)
+    staging = _child(spark, parent, _TMP_COMPACT + name)
+    fs.delete(staging, True)
+    w = df.coalesce(int(n_out)).write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(str(staging))
+
+    backup = _child(spark, parent, _BAK_COMPACT + name)
+    if not fs.rename(root, backup):
+        raise IOError(f"compact swap: could not back up {table_path}")
+    if not fs.rename(staging, root):
+        # restore — the original is intact under the backup name
+        fs.rename(backup, root)
+        raise IOError(f"compact swap: could not publish {table_path}")
+    fs.delete(backup, True)
+
+    after = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        if _visible(st.getPath()) and st.getPath().getName().endswith(
+            ".parquet"
+        ):
+            after.append(st.getLen())
+    return {"files_before": len(files), "files_after": len(after),
+            "bytes": total, "compacted": True}
+
+
+def _recover_stale_compact(spark, fs, parent, name: str) -> None:
+    """Entry-time recovery of a crashed prior compact of `name`: restore
+    the backup when the primary vanished mid-swap, then drop staging."""
+    from kgspark.catalog import _child
+
+    bak = _child(spark, parent, _BAK_COMPACT + name)
+    primary = _child(spark, parent, name)
+    if fs.exists(bak):
+        if not fs.exists(primary):
+            if not fs.rename(bak, primary):
+                raise IOError(
+                    f"compact stale-recovery restore of {name} failed"
+                )
+        else:
+            fs.delete(bak, True)
+    tmp = _child(spark, parent, _TMP_COMPACT + name)
+    fs.delete(tmp, True)

@@ -224,3 +224,54 @@ def test_write_bucketed_join_and_agg_are_shuffle_free(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bucket_cols"):
         write_bucketed(a, "x", str(tmp_path / "x"), [])
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    import os
+    from kgspark.io_tables import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).selectExpr("id", "id * 7 AS v").repartition(
+        16
+    ).write.parquet(path)
+    n0 = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n0 == 16
+    stats = compact_table(spark, path, target_bytes=1 << 30)
+    assert stats["compacted"] and stats["files_before"] == 16
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(v)").first()[0] == 7 * sum(range(1000))
+    # no staging/backup leftovers
+    assert not [f for f in os.listdir(str(tmp_path))
+                if "compact" in f]
+    # idempotent: second run is a no-op
+    again = compact_table(spark, path, target_bytes=1 << 30)
+    assert not again["compacted"] and again["files_after"] == 1
+
+
+def test_compact_table_respects_target_and_recovers(spark, tmp_path):
+    import os
+    from kgspark.io_tables import compact_table
+
+    path = str(tmp_path / "t2")
+    spark.range(0, 10000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).repartition(20).write.parquet(path)
+    sizes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    stats = compact_table(spark, path, target_bytes=sizes // 3)
+    assert stats["compacted"]
+    assert 3 <= stats["files_after"] <= 4  # ceil(total/target) + rounding
+    assert spark.read.parquet(path).count() == 10000
+
+    # simulate a crash after the original was renamed to backup: the
+    # next compact restores it before doing anything else
+    os.rename(path, str(tmp_path / ".bak_compact.t2"))
+    stats2 = compact_table(spark, path, target_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == 10000
+    # recovery saw the restored 3-4-file table, then compacted it to 1
+    assert stats2["compacted"] and stats2["files_after"] == 1
+    assert stats2["files_before"] == stats["files_after"]
