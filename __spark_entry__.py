@@ -4597,6 +4597,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = one if out is None else out.unionByName(one)
         return out
 
+    def kg_bgp_star(spark, sf_dir):
+        # SPARQL zero-or-more property path (kgspark/graph_api.py
+        # _pred_rel '*' support): related_to* seeded at Brand#13 —
+        # identity row plus the bounded 6-hop frontier; seeding keeps
+        # the closure a node neighbourhood, never the full pair set
+        from kgspark.graph_api import bgp_match
+
+        return bgp_match(
+            _extract_triples(spark, sf_dir),
+            [("Brand#13", "related_to*", "?n")],
+        )
+
+    def kg_bgp_concat(spark, sf_dir):
+        # SPARQL GROUP_CONCAT (kgspark/graph_api.py bgp_aggregate):
+        # per-type sorted ';'-joined brand roster (distinct) plus the
+        # bag-size count — sorted concat is the only deterministic
+        # distributed GROUP_CONCAT
+        from kgspark.graph_api import bgp_aggregate
+
+        return bgp_aggregate(
+            _extract_triples(spark, sf_dir),
+            [("?p", "is_a", "?t"), ("?p", "has", "?b")],
+            group_by=["?t"],
+            aggs=[("group_concat_distinct", "?b", "brands"),
+                  ("count", None, "n")],
+        )
+
     def kg_construct(spark, sf_dir):
         # SPARQL CONSTRUCT (kgspark/graph_api.py bgp_construct): rewrite
         # the (part is_a type, part has brand) wedge into a derived
@@ -6092,6 +6119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topo": kg_topo,
         "rel_cube": rel_cube,
         "rel_pivot": rel_pivot,
+        "kg_bgp_star": kg_bgp_star,
+        "kg_bgp_concat": kg_bgp_concat,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -11873,6 +11902,32 @@ SELECT date_part('dow', ts)::BIGINT AS dow,
        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
          AS p_view
 FROM events GROUP BY 1
+""",
+        # kgspark.graph_api zero-or-more path: seeded bounded closure
+        # (depth <= 6) plus the zero-length identity row
+        "kg_bgp_star": f"""
+WITH RECURSIVE {_PARTS_ORACLE_CTE},
+bs_e AS (
+  SELECT DISTINCT subj AS s, obj AS o FROM triples
+  WHERE pred = 'related_to'
+),
+bs_cl AS (
+  SELECT 'Brand#13'::VARCHAR AS n, 0 AS d
+  UNION
+  SELECT e.o, cl.d + 1 FROM bs_cl cl JOIN bs_e e ON e.s = cl.n
+  WHERE cl.d < 6
+)
+SELECT DISTINCT n FROM bs_cl
+""",
+        # kgspark.graph_api.bgp_aggregate GROUP_CONCAT: sorted distinct
+        # ';'-joined roster + bag count
+        "kg_bgp_concat": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT i.obj AS t,
+       string_agg(DISTINCT h.obj, ';' ORDER BY h.obj) AS brands,
+       count(*)::BIGINT AS n
+FROM triples i JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
+WHERE i.pred = 'is_a' GROUP BY 1
 """,
         # kgspark.graph_api.bgp_construct: wedge join + template
         # instantiation union, SELECT DISTINCT for set semantics

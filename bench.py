@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "kg_topo",
     "rel_cube",
     "rel_pivot",
+    "kg_bgp_star",
+    "kg_bgp_concat",
 ]
 
 

@@ -33,7 +33,8 @@ def query_graph(triples: DataFrame, query: str) -> DataFrame:
 import re as _re
 
 _PATH_RE = _re.compile(
-    r"^(\^?)(!?)([^+{}|^?!]+(?:\|[^+{}|^?!]+)*)(\+|\{(\d+),(\d+)\})?$"
+    r"^(\^?)(!?)([^+*{}|^?!]+(?:\|[^+*{}|^?!]+)*)"
+    r"(\+|\*|\?|\{(\d+),(\d+)\})?$"
 )
 
 
@@ -107,9 +108,14 @@ def _pred_rel(
         return df, True
     if path_suffix == "+":
         lo, hi = 1, max_path_hops
+    elif path_suffix == "*":
+        # zero-or-more, bounded: 0..max_path_hops (zero-length = identity)
+        lo, hi = 0, max_path_hops
+    elif path_suffix == "?":
+        lo, hi = 0, 1
     else:
         lo, hi = int(m.group(5)), int(m.group(6))
-    if lo < 1 or hi < lo:
+    if lo < 0 or hi < lo:
         raise ValueError(f"bgp_match: bad path bounds in {p_t!r}")
     edges = df.select(
         F.col(s_col).alias("s"), F.col(o_col).alias("o")
@@ -123,7 +129,7 @@ def _pred_rel(
     else:
         seed = s_const
     cur = edges.where(F.col("s") == F.lit(seed)) if seed is not None else edges
-    acc = cur if lo <= 1 else None
+    acc = cur if (lo <= 1 and hi >= 1) else None
     for hop in range(2, hi + 1):
         cur = (
             cur.alias("a")
@@ -133,6 +139,22 @@ def _pred_rel(
         )
         if hop >= lo:
             acc = cur if acc is None else acc.unionByName(cur)
+    if lo == 0:
+        # zero-length path: every graph term relates to itself (SPARQL
+        # 1.1 §9.3) — seeded, that is just the seed row; unseeded, the
+        # node set of the graph (NOT the pred-filtered edge set)
+        if seed is not None:
+            ident = triples.sparkSession.createDataFrame(
+                [(seed, seed)], "s string, o string"
+            )
+        else:
+            ident = (
+                triples.select(F.col(subj).alias("s"))
+                .unionByName(triples.select(F.col(obj).alias("s")))
+                .distinct()
+                .select("s", F.col("s").alias("o"))
+            )
+        acc = ident if acc is None else acc.unionByName(ident)
     if reverse:
         acc = acc.select(F.col("o").alias("s"), F.col("s").alias("o"))
     out = acc.distinct().select(
@@ -249,8 +271,9 @@ def bgp_match(
 
     Predicate terms additionally support a SPARQL 1.1 property-path subset:
     ``^p`` (inverse), ``a|b`` (alternation), ``p+`` (1..max_path_hops-hop
-    path) and ``p{m,n}`` (m..n-hop path) — see ``_pred_rel`` for the
-    bounded-closure posture.
+    path), ``p*`` (0..max_path_hops), ``p?`` (0..1) and ``p{m,n}``
+    (m..n-hop path, m may be 0) — see ``_pred_rel`` for the
+    bounded-closure posture and zero-length-path semantics.
 
     Plan shape (the 100 TB posture): every pattern compiles to a constant
     filter + projection over the SAME triples scan — predicate constants
@@ -923,6 +946,14 @@ _BGP_AGGS = {
     "min": lambda v: F.min(F.col(v)),
     "max": lambda v: F.max(F.col(v)),
     "sum": lambda v: F.sum(F.col(v).cast("long")),
+    # SPARQL GROUP_CONCAT, separator pinned to ';' and elements sorted —
+    # an unordered concat is nondeterministic under any parallel engine
+    "group_concat": lambda v: F.array_join(
+        F.sort_array(F.collect_list(F.col(v))), ";"
+    ),
+    "group_concat_distinct": lambda v: F.array_join(
+        F.sort_array(F.collect_set(F.col(v))), ";"
+    ),
 }
 
 
@@ -936,8 +967,10 @@ def bgp_aggregate(
     """SPARQL GROUP BY + aggregates over the BGP engine.
 
     ``group_by``: variables (``?x``) to group on; ``aggs``: (op, var,
-    alias) with op in count / count_distinct / min / max / sum (count
-    ignores var — SPARQL's COUNT(*)). Aggregation runs over the BAG of
+    alias) with op in count / count_distinct / min / max / sum /
+    group_concat / group_concat_distinct (count ignores var — SPARQL's
+    COUNT(*); the group_concats sort their elements and join with ';',
+    since an order-of-arrival concat is nondeterministic distributed). Aggregation runs over the BAG of
     solutions (SPARQL 1.1 §11: the solution multiset feeds GROUP BY), so
     the underlying match uses ``distinct=False`` — a COUNT over
     set-deduplicated bindings would be a different (wrong) answer.

@@ -220,8 +220,9 @@ def test_inverse_path_combo(hier):
 def test_bad_path_bounds_raise(hier):
     with pytest.raises(ValueError, match="bounds"):
         bgp_match(hier, [("?x", "is_a{3,2}", "?y")])
-    with pytest.raises(ValueError, match="bounds"):
-        bgp_match(hier, [("?x", "is_a{0,2}", "?y")])
+    # {0,n} is legal since zero-length paths landed: identity ∪ 1..n hops
+    out = bgp_match(hier, [("a", "is_a{0,2}", "?y")])
+    assert {r["y"] for r in out.collect()} == {"a", "T1", "T0"}
 
 
 def test_filters(hier):
@@ -630,3 +631,50 @@ def test_bgp_filter_exists_semi_never_multiplies(spark):
     assert out.count() == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# zero-length property paths and GROUP_CONCAT
+# ---------------------------------------------------------------------------
+
+def test_path_star_seeded_includes_identity(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y")],
+        "subj string, pred string, obj string",
+    )
+    got = {r.n for r in bgp_match(t, [("a", "p*", "?n")]).collect()}
+    assert got == {"a", "b", "c"}
+    # ? = zero-or-one
+    got1 = {r.n for r in bgp_match(t, [("a", "p?", "?n")]).collect()}
+    assert got1 == {"a", "b"}
+    # {0,0} = identity only
+    got0 = {r.n for r in bgp_match(t, [("a", "p{0,0}", "?n")]).collect()}
+    assert got0 == {"a"}
+
+
+def test_path_star_unseeded_identity_is_graph_nodes(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("x", "q", "y")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.s, r.n) for r in bgp_match(t, [("?s", "p*", "?n")]).collect()}
+    # identity covers ALL graph terms (x, y too), 1-hop only via p
+    assert got == {("a", "a"), ("b", "b"), ("x", "x"), ("y", "y"),
+                   ("a", "b")}
+
+
+def test_bgp_group_concat(spark):
+    from kgspark.graph_api import bgp_aggregate
+
+    t = spark.createDataFrame(
+        [("a", "has", "z"), ("a", "has", "m"), ("a", "has", "z"),
+         ("b", "has", "k")],
+        "subj string, pred string, obj string",
+    )
+    got = {r.x: (r.bag, r.set_)
+           for r in bgp_aggregate(
+               t, [("?x", "has", "?v")], group_by=["?x"],
+               aggs=[("group_concat", "?v", "bag"),
+                     ("group_concat_distinct", "?v", "set_")],
+           ).collect()}
+    assert got == {"a": ("m;z;z", "m;z"), "b": ("k", "k")}
