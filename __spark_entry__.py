@@ -2479,6 +2479,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "weight",
         )
 
+    def text_wilson(spark, sf_dir):
+        # per-source Wilson interval for the short-doc rate (kgspark/
+        # textstats.py wilson_bounds): z=2 so z^2 is an exact double;
+        # the lower bound is the size-honest source-quality ranking key
+        from kgspark.textstats import wilson_bounds
+
+        docs = _read(spark, sf_dir, "documents").select(
+            "source", (F.col("n_chars") < 180).alias("short")
+        )
+        return wilson_bounds(docs, "source", "short", z=2.0)
+
+    def text_benford(spark, sf_dir):
+        # per-event-type Benford first-digit census (kgspark/
+        # textstats.py benford_profile) with exact micro-unit
+        # divergence from the pinned log10(1+1/d) expectations
+        from kgspark.textstats import benford_profile
+
+        return benford_profile(
+            _read(spark, sf_dir, "events"), "event_type", "value"
+        )
+
     def text_entropy(spark, sf_dir):
         # char-distribution entropy ingredients, exact integers only
         # (kgspark/textstats.py char_entropy_stats); the fp64 entropy
@@ -6121,6 +6142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": rel_pivot,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
+        "text_wilson": text_wilson,
+        "text_benford": text_benford,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -11950,6 +11973,61 @@ SELECT i.obj AS t, count(*)::BIGINT AS n,
        count(DISTINCT h.obj)::BIGINT AS n_brands, min(h.obj) AS min_b
 FROM triples i JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
 WHERE i.pred = 'is_a' GROUP BY 1
+""",
+        # kgspark.textstats.wilson_bounds, z=2 (zz=4, both exact
+        # doubles); expression tree mirrors the Spark column order
+        "text_wilson": """
+WITH tw AS (
+  SELECT source AS key, count(*)::BIGINT AS n,
+         sum(CASE WHEN n_chars < 180 THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM documents GROUP BY 1
+)
+SELECT key, n, k, ((k * 1000000) // n)::BIGINT AS rate_ppm,
+  round((((k::DOUBLE / n::DOUBLE) + 4.0::DOUBLE / (2.0::DOUBLE * n::DOUBLE))
+         - 2.0::DOUBLE * sqrt(((k::DOUBLE / n::DOUBLE)
+             * (1.0::DOUBLE - (k::DOUBLE / n::DOUBLE))) / n::DOUBLE
+             + 4.0::DOUBLE / (4.0::DOUBLE * n::DOUBLE * n::DOUBLE)))
+        / (1.0::DOUBLE + 4.0::DOUBLE / n::DOUBLE), 6) AS wilson_lo,
+  round((((k::DOUBLE / n::DOUBLE) + 4.0::DOUBLE / (2.0::DOUBLE * n::DOUBLE))
+         + 2.0::DOUBLE * sqrt(((k::DOUBLE / n::DOUBLE)
+             * (1.0::DOUBLE - (k::DOUBLE / n::DOUBLE))) / n::DOUBLE
+             + 4.0::DOUBLE / (4.0::DOUBLE * n::DOUBLE * n::DOUBLE)))
+        / (1.0::DOUBLE + 4.0::DOUBLE / n::DOUBLE), 6) AS wilson_hi
+FROM tw
+""",
+        # kgspark.textstats.benford_profile: first significant digit via
+        # printf('%e') (C-style on both engines), pinned micro-unit
+        # Benford expectations
+        "text_benford": """
+WITH bf AS (
+  SELECT event_type AS key,
+         substr(printf('%e', value), 1, 1)::INT AS d
+  FROM events WHERE value IS NOT NULL AND value > 0
+),
+bg AS (
+  SELECT key, count(*)::BIGINT AS n,
+    sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+    sum(CASE WHEN d = 2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+    sum(CASE WHEN d = 3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+    sum(CASE WHEN d = 4 THEN 1 ELSE 0 END)::BIGINT AS d4,
+    sum(CASE WHEN d = 5 THEN 1 ELSE 0 END)::BIGINT AS d5,
+    sum(CASE WHEN d = 6 THEN 1 ELSE 0 END)::BIGINT AS d6,
+    sum(CASE WHEN d = 7 THEN 1 ELSE 0 END)::BIGINT AS d7,
+    sum(CASE WHEN d = 8 THEN 1 ELSE 0 END)::BIGINT AS d8,
+    sum(CASE WHEN d = 9 THEN 1 ELSE 0 END)::BIGINT AS d9
+  FROM bf GROUP BY 1
+)
+SELECT key, n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+  (abs((d1 * 1000000) // n - 301030)
+ + abs((d2 * 1000000) // n - 176091)
+ + abs((d3 * 1000000) // n - 124939)
+ + abs((d4 * 1000000) // n - 96910)
+ + abs((d5 * 1000000) // n - 79181)
+ + abs((d6 * 1000000) // n - 66947)
+ + abs((d7 * 1000000) // n - 57992)
+ + abs((d8 * 1000000) // n - 51153)
+ + abs((d9 * 1000000) // n - 45757))::BIGINT AS dev_micro
+FROM bg
 """,
         # kgspark.graph_algs.infer_types, 2 synchronous rounds unrolled:
         # undirected edges, plurality vote among already-typed neighbors,

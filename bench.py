@@ -300,6 +300,8 @@ BENCH_QUERIES = [
     "rel_pivot",
     "kg_bgp_star",
     "kg_bgp_concat",
+    "text_wilson",
+    "text_benford",
 ]
 
 

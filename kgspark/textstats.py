@@ -904,3 +904,97 @@ def zipf_profile(
         )
     )
     return out
+
+
+def wilson_bounds(
+    df: DataFrame,
+    key_col: str,
+    flag_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-key Wilson score interval for a boolean rate — the right way
+    to rank sources/domains by a defect rate when group sizes differ
+    wildly (a 2/3 source must NOT outrank a 180/1000 one; the plain rate
+    says it does, the Wilson lower bound never does). Classic corpus use:
+    order sources by lower-bound duplicate/boilerplate/PII rate before
+    applying per-source caps.
+
+    Emits (key, n, k, rate_ppm, wilson_lo, wilson_hi); bounds are fp64
+    with the identical expression tree on any engine — the only
+    irrational step is sqrt, which IEEE 754 requires correctly rounded
+    (the repo-wide alpha=0.5-through-sqrt parity rule) — rounded to 6
+    places; rate_ppm is exact-integer truncation.
+
+    Scale shape: one partial-aggregated groupBy(key) over (count, sum) —
+    a map-side-combined single shuffle; the interval arithmetic is
+    constant work per group.
+    """
+    g = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("k"),
+    )
+    # p̂ and the Wilson terms, all in fp64 from the exact integers
+    zz = float(z) * float(z)
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    nn = F.col("n").cast("double")
+    center = p + F.lit(zz) / (2.0 * nn)
+    half = F.lit(float(z)) * F.sqrt(
+        p * (F.lit(1.0) - p) / nn + F.lit(zz) / (4.0 * nn * nn)
+    )
+    denom = F.lit(1.0) + F.lit(zz) / nn
+    return g.select(
+        "key", "n", "k",
+        F.expr("(k * 1000000) div n").cast("long").alias("rate_ppm"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit census per key with an exact-integer
+    divergence from Benford's law — a standard numeric-column forensics
+    signal (fabricated or unit-mangled telemetry rarely obeys Benford;
+    organically-grown magnitudes usually do). Benford expectation uses
+    micro-units of log10(1 + 1/d) pinned as integer constants, so the
+    divergence stat is exact-integer and cross-engine stable: dev_micro
+    = Σ_d |observed_share_micro(d) − benford_micro(d)|.
+
+    Rows with value <= 0 or NULL are excluded (no first significant
+    digit). Emits (key, n, d1..d9 counts, dev_micro).
+
+    Scale shape: map-only digit extraction (string of the absolute
+    value's first nonzero digit via JVM exprs), then one groupBy(key).
+    """
+    # digit of the largest power-of-ten bucket: first char of the
+    # integer part when >= 1, else first nonzero char of the decimals —
+    # uniformly: first char of printf('%e') scientific form
+    digit = F.substring(F.format_string("%e", F.col(value_col).cast("double")), 1, 1)
+    base = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(F.col(key_col).alias("key"), digit.cast("int").alias("d"))
+    )
+    # log10(1+1/d) in micro-units, d = 1..9 (exact pinned constants)
+    benford = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757]
+    counts = [
+        F.sum(F.when(F.col("d") == i + 1, 1).otherwise(0))
+        .cast("long").alias(f"d{i + 1}")
+        for i in range(9)
+    ]
+    g = base.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *counts
+    )
+    dev = None
+    for i in range(9):
+        term = F.abs(
+            F.expr(f"(d{i + 1} * 1000000) div n") - F.lit(benford[i])
+        )
+        dev = term if dev is None else dev + term
+    return g.select(
+        "key", "n", *[f"d{i + 1}" for i in range(9)],
+        dev.cast("long").alias("dev_micro"),
+    )

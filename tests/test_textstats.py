@@ -41,3 +41,48 @@ class TestZipfProfile:
         with _pytest.raises(ValueError):
             zipf_profile(df, ranks=(0, 5))
         assert zipf_profile(df.limit(0)).count() == 0
+
+
+def test_wilson_bounds_small_n_never_outranks(spark):
+    from kgspark.textstats import wilson_bounds
+
+    rows = [("tiny", True)] * 1 + [("tiny", False)] * 1 \
+        + [("big", True)] * 400 + [("big", False)] * 600
+    df = spark.createDataFrame(rows, "src string, bad boolean")
+    got = {r.key: r for r in wilson_bounds(df, "src", "bad").collect()}
+    # raw rate says tiny (1/2) >> big (400/1000); Wilson lower bound
+    # must invert that ranking
+    assert got["tiny"].rate_ppm > got["big"].rate_ppm
+    assert got["tiny"].wilson_lo < got["big"].wilson_lo
+    for r in got.values():
+        assert 0.0 <= r.wilson_lo <= r.wilson_hi <= 1.0
+    # hand-checked Wilson for k=1 n=2 z=1.96 (lo ~0.0945, hi ~0.9055)
+    assert abs(got["tiny"].wilson_lo - 0.0945) < 1e-3
+    assert abs(got["tiny"].wilson_hi - 0.9055) < 1e-3
+
+
+def test_benford_profile_digits_and_dev(spark):
+    from kgspark.textstats import benford_profile
+
+    # powers-of-ten spread: every value's first digit is explicit
+    rows = ([("a", 1.0), ("a", 0.023), ("a", 345.0), ("a", 9.1),
+             ("a", 100.5)]
+            + [("u", float(d)) for d in range(1, 10)])  # uniform digits
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r.key: r for r in benford_profile(df, "k", "v").collect()}
+    a = got["a"]
+    assert (a.d1, a.d2, a.d3, a.d9) == (2, 1, 1, 1) and a.n == 5
+    u = got["u"]
+    assert all(getattr(u, f"d{i}") == 1 for i in range(1, 10))
+    # uniform digits diverge from Benford by a known exact amount:
+    # sum |111111 - benford_micro(d)|
+    ben = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+           45757]
+    assert u.dev_micro == sum(abs(1000000 // 9 - b) for b in ben)
+    # nonpositive and NULL excluded
+    df2 = spark.createDataFrame(
+        [("z", -5.0), ("z", 0.0), ("z", None), ("z", 7.0)],
+        "k string, v double",
+    )
+    z = benford_profile(df2, "k", "v").collect()[0]
+    assert z.n == 1 and z.d7 == 1
