@@ -2779,6 +2779,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         classes, counts = train_nb(docs)
         return classify_nb(score_nb(docs, classes, counts))
 
+    def text_nb_features(spark, sf_dir):
+        # NB explainability (kgspark/nb.py top_features): per-source
+        # top-10 tokens by exact-integer smoothed rate lift vs the rest
+        # of the corpus — the tokens the classifier's log-odds actually
+        # reward
+        from kgspark.nb import top_features, train_nb
+
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", "text", F.col("source").alias("label")
+        )
+        classes, counts = train_nb(docs)
+        return top_features(classes, counts, k=10)
+
     def text_summarize(spark, sf_dir):
         # extractive summary (token-overlap centrality) over synthesized
         # multi-sentence text (corpus docs are single-sentence; overlapping
@@ -6144,6 +6157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
         "text_benford": text_benford,
+        "text_nb_features": text_nb_features,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -8542,6 +8556,48 @@ WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE >= 0.8
         # kgspark.nb: multinomial NB trained on source labels; every
         # log term quantized to integer micro-nats BEFORE the sum, so the
         # scores are exact long arithmetic on both engines
+        # kgspark.nb.top_features: smoothed ppm rate lift, total-order
+        # per-class top-10 (lift desc, token asc)
+        "text_nb_features": r"""
+WITH nf_toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+nf_stream AS (
+  SELECT doc_id, source, unnest(t) AS token FROM nf_toks
+),
+nf_cnt AS (
+  SELECT source AS label, token, count(*)::BIGINT AS cnt
+  FROM nf_stream WHERE source IS NOT NULL GROUP BY 1, 2
+),
+nf_tot AS (
+  SELECT source AS label, count(*)::BIGINT AS tot
+  FROM nf_stream WHERE source IS NOT NULL GROUP BY 1
+),
+nf_v AS (SELECT count(DISTINCT token)::BIGINT AS v FROM nf_cnt),
+nf_all AS (SELECT token, sum(cnt)::BIGINT AS cnt_all FROM nf_cnt GROUP BY 1),
+nf_g AS (SELECT sum(tot)::BIGINT AS g FROM nf_tot),
+nf_lift AS (
+  SELECT c.label, c.token, c.cnt,
+         ((((c.cnt + 1) * 1000000) // (t.tot + v.v)) * 1000000)
+           // greatest(
+                ((a.cnt_all - c.cnt + 1) * 1000000) // (g.g - t.tot + v.v),
+                1) AS lift_ppm
+  FROM nf_cnt c
+  JOIN nf_tot t ON t.label = c.label
+  JOIN nf_all a ON a.token = c.token
+  CROSS JOIN nf_v v CROSS JOIN nf_g g
+),
+nf_rk AS (
+  SELECT label, token, cnt, lift_ppm::BIGINT AS lift_ppm,
+         row_number() OVER (
+           PARTITION BY label ORDER BY lift_ppm DESC, token ASC
+         )::BIGINT AS rank
+  FROM nf_lift
+)
+SELECT label, token, cnt, lift_ppm, rank FROM nf_rk WHERE rank <= 10
+""",
         "text_nb": r"""
 WITH nb_toks AS (
   SELECT doc_id, source,

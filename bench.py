@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "kg_bgp_concat",
     "text_wilson",
     "text_benford",
+    "text_nb_features",
 ]
 
 

@@ -302,3 +302,64 @@ def calibration_bins(
             "abs(sum_pp div n - n_pos * 1000000 div n)"
         ).cast("long").alias("gap_ppm"),
     )
+
+
+def top_features(
+    classes: DataFrame,
+    token_counts: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Model explainability: per class, the top-k tokens by smoothed
+    rate lift vs the rest of the corpus — the NB analogue of "what words
+    make this classifier call a doc src7" (monotone in the log-odds the
+    scorer actually adds, so the ranking IS the model's reasons, not a
+    post-hoc correlate). Everything is exact-integer: in-class and
+    rest-of-corpus add-1 rates in ppm, lift = in_ppm·1e6 div
+    max(out_ppm, 1) — the same fixed-point posture as score_nb, so the
+    ranking is bit-stable cross-engine (a float log-odds would tie-break
+    differently per platform).
+
+    Emits (label, token, cnt, lift_ppm, rank), rank 1..k per label,
+    ordered by (lift_ppm desc, token asc) — a total order.
+
+    Scale shape: one token-keyed rollup + a broadcast grand total + a
+    WindowGroupLimit per-class top-k; never materializes |V| x |C|.
+    """
+    tot_all = token_counts.groupBy("token").agg(
+        F.sum("cnt").cast("long").alias("cnt_all")
+    )
+    grand = classes.agg(
+        F.sum("tot_tokens").cast("long").alias("__g")
+    )
+    per = (
+        token_counts.join(tot_all, "token")
+        .join(
+            classes.select(
+                "label",
+                F.coalesce("tot_tokens", F.lit(0)).alias("tot_tokens"),
+                "v",
+            ),
+            "label",
+        )
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "label", "token", F.col("cnt").cast("long").alias("cnt"),
+            F.expr(
+                "((cnt + 1) * 1000000) div (tot_tokens + v)"
+            ).alias("__in_ppm"),
+            F.expr(
+                "((cnt_all - cnt + 1) * 1000000) div (__g - tot_tokens + v)"
+            ).alias("__out_ppm"),
+        )
+        .select(
+            "label", "token", "cnt",
+            F.expr("(__in_ppm * 1000000) div greatest(__out_ppm, 1)")
+            .cast("long").alias("lift_ppm"),
+        )
+    )
+    wdw = Window.partitionBy("label").orderBy(
+        F.col("lift_ppm").desc(), F.col("token").asc()
+    )
+    return per.withColumn(
+        "rank", F.row_number().over(wdw).cast("long")
+    ).where(F.col("rank") <= k)

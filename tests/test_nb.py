@@ -168,3 +168,27 @@ def test_calibration_bins_edges_and_gaps(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_bins(sc, n_bins=0)
+
+
+def test_top_features_lift_ranking(spark):
+    from kgspark.nb import top_features, train_nb
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam buy", "s"), (2, "buy spam now", "s"),
+         (3, "hello world now", "h"), (4, "hello there world", "h")],
+        "doc_id long, text string, label string",
+    )
+    classes, counts = train_nb(docs)
+    out = top_features(classes, counts, k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append((r.rank, r.token))
+    # 'spam' dominates class s, 'hello'/'world' dominate class h
+    assert sorted(by_label["s"])[0][1] == "spam"
+    assert {t for _, t in by_label["h"]} <= {"hello", "world", "there"}
+    assert all(len(v) == 2 for v in by_label.values())
+    # exact-integer check on a hand case: class s has tot=6, V=6, g=12
+    # cnt(spam|s)=3 -> in_ppm = 4*1e6 // 12 = 333333;
+    # rest: cnt_all-cnt=0, g-tot=6 -> out_ppm = 1e6 // 12 = 83333
+    spam = [r for r in out if r.label == "s" and r.token == "spam"][0]
+    assert spam.lift_ppm == (333333 * 1000000) // 83333
