@@ -2792,6 +2792,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         classes, counts = train_nb(docs)
         return top_features(classes, counts, k=10)
 
+    def web_recrawl(spark, sf_dir):
+        # measured change-rate recrawl queue (kgspark/web.py
+        # recrawl_priority): events as crawl snapshots — url from the
+        # bounded user space, content hash from event_type; event_id
+        # makes the per-url observation order total
+        from kgspark.web import recrawl_priority
+
+        ev = _read(spark, sf_dir, "events").select(
+            F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string"))
+            .alias("url"),
+            "ts", F.col("event_type").alias("chash"), "event_id",
+        )
+        return recrawl_priority(ev, order_cols=["event_id"])
+
     def text_summarize(spark, sf_dir):
         # extractive summary (token-overlap centrality) over synthesized
         # multi-sentence text (corpus docs are single-sentence; overlapping
@@ -6158,6 +6172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wilson": text_wilson,
         "text_benford": text_benford,
         "text_nb_features": text_nb_features,
+        "web_recrawl": web_recrawl,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -8556,6 +8571,27 @@ WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE >= 0.8
         # kgspark.nb: multinomial NB trained on source labels; every
         # log term quantized to integer micro-nats BEFORE the sum, so the
         # scores are exact long arithmetic on both engines
+        # kgspark.web.recrawl_priority: consecutive-hash-change census
+        # under the (ts, event_id) total order, changes/day in exact ppm
+        "web_recrawl": """
+WITH rc AS (
+  SELECT 'u' || (user_id % 50)::VARCHAR AS url, ts,
+         event_type AS h,
+         lag(event_type) OVER (
+           PARTITION BY 'u' || (user_id % 50)::VARCHAR
+           ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT url, count(*)::BIGINT AS n_obs,
+  sum(CASE WHEN prev IS NOT NULL AND prev <> h THEN 1 ELSE 0 END)::BIGINT
+    AS n_changes,
+  date_diff('second', min(ts), max(ts))::BIGINT AS span_sec,
+  ((sum(CASE WHEN prev IS NOT NULL AND prev <> h THEN 1 ELSE 0 END)
+    * 86400000000)
+   // greatest(date_diff('second', min(ts), max(ts)), 1))::BIGINT
+    AS rate_ppm
+FROM rc GROUP BY 1
+""",
         # kgspark.nb.top_features: smoothed ppm rate lift, total-order
         # per-class top-10 (lift desc, token asc)
         "text_nb_features": r"""

@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "text_wilson",
     "text_benford",
     "text_nb_features",
+    "web_recrawl",
 ]
 
 

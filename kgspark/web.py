@@ -1251,3 +1251,63 @@ def mirror_hosts(
         )
         .where(F.col("jaccard_ppm") >= threshold_ppm)
     )
+
+
+def recrawl_priority(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "chash",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-rate estimation from crawl snapshot history — the
+    freshness side of crawl scheduling (Cho & Garcia-Molina, "Estimating
+    Frequency of Change", 2003): a page observed to change often earns
+    recrawl budget; a static page does not. Complements
+    frontier_schedule (which orders the UNSEEN frontier) and
+    sitemap_urls' advisory lastmod with MEASURED behavior.
+
+    Per url: n_obs snapshots, n_changes = count of consecutive
+    observations whose content hash differs (under the total order
+    ts_col then `order_cols` — pass a unique tiebreak column when
+    timestamps can collide, or the lag is engine-dependent), span_sec,
+    and rate_ppm = changes-per-day in ppm, exact integer:
+    (n_changes · 86400e6) div max(span_sec, 1). Ranking by rate_ppm desc
+    is the recrawl queue.
+
+    Scale shape: one url-keyed shuffle feeding BOTH the lag window and
+    the per-url aggregate (same partitioning, one exchange); everything
+    else is map-side integer arithmetic.
+    """
+    order_cols = list(order_cols or [])
+    w = Window.partitionBy("url").orderBy(
+        F.col("__ts"), *[F.col(c) for c in order_cols]
+    )
+    lagged = snapshots.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("__ts"),
+        F.col(hash_col).alias("__h"),
+        *[F.col(c) for c in order_cols],
+    ).withColumn("__prev", F.lag("__h").over(w))
+    return (
+        lagged.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(
+                F.when(
+                    F.col("__prev").isNotNull()
+                    & (F.col("__prev") != F.col("__h")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_changes"),
+            (F.unix_timestamp(F.max("__ts"))
+             - F.unix_timestamp(F.min("__ts")))
+            .cast("long").alias("span_sec"),
+        )
+        .select(
+            "url", "n_obs", "n_changes", "span_sec",
+            F.expr(
+                "(n_changes * 86400000000) div greatest(span_sec, 1)"
+            ).cast("long").alias("rate_ppm"),
+        )
+    )

@@ -614,3 +614,36 @@ def test_hreflang_clusters_extraction_and_key(spark):
     assert [r.hreflang for r in by_url["u2"]] == ["en"]  # empty lang dropped
     assert by_url["u2"][0].n_alternates == 1
     assert "u3" not in by_url
+
+
+def test_recrawl_priority_change_rate(spark):
+    from kgspark.web import recrawl_priority
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def row(u, mins, h):
+        return (u, t0 + dt.timedelta(minutes=mins), h)
+
+    snaps = spark.createDataFrame(
+        # hot: 3 changes over 3 days; cold: 0 changes; single obs
+        [row("hot", 0, "a"), row("hot", 1440, "b"),
+         row("hot", 2880, "c"), row("hot", 4320, "d"),
+         row("cold", 0, "x"), row("cold", 4320, "x"),
+         row("once", 0, "z")],
+        "url string, ts timestamp, chash string",
+    )
+    got = {r.url: r for r in recrawl_priority(snaps).collect()}
+    assert got["hot"].n_changes == 3 and got["hot"].n_obs == 4
+    assert got["hot"].span_sec == 3 * 86400
+    # 3 changes / 3 days = 1/day = 1_000_000 ppm
+    assert got["hot"].rate_ppm == (3 * 86400000000) // (3 * 86400)
+    assert got["cold"].n_changes == 0 and got["cold"].rate_ppm == 0
+    # single observation: span 0, guarded division
+    assert got["once"].n_obs == 1 and got["once"].rate_ppm == 0
+    # a change counts only on CONSECUTIVE differing hashes (a,b,a = 2)
+    flip = spark.createDataFrame(
+        [row("f", 0, "a"), row("f", 10, "b"), row("f", 20, "a")],
+        "url string, ts timestamp, chash string",
+    )
+    assert recrawl_priority(flip).collect()[0].n_changes == 2
