@@ -2792,6 +2792,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         classes, counts = train_nb(docs)
         return top_features(classes, counts, k=10)
 
+    def kg_datatypes(spark, sf_dir):
+        # per-predicate literal datatype census (kgspark/
+        # schema_induce.py datatype_profile): synthesized literal
+        # predicates with int / decimal / date / bool / mixed ranges
+        from kgspark.schema_induce import datatype_profile
+
+        ev = _read(spark, sf_dir, "events")
+        e = F.col("event_id")
+        s = F.concat(F.lit("e"), e.cast("string")).alias("subj")
+
+        def tri(pred, obj):
+            return ev.select(s, F.lit(pred).alias("pred"),
+                             obj.alias("obj"))
+
+        t = (
+            tri("qty", (e % 100).cast("string"))
+            .unionByName(tri("rate", F.concat(
+                (e % 50).cast("string"), F.lit("."),
+                (e % 10).cast("string"))))
+            .unionByName(tri("day", F.date_format("ts", "yyyy-MM-dd")))
+            .unionByName(tri("flag", F.when(e % 2 == 0, "true")
+                             .otherwise("false")))
+            .unionByName(tri("mixed", F.when(e % 3 == 0,
+                                             (e % 9).cast("string"))
+                             .when(e % 3 == 1, F.lit("n/a"))
+                             .otherwise(F.concat(
+                                 F.lit("v"), (e % 4).cast("string")))))
+        )
+        return datatype_profile(t)
+
     def web_recrawl(spark, sf_dir):
         # measured change-rate recrawl queue (kgspark/web.py
         # recrawl_priority): events as crawl snapshots — url from the
@@ -6173,6 +6203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_benford": text_benford,
         "text_nb_features": text_nb_features,
         "web_recrawl": web_recrawl,
+        "kg_datatypes": kg_datatypes,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -8571,6 +8602,55 @@ WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE >= 0.8
         # kgspark.nb: multinomial NB trained on source labels; every
         # log term quantized to integer micro-nats BEFORE the sum, so the
         # scores are exact long arithmetic on both engines
+        # kgspark.schema_induce.datatype_profile: disjoint ASCII regex
+        # classes in priority order, modal class w/ fixed tiebreak
+        "kg_datatypes": """
+WITH dt AS (
+  SELECT 'qty' AS pred, (event_id % 100)::VARCHAR AS obj FROM events
+  UNION ALL SELECT 'rate',
+    (event_id % 50)::VARCHAR || '.' || (event_id % 10)::VARCHAR
+  FROM events
+  UNION ALL SELECT 'day', strftime(ts, '%Y-%m-%d') FROM events
+  UNION ALL SELECT 'flag',
+    CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END FROM events
+  UNION ALL SELECT 'mixed',
+    CASE WHEN event_id % 3 = 0 THEN (event_id % 9)::VARCHAR
+         WHEN event_id % 3 = 1 THEN 'n/a'
+         ELSE 'v' || (event_id % 4)::VARCHAR END
+  FROM events
+),
+dt_cl AS (
+  SELECT pred,
+    CASE WHEN regexp_full_match(coalesce(obj, ''), '-?[0-9]+')
+           THEN 'int'
+         WHEN regexp_full_match(coalesce(obj, ''), '-?[0-9]+[.][0-9]+')
+           THEN 'decimal'
+         WHEN regexp_full_match(coalesce(obj, ''),
+                                '[0-9]{4}-[0-9]{2}-[0-9]{2}')
+           THEN 'date'
+         WHEN obj IN ('true', 'false') THEN 'bool'
+         ELSE 'str' END AS c
+  FROM dt
+),
+dt_g AS (
+  SELECT pred, count(*)::BIGINT AS n,
+    sum(CASE WHEN c = 'int' THEN 1 ELSE 0 END)::BIGINT AS n_int,
+    sum(CASE WHEN c = 'decimal' THEN 1 ELSE 0 END)::BIGINT AS n_decimal,
+    sum(CASE WHEN c = 'date' THEN 1 ELSE 0 END)::BIGINT AS n_date,
+    sum(CASE WHEN c = 'bool' THEN 1 ELSE 0 END)::BIGINT AS n_bool,
+    sum(CASE WHEN c = 'str' THEN 1 ELSE 0 END)::BIGINT AS n_str
+  FROM dt_cl GROUP BY 1
+)
+SELECT pred, n, n_int, n_decimal, n_date, n_bool, n_str,
+  CASE WHEN n_int >= n_decimal AND n_int >= n_date AND n_int >= n_bool
+            AND n_int >= n_str THEN 'int'
+       WHEN n_decimal >= n_date AND n_decimal >= n_bool
+            AND n_decimal >= n_str THEN 'decimal'
+       WHEN n_date >= n_bool AND n_date >= n_str THEN 'date'
+       WHEN n_bool >= n_str THEN 'bool'
+       ELSE 'str' END AS major
+FROM dt_g
+""",
         # kgspark.web.recrawl_priority: consecutive-hash-change census
         # under the (ts, event_id) total order, changes/day in exact ppm
         "web_recrawl": """

@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "text_benford",
     "text_nb_features",
     "web_recrawl",
+    "kg_datatypes",
 ]
 
 

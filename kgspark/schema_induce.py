@@ -275,3 +275,72 @@ def fd_mine(
         F.expr("(1000000 * n_kept) div n_pairs").cast("long")
         .alias("fd_ppm"),
     )
+
+
+def datatype_profile(
+    triples: DataFrame,
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Per-predicate literal datatype census — which range a predicate's
+    objects actually inhabit (the xsd-typing step of ontology induction:
+    a predicate that is 99% integer wants xsd:integer in the induced
+    schema; a mixed one wants a cleanup rule first). Complements
+    domain_range (kgspark.graph_algs), which types ENTITY endpoints via
+    is_a — this types LITERAL endpoints by lexical form.
+
+    Classes are disjoint ASCII regexes evaluated in priority order
+    (int, decimal, date, bool, everything else = str) — the Java∩RE2
+    regex subset, so the census is engine-stable; no locale- or
+    engine-dependent TRY_CAST parsing is involved. Emits (pred, n,
+    n_int, n_decimal, n_date, n_bool, n_str, major) where major is the
+    modal class with the fixed tiebreak order int > decimal > date >
+    bool > str.
+
+    Scale shape: map-only classification (JVM regex columns) + one
+    pred-keyed partial-agg rollup; the pred dimension is tiny.
+    """
+    o = F.coalesce(F.col(obj_col), F.lit(""))
+    is_int = o.rlike("^-?[0-9]+$")
+    is_dec = o.rlike("^-?[0-9]+[.][0-9]+$")
+    is_date = o.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    is_bool = o.isin("true", "false")
+    cls = (
+        F.when(is_int, "int")
+        .when(is_dec, "decimal")
+        .when(is_date, "date")
+        .when(is_bool, "bool")
+        .otherwise("str")
+    )
+    g = (
+        triples.select(F.col(pred_col).alias("pred"), cls.alias("__c"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(F.when(F.col("__c") == c, 1).otherwise(0))
+                .cast("long").alias(f"n_{c}")
+                for c in ("int", "decimal", "date", "bool", "str")
+            ],
+        )
+    )
+    major = (
+        F.when(
+            (F.col("n_int") >= F.col("n_decimal"))
+            & (F.col("n_int") >= F.col("n_date"))
+            & (F.col("n_int") >= F.col("n_bool"))
+            & (F.col("n_int") >= F.col("n_str")), "int")
+        .when(
+            (F.col("n_decimal") >= F.col("n_date"))
+            & (F.col("n_decimal") >= F.col("n_bool"))
+            & (F.col("n_decimal") >= F.col("n_str")), "decimal")
+        .when(
+            (F.col("n_date") >= F.col("n_bool"))
+            & (F.col("n_date") >= F.col("n_str")), "date")
+        .when(F.col("n_bool") >= F.col("n_str"), "bool")
+        .otherwise("str")
+    )
+    return g.select(
+        "pred", "n", "n_int", "n_decimal", "n_date", "n_bool", "n_str",
+        major.alias("major"),
+    )

@@ -78,3 +78,26 @@ def test_fd_mine_multivalued_and_support(spark):
     assert got[("p", "q")] == (3, 2, 666666)
     # support filter
     assert fd_mine(t, min_support=4).count() == 0
+
+
+def test_datatype_profile_classes_and_major(spark):
+    from kgspark.schema_induce import datatype_profile
+
+    t = spark.createDataFrame(
+        [("x", "age", "42"), ("y", "age", "-7"), ("z", "age", "old"),
+         ("x", "price", "3.14"), ("y", "price", "2.00"),
+         ("x", "born", "1999-01-31"), ("y", "born", "31/01/1999"),
+         ("x", "ok", "true"), ("y", "ok", "false"), ("z", "ok", "TRUE"),
+         ("x", "note", ""), ("y", "note", None)],
+        "subj string, pred string, obj string",
+    )
+    got = {r.pred: r for r in datatype_profile(t).collect()}
+    a = got["age"]
+    assert (a.n_int, a.n_str, a.major) == (2, 1, "int")
+    assert got["price"].major == "decimal" and got["price"].n_decimal == 2
+    b = got["born"]
+    assert (b.n_date, b.n_str) == (1, 1) and b.major == "date"  # tiebreak
+    o = got["ok"]
+    assert (o.n_bool, o.n_str, o.major) == (2, 1, "bool")  # TRUE is str
+    n = got["note"]
+    assert n.n_str == 2 and n.major == "str"  # '' and NULL both str
