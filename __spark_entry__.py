@@ -2792,6 +2792,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         classes, counts = train_nb(docs)
         return top_features(classes, counts, k=10)
 
+    def text_skeleton(spark, sf_dir):
+        # structural-skeleton template detection (kgspark/textstats.py
+        # skeleton_census): digit/letter/space runs collapsed, md5
+        # skeleton census, df>=3 flags the templated docs
+        from kgspark.textstats import skeleton_census
+
+        return skeleton_census(
+            _read(spark, sf_dir, "documents"), min_df=3
+        )
+
     def kg_datatypes(spark, sf_dir):
         # per-predicate literal datatype census (kgspark/
         # schema_induce.py datatype_profile): synthesized literal
@@ -6204,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_features": text_nb_features,
         "web_recrawl": web_recrawl,
         "kg_datatypes": kg_datatypes,
+        "text_skeleton": text_skeleton,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -8602,6 +8613,22 @@ WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE >= 0.8
         # kgspark.nb: multinomial NB trained on source labels; every
         # log term quantized to integer micro-nats BEFORE the sum, so the
         # scores are exact long arithmetic on both engines
+        # kgspark.textstats.skeleton_census: 3 chained global ASCII
+        # regex rewrites + md5, census join-back
+        "text_skeleton": r"""
+WITH sk AS (
+  SELECT doc_id AS id,
+         md5(regexp_replace(regexp_replace(regexp_replace(
+           lower(coalesce("text", '')), '[0-9]+', '9', 'g'),
+           '[a-z]+', 'w', 'g'),
+           '[ \t]+', ' ', 'g')) AS skel_hash
+  FROM documents
+),
+sc AS (SELECT skel_hash, count(*)::BIGINT AS skel_df FROM sk GROUP BY 1)
+SELECT sk.id, sk.skel_hash, sc.skel_df,
+       sc.skel_df >= 3 AS is_template
+FROM sk JOIN sc USING (skel_hash)
+""",
         # kgspark.schema_induce.datatype_profile: disjoint ASCII regex
         # classes in priority order, modal class w/ fixed tiebreak
         "kg_datatypes": """

@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "text_nb_features",
     "web_recrawl",
     "kg_datatypes",
+    "text_skeleton",
 ]
 
 

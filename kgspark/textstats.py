@@ -998,3 +998,49 @@ def benford_profile(
         "key", "n", *[f"d{i + 1}" for i in range(9)],
         dev.cast("long").alias("dev_micro"),
     )
+
+
+def skeleton_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """Template-spam detection by structural skeleton: lowercase the
+    text, collapse every digit run to ``9``, every letter run to ``w``
+    and every space run to one space — what survives is the document's
+    punctuation/layout skeleton, which machine-generated boilerplate
+    ("{name} scored {n} points in {city}") shares across thousands of
+    docs while organic prose almost never repeats exactly. Docs whose
+    skeleton occurs >= min_df times are flagged — the standard
+    cheap-first templated-page filter run before any near-dup pass
+    (it catches what MinHash misses: same-template pages with disjoint
+    vocabulary).
+
+    All three rewrites are ASCII-literal regexes (the Java∩RE2 parity
+    subset). Emits (id, skel_hash, skel_df, is_template).
+
+    Scale shape: map-only skeletonization (JVM regex), one
+    skeleton-keyed partial-agg census, one hash join back — skew-safe
+    because the census side is one row per distinct skeleton.
+    """
+    skel = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[0-9]+", "9",
+                ),
+                "[a-z]+", "w",
+            ),
+            "[ \\t]+", " ",
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"), skel.alias("skel_hash"))
+    census = base.groupBy("skel_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("skel_df")
+    )
+    return base.join(census, "skel_hash").select(
+        "id", "skel_hash", "skel_df",
+        (F.col("skel_df") >= min_df).alias("is_template"),
+    )

@@ -86,3 +86,23 @@ def test_benford_profile_digits_and_dev(spark):
     )
     z = benford_profile(df2, "k", "v").collect()[0]
     assert z.n == 1 and z.d7 == 1
+
+
+def test_skeleton_census_flags_templates(spark):
+    from kgspark.textstats import skeleton_census
+
+    df = spark.createDataFrame(
+        [(1, "Alice scored 42 points in Oslo!"),
+         (2, "Bob scored 7 points in Paris!"),
+         (3, "carol SCORED 1234 points in nyc!"),
+         (4, "a completely different sentence."),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in skeleton_census(df, min_df=3).collect()}
+    # 1-3 share the 'w w 9 w w w!' skeleton despite disjoint casing,
+    # names and numbers
+    assert got[1].skel_hash == got[2].skel_hash == got[3].skel_hash
+    assert got[1].skel_df == 3 and got[1].is_template
+    assert not got[4].is_template and got[4].skel_df == 1
+    assert not got[5].is_template  # NULL text -> its own '' skeleton
