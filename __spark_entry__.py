@@ -1628,6 +1628,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned, centers = ivf_fit_assign(emb, nlist=8)
         return ivf_topk(assigned, centers, _queries_df(spark, sf_dir), k=5, nprobe=8)
 
+    def ann_matryoshka(spark, sf_dir):
+        # dimension-budget recall report (kgspark/similarity.py
+        # dim_truncation_report): exact top-5 on the 8/16/64-prefix vs
+        # full-dim truth, exact-integer recall ppm
+        from kgspark.similarity import dim_truncation_report
+
+        emb = _read(spark, sf_dir, "embeddings")
+        return dim_truncation_report(
+            emb, _queries_df(spark, sf_dir), dims=[8, 16, 64], k=5
+        )
+
     # -- text analysis ------------------------------------------------------
 
     def text_langid(spark, sf_dir):
@@ -6215,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_recrawl": web_recrawl,
         "kg_datatypes": kg_datatypes,
         "text_skeleton": text_skeleton,
+        "ann_matryoshka": ann_matryoshka,
         "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
@@ -6954,6 +6966,56 @@ SELECT query_id, vec_id, cos, rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+""",
+        # kgspark.similarity.dim_truncation_report: per-prefix-dim exact
+        # top-5 vs the 64-dim truth, exact-integer recall ppm
+        "ann_matryoshka": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+           WHERE vec_id < 3),
+mt_tr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('e.embedding', 'q.qemb', 64)}, 6)
+               DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 5
+),
+mt_d8 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('e.embedding', 'q.qemb', 8)}, 6)
+               DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 5
+),
+mt_d16 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({_cos_sql('e.embedding', 'q.qemb', 16)}, 6)
+               DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 5
+),
+mt_n AS (SELECT count(*)::BIGINT AS n_truth FROM mt_tr)
+SELECT dim, n_truth, hits,
+       ((hits * 1000000) // n_truth)::BIGINT AS recall_ppm
+FROM (
+  SELECT 8::BIGINT AS dim, n.n_truth,
+         (SELECT count(*) FROM mt_d8 d JOIN mt_tr t
+          ON t.query_id = d.query_id AND t.vec_id = d.vec_id)::BIGINT
+           AS hits
+  FROM mt_n n
+  UNION ALL
+  SELECT 16, n.n_truth,
+         (SELECT count(*) FROM mt_d16 d JOIN mt_tr t
+          ON t.query_id = d.query_id AND t.vec_id = d.vec_id)::BIGINT
+  FROM mt_n n
+  UNION ALL
+  SELECT 64, n.n_truth, n.n_truth FROM mt_n n
+)
 """,
         "ann_lsh": f"""
 WITH b AS ({_banded_sql('embeddings', 'vec_id', 8, 8)}),

@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "web_recrawl",
     "kg_datatypes",
     "text_skeleton",
+    "ann_matryoshka",
 ]
 
 

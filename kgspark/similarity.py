@@ -482,3 +482,58 @@ def ranking_metrics(
         .cast("long").alias("n_no_rel")
     )
     return per_q.agg(*aggs)
+
+
+def dim_truncation_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Retrieval quality vs dimension budget — the Matryoshka question
+    (Kusupati et al., "Matryoshka Representation Learning", 2022): how
+    much exact-search recall@k survives if queries run on only the first
+    d components? One row per d in `dims`: (dim, n_truth, hits,
+    recall_ppm), where truth is full-dimension exact top-k and hits
+    counts truth pairs the d-prefix top-k recovers; recall_ppm is the
+    exact-integer ratio. The report is how an embedding-pipeline owner
+    picks the serving dimension before building the ANN index
+    (kgspark.similarity.ivfpq_topk et al.).
+
+    Scale shape: the truth pass is one broadcast-query exact top-k
+    (corpus never shuffled, same as cosine_topk), materialized once;
+    each dim adds one map-side prefix-slice + the same broadcast top-k
+    + a semi-join against the (queries·k)-sized truth table. Query sets
+    are calibration-sized by contract (the bounded-sample posture of
+    dedup_recall).
+    """
+    from kgspark.session import materialize
+
+    truth = materialize(
+        cosine_topk(emb, queries, k=k, emb_col=emb_col, id_col=id_col)
+        .select("query_id", "vec_id")
+    )
+    out = None
+    for d in sorted(dims):
+        e_d = emb.select(
+            F.col(id_col), F.slice(F.col(emb_col), 1, d).alias(emb_col)
+        )
+        q_d = queries.select(
+            "query_id", F.slice(F.col("qemb"), 1, d).alias("qemb")
+        )
+        got = cosine_topk(
+            e_d, q_d, k=k, emb_col=emb_col, id_col=id_col
+        ).select("query_id", "vec_id")
+        hits = got.join(
+            truth, ["query_id", "vec_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        row = tot.crossJoin(hits).select(
+            F.lit(d).cast("long").alias("dim"), "n_truth", "hits",
+            F.expr("(hits * 1000000) div n_truth").cast("long")
+            .alias("recall_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -170,3 +170,22 @@ def test_norm_stats_exact(spark):
     b = got[1]
     assert (b["n_vecs"], b["min_norm"]) == (1, 1000000)
     assert set(got) == {0, 1}
+
+
+def test_dim_truncation_report_full_dim_is_perfect(spark):
+    from kgspark.similarity import dim_truncation_report
+
+    # signal lives in dim 4; dims 1-3 are near-constant -> truncation
+    # at d<=3 scrambles the ranking, d=4 must be perfect
+    rows = [(i, [1.0, 0.5, 0.25, float((-1) ** i * (i + 1))])
+            for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS qemb"
+    )
+    rep = {r.dim: r for r in dim_truncation_report(
+        emb, q, dims=[2, 4], k=3).collect()}
+    assert rep[4].recall_ppm == 1_000_000
+    assert rep[4].n_truth == 6 and rep[4].hits == 6
+    assert 0 <= rep[2].recall_ppm <= 1_000_000
+    assert rep[2].hits <= rep[2].n_truth
