@@ -7,13 +7,15 @@ web-corpus target the dispatch collapses to the HTML extractor
 per-format handlers. docx, xlsx and simple (raw/Flate) PDFs parse with
 pure-stdlib codecs (zipfile + ElementTree, zlib + operator scan), and legacy
 binary .xls/.doc parse via the pure-stdlib OLE2/BIFF8/piece-table codecs in
-kgspark.ole — no third-party codec anywhere. RC4-encrypted PDFs (standard
-security handler, V=1/2 R=2/3, empty user password) decrypt via the spec's
-MD5+RC4 key schedule, and CID/Type0 fonts decode through their embedded
-ToUnicode CMaps — both pure stdlib. Only image-OCR (no OCR engine exists in
-stdlib) and AES-encrypted PDFs remain gated behind a clearly marked seam —
-the dispatch, schema and error-wrapping semantics are real and tested
-either way.
+kgspark.ole — no third-party codec anywhere. Encrypted PDFs (standard
+security handler, empty user password) decrypt across the whole published
+range — RC4 V=1/2 R=2/3 via the spec's MD5+RC4 key schedule, AES-128
+/AESV2 V=4 R=4, and AES-256 /AESV3 V=5 R=6 via the ISO 32000-2 Algorithm
+2.A/2.B hardened hash, on the pure-stdlib FIPS-197 AES in kgspark.aes —
+and CID/Type0 fonts decode through their embedded ToUnicode CMaps. Only
+image-OCR (no OCR engine exists in stdlib) remains gated behind a clearly
+marked seam — the dispatch, schema and error-wrapping semantics are real
+and tested either way.
 
 Reference error semantics preserved: an unsupported extension raises
 ValueError (ref knowledgeGraph.py:99-101); per-file handler errors are
@@ -276,10 +278,33 @@ def _pdf_int_value(body: bytes, name: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def _pdf_file_key(data: bytes, objs: dict) -> bytes | None:
-    """Derive the standard-security-handler file key (empty user password),
-    PDF 1.7 spec 7.6.3.3 Algorithm 2. Returns None for unencrypted files;
-    raises NotImplementedError for AES (V>=4), non-Standard handlers, and
+def _pdf_hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the hardened R=6 password hash:
+    iterated SHA-256/384/512 selected by an AES-128-CBC encryption of the
+    running digest, minimum 64 rounds, data-dependent stop condition."""
+    import hashlib
+
+    from kgspark.aes import cbc_encrypt
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _pdf_file_key(data: bytes, objs: dict) -> tuple[bytes, str] | None:
+    """Derive the standard-security-handler file key (empty user password)
+    and the stream cipher mode: PDF 1.7 spec 7.6.3.3 Algorithm 2 for
+    V=1/2/4 (RC4 and /AESV2 crypt filters), ISO 32000-2 Algorithm 2.A/2.B
+    for V=5 R=6 (/AESV3, AES-256). Returns None for unencrypted files,
+    (key, mode) with mode in {'rc4', 'aesv2', 'aesv3'} otherwise; raises
+    NotImplementedError for non-Standard handlers, unknown V/R combos and
     files that actually require a user password (U mismatch)."""
     import hashlib
     import re
@@ -294,17 +319,30 @@ def _pdf_file_key(data: bytes, objs: dict) -> bytes | None:
         raise NotImplementedError("non-standard PDF security handler")
     v = _pdf_int_value(enc, b"V") or 0
     r = _pdf_int_value(enc, b"R") or 2
-    if v not in (1, 2) or r not in (2, 3):
+    if v == 5 and r == 6:
+        return _pdf_file_key_v5(enc)
+    if (v, r) == (4, 4):
+        if b"/AESV2" in enc:
+            mode = "aesv2"
+        elif b"/V2" in enc:
+            mode = "rc4"  # V=4 crypt filter wrapping plain RC4
+        else:
+            raise NotImplementedError(
+                "V=4 PDF without an /AESV2 or /V2 crypt filter"
+            )
+    elif v in (1, 2) and r in (2, 3):
+        mode = "rc4"
+    else:
         raise NotImplementedError(
-            "AES/crypt-filter PDF encryption (V>=4) needs a full crypto "
-            "stack; RC4 (V=1/2, R=2/3) decrypts here"
+            f"PDF encryption V={v} R={r} outside the supported set "
+            "(RC4 V=1/2 R=2/3, AES-128 V=4 R=4, AES-256 V=5 R=6)"
         )
     o = _pdf_str_value(enc, b"O")
     u = _pdf_str_value(enc, b"U")
     p = _pdf_int_value(enc, b"P")
     if o is None or u is None or p is None:
         raise NotImplementedError("malformed /Encrypt dictionary")
-    n = (_pdf_int_value(enc, b"Length") or 40) // 8
+    n = 16 if v == 4 else (_pdf_int_value(enc, b"Length") or 40) // 8
     idm = re.search(
         rb"/ID\s*\[\s*(" + _PDF_LIT + rb"|" + _PDF_HEX + rb")", data
     )
@@ -317,14 +355,15 @@ def _pdf_file_key(data: bytes, objs: dict) -> bytes | None:
             else bytes.fromhex(g[1:-1].decode("ascii").replace(" ", ""))
         )
     # Algorithm 2 with the EMPTY user password
-    h = hashlib.md5(
-        _PDF_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
-    ).digest()
+    seed = _PDF_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
     key = h[:n]
-    # verify vs /U (Algorithm 4 for R=2, Algorithm 5 for R=3)
+    # verify vs /U (Algorithm 4 for R=2, Algorithm 5 for R>=3)
     if r == 2:
         ok = _rc4(key, _PDF_PAD) == u[:32]
     else:
@@ -337,7 +376,53 @@ def _pdf_file_key(data: bytes, objs: dict) -> bytes | None:
         raise NotImplementedError(
             "password-protected PDF (empty user password rejected)"
         )
-    return key
+    return key, mode
+
+
+def _pdf_file_key_v5(enc: bytes) -> tuple[bytes, str]:
+    """ISO 32000-2 Algorithm 2.A with the empty user password: validate
+    against /U's validation salt, then unwrap the 32-byte file key from
+    /UE with the key-salt-derived intermediate key (AES-256-CBC, zero IV,
+    no padding)."""
+    from kgspark.aes import cbc_decrypt
+
+    u = _pdf_str_value(enc, b"U")
+    ue = _pdf_str_value(enc, b"UE")
+    if u is None or len(u) < 48 or ue is None or len(ue) != 32:
+        raise NotImplementedError("malformed V=5 /Encrypt dictionary")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if _pdf_hash_2b(b"", vsalt, b"") != u[:32]:
+        raise NotImplementedError(
+            "password-protected PDF (empty user password rejected)"
+        )
+    inter = _pdf_hash_2b(b"", ksalt, b"")
+    return cbc_decrypt(inter, b"\x00" * 16, ue, unpad=False), "aesv3"
+
+
+def _pdf_decrypt_stream(
+    file_key: bytes, mode: str, num: int, gen: int, blob: bytes
+) -> bytes:
+    """Per-object stream decryption dispatch: RC4 with the Algorithm 1
+    object key; /AESV2 = AES-128-CBC with the Algorithm 1 key salted by
+    b'sAlT' (PDF 1.7 spec 7.6.2 step b); /AESV3 = AES-256-CBC with the
+    file key directly. AES streams carry their IV as the first 16 bytes
+    and the always-present PKCS#7 padding."""
+    import hashlib
+
+    if mode == "rc4":
+        return _rc4(_pdf_obj_key(file_key, num, gen), blob)
+    from kgspark.aes import cbc_decrypt
+
+    if mode == "aesv2":
+        key = hashlib.md5(
+            file_key + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little") + b"sAlT"
+        ).digest()[:16]
+    else:
+        key = file_key
+    if len(blob) < 32 or len(blob) % 16:
+        raise NotImplementedError("malformed AES stream (bad length)")
+    return cbc_decrypt(key, blob[:16], blob[16:], unpad=True)
 
 
 def _pdf_obj_key(file_key: bytes, num: int, gen: int) -> bytes:
@@ -412,24 +497,25 @@ def _pdf_pages(data: bytes) -> list[str]:
     """Pure-stdlib PDF text extraction: per-object content streams (raw or
     FlateDecode via zlib) scanned for Tj / TJ text-showing operators, one
     output string per text-bearing stream (~page for simple PDFs). Handles
-    the standard security handler's RC4 encryption (V=1/2, R=2/3; empty
-    user password — the common "owner-locked" case PyPDF2 reads in the
-    reference, knowledgeGraph.py:67-73) and embedded ToUnicode CMaps for
-    CID/Type0 fonts showing text as hex strings. AES (V>=4) and
-    password-required files surface as the gated error column."""
+    the standard security handler end to end — RC4 (V=1/2, R=2/3),
+    AES-128 /AESV2 (V=4, R=4) and AES-256 /AESV3 (V=5, R=6), all with the
+    empty user password: the common "owner-locked" case PyPDF2 reads in
+    the reference, knowledgeGraph.py:67-73 — and embedded ToUnicode CMaps
+    for CID/Type0 fonts showing text as hex strings. Password-required
+    files surface as the gated error column."""
     import re
     import zlib
 
     objs = _pdf_objects(data)
-    file_key = _pdf_file_key(data, objs)  # None when unencrypted
+    keyed = _pdf_file_key(data, objs)  # None when unencrypted
 
     def _stream_of(num: int, gen: int, body: bytes) -> bytes | None:
         m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.S)
         if m is None:
             return None
         blob = m.group(1)
-        if file_key is not None:
-            blob = _rc4(_pdf_obj_key(file_key, num, gen), blob)
+        if keyed is not None:
+            blob = _pdf_decrypt_stream(keyed[0], keyed[1], num, gen, blob)
         try:
             blob = zlib.decompress(blob)
         except zlib.error:
@@ -484,9 +570,8 @@ def read_pdf(data: bytes) -> str:
     pages = _pdf_pages(data)
     if not pages:
         raise NotImplementedError(
-            "no extractable text streams (raw/Flate, RC4-encrypted and "
-            "ToUnicode-CID PDFs parse here; AES-encrypted need a full "
-            "crypto stack)"
+            "no extractable text streams (raw/Flate, RC4/AES-encrypted "
+            "and ToUnicode-CID PDFs parse here)"
         )
     return _json.dumps([clean_text(p) for p in pages], ensure_ascii=False)
 

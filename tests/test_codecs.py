@@ -241,14 +241,18 @@ def _pad_pw(pw: bytes) -> bytes:
     return (pw + _PDF_PAD)[:32]
 
 
-def make_encrypted_pdf(pages, r=2, owner_pw=b"owner", user_pw=b"", p=-44):
-    """Build an RC4-encrypted PDF per the PDF 1.7 spec's standard security
-    handler (Algorithms 2/3/4/5) — the ENCRYPTION side, implemented from the
-    spec here in the test, cross-checks the reader's decryption side."""
+def make_encrypted_pdf(pages, r=2, owner_pw=b"owner", user_pw=b"", p=-44,
+                       aes=False):
+    """Build an RC4- or AES-128-encrypted PDF per the PDF 1.7 spec's
+    standard security handler (Algorithms 2/3/4/5; /AESV2 crypt filter for
+    r=4) — the ENCRYPTION side, implemented from the spec here in the
+    test, cross-checks the reader's decryption side."""
     import hashlib
 
     from kgspark.sources import _PDF_PAD, _pdf_obj_key, _rc4
 
+    if aes:
+        r = 4
     n = 5 if r == 2 else 16
     id0 = hashlib.md5(b"kgspark-pdf-fixture").digest()
     # Algorithm 3: /O
@@ -298,17 +302,31 @@ def make_encrypted_pdf(pages, r=2, owner_pw=b"owner", user_pw=b"", p=-44):
         )
         stream = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
         stream = zlib.compress(stream)
-        stream = _rc4(_pdf_obj_key(key, cid, 0), stream)
+        if aes:
+            from kgspark.aes import cbc_encrypt
+
+            okey = hashlib.md5(
+                key + cid.to_bytes(3, "little") + (0).to_bytes(2, "little")
+                + b"sAlT"
+            ).digest()[:16]
+            iv = hashlib.md5(b"iv%d" % cid).digest()
+            stream = iv + cbc_encrypt(okey, iv, stream)
+        else:
+            stream = _rc4(_pdf_obj_key(key, cid, 0), stream)
         objs.append(
             f"{cid} 0 obj << /Filter /FlateDecode /Length {len(stream)} >> "
             f"stream\n".encode()
             + stream + b"\nendstream endobj\n"
         )
     enc_num = 3 + 2 * n_pages
-    v = 1 if r == 2 else 2
+    v = 1 if r == 2 else (4 if r == 4 else 2)
+    cf = (
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        "/StmF /StdCF /StrF /StdCF " if aes else ""
+    )
     objs.append(
         f"{enc_num} 0 obj << /Filter /Standard /V {v} /R {r} "
-        f"/Length {n * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> >> "
+        f"/Length {n * 8} {cf}/P {p} /O <{o.hex()}> /U <{u.hex()}> >> "
         f"endobj\n".encode()
     )
     trailer = (
@@ -352,6 +370,117 @@ def make_cid_pdf(text, codes, compress=True) -> bytes:
             b"trailer << /Root 1 0 R >>\n%%EOF\n",
         ]
     )
+
+
+def make_aes256_pdf(pages, user_pw=b"", owner_pw=b"owner"):
+    """Build an AES-256 /AESV3 PDF per ISO 32000-2 (V=5 R=6, Algorithm
+    2.A/2.B, /UE//OE key wrapping) — encryption side from the spec,
+    cross-checking the reader."""
+    import hashlib
+
+    from kgspark.aes import cbc_encrypt
+    from kgspark.sources import _pdf_hash_2b
+
+    file_key = hashlib.sha256(b"kgspark-aes256-file-key").digest()
+    vsalt, ksalt = b"VALSALT!", b"KEYSALT!"
+    u = _pdf_hash_2b(user_pw, vsalt, b"") + vsalt + ksalt
+    ue = cbc_encrypt(
+        _pdf_hash_2b(user_pw, ksalt, b""), b"\x00" * 16, file_key, pad=False
+    )
+    ovs, oks = b"OVALSLT!", b"OKEYSLT!"
+    o = _pdf_hash_2b(owner_pw, ovs, u) + ovs + oks
+    oe = cbc_encrypt(
+        _pdf_hash_2b(owner_pw, oks, u), b"\x00" * 16, file_key, pad=False
+    )
+
+    out = [b"%PDF-2.0\n"]
+    objs = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    objs.append(
+        f"2 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> "
+        f"endobj\n".encode()
+    )
+    for i, text in enumerate(pages):
+        pid, cid = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            f"{pid} 0 obj << /Type /Page /Parent 2 0 R /Contents {cid} 0 R "
+            f"/MediaBox [0 0 612 792] >> endobj\n".encode()
+        )
+        esc = (
+            text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        )
+        stream = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
+        stream = zlib.compress(stream)
+        iv = hashlib.md5(b"aes256iv%d" % cid).digest()
+        stream = iv + cbc_encrypt(file_key, iv, stream)
+        objs.append(
+            f"{cid} 0 obj << /Filter /FlateDecode /Length {len(stream)} >> "
+            f"stream\n".encode()
+            + stream + b"\nendstream endobj\n"
+        )
+    enc_num = 3 + 2 * n_pages
+    objs.append(
+        f"{enc_num} 0 obj << /Filter /Standard /V 5 /R 6 /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF /P -44 "
+        f"/O <{o.hex()}> /U <{u.hex()}> "
+        f"/OE <{oe.hex()}> /UE <{ue.hex()}> >> endobj\n".encode()
+    )
+    trailer = (
+        f"trailer << /Root 1 0 R /Encrypt {enc_num} 0 R >>\n%%EOF\n".encode()
+    )
+    return b"".join(out + objs + [trailer])
+
+
+def test_aes_fips197_known_vectors():
+    """FIPS-197 Appendix C known-answer vectors, all three key sizes,
+    plus CBC mode roundtrip with PKCS#7 padding."""
+    from kgspark.aes import (
+        cbc_decrypt, cbc_encrypt, decrypt_block, encrypt_block,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vec = {
+        16: "69c4e0d86a7b0430d8cdb78070b4c55a",
+        24: "dda97ca4864cdfe06eaf70a0ec0d7191",
+        32: "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for klen, ct_hex in vec.items():
+        key = bytes(range(klen))
+        ct = encrypt_block(key, pt)
+        assert ct.hex() == ct_hex, klen
+        assert decrypt_block(key, ct) == pt
+    iv = bytes(range(16))
+    for msg in (b"", b"x", b"0123456789abcdef", b"a" * 33):
+        ct = cbc_encrypt(bytes(range(32)), iv, msg)
+        assert len(ct) % 16 == 0 and len(ct) > len(msg)
+        assert cbc_decrypt(bytes(range(32)), iv, ct) == msg
+
+
+def test_pdf_aesv2_encrypted_roundtrip():
+    data = make_encrypted_pdf(["Locked (AES-128) page", "Page two"],
+                              aes=True)
+    got = json.loads(read_pdf(data))
+    assert got == ["Locked (AES-128) page", "Page two"]
+
+
+def test_pdf_aesv3_encrypted_roundtrip():
+    data = make_aes256_pdf(["AES-256 (R6) page", "Second Über page"])
+    got = json.loads(read_pdf(data))
+    assert got == ["AES-256 (R6) page", "Second Über page"]
+
+
+def test_pdf_aes_password_required_is_gated():
+    import pytest
+
+    for data in (
+        make_encrypted_pdf(["hidden"], aes=True, user_pw=b"hunter2"),
+        make_aes256_pdf(["hidden"], user_pw=b"hunter2"),
+    ):
+        with pytest.raises(NotImplementedError, match="password"):
+            read_pdf(data)
 
 
 def test_rc4_known_vector():
