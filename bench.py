@@ -307,6 +307,21 @@ BENCH_QUERIES = [
     "kg_datatypes",
     "text_skeleton",
     "ann_matryoshka",
+    # late-session-4 ops that had missed this list
+    "multimodal_header_mix2",
+    "multimodal_video_meta",
+    "kg_copy_detect",
+    "kg_geo_near",
+    "corpus_kanon",
+    "corpus_bitext",
+    "web_mirrors",
+    "kg_taxo_reduction",
+    "kg_complex",
+    "kg_rotate",
+    "link_metablock",
+    "kg_bgp_values",
+    "kg_bgp_topk",
+    "text_zipf",
 ]
 
 
