@@ -2710,6 +2710,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["click", "error", "purchase", "signup", "view"],
         )
 
+    def rel_overlap(spark, sf_dir):
+        # interval x interval overlap join (kgspark/relops.py
+        # interval_overlap_join): event-derived session intervals vs
+        # longer campaign intervals on the bounded user-key space; the
+        # oracle is the lossless brute-force theta join
+        from kgspark.relops import interval_overlap_join
+
+        ev = _read(spark, sf_dir, "events")
+        k = (F.col("user_id") % 20).cast("string").alias("key")
+        left = ev.where(F.col("event_id") % 5 == 0).select(
+            k, F.col("event_id").alias("lid"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        )
+        right = ev.where(F.col("event_id") % 7 == 0).select(
+            k, F.col("event_id").alias("rid"),
+            F.col("ts").alias("r_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("r_end"),
+        )
+        return interval_overlap_join(
+            left, right, ["key"], bucket_secs=3600
+        ).select("key", "lid", "rid")
+
     def rel_islands(spark, sf_dir):
         # gaps-and-islands activity streaks per user (kgspark/relops.py
         # activity_islands) — distinct days first, lag-flag window second
@@ -6218,6 +6241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topo": kg_topo,
         "rel_cube": rel_cube,
         "rel_pivot": rel_pivot,
+        "rel_overlap": rel_overlap,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -12158,6 +12182,23 @@ UNION ALL SELECT n, 3 FROM l3
 UNION ALL SELECT n, 4 FROM l4
 UNION ALL SELECT n, 5 FROM l5
 UNION ALL SELECT n, -1 FROM tp_n WHERE n NOT IN (SELECT n FROM s5)
+""",
+        # kgspark.relops.interval_overlap_join: brute-force theta-join
+        # oracle proves the bucketed join is lossless AND emit-once
+        "rel_overlap": """
+WITH ol AS (
+  SELECT (user_id % 20)::VARCHAR AS key, event_id AS lid,
+         ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_id % 5 = 0
+),
+orr AS (
+  SELECT (user_id % 20)::VARCHAR AS key, event_id AS rid,
+         ts AS s, ts + INTERVAL 2 HOUR AS e
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT l.key, l.lid, r.rid
+FROM ol l JOIN orr r
+  ON l.key = r.key AND l.s < r.e AND r.s < l.e
 """,
         # kgspark.relops.cube_census: GROUP BY CUBE + GROUPING mask,
         # per-row floor(x*100+0.5) cents before the sum

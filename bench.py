@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "kg_bgp_values",
     "kg_bgp_topk",
     "text_zipf",
+    "rel_overlap",
 ]
 
 

@@ -1018,3 +1018,60 @@ def pivot_table(
         for v in values
     ]
     return df.groupBy(row_col).agg(*aggs)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (same key, half-open [s, e)):
+    every (left, right) pair with l_start < r_end AND r_start < l_end —
+    the temporal-join primitive behind downtime-vs-deploy overlap,
+    session-vs-campaign attribution and interval conflict detection.
+    Complements range_join (point-in-interval) one rung up.
+
+    Plan shape (100 TB posture): both sides explode to the epoch buckets
+    they span and equi-join on (key, bucket) — candidates are local to a
+    bucket, never |L| x |R|. A pair overlapping several buckets would
+    match in each, so the join keeps only the bucket containing
+    greatest(l_start, r_start) — the overlap's first instant, which both
+    intervals span by definition — emitting every pair EXACTLY once with
+    no distinct pass (dedup-by-construction, the same trick as
+    kgspark.geo grid pairing). The exact predicate then verifies.
+    Size bucket_secs near the typical interval length.
+
+    Right-side start/end column names must differ from the left's
+    (pre-alias them); key columns are shared join names.
+    """
+
+    def ebucket(c):
+        return F.floor(F.unix_timestamp(c) / F.lit(bucket_secs))
+
+    lv = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(ebucket(F.col(l_start)), ebucket(F.col(l_end)))
+        ),
+    )
+    rv = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(ebucket(F.col(r_start)), ebucket(F.col(r_end)))
+        ),
+    )
+    joined = lv.join(rv, [*key_cols, "__bucket"])
+    ov_start = F.greatest(F.col(l_start), F.col(r_start))
+    return (
+        joined.where(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("__bucket") == ebucket(ov_start))
+        )
+        .drop("__bucket")
+    )

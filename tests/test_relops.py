@@ -361,3 +361,44 @@ def test_pivot_table_counts_and_cents(spark):
              for r in pivot_table(df, "u", "t", ["click", "buy"],
                                   value_col="v").collect()}
     assert cents == {"u1": (350, 1000), "u2": (0, 300)}
+
+
+def test_interval_overlap_join_exact_once(spark):
+    from kgspark.relops import interval_overlap_join
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [("k", 1, ts(0), ts(300)),      # spans many buckets
+         ("k", 2, ts(600), ts(660)),
+         ("k", 3, ts(1000), ts(1010))],
+        "key string, lid long, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, ts(250), ts(650)),   # overlaps 1 AND 2
+         ("k", 11, ts(660), ts(700)),   # touches 2 at its end: NO (half-open)
+         ("x", 12, ts(0), ts(2000))],   # different key: NO
+        "key string, rid long, r_start timestamp, r_end timestamp",
+    )
+    out = interval_overlap_join(left, right, ["key"], bucket_secs=3600)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    assert got == [(1, 10), (2, 10)]  # each pair exactly once
+    # brute-force parity on a denser fixture
+    import itertools
+    ls = [("k", i, ts(7 * i), ts(7 * i + 20)) for i in range(40)]
+    rs = [("k", 100 + j, ts(13 * j), ts(13 * j + 9)) for j in range(40)]
+    L = spark.createDataFrame(
+        ls, "key string, lid long, start timestamp, end timestamp")
+    R = spark.createDataFrame(
+        rs, "key string, rid long, r_start timestamp, r_end timestamp")
+    got2 = sorted((r.lid, r.rid) for r in interval_overlap_join(
+        L, R, ["key"], bucket_secs=600).collect())
+    want = sorted(
+        (l[1], r[1]) for l, r in itertools.product(ls, rs)
+        if l[2] < r[3] and r[2] < l[3]
+    )
+    assert got2 == want and len(want) > 50
