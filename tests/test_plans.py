@@ -824,3 +824,79 @@ def test_mirror_hosts_sketch_windowlimit_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_session5_ops_no_cartesian_no_python(spark):
+    """Session-5 ops stay JVM-side with hash joins only: Katz frontier,
+    topo peel, recrawl lag window, skeleton census, overlap join,
+    datatype profile, NB feature lift."""
+    import datetime as dt
+
+    from kgspark.graph_algs import katz_centrality, topo_levels
+    from kgspark.nb import top_features, train_nb
+    from kgspark.relops import interval_overlap_join
+    from kgspark.schema_induce import datatype_profile
+    from kgspark.textstats import skeleton_census
+    from kgspark.web import recrawl_priority
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    t0 = dt.datetime(2026, 1, 1)
+    snaps = spark.createDataFrame(
+        [("u", t0, "h1"), ("u", t0 + dt.timedelta(1), "h2")],
+        "url string, ts timestamp, chash string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b 42", "s")], "doc_id long, text string, label string"
+    )
+    trip = spark.createDataFrame(
+        [("x", "p", "1")], "subj string, pred string, obj string"
+    )
+    iv = spark.createDataFrame(
+        [("k", 1, t0, t0 + dt.timedelta(hours=1))],
+        "key string, lid long, start timestamp, end timestamp",
+    )
+    rv = spark.createDataFrame(
+        [("k", 2, t0, t0 + dt.timedelta(hours=2))],
+        "key string, rid long, r_start timestamp, r_end timestamp",
+    )
+    classes, counts = train_nb(docs)
+    for df in (
+        katz_centrality(e, rounds=2),
+        topo_levels(e, max_rounds=3),
+        recrawl_priority(snaps),
+        skeleton_census(docs.select("doc_id", "text")),
+        interval_overlap_join(iv, rv, ["key"]),
+        datatype_profile(trip),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "BatchEvalPython" not in p and "PythonUDF" not in p, p
+    # top_features carries ONE 1-row broadcast (the grand token total)
+    # — a BroadcastNestedLoopJoin against a single row is the intended
+    # plan, same as the bgp existence guards; everything else is hash
+    p = plan(top_features(classes, counts, k=3))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p, p
+    assert "WindowGroupLimit" in p, p  # per-class top-k is map-capped
+
+
+def test_cube_is_one_expand_pass_and_pivot_is_joinless(spark):
+    """cube_census compiles to a single Expand feeding one partially
+    aggregated exchange; pivot_table is one hash aggregate with NO join
+    and NO Expand."""
+    from kgspark.relops import cube_census, pivot_table
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("b", "y", 2.0)],
+        "d1 string, d2 string, v double",
+    )
+    pc = plan(cube_census(df, ["d1", "d2"], "v"))
+    assert pc.count("Expand") >= 1
+    assert "Join" not in pc
+    pp = plan(pivot_table(df, "d1", "d2", ["x", "y"], value_col="v"))
+    assert "Expand" not in pp and "Join" not in pp
+    assert "HashAggregate" in pp
