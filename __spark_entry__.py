@@ -2458,6 +2458,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf_dir, "documents")
         return bm25_topk(docs, ["hash", "join", "vector"], top_k=20)
 
+    def text_ql(spark, sf_dir):
+        # Dirichlet query-likelihood top-20 for the same fixed query as
+        # text_bm25 — the LM-retrieval leg (kgspark/search.py ql_topk);
+        # unmatched terms contribute smoothing mass, integer micro-nats
+        from kgspark.search import ql_topk
+
+        docs = _read(spark, sf_dir, "documents")
+        return ql_topk(docs, ["hash", "join", "vector"], mu=2000.0,
+                       top_k=20)
+
     def corpus_dsir(spark, sf_dir):
         # DSIR importance weights: target = src0/src1 docs, raw = rest;
         # hashed unigram+bigram buckets (kgspark/dsir.py)
@@ -6242,6 +6252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": rel_cube,
         "rel_pivot": rel_pivot,
         "rel_overlap": rel_overlap,
+        "text_ql": text_ql,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -8221,6 +8232,41 @@ FROM vs_c GROUP BY source
         # idf), per-(doc, term) contribution quantized to integer
         # micro-units BEFORE the per-doc sum; expression trees mirror the
         # Spark side exactly (all-DOUBLE, same association)
+        # kgspark.search.ql_topk: Dirichlet-smoothed LM retrieval;
+        # corpus-absent terms drop out (no cf row), unmatched terms get
+        # tf=0 smoothing mass, micro-nat rounding per term
+        "text_ql": r"""
+WITH ql_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+ql_len AS (SELECT sum(len(ts)) AS c_len FROM ql_t),
+ql_dl AS (SELECT doc_id, len(ts) AS dl FROM ql_t),
+ql_s AS (
+  SELECT doc_id, unnest(ts) AS token FROM ql_t
+),
+ql_f AS (SELECT * FROM ql_s WHERE token IN ('hash', 'join', 'vector')),
+ql_tf AS (SELECT doc_id, token, count(*) AS tf FROM ql_f GROUP BY 1, 2),
+ql_cf AS (SELECT token, count(*) AS cf FROM ql_f GROUP BY 1),
+ql_c AS (
+  SELECT d.doc_id,
+    round(
+      ln((CAST(coalesce(t.tf, 0) AS DOUBLE)
+          + 2000.0::DOUBLE
+            * (CAST(c.cf AS DOUBLE) / CAST(l.c_len AS DOUBLE)))
+         / (CAST(d.dl AS DOUBLE) + 2000.0::DOUBLE))
+      * 1000000.0::DOUBLE, 0)::BIGINT AS c,
+    CASE WHEN t.tf IS NULL THEN 0 ELSE 1 END AS hit
+  FROM ql_dl d
+  CROSS JOIN ql_cf c CROSS JOIN ql_len l
+  LEFT JOIN ql_tf t ON t.doc_id = d.doc_id AND t.token = c.token
+)
+SELECT doc_id, sum(c)::BIGINT AS score_unats,
+       sum(hit)::BIGINT AS n_hit_terms
+FROM ql_c GROUP BY doc_id
+ORDER BY score_unats DESC, doc_id ASC LIMIT 20
+""",
         "text_bm25": r"""
 WITH bm_t AS (
   SELECT doc_id,

@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "kg_bgp_topk",
     "text_zipf",
     "rel_overlap",
+    "text_ql",
 ]
 
 

@@ -221,3 +221,77 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+def ql_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    mu: float = 2000.0,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k under the Dirichlet-smoothed query-likelihood model (Zhai &
+    Lafferty 2001): score(d) = Σ_t ln((tf(t,d) + μ·P(t|C)) / (|d| + μ)),
+    P(t|C) = cf(t)/|C| — the language-modeling counterpart to
+    :func:`bm25_topk`, and the second leg a ranking-fusion pipeline
+    (rrf_fuse) usually wants. Unlike BM25, UNMATCHED query terms still
+    contribute (the smoothing mass depends on document length), so every
+    document scores against every term — which is why the per-term stats
+    ride a |terms|-row broadcast, never a join keyed on the corpus.
+
+    Query terms absent from the corpus entirely (cf = 0) are dropped:
+    their contribution is ln(0) = -inf for every document alike, which
+    ranks nothing and poisons the arithmetic. Per-term contributions are
+    quantized to integer micro-nats before summation (the bm25/nb/lm
+    posture), so scores are exact longs. Returns (doc_id, score_unats,
+    n_hit_terms), order = score desc then id asc, LIMIT top_k.
+
+    Scale shape: one corpus pass for lengths + matched postings, a
+    broadcast term-stats table crossed onto the doc-length table
+    (map-side, |docs|·|terms| rows of integer math), one doc-keyed
+    partial-agg groupBy, and a TakeOrderedAndProject head.
+    """
+    if not query_terms:
+        raise ValueError("ql_topk: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = materialize(
+        docs.select(
+            F.col(id_col),
+            F.coalesce(
+                ws_tokens(F.col(text_col)),
+                F.expr("cast(array() as array<string>)"),
+            ).alias("__t"),
+        )
+    )
+    dl = toks.select(F.col(id_col), F.size("__t").alias("dl"))
+    stream = toks.select(
+        F.col(id_col), F.explode("__t").alias("token")
+    ).where(F.col("token").isin(list(terms)))
+    tf = stream.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cf = stream.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    c_len = toks.agg(F.sum(F.size("__t")).cast("long").alias("c_len"))
+    term_stats = F.broadcast(cf.crossJoin(F.broadcast(c_len)))
+
+    base = dl.crossJoin(term_stats).join(tf, [id_col, "token"], "left")
+    contrib = F.round(
+        F.log(
+            (F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+             + F.lit(float(mu))
+             * (F.col("cf").cast("double") / F.col("c_len").cast("double")))
+            / (F.col("dl").cast("double") + F.lit(float(mu)))
+        ) * F.lit(_QUANT), 0
+    ).cast("long")
+    scored = base.select(
+        F.col(id_col), contrib.alias("__c"),
+        F.col("tf").isNotNull().cast("long").alias("__hit"),
+    ).groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("score_unats"),
+        F.sum("__hit").cast("long").alias("n_hit_terms"),
+    )
+    return scored.orderBy(
+        F.col("score_unats").desc(), F.col(id_col).asc()
+    ).limit(top_k)

@@ -137,3 +137,31 @@ def test_phrase_search_adjacency_and_overlap(spark):
         phrase_search(df, ["two words"])
     with _pytest.raises(ValueError):
         phrase_search(df, [])
+
+
+def test_ql_topk_ranking_and_smoothing(spark):
+    from kgspark.search import ql_topk
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry cherry"),
+         (3, "durian durian durian")],
+        "doc_id long, text string",
+    )
+    out = ql_topk(docs, ["apple", "banana"], mu=10.0, top_k=3).collect()
+    ids = [r.doc_id for r in out]
+    # doc 1 has both terms, doc 2 one, doc 3 none — but doc 3 STILL
+    # scores (smoothing mass), ranked last
+    assert ids[0] == 1 and set(ids) == {1, 2, 3}
+    hits = {r.doc_id: r.n_hit_terms for r in out}
+    assert hits == {1: 2, 2: 1, 3: 0}
+    # exact micro-nat check for doc 3, term 'apple': cf=3, |C|=9, dl=3
+    # contribution = round(ln((0 + 10*(3/9)) / (3+10)) * 1e6)
+    c_apple = round(math.log((10.0 * (3.0 / 9.0)) / 13.0) * 1e6)
+    c_banana = round(math.log((10.0 * (1.0 / 9.0)) / 13.0) * 1e6)
+    d3 = [r for r in out if r.doc_id == 3][0]
+    assert d3.score_unats == c_apple + c_banana
+    # corpus-absent terms are dropped, not -inf
+    out2 = ql_topk(docs, ["apple", "zzz_unseen"], mu=10.0).collect()
+    assert [r.doc_id for r in out2][0] in (1, 2)
+    assert all(r.score_unats < 0 for r in out2)
