@@ -4756,6 +4756,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   ("count", None, "n")],
         )
 
+    def kg_bgp_seq(spark, sf_dir):
+        # SPARQL sequence property path (kgspark/graph_api.py _pred_rel
+        # '/' composition): ^has/is_a walks brand -> item -> type in
+        # one predicate term — two endpoint relations joined on the
+        # chain node
+        from kgspark.graph_api import bgp_match
+
+        return bgp_match(
+            _extract_triples(spark, sf_dir),
+            [("?b", "^has/is_a", "?t")],
+        )
+
     def kg_construct(spark, sf_dir):
         # SPARQL CONSTRUCT (kgspark/graph_api.py bgp_construct): rewrite
         # the (part is_a type, part has brand) wedge into a derived
@@ -6253,6 +6265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": rel_pivot,
         "rel_overlap": rel_overlap,
         "text_ql": text_ql,
+        "kg_bgp_seq": kg_bgp_seq,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -12128,6 +12141,14 @@ be_f AS (
 SELECT DISTINCT b.x, b.v FROM be_b b
 WHERE EXISTS (SELECT 1 FROM be_t t WHERE t.x = b.x AND t.t <> 't0')
   AND NOT EXISTS (SELECT 1 FROM be_f f WHERE f.x = b.x)
+""",
+        # kgspark.graph_api sequence path ^has/is_a: inverted has joined
+        # with is_a on the chain node
+        "kg_bgp_seq": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT DISTINCT h.obj AS b, i.obj AS t
+FROM triples h JOIN triples i ON i.subj = h.subj
+WHERE h.pred = 'has' AND i.pred = 'is_a'
 """,
         # kgspark.graph_api.bgp_ask: EXISTS verdicts as 0/1 rows
         "kg_ask": f"""

@@ -324,6 +324,7 @@ BENCH_QUERIES = [
     "text_zipf",
     "rel_overlap",
     "text_ql",
+    "kg_bgp_seq",
 ]
 
 

@@ -71,6 +71,47 @@ def _pred_rel(
     """
     if _is_var(p_t):
         return triples, True
+    if "/" in p_t:
+        # SPARQL sequence path a/b/...: compose segment endpoint
+        # relations left-to-right with joins on the chain variable.
+        # Constant-endpoint seeding propagates into the outermost
+        # segments only (the inner frontier is already bounded by the
+        # composition joins); variables cannot appear inside a path.
+        segs = [s for s in p_t.split("/") if s]
+        if len(segs) < 2:
+            raise ValueError(f"bgp_match: bad sequence path {p_t!r}")
+        rel = None
+        for i, seg in enumerate(segs):
+            if _is_var(seg):
+                raise ValueError(
+                    f"bgp_match: variable segment in sequence path {p_t!r}"
+                )
+            df, has_pred = _pred_rel(
+                triples, seg, subj, pred, obj, max_path_hops,
+                s_const=s_const if i == 0 else None,
+                o_const=o_const if i == len(segs) - 1 else None,
+            )
+            step = df.select(
+                F.col(subj).alias("s"), F.col(obj).alias("o")
+            ).distinct()
+            if rel is None:
+                rel = step
+            else:
+                rel = (
+                    rel.join(
+                        step.select(
+                            F.col("s").alias("o"),
+                            F.col("o").alias("__o2"),
+                        ),
+                        "o",
+                    )
+                    .select("s", F.col("__o2").alias("o"))
+                    .distinct()
+                )
+        return (
+            rel.select(F.col("s").alias(subj), F.col("o").alias(obj)),
+            False,
+        )
     m = _PATH_RE.match(p_t)
     if not m:
         raise ValueError(f"bgp_match: cannot parse predicate term {p_t!r}")
@@ -271,9 +312,13 @@ def bgp_match(
 
     Predicate terms additionally support a SPARQL 1.1 property-path subset:
     ``^p`` (inverse), ``a|b`` (alternation), ``p+`` (1..max_path_hops-hop
-    path), ``p*`` (0..max_path_hops), ``p?`` (0..1) and ``p{m,n}``
-    (m..n-hop path, m may be 0) — see ``_pred_rel`` for the
-    bounded-closure posture and zero-length-path semantics.
+    path), ``p*`` (0..max_path_hops), ``p?`` (0..1), ``p{m,n}``
+    (m..n-hop path, m may be 0) and ``a/b`` sequences of any of these —
+    see ``_pred_rel`` for the bounded-closure posture and
+    zero-length-path semantics. One precedence deviation from the SPARQL
+    grammar (which has no parentheses here to disambiguate): ``/`` binds
+    LOOSEST, so ``a|b/c`` means ``(a|b)/c`` — alternation applies within
+    a segment.
 
     Plan shape (the 100 TB posture): every pattern compiles to a constant
     filter + projection over the SAME triples scan — predicate constants

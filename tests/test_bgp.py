@@ -678,3 +678,23 @@ def test_bgp_group_concat(spark):
                      ("group_concat_distinct", "?v", "set_")],
            ).collect()}
     assert got == {"a": ("m;z;z", "m;z"), "b": ("k", "k")}
+
+
+def test_sequence_path(hier):
+    # ^has/is_a : brand -> item -> its type
+    out = bgp_match(hier, [("?b", "^has/is_a", "?t")])
+    assert {(r["b"], r["t"]) for r in out.collect()} == {
+        ("B1", "T1"), ("B2", "T1")
+    }
+    # sequence with a closure segment: item -> type -> ... -> root
+    out2 = bgp_match(hier, [("?x", "is_a/is_a+", "root")],
+                     max_path_hops=4)
+    assert {r["x"] for r in out2.collect()} == {"a", "b", "T1"}
+    # zero-length segment composes: is_a/is_a{0,1} includes 1-hop-only
+    out3 = bgp_match(hier, [("a", "is_a/is_a{0,1}", "?y")])
+    assert {r["y"] for r in out3.collect()} == {"T1", "T0"}
+
+
+def test_sequence_path_validation(hier):
+    with pytest.raises(ValueError, match="sequence"):
+        bgp_match(hier, [("?x", "is_a/?v", "?y")])
