@@ -1628,6 +1628,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned, centers = ivf_fit_assign(emb, nlist=8)
         return ivf_topk(assigned, centers, _queries_df(spark, sf_dir), k=5, nprobe=8)
 
+    def ann_knn_graph(spark, sf_dir):
+        # exact k-NN graph over a bounded 200-vector calibration sample
+        # (kgspark/similarity.py knn_graph exact=True; the banded-LSH
+        # self-join is the scale path, recall-tested in pytest)
+        from kgspark.similarity import knn_graph
+
+        emb = _read(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < 200
+        )
+        return knn_graph(emb, k=5, exact=True)
+
     def ann_matryoshka(spark, sf_dir):
         # dimension-budget recall report (kgspark/similarity.py
         # dim_truncation_report): exact top-5 on the 8/16/64-prefix vs
@@ -6266,6 +6277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_overlap": rel_overlap,
         "text_ql": text_ql,
         "kg_bgp_seq": kg_bgp_seq,
+        "ann_knn_graph": ann_knn_graph,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -7013,6 +7025,22 @@ SELECT query_id, vec_id, cos, rank FROM (
   SELECT query_id, vec_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
   FROM scored
+) WHERE rank <= 5
+""",
+        # kgspark.similarity.knn_graph exact=True on the bounded sample:
+        # brute-force per-node top-5
+        "ann_knn_graph": f"""
+WITH kn AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+kn_s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM kn a CROSS JOIN kn b WHERE a.vec_id <> b.vec_id
+)
+SELECT src, dst, cos, rank FROM (
+  SELECT src, dst, cos,
+         row_number() OVER (
+           PARTITION BY src ORDER BY cos DESC, dst ASC)::BIGINT AS rank
+  FROM kn_s
 ) WHERE rank <= 5
 """,
         # kgspark.similarity.dim_truncation_report: per-prefix-dim exact

@@ -325,6 +325,7 @@ BENCH_QUERIES = [
     "rel_overlap",
     "text_ql",
     "kg_bgp_seq",
+    "ann_knn_graph",
 ]
 
 

@@ -537,3 +537,77 @@ def dim_truncation_report(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    bands: int = 8,
+    band_bits: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = False,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the corpus: per vector, its top-k
+    most cosine-similar peers as (src, dst, cos, rank) edges — the
+    substrate for graph-based semantic dedup (SemDeDup-style cluster
+    pruning), label propagation over embeddings, and kNN-graph ANN
+    indexes. Differs from cosine_topk (bounded external query set) in
+    that EVERY corpus vector is a query.
+
+    Default (scale path): candidates come from the banded sign-LSH
+    self-join — explode each vector's band values, equi-join on
+    (band, value), dedup pairs — so candidate volume tracks near-pair
+    density, never n²; recall < 1 by design (more bands/fewer bits raise
+    it). ``exact=True`` scores ALL pairs: a deliberate O(n²) cross join
+    reserved for bounded calibration samples (the dedup_recall posture —
+    the bound belongs in the caller's filter and is the caller's
+    contract), where it doubles as the LSH path's recall oracle.
+
+    Per-node top-k is a WindowGroupLimit: capped map-side before the
+    final per-node sort.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("e"),
+        l2_norm(F.col(emb_col)).alias("nrm"),
+    )
+    if exact:
+        right = base.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+        j = base.crossJoin(right).where(
+            F.col("vec_id") != F.col("query_id")
+        )
+    else:
+        lhs = base.select(
+            "vec_id", "e", "nrm",
+            F.posexplode(
+                banded_sign_values(F.col("e"), bands, band_bits)
+            ).alias("band", "val"),
+        )
+        rhs = lhs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "band", "val",
+        )
+        j = (
+            lhs.join(rhs, ["band", "val"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "vec_id"])
+        )
+    scored = j.select(
+        "query_id", "vec_id",
+        F.round(
+            cosine_cols(F.col("e"), F.col("qemb"),
+                        na=F.col("nrm"), nb=F.col("qnrm")), 6
+        ).alias("cos"),
+    )
+    return _topk_per_query(scored, k).select(
+        F.col("query_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        "cos", F.col("rank").cast("long").alias("rank"),
+    )

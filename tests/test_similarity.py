@@ -189,3 +189,28 @@ def test_dim_truncation_report_full_dim_is_perfect(spark):
     assert rep[4].n_truth == 6 and rep[4].hits == 6
     assert 0 <= rep[2].recall_ppm <= 1_000_000
     assert rep[2].hits <= rep[2].n_truth
+
+
+def test_knn_graph_exact_and_lsh_recall(spark):
+    from kgspark.similarity import knn_graph
+
+    rows = [(i, [float((i >> b) & 1) * 2 - 1 for b in range(16)])
+            for i in range(32)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = knn_graph(emb, k=3, exact=True)
+    got = exact.collect()
+    # every node has exactly 3 ranked neighbors, no self edges
+    per = {}
+    for r in got:
+        assert r.src != r.dst
+        per.setdefault(r.src, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
+    assert len(per) == 32
+    # LSH path: same schema, recall vs exact is substantial on this
+    # clustered fixture
+    approx = {(r.src, r.dst)
+              for r in knn_graph(emb, k=3, bands=8, band_bits=4).collect()}
+    truth = {(r.src, r.dst) for r in got}
+    assert len(approx & truth) / len(truth) >= 0.5
+    plan = knn_graph(emb, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
