@@ -75,3 +75,42 @@ def materialize(df: DataFrame) -> DataFrame:
     if sc._jsc.sc().getCheckpointDir().isDefined():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def plan_features(df: DataFrame) -> dict:
+    """Count the scale-relevant features of a DataFrame's physical plan —
+    the quick 'is this the plan I want?' probe behind the repo's
+    plan-shape gates (tests/test_plans.py), exposed for users tuning
+    their own queries before pointing them at 100 TB.
+
+    Returns a dict of counters over the executed-plan string:
+      exchanges            shuffles (each is a full network pass)
+      broadcast_joins      BroadcastHashJoin (small side shipped)
+      sortmerge_joins      SortMergeJoin (both sides shuffled+sorted)
+      nested_loop_joins    BroadcastNestedLoopJoin (fine vs 1-row
+                           scalars, a red flag vs anything larger)
+      cartesian            CartesianProduct (almost always a bug)
+      python_evals         Batch/ArrowEvalPython (rows crossing into
+                           Python workers — keep out of hot paths)
+      codegen_spans        WholeStageCodegen regions (bigger spans =
+                           more of the plan fused into JVM loops);
+                           under AQE this is 0 until the plan has
+                           actually executed — run the query first if
+                           you want codegen visibility
+      pushed_filter_scans  scans that report pushed-down filters
+
+    Driver-side string inspection only — it triggers planning, not
+    execution.
+    """
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": p.count("Exchange"),
+        "broadcast_joins": p.count("BroadcastHashJoin"),
+        "sortmerge_joins": p.count("SortMergeJoin"),
+        "nested_loop_joins": p.count("BroadcastNestedLoopJoin"),
+        "cartesian": p.count("CartesianProduct"),
+        "python_evals": p.count("BatchEvalPython")
+        + p.count("ArrowEvalPython"),
+        "codegen_spans": p.count("*("),
+        "pushed_filter_scans": p.count("PushedFilters: ["),
+    }

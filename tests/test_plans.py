@@ -900,3 +900,20 @@ def test_cube_is_one_expand_pass_and_pivot_is_joinless(spark):
     pp = plan(pivot_table(df, "d1", "d2", ["x", "y"], value_col="v"))
     assert "Expand" not in pp and "Join" not in pp
     assert "HashAggregate" in pp
+
+
+def test_plan_features_counts(spark):
+    from kgspark.session import plan_features
+
+    a = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    b = spark.range(0, 10).selectExpr("id AS k", "id * 3 AS w")
+    f = plan_features(a.join(b, "k"))
+    assert f["broadcast_joins"] == 1 and f["cartesian"] == 0
+    assert f["python_evals"] == 0
+    assert f["codegen_spans"] == 0  # AQE: spans appear only post-execution
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    g = plan_features(ev.groupBy("event_type").count())
+    assert g["exchanges"] >= 1
+    assert g["pushed_filter_scans"] >= 0  # counter present
+    c = plan_features(a.crossJoin(b.select(F.col("k").alias("k2"))))
+    assert c["cartesian"] + c["nested_loop_joins"] >= 1
