@@ -4684,6 +4684,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?x", "!is_a|related_to|has_instance", "?y")],
         )
 
+    def kg_bgp_having(spark, sf_dir):
+        # SPARQL HAVING (kgspark/graph_api.py bgp_aggregate having=):
+        # per-type brand census restricted to types with >= 2 distinct
+        # brands and a minimum solution count
+        from kgspark.graph_api import bgp_aggregate
+
+        return bgp_aggregate(
+            _extract_triples(spark, sf_dir),
+            [("?p", "is_a", "?t"), ("?p", "has", "?b")],
+            group_by=["?t"],
+            aggs=[("count", None, "n"),
+                  ("count_distinct", "?b", "n_brands")],
+            having=[("n_brands", ">=", 2), ("n", ">", 1)],
+        )
+
     def kg_bgp_exists(spark, sf_dir):
         # SPARQL FILTER EXISTS / NOT EXISTS (kgspark/graph_api.py
         # bgp_filter_exists): keep (?x p ?v) solutions whose entity has
@@ -6278,6 +6293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ql": text_ql,
         "kg_bgp_seq": kg_bgp_seq,
         "ann_knn_graph": ann_knn_graph,
+        "kg_bgp_having": kg_bgp_having,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -12169,6 +12185,15 @@ be_f AS (
 SELECT DISTINCT b.x, b.v FROM be_b b
 WHERE EXISTS (SELECT 1 FROM be_t t WHERE t.x = b.x AND t.t <> 't0')
   AND NOT EXISTS (SELECT 1 FROM be_f f WHERE f.x = b.x)
+""",
+        # kgspark.graph_api.bgp_aggregate having=: HAVING over the bag
+        "kg_bgp_having": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT i.obj AS t, count(*)::BIGINT AS n,
+       count(DISTINCT h.obj)::BIGINT AS n_brands
+FROM triples i JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
+WHERE i.pred = 'is_a' GROUP BY 1
+HAVING count(DISTINCT h.obj) >= 2 AND count(*) > 1
 """,
         # kgspark.graph_api sequence path ^has/is_a: inverted has joined
         # with is_a on the chain node

@@ -1007,6 +1007,7 @@ def bgp_aggregate(
     patterns: Sequence[tuple[str, str, str]],
     group_by: Sequence[str],
     aggs: Sequence[tuple[str, str | None, str]],
+    having: Sequence[tuple[str, str, object]] = (),
     **kwargs,
 ) -> DataFrame:
     """SPARQL GROUP BY + aggregates over the BGP engine.
@@ -1015,7 +1016,9 @@ def bgp_aggregate(
     alias) with op in count / count_distinct / min / max / sum /
     group_concat / group_concat_distinct (count ignores var — SPARQL's
     COUNT(*); the group_concats sort their elements and join with ';',
-    since an order-of-arrival concat is nondeterministic distributed). Aggregation runs over the BAG of
+    since an order-of-arrival concat is nondeterministic distributed).
+    ``having``: (agg_alias, op, literal) predicates over the aggregated
+    columns — SPARQL HAVING; op shares the FILTER operator set. Aggregation runs over the BAG of
     solutions (SPARQL 1.1 §11: the solution multiset feeds GROUP BY), so
     the underlying match uses ``distinct=False`` — a COUNT over
     set-deduplicated bindings would be a different (wrong) answer.
@@ -1040,4 +1043,17 @@ def bgp_aggregate(
         if op in ("count", "count_distinct", "sum"):
             col = col.cast("long")
         exprs.append(col.alias(alias))
-    return b.groupBy(*[g[1:] for g in group_by]).agg(*exprs)
+    out = b.groupBy(*[g[1:] for g in group_by]).agg(*exprs)
+    # SPARQL HAVING: each (agg_alias, op, literal) filters the grouped
+    # rows — a plain predicate after the aggregate, so Catalyst keeps
+    # it in the same stage as the final agg (no extra shuffle)
+    aliases = {alias for _, _, alias in aggs}
+    for lhs, op, rhs in having:
+        if op not in _FILTER_OPS:
+            raise ValueError(f"bgp_aggregate: unknown having op {op!r}")
+        if lhs not in aliases:
+            raise ValueError(
+                f"bgp_aggregate: having references unknown alias {lhs!r}"
+            )
+        out = out.where(_FILTER_OPS[op](F.col(lhs), F.lit(rhs)))
+    return out

@@ -698,3 +698,23 @@ def test_sequence_path(hier):
 def test_sequence_path_validation(hier):
     with pytest.raises(ValueError, match="sequence"):
         bgp_match(hier, [("?x", "is_a/?v", "?y")])
+
+
+def test_bgp_aggregate_having(spark):
+    from kgspark.graph_api import bgp_aggregate
+
+    t = spark.createDataFrame(
+        [("a", "has", "x"), ("a", "has", "y"), ("a", "has", "z"),
+         ("b", "has", "x"), ("c", "has", "x"), ("c", "has", "y")],
+        "subj string, pred string, obj string",
+    )
+    got = {r.s: r.n for r in bgp_aggregate(
+        t, [("?s", "has", "?v")], group_by=["?s"],
+        aggs=[("count", None, "n")],
+        having=[("n", ">=", 2)],
+    ).collect()}
+    assert got == {"a": 3, "c": 2}
+    with pytest.raises(ValueError, match="unknown alias"):
+        bgp_aggregate(t, [("?s", "has", "?v")], group_by=["?s"],
+                      aggs=[("count", None, "n")],
+                      having=[("zzz", ">=", 2)])
