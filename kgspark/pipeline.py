@@ -278,3 +278,24 @@ def build_kg(
 
     out["nodes"] = run_stage(spark, manifest, "nodes", fingerprint, build_nodes)
     return out
+
+
+def build_kg_from_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    run_dir: str,
+    glob: str = "*.warc*",
+    **kwargs,
+) -> dict[str, DataFrame]:
+    """Common-Crawl-style front door: WARC dump -> full KG build. Thin
+    composition of kgspark.warc.warc_pages (200-status text/html
+    responses shaped to the pages schema) and :func:`build_kg` — exactly
+    the ingestion path the north star describes, with the same
+    checkpoint-manifest resume semantics. All build_kg kwargs pass
+    through (k_topics, similarity_threshold, fingerprint, with_topics).
+    """
+    from kgspark.warc import warc_pages
+
+    return build_kg(
+        spark, warc_pages(spark, warc_dir, glob), run_dir, **kwargs
+    )

@@ -20,6 +20,7 @@ gzip members), which is exactly the parallel unit this layout uses.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 WARC_FIELDS = (
     "path string, record_no long, warc_type string, target_uri string, "
@@ -174,3 +175,29 @@ def warc_records(
             )
 
     return raw.mapInPandas(parse, WARC_FIELDS)
+
+
+def warc_pages(
+    spark: SparkSession, input_dir: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """WARC -> pages-table bridge: the Common-Crawl-style ingestion front
+    door the north star names. Keeps only clean 200-status text/html
+    response records and shapes them to kgspark.io_tables.PAGES_SCHEMA
+    (url, warc_ts, html, text, lang) so the output feeds
+    kgspark.pipeline.build_kg unchanged — text/lang stay NULL for the
+    pipeline's own extractor/tagger to fill. Map-only over the record
+    scan; the per-record error column never propagates (bad records are
+    dropped here, visible upstream via warc_records)."""
+    recs = warc_records(spark, input_dir, glob)
+    return recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+        & F.col("error").isNull()
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

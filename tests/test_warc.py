@@ -90,3 +90,28 @@ def test_warc_records_distributed_scan(spark, tmp_path):
     errs = [r for r in out if r["error"]]
     assert len(errs) == 1 and "bad version line" in errs[0]["error"]
     assert len(out) == 4
+
+
+def test_build_kg_from_warc_end_to_end(spark, tmp_path):
+    """WARC dump -> pages bridge -> full KG build: response records become
+    documents, triples extract, non-html/non-200 records are dropped."""
+    from kgspark.pipeline import build_kg_from_warc
+    from kgspark.synth import pages_df
+
+    pages = pages_df(spark, 6, seed=7).collect()
+    members = []
+    for i, p in enumerate(pages):
+        members.append(_record(p["url"], bytes(p["html"])))
+    # noise records the bridge must drop
+    members.append(_record("http://x/404", b"<html>gone</html>", status=404))
+    members.append(_record("http://x/bin", b"\x00\x01", rtype="resource",
+                           http=False))
+    (tmp_path / "crawl.warc").write_bytes(b"".join(members))
+
+    out = build_kg_from_warc(
+        spark, str(tmp_path), str(tmp_path / "run"), with_topics=False
+    )
+    docs = out["documents"].collect()
+    assert len(docs) == 6  # 404 + non-response dropped
+    assert {d["filename"] for d in docs} == {p["url"] for p in pages}
+    assert out["triples"].count() > 0
