@@ -999,6 +999,14 @@ _BGP_AGGS = {
     "group_concat_distinct": lambda v: F.array_join(
         F.sort_array(F.collect_set(F.col(v))), ";"
     ),
+    # SPARQL AVG in exact integer ppm: (sum·1e6) div count — fp64 AVG
+    # would be summation-order-dependent across partitions
+    "avg_ppm": lambda v: F.expr(
+        f"(sum(cast(`{v}` as bigint)) * 1000000) div count(`{v}`)"
+    ),
+    # SPARQL SAMPLE pinned to min: 'any value' is nondeterministic
+    # distributed, the minimum is the same value on every engine
+    "sample": lambda v: F.min(F.col(v)),
 }
 
 
@@ -1014,7 +1022,9 @@ def bgp_aggregate(
 
     ``group_by``: variables (``?x``) to group on; ``aggs``: (op, var,
     alias) with op in count / count_distinct / min / max / sum /
-    group_concat / group_concat_distinct (count ignores var — SPARQL's
+    avg_ppm (exact-integer SPARQL AVG, scaled 1e6) / sample (pinned to
+    min — deterministic) / group_concat / group_concat_distinct (count
+    ignores var — SPARQL's
     COUNT(*); the group_concats sort their elements and join with ';',
     since an order-of-arrival concat is nondeterministic distributed).
     ``having``: (agg_alias, op, literal) predicates over the aggregated

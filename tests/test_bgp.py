@@ -718,3 +718,19 @@ def test_bgp_aggregate_having(spark):
         bgp_aggregate(t, [("?s", "has", "?v")], group_by=["?s"],
                       aggs=[("count", None, "n")],
                       having=[("zzz", ">=", 2)])
+
+
+def test_bgp_aggregate_avg_ppm_and_sample(spark):
+    from kgspark.graph_api import bgp_aggregate
+
+    t = spark.createDataFrame(
+        [("a", "score", "10"), ("a", "score", "15"),
+         ("b", "score", "7")],
+        "subj string, pred string, obj string",
+    )
+    got = {r.s: (r.avg, r.pick) for r in bgp_aggregate(
+        t, [("?s", "score", "?v")], group_by=["?s"],
+        aggs=[("avg_ppm", "?v", "avg"), ("sample", "?v", "pick")],
+    ).collect()}
+    # (10+15)*1e6 div 2 = 12_500_000; sample = min = '10'
+    assert got == {"a": (12_500_000, "10"), "b": (7_000_000, "7")}
