@@ -2857,6 +2857,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), min_df=3
         )
 
+    def kg_acronyms(spark, sf_dir):
+        # Schwartz-Hearst-style acronym mining (kgspark/entities.py
+        # acronym_pairs): synthesized "Gen3 Corp2 (GC)" definitions on
+        # bounded id spaces; a third of the docs carry a mismatching
+        # "(QZ)" that the initial-letter rule must reject. The oracle
+        # reconstructs the expected pairs from the synthesis arithmetic
+        from kgspark.entities import acronym_pairs
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        w1 = F.concat(F.lit("Gen"), (d % 7).cast("string"))
+        w2 = F.concat(F.lit("Corp"), (d % 5).cast("string"))
+        acr = (
+            F.when(d % 3 == 0, F.lit("(QZ)"))
+            .when(d % 2 == 0, F.lit("(GC)"))
+            .otherwise(F.lit("(gc)"))
+        )
+        synth = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.lit("intro"), w1, w2, acr, F.lit("tail")
+            ).alias("text"),
+        )
+        return acronym_pairs(synth)
+
     def kg_datatypes(spark, sf_dir):
         # per-predicate literal datatype census (kgspark/
         # schema_induce.py datatype_profile): synthesized literal
@@ -6294,6 +6319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_seq": kg_bgp_seq,
         "ann_knn_graph": ann_knn_graph,
         "kg_bgp_having": kg_bgp_having,
+        "kg_acronyms": kg_acronyms,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -8817,6 +8843,17 @@ sc AS (SELECT skel_hash, count(*)::BIGINT AS skel_df FROM sk GROUP BY 1)
 SELECT sk.id, sk.skel_hash, sc.skel_df,
        sc.skel_df >= 3 AS is_template
 FROM sk JOIN sc USING (skel_hash)
+""",
+        # kgspark.entities.acronym_pairs: the oracle reconstructs the
+        # valid definitions from the synthesis arithmetic (initial
+        # letters g,c match GC/gc; QZ rows must vanish)
+        "kg_acronyms": """
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 'GC' ELSE 'gc' END AS acronym,
+       'Gen' || (doc_id % 7)::VARCHAR || ' '
+         || 'Corp' || (doc_id % 5)::VARCHAR AS long_form,
+       2::BIGINT AS n_words
+FROM documents WHERE doc_id % 3 <> 0
 """,
         # kgspark.schema_induce.datatype_profile: disjoint ASCII regex
         # classes in priority order, modal class w/ fixed tiebreak

@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "kg_bgp_seq",
     "ann_knn_graph",
     "kg_bgp_having",
+    "kg_acronyms",
 ]
 
 

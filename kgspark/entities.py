@@ -349,3 +349,70 @@ def entity_salience(
         F.col("first_pos").cast("long").alias("first_pos"),
         sal.alias("salience_micro"),
     )
+
+
+def acronym_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 6,
+) -> DataFrame:
+    """Acronym/long-form alias mining, the initial-letter subset of
+    Schwartz & Hearst ("A simple algorithm for identifying abbreviation
+    definitions", PSB 2003): a parenthesized 2..max_len-letter token
+    "(ABC)" defines the |ABC| words immediately before it iff each
+    word's initial matches the corresponding acronym letter
+    (case-insensitive). The discovered (acronym -> long form) pairs feed
+    the alias table the entity linker (extract_entities) matches on —
+    alias DISCOVERY where the gazetteer is alias CONSUMPTION. The full
+    Schwartz-Hearst inner-character alignment is deliberately out: the
+    initial-letter rule is the deterministic, engine-parity-exact core
+    that catches the dominant "Long Form (LF)" pattern.
+
+    Emits (id, acronym, long_form, n_words), one row per definition
+    occurrence (dedup downstream if set semantics are wanted).
+
+    Scale shape: map-only — tokenize once (materialized against the
+    HOF-reevaluation trap), posexplode, filter to parenthesized tokens
+    (a tiny fraction), slice + zip the candidate window with JVM array
+    HOFs. No shuffle at all.
+    """
+    from kgspark.session import materialize
+
+    # case-PRESERVING whitespace split (ws_tokens lowercases — wrong
+    # here: 'WHO' vs 'who' is signal for the alias table)
+    raw = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    toks = materialize(
+        df.select(F.col(id_col).alias("id"), raw.alias("__t"))
+    )
+    exploded = toks.select(
+        "id", "__t", F.posexplode("__t").alias("__p", "__tok")
+    )
+    acr = F.regexp_extract(
+        F.col("__tok"), r"^\(([A-Za-z]{2,%d})\)$" % max_len, 1
+    )
+    cand = exploded.select(
+        "id", "__t", acr.alias("__a"),
+        (F.col("__p") + 1).alias("__pos1"),  # 1-based token position
+    ).where(
+        (F.col("__a") != "") & (F.col("__pos1") - F.length("__a") >= 1)
+    )
+    words = F.slice(
+        F.col("__t"),
+        F.col("__pos1") - F.length("__a"),
+        F.length("__a"),
+    )
+    initials = F.transform(
+        words, lambda w: F.substring(F.lower(w), 1, 1)
+    )
+    letters = F.filter(
+        F.split(F.lower(F.col("__a")), ""), lambda c: c != ""
+    )
+    return cand.where(initials == letters).select(
+        "id", F.col("__a").alias("acronym"),
+        F.array_join(words, " ").alias("long_form"),
+        F.length("__a").cast("long").alias("n_words"),
+    )
