@@ -2479,6 +2479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ql_topk(docs, ["hash", "join", "vector"], mu=2000.0,
                        top_k=20)
 
+    def text_snippets(spark, sf_dir):
+        # deterministic snippet selection (kgspark/search.py
+        # best_window): the 8-token window with the most query hits per
+        # doc, ties to the earliest anchor
+        from kgspark.search import best_window
+
+        docs = _read(spark, sf_dir, "documents")
+        return best_window(docs, ["hash", "join", "vector"], width=8)
+
     def corpus_dsir(spark, sf_dir):
         # DSIR importance weights: target = src0/src1 docs, raw = rest;
         # hashed unigram+bigram buckets (kgspark/dsir.py)
@@ -6320,6 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_graph": ann_knn_graph,
         "kg_bgp_having": kg_bgp_having,
         "kg_acronyms": kg_acronyms,
+        "text_snippets": text_snippets,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -8315,6 +8325,39 @@ FROM vs_c GROUP BY source
         # idf), per-(doc, term) contribution quantized to integer
         # micro-units BEFORE the per-doc sum; expression trees mirror the
         # Spark side exactly (all-DOUBLE, same association)
+        # kgspark.search.best_window: per-doc windowed hit argmax over
+        # MATCH positions only; DuckDB list slice l[a:b] is inclusive ==
+        # Spark slice(l, a, width)
+        "text_snippets": r"""
+WITH sw_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+sw_p AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         generate_subscripts(ts, 1) - 1 AS p
+  FROM sw_t
+),
+sw_m AS (
+  SELECT doc_id, p FROM sw_p WHERE tok IN ('hash', 'join', 'vector')
+),
+sw_c AS (
+  SELECT a.doc_id, a.p AS start, count(*)::BIGINT AS n_hits
+  FROM sw_m a JOIN sw_m b ON b.doc_id = a.doc_id
+    AND b.p >= a.p AND b.p < a.p + 8
+  GROUP BY 1, 2
+),
+sw_b AS (
+  SELECT doc_id, start, n_hits,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY n_hits DESC, start ASC) AS rn
+  FROM sw_c
+)
+SELECT b.doc_id AS id, b.start::BIGINT AS start_pos, b.n_hits,
+       array_to_string(t.ts[b.start + 1 : b.start + 8], ' ') AS snippet
+FROM sw_b b JOIN sw_t t USING (doc_id) WHERE rn = 1
+""",
         # kgspark.search.ql_topk: Dirichlet-smoothed LM retrieval;
         # corpus-absent terms drop out (no cf row), unmatched terms get
         # tf=0 smoothing mass, micro-nat rounding per term

@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "ann_knn_graph",
     "kg_bgp_having",
     "kg_acronyms",
+    "text_snippets",
 ]
 
 

@@ -295,3 +295,72 @@ def ql_topk(
     return scored.orderBy(
         F.col("score_unats").desc(), F.col(id_col).asc()
     ).limit(top_k)
+
+
+def best_window(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    width: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best snippet window per document: the `width`-token window holding
+    the most query-term occurrences, ties broken to the EARLIEST start —
+    the deterministic core of search-result snippet selection, run after
+    bm25_topk/ql_topk pick the documents. Documents with zero matches
+    emit nothing.
+
+    Emits (id, start_pos, n_hits, snippet): start_pos is the 0-based
+    token index of the best window anchored at a matching token (the
+    optimal window can always be anchored there), snippet the
+    ``width``-token slice joined with spaces.
+
+    Scale shape: matched-position extraction is map-side; the window
+    count is a per-doc self-join on MATCH positions only (query terms
+    are a vanishing fraction of tokens, so candidates are tiny even for
+    huge docs); argmax is a WindowGroupLimit row_number; the snippet
+    slice joins back to the materialized token table by id.
+    """
+    if not query_terms:
+        raise ValueError("best_window: query_terms must be non-empty")
+    if width < 1:
+        raise ValueError("best_window: width must be >= 1")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = materialize(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(
+                ws_tokens(F.col(text_col)),
+                F.expr("cast(array() as array<string>)"),
+            ).alias("__t"),
+        )
+    )
+    pos = toks.select(
+        "id", F.posexplode("__t").alias("p", "tok")
+    ).where(F.col("tok").isin(list(terms))).select("id", "p")
+    a = pos.select("id", F.col("p").alias("start"))
+    b = pos.select("id", F.col("p").alias("hit"))
+    counts = (
+        a.join(b, "id")
+        .where(
+            (F.col("hit") >= F.col("start"))
+            & (F.col("hit") < F.col("start") + width)
+        )
+        .groupBy("id", "start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    wdw = Window.partitionBy("id").orderBy(
+        F.col("n_hits").desc(), F.col("start").asc()
+    )
+    best = counts.withColumn(
+        "__rn", F.row_number().over(wdw)
+    ).where(F.col("__rn") == 1)
+    return best.join(toks, "id").select(
+        "id",
+        F.col("start").cast("long").alias("start_pos"),
+        "n_hits",
+        F.array_join(
+            F.slice(F.col("__t"), F.col("start") + 1, width), " "
+        ).alias("snippet"),
+    )

@@ -165,3 +165,26 @@ def test_ql_topk_ranking_and_smoothing(spark):
     out2 = ql_topk(docs, ["apple", "zzz_unseen"], mu=10.0).collect()
     assert [r.doc_id for r in out2][0] in (1, 2)
     assert all(r.score_unats < 0 for r in out2)
+
+
+def test_best_window_argmax_and_tiebreak(spark):
+    from kgspark.search import best_window
+
+    docs = spark.createDataFrame(
+        [(1, "x cat x x x x x x x x cat dog cat y"),
+         (2, "cat a b c d e f g h i j k l m cat"),  # spread out
+         (3, "no match here")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in best_window(
+        docs, ["cat", "dog"], width=4).collect()}
+    # doc 1: window [10..13] = 'cat dog cat y' holds 3 hits
+    assert got[1].start_pos == 10 and got[1].n_hits == 3
+    assert got[1].snippet == "cat dog cat y"
+    # doc 2: each 4-window holds 1 hit; tie -> earliest match anchor
+    assert got[2].start_pos == 0 and got[2].n_hits == 1
+    # zero-match docs emit nothing
+    assert 3 not in got
+    # width larger than the doc clips the snippet
+    wide = best_window(docs, ["dog"], width=50).collect()[0]
+    assert wide.snippet.startswith("dog")
