@@ -4887,6 +4887,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return topo_levels(edges, max_rounds=6)
 
+    def kg_mst(spark, sf_dir):
+        # Borůvka minimum spanning forest (kgspark/graph_algs.py
+        # boruvka_mst) over a ring+star graph with distinct weights:
+        # the MST is closed-form — every ring edge except the heaviest
+        # (i=59), plus each hub v_j's lightest spoke (i=j)
+        from kgspark.graph_algs import boruvka_mst
+
+        docs = _read(spark, sf_dir, "documents")
+        i = F.col("doc_id") % 60
+        ring = docs.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("src"),
+            F.concat(F.lit("u"), ((i + 1) % 60).cast("string"))
+            .alias("dst"),
+            (i + 100).cast("long").alias("w"),
+        )
+        star = docs.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("src"),
+            F.concat(F.lit("v"), (i % 9).cast("string")).alias("dst"),
+            (i + 200).cast("long").alias("w"),
+        )
+        return boruvka_mst(ring.unionByName(star))
+
     def kg_betweenness(spark, sf_dir):
         # source-sampled Brandes betweenness (kgspark/graph_algs.py
         # betweenness) over a 4-layer event graph (u->v->w->x plus
@@ -6330,6 +6352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_having": kg_bgp_having,
         "kg_acronyms": kg_acronyms,
         "text_snippets": text_snippets,
+        "kg_mst": kg_mst,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -12334,6 +12357,20 @@ FROM kz_n n
 LEFT JOIN kz_w1 w1 ON w1.n = n.n
 LEFT JOIN kz_w2 w2 ON w2.n = n.n
 LEFT JOIN kz_w3 w3 ON w3.n = n.n
+""",
+        # kgspark.graph_algs.boruvka_mst: closed-form MST of the
+        # ring+star synthesis — ring minus its heaviest edge plus each
+        # hub's lightest spoke; least/greatest are STRING order, as in
+        # the op's canonicalization
+        "kg_mst": """
+WITH ms_i AS (SELECT DISTINCT doc_id % 60 AS i FROM documents)
+SELECT least('u' || i, 'u' || ((i + 1) % 60)) AS src,
+       greatest('u' || i, 'u' || ((i + 1) % 60)) AS dst,
+       (100 + i)::BIGINT AS w
+FROM ms_i WHERE i <> 59
+UNION ALL
+SELECT 'u' || i, 'v' || i, (200 + i)::BIGINT
+FROM ms_i WHERE i < 9
 """,
         # kgspark.graph_algs.topo_levels: Kahn peel unrolled — level r
         # = in-degree-zero after removing rounds < r; never-peeled = -1

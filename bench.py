@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "kg_bgp_having",
     "kg_acronyms",
     "text_snippets",
+    "kg_mst",
 ]
 
 

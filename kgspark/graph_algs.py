@@ -2533,3 +2533,97 @@ def topo_levels(
         "level", F.lit(-1).cast("long")
     )
     return leftover if acc is None else acc.unionByName(leftover)
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka rounds (Borůvka 1926; the
+    distributed-MST algorithm of choice because every round halves the
+    component count): each component selects its minimum outgoing edge
+    under the (weight, src, dst) total order, selected edges join the
+    forest, touched components merge. The MSF is THE single-linkage
+    clustering primitive — cut it at a distance threshold and you have
+    exact single-linkage clusters of a similarity graph at any scale,
+    where the naive agglomerative loop is hopelessly sequential.
+
+    Deterministic for any weights because ties fall through to the
+    (src, dst) lexicographic tiebreak (unique per edge). Self-loops are
+    dropped; parallel edges are fine (the min wins). Emits the forest as
+    (src, dst, w) canonical rows (src < dst).
+
+    Scale shape: each round is two comp-label hash joins + one
+    per-component struct-min aggregate + a pointer-jumping CC over the
+    selected FOREST (O(log) itself); component count at least halves
+    per round, so max_rounds=16 covers 65k+ components per connected
+    piece and the loop early-exits the first round with no
+    cross-component edge. Raises if the budget is exhausted with merges
+    still pending rather than returning a partial forest.
+    """
+    from kgspark.canon import connected_components
+
+    e = materialize(
+        edges.where(F.col(src) != F.col(dst)).select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight_col).alias("w"),
+        ).groupBy("a", "b").agg(F.min("w").alias("w"))
+    )
+    comp = materialize(
+        e.select(F.col("a").alias("name"))
+        .unionByName(e.select(F.col("b").alias("name")))
+        .distinct()
+        .select("name", F.col("name").alias("component"))
+    )
+    sess = edges.sparkSession
+    forest = None
+    for rnd in range(max_rounds):
+        lab = comp.select(
+            F.col("name").alias("a"), F.col("component").alias("ca")
+        )
+        labb = comp.select(
+            F.col("name").alias("b"), F.col("component").alias("cb")
+        )
+        cross = materialize(
+            e.join(lab, "a").join(labb, "b")
+            .where(F.col("ca") != F.col("cb"))
+        )
+        if cross.isEmpty():
+            break
+        both = cross.select(
+            F.col("ca").alias("c"), "w", "a", "b"
+        ).unionByName(cross.select(F.col("cb").alias("c"), "w", "a", "b"))
+        sel = (
+            both.groupBy("c")
+            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
+            .select("m.a", "m.b", "m.w")
+            .distinct()
+        )
+        forest = sel if forest is None else forest.unionByName(sel)
+        cpairs = (
+            cross.join(sel.select("a", "b"), ["a", "b"], "left_semi")
+            .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+            .distinct()
+        )
+        cnodes = comp.select(F.col("component").alias("name")).distinct()
+        merged = connected_components(cnodes, cpairs)
+        comp = materialize(
+            comp.join(
+                merged.withColumnRenamed("component", "__new")
+                .withColumnRenamed("name", "component"),
+                "component",
+            ).select("name", F.col("__new").alias("component"))
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_mst: still merging after {max_rounds} rounds"
+        )
+    if forest is None:
+        return sess.createDataFrame([], f"{src} string, {dst} string, w long")
+    return forest.distinct().select(
+        F.col("a").alias(src), F.col("b").alias(dst), "w"
+    )

@@ -786,3 +786,61 @@ def test_topo_levels_round_budget_flags_deep_tail(spark):
     got = {r.node: r.level
            for r in topo_levels(e, max_rounds=2).collect()}
     assert got == {"a": 0, "b": 1, "c": -1, "d": -1}
+
+
+def _kruskal(edges):
+    """Pure-python golden MSF: Kruskal with union-find, same
+    (w, src, dst) total order as boruvka_mst."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    seen = {}
+    for a, b, w in edges:
+        a, b = min(a, b), max(a, b)
+        k = (a, b)
+        if k not in seen or w < seen[k]:
+            seen[k] = w
+    for (a, b), w in sorted(seen.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def test_boruvka_mst_matches_kruskal(spark):
+    from kgspark.graph_algs import boruvka_mst
+
+    # deterministic pseudo-random-ish graph w/ distinct weights, two
+    # disconnected pieces, parallel edges and a self loop
+    edges = []
+    for i in range(30):
+        edges.append((f"n{i}", f"n{(i * 7 + 3) % 30}", 100 + i))
+        edges.append((f"n{i}", f"n{(i + 1) % 30}", 200 + i))
+    edges += [("m0", "m1", 5), ("m1", "m2", 4), ("m0", "m2", 3),
+              ("m0", "m1", 9),            # parallel, heavier
+              ("n3", "n3", 1)]            # self loop
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = sorted((r.src, r.dst, r.w)
+                 for r in boruvka_mst(df).collect())
+    want = _kruskal(edges)
+    assert got == want
+    # forest property: |edges| = |nodes| - |components| (30-node piece
+    # is connected; m-triangle is one comp)
+    assert len(got) == (30 - 1) + (3 - 1)
+
+
+def test_boruvka_mst_empty_and_singleton(spark):
+    from kgspark.graph_algs import boruvka_mst
+
+    only_self = spark.createDataFrame(
+        [("x", "x", 1)], "src string, dst string, w long"
+    )
+    assert boruvka_mst(only_self).count() == 0
