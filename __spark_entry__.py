@@ -4909,6 +4909,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return boruvka_mst(ring.unionByName(star))
 
+    def kg_single_linkage(spark, sf_dir):
+        # exact single-linkage clustering = MST cut (kgspark/
+        # graph_algs.py single_linkage) on the ring+star graph at
+        # threshold 130: the light half of the ring chains u0..u31 into
+        # one cluster, everything else stays singleton
+        from kgspark.graph_algs import single_linkage
+
+        docs = _read(spark, sf_dir, "documents")
+        i = F.col("doc_id") % 60
+        ring = docs.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("src"),
+            F.concat(F.lit("u"), ((i + 1) % 60).cast("string"))
+            .alias("dst"),
+            (i + 100).cast("long").alias("w"),
+        )
+        star = docs.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("src"),
+            F.concat(F.lit("v"), (i % 9).cast("string")).alias("dst"),
+            (i + 200).cast("long").alias("w"),
+        )
+        return single_linkage(ring.unionByName(star), threshold=130)
+
     def kg_betweenness(spark, sf_dir):
         # source-sampled Brandes betweenness (kgspark/graph_algs.py
         # betweenness) over a 4-layer event graph (u->v->w->x plus
@@ -6353,6 +6375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_acronyms": kg_acronyms,
         "text_snippets": text_snippets,
         "kg_mst": kg_mst,
+        "kg_single_linkage": kg_single_linkage,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -12371,6 +12394,17 @@ FROM ms_i WHERE i <> 59
 UNION ALL
 SELECT 'u' || i, 'v' || i, (200 + i)::BIGINT
 FROM ms_i WHERE i < 9
+""",
+        # kgspark.graph_algs.single_linkage: MST-cut identity in closed
+        # form — ring edges w<=130 are i<=30, chaining u0..u31 under
+        # min-label 'u0'; every other node is its own cluster
+        "kg_single_linkage": """
+WITH ms_i AS (SELECT DISTINCT doc_id % 60 AS i FROM documents)
+SELECT 'u' || i AS node,
+       CASE WHEN i <= 31 THEN 'u0' ELSE 'u' || i END AS cluster
+FROM ms_i
+UNION ALL
+SELECT 'v' || i, 'v' || i FROM ms_i WHERE i < 9
 """,
         # kgspark.graph_algs.topo_levels: Kahn peel unrolled — level r
         # = in-degree-zero after removing rounds < r; never-peeled = -1

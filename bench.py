@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "kg_acronyms",
     "text_snippets",
     "kg_mst",
+    "kg_single_linkage",
 ]
 
 

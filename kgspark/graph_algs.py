@@ -2627,3 +2627,41 @@ def boruvka_mst(
     return forest.distinct().select(
         F.col("a").alias(src), F.col("b").alias(dst), "w"
     )
+
+
+def single_linkage(
+    edges: DataFrame,
+    threshold,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """EXACT single-linkage clustering at a distance cut: clusters =
+    connected components of the minimum-spanning-forest edges with
+    weight <= threshold — the textbook identity (cutting the MST IS the
+    single-linkage dendrogram), which turns the hopelessly sequential
+    agglomerative loop into boruvka_mst + one pointer-jumping CC. This
+    is the exact counterpart to the LSH-approximate near-dup clustering
+    in kgspark.dedup/density: run it on a candidate-pair distance graph
+    when the answer must match a single-machine scikit-style linkage
+    exactly. Emits (node, cluster) for EVERY node incident to the input
+    graph, cluster = min node label (the CC convention repo-wide).
+    """
+    from kgspark.canon import connected_components
+
+    forest = boruvka_mst(
+        edges, src=src, dst=dst, weight_col=weight_col,
+        max_rounds=max_rounds,
+    )
+    kept = forest.where(F.col("w") <= threshold).select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("name"))
+        .unionByName(edges.select(F.col(dst).alias("name")))
+        .distinct()
+    )
+    return connected_components(nodes, kept).select(
+        F.col("name").alias("node"), F.col("component").alias("cluster")
+    )

@@ -844,3 +844,21 @@ def test_boruvka_mst_empty_and_singleton(spark):
         [("x", "x", 1)], "src string, dst string, w long"
     )
     assert boruvka_mst(only_self).count() == 0
+
+
+def test_single_linkage_equals_mst_cut(spark):
+    from kgspark.graph_algs import single_linkage
+
+    # chain a-b-c-d with rising weights + far pair x-y
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "d", 10), ("x", "y", 3)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.cluster
+           for r in single_linkage(e, threshold=3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d",
+                   "x": "x", "y": "x"}
+    # threshold below everything: all singletons
+    solo = {r.node: r.cluster
+            for r in single_linkage(e, threshold=0).collect()}
+    assert all(k == v for k, v in solo.items()) and len(solo) == 6
