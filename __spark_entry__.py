@@ -2763,6 +2763,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             left, right, ["key"], bucket_secs=3600
         ).select("key", "lid", "rid")
 
+    def rel_histogram(spark, sf_dir):
+        # equi-width histogram census (kgspark/relops.py histogram):
+        # order totals in 20 bins over [0, 600000) + overflow bins,
+        # dense spine so empty bins stay visible
+        from kgspark.relops import histogram
+
+        return histogram(
+            _read(spark, sf_dir, "orders"), "o_totalprice",
+            0.0, 600000.0, n_bins=20,
+        )
+
     def rel_islands(spark, sf_dir):
         # gaps-and-islands activity streaks per user (kgspark/relops.py
         # activity_islands) — distinct days first, lag-flag window second
@@ -6376,6 +6387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_snippets": text_snippets,
         "kg_mst": kg_mst,
         "kg_single_linkage": kg_single_linkage,
+        "rel_histogram": rel_histogram,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -12453,6 +12465,35 @@ UNION ALL SELECT n, 3 FROM l3
 UNION ALL SELECT n, 4 FROM l4
 UNION ALL SELECT n, 5 FROM l5
 UNION ALL SELECT n, -1 FROM tp_n WHERE n NOT IN (SELECT n FROM s5)
+""",
+        # kgspark.relops.histogram: identical fp64 bin expression,
+        # dense generate_series spine, under/overflow sentinels
+        "rel_histogram": """
+WITH rh_b AS (
+  SELECT CASE
+           WHEN o_totalprice < 0.0::DOUBLE THEN -1
+           WHEN o_totalprice >= 600000.0::DOUBLE THEN 20
+           ELSE floor((o_totalprice::DOUBLE - 0.0::DOUBLE)
+                      * 20.0::DOUBLE
+                      / (600000.0::DOUBLE - 0.0::DOUBLE))::BIGINT
+         END AS bin
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+rh_c AS (SELECT bin, count(*)::BIGINT AS n FROM rh_b GROUP BY 1),
+rh_s AS (
+  SELECT unnest(range(-1, 21))::BIGINT AS bin
+)
+SELECT s.bin,
+       CASE WHEN s.bin >= 0 AND s.bin < 20
+            THEN round(0.0::DOUBLE + s.bin * 30000.0::DOUBLE, 6)
+            WHEN s.bin < 0 THEN 0.0::DOUBLE ELSE 600000.0::DOUBLE
+       END AS lo_edge,
+       CASE WHEN s.bin >= 0 AND s.bin < 20
+            THEN round(0.0::DOUBLE + (s.bin + 1) * 30000.0::DOUBLE, 6)
+            WHEN s.bin < 0 THEN 0.0::DOUBLE ELSE 600000.0::DOUBLE
+       END AS hi_edge,
+       coalesce(c.n, 0)::BIGINT AS n
+FROM rh_s s LEFT JOIN rh_c c ON c.bin = s.bin
 """,
         # kgspark.relops.interval_overlap_join: brute-force theta-join
         # oracle proves the bucketed join is lossless AND emit-once

@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "text_snippets",
     "kg_mst",
     "kg_single_linkage",
+    "rel_histogram",
 ]
 
 

@@ -1075,3 +1075,80 @@ def interval_overlap_join(
         )
         .drop("__bucket")
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram census over [lo, hi): the OLAP primitive
+    behind score/price/length distribution panels. Bin index =
+    floor((v - lo) · n_bins / (hi - lo)); values below lo land in bin
+    -1, at-or-above hi in bin n_bins, NULLs are dropped — so the bins
+    partition the value space with nothing silently discarded. Every
+    in-range bin is emitted even when empty (a dense spine joins the
+    census), because a missing bar and a zero bar mean different things
+    on a dashboard. Emits (bin, lo_edge, hi_edge, n); overflow bins
+    carry NULL-free sentinel edges (lo_edge = hi_edge).
+
+    The bin expression is a single fp64 tree (identical on any engine);
+    pick lo/hi/n_bins so (hi-lo)/n_bins is exactly representable when
+    cross-engine bit-parity of edge values matters (integer bounds with
+    power-of-ten-ish widths are always safe in practice at round(…, 6)).
+
+    Scale shape: map-side bin assignment + one partial-agg groupBy over
+    at most n_bins+2 keys, then a broadcast join against the literal
+    spine. Nothing here is data-size-dependent except the single scan.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("histogram: need n_bins >= 1 and hi > lo")
+    v = F.col(value_col).cast("double")
+    raw = F.floor(
+        (v - F.lit(float(lo))) * F.lit(float(n_bins))
+        / (F.lit(float(hi)) - F.lit(float(lo)))
+    ).cast("long")
+    bin_ = (
+        F.when(v < F.lit(float(lo)), F.lit(-1))
+        .when(v >= F.lit(float(hi)), F.lit(n_bins))
+        .otherwise(raw)
+        .cast("long")
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    width = (float(hi) - float(lo)) / n_bins
+    spine = spark.createDataFrame(
+        [(b,) for b in range(-1, n_bins + 1)], "bin long"
+    ).select(
+        "bin",
+        F.when(
+            (F.col("bin") >= 0) & (F.col("bin") < n_bins),
+            F.round(F.lit(float(lo)) + F.col("bin") * F.lit(width), 6),
+        ).otherwise(
+            F.when(F.col("bin") < 0, F.lit(float(lo)))
+            .otherwise(F.lit(float(hi)))
+        ).alias("lo_edge"),
+        F.when(
+            (F.col("bin") >= 0) & (F.col("bin") < n_bins),
+            F.round(
+                F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width), 6
+            ),
+        ).otherwise(
+            F.when(F.col("bin") < 0, F.lit(float(lo)))
+            .otherwise(F.lit(float(hi)))
+        ).alias("hi_edge"),
+    )
+    return (
+        F.broadcast(spine).join(counts, "bin", "left")
+        .select(
+            "bin", "lo_edge", "hi_edge",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )

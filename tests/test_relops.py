@@ -402,3 +402,24 @@ def test_interval_overlap_join_exact_once(spark):
         if l[2] < r[3] and r[2] < l[3]
     )
     assert got2 == want and len(want) > 50
+
+
+def test_histogram_bins_overflow_and_dense_spine(spark):
+    from kgspark.relops import histogram
+
+    df = spark.createDataFrame(
+        [(x,) for x in (-5.0, 0.0, 0.5, 9.99, 10.0, 25.0, 99.9, 100.0,
+                        250.0, None)],
+        "v double",
+    )
+    got = {r.bin: (r.n, r.lo_edge, r.hi_edge)
+           for r in histogram(df, "v", 0.0, 100.0, n_bins=10).collect()}
+    assert len(got) == 12  # 10 bins + under + overflow
+    assert got[-1][0] == 1               # -5
+    assert got[0] == (3, 0.0, 10.0)      # 0, 0.5, 9.99
+    assert got[1][0] == 1                # 10.0
+    assert got[2][0] == 1                # 25
+    assert got[9] == (1, 90.0, 100.0)    # 99.9
+    assert got[10][0] == 2               # 100.0, 250.0 overflow
+    assert sum(n for n, _, _ in got.values()) == 9  # NULL dropped
+    assert got[3][0] == 0                # dense spine: empty bin present
