@@ -2902,6 +2902,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return acronym_pairs(synth)
 
+    def kg_akas(spark, sf_dir):
+        # aka/also-known-as alias mining (kgspark/entities.py
+        # aka_pairs): synthesized two-word names with both marker
+        # spellings; the greedy capitalized-run regex must capture the
+        # full left name and stop at the lowercase frame words
+        from kgspark.entities import aka_pairs
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        marker = F.when(d % 2 == 0, " aka ").otherwise(
+            " also known as "
+        )
+        synth = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("start Gen"), (d % 7).cast("string"),
+                F.lit(" Corp"), (d % 5).cast("string"),
+                marker,
+                F.lit("Alias"), (d % 11).cast("string"),
+                F.lit(" end"),
+            ).alias("text"),
+        )
+        return aka_pairs(synth)
+
     def kg_datatypes(spark, sf_dir):
         # per-predicate literal datatype census (kgspark/
         # schema_induce.py datatype_profile): synthesized literal
@@ -6388,6 +6412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mst": kg_mst,
         "kg_single_linkage": kg_single_linkage,
         "rel_histogram": rel_histogram,
+        "kg_akas": kg_akas,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -8944,6 +8969,15 @@ sc AS (SELECT skel_hash, count(*)::BIGINT AS skel_df FROM sk GROUP BY 1)
 SELECT sk.id, sk.skel_hash, sc.skel_df,
        sc.skel_df >= 3 AS is_template
 FROM sk JOIN sc USING (skel_hash)
+""",
+        # kgspark.entities.aka_pairs: reconstructed from the synthesis
+        # arithmetic — every doc defines exactly one alias pair
+        "kg_akas": """
+SELECT doc_id AS id,
+       'Gen' || (doc_id % 7)::VARCHAR || ' Corp'
+         || (doc_id % 5)::VARCHAR AS alias_a,
+       'Alias' || (doc_id % 11)::VARCHAR AS alias_b
+FROM documents
 """,
         # kgspark.entities.acronym_pairs: the oracle reconstructs the
         # valid definitions from the synthesis arithmetic (initial

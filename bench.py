@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "kg_mst",
     "kg_single_linkage",
     "rel_histogram",
+    "kg_akas",
 ]
 
 

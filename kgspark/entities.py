@@ -416,3 +416,46 @@ def acronym_pairs(
         F.array_join(words, " ").alias("long_form"),
         F.length("__a").cast("long").alias("n_words"),
     )
+
+
+_AKA_NAME = r"[A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*){0,3}"
+_AKA_RE = (
+    "(" + _AKA_NAME + ") (?:aka|also known as) (" + _AKA_NAME + ")"
+)
+
+
+def aka_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Alias mining from explicit coreference markers: every
+    "<Name> aka <Name>" / "<Name> also known as <Name>" occurrence,
+    where a Name is a run of 1-4 capitalized tokens — the other
+    high-precision alias source next to acronym_pairs, feeding the same
+    alias table the entity linker consumes (and the sameAs smushing in
+    kgspark.canon). The pattern is a single ASCII regex in the Java∩RE2
+    parity subset — no lookaround, no backrefs — with greedy runs, so
+    the LONGEST capitalized span on each side wins deterministically.
+
+    Emits (id, alias_a, alias_b), one row per occurrence.
+
+    Scale shape: map-only — two aligned regexp_extract_all passes (group
+    1 and group 2 of the same pattern produce index-aligned arrays)
+    zipped and exploded; no shuffle.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    g1 = F.regexp_extract_all(t, F.lit(_AKA_RE), 1)
+    g2 = F.regexp_extract_all(t, F.lit(_AKA_RE), 2)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.arrays_zip(g1.alias("a"), g2.alias("b")))
+            .alias("__m"),
+        )
+        .select(
+            "id",
+            F.col("__m.a").alias("alias_a"),
+            F.col("__m.b").alias("alias_b"),
+        )
+    )

@@ -21,3 +21,23 @@ def test_acronym_pairs_initial_letter_rule(spark):
     assert 2 not in ids and 5 not in ids and 6 not in ids
     # doc 3: window for (AB) is ['nothing'...]: 'short' -> s != a; none
     assert 3 not in ids
+
+
+def test_aka_pairs_patterns(spark):
+    from kgspark.entities import aka_pairs
+
+    df = spark.createDataFrame(
+        [(1, "New York City aka NYC is large"),
+         (2, "Robert Smith also known as Bob Smith retired"),
+         (3, "lowercase thing aka nothing here"),
+         (4, "A aka B and C aka D twice"),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    got = {(r.id, r.alias_a, r.alias_b)
+           for r in aka_pairs(df).collect()}
+    assert (1, "New York City", "NYC") in got
+    assert (2, "Robert Smith", "Bob Smith") in got
+    assert (4, "A", "B") in got and (4, "C", "D") in got
+    assert all(t[0] != 3 and t[0] != 5 for t in got)
+    assert len(got) == 4
