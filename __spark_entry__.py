@@ -942,21 +942,38 @@ def _split_case_sql(weights: dict[str, float]) -> str:
     return f"{arms} ELSE '{cuts[-1][1]}'"
 
 
-def _pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
+def _pagerank_sql(
+    iterations: int = 5, d: float = 0.85, weighted: bool = False
+) -> str:
     """Unrolled power iteration as chained CTEs — recursive CTEs can't
     aggregate in the recursive term, but the oracle SQL is generated, so the
     fixed iteration count simply unrolls. Mirrors kgspark.graph_algs.pagerank
-    (same expression tree per round, incl. dangling-mass redistribution)."""
-    parts = ["""
+    (same expression tree per round, incl. dangling-mass redistribution);
+    weighted=True mirrors the weight_col path (parallel edges sum, W_u
+    out-weight normalization)."""
+    if weighted:
+        head = """
+pr_e AS (
+  SELECT subj AS s, obj AS t, sum(weight) AS w FROM triples GROUP BY 1, 2
+),
+pr_nodes AS (SELECT s AS node FROM pr_e UNION SELECT t FROM pr_e),
+pr_cnt AS (SELECT count(*)::DOUBLE AS n FROM pr_nodes),
+pr_deg AS (SELECT s, sum(w) AS d FROM pr_e GROUP BY s),
+pr0 AS (SELECT node, 1.0 / pr_cnt.n AS rank FROM pr_nodes, pr_cnt)"""
+        contrib = "sum(p.rank * e.w / g.d)"
+    else:
+        head = """
 pr_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples),
 pr_nodes AS (SELECT s AS node FROM pr_e UNION SELECT t FROM pr_e),
 pr_cnt AS (SELECT count(*)::DOUBLE AS n FROM pr_nodes),
 pr_deg AS (SELECT s, count(*)::DOUBLE AS d FROM pr_e GROUP BY s),
-pr0 AS (SELECT node, 1.0 / pr_cnt.n AS rank FROM pr_nodes, pr_cnt)"""]
+pr0 AS (SELECT node, 1.0 / pr_cnt.n AS rank FROM pr_nodes, pr_cnt)"""
+        contrib = "sum(p.rank / g.d)"
+    parts = [head]
     for i in range(1, iterations + 1):
         parts.append(f"""
 prc{i} AS (
-  SELECT e.t AS node, sum(p.rank / g.d) AS contrib
+  SELECT e.t AS node, {contrib} AS contrib
   FROM pr_e e JOIN pr{i - 1} p ON p.node = e.s JOIN pr_deg g ON g.s = e.s
   GROUP BY e.t
 ),
@@ -1366,6 +1383,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         t = _extract_triples(spark, sf_dir)
         pr = pagerank(t, iterations=5, damping=0.85)
+        return pr.select("node", F.round("rank", 6).alias("rank"))
+
+    def kg_pagerank_w(spark, sf_dir):
+        # weighted PageRank (kgspark/graph_algs.py pagerank
+        # weight_col=): extraction-confidence weights drive the mass
+        # split; parallel (s,t) edges sum their weights first
+        from kgspark.graph_algs import pagerank
+
+        t = _extract_triples(spark, sf_dir)
+        pr = pagerank(t, iterations=5, damping=0.85,
+                      weight_col="weight")
         return pr.select("node", F.round("rank", 6).alias("rank"))
 
     def kg_khop(spark, sf_dir):
@@ -6413,6 +6441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_single_linkage": kg_single_linkage,
         "rel_histogram": rel_histogram,
         "kg_akas": kg_akas,
+        "kg_pagerank_w": kg_pagerank_w,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -6890,6 +6919,11 @@ WHERE t.subj IS NULL
         "kg_pagerank": f"""
 WITH {_PARTS_ORACLE_CTE},
 {_pagerank_sql(5, 0.85)}
+SELECT node, rank FROM pr_out
+""",
+        "kg_pagerank_w": f"""
+WITH {_PARTS_ORACLE_CTE},
+{_pagerank_sql(5, 0.85, weighted=True)}
 SELECT node, rank FROM pr_out
 """,
         "kg_sssp": f"""

@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "kg_single_linkage",
     "rel_histogram",
     "kg_akas",
+    "kg_pagerank_w",
 ]
 
 

@@ -30,6 +30,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "subj",
     dst: str = "obj",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) after `iterations` power-iteration rounds.
 
@@ -37,22 +38,46 @@ def pagerank(
                                    + dangling_mass_i / N)
 
     Dangling nodes (no out-edges) redistribute their mass uniformly — the
-    standard correction, without which rank leaks every round."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    standard correction, without which rank leaks every round.
+
+    With `weight_col`, each edge carries that weight instead of 1:
+    contributions become rank·w_uv / W_u with W_u the node's out-weight
+    sum — weighted PageRank, the right ranking over a KG whose edges
+    already carry extraction confidence (kgspark.edges weights). Parallel
+    (s, t) edges sum their weights first; the plan shape is unchanged."""
+    if weight_col is None:
+        e = edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("t")
+        ).distinct().withColumn("w", F.lit(1.0))
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("s"), F.col(dst).alias("t"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .groupBy("s", "t").agg(F.sum("w").alias("w"))
+        )
     e = materialize(e)
     nodes = e.select(F.col("s").alias("node")).union(
         e.select(F.col("t").alias("node"))
     ).distinct()
     nodes = materialize(nodes)
     n = nodes.count()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    if weight_col is None:
+        deg = e.groupBy("s").agg(
+            F.count(F.lit(1)).cast("double").alias("d")
+        )
+        contrib_expr = F.sum(F.col("rank") / F.col("d"))
+    else:
+        deg = e.groupBy("s").agg(F.sum("w").alias("d"))
+        contrib_expr = F.sum(F.col("rank") * F.col("w") / F.col("d"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e["s"] == ranks["node"])
             .join(deg, "s")
             .groupBy(F.col("t").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("d")).alias("contrib"))
+            .agg(contrib_expr.alias("contrib"))
         )
         dangling = (
             ranks.join(deg, ranks["node"] == deg["s"], "left_anti")

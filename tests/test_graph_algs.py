@@ -862,3 +862,29 @@ def test_single_linkage_equals_mst_cut(spark):
     solo = {r.node: r.cluster
             for r in single_linkage(e, threshold=0).collect()}
     assert all(k == v for k, v in solo.items()) and len(solo) == 6
+
+
+def test_pagerank_weighted_vs_unweighted(spark):
+    from kgspark.graph_algs import pagerank
+
+    # hub a splits mass 9:1 between b and c when weighted
+    e = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0),
+         ("c", "a", 1.0)],
+        "subj string, obj string, weight double",
+    )
+    w = {r.node: r.rank
+         for r in pagerank(e, iterations=8,
+                           weight_col="weight").collect()}
+    u = {r.node: r.rank for r in pagerank(e, iterations=8).collect()}
+    assert w["b"] > w["c"]                   # weighted: b gets 9x share
+    assert abs(u["b"] - u["c"]) < 1e-12      # unweighted: symmetric
+    assert abs(sum(w.values()) - 1.0) < 1e-9  # mass conserved
+    # parallel edges sum: duplicating (a,c,1.0) 8x ~ weight 9 total
+    e2 = e.union(spark.createDataFrame(
+        [("a", "c", 1.0)] * 8, "subj string, obj string, weight double"
+    ))
+    w2 = {r.node: r.rank
+          for r in pagerank(e2, iterations=8,
+                            weight_col="weight").collect()}
+    assert abs(w2["b"] - w2["c"]) < 1e-12
