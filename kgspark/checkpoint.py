@@ -117,3 +117,40 @@ def run_stage(
         elapsed_sec=round(time.time() - t0, 3),
     )
     return written
+
+
+def run_report(spark: SparkSession, run_dir: str) -> DataFrame:
+    """Pipeline run report: one row per completed stage manifest —
+    (stage, rows, n_partitions, max_partition_rows, skew_ratio_ppm,
+    elapsed_sec, rows_per_sec). The operational view of a build_kg run:
+    which stage ate the time, and whether any stage's output is
+    partition-skewed (max partition vs fair share, in exact ppm — the
+    number that says "salt this key" before the next run). Reads only
+    the tiny _manifest JSONs — no data files are touched.
+    """
+    m = Manifest(run_dir)
+    rows = []
+    if os.path.isdir(m.mdir):
+        for fn in sorted(os.listdir(m.mdir)):
+            if not fn.endswith(".json"):
+                continue
+            rec = m.load(fn[:-5])
+            if not rec or rec.get("status") != "complete":
+                continue
+            parts = rec.get("partitions") or []
+            n_parts = len(parts)
+            mx = max((p["rows"] for p in parts), default=0)
+            total = rec.get("rows") or 0
+            fair = total // n_parts if n_parts else 0
+            skew = (mx * 1_000_000) // fair if fair else 0
+            rows.append((
+                rec["stage"], int(total), int(n_parts), int(mx),
+                int(skew), float(rec.get("elapsed_sec") or 0.0),
+                float(rec.get("rows_per_sec") or 0.0),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "stage string, rows long, n_partitions long, "
+        "max_partition_rows long, skew_ratio_ppm long, "
+        "elapsed_sec double, rows_per_sec double",
+    )

@@ -264,3 +264,29 @@ def _recover_stale_compact(spark, fs, parent, name: str) -> None:
             fs.delete(bak, True)
     tmp = _child(spark, parent, _TMP_COMPACT + name)
     fs.delete(tmp, True)
+
+
+def append_check(df: DataFrame, spark: SparkSession, table_path: str) -> dict:
+    """Pre-flight schema validation for an append: compare `df`'s schema
+    to the parquet table at `table_path` and report, instead of letting
+    the writer throw mid-job (or worse, silently NULL-fill a renamed
+    column). Returns {"ok", "missing", "extra", "type_changed"} where
+    missing = table columns absent from df (would write NULLs),
+    extra = df columns the table lacks (readers pinning the table schema
+    will not see them), type_changed = same name, different Spark type.
+    `ok` is True only when all three lists are empty. Driver-side footer
+    read only — no data scan."""
+    existing = spark.read.parquet(table_path).schema
+    new = {f.name: f.dataType for f in df.schema.fields}
+    old = {f.name: f.dataType for f in existing.fields}
+    missing = sorted(set(old) - set(new))
+    extra = sorted(set(new) - set(old))
+    changed = sorted(
+        n for n in set(old) & set(new) if old[n] != new[n]
+    )
+    return {
+        "ok": not (missing or extra or changed),
+        "missing": missing,
+        "extra": extra,
+        "type_changed": changed,
+    }

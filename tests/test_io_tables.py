@@ -275,3 +275,32 @@ def test_compact_table_respects_target_and_recovers(spark, tmp_path):
     # recovery saw the restored 3-4-file table, then compacted it to 1
     assert stats2["compacted"] and stats2["files_after"] == 1
     assert stats2["files_before"] == stats["files_after"]
+
+
+def test_append_check_reports_drift(spark, tmp_path):
+    from kgspark.io_tables import append_check
+
+    path = str(tmp_path / "t3")
+    spark.range(5).selectExpr("id", "id * 2 AS v", "'x' AS s").write.parquet(path)
+    same = spark.range(2).selectExpr("id", "id * 3 AS v", "'y' AS s")
+    assert append_check(same, spark, path) == {
+        "ok": True, "missing": [], "extra": [], "type_changed": []}
+    drift = spark.range(2).selectExpr(
+        "id", "cast(id AS string) AS v", "'z' AS q"
+    )
+    rep = append_check(drift, spark, path)
+    assert not rep["ok"]
+    assert rep["missing"] == ["s"] and rep["extra"] == ["q"]
+    assert rep["type_changed"] == ["v"]
+
+
+def test_run_report_stage_rows_and_skew(spark, tmp_path):
+    from kgspark.checkpoint import Manifest, run_stage, run_report
+
+    m = Manifest(str(tmp_path))
+    run_stage(spark, m, "s1", "fp",
+              lambda: spark.range(100).selectExpr("id"))
+    rep = {r.stage: r for r in run_report(spark, str(tmp_path)).collect()}
+    assert rep["s1"].rows == 100 and rep["s1"].n_partitions >= 1
+    assert rep["s1"].skew_ratio_ppm >= 1_000_000  # max >= fair share
+    assert rep["s1"].elapsed_sec > 0
