@@ -115,3 +115,25 @@ def test_build_kg_from_warc_end_to_end(spark, tmp_path):
     assert len(docs) == 6  # 404 + non-response dropped
     assert {d["filename"] for d in docs} == {p["url"] for p in pages}
     assert out["triples"].count() > 0
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """pages -> write_warc -> warc_records reads back every record with
+    urls, timestamps (second precision) and byte-identical html."""
+    from kgspark.warc import warc_records, write_warc
+    from kgspark.synth import pages_df
+
+    pages = pages_df(spark, 8, seed=11)
+    out = str(tmp_path / "export")
+    write_warc(pages, out, records_per_file=3)
+    import os
+    files = [f for f in os.listdir(out) if f.endswith(".warc")]
+    assert len(files) == 3  # ceil(8/3)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    back = warc_records(spark, out).collect()
+    assert len(back) == 8
+    want = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    for r in back:
+        assert r.warc_type == "response" and r.http_status == 200
+        assert bytes(r.payload) == want[r.target_uri]
+        assert r.warc_date and r.warc_date.endswith("Z")
