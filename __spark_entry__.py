@@ -4796,6 +4796,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             having=[("n_brands", ">=", 2), ("n", ">", 1)],
         )
 
+    def kg_bgp_regex(spark, sf_dir):
+        # SPARQL FILTER regex + IN (kgspark/graph_api.py
+        # _apply_filters): anchored ASCII pattern on the type, constant
+        # IN-list on the brand — both in the Java∩RE2 parity subset
+        from kgspark.graph_api import bgp_match
+
+        return bgp_match(
+            _extract_triples(spark, sf_dir),
+            [("?x", "is_a", "?t"), ("?x", "has", "?b")],
+            filters=[("?t", "regex", "^(economy|standard) "),
+                     ("?b", "in", ["Brand#12", "Brand#23", "Brand#34"])],
+        )
+
     def kg_bgp_exists(spark, sf_dir):
         # SPARQL FILTER EXISTS / NOT EXISTS (kgspark/graph_api.py
         # bgp_filter_exists): keep (?x p ?v) solutions whose entity has
@@ -6442,6 +6455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_histogram": rel_histogram,
         "kg_akas": kg_akas,
         "kg_pagerank_w": kg_pagerank_w,
+        "kg_bgp_regex": kg_bgp_regex,
         "kg_bgp_star": kg_bgp_star,
         "kg_bgp_concat": kg_bgp_concat,
         "text_wilson": text_wilson,
@@ -12370,6 +12384,16 @@ bm_f AS (
 )
 SELECT DISTINCT b.x, b.v FROM bm_b b
 WHERE NOT EXISTS (SELECT 1 FROM bm_f f WHERE f.x = b.x)
+""",
+        # kgspark.graph_api FILTER regex + IN: anchored partial-match
+        # semantics identical under rlike and regexp_matches
+        "kg_bgp_regex": f"""
+WITH {_PARTS_ORACLE_CTE}
+SELECT DISTINCT h.obj AS b, i.obj AS t, i.subj AS x
+FROM triples i JOIN triples h ON h.subj = i.subj AND h.pred = 'has'
+WHERE i.pred = 'is_a'
+  AND regexp_matches(i.obj, '^(economy|standard) ')
+  AND h.obj IN ('Brand#12', 'Brand#23', 'Brand#34')
 """,
         # kgspark.graph_api.bgp_filter_exists: semi-join EXISTS with a
         # branch-local filter, anti-join NOT EXISTS

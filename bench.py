@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "rel_histogram",
     "kg_akas",
     "kg_pagerank_w",
+    "kg_bgp_regex",
 ]
 
 

@@ -268,11 +268,34 @@ def _apply_filters(
     bound: set[str],
 ) -> DataFrame:
     """SPARQL FILTER subset: each (lhs, op, rhs) with ``?var`` or constant
-    terms, op in =, !=, <, <=, >, >=, contains, strstarts, strends (string
-    comparisons are lexicographic on both engines). Filters are plain
+    terms, op in =, !=, <, <=, >, >=, contains, strstarts, strends, regex
+    (Java∩RE2-subset pattern), in (rhs = list of constants) — string
+    comparisons are lexicographic on both engines. Filters are plain
     column predicates applied after the binding joins — Catalyst pushes
     single-pattern filters back through the join on its own."""
     for lhs, op, rhs in filters:
+        if op == "in":
+            if _is_var(lhs) and lhs[1:] not in bound:
+                raise ValueError(f"bgp_match: filter var {lhs} is unbound")
+            if not isinstance(rhs, (list, tuple)) or not rhs:
+                raise ValueError(
+                    "bgp_match: 'in' filter needs a non-empty constant list"
+                )
+            le = F.col(lhs[1:]) if _is_var(lhs) else F.lit(lhs)
+            df = df.where(le.isin(list(rhs)))
+            continue
+        if op == "regex":
+            # SPARQL FILTER regex(?x, "pat"): rhs is a CONSTANT pattern
+            # in the ASCII Java∩RE2 subset (the repo-wide regex rule)
+            if _is_var(lhs) and lhs[1:] not in bound:
+                raise ValueError(f"bgp_match: filter var {lhs} is unbound")
+            if not isinstance(rhs, str) or _is_var(rhs):
+                raise ValueError(
+                    "bgp_match: 'regex' filter needs a constant pattern"
+                )
+            le = F.col(lhs[1:]) if _is_var(lhs) else F.lit(lhs)
+            df = df.where(le.rlike(rhs))
+            continue
         if op not in _FILTER_OPS:
             raise ValueError(f"bgp_match: unknown filter op {op!r}")
         for t in (lhs, rhs):

@@ -734,3 +734,23 @@ def test_bgp_aggregate_avg_ppm_and_sample(spark):
     ).collect()}
     # (10+15)*1e6 div 2 = 12_500_000; sample = min = '10'
     assert got == {"a": (12_500_000, "10"), "b": (7_000_000, "7")}
+
+
+def test_filter_regex_and_in(spark):
+    t = spark.createDataFrame(
+        [("a1", "p", "x"), ("b2", "p", "y"), ("a9", "p", "z"),
+         ("c3", "p", "w")],
+        "subj string, pred string, obj string",
+    )
+    got = {r.s for r in bgp_match(
+        t, [("?s", "p", "?o")],
+        filters=[("?s", "regex", "^a[0-9]$")],
+    ).collect()}
+    assert got == {"a1", "a9"}
+    got2 = {r.s for r in bgp_match(
+        t, [("?s", "p", "?o")],
+        filters=[("?s", "in", ["b2", "c3", "zz"])],
+    ).collect()}
+    assert got2 == {"b2", "c3"}
+    with pytest.raises(ValueError, match="non-empty constant list"):
+        bgp_match(t, [("?s", "p", "?o")], filters=[("?s", "in", [])])
