@@ -6296,6 +6296,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             isa.union(levels).union(short1).union(short2), max_depth=4
         )
 
+    def rel_cusum(spark, sf_dir):
+        # two-sided integer CUSUM change detection (kgspark/relops.py
+        # cusum_alarms): daily event counts per user-cohort key, k = the
+        # per-key truncated mean, h = 4*max(k,1); the max(0, S+d)
+        # recurrence evaluated in closed form as prefix-sum minus
+        # running-min — one per-key exchange, no driver loop
+        from kgspark.relops import cusum_alarms
+
+        ev = _read(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            (F.col("user_id") % 8).alias("key"),
+            F.to_date("ts").alias("day"),
+        ).agg(F.count("*").alias("x"))
+        return cusum_alarms(daily, ["key"], "day", "x")
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -6620,6 +6635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys": skew_hot_keys,
         "skew_salted_agg": skew_salted_agg,
         "text_fingerprint": text_fingerprint,
+        "rel_cusum": rel_cusum,
     }
 
 
@@ -14431,5 +14447,40 @@ ia_e AS (
 )
 SELECT t AS event_type, q_pml::BIGINT AS q_pml, vmic AS gap_micros
 FROM ia_e WHERE rn = (q_pml * n + 999) // 1000
+""",
+        # kgspark.relops.cusum_alarms: identical closed-form CUSUM —
+        # prefix sum of drift deltas minus the (0-floored) running min;
+        # sum()//count() truncated mean == Spark div on non-negatives
+        "rel_cusum": """
+WITH cu_d AS (
+  SELECT (user_id % 8)::BIGINT AS key, CAST(ts AS DATE) AS day,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+cu_k AS (
+  SELECT key, (sum(x) // count(*))::BIGINT AS k FROM cu_d GROUP BY 1
+),
+cu_p AS (
+  SELECT d.key, d.day, d.x, k.k,
+         sum(d.x - k.k) OVER w AS p_hi,
+         sum(k.k - d.x) OVER w AS p_lo
+  FROM cu_d d JOIN cu_k k USING (key)
+  WINDOW w AS (PARTITION BY d.key ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cu_s AS (
+  SELECT key, day, x, k,
+         (p_hi - least(0, min(p_hi) OVER w))::BIGINT AS s_hi,
+         (p_lo - least(0, min(p_lo) OVER w))::BIGINT AS s_lo
+  FROM cu_p
+  WINDOW w AS (PARTITION BY key ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key, day, x, k, s_hi, s_lo,
+       (CASE WHEN s_hi > 4 * greatest(k, 1) THEN 1 ELSE 0 END)::INT
+         AS alarm_hi,
+       (CASE WHEN s_lo > 4 * greatest(k, 1) THEN 1 ELSE 0 END)::INT
+         AS alarm_lo
+FROM cu_s
 """,
     }

@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "kg_akas",
     "kg_pagerank_w",
     "kg_bgp_regex",
+    "rel_cusum",
 ]
 
 

@@ -1152,3 +1152,83 @@ def histogram(
             F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+def cusum_alarms(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str = "day",
+    x_col: str = "x",
+    k: int | None = None,
+    h: int | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point statistics over an ordered integer
+    series per key (Page 1954): S_hi[t] = max(0, S_hi[t-1] + (x-k)) flags
+    upward level shifts, S_lo[t] = max(0, S_lo[t-1] + (k-x)) downward ones;
+    a side alarms when its statistic exceeds the decision threshold h.
+
+    Exact-integer formulation: the recurrence max(0, S+d) unrolls to the
+    closed form S[t] = P[t] - min(0, min_{j<=t} P[j]) where P is the
+    running prefix sum of the drift-adjusted deltas — two window passes
+    (prefix sum, running min) over ONE per-key exchange, no driver loop,
+    no recursion. All arithmetic is 64-bit integer so the statistic is
+    bit-identical cross-engine.
+
+    k (the reference / allowance) defaults to the per-key truncated mean
+    sum(x) div count(x) (x must be non-negative for the truncation to be
+    well-defined cross-engine); h defaults to 4 * max(k, 1), the classic
+    "4 sigma-ish" decision interval for count data. Pass explicit ints to
+    pin either.
+
+    Input: one row per (keys, t) — callers aggregate raw events to the
+    monitoring grain first (so the window sees at most one row per tick).
+    Returns (*keys, t, x, k, s_hi, s_lo, alarm_hi, alarm_lo).
+
+    Scale: the only exchange is hash-partition by key; windows are
+    per-key and the series length is bounded by the calendar, not the
+    event volume. Reference analogue: none (beyond-reference curation
+    op; the reference has no monitoring surface).
+    """
+    cols = [F.col(c) for c in key_cols]
+    x = F.col(x_col).cast("long")
+    if k is None:
+        kdf = series.groupBy(*key_cols).agg(
+            F.expr(f"sum(cast({x_col} as bigint)) div count({x_col})")
+            .alias("__k")
+        )
+        base = series.join(F.broadcast(kdf), key_cols, "inner")
+    else:
+        base = series.withColumn("__k", F.lit(int(k)).cast("long"))
+    kc = F.col("__k")
+    wrow = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = base.select(
+        *key_cols, t_col, x.alias("__x"), kc,
+        F.sum(x - kc).over(wrow).alias("__p_hi"),
+        F.sum(kc - x).over(wrow).alias("__p_lo"),
+    )
+    s = p.select(
+        *key_cols, t_col, "__x", "__k",
+        (F.col("__p_hi")
+         - F.least(F.lit(0).cast("long"),
+                   F.min("__p_hi").over(wrow))).alias("s_hi"),
+        (F.col("__p_lo")
+         - F.least(F.lit(0).cast("long"),
+                   F.min("__p_lo").over(wrow))).alias("s_lo"),
+    )
+    hc = (
+        F.lit(int(h)).cast("long") if h is not None
+        else F.lit(4).cast("long") * F.greatest(F.col("__k"), F.lit(1).cast("long"))
+    )
+    return s.select(
+        *key_cols,
+        F.col(t_col),
+        F.col("__x").alias(x_col),
+        F.col("__k").alias("k"),
+        "s_hi", "s_lo",
+        (F.col("s_hi") > hc).cast("int").alias("alarm_hi"),
+        (F.col("s_lo") > hc).cast("int").alias("alarm_lo"),
+    )

@@ -423,3 +423,49 @@ def test_histogram_bins_overflow_and_dense_spine(spark):
     assert got[10][0] == 2               # 100.0, 250.0 overflow
     assert sum(n for n, _, _ in got.values()) == 9  # NULL dropped
     assert got[3][0] == 0                # dense spine: empty bin present
+
+
+def test_cusum_alarms_matches_recurrence(spark):
+    from kgspark.relops import cusum_alarms
+
+    # two keys: one flat series, one with a planted level shift upward
+    rows = []
+    flat = [5, 6, 5, 4, 5, 6, 5, 5]
+    shift = [5, 5, 5, 5, 20, 22, 21, 23]  # jumps at t=4
+    for t, v in enumerate(flat):
+        rows.append(("a", t, v))
+    for t, v in enumerate(shift):
+        rows.append(("b", t, v))
+    df = spark.createDataFrame(rows, "key string, day int, x int")
+    out = {
+        (r["key"], r["day"]): r
+        for r in cusum_alarms(df, ["key"], "day", "x").collect()
+    }
+
+    for key, series in (("a", flat), ("b", shift)):
+        k = sum(series) // len(series)  # non-negative: trunc == floor
+        h = 4 * max(k, 1)
+        s_hi = s_lo = 0
+        for t, v in enumerate(series):
+            s_hi = max(0, s_hi + (v - k))
+            s_lo = max(0, s_lo + (k - v))
+            r = out[(key, t)]
+            assert r["k"] == k
+            assert r["s_hi"] == s_hi, (key, t)
+            assert r["s_lo"] == s_lo, (key, t)
+            assert r["alarm_hi"] == int(s_hi > h)
+            assert r["alarm_lo"] == int(s_lo > h)
+    assert out[("a", 7)]["alarm_hi"] == 0
+
+    # explicit k/h override — with k pinned to the pre-shift level the
+    # planted jump must alarm (self-derived k absorbs part of the shift)
+    pinned = {
+        (r["key"], r["day"]): r
+        for r in cusum_alarms(df, ["key"], "day", "x", k=5, h=10).collect()
+    }
+    s = 0
+    for t, v in enumerate(shift):
+        s = max(0, s + (v - 5))
+        assert pinned[("b", t)]["s_hi"] == s
+        assert pinned[("b", t)]["alarm_hi"] == int(s > 10)
+    assert pinned[("b", 7)]["alarm_hi"] == 1
