@@ -245,6 +245,13 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum([{a}[j]::DOUBLE * {b}[j]::DOUBLE "
+        f"for j in range(1, {dim + 1})])"
+    )
+
+
 def _transe_l1_sql(s: str, p: str, o: str, dim: int = 8) -> str:
     """TransE L1 energy replica of kgspark.kgembed: coordinate i of an
     embedding is md5 byte i (salt 'e' for entities, 'r' for relations)
@@ -1677,6 +1684,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dim_truncation_report(
             emb, _queries_df(spark, sf_dir), dims=[8, 16, 64], k=5
         )
+
+    def ann_mips(spark, sf_dir):
+        # exact maximum-inner-product top-k (kgspark/similarity.py
+        # mips_topk); the norm-augmentation LSH reduction (mips_topk_lsh,
+        # Bachrach 2014) is the scale path, recall-tested in pytest
+        from kgspark.similarity import mips_topk
+
+        emb = _read(spark, sf_dir, "embeddings")
+        return mips_topk(emb, _queries_df(spark, sf_dir), k=5)
 
     # -- text analysis ------------------------------------------------------
 
@@ -6462,6 +6478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ql": text_ql,
         "kg_bgp_seq": kg_bgp_seq,
         "ann_knn_graph": ann_knn_graph,
+        "ann_mips": ann_mips,
         "kg_bgp_having": kg_bgp_having,
         "kg_acronyms": kg_acronyms,
         "text_snippets": text_snippets,
@@ -7240,6 +7257,23 @@ SELECT src, dst, cos, rank FROM (
          row_number() OVER (
            PARTITION BY src ORDER BY cos DESC, dst ASC)::BIGINT AS rank
   FROM kn_s
+) WHERE rank <= 5
+""",
+        # kgspark.similarity.mips_topk: exact inner-product top-5 (norms
+        # matter — no normalization), identical fp64 expression tree
+        "ann_mips": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dot_sql('e.embedding', 'q.qemb')}, 6) AS dot
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, dot, rank FROM (
+  SELECT query_id, vec_id, dot,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dot DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
 ) WHERE rank <= 5
 """,
         # kgspark.similarity.dim_truncation_report: per-prefix-dim exact

@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "text_ql",
     "kg_bgp_seq",
     "ann_knn_graph",
+    "ann_mips",
     "kg_bgp_having",
     "kg_acronyms",
     "text_snippets",

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgspark.dedup import banded_sign_values
-from kgspark.embed import cosine_cols, l2_norm
+from kgspark.embed import cosine_cols, dot_cols, l2_norm
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -610,4 +610,123 @@ def knn_graph(
         F.col("query_id").alias("src"),
         F.col("vec_id").alias("dst"),
         "cos", F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def mips_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k: (query_id, vec_id, dot, rank).
+
+    MIPS is the retrieval primitive for trained dual-encoder / matrix-
+    factorization scorers, where vector NORM carries information (cosine
+    search would erase it). Beyond-reference scope: the reference's only
+    ANN surface is a dict memo-cache (knowledge_graph_builder.py:94-102);
+    design follows the MIPS reduction literature (Bachrach et al., RecSys
+    2014; Shrivastava & Li, NIPS 2014).
+
+    Plan shape mirrors cosine_topk: the (small) query set is broadcast
+    against the corpus — the big side is never shuffled before the tiny
+    per-query top-k window — and the dot product runs JVM-side in fp64.
+    """
+    q = queries.select("query_id", F.col("qemb"))
+    j = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("e")
+    ).crossJoin(F.broadcast(q))
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id", "vec_id",
+        F.round(dot_cols(F.col("e"), F.col("qemb")), 6).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def mips_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bands: int = 8,
+    band_bits: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate MIPS via the norm-augmentation reduction (Bachrach et
+    al., RecSys 2014 / Neyshabur & Srebro, ICML 2015): append coordinate
+    sqrt(M^2 - ||x||^2) to each corpus vector (M = max corpus norm) and
+    0.0 to each query, so cos(x_aug, q_aug) = <x, q> / (M * ||q||) —
+    MONOTONE in the inner product. MIPS then rides the existing banded
+    sign-LSH machinery unchanged: candidates = corpus rows sharing any
+    band value with the query on the AUGMENTED vectors; survivors are
+    re-scored with the EXACT fp64 dot product, so emitted values are
+    exact and only recall is approximate (the 100 TB path).
+
+    M is a 1-row scalar aggregate broadcast-crossed onto the corpus (the
+    documented scalar-broadcast BNLJ posture — not a data-sized join).
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+    )
+    mx = base.agg(
+        F.max(l2_norm(F.col("e"))).alias("m")
+    )
+    corpus = base.crossJoin(F.broadcast(mx)).select(
+        "vec_id", "e",
+        F.concat(
+            F.col("e"),
+            F.array(F.sqrt(
+                F.greatest(
+                    F.col("m") * F.col("m")
+                    - F.aggregate(F.col("e"), F.lit(0.0),
+                                  lambda acc, x: acc + x * x),
+                    F.lit(0.0),
+                )
+            )),
+        ).alias("e_aug"),
+    )
+    corpus = corpus.select(
+        "vec_id", "e",
+        F.posexplode(
+            banded_sign_values(F.col("e_aug"), bands, band_bits)
+        ).alias("band", "val"),
+    )
+    q = queries.select(
+        "query_id",
+        F.col("qemb").cast("array<double>").alias("qe"),
+    ).select(
+        "query_id", "qe",
+        F.posexplode(
+            banded_sign_values(
+                F.concat(F.col("qe"), F.array(F.lit(0.0))),
+                bands, band_bits,
+            )
+        ).alias("band", "val"),
+    )
+    j = corpus.join(F.broadcast(q), ["band", "val"])
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    j = j.dropDuplicates(["query_id", "vec_id"])
+    scored = j.select(
+        "query_id", "vec_id",
+        F.round(dot_cols(F.col("e"), F.col("qe")), 6).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot",
+                F.col("rank").cast("long").alias("rank"))
     )

@@ -214,3 +214,50 @@ def test_knn_graph_exact_and_lsh_recall(spark):
     assert len(approx & truth) / len(truth) >= 0.5
     plan = knn_graph(emb, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_mips_topk_exact_vs_python(spark):
+    import math
+
+    from kgspark.similarity import mips_topk, mips_topk_lsh
+
+    # norms vary 1x-9x so inner-product order DIFFERS from cosine order:
+    # direction repeats every 8 ids, magnitude grows with id
+    rows = [
+        (i, [float(i % 8 + 1) * (1.0 if ((i >> b) & 1) else -0.5)
+             for b in range(12)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:3]], "query_id long, qemb array<float>"
+    )
+    got = mips_topk(emb, q, k=4).collect()
+    vecs = {i: v for i, v in rows}
+    for qid in (0, 1, 2):
+        dots = sorted(
+            ((round(sum(float(a) * float(b)
+                        for a, b in zip(vecs[i], vecs[qid])), 6), -i), i)
+            for i in vecs if i != qid
+        )[::-1]
+        want = [i for _, i in dots[:4]]
+        mine = [r.vec_id for r in sorted(
+            (r for r in got if r.query_id == qid), key=lambda r: r.rank)]
+        assert mine == want, (qid, mine, want)
+    # MIPS winner for query 0 must be a LARGE-norm vector (id >= 32 has
+    # norm 8-9x), proving we are not just doing cosine
+    top0 = [r for r in got if r.query_id == 0 and r.rank == 1][0]
+    n = math.sqrt(sum(x * x for x in vecs[top0.vec_id]))
+    n0 = math.sqrt(sum(x * x for x in vecs[0]))
+    assert n > 2 * n0
+
+    # LSH reduction path: every emitted dot is EXACT (matches brute) and
+    # recall on this clustered fixture is substantial
+    brute = {(r.query_id, r.vec_id): r.dot
+             for r in mips_topk(emb, q, k=10 ** 6).collect()}
+    approx = mips_topk_lsh(emb, q, k=4, bands=8, band_bits=4).collect()
+    for r in approx:
+        assert brute[(r.query_id, r.vec_id)] == r.dot
+    truth = {(r.query_id, r.vec_id) for r in got}
+    hit = {(r.query_id, r.vec_id) for r in approx}
+    assert len(hit & truth) / len(truth) >= 0.5
