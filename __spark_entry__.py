@@ -1694,6 +1694,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, "embeddings")
         return mips_topk(emb, _queries_df(spark, sf_dir), k=5)
 
+    def embed_sq8(spark, sf_dir):
+        # int8 scalar quantization census (kgspark/embed.py sq8_stats +
+        # sq8_encode): per-vector code sum + md5 of the full code string —
+        # codes are floor((x-lo)*255/(hi-lo)+0.5) ints, bit-deterministic
+        from kgspark.embed import sq8_encode, sq8_stats
+
+        emb = _read(spark, sf_dir, "embeddings")
+        codes = sq8_encode(emb, sq8_stats(emb))
+        return codes.select(
+            "vec_id",
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("code_sum"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("codes", lambda c: c.cast("string"))
+                )
+            ).alias("code_md5"),
+        )
+
+    def ann_sq8(spark, sf_dir):
+        # asymmetric search over the SQ8 codes (kgspark/similarity.py
+        # sq8_topk): fp64 query x on-the-fly-decoded int8 corpus
+        from kgspark.embed import sq8_encode, sq8_stats
+        from kgspark.similarity import sq8_topk
+
+        emb = _read(spark, sf_dir, "embeddings")
+        st = sq8_stats(emb)
+        return sq8_topk(
+            sq8_encode(emb, st), st, _queries_df(spark, sf_dir), k=5
+        )
+
     # -- text analysis ------------------------------------------------------
 
     def text_langid(spark, sf_dir):
@@ -6479,6 +6511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_seq": kg_bgp_seq,
         "ann_knn_graph": ann_knn_graph,
         "ann_mips": ann_mips,
+        "embed_sq8": embed_sq8,
+        "ann_sq8": ann_sq8,
         "kg_bgp_having": kg_bgp_having,
         "kg_acronyms": kg_acronyms,
         "text_snippets": text_snippets,
@@ -7273,6 +7307,65 @@ SELECT query_id, vec_id, dot, rank FROM (
   SELECT query_id, vec_id, dot,
          row_number() OVER (
            PARTITION BY query_id ORDER BY dot DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        # kgspark.embed.sq8_stats + sq8_encode replica: per-dim min/max,
+        # floor((x-lo)*255/(hi-lo)+0.5) clamped to [0,255] — identical
+        # fp64 tree, so codes (and their md5) match bit-for-bit
+        "embed_sq8": """
+WITH sq_st AS (
+  SELECT t.j, min(e.embedding[t.j]::DOUBLE) AS lo,
+         max(e.embedding[t.j]::DOUBLE) AS hi
+  FROM embeddings e, range(1, 65) t(j) GROUP BY t.j
+),
+sq_c AS (
+  SELECT e.vec_id, t.j,
+         greatest(0, least(255,
+           (floor((e.embedding[t.j]::DOUBLE - s.lo) * (255.0::DOUBLE)
+                  / (s.hi - s.lo) + (0.5::DOUBLE)))::INT)) AS c
+  FROM embeddings e, range(1, 65) t(j) JOIN sq_st s ON s.j = t.j
+)
+SELECT vec_id, sum(c)::BIGINT AS code_sum,
+       md5(string_agg(c::VARCHAR, ',' ORDER BY j)) AS code_md5
+FROM sq_c GROUP BY vec_id
+""",
+        # kgspark.similarity.sq8_topk replica: decode
+        # c*(hi-lo)/255 + lo per dim, fp64 dot in index order
+        "ann_sq8": """
+WITH sq_st AS (
+  SELECT t.j, min(e.embedding[t.j]::DOUBLE) AS lo,
+         max(e.embedding[t.j]::DOUBLE) AS hi
+  FROM embeddings e, range(1, 65) t(j) GROUP BY t.j
+),
+sq_arr AS (
+  SELECT list(lo ORDER BY j) AS lo_l, list(hi ORDER BY j) AS hi_l
+  FROM sq_st
+),
+sq_codes AS (
+  SELECT e.vec_id, list(
+    greatest(0, least(255,
+      (floor((e.embedding[t.j]::DOUBLE - s.lo) * (255.0::DOUBLE)
+             / (s.hi - s.lo) + (0.5::DOUBLE)))::INT)) ORDER BY t.j
+  ) AS cl
+  FROM embeddings e, range(1, 65) t(j) JOIN sq_st s ON s.j = t.j
+  GROUP BY e.vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+      WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_sum([
+           (c.cl[j]::DOUBLE * (a.hi_l[j] - a.lo_l[j]) / (255.0::DOUBLE)
+            + a.lo_l[j]) * q.qemb[j]::DOUBLE
+           for j in range(1, 65)]), 6) AS dot_q
+  FROM sq_codes c CROSS JOIN sq_arr a CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, dot_q, rank FROM (
+  SELECT query_id, vec_id, dot_q,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dot_q DESC, vec_id ASC)::BIGINT AS rank
   FROM scored
 ) WHERE rank <= 5
 """,

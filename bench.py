@@ -327,6 +327,8 @@ BENCH_QUERIES = [
     "kg_bgp_seq",
     "ann_knn_graph",
     "ann_mips",
+    "embed_sq8",
+    "ann_sq8",
     "kg_bgp_having",
     "kg_acronyms",
     "text_snippets",

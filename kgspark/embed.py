@@ -555,3 +555,63 @@ def norm_stats(
         F.max("__n").cast("long").alias("max_norm"),
         F.sum("__n").cast("long").alias("sum_norm"),
     )
+
+
+def sq8_stats(emb: DataFrame, emb_col: str = "embedding",
+              dim: int = DIM) -> DataFrame:
+    """Per-dimension (dim1, lo, hi) training stats for int8 scalar
+    quantization — the FAISS ``SQ8`` flat-compressed layout (distinct
+    from PQ: no codebook, one byte per DIMENSION with a per-dim affine
+    range). posexplode -> groupBy(dim) is a map-side-combined shuffle of
+    d tiny groups; the stats table is dimension-sized (broadcast
+    material). Beyond-reference scope (the reference keeps raw fp32
+    lists in a joblib memo, knowledge_graph_builder.py:83-102)."""
+    return (
+        emb.select(
+            F.posexplode(F.col(emb_col).cast("array<double>"))
+            .alias("dim0", "x")
+        )
+        .groupBy("dim0")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .select((F.col("dim0") + 1).alias("dim1"), "lo", "hi")
+    )
+
+
+def sq8_encode(
+    emb: DataFrame,
+    stats: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes array<int>) with codes[j] = floor((x_j - lo_j) *
+    255 / (hi_j - lo_j) + 0.5), clamped to [0, 255]. floor(x + 0.5) is
+    used instead of round() so the tie mode is pinned cross-engine; both
+    engines evaluate the identical fp64 expression tree, so quantization
+    is bit-deterministic. Stats ride in as two broadcast ARRAY columns
+    (1-row cross join — the documented scalar-broadcast posture); the
+    corpus is never shuffled (map-only encode)."""
+    arrs = stats.orderBy("dim1").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim1", "lo", "hi"))
+        ).alias("s")
+    ).select(
+        F.transform("s", lambda t: t["lo"]).alias("lo_arr"),
+        F.transform("s", lambda t: t["hi"]).alias("hi_arr"),
+    )
+    enc = emb.crossJoin(F.broadcast(arrs))
+    codes = F.zip_with(
+        F.col(emb_col).cast("array<double>"),
+        F.zip_with("lo_arr", "hi_arr", lambda lo, hi: F.struct(
+            lo.alias("lo"), hi.alias("hi"))),
+        lambda x, s: F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (x - s["lo"]) * F.lit(255.0)
+                    / (s["hi"] - s["lo"]) + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return enc.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))

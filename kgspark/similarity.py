@@ -730,3 +730,58 @@ def mips_topk_lsh(
         .select("query_id", "vec_id", "dot",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric top-k over int8 scalar-quantized codes (embed.sq8_encode):
+    the query stays fp64, each corpus vector is decoded on the fly as
+    decoded_j = codes_j * (hi_j - lo_j) / 255 + lo_j, and the estimated
+    inner product ranks candidates — the FAISS SQ8 flat search, 4 bytes ->
+    1 byte per dim. Map-only over the codes table (stats + queries ride a
+    broadcast); all arithmetic is an fp64 expression tree identical to the
+    SQL oracle, so scores are bit-deterministic. Returns
+    (query_id, vec_id, dot_q, rank)."""
+    arrs = stats.orderBy("dim1").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim1", "lo", "hi"))
+        ).alias("s")
+    ).select(
+        F.transform("s", lambda t: t["lo"]).alias("lo_arr"),
+        F.transform("s", lambda t: t["hi"]).alias("hi_arr"),
+    )
+    q = queries.select(
+        "query_id", F.col("qemb").cast("array<double>").alias("qe")
+    )
+    j = codes.crossJoin(F.broadcast(arrs)).crossJoin(F.broadcast(q))
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    decoded = F.zip_with(
+        F.col("codes").cast("array<double>"),
+        F.zip_with("lo_arr", "hi_arr", lambda lo, hi: F.struct(
+            lo.alias("lo"), hi.alias("hi"))),
+        lambda c, s: c * (s["hi"] - s["lo"]) / F.lit(255.0) + s["lo"],
+    )
+    scored = j.select(
+        "query_id", "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(decoded, F.col("qe"), lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot_q",
+                F.col("rank").cast("long").alias("rank"))
+    )

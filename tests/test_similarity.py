@@ -261,3 +261,42 @@ def test_mips_topk_exact_vs_python(spark):
     truth = {(r.query_id, r.vec_id) for r in got}
     hit = {(r.query_id, r.vec_id) for r in approx}
     assert len(hit & truth) / len(truth) >= 0.5
+
+
+def test_sq8_encode_and_topk(spark):
+    from kgspark.embed import sq8_encode, sq8_stats
+    from kgspark.similarity import mips_topk, sq8_topk
+
+    rows = [
+        (i, [float(i % 8 + 1) * (1.0 if ((i >> b) & 1) else -0.5)
+             for b in range(12)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    st = sq8_stats(emb, dim=12)
+    stats = {r.dim1: (r.lo, r.hi) for r in st.collect()}
+    assert set(stats) == set(range(1, 13))
+    codes = sq8_encode(emb, st)
+    got = {r.vec_id: r.codes for r in codes.collect()}
+    vecs = dict(rows)
+    import math
+    for i, v in vecs.items():
+        for j, x in enumerate(v, start=1):
+            lo, hi = stats[j]
+            want = max(0, min(255, math.floor(
+                (float(x) - lo) * 255.0 / (hi - lo) + 0.5)))
+            assert got[i][j - 1] == want, (i, j)
+    # per-dim extremes land exactly on 0 / 255
+    flat = [c for cs in got.values() for c in cs]
+    assert min(flat) == 0 and max(flat) == 255
+    # ADC top-k over 8-bit codes reproduces the exact MIPS ranking here
+    q = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:2]], "query_id long, qemb array<float>")
+    sq = sq8_topk(codes, st, q, k=3)
+    exact = mips_topk(emb, q, k=3)
+    assert (
+        [(r.query_id, r.vec_id, r.rank) for r in sorted(
+            sq.collect(), key=lambda r: (r.query_id, r.rank))]
+        == [(r.query_id, r.vec_id, r.rank) for r in sorted(
+            exact.collect(), key=lambda r: (r.query_id, r.rank))]
+    )
