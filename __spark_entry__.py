@@ -245,6 +245,16 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+def _zmorton_sql(ba: str, bb: str, bits: int) -> str:
+    """Morton interleave of two bucket columns as a sum of disjoint-bit
+    shift terms — replicates kgspark.io_tables.zorder_key's expression."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({ba} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({bb} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     return (
         f"list_sum([{a}[j]::DOUBLE * {b}[j]::DOUBLE "
@@ -1724,6 +1734,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         st = sq8_stats(emb)
         return sq8_topk(
             sq8_encode(emb, st), st, _queries_df(spark, sf_dir), k=5
+        )
+
+    def rel_zorder(spark, sf_dir):
+        # Morton/Z-order layout key (kgspark/io_tables.py zorder_key):
+        # coarse-cell census of the interleaved key over
+        # (o_custkey, o_orderkey) — exact integer arithmetic end-to-end
+        from kgspark.io_tables import zorder_key
+
+        orders = _read(spark, sf_dir, "orders")
+        keyed = zorder_key(orders, "o_custkey", "o_orderkey", bits=16)
+        return (
+            keyed.select(F.expr("__z div 16777216L").alias("zcell"),
+                         F.col("__z").alias("z"))
+            .groupBy("zcell")
+            .agg(F.count("*").alias("n"),
+                 F.min("z").alias("zmin"), F.max("z").alias("zmax"))
         )
 
     # -- text analysis ------------------------------------------------------
@@ -6519,6 +6545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mst": kg_mst,
         "kg_single_linkage": kg_single_linkage,
         "rel_histogram": rel_histogram,
+        "rel_zorder": rel_zorder,
         "kg_akas": kg_akas,
         "kg_pagerank_w": kg_pagerank_w,
         "kg_bgp_regex": kg_bgp_regex,
@@ -12729,6 +12756,30 @@ SELECT s.bin,
        END AS hi_edge,
        coalesce(c.n, 0)::BIGINT AS n
 FROM rh_s s LEFT JOIN rh_c c ON c.bin = s.bin
+""",
+        # kgspark.io_tables.zorder_key replica: exact-integer affine
+        # bucketing to [0, 2^16) then Morton bit interleave (a on odd
+        # positions), coarse 2^24 cells — // and div both truncate
+        # toward zero on the non-negative operands
+        "rel_zorder": f"""
+WITH zo_mm AS (
+  SELECT min(o_custkey)::BIGINT AS mna, max(o_custkey)::BIGINT AS mxa,
+         min(o_orderkey)::BIGINT AS mnb, max(o_orderkey)::BIGINT AS mxb
+  FROM orders
+),
+zo_b AS (
+  SELECT ((o.o_custkey::BIGINT - m.mna) * 65536) // (m.mxa - m.mna + 1)
+           AS ba,
+         ((o.o_orderkey::BIGINT - m.mnb) * 65536) // (m.mxb - m.mnb + 1)
+           AS bb
+  FROM orders o CROSS JOIN zo_mm m
+),
+zo_z AS (
+  SELECT ({_zmorton_sql('ba', 'bb', 16)})::BIGINT AS z FROM zo_b
+)
+SELECT z // 16777216 AS zcell, count(*)::BIGINT AS n,
+       min(z) AS zmin, max(z) AS zmax
+FROM zo_z GROUP BY 1
 """,
         # kgspark.relops.interval_overlap_join: brute-force theta-join
         # oracle proves the bucketed join is lossless AND emit-once

@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "kg_mst",
     "kg_single_linkage",
     "rel_histogram",
+    "rel_zorder",
     "kg_akas",
     "kg_pagerank_w",
     "kg_bgp_regex",

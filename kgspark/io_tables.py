@@ -290,3 +290,74 @@ def append_check(df: DataFrame, spark: SparkSession, table_path: str) -> dict:
         "extra": extra,
         "type_changed": changed,
     }
+
+
+def zorder_key(df: DataFrame, col_a: str, col_b: str,
+               bits: int = 16, out: str = "__z") -> DataFrame:
+    """Morton / Z-order key over two non-negative integer columns: each
+    column is affinely bucketed to [0, 2^bits) with EXACT integer
+    arithmetic — bucket = ((x - min) * 2^bits) div (max - min + 1) — and
+    the bucket bits are interleaved (a on odd positions). Rows close in
+    the (a, b) plane land close on the Z-curve, so range-partitioning +
+    sorting by the key clusters BOTH dimensions into the same files and
+    parquet min/max row-group stats prune either predicate — the
+    multi-dimensional data-skipping layout Delta/Iceberg OPTIMIZE ZORDER
+    provides, as plain DataFrame arithmetic. Beyond-reference scope (the
+    reference persists one pickle, knowledge_graph_builder.py:83-92).
+
+    Column min/max ride in as a 1-row broadcast (the documented
+    scalar-broadcast posture); everything else is a map-only integer
+    expression tree (oracle-replicable: div truncates toward zero on
+    both engines, inputs are non-negative).
+    """
+    mm = df.agg(
+        F.min(F.col(col_a).cast("long")).alias("__mna"),
+        F.max(F.col(col_a).cast("long")).alias("__mxa"),
+        F.min(F.col(col_b).cast("long")).alias("__mnb"),
+        F.max(F.col(col_b).cast("long")).alias("__mxb"),
+    )
+    scale = 1 << bits
+    j = df.crossJoin(F.broadcast(mm))
+    ba = F.expr(
+        f"((cast({col_a} as bigint) - __mna) * {scale}L)"
+        f" div (__mxa - __mna + 1L)"
+    )
+    bb = F.expr(
+        f"((cast({col_b} as bigint) - __mnb) * {scale}L)"
+        f" div (__mxb - __mnb + 1L)"
+    )
+    j = j.withColumn("__ba", ba).withColumn("__bb", bb)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(F.col("__ba"), i).bitwiseAND(F.lit(1)),
+                          2 * i + 1)
+            + F.shiftleft(F.shiftright(F.col("__bb"), i).bitwiseAND(F.lit(1)),
+                          2 * i)
+        )
+    return j.withColumn(out, z.cast("long")).drop(
+        "__mna", "__mxa", "__mnb", "__mxb", "__ba", "__bb"
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Write parquet clustered on the Z-curve: repartitionByRange on the
+    Morton key (contiguous curve segments per file) + sortWithinPartitions
+    so row groups inside each file stay tight too. One exchange total;
+    the key column is dropped from the persisted schema."""
+    keyed = zorder_key(df, col_a, col_b, bits=bits)
+    (
+        keyed.repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -304,3 +304,45 @@ def test_run_report_stage_rows_and_skew(spark, tmp_path):
     assert rep["s1"].rows == 100 and rep["s1"].n_partitions >= 1
     assert rep["s1"].skew_ratio_ppm >= 1_000_000  # max >= fair share
     assert rep["s1"].elapsed_sec > 0
+
+
+def test_zorder_key_and_write(spark, tmp_path):
+    from kgspark.io_tables import zorder_key, zorder_write
+
+    # full 64x64 grid, bits=6 -> buckets are the coordinates themselves
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    keyed = zorder_key(df, "a", "b", bits=6)
+    got = {(r.a, r.b): r["__z"] for r in keyed.collect()}
+
+    def z_py(a, b, bits=6):
+        z = 0
+        for i in range(bits):
+            z += ((a >> i) & 1) << (2 * i + 1)
+            z += ((b >> i) & 1) << (2 * i)
+        return z
+
+    # min=0, max=63: bucket = (x * 64) // 64 = x  -> pure interleave
+    for (a, b), z in got.items():
+        assert z == z_py(a, b), (a, b, z)
+
+    # layout quality: Z-clustered files bound BOTH dimensions; a 1-D sort
+    # leaves the other dimension spanning the full range in every file
+    zdir = str(tmp_path / "zorder")
+    zorder_write(df, zdir, "a", "b", bits=6, num_files=16)
+    back = spark.read.parquet(zdir)
+    assert back.count() == 64 * 64 and set(back.columns) == {"a", "b"}
+    import os
+    from pyspark.sql import functions as F
+
+    files = [f for f in os.listdir(zdir) if f.endswith(".parquet")]
+    assert len(files) > 4
+    both_tight = 0
+    for f in files:
+        st = spark.read.parquet(os.path.join(zdir, f)).agg(
+            F.min("a"), F.max("a"), F.min("b"), F.max("b")).collect()[0]
+        aspan = (st[1] - st[0]) / 63.0
+        bspan = (st[3] - st[2]) / 63.0
+        if aspan <= 0.51 and bspan <= 0.51:
+            both_tight += 1
+    assert both_tight >= len(files) // 2, (both_tight, len(files))
