@@ -1420,6 +1420,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         start = t.agg(F.min("subj").alias("start"))
         return k_hop(t, start, k=2)
 
+    def kg_neighbor_sample(spark, sf_dir):
+        # GraphSAGE bounded-fanout block sampling (kgspark/kgtrain.py
+        # neighbor_sample): hash-ranked top-(3,2) out-neighbors per hop
+        # from the 2 lexicographically-first subjects
+        from kgspark.kgtrain import neighbor_sample
+
+        t = _extract_triples(spark, sf_dir)
+        seeds = (
+            t.select(F.col("subj").alias("seed")).distinct()
+            .orderBy("seed").limit(2)
+        )
+        return neighbor_sample(t, seeds, fanouts=(3, 2))
+
     def kg_sssp(spark, sf_dir):
         # weighted shortest paths from the lexicographically-first subject,
         # 4 frontier Bellman-Ford rounds (kgspark/graph_algs.py sssp)
@@ -6664,6 +6677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_subgraph": kg_subgraph,
         "kg_pagerank": kg_pagerank,
         "kg_khop": kg_khop,
+        "kg_neighbor_sample": kg_neighbor_sample,
         "kg_node_asof": kg_node_asof,
         "kg_topics_density": kg_topics_density,
         "kg_dbscan_topics": kg_dbscan_topics,
@@ -7115,6 +7129,34 @@ kh_reach(node, hop) AS (
   WHERE r.hop < 2
 )
 SELECT node, min(hop) AS hop FROM kh_reach GROUP BY node
+""",
+        # kgspark.kgtrain.neighbor_sample replica: per-src hash rank
+        # (md5(src:dst), dst tie-break) computed once, hop-1 fanout 3
+        # from the 2 smallest subjects, hop-2 fanout 2 from the frontier
+        "kg_neighbor_sample": f"""
+WITH RECURSIVE {_PARTS_ORACLE_CTE},
+ns_e AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
+ns_rk AS (
+  SELECT src, dst, row_number() OVER (
+    PARTITION BY src ORDER BY md5(src || ':' || dst), dst) AS rk
+  FROM ns_e
+),
+ns_seed AS (
+  SELECT seed FROM (SELECT DISTINCT subj AS seed FROM triples)
+  ORDER BY seed LIMIT 2
+),
+ns_h1 AS (
+  SELECT s.seed, r.src, r.dst, 1 AS hop
+  FROM ns_seed s JOIN ns_rk r ON r.src = s.seed WHERE r.rk <= 3
+),
+ns_f1 AS (SELECT DISTINCT seed, dst AS node FROM ns_h1),
+ns_h2 AS (
+  SELECT DISTINCT f.seed, r.src, r.dst, 2 AS hop
+  FROM ns_f1 f JOIN ns_rk r ON r.src = f.node WHERE r.rk <= 2
+)
+SELECT seed, src, dst, hop::BIGINT AS hop FROM ns_h1
+UNION
+SELECT seed, src, dst, hop::BIGINT AS hop FROM ns_h2
 """,
         "kg_node_asof": """
 WITH t AS (SELECT max(ts) - INTERVAL '1 day' AS T FROM events)

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "kg_negative_samples",
     "kg_subgraph",
     "kg_khop",
+    "kg_neighbor_sample",
     "kg_node_asof",
     "kg_dbscan_topics",
     "kg_topics_density",

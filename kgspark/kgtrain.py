@@ -121,3 +121,57 @@ def negative_samples(
     # drop corruptions that happen to BE true triples (and degenerate
     # self-replacements that reproduce the original)
     return corrupted.join(t, [subj_col, pred_col, obj_col], "left_anti")
+
+
+def neighbor_sample(
+    triples: DataFrame,
+    seeds: DataFrame,
+    fanouts: tuple[int, ...] = (3, 2),
+) -> DataFrame:
+    """Bounded-fanout k-hop neighborhood sampling — the GraphSAGE
+    (Hamilton et al., NIPS 2017 §3.1) mini-batch block builder: per hop
+    h, every frontier node keeps only its top-``fanouts[h]``
+    out-neighbors, ranked by md5(src || ':' || dst) with dst tie-break —
+    a pure function of the data, so retried tasks, re-runs, and the SQL
+    oracle all draw the SAME "random" sample (the kgtrain.py posture:
+    hash-derived randomness, never rand()).
+
+    Scale contract: the full k-hop ball (graph_algs.k_hop) explodes on
+    hub nodes — a 10^6-degree entity makes hop 2 a broadcast storm. The
+    fanout cap bounds the block at O(|seeds| * prod(fanouts)) rows
+    regardless of degree. The per-src rank is ONE window over the edge
+    table (map-side-capped WindowGroupLimit), computed once and reused
+    by every hop's frontier equi-join.
+
+    seeds: 1-column DataFrame ``seed``. Returns (seed, src, dst, hop)
+    — the sampled message-passing edges per seed block, hop = 1-based.
+    Beyond-reference scope (reference has no sampler; its graph fits in
+    a networkx pickle, knowledge_graph_builder.py:83-92).
+    """
+    e = triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
+    w = Window.partitionBy("src").orderBy(
+        F.md5(F.concat_ws(":", "src", "dst")), F.col("dst")
+    )
+    ranked = materialize(
+        e.withColumn("rk", F.row_number().over(w))
+    )
+    frontier = seeds.select(F.col("seed"), F.col("seed").alias("node"))
+    out = None
+    for hop, fan in enumerate(fanouts, start=1):
+        step = (
+            frontier.join(
+                ranked.where(F.col("rk") <= fan),
+                frontier["node"] == ranked["src"],
+            )
+            .select("seed", "src", "dst", F.lit(hop).alias("hop"))
+            .distinct()
+        )
+        out = step if out is None else out.unionByName(step)
+        frontier = step.select(
+            "seed", F.col("dst").alias("node")
+        ).distinct()
+    return out.select(
+        "seed", "src", "dst", F.col("hop").cast("long").alias("hop")
+    )
