@@ -4530,6 +4530,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         obj.alias("obj"))
         )
 
+    def kg_turtle(spark, sf_dir):
+        # W3C Turtle with prefix compression (kgspark/rdf.py
+        # turtle_lines): subjects REPEAT (mod-25/30/50 id spaces) so
+        # blocks carry multi-predicate lists and multi-object lists;
+        # covers IRI/blank/prefixed/unprefixable terms + ECHAR literals
+        from kgspark.rdf import turtle_lines
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        subj = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("https://www.site"),
+                         (F.col("doc_id") % 50).cast("string"),
+                         F.lit(".example.com")),
+            )
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("_:bn"), (F.col("doc_id") % 30).cast("string")))
+            .otherwise(F.concat(F.lit("ent"), (F.col("doc_id") % 25).cast("string")))
+        )
+        pred = F.when(F.col("doc_id") % 2 == 0, F.lit("knows")).otherwise(
+            F.lit("https://schema.org/name")
+        )
+        obj = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("https://kg.example.org/e/"), d),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("_:bo"), d))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(F.lit('q"b\\\n\t\rend'), d),
+            )
+            .otherwise(F.substring("text", 1, 24))
+        )
+        return turtle_lines(
+            docs.select(subj.alias("subj"), pred.alias("pred"),
+                        obj.alias("obj")).distinct()
+        )
+
     def _kg_obs(spark, sf_dir):
         # deterministic fact-observation stream: 46 (subj, pred) groups,
         # the object value rotates every 150 doc_ids so each group sees
@@ -6490,6 +6530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_html_tables": web_html_tables,
         "kg_jsonld": kg_jsonld,
         "kg_ntriples": kg_ntriples,
+        "kg_turtle": kg_turtle,
         "kg_triple_intervals": kg_triple_intervals,
         "kg_asof_triples": kg_asof_triples,
         "web_microdata": web_microdata,
@@ -12267,6 +12308,77 @@ SELECT subj, pred, obj,
                 ELSE '"' || esc || '"' END)
        || ' .' AS line
 FROM e
+""",
+        # kgspark.rdf.turtle_lines replica: same term model as
+        # kg_ntriples plus PN_LOCAL prefix compression; object lists /
+        # predicate lists are ORDER BY the rendered term (binary
+        # collation both engines = Spark array_sort)
+        "kg_turtle": """
+WITH tt AS (
+  SELECT DISTINCT
+    CASE WHEN doc_id % 3 = 0
+         THEN 'https://www.site' || (doc_id % 50) || '.example.com'
+         WHEN doc_id % 3 = 1 THEN '_:bn' || (doc_id % 30)
+         ELSE 'ent' || (doc_id % 25) END AS subj,
+    CASE WHEN doc_id % 2 = 0 THEN 'knows'
+         ELSE 'https://schema.org/name' END AS pred,
+    CASE WHEN doc_id % 4 = 0 THEN 'https://kg.example.org/e/' || doc_id
+         WHEN doc_id % 4 = 1 THEN '_:bo' || doc_id
+         WHEN doc_id % 4 = 2
+         THEN 'q"b' || chr(92) || chr(10) || chr(9) || chr(13)
+              || 'end' || doc_id
+         ELSE substr(text, 1, 24) END AS obj
+  FROM documents
+),
+te AS (
+  SELECT subj, pred, obj,
+         replace(replace(replace(replace(replace(obj,
+           chr(92), chr(92) || chr(92)),
+           '"', chr(92) || '"'),
+           chr(10), chr(92) || 'n'),
+           chr(13), chr(92) || 'r'),
+           chr(9), chr(92) || 't') AS esc
+  FROM tt
+),
+tr AS (
+  SELECT subj,
+    (CASE WHEN starts_with(subj, 'http://')
+               OR starts_with(subj, 'https://')
+          THEN '<' || subj || '>'
+          WHEN starts_with(subj, '_:') THEN subj
+          WHEN regexp_matches(subj, '^[A-Za-z_][A-Za-z0-9_]*$')
+          THEN 'kg:' || subj
+          ELSE '<https://kg.example.org/' || subj || '>' END) AS sterm,
+    (CASE WHEN starts_with(pred, 'http://')
+               OR starts_with(pred, 'https://')
+          THEN '<' || pred || '>'
+          WHEN regexp_matches(pred, '^[A-Za-z_][A-Za-z0-9_]*$')
+          THEN 'kgp:' || pred
+          ELSE '<https://kg.example.org/prop/' || pred || '>' END) AS pterm,
+    (CASE WHEN starts_with(obj, 'http://')
+               OR starts_with(obj, 'https://')
+          THEN '<' || obj || '>'
+          WHEN starts_with(obj, '_:') THEN obj
+          ELSE '"' || esc || '"' END) AS oterm
+  FROM te
+),
+tp AS (
+  SELECT subj, sterm, pterm,
+         string_agg(oterm, ', ' ORDER BY oterm) AS olist
+  FROM tr GROUP BY subj, sterm, pterm
+),
+tb AS (
+  SELECT subj,
+         sterm || ' '
+         || string_agg(pterm || ' ' || olist, ' ; ' ORDER BY pterm)
+         || ' .' AS line
+  FROM tp GROUP BY subj, sterm
+)
+SELECT subj, line FROM tb
+UNION ALL
+SELECT '' AS subj, '@prefix kg: <https://kg.example.org/> .' AS line
+UNION ALL
+SELECT '' AS subj, '@prefix kgp: <https://kg.example.org/prop/> .' AS line
 """,
         # kgspark.temporal.triple_intervals: gaps-and-islands (lag-change
         # flag -> running sum -> group), open intervals -> -1 sentinel

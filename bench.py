@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "web_html_tables",
     "kg_jsonld",
     "kg_ntriples",
+    "kg_turtle",
     "kg_triple_intervals",
     "kg_asof_triples",
     "web_microdata",

@@ -201,3 +201,73 @@ def ntriples_star_lines(
         s.alias("subj"), p.alias("pred"), o.alias("obj"),
         line.alias("line"),
     )
+
+
+_PN_LOCAL_RE = "^[A-Za-z_][A-Za-z0-9_]*$"
+
+
+def turtle_lines(triples: DataFrame, subj_col: str = "subj",
+                 pred_col: str = "pred", obj_col: str = "obj",
+                 base_iri: str = "https://kg.example.org/",
+                 pred_base: str = "https://kg.example.org/prop/",
+                 ) -> DataFrame:
+    """W3C Turtle serialization with prefix compression: one row per
+    SUBJECT — `kg:s kgp:p1 "a", "b" ; kgp:p2 <iri> .` — plus two
+    `@prefix` header rows (subj = ''). Same term model as
+    ntriples_lines (the reference's JSON envelope analogue,
+    knowledge_graph_builder.py:744-768): IRIs pass through, blank nodes
+    pass through, bare subjects/predicates are minted under kg:/kgp:
+    when they are valid PN_LOCAL names (conservative [A-Za-z0-9_]
+    subset) and fall back to full IRIs otherwise; non-IRI objects are
+    ECHAR-escaped literals.
+
+    Plan: two shuffle levels (subj,pred -> subj), both map-side-combined
+    string folds; object lists and predicate lists are sorted arrays, so
+    the emitted block is a pure function of the triple SET (any engine
+    replicates it). Returns (subj, line).
+    """
+    s, p = F.col(subj_col), F.col(pred_col)
+    sterm = (
+        F.when(s.startswith("http://") | s.startswith("https://"),
+               F.concat(F.lit("<"), s, F.lit(">")))
+        .when(s.startswith("_:"), s)
+        .when(s.rlike(_PN_LOCAL_RE), F.concat(F.lit("kg:"), s))
+        .otherwise(F.concat(F.lit("<"), F.lit(base_iri), s, F.lit(">")))
+    )
+    pterm = (
+        F.when(p.startswith("http://") | p.startswith("https://"),
+               F.concat(F.lit("<"), p, F.lit(">")))
+        .when(p.rlike(_PN_LOCAL_RE), F.concat(F.lit("kgp:"), p))
+        .otherwise(F.concat(F.lit("<"), F.lit(pred_base), p, F.lit(">")))
+    )
+    preds = (
+        triples.select(
+            F.col(subj_col).alias("subj"),
+            sterm.alias("sterm"),
+            pterm.alias("pterm"),
+            _term(F.col(obj_col)).alias("oterm"),
+        )
+        .groupBy("subj", "sterm", "pterm")
+        .agg(F.array_join(
+            F.array_sort(F.collect_list("oterm")), ", ").alias("olist"))
+    )
+    body = (
+        preds.groupBy("subj", "sterm")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pterm", "olist"))),
+                lambda t: F.concat(t["pterm"], F.lit(" "), t["olist"]),
+            ),
+            " ; ",
+        ).alias("plist"))
+        .select(
+            "subj",
+            F.concat("sterm", F.lit(" "), "plist", F.lit(" .")).alias("line"),
+        )
+    )
+    hdr = triples.sparkSession.createDataFrame(
+        [("", f"@prefix kg: <{base_iri}> ."),
+         ("", f"@prefix kgp: <{pred_base}> .")],
+        "subj string, line string",
+    )
+    return hdr.unionByName(body)

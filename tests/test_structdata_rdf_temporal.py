@@ -605,3 +605,34 @@ def test_jsonld_lines_roundtrips_with_parser(spark):
         ("https://kg.example.org/e1", "https://kg.example.org/prop/q", "y"),
         ("https://kg.example.org/e2", "https://kg.example.org/prop/p", "z"),
     }
+
+
+def test_turtle_lines_blocks_and_prefixes(spark):
+    from kgspark.rdf import turtle_lines
+
+    t = spark.createDataFrame(
+        [
+            ("ent1", "knows", "ent2-literal"),
+            ("ent1", "knows", 'a"b\nc'),
+            ("ent1", "https://schema.org/name", "Alice"),
+            ("_:b0", "rel", "https://x.example.com/y"),
+            ("has space", "p q", "v"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {r.line for r in turtle_lines(t).collect()}
+    assert "@prefix kg: <https://kg.example.org/> ." in got
+    assert "@prefix kgp: <https://kg.example.org/prop/> ." in got
+    # objects sorted by rendered term; predicates sorted by rendered term
+    # ('<https://schema.org/name>' < 'kgp:knows' in binary order)
+    assert (
+        'kg:ent1 <https://schema.org/name> "Alice" ; '
+        'kgp:knows "a\\"b\\nc", "ent2-literal" .' in got
+    )
+    assert "_:b0 kgp:rel <https://x.example.com/y> ." in got
+    # non-PN_LOCAL names fall back to full IRIs
+    assert (
+        "<https://kg.example.org/has space> "
+        '<https://kg.example.org/prop/p q> "v" .' in got
+    )
+    assert len(got) == 5
