@@ -6152,6 +6152,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "format", "width", "height", "bit_depth", "n_channels"
         )
 
+    def multimodal_exif(spark, sf_dir):
+        # EXIF round-trip (kgspark/imagemeta.py parse_exif): per doc a
+        # JPEG APP1 Exif segment is spec-built — both byte orders, both
+        # ASCII layouts (inline <=4B models, offset-area makes), IFD0 +
+        # Exif sub-IFD — and parsed back; the oracle recomputes every
+        # field from the synthesis arithmetic (printf zero-pad datetime)
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            from kgspark.imagemeta import make_jpeg_exif
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    dt = (f"{2000 + d % 20:04d}:{d % 12 + 1:02d}:"
+                          f"{d % 28 + 1:02d} {d % 24:02d}:{d % 60:02d}:"
+                          f"{(d * 7) % 60:02d}")
+                    rows.append({
+                        "doc_id": did,
+                        "payload": make_jpeg_exif(
+                            d % 8 + 1, dt, f"Maker{d % 7}", f"M{d % 13}",
+                            d % 500 + 16, (d * 3) % 400 + 16,
+                            big_endian=(d % 2 == 1),
+                        ),
+                    })
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.imagemeta import exif_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return exif_meta(blobs).select(
+            "doc_id", "endian", "make", "model", "orientation",
+            "datetime", "exif_width", "exif_height",
+        )
+
     def multimodal_header_mix2(spark, sf_dir):
         # second mixed-format header round-trip: BMP / WEBP(VP8, VP8L,
         # VP8X) / TIFF fixtures built per doc (format = doc_id % 5, dims
@@ -6507,6 +6545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4-new queries first (rotate into the round-5 window):
         "multimodal_header_mix": multimodal_header_mix,
         "multimodal_header_mix2": multimodal_header_mix2,
+        "multimodal_exif": multimodal_exif,
         "multimodal_audio_meta": multimodal_audio_meta,
         "multimodal_video_meta": multimodal_video_meta,
         "embed_pq_trained": embed_pq_trained,
@@ -14644,6 +14683,21 @@ FROM documents
 """,
         # kgspark.imagemeta BMP/WEBP/TIFF round-trip: expected header
         # values recomputed from the same doc_id arithmetic
+        # kgspark.imagemeta.parse_exif round-trip: every field is a pure
+        # function of doc_id (printf zero-pads match Python format specs)
+        "multimodal_exif": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+       'Maker' || (doc_id % 7) AS make,
+       'M' || (doc_id % 13) AS model,
+       (doc_id % 8 + 1)::BIGINT AS orientation,
+       printf('%04d:%02d:%02d %02d:%02d:%02d',
+              2000 + doc_id % 20, doc_id % 12 + 1, doc_id % 28 + 1,
+              doc_id % 24, doc_id % 60, (doc_id * 7) % 60) AS datetime,
+       (doc_id % 500 + 16)::BIGINT AS exif_width,
+       ((doc_id * 3) % 400 + 16)::BIGINT AS exif_height
+FROM documents
+""",
         "multimodal_header_mix2": """
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 'bmp'

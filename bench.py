@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "ann_matryoshka",
     # late-session-4 ops that had missed this list
     "multimodal_header_mix2",
+    "multimodal_exif",
     "multimodal_video_meta",
     "kg_copy_detect",
     "kg_geo_near",

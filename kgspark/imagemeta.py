@@ -311,3 +311,173 @@ def make_tiff(width: int, height: int, bits_per_sample: int = 8,
     ents = (entry(256, width) + entry(257, height)
             + entry(258, bits_per_sample) + entry(277, samples_per_pixel))
     return hdr + struct.pack(end + "H", 4) + ents + struct.pack(end + "I", 0)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (TIFF 6.0 IFD) metadata — pure stdlib, spec-built ([EXIF 2.32] §4.6,
+# TIFF 6.0 §2). Beyond-reference scope: the reference's image path is an
+# OCR call (knowledgeGraph.py:75-78); camera metadata never enters it.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {271: "make", 272: "model", 274: "orientation",
+              306: "datetime"}
+_EXIF_SUB = {40962: "exif_width", 40963: "exif_height"}
+_EXIF_PTR = 34665
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def _read_ifd(tiff: bytes, off: int, end: str) -> dict[int, object]:
+    """One IFD -> {tag: decoded first value}; ASCII values decode to
+    NUL-stripped latin-1 strings, SHORT/LONG to ints. Bounds-checked."""
+    out: dict[int, object] = {}
+    if off + 2 > len(tiff):
+        return out
+    (n,) = struct.unpack(end + "H", tiff[off:off + 2])
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(tiff):
+            break
+        tag, typ, cnt = struct.unpack(end + "HHI", tiff[e:e + 8])
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        if total <= 4:
+            raw = tiff[e + 8:e + 8 + total]
+        else:
+            (voff,) = struct.unpack(end + "I", tiff[e + 8:e + 12])
+            if voff + total > len(tiff):
+                continue
+            raw = tiff[voff:voff + total]
+        if typ == 2:
+            out[tag] = raw.split(b"\x00")[0].decode("latin-1")
+        elif typ == 3 and cnt >= 1:
+            out[tag] = struct.unpack(end + "H", raw[:2])[0]
+        elif typ == 4 and cnt >= 1:
+            out[tag] = struct.unpack(end + "I", raw[:4])[0]
+    return out
+
+
+def parse_exif(data: bytes) -> dict:
+    """EXIF fields from a JPEG (APP1 Exif segment) or bare TIFF blob:
+    (endian, make, model, orientation, datetime, exif_width,
+    exif_height, error). Never raises; absent segment/fields are None
+    with an error note, the corpus-scale codec posture."""
+    out = {"endian": None, "make": None, "model": None,
+           "orientation": None, "datetime": None, "exif_width": None,
+           "exif_height": None, "error": None}
+    try:
+        tiff = None
+        if data[:2] == b"\xff\xd8":
+            pos, n = 2, len(data)
+            while pos + 4 <= n and data[pos] == 0xFF:
+                marker = data[pos + 1]
+                seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+                if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
+                    tiff = data[pos + 10:pos + 2 + seg_len]
+                    break
+                if marker == 0xDA:  # start of scan: no more segments
+                    break
+                pos += 2 + seg_len
+            if tiff is None:
+                out["error"] = "jpeg: no Exif APP1 segment"
+                return out
+        elif data[:4] in (b"II*\x00", b"MM\x00*"):
+            tiff = data
+        else:
+            out["error"] = "not jpeg/tiff"
+            return out
+        end = "<" if tiff[:2] == b"II" else ">"
+        out["endian"] = "II" if end == "<" else "MM"
+        (ifd0_off,) = struct.unpack(end + "I", tiff[4:8])
+        ifd0 = _read_ifd(tiff, ifd0_off, end)
+        for tag, name in _EXIF_TAGS.items():
+            if tag in ifd0:
+                out[name] = ifd0[tag]
+        if _EXIF_PTR in ifd0:
+            sub = _read_ifd(tiff, int(ifd0[_EXIF_PTR]), end)
+            for tag, name in _EXIF_SUB.items():
+                if tag in sub:
+                    out[name] = sub[tag]
+        return out
+    except Exception as e:  # captured, never fatal at corpus scale
+        out["error"] = f"{type(e).__name__}: {e}"
+        return out
+
+
+def exif_meta(df: DataFrame, payload_col: str = "payload",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, endian, make, model, orientation, datetime, exif_width,
+    exif_height, error) for a binary column — Arrow-batched, segment
+    bytes only (the pixel stream is never touched)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                rec = parse_exif(bytes(blob) if blob is not None else b"")
+                rec[id_col] = i
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "endian", "make", "model", "orientation",
+                         "datetime", "exif_width", "exif_height", "error"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        parse,
+        f"{id_col} {id_type}, endian string, make string, model string, "
+        "orientation long, datetime string, exif_width long, "
+        "exif_height long, error string",
+    )
+
+
+def make_jpeg_exif(orientation: int, datetime_s: str, make: str,
+                   model: str, exif_w: int, exif_h: int,
+                   big_endian: bool = False) -> bytes:
+    """Structurally-valid JPEG carrying an APP1 Exif segment: IFD0 with
+    Make/Model/Orientation/DateTime + ExifIFD pointer; the Exif sub-IFD
+    carries PixelX/YDimension as LONGs. ASCII values > 4 bytes go to the
+    post-IFD data area, <= 4 bytes inline (both layouts exercised)."""
+    end = ">" if big_endian else "<"
+    mk = make.encode("latin-1") + b"\x00"
+    md = model.encode("latin-1") + b"\x00"
+    dt = datetime_s.encode("latin-1") + b"\x00"
+    ifd0_off = 8
+    n0 = 5
+    data_off = ifd0_off + 2 + 12 * n0 + 4
+
+    area = b""
+
+    def ascii_entry(tag: int, val: bytes) -> bytes:
+        nonlocal area
+        if len(val) <= 4:
+            return (struct.pack(end + "HHI", tag, 2, len(val))
+                    + val + b"\x00" * (4 - len(val)))
+        off = data_off + len(area)
+        area += val
+        return struct.pack(end + "HHII", tag, 2, len(val), off)
+
+    e_make = ascii_entry(271, mk)
+    e_model = ascii_entry(272, md)
+    e_orient = (struct.pack(end + "HHI", 274, 3, 1)
+                + struct.pack(end + "H", orientation) + b"\x00\x00")
+    e_dt = ascii_entry(306, dt)
+    sub_off = data_off + len(area)
+    e_ptr = struct.pack(end + "HHII", _EXIF_PTR, 4, 1, sub_off)
+    sub = (struct.pack(end + "H", 2)
+           + struct.pack(end + "HHII", 40962, 4, 1, exif_w)
+           + struct.pack(end + "HHII", 40963, 4, 1, exif_h)
+           + struct.pack(end + "I", 0))
+    tiff = ((b"MM\x00*" if big_endian else b"II*\x00")
+            + struct.pack(end + "I", ifd0_off)
+            + struct.pack(end + "H", n0)
+            + e_make + e_model + e_orient + e_dt + e_ptr
+            + struct.pack(end + "I", 0)
+            + area + sub)
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return b"\xff\xd8" + app1 + b"\xff\xd9"

@@ -221,3 +221,37 @@ def test_video_meta_distributed(spark):
     assert got[3]["error"] == "unknown video format"
     assert got[4]["error"] == "unknown video format"
     assert len(got) == 4
+
+
+def test_exif_roundtrip_and_wrapper(spark):
+    from kgspark.imagemeta import exif_meta, make_jpeg_exif, parse_exif
+
+    for be in (False, True):
+        got = parse_exif(make_jpeg_exif(
+            6, "2021:03:04 05:06:07", "MakerLong7", "M1", 640, 480,
+            big_endian=be))
+        assert got["error"] is None
+        assert got["endian"] == ("MM" if be else "II")
+        assert got["make"] == "MakerLong7" and got["model"] == "M1"
+        assert got["orientation"] == 6
+        assert got["datetime"] == "2021:03:04 05:06:07"
+        assert (got["exif_width"], got["exif_height"]) == (640, 480)
+    # inline (<= 4 byte) ASCII layout
+    assert parse_exif(make_jpeg_exif(1, "x", "Mk", "ABC", 1, 2))["model"] == "ABC"
+    # error paths never raise
+    assert parse_exif(b"\xff\xd8\xff\xd9")["error"] == "jpeg: no Exif APP1 segment"
+    assert parse_exif(b"junk")["error"] == "not jpeg/tiff"
+    # bare TIFF accepted too
+    from kgspark.imagemeta import make_tiff
+    assert parse_exif(make_tiff(4, 5))["endian"] == "II"
+
+    rows = [
+        (0, make_jpeg_exif(3, "2020:01:02 03:04:05", "MakerX", "M2", 10, 20)),
+        (1, b"\xff\xd8\xff\xd9"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in exif_meta(df).collect()}
+    assert out[0].make == "MakerX" and out[0].orientation == 3
+    assert out[1].error == "jpeg: no Exif APP1 segment"
+    assert out[2].error == "not jpeg/tiff"
