@@ -2346,6 +2346,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.lit(-1)).alias("bits_scaled"),
         )
 
+    def text_kn_bits(spark, sf_dir):
+        # interpolated Kneser-Ney bigram scoring (kgspark/lm.py
+        # train_kn_lm + score_kn_lm): type-count continuation backoff,
+        # D=0.5 (exact fp64), add-1-smoothed Pcont over bigram types
+        from kgspark.lm import score_kn_lm, train_kn_lm
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        left, bi, cont = train_kn_lm(docs)
+        out = score_kn_lm(docs, left, bi, cont)
+        return out.select(
+            "doc_id", "n_bigrams",
+            F.coalesce(F.round(F.col("bits") * 1e6, 0).cast("long"),
+                       F.lit(-1)).alias("bits_scaled"),
+        )
+
     def kg_quotes(spark, sf_dir):
         # rule-based quotation attribution over synthesized reported speech:
         # (speaker, said, quote) triples, both cue orders
@@ -6678,6 +6693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truth": kg_truth,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
+        "text_kn_bits": text_kn_bits,
         "text_lm_buckets": text_lm_buckets,
         "kg_hits": kg_hits,
         "kg_quotes": kg_quotes,
@@ -8249,6 +8265,56 @@ lm_sc AS (
 SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(round(s.bits * 1e6, 0)::BIGINT, -1) AS bits_scaled
 FROM documents d LEFT JOIN lm_sc s USING (doc_id)
+""",
+        # kgspark.lm.train_kn_lm + score_kn_lm replica: identical fp64
+        # tree — max(c12-0.5,0) seen mass, 0.5*N1+(w1)*Pcont backoff,
+        # Pcont = (N1+(.,w2)+1)/(T+V) over bigram TYPES
+        "text_kn_bits": r"""
+WITH kn_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+kn_pairs AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM kn_toks WHERE len(t) >= 2
+),
+kn_bi AS (SELECT w1, w2, count(*) AS c12 FROM kn_pairs GROUP BY w1, w2),
+kn_left AS (
+  SELECT w1, sum(c12) AS c1, count(*) AS n1p FROM kn_bi GROUP BY w1
+),
+kn_cont AS (SELECT w2, count(*) AS ncont FROM kn_bi GROUP BY w2),
+kn_tot AS (
+  SELECT sum(ncont)::DOUBLE AS t, count(*)::DOUBLE AS v FROM kn_cont
+),
+kn_lp AS (
+  SELECT p.doc_id,
+         ln(CASE WHEN l.c1 IS NULL
+                 THEN (coalesce(c.ncont, 0)::DOUBLE + 1.0::DOUBLE)
+                      / (kn_tot.t + kn_tot.v)
+                 ELSE (greatest(coalesce(b.c12, 0)::DOUBLE - 0.5::DOUBLE,
+                                0.0::DOUBLE)
+                       + 0.5::DOUBLE * l.n1p::DOUBLE
+                         * ((coalesce(c.ncont, 0)::DOUBLE + 1.0::DOUBLE)
+                            / (kn_tot.t + kn_tot.v)))
+                      / l.c1::DOUBLE
+            END) AS lp
+  FROM kn_pairs p
+  LEFT JOIN kn_bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN kn_left l ON l.w1 = p.w1
+  LEFT JOIN kn_cont c ON c.w2 = p.w2
+  CROSS JOIN kn_tot
+),
+kn_sc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         -sum(lp) / count(*) / ln(2.0) AS bits
+  FROM kn_lp GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(round(s.bits * 1e6, 0)::BIGINT, -1) AS bits_scaled
+FROM documents d LEFT JOIN kn_sc s USING (doc_id)
 """,
         # kgspark.lm.lm_buckets: exact NTILE(3) over (bits, doc_id); the
         # Spark side computes the same assignment via range-partitioned

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "web_domain_cap",
     "dedup_lines",
     "text_lm_bits",
+    "text_kn_bits",
     "text_lm_buckets",
     "kg_hits",
     "web_anchor_text",

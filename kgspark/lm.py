@@ -41,7 +41,8 @@ from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
 __all__ = ["bigram_pairs", "train_bigram_lm", "score_bigram_lm",
-           "lm_buckets", "train_trigram_lm", "score_trigram_lm"]
+           "lm_buckets", "train_trigram_lm", "score_trigram_lm",
+           "train_kn_lm", "score_kn_lm"]
 
 
 def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -332,5 +333,93 @@ def score_trigram_lm(df: DataFrame, tri: DataFrame, bi: DataFrame,
             .alias("n_trigrams"),
             F.coalesce("sum_unats", F.lit(0)).cast("long")
             .alias("sum_unats"),
+        )
+    )
+
+
+def train_kn_lm(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id"
+                ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Interpolated Kneser-Ney count tables (Kneser & Ney, ICASSP 1995;
+    Chen & Goodman 1999 eq. 18) — the smoothing family CCNet's KenLM
+    filter actually uses, vs train_bigram_lm's add-k. Three tables from
+    ONE tokenize pass:
+
+      left (w1, c1, n1p)  — left-context total sum(c12) and the number
+                            of DISTINCT continuations N1+(w1, ·)
+      bi   (w1, w2, c12)  — bigram counts
+      cont (w2, ncont)    — continuation counts N1+(·, w2): how many
+                            distinct LEFT contexts w2 completes; the KN
+                            insight is that the backoff mass uses type
+                            counts, not token counts ("San Francisco"
+                            makes "Francisco" frequent but near-useless
+                            as a novel continuation).
+    """
+    toks = _token_table(df, text_col, id_col)
+    bi = materialize(
+        _pairs_of(toks, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    left = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    return left, bi, cont
+
+
+def score_kn_lm(df: DataFrame, left: DataFrame, bi: DataFrame,
+                cont: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", discount: float = 0.5) -> DataFrame:
+    """(id, n_bigrams, bits) under interpolated Kneser-Ney:
+
+      p(w2|w1) = (max(c12 − D, 0) + D · N1+(w1,·) · Pcont(w2)) / c1
+      Pcont(w2) = (N1+(·,w2) + 1) / (T + V)   (add-1 over bigram types,
+                  so held-out words stay finite)
+
+    Unseen left contexts fall back to Pcont alone. D defaults to 0.5 —
+    exactly representable in fp64, so the whole score is one
+    deterministic expression tree (the lm.py posture; bits = −Σ ln p /
+    n / ln 2). Totals T (bigram types) and V (distinct continuations)
+    ride a 1-row broadcast."""
+    totals = cont.agg(
+        F.sum("ncont").cast("double").alias("__t"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    pairs = bigram_pairs(df, text_col, id_col)
+    d = F.lit(discount)
+    pcont = (F.coalesce("ncont", F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("__t") + F.col("__v")
+    )
+    p = F.when(
+        F.col("c1").isNull(), pcont
+    ).otherwise(
+        (
+            F.greatest(
+                F.coalesce("c12", F.lit(0)).cast("double") - d, F.lit(0.0)
+            )
+            + d * F.col("n1p").cast("double") * pcont
+        )
+        / F.col("c1").cast("double")
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.log(p).alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("__lp") / F.count(F.lit(1)) / math.log(2.0)).alias("bits"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("bits").cast("double").alias("bits"),
         )
     )

@@ -121,3 +121,51 @@ def test_trigram_backoff_tiers(spark):
     exp = 0.4 * 0.4 * (1.0 / (8 + 5))
     assert got[13]["sum_unats"] == round(-math.log(exp) * 1e6)
     assert got[14]["n_trigrams"] == 0 and got[14]["sum_unats"] == 0
+
+
+def test_kneser_ney_matches_python_replica(spark):
+    import math
+
+    from kgspark.lm import score_kn_lm, train_kn_lm
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "san francisco san francisco san francisco"),
+        (3, "unseen tokens only here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    left, bi, cont = train_kn_lm(df)
+    out = {r.doc_id: r for r in score_kn_lm(df, left, bi, cont).collect()}
+
+    # python replica
+    toks = {i: t.lower().split() for i, t in docs}
+    pairs = [(w1, w2) for t in toks.values() for w1, w2 in zip(t, t[1:])]
+    from collections import Counter
+    c12 = Counter(pairs)
+    c1 = Counter(w1 for w1, _ in pairs)
+    n1p = Counter(w1 for w1, _ in set(pairs))
+    ncont = Counter(w2 for _, w2 in set(pairs))
+    T = float(len(c12))
+    V = float(len(ncont))
+    D = 0.5
+    for i, t in toks.items():
+        ps = list(zip(t, t[1:]))
+        if not ps:
+            assert out[i].n_bigrams == 0 and out[i].bits is None
+            continue
+        s = 0.0
+        for w1, w2 in ps:
+            pc = (ncont.get(w2, 0) + 1.0) / (T + V)
+            if w1 in c1:
+                p = (max(c12.get((w1, w2), 0) - D, 0.0)
+                     + D * n1p[w1] * pc) / c1[w1]
+            else:
+                p = pc
+            s += math.log(p)
+        bits = -s / len(ps) / math.log(2.0)
+        assert out[i].n_bigrams == len(ps)
+        assert abs(out[i].bits - bits) < 1e-9, (i, out[i].bits, bits)
+    # KN property: seen-corpus scores are finite and positive
+    assert all(out[i].bits > 0 for i in (0, 1, 2, 3))
