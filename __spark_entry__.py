@@ -3588,6 +3588,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return edit_pairs(recs, max_dist=1)
 
+    def link_damerau(spark, sf_dir):
+        # transposition-aware comparator join (kgspark/linkrec.py
+        # damerau_pairs): customer names within 1 FULL Damerau-
+        # Levenshtein edit per nation|segment block — swap typos
+        # ('...123' vs '...132') cost 1 here, 2 under plain Levenshtein
+        from kgspark.linkrec import damerau_pairs
+
+        c = _read(spark, sf_dir, "customer")
+        recs = c.select(
+            F.col("c_custkey").alias("rec_id"),
+            F.concat(
+                F.col("c_nationkey").cast("string"), F.lit("|"),
+                F.col("c_mktsegment"),
+            ).alias("block_key"),
+            F.col("c_name").alias("text"),
+        )
+        return damerau_pairs(recs, max_dist=1)
+
     def text_phrase(spark, sf_dir):
         # exact consecutive-token phrase query (decontamination audit
         # shape): anchors on the first term's postings, verifies the rest
@@ -6572,6 +6590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_violations": kg_type_violations,
         "link_sorted_blocks": link_sorted_blocks,
         "link_edit_pairs": link_edit_pairs,
+        "link_damerau": link_damerau,
         "corpus_auc": corpus_auc,
         "corpus_calibration": corpus_calibration,
         "kg_harmonic": kg_harmonic,
@@ -13938,6 +13957,21 @@ SELECT a.rid AS id_a, b.rid AS id_b, a.txt AS text_a, b.txt AS text_b,
        levenshtein(a.txt, b.txt)::BIGINT AS dist
 FROM ep_r a JOIN ep_r b ON a.bk = b.bk AND a.rid < b.rid
 WHERE levenshtein(a.txt, b.txt) <= 1
+""",
+        # kgspark.linkrec.damerau_pairs: DuckDB's damerau_levenshtein IS
+        # the unrestricted variant the pandas-UDF DP implements
+        # (fuzz-proven equal over 300 random string pairs in pytest)
+        "link_damerau": """
+WITH dp_r AS (
+  SELECT c_custkey AS rid,
+         c_nationkey::VARCHAR || '|' || c_mktsegment AS bk,
+         c_name AS txt
+  FROM customer
+)
+SELECT a.rid AS id_a, b.rid AS id_b, a.txt AS text_a, b.txt AS text_b,
+       damerau_levenshtein(a.txt, b.txt)::BIGINT AS dist
+FROM dp_r a JOIN dp_r b ON a.bk = b.bk AND a.rid < b.rid
+WHERE damerau_levenshtein(a.txt, b.txt) <= 1
 """,
         # kgspark.linkrec.sorted_neighborhood: rank over (key, id) total
         # order, pairs at rank distance 1..window-1 — the oracle's global

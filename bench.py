@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "kg_type_violations",
     "link_sorted_blocks",
     "link_edit_pairs",
+    "link_damerau",
     "corpus_auc",
     "corpus_calibration",
     "kg_truth",

@@ -198,3 +198,34 @@ def test_meta_blocking_purge_cap(spark):
            for r in meta_blocking(df, max_block_size=2).collect()}
     # the 3-record block is purged; only the tiny block pairs survive
     assert got == {(1, 2): (1, 1_000_000_000, 1)}
+
+
+def test_damerau_pairs_blocked(spark):
+    import duckdb
+
+    from kgspark.linkrec import damerau_pairs
+
+    rows = [
+        (1, "b1", "customer123"),
+        (2, "b1", "customer132"),   # adjacent swap: DL 1, Lev 2
+        (3, "b1", "customer124"),   # substitution: DL 1
+        (4, "b1", "totally different"),
+        (5, "b2", "customer123"),   # other block: never paired with b1
+        (6, "b2", "customer231"),   # rotation: DL 2 (excluded)
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, block_key string, text string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in damerau_pairs(df, max_dist=1).collect()}
+    con = duckdb.connect()
+    want = {}
+    for ia, ba, ta in rows:
+        for ib, bb, tb in rows:
+            if ia < ib and ba == bb:
+                d = con.execute(
+                    "SELECT damerau_levenshtein(?, ?)", [ta, tb]
+                ).fetchone()[0]
+                if d <= 1:
+                    want[(ia, ib)] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1  # the transposition pair
+    assert (5, 6) not in got
