@@ -917,3 +917,70 @@ def test_plan_features_counts(spark):
     assert g["pushed_filter_scans"] >= 0  # counter present
     c = plan_features(a.crossJoin(b.select(F.col("k").alias("k2"))))
     assert c["cartesian"] + c["nested_loop_joins"] >= 1
+
+
+def test_session6_ops_plan_shapes(spark):
+    """Session-6 ops: MIPS/SQ8/z-order/KN/neighbor-sample stay JVM-side;
+    scalar 1-row broadcasts are the only BNLJs; damerau_pairs is the one
+    designed Arrow-batched Python stage, gated behind JVM prefilters."""
+    from kgspark.embed import sq8_encode, sq8_stats
+    from kgspark.io_tables import zorder_key
+    from kgspark.kgtrain import neighbor_sample
+    from kgspark.linkrec import damerau_pairs
+    from kgspark.lm import score_kn_lm, train_kn_lm
+    from kgspark.rdf import turtle_lines
+    from kgspark.similarity import mips_topk, mips_topk_lsh, sq8_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS qemb")
+    st = sq8_stats(emb)
+    codes = sq8_encode(emb, st)
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id long, text string")
+    left, bi, cont = train_kn_lm(docs)
+    trip = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string")
+    seeds = spark.createDataFrame([("a",)], "seed string")
+    recs = spark.createDataFrame(
+        [(1, "k", "ab"), (2, "k", "ba")],
+        "rec_id long, block_key string, text string")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    # bounded-query-set broadcast (mips exact: BNLJ against the tiny
+    # query side is the designed plan, like cosine_topk)
+    p = plan(mips_topk(emb, q, k=3))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p, p
+    assert "WindowGroupLimit" in p, p
+    # LSH path: band/val HASH join; only the 1-row max-norm broadcast
+    # may be a BNLJ
+    p = plan(mips_topk_lsh(emb, q, k=3))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    # SQ8: stats + queries ride broadcasts; no Python anywhere
+    for df in (codes, sq8_topk(codes, st, q, k=3)):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # z-order key: map-only integer exprs over a 1-row broadcast
+    p = plan(zorder_key(orders, "o_custkey", "o_orderkey"))
+    assert "CartesianProduct" not in p and "Python" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    # KN scoring: hash joins + the 1-row totals broadcast
+    p = plan(score_kn_lm(docs, left, bi, cont))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    # neighbor sampling + turtle: hash-only, JVM-side
+    for df in (neighbor_sample(trip, seeds, fanouts=(2, 2)),
+               turtle_lines(trip)):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # damerau: Arrow-batched (never row-at-a-time), JVM levenshtein
+    # prefilter visible below the Python stage
+    p = plan(damerau_pairs(recs, max_dist=1))
+    assert "ArrowEvalPython" in p and "BatchEvalPython" not in p, p
+    assert "levenshtein" in p, p
+    assert "CartesianProduct" not in p, p
