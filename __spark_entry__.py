@@ -1471,6 +1471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("q_num").cast("long").alias("q_num"),
         )
 
+    def kg_node2vec(spark, sf_dir):
+        # node2vec p/q-biased second-order walks (kgspark/graph_algs.py
+        # node2vec_walks): integer per-mille transition weights, hash
+        # cumulative-window draw; oracle unrolls uniform step 1 + biased
+        # step 2 with the same arithmetic
+        from kgspark.graph_algs import node2vec_walks
+
+        t = _extract_triples(spark, sf_dir)
+        return node2vec_walks(t, length=2, num_walks=1, p=2.0, q=0.5)
+
     def kg_random_walks(spark, sf_dir):
         # deterministic hash-driven walk corpus (DeepWalk/node2vec input):
         # 2 walks x 3 steps from every node, next hop =
@@ -6743,6 +6753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sssp": kg_sssp,
         "kg_modularity": kg_modularity,
         "kg_random_walks": kg_random_walks,
+        "kg_node2vec": kg_node2vec,
         "text_entropy": text_entropy,
         "text_novelty": text_novelty,
         "corpus_split_safe": corpus_split_safe,
@@ -8616,6 +8627,64 @@ CROSS JOIN md_m m
 WITH {_PARTS_ORACLE_CTE},
 {_walks_sql()}
 SELECT start, walk_no, step, node FROM rw_all
+""",
+        # kgspark.graph_algs.node2vec_walks replica: per-mille weights
+        # 500 (return, p=2) / 1000 (prev-neighbor) / 2000 (outward,
+        # q=0.5), cumulative-window draw r = hex6 % total
+        "kg_node2vec": f"""
+WITH {_PARTS_ORACLE_CTE},
+n2_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples WHERE subj <> obj),
+n2_adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT s AS node, t AS nbr FROM n2_e
+    UNION ALL SELECT t AS node, s AS nbr FROM n2_e
+  )
+),
+n2_idx AS (
+  SELECT node, nbr,
+         row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS i,
+         count(*) OVER (PARTITION BY node) AS deg
+  FROM n2_adj
+),
+n2_w0 AS (
+  SELECT node AS start, 0 AS walk_no, node AS cur
+  FROM (SELECT DISTINCT node FROM n2_adj)
+),
+n2_w1 AS (
+  SELECT w.start, w.walk_no, w.cur AS prev, x.nbr AS cur
+  FROM n2_w0 w JOIN n2_idx x ON x.node = w.cur
+   AND x.i = ({_hex6_sql("md5(w.start || ':' || w.walk_no::VARCHAR || ':1')")}) % x.deg
+),
+n2_c2 AS (
+  SELECT w.start, w.walk_no, w.prev, w.cur, x.nbr,
+         (CASE WHEN x.nbr = w.prev THEN 500
+               WHEN a.node IS NOT NULL THEN 1000
+               ELSE 2000 END)::BIGINT AS wt
+  FROM n2_w1 w
+  JOIN n2_idx x ON x.node = w.cur
+  LEFT JOIN n2_adj a ON a.node = w.prev AND a.nbr = x.nbr
+),
+n2_cw AS (
+  SELECT start, walk_no, prev, cur, nbr, wt,
+         sum(wt) OVER (PARTITION BY start, walk_no ORDER BY nbr
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(wt) OVER (PARTITION BY start, walk_no) AS tot
+  FROM n2_c2
+),
+n2_w2 AS (
+  SELECT start, walk_no, nbr AS cur
+  FROM n2_cw
+  WHERE (({_hex6_sql("md5(start || ':' || walk_no::VARCHAR || ':2')")})::BIGINT % tot)
+        >= cw - wt
+    AND (({_hex6_sql("md5(start || ':' || walk_no::VARCHAR || ':2')")})::BIGINT % tot)
+        < cw
+)
+SELECT start, walk_no::BIGINT AS walk_no, step::BIGINT AS step, node
+FROM (
+  SELECT start, walk_no, 0 AS step, cur AS node FROM n2_w0
+  UNION ALL SELECT start, walk_no, 1 AS step, cur FROM n2_w1
+  UNION ALL SELECT start, walk_no, 2 AS step, cur FROM n2_w2
+)
 """,
         # kgspark.textstats.readability: integer inputs + the exact
         # checksum ease*1000*w*s = 206835*w*s - 1015*w^2 - 84600*sy*s

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "kg_textrank",
     "kg_modularity",
     "kg_random_walks",
+    "kg_node2vec",
     "kg_adamic_adar",
     "text_script_mix",
     "sketch_bloom",

@@ -2690,3 +2690,123 @@ def single_linkage(
     return connected_components(nodes, kept).select(
         F.col("name").alias("node"), F.col("component").alias("cluster")
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    length: int = 2,
+    num_walks: int = 1,
+    p: float = 2.0,
+    q: float = 0.5,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(start, walk_no, step, node): node2vec SECOND-ORDER biased walks
+    (Grover & Leskovec, KDD 2016 §3.2) — random_walks' uniform hop
+    replaced by the p/q-weighted transition: from (prev -> cur), a
+    candidate x weighs 1/p if x = prev (return), 1 if x neighbors prev
+    (BFS-ish), 1/q otherwise (DFS-ish). Weights are INTEGER per-mille
+    (w = round(1000/p) etc.), the draw is md5(start:walk_no:k) mod the
+    per-walk weight total resolved against a cumulative-weight window —
+    pure integer arithmetic, so the biased sampler is exactly
+    SQL-replicable (the kgtrain.py hash-randomness posture).
+
+    Scale shape mirrors random_walks: adjacency indexed once; each step
+    is a node-keyed join of the walk frontier against it plus ONE
+    (prev, x)-keyed left join marking prev-neighborhood membership, and
+    the cumulative window partitions by walk id — never more rows than
+    the frontier's candidate fan. Step 1 has no prev and is uniform.
+    Reference has no analogue (networkx pickle,
+    knowledge_graph_builder.py:595-607).
+    """
+    from pyspark.sql import Window
+
+    from kgspark.kgtrain import _hex6_to_int
+
+    if length < 1 or num_walks < 1:
+        raise ValueError("length and num_walks must be >= 1")
+    w_ret = int(round(1000.0 / p))
+    w_out = int(round(1000.0 / q))
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("s").alias("node"), F.col("t").alias("nbr"))
+        .union(e.select(F.col("t").alias("node"), F.col("s").alias("nbr")))
+        .distinct()
+    )
+    w = Window.partitionBy("node").orderBy("nbr")
+    idx = materialize(
+        adj.select(
+            "node", "nbr", (F.row_number().over(w) - 1).alias("i"),
+            F.count(F.lit(1)).over(Window.partitionBy("node")).alias("deg"),
+        )
+    )
+    flags = idx.select(F.col("node").alias("pn"), F.col("nbr").alias("px"),
+                       F.lit(1).alias("is_nbr"))
+    walks = idx.select("node").distinct().select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("walk_no"),
+        F.col("node").alias("prev"),
+        F.col("node").alias("cur"),
+    )
+    out = walks.select(
+        "start", "walk_no", F.lit(0).alias("step"), F.col("cur").alias("node"),
+    )
+
+    def _h(k: int):
+        return _hex6_to_int(F.md5(F.concat_ws(
+            ":", F.col("start"), F.col("walk_no").cast("string"),
+            F.lit(str(k)))))
+
+    # step 1: uniform (no prev context yet), the random_walks hop
+    step1 = materialize(
+        walks.join(idx, walks["cur"] == idx["node"])
+        .where(F.col("i") == _h(1) % F.col("deg"))
+        .select("start", "walk_no", F.col("cur").alias("prev"),
+                F.col("nbr").alias("cur"))
+    )
+    out = out.unionAll(step1.select(
+        "start", "walk_no", F.lit(1).alias("step"),
+        F.col("cur").alias("node")))
+    walks = step1
+    for k in range(2, length + 1):
+        cands = (
+            walks.join(idx, walks["cur"] == idx["node"])
+            .join(
+                flags,
+                (F.col("prev") == F.col("pn")) & (F.col("nbr") == F.col("px")),
+                "left",
+            )
+            .select(
+                "start", "walk_no", "prev", "cur", "nbr",
+                F.when(F.col("nbr") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("is_nbr").isNotNull(), F.lit(1000))
+                .otherwise(F.lit(w_out))
+                .cast("long").alias("wt"),
+            )
+        )
+        wp = Window.partitionBy("start", "walk_no")
+        cw = F.sum("wt").over(
+            wp.orderBy("nbr").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow))
+        tot = F.sum("wt").over(wp)
+        picked = (
+            cands.withColumn("cw", cw).withColumn("tot", tot)
+            .withColumn("r", _h(k).cast("long") % F.col("tot"))
+            .where((F.col("r") >= F.col("cw") - F.col("wt"))
+                   & (F.col("r") < F.col("cw")))
+        )
+        walks = materialize(
+            picked.select("start", "walk_no", F.col("cur").alias("prev"),
+                          F.col("nbr").alias("cur"))
+        )
+        out = out.unionAll(walks.select(
+            "start", "walk_no", F.lit(k).alias("step"),
+            F.col("cur").alias("node")))
+    return out.select(
+        "start", F.col("walk_no").cast("long").alias("walk_no"),
+        F.col("step").cast("long").alias("step"), "node",
+    )

@@ -888,3 +888,57 @@ def test_pagerank_weighted_vs_unweighted(spark):
           for r in pagerank(e2, iterations=8,
                             weight_col="weight").collect()}
     assert abs(w2["b"] - w2["c"]) < 1e-12
+
+
+def test_node2vec_walks_match_python_replica(spark):
+    import hashlib
+
+    from kgspark.graph_algs import node2vec_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e"),
+             ("e", "a"), ("b", "d")]
+    t = spark.createDataFrame(
+        [(s, "r", o) for s, o in edges], "subj string, pred string, obj string"
+    )
+    p_, q_ = 2.0, 0.5
+    got = {(r.start, r.walk_no, r.step): r.node
+           for r in node2vec_walks(t, length=3, num_walks=2,
+                                   p=p_, q=q_).collect()}
+
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    nbrs = {v: sorted(ns) for v, ns in adj.items()}
+
+    def hex6(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    w_ret, w_nbr, w_out = round(1000 / p_), 1000, round(1000 / q_)
+    want = {}
+    for start in nbrs:
+        for wn in range(2):
+            want[(start, wn, 0)] = start
+            cur = nbrs[start][hex6(f"{start}:{wn}:1") % len(nbrs[start])]
+            prev = start
+            want[(start, wn, 1)] = cur
+            for k in (2, 3):
+                cands = nbrs[cur]
+                wts = [w_ret if x == prev
+                       else (w_nbr if x in adj[prev] else w_out)
+                       for x in cands]
+                tot = sum(wts)
+                r = hex6(f"{start}:{wn}:{k}") % tot
+                acc = 0
+                for x, wt in zip(cands, wts):
+                    acc += wt
+                    if r < acc:
+                        nxt = x
+                        break
+                want[(start, wn, k)] = nxt
+                prev, cur = cur, nxt
+    assert got == want
+    # bias sanity: immediate backtracking is rarer than under uniform
+    back = sum(1 for (s, wn, k), v in want.items()
+               if k >= 2 and v == want[(s, wn, k - 2)])
+    assert back < len([1 for key in want if key[2] >= 2])
