@@ -898,6 +898,58 @@ rw_all AS (
 )"""
 
 
+def _louvain_sql(rounds: int) -> str:
+    """Unrolled synchronous Louvain local-move rounds (mirrors
+    kgspark.graph_algs.louvain_move): integer gain numerator
+    m2*k_vC - kv*(sig(C) - [C=own]*kv), argmax (score desc, label asc).
+    Ends in CTE lv_c{rounds}(node, c, kv)."""
+    blocks = []
+    for r in range(rounds):
+        blocks.append(f"""
+lv_sig{r} AS (SELECT c, sum(kv) AS sig FROM lv_c{r} GROUP BY c),
+lv_kvc{r} AS (
+  SELECT a.node, cm.c AS cc, count(*) AS kvc
+  FROM lv_adj a JOIN lv_c{r} cm ON cm.node = a.nbr
+  GROUP BY a.node, cm.c
+),
+lv_cand{r} AS (
+  SELECT node, cc, sum(kvc) AS kvc FROM (
+    SELECT node, cc, kvc FROM lv_kvc{r}
+    UNION ALL
+    SELECT node, c AS cc, 0 AS kvc FROM lv_c{r}
+  ) GROUP BY node, cc
+),
+lv_sc{r} AS (
+  SELECT x.node, cm.kv, x.cc,
+         (m.m2 * x.kvc
+          - cm.kv * (s.sig - CASE WHEN x.cc = cm.c THEN cm.kv
+                                  ELSE 0 END))::BIGINT AS score
+  FROM lv_cand{r} x
+  JOIN lv_c{r} cm ON cm.node = x.node
+  JOIN lv_sig{r} s ON s.c = x.cc
+  CROSS JOIN lv_m2 m
+),
+lv_c{r + 1} AS (
+  SELECT node, cc AS c, kv FROM (
+    SELECT node, cc, kv,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY score DESC, cc ASC) AS rn
+    FROM lv_sc{r}
+  ) WHERE rn = 1
+)""")
+    return f"""
+lv_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples WHERE subj <> obj),
+lv_adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT s AS node, t AS nbr FROM lv_e
+    UNION ALL SELECT t AS node, s AS nbr FROM lv_e
+  )
+),
+lv_deg AS (SELECT node, count(*) AS kv FROM lv_adj GROUP BY node),
+lv_m2 AS (SELECT count(*) AS m2 FROM lv_adj),
+lv_c0 AS (SELECT node, node AS c, kv FROM lv_deg),{",".join(blocks)}"""
+
+
 def _hex6_sql(col: str) -> str:
     """First 6 md5 nibbles -> int (mirrors kgspark.kgtrain._hex6_to_int)."""
     out = "0"
@@ -1470,6 +1522,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "deg_sum",
             F.col("q_num").cast("long").alias("q_num"),
         )
+
+    def kg_louvain(spark, sf_dir):
+        # bounded-round synchronous Louvain local-move phase
+        # (kgspark/graph_algs.py louvain_move): exact-integer modularity
+        # gain numerators, argmax (score desc, label asc), 2 rounds
+        from kgspark.graph_algs import louvain_move
+
+        t = _extract_triples(spark, sf_dir)
+        return louvain_move(t, rounds=2)
 
     def kg_node2vec(spark, sf_dir):
         # node2vec p/q-biased second-order walks (kgspark/graph_algs.py
@@ -6754,6 +6815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": kg_modularity,
         "kg_random_walks": kg_random_walks,
         "kg_node2vec": kg_node2vec,
+        "kg_louvain": kg_louvain,
         "text_entropy": text_entropy,
         "text_novelty": text_novelty,
         "corpus_split_safe": corpus_split_safe,
@@ -8627,6 +8689,12 @@ CROSS JOIN md_m m
 WITH {_PARTS_ORACLE_CTE},
 {_walks_sql()}
 SELECT start, walk_no, step, node FROM rw_all
+""",
+        # kgspark.graph_algs.louvain_move replica: 2 unrolled synchronous
+        # modularity-ascent rounds (generated by _louvain_sql)
+        "kg_louvain": f"""
+WITH {_PARTS_ORACLE_CTE},{_louvain_sql(2)}
+SELECT node, c AS community FROM lv_c2
 """,
         # kgspark.graph_algs.node2vec_walks replica: per-mille weights
         # 500 (return, p=2) / 1000 (prev-neighbor) / 2000 (outward,

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "kg_modularity",
     "kg_random_walks",
     "kg_node2vec",
+    "kg_louvain",
     "kg_adamic_adar",
     "text_script_mix",
     "sketch_bloom",

@@ -2810,3 +2810,93 @@ def node2vec_walks(
         "start", F.col("walk_no").cast("long").alias("walk_no"),
         F.col("step").cast("long").alias("step"), "node",
     )
+
+
+def louvain_move(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(node, community): bounded-round SYNCHRONOUS Louvain local-move
+    phase (Blondel et al. 2008 phase 1) over the undirected simple
+    graph — modularity ASCENT, vs label_propagation's majority vote.
+    Every node starts in its own community; each round every node
+    evaluates moving to each neighbor community C by the exact-INTEGER
+    modularity-gain numerator
+
+        score(C) = 2m * k_{v,C}  -  k_v * (Σtot(C) - [C = own] * k_v)
+
+    (k_{v,C} = edges from v into C, Σtot = community degree sum, m =
+    edge count; the common 1/(2m)² factor is dropped — argmax-invariant)
+    and takes the best (score desc, label asc — deterministic). All
+    moves apply simultaneously; bounded rounds keep the op replayable
+    cross-engine (the k-core/LPA posture: true fixpoints of synchronous
+    dynamics are data-dependent and can 2-cycle).
+
+    Scale shape per round: one (nbr -> community) hash join, two
+    map-side-combined aggregations (Σtot, k_{v,C}), one per-node argmax
+    window — no global state, no driver loop over nodes. Reference has
+    no analogue (networkx pickle, knowledge_graph_builder.py:83-92).
+    """
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    adj = materialize(
+        e.select(F.col("s").alias("node"), F.col("t").alias("nbr"))
+        .union(e.select(F.col("t").alias("node"), F.col("s").alias("nbr")))
+        .distinct()
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("kv"))
+    m2 = adj.agg(F.count(F.lit(1)).alias("m2"))  # 2m = directed edge ends
+    comm = materialize(deg.select("node", F.col("node").alias("c"), "kv"))
+    for _ in range(rounds):
+        sig = comm.groupBy("c").agg(F.sum("kv").alias("sig"))
+        kvc = (
+            adj.join(
+                comm.select(F.col("node").alias("nbr"),
+                            F.col("c").alias("cc")),
+                "nbr",
+            )
+            .groupBy("node", "cc")
+            .agg(F.count(F.lit(1)).alias("kvc"))
+        )
+        own = comm.select("node", F.col("c").alias("cc"),
+                          F.lit(0).alias("kvc0"))
+        cand = (
+            kvc.join(own.select("node", "cc", F.col("kvc0").alias("__o")),
+                     ["node", "cc"], "full")
+            .select(
+                "node", "cc",
+                F.coalesce("kvc", F.lit(0)).alias("kvc"),
+            )
+        )
+        scored = (
+            cand.join(comm.select("node", F.col("c").alias("own"), "kv"),
+                      "node")
+            .join(sig, cand["cc"] == sig["c"])
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "node", "own", "kv", "cc",
+                (
+                    F.col("m2") * F.col("kvc")
+                    - F.col("kv")
+                    * (F.col("sig")
+                       - F.when(F.col("cc") == F.col("own"), F.col("kv"))
+                       .otherwise(F.lit(0)))
+                ).cast("long").alias("score"),
+            )
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("cc"))
+        comm = materialize(
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("cc").alias("c"), "kv")
+        )
+    return comm.select("node", F.col("c").alias("community"))

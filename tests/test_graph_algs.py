@@ -942,3 +942,52 @@ def test_node2vec_walks_match_python_replica(spark):
     back = sum(1 for (s, wn, k), v in want.items()
                if k >= 2 and v == want[(s, wn, k - 2)])
     assert back < len([1 for key in want if key[2] >= 2])
+
+
+def test_louvain_move_replica_and_cliques(spark):
+    from kgspark.graph_algs import louvain_move
+
+    # two 4-cliques joined by a single bridge
+    cl1 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d")]
+    cl2 = [("w", "x"), ("w", "y"), ("w", "z"), ("x", "y"), ("x", "z"),
+           ("y", "z")]
+    edges = cl1 + cl2 + [("d", "w")]
+    t = spark.createDataFrame(
+        [(s, "r", o) for s, o in edges], "subj string, pred string, obj string"
+    )
+    got = {r.node: r.community
+           for r in louvain_move(t, rounds=2).collect()}
+
+    # python replica of the synchronous integer-gain update
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    kv = {v: len(ns) for v, ns in adj.items()}
+    m2 = sum(kv.values())
+    comm = {v: v for v in adj}
+    for _ in range(2):
+        sig = {}
+        for v, c in comm.items():
+            sig[c] = sig.get(c, 0) + kv[v]
+        nxt = {}
+        for v in adj:
+            cands = {}
+            for n in adj[v]:
+                cands[comm[n]] = cands.get(comm[n], 0) + 1
+            cands.setdefault(comm[v], 0)
+            best = None
+            for c, kvc in cands.items():
+                score = m2 * kvc - kv[v] * (
+                    sig[c] - (kv[v] if c == comm[v] else 0))
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            nxt[v] = best[1]
+        comm = nxt
+    assert got == comm
+    # the two cliques end in different communities, intra-clique agrees
+    c1 = {got[v] for v in "abcd"}
+    c2 = {got[v] for v in "wxyz"}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
