@@ -2800,6 +2800,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cms_table(stream, "token", depth=4, width=1024)
 
+    def sketch_hll_merge(spark, sf_dir):
+        # HLL shard-merge law (kgspark/sketch.py hll_merge): register
+        # tables of the even-doc and odd-doc token streams, full-outer
+        # per-idx with the merged (union-sketch) register — all exact
+        # integers; merge(sketch(A), sketch(B)) == sketch(A++B) by law
+        from kgspark.sketch import hll_registers
+
+        docs = _read(spark, sf_dir, "documents")
+
+        def stream(parity):
+            return docs.where(F.col("doc_id") % 2 == parity).select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                    )
+                ).alias("token")
+            )
+
+        from kgspark.sketch import hll_merge
+
+        ra = hll_registers(stream(0))
+        rb = hll_registers(stream(1))
+        rm = hll_merge(ra, rb).select("idx", F.col("max_rho").alias("rho_u"))
+        return (
+            rm.join(ra.select("idx", F.col("max_rho").alias("rho_a")),
+                    "idx", "left")
+            .join(rb.select("idx", F.col("max_rho").alias("rho_b")),
+                  "idx", "left")
+            .select(
+                "idx",
+                F.coalesce("rho_a", F.lit(0)).cast("long").alias("rho_a"),
+                F.coalesce("rho_b", F.lit(0)).cast("long").alias("rho_b"),
+                F.col("rho_u").cast("long").alias("rho_u"),
+            )
+        )
+
     def sketch_hll(spark, sf_dir):
         # HyperLogLog register table (p=10) over the corpus token stream
         from kgspark.sketch import hll_registers
@@ -6822,6 +6858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rrf": text_rrf,
         "sketch_cms": sketch_cms,
         "sketch_hll": sketch_hll,
+        "sketch_hll_merge": sketch_hll_merge,
         "kg_hyperball": kg_hyperball,
         "corpus_wsample": corpus_wsample,
         "rel_retention": rel_retention,
@@ -9326,6 +9363,34 @@ FROM sc_b GROUP BY 1, 2
         # kgspark.sketch.hll_registers: idx = hex6(md5(v)) % 2^10; rho =
         # 1 + leading zeros of the 24-bit word hex6(md5(v)[7:12]),
         # computed as 24 exact integer comparisons (no fp64 log)
+        # kgspark.sketch.hll_merge replica: per-parity register tables,
+        # merged register = greatest — exact integers throughout
+        "sketch_hll_merge": f"""
+WITH shm_s AS (
+  SELECT doc_id % 2 AS par,
+         md5(unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                    t -> t <> ''))) AS h
+  FROM documents
+),
+shm_w AS (
+  SELECT par, ({_hex6_sql('h')}) % 1024 AS idx,
+         ({_hex6_sql("substr(h, 7, 6)")}) AS w
+  FROM shm_s
+),
+shm_r AS (
+  SELECT par, idx,
+         25 - ({' + '.join(f'(CASE WHEN w >= {1 << j} THEN 1 ELSE 0 END)'
+                           for j in range(24))}) AS rho
+  FROM shm_w
+),
+shm_a AS (SELECT idx, max(rho) AS rho_a FROM shm_r WHERE par = 0 GROUP BY idx),
+shm_b AS (SELECT idx, max(rho) AS rho_b FROM shm_r WHERE par = 1 GROUP BY idx)
+SELECT coalesce(a.idx, b.idx)::BIGINT AS idx,
+       coalesce(a.rho_a, 0)::BIGINT AS rho_a,
+       coalesce(b.rho_b, 0)::BIGINT AS rho_b,
+       greatest(coalesce(a.rho_a, 0), coalesce(b.rho_b, 0))::BIGINT AS rho_u
+FROM shm_a a FULL JOIN shm_b b ON a.idx = b.idx
+""",
         "sketch_hll": f"""
 WITH sh_s AS (
   SELECT md5(unnest(list_filter(string_split_regex(lower("text"), '\\s+'),

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "text_rrf",
     "sketch_cms",
     "sketch_hll",
+    "sketch_hll_merge",
     "kg_hyperball",
     "corpus_wsample",
     "rel_retention",

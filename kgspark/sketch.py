@@ -257,3 +257,29 @@ def bloom_member(
     return out.withColumn(flag_col, flag).drop(
         *[f"__bloom_b{j}" for j in range(k)]
     )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two HLL register tables: per-idx max. The mergeability LAW —
+    merge(sketch(A), sketch(B)) == sketch(A ++ B) EXACTLY, row for row —
+    is what makes the sketch shard-safe at 100 TB: per-partition /
+    per-day register tables combine associatively with no re-scan
+    (pytest asserts the law on real streams). Union + max-groupBy, one
+    map-side-combined shuffle of <= 2^p rows per side."""
+    return (
+        a.select("idx", "max_rho").unionByName(b.select("idx", "max_rho"))
+        .groupBy("idx")
+        .agg(F.max("max_rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_set_estimates(a: DataFrame, b: DataFrame, p: int = 10) -> dict:
+    """Driver helper: {card_a, card_b, card_union, card_intersect} —
+    union from the merged sketch, intersection by inclusion-exclusion
+    (the standard HLL composition; error compounds, documented). fp64
+    by nature, NOT in any hash contract (the hll_estimate posture)."""
+    ea = hll_estimate(a, p)
+    eb = hll_estimate(b, p)
+    eu = hll_estimate(hll_merge(a, b), p)
+    return {"card_a": ea, "card_b": eb, "card_union": eu,
+            "card_intersect": max(ea + eb - eu, 0.0)}

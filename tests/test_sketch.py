@@ -145,3 +145,24 @@ def test_bloom_param_validation_and_nulls(spark):
     probed = bloom_member(nulls, bits, m_bits=4096, k=3).collect()
     got = {r["token"]: r["maybe_member"] for r in probed}
     assert got["x"] is True and got[None] is False
+
+
+def test_hll_merge_law_and_set_estimates(spark):
+    from kgspark.sketch import (hll_estimate, hll_merge, hll_registers,
+                                hll_set_estimates)
+
+    a = spark.range(0, 3000).selectExpr("'u' || id AS token")
+    b = spark.range(2000, 6000).selectExpr("'u' || id AS token")
+    ra, rb = hll_registers(a), hll_registers(b)
+    # THE merge law: merge(sketch(A), sketch(B)) == sketch(A ++ B), exactly
+    merged = {(r.idx, r.max_rho) for r in hll_merge(ra, rb).collect()}
+    direct = {(r.idx, r.max_rho)
+              for r in hll_registers(a.unionByName(b)).collect()}
+    assert merged == direct
+    est = hll_set_estimates(ra, rb)
+    assert abs(est["card_a"] - 3000) / 3000 < 0.15
+    assert abs(est["card_b"] - 4000) / 4000 < 0.15
+    assert abs(est["card_union"] - 6000) / 6000 < 0.15
+    # inclusion-exclusion intersection (|A ∩ B| = 1000); compounded
+    # error tolerated at 3x the union tolerance
+    assert abs(est["card_intersect"] - 1000) / 1000 < 0.45
