@@ -2417,6 +2417,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.lit(-1)).alias("bits_scaled"),
         )
 
+    def text_nfc(spark, sf_dir):
+        # Unicode NFC census (kgspark/textnorm.py nfc_report): a third of
+        # docs get a DECOMPOSED accent appended (e + U+0301), a third the
+        # precomposed twin (U+00E9) — changed flags and md5s must agree
+        # with DuckDB's utf8proc normalization
+        from kgspark.textnorm import nfc_report
+
+        docs = _read(spark, sf_dir, "documents")
+        suffix = (
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" caf" + "e\u0301"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" caf\u00e9"))
+            .otherwise(F.lit(" x"))
+        )
+        return nfc_report(
+            docs.select("doc_id",
+                        F.concat("text", suffix).alias("text"))
+        )
+
     def text_kn_bits(spark, sf_dir):
         # interpolated Kneser-Ney bigram scoring (kgspark/lm.py
         # train_kn_lm + score_kn_lm): type-count continuation backoff,
@@ -6819,6 +6837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truth": kg_truth,
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
+        "text_nfc": text_nfc,
         "text_kn_bits": text_kn_bits,
         "text_lm_buckets": text_lm_buckets,
         "kg_hits": kg_hits,
@@ -8394,6 +8413,21 @@ lm_sc AS (
 SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(round(s.bits * 1e6, 0)::BIGINT, -1) AS bits_scaled
 FROM documents d LEFT JOIN lm_sc s USING (doc_id)
+""",
+        # kgspark.textnorm.nfc_report replica: utf8proc nfc_normalize
+        # (fuzz-proven equal to Python unicodedata NFC in pytest)
+        "text_nfc": """
+WITH nf AS (
+  SELECT doc_id,
+         "text" || CASE WHEN doc_id % 3 = 0 THEN ' caf' || 'e' || chr(769)
+                        WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+                        ELSE ' x' END AS t
+  FROM documents
+),
+nn AS (SELECT doc_id, t, nfc_normalize(t) AS n FROM nf)
+SELECT doc_id, length(t)::BIGINT AS o_chars, length(n)::BIGINT AS n_chars,
+       (t <> n)::BIGINT AS changed, md5(n) AS nfc_md5
+FROM nn
 """,
         # kgspark.lm.train_kn_lm + score_kn_lm replica: identical fp64
         # tree — max(c12-0.5,0) seen mass, 0.5*N1+(w1)*Pcont backoff,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dedup_lines",
     "text_lm_bits",
     "text_kn_bits",
+    "text_nfc",
     "text_lm_buckets",
     "kg_hits",
     "web_anchor_text",

@@ -118,3 +118,40 @@ def clean_text_udf(s: pd.Series) -> pd.Series:
 def clean_bytes_udf(s: pd.Series) -> pd.Series:
     """Vectorized control-character cleaning (ref json_validator.py:92-111)."""
     return s.map(lambda x: clean_problematic_value(x) if isinstance(x, str) else x)
+
+
+@pandas_udf(StringType())
+def nfc_udf(s: pd.Series) -> pd.Series:
+    """Unicode NFC canonical composition (UAX #15), Arrow-batched.
+    Python's unicodedata and DuckDB's utf8proc nfc_normalize agree
+    (battery + 500-case fuzz in test_textnorm) — NFC is the stable,
+    round-trip-safe normalization a dedup pipeline must apply BEFORE
+    hashing, or the composed and decomposed spellings of the same
+    string land in different buckets. Beyond-reference scope (the
+    reference cleaner only strips control bytes,
+    json_validator.py:92-111)."""
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x)
+        if isinstance(x, str) else x
+    )
+
+
+def nfc_report(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, o_chars, n_chars, changed, nfc_md5): per-doc NFC census —
+    how much of the corpus is non-canonical (changed=1 docs would
+    hash-split from their canonical twins). Only the composition itself
+    crosses into Python; lengths, the change flag, and the md5 stay
+    JVM-side."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    n = nfc_udf(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("o_chars"),
+        F.length(n).cast("long").alias("n_chars"),
+        (t != n).cast("long").alias("changed"),
+        F.md5(n).alias("nfc_md5"),
+    )

@@ -179,3 +179,31 @@ def test_clean_text_fast_path_equals_spec_fuzz():
         assert clean_text(s) == clean_text_spec(s), repr(s)
 
     check()
+
+
+def test_nfc_udf_matches_duckdb_and_report(spark):
+    import duckdb
+    import random
+    import unicodedata
+
+    from kgspark.textnorm import nfc_report
+
+    con = duckdb.connect()
+    random.seed(3)
+    comb = ["́", "̀", "̈", "̧", "̊", ""]
+    cases = ["éclair", "café", "ﬁle", "Å", "", "x"]
+    cases += ["".join(random.choice("aeiouc AEIOU") + random.choice(comb)
+                      for _ in range(6)) for _ in range(500)]
+    for s in cases:
+        assert (con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+                == unicodedata.normalize("NFC", s))
+
+    df = spark.createDataFrame(
+        [(0, "café"), (1, "café"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in nfc_report(df).collect()}
+    assert out[0].o_chars == 5 and out[0].n_chars == 4
+    assert out[0].changed == 1 and out[1].changed == 0
+    assert out[0].nfc_md5 == out[1].nfc_md5  # canonical twins unify
+    assert out[2].nfc_md5 is None and out[2].changed is None
