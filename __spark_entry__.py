@@ -3731,6 +3731,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return damerau_pairs(recs, max_dist=1)
 
+    def link_jw(spark, sf_dir):
+        # Jaro-Winkler comparator join (kgspark/linkrec.py
+        # jaro_winkler_pairs): the census name scorer, bit-matching
+        # DuckDB's builtin (0.7 boost threshold, empty->0), blocked by
+        # nation|segment at min_sim 0.95
+        from kgspark.linkrec import jaro_winkler_pairs
+
+        c = _read(spark, sf_dir, "customer")
+        recs = c.select(
+            F.col("c_custkey").alias("rec_id"),
+            F.concat(
+                F.col("c_nationkey").cast("string"), F.lit("|"),
+                F.col("c_mktsegment"),
+            ).alias("block_key"),
+            F.col("c_name").alias("text"),
+        )
+        return jaro_winkler_pairs(recs, min_sim=0.95)
+
     def text_phrase(spark, sf_dir):
         # exact consecutive-token phrase query (decontamination audit
         # shape): anchors on the first term's postings, verifies the rest
@@ -6716,6 +6734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_sorted_blocks": link_sorted_blocks,
         "link_edit_pairs": link_edit_pairs,
         "link_damerau": link_damerau,
+        "link_jw": link_jw,
         "corpus_auc": corpus_auc,
         "corpus_calibration": corpus_calibration,
         "kg_harmonic": kg_harmonic,
@@ -14193,6 +14212,20 @@ SELECT a.rid AS id_a, b.rid AS id_b, a.txt AS text_a, b.txt AS text_b,
        levenshtein(a.txt, b.txt)::BIGINT AS dist
 FROM ep_r a JOIN ep_r b ON a.bk = b.bk AND a.rid < b.rid
 WHERE levenshtein(a.txt, b.txt) <= 1
+""",
+        # kgspark.linkrec.jaro_winkler_pairs: DuckDB's builtin is the
+        # pandas-UDF scorer's bit-twin (2000-pair fuzz in pytest)
+        "link_jw": """
+WITH jw_r AS (
+  SELECT c_custkey AS rid,
+         c_nationkey::VARCHAR || '|' || c_mktsegment AS bk,
+         c_name AS txt
+  FROM customer
+)
+SELECT a.rid AS id_a, b.rid AS id_b, a.txt AS text_a, b.txt AS text_b,
+       round(jaro_winkler_similarity(a.txt, b.txt), 6) AS sim
+FROM jw_r a JOIN jw_r b ON a.bk = b.bk AND a.rid < b.rid
+WHERE jaro_winkler_similarity(a.txt, b.txt) >= 0.95
 """,
         # kgspark.linkrec.damerau_pairs: DuckDB's damerau_levenshtein IS
         # the unrestricted variant the pandas-UDF DP implements

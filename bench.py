@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "link_sorted_blocks",
     "link_edit_pairs",
     "link_damerau",
+    "link_jw",
     "corpus_auc",
     "corpus_calibration",
     "kg_truth",

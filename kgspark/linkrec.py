@@ -589,3 +589,106 @@ def damerau_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def _jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity, bit-matching DuckDB's
+    jaro_winkler_similarity (fuzz-proven on 2000+ pairs in pytest):
+    empty strings score 0, the Winkler prefix boost (p=0.1, prefix <= 4)
+    applies only above the classic 0.7 jaro threshold."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo = i - window if i > window else 0
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / la + m / lb + (m - t) / m) / 3.0
+    if j <= 0.7:
+        return j
+    pre = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        pre += 1
+    return j + pre * 0.1 * (1 - j)
+
+
+def jaro_winkler_pairs(
+    records: DataFrame,
+    min_sim: float = 0.9,
+    block_col: str = "block_key",
+    text_col: str = "text",
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Blocked Jaro-Winkler comparator join — THE census/record-linkage
+    name comparator (Winkler 1990; the string scorer behind classic
+    Fellegi-Sunter deployments): (id_a, id_b, text_a, text_b, sim) for
+    pairs with sim >= min_sim inside each block.
+
+    Scale shape = edit_pairs/damerau_pairs: block equi-join bounds
+    candidates; the DP-free O(la*lb)-window scorer runs in an
+    Arrow-batched pandas UDF. When min_sim > 0.8 a JVM length-ratio
+    prefilter applies first: jaro <= (sigma+2)/3 and the boost is
+    affine, so jw <= 0.2*sigma + 0.8 with sigma = len_min/len_max —
+    pairs with sigma < 5*min_sim - 4 can never reach the gate and are
+    discarded before any Python row.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jw(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler(x or "", y or "") for x, y in zip(xs, ys)],
+            dtype="float64",
+        )
+
+    a = records.select(
+        F.col(block_col).alias("bk"), F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    b = records.select(
+        F.col(block_col).alias("bk"), F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    cand = a.join(b, "bk").where(F.col("id_a") < F.col("id_b"))
+    sigma_min = 5.0 * min_sim - 4.0
+    if sigma_min > 0:
+        ln_a, ln_b = F.length("text_a"), F.length("text_b")
+        cand = cand.where(
+            F.least(ln_a, ln_b).cast("double")
+            >= F.lit(sigma_min) * F.greatest(ln_a, ln_b).cast("double")
+        )
+    return (
+        cand.select(
+            "id_a", "id_b", "text_a", "text_b",
+            jw(F.col("text_a"), F.col("text_b")).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(min_sim))
+        .select("id_a", "id_b", "text_a", "text_b",
+                F.round("sim", 6).alias("sim"))
+    )

@@ -229,3 +229,31 @@ def test_damerau_pairs_blocked(spark):
     assert got == want
     assert (1, 2) in got and got[(1, 2)] == 1  # the transposition pair
     assert (5, 6) not in got
+
+
+def test_jaro_winkler_matches_duckdb(spark):
+    import random
+
+    import duckdb
+
+    from kgspark.linkrec import _jaro_winkler, jaro_winkler_pairs
+
+    con = duckdb.connect()
+    random.seed(11)
+    cases = [("martha", "marhta"), ("dixon", "dicksonx"),
+             ("jellyfish", "smellyfish"), ("", ""), ("a", ""),
+             ("abc", "abc"), ("abcd", "abcd")]
+    cases += [(''.join(random.choices('abcdef', k=random.randint(0, 9))),
+               ''.join(random.choices('abcdef', k=random.randint(0, 9))))
+              for _ in range(2000)]
+    for a, b in cases:
+        assert _jaro_winkler(a, b) == con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+
+    rows = [(1, "k", "martha"), (2, "k", "marhta"), (3, "k", "zzzz"),
+            (4, "j", "martha")]
+    df = spark.createDataFrame(rows, "rec_id long, block_key string, text string")
+    got = {(r.id_a, r.id_b): r.sim
+           for r in jaro_winkler_pairs(df, min_sim=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 0.961111) < 1e-6
