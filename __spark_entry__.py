@@ -3990,6 +3990,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def web_cdx(spark, sf_dir):
+        # CDX-style capture index (kgspark/web.py surt_key + cdx_lines):
+        # SURT urlkey (reversed host labels, sorted query, default ports
+        # dropped / explicit ports kept), 14-digit UTC timestamp, sha256
+        # digest — synthesized URLs cover case, ports, query, fragments
+        from kgspark.web import cdx_lines
+
+        ev = _read(spark, sf_dir, "events")
+        e = F.col("event_id")
+        url = F.concat(
+            F.lit("https://WWW.Site"), (e % 50).cast("string"),
+            F.lit(".Example.com"),
+            F.when(e % 4 == 0, F.lit(":443"))
+            .when(e % 4 == 1, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/p/"), (e % 9).cast("string"),
+            F.when(e % 3 == 0, F.lit("?b=2&a=1&c=0"))
+            .when(e % 3 == 1, F.lit("?z=9"))
+            .otherwise(F.lit("")),
+            F.when(e % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+        pages = ev.select(
+            url.alias("url"), F.col("ts"),
+            F.col("event_type").alias("text"),
+        )
+        return cdx_lines(pages)
+
     def web_url_features(spark, sf_dir):
         # structural URL features (pagination/facet/session-id signals)
         # over synthesized crawl URLs — map-only column expressions
@@ -6685,6 +6712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_mad": rel_mad,
         "kg_ppr": kg_ppr,
         "web_url_features": web_url_features,
+        "web_cdx": web_cdx,
         "text_bpe_apply": text_bpe_apply,
         "web_warc": web_warc,
         "kg_closure": kg_closure,
@@ -11201,6 +11229,56 @@ WITH {_PARTS_ORACLE_CTE},
 SELECT seed, node, rank_scaled FROM pp_out
 """,
         # kgspark.web.url_features: same RE2-subset regexes both sides
+        # kgspark.web.surt_key + cdx_lines replica: same URL synthesis,
+        # host reversal via list_reverse, sorted query, strftime UTC
+        "web_cdx": """
+WITH cdx_u AS (
+  SELECT 'https://WWW.Site' || (event_id % 50) || '.Example.com'
+         || CASE WHEN event_id % 4 = 0 THEN ':443'
+                 WHEN event_id % 4 = 1 THEN ':8080' ELSE '' END
+         || '/p/' || (event_id % 9)
+         || CASE WHEN event_id % 3 = 0 THEN '?b=2&a=1&c=0'
+                 WHEN event_id % 3 = 1 THEN '?z=9' ELSE '' END
+         || CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END AS url,
+         ts, event_type AS body
+  FROM events
+),
+cdx_p AS (
+  SELECT regexp_replace(regexp_replace(url, '#.*', ''),
+                        '^https?://', '') AS u, ts, body
+  FROM cdx_u
+),
+cdx_a AS (
+  SELECT u, lower(regexp_extract(u, '^([^/?]*)', 1)) AS auth, ts, body
+  FROM cdx_p
+),
+cdx_h AS (
+  SELECT u, auth,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         regexp_replace(auth, ':[0-9]+$', '') AS host,
+         substr(u, length(auth) + 1) AS rest, ts, body
+  FROM cdx_a
+),
+cdx_k AS (
+  SELECT
+    array_to_string(list_reverse(string_split(host, '.')), ',')
+    || CASE WHEN port <> '' AND port <> '443' AND port <> '80'
+            THEN ':' || port ELSE '' END
+    || ')'
+    || regexp_replace(rest, '\\?.*$', '')
+    || CASE WHEN regexp_extract(rest, '\\?(.*)$', 1) = '' THEN ''
+            ELSE '?' || array_to_string(
+                   list_sort(string_split(
+                     regexp_extract(rest, '\\?(.*)$', 1), '&')), '&')
+       END AS urlkey,
+    strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+    sha256(body) AS digest
+  FROM cdx_h
+)
+SELECT urlkey, ts14, digest,
+       urlkey || ' ' || ts14 || ' ' || digest AS line
+FROM cdx_k
+""",
         "web_url_features": """
 WITH uf_u AS (
   SELECT doc_id,

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "rel_mad",
     "kg_ppr",
     "web_url_features",
+    "web_cdx",
     "text_bpe_apply",
     "web_warc",
     "kg_closure",

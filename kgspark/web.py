@@ -1311,3 +1311,57 @@ def recrawl_priority(
             ).cast("long").alias("rate_ppm"),
         )
     )
+
+
+def surt_key(url_col) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform — the
+    OpenWayback/Common-Crawl CDX index key, iipc/urlcanon spec):
+    'https://WWW.Example.com:443/P?b=2&a=1' -> 'com,example,www)/P?a=1&b=2'.
+
+    Host labels reversed and comma-joined, so a RANGE SCAN over the
+    sorted key covers a registered domain and every subdomain
+    contiguously — the layout trick that makes petabyte CDX lookups a
+    file-prune instead of a scan (the same reasoning as
+    io_tables.zorder_key, one dimension here). Scheme and default port
+    dropped, host lowercased, #fragment stripped, query params sorted
+    (binary order). Pure JVM expression chain, oracle-replicable.
+    """
+    u = F.regexp_replace(url_col, "#.*", "")
+    u = F.regexp_replace(u, "^https?://", "")
+    auth = F.lower(F.regexp_extract(u, "^([^/?]*)", 1))
+    port = F.regexp_extract(auth, ":([0-9]+)$", 1)
+    host = F.regexp_replace(auth, ":[0-9]+$", "")
+    rest = F.substring(u, F.length(auth) + F.lit(1), F.lit(2147483647))
+    path = F.regexp_replace(rest, "[?].*$", "")
+    q = F.regexp_extract(rest, "[?](.*)$", 1)
+    qs = F.when(
+        q == "", F.lit("")
+    ).otherwise(
+        F.concat(F.lit("?"),
+                 F.array_join(F.array_sort(F.split(q, "&")), "&"))
+    )
+    rev = F.array_join(F.reverse(F.split(host, "[.]")), ",")
+    rev = F.when(
+        (port != "") & (port != "443") & (port != "80"),
+        F.concat(rev, F.lit(":"), port),
+    ).otherwise(rev)
+    return F.concat(rev, F.lit(")"), path, qs)
+
+
+def cdx_lines(df: DataFrame, url_col: str = "url", ts_col: str = "ts",
+              body_col: str = "text") -> DataFrame:
+    """(urlkey, ts14, digest, line): CDX-style capture index records —
+    SURT key, 14-digit timestamp, sha256 content digest (CC ships
+    sha1-base32; sha256-hex is the deliberate deviation — sha1 has no
+    DuckDB twin, and the digest's job here is identity, not wire
+    compatibility). Map-only; write `line` as text for the index sink,
+    sorted by urlkey for the range-scan layout."""
+    key = surt_key(F.col(url_col))
+    ts14 = F.date_format(F.col(ts_col), "yyyyMMddHHmmss")
+    dig = F.sha2(F.col(body_col).cast("string"), 256)
+    return df.select(
+        key.alias("urlkey"), ts14.alias("ts14"), dig.alias("digest"),
+    ).withColumn(
+        "line",
+        F.concat_ws(" ", "urlkey", "ts14", "digest"),
+    )

@@ -647,3 +647,34 @@ def test_recrawl_priority_change_rate(spark):
         "url string, ts timestamp, chash string",
     )
     assert recrawl_priority(flip).collect()[0].n_changes == 2
+
+
+def test_surt_key_and_cdx_lines(spark):
+    import datetime as dt
+
+    from kgspark.web import cdx_lines, surt_key
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "https://WWW.Example.com:443/Path?b=2&a=1#frag"),
+        (1, "http://sub.shop.example.co.uk:80/"),
+        (2, "https://example.com/x?z=1"),
+        (3, "https://example.com:8080/y"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {r.i: r.k
+           for r in df.select("i", surt_key(F.col("url")).alias("k")).collect()}
+    assert got[0] == "com,example,www)/Path?a=1&b=2"
+    assert got[1] == "uk,co,example,shop,sub)/"
+    assert got[2] == "com,example)/x?z=1"
+    assert got[3] == "com,example:8080)/y"  # non-default port kept
+
+    pages = spark.createDataFrame(
+        [("https://a.example.com/p", dt.datetime(2026, 2, 3, 4, 5, 6), "body")],
+        "url string, ts timestamp, text string",
+    )
+    r = cdx_lines(pages).collect()[0]
+    assert r.urlkey == "com,example,a)/p"
+    assert r.ts14 == "20260203040506"
+    assert len(r.digest) == 64
+    assert r.line == f"{r.urlkey} {r.ts14} {r.digest}"
