@@ -898,6 +898,73 @@ rw_all AS (
 )"""
 
 
+def _mmr_sql(k: int, pool: int, lam: int) -> str:
+    """Unrolled greedy MMR rounds (mirrors kgspark.similarity.mmr_rerank,
+    lam in tenths): integer scores lam*cos_ppm - (10-lam)*maxsim_ppm.
+    Expects a CTE mm_q(query_id, qemb); ends in mm_out."""
+    lc = 10 - lam
+    cos_q = _cos_sql("e.embedding", "q.qemb")
+    cos_p = _cos_sql("ea.embedding", "eb.embedding")
+    steps = []
+    sel_union = "SELECT query_id, vec_id FROM mm_p1"
+    for s in range(2, k + 1):
+        steps.append(f"""
+mm_sel{s} AS ({sel_union}),
+mm_sc{s} AS (
+  SELECT r.query_id, r.vec_id,
+         ({lam} * r.cos_ppm - {lc} * coalesce(m.ms, 0))::BIGINT AS score_num
+  FROM mm_rel r
+  LEFT JOIN (
+    SELECT p.query_id, p.da AS vec_id, max(p.pair_ppm) AS ms
+    FROM mm_pair p JOIN mm_sel{s} s2
+      ON s2.query_id = p.query_id AND s2.vec_id = p.db
+    GROUP BY 1, 2
+  ) m ON m.query_id = r.query_id AND m.vec_id = r.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM mm_sel{s} s3
+                    WHERE s3.query_id = r.query_id
+                      AND s3.vec_id = r.vec_id)
+),
+mm_p{s} AS (
+  SELECT query_id, vec_id, {s}::BIGINT AS pick_no, score_num FROM (
+    SELECT query_id, vec_id, score_num,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_num DESC, vec_id) AS rn
+    FROM mm_sc{s}
+  ) WHERE rn = 1
+)""")
+        sel_union += f" UNION ALL SELECT query_id, vec_id FROM mm_p{s}"
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM mm_p{s}" for s in range(1, k + 1))
+    return f"""
+mm_rel AS (
+  SELECT query_id, vec_id, cos_ppm FROM (
+    SELECT q.query_id, e.vec_id,
+           round(round({cos_q}, 6) * 1e6, 0)::BIGINT AS cos_ppm,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({cos_q}, 6) DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN mm_q q WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {pool}
+),
+mm_pair AS (
+  SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+         round(round({cos_p}, 6) * 1e6, 0)::BIGINT AS pair_ppm
+  FROM mm_rel a
+  JOIN mm_rel b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+mm_p1 AS (
+  SELECT query_id, vec_id, 1::BIGINT AS pick_no,
+         ({lam} * cos_ppm)::BIGINT AS score_num FROM (
+    SELECT query_id, vec_id, cos_ppm,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {lam} * cos_ppm DESC, vec_id) AS rn
+    FROM mm_rel
+  ) WHERE rn = 1
+),{",".join(steps)},
+mm_out AS ({finals})"""
+
+
 def _louvain_sql(rounds: int) -> str:
     """Unrolled synchronous Louvain local-move rounds (mirrors
     kgspark.graph_algs.louvain_move): integer gain numerator
@@ -1787,6 +1854,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = _read(spark, sf_dir, "embeddings")
         return mips_topk(emb, _queries_df(spark, sf_dir), k=5)
+
+    def ann_mmr(spark, sf_dir):
+        # MMR diversity reranking (kgspark/similarity.py mmr_rerank):
+        # greedy 3-of-10 picks, exact integer 7/3 tenths scores
+        from kgspark.similarity import mmr_rerank
+
+        emb = _read(spark, sf_dir, "embeddings")
+        return mmr_rerank(
+            emb, _queries_df(spark, sf_dir), k=3, pool=10, lam_tenths=7
+        )
 
     def embed_sq8(spark, sf_dir):
         # int8 scalar quantization census (kgspark/embed.py sq8_stats +
@@ -6836,6 +6913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_seq": kg_bgp_seq,
         "ann_knn_graph": ann_knn_graph,
         "ann_mips": ann_mips,
+        "ann_mmr": ann_mmr,
         "embed_sq8": embed_sq8,
         "ann_sq8": ann_sq8,
         "kg_bgp_having": kg_bgp_having,
@@ -7669,6 +7747,13 @@ SELECT query_id, vec_id, dot, rank FROM (
            PARTITION BY query_id ORDER BY dot DESC, vec_id ASC)::BIGINT AS rank
   FROM scored
 ) WHERE rank <= 5
+""",
+        # kgspark.similarity.mmr_rerank replica: greedy rounds unrolled
+        # by _mmr_sql, integer 7/3 scores over ppm cosines
+        "ann_mmr": f"""
+WITH mm_q AS (SELECT vec_id AS query_id, embedding AS qemb
+              FROM embeddings WHERE vec_id < 3),{_mmr_sql(3, 10, 7)}
+SELECT query_id, vec_id, pick_no, score_num FROM mm_out
 """,
         # kgspark.embed.sq8_stats + sq8_encode replica: per-dim min/max,
         # floor((x-lo)*255/(hi-lo)+0.5) clamped to [0,255] — identical

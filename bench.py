@@ -338,6 +338,7 @@ BENCH_QUERIES = [
     "kg_bgp_seq",
     "ann_knn_graph",
     "ann_mips",
+    "ann_mmr",
     "embed_sq8",
     "ann_sq8",
     "kg_bgp_having",

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kgspark.dedup import banded_sign_values
 from kgspark.embed import cosine_cols, dot_cols, l2_norm
+from kgspark.session import materialize
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -785,3 +786,109 @@ def sq8_topk(
         .select("query_id", "vec_id", "dot_q",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 10,
+    lam_tenths: int = 7,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity stage of a RAG retriever: greedily pick
+    k results from the top-`pool` cosine candidates, each step scoring
+
+        score = lam * cos(q, d) - (1 - lam) * max_{s in picked} cos(d, s)
+
+    lam is passed in TENTHS (7 -> 0.7) so the score is the exact
+    integer lam_tenths * cos_ppm - (10 - lam_tenths) * maxsim_ppm over
+    ppm-quantized cosines — no fp64 in any compared value, ties broken
+    by vec_id (the kgtrain determinism posture).
+
+    Scale shape: the pool is bounded per query by construction, so the
+    in-pool pairwise cosine table is |Q| * pool² rows (tiny), computed
+    ONCE; each of the k greedy rounds is an anti-join + left-join +
+    per-query argmax window over <= pool rows per query. The corpus is
+    touched only by the initial cosine_topk (broadcast queries, no
+    corpus shuffle). Returns (query_id, vec_id, pick_no, score_num).
+    """
+    if not 0 <= lam_tenths <= 10:
+        raise ValueError("lam_tenths must be in [0, 10]")
+    cands = materialize(
+        cosine_topk(emb, queries, k=pool, emb_col=emb_col, id_col=id_col)
+        .select(
+            "query_id", "vec_id",
+            F.round(F.col("cos") * 1e6, 0).cast("long").alias("cos_ppm"),
+        )
+    )
+    vecs = emb.select(F.col(id_col).alias("vid"),
+                      F.col(emb_col).alias("e"),
+                      l2_norm(F.col(emb_col)).alias("nrm"))
+    a = cands.select("query_id", F.col("vec_id").alias("da")).join(
+        vecs.withColumnsRenamed({"vid": "da", "e": "ea", "nrm": "na"}), "da")
+    b = cands.select("query_id", F.col("vec_id").alias("db")).join(
+        vecs.withColumnsRenamed({"vid": "db", "e": "eb", "nrm": "nb"}), "db")
+    pairs = materialize(
+        a.join(b, "query_id")
+        .where(F.col("da") != F.col("db"))
+        .select(
+            "query_id", "da", "db",
+            F.round(
+                F.round(cosine_cols(F.col("ea"), F.col("eb"),
+                                    na=F.col("na"), nb=F.col("nb")), 6)
+                * 1e6, 0,
+            ).cast("long").alias("pair_ppm"),
+        )
+    )
+    lam = F.lit(lam_tenths).cast("long")
+    lam_c = F.lit(10 - lam_tenths).cast("long")
+    picked = None
+    remaining = cands
+    out = None
+    w = Window.partitionBy("query_id")
+    for step in range(1, k + 1):
+        if picked is None:
+            scored = remaining.select(
+                "query_id", "vec_id", "cos_ppm",
+                (lam * F.col("cos_ppm")).alias("score_num"),
+            )
+        else:
+            maxsim = (
+                pairs.join(
+                    picked.select("query_id",
+                                  F.col("vec_id").alias("db")),
+                    ["query_id", "db"],
+                )
+                .groupBy("query_id", F.col("da").alias("vec_id"))
+                .agg(F.max("pair_ppm").alias("ms"))
+            )
+            scored = (
+                remaining.join(maxsim, ["query_id", "vec_id"], "left")
+                .select(
+                    "query_id", "vec_id", "cos_ppm",
+                    (lam * F.col("cos_ppm")
+                     - lam_c * F.coalesce("ms", F.lit(0))).alias("score_num"),
+                )
+            )
+        pick = materialize(
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    w.orderBy(F.desc("score_num"), F.asc("vec_id"))),
+            )
+            .where(F.col("rn") == 1)
+            .select("query_id", "vec_id",
+                    F.lit(step).cast("long").alias("pick_no"),
+                    F.col("score_num").cast("long").alias("score_num"))
+        )
+        out = pick if out is None else out.unionByName(pick)
+        picked = (pick.select("query_id", "vec_id") if picked is None
+                  else picked.unionByName(pick.select("query_id", "vec_id")))
+        remaining = remaining.join(
+            pick.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_anti",
+        )
+    return out

@@ -300,3 +300,52 @@ def test_sq8_encode_and_topk(spark):
         == [(r.query_id, r.vec_id, r.rank) for r in sorted(
             exact.collect(), key=lambda r: (r.query_id, r.rank))]
     )
+
+
+def test_mmr_rerank_matches_python_replica(spark):
+    from kgspark.similarity import mmr_rerank
+
+    # two ORTHOGONAL clusters, query on the diagonal: pure relevance
+    # fills from one cluster; MMR at lam=0.5 must alternate clusters
+    rows = [(i, [1.0 + 0.01 * i, 0.0, 0.0]) for i in range(6)]
+    rows += [(i, [0.0, 1.0 + 0.01 * (i - 6), 0.0]) for i in range(6, 12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(99, [1.0, 1.0, 0.0])], "query_id long, qemb array<float>")
+    got = sorted(
+        [(r.pick_no, r.vec_id, r.score_num)
+         for r in mmr_rerank(emb, q, k=3, pool=8, lam_tenths=5).collect()]
+    )
+
+    import math
+    vecs = dict(rows)
+    qv = [1.0, 1.0, 0.0]
+
+    def cos_ppm(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return round(round(d / (na * nb), 6) * 1e6)
+
+    rel = sorted(((cos_ppm(vecs[i], qv), -i), i) for i in vecs)[::-1]
+    poolv = [i for _, i in rel[:8]]
+    relmap = {i: c for (c, _), i in rel}
+    picked, want = [], []
+    for step in range(1, 4):
+        best = None
+        for d in poolv:
+            if d in picked:
+                continue
+            ms = max((cos_ppm(vecs[d], vecs[s]) for s in picked), default=0)
+            sc = 5 * relmap[d] - (5 * ms if picked else 0)
+            key = (-sc, d)
+            if best is None or key < best[0]:
+                best = (key, d, sc)
+        picked.append(best[1])
+        want.append((step, best[1], best[2]))
+    assert got == sorted(want)
+    # diversity: picks span BOTH clusters; pure relevance top-3 does not
+    pure = [i for _, i in rel[:3]]
+    assert [v for _, v, _ in want] != pure
+    sides = {v < 6 for _, v, _ in want}
+    assert sides == {True, False}
