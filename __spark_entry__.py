@@ -1590,6 +1590,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("q_num").cast("long").alias("q_num"),
         )
 
+    def kg_config_model(spark, sf_dir):
+        # degree-preserving configuration-model null graph
+        # (kgspark/graph_algs.py config_model_edges): hash stub shuffle,
+        # consecutive-rank pairing — the motif-significance baseline
+        from kgspark.graph_algs import config_model_edges
+
+        t = _extract_triples(spark, sf_dir)
+        return config_model_edges(t)
+
     def kg_louvain(spark, sf_dir):
         # bounded-round synchronous Louvain local-move phase
         # (kgspark/graph_algs.py louvain_move): exact-integer modularity
@@ -6996,6 +7005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": kg_random_walks,
         "kg_node2vec": kg_node2vec,
         "kg_louvain": kg_louvain,
+        "kg_config_model": kg_config_model,
         "text_entropy": text_entropy,
         "text_novelty": text_novelty,
         "corpus_split_safe": corpus_split_safe,
@@ -8892,6 +8902,30 @@ CROSS JOIN md_m m
 WITH {_PARTS_ORACLE_CTE},
 {_walks_sql()}
 SELECT start, walk_no, step, node FROM rw_all
+""",
+        # kgspark.graph_algs.config_model_edges replica: the global
+        # row_number over the composite stub key IS the range-partition
+        # + offset rank (same total order)
+        "kg_config_model": f"""
+WITH RECURSIVE {_PARTS_ORACLE_CTE},
+cfm_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples WHERE subj <> obj),
+cfm_deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT s AS node FROM cfm_e UNION ALL SELECT t AS node FROM cfm_e
+  ) GROUP BY node
+),
+cfm_st AS (
+  SELECT md5(node || ':' || i) || '|' || i || '|' || node AS e, node
+  FROM (SELECT node, unnest(range(0, deg)) AS i FROM cfm_deg)
+),
+cfm_rk AS (
+  SELECT node, row_number() OVER (ORDER BY e) - 1 AS rk FROM cfm_st
+),
+cfm_p AS (SELECT node, rk // 2 AS edge_id, rk % 2 AS side FROM cfm_rk)
+SELECT edge_id::BIGINT AS edge_id,
+       max(CASE WHEN side = 0 THEN node END) AS a,
+       max(CASE WHEN side = 1 THEN node END) AS b
+FROM cfm_p GROUP BY edge_id HAVING count(*) = 2
 """,
         # kgspark.graph_algs.louvain_move replica: 2 unrolled synchronous
         # modularity-ascent rounds (generated by _louvain_sql)

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "kg_random_walks",
     "kg_node2vec",
     "kg_louvain",
+    "kg_config_model",
     "kg_adamic_adar",
     "text_script_mix",
     "sketch_bloom",

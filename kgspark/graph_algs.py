@@ -2900,3 +2900,60 @@ def louvain_move(
             .select("node", F.col("cc").alias("c"), "kv")
         )
     return comm.select("node", F.col("c").alias("community"))
+
+
+def config_model_edges(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(edge_id, a, b): a DEGREE-PRESERVING null-model graph — the
+    configuration model (Bollobás 1980; Newman SIAM Rev. 2003 §4.1) by
+    stub matching: every node contributes deg(v) stubs, the stub list is
+    shuffled, consecutive stubs pair into edges. Motif / clustering /
+    assortativity measurements only mean something against exactly this
+    baseline (same degree sequence, everything else randomized).
+
+    The "shuffle" is the repo's hash order: stubs sort by
+    md5(node:i)-prefixed composite keys, so the null graph is a pure
+    function of the input (replayable, SQL-replicable). The global stub
+    rank uses kgtrain.ranked_entities' range-partition + offset scheme —
+    NEVER a single-task global window. Self-loops and multi-edges are
+    legitimate configuration-model outcomes and are kept; an odd stub
+    (sum of degrees is even for loop-free input, but filtered inputs may
+    break that) is dropped.
+    """
+    from kgspark.kgtrain import ranked_entities
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    ends = e.select(F.col("s").alias("node")).unionAll(
+        e.select(F.col("t").alias("node")))
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    stubs = deg.select(
+        "node",
+        F.explode(F.sequence(F.lit(0), F.col("deg") - 1)).alias("i"),
+    )
+    composite = F.concat(
+        F.md5(F.concat_ws(":", "node", F.col("i").cast("string"))),
+        F.lit("|"), F.col("i").cast("string"), F.lit("|"), F.col("node"),
+    )
+    ranked, _n = ranked_entities(stubs.select(composite.alias("e")))
+    parsed = ranked.select(
+        F.regexp_replace("e", r"^[^|]*\|[^|]*\|", "").alias("node"),
+        F.expr("__rank div 2").alias("edge_id"),
+        (F.col("__rank") % 2).alias("side"),
+    )
+    return (
+        parsed.groupBy("edge_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(F.when(F.col("side") == 0, F.col("node"))).alias("a"),
+            F.max(F.when(F.col("side") == 1, F.col("node"))).alias("b"),
+        )
+        .where(F.col("__n") == 2)
+        .select(F.col("edge_id").cast("long").alias("edge_id"), "a", "b")
+    )

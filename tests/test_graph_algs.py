@@ -991,3 +991,38 @@ def test_louvain_move_replica_and_cliques(spark):
     c1 = {got[v] for v in "abcd"}
     c2 = {got[v] for v in "wxyz"}
     assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+
+def test_config_model_preserves_degrees(spark):
+    import hashlib
+
+    from kgspark.graph_algs import config_model_edges
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e"),
+             ("e", "a")]
+    t = spark.createDataFrame(
+        [(s, "r", o) for s, o in edges], "subj string, pred string, obj string"
+    )
+    got = config_model_edges(t).collect()
+    # degree sequence preserved: stub multiset == original degree ends
+    from collections import Counter
+    deg = Counter()
+    for s, o in edges:
+        deg[s] += 1
+        deg[o] += 1
+    ends = Counter()
+    for r in got:
+        ends[r.a] += 1
+        ends[r.b] += 1
+    assert ends == deg
+    # python replica of the hash stub shuffle
+    stubs = []
+    for v, d in deg.items():
+        for i in range(d):
+            h = hashlib.md5(f"{v}:{i}".encode()).hexdigest()
+            stubs.append((f"{h}|{i}|{v}", v))
+    stubs.sort()
+    want = {}
+    for j in range(len(stubs) // 2):
+        want[j] = (stubs[2 * j][1], stubs[2 * j + 1][1])
+    assert {r.edge_id: (r.a, r.b) for r in got} == want
