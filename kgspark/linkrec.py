@@ -573,19 +573,30 @@ def damerau_pairs(
         F.col(block_col).alias("bk"), F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
     )
-    lev_gate = 2 * max_dist + 1
     cand = (
         a.join(b, "bk")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             F.abs(F.length("text_a") - F.length("text_b")) <= max_dist
         )
-        .where(F.levenshtein("text_a", "text_b", lev_gate) >= 0)
+        .withColumn(
+            # Lev <= 2*DL (a transposition costs <= 2 Lev edits), so
+            # DL <= max_dist forces Lev <= 2*max_dist: the thresholded
+            # JVM Levenshtein is a complete gate
+            "__lv", F.levenshtein("text_a", "text_b", 2 * max_dist)
+        )
+        .where(F.col("__lv") >= 0)
+    )
+    # DL == Lev whenever Lev <= 1 (DL <= Lev always, and equal strings /
+    # single-edit pairs admit no transposition shortcut), so the Python
+    # DP runs ONLY on the Lev in (1, 2*max_dist] band — on digit-suffix
+    # corpora that band is a small fraction of the gated candidates
+    dist = F.when(F.col("__lv") <= 1, F.col("__lv").cast("long")).otherwise(
+        dl(F.col("text_a"), F.col("text_b"))
     )
     return (
         cand.select(
-            "id_a", "id_b", "text_a", "text_b",
-            dl(F.col("text_a"), F.col("text_b")).alias("dist"),
+            "id_a", "id_b", "text_a", "text_b", dist.alias("dist"),
         )
         .where(F.col("dist") <= max_dist)
     )
