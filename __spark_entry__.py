@@ -1906,6 +1906,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sq8_encode(emb, st), st, _queries_df(spark, sf_dir), k=5
         )
 
+    def rel_interp(spark, sf_dir):
+        # linear gap-fill (kgspark/relops.py interpolate_gaps): gappy
+        # per-type daily cent sums (event_id % 7 < 3 keeps ~43%), missing
+        # days interpolate v_prev + (v_next-v_prev)*off div len — exact
+        # integers, div truncates toward zero on both engines
+        from kgspark.relops import interpolate_gaps
+
+        ev = _read(spark, sf_dir, "events").where(F.col("event_id") % 7 < 3)
+        daily = (
+            ev.select(
+                F.col("event_type").alias("key"),
+                F.col("ts").cast("date").alias("day"),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).alias("c"),
+            )
+            .groupBy("key", "day")
+            .agg(F.sum("c").cast("long").alias("v_cents"))
+        )
+        return interpolate_gaps(daily)
+
     def rel_zorder(spark, sf_dir):
         # Morton/Z-order layout key (kgspark/io_tables.py zorder_key):
         # coarse-cell census of the interleaved key over
@@ -2501,6 +2520,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bigrams",
             F.coalesce(F.round(F.col("bits") * 1e6, 0).cast("long"),
                        F.lit(-1)).alias("bits_scaled"),
+        )
+
+    def corpus_fim(spark, sf_dir):
+        # fill-in-the-middle PSM transform (kgspark/trainprep.py
+        # fim_splits): hash-selected 60%, hash-derived cut points,
+        # prefix <FIM_SUF> suffix <FIM_MID> middle
+        from kgspark.trainprep import fim_splits
+
+        return fim_splits(
+            _read(spark, sf_dir, "documents"), rate_pct=60
         )
 
     def text_nfc(spark, sf_dir):
@@ -6932,6 +6961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_single_linkage": kg_single_linkage,
         "rel_histogram": rel_histogram,
         "rel_zorder": rel_zorder,
+        "rel_interp": rel_interp,
         "kg_akas": kg_akas,
         "kg_pagerank_w": kg_pagerank_w,
         "kg_bgp_regex": kg_bgp_regex,
@@ -6972,6 +7002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_prior": web_anchor_prior,
         "text_lm_bits": text_lm_bits,
         "text_nfc": text_nfc,
+        "corpus_fim": corpus_fim,
         "text_kn_bits": text_kn_bits,
         "text_lm_buckets": text_lm_buckets,
         "kg_hits": kg_hits,
@@ -8555,6 +8586,30 @@ lm_sc AS (
 SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(round(s.bits * 1e6, 0)::BIGINT, -1) AS bits_scaled
 FROM documents d LEFT JOIN lm_sc s USING (doc_id)
+""",
+        # kgspark.trainprep.fim_splits replica: same hex6 selection and
+        # cut arithmetic, substr reassembly
+        "corpus_fim": f"""
+WITH fim_b AS (
+  SELECT doc_id, "text" AS t, length("text") AS ln,
+         ({_hex6_sql("md5('fim:' || doc_id)")}) % 100 AS selv,
+         ({_hex6_sql("md5('a:' || doc_id)")}) % (length("text") + 1) AS ca,
+         ({_hex6_sql("md5('b:' || doc_id)")}) % (length("text") + 1) AS cb
+  FROM documents
+),
+fim_c AS (
+  SELECT doc_id, t, ln, (selv < 60 AND ln >= 2) AS sel,
+         least(ca, cb) AS c1, greatest(ca, cb) AS c2
+  FROM fim_b
+)
+SELECT doc_id,
+       (CASE WHEN sel THEN c1 ELSE -1 END)::BIGINT AS cut1,
+       (CASE WHEN sel THEN c2 ELSE -1 END)::BIGINT AS cut2,
+       CASE WHEN sel
+            THEN substr(t, 1, c1) || '<FIM_SUF>' || substr(t, c2 + 1)
+                 || '<FIM_MID>' || substr(t, c1 + 1, c2 - c1)
+            ELSE t END AS fim_text
+FROM fim_c
 """,
         # kgspark.textnorm.nfc_report replica: utf8proc nfc_normalize
         # (fuzz-proven equal to Python unicodedata NFC in pytest)
@@ -13486,6 +13541,39 @@ SELECT s.bin,
        END AS hi_edge,
        coalesce(c.n, 0)::BIGINT AS n
 FROM rh_s s LEFT JOIN rh_c c ON c.bin = s.bin
+""",
+        # kgspark.relops.interpolate_gaps replica: per-key date spine +
+        # IGNORE NULLS bracketing windows + truncating integer div
+        "rel_interp": """
+WITH ip_o AS (
+  SELECT event_type AS k, ts::DATE AS d,
+         sum(floor(value * 100 + 0.5))::BIGINT AS v
+  FROM events WHERE event_id % 7 < 3 GROUP BY 1, 2
+),
+ip_s AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM (SELECT k, min(d) AS lo, max(d) AS hi FROM ip_o GROUP BY k)
+),
+ip_g AS (SELECT s.k, s.d, o.v FROM ip_s s LEFT JOIN ip_o o USING (k, d)),
+ip_w AS (
+  SELECT k, d, v,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+      OVER (PARTITION BY k ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY d
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+      OVER (PARTITION BY k ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+  FROM ip_g
+)
+SELECT k AS key, d AS day,
+       coalesce(v, vp + (vn - vp) * date_diff('day', dp, d)
+                       // date_diff('day', dp, dn))::BIGINT AS v_cents,
+       (CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS filled
+FROM ip_w
 """,
         # kgspark.io_tables.zorder_key replica: exact-integer affine
         # bucketing to [0, 2^16) then Morton bit interleave (a on odd

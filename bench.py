@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "text_lm_bits",
     "text_kn_bits",
     "text_nfc",
+    "corpus_fim",
     "text_lm_buckets",
     "kg_hits",
     "web_anchor_text",
@@ -349,6 +350,7 @@ BENCH_QUERIES = [
     "kg_single_linkage",
     "rel_histogram",
     "rel_zorder",
+    "rel_interp",
     "kg_akas",
     "kg_pagerank_w",
     "kg_bgp_regex",

@@ -361,3 +361,75 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_table(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> dict:
+    """MERGE/upsert into a parquet table — the Delta/Iceberg `MERGE INTO`
+    shape on the plain-parquet seam: rows in `updates` REPLACE target
+    rows with equal `key_cols` (last-writer-wins at the statement level),
+    unmatched update rows INSERT, and when `delete_col` names a boolean
+    column, its true rows DELETE their keys instead. Pipeline use: the
+    incremental KG re-crawl — re-extracted pages replace their old
+    triples by (subj, pred, source), retracted pages delete.
+
+    Plan: target LEFT-ANTI-joins the (broadcastable, batch-sized) update
+    keyset — one hash join, target never globally shuffled — then unions
+    surviving target rows with the non-delete updates. Duplicate keys
+    INSIDE one update batch are rejected (ambiguous MERGE per the SQL
+    spec) rather than silently resolved.
+
+    Crash safety is compact_table's staging/backup swap, verbatim:
+    readers see the full old or full new table, never a mix; a crashed
+    merge is recovered on the next entry.
+    """
+    from kgspark.catalog import _child, _fs
+
+    if not key_cols:
+        raise ValueError("merge_table: key_cols must be non-empty")
+    dup = (
+        updates.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_table: duplicate keys inside the update batch: "
+            f"{dict(zip(key_cols, [dup[0][k] for k in key_cols]))}"
+        )
+    fs, root = _fs(spark, table_path)
+    parent = root.getParent()
+    name = root.getName()
+    _recover_stale_compact(spark, fs, parent, name)
+    if not fs.exists(root):
+        raise FileNotFoundError(table_path)
+    target = spark.read.parquet(table_path)
+    data_cols = [c for c in updates.columns if c != delete_col]
+    if set(target.columns) != set(data_cols):
+        raise ValueError(
+            f"merge_table: update schema {sorted(data_cols)} != target "
+            f"schema {sorted(target.columns)}"
+        )
+    keyset = updates.select(*key_cols)
+    kept = target.join(F.broadcast(keyset), key_cols, "left_anti")
+    ins = updates
+    if delete_col is not None:
+        ins = ins.where(~F.coalesce(F.col(delete_col), F.lit(False)))
+    merged = kept.unionByName(ins.select(*target.columns))
+
+    staging = _child(spark, parent, _TMP_COMPACT + name)
+    fs.delete(staging, True)
+    merged.write.mode("overwrite").parquet(str(staging))
+    backup = _child(spark, parent, _BAK_COMPACT + name)
+    if not fs.rename(root, backup):
+        raise IOError(f"merge swap: could not back up {table_path}")
+    if not fs.rename(staging, root):
+        fs.rename(backup, root)
+        raise IOError(f"merge swap: could not publish {table_path}")
+    fs.delete(backup, True)
+    n_after = spark.read.parquet(table_path).count()
+    return {"rows_after": n_after, "merged": True}

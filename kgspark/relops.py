@@ -1232,3 +1232,72 @@ def cusum_alarms(
         (F.col("s_hi") > hc).cast("int").alias("alarm_hi"),
         (F.col("s_lo") > hc).cast("int").alias("alarm_lo"),
     )
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "v_cents",
+) -> DataFrame:
+    """(key, day, v_cents, filled): linear gap-fill over a per-key daily
+    series — the timeseries-repair sibling of
+    trainprep.densify_calendar (which fills ZEROS; zeros are correct for
+    counts, wrong for levels like prices/rates). Missing days between a
+    key's first and last observation interpolate linearly between the
+    bracketing observations in exact INTEGER arithmetic:
+
+        v = v_prev + (v_next - v_prev) * off div len
+
+    (cent-quantized inputs; div truncates toward zero on BOTH engines —
+    the CLAUDE.md negative-numerator rule). filled = 1 on interpolated
+    rows.
+
+    Shape: per-key spine from one groupBy min/max + sequence explode;
+    bracketing observations via two ordered windows (last/first with
+    ignorenulls) — no self-join, no driver loop. Spine edges are always
+    observed (they ARE the per-key min/max), so the interpolation is
+    total.
+    """
+    obs = df.select(
+        F.col(key_col).alias("k"), F.col(day_col).alias("d"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    span = obs.groupBy("k").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = span.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    g = spine.join(obs, ["k", "d"], "left")
+    wp = (
+        Window.partitionBy("k").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("k").orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vp = F.last("v", ignorenulls=True).over(wp)
+    dp = F.last(F.when(F.col("v").isNotNull(), F.col("d")),
+                ignorenulls=True).over(wp)
+    vn = F.first("v", ignorenulls=True).over(wn)
+    dn = F.first(F.when(F.col("v").isNotNull(), F.col("d")),
+                 ignorenulls=True).over(wn)
+    out = (
+        g.withColumn("__vp", vp).withColumn("__vn", vn)
+        .withColumn("__dp", dp).withColumn("__dn", dn)
+        .withColumn("__d", F.col("d"))
+    )
+    return out.select(
+        F.col("k").alias(key_col), F.col("d").alias(day_col),
+        F.coalesce(
+            "v",
+            F.col("__vp") + F.expr(
+                "(__vn - __vp) * datediff(__d, __dp) div datediff(__dn, __dp)"
+            ),
+        ).cast("long").alias(value_col),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("filled"),
+    )

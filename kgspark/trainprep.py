@@ -665,3 +665,47 @@ def rater_agreement(
         ).cast("long").alias("kappa_ppm"),
     )
     return confusion, summary
+
+
+def fim_splits(
+    df: DataFrame,
+    rate_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022, the
+    PSM format): a hash-selected `rate_pct`% of documents are split at
+    two hash-derived cut points into prefix/middle/suffix and re-emitted
+    as  prefix <FIM_SUF> suffix <FIM_MID> middle  so an autoregressive
+    model learns infilling; unselected docs pass through (cut1 = cut2 =
+    -1). The "randomness" is md5 of the doc id (the kgtrain posture):
+    replayable across re-runs and retried tasks, SQL-replicable.
+
+    Map-only column expressions — substr arithmetic on code points, no
+    Python, no shuffle; cut points are uniform over [0, len] via
+    hex6 % (len + 1).
+    """
+    from kgspark.kgtrain import _hex6_to_int
+
+    t = F.col(text_col)
+    ln = F.length(t)
+    did = F.col(id_col).cast("string")
+    sel = (
+        _hex6_to_int(F.md5(F.concat(F.lit("fim:"), did))) % 100
+        < F.lit(rate_pct)
+    ) & (ln >= 2)
+    c_a = _hex6_to_int(F.md5(F.concat(F.lit("a:"), did))) % (ln + 1)
+    c_b = _hex6_to_int(F.md5(F.concat(F.lit("b:"), did))) % (ln + 1)
+    cut1 = F.least(c_a, c_b)
+    cut2 = F.greatest(c_a, c_b)
+    prefix = F.substring(t, 1, cut1)
+    middle = F.substring(t, cut1 + 1, cut2 - cut1)
+    suffix = F.substring(t, cut2 + 1, ln)
+    fim = F.concat(prefix, F.lit("<FIM_SUF>"), suffix,
+                   F.lit("<FIM_MID>"), middle)
+    return df.select(
+        F.col(id_col),
+        F.when(sel, cut1).otherwise(F.lit(-1)).cast("long").alias("cut1"),
+        F.when(sel, cut2).otherwise(F.lit(-1)).cast("long").alias("cut2"),
+        F.when(sel, fim).otherwise(t).alias("fim_text"),
+    )

@@ -346,3 +346,36 @@ def test_zorder_key_and_write(spark, tmp_path):
         if aspan <= 0.51 and bspan <= 0.51:
             both_tight += 1
     assert both_tight >= len(files) // 2, (both_tight, len(files))
+
+
+def test_merge_table_upsert_insert_delete(spark, tmp_path):
+    import pytest as _pytest
+
+    from kgspark.io_tables import merge_table
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    ).write.parquet(path)
+    upd = spark.createDataFrame(
+        [(2, "B", 99.0, False), (4, "d", 40.0, False), (3, None, 0.0, True)],
+        "k long, name string, v double, is_delete boolean",
+    )
+    out = merge_table(spark, path, upd, ["k"], delete_col="is_delete")
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}
+    assert out["rows_after"] == 3
+    # ambiguous batch rejected
+    bad = spark.createDataFrame(
+        [(5, "x", 1.0, False), (5, "y", 2.0, False)],
+        "k long, name string, v double, is_delete boolean",
+    )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_table(spark, path, bad, ["k"], delete_col="is_delete")
+    # schema drift rejected
+    drift = spark.createDataFrame([(6, "z")], "k long, name string")
+    with _pytest.raises(ValueError, match="update schema"):
+        merge_table(spark, path, drift, ["k"])
+    # untouched after failures
+    assert spark.read.parquet(path).count() == 3

@@ -469,3 +469,28 @@ def test_cusum_alarms_matches_recurrence(spark):
         assert pinned[("b", t)]["s_hi"] == s
         assert pinned[("b", t)]["alarm_hi"] == int(s > 10)
     assert pinned[("b", 7)]["alarm_hi"] == 1
+
+
+def test_interpolate_gaps_linear_integer(spark):
+    import datetime as dt
+
+    from kgspark.relops import interpolate_gaps
+
+    d0 = dt.date(2026, 1, 1)
+    rows = [
+        ("a", d0, 100), ("a", d0 + dt.timedelta(3), 400),
+        ("a", d0 + dt.timedelta(4), 0),
+        ("b", d0, 50),
+        ("c", d0, 10), ("c", d0 + dt.timedelta(2), 3),  # downward: trunc
+    ]
+    df = spark.createDataFrame(rows, "key string, day date, v_cents long")
+    got = {(r.key, r.day): (r.v_cents, r.filled)
+           for r in interpolate_gaps(df).collect()}
+    assert got[("a", d0 + dt.timedelta(1))] == (200, 1)
+    assert got[("a", d0 + dt.timedelta(2))] == (300, 1)
+    assert got[("a", d0 + dt.timedelta(3))] == (400, 0)
+    assert got[("a", d0 + dt.timedelta(4))] == (0, 0)
+    assert got[("b", d0)] == (50, 0)
+    # 10 -> 3 over 2 days: 10 + (-7)*1 div 2 = 10 + -3 = 7 (trunc to zero)
+    assert got[("c", d0 + dt.timedelta(1))] == (7, 1)
+    assert len(got) == 5 + 1 + 3

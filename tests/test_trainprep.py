@@ -345,3 +345,36 @@ def test_rater_agreement_degenerate_and_perfect(spark):
     empty = spark.createDataFrame([], "a string, b string")
     _, summ3 = rater_agreement(empty, "a", "b")
     assert summ3.collect()[0]["n"] == 0
+
+
+def test_fim_splits_replica(spark):
+    import hashlib
+
+    from kgspark.trainprep import fim_splits
+
+    docs = [(0, "hello world"), (1, "abcdef"), (2, "x"), (3, ""),
+            (4, "the quick brown fox")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.cut1, r.cut2, r.fim_text)
+           for r in fim_splits(df, rate_pct=60).collect()}
+
+    def hex6(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    for did, txt in docs:
+        L = len(txt)
+        sel = hex6(f"fim:{did}") % 100 < 60 and L >= 2
+        if not sel:
+            assert got[did] == (-1, -1, txt), did
+            continue
+        ca, cb = hex6(f"a:{did}") % (L + 1), hex6(f"b:{did}") % (L + 1)
+        c1, c2 = min(ca, cb), max(ca, cb)
+        want = (txt[:c1] + "<FIM_SUF>" + txt[c2:] + "<FIM_MID>"
+                + txt[c1:c2])
+        assert got[did] == (c1, c2, want), did
+    # reconstruction invariant: removing the sentinels recovers all chars
+    for did, txt in docs:
+        c1, c2, ft = got[did]
+        if c1 >= 0:
+            body = ft.replace("<FIM_SUF>", "").replace("<FIM_MID>", "")
+            assert sorted(body) == sorted(txt)
