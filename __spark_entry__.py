@@ -1590,6 +1590,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("q_num").cast("long").alias("q_num"),
         )
 
+    def kg_diameter(spark, sf_dir):
+        # double-sweep pseudo-diameter (kgspark/graph_algs.py
+        # pseudo_diameter): BFS from min node -> farthest -> BFS again;
+        # the second eccentricity lower-bounds the diameter
+        from kgspark.graph_algs import pseudo_diameter
+
+        t = _extract_triples(spark, sf_dir)
+        return pseudo_diameter(t, rounds=6)
+
     def kg_config_model(spark, sf_dir):
         # degree-preserving configuration-model null graph
         # (kgspark/graph_algs.py config_model_edges): hash stub shuffle,
@@ -7037,6 +7046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec": kg_node2vec,
         "kg_louvain": kg_louvain,
         "kg_config_model": kg_config_model,
+        "kg_diameter": kg_diameter,
         "text_entropy": text_entropy,
         "text_novelty": text_novelty,
         "corpus_split_safe": corpus_split_safe,
@@ -8957,6 +8967,38 @@ CROSS JOIN md_m m
 WITH {_PARTS_ORACLE_CTE},
 {_walks_sql()}
 SELECT start, walk_no, step, node FROM rw_all
+""",
+        # kgspark.graph_algs.pseudo_diameter replica: two recursive-CTE
+        # BFS sweeps over the symmetrized edges, argmax (hop desc, node)
+        "kg_diameter": f"""
+WITH RECURSIVE {_PARTS_ORACLE_CTE},
+dm_e0 AS (SELECT DISTINCT subj AS s, obj AS t FROM triples
+          WHERE subj <> obj),
+dm_e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM dm_e0 UNION ALL SELECT t AS s, s AS t FROM dm_e0
+  )
+),
+dm_seed AS (SELECT min(s) AS v FROM dm_e),
+dm_r1(node, hop) AS (
+  SELECT v, 0 FROM dm_seed
+  UNION
+  SELECT e.t, r.hop + 1 FROM dm_r1 r JOIN dm_e e ON e.s = r.node
+  WHERE r.hop < 6
+),
+dm_b1 AS (SELECT node, min(hop) AS hop FROM dm_r1 GROUP BY node),
+dm_far1 AS (SELECT node, hop FROM dm_b1 ORDER BY hop DESC, node LIMIT 1),
+dm_r2(node, hop) AS (
+  SELECT node, 0 FROM dm_far1
+  UNION
+  SELECT e.t, r.hop + 1 FROM dm_r2 r JOIN dm_e e ON e.s = r.node
+  WHERE r.hop < 6
+),
+dm_b2 AS (SELECT node, min(hop) AS hop FROM dm_r2 GROUP BY node),
+dm_far2 AS (SELECT node, hop FROM dm_b2 ORDER BY hop DESC, node LIMIT 1)
+SELECT s.v AS seed, f1.node AS far1, f1.hop::BIGINT AS ecc1,
+       f2.node AS far2, f2.hop::BIGINT AS diameter_lb
+FROM dm_seed s CROSS JOIN dm_far1 f1 CROSS JOIN dm_far2 f2
 """,
         # kgspark.graph_algs.config_model_edges replica: the global
         # row_number over the composite stub key IS the range-partition

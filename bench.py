@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "kg_node2vec",
     "kg_louvain",
     "kg_config_model",
+    "kg_diameter",
     "kg_adamic_adar",
     "text_script_mix",
     "sketch_bloom",

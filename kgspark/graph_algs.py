@@ -2957,3 +2957,55 @@ def config_model_edges(
         .where(F.col("__n") == 2)
         .select(F.col("edge_id").cast("long").alias("edge_id"), "a", "b")
     )
+
+
+def pseudo_diameter(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """One row (seed, far1, ecc1, far2, diameter_lb): the DOUBLE-SWEEP
+    diameter lower bound (Magnien, Latapy & Habib, JEA 2009) over the
+    undirected graph — BFS from a canonical seed (min node id), hop to
+    the farthest node found (ecc1; ties -> min id), BFS again from
+    there; the second eccentricity is the classic tight diameter lower
+    bound at the cost of TWO BFS sweeps instead of all-pairs. `rounds`
+    bounds both sweeps (the k-core/LPA replayability posture; nodes
+    beyond `rounds` hops don't register, so the bound is conservative
+    on graphs with larger true diameter).
+
+    Scale shape: two k_hop frontier expansions (edge table never
+    shuffles — ball-sized frontiers broadcast) + two 1-row argmax
+    aggregations. Reference has no analogue (networkx pickle,
+    knowledge_graph_builder.py:83-92).
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).where(
+        F.col("s") != F.col("t")
+    )
+    sym = sym.unionAll(
+        sym.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).distinct()
+    seed = sym.agg(F.min("s").alias("start"))
+    b1 = k_hop(sym, seed, k=rounds, src="s", dst="t")
+    far1 = (
+        b1.orderBy(F.desc("hop"), F.asc("node"))
+        .limit(1)
+        .select(F.col("node").alias("start"), F.col("hop").alias("ecc1"))
+    )
+    b2 = k_hop(sym, far1.select("start"), k=rounds, src="s", dst="t")
+    far2 = (
+        b2.orderBy(F.desc("hop"), F.asc("node"))
+        .limit(1)
+        .select(F.col("node").alias("far2"),
+                F.col("hop").alias("diameter_lb"))
+    )
+    return (
+        seed.crossJoin(far1.select(F.col("start").alias("far1"), "ecc1"))
+        .crossJoin(far2)
+        .select(
+            F.col("start").alias("seed"), "far1",
+            F.col("ecc1").cast("long").alias("ecc1"),
+            "far2", F.col("diameter_lb").cast("long").alias("diameter_lb"),
+        )
+    )

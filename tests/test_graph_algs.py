@@ -1026,3 +1026,20 @@ def test_config_model_preserves_degrees(spark):
     for j in range(len(stubs) // 2):
         want[j] = (stubs[2 * j][1], stubs[2 * j + 1][1])
     assert {r.edge_id: (r.a, r.b) for r in got} == want
+
+
+def test_pseudo_diameter_path_graph(spark):
+    from kgspark.graph_algs import pseudo_diameter
+
+    # path a-b-c-d-e plus a branch c-x: true diameter 4 (a..e)
+    edges = [("b", "a"), ("b", "c"), ("c", "d"), ("d", "e"), ("c", "x")]
+    t = spark.createDataFrame(
+        [(s, "r", o) for s, o in edges], "subj string, pred string, obj string"
+    )
+    r = pseudo_diameter(t, rounds=6).collect()[0]
+    assert r.seed == "a"
+    assert r.far1 == "e" and r.ecc1 == 4
+    assert r.diameter_lb == 4 and r.far2 == "a"
+    # bounded rounds clip the sweep: with rounds=2 from 'a' only b,c,x
+    r2 = pseudo_diameter(t, rounds=2).collect()[0]
+    assert r2.ecc1 == 2 and r2.diameter_lb == 2
