@@ -2831,6 +2831,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf_dir, "documents")
         return best_window(docs, ["hash", "join", "vector"], width=8)
 
+    def text_prf_terms(spark, sf_dir):
+        # pseudo-relevance-feedback expansion terms: tokens of the BM25
+        # top-5 feedback docs for the fixed query, ranked by the exact-
+        # integer weight tf_fb*df_fb (kgspark/search.py
+        # prf_expand_terms); same query bag as text_bm25
+        from kgspark.search import prf_expand_terms
+
+        docs = _read(spark, sf_dir, "documents")
+        return prf_expand_terms(
+            docs, ["hash", "join", "vector"], fb_k=5, n_expand=5
+        )
+
+    def text_bm25_prf(spark, sf_dir):
+        # two-pass PRF retrieval (Rocchio/RM1-lite): BM25 -> harvest 5
+        # expansion terms from the top-5 feedback docs -> re-run BM25
+        # with the expanded bag (kgspark/search.py bm25_prf_topk)
+        from kgspark.search import bm25_prf_topk
+
+        docs = _read(spark, sf_dir, "documents")
+        return bm25_prf_topk(
+            docs, ["hash", "join", "vector"], fb_k=5, n_expand=5,
+            top_k=20,
+        )
+
     def corpus_dsir(spark, sf_dir):
         # DSIR importance weights: target = src0/src1 docs, raw = rest;
         # hashed unigram+bigram buckets (kgspark/dsir.py)
@@ -7148,6 +7172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": skew_salted_agg,
         "text_fingerprint": text_fingerprint,
         "rel_cusum": rel_cusum,
+        "text_prf_terms": text_prf_terms,
+        "text_bm25_prf": text_bm25_prf,
     }
 
 
@@ -15564,5 +15590,120 @@ SELECT key, day, x, k, s_hi, s_lo,
        (CASE WHEN s_lo > 4 * greatest(k, 1) THEN 1 ELSE 0 END)::INT
          AS alarm_lo
 FROM cu_s
+""",
+        # kgspark.search.prf_expand_terms: BM25 top-5 feedback docs for
+        # ('hash','join','vector'), then every non-query token of those
+        # docs ranked by the exact-integer weight tf_fb*df_fb
+        "text_prf_terms": r"""
+WITH pf_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+pf_corpus AS (SELECT count(*) AS n_docs, sum(len(ts)) AS sum_dl FROM pf_t),
+pf_s AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM pf_t
+),
+pf_f AS (SELECT * FROM pf_s WHERE token IN ('hash', 'join', 'vector')),
+pf_tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM pf_f GROUP BY 1, 2, 3),
+pf_df AS (SELECT token, count(DISTINCT doc_id) AS df FROM pf_f GROUP BY 1),
+pf_c AS (
+  SELECT t.doc_id,
+    round(
+      ln(1.0::DOUBLE
+         + (CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+           / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      * ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2::DOUBLE * (0.25::DOUBLE
+                + 0.75::DOUBLE * CAST(t.dl AS DOUBLE)
+                  / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
+      * 1000000.0::DOUBLE, 0)::BIGINT AS c
+  FROM pf_tf t JOIN pf_df d USING (token), pf_corpus c
+),
+pf_fb AS (
+  SELECT doc_id, sum(c)::BIGINT AS s FROM pf_c GROUP BY doc_id
+  ORDER BY s DESC, doc_id ASC LIMIT 5
+),
+pf_exp AS (
+  SELECT s.token AS term, count(*) AS tf_fb,
+         count(DISTINCT s.doc_id) AS df_fb
+  FROM pf_s s JOIN pf_fb USING (doc_id)
+  WHERE s.token NOT IN ('hash', 'join', 'vector')
+  GROUP BY s.token
+)
+SELECT term, tf_fb::BIGINT AS tf_fb, df_fb::BIGINT AS df_fb,
+       (tf_fb * df_fb)::BIGINT AS w
+FROM pf_exp ORDER BY w DESC, term ASC LIMIT 5
+""",
+        # kgspark.search.bm25_prf_topk: second BM25 pass over the query
+        # bag UNION the top-5 PRF expansion terms (stage 1 identical to
+        # text_prf_terms)
+        "text_bm25_prf": r"""
+WITH pf_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+pf_corpus AS (SELECT count(*) AS n_docs, sum(len(ts)) AS sum_dl FROM pf_t),
+pf_s AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM pf_t
+),
+pf_f AS (SELECT * FROM pf_s WHERE token IN ('hash', 'join', 'vector')),
+pf_tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM pf_f GROUP BY 1, 2, 3),
+pf_df AS (SELECT token, count(DISTINCT doc_id) AS df FROM pf_f GROUP BY 1),
+pf_c AS (
+  SELECT t.doc_id,
+    round(
+      ln(1.0::DOUBLE
+         + (CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+           / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      * ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2::DOUBLE * (0.25::DOUBLE
+                + 0.75::DOUBLE * CAST(t.dl AS DOUBLE)
+                  / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
+      * 1000000.0::DOUBLE, 0)::BIGINT AS c
+  FROM pf_tf t JOIN pf_df d USING (token), pf_corpus c
+),
+pf_fb AS (
+  SELECT doc_id, sum(c)::BIGINT AS s FROM pf_c GROUP BY doc_id
+  ORDER BY s DESC, doc_id ASC LIMIT 5
+),
+pf_exp AS (
+  SELECT s.token AS term,
+         (count(*) * count(DISTINCT s.doc_id))::BIGINT AS w
+  FROM pf_s s JOIN pf_fb USING (doc_id)
+  WHERE s.token NOT IN ('hash', 'join', 'vector')
+  GROUP BY s.token
+  ORDER BY w DESC, term ASC LIMIT 5
+),
+pf_terms AS (
+  SELECT term FROM pf_exp
+  UNION
+  SELECT unnest(['hash', 'join', 'vector']) AS term
+),
+pb_f AS (
+  SELECT * FROM pf_s WHERE token IN (SELECT term FROM pf_terms)
+),
+pb_tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM pb_f GROUP BY 1, 2, 3),
+pb_df AS (SELECT token, count(DISTINCT doc_id) AS df FROM pb_f GROUP BY 1),
+pb_c AS (
+  SELECT t.doc_id,
+    round(
+      ln(1.0::DOUBLE
+         + (CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+           / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      * ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2::DOUBLE * (0.25::DOUBLE
+                + 0.75::DOUBLE * CAST(t.dl AS DOUBLE)
+                  / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
+      * 1000000.0::DOUBLE, 0)::BIGINT AS c
+  FROM pb_tf t JOIN pb_df d USING (token), pf_corpus c
+)
+SELECT doc_id, sum(c)::BIGINT AS score_unats, count(*)::BIGINT AS n_hit_terms
+FROM pb_c GROUP BY doc_id
+ORDER BY score_unats DESC, doc_id ASC LIMIT 20
 """,
     }

@@ -356,6 +356,8 @@ BENCH_QUERIES = [
     "kg_pagerank_w",
     "kg_bgp_regex",
     "rel_cusum",
+    "text_prf_terms",
+    "text_bm25_prf",
 ]
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from kgspark.session import materialize
 from kgspark.textstats import ws_tokens
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "rrf_fuse", "prf_expand_terms", "bm25_prf_topk"]
 
 _QUANT = 1e6
 
@@ -364,3 +364,62 @@ def best_window(
             F.slice(F.col("__t"), F.col("start") + 1, width), " "
         ).alias("snippet"),
     )
+
+
+def prf_expand_terms(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    fb_k: int = 5,
+    n_expand: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, tf_fb, df_fb, w): pseudo-relevance-feedback expansion
+    terms (Rocchio 1971 / RM1-lite): tokens of the BM25 top-`fb_k`
+    feedback documents, original query terms excluded, ranked by the
+    exact-integer weight w = tf_fb * df_fb (total occurrences in the
+    feedback set x feedback docs containing) — frequency AND consensus,
+    no fp anywhere. Top `n_expand` by (w desc, term asc)."""
+    fb = bm25_topk(docs, query_terms, top_k=fb_k,
+                   text_col=text_col, id_col=id_col).select(id_col)
+    qset = sorted({t.lower() for t in query_terms})
+    # fb is fb_k rows — broadcast so the corpus-sized doc table never
+    # shuffles; only the fb_k matched docs' tokens materialize
+    toks = (
+        docs.join(F.broadcast(fb), id_col)
+        .select(F.col(id_col),
+                F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .where(~F.col("term").isin(qset))
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf_fb"),
+             F.countDistinct(id_col).alias("df_fb"))
+        .select("term", "tf_fb", "df_fb",
+                (F.col("tf_fb") * F.col("df_fb")).alias("w"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(n_expand)
+    )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    fb_k: int = 5,
+    n_expand: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-pass PRF retrieval: BM25, harvest expansion terms from the
+    top-`fb_k` feedback docs (prf_expand_terms), re-run BM25 with the
+    expanded bag. The n_expand-term driver collect is a bounded
+    dimension-sized lookup (the documented collect posture) — the term
+    LIST is part of the second plan, exactly as a search engine
+    rewrites the query."""
+    exp = [r["term"] for r in prf_expand_terms(
+        docs, query_terms, fb_k=fb_k, n_expand=n_expand,
+        text_col=text_col, id_col=id_col).collect()]
+    merged = sorted({t.lower() for t in query_terms} | set(exp))
+    return bm25_topk(docs, merged, top_k=top_k,
+                     text_col=text_col, id_col=id_col)

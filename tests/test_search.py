@@ -167,6 +167,74 @@ def test_ql_topk_ranking_and_smoothing(spark):
     assert all(r.score_unats < 0 for r in out2)
 
 
+def test_prf_expand_terms_weights_and_exclusion(spark):
+    from kgspark.search import prf_expand_terms
+
+    docs = _docs(
+        spark,
+        [
+            (1, "hash alpha alpha beta"),   # feedback (hits 'hash')
+            (2, "hash alpha gamma"),        # feedback
+            (3, "nothing relevant"),        # never retrieved
+        ],
+    )
+    out = prf_expand_terms(docs, ["hash"], fb_k=2, n_expand=10).collect()
+    by_t = {r.term: r for r in out}
+    # the query term itself is excluded
+    assert "hash" not in by_t
+    # alpha: tf_fb=3 (2 in doc1 + 1 in doc2), df_fb=2 -> w=6
+    assert (by_t["alpha"].tf_fb, by_t["alpha"].df_fb,
+            by_t["alpha"].w) == (3, 2, 6)
+    assert (by_t["beta"].tf_fb, by_t["beta"].df_fb) == (1, 1)
+    # doc 3 never contributes (not in the feedback set)
+    assert "nothing" not in by_t and "relevant" not in by_t
+    # ranking: w desc, term asc
+    assert [r.term for r in out][0] == "alpha"
+
+
+def test_prf_expand_tie_and_limit(spark):
+    from kgspark.search import prf_expand_terms
+
+    docs = _docs(spark, [(1, "hash zeta apple")])
+    out = prf_expand_terms(docs, ["hash"], fb_k=1, n_expand=1).collect()
+    # zeta and apple tie at w=1 -> term asc wins -> apple
+    assert [r.term for r in out] == ["apple"]
+
+
+def test_bm25_prf_two_pass_recovers_expansion_docs(spark):
+    from kgspark.search import bm25_prf_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "hash expansion expansion"),    # feedback doc
+            (2, "expansion expansion expansion"),  # only reachable via PRF
+            (3, "unrelated words entirely"),
+        ],
+    )
+    out = bm25_prf_topk(docs, ["hash"], fb_k=1, n_expand=1,
+                        top_k=10).collect()
+    ids = {r.doc_id for r in out}
+    # pass 1 sees only doc 1; 'expansion' is harvested, pass 2 pulls doc 2
+    assert ids == {1, 2}
+    # doc 1 matches both 'hash' and 'expansion'
+    hits = {r.doc_id: r.n_hit_terms for r in out}
+    assert hits[1] == 2 and hits[2] == 1
+
+
+def test_bm25_prf_no_expansion_terms_degenerates_to_bm25(spark):
+    from kgspark.search import bm25_prf_topk
+
+    docs = _docs(spark, [(1, "hash hash"), (2, "other stuff")])
+    # feedback doc contains ONLY query terms -> expansion set is empty
+    out = bm25_prf_topk(docs, ["hash"], fb_k=1, n_expand=5).collect()
+    assert [r.doc_id for r in out] == [1]
+    base = bm25_topk(docs, ["hash"]).collect()
+    assert [(r.doc_id, r.score_unats) for r in out] == [
+        (r.doc_id, r.score_unats) for r in base
+    ]
+
+
 def test_best_window_argmax_and_tiebreak(spark):
     from kgspark.search import best_window
 
