@@ -3897,6 +3897,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def link_soundex(spark, sf_dir):
+        # phonetic blocking join (kgspark/linkrec.py soundex_pairs):
+        # American Soundex codes over the distinct part-name word
+        # vocabulary via the JVM builtin; pairs within each code, junk
+        # codes (>10 words) dropped. The oracle's window formulation
+        # (keep pos 1, drop h/w elsewhere, lag-compare codes) is
+        # fuzz-proven == F.soundex in test_linkrec.py
+        from kgspark.linkrec import soundex_pairs
+
+        p = _read(spark, sf_dir, "part")
+        d = _read(spark, sf_dir, "documents")
+        n = _read(spark, sf_dir, "nation")
+        first = F.element_at(F.split(F.lower("text"), r"\s+"), 1)
+        words = (
+            p.select(
+                F.explode(F.split(F.lower("p_name"), " ")).alias("w")
+            )
+            .unionByName(d.select(
+                F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+            ))
+            .unionByName(n.select(F.lower("n_name").alias("w")))
+            # deterministic name variants: a trailing vowel never emits
+            # a digit (same code as the base word), 'son' appends 2,5
+            .unionByName(d.where(F.col("doc_id") % 7 == 0).select(
+                F.concat(first, F.lit("o")).alias("w")
+            ))
+            .unionByName(d.where(F.col("doc_id") % 11 == 0).select(
+                F.concat(first, F.lit("son")).alias("w")
+            ))
+            .where(F.col("w").rlike("^[a-z]+$"))
+            .distinct()
+        )
+        recs = words.select(
+            F.col("w").alias("rec_id"), F.col("w").alias("text")
+        )
+        return soundex_pairs(recs, max_block=10).select(
+            "code", "id_a", "id_b"
+        )
+
     def text_phrase(spark, sf_dir):
         # exact consecutive-token phrase query (decontamination audit
         # shape): anchors on the first term's postings, verifies the rest
@@ -7174,6 +7213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cusum": rel_cusum,
         "text_prf_terms": text_prf_terms,
         "text_bm25_prf": text_bm25_prf,
+        "link_soundex": link_soundex,
     }
 
 
@@ -15705,5 +15745,63 @@ pb_c AS (
 SELECT doc_id, sum(c)::BIGINT AS score_unats, count(*)::BIGINT AS n_hit_terms
 FROM pb_c GROUP BY doc_id
 ORDER BY score_unats DESC, doc_id ASC LIMIT 20
+""",
+        # kgspark.linkrec.soundex_pairs: American Soundex phonetic
+        # blocking over the distinct part-name word vocabulary. Window
+        # formulation == Spark's JVM soundex (fuzz-proven in
+        # test_linkrec.py): keep position 1 always, drop h/w elsewhere
+        # (they BRIDGE adjacency), map letters via the 26-char code
+        # table, keep digits that are nonzero and differ from the
+        # previous kept-or-dropped code (lag), first 3, zero-padded
+        "link_soundex": r"""
+WITH sxw AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part
+    UNION ALL
+    SELECT unnest(string_split_regex(lower("text"), '\s+')) AS w
+    FROM documents
+    UNION ALL
+    SELECT lower(n_name) AS w FROM nation
+    UNION ALL
+    SELECT string_split_regex(lower("text"), '\s+')[1] || 'o' AS w
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT string_split_regex(lower("text"), '\s+')[1] || 'son' AS w
+    FROM documents WHERE doc_id % 11 = 0)
+  WHERE regexp_matches(w, '^[a-z]+$')
+),
+sx_c AS (
+  SELECT w, unnest(range(1, len(w) + 1)) AS i FROM sxw
+),
+sx_f AS (
+  SELECT w, i, substr(w, i, 1) AS ch FROM sx_c
+  WHERE i = 1 OR substr(w, i, 1) NOT IN ('h', 'w')
+),
+sx_m AS (
+  SELECT w, i,
+         substr('01230127022455012623017202', ascii(ch) - 96, 1) AS cd,
+         row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+  FROM sx_f
+),
+sx_k AS (
+  SELECT w, rn, cd, lag(cd) OVER (PARTITION BY w ORDER BY rn) AS prev
+  FROM sx_m
+),
+sx_g AS (
+  SELECT w,
+         upper(substr(w, 1, 1)) ||
+         substr(coalesce(string_agg(CASE WHEN rn > 1 AND cd <> '0'
+                                         AND cd <> prev THEN cd END,
+                                    '' ORDER BY rn), '') || '000', 1, 3)
+           AS code
+  FROM sx_k GROUP BY w
+),
+sx_ok AS (
+  SELECT code FROM sx_g GROUP BY code
+  HAVING count(*) >= 2 AND count(*) <= 10
+)
+SELECT x.code AS code, x.w AS id_a, y.w AS id_b
+FROM sx_g x JOIN sx_g y USING (code) JOIN sx_ok USING (code)
+WHERE x.w < y.w
 """,
     }

@@ -358,6 +358,7 @@ BENCH_QUERIES = [
     "rel_cusum",
     "text_prf_terms",
     "text_bm25_prf",
+    "link_soundex",
 ]
 
 

@@ -703,3 +703,51 @@ def jaro_winkler_pairs(
         .select("id_a", "id_b", "text_a", "text_b",
                 F.round("sim", 6).alias("sim"))
     )
+
+
+def soundex_pairs(
+    records: DataFrame,
+    max_block: int = 100,
+    text_col: str = "text",
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Phonetic blocking join — American Soundex (Russell 1918; the
+    census phonetic code, and the classic record-linkage blocking key)
+    via Spark's JVM builtin: (code, id_a, id_b, text_a, text_b) for all
+    record pairs sharing a soundex code, id_a < id_b.
+
+    The reference dedups entity names only by exact equality
+    (/root/reference/knowledge_graph_builder.py:170-194); phonetic
+    blocking is the standard recall step ABOVE the comparator joins in
+    this module (edit_pairs / damerau_pairs / jaro_winkler_pairs run
+    INSIDE blocks this op generates).
+
+    Scale shape: the soundex code is a whole-stage-codegen JVM
+    expression (no Python); the code space is tiny (<= 26*7^3), so the
+    block-size census is a broadcast, and `max_block` drops junk blocks
+    (codes shared by more than max_block records — e.g. a boilerplate
+    name) BEFORE the self-join, the same hot-key guard as
+    meta_blocking. Intended input is a distinct-name table (names are
+    a vocabulary, not a corpus — bounded at any SF).
+    """
+    keyed = records.select(
+        F.soundex(F.col(text_col)).alias("code"),
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+    )
+    ok = (
+        keyed.groupBy("code")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where((F.col("__n") >= 2) & (F.col("__n") <= F.lit(max_block)))
+        .select("code")
+    )
+    blocked = keyed.join(F.broadcast(ok), "code")
+    a = blocked.select(
+        "code", F.col("__id").alias("id_a"), F.col("__text").alias("text_a")
+    )
+    b = blocked.select(
+        "code", F.col("__id").alias("id_b"), F.col("__text").alias("text_b")
+    )
+    return a.join(b, "code").where(F.col("id_a") < F.col("id_b")).select(
+        "code", "id_a", "id_b", "text_a", "text_b"
+    )

@@ -257,3 +257,53 @@ def test_jaro_winkler_matches_duckdb(spark):
            for r in jaro_winkler_pairs(df, min_sim=0.9).collect()}
     assert set(got) == {(1, 2)}
     assert abs(got[(1, 2)] - 0.961111) < 1e-6
+
+
+def test_soundex_pairs_blocks_and_caps(spark):
+    from kgspark.linkrec import soundex_pairs
+
+    rows = [
+        (1, "robert"),   # R163
+        (2, "rupert"),   # R163 — classic soundex twin
+        (3, "ashcraft"), # A261
+        (4, "ashcroft"), # A261
+        (5, "tymczak"),  # T522 — singleton block, no pairs
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, text string")
+    got = {(r.id_a, r.id_b): r.code for r in soundex_pairs(df).collect()}
+    assert got == {(1, 2): "R163", (3, 4): "A261"}
+    # junk-block cap: 3 same-code records with max_block=2 emit nothing
+    big = spark.createDataFrame(
+        [(i, "robert") for i in range(3)], "rec_id long, text string"
+    )
+    assert soundex_pairs(big, max_block=2).count() == 0
+    assert soundex_pairs(big, max_block=3).count() == 3
+
+
+def test_soundex_lag_formulation_fuzz_vs_spark(spark):
+    # prove the oracle's window formulation == Spark's JVM soundex on
+    # lowercase letter strings: keep pos 1, drop h/w elsewhere,
+    # lag-compare codes (H/W bridge adjacency, vowels break it),
+    # first 3 nonzero non-repeating digits, zero-padded
+    import random
+
+    from pyspark.sql import functions as F
+
+    M = "01230127022455012623017202"
+
+    def sx_py(w):
+        seq = [w[0]] + [c for c in w[1:] if c not in "hw"]
+        codes = [M[ord(c) - 97] for c in seq]
+        digits = [codes[i] for i in range(1, len(codes))
+                  if codes[i] != "0" and codes[i] != codes[i - 1]]
+        return w[0].upper() + ("".join(digits) + "000")[:3]
+
+    random.seed(7)
+    words = ["ashcraft", "tymczak", "pfister", "honeyman", "white",
+             "wu", "h", "a", "lloyd", "hwhwx", "bhb", "sbsb", "czar"]
+    words += ["".join(random.choices("abcdefghijklmnopqrstuvwxyz",
+                                     k=random.randint(1, 12)))
+              for _ in range(600)]
+    df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+    for r in df.select("w", F.soundex("w").alias("sx")).collect():
+        assert r.sx == sx_py(r.w), r.w
