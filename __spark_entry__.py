@@ -898,6 +898,51 @@ rw_all AS (
 )"""
 
 
+def _kcenter_sql(k: int, dim: int = 64) -> str:
+    """Unrolled greedy k-center rounds (mirrors
+    kgspark.embed.kcenter_coreset): milli-quantized integer coordinates
+    with the pinned tie mode floor(x*1000 + 0.5), exact-long squared L2,
+    seed = min vec_id, argmax ties -> vec_id asc. Self-contained query
+    over the embeddings view."""
+
+    def d2(a: str, b: str) -> str:
+        return (f"list_sum([({a}[j] - {b}[j]) * ({a}[j] - {b}[j]) "
+                f"for j in range(1, {dim + 1})])")
+
+    steps = []
+    for s in range(2, k + 1):
+        prev = "kc_s1" if s == 2 else f"kc_s{s - 1}"
+        steps.append(f"""
+kc_p{s} AS (
+  SELECT vid, qv, best FROM {prev}
+  ORDER BY best DESC, vid ASC LIMIT 1
+),
+kc_s{s} AS (
+  SELECT s.vid, s.qv, least(s.best, {d2('s.qv', 'p.qv')}) AS best
+  FROM {prev} s, kc_p{s} p WHERE s.vid <> p.vid
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {s}::BIGINT AS pick_no, vid AS vec_id, "
+        f"best::BIGINT AS d2_q FROM kc_p{s}"
+        for s in range(2, k + 1)
+    )
+    return f"""
+WITH kc_q AS (
+  SELECT vec_id AS vid,
+         [floor(embedding[j]::DOUBLE * 1000 + 0.5)::BIGINT
+          for j in range(1, {dim + 1})] AS qv
+  FROM embeddings
+),
+kc_p1 AS (SELECT vid, qv FROM kc_q ORDER BY vid ASC LIMIT 1),
+kc_s1 AS (
+  SELECT q.vid, q.qv, {d2('q.qv', 'p.qv')} AS best
+  FROM kc_q q, kc_p1 p WHERE q.vid <> p.vid
+),{','.join(steps)}
+SELECT 1::BIGINT AS pick_no, vid AS vec_id, (-1)::BIGINT AS d2_q FROM kc_p1
+UNION ALL {finals}
+"""
+
+
 def _mmr_sql(k: int, pool: int, lam: int) -> str:
     """Unrolled greedy MMR rounds (mirrors kgspark.similarity.mmr_rerank,
     lam in tenths): integer scores lam*cos_ppm - (10-lam)*maxsim_ppm.
@@ -1882,6 +1927,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mmr_rerank(
             emb, _queries_df(spark, sf_dir), k=3, pool=10, lam_tenths=7
         )
+
+    def ann_coreset(spark, sf_dir):
+        # greedy k-center / farthest-point coreset (kgspark/embed.py
+        # kcenter_coreset): 8 max-min diversity picks over the
+        # embeddings, exact-long squared L2 on milli-quantized coords
+        from kgspark.embed import kcenter_coreset
+
+        emb = _read(spark, sf_dir, "embeddings")
+        return kcenter_coreset(emb, k=8)
 
     def embed_sq8(spark, sf_dir):
         # int8 scalar quantization census (kgspark/embed.py sq8_stats +
@@ -7214,6 +7268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_prf_terms": text_prf_terms,
         "text_bm25_prf": text_bm25_prf,
         "link_soundex": link_soundex,
+        "ann_coreset": ann_coreset,
     }
 
 
@@ -15804,4 +15859,8 @@ SELECT x.code AS code, x.w AS id_a, y.w AS id_b
 FROM sx_g x JOIN sx_g y USING (code) JOIN sx_ok USING (code)
 WHERE x.w < y.w
 """,
+        # kgspark.embed.kcenter_coreset: unrolled greedy k-center rounds
+        # (see _kcenter_sql — pinned floor(x*1000+0.5) quantization,
+        # exact-long squared L2, seed = min id, ties -> id asc)
+        "ann_coreset": _kcenter_sql(8, 64),
     }

@@ -359,6 +359,7 @@ BENCH_QUERIES = [
     "text_prf_terms",
     "text_bm25_prf",
     "link_soundex",
+    "ann_coreset",
 ]
 
 

@@ -615,3 +615,88 @@ def sq8_encode(
         ),
     )
     return enc.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset (Gonzalez 1985) — the
+    classic diversity-selection pass for training-data curation: pick
+    `k` points, each maximizing its distance to the already-picked set
+    (max-min). The pick sequence doubles as a 2-approx k-center cover,
+    and `d2_q` of pick t is the covering radius AFTER t-1 picks — the
+    standard coreset quality curve.
+
+    Determinism contract: coordinates are quantized to integer
+    milli-units with the pinned tie mode floor(x*1000 + 0.5) (the
+    sq8_encode posture), so squared L2 distances are exact longs;
+    seed = min id; argmax ties -> id asc. The seed row carries
+    d2_q = -1 (sentinel, not NULL — hash-canonicalization posture).
+
+    Scale shape: k bounded driver rounds; each round broadcasts ONE
+    1-row pick and keeps a running min-distance column (the classic
+    O(n*k) formulation — never the n x picked pair table), so every
+    round is a map over the corpus plus a global top-1 (TakeOrdered).
+    The reference has no selection stage at all (it embeds everything,
+    /root/reference/knowledge_graph_builder.py:94-102).
+    """
+    from kgspark.session import materialize
+
+    if k < 1:
+        raise ValueError("kcenter_coreset: k must be >= 1")
+    q = materialize(
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.transform(
+                F.col(emb_col),
+                lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5))
+                .cast("long"),
+            ).alias("qv"),
+        )
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = q.orderBy(F.asc("vid")).limit(1)
+    pick = materialize(
+        seed.select(F.col("vid").alias("pid"), F.col("qv").alias("pq"),
+                    F.lit(-1).cast("long").alias("pd2"))
+    )
+    out = pick.select(
+        F.lit(1).cast("long").alias("pick_no"),
+        F.col("pid").alias(id_col), F.col("pd2").alias("d2_q"),
+    )
+    state = materialize(
+        q.join(pick.select("pid"), q["vid"] == F.col("pid"), "left_anti")
+        .crossJoin(F.broadcast(pick.select("pq")))
+        .select("vid", "qv", d2(F.col("qv"), F.col("pq")).alias("best"))
+    )
+    for step in range(2, k + 1):
+        pick = materialize(
+            state.orderBy(F.desc("best"), F.asc("vid")).limit(1)
+            .select(F.col("vid").alias("pid"), F.col("qv").alias("pq"),
+                    F.col("best").alias("pd2"))
+        )
+        out = out.unionByName(pick.select(
+            F.lit(step).cast("long").alias("pick_no"),
+            F.col("pid").alias(id_col), F.col("pd2").alias("d2_q"),
+        ))
+        state = materialize(
+            state.join(pick.select("pid"),
+                       state["vid"] == F.col("pid"), "left_anti")
+            .crossJoin(F.broadcast(pick.select("pq")))
+            .select(
+                "vid", "qv",
+                F.least(F.col("best"),
+                        d2(F.col("qv"), F.col("pq"))).alias("best"),
+            )
+        )
+    return out

@@ -984,3 +984,40 @@ def test_session6_ops_plan_shapes(spark):
     assert "ArrowEvalPython" in p and "BatchEvalPython" not in p, p
     assert "levenshtein" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_session7_ops_plan_shapes(spark):
+    """Session-7 ops: PRF/soundex/k-center stay JVM-side; the only
+    BNLJs are the designed 1-row / pick-row broadcasts."""
+    from kgspark.embed import kcenter_coreset
+    from kgspark.linkrec import soundex_pairs
+    from kgspark.search import bm25_prf_topk, prf_expand_terms
+
+    docs = spark.createDataFrame(
+        [(0, "hash alpha beta"), (1, "hash alpha gamma")],
+        "doc_id long, text string")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    recs = spark.createDataFrame(
+        [(1, "robert"), (2, "rupert")], "rec_id long, text string")
+
+    # PRF expansion: feedback ids + corpus stats ride broadcasts; the
+    # corpus-sized doc table never BNLJs (<=2 scalar broadcasts from
+    # the BM25 stage)
+    p = plan(prf_expand_terms(docs, ["hash"], fb_k=2))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    p = plan(bm25_prf_topk(docs, ["hash"], fb_k=1, n_expand=2))
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # soundex: pure JVM expression blocking; code census broadcast,
+    # never a nested-loop pair join
+    p = plan(soundex_pairs(recs))
+    assert "soundex" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Python" not in p, p
+    # k-center: per-round plans are map + global top-1 over the
+    # materialized state; the only BNLJ is the 1-row pick broadcast
+    p = plan(kcenter_coreset(emb.limit(20), k=3))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -349,3 +349,43 @@ def test_mmr_rerank_matches_python_replica(spark):
     assert [v for _, v, _ in want] != pure
     sides = {v < 6 for _, v, _ in want}
     assert sides == {True, False}
+
+
+def test_kcenter_coreset_greedy_sequence(spark):
+    from kgspark.embed import kcenter_coreset
+
+    # 1-D line: seed = min id (x=0); then farthest-point order is known
+    rows = [(1, [0.0]), (2, [10.0]), (3, [4.0]), (4, [9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kcenter_coreset(df, k=4).collect()
+    seq = [(r.pick_no, r.vec_id, r.d2_q) for r in
+           sorted(out, key=lambda r: r.pick_no)]
+    # pick 2: x=10 (d2=1e8); pick 3: x=4 (min-dist to {0,10} = 16e6,
+    # beats x=9's 1e6); pick 4: x=9 (min-dist to {0,10,4} = 1e6)
+    assert seq == [(1, 1, -1), (2, 2, 100_000_000),
+                   (3, 3, 16_000_000), (4, 4, 1_000_000)]
+
+
+def test_kcenter_tie_breaks_on_id_and_k_overrun(spark):
+    from kgspark.embed import kcenter_coreset
+
+    # ids 7 and 9 equidistant from the seed -> lower id wins
+    rows = [(5, [0.0]), (9, [1.0]), (7, [-1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.pick_no: r.vec_id for r in kcenter_coreset(df, k=3).collect()}
+    assert out == {1: 5, 2: 7, 3: 9}
+    # k > n: output stops at n rows
+    assert kcenter_coreset(df, k=10).count() == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kcenter_coreset(df, k=0)
+
+
+def test_kcenter_pinned_tie_quantization(spark):
+    from kgspark.embed import kcenter_coreset
+
+    # 0.0625*1000 = 62.5 exactly in fp64 -> floor(+0.5) pins to 63
+    rows = [(1, [0.0]), (2, [0.0625])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.pick_no: r.d2_q for r in kcenter_coreset(df, k=2).collect()}
+    assert out[2] == 63 * 63
