@@ -3951,6 +3951,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def text_rake(spark, sf_dir):
+        # RAKE keyphrase extraction (kgspark/keywords.py rake_phrases):
+        # stopword-delimited candidate runs, truncated-ppm word scores
+        # deg/freq, top-3 phrases per doc
+        from kgspark.keywords import rake_phrases
+
+        return rake_phrases(
+            _read(spark, sf_dir, "documents"), k=3, max_words=4
+        )
+
     def link_soundex(spark, sf_dir):
         # phonetic blocking join (kgspark/linkrec.py soundex_pairs):
         # American Soundex codes over the distinct part-name word
@@ -7269,6 +7279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_prf": text_bm25_prf,
         "link_soundex": link_soundex,
         "ann_coreset": ann_coreset,
+        "text_rake": text_rake,
     }
 
 
@@ -15863,4 +15874,60 @@ WHERE x.w < y.w
         # (see _kcenter_sql — pinned floor(x*1000+0.5) quantization,
         # exact-long squared L2, seed = min id, ties -> id asc)
         "ann_coreset": _kcenter_sql(8, 64),
+        # kgspark.keywords.rake_phrases: stopword/non-letter delimiters,
+        # gaps-and-islands candidate runs (<=4 words), per-doc word
+        # score (deg*1e6)//freq truncated, phrase = sum, top-3
+        "text_rake": r"""
+WITH rk_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower("text"), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+rk_s AS (
+  SELECT doc_id, pos, ts[pos] AS tok FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM rk_t)
+),
+rk_g AS (
+  SELECT doc_id, pos, tok, dlm,
+         sum(CASE WHEN dlm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM (
+    SELECT doc_id, pos, tok,
+           (tok IN ('the','a','of','and','to','in','is','it','that','for')
+            OR NOT regexp_matches(tok, '^[a-z]+$')) AS dlm
+    FROM rk_s)
+),
+rk_p AS (
+  SELECT doc_id, grp,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*)::BIGINT AS n_words
+  FROM rk_g WHERE NOT dlm
+  GROUP BY doc_id, grp
+  HAVING count(*) <= 4
+),
+rk_o AS (
+  SELECT doc_id, grp, n_words, unnest(string_split(phrase, ' ')) AS w
+  FROM rk_p
+),
+rk_w AS (
+  SELECT doc_id, w,
+         ((sum(n_words) * 1000000) // count(*))::BIGINT AS wscore_ppm
+  FROM rk_o GROUP BY doc_id, w
+),
+rk_sc AS (
+  SELECT DISTINCT p.doc_id, p.phrase, p.n_words, s.score_ppm
+  FROM rk_p p JOIN (
+    SELECT o.doc_id, o.grp, sum(w.wscore_ppm)::BIGINT AS score_ppm
+    FROM rk_o o JOIN rk_w w ON w.doc_id = o.doc_id AND w.w = o.w
+    GROUP BY o.doc_id, o.grp) s
+  ON s.doc_id = p.doc_id AND s.grp = p.grp
+)
+SELECT doc_id, phrase, n_words, score_ppm FROM (
+  SELECT doc_id, phrase, n_words, score_ppm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_ppm DESC, phrase ASC) AS rn
+  FROM rk_sc
+) WHERE rn <= 3
+""",
     }

@@ -360,6 +360,7 @@ BENCH_QUERIES = [
     "text_bm25_prf",
     "link_soundex",
     "ann_coreset",
+    "text_rake",
 ]
 
 

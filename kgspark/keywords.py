@@ -22,13 +22,13 @@ anything.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgspark.session import materialize
-from kgspark.textstats import ws_tokens
+from kgspark.textstats import LANG_STOPWORDS, ws_tokens
 
-__all__ = ["doc_keywords"]
+__all__ = ["doc_keywords", "rake_phrases"]
 
 
 def doc_keywords(df: DataFrame, k: int = 3, text_col: str = "text",
@@ -122,4 +122,90 @@ def textrank_terms(
     )
     return pagerank(
         edges, iterations=iterations, damping=damping, src="a", dst="b"
+    )
+
+
+def rake_phrases(
+    df: DataFrame,
+    k: int = 3,
+    max_words: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the phrase-level
+    complement of doc_keywords (single terms) and textrank_terms
+    (corpus word graph): candidate phrases are the maximal token runs
+    between delimiters (stopwords + non-letter tokens); per document,
+    word score = deg(w)/freq(w) where freq counts word occurrences in
+    candidates and deg adds the length of each containing phrase
+    (co-occurrence incl. self); phrase score = sum of its word scores.
+
+    Determinism contract: word scores are quantized to truncated-ppm
+    integers BEFORE the phrase sum ((deg * 1e6) div freq — Spark `div`
+    and DuckDB `//` both truncate), so compared values are exact longs;
+    ranking is (score_ppm desc, phrase asc), top `k` distinct phrases
+    per doc. Candidates longer than `max_words` are dropped (the
+    standard rake-nltk max_length guard — without it a low-stopword
+    corpus degenerates to whole-document phrases).
+
+    Scale shape: one token shuffle keyed on (doc, run) builds phrases,
+    word stats are a per-doc groupBy, ranking windows partition by
+    document — no corpus-global stage anywhere.
+    """
+    stop = sorted(set(stopwords if stopwords is not None
+                      else LANG_STOPWORDS["en"]))
+    w_ord = Window.partitionBy("__id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    toks = materialize(
+        df.select(F.col(id_col).alias("__id"),
+                  F.posexplode(ws_tokens(F.col(text_col))))
+        .withColumnRenamed("col", "tok")
+        .withColumn(
+            "__delim",
+            F.col("tok").isin(stop) | ~F.col("tok").rlike("^[a-z]+$"),
+        )
+        .withColumn("grp", F.sum(F.col("__delim").cast("int")).over(w_ord))
+    )
+    phr = materialize(
+        toks.where(~F.col("__delim"))
+        .groupBy("__id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .where(F.col("n_words") <= max_words)
+    )
+    occ = phr.select(
+        "__id", "grp", "n_words",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wstats = occ.groupBy("__id", "w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("n_words").alias("deg"),
+    ).select(
+        "__id", "w",
+        F.expr("(deg * 1000000L) div freq").alias("wscore_ppm"),
+    )
+    scored = (
+        occ.join(wstats, ["__id", "w"])
+        .groupBy("__id", "grp")
+        .agg(F.sum("wscore_ppm").cast("long").alias("score_ppm"))
+        .join(phr, ["__id", "grp"])
+        .select("__id", "phrase", "n_words", "score_ppm")
+        .distinct()
+    )
+    w_rank = Window.partitionBy("__id").orderBy(
+        F.desc("score_ppm"), F.asc("phrase"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= k)
+        .select(F.col("__id").alias(id_col), "phrase", "n_words",
+                "score_ppm")
     )

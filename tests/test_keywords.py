@@ -37,3 +37,55 @@ def test_tfidf_value_and_no_token_docs(spark):
 def test_k_limits_per_document(spark):
     df = _df(spark, ["one two three four five"])
     assert doc_keywords(df, k=3).count() == 3
+
+
+def test_rake_phrases_hand_case(spark):
+    from kgspark.keywords import rake_phrases
+
+    # runs: [red cat], [red cat dog], [dog]
+    # red/cat: freq 2, deg 5 -> 2500000; dog: freq 2, deg 4 -> 2000000
+    docs = spark.createDataFrame(
+        [(1, "red cat and red cat dog and dog")],
+        "doc_id long, text string",
+    )
+    out = [(r.phrase, r.n_words, r.score_ppm)
+           for r in rake_phrases(docs, k=3).collect()]
+    assert out == [("red cat dog", 3, 7_000_000),
+                   ("red cat", 2, 5_000_000),
+                   ("dog", 1, 2_000_000)]
+
+
+def test_rake_truncating_div_and_distinct(spark):
+    from kgspark.keywords import rake_phrases
+
+    # runs: [cat dog], [cat], [cat] -> cat: freq 3, deg 4 ->
+    # 4000000 div 3 = 1333333 (truncated); the two [cat] runs
+    # collapse to ONE distinct phrase row
+    docs = spark.createDataFrame(
+        [(1, "cat dog of cat of cat")], "doc_id long, text string"
+    )
+    out = [(r.phrase, r.score_ppm) for r in rake_phrases(docs).collect()]
+    assert out == [("cat dog", 3_333_333), ("cat", 1_333_333)]
+
+
+def test_rake_delimiters_and_max_words(spark):
+    from kgspark.keywords import rake_phrases
+
+    docs = spark.createDataFrame(
+        [(1, "alpha x9 beta gamma delta epsilon zeta"),  # non-letter delim
+         (2, "the of and")],                              # all stopwords
+        "doc_id long, text string",
+    )
+    out = rake_phrases(docs, k=5, max_words=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.phrase)
+    # the 5-word run beta..zeta is dropped by max_words=4
+    assert by_doc == {1: ["alpha"]}
+    # per-doc partitioned stats: same corpus words, independent docs
+    two = spark.createDataFrame(
+        [(1, "red cat"), (2, "red dog")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.phrase): r.score_ppm
+           for r in rake_phrases(two, k=1).collect()}
+    assert got == {(1, "red cat"): 4_000_000, (2, "red dog"): 4_000_000}
