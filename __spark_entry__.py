@@ -3951,6 +3951,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def kg_butterflies(spark, sf_dir):
+        # bipartite butterfly counting (kgspark/graph_algs.py
+        # butterfly_pairs) over the customer-part purchase graph:
+        # wedges from the bounded-degree customer side, top-20 part
+        # pairs by C(n_common, 2)
+        from kgspark.graph_algs import butterfly_pairs
+
+        o = _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey")
+        li = _read(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey")
+        edges = o.join(
+            li, o["o_orderkey"] == li["l_orderkey"]
+        ).select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("v")
+        )
+        return butterfly_pairs(edges, max_u_degree=128, k=20)
+
     def text_rake(spark, sf_dir):
         # RAKE keyphrase extraction (kgspark/keywords.py rake_phrases):
         # stopword-delimited candidate runs, truncated-ppm word scores
@@ -7280,6 +7298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_soundex": link_soundex,
         "ann_coreset": ann_coreset,
         "text_rake": text_rake,
+        "kg_butterflies": kg_butterflies,
     }
 
 
@@ -15929,5 +15948,25 @@ SELECT doc_id, phrase, n_words, score_ppm FROM (
                             ORDER BY score_ppm DESC, phrase ASC) AS rn
   FROM rk_sc
 ) WHERE rn <= 3
+""",
+        # kgspark.graph_algs.butterfly_pairs: customer-side wedges
+        # (degree 2..128), part-pair common counts, n_bf = C(c,2)
+        "kg_butterflies": r"""
+WITH bf_e AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+bf_k AS (
+  SELECT u FROM bf_e GROUP BY u HAVING count(*) >= 2 AND count(*) <= 128
+),
+bf_e2 AS (SELECT e.u, e.v FROM bf_e e JOIN bf_k USING (u)),
+bf_p AS (
+  SELECT a.v AS v_a, b.v AS v_b, count(*)::BIGINT AS n_common
+  FROM bf_e2 a JOIN bf_e2 b ON a.u = b.u AND a.v < b.v
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT v_a, v_b, n_common,
+       (n_common * (n_common - 1) // 2)::BIGINT AS n_bf
+FROM bf_p ORDER BY n_bf DESC, v_a ASC, v_b ASC LIMIT 20
 """,
     }

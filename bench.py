@@ -361,6 +361,7 @@ BENCH_QUERIES = [
     "link_soundex",
     "ann_coreset",
     "text_rake",
+    "kg_butterflies",
 ]
 
 

@@ -3009,3 +3009,52 @@ def pseudo_diameter(
             "far2", F.col("diameter_lb").cast("long").alias("diameter_lb"),
         )
     )
+
+
+def butterfly_pairs(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_u_degree: int = 128,
+    k: int = 20,
+) -> DataFrame:
+    """Butterfly (2x2-biclique) counting in a bipartite graph — the
+    bipartite analogue of triangle counting (Wang et al., VLDB 2019
+    "Vertex Priority Based Butterfly Counting"): a butterfly is
+    (u1,u2,v1,v2) with all four edges present. Returns the top-`k`
+    v-side pairs by butterfly count: (v_a, v_b, n_common, n_bf) where
+    n_common = |N(v_a) ∩ N(v_b)| over u's and n_bf = C(n_common, 2) —
+    exact longs, order (n_bf desc, v_a asc, v_b asc).
+
+    Scale shape: wedges are generated FROM THE U SIDE (pick the side
+    whose degree is naturally bounded — e.g. customers with ~constant
+    orders each, while a part's customer count grows with corpus
+    size), so wedge volume is sum_u C(deg(u), 2): LINEAR in |U| when
+    u-degrees are bounded. `max_u_degree` drops hub u's above the cap
+    BEFORE the self-join (the winnowing max-df posture); degree-1 u's
+    are dropped too (no wedge). The reference has no bipartite
+    analytics (its graph is homogeneous, kg_query_engine.py).
+    """
+    e = edges.select(
+        F.col(u_col).alias("__u"), F.col(v_col).alias("__v")
+    ).distinct()
+    deg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__d"))
+    kept = deg.where(
+        (F.col("__d") >= 2) & (F.col("__d") <= F.lit(max_u_degree))
+    ).select("__u")
+    e2 = materialize(e.join(kept, "__u"))
+    a = e2.select("__u", F.col("__v").alias("v_a"))
+    b = e2.select("__u", F.col("__v").alias("v_b"))
+    wedges = a.join(b, "__u").where(F.col("v_a") < F.col("v_b"))
+    pairs = (
+        wedges.groupBy("v_a", "v_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= 2)
+        .select(
+            "v_a", "v_b", "n_common",
+            F.expr("n_common * (n_common - 1) div 2").alias("n_bf"),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("n_bf"), F.asc("v_a"), F.asc("v_b")
+    ).limit(k)

@@ -1043,3 +1043,41 @@ def test_pseudo_diameter_path_graph(spark):
     # bounded rounds clip the sweep: with rounds=2 from 'a' only b,c,x
     r2 = pseudo_diameter(t, rounds=2).collect()[0]
     assert r2.ecc1 == 2 and r2.diameter_lb == 2
+
+
+def test_butterfly_pairs_hand_case(spark):
+    from kgspark.graph_algs import butterfly_pairs
+
+    # u1,u2,u3 all connect to {v1,v2}: n_common(v1,v2)=3 -> C(3,2)=3
+    # u1,u2 also connect to v3: (v1,v3) and (v2,v3) each share {u1,u2}
+    edges = spark.createDataFrame(
+        [(1, "v1"), (1, "v2"), (1, "v3"),
+         (2, "v1"), (2, "v2"), (2, "v3"),
+         (3, "v1"), (3, "v2"),
+         (4, "v9")],                      # degree-1 u: no wedge
+        "u long, v string",
+    )
+    got = {(r.v_a, r.v_b): (r.n_common, r.n_bf)
+           for r in butterfly_pairs(edges).collect()}
+    assert got == {("v1", "v2"): (3, 3), ("v1", "v3"): (2, 1),
+                   ("v2", "v3"): (2, 1)}
+
+
+def test_butterfly_degree_cap_and_dedup(spark):
+    from kgspark.graph_algs import butterfly_pairs
+
+    # duplicate edges collapse; hub u above the cap is dropped
+    edges = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+         (9, "a"), (9, "b"), (9, "c")],
+        "u long, v string",
+    )
+    got = {(r.v_a, r.v_b): r.n_common
+           for r in butterfly_pairs(edges, max_u_degree=2).collect()}
+    # u=9 (degree 3 > cap) contributes nothing; (a,b) shared by u1,u2
+    assert got == {("a", "b"): (2)}
+    # without the cap, u=9 joins (a,b); (a,c)/(b,c) stay below the
+    # n_common >= 2 butterfly floor
+    full = {(r.v_a, r.v_b): r.n_common
+            for r in butterfly_pairs(edges, max_u_degree=10).collect()}
+    assert full == {("a", "b"): 3}
