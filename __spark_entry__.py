@@ -3951,6 +3951,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def text_good_turing(spark, sf_dir):
+        # Good-Turing frequency spectrum (kgspark/textstats.py
+        # good_turing_spectrum): count-of-counts + truncated-ppm Turing
+        # adjusted counts r* = (r+1) N_{r+1} / N_r, literal-next join
+        from kgspark.textstats import good_turing_spectrum
+
+        return good_turing_spectrum(_read(spark, sf_dir, "documents"))
+
     def kg_butterflies(spark, sf_dir):
         # bipartite butterfly counting (kgspark/graph_algs.py
         # butterfly_pairs) over the customer-part purchase graph:
@@ -7299,6 +7307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_coreset": ann_coreset,
         "text_rake": text_rake,
         "kg_butterflies": kg_butterflies,
+        "text_good_turing": text_good_turing,
     }
 
 
@@ -15968,5 +15977,22 @@ bf_p AS (
 SELECT v_a, v_b, n_common,
        (n_common * (n_common - 1) // 2)::BIGINT AS n_bf
 FROM bf_p ORDER BY n_bf DESC, v_a ASC, v_b ASC LIMIT 20
+""",
+        # kgspark.textstats.good_turing_spectrum: count-of-counts +
+        # truncated-ppm Turing estimates, literal r+1 join (gaps -> 0)
+        "text_good_turing": r"""
+WITH gt_w AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower("text"), '\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+gt_v AS (SELECT w, count(*) AS r FROM gt_w GROUP BY w),
+gt_s AS (SELECT r, count(*)::BIGINT AS n_r FROM gt_v GROUP BY r)
+SELECT s.r::BIGINT AS r, s.n_r,
+       coalesce(n2.n_r, 0)::BIGINT AS n_next,
+       (((s.r + 1) * coalesce(n2.n_r, 0) * 1000000) // s.n_r)::BIGINT
+         AS r_star_ppm
+FROM gt_s s LEFT JOIN gt_s n2 ON n2.r = s.r + 1
+ORDER BY r
 """,
     }

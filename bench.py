@@ -362,6 +362,7 @@ BENCH_QUERIES = [
     "ann_coreset",
     "text_rake",
     "kg_butterflies",
+    "text_good_turing",
 ]
 
 

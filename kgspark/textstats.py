@@ -1044,3 +1044,48 @@ def skeleton_census(
         "id", "skel_hash", "skel_df",
         (F.col("skel_df") >= min_df).alias("is_template"),
     )
+
+
+def good_turing_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing frequency spectrum (Good 1953; the count-of-counts
+    table behind Katz/SGT smoothing): for every observed unigram count
+    r, N_r = number of word types seen exactly r times, and the Turing
+    adjusted count r* = (r+1) * N_{r+1} / N_r in truncated ppm —
+    r_star_ppm < r*1e6 is the leave-one-out discount the smoother
+    redistributes to unseen events (total unseen mass = N_1 / N).
+
+    N_{r+1} is the literal next count (0 at spectrum gaps — where the
+    raw Turing estimate is undefined, r_star_ppm = 0 and a smoother
+    would fall back to the fitted power law), joined as r+1, never
+    "next observed r". All values exact longs.
+
+    Scale shape: one corpus token groupBy (the vocabulary), one
+    vocabulary-sized count-of-counts groupBy, one self-join on r+1
+    over the tiny spectrum table. Returns (r, n_r, n_next,
+    r_star_ppm) ordered by r.
+    """
+    words = df.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    spec = vocab.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nxt = spec.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    return (
+        spec.join(nxt, "r", "left")
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.coalesce("n_next", F.lit(0)).cast("long").alias("n_next"),
+            F.expr(
+                "(r + 1) * coalesce(n_next, 0) * 1000000L div n_r"
+            ).cast("long").alias("r_star_ppm"),
+        )
+        .orderBy("r")
+    )

@@ -152,3 +152,34 @@ def test_rank_correlation_extremes(spark):
     assert r2["rho_ppm"] == -1000000
     single = rank_correlation(up.limit(1), "a", "b", "id").collect()[0]
     assert single["rho_ppm"] == -1  # sentinel below n=2
+
+
+def test_good_turing_spectrum_hand_case(spark):
+    from kgspark.textstats import good_turing_spectrum
+
+    # counts: a=3, b=2, c=2, d=1, e=1, f=1
+    # spectrum: N_1=3, N_2=2, N_3=1
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "c d e f")],
+        "doc_id long, text string",
+    )
+    out = {r.r: (r.n_r, r.n_next, r.r_star_ppm)
+           for r in good_turing_spectrum(docs).collect()}
+    # r=1: r* = 2*N_2/N_1 = 4/3 -> 1333333 ppm (truncated)
+    # r=2: r* = 3*N_3/N_2 = 3/2 -> 1500000 ppm
+    # r=3: N_4 = 0 -> gap, r_star_ppm = 0
+    assert out == {1: (3, 2, 1_333_333), 2: (2, 1, 1_500_000),
+                   3: (1, 0, 0)}
+
+
+def test_good_turing_gap_join_is_literal_next(spark):
+    from kgspark.textstats import good_turing_spectrum
+
+    # counts: a=1, b=3 -> spectrum N_1=1, N_3=1 with a GAP at r=2:
+    # r=1 must use N_2 = 0 (literal r+1), NOT the next observed N_3
+    docs = spark.createDataFrame(
+        [(1, "a b b b")], "doc_id long, text string"
+    )
+    out = {r.r: (r.n_next, r.r_star_ppm)
+           for r in good_turing_spectrum(docs).collect()}
+    assert out == {1: (0, 0), 3: (0, 0)}
