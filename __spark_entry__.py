@@ -3951,6 +3951,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def sketch_kmv(spark, sf_dir):
+        # KMV/theta distinct sketch (kgspark/sketch.py kmv_table +
+        # kmv_estimate): per-source token sketches at k=16 (full ->
+        # theta = kth-min + 1), exact-long estimates
+        from kgspark.sketch import kmv_estimate, kmv_table
+        from kgspark.textstats import ws_tokens
+
+        toks = _read(spark, sf_dir, "documents").select(
+            "source", F.explode(ws_tokens(F.col("text"))).alias("token")
+        )
+        return kmv_estimate(kmv_table(toks, k=16), k=16).select(
+            F.col("grp").alias("source"), "n_kept", "theta",
+            "est_distinct",
+        )
+
+    def sketch_kmv_intersect(spark, sf_dir):
+        # theta-sketch INTERSECTION estimate (kgspark/sketch.py
+        # kmv_intersect) — the set operation HLL registers cannot do
+        # directly: src0 vs src1 token sketches, k=16
+        from kgspark.sketch import kmv_intersect, kmv_table
+        from kgspark.textstats import ws_tokens
+
+        docs = _read(spark, sf_dir, "documents")
+        toks = docs.select(
+            "source", F.explode(ws_tokens(F.col("text"))).alias("token")
+        )
+        a = kmv_table(toks.where(F.col("source") == "src0"), k=16)
+        b = kmv_table(toks.where(F.col("source") == "src1"), k=16)
+        lbl = F.lit("src0|src1").alias("grp")
+        return kmv_intersect(
+            a.select(lbl, "h"), b.select(lbl, "h"), k=16
+        )
+
     def text_good_turing(spark, sf_dir):
         # Good-Turing frequency spectrum (kgspark/textstats.py
         # good_turing_spectrum): count-of-counts + truncated-ppm Turing
@@ -7308,6 +7341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake": text_rake,
         "kg_butterflies": kg_butterflies,
         "text_good_turing": text_good_turing,
+        "sketch_kmv": sketch_kmv,
+        "sketch_kmv_intersect": sketch_kmv_intersect,
     }
 
 
@@ -15994,5 +16029,75 @@ SELECT s.r::BIGINT AS r, s.n_r,
          AS r_star_ppm
 FROM gt_s s LEFT JOIN gt_s n2 ON n2.r = s.r + 1
 ORDER BY r
+""",
+        # kgspark.sketch.kmv_table/kmv_estimate: per-source k=16
+        # smallest distinct 48-bit md5 hashes; theta = kth+1 when full
+        "sketch_kmv": f"""
+WITH kv_s AS (
+  SELECT source,
+         md5(unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                    t -> t <> ''))) AS hh
+  FROM documents
+),
+kv_h AS (
+  SELECT DISTINCT source AS grp,
+         (({_hex6_sql('hh')}) * 16777216
+          + ({_hex6_sql("substr(hh, 7, 6)")}))::BIGINT AS h
+  FROM kv_s
+),
+kv_k AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM kv_h) WHERE rn <= 16
+),
+kv_a AS (
+  SELECT grp, count(*)::BIGINT AS n_kept, max(h) AS max_h
+  FROM kv_k GROUP BY grp
+)
+SELECT grp AS source, n_kept,
+       (CASE WHEN n_kept >= 16 THEN max_h + 1
+             ELSE 281474976710656 END)::BIGINT AS theta,
+       (n_kept * 281474976710656
+        // (CASE WHEN n_kept >= 16 THEN max_h + 1
+                 ELSE 281474976710656 END))::BIGINT AS est_distinct
+FROM kv_a
+""",
+        # kgspark.sketch.kmv_intersect: theta = least of the two
+        # sketch thetas, sample = shared hashes below theta
+        "sketch_kmv_intersect": f"""
+WITH ki_s AS (
+  SELECT source,
+         md5(unnest(list_filter(string_split_regex(lower("text"), '\\s+'),
+                    t -> t <> ''))) AS hh
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+ki_h AS (
+  SELECT DISTINCT source,
+         (({_hex6_sql('hh')}) * 16777216
+          + ({_hex6_sql("substr(hh, 7, 6)")}))::BIGINT AS h
+  FROM ki_s
+),
+ki_k AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM ki_h) WHERE rn <= 16
+),
+ki_t AS (
+  SELECT source, (CASE WHEN count(*) >= 16 THEN max(h) + 1
+                       ELSE 281474976710656 END)::BIGINT AS th
+  FROM ki_k GROUP BY source
+),
+ki_th AS (SELECT min(th)::BIGINT AS theta FROM ki_t),
+ki_n AS (
+  SELECT count(*)::BIGINT AS n_sample
+  FROM ki_k a JOIN ki_k b ON a.h = b.h
+       AND a.source = 'src0' AND b.source = 'src1',
+       ki_th t
+  WHERE a.h < t.theta
+)
+SELECT 'src0|src1' AS grp, n.n_sample, t.theta,
+       (n.n_sample * 281474976710656 // t.theta)::BIGINT AS est_intersect
+FROM ki_n n, ki_th t
 """,
     }

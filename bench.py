@@ -363,6 +363,8 @@ BENCH_QUERIES = [
     "text_rake",
     "kg_butterflies",
     "text_good_turing",
+    "sketch_kmv",
+    "sketch_kmv_intersect",
 ]
 
 

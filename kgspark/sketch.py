@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgspark.kgtrain import _hex6_to_int
@@ -283,3 +283,133 @@ def hll_set_estimates(a: DataFrame, b: DataFrame, p: int = 10) -> dict:
     eu = hll_estimate(hll_merge(a, b), p)
     return {"card_a": ea, "card_b": eb, "card_union": eu,
             "card_intersect": max(ea + eb - eu, 0.0)}
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch — distinct counting WITH set-intersection estimates
+# --------------------------------------------------------------------------
+
+_KMV_DOMAIN = 1 << 48  # 12 md5 nibbles
+
+
+def _hash48(col):
+    """First 12 md5 nibbles -> int in [0, 2^48) — the KMV hash order."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def kmv_table(
+    df: DataFrame,
+    value_col: str = "token",
+    k: int = 64,
+    group_col: str = "source",
+) -> DataFrame:
+    """K-minimum-values (theta) sketch table (Bar-Yossef et al. 2002;
+    the DataSketches theta family): per group, the `k` smallest
+    DISTINCT 48-bit md5 hash values of the value column — (group, h).
+    The table IS the sketch: mergeable by union + re-rank
+    (kmv_union), and unlike HLL it supports direct INTERSECTION
+    estimation (kmv_intersect) because it carries an order-statistic
+    sample, not just register maxima.
+
+    Scale: one distinct shuffle on (group, hash), one per-group top-k
+    window — groups are sources/shards, so the window never sees a
+    corpus-global partition.
+    """
+    if k < 1:
+        raise ValueError("kmv_table: k must be >= 1")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"),
+                _hash48(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("h"))
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def _theta(k: int):
+    """Per-group theta: kth-min + 1 when the sketch is full, else the
+    full domain (a non-full sketch IS the exact distinct set)."""
+    return F.when(
+        F.col("n_kept") >= k, F.col("max_h") + 1
+    ).otherwise(F.lit(_KMV_DOMAIN)).cast("long")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(grp, n_kept, theta, est_distinct): est = n_kept * DOMAIN div
+    theta — exact long arithmetic, exact count when the sketch is not
+    full (theta = DOMAIN)."""
+    agg = sketch.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("max_h"),
+    )
+    return agg.select(
+        "grp", "n_kept", _theta(k).alias("theta"),
+        F.expr(f"n_kept * {_KMV_DOMAIN}L div "
+               f"(CASE WHEN n_kept >= {k} THEN max_h + 1 "
+               f"ELSE {_KMV_DOMAIN}L END)").cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two sketch tables: union, distinct, re-rank to k — the
+    merge law kmv_union(sk(A), sk(B)) == kmv_table(A UNION B) holds
+    EXACTLY (both sides keep the k smallest distinct hashes of the
+    union; asserted in tests)."""
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy("grp").orderBy(F.asc("h"))
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_intersect(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Theta-sketch intersection estimate per group: theta =
+    min(theta_a, theta_b); sample = hashes present in BOTH sketches
+    below theta; est = n_sample * DOMAIN div theta. When neither
+    sketch is full the estimate is the EXACT intersection size.
+    Returns (grp, n_sample, theta, est_intersect)."""
+
+    def th(sk):
+        return sk.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").alias("max_h"),
+        ).select("grp", _theta(k).alias("theta"))
+
+    thetas = (
+        th(a).withColumnRenamed("theta", "ta")
+        .join(th(b).withColumnRenamed("theta", "tb"), "grp")
+        .select("grp", F.least("ta", "tb").alias("theta"))
+    )
+    sample = (
+        a.join(b, ["grp", "h"])
+        .join(F.broadcast(thetas), "grp")
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("grp", "theta")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    )
+    return (
+        thetas.join(sample.select("grp", "n_sample"), "grp", "left")
+        .select(
+            "grp",
+            F.coalesce("n_sample", F.lit(0)).cast("long")
+            .alias("n_sample"),
+            "theta",
+            (F.coalesce("n_sample", F.lit(0)) * F.lit(_KMV_DOMAIN)
+             ).cast("long").alias("__num"),
+        )
+        .select(
+            "grp", "n_sample", "theta",
+            F.expr("__num div theta").cast("long")
+            .alias("est_intersect"),
+        )
+    )

@@ -166,3 +166,67 @@ def test_hll_merge_law_and_set_estimates(spark):
     # inclusion-exclusion intersection (|A ∩ B| = 1000); compounded
     # error tolerated at 3x the union tolerance
     assert abs(est["card_intersect"] - 1000) / 1000 < 0.45
+
+
+def _kmv_df(spark, rows):
+    return spark.createDataFrame(rows, "source string, token string")
+
+
+def test_kmv_exact_when_not_full(spark):
+    from kgspark.sketch import _KMV_DOMAIN, kmv_estimate, kmv_table
+
+    df = _kmv_df(spark, [("s", f"t{i}") for i in range(10)]
+                 + [("s", "t0")])  # dup collapses
+    sk = kmv_table(df, k=64)
+    assert sk.count() == 10
+    est = kmv_estimate(sk, k=64).collect()[0]
+    assert (est.n_kept, est.theta, est.est_distinct) == (
+        10, _KMV_DOMAIN, 10)
+
+
+def test_kmv_merge_law_exact(spark):
+    from kgspark.sketch import kmv_table, kmv_union
+
+    a = _kmv_df(spark, [("s", f"a{i}") for i in range(50)])
+    b = _kmv_df(spark, [("s", f"b{i}") for i in range(50)]
+                + [("s", "a0"), ("s", "a1")])
+    k = 16
+    merged = kmv_union(kmv_table(a, k=k), kmv_table(b, k=k), k=k)
+    direct = kmv_table(a.unionByName(b), k=k)
+    got = sorted(r.h for r in merged.collect())
+    want = sorted(r.h for r in direct.collect())
+    assert got == want and len(got) == k
+
+
+def test_kmv_estimate_accuracy_when_full(spark):
+    from kgspark.sketch import kmv_estimate, kmv_table
+
+    n = 2000
+    df = _kmv_df(spark, [("s", f"v{i}") for i in range(n)])
+    est = kmv_estimate(kmv_table(df, k=64), k=64).collect()[0]
+    assert est.n_kept == 64 and est.theta < (1 << 48)
+    assert abs(est.est_distinct - n) / n < 0.25
+
+
+def test_kmv_intersect_exact_and_estimated(spark):
+    from kgspark.sketch import _KMV_DOMAIN, kmv_intersect, kmv_table
+
+    # not-full sketches -> exact intersection
+    a = _kmv_df(spark, [("s", f"x{i}") for i in range(20)])
+    b = _kmv_df(spark, [("s", f"x{i}") for i in range(10, 40)])
+    got = kmv_intersect(kmv_table(a, k=64), kmv_table(b, k=64),
+                        k=64).collect()[0]
+    assert (got.n_sample, got.theta, got.est_intersect) == (
+        10, _KMV_DOMAIN, 10)
+    # disjoint sets -> zero (left join coalesce path)
+    c = _kmv_df(spark, [("s", f"y{i}") for i in range(20)])
+    got0 = kmv_intersect(kmv_table(a, k=64), kmv_table(c, k=64),
+                         k=64).collect()[0]
+    assert got0.n_sample == 0 and got0.est_intersect == 0
+    # full sketches: 3000 overlap of two 5000-sets, k=128 -> within 35%
+    big_a = _kmv_df(spark, [("s", f"v{i}") for i in range(5000)])
+    big_b = _kmv_df(spark, [("s", f"v{i}") for i in range(2000, 7000)])
+    k = 128
+    gi = kmv_intersect(kmv_table(big_a, k=k), kmv_table(big_b, k=k),
+                       k=k).collect()[0]
+    assert abs(gi.est_intersect - 3000) / 3000 < 0.35
