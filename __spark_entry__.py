@@ -3951,6 +3951,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def rel_rfm(spark, sf_dir):
+        # RFM segmentation (kgspark/relops.py rfm_segments): exact-cent
+        # monetary, equal-population rank bins via (rank*5 div n)+1
+        # over range-partition ranks — never ntile()
+        from kgspark.relops import rfm_segments
+
+        return rfm_segments(_read(spark, sf_dir, "orders"), n_bins=5)
+
     def sketch_kmv(spark, sf_dir):
         # KMV/theta distinct sketch (kgspark/sketch.py kmv_table +
         # kmv_estimate): per-source token sketches at k=16 (full ->
@@ -7343,6 +7351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_good_turing": text_good_turing,
         "sketch_kmv": sketch_kmv,
         "sketch_kmv_intersect": sketch_kmv_intersect,
+        "rel_rfm": rel_rfm,
     }
 
 
@@ -16099,5 +16108,49 @@ ki_n AS (
 SELECT 'src0|src1' AS grp, n.n_sample, t.theta,
        (n.n_sample * 281474976710656 // t.theta)::BIGINT AS est_intersect
 FROM ki_n n, ki_th t
+""",
+        # kgspark.relops.rfm_segments: anchor = corpus max date, exact
+        # cents floor(p*100+0.5), score = (rank-1)*5 div n + 1 over
+        # (metric, cust) total order — recency ranked DESC
+        "rel_rfm": r"""
+WITH rf_c AS (
+  SELECT o_custkey AS cust,
+         max(o_orderdate::DATE) AS last_d,
+         count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice::DOUBLE * 100 + 0.5)::BIGINT)::BIGINT
+           AS monetary_cents
+  FROM orders GROUP BY 1
+),
+rf_a AS (SELECT max(o_orderdate::DATE) AS anchor_d FROM orders),
+rf_b AS (
+  SELECT cust,
+         date_diff('day', last_d, anchor_d)::BIGINT AS recency_days,
+         n_orders, monetary_cents
+  FROM rf_c, rf_a
+),
+rf_n AS (SELECT count(*)::BIGINT AS n FROM rf_b),
+rf_r AS (
+  SELECT cust,
+         ((row_number() OVER (ORDER BY recency_days DESC, cust ASC) - 1)
+          * 5 // n.n + 1)::BIGINT AS r_score
+  FROM rf_b, rf_n n
+),
+rf_f AS (
+  SELECT cust,
+         ((row_number() OVER (ORDER BY n_orders ASC, cust ASC) - 1)
+          * 5 // n.n + 1)::BIGINT AS f_score
+  FROM rf_b, rf_n n
+),
+rf_m AS (
+  SELECT cust,
+         ((row_number() OVER (ORDER BY monetary_cents ASC, cust ASC) - 1)
+          * 5 // n.n + 1)::BIGINT AS m_score
+  FROM rf_b, rf_n n
+)
+SELECT b.cust AS o_custkey, b.recency_days, b.n_orders, b.monetary_cents,
+       r.r_score, f.f_score, m.m_score,
+       (r.r_score * 100 + f.f_score * 10 + m.m_score)::BIGINT AS rfm_code
+FROM rf_b b JOIN rf_r r USING (cust) JOIN rf_f f USING (cust)
+     JOIN rf_m m USING (cust)
 """,
     }

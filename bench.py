@@ -365,6 +365,7 @@ BENCH_QUERIES = [
     "text_good_turing",
     "sketch_kmv",
     "sketch_kmv_intersect",
+    "rel_rfm",
 ]
 
 

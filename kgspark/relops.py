@@ -1301,3 +1301,123 @@ def interpolate_gaps(
         F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("filled"),
     )
+
+
+def _range_rank(df: DataFrame, metric: str, key: str, asc: bool = True):
+    """(key, __rank 0..n-1) by (metric, key) total order WITHOUT a
+    global Window.orderBy — the kgtrain.ranked_entities pattern
+    (kgspark/kgtrain.py:36-75): range-partition, per-partition
+    row_number, cumulative partition offsets via one #partitions-row
+    collect. Returns (ranked_df, n)."""
+    from kgspark.session import materialize
+
+    spark = df.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    m = F.col(metric) if asc else -F.col(metric)
+    ranged = materialize(
+        df.select(F.col(key), m.alias("__m"))
+        .repartitionByRange(parts, F.col("__m"), F.col(key))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)],
+        "__pid int, __off long",
+    )
+    w = Window.partitionBy("__pid").orderBy("__m", key)
+    return (
+        ranged.join(F.broadcast(off), "__pid").select(
+            key,
+            (F.row_number().over(w) - 1 + F.col("__off"))
+            .alias("__rank"),
+        ),
+        acc,
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994; the classic CRM/behavioural
+    cohort key): per customer, Recency = days from their last order to
+    the corpus max date, Frequency = order count, Monetary = exact
+    cents (floor(p*100 + 0.5) per order, summed); each dimension is
+    binned into `n_bins` equal-population rank bins scored 1..n_bins
+    (5 = most recent / most orders / highest spend), and
+    rfm_code = r*100 + f*10 + m.
+
+    Determinism contract: bins come from the EXACT formula
+    score = (rank * n_bins) div n + 1 over the total order
+    (metric, customer) — never ntile() (engines spread remainders
+    differently); recency ranks DESCENDING so the most recent customer
+    gets the top bin. Monetary in pinned-tie cents, everything longs.
+
+    Scale shape: per-customer aggregation is one groupBy; each
+    dimension's global rank uses the range-partition + offset pattern
+    (no global Window.orderBy single-task funnel); the anchor date is
+    a 1-row broadcast.
+    """
+    if n_bins < 1:
+        raise ValueError("rfm_segments: n_bins must be >= 1")
+    cents = F.floor(
+        F.col(amount_col).cast("double") * 100 + F.lit(0.5)
+    ).cast("long")
+    per_cust = orders.groupBy(
+        F.col(customer_col).alias("cust")
+    ).agg(
+        F.max(F.to_date(F.col(date_col))).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("monetary_cents"),
+    )
+    anchor = orders.agg(
+        F.max(F.to_date(F.col(date_col))).alias("anchor_d")
+    )
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "cust",
+        F.datediff(F.col("anchor_d"), F.col("last_d"))
+        .cast("long").alias("recency_days"),
+        "n_orders", "monetary_cents",
+    )
+    from kgspark.session import materialize
+
+    base = materialize(base)
+
+    def score(metric, asc):
+        ranked, n = _range_rank(base, metric, "cust", asc=asc)
+        return ranked.select(
+            "cust",
+            F.expr(f"__rank * {n_bins} div {max(n, 1)}")
+            .cast("long").alias("__s"),
+        ).select("cust", (F.col("__s") + 1).alias(f"{metric}_score"))
+
+    # recency: LOWER days = better -> rank descending so low recency
+    # lands in the last (highest-score) bins
+    r = score("recency_days", asc=False)
+    f_ = score("n_orders", asc=True)
+    m = score("monetary_cents", asc=True)
+    return (
+        base.join(r, "cust").join(f_, "cust").join(m, "cust")
+        .select(
+            F.col("cust").alias(customer_col),
+            "recency_days", "n_orders", "monetary_cents",
+            F.col("recency_days_score").alias("r_score"),
+            F.col("n_orders_score").alias("f_score"),
+            F.col("monetary_cents_score").alias("m_score"),
+            (F.col("recency_days_score") * 100
+             + F.col("n_orders_score") * 10
+             + F.col("monetary_cents_score")).cast("long")
+            .alias("rfm_code"),
+        )
+    )

@@ -494,3 +494,54 @@ def test_interpolate_gaps_linear_integer(spark):
     # 10 -> 3 over 2 days: 10 + (-7)*1 div 2 = 10 + -3 = 7 (trunc to zero)
     assert got[("c", d0 + dt.timedelta(1))] == (7, 1)
     assert len(got) == 5 + 1 + 3
+
+
+def test_rfm_segments_hand_case(spark):
+    from datetime import datetime as DT
+
+    from kgspark.relops import rfm_segments
+
+    rows = [
+        # cust 1: 3 orders, last day 10, total 30.00
+        (1, 10.0, DT(2024, 1, 1)), (1, 10.0, DT(2024, 1, 5)),
+        (1, 10.004, DT(2024, 1, 10)),
+        # cust 2: 1 order, day 2, total 100.00
+        (2, 100.0, DT(2024, 1, 2)),
+        # cust 3: 2 orders, day 9, total 5.01
+        (3, 2.505, DT(2024, 1, 3)), (3, 2.505, DT(2024, 1, 9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    out = {r.o_custkey: r for r in rfm_segments(df, n_bins=3).collect()}
+    # anchor = 2024-01-10; recency: c1=0, c2=8, c3=1
+    assert {k: v.recency_days for k, v in out.items()} == {1: 0, 2: 8, 3: 1}
+    # pinned cents: 10.004 -> 1000 (floor(1000.4+.5)); 2.505 -> 251
+    assert out[1].monetary_cents == 3000
+    assert out[3].monetary_cents == 502
+    assert out[2].monetary_cents == 10000
+    # r: rank desc by days (8,1,0) -> scores c2=1, c3=2, c1=3
+    assert {k: v.r_score for k, v in out.items()} == {2: 1, 3: 2, 1: 3}
+    # f: orders (1,2,3) -> c2=1, c3=2, c1=3
+    assert {k: v.f_score for k, v in out.items()} == {2: 1, 3: 2, 1: 3}
+    # m: cents (502, 3000, 10000) -> c3=1, c1=2, c2=3
+    assert {k: v.m_score for k, v in out.items()} == {3: 1, 1: 2, 2: 3}
+    assert out[1].rfm_code == 332
+
+
+def test_rfm_equal_population_bins_and_ties(spark):
+    from datetime import datetime as DT
+
+    from kgspark.relops import rfm_segments
+
+    # 10 customers, 1 order each, same day, same price -> all metrics
+    # tie; bins split purely by the deterministic (metric, cust) order
+    rows = [(i, 1.0, DT(2024, 1, 1)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    out = {r.o_custkey: r.f_score
+           for r in rfm_segments(df, n_bins=5).collect()}
+    # rank i -> score i*5 div 10 + 1: custs 0-1 ->1, 2-3 ->2, ... 8-9 ->5
+    assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4,
+                   8: 5, 9: 5}
