@@ -3951,6 +3951,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def kg_conductance(spark, sf_dir):
+        # per-community conductance audit (kgspark/graph_algs.py
+        # community_conductance) of the 2-round LPA partition: cut /
+        # min(vol, 2m - vol) in truncated ppm, -1 sentinel at zero
+        # denominators
+        from kgspark.graph_algs import (
+            community_conductance,
+            label_propagation,
+        )
+
+        t = _extract_triples(spark, sf_dir)
+        labels = label_propagation(t, iterations=2)
+        return community_conductance(t, labels)
+
     def rel_rfm(spark, sf_dir):
         # RFM segmentation (kgspark/relops.py rfm_segments): exact-cent
         # monetary, equal-population rank bins via (rank*5 div n)+1
@@ -7352,6 +7366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv": sketch_kmv,
         "sketch_kmv_intersect": sketch_kmv_intersect,
         "rel_rfm": rel_rfm,
+        "kg_conductance": kg_conductance,
     }
 
 
@@ -16153,4 +16168,82 @@ SELECT b.cust AS o_custkey, b.recency_days, b.n_orders, b.monetary_cents,
 FROM rf_b b JOIN rf_r r USING (cust) JOIN rf_f f USING (cust)
      JOIN rf_m m USING (cust)
 """,
+        # kgspark.graph_algs.community_conductance over the kg_lpa
+        # partition: same LPA unroll, then phi_ppm = cut*1e6 //
+        # min(vol, 2m - vol), -1 sentinel at zero denominators
+        "kg_conductance": f"""
+WITH {{parts}},
+lp_e AS (SELECT DISTINCT subj AS s, obj AS t FROM triples WHERE subj <> obj),
+lp_adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT s AS node, t AS nbr FROM lp_e
+    UNION ALL SELECT t AS node, s AS nbr FROM lp_e
+  )
+),
+lp_l0 AS (SELECT DISTINCT node, node AS label FROM lp_adj),
+lp_c1 AS (
+  SELECT a.node, l.label, count(*) AS c
+  FROM lp_adj a JOIN lp_l0 l ON l.node = a.nbr
+  GROUP BY a.node, l.label
+),
+lp_l1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM lp_c1
+  ) WHERE rn = 1
+),
+lp_c2 AS (
+  SELECT a.node, l.label, count(*) AS c
+  FROM lp_adj a JOIN lp_l1 l ON l.node = a.nbr
+  GROUP BY a.node, l.label
+),
+lp_l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM lp_c2
+  ) WHERE rn = 1
+),
+cd_e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+cd_e2 AS (
+  SELECT e.a, e.b, la.label AS ca, lb.label AS cb
+  FROM cd_e e JOIN lp_l2 la ON la.node = e.a
+       JOIN lp_l2 lb ON lb.node = e.b
+),
+cd_m AS (SELECT count(*)::BIGINT AS m FROM cd_e2),
+cd_i AS (
+  SELECT ca AS comm, count(*)::BIGINT AS internal_edges
+  FROM cd_e2 WHERE ca = cb GROUP BY 1
+),
+cd_c AS (
+  SELECT comm, count(*)::BIGINT AS cut_edges FROM (
+    SELECT ca AS comm FROM cd_e2 WHERE ca <> cb
+    UNION ALL SELECT cb AS comm FROM cd_e2 WHERE ca <> cb)
+  GROUP BY 1
+),
+cd_b AS (
+  SELECT label AS comm, count(*)::BIGINT AS n_nodes FROM lp_l2 GROUP BY 1
+),
+cd_j AS (
+  SELECT b.comm, b.n_nodes,
+         coalesce(i.internal_edges, 0)::BIGINT AS internal_edges,
+         coalesce(c.cut_edges, 0)::BIGINT AS cut_edges,
+         (2 * coalesce(i.internal_edges, 0)
+          + coalesce(c.cut_edges, 0))::BIGINT AS vol,
+         m.m
+  FROM cd_b b LEFT JOIN cd_i i USING (comm)
+       LEFT JOIN cd_c c USING (comm), cd_m m
+)
+SELECT comm, n_nodes, internal_edges, cut_edges, vol,
+       (CASE WHEN least(vol, 2 * m - vol) > 0
+             THEN cut_edges * 1000000 // least(vol, 2 * m - vol)
+             ELSE -1 END)::BIGINT AS phi_ppm
+FROM cd_j
+""".format(parts=_PARTS_ORACLE_CTE),
     }

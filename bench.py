@@ -366,6 +366,7 @@ BENCH_QUERIES = [
     "sketch_kmv",
     "sketch_kmv_intersect",
     "rel_rfm",
+    "kg_conductance",
 ]
 
 

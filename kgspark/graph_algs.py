@@ -3058,3 +3058,91 @@ def butterfly_pairs(
     return pairs.orderBy(
         F.desc("n_bf"), F.asc("v_a"), F.asc("v_b")
     ).limit(k)
+
+
+def community_conductance(
+    edges: DataFrame,
+    assign: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    node_col: str = "node",
+    comm_col: str = "label",
+) -> DataFrame:
+    """Per-community conductance audit (Kannan/Vempala/Vetta 2004; the
+    standard community-QUALITY score, complementing the global
+    modularity op): for each community C over the undirected graph,
+    phi(C) = cut(C) / min(vol(C), 2m - vol(C)) where cut = edges with
+    exactly one endpoint in C, vol = sum of member degrees
+    (= 2*internal + cut), m = total undirected edges. Low phi = well
+    separated; phi_ppm is the truncated-ppm integer ratio, -1 when the
+    denominator is 0 (a community spanning the whole labeled graph, or
+    edgeless). Returns (comm, n_nodes, internal_edges, cut_edges, vol,
+    phi_ppm).
+
+    Scale shape: edges canonicalize once (least/greatest distinct);
+    two hash joins stamp endpoint labels; everything after is
+    community-keyed groupBys plus a 1-row total broadcast. Edges whose
+    endpoint lacks an assignment row are dropped (inner join) — pass a
+    complete labeling (e.g. label_propagation output, whose domain is
+    exactly the adjacency's).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = assign.select(
+        F.col(node_col).alias("n"), F.col(comm_col).alias("c")
+    )
+    e2 = materialize(
+        e.join(lab.withColumnsRenamed({"n": "a", "c": "ca"}), "a")
+        .join(lab.withColumnsRenamed({"n": "b", "c": "cb"}), "b")
+    )
+    m_tot = e2.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    internal = (
+        e2.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comm"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    cut = (
+        e2.where(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("comm"))
+        .unionAll(e2.where(F.col("ca") != F.col("cb"))
+                  .select(F.col("cb").alias("comm")))
+        .groupBy("comm")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    base = assign.groupBy(F.col(comm_col).alias("comm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    joined = (
+        base.join(internal, "comm", "left")
+        .join(cut, "comm", "left")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "comm", "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).cast("long")
+            .alias("internal_edges"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long")
+            .alias("cut_edges"),
+            F.col("m"),
+        )
+        .withColumn(
+            "vol",
+            (F.lit(2) * F.col("internal_edges") + F.col("cut_edges"))
+            .cast("long"),
+        )
+    )
+    return joined.withColumn(
+        "__den",
+        F.least(F.col("vol"), F.lit(2) * F.col("m") - F.col("vol"))
+        .cast("long"),
+    ).select(
+        "comm", "n_nodes", "internal_edges", "cut_edges", "vol",
+        F.when(F.col("__den") > 0,
+               F.expr("cut_edges * 1000000L div __den"))
+        .otherwise(F.lit(-1)).cast("long").alias("phi_ppm"),
+    )

@@ -1081,3 +1081,48 @@ def test_butterfly_degree_cap_and_dedup(spark):
     full = {(r.v_a, r.v_b): r.n_common
             for r in butterfly_pairs(edges, max_u_degree=10).collect()}
     assert full == {("a", "b"): 3}
+
+
+def test_community_conductance_hand_case(spark):
+    from kgspark.graph_algs import community_conductance
+
+    # two triangles bridged by one edge: m = 7
+    # C1 = {1,2,3}: internal 3, cut 1, vol 7, phi = 1e6 div min(7,7) = 142857
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "subj long, obj long",
+    )
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "node long, label long",
+    )
+    out = {r.comm: r for r in
+           community_conductance(edges, assign).collect()}
+    for c in (10, 20):
+        assert (out[c].n_nodes, out[c].internal_edges,
+                out[c].cut_edges, out[c].vol) == (3, 3, 1, 7)
+        assert out[c].phi_ppm == 142857
+    # one community spanning everything -> denominator 0 -> sentinel
+    whole = assign.selectExpr("node", "99 AS label")
+    w = community_conductance(edges, whole).collect()[0]
+    assert (w.cut_edges, w.phi_ppm) == (0, -1)
+
+
+def test_community_conductance_canonicalizes_edges(spark):
+    from kgspark.graph_algs import community_conductance
+
+    # (1,2) and (2,1) plus a self-loop collapse to ONE edge; node 3 is
+    # an edgeless community -> vol 0 -> sentinel
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1)], "subj long, obj long"
+    )
+    assign = spark.createDataFrame(
+        [(1, 7), (2, 8), (3, 9)], "node long, label long"
+    )
+    out = {r.comm: r for r in
+           community_conductance(edges, assign).collect()}
+    assert out[7].cut_edges == 1 and out[7].vol == 1
+    # min(vol, 2m - vol) = min(1, 1) = 1 -> phi = 1e6
+    assert out[7].phi_ppm == 1_000_000
+    assert out[9].n_nodes == 1 and out[9].vol == 0
+    assert out[9].phi_ppm == -1
