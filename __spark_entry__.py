@@ -3951,6 +3951,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def kg_bridges(spark, sf_dir):
+        # per-edge embeddedness + local bridges (kgspark/graph_algs.py
+        # edge_embeddedness): n_common = triangles closed by the edge,
+        # 0 -> weak tie / local bridge. Graph = the triangle-rich
+        # part-attribute triads UNION the near-bipartite triple graph
+        # (they share Brand# nodes), so both embedded edges and true
+        # local bridges appear
+        from kgspark.graph_algs import edge_embeddedness
+
+        p = _read(spark, sf_dir, "part").withColumn(
+            "p_sz",
+            F.concat(F.lit("size:"), F.col("p_size").cast("string")),
+        )
+        attr = (
+            p.select(F.col("p_brand").alias("subj"),
+                     F.col("p_type").alias("obj"))
+            .union(p.select(F.col("p_type"), F.col("p_sz")))
+            .union(p.select(F.col("p_brand"), F.col("p_sz")))
+        )
+        t = _extract_triples(spark, sf_dir).select("subj", "obj")
+        return edge_embeddedness(attr.unionByName(t))
+
     def kg_conductance(spark, sf_dir):
         # per-community conductance audit (kgspark/graph_algs.py
         # community_conductance) of the 2-round LPA partition: cut /
@@ -7367,6 +7389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_intersect": sketch_kmv_intersect,
         "rel_rfm": rel_rfm,
         "kg_conductance": kg_conductance,
+        "kg_bridges": kg_bridges,
     }
 
 
@@ -16246,4 +16269,39 @@ SELECT comm, n_nodes, internal_edges, cut_edges, vol,
              ELSE -1 END)::BIGINT AS phi_ppm
 FROM cd_j
 """.format(parts=_PARTS_ORACLE_CTE),
+        # kgspark.graph_algs.edge_embeddedness: canonical undirected
+        # edges, wedge join for common neighbors, 0 -> local bridge
+        "kg_bridges": f"""
+WITH {_PARTS_ORACLE_CTE},
+br_raw AS (
+  SELECT subj, obj FROM triples
+  UNION ALL
+  SELECT p_brand AS subj, p_type AS obj FROM part
+  UNION ALL
+  SELECT p_type, 'size:' || p_size::VARCHAR FROM part
+  UNION ALL
+  SELECT p_brand, 'size:' || p_size::VARCHAR FROM part
+),
+br_e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM br_raw WHERE subj <> obj
+),
+br_adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT a AS node, b AS nbr FROM br_e
+    UNION ALL SELECT b AS node, a AS nbr FROM br_e
+  )
+),
+br_c AS (
+  SELECT e.a, e.b, count(*)::BIGINT AS n_common
+  FROM br_e e
+  JOIN br_adj x ON x.node = e.a
+  JOIN br_adj y ON y.node = e.b AND y.nbr = x.nbr
+  GROUP BY e.a, e.b
+)
+SELECT e.a, e.b, coalesce(c.n_common, 0)::BIGINT AS n_common,
+       (CASE WHEN coalesce(c.n_common, 0) = 0 THEN 1 ELSE 0 END)::INT
+         AS is_bridge
+FROM br_e e LEFT JOIN br_c c ON c.a = e.a AND c.b = e.b
+""",
     }

@@ -367,6 +367,7 @@ BENCH_QUERIES = [
     "sketch_kmv_intersect",
     "rel_rfm",
     "kg_conductance",
+    "kg_bridges",
 ]
 
 

@@ -3146,3 +3146,68 @@ def community_conductance(
                F.expr("cut_edges * 1000000L div __den"))
         .otherwise(F.lit(-1)).cast("long").alias("phi_ppm"),
     )
+
+
+def edge_embeddedness(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Per-edge embeddedness + local bridges (Granovetter 1973; Easley
+    & Kleinberg ch. 3): for each undirected edge (a, b), n_common =
+    |N(a) ∩ N(b)| — the number of triangles the edge closes — and
+    is_bridge = 1 when n_common = 0 (a LOCAL bridge: its endpoints'
+    span is > 2, the tie that connects otherwise-distant parts).
+    Complements common_neighbors (which scores UNLINKED pairs for link
+    prediction); this scores the EDGES, the weak-tie/bottleneck audit.
+
+    Scale shape: one canonical edge distinct, one symmetric adjacency,
+    one wedge join driven from the edge list (volume = sum over common
+    neighbors n of deg(n)^2, the triangle-counting shape).
+    `max_center_degree` optionally drops hub CENTERS before the wedge
+    join (cost cap; edges whose only common neighbors are hubs then
+    read as bridges — leave None for the exact audit).
+
+    Returns (a, b, n_common, is_bridge) for every undirected edge.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = materialize(
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"),
+                           F.col("a").alias("nbr")))
+        .distinct()
+    )
+    if max_center_degree is not None:
+        centers = adj.groupBy(F.col("nbr").alias("__c")).agg(
+            F.count(F.lit(1)).alias("__d")
+        ).where(F.col("__d") <= max_center_degree).select("__c")
+        adj = adj.join(centers, adj["nbr"] == F.col("__c")).select(
+            "node", "nbr"
+        )
+    common = (
+        e.join(adj.withColumnsRenamed({"node": "a", "nbr": "n"}), "a")
+        .join(adj.withColumnsRenamed({"node": "b", "nbr": "n"}),
+              ["b", "n"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        e.join(common, ["a", "b"], "left")
+        .select(
+            "a", "b",
+            F.coalesce("n_common", F.lit(0)).cast("long")
+            .alias("n_common"),
+        )
+        .withColumn(
+            "is_bridge",
+            F.when(F.col("n_common") == 0, 1).otherwise(0).cast("int"),
+        )
+    )

@@ -1126,3 +1126,43 @@ def test_community_conductance_canonicalizes_edges(spark):
     assert out[7].phi_ppm == 1_000_000
     assert out[9].n_nodes == 1 and out[9].vol == 0
     assert out[9].phi_ppm == -1
+
+
+def test_edge_embeddedness_and_local_bridges(spark):
+    from kgspark.graph_algs import edge_embeddedness
+
+    # two triangles bridged by (3,4): bridge edge has 0 common nbrs
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "subj long, obj long",
+    )
+    out = {(r.a, r.b): (r.n_common, r.is_bridge)
+           for r in edge_embeddedness(edges).collect()}
+    assert out[(3, 4)] == (0, 1)
+    for ab in [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]:
+        assert out[ab] == (1, 0)
+    # direction/dupe/self-loop insensitivity
+    noisy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 1), (2, 3), (1, 1)], "subj long, obj long"
+    )
+    got = {(r.a, r.b): r.n_common
+           for r in edge_embeddedness(noisy).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_edge_embeddedness_center_cap(spark):
+    from kgspark.graph_algs import edge_embeddedness
+
+    # hub h is the only common neighbor of (a, b); capping centers at
+    # degree 2 removes h -> the edge reads as a bridge
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "h"), ("b", "h"), ("c", "h")],
+        "subj string, obj string",
+    )
+    exact = {(r.a, r.b): r.n_common
+             for r in edge_embeddedness(edges).collect()}
+    assert exact[("a", "b")] == 1
+    capped = {(r.a, r.b): r.is_bridge
+              for r in edge_embeddedness(
+                  edges, max_center_degree=2).collect()}
+    assert capped[("a", "b")] == 1
