@@ -3951,6 +3951,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def rel_gini(spark, sf_dir):
+        # per-nation Gini concentration of customer spend (kgspark/
+        # relops.py gini_census): exact rank-formula numerator over
+        # pinned-tie cents, truncated ppm
+        from kgspark.relops import gini_census
+
+        cents = F.floor(
+            F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)
+        ).cast("long")
+        spend = (
+            _read(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum(cents).cast("long").alias("spend_cents"))
+        )
+        c = _read(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey")
+        n = _read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name")
+        joined = (
+            spend.join(c, spend["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n),
+                  c["c_nationkey"] == n["n_nationkey"])
+            .select("n_name", "spend_cents")
+        )
+        return gini_census(joined, "n_name", "spend_cents")
+
     def kg_bridges(spark, sf_dir):
         # per-edge embeddedness + local bridges (kgspark/graph_algs.py
         # edge_embeddedness): n_common = triangles closed by the edge,
@@ -7390,6 +7416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rfm": rel_rfm,
         "kg_conductance": kg_conductance,
         "kg_bridges": kg_bridges,
+        "rel_gini": rel_gini,
     }
 
 
@@ -16303,5 +16330,30 @@ SELECT e.a, e.b, coalesce(c.n_common, 0)::BIGINT AS n_common,
        (CASE WHEN coalesce(c.n_common, 0) = 0 THEN 1 ELSE 0 END)::INT
          AS is_bridge
 FROM br_e e LEFT JOIN br_c c ON c.a = e.a AND c.b = e.b
+""",
+        # kgspark.relops.gini_census over per-nation customer spend:
+        # rank formula (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)), ppm
+        "rel_gini": r"""
+WITH gn_s AS (
+  SELECT o_custkey AS cust,
+         sum(floor(o_totalprice::DOUBLE * 100 + 0.5)::BIGINT)::BIGINT AS x
+  FROM orders GROUP BY 1
+),
+gn_j AS (
+  SELECT n.n_name AS g, s.x
+  FROM gn_s s JOIN customer c ON c.c_custkey = s.cust
+       JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+gn_r AS (
+  SELECT g, x,
+         row_number() OVER (PARTITION BY g ORDER BY x ASC) AS r
+  FROM gn_j
+)
+SELECT g AS n_name, count(*)::BIGINT AS n_items, sum(x)::BIGINT AS total,
+       (CASE WHEN sum(x) > 0
+             THEN (2 * sum(r * x) - (count(*) + 1) * sum(x)) * 1000000
+                  // (count(*) * sum(x))
+             ELSE -1 END)::BIGINT AS gini_ppm
+FROM gn_r GROUP BY g
 """,
     }

@@ -368,6 +368,7 @@ BENCH_QUERIES = [
     "rel_rfm",
     "kg_conductance",
     "kg_bridges",
+    "rel_gini",
 ]
 
 

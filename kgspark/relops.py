@@ -1421,3 +1421,44 @@ def rfm_segments(
             .alias("rfm_code"),
         )
     )
+
+
+def gini_census(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a nonnegative integer value —
+    the classic concentration/inequality audit (spend concentration,
+    traffic share, token-budget skew): with the group's n items ranked
+    ascending by value,
+
+        gini = (2 * sum(rank * x) - (n + 1) * sum(x)) / (n * sum(x))
+
+    (the exact rank formulation; invariant to tie order because equal
+    values contribute the same regardless of rank assignment).
+    Reported as truncated-ppm integer gini_ppm; groups with sum(x) = 0
+    get the -1 sentinel. Returns (group, n_items, total, gini_ppm).
+
+    Scale shape: one per-group window rank + one per-group aggregate.
+    The numerator is bounded by n^2 * max(x) — fits a long through
+    ~10^9-item groups at cent scale; shard groups first if beyond.
+    """
+    w = Window.partitionBy("__g").orderBy(F.asc("__x"))
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("__x"),
+    ).withColumn("__r", F.row_number().over(w))
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__x").cast("long").alias("total"),
+        F.sum(F.col("__r") * F.col("__x")).cast("long").alias("__rx"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col), "n_items", "total",
+        F.when(
+            F.col("total") > 0,
+            F.expr("(2 * __rx - (n_items + 1) * total) * 1000000L "
+                   "div (n_items * total)"),
+        ).otherwise(F.lit(-1)).cast("long").alias("gini_ppm"),
+    )

@@ -545,3 +545,37 @@ def test_rfm_equal_population_bins_and_ties(spark):
     # rank i -> score i*5 div 10 + 1: custs 0-1 ->1, 2-3 ->2, ... 8-9 ->5
     assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4,
                    8: 5, 9: 5}
+
+
+def test_gini_census_hand_cases(spark):
+    from kgspark.relops import gini_census
+
+    rows = (
+        [("eq", 10)] * 4                     # perfect equality -> 0
+        + [("one", 0), ("one", 0), ("one", 0), ("one", 12)]
+        + [("mix", 1), ("mix", 2), ("mix", 3), ("mix", 4)]
+        + [("zero", 0), ("zero", 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.g: r for r in gini_census(df, "g", "x").collect()}
+    assert out["eq"].gini_ppm == 0
+    # all mass on one of 4: G = (2*4*12 - 5*12)/(4*12) = 36/48 = 0.75
+    assert out["one"].gini_ppm == 750_000
+    # 1,2,3,4: (2*(1+4+9+16) - 5*10)/(4*10) = 10/40 = 0.25
+    assert out["mix"].gini_ppm == 250_000
+    assert out["zero"].gini_ppm == -1 and out["zero"].n_items == 2
+    assert out["mix"].total == 10
+
+
+def test_gini_tie_order_invariance(spark):
+    from kgspark.relops import gini_census
+
+    # equal values at different "ids" -> same gini however ranked
+    a = spark.createDataFrame(
+        [("g", 5), ("g", 5), ("g", 0)], "g string, x long")
+    b = spark.createDataFrame(
+        [("g", 0), ("g", 5), ("g", 5)], "g string, x long")
+    ga = gini_census(a, "g", "x").collect()[0].gini_ppm
+    gb = gini_census(b, "g", "x").collect()[0].gini_ppm
+    # (2*(2*5+3*5) - 4*10)/(3*10) = 10/30
+    assert ga == gb == 333_333
