@@ -3951,6 +3951,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def link_bcubed(spark, sf_dir):
+        # B-cubed clustering agreement (kgspark/linkrec.py
+        # bcubed_eval) between the source partition (pred) and the
+        # 50-token length-bucket partition (truth) of the corpus —
+        # the standard ER metric, exact cellwise-ppm truncation
+        from kgspark.linkrec import bcubed_eval
+        from kgspark.textstats import token_count
+
+        docs = _read(spark, sf_dir, "documents")
+        pred = docs.select(
+            F.col("doc_id").alias("node"),
+            F.col("source").alias("cluster"),
+        )
+        truth = docs.select(
+            F.col("doc_id").alias("node"),
+            F.floor(token_count(F.col("text")) / F.lit(50))
+            .cast("long").cast("string").alias("cluster"),
+        )
+        return bcubed_eval(pred, truth)
+
     def rel_gini(spark, sf_dir):
         # per-nation Gini concentration of customer spend (kgspark/
         # relops.py gini_census): exact rank-formula numerator over
@@ -7417,6 +7437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conductance": kg_conductance,
         "kg_bridges": kg_bridges,
         "rel_gini": rel_gini,
+        "link_bcubed": link_bcubed,
     }
 
 
@@ -16355,5 +16376,38 @@ SELECT g AS n_name, count(*)::BIGINT AS n_items, sum(x)::BIGINT AS total,
                   // (count(*) * sum(x))
              ELSE -1 END)::BIGINT AS gini_ppm
 FROM gn_r GROUP BY g
+""",
+        # kgspark.linkrec.bcubed_eval: source partition vs 50-token
+        # length buckets; cellwise ppm truncation then node average
+        "link_bcubed": r"""
+WITH bb_p AS (SELECT doc_id AS n, source AS pc FROM documents),
+bb_t AS (
+  SELECT doc_id AS n,
+         (len(list_filter(string_split_regex(lower("text"), '\s+'),
+              t -> t <> '')) // 50)::VARCHAR AS tc
+  FROM documents
+),
+bb_j AS (SELECT p.n, p.pc, t.tc FROM bb_p p JOIN bb_t t USING (n)),
+bb_c AS (SELECT pc, tc, count(*)::BIGINT AS n_pt FROM bb_j GROUP BY 1, 2),
+bb_ps AS (SELECT pc, count(*)::BIGINT AS n_p FROM bb_j GROUP BY 1),
+bb_ts AS (SELECT tc, count(*)::BIGINT AS n_t FROM bb_j GROUP BY 1),
+bb_w AS (
+  SELECT c.n_pt,
+         c.n_pt * (c.n_pt * 1000000 // p.n_p) AS pc_w,
+         c.n_pt * (c.n_pt * 1000000 // t.n_t) AS rc_w
+  FROM bb_c c JOIN bb_ps p USING (pc) JOIN bb_ts t USING (tc)
+),
+bb_a AS (
+  SELECT sum(n_pt)::BIGINT AS n_nodes,
+         (sum(pc_w) // sum(n_pt))::BIGINT AS precision_ppm,
+         (sum(rc_w) // sum(n_pt))::BIGINT AS recall_ppm
+  FROM bb_w
+)
+SELECT n_nodes, precision_ppm, recall_ppm,
+       (CASE WHEN precision_ppm + recall_ppm > 0
+             THEN 2 * precision_ppm * recall_ppm
+                  // (precision_ppm + recall_ppm)
+             ELSE 0 END)::BIGINT AS f1_ppm
+FROM bb_a
 """,
     }

@@ -369,6 +369,7 @@ BENCH_QUERIES = [
     "kg_conductance",
     "kg_bridges",
     "rel_gini",
+    "link_bcubed",
 ]
 
 

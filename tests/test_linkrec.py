@@ -307,3 +307,43 @@ def test_soundex_lag_formulation_fuzz_vs_spark(spark):
     df = spark.createDataFrame([(w,) for w in set(words)], "w string")
     for r in df.select("w", F.soundex("w").alias("sx")).collect():
         assert r.sx == sx_py(r.w), r.w
+
+
+def test_bcubed_hand_case(spark):
+    from kgspark.linkrec import bcubed_eval
+
+    # truth: {1,2,3} {4,5}; pred: {1,2} {3,4} {5}
+    truth = spark.createDataFrame(
+        [(1, "T1"), (2, "T1"), (3, "T1"), (4, "T2"), (5, "T2")],
+        "node long, cluster string",
+    )
+    pred = spark.createDataFrame(
+        [(1, "P1"), (2, "P1"), (3, "P2"), (4, "P2"), (5, "P3")],
+        "node long, cluster string",
+    )
+    out = bcubed_eval(pred, truth).collect()[0]
+    # per node P: 1,1 (P1 pure), 1/2, 1/2 (P2 mixed), 1 -> avg 4/5
+    # per node R: 2/3, 2/3, 1/3, 1/2, 1/2 -> avg 8/15 = 533333 ppm
+    assert out.n_nodes == 5
+    assert out.precision_ppm == 800_000
+    # cellwise truncation: T1xP1 nodes get 666666, T1xP2 333333,
+    # T2xP2 500000, T2xP3 500000 -> (2*666666+333333+500000+500000)/5
+    assert out.recall_ppm == (2 * 666_666 + 333_333 + 1_000_000) // 5
+    p, r = out.precision_ppm, out.recall_ppm
+    assert out.f1_ppm == 2 * p * r // (p + r)
+
+
+def test_bcubed_perfect_and_intersection_domain(spark):
+    from kgspark.linkrec import bcubed_eval
+
+    same = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "node long, cluster string"
+    )
+    out = bcubed_eval(same, same).collect()[0]
+    assert (out.precision_ppm, out.recall_ppm, out.f1_ppm) == (
+        1_000_000, 1_000_000, 1_000_000)
+    # node 9 only in pred -> dropped by the inner join
+    pred = same.unionByName(spark.createDataFrame(
+        [(9, "z")], "node long, cluster string"))
+    out2 = bcubed_eval(pred, same).collect()[0]
+    assert out2.n_nodes == 3 and out2.precision_ppm == 1_000_000
