@@ -3951,6 +3951,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def schema_ind(spark, sf_dir):
+        # inclusion-dependency / FK-candidate discovery (kgspark/
+        # schema_induce.py inclusion_deps) over the TPC-H key columns:
+        # one value-keyed shuffle computes every pairwise containment
+        from kgspark.schema_induce import inclusion_deps
+
+        o = _read(spark, sf_dir, "orders")
+        c = _read(spark, sf_dir, "customer")
+        n = _read(spark, sf_dir, "nation")
+        s = _read(spark, sf_dir, "supplier")
+        li = _read(spark, sf_dir, "lineitem")
+        p = _read(spark, sf_dir, "part")
+        return inclusion_deps([
+            ("orders.o_custkey", o, "o_custkey"),
+            ("orders.o_orderkey", o, "o_orderkey"),
+            ("customer.c_custkey", c, "c_custkey"),
+            ("customer.c_nationkey", c, "c_nationkey"),
+            ("nation.n_nationkey", n, "n_nationkey"),
+            ("supplier.s_nationkey", s, "s_nationkey"),
+            ("lineitem.l_orderkey", li, "l_orderkey"),
+            ("lineitem.l_partkey", li, "l_partkey"),
+            ("part.p_partkey", p, "p_partkey"),
+        ])
+
     def link_bcubed(spark, sf_dir):
         # B-cubed clustering agreement (kgspark/linkrec.py
         # bcubed_eval) between the source partition (pred) and the
@@ -7438,6 +7462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bridges": kg_bridges,
         "rel_gini": rel_gini,
         "link_bcubed": link_bcubed,
+        "schema_ind": schema_ind,
     }
 
 
@@ -16409,5 +16434,46 @@ SELECT n_nodes, precision_ppm, recall_ppm,
                   // (precision_ppm + recall_ppm)
              ELSE 0 END)::BIGINT AS f1_ppm
 FROM bb_a
+""",
+        # kgspark.schema_induce.inclusion_deps: unary string-cast
+        # encoding, one value-keyed join for all pairwise containments
+        "schema_ind": r"""
+WITH id_u AS (
+  SELECT DISTINCT 'orders.o_custkey' AS cid, o_custkey::VARCHAR AS v
+  FROM orders WHERE o_custkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'orders.o_orderkey', o_orderkey::VARCHAR
+  FROM orders WHERE o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'customer.c_custkey', c_custkey::VARCHAR
+  FROM customer WHERE c_custkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'customer.c_nationkey', c_nationkey::VARCHAR
+  FROM customer WHERE c_nationkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'nation.n_nationkey', n_nationkey::VARCHAR
+  FROM nation WHERE n_nationkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'supplier.s_nationkey', s_nationkey::VARCHAR
+  FROM supplier WHERE s_nationkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'lineitem.l_orderkey', l_orderkey::VARCHAR
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'lineitem.l_partkey', l_partkey::VARCHAR
+  FROM lineitem WHERE l_partkey IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'part.p_partkey', p_partkey::VARCHAR
+  FROM part WHERE p_partkey IS NOT NULL
+),
+id_s AS (SELECT cid, count(*)::BIGINT AS n FROM id_u GROUP BY cid),
+id_p AS (
+  SELECT a.cid AS ca, b.cid AS cb, count(*)::BIGINT AS n_common
+  FROM id_u a JOIN id_u b ON a.v = b.v AND a.cid <> b.cid
+  GROUP BY 1, 2
+)
+SELECT p.ca AS col_a, p.cb AS col_b, s.n AS n_a, p.n_common,
+       (p.n_common * 1000000 // s.n)::BIGINT AS containment_ppm
+FROM id_p p JOIN id_s s ON s.cid = p.ca
 """,
     }

@@ -370,6 +370,7 @@ BENCH_QUERIES = [
     "kg_bridges",
     "rel_gini",
     "link_bcubed",
+    "schema_ind",
 ]
 
 

@@ -344,3 +344,68 @@ def datatype_profile(
         "pred", "n", "n_int", "n_decimal", "n_date", "n_bool", "n_str",
         major.alias("major"),
     )
+
+
+def inclusion_deps(
+    cols: list[tuple[str, DataFrame, str]],
+    min_containment_ppm: int = 0,
+) -> DataFrame:
+    """Inclusion-dependency (foreign-key candidate) discovery across
+    tables (De Marchi 2002 / SINDY, Kruse et al. 2015 — the
+    data-profiling step behind join-graph inference): for every
+    ordered column pair (A, B), containment_ppm =
+    |distinct(A) ∩ distinct(B)| * 1e6 div |distinct(A)| — 1e6 means
+    A ⊆ B, an FK candidate. `cols` is [(label, df, column), ...];
+    values compare after a string cast (the unary SINDY encoding, so
+    BIGINT 5 and VARCHAR '5' unify — document-level type profiling is
+    datatype_profile's job). Pairs sharing no value are omitted.
+
+    Scale shape: one distinct per column unioned into a single
+    (column_id, value) table — ONE shuffle keyed on value does all
+    pairwise intersections at once (the SINDY trick: cost is value
+    multiplicity squared in columns-per-value, bounded by the column
+    count, never |A| x |B|). Sizes are a tiny per-column aggregate
+    joined back broadcast.
+
+    Returns (col_a, col_b, n_a, n_common, containment_ppm).
+    """
+    from kgspark.session import materialize
+
+    if len(cols) < 2:
+        raise ValueError("inclusion_deps: need at least 2 columns")
+    labels = [lb for lb, _, _ in cols]
+    if len(set(labels)) != len(labels):
+        raise ValueError("inclusion_deps: duplicate column labels")
+    parts = [
+        df.select(
+            F.lit(label).alias("cid"),
+            F.col(c).cast("string").alias("v"),
+        ).where(F.col("v").isNotNull()).distinct()
+        for label, df, c in cols
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u = materialize(u)
+    sizes = u.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        u.select(F.col("cid").alias("ca"), "v")
+        .join(u.select(F.col("cid").alias("cb"), "v"), "v")
+        .where(F.col("ca") != F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnsRenamed({"cid": "ca", "n": "n_a"})),
+            "ca",
+        )
+        .select(
+            F.col("ca").alias("col_a"), F.col("cb").alias("col_b"),
+            "n_a", "n_common",
+            F.expr("n_common * 1000000L div n_a").cast("long")
+            .alias("containment_ppm"),
+        )
+        .where(F.col("containment_ppm") >= min_containment_ppm)
+    )

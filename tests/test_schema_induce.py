@@ -101,3 +101,41 @@ def test_datatype_profile_classes_and_major(spark):
     assert (o.n_bool, o.n_str, o.major) == (2, 1, "bool")  # TRUE is str
     n = got["note"]
     assert n.n_str == 2 and n.major == "str"  # '' and NULL both str
+
+
+def test_inclusion_deps_fk_discovery(spark):
+    from kgspark.schema_induce import inclusion_deps
+
+    fk = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    pk = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
+    other = spark.createDataFrame([("3",), ("9",)], "k string")
+    out = {(r.col_a, r.col_b): (r.n_a, r.n_common, r.containment_ppm)
+           for r in inclusion_deps(
+               [("fk", fk, "k"), ("pk", pk, "k"),
+                ("other", other, "k")]).collect()}
+    # fk (3 distinct) fully inside pk -> 1e6; pk only 3/4 inside fk
+    assert out[("fk", "pk")] == (3, 3, 1_000_000)
+    assert out[("pk", "fk")] == (4, 3, 750_000)
+    # string '3' unifies with bigint 3 (string-cast encoding)
+    assert out[("other", "pk")] == (2, 1, 500_000)
+    # zero-overlap pairs omitted entirely
+    disj = spark.createDataFrame([(99,)], "k long")
+    got = {(r.col_a, r.col_b)
+           for r in inclusion_deps(
+               [("a", fk, "k"), ("z", disj, "k")]).collect()}
+    assert got == set()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        inclusion_deps([("a", fk, "k")])
+    with _pytest.raises(ValueError):
+        inclusion_deps([("a", fk, "k"), ("a", pk, "k")])
+
+
+def test_inclusion_deps_min_threshold(spark):
+    from kgspark.schema_induce import inclusion_deps
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(2,), (3,)], "k long")
+    out = inclusion_deps([("a", a, "k"), ("b", b, "k")],
+                         min_containment_ppm=600_000)
+    assert out.count() == 0  # 50% each way, below the floor
