@@ -1071,6 +1071,22 @@ def _hex6_sql(col: str) -> str:
     return out
 
 
+def _luhn_sql(c: str) -> str:
+    """Luhn mod-10 sum of a 4-4-4-4 card candidate (mirrors
+    kgspark.pii._luhn_sum): 16 fixed substr terms, left-odd digits
+    doubled with the -9 fold."""
+    terms = []
+    for i, pos in enumerate(
+        [1, 2, 3, 4, 6, 7, 8, 9, 11, 12, 13, 14, 16, 17, 18, 19]
+    ):
+        d = f"CAST(substr({c}, {pos}, 1) AS INT)"
+        if i % 2 == 0:
+            terms.append(f"(2*{d} - CASE WHEN {d} >= 5 THEN 9 ELSE 0 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
 def _pii_sql() -> str:
     """Mirror of the text_pii query: identical augmented text, then the
     kgspark.pii fixed-order count+redact chain — patterns imported from the
@@ -3950,6 +3966,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("c_name").alias("text"),
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
+
+    def pii_luhn(spark, sf_dir):
+        # Luhn mod-10 validation census (kgspark/pii.py luhn_census)
+        # over card-shaped candidates; one deterministic 16-digit card
+        # planted per doc (Knuth-hash digits), ~10% Luhn-valid
+        from kgspark.pii import luhn_census
+
+        d = _read(spark, sf_dir, "documents")
+        num = F.lpad(
+            ((F.col("doc_id") * F.lit(2654435761))
+             % F.lit(10 ** 16)).cast("string"),
+            16, "0",
+        )
+        card = F.concat_ws(
+            "-", F.substring(num, 1, 4), F.substring(num, 5, 4),
+            F.substring(num, 9, 4), F.substring(num, 13, 4),
+        )
+        aug = d.select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" "), card).alias("text"),
+        )
+        return luhn_census(aug)
 
     def schema_ind(spark, sf_dir):
         # inclusion-dependency / FK-candidate discovery (kgspark/
@@ -7463,6 +7502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_gini": rel_gini,
         "link_bcubed": link_bcubed,
         "schema_ind": schema_ind,
+        "pii_luhn": pii_luhn,
     }
 
 
@@ -16475,5 +16515,42 @@ id_p AS (
 SELECT p.ca AS col_a, p.cb AS col_b, s.n AS n_a, p.n_common,
        (p.n_common * 1000000 // s.n)::BIGINT AS containment_ppm
 FROM id_p p JOIN id_s s ON s.cid = p.ca
+""",
+        # kgspark.pii.luhn_census over texts with one planted
+        # Knuth-hash card per doc; _luhn_sql mirrors the 16-term sum
+        "pii_luhn": f"""
+WITH lh_n AS (
+  SELECT doc_id,
+         lpad(((doc_id * 2654435761) % 10000000000000000)::VARCHAR,
+              16, '0') AS num,
+         coalesce("text", '') AS t0
+  FROM documents
+),
+lh_a AS (
+  SELECT doc_id,
+         t0 || ' ' || substr(num, 1, 4) || '-' || substr(num, 5, 4)
+            || '-' || substr(num, 9, 4) || '-' || substr(num, 13, 4) AS t
+  FROM lh_n
+),
+lh_c AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t,
+           '\\b[0-9]{{4}}[- ][0-9]{{4}}[- ][0-9]{{4}}[- ][0-9]{{4}}\\b'))
+           AS cand
+  FROM lh_a
+),
+lh_v AS (
+  SELECT doc_id,
+         CASE WHEN ({_luhn_sql('cand')}) % 10 = 0 THEN 1 ELSE 0 END AS v
+  FROM lh_c
+),
+lh_g AS (
+  SELECT doc_id, count(*)::BIGINT AS n_candidates,
+         sum(v)::BIGINT AS n_valid
+  FROM lh_v GROUP BY doc_id
+)
+SELECT a.doc_id, coalesce(g.n_candidates, 0)::BIGINT AS n_candidates,
+       coalesce(g.n_valid, 0)::BIGINT AS n_valid
+FROM lh_a a LEFT JOIN lh_g g USING (doc_id)
 """,
     }

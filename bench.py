@@ -371,6 +371,7 @@ BENCH_QUERIES = [
     "rel_gini",
     "link_bcubed",
     "schema_ind",
+    "pii_luhn",
 ]
 
 

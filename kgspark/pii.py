@@ -114,3 +114,54 @@ def kanon_report(
     if sensitive_col is not None:
         cols.append(F.col("n_classes_low_div").cast("long"))
     return rep.select(*cols)
+
+
+# 1-based char positions of the 16 digits inside the 4-4-4-4 layout
+_CARD_DIGIT_POS = [1, 2, 3, 4, 6, 7, 8, 9, 11, 12, 13, 14, 16, 17, 18, 19]
+
+
+def _luhn_sum(cand):
+    """Luhn mod-10 sum of a matched 4-4-4-4 card candidate as a pure
+    JVM integer expression: digits at odd left positions (weight-2
+    side for 16 digits) contribute 2d - 9*(d >= 5), the rest d."""
+    total = F.lit(0)
+    for i, pos in enumerate(_CARD_DIGIT_POS):
+        d = F.substring(cand, pos, 1).cast("int")
+        if i % 2 == 0:  # left positions 1,3,..,15 are doubled
+            term = d * 2 - F.when(d >= 5, F.lit(9)).otherwise(F.lit(0))
+        else:
+            term = d
+        total = total + term
+    return total
+
+
+def luhn_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_candidates, n_valid): card-SHAPED matches (the
+    PII_PATTERNS 4-4-4-4 form) checked against the Luhn mod-10
+    checksum (ISO/IEC 7812) — the standard false-positive filter on
+    top of the shape regex: a random 16-digit string passes only 10%
+    of the time, so `n_valid` is the census a DLP pass actually acts
+    on. Pure JVM column arithmetic (fixed positions, 16 substring
+    terms); NULL text counts as 0/0.
+    """
+    cands = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(PII_PATTERNS["card"]), F.lit(0),
+            )
+        ).alias("cand"),
+    )
+    valid = F.when(
+        F.col("cand").isNotNull()
+        & (_luhn_sum(F.col("cand")) % 10 == 0), 1
+    ).otherwise(0)
+    return cands.groupBy(id_col).agg(
+        F.count("cand").cast("long").alias("n_candidates"),
+        F.sum(valid).cast("long").alias("n_valid"),
+    )

@@ -178,3 +178,26 @@ def test_kanon_report_without_sensitive(spark):
     assert "n_classes_low_div" not in out.columns
     got = {r["class_size"]: r["below_k"] for r in out.collect()}
     assert got == {2: 0, 1: 1}
+
+
+def test_luhn_census_known_numbers(spark):
+    from kgspark.pii import luhn_census
+
+    docs = spark.createDataFrame(
+        [
+            # 4539 1488 0343 6467 is a canonical Luhn-valid test PAN
+            (1, "pay 4539-1488-0343-6467 now"),
+            (2, "bad 4539-1488-0343-6468 num"),       # off-by-one digit
+            (3, "two 4539 1488 0343 6467 and 1234-5678-9012-3456"),
+            (4, "no cards at all"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_candidates, r.n_valid)
+           for r in luhn_census(docs).collect()}
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 0)
+    # 1234-5678-9012-3456 fails the checksum (sum % 10 == 4)
+    assert out[3] == (2, 1)
+    assert out[4] == (0, 0) and out[5] == (0, 0)
