@@ -3967,6 +3967,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def multimodal_zip(spark, sf_dir):
+        # ZIP central-directory round-trip (kgspark/archive.py
+        # zip_listing): per-doc archives with doc_id%3+1 STORED members
+        # of arithmetic sizes, walked back without inflating; crc32 is
+        # pytest-proven (no SQL twin) and excluded here
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import io
+            import zipfile
+
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    buf = io.BytesIO()
+                    with zipfile.ZipFile(buf, "w",
+                                         zipfile.ZIP_STORED) as z:
+                        for j in range(d % 3 + 1):
+                            zi = zipfile.ZipInfo(
+                                f"m{j}.txt",
+                                date_time=(2024, 1, 1, 0, 0, 0))
+                            z.writestr(zi, b"x" * ((d * 7 + j * 13)
+                                                   % 50 + 1))
+                    rows.append({"doc_id": did,
+                                 "payload": buf.getvalue()})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.archive import zip_listing
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return zip_listing(blobs).select(
+            "doc_id", "member", "method", "comp_size", "uncomp_size",
+            "is_dir",
+        )
+
     def pii_luhn(spark, sf_dir):
         # Luhn mod-10 validation census (kgspark/pii.py luhn_census)
         # over card-shaped candidates; one deterministic 16-digit card
@@ -7503,6 +7541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_bcubed": link_bcubed,
         "schema_ind": schema_ind,
         "pii_luhn": pii_luhn,
+        "multimodal_zip": multimodal_zip,
     }
 
 
@@ -16552,5 +16591,20 @@ lh_g AS (
 SELECT a.doc_id, coalesce(g.n_candidates, 0)::BIGINT AS n_candidates,
        coalesce(g.n_valid, 0)::BIGINT AS n_valid
 FROM lh_a a LEFT JOIN lh_g g USING (doc_id)
+""",
+        # kgspark.archive.zip_listing round-trip: the synthesis
+        # arithmetic IS the oracle (doc_id%3+1 stored members, size =
+        # (doc_id*7 + j*13) % 50 + 1)
+        "multimodal_zip": r"""
+WITH zp_m AS (
+  SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents
+)
+SELECT doc_id,
+       'm' || j::VARCHAR || '.txt' AS member,
+       0::BIGINT AS method,
+       ((doc_id * 7 + j * 13) % 50 + 1)::BIGINT AS comp_size,
+       ((doc_id * 7 + j * 13) % 50 + 1)::BIGINT AS uncomp_size,
+       0::INT AS is_dir
+FROM zp_m
 """,
     }

@@ -372,6 +372,7 @@ BENCH_QUERIES = [
     "link_bcubed",
     "schema_ind",
     "pii_luhn",
+    "multimodal_zip",
 ]
 
 

@@ -76,3 +76,51 @@ def test_cdc_empty_and_tiny_blobs(spark):
     got = {(r["a"], r["b"]): r["jaccard_ppm"]
            for r in cdc_near_dups(df).collect()}
     assert got == {(2, 3): 1_000_000}  # empty blob dropped, tiny = 1 chunk
+
+
+def _make_zip(members, comment=b"", compress=False):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    mode = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", mode) as z:
+        for name, content in members:
+            zi = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zi.compress_type = mode
+            z.writestr(zi, content)
+        if comment:
+            z.comment = comment
+    return buf.getvalue()
+
+
+def test_zip_listing_roundtrip_and_errors(spark):
+    import zlib
+
+    from kgspark.archive import zip_listing
+
+    blobs = [
+        (1, _make_zip([("a.txt", b"hello"), ("dir/", b""),
+                       ("dir/b.bin", b"\x00" * 100)])),
+        (2, _make_zip([("c.txt", b"x" * 1000)], comment=b"trailing",
+                      compress=True)),
+        (3, b"not a zip at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, payload binary")
+    rows = zip_listing(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    m1 = {r.member: r for r in by[1]}
+    assert m1["a.txt"].method == 0          # stored
+    assert m1["a.txt"].comp_size == 5 and m1["a.txt"].uncomp_size == 5
+    assert m1["a.txt"].crc32 == zlib.crc32(b"hello")
+    assert m1["dir/"].is_dir == 1
+    assert m1["dir/b.bin"].uncomp_size == 100
+    # deflated member behind an EOCD comment still parses
+    c = by[2][0]
+    assert c.member == "c.txt" and c.method == 8
+    assert c.uncomp_size == 1000 and c.comp_size < 1000
+    assert by[3][0].error.startswith("zip:")
+    assert by[4][0].error is not None
