@@ -3967,6 +3967,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def kg_powerlaw(spark, sf_dir):
+        # degree-tail power-law MLE (kgspark/graph_algs.py
+        # powerlaw_fit, CSN 2009) over the same union graph as
+        # kg_bridges; per-node micro-nat log terms
+        from kgspark.graph_algs import powerlaw_fit
+
+        p = _read(spark, sf_dir, "part").withColumn(
+            "p_sz",
+            F.concat(F.lit("size:"), F.col("p_size").cast("string")),
+        )
+        attr = (
+            p.select(F.col("p_brand").alias("subj"),
+                     F.col("p_type").alias("obj"))
+            .union(p.select(F.col("p_type"), F.col("p_sz")))
+            .union(p.select(F.col("p_brand"), F.col("p_sz")))
+        )
+        t = _extract_triples(spark, sf_dir).select("subj", "obj")
+        return powerlaw_fit(attr.unionByName(t), dmin=3)
+
     def multimodal_zip(spark, sf_dir):
         # ZIP central-directory round-trip (kgspark/archive.py
         # zip_listing): per-doc archives with doc_id%3+1 STORED members
@@ -7542,6 +7561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_ind": schema_ind,
         "pii_luhn": pii_luhn,
         "multimodal_zip": multimodal_zip,
+        "kg_powerlaw": kg_powerlaw,
     }
 
 
@@ -16607,4 +16627,39 @@ SELECT doc_id,
        0::INT AS is_dir
 FROM zp_m
 """,
+        # kgspark.graph_algs.powerlaw_fit over the kg_bridges union
+        # graph, dmin=3: micro-nat per-node ln, alpha = 1 + n/sum
+        "kg_powerlaw": f"""
+WITH {{parts}},
+pl_raw AS (
+  SELECT subj, obj FROM triples
+  UNION ALL
+  SELECT p_brand AS subj, p_type AS obj FROM part
+  UNION ALL
+  SELECT p_type, 'size:' || p_size::VARCHAR FROM part
+  UNION ALL
+  SELECT p_brand, 'size:' || p_size::VARCHAR FROM part
+),
+pl_e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM pl_raw WHERE subj <> obj
+),
+pl_d AS (
+  SELECT node, count(*)::BIGINT AS d FROM (
+    SELECT a AS node FROM pl_e UNION ALL SELECT b AS node FROM pl_e)
+  GROUP BY node HAVING count(*) >= 3
+),
+pl_a AS (
+  SELECT count(*)::BIGINT AS n_tail,
+         coalesce(sum(round(ln(d::DOUBLE / 2.5::DOUBLE)
+                            * 1000000.0::DOUBLE, 0)::BIGINT), 0)::BIGINT
+           AS sum_ln_ppm
+  FROM pl_d
+)
+SELECT 3::BIGINT AS dmin, n_tail, sum_ln_ppm,
+       (CASE WHEN sum_ln_ppm > 0
+             THEN 1000000 + n_tail * 1000000000000 // sum_ln_ppm
+             ELSE -1 END)::BIGINT AS alpha_ppm
+FROM pl_a
+""".format(parts=_PARTS_ORACLE_CTE),
     }

@@ -373,6 +373,7 @@ BENCH_QUERIES = [
     "schema_ind",
     "pii_luhn",
     "multimodal_zip",
+    "kg_powerlaw",
 ]
 
 

@@ -3211,3 +3211,61 @@ def edge_embeddedness(
             F.when(F.col("n_common") == 0, 1).otherwise(0).cast("int"),
         )
     )
+
+
+def powerlaw_fit(
+    edges: DataFrame,
+    dmin: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Power-law degree-tail MLE (Clauset, Shalizi & Newman 2009, the
+    continuous-approximation estimator for discrete data):
+
+        alpha ~= 1 + n / sum_{d_i >= dmin} ln(d_i / (dmin - 1/2))
+
+    over total (undirected) degrees — the scale-free-ness probe of a
+    KG/host graph (alpha in [2, 3] = classic heavy tail; alpha large =
+    homogeneous degrees). Per-node log terms are quantized to integer
+    micro-nats BEFORE the sum (the bm25/ln posture: fp64 ln with an
+    identical expression tree both engines, rounded per node), so the
+    compared sum is exact; alpha_ppm = 1e6 + n*1e12 div sum (fits a
+    long through ~10^6 tail nodes; shard-and-merge the sum beyond).
+    Returns one row (dmin, n_tail, sum_ln_ppm, alpha_ppm); empty tail
+    -> n_tail 0, sentinel -1.
+    """
+    if dmin < 1:
+        raise ValueError("powerlaw_fit: dmin must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .where(F.col("d") >= dmin)
+    )
+    ln_ppm = F.round(
+        F.log(F.col("d").cast("double") / F.lit(dmin - 0.5)) * 1e6, 0
+    ).cast("long")
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(ln_ppm).cast("long").alias("sum_ln_ppm"),
+    )
+    return agg.select(
+        F.lit(dmin).cast("long").alias("dmin"),
+        "n_tail",
+        F.coalesce("sum_ln_ppm", F.lit(0)).cast("long")
+        .alias("sum_ln_ppm"),
+        F.when(
+            F.coalesce("sum_ln_ppm", F.lit(0)) > 0,
+            F.lit(1000000)
+            + F.expr("n_tail * 1000000000000L div sum_ln_ppm"),
+        ).otherwise(F.lit(-1)).cast("long").alias("alpha_ppm"),
+    )

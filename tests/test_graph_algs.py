@@ -1166,3 +1166,36 @@ def test_edge_embeddedness_center_cap(spark):
               for r in edge_embeddedness(
                   edges, max_center_degree=2).collect()}
     assert capped[("a", "b")] == 1
+
+
+def test_powerlaw_fit_hand_case(spark):
+    import math
+
+    from kgspark.graph_algs import powerlaw_fit
+
+    # star: hub h with 5 leaves -> degrees h=5, leaves=1
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)], "subj string, obj string"
+    )
+    out = powerlaw_fit(edges, dmin=2).collect()[0]
+    # only the hub is in the tail: sum = round(ln(5/1.5)*1e6)
+    s = round(math.log(5 / 1.5) * 1e6)
+    assert (out.dmin, out.n_tail, out.sum_ln_ppm) == (2, 1, s)
+    assert out.alpha_ppm == 1_000_000 + (1 * 10**12) // s
+    # dmin above every degree -> sentinel
+    none = powerlaw_fit(edges, dmin=10).collect()[0]
+    assert (none.n_tail, none.alpha_ppm) == (0, -1)
+
+
+def test_powerlaw_undirected_dedup(spark):
+    from kgspark.graph_algs import powerlaw_fit
+
+    # (a,b) and (b,a) are one edge; self-loop dropped -> degrees 1,1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "a")], "subj string, obj string"
+    )
+    out = powerlaw_fit(edges, dmin=1).collect()[0]
+    # d=1, dmin=1: ln(1/0.5) = ln 2 per node, 2 nodes
+    import math
+    assert out.n_tail == 2
+    assert out.sum_ln_ppm == 2 * round(math.log(2.0) * 1e6)
