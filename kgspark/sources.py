@@ -581,6 +581,42 @@ def read_image_ocr(data: bytes) -> str:
     raise NotImplementedError("OCR not available in this environment")
 
 
+def read_epub(data: bytes) -> str:
+    """EPUB e-book text, pure stdlib (IDPF OCF — a zip container:
+    META-INF/container.xml names the OPF package; the OPF <spine>
+    orders <manifest> items; chapters are (x)html extracted to visible
+    text via kgspark.html). Returns the per-chapter cleaned-text JSON
+    list, the read_doc shape. The reference has no epub path
+    (knowledgeGraph.py:85-97); this extends the same dispatcher."""
+    import io
+    import posixpath
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    CN = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+    OPF = "{http://www.idpf.org/2007/opf}"
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        c = ET.fromstring(z.read("META-INF/container.xml"))
+        rf = c.find(f"{CN}rootfiles/{CN}rootfile")
+        if rf is None or not rf.get("full-path"):
+            raise ValueError("epub: no rootfile in container.xml")
+        opf_path = rf.get("full-path")
+        opf = ET.fromstring(z.read(opf_path))
+        base = posixpath.dirname(opf_path)
+        items = {i.get("id"): i.get("href")
+                 for i in opf.iter(f"{OPF}item")}
+        hrefs = [items[r.get("idref")]
+                 for r in opf.iter(f"{OPF}itemref")
+                 if r.get("idref") in items]
+        if not hrefs:
+            raise ValueError("epub: empty spine")
+        chapters = []
+        for href in hrefs:
+            p = posixpath.join(base, href) if base else href
+            chapters.append(extract_text(z.read(p)) or "")
+    return _json.dumps(chapters, ensure_ascii=False)
+
+
 # ref knowledgeGraph.py:85-97 — extension -> handler map
 HANDLERS = {
     "txt": read_txt,
@@ -594,6 +630,7 @@ HANDLERS = {
     "doc": read_doc,
     "docx": read_doc,
     "pdf": read_pdf,
+    "epub": read_epub,
     "png": read_image_ocr,
     "jpg": read_image_ocr,
     "jpeg": read_image_ocr,

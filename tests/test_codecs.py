@@ -538,3 +538,63 @@ def test_pdf_tounicode_bfrange_digits():
     # two Tj ops join with \n, which clean_text folds to a single space
     got = json.loads(read_pdf(data))
     assert got == ["# 0123456789"]
+
+
+def _make_epub(chapters, nested=True, spine_order=None):
+    """Spec-built EPUB fixture: OCF container + OPF spine, stdlib only."""
+    import io
+    import zipfile
+
+    base = "OEBPS/" if nested else ""
+    ids = [f"ch{i}" for i in range(len(chapters))]
+    manifest = "".join(
+        f'<item id="{i}" href="c_{i}.xhtml" '
+        'media-type="application/xhtml+xml"/>' for i in ids
+    )
+    order = spine_order if spine_order is not None else ids
+    spine = "".join(f'<itemref idref="{i}"/>' for i in order)
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0"?>'
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        f'<rootfiles><rootfile full-path="{base}content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr("META-INF/container.xml", container)
+        z.writestr(base + "content.opf", opf)
+        for i, body in zip(ids, chapters):
+            z.writestr(
+                base + f"c_{i}.xhtml",
+                f"<html><body><p>{body}</p></body></html>",
+            )
+    return buf.getvalue()
+
+
+def test_epub_reader_spine_order_and_nesting():
+    import json
+
+    from kgspark.sources import dispatch, read_epub
+
+    data = _make_epub(["First chapter.", "Second one."])
+    out = json.loads(read_epub(data))
+    assert out == ["First chapter.", "Second one."]
+    # spine REVERSED -> chapter order follows the spine, not the zip
+    rev = _make_epub(["First chapter.", "Second one."],
+                     spine_order=["ch1", "ch0"])
+    assert json.loads(read_epub(rev)) == ["Second one.", "First chapter."]
+    # flat (non-OEBPS) layout resolves hrefs relative to the OPF
+    flat = _make_epub(["Flat layout."], nested=False)
+    assert json.loads(read_epub(flat)) == ["Flat layout."]
+    # dispatcher wiring + error capture
+    row = dispatch("book.epub", data)
+    assert row["error"] is None and "First chapter." in row["content"]
+    bad = dispatch("broken.epub", b"PK\x03\x04 garbage")
+    assert bad["content"] is None and bad["error"]
