@@ -1071,6 +1071,20 @@ def _hex6_sql(col: str) -> str:
     return out
 
 
+_BIDI_CPS = [0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+             0x2066, 0x2067, 0x2068, 0x2069]
+_ZW_CPS = [0x200B, 0x200C, 0x200D, 0xFEFF]
+
+
+def _charcount_sql(t: str, cps: list[int]) -> str:
+    """Sum of per-codepoint occurrence counts via length-delta replace
+    terms (mirrors kgspark.textnorm.bidi_report — regex-free)."""
+    return " + ".join(
+        f"(length({t}) - length(replace({t}, chr({c}), '')))"
+        for c in cps
+    )
+
+
 def _luhn_sql(c: str) -> str:
     """Luhn mod-10 sum of a 4-4-4-4 card candidate (mirrors
     kgspark.pii._luhn_sum): 16 fixed substr terms, left-odd digits
@@ -3966,6 +3980,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("c_name").alias("text"),
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
+
+    def text_bidi(spark, sf_dir):
+        # Trojan-Source / invisible-char census (kgspark/textnorm.py
+        # bidi_report): direction controls + zero-widths planted
+        # deterministically (every 5th doc an RLO..PDF pair, every 7th
+        # a ZWSP+BOM), counted via regex-free replace deltas
+        from kgspark.textnorm import bidi_report
+
+        d = _read(spark, sf_dir, "documents")
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.lit(" \u202ehidden\u202c")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.lit("\u200b\ufeff")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return bidi_report(aug)
 
     def kg_powerlaw(spark, sf_dir):
         # degree-tail power-law MLE (kgspark/graph_algs.py
@@ -7562,6 +7596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn": pii_luhn,
         "multimodal_zip": multimodal_zip,
         "kg_powerlaw": kg_powerlaw,
+        "text_bidi": text_bidi,
     }
 
 
@@ -16662,4 +16697,27 @@ SELECT 3::BIGINT AS dmin, n_tail, sum_ln_ppm,
              ELSE -1 END)::BIGINT AS alpha_ppm
 FROM pl_a
 """.format(parts=_PARTS_ORACLE_CTE),
+        # kgspark.textnorm.bidi_report over texts with planted controls;
+        # _charcount_sql mirrors the replace-delta counting
+        "text_bidi": f"""
+WITH bd_a AS (
+  SELECT doc_id,
+         coalesce("text", '')
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN ' ' || chr(8238) || 'hidden' || chr(8236)
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN chr(8203) || chr(65279) ELSE '' END) AS t
+  FROM documents
+),
+bd_c AS (
+  SELECT doc_id,
+         ({_charcount_sql('t', _BIDI_CPS)})::BIGINT AS n_bidi,
+         ({_charcount_sql('t', _ZW_CPS)})::BIGINT AS n_zw
+  FROM bd_a
+)
+SELECT doc_id, n_bidi, n_zw,
+       (CASE WHEN n_bidi > 0 THEN 1 ELSE 0 END)::INT AS suspicious
+FROM bd_c
+""",
     }

@@ -374,6 +374,7 @@ BENCH_QUERIES = [
     "pii_luhn",
     "multimodal_zip",
     "kg_powerlaw",
+    "text_bidi",
 ]
 
 

@@ -155,3 +155,48 @@ def nfc_report(df, text_col: str = "text", id_col: str = "doc_id"):
         (t != n).cast("long").alias("changed"),
         F.md5(n).alias("nfc_md5"),
     )
+
+
+# Unicode direction-control and zero-width codepoints — the Trojan-Source
+# (Boucher & Anderson 2021, CVE-2021-42574) and invisible-text audit set.
+# Explicit \u escapes ONLY (the nfc gotcha: raw invisibles in source are
+# themselves a Trojan-Source hazard and vanish in diffs).
+BIDI_CONTROLS = ("\u202a\u202b\u202c\u202d\u202e"
+                 "\u2066\u2067\u2068\u2069")
+ZERO_WIDTHS = "\u200b\u200c\u200d\ufeff"
+
+
+def bidi_report(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_bidi, n_zw, suspicious): per-doc census of Unicode
+    direction-control characters (RLO/LRI/PDF…, the Trojan-Source
+    vector — text that RENDERS differently than it parses) and
+    zero-width characters (invisible-watermark / homoglyph-spoof
+    vector). A curation gate drops or renormalizes suspicious docs
+    before they reach a code-trained model.
+
+    Regex-free determinism: each codepoint is counted as
+    length(t) - length(replace(t, cp, '')) — 13 pure JVM replace
+    terms, no engine-specific regex unicode classes anywhere.
+    NULL text counts 0/0. suspicious = any bidi control present.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def count_set(chars):
+        total = F.lit(0).cast("long")
+        for cp in chars:
+            total = total + (
+                F.length(t) - F.length(F.replace(t, F.lit(cp)))
+            ).cast("long")
+        return total
+
+    n_bidi = count_set(BIDI_CONTROLS)
+    n_zw = count_set(ZERO_WIDTHS)
+    return df.select(
+        F.col(id_col),
+        n_bidi.alias("n_bidi"),
+        n_zw.alias("n_zw"),
+        F.when(n_bidi > 0, 1).otherwise(0).cast("int")
+        .alias("suspicious"),
+    )

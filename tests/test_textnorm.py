@@ -207,3 +207,25 @@ def test_nfc_udf_matches_duckdb_and_report(spark):
     assert out[0].changed == 1 and out[1].changed == 0
     assert out[0].nfc_md5 == out[1].nfc_md5  # canonical twins unify
     assert out[2].nfc_md5 is None and out[2].changed is None
+
+
+def test_bidi_report_counts_and_flags(spark):
+    from kgspark.textnorm import bidi_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain ascii"),
+            (2, "evil \u202etxet\u202c here"),          # RLO + PDF
+            (3, "zw\u200b\u200bjoin\u200d and bom\ufeff"),
+            (4, "iso \u2066inline\u2069"),              # LRI/PDI pair
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bidi, r.n_zw, r.suspicious)
+           for r in bidi_report(docs).collect()}
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (2, 0, 1)
+    assert out[3] == (0, 4, 0)
+    assert out[4] == (2, 0, 1)
+    assert out[5] == (0, 0, 0)
