@@ -433,3 +433,118 @@ def merge_table(
     fs.delete(backup, True)
     n_after = spark.read.parquet(table_path).count()
     return {"rows_after": n_after, "merged": True}
+
+
+# --------------------------------------------------------------------------
+# snapshot log — Iceberg-style versioned reads over plain parquet
+# --------------------------------------------------------------------------
+
+_MANIFEST_DIR = "_manifests"
+
+
+def snapshot_write(
+    df: DataFrame,
+    spark: SparkSession,
+    table_dir: str,
+    mode: str = "append",
+) -> int:
+    """Versioned snapshot write — the miniature Iceberg commit protocol
+    over plain parquet (the runtime-jar-free slice of the north star's
+    Iceberg posture; see module docstring): data files land first under
+    `data/v{N}/`, then the version is PUBLISHED by renaming a hidden
+    temp manifest to `_manifests/v{N}.json` listing every live data
+    directory for version N (`append` = previous version's dirs + the
+    new one; `overwrite` = the new one only). Readers trust only
+    manifests, so a crash before publish leaves invisible orphan data
+    (re-writable), never a torn table — the same
+    write-then-atomic-rename contract as compact_table/merge_table.
+    Returns the published version number (1-based).
+    """
+    import json
+
+    from kgspark.catalog import _child, _fs
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError("snapshot_write: mode must be append|overwrite")
+    fs, root = _fs(spark, table_dir)
+    fs.mkdirs(_child(spark, root, _MANIFEST_DIR))
+    versions = snapshot_versions(spark, table_dir)
+    last = versions[-1] if versions else 0
+    n = last + 1
+    data_rel = f"data/v{n}"
+    df.write.mode("overwrite").parquet(
+        os.path.join(table_dir, data_rel))
+    if mode == "append" and last > 0:
+        prev = _read_manifest(spark, table_dir, last)
+        dirs = prev["dirs"] + [data_rel]
+    else:
+        dirs = [data_rel]
+    payload = json.dumps({"version": n, "mode": mode, "dirs": dirs})
+    mdir = _child(spark, root, _MANIFEST_DIR)
+    tmp = _child(spark, mdir, f".tmp_v{n}.json")
+    out = fs.create(tmp, True)
+    out.write(bytearray(payload.encode("utf-8")))
+    out.close()
+    final = _child(spark, mdir, f"v{n}.json")
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, True)
+        raise IOError(f"snapshot_write: publish of v{n} lost a race")
+    return n
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
+    import json
+
+    from kgspark.catalog import _child, _fs
+
+    fs, root = _fs(spark, table_dir)
+    p = _child(spark, _child(spark, root, _MANIFEST_DIR),
+               f"v{version}.json")
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def snapshot_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """Published versions, ascending (hidden temp manifests ignored)."""
+    from kgspark.catalog import _child, _fs
+
+    fs, root = _fs(spark, table_dir)
+    mdir = _child(spark, root, _MANIFEST_DIR)
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Time-travel read: the table AS OF `version` (default: latest).
+    Only manifest-listed data directories are scanned — orphans from
+    crashed writes never surface."""
+    versions = snapshot_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(
+            f"read_snapshot: no published versions under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"read_snapshot: version {version} not published "
+            f"(have {versions})")
+    man = _read_manifest(spark, table_dir, version)
+    paths = [os.path.join(table_dir, d) for d in man["dirs"]]
+    return spark.read.parquet(*paths)

@@ -379,3 +379,52 @@ def test_merge_table_upsert_insert_delete(spark, tmp_path):
         merge_table(spark, path, drift, ["k"])
     # untouched after failures
     assert spark.read.parquet(path).count() == 3
+
+
+def test_snapshot_write_append_overwrite_time_travel(spark, tmp_path):
+    from kgspark.io_tables import (
+        read_snapshot,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    d = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    df3 = spark.createDataFrame([(9, "z")], "id long, v string")
+    assert snapshot_write(df1, spark, d) == 1
+    assert snapshot_write(df2, spark, d, mode="append") == 2
+    assert snapshot_write(df3, spark, d, mode="overwrite") == 3
+    assert snapshot_versions(spark, d) == [1, 2, 3]
+    # time travel: v1 = 2 rows, v2 = union, v3 = overwrite only
+    assert read_snapshot(spark, d, 1).count() == 2
+    got2 = {r.id for r in read_snapshot(spark, d, 2).collect()}
+    assert got2 == {1, 2, 3}
+    assert {r.id for r in read_snapshot(spark, d).collect()} == {9}
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, d, 7)
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "nope"))
+    with _pytest.raises(ValueError):
+        snapshot_write(df1, spark, d, mode="merge")
+
+
+def test_snapshot_orphan_data_invisible(spark, tmp_path):
+    from kgspark.io_tables import read_snapshot, snapshot_write
+
+    d = str(tmp_path / "tbl2")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    snapshot_write(df1, spark, d)
+    # simulate a crashed writer: data landed, manifest never published
+    orphan = spark.createDataFrame([(666, "orphan")], "id long, v string")
+    orphan.write.parquet(str(tmp_path / "tbl2" / "data" / "v2"))
+    got = {r.id for r in read_snapshot(spark, d).collect()}
+    assert got == {1}
+    # next successful write claims v2's slot is taken? NO — versions
+    # come from manifests, so the writer reuses v2 and overwrites the
+    # orphan directory
+    from kgspark.io_tables import snapshot_versions
+    n = snapshot_write(orphan, spark, d, mode="append")
+    assert n == 2 and snapshot_versions(spark, d) == [1, 2]
+    assert {r.id for r in read_snapshot(spark, d).collect()} == {1, 666}
