@@ -3981,6 +3981,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def kg_richclub(spark, sf_dir):
+        # rich-club coefficient curve (kgspark/graph_algs.py
+        # rich_club) over the kg_bridges union graph: hub
+        # interconnection density at pinned degree thresholds
+        from kgspark.graph_algs import rich_club
+
+        p = _read(spark, sf_dir, "part").withColumn(
+            "p_sz",
+            F.concat(F.lit("size:"), F.col("p_size").cast("string")),
+        )
+        attr = (
+            p.select(F.col("p_brand").alias("subj"),
+                     F.col("p_type").alias("obj"))
+            .union(p.select(F.col("p_type"), F.col("p_sz")))
+            .union(p.select(F.col("p_brand"), F.col("p_sz")))
+        )
+        t = _extract_triples(spark, sf_dir).select("subj", "obj")
+        return rich_club(attr.unionByName(t), ks=(1, 2, 4, 8, 16))
+
     def text_bidi(spark, sf_dir):
         # Trojan-Source / invisible-char census (kgspark/textnorm.py
         # bidi_report): direction controls + zero-widths planted
@@ -7597,6 +7616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_zip": multimodal_zip,
         "kg_powerlaw": kg_powerlaw,
         "text_bidi": text_bidi,
+        "kg_richclub": kg_richclub,
     }
 
 
@@ -16720,4 +16740,49 @@ SELECT doc_id, n_bidi, n_zw,
        (CASE WHEN n_bidi > 0 THEN 1 ELSE 0 END)::INT AS suspicious
 FROM bd_c
 """,
+        # kgspark.graph_algs.rich_club over the kg_bridges union graph:
+        # one pass — every edge counts toward thresholds below
+        # min(deg_a, deg_b)
+        "kg_richclub": f"""
+WITH {{parts}},
+rc_raw AS (
+  SELECT subj, obj FROM triples
+  UNION ALL
+  SELECT p_brand AS subj, p_type AS obj FROM part
+  UNION ALL
+  SELECT p_type, 'size:' || p_size::VARCHAR FROM part
+  UNION ALL
+  SELECT p_brand, 'size:' || p_size::VARCHAR FROM part
+),
+rc_e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM rc_raw WHERE subj <> obj
+),
+rc_d AS (
+  SELECT node, count(*)::BIGINT AS d FROM (
+    SELECT a AS node FROM rc_e UNION ALL SELECT b AS node FROM rc_e)
+  GROUP BY node
+),
+rc_k AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+rc_n AS (
+  SELECT k, count(*)::BIGINT AS n_nodes
+  FROM rc_d, rc_k WHERE d > k GROUP BY k
+),
+rc_me AS (
+  SELECT least(da.d, db.d) AS md
+  FROM rc_e e JOIN rc_d da ON da.node = e.a
+       JOIN rc_d db ON db.node = e.b
+),
+rc_ec AS (
+  SELECT k, count(*)::BIGINT AS n_edges
+  FROM rc_me, rc_k WHERE md > k GROUP BY k
+)
+SELECT n.k::BIGINT AS k, n.n_nodes,
+       coalesce(e.n_edges, 0)::BIGINT AS n_edges,
+       (CASE WHEN n.n_nodes >= 2
+             THEN 2000000 * coalesce(e.n_edges, 0)
+                  // (n.n_nodes * (n.n_nodes - 1))
+             ELSE -1 END)::BIGINT AS phi_ppm
+FROM rc_n n LEFT JOIN rc_ec e USING (k)
+""".format(parts=_PARTS_ORACLE_CTE),
     }

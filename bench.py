@@ -375,6 +375,7 @@ BENCH_QUERIES = [
     "multimodal_zip",
     "kg_powerlaw",
     "text_bidi",
+    "kg_richclub",
 ]
 
 

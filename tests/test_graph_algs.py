@@ -1199,3 +1199,43 @@ def test_powerlaw_undirected_dedup(spark):
     import math
     assert out.n_tail == 2
     assert out.sum_ln_ppm == 2 * round(math.log(2.0) * 1e6)
+
+
+def test_rich_club_hand_case(spark):
+    from kgspark.graph_algs import rich_club
+
+    # K4 core {a,b,c,d} + pendant leaves on a and b:
+    # degrees: a=4, b=4, c=3, d=3, leaves=1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("a", "x"), ("b", "y")],
+        "subj string, obj string",
+    )
+    out = {r.k: (r.n_nodes, r.n_edges, r.phi_ppm)
+           for r in rich_club(edges, ks=(1, 2, 3)).collect()}
+    # k=1: nodes with d>1 = {a,b,c,d}; edges among them = K4 = 6 ->
+    # phi = 12/12 = 1
+    assert out[1] == (4, 6, 1_000_000)
+    # k=2: same core
+    assert out[2] == (4, 6, 1_000_000)
+    # k=3: {a,b} with the single (a,b) edge -> phi = 2/2 = 1
+    assert out[3] == (2, 1, 1_000_000)
+    # a k with a single qualifying node -> sentinel
+    one = {r.k: r.phi_ppm
+           for r in rich_club(edges, ks=(1, 2, 3, 4)).collect()}
+    assert 4 not in one  # no node with degree > 4 -> no row
+
+
+def test_rich_club_sparse_core(spark):
+    from kgspark.graph_algs import rich_club
+
+    # path a-b-c-d: degrees b=c=2, a=d=1; k=1 core {b,c}, 1 edge
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "subj string, obj string"
+    )
+    out = {r.k: (r.n_nodes, r.n_edges, r.phi_ppm)
+           for r in rich_club(edges, ks=(1,)).collect()}
+    assert out[1] == (2, 1, 1_000_000)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rich_club(edges, ks=())
