@@ -3981,6 +3981,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def kg_nquads(spark, sf_dir):
+        # RDF 1.1 N-Quads with named graphs (kgspark/rdf.py
+        # nquads_lines): kg_ntriples' term-kind coverage plus minted /
+        # IRI / default (NULL -> triple-form line) graph labels; graph
+        # coalesced to '' in the output (NULL-sort-column rule)
+        from kgspark.rdf import nquads_lines
+
+        docs = _read(spark, sf_dir, "documents")
+        d = F.col("doc_id").cast("string")
+        subj = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("https://www.site"),
+                         (F.col("doc_id") % 50).cast("string"),
+                         F.lit(".example.com/p/"), d),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("_:bn"), d))
+            .otherwise(F.concat(F.lit("ent"), d))
+        )
+        pred = F.when(F.col("doc_id") % 2 == 0, F.lit("knows")).otherwise(
+            F.lit("https://schema.org/name")
+        )
+        obj = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("https://kg.example.org/e/"), d),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("_:bo"), d))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(F.lit('q"b\\\n\t\rend'), d),
+            )
+            .otherwise(F.substring("text", 1, 24))
+        )
+        graph = (
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.concat(F.lit("https://graphs.example.org/"), d))
+            .otherwise(F.concat(F.lit("crawl"),
+                                (F.col("doc_id") % 4).cast("string")))
+        )
+        out = nquads_lines(
+            docs.select(subj.alias("subj"), pred.alias("pred"),
+                        obj.alias("obj"), graph.alias("graph"))
+        )
+        return out.select(
+            "subj", "pred", "obj",
+            F.coalesce("graph", F.lit("")).alias("graph"), "line",
+        )
+
     def kg_richclub(spark, sf_dir):
         # rich-club coefficient curve (kgspark/graph_algs.py
         # rich_club) over the kg_bridges union graph: hub
@@ -7617,6 +7667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_powerlaw": kg_powerlaw,
         "text_bidi": text_bidi,
         "kg_richclub": kg_richclub,
+        "kg_nquads": kg_nquads,
     }
 
 
@@ -16785,4 +16836,65 @@ SELECT n.k::BIGINT AS k, n.n_nodes,
              ELSE -1 END)::BIGINT AS phi_ppm
 FROM rc_n n LEFT JOIN rc_ec e USING (k)
 """.format(parts=_PARTS_ORACLE_CTE),
+        # kgspark.rdf.nquads_lines: the kg_ntriples term synthesis plus
+        # minted/IRI/default graph labels (NULL -> triple-form line)
+        "kg_nquads": """
+WITH t AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN 'https://www.site' || (doc_id % 50)
+                   || '.example.com/p/' || doc_id
+              WHEN doc_id % 3 = 1 THEN '_:bn' || doc_id
+              ELSE 'ent' || doc_id END AS subj,
+         CASE WHEN doc_id % 2 = 0 THEN 'knows'
+              ELSE 'https://schema.org/name' END AS pred,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'https://kg.example.org/e/' || doc_id
+              WHEN doc_id % 4 = 1 THEN '_:bo' || doc_id
+              WHEN doc_id % 4 = 2
+              THEN 'q"b' || chr(92) || chr(10) || chr(9) || chr(13)
+                   || 'end' || doc_id
+              ELSE substr(text, 1, 24) END AS obj,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              WHEN doc_id % 5 = 1
+              THEN 'https://graphs.example.org/' || doc_id
+              ELSE 'crawl' || (doc_id % 4) END AS graph
+  FROM documents
+),
+e AS (
+  SELECT subj, pred, obj, graph,
+         replace(replace(replace(replace(replace(obj,
+           chr(92), chr(92) || chr(92)),
+           '"', chr(92) || '"'),
+           chr(10), chr(92) || 'n'),
+           chr(13), chr(92) || 'r'),
+           chr(9), chr(92) || 't') AS esc
+  FROM t
+)
+SELECT subj, pred, obj, coalesce(graph, '') AS graph,
+       (CASE WHEN starts_with(subj, 'http://')
+                  OR starts_with(subj, 'https://')
+             THEN '<' || subj || '>'
+             WHEN starts_with(subj, '_:') THEN subj
+             ELSE '<https://kg.example.org/' || subj || '>' END)
+       || ' '
+       || (CASE WHEN starts_with(pred, 'http://')
+                     OR starts_with(pred, 'https://')
+                THEN '<' || pred || '>'
+                ELSE '<https://kg.example.org/prop/' || pred || '>' END)
+       || ' '
+       || (CASE WHEN starts_with(obj, 'http://')
+                     OR starts_with(obj, 'https://')
+                THEN '<' || obj || '>'
+                WHEN starts_with(obj, '_:') THEN obj
+                ELSE '"' || esc || '"' END)
+       || (CASE WHEN graph IS NULL OR graph = '' THEN ''
+                WHEN starts_with(graph, 'http://')
+                     OR starts_with(graph, 'https://')
+                THEN ' <' || graph || '>'
+                WHEN starts_with(graph, '_:') THEN ' ' || graph
+                ELSE ' <https://kg.example.org/graph/' || graph || '>'
+           END)
+       || ' .' AS line
+FROM e
+""",
     }

@@ -376,6 +376,7 @@ BENCH_QUERIES = [
     "kg_powerlaw",
     "text_bidi",
     "kg_richclub",
+    "kg_nquads",
 ]
 
 

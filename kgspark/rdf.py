@@ -47,6 +47,7 @@ def ntriples_lines(triples: DataFrame, subj_col: str = "subj",
                    pred_col: str = "pred", obj_col: str = "obj",
                    base_iri: str = "https://kg.example.org/",
                    pred_base: str = "https://kg.example.org/prop/",
+                   keep_cols: tuple = (),
                    ) -> DataFrame:
     """Serialize a (subj, pred, obj) table to canonical N-Triples lines:
     (subj, pred, obj, line). Subjects/objects that are already IRIs or
@@ -79,6 +80,7 @@ def ntriples_lines(triples: DataFrame, subj_col: str = "subj",
         F.col(subj_col).alias("subj"),
         F.col(pred_col).alias("pred"),
         F.col(obj_col).alias("obj"),
+        *[F.col(c) for c in keep_cols],
         line.alias("line"),
     )
 
@@ -271,3 +273,45 @@ def turtle_lines(triples: DataFrame, subj_col: str = "subj",
         "subj string, line string",
     )
     return hdr.unionByName(body)
+
+
+def nquads_lines(quads: DataFrame, subj_col: str = "subj",
+                 pred_col: str = "pred", obj_col: str = "obj",
+                 graph_col: str = "graph",
+                 base_iri: str = "https://kg.example.org/",
+                 pred_base: str = "https://kg.example.org/prop/",
+                 graph_base: str = "https://kg.example.org/graph/",
+                 ) -> DataFrame:
+    """RDF 1.1 N-Quads: the named-graph serialization — an N-Triples
+    statement plus an optional graph-label term before the dot. Graph
+    labels that are IRIs or blank nodes pass through, bare names mint
+    under `graph_base`, and NULL/empty graph means the DEFAULT graph:
+    the line is a plain triple (per the N-Quads spec, where the graph
+    term is simply absent). Returns (subj, pred, obj, graph, line);
+    map-only, shuffle-free — the provenance-preserving sink for
+    multi-source KG builds (one named graph per source/crawl).
+    """
+    t = quads.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"), F.col(graph_col).alias("graph"),
+    )
+    base = ntriples_lines(
+        t, base_iri=base_iri, pred_base=pred_base,
+        keep_cols=("graph",),
+    ).withColumn("__stmt",
+                 F.expr("substring(line, 1, length(line) - 2)"))
+    g = F.coalesce(F.col("graph"), F.lit(""))
+    g_res = (
+        F.when(g == "", F.lit(""))
+        .when(
+            g.startswith("http://") | g.startswith("https://"),
+            F.concat(F.lit(" <"), g, F.lit(">")),
+        )
+        .when(g.startswith("_:"), F.concat(F.lit(" "), g))
+        .otherwise(F.concat(F.lit(" <"), F.lit(graph_base), g,
+                            F.lit(">")))
+    )
+    return base.select(
+        "subj", "pred", "obj", "graph",
+        F.concat(F.col("__stmt"), g_res, F.lit(" .")).alias("line"),
+    )

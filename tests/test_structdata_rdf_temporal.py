@@ -636,3 +636,30 @@ def test_turtle_lines_blocks_and_prefixes(spark):
         '<https://kg.example.org/prop/p q> "v" .' in got
     )
     assert len(got) == 5
+
+
+def test_nquads_lines_graph_terms(spark):
+    from kgspark.rdf import nquads_lines
+
+    rows = [
+        ("a", "p", "lit", "crawl1"),                 # minted graph
+        ("b", "p", "lit", "https://g.example/g1"),   # IRI graph
+        ("c", "p", "lit", "_:bg"),                   # blank graph
+        ("d", "p", "lit", None),                     # default graph
+        ("e", "p", "lit", ""),                       # empty = default
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    got = {r.subj: r.line for r in nquads_lines(df).collect()}
+    b = "<https://kg.example.org/{}> <https://kg.example.org/prop/p> \"lit\""
+    assert got["a"] == b.format("a") + " <https://kg.example.org/graph/crawl1> ."
+    assert got["b"] == b.format("b") + " <https://g.example/g1> ."
+    assert got["c"] == b.format("c") + " _:bg ."
+    # default graph -> plain triple line, no 4th term
+    assert got["d"] == b.format("d") + " ."
+    assert got["e"] == b.format("e") + " ."
+    # ntriples keep_cols passthrough unchanged when unused
+    from kgspark.rdf import ntriples_lines
+    base = ntriples_lines(df.select("subj", "pred", "obj"))
+    assert base.columns == ["subj", "pred", "obj", "line"]
