@@ -3981,6 +3981,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def kg_bgp_cardinality(spark, sf_dir):
+        # System-R cardinality estimates (kgspark/graph_api.py
+        # bgp_cardinality) for the 3-pattern chain ?a has ?b /
+        # ?b related_to ?c / ?c is_a ?d — a chain that actually joins
+        # (bgp_match returns thousands of bindings on it)
+        from kgspark.graph_api import bgp_cardinality
+
+        t = _extract_triples(spark, sf_dir)
+        return bgp_cardinality(
+            t,
+            [("?a", "has", "?b"), ("?b", "related_to", "?c"),
+             ("?c", "is_a", "?d")],
+        )
+
     def kg_nquads(spark, sf_dir):
         # RDF 1.1 N-Quads with named graphs (kgspark/rdf.py
         # nquads_lines): kg_ntriples' term-kind coverage plus minted /
@@ -7668,6 +7682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bidi": text_bidi,
         "kg_richclub": kg_richclub,
         "kg_nquads": kg_nquads,
+        "kg_bgp_cardinality": kg_bgp_cardinality,
     }
 
 
@@ -16897,4 +16912,35 @@ SELECT subj, pred, obj, coalesce(graph, '') AS graph,
        || ' .' AS line
 FROM e
 """,
+        # kgspark.graph_api.bgp_cardinality for the pinned 3-pattern
+        # chain; denominators = greatest of the two ndv's, containment
+        # min carried forward
+        "kg_bgp_cardinality": """
+WITH {parts},
+cs AS (
+  SELECT pred, count(*)::BIGINT AS n,
+         count(DISTINCT subj)::BIGINT AS ndv_s,
+         count(DISTINCT obj)::BIGINT AS ndv_o
+  FROM triples WHERE pred IN ('has', 'is_a', 'related_to')
+  GROUP BY pred
+),
+c1 AS (SELECT n AS n1, ndv_o AS b1 FROM cs WHERE pred = 'has'),
+c2 AS (SELECT n AS n2, ndv_s AS s2, ndv_o AS o2
+       FROM cs WHERE pred = 'related_to'),
+c3 AS (SELECT n AS n3, ndv_s AS s3 FROM cs WHERE pred = 'is_a'),
+ce AS (
+  SELECT n1, n2, n3,
+         n1 AS e1,
+         n1 * n2 // greatest(greatest(b1, s2), 1) AS e2,
+         (n1 * n2 // greatest(greatest(b1, s2), 1)) * n3
+           // greatest(greatest(o2, s3), 1) AS e3
+  FROM c1, c2, c3
+)
+SELECT 1::BIGINT AS step, 'has' AS pred, n1 AS n_pred,
+       e1::BIGINT AS est_rows FROM ce
+UNION ALL
+SELECT 2, 'related_to', n2, e2::BIGINT FROM ce
+UNION ALL
+SELECT 3, 'is_a', n3, e3::BIGINT FROM ce
+""".format(parts=_PARTS_ORACLE_CTE),
     }

@@ -377,6 +377,7 @@ BENCH_QUERIES = [
     "text_bidi",
     "kg_richclub",
     "kg_nquads",
+    "kg_bgp_cardinality",
 ]
 
 

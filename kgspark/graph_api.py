@@ -1090,3 +1090,79 @@ def bgp_aggregate(
             )
         out = out.where(_FILTER_OPS[op](F.col(lhs), F.lit(rhs)))
     return out
+
+
+def bgp_cardinality(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """System-R-style cardinality estimates for a BGP join chain
+    (Selinger 1979, the independence/containment heuristics every SQL
+    optimizer ships) — the planner-statistics layer for bgp_match:
+    per pattern, base estimate = n_pred, divided by ndv for each
+    CONSTANT subject/object; joining pattern i on a shared variable v
+    multiplies by n_i and divides by max(ndv_seen(v), ndv_i(v)); after
+    the join ndv_seen(v) = min of the two (containment assumption).
+    Multiple shared variables divide sequentially in sorted variable
+    order (pinned, so the truncating integer division chain is
+    deterministic cross-engine). Predicates must be constants.
+
+    Per-predicate stats are ONE aggregation over the needed predicates
+    collected to the driver (pattern-count rows — the dimension-sized
+    collect posture); the estimate chain itself is exact driver-side
+    integer arithmetic. Returns (step, pred, n_pred, est_rows).
+    """
+    if not patterns:
+        raise ValueError("bgp_cardinality: patterns must be non-empty")
+    preds = []
+    for s, p, o in patterns:
+        if p.startswith("?"):
+            raise ValueError("bgp_cardinality: predicates must be constants")
+        preds.append(p)
+    stats = {
+        r["p"]: (r["n"], r["ndv_s"], r["ndv_o"])
+        for r in triples.where(F.col(pred_col).isin(sorted(set(preds))))
+        .groupBy(F.col(pred_col).alias("p"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct(F.col(subj_col)).cast("long").alias("ndv_s"),
+            F.countDistinct(F.col(obj_col)).cast("long").alias("ndv_o"),
+        )
+        .collect()
+    }
+    seen: dict[str, int] = {}
+    est = 0
+    rows = []
+    for i, (s, p, o) in enumerate(patterns, start=1):
+        n, ndv_s, ndv_o = stats.get(p, (0, 0, 0))
+        step_est = n
+        if not s.startswith("?"):
+            step_est = step_est // max(ndv_s, 1)
+        if not o.startswith("?"):
+            step_est = step_est // max(ndv_o, 1)
+        here = {}
+        if s.startswith("?"):
+            here[s] = ndv_s
+        if o.startswith("?"):
+            # ?x p ?x self-join patterns are out of scope
+            if o in here:
+                raise ValueError(
+                    "bgp_cardinality: repeated variable within one "
+                    "pattern is not supported")
+            here[o] = ndv_o
+        if i == 1:
+            est = step_est
+        else:
+            est = est * step_est
+            for v in sorted(set(here) & set(seen)):
+                est = est // max(max(seen[v], here[v]), 1)
+        for v, nd in here.items():
+            seen[v] = min(seen[v], nd) if v in seen else nd
+        rows.append((i, p, n, est))
+    spark = triples.sparkSession
+    return spark.createDataFrame(
+        rows, "step long, pred string, n_pred long, est_rows long"
+    )

@@ -754,3 +754,56 @@ def test_filter_regex_and_in(spark):
     assert got2 == {"b2", "c3"}
     with pytest.raises(ValueError, match="non-empty constant list"):
         bgp_match(t, [("?s", "p", "?o")], filters=[("?s", "in", [])])
+
+
+def test_bgp_cardinality_chain_estimates(spark):
+    from kgspark.graph_api import bgp_cardinality
+
+    # p1: 6 edges, 3 distinct subj, 2 distinct obj
+    # p2: 4 edges, 2 distinct subj, 4 distinct obj
+    rows = (
+        [(f"s{i % 3}", "p1", f"o{i % 2}") for i in range(6)]
+        + [(f"o{i % 2}", "p2", f"z{i}") for i in range(4)]
+    )
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {r.step: (r.pred, r.n_pred, r.est_rows)
+           for r in bgp_cardinality(
+               t, [("?a", "p1", "?b"), ("?b", "p2", "?c")]).collect()}
+    assert out[1] == ("p1", 6, 6)
+    # est2 = 6 * 4 // max(ndv_obj(p1)=2, ndv_subj(p2)=2) = 12
+    assert out[2] == ("p2", 4, 12)
+    # constant subject divides by ndv_s
+    cst = {r.step: r.est_rows
+           for r in bgp_cardinality(
+               t, [("s0", "p1", "?b"), ("?b", "p2", "?c")]).collect()}
+    assert cst[1] == 6 // 3
+    assert cst[2] == (6 // 3) * 4 // 2
+    # unknown predicate -> zero all the way down
+    z = bgp_cardinality(t, [("?a", "nope", "?b")]).collect()
+    assert z[0].n_pred == 0 and z[0].est_rows == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bgp_cardinality(t, [("?a", "?p", "?b")])
+    with _pytest.raises(ValueError):
+        bgp_cardinality(t, [("?a", "p1", "?a")])
+    with _pytest.raises(ValueError):
+        bgp_cardinality(t, [])
+
+
+def test_bgp_cardinality_ndv_min_containment(spark):
+    from kgspark.graph_api import bgp_cardinality
+
+    # after joining on ?b, ndv(?b) becomes min(2, 4); a third pattern
+    # re-joining on ?b must use that reduced ndv
+    rows = (
+        [("a", "p1", f"b{i % 2}") for i in range(4)]       # ndv_o = 2
+        + [(f"b{i}", "p2", "x") for i in range(4)]          # ndv_s = 4
+        + [(f"b{i % 2}", "p3", f"y{i}") for i in range(8)]  # ndv_s = 2
+    )
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {r.step: r.est_rows for r in bgp_cardinality(
+        t, [("?q", "p1", "?b"), ("?b", "p2", "?r"),
+            ("?b", "p3", "?s")]).collect()}
+    # e1 = 4; e2 = 4*4 // max(2,4) = 4; seen[b] = min(2,4) = 2
+    # e3 = 4*8 // max(2,2) = 16
+    assert out == {1: 4, 2: 4, 3: 16}
