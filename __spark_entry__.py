@@ -3981,6 +3981,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
 
+    def web_punycode(spark, sf_dir):
+        # IDN/punycode host decode round-trip (kgspark/web.py
+        # idn_hosts): every 3rd doc gets an ACE host built by the
+        # stdlib ENCODER from Greek-letter arithmetic; the op decodes
+        # it back and the oracle reconstructs the decoded form from
+        # the same arithmetic (SQL never touches punycode)
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    tail = f"site{d % 50}.example"
+                    if d % 3 == 0:
+                        lab = (chr(945 + d % 10) * (d % 4 + 1)
+                               + str(d % 7))
+                        ace = lab.encode("punycode").decode("ascii")
+                        host = f"xn--{ace}.{tail}"
+                    else:
+                        host = f"www.{tail}"
+                    rows.append({"doc_id": did, "host": host})
+                yield pd.DataFrame(rows, columns=["doc_id", "host"])
+
+        from kgspark.web import idn_hosts
+
+        hosts = docs.mapInPandas(build, "doc_id long, host string")
+        return idn_hosts(hosts).select(
+            "unicode_host", "is_idn", "n_ace_labels", "has_non_ascii"
+        )
+
     def kg_bgp_cardinality(spark, sf_dir):
         # System-R cardinality estimates (kgspark/graph_api.py
         # bgp_cardinality) for the 3-pattern chain ?a has ?b /
@@ -7683,6 +7716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_richclub": kg_richclub,
         "kg_nquads": kg_nquads,
         "kg_bgp_cardinality": kg_bgp_cardinality,
+        "web_punycode": web_punycode,
     }
 
 
@@ -16943,4 +16977,22 @@ SELECT 2, 'related_to', n2, e2::BIGINT FROM ce
 UNION ALL
 SELECT 3, 'is_a', n3, e3::BIGINT FROM ce
 """.format(parts=_PARTS_ORACLE_CTE),
+        # kgspark.web.idn_hosts round-trip: the DECODED host is
+        # reconstructed from the synthesis arithmetic (the encoder ran
+        # only inside the Spark pipeline)
+        "web_punycode": r"""
+SELECT CASE WHEN doc_id % 3 = 0
+            THEN repeat(chr((945 + doc_id % 10)::INT),
+                        (doc_id % 4 + 1)::INT)
+                 || (doc_id % 7)
+                 || '.site' || (doc_id % 50) || '.example'
+            ELSE 'www.site' || (doc_id % 50) || '.example' END
+         AS unicode_host,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS is_idn,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_ace_labels,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT
+         AS has_non_ascii
+FROM documents
+""",
     }

@@ -378,6 +378,7 @@ BENCH_QUERIES = [
     "kg_richclub",
     "kg_nquads",
     "kg_bgp_cardinality",
+    "web_punycode",
 ]
 
 

@@ -31,6 +31,7 @@ DuckDB's spells `\\1` — the oracle SQL mirrors semantics, not bytes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1364,4 +1365,68 @@ def cdx_lines(df: DataFrame, url_col: str = "url", ts_col: str = "ts",
     ).withColumn(
         "line",
         F.concat_ws(" ", "urlkey", "ts14", "digest"),
+    )
+
+
+def idn_hosts(
+    df: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """IDN / punycode host audit (RFC 3492/5890; the homoglyph-phishing
+    and mixed-script risk census a web-corpus gate runs on every crawl
+    frontier): per host, decode every ACE label (`xn--…`) to its
+    Unicode form via the stdlib punycode codec, and flag
+
+      is_idn        any label was ACE-encoded
+      n_ace_labels  how many
+      has_non_ascii decoded form contains non-ASCII (always true for a
+                    well-formed ACE label; false only for decode errors)
+      error         first label-level decode failure, else NULL
+
+    Returns (host, unicode_host, is_idn, n_ace_labels, has_non_ascii,
+    error). Arrow-batched pandas UDF (the codec is Python-side by
+    nature); everything downstream of the decode is plain columns.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("unicode_host string, n_ace_labels int, error string")
+    def dec(hosts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h in hosts:
+            if h is None:
+                rows.append({"unicode_host": None, "n_ace_labels": 0,
+                             "error": None})
+                continue
+            out, n_ace, err = [], 0, None
+            for label in str(h).split("."):
+                low = label.lower()
+                if low.startswith("xn--"):
+                    n_ace += 1
+                    try:
+                        out.append(
+                            low[4:].encode("ascii").decode("punycode"))
+                    except Exception as e:
+                        if err is None:
+                            err = f"{type(e).__name__}: {e}"
+                        out.append(label)
+                else:
+                    out.append(label)
+            rows.append({"unicode_host": ".".join(out),
+                         "n_ace_labels": n_ace, "error": err})
+        return pd.DataFrame(rows)
+
+    d = df.select(F.col(host_col).alias("host")).withColumn(
+        "__d", dec(F.col("host"))
+    )
+    u = F.col("__d.unicode_host")
+    return d.select(
+        "host",
+        u.alias("unicode_host"),
+        (F.col("__d.n_ace_labels") > 0).cast("int").alias("is_idn"),
+        F.col("__d.n_ace_labels").cast("long").alias("n_ace_labels"),
+        F.when(
+            u.isNotNull() & (u != F.col("host")) & u.rlike("[^\\x00-\\x7f]"),
+            1,
+        ).otherwise(0).cast("int").alias("has_non_ascii"),
+        F.col("__d.error").alias("error"),
     )

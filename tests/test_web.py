@@ -678,3 +678,29 @@ def test_surt_key_and_cdx_lines(spark):
     assert r.ts14 == "20260203040506"
     assert len(r.digest) == 64
     assert r.line == f"{r.urlkey} {r.ts14} {r.digest}"
+
+
+def test_idn_hosts_decode_and_flags(spark):
+    from kgspark.web import idn_hosts
+
+    ace = "xn--" + "bücher".encode("punycode").decode("ascii")
+    rows = [
+        ("www.example.com",),
+        (f"{ace}.example.com",),
+        ("xn--!!!bad.example.com",),   # malformed ACE
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    out = {r.host: r for r in idn_hosts(df).collect()}
+    assert out["www.example.com"].is_idn == 0
+    assert out["www.example.com"].unicode_host == "www.example.com"
+    g = out[f"{ace}.example.com"]
+    assert g.unicode_host == "bücher.example.com"
+    assert (g.is_idn, g.n_ace_labels, g.has_non_ascii) == (1, 1, 1)
+    assert g.error is None
+    bad = out["xn--!!!bad.example.com"]
+    assert bad.is_idn == 1 and bad.error is not None
+    assert bad.has_non_ascii == 0
+    assert out[None] is not None or True
+    none_row = [r for r in idn_hosts(df).collect() if r.host is None][0]
+    assert none_row.unicode_host is None and none_row.is_idn == 0
