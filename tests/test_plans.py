@@ -1021,3 +1021,49 @@ def test_session7_ops_plan_shapes(spark):
     p = plan(kcenter_coreset(emb.limit(20), k=3))
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_session7_late_ops_plan_shapes(spark):
+    """Later session-7 ops: graph audits and census ops stay JVM-side;
+    the only BNLJs are 1-row scalar broadcasts (totals/anchors)."""
+    from kgspark.graph_algs import (
+        butterfly_pairs,
+        edge_embeddedness,
+        powerlaw_fit,
+        rich_club,
+    )
+    from kgspark.pii import luhn_census
+    from kgspark.relops import gini_census, rfm_segments
+    from kgspark.textnorm import bidi_report
+
+    e = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "subj long, obj string"
+    ).selectExpr("cast(subj as string) subj", "obj")
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "y z")], "doc_id long, text string")
+    from datetime import datetime as DT
+    orders = spark.createDataFrame(
+        [(1, 5.0, DT(2024, 1, 2)), (2, 6.0, DT(2024, 1, 3))],
+        "o_custkey long, o_totalprice double, o_orderdate timestamp")
+
+    for df in (
+        butterfly_pairs(e.selectExpr("cast(subj as long) u", "obj v")),
+        edge_embeddedness(e),
+        rich_club(e, ks=(1, 2)),
+        luhn_census(docs),
+        bidi_report(docs),
+        gini_census(
+            orders.selectExpr("o_custkey", "cast(o_totalprice as long) v"),
+            "o_custkey", "v"),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    # powerlaw/rfm carry exactly the designed 1-row broadcasts
+    p = plan(powerlaw_fit(e))
+    assert "CartesianProduct" not in p and "Python" not in p, p
+    p = plan(rfm_segments(orders))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
