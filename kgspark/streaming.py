@@ -307,3 +307,40 @@ def start_incremental_kg(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def session_event_stats(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native session window (the
+    dynamic-gap analogue of windowed_event_counts): per user, events
+    closer than `gap` merge into one session; a session closes — and
+    its row becomes emittable in append mode — once the watermark
+    passes gap beyond its last event. This is the STREAMING twin of
+    the batch lag/gap sessionizer (kgspark.relops sessionization):
+    same session boundaries, but with bounded state and incremental
+    emission instead of a full-table window pass.
+
+    Output: (user_id, session_start, session_end, n_events). State per
+    open session only — evicted at close, so state size tracks ACTIVE
+    users x 1, not history.
+    """
+    s = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        s.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

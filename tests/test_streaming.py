@@ -362,3 +362,48 @@ def test_incremental_recovers_crashed_migration(spark, tmp_path):
     assert got.count() > n0  # old rows restored AND new batch merged
     assert not os.path.exists(os.path.join(sink, ".bak_migrate.triples.parquet"))
     assert not os.path.exists(os.path.join(sink, ".tmp_migrate.triples.parquet"))
+
+
+def test_session_window_stream_matches_batch_gaps(spark, tmp_path):
+    """Streaming session_window sessionization drains a file source and
+    reproduces hand-computed gap sessions; session_end = last event +
+    gap (Spark's session-window semantics)."""
+    from datetime import datetime as DT
+
+    from kgspark.streaming import session_event_stats
+
+    rows = [
+        ("u1", DT(2024, 1, 1, 10, 0)),
+        ("u1", DT(2024, 1, 1, 10, 10)),   # same session (gap 30m)
+        ("u1", DT(2024, 1, 1, 11, 0)),    # 50m later -> new session
+        ("u2", DT(2024, 1, 1, 10, 5)),
+        # late sentinel far ahead so the watermark closes everything
+        ("uz", DT(2024, 1, 2, 23, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    in_dir = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        session_event_stats(stream, gap="30 minutes",
+                            watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.session_start, r.n_events): r.session_end
+           for r in spark.read.parquet(out_dir).collect()}
+    # u1 session 1: 10:00-10:10 + 30m gap -> end 10:40, 2 events
+    k1 = ("u1", DT(2024, 1, 1, 10, 0), 2)
+    assert k1 in got and got[k1] == DT(2024, 1, 1, 10, 40)
+    assert ("u1", DT(2024, 1, 1, 11, 0), 1) in got
+    assert ("u2", DT(2024, 1, 1, 10, 5), 1) in got
