@@ -1071,6 +1071,37 @@ def _hex6_sql(col: str) -> str:
     return out
 
 
+def _confusables_sql() -> str:
+    """text_confusables oracle: augmentation + fold chain + census all
+    derived from kgspark.textnorm.CONFUSABLE_FOLD."""
+    from kgspark.textnorm import CONFUSABLE_FOLD
+
+    fold = "t"
+    for k, v in CONFUSABLE_FOLD.items():
+        fold = f"replace({fold}, chr({ord(k)}), '{v}')"
+    cnt = " + ".join(
+        f"(length(t) - length(replace(t, chr({ord(k)}), '')))"
+        for k in CONFUSABLE_FOLD
+    )
+    return f"""
+WITH cf_a AS (
+  SELECT doc_id,
+         coalesce("text", '')
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN ' ' || chr(1088) || 'ay' || chr(1088) || 'al'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0
+                  THEN ' ' || chr(1086) || 'k' ELSE '' END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       ({cnt})::BIGINT AS n_confusable,
+       md5({fold}) AS folded_md5,
+       (CASE WHEN {fold} <> t THEN 1 ELSE 0 END)::INT AS spoofed
+FROM cf_a
+"""
+
+
 _BIDI_CPS = [0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
              0x2066, 0x2067, 0x2068, 0x2069]
 _ZW_CPS = [0x200B, 0x200C, 0x200D, 0xFEFF]
@@ -3980,6 +4011,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("c_name").alias("text"),
         )
         return jaro_winkler_pairs(recs, min_sim=0.95)
+
+    def text_confusables(spark, sf_dir):
+        # UTS #39 homoglyph-spoof census (kgspark/textnorm.py
+        # confusable_report): Cyrillic lookalikes planted per doc_id
+        # arithmetic (chr() keeps this source ASCII); folded_md5 is
+        # the blocklist-matchable skeleton hash
+        from kgspark.textnorm import confusable_report
+
+        d = _read(spark, sf_dir, "documents")
+        spoof1 = " " + chr(0x440) + "ay" + chr(0x440) + "al"
+        spoof2 = " " + chr(0x43E) + "k"
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.lit(spoof1)).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 6 == 0,
+                       F.lit(spoof2)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return confusable_report(aug)
 
     def web_punycode(spark, sf_dir):
         # IDN/punycode host decode round-trip (kgspark/web.py
@@ -7717,6 +7770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads": kg_nquads,
         "kg_bgp_cardinality": kg_bgp_cardinality,
         "web_punycode": web_punycode,
+        "text_confusables": text_confusables,
     }
 
 
@@ -16651,8 +16705,10 @@ gn_r AS (
 )
 SELECT g AS n_name, count(*)::BIGINT AS n_items, sum(x)::BIGINT AS total,
        (CASE WHEN sum(x) > 0
-             THEN (2 * sum(r * x) - (count(*) + 1) * sum(x)) * 1000000
-                  // (count(*) * sum(x))
+             THEN ((2 * sum(r::HUGEINT * x::HUGEINT)
+                    - (count(*)::HUGEINT + 1) * sum(x)::HUGEINT)
+                   * 1000000
+                   // (count(*)::HUGEINT * sum(x)::HUGEINT))
              ELSE -1 END)::BIGINT AS gini_ppm
 FROM gn_r GROUP BY g
 """,
@@ -16995,4 +17051,8 @@ SELECT CASE WHEN doc_id % 3 = 0
          AS has_non_ascii
 FROM documents
 """,
+        # kgspark.textnorm.confusable_report: the fold chain and the
+        # replace-delta census are generated FROM CONFUSABLE_FOLD so
+        # both engines share one source of truth
+        "text_confusables": _confusables_sql(),
     }

@@ -379,6 +379,7 @@ BENCH_QUERIES = [
     "kg_nquads",
     "kg_bgp_cardinality",
     "web_punycode",
+    "text_confusables",
 ]
 
 

@@ -1441,10 +1441,13 @@ def gini_census(
     get the -1 sentinel. Returns (group, n_items, total, gini_ppm).
 
     Scale shape: one per-group window rank + one per-group aggregate.
-    The numerator is bounded by n^2 * max(x) — fits a long through
-    ~10^9-item groups at cent scale; shard groups first if beyond.
+    The rank-weighted sum and the x1e6 numerator run in decimal(38,0)
+    (the burst_windows overflow posture — n^2 * max(x) * 1e6 blows
+    past a long already at ~10^4 cent-scale items), so the op is safe
+    through ~10^15-item groups; the FINAL ratio is a long.
     """
     w = Window.partitionBy("__g").orderBy(F.asc("__x"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     base = df.select(
         F.col(group_col).alias("__g"),
         F.col(value_col).cast("long").alias("__x"),
@@ -1452,13 +1455,18 @@ def gini_census(
     agg = base.groupBy("__g").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("__x").cast("long").alias("total"),
-        F.sum(F.col("__r") * F.col("__x")).cast("long").alias("__rx"),
+        F.sum(d(F.col("__r")) * d(F.col("__x"))).alias("__rx"),
     )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("__rx")
+        - d(F.col("n_items") + 1) * d(F.col("total"))
+    ) * F.lit(1000000).cast("decimal(38,0)")
+    den = d(F.col("n_items")) * d(F.col("total"))
+    # exact truncating division: decimal `/` ROUNDS at its result
+    # scale, so divide only after subtracting the exact remainder
+    quot = (num - num % den) / den
     return agg.select(
         F.col("__g").alias(group_col), "n_items", "total",
-        F.when(
-            F.col("total") > 0,
-            F.expr("(2 * __rx - (n_items + 1) * total) * 1000000L "
-                   "div (n_items * total)"),
-        ).otherwise(F.lit(-1)).cast("long").alias("gini_ppm"),
+        F.when(F.col("total") > 0, quot)
+        .otherwise(F.lit(-1)).cast("long").alias("gini_ppm"),
     )

@@ -200,3 +200,46 @@ def bidi_report(df, text_col: str = "text", id_col: str = "doc_id"):
         F.when(n_bidi > 0, 1).otherwise(0).cast("int")
         .alias("suspicious"),
     )
+
+
+
+# Pinned Unicode-confusables fold: the high-frequency Cyrillic/Greek
+# letters whose glyphs are indistinguishable from Basic-Latin in most
+# fonts (UTS #39 confusables.txt, the single-script Latin-target rows a
+# crawl actually sees). Explicit escapes only (see BIDI_CONTROLS note).
+CONFUSABLE_FOLD: dict[str, str] = {
+    "\u0430": "a", "\u0435": "e", "\u043e": "o", "\u0440": "p",
+    "\u0441": "c", "\u0443": "y", "\u0445": "x", "\u0456": "i",
+    "\u0455": "s", "\u0458": "j",  # Cyrillic lowercase
+    "\u03bf": "o", "\u03b1": "a",  # Greek omicron / alpha
+}
+
+
+def confusable_report(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_confusable, folded_md5, spoofed): per-doc census of
+    Latin-lookalike Cyrillic/Greek letters — the homoglyph-spoofing
+    vector UTS #39 calls mixed-script confusables (a '\u0440aypal'
+    mention is NOT 'paypal' to any exact matcher, dedup hash, or
+    blocklist). `n_confusable` counts fold-set characters,
+    `folded_md5` hashes the text after folding them to their Latin
+    twins (the skeleton a blocklist should match against), and
+    `spoofed` flags docs whose fold changed the text.
+
+    Pure JVM: one translate() for the fold, replace-delta counts for
+    the census (the bidi_report posture) — no Python, no regex.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    src = "".join(CONFUSABLE_FOLD)
+    dst = "".join(CONFUSABLE_FOLD.values())
+    folded = F.translate(t, src, dst)
+    n = F.lit(0).cast("long")
+    for cp in CONFUSABLE_FOLD:
+        n = n + (F.length(t) - F.length(F.replace(t, F.lit(cp)))).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_confusable"),
+        F.md5(folded).alias("folded_md5"),
+        F.when(folded != t, 1).otherwise(0).cast("int").alias("spoofed"),
+    )

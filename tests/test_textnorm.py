@@ -229,3 +229,29 @@ def test_bidi_report_counts_and_flags(spark):
     assert out[3] == (0, 4, 0)
     assert out[4] == (2, 0, 1)
     assert out[5] == (0, 0, 0)
+
+
+
+def test_confusable_report_fold_and_census(spark):
+    from kgspark.textnorm import confusable_report
+
+    # '\u0440aypal' = Cyrillic er + 'aypal'; doc 3 all-clean
+    docs = spark.createDataFrame(
+        [
+            (1, "pay \u0440aypal now"),
+            (2, "mix \u043e\u0441 letters"),
+            (3, "plain ascii"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in confusable_report(docs).collect()}
+    assert (out[1].n_confusable, out[1].spoofed) == (1, 1)
+    assert (out[2].n_confusable, out[2].spoofed) == (2, 1)
+    assert (out[3].n_confusable, out[3].spoofed) == (0, 0)
+    assert out[4].n_confusable == 0 and out[4].spoofed == 0
+    # the folded hash of the spoofed text equals the hash of the
+    # honest Latin spelling — the property a blocklist needs
+    import hashlib
+    want = hashlib.md5("pay paypal now".encode()).hexdigest()
+    assert out[1].folded_md5 == want
