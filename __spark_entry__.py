@@ -1102,6 +1102,99 @@ FROM cf_a
 """
 
 
+_MIS_EIGEN_SYNTH = """
+{p}_d AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+{p}_e0 AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT 'u' || (d % 40) AS s, 'v' || (d % 9) AS t FROM {p}_d
+    UNION ALL SELECT 'v' || (d % 9), 'w' || (d % 5) FROM {p}_d
+    UNION ALL SELECT 'u' || (d % 40), 'w' || (d % 5) FROM {p}_d
+    WHERE (d % 40) % 2 = 1
+  )
+),
+{p}_und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM {p}_e0
+    UNION ALL SELECT t, s FROM {p}_e0
+  ) WHERE a <> b
+)"""
+
+
+def _mis_sql(rounds: int = 6) -> str:
+    """kg_mis oracle: Luby MIS unrolled — round r CTEs mirror
+    kgspark.graph_algs.luby_mis exactly (min active-neighbor md5
+    priority, strict-< selection, neighbor deactivation)."""
+    parts = [
+        _MIS_EIGEN_SYNTH.format(p="mi"),
+        ",\nmi_a0 AS MATERIALIZED (SELECT DISTINCT a AS node, md5(a) AS p FROM mi_und)",
+    ]
+    sel = []
+    for r in range(rounds):
+        parts.append(f""",
+mi_nb{r} AS MATERIALIZED (
+  SELECT e.a AS node, min(p2.p) AS minp
+  FROM mi_und e
+  JOIN mi_a{r} p1 ON p1.node = e.a
+  JOIN mi_a{r} p2 ON p2.node = e.b
+  GROUP BY e.a
+),
+mi_m{r} AS MATERIALIZED (
+  SELECT a.node FROM mi_a{r} a
+  LEFT JOIN mi_nb{r} nb ON nb.node = a.node
+  WHERE nb.minp IS NULL OR a.p < nb.minp
+),
+mi_c{r} AS MATERIALIZED (
+  SELECT DISTINCT e.a AS node
+  FROM mi_und e
+  JOIN mi_m{r} m ON m.node = e.b
+  JOIN mi_a{r} act ON act.node = e.a
+  WHERE e.a NOT IN (SELECT node FROM mi_m{r})
+),
+mi_a{r + 1} AS MATERIALIZED (
+  SELECT * FROM mi_a{r}
+  WHERE node NOT IN (SELECT node FROM mi_m{r})
+    AND node NOT IN (SELECT node FROM mi_c{r})
+)""")
+        sel.append(
+            f"SELECT node, 'mis' AS state, {r}::INT AS rnd FROM mi_m{r}"
+        )
+        sel.append(f"SELECT node, 'covered', {r}::INT FROM mi_c{r}")
+    sel.append(f"SELECT node, 'unresolved', (-1)::INT FROM mi_a{rounds}")
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+def _eigen_sql(rounds: int = 4) -> str:
+    """kg_eigen oracle: max-norm power iteration unrolled — each round
+    is a neighbor-sum + integer-ppm floor renormalization, mirroring
+    kgspark.graph_algs.eigenvector_centrality (// == Spark div on
+    nonnegative operands)."""
+    parts = [
+        _MIS_EIGEN_SYNTH.format(p="ei"),
+        """,
+ei_n AS (SELECT DISTINCT a AS node FROM ei_und),
+ei_x0 AS (SELECT node, 1000000::BIGINT AS v FROM ei_n)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+ei_r{k} AS (
+  SELECT e.b AS node, sum(x.v)::BIGINT AS raw
+  FROM ei_und e JOIN ei_x{k - 1} x ON x.node = e.a GROUP BY e.b
+),
+ei_f{k} AS (
+  SELECT n.node, coalesce(r.raw, 0)::BIGINT AS raw
+  FROM ei_n n LEFT JOIN ei_r{k} r ON r.node = n.node
+),
+ei_x{k} AS (
+  SELECT node,
+         ((raw * 1000000) // (SELECT max(raw) FROM ei_f{k}))::BIGINT AS v
+  FROM ei_f{k}
+)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT node, v AS eigen_ppm FROM ei_x{rounds}"
+    )
+
+
 _BIDI_CPS = [0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
              0x2066, 0x2067, 0x2068, 0x2069]
 _ZW_CPS = [0x200B, 0x200C, 0x200D, 0xFEFF]
@@ -7402,6 +7495,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).agg(F.count("*").alias("x"))
         return cusum_alarms(daily, ["key"], "day", "x")
 
+    def kg_mis(spark, sf_dir):
+        # Luby maximal independent set (kgspark/graph_algs.py luby_mis):
+        # md5-priority symmetry breaking over the undirected layered
+        # u-v-w graph (+ odd-u shortcuts), 6 unrolled rounds; leftovers
+        # report 'unresolved' identically on both engines
+        from kgspark.graph_algs import luby_mis
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        edges = (
+            docs.select(u.alias("src"), v.alias("dst"))
+            .union(docs.select(v.alias("src"), w.alias("dst")))
+            .union(
+                docs.where((d % 40) % 2 == 1)
+                .select(u.alias("src"), w.alias("dst"))
+            )
+        ).distinct()
+        return luby_mis(edges, rounds=6)
+
+    def kg_eigen(spark, sf_dir):
+        # bounded power-iteration eigenvector centrality (kgspark/
+        # graph_algs.py eigenvector_centrality): 4 rounds, max-norm
+        # renormalization as exact integer ppm floor division, over the
+        # undirected u-v-w graph — the hub core saturates at 1e6
+        from kgspark.graph_algs import eigenvector_centrality
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        edges = (
+            docs.select(u.alias("src"), v.alias("dst"))
+            .union(docs.select(v.alias("src"), w.alias("dst")))
+            .union(
+                docs.where((d % 40) % 2 == 1)
+                .select(u.alias("src"), w.alias("dst"))
+            )
+        ).distinct()
+        return eigenvector_centrality(edges, rounds=4)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -7771,6 +7908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_cardinality": kg_bgp_cardinality,
         "web_punycode": web_punycode,
         "text_confusables": text_confusables,
+        "kg_mis": kg_mis,
+        "kg_eigen": kg_eigen,
     }
 
 
@@ -17055,4 +17194,10 @@ FROM documents
         # replace-delta census are generated FROM CONFUSABLE_FOLD so
         # both engines share one source of truth
         "text_confusables": _confusables_sql(),
+        # kgspark.graph_algs.luby_mis: 6 Luby rounds unrolled (generated
+        # from one source of truth so both engines share the round count)
+        "kg_mis": _mis_sql(6),
+        # kgspark.graph_algs.eigenvector_centrality: 4 power-iteration
+        # rounds unrolled, integer-ppm max-norm each round
+        "kg_eigen": _eigen_sql(4),
     }

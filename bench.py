@@ -380,6 +380,8 @@ BENCH_QUERIES = [
     "kg_bgp_cardinality",
     "web_punycode",
     "text_confusables",
+    "kg_mis",
+    "kg_eigen",
 ]
 
 

@@ -3338,3 +3338,162 @@ def rich_club(
             F.expr("2000000L * n_edges div (n_nodes * (n_nodes - 1))"),
         ).otherwise(F.lit(-1)).cast("long").alias("phi_ppm"),
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby 1986) with
+    deterministic md5 priorities.
+
+    Round r: an active node joins the MIS iff its priority md5(node) is
+    strictly below every ACTIVE neighbor's priority (or it has no active
+    neighbor left); the joined nodes and their neighbors then deactivate.
+    md5 is injective on distinct labels in practice, so priorities form a
+    strict total order and the per-round selection is provably
+    independent: on any edge only the smaller-priority endpoint can win.
+    Bounded `rounds` is the pinned-iteration posture shared with
+    k-core/LPA — with (effectively random) hash priorities the active
+    set shrinks geometrically, and anything still active after the last
+    round reports 'unresolved' rather than guessing; both engines unroll
+    the identical rounds so the output is replicable. The reference's
+    networkx layer (/root/reference/knowledge_graph_builder.py) has no
+    independent-set surface; MIS is the classic distributed symmetry-
+    breaking primitive (graph coloring seeds, parallel scheduling,
+    landmark selection).
+
+    Emits (node, state in {'mis','covered','unresolved'}, rnd) — the
+    round a node was decided, -1 for unresolved.
+
+    Scale shape: each round is two node-keyed hash joins (active-edge
+    restriction), one partial-agg min per node, and two left_anti
+    deactivations — state is node/edge-table sized and shrinks
+    monotonically; no per-node loops, no collect.
+    """
+    und = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    active = materialize(
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("p", F.md5("node"))
+    )
+    out = None
+    for r in range(rounds):
+        nb = (
+            und.join(
+                active.select(F.col("node").alias("a")), "a"
+            )
+            .join(
+                active.select(
+                    F.col("node").alias("b"), F.col("p").alias("pb")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("pb").alias("minp"))
+        )
+        mis_r = materialize(
+            active.join(nb, "node", "left")
+            .where(F.col("minp").isNull() | (F.col("p") < F.col("minp")))
+            .select("node")
+        )
+        covered = materialize(
+            und.join(mis_r.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"))
+            .distinct()
+            .join(active.select("node"), "node", "left_semi")
+            .join(mis_r, "node", "left_anti")
+        )
+        inc = mis_r.select(
+            "node", F.lit("mis").alias("state"),
+            F.lit(r).cast("int").alias("rnd"),
+        ).unionByName(
+            covered.select(
+                "node", F.lit("covered").alias("state"),
+                F.lit(r).cast("int").alias("rnd"),
+            )
+        )
+        out = inc if out is None else out.unionByName(inc)
+        active = materialize(
+            active.join(mis_r, "node", "left_anti")
+            .join(covered, "node", "left_anti")
+        )
+        if active.isEmpty():
+            break
+    leftover = active.select(
+        "node", F.lit("unresolved").alias("state"),
+        F.lit(-1).cast("int").alias("rnd"),
+    )
+    return out.unionByName(leftover)
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded power-iteration eigenvector centrality in exact integer
+    ppm over the undirected view of the edge table.
+
+    x_0(v) = 1e6; each round computes x'(v) = Σ_{u~v} x(u) and
+    renormalizes x ← (x' · 1e6) div max(x') — the max-norm power
+    iteration, kept cross-engine exact by doing the normalization as a
+    nonnegative integer floor division instead of fp64 (the same
+    integer-ppm posture as katz_centrality/harmonic). Unlike PageRank
+    there is no damping, teleport, or out-degree division: a node's
+    score is driven purely by its neighbors' scores, the classic
+    "important friends make you important" recursion (Bonacich 1987).
+    Bounded `rounds` is the pinned-iteration posture — the iterate is a
+    deterministic function of the graph, unrolled identically in the
+    DuckDB oracle. The reference's networkx layer has no centrality
+    surface (/root/reference/knowledge_graph_builder.py).
+
+    Emits (node, eigen_ppm) with eigen_ppm in [0, 1e6]; the max-degree
+    core saturates at 1e6.
+
+    Scale shape: each round is one node-keyed hash join + partial-agg
+    sum, plus a 1-row max aggregate broadcast back via crossJoin (the
+    dangling-mass pattern from pagerank) — never a driver collect.
+    Scores stay ≤ 1e6 after every normalization, so the pre-norm sums
+    are bounded by degree·1e12 — 64-bit safe up to ~9M-degree hubs
+    (document wider units beyond that).
+    """
+    und = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = materialize(und.select(F.col("a").alias("node")).distinct())
+    x = nodes.withColumn("v", F.lit(1_000_000).cast("long"))
+    for _r in range(rounds):
+        raw = (
+            und.join(
+                x.select(F.col("node").alias("a"), F.col("v").alias("w")),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("w").cast("long").alias("raw"))
+        )
+        xs = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        )
+        mx = xs.agg(F.max("raw").alias("mx"))
+        x = materialize(
+            xs.crossJoin(F.broadcast(mx)).select(
+                "node",
+                F.expr("(raw * 1000000L) div mx").cast("long").alias("v"),
+            )
+        )
+    return x.select("node", F.col("v").alias("eigen_ppm"))

@@ -1239,3 +1239,70 @@ def test_rich_club_sparse_core(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rich_club(edges, ks=())
+
+
+def test_luby_mis_independent_and_maximal(spark):
+    from kgspark.graph_algs import luby_mis
+
+    # ring of 12 + two hubs wired into it
+    ring = [(f"n{i}", f"n{(i + 1) % 12}") for i in range(12)]
+    hubs = [("h0", f"n{i}") for i in range(0, 12, 3)]
+    hubs += [("h1", f"n{i}") for i in range(1, 12, 4)]
+    edges = spark.createDataFrame(ring + hubs, "src string, dst string")
+    rows = luby_mis(edges, rounds=8).collect()
+    by_node = {r.node: r.state for r in rows}
+    # every node decided exactly once
+    assert len(rows) == len(by_node) == 14
+    assert set(by_node.values()) <= {"mis", "covered"}
+    mis = {n for n, s in by_node.items() if s == "mis"}
+    und = {(a, b) for a, b in ring + hubs} | {
+        (b, a) for a, b in ring + hubs
+    }
+    # independence: no edge inside the MIS
+    assert not any((a, b) in und for a in mis for b in mis)
+    # maximality: every covered node touches the MIS
+    for n, s in by_node.items():
+        if s == "covered":
+            assert any((n, m) in und for m in mis)
+    # determinism: second run is identical
+    again = {r.node: (r.state, r.rnd)
+             for r in luby_mis(edges, rounds=8).collect()}
+    assert again == {r.node: (r.state, r.rnd) for r in rows}
+
+
+def test_luby_mis_bounded_rounds_unresolved(spark):
+    from kgspark.graph_algs import luby_mis
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(30)],
+        "src string, dst string",
+    )
+    rows = luby_mis(edges, rounds=1).collect()
+    states = {r.state for r in rows}
+    # one round cannot finish a 31-path: leftovers must be reported
+    assert "unresolved" in states and "mis" in states
+    assert all(r.rnd == -1 for r in rows if r.state == "unresolved")
+
+
+def test_eigenvector_centrality_star(spark):
+    from kgspark.graph_algs import eigenvector_centrality
+
+    # star: hub h with 5 leaves + a detached edge (x, y)
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)] + [("x", "y")],
+        "src string, dst string",
+    )
+    # odd round count: the bipartite star has just pushed hub mass out,
+    # so leaves sit at 1/5 of the hub and the detached pair at 1/25
+    out3 = {r.node: r.eigen_ppm
+            for r in eigenvector_centrality(edges, rounds=3).collect()}
+    assert out3["h"] == 1_000_000
+    assert all(out3[f"l{i}"] == 200_000 for i in range(5))
+    assert out3["x"] == out3["y"] == 40_000
+    # even round count: the star oscillates back (classic bipartite
+    # power-iteration behavior) — hub and leaves both at the max norm
+    out4 = {r.node: r.eigen_ppm
+            for r in eigenvector_centrality(edges, rounds=4).collect()}
+    assert out4["h"] == 1_000_000
+    assert all(out4[f"l{i}"] == 1_000_000 for i in range(5))
+    assert out4["x"] == out4["y"] == 40_000
