@@ -1195,6 +1195,97 @@ ei_x{k} AS (
     )
 
 
+def _iban_expand_sql(expr: str) -> str:
+    """A=10..Z=35 letter expansion as a 26-step replace chain (mirrors
+    kgspark.pii.iban_expand — replacements introduce only digits, so
+    the chain cannot cascade)."""
+    out = expr
+    for i in range(26):
+        out = f"replace({out}, '{chr(65 + i)}', '{10 + i}')"
+    return out
+
+
+def _iban_mod97_sql(col: str) -> str:
+    """Chunked mod-97 fold over a 70-digit lpad'ed column (mirrors
+    kgspark.pii.iban_mod97; col must already be lpad(.., 70, '0'))."""
+    r = f"(TRY_CAST(substr({col}, 1, 7) AS BIGINT) % 97)"
+    for i in range(1, 10):
+        r = (f"(({r} * 10000000 + "
+             f"TRY_CAST(substr({col}, {1 + 7 * i}, 7) AS BIGINT)) % 97)")
+    return r
+
+
+def _iban_sql() -> str:
+    """pii_iban oracle: synthesis (true check digits via the same fold)
+    + census, both generated from kgspark.pii's registry and helpers so
+    the two engines share one source of truth."""
+    from kgspark.pii import IBAN_COUNTRY_LEN
+
+    ccs = list(IBAN_COUNTRY_LEN.items())
+    cc_case = "CASE c_custkey % 8 " + " ".join(
+        f"WHEN {i} THEN '{cc}'" for i, (cc, _ln) in enumerate(ccs)
+    ) + f" ELSE '{ccs[0][0]}' END"
+    len_case = "CASE substr(c, 1, 2) " + " ".join(
+        f"WHEN '{cc}' THEN length(c) = {ln}" for cc, ln in ccs
+    ) + " ELSE length(c) BETWEEN 15 AND 34 END"
+    clen_case = "CASE c_custkey % 8 " + " ".join(
+        f"WHEN {i} THEN {ln}" for i, (_cc, ln) in enumerate(ccs)
+    ) + f" ELSE {ccs[0][1]} END"
+    return f"""
+WITH ib_b AS (
+  SELECT c_custkey AS rec_id,
+         {cc_case} AS country,
+         {clen_case} AS clen,
+         lpad(((c_custkey * 7919 + 13) % 1000000007)::VARCHAR, 10, '0')
+           AS base
+  FROM customer
+),
+ib_s AS (
+  SELECT rec_id, country,
+         substr(repeat(base, 4), 1, clen - 4) AS bban
+  FROM ib_b
+),
+ib_e AS (
+  SELECT *,
+         lpad({_iban_expand_sql("(bban || country || '00')")}, 70, '0')
+           AS e0
+  FROM ib_s
+),
+ib_k AS (SELECT *, {_iban_mod97_sql('e0')} AS rem0 FROM ib_e),
+ib_i AS (
+  SELECT rec_id,
+         country
+         || (CASE WHEN rec_id % 3 = 0
+                  THEN lpad((98 - rem0)::VARCHAR, 2, '0')
+                  ELSE lpad((rec_id % 100)::VARCHAR, 2, '0') END)
+         || bban AS iban
+  FROM ib_k
+),
+ib_u AS (
+  SELECT rec_id, upper(replace(coalesce(iban, ''), ' ', '')) AS c
+  FROM ib_i
+),
+ib_f AS (
+  SELECT rec_id, c, substr(c, 1, 2) AS country,
+         (regexp_matches(c, '^[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}$')
+          AND {len_case}) AS fmt
+  FROM ib_u
+),
+ib_x AS (
+  SELECT *,
+         lpad({_iban_expand_sql("(substr(c, 5, 64) || substr(c, 1, 4))")},
+              70, '0') AS e1
+  FROM ib_f
+),
+ib_r AS (SELECT *, {_iban_mod97_sql('e1')} AS rem FROM ib_x)
+SELECT rec_id, c AS iban, country,
+       (CASE WHEN fmt THEN 1 ELSE 0 END)::INT AS is_format,
+       (CASE WHEN fmt THEN rem ELSE -1 END)::BIGINT AS rem97,
+       (CASE WHEN fmt AND rem = 1 THEN 1 ELSE 0 END)::INT AS is_valid
+FROM ib_r
+"""
+
+
 _BIDI_CPS = [0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
              0x2066, 0x2067, 0x2068, 0x2069]
 _ZW_CPS = [0x200B, 0x200C, 0x200D, 0xFEFF]
@@ -7539,6 +7630,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         return eigenvector_centrality(edges, rounds=4)
 
+    def pii_iban(spark, sf_dir):
+        # IBAN MOD-97-10 validation census (kgspark/pii.py iban_census):
+        # account candidates synthesized over customer with TRUE check
+        # digits for every 3rd key (computed with the same chunked
+        # mod-97 fold the op uses — both engines share one arithmetic),
+        # junk check digits elsewhere (~1/97 accidental passes)
+        from kgspark.pii import (
+            IBAN_COUNTRY_LEN, iban_census, iban_expand, iban_mod97,
+        )
+
+        cust = _read(spark, sf_dir, "customer")
+        k = F.col("c_custkey")
+        ccs = list(IBAN_COUNTRY_LEN.items())
+        country = F.lit(ccs[0][0])
+        clen = F.lit(ccs[0][1])
+        for i, (cc, ln) in enumerate(ccs[1:], start=1):
+            country = F.when(k % 8 == i, F.lit(cc)).otherwise(country)
+            clen = F.when(k % 8 == i, F.lit(ln)).otherwise(clen)
+        base = F.lpad(
+            ((k * 7919 + 13) % 1000000007).cast("string"), 10, "0"
+        )
+        bban = F.substring(F.repeat(base, 4), F.lit(1), clen - 4)
+        rem0 = iban_mod97(
+            iban_expand(F.concat(bban, country, F.lit("00")))
+        )
+        chk = F.when(
+            k % 3 == 0, F.lpad((F.lit(98) - rem0).cast("string"), 2, "0")
+        ).otherwise(F.lpad((k % 100).cast("string"), 2, "0"))
+        cands = cust.select(
+            k.alias("rec_id"),
+            F.concat(country, chk, bban).alias("iban"),
+        )
+        return iban_census(cands)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -7910,6 +8035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_confusables": text_confusables,
         "kg_mis": kg_mis,
         "kg_eigen": kg_eigen,
+        "pii_iban": pii_iban,
     }
 
 
@@ -17200,4 +17326,7 @@ FROM documents
         # kgspark.graph_algs.eigenvector_centrality: 4 power-iteration
         # rounds unrolled, integer-ppm max-norm each round
         "kg_eigen": _eigen_sql(4),
+        # kgspark.pii.iban_census: synthesis + census share the
+        # registry, letter-expansion chain, and mod-97 fold
+        "pii_iban": _iban_sql(),
     }

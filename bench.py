@@ -382,6 +382,7 @@ BENCH_QUERIES = [
     "text_confusables",
     "kg_mis",
     "kg_eigen",
+    "pii_iban",
 ]
 
 

@@ -165,3 +165,80 @@ def luhn_census(
         F.count("cand").cast("long").alias("n_candidates"),
         F.sum(valid).cast("long").alias("n_valid"),
     )
+
+
+# Pinned IBAN registry slice (ISO 13616): country -> total length. A real
+# deployment ships the full ~80-entry registry the same way; the census
+# treats unknown countries as shape-only (length 15..34).
+IBAN_COUNTRY_LEN: dict[str, int] = {
+    "BE": 16, "NL": 18, "CH": 21, "DE": 22, "GB": 22, "ES": 24,
+    "FR": 27, "IT": 27,
+}
+
+_IBAN_SHAPE = "^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"
+
+
+def iban_expand(col):
+    """Replace every A-Z letter with its ISO 13616 two-digit code
+    (A=10 .. Z=35) — a fixed 26-step replace chain (the ECHAR-chain
+    posture from kgspark.rdf): replacements introduce only digits, so
+    the chain cannot cascade. JVM-side `replace`, no regex."""
+    out = col
+    for i in range(26):
+        out = F.replace(out, F.lit(chr(ord("A") + i)), F.lit(str(10 + i)))
+    return out
+
+
+def iban_mod97(col):
+    """mod 97 of a decimal digit string (<= 70 digits) as a fixed
+    10-chunk fold: lpad to 70 (leading zeros don't change the residue),
+    then r <- (r * 10^7 + chunk) % 97 over 7-digit substrings — the
+    whole big-integer reduction as one nested JVM integer expression
+    (the 16-term Luhn posture, kgspark.pii._luhn_sum). try_cast keeps
+    non-digit garbage NULL-propagating instead of ANSI-throwing."""
+    s = F.lpad(col, 70, "0")
+    r = F.substring(s, 1, 7).try_cast("long") % 97
+    for i in range(1, 10):
+        chunk = F.substring(s, 1 + 7 * i, 7).try_cast("long")
+        r = (r * F.lit(10_000_000) + chunk) % 97
+    return r
+
+
+def iban_census(
+    df: DataFrame,
+    iban_col: str = "iban",
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """(id, iban, country, is_format, rem97, is_valid): IBAN (ISO
+    13616) candidates checked against the MOD-97-10 checksum (ISO/IEC
+    7064) — the canonical false-positive filter over account-shaped
+    strings, the same role Luhn plays for cards: a random well-formed
+    candidate passes ~1/97 of the time. Normalization (strip spaces,
+    uppercase), the registry length gate, the rearrangement
+    (body+country+check moved to the tail), letter expansion, and the
+    chunked mod-97 fold are all pure JVM column arithmetic — map-only,
+    no shuffle, no Python. rem97 is -1 for non-format rows (the NULL-
+    sentinel posture); is_valid = is_format AND rem97 == 1.
+    """
+    c = F.upper(
+        F.regexp_replace(F.coalesce(F.col(iban_col), F.lit("")), " ", "")
+    )
+    country = F.substring(c, 1, 2)
+    known_len = F.lit(None).cast("int")
+    for cc, ln in IBAN_COUNTRY_LEN.items():
+        known_len = F.when(country == cc, F.lit(ln)).otherwise(known_len)
+    len_ok = F.when(
+        known_len.isNotNull(), F.length(c) == known_len
+    ).otherwise((F.length(c) >= 15) & (F.length(c) <= 34))
+    is_format = c.rlike(_IBAN_SHAPE) & len_ok
+    rearr = F.concat(F.substring(c, 5, 64), F.substring(c, 1, 4))
+    rem = iban_mod97(iban_expand(rearr))
+    return df.select(
+        F.col(id_col),
+        c.alias("iban"),
+        country.alias("country"),
+        is_format.cast("int").alias("is_format"),
+        F.when(is_format, rem).otherwise(F.lit(-1))
+        .cast("long").alias("rem97"),
+        (is_format & (rem == 1)).cast("int").alias("is_valid"),
+    )

@@ -201,3 +201,28 @@ def test_luhn_census_known_numbers(spark):
     # 1234-5678-9012-3456 fails the checksum (sum % 10 == 4)
     assert out[3] == (2, 1)
     assert out[4] == (0, 0) and out[5] == (0, 0)
+
+
+def test_iban_census_known_vectors(spark):
+    from kgspark.pii import iban_census
+
+    rows = [
+        (1, "DE89 3704 0044 0532 0130 00"),  # canonical valid example
+        (2, "GB82 WEST 1234 5698 7654 32"),  # valid, letters in BBAN
+        (3, "GB82 WEST 1234 5698 7654 33"),  # one digit off
+        (4, "DE89370400440532013"),          # wrong length for DE
+        (5, "de89 3704 0044 0532 0130 00"),  # lowercase normalizes
+        (6, None),
+        (7, "XX661234567890123"),            # unknown country, shape ok
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, iban string")
+    out = {r.rec_id: (r.country, r.is_format, r.rem97, r.is_valid)
+           for r in iban_census(df).collect()}
+    assert out[1] == ("DE", 1, 1, 1)
+    assert out[2] == ("GB", 1, 1, 1)
+    assert out[3][3] == 0 and out[3][2] not in (1, -1)
+    assert out[4] == ("DE", 0, -1, 0)
+    assert out[5] == ("DE", 1, 1, 1)
+    assert out[6] == ("", 0, -1, 0)
+    # unknown-registry country: shape passes, checksum decides
+    assert out[7][1] == 1 and out[7][3] == 0
