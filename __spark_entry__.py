@@ -1195,6 +1195,53 @@ ei_x{k} AS (
     )
 
 
+_UCC_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"]
+
+
+def _ucc_sql() -> str:
+    """schema_ucc oracle: per-combo distinct counts generated from the
+    same pinned column list (_UCC_COLS) the Spark query uses; string
+    casts only need per-engine injectivity, so DuckDB's VARCHAR
+    renderings never have to byte-match Spark's."""
+    from itertools import combinations
+
+    def key(c):
+        return f"coalesce({c}::VARCHAR, '<NULL>')"
+
+    sels = [
+        f"SELECT '{c}' AS combo, count(DISTINCT {key(c)})::BIGINT"
+        f" AS n_distinct FROM orders"
+        for c in _UCC_COLS
+    ] + [
+        f"SELECT '{a},{b}', count(DISTINCT {key(a)} || chr(31) || {key(b)})"
+        f"::BIGINT FROM orders"
+        for a, b in combinations(_UCC_COLS, 2)
+    ]
+    body = "\n  UNION ALL ".join(sels)
+    return f"""
+WITH uc_n AS (SELECT count(*)::BIGINT AS n_rows FROM orders),
+uc_d AS (
+  {body}
+),
+uc_s AS (
+  SELECT combo AS m, (n_distinct = (SELECT n_rows FROM uc_n)) AS mu
+  FROM uc_d WHERE strpos(combo, ',') = 0
+)
+SELECT d.combo, d.n_distinct, n.n_rows,
+       ((d.n_distinct * 1000000) // n.n_rows)::BIGINT AS ratio_ppm,
+       (d.n_distinct = n.n_rows)::INT AS is_unique,
+       (CASE WHEN d.n_distinct <> n.n_rows THEN 0
+             WHEN strpos(d.combo, ',') = 0 THEN 1
+             WHEN NOT sa.mu AND NOT sb.mu THEN 1
+             ELSE 0 END)::INT AS is_minimal
+FROM uc_d d
+CROSS JOIN uc_n n
+LEFT JOIN uc_s sa ON sa.m = split_part(d.combo, ',', 1)
+LEFT JOIN uc_s sb ON sb.m = split_part(d.combo, ',', 2)
+"""
+
+
 def _iban_expand_sql(expr: str) -> str:
     """A=10..Z=35 letter expansion as a 26-step replace chain (mirrors
     kgspark.pii.iban_expand — replacements introduce only digits, so
@@ -7664,6 +7711,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return iban_census(cands)
 
+    def schema_ucc(spark, sf_dir):
+        # unique-column-combination / candidate-key discovery (kgspark/
+        # schema_induce.py ucc_discover): singles + pairs lattice slice
+        # over orders in ONE exploded value-keyed shuffle — o_orderkey
+        # is the only minimal single key, pairs containing it are
+        # unique-but-not-minimal
+        from kgspark.schema_induce import ucc_discover
+
+        o = _read(spark, sf_dir, "orders")
+        return ucc_discover(o, _UCC_COLS)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8036,6 +8094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mis": kg_mis,
         "kg_eigen": kg_eigen,
         "pii_iban": pii_iban,
+        "schema_ucc": schema_ucc,
     }
 
 
@@ -17329,4 +17388,7 @@ FROM documents
         # kgspark.pii.iban_census: synthesis + census share the
         # registry, letter-expansion chain, and mod-97 fold
         "pii_iban": _iban_sql(),
+        # kgspark.schema_induce.ucc_discover: combos generated from the
+        # shared _UCC_COLS pin
+        "schema_ucc": _ucc_sql(),
     }

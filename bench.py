@@ -383,6 +383,7 @@ BENCH_QUERIES = [
     "kg_mis",
     "kg_eigen",
     "pii_iban",
+    "schema_ucc",
 ]
 
 

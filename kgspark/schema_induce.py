@@ -409,3 +409,88 @@ def inclusion_deps(
         )
         .where(F.col("containment_ppm") >= min_containment_ppm)
     )
+
+
+def ucc_discover(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Unique-column-combination (candidate-key) discovery up to size 2
+    — the profiling complement to fd_mine (FDs) and inclusion_deps
+    (foreign keys): a combo is a key candidate iff its distinct count
+    equals the row count (Heise et al., DUCC, PVLDB 2013 — here the
+    bounded-lattice slice: all singles + all pairs of the pinned
+    `cols`).
+
+    One wide shuffle does every combo at once: each row EXPLODES into
+    one (combo, key) pair per combo — the same one-pass posture as
+    inclusion_deps' value-keyed shuffle — then a single distinct +
+    count-by-combo. NULLs participate as a sentinel value (SQL
+    UNIQUE-constraint semantics would skip them; profiling wants them
+    counted), and pair keys join on an \\x1f separator over
+    string-casts, which only needs per-engine injectivity, never
+    cross-engine byte equality.
+
+    Emits (combo, n_distinct, n_rows, ratio_ppm, is_unique,
+    is_minimal): a pair is minimal iff unique and neither member is
+    unique alone.
+
+    Scale shape: the exploded stream is |cols|+C(|cols|,2) × rows —
+    map-side partial distinct collapses it before the exchange; at a
+    wider lattice you'd prune supersets of discovered keys between
+    levels (the DUCC walk) instead of exploding every level.
+    """
+    from itertools import combinations
+
+    if len(cols) < 2:
+        raise ValueError("ucc_discover needs >= 2 columns")
+    sep = F.lit("\x1f")
+
+    def key_of(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+
+    entries = [(c, key_of(c)) for c in cols]
+    entries += [
+        (f"{a},{b}", F.concat(key_of(a), sep, key_of(b)))
+        for a, b in combinations(cols, 2)
+    ]
+    kv = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(cid).alias("combo"), k.alias("k"))
+                for cid, k in entries
+            ])
+        ).alias("e")
+    ).select("e.*")
+    per = kv.distinct().groupBy("combo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    nrows = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    base = per.crossJoin(F.broadcast(nrows))
+    singles = base.where(~F.col("combo").contains(",")).select(
+        F.col("combo").alias("m"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("mu"),
+    )
+    parts = F.split("combo", ",")
+    out = (
+        base.withColumn("a", parts[0])
+        .withColumn(
+            "b", F.when(F.size(parts) > 1, parts[1])
+        )
+        .join(
+            F.broadcast(singles.withColumnsRenamed({"m": "a", "mu": "ua"})),
+            "a", "left",
+        )
+        .join(
+            F.broadcast(singles.withColumnsRenamed({"m": "b", "mu": "ub"})),
+            "b", "left",
+        )
+    )
+    uniq = F.col("n_distinct") == F.col("n_rows")
+    minimal = F.when(
+        F.col("b").isNull(), uniq
+    ).otherwise(uniq & ~F.col("ua") & ~F.col("ub"))
+    return out.select(
+        "combo", "n_distinct", "n_rows",
+        F.expr("(n_distinct * 1000000L) div n_rows")
+        .cast("long").alias("ratio_ppm"),
+        uniq.cast("int").alias("is_unique"),
+        minimal.cast("int").alias("is_minimal"),
+    )

@@ -139,3 +139,31 @@ def test_inclusion_deps_min_threshold(spark):
     out = inclusion_deps([("a", a, "k"), ("b", b, "k")],
                          min_containment_ppm=600_000)
     assert out.count() == 0  # 50% each way, below the floor
+
+
+def test_ucc_discover_hand_case(spark):
+    from kgspark.schema_induce import ucc_discover
+
+    # id unique alone; (a, b) jointly unique but neither alone;
+    # c is constant; a NULL participates as a value
+    rows = [
+        (1, "x", 10, "k"),
+        (2, "x", 20, "k"),
+        (3, "y", 10, "k"),
+        (4, "y", 20, "k"),
+        (5, None, 30, "k"),
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, b long, c string")
+    out = {r.combo: r for r in ucc_discover(df, ["id", "a", "b", "c"]).collect()}
+    assert len(out) == 4 + 6
+    assert (out["id"].is_unique, out["id"].is_minimal) == (1, 1)
+    assert out["a"].n_distinct == 3  # x, y, <NULL>
+    assert (out["a,b"].is_unique, out["a,b"].is_minimal) == (1, 1)
+    # pair containing the single key: unique but NOT minimal
+    assert (out["id,c"].is_unique, out["id,c"].is_minimal) == (1, 0)
+    assert (out["c"].is_unique, out["c"].n_distinct) == (0, 1)
+    assert out["b,c"].is_unique == 0
+    assert out["id"].ratio_ppm == 1_000_000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ucc_discover(df, ["id"])
