@@ -7722,6 +7722,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = _read(spark, sf_dir, "orders")
         return ucc_discover(o, _UCC_COLS)
 
+    def sketch_ams(spark, sf_dir):
+        # AMS tug-of-war F2 sketch (kgspark/sketch.py ams_sketch): 8
+        # md5-parity sign components over a skewed token stream, mean-
+        # of-squares estimate vs the exact second moment — all exact
+        # integers, grand totals ride 1-row broadcasts
+        from kgspark.sketch import ams_estimate, ams_sketch
+
+        ev = _read(spark, sf_dir, "events")
+        stream = ev.select(
+            F.concat(
+                F.col("event_type"), F.lit("#"),
+                (F.col("user_id") % 25).cast("string"),
+            ).alias("token")
+        )
+        sk = ams_sketch(stream, "token", reps=8)
+        est = ams_estimate(sk)
+        exact = (
+            stream.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(F.sum(F.expr("c * c")).cast("long").alias("f2_exact"))
+        )
+        return (
+            sk.crossJoin(F.broadcast(est))
+            .crossJoin(F.broadcast(exact))
+            .select("rep", "component", "est_f2", "reps", "f2_exact")
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8095,6 +8122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eigen": kg_eigen,
         "pii_iban": pii_iban,
         "schema_ucc": schema_ucc,
+        "sketch_ams": sketch_ams,
     }
 
 
@@ -17391,4 +17419,31 @@ FROM documents
         # kgspark.schema_induce.ucc_discover: combos generated from the
         # shared _UCC_COLS pin
         "schema_ucc": _ucc_sql(),
+        # kgspark.sketch.ams_sketch/ams_estimate: md5-parity signs via
+        # the shared hex6 fold; exact-integer components and estimates
+        "sketch_ams": f"""
+WITH am_s AS (
+  SELECT event_type || '#' || (user_id % 25) AS v FROM events
+),
+am_h AS (
+  SELECT r.j::INT AS rep,
+         substr(md5(r.j || '|' || s.v), 1, 6) AS h6
+  FROM am_s s CROSS JOIN range(8) r(j)
+),
+am_c AS (
+  SELECT rep,
+         sum(1 - 2 * (({_hex6_sql('h6')}) % 2))::BIGINT AS component
+  FROM am_h GROUP BY rep
+),
+am_e AS (
+  SELECT (sum(component * component) // count(*))::BIGINT AS est_f2,
+         count(*)::BIGINT AS reps
+  FROM am_c
+),
+am_x AS (
+  SELECT sum(c * c)::BIGINT AS f2_exact
+  FROM (SELECT count(*)::BIGINT AS c FROM am_s GROUP BY v)
+)
+SELECT rep, component, est_f2, reps, f2_exact FROM am_c, am_e, am_x
+""",
     }

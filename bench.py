@@ -384,6 +384,7 @@ BENCH_QUERIES = [
     "kg_eigen",
     "pii_iban",
     "schema_ucc",
+    "sketch_ams",
 ]
 
 

@@ -413,3 +413,61 @@ def kmv_intersect(
             .alias("est_intersect"),
         )
     )
+
+
+def ams_sketch(
+    df: DataFrame,
+    value_col: str = "token",
+    reps: int = 8,
+) -> DataFrame:
+    """AMS "tug-of-war" second-frequency-moment sketch (Alon, Matias &
+    Szegedy 1996): rep j keeps component_j = Σ_rows s_j(v), where
+    s_j(v) ∈ {-1,+1} is a hash sign — so component_j = Σ_values
+    c_v·s_j(v) and E[component²] = F2 = Σ c_v². Completes the sketch
+    family: CMS answers point frequency, HLL/KMV cardinality, AMS the
+    self-join size / repeat-rate moment (the collision mass that prices
+    a groupBy/join on this key stream).
+
+    Deterministic + exact: the sign is the parity of md5(rep||'|'||v)
+    (the repo-wide md5-hex6 convention), components are exact integer
+    sums — bit-reproducible across partitionings and engines. Merge law
+    (pytest-proven): sketch(A ⊎ B) = sketch(A) + sketch(B)
+    componentwise, the mergeable-summary property that lets shards/days
+    combine by elementwise addition.
+
+    Scale shape: one map-side-combined aggregation whose state is
+    `reps` counters per task — NO value-keyed shuffle (the stream is
+    never grouped by value, unlike an exact F2), so it survives any key
+    cardinality. Row cost is `reps` md5 calls.
+    """
+    if reps < 1:
+        raise ValueError("ams_sketch: reps must be >= 1")
+    rows = (
+        df.select(F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .select(
+            F.explode(
+                F.array(*[F.lit(j) for j in range(reps)])
+            ).alias("rep"),
+            "v",
+        )
+    )
+    h = F.md5(F.concat(F.col("rep").cast("string"), F.lit("|"), F.col("v")))
+    sign = F.lit(1) - F.lit(2) * (
+        _hex6_to_int(F.substring(h, 1, 6)) % F.lit(2)
+    )
+    return rows.groupBy(F.col("rep").cast("int").alias("rep")).agg(
+        F.sum(sign).cast("long").alias("component")
+    )
+
+
+def ams_estimate(sketch: DataFrame) -> DataFrame:
+    """1-row (est_f2, reps) from an ams_sketch table: the mean of
+    component² as an exact integer floor division (mean beats median
+    here because determinism, not tail robustness, is the contract;
+    variance shrinks 1/reps either way)."""
+    return sketch.agg(
+        F.expr("sum(component * component) div count(1)")
+        .cast("long").alias("est_f2"),
+        F.count(F.lit(1)).cast("long").alias("reps"),
+    )

@@ -230,3 +230,34 @@ def test_kmv_intersect_exact_and_estimated(spark):
     gi = kmv_intersect(kmv_table(big_a, k=k), kmv_table(big_b, k=k),
                        k=k).collect()[0]
     assert abs(gi.est_intersect - 3000) / 3000 < 0.35
+
+
+def test_ams_merge_law_and_estimate(spark):
+    from kgspark.sketch import ams_estimate, ams_sketch
+
+    a = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 3 + [("z",)], "token string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 2 + [("w",)] * 4, "token string"
+    )
+    both = a.unionByName(b)
+    ska = {r.rep: r.component for r in ams_sketch(a, reps=6).collect()}
+    skb = {r.rep: r.component for r in ams_sketch(b, reps=6).collect()}
+    sku = {r.rep: r.component for r in ams_sketch(both, reps=6).collect()}
+    # merge law: sketch of the multiset union == componentwise sum
+    assert sku == {j: ska[j] + skb[j] for j in ska}
+    # determinism
+    assert ska == {r.rep: r.component
+                   for r in ams_sketch(a, reps=6).collect()}
+    # estimate is the exact integer mean of squares
+    est = ams_estimate(ams_sketch(both, reps=6)).collect()[0]
+    assert est.reps == 6
+    assert est.est_f2 == sum(c * c for c in sku.values()) // 6
+    # single-value stream: every component is ±n, estimate exactly n²
+    one = spark.createDataFrame([("k",)] * 7, "token string")
+    est1 = ams_estimate(ams_sketch(one, reps=4)).collect()[0]
+    assert est1.est_f2 == 49
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ams_sketch(a, reps=0)
