@@ -7749,6 +7749,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("rep", "component", "est_f2", "reps", "f2_exact")
         )
 
+    def rel_trend(spark, sf_dir):
+        # Mann-Kendall monotone-trend census (kgspark/relops.py
+        # trend_test): per-user S statistic + truncated tau-a ppm over
+        # the first 30 events by (ts, event_id), values pinned to cents
+        # with the floor(x*100+0.5) quantization
+        from kgspark.relops import trend_test
+
+        ev = _read(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+        )
+        return trend_test(
+            ev, ["user_id"], ["ts", "event_id"], "cents", max_rows=30
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8123,6 +8138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_iban": pii_iban,
         "schema_ucc": schema_ucc,
         "sketch_ams": sketch_ams,
+        "rel_trend": rel_trend,
     }
 
 
@@ -17445,5 +17461,36 @@ am_x AS (
   FROM (SELECT count(*)::BIGINT AS c FROM am_s GROUP BY v)
 )
 SELECT rep, component, est_f2, reps, f2_exact FROM am_c, am_e, am_x
+""",
+        # kgspark.relops.trend_test: bounded-window Mann-Kendall; tau-a
+        # keeps the ratio RATIONAL so // and Spark div agree (both
+        # truncate toward zero on negative S)
+        "rel_trend": """
+WITH tr_b AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+tr_w AS (SELECT * FROM tr_b WHERE rn <= 30),
+tr_n AS (SELECT user_id, count(*)::BIGINT AS n FROM tr_w GROUP BY 1),
+tr_p AS (
+  SELECT a.user_id,
+         sum(CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END)::BIGINT AS s
+  FROM tr_w a JOIN tr_w b ON a.user_id = b.user_id AND a.rn < b.rn
+  GROUP BY 1
+)
+SELECT n.user_id, n.n,
+       coalesce(p.s, 0)::BIGINT AS s,
+       (n.n * (n.n - 1) // 2)::BIGINT AS n_pairs,
+       (CASE WHEN n.n >= 2
+             THEN (1000000 * coalesce(p.s, 0)) // (n.n * (n.n - 1) // 2)
+             ELSE 0 END)::BIGINT AS tau_a_ppm,
+       CASE WHEN coalesce(p.s, 0) > 0 THEN 'inc'
+            WHEN coalesce(p.s, 0) < 0 THEN 'dec'
+            ELSE 'flat' END AS trend
+FROM tr_n n LEFT JOIN tr_p p USING (user_id)
 """,
     }

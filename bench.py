@@ -385,6 +385,7 @@ BENCH_QUERIES = [
     "pii_iban",
     "schema_ucc",
     "sketch_ams",
+    "rel_trend",
 ]
 
 

@@ -1470,3 +1470,86 @@ def gini_census(
         F.when(F.col("total") > 0, quot)
         .otherwise(F.lit(-1)).cast("long").alias("gini_ppm"),
     )
+
+
+def trend_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_rows: int = 40,
+) -> DataFrame:
+    """Mann-Kendall trend test per group (Mann 1945, Kendall 1975) in
+    exact integers: S = Σ_{i<j} sign(v_j − v_i) over the group's first
+    `max_rows` rows in `order_cols` order, plus Kendall's tau-a =
+    S / (n(n−1)/2) in truncated ppm. The nonparametric complement to
+    cusum_alarms (level shifts) and burst_windows (rate spikes): it
+    asks "is this series monotonically drifting?" without assuming a
+    distribution — the standard monitor for slow metric creep.
+
+    tau-a (no tie correction in the denominator) is the deviation
+    pinned deliberately: tau-b's denominator needs sqrt of tie-adjusted
+    products, while tau-a stays a RATIONAL in exact integer arithmetic
+    (Spark `div` and DuckDB `//` both truncate toward zero, so negative
+    S divides identically — the ppm-truncation gotcha). `value_col`
+    must already be integer (quantize fp upstream with the
+    floor(x·scale+0.5) pin).
+
+    Bounded-window posture: the per-group pair join is max_rows²/2 —
+    the same documented calibration bound as sorted_neighborhood /
+    knn_graph exact mode; at 100 TB the group stream is range-rank
+    truncated before any pairing, so no group ever materializes an
+    unbounded quadratic.
+
+    Emits group_cols + (n, s, n_pairs, tau_a_ppm, trend) with trend ∈
+    {'inc','dec','flat'} by the sign of S; single-row groups report
+    tau 0 / 'flat' (no CASE-unguarded division — ANSI div-by-zero).
+    """
+    from kgspark.session import materialize
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    bounded = materialize(
+        df.select(
+            *group_cols,
+            F.col(value_col).cast("long").alias("__v"),
+            F.row_number().over(w).alias("__rn"),
+        ).where(F.col("__rn") <= max_rows)
+    )
+    n = bounded.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = bounded.select(
+        *group_cols, F.col("__v").alias("__va"), F.col("__rn").alias("__ra")
+    )
+    b = bounded.select(
+        *group_cols, F.col("__v").alias("__vb"), F.col("__rn").alias("__rb")
+    )
+    sgn = (
+        F.when(F.col("__vb") > F.col("__va"), 1)
+        .when(F.col("__vb") < F.col("__va"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        a.join(b, group_cols)
+        .where(F.col("__ra") < F.col("__rb"))
+        .groupBy(*group_cols)
+        .agg(F.sum(sgn).cast("long").alias("s"))
+    )
+    s = F.coalesce("s", F.lit(0))
+    npairs = F.expr("n * (n - 1) div 2")
+    return n.join(pairs, group_cols, "left").select(
+        *group_cols,
+        "n",
+        s.cast("long").alias("s"),
+        npairs.cast("long").alias("n_pairs"),
+        F.when(
+            F.col("n") >= 2,
+            F.expr(
+                "(1000000L * coalesce(s, 0L)) div (n * (n - 1) div 2)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("tau_a_ppm"),
+        F.when(s > 0, "inc").when(s < 0, "dec")
+        .otherwise("flat").alias("trend"),
+    )

@@ -579,3 +579,39 @@ def test_gini_tie_order_invariance(spark):
     gb = gini_census(b, "g", "x").collect()[0].gini_ppm
     # (2*(2*5+3*5) - 4*10)/(3*10) = 10/30
     assert ga == gb == 333_333
+
+
+def test_trend_test_hand_case(spark):
+    from kgspark.relops import trend_test
+
+    rows = (
+        # g=1: strictly increasing -> S = 10, tau = 1
+        [(1, i, i * 10) for i in range(5)]
+        # g=2: strictly decreasing -> tau = -1
+        + [(2, i, 100 - i) for i in range(4)]
+        # g=3: constant -> flat
+        + [(3, i, 7) for i in range(3)]
+        # g=4: single row
+        + [(4, 0, 42)]
+        # g=5: 2,1,3 -> pairs (2,1)=-1 (2,3)=+1 (1,3)=+1 -> S=1 of 3
+        + [(5, 0, 2), (5, 1, 1), (5, 2, 3)]
+    )
+    df = spark.createDataFrame(rows, "g long, t long, v long")
+    out = {r.g: r for r in trend_test(df, ["g"], ["t"], "v").collect()}
+    assert (out[1].s, out[1].n_pairs, out[1].tau_a_ppm, out[1].trend) == \
+        (10, 10, 1_000_000, "inc")
+    assert (out[2].tau_a_ppm, out[2].trend) == (-1_000_000, "dec")
+    assert (out[3].s, out[3].trend) == (0, "flat")
+    assert (out[4].n, out[4].n_pairs, out[4].tau_a_ppm) == (1, 0, 0)
+    # truncation toward zero: 1e6/3 = 333333
+    assert (out[5].s, out[5].tau_a_ppm) == (1, 333_333)
+    # max_rows bound: with the increasing series truncated to 3 rows
+    b = {r.g: r for r in
+         trend_test(df, ["g"], ["t"], "v", max_rows=3).collect()}
+    assert (b[1].n, b[1].n_pairs, b[1].s) == (3, 3, 3)
+    # negative truncation toward zero (Spark div == DuckDB //): S=-1/3
+    neg = spark.createDataFrame(
+        [(9, 0, 3), (9, 1, 4), (9, 2, 1)], "g long, t long, v long"
+    )
+    o = trend_test(neg, ["g"], ["t"], "v").collect()[0]
+    assert (o.s, o.tau_a_ppm) == (-1, -333_333)
