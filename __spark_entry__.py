@@ -7764,6 +7764,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, ["user_id"], ["ts", "event_id"], "cents", max_rows=30
         )
 
+    def kg_graphlets(spark, sf_dir):
+        # 3/4-node graphlet census (kgspark/graph_algs.py
+        # graphlet_census): wedges/claws from degrees, triangles by
+        # ordered 3-join, P4 paths and 4-cycles by the closed-form
+        # degree/co-degree identities — never a 4-node tuple
+        from kgspark.graph_algs import graphlet_census
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        edges = (
+            docs.select(u.alias("src"), v.alias("dst"))
+            .union(docs.select(v.alias("src"), w.alias("dst")))
+            .union(
+                docs.where((d % 40) % 2 == 1)
+                .select(u.alias("src"), w.alias("dst"))
+            )
+        ).distinct()
+        return graphlet_census(edges)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8139,6 +8161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_ucc": schema_ucc,
         "sketch_ams": sketch_ams,
         "rel_trend": rel_trend,
+        "kg_graphlets": kg_graphlets,
     }
 
 
@@ -17492,5 +17515,41 @@ SELECT n.user_id, n.n,
             WHEN coalesce(p.s, 0) < 0 THEN 'dec'
             ELSE 'flat' END AS trend
 FROM tr_n n LEFT JOIN tr_p p USING (user_id)
+""",
+        # kgspark.graph_algs.graphlet_census: same closed-form degree /
+        # co-degree identities over the shared u-v-w synthesis; string
+        # '<' is plain byte order on both engines (ASCII labels)
+        "kg_graphlets": "WITH " + _MIS_EIGEN_SYNTH.format(p="gl") + """,
+gl_deg AS (SELECT a AS node, count(*)::BIGINT AS d FROM gl_und GROUP BY 1),
+gl_lt AS (SELECT a, b FROM gl_und WHERE a < b),
+gl_tri AS (
+  SELECT count(*)::BIGINT AS v
+  FROM gl_lt e1
+  JOIN gl_lt e2 ON e2.a = e1.b
+  JOIN gl_lt e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+gl_dd AS (
+  SELECT coalesce(sum((da.d - 1) * (db.d - 1)), 0)::BIGINT AS v
+  FROM gl_lt e
+  JOIN gl_deg da ON da.node = e.a
+  JOIN gl_deg db ON db.node = e.b
+),
+gl_cd AS (
+  SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS v FROM (
+    SELECT l.b AS u, r.b AS w, count(*)::BIGINT AS c
+    FROM gl_und l JOIN gl_und r ON l.a = r.a AND l.b < r.b
+    GROUP BY 1, 2
+  )
+)
+SELECT 'n_nodes' AS metric, (SELECT count(*) FROM gl_deg)::BIGINT AS value
+UNION ALL SELECT 'n_edges', (SELECT count(*) FROM gl_lt)::BIGINT
+UNION ALL SELECT 'wedges',
+  (SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM gl_deg)::BIGINT
+UNION ALL SELECT 'claws',
+  (SELECT coalesce(sum(d * (d - 1) * (d - 2) // 6), 0) FROM gl_deg)::BIGINT
+UNION ALL SELECT 'triangles', (SELECT v FROM gl_tri)::BIGINT
+UNION ALL SELECT 'p3',
+  ((SELECT v FROM gl_dd) - 3 * (SELECT v FROM gl_tri))::BIGINT
+UNION ALL SELECT 'c4', ((SELECT v FROM gl_cd) // 2)::BIGINT
 """,
     }

@@ -386,6 +386,7 @@ BENCH_QUERIES = [
     "schema_ucc",
     "sketch_ams",
     "rel_trend",
+    "kg_graphlets",
 ]
 
 

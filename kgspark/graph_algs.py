@@ -3497,3 +3497,123 @@ def eigenvector_centrality(
             )
         )
     return x.select("node", F.col("v").alias("eigen_ppm"))
+
+
+def graphlet_census(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Small-graphlet census of the undirected simple graph: node/edge
+    counts, wedges (2-paths), claws (3-stars), triangles, 3-edge paths
+    and 4-cycles — the classical motif signature (Pržulj 2007
+    graphlets; Ahmed et al. 2015 PGD counts the same family with the
+    same combinatorial identities). Everything beyond triangles is
+    CLOSED-FORM over degrees, edge-degree products and co-degrees, so
+    nothing ever materializes a 4-node tuple:
+
+      wedges    = Σ_v C(d_v, 2)
+      claws     = Σ_v C(d_v, 3)
+      triangles = ordered 3-join a<b<c
+      p3        = Σ_{(u,v)∈E} (d_u−1)(d_v−1) − 3·triangles
+      c4        = (Σ_{u<w} C(codeg(u,w), 2)) / 2   (each cycle has two
+                  diagonals; the sum is provably even)
+
+    All exact 64-bit integers. The reference's networkx layer has no
+    motif surface (/root/reference/knowledge_graph_builder.py).
+
+    Emits (metric, value) rows: n_nodes, n_edges, wedges, claws,
+    triangles, p3, c4.
+
+    Scale shape: degrees are one partial-agg groupBy; triangles join
+    ordered adjacency (the standard compact-forward shape); the
+    co-degree pass generates each center's neighbor pairs — the same
+    wedge shuffle as butterfly_pairs, whose volume is Σ C(d_v,2): on
+    hub-skewed graphs cap or salt the hot centers before calling (the
+    butterflies docstring's bounded-degree-side rule).
+    """
+    und = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = materialize(
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e_lt = materialize(und.where(F.col("a") < F.col("b")))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    n_edges = e_lt.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("v")
+    )
+    claws = deg.agg(
+        F.sum(F.expr("d * (d - 1) * (d - 2) div 6")).cast("long").alias("v")
+    )
+    tri = (
+        e_lt.alias("e1")
+        .join(
+            e_lt.select(
+                F.col("a").alias("b"), F.col("b").alias("c")
+            ).alias("e2"),
+            "b",
+        )
+        .join(
+            e_lt.select(
+                F.col("a").alias("a"), F.col("b").alias("c")
+            ).alias("e3"),
+            ["a", "c"],
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    edge_dd = (
+        e_lt.join(deg.withColumnsRenamed({"node": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "d": "db"}), "b")
+        .agg(
+            F.sum(F.expr("(da - 1) * (db - 1)")).cast("long").alias("v")
+        )
+    )
+    codeg = (
+        und.alias("l")
+        .join(
+            und.select(
+                F.col("a").alias("a"), F.col("b").alias("w")
+            ).alias("r"),
+            "a",
+        )
+        .where(F.col("b") < F.col("w"))
+        .groupBy("b", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("v"))
+    )
+
+    def tag(df, name):
+        return df.select(F.lit(name).alias("metric"),
+                         F.coalesce("v", F.lit(0)).alias("v"))
+
+    t = tri
+    base = (
+        tag(n_nodes, "n_nodes")
+        .unionByName(tag(n_edges, "n_edges"))
+        .unionByName(tag(wedges, "wedges"))
+        .unionByName(tag(claws, "claws"))
+        .unionByName(tag(t, "triangles"))
+        .unionByName(tag(edge_dd, "edge_dd"))
+        .unionByName(tag(codeg, "codeg_pairs"))
+    )
+    # derive p3 and c4 from the raw sums via a tiny pivot (7-row table)
+    wide = base.groupBy().pivot(
+        "metric",
+        ["n_nodes", "n_edges", "wedges", "claws", "triangles",
+         "edge_dd", "codeg_pairs"],
+    ).agg(F.first("v"))
+    return wide.selectExpr(
+        "stack(7, "
+        "'n_nodes', n_nodes, 'n_edges', n_edges, 'wedges', wedges, "
+        "'claws', claws, 'triangles', triangles, "
+        "'p3', edge_dd - 3 * triangles, "
+        "'c4', codeg_pairs div 2) AS (metric, value)"
+    ).select("metric", F.col("value").cast("long").alias("value"))

@@ -1306,3 +1306,54 @@ def test_eigenvector_centrality_star(spark):
     assert out4["h"] == 1_000_000
     assert all(out4[f"l{i}"] == 1_000_000 for i in range(5))
     assert out4["x"] == out4["y"] == 40_000
+
+
+def test_graphlet_census_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from kgspark.graph_algs import graphlet_census
+
+    # small irregular graph: square + chord + pendant + triangle tail
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+           ("d", "e"), ("e", "f"), ("f", "d"), ("f", "g")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    out = {r.metric: r.value for r in graphlet_census(edges).collect()}
+
+    und = {frozenset(e) for e in raw}
+    nodes = sorted({x for e in raw for x in e})
+    adj = {n: {m for m in nodes if frozenset((n, m)) in und} for n in nodes}
+    deg = {n: len(adj[n]) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    claws = sum(d * (d - 1) * (d - 2) // 6 for d in deg.values())
+    tri = sum(
+        1 for x, y, z in combinations(nodes, 3)
+        if y in adj[x] and z in adj[y] and z in adj[x]
+    )
+    # brute-force P4 paths: unordered 3-edge simple paths
+    p3 = 0
+    for q in nodes:
+        for r in adj[q]:
+            for s in adj[r]:
+                if s == q:
+                    continue
+                for t in adj[s]:
+                    if t not in (q, r):
+                        p3 += 1
+    p3 //= 2  # each path walked from both ends
+    c4 = sum(
+        1 for quad in combinations(nodes, 4)
+        for (w, x, y, z) in [quad]
+        for perm in [
+            [(w, x), (x, y), (y, z), (z, w)],
+            [(w, x), (x, z), (z, y), (y, w)],
+            [(w, y), (y, x), (x, z), (z, w)],
+        ]
+        if all(frozenset(e) in und for e in perm)
+    )
+    assert out["n_nodes"] == len(nodes)
+    assert out["n_edges"] == len(und)
+    assert out["wedges"] == wedges
+    assert out["claws"] == claws
+    assert out["triangles"] == tri
+    assert out["p3"] == p3
+    assert out["c4"] == c4
