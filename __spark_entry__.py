@@ -7786,6 +7786,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         return graphlet_census(edges)
 
+    def multimodal_tar(spark, sf_dir):
+        # tar header-walk round-trip (kgspark/archive.py tar_listing):
+        # per-doc USTAR archives built by the stdlib WRITER with
+        # doc_id%3+1 members of arithmetic sizes (+ a directory entry
+        # every 4th doc), listed back without inflating — same posture
+        # as multimodal_zip; mode/mtime pinned so every field oracles
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import io
+            import tarfile
+
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    buf = io.BytesIO()
+                    with tarfile.open(
+                        fileobj=buf, mode="w",
+                        format=tarfile.USTAR_FORMAT,
+                    ) as t:
+                        if d % 4 == 0:
+                            ti = tarfile.TarInfo("sub")
+                            ti.type = tarfile.DIRTYPE
+                            ti.mode = 0o755
+                            ti.mtime = 0
+                            t.addfile(ti)
+                        for j in range(d % 3 + 1):
+                            sz = (d * 7 + j * 13) % 50 + 1
+                            ti = tarfile.TarInfo(f"m{j}.txt")
+                            ti.size = sz
+                            ti.mode = 0o644
+                            ti.mtime = 0
+                            t.addfile(ti, io.BytesIO(b"x" * sz))
+                    rows.append({"doc_id": did,
+                                 "payload": buf.getvalue()})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.archive import tar_listing
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return tar_listing(blobs).select(
+            "doc_id", "member", "size", "typeflag", "mtime", "mode",
+            "is_dir",
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8162,6 +8210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ams": sketch_ams,
         "rel_trend": rel_trend,
         "kg_graphlets": kg_graphlets,
+        "multimodal_tar": multimodal_tar,
     }
 
 
@@ -17551,5 +17600,25 @@ UNION ALL SELECT 'triangles', (SELECT v FROM gl_tri)::BIGINT
 UNION ALL SELECT 'p3',
   ((SELECT v FROM gl_dd) - 3 * (SELECT v FROM gl_tri))::BIGINT
 UNION ALL SELECT 'c4', ((SELECT v FROM gl_cd) // 2)::BIGINT
+""",
+        # kgspark.archive.tar_listing: expected listing reconstructed
+        # from the synthesis arithmetic (sizes, pinned mode/mtime, the
+        # every-4th-doc directory entry — ustar stores dirs with a
+        # trailing slash)
+        "multimodal_tar": """
+WITH ta_f AS (
+  SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents
+)
+SELECT doc_id,
+       'm' || j::VARCHAR || '.txt' AS member,
+       ((doc_id * 7 + j * 13) % 50 + 1)::BIGINT AS size,
+       '0' AS typeflag,
+       0::BIGINT AS mtime,
+       420::BIGINT AS mode,
+       0::INT AS is_dir
+FROM ta_f
+UNION ALL
+SELECT doc_id, 'sub/', 0::BIGINT, '5', 0::BIGINT, 493::BIGINT, 1::INT
+FROM documents WHERE doc_id % 4 = 0
 """,
     }

@@ -387,6 +387,7 @@ BENCH_QUERIES = [
     "sketch_ams",
     "rel_trend",
     "kg_graphlets",
+    "multimodal_tar",
 ]
 
 

@@ -124,3 +124,78 @@ def test_zip_listing_roundtrip_and_errors(spark):
     assert c.uncomp_size == 1000 and c.comp_size < 1000
     assert by[3][0].error.startswith("zip:")
     assert by[4][0].error is not None
+
+
+def test_tar_listing_roundtrip_and_errors(spark):
+    import io
+    import tarfile as tf
+
+    from kgspark.archive import list_tar_members, tar_listing
+
+    def build(fmt, names_sizes, add_dir=False):
+        buf = io.BytesIO()
+        with tf.open(fileobj=buf, mode="w", format=fmt) as t:
+            if add_dir:
+                ti = tf.TarInfo("d")
+                ti.type = tf.DIRTYPE
+                ti.mode = 0o755
+                ti.mtime = 0
+                t.addfile(ti)
+            for nm, sz in names_sizes:
+                ti = tf.TarInfo(nm)
+                ti.size = sz
+                ti.mode = 0o644
+                ti.mtime = 0
+                t.addfile(ti, io.BytesIO(b"x" * sz))
+        return buf.getvalue()
+
+    good = build(tf.USTAR_FORMAT, [("m0.txt", 5), ("sub/m1.txt", 700)],
+                 add_dir=True)
+    corrupt = bytearray(good)
+    corrupt[130] ^= 0x55  # breaks the first header's checksum
+    df = spark.createDataFrame(
+        [(1, good), (2, bytes(corrupt)), (3, b""), (4, None)],
+        "doc_id long, payload binary",
+    )
+    rows = tar_listing(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    g = {r.member: r for r in by_doc[1]}
+    assert g["d/"].is_dir == 1 and g["d/"].typeflag == "5"
+    assert g["d/"].mode == 0o755
+    assert (g["m0.txt"].size, g["m0.txt"].mode) == (5, 0o644)
+    assert g["sub/m1.txt"].size == 700
+    assert all(r.error is None for r in by_doc[1])
+    assert "bad checksum" in by_doc[2][0].error
+    assert "empty" in by_doc[3][0].error
+    assert by_doc[4][0].error is not None
+
+    # GNU longname ('L' record) resolves to the full member name
+    long_name = "a" * 150 + ".txt"
+    gnu = build(tf.GNU_FORMAT, [(long_name, 3)])
+    recs = list_tar_members(gnu)
+    assert [r["member"] for r in recs] == [long_name]
+    assert recs[0]["size"] == 3
+
+    # PAX 'x' records are skipped; the real member still lists
+    pax = build(tf.PAX_FORMAT, [("p.txt", 9)])
+    assert [(r["member"], r["size"]) for r in list_tar_members(pax)] \
+        == [("p.txt", 9)]
+
+    # GNU base-256 size field (8 GiB header, no payload needed to list)
+    hdr = bytearray(512)
+    hdr[0:4] = b"big\x00"
+    hdr[100:108] = b"0000644\x00"
+    hdr[136:148] = b"00000000000\x00"
+    f = bytearray(12)
+    f[0] = 0x80
+    size = 8 * 1024 ** 3
+    for i in range(11):
+        f[11 - i] = (size >> (8 * i)) & 0xFF
+    hdr[124:136] = f
+    hdr[156] = ord("0")
+    chk = sum(hdr[0:148]) + 256 + sum(hdr[156:512])
+    hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    rec = list_tar_members(bytes(hdr) + b"\x00" * 1024)[0]
+    assert (rec["member"], rec["size"]) == ("big", size)
