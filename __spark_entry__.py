@@ -7834,6 +7834,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_dir",
         )
 
+    def link_tfidf(spark, sf_dir):
+        # WHIRL soft TF-IDF join (kgspark/linkrec.py tfidf_cosine_pairs)
+        # over part names + a bounded-df serial token (p_partkey div 4,
+        # df == 4 at EVERY scale — candidates stay linear); rare-token
+        # weight dominates the cosine, exact rational threshold 7/10
+        from kgspark.linkrec import tfidf_cosine_pairs
+
+        p = _read(spark, sf_dir, "part")
+        recs = p.select(
+            F.col("p_partkey").alias("rec_id"),
+            F.concat(
+                F.lower(F.col("p_name")), F.lit(" sn"),
+                F.expr("p_partkey div 4").cast("string"),
+            ).alias("text"),
+        )
+        return tfidf_cosine_pairs(recs, thr_num=7, thr_den=10, max_df=10)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8211,6 +8228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_trend": rel_trend,
         "kg_graphlets": kg_graphlets,
         "multimodal_tar": multimodal_tar,
+        "link_tfidf": link_tfidf,
     }
 
 
@@ -17620,5 +17638,43 @@ FROM ta_f
 UNION ALL
 SELECT doc_id, 'sub/', 0::BIGINT, '5', 0::BIGINT, 493::BIGINT, 1::INT
 FROM documents WHERE doc_id % 4 = 0
+""",
+        # kgspark.linkrec.tfidf_cosine_pairs: centi-nat ln weights (the
+        # bm25/powerlaw ln posture), exact rational threshold — num² ·
+        # den² >= thr² · norm_a · norm_b, no fp in the decision
+        "link_tfidf": """
+WITH tc_r AS (
+  SELECT p_partkey AS id,
+         lower(p_name) || ' sn' || (p_partkey // 4)::VARCHAR AS text
+  FROM part
+),
+tc_t AS (
+  SELECT DISTINCT id, t FROM (
+    SELECT id, unnest(string_split(text, ' ')) AS t FROM tc_r
+  ) WHERE t <> ''
+),
+tc_n AS (SELECT count(*)::BIGINT AS n FROM tc_r),
+tc_s AS (
+  SELECT t, count(*)::BIGINT AS df_t,
+         round(ln((SELECT n FROM tc_n)::DOUBLE / count(*)::DOUBLE)
+               * 100, 0)::BIGINT AS w
+  FROM tc_t GROUP BY t
+),
+tc_w AS (SELECT id, tc_t.t, df_t, w FROM tc_t JOIN tc_s USING (t)),
+tc_m AS (SELECT id, sum(w * w)::BIGINT AS norm2 FROM tc_w GROUP BY id),
+tc_p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         count(*)::BIGINT AS n_shared,
+         sum(a.w * a.w)::BIGINT AS num
+  FROM tc_w a JOIN tc_w b ON a.t = b.t AND a.id < b.id
+  WHERE a.df_t <= 10 AND b.df_t <= 10
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared, num,
+       na.norm2 AS norm_a, nb.norm2 AS norm_b
+FROM tc_p
+JOIN tc_m na ON na.id = id_a
+JOIN tc_m nb ON nb.id = id_b
+WHERE num * num * 100 >= 49 * na.norm2 * nb.norm2
 """,
     }

@@ -388,6 +388,7 @@ BENCH_QUERIES = [
     "rel_trend",
     "kg_graphlets",
     "multimodal_tar",
+    "link_tfidf",
 ]
 
 

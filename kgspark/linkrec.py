@@ -816,3 +816,93 @@ def bcubed_eval(
                    "div (precision_ppm + recall_ppm)"),
         ).otherwise(F.lit(0)).cast("long").alias("f1_ppm"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "rec_id",
+    text_col: str = "text",
+    thr_num: int = 7,
+    thr_den: int = 10,
+    max_df: int = 50,
+) -> DataFrame:
+    """WHIRL-style soft TF-IDF join (Cohen 1998): record pairs whose
+    DISTINCT-token IDF-weighted cosine clears thr_num/thr_den. The
+    weighted complement to the set-resemblance family (dedup.py
+    ngram_jaccard_pairs counts tokens equally; here a shared rare token
+    outweighs ten shared stopwords) — the classic ER similarity for
+    dirty name/address columns.
+
+    Exactness contract: token weight = round(100·ln(N/df)) centi-nats
+    (the bm25/powerlaw ln posture — identical fp64 expression tree both
+    engines, quantized per token BEFORE any sum), unit vectors over
+    DISTINCT tokens, so num = Σ_shared w², norm² = Σ w² are exact
+    64-bit integers and the threshold is the exact RATIONAL comparison
+    num²·den² ≥ num_thr²·norm_a²·norm_b² — no fp in any decision. With
+    centi-nat weights the squares stay < 2^53 up to ~10⁵-token records.
+
+    Candidate generation: posting-list self-join restricted to tokens
+    with df ≤ max_df (the winnow_matches max-df hot-key guard) — a
+    token shared by half the corpus generates no pairs AND carries
+    near-zero weight, so the cut is both the scale guard and nearly
+    free semantically; numerator omits capped tokens (conservative),
+    norms keep them (exact). Pairs emit once (id_a < id_b).
+
+    Emits (id_a, id_b, n_shared, num, norm_a, norm_b) — all exact
+    integers; cosine = num/sqrt(norm_a·norm_b) is derivable but never
+    part of the hash contract.
+    """
+    from kgspark.session import materialize
+
+    toks = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), " +")
+                )
+            ).alias("t"),
+        ).where(F.col("t") != "")
+    )
+    n_recs = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tstats = materialize(
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+        .crossJoin(F.broadcast(n_recs))
+        .select(
+            "t", "df_t",
+            F.round(
+                F.log(F.col("n").cast("double")
+                      / F.col("df_t").cast("double")) * 100, 0
+            ).cast("long").alias("w"),
+        )
+    )
+    wt = materialize(toks.join(tstats, "t"))
+    norms = wt.groupBy("id").agg(
+        F.sum(F.expr("w * w")).cast("long").alias("norm2")
+    )
+    posts = wt.where(F.col("df_t") <= max_df)
+    pairs = (
+        posts.select(F.col("id").alias("id_a"), "t", "w")
+        .join(posts.select(F.col("id").alias("id_b"), "t", "w"), ["t", "w"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.expr("w * w")).cast("long").alias("num"),
+        )
+    )
+    return (
+        pairs.join(norms.withColumnsRenamed(
+            {"id": "id_a", "norm2": "norm_a"}), "id_a")
+        .join(norms.withColumnsRenamed(
+            {"id": "id_b", "norm2": "norm_b"}), "id_b")
+        .where(
+            F.expr(
+                f"num * num * {thr_den * thr_den}L >= "
+                f"{thr_num * thr_num}L * norm_a * norm_b"
+            )
+        )
+        .select("id_a", "id_b", "n_shared", "num", "norm_a", "norm_b")
+    )

@@ -347,3 +347,50 @@ def test_bcubed_perfect_and_intersection_domain(spark):
         [(9, "z")], "node long, cluster string"))
     out2 = bcubed_eval(pred, same).collect()[0]
     assert out2.n_nodes == 3 and out2.precision_ppm == 1_000_000
+
+
+def test_tfidf_cosine_pairs_hand_case(spark):
+    import math
+
+    from kgspark.linkrec import tfidf_cosine_pairs
+
+    # 6 records; 'zzz' is the rare discriminating token (df=2), 'the'
+    # is everywhere (df=6 == N -> weight 0); 'acme' df=4
+    rows = [
+        (1, "the acme zzz"),
+        (2, "the acme zzz"),
+        (3, "the acme corp"),
+        (4, "the acme inc"),
+        (5, "the other shop"),
+        (6, "the other mart"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, text string")
+    out = {(r.id_a, r.id_b): r
+           for r in tfidf_cosine_pairs(
+               df, thr_num=7, thr_den=10, max_df=5).collect()}
+
+    def w(dfreq):
+        return round(100 * math.log(6 / dfreq))
+
+    # (1,2): share zzz + acme (both df<=5); 'the' weighs 0 AND is
+    # df-capped; num == norm -> cosine 1
+    expect_num = w(2) ** 2 + w(4) ** 2
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert r12.num == expect_num
+    assert r12.norm_a == r12.norm_b == expect_num  # 'the' adds 0
+    assert r12.n_shared == 2
+    # (3,4): share only acme (w=41) vs norms with corp/inc (df=1,
+    # w=179): cosine ~ 0.05 -> filtered
+    assert (3, 4) not in out
+    # (5,6): share 'other' (df=2, w=110) vs one df-1 token each:
+    # cos = 110² / (110²+179²) ≈ 0.27 -> filtered
+    assert (5, 6) not in out
+    # duplicates emit once, ordered
+    assert all(a < b for a, b in out)
+    # lowering the threshold admits the acme-only pair (its exact
+    # cosine is 41/(41²+179²)·41 ≈ 0.0499 — just under 1/20, above 1/25)
+    lo = {(r.id_a, r.id_b)
+          for r in tfidf_cosine_pairs(
+              df, thr_num=1, thr_den=25, max_df=5).collect()}
+    assert (3, 4) in lo
