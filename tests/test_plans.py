@@ -1067,3 +1067,56 @@ def test_session7_late_ops_plan_shapes(spark):
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_session8_ops_plan_shapes(spark):
+    """Session-8 ops: iterative graph primitives, checksum/stat
+    censuses and the soft TF-IDF join stay JVM-side; the only BNLJ /
+    crossJoin shapes are 1-row scalar broadcasts (max-norm, N, grand
+    totals)."""
+    from kgspark.graph_algs import (
+        eigenvector_centrality,
+        graphlet_census,
+        luby_mis,
+    )
+    from kgspark.linkrec import tfidf_cosine_pairs
+    from kgspark.pii import iban_census
+    from kgspark.relops import trend_test
+    from kgspark.schema_induce import ucc_discover
+    from kgspark.sketch import ams_estimate, ams_sketch
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    ib = spark.createDataFrame(
+        [(1, "DE89 3704 0044 0532 0130 00")], "rec_id long, iban string")
+    ev = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20)], "g long, t long, v long")
+    recs = spark.createDataFrame(
+        [(1, "acme zzz"), (2, "acme zzz")], "rec_id long, text string")
+
+    # strictly no-Python, no-BNLJ ops
+    for df in (
+        luby_mis(e, rounds=2),
+        iban_census(ib),
+        trend_test(ev, ["g"], ["t"], "v"),
+        tfidf_cosine_pairs(recs),
+        ams_sketch(recs.select(F.col("text").alias("token"))),
+        ams_estimate(ams_sketch(recs.select(F.col("text").alias("token")))),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    # ops with designed 1-row scalar broadcasts (max-norm / N / totals)
+    for df, cap in (
+        (eigenvector_centrality(e, rounds=2), 2),
+        (ucc_discover(spark.createDataFrame(
+            [(1, "x")], "id long, a string"), ["id", "a"]), 3),
+        (graphlet_census(e), 0),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert p.count("BroadcastNestedLoopJoin") <= cap, p
