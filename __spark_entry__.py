@@ -1242,6 +1242,48 @@ LEFT JOIN uc_s sb ON sb.m = split_part(d.combo, ',', 2)
 """
 
 
+def _salsa_sql(rounds: int = 3) -> str:
+    """kg_salsa oracle: SALSA back-and-forth rounds unrolled over the
+    directed u->v->w synthesis; per-contributor // mirrors Spark div
+    (nonnegative operands)."""
+    parts = ["""
+sa_d AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+sa_e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT 'u' || (d % 40) AS s, 'v' || (d % 9) AS t FROM sa_d
+    UNION ALL SELECT 'v' || (d % 9), 'w' || (d % 5) FROM sa_d
+    UNION ALL SELECT 'u' || (d % 40), 'w' || (d % 5) FROM sa_d
+    WHERE (d % 40) % 2 = 1
+  )
+),
+sa_od AS (SELECT s, count(*)::BIGINT AS od FROM sa_e GROUP BY 1),
+sa_id AS (SELECT t, count(*)::BIGINT AS id FROM sa_e GROUP BY 1),
+sa_h0 AS (SELECT s, 1000000::BIGINT AS h FROM sa_od)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+sa_a{k} AS (
+  SELECT e.t, sum(h.h // od.od)::BIGINT AS a
+  FROM sa_e e
+  JOIN sa_h{k - 1} h ON h.s = e.s
+  JOIN sa_od od ON od.s = e.s
+  GROUP BY e.t
+),
+sa_h{k} AS (
+  SELECT e.s, sum(a.a // i.id)::BIGINT AS h
+  FROM sa_e e
+  JOIN sa_a{k} a ON a.t = e.t
+  JOIN sa_id i ON i.t = e.t
+  GROUP BY e.s
+)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+SELECT s AS node, 'hub' AS side, h AS score_ppm FROM sa_h{rounds}
+UNION ALL
+SELECT t, 'auth', a FROM sa_a{rounds}"""
+    )
+
+
 def _iban_expand_sql(expr: str) -> str:
     """A=10..Z=35 letter expansion as a 26-step replace chain (mirrors
     kgspark.pii.iban_expand — replacements introduce only digits, so
@@ -7851,6 +7893,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tfidf_cosine_pairs(recs, thr_num=7, thr_den=10, max_df=10)
 
+    def kg_salsa(spark, sf_dir):
+        # bounded SALSA hub/authority walk (kgspark/graph_algs.py
+        # salsa): 3 back-and-forth rounds over the DIRECTED u->v->w
+        # graph, per-contributor floor division — v-layer nodes carry
+        # both a hub and an auth row
+        from kgspark.graph_algs import salsa
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        edges = (
+            docs.select(u.alias("src"), v.alias("dst"))
+            .union(docs.select(v.alias("src"), w.alias("dst")))
+            .union(
+                docs.where((d % 40) % 2 == 1)
+                .select(u.alias("src"), w.alias("dst"))
+            )
+        ).distinct()
+        return salsa(edges, rounds=3)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8229,6 +8293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graphlets": kg_graphlets,
         "multimodal_tar": multimodal_tar,
         "link_tfidf": link_tfidf,
+        "kg_salsa": kg_salsa,
     }
 
 
@@ -17677,4 +17742,7 @@ JOIN tc_m na ON na.id = id_a
 JOIN tc_m nb ON nb.id = id_b
 WHERE num * num * 100 >= 49 * na.norm2 * nb.norm2
 """,
+        # kgspark.graph_algs.salsa: 3 rounds unrolled from one source
+        # of truth
+        "kg_salsa": _salsa_sql(3),
     }

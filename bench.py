@@ -389,6 +389,7 @@ BENCH_QUERIES = [
     "kg_graphlets",
     "multimodal_tar",
     "link_tfidf",
+    "kg_salsa",
 ]
 
 

@@ -1357,3 +1357,31 @@ def test_graphlet_census_vs_bruteforce(spark):
     assert out["triangles"] == tri
     assert out["p3"] == p3
     assert out["c4"] == c4
+
+
+def test_salsa_hand_case(spark):
+    from kgspark.graph_algs import salsa
+
+    # h1 -> {A, B}, h2 -> {A}: the classic SALSA example where A's
+    # authority is degree-weighted, not raw-count-weighted
+    edges = spark.createDataFrame(
+        [("h1", "A"), ("h1", "B"), ("h2", "A")], "src string, dst string"
+    )
+    one = {(r.node, r.side): r.score_ppm
+           for r in salsa(edges, rounds=1).collect()}
+    # a(A) = h1/2 + h2/1 = 500000 + 1000000; a(B) = 500000
+    assert one[("A", "auth")] == 1_500_000
+    assert one[("B", "auth")] == 500_000
+    # h(h1) = a(A)/2 + a(B)/1 = 750000 + 500000; h(h2) = a(A)/2
+    assert one[("h1", "hub")] == 1_250_000
+    assert one[("h2", "hub")] == 750_000
+    # mass is conserved exactly when degrees divide evenly
+    assert one[("h1", "hub")] + one[("h2", "hub")] == 2_000_000
+    # floor-division determinism: a second run is identical
+    again = {(r.node, r.side): r.score_ppm
+             for r in salsa(edges, rounds=1).collect()}
+    assert again == one
+    # three rounds stay exact integers and keep both sides populated
+    three = salsa(edges, rounds=3).collect()
+    assert {r.side for r in three} == {"hub", "auth"}
+    assert all(r.score_ppm >= 0 for r in three)
