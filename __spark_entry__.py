@@ -7915,6 +7915,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         return salsa(edges, rounds=3)
 
+    def multimodal_gzip(spark, sf_dir):
+        # gzip RFC-1952 header/trailer round-trip (kgspark/archive.py
+        # gzip_listing): per-doc members written by the stdlib with
+        # pinned FNAME/MTIME and arithmetic sizes; CPython's writer
+        # emits FLG=8 XFL=2 OS=255 (asserted in pytest) — crc32 is
+        # pytest-only, excluded from the hash contract
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import gzip
+            import io
+
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(
+                        filename=f"d{d}.txt", mode="wb", fileobj=buf,
+                        mtime=1700000000 + d,
+                    ) as g:
+                        g.write(b"x" * ((d * 11) % 80 + 1))
+                    rows.append({"doc_id": did,
+                                 "payload": buf.getvalue()})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.archive import gzip_listing
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return gzip_listing(blobs).select(
+            "doc_id", "name", "mtime", "os", "flg", "xfl", "isize",
+            "has_extra", "has_comment",
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8294,6 +8330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tar": multimodal_tar,
         "link_tfidf": link_tfidf,
         "kg_salsa": kg_salsa,
+        "multimodal_gzip": multimodal_gzip,
     }
 
 
@@ -17745,4 +17782,19 @@ WHERE num * num * 100 >= 49 * na.norm2 * nb.norm2
         # kgspark.graph_algs.salsa: 3 rounds unrolled from one source
         # of truth
         "kg_salsa": _salsa_sql(3),
+        # kgspark.archive.gzip_listing: expected header fields
+        # reconstructed from the synthesis arithmetic (CPython writer
+        # constants FLG=8/XFL=2/OS=255 pinned by the pytest round-trip)
+        "multimodal_gzip": """
+SELECT doc_id,
+       'd' || doc_id::VARCHAR || '.txt' AS name,
+       (1700000000 + doc_id)::BIGINT AS mtime,
+       255::BIGINT AS os,
+       8::BIGINT AS flg,
+       2::BIGINT AS xfl,
+       ((doc_id * 11) % 80 + 1)::BIGINT AS isize,
+       0::INT AS has_extra,
+       0::INT AS has_comment
+FROM documents
+""",
     }

@@ -390,6 +390,7 @@ BENCH_QUERIES = [
     "multimodal_tar",
     "link_tfidf",
     "kg_salsa",
+    "multimodal_gzip",
 ]
 
 

@@ -230,3 +230,89 @@ def tar_listing(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(
         parse, f"{id_col} {id_type}, {TAR_MEMBER_FIELDS}"
     )
+
+
+GZIP_META_FIELDS = (
+    "name string, mtime long, os long, flg long, xfl long, isize long, "
+    "crc32 long, has_extra int, has_comment int, error string"
+)
+
+
+def gzip_member_meta(data: bytes) -> dict:
+    """Header + trailer metadata of one gzip blob (RFC 1952) without
+    inflating: magic/CM gate, FLG-driven optional fields (FEXTRA,
+    FNAME, FCOMMENT, FHCRC), MTIME/XFL/OS, and the 8-byte trailer
+    (CRC32 + ISIZE mod 2³²). Single-member posture: the trailer is read
+    from the blob's last 8 bytes, which is exact for the overwhelmingly
+    common one-member file and documented-approximate for concatenated
+    members (finding member boundaries would require walking the
+    deflate stream — against the listing-without-inflating contract
+    shared with the ZIP/tar walkers above). Never raises."""
+
+    def err(msg):
+        return {"name": None, "mtime": None, "os": None, "flg": None,
+                "xfl": None, "isize": None, "crc32": None,
+                "has_extra": None, "has_comment": None, "error": msg}
+
+    try:
+        import struct
+
+        if len(data) < 20:
+            return err("gzip: too short")
+        if data[0:2] != b"\x1f\x8b":
+            return err("gzip: bad magic")
+        if data[2] != 8:
+            return err(f"gzip: unknown method {data[2]}")
+        flg = data[3]
+        mtime = int.from_bytes(data[4:8], "little")
+        xfl, osb = data[8], data[9]
+        p = 10
+        has_extra = 1 if flg & 4 else 0
+        if flg & 4:
+            xlen = int.from_bytes(data[p:p + 2], "little")
+            p += 2 + xlen
+        name = None
+        if flg & 8:
+            q = data.index(b"\x00", p)
+            name = data[p:q].decode("latin-1")
+            p = q + 1
+        has_comment = 1 if flg & 16 else 0
+        if flg & 16:
+            p = data.index(b"\x00", p) + 1
+        if flg & 2:
+            p += 2
+        if p + 8 > len(data):
+            return err("gzip: truncated header")
+        crc, isize = struct.unpack("<II", data[-8:])
+        return {"name": name, "mtime": mtime, "os": osb, "flg": flg,
+                "xfl": xfl, "isize": isize, "crc32": crc,
+                "has_extra": has_extra, "has_comment": has_comment,
+                "error": None}
+    except Exception as e:  # captured, never fatal at corpus scale
+        return err(f"{type(e).__name__}: {e}")
+
+
+def gzip_listing(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One row per blob: (id, name, mtime, os, flg, xfl, isize, crc32,
+    has_extra, has_comment, error) — Arrow-batched RFC 1952 header
+    walk, nothing inflated."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = [id_col, "name", "mtime", "os", "flg", "xfl", "isize",
+                "crc32", "has_extra", "has_comment", "error"]
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                rec = gzip_member_meta(
+                    bytes(blob) if blob is not None else b"")
+                rec[id_col] = i
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        parse, f"{id_col} {id_type}, {GZIP_META_FIELDS}"
+    )

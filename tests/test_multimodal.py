@@ -199,3 +199,47 @@ def test_tar_listing_roundtrip_and_errors(spark):
     hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
     rec = list_tar_members(bytes(hdr) + b"\x00" * 1024)[0]
     assert (rec["member"], rec["size"]) == ("big", size)
+
+
+def test_gzip_listing_roundtrip_and_errors(spark):
+    import gzip as gz
+    import io
+    import zlib
+
+    from kgspark.archive import gzip_listing, gzip_member_meta
+
+    content = b"hello gzip census" * 3
+    buf = io.BytesIO()
+    with gz.GzipFile(filename="a.txt", mode="wb", fileobj=buf,
+                     mtime=1234567890) as g:
+        g.write(content)
+    good = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, good), (2, b"\x1f\x8b" + b"\x00" * 30), (3, b"PK"),
+         (4, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in gzip_listing(df).collect()}
+    g1 = rows[1]
+    assert g1.name == "a.txt"
+    assert g1.mtime == 1234567890
+    assert (g1.flg, g1.xfl, g1.os) == (8, 2, 255)
+    assert g1.isize == len(content)
+    assert g1.crc32 == zlib.crc32(content)
+    assert g1.error is None
+    assert "unknown method" in rows[2].error
+    assert "bad magic" in rows[3].error or "too short" in rows[3].error
+    assert rows[4].error is not None
+    # FEXTRA + FCOMMENT + FHCRC path, hand-built header
+    hdr = (b"\x1f\x8b\x08" + bytes([4 | 8 | 16 | 2])
+           + (99).to_bytes(4, "little") + b"\x00\x03"
+           + (4).to_bytes(2, "little") + b"EXTR"
+           + b"nm.bin\x00" + b"a comment\x00" + b"\xaa\xbb")
+    blob = hdr + b"\x00" * 4 + (7).to_bytes(4, "little") \
+        + (21).to_bytes(4, "little")
+    rec = gzip_member_meta(blob)
+    assert rec["error"] is None
+    assert rec["name"] == "nm.bin"
+    assert (rec["has_extra"], rec["has_comment"]) == (1, 1)
+    assert (rec["mtime"], rec["os"]) == (99, 3)
+    assert (rec["crc32"], rec["isize"]) == (7, 21)
