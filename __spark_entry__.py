@@ -1242,6 +1242,15 @@ LEFT JOIN uc_s sb ON sb.m = split_part(d.combo, ',', 2)
 """
 
 
+def _gtin_sum_sql(c: str) -> str:
+    """GS1 weighted sum of the first 12 digits (mirrors
+    kgspark.pii.gtin_weighted_sum): weight 1 odd / 3 even positions."""
+    return " + ".join(
+        f"(CAST(substr({c}, {i + 1}, 1) AS INT) * {1 if i % 2 == 0 else 3})"
+        for i in range(12)
+    )
+
+
 def _salsa_sql(rounds: int = 3) -> str:
     """kg_salsa oracle: SALSA back-and-forth rounds unrolled over the
     directed u->v->w synthesis; per-contributor // mirrors Spark div
@@ -7951,6 +7960,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "has_extra", "has_comment",
         )
 
+    def pii_gtin(spark, sf_dir):
+        # GTIN-13 / EAN-13 product-code validation census (kgspark/
+        # pii.py gtin_census): one 13-digit code planted per doc —
+        # every 5th doc gets the TRUE GS1 check digit (computed with
+        # the same 12-term weighted sum), others a junk digit (~10%
+        # accidental passes)
+        from kgspark.pii import gtin_census, gtin_weighted_sum
+
+        d = _read(spark, sf_dir, "documents")
+        base12 = F.lpad(
+            ((F.col("doc_id") * F.lit(2654435761))
+             % F.lit(10 ** 12)).cast("string"),
+            12, "0",
+        )
+        chk = (10 - gtin_weighted_sum(base12) % 10) % 10
+        code = F.concat(
+            base12,
+            F.when(F.col("doc_id") % 5 == 0, chk)
+            .otherwise(F.col("doc_id") % 10).cast("string"),
+        )
+        aug = d.select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" "), code).alias("text"),
+        )
+        return gtin_census(aug)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8331,6 +8367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_tfidf": link_tfidf,
         "kg_salsa": kg_salsa,
         "multimodal_gzip": multimodal_gzip,
+        "pii_gtin": pii_gtin,
     }
 
 
@@ -17796,5 +17833,36 @@ SELECT doc_id,
        0::INT AS has_extra,
        0::INT AS has_comment
 FROM documents
+""",
+        # kgspark.pii.gtin_census: full mirror — augmentation, RE2 \b
+        # regex, and the 12-term weighted sum all replicated
+        "pii_gtin": f"""
+WITH gt_b AS (
+  SELECT doc_id, "text",
+         lpad(((doc_id * 2654435761) % 1000000000000)::VARCHAR, 12, '0')
+           AS b12
+  FROM documents
+),
+gt_a AS (
+  SELECT doc_id,
+         coalesce("text", '') || ' ' || b12
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN (10 - (({_gtin_sum_sql('b12')}) % 10)) % 10
+                  ELSE doc_id % 10 END)::VARCHAR AS t
+  FROM gt_b
+),
+gt_c AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t, '\\b[0-9]{{13}}\\b')) AS cand
+  FROM gt_a
+)
+SELECT a.doc_id,
+       count(c.cand)::BIGINT AS n_candidates,
+       coalesce(sum(
+         CASE WHEN (10 - (({_gtin_sum_sql('c.cand')}) % 10)) % 10
+                   = CAST(substr(c.cand, 13, 1) AS INT)
+              THEN 1 ELSE 0 END), 0)::BIGINT AS n_valid
+FROM gt_a a LEFT JOIN gt_c c USING (doc_id)
+GROUP BY a.doc_id
 """,
     }

@@ -391,6 +391,7 @@ BENCH_QUERIES = [
     "link_tfidf",
     "kg_salsa",
     "multimodal_gzip",
+    "pii_gtin",
 ]
 
 

@@ -226,3 +226,30 @@ def test_iban_census_known_vectors(spark):
     assert out[6] == ("", 0, -1, 0)
     # unknown-registry country: shape passes, checksum decides
     assert out[7][1] == 1 and out[7][3] == 0
+
+
+def test_gtin_census_known_vectors(spark):
+    from kgspark.pii import gtin_census
+
+    rows = [
+        # 4006381333931 is the canonical EAN-13 example (valid)
+        (1, "buy 4006381333931 now"),
+        # ISBN-13 of a real book (valid): 9780306406157
+        (2, "isbn 9780306406157 ."),
+        # one digit off -> invalid
+        (3, "code 4006381333932 x"),
+        # 12 digits: not a candidate at all
+        (4, "short 400638133393 x"),
+        # two codes, one valid one not
+        (5, "a 4006381333931 b 1111111111111 c"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_candidates, r.n_valid)
+           for r in gtin_census(df).collect()}
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 1)
+    assert out[3] == (1, 0)
+    assert out[4] == (0, 0)
+    assert out[5] == (2, 1)
+    assert out[6] == (0, 0)
