@@ -392,6 +392,7 @@ BENCH_QUERIES = [
     "kg_salsa",
     "multimodal_gzip",
     "pii_gtin",
+    "text_yake",
 ]
 
 

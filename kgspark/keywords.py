@@ -209,3 +209,107 @@ def rake_phrases(
         .select(F.col("__id").alias(id_col), "phrase", "n_words",
                 "score_ppm")
     )
+
+
+def yake_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sent_len: int = 10,
+) -> DataFrame:
+    """YAKE-style unsupervised keyword extraction (Campos et al. 2020)
+    — the statistical-feature member of the keyword family: where
+    doc_keywords ranks by corpus rarity (TF-IDF), textrank_terms by
+    graph centrality and rake_phrases by degree/frequency, YAKE scores
+    each term from ITS OWN document's statistics alone (casing,
+    position, frequency, context diversity, dispersion), so it needs no
+    corpus pass and famously favors early, cased, context-diverse
+    terms. Lower score = better keyword, per the paper.
+
+    Feature set (documented YAKE-lite pins, one deviation each chosen
+    for cross-engine determinism):
+      wcase = cap/(1 + ln(1+tf))      cased-occurrence weight
+      wpos  = ln(ln(3 + min_pos))     first occurrence, not median
+      tfn   = tf / max_tf(doc)        max-norm, not mean+sigma-norm
+      wrel  = 1 + (dl + dr)/tf        distinct left/right neighbors
+      disp  = sentences_with_t / n_sentences   (pseudo-sentences of
+              `sent_len` tokens — the corpus has no reliable
+              punctuation)
+      S     = (wrel · wpos) / (wcase + tfn/wrel + disp/wrel)
+
+    Exactness contract: every feature is fp64 with an IDENTICAL
+    expression tree in the DuckDB oracle (the bm25/text_ql posture) and
+    the score is rounded to integer micro-units ONCE at the end; the
+    top-k rank orders by (score_micro asc, term asc) — the ROUNDED
+    integer, never the raw double, so rank boundaries cannot flip on
+    ulps (the doc_keywords ranking rule).
+
+    Emits (id, term, tf, score_micro, rank), rank 1..k per doc.
+
+    Scale shape: one posexplode + lag/lead window per doc partition,
+    one (doc, term) groupBy, a doc-keyed max join, and a top-k window —
+    no corpus-global state at all, embarrassingly doc-parallel.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            # single-space split (not ' +'): piece ARRAYS must be
+            # byte-identical to DuckDB string_split so positions align
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("pos", "w"),
+        )
+        .where(F.col("w").rlike("^[A-Za-z]+$"))
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    toks = materialize(
+        toks.select(
+            "id", "pos",
+            F.lower("w").alias("t"),
+            F.col("w").rlike("^[A-Z]").cast("int").alias("is_cap"),
+            F.lower(F.lag("w", 1).over(win)).alias("ln_"),
+            F.lower(F.lead("w", 1).over(win)).alias("rn_"),
+            F.expr(f"pos div {sent_len}").alias("sent"),
+        )
+    )
+    nsent = toks.groupBy("id").agg(
+        (F.max("sent") + 1).cast("double").alias("n_sent")
+    )
+    per = toks.groupBy("id", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.sum("is_cap").cast("double").alias("cap"),
+        F.min("pos").cast("double").alias("min_pos"),
+        F.countDistinct("ln_").cast("double").alias("dl"),
+        F.countDistinct("rn_").cast("double").alias("dr"),
+        F.countDistinct("sent").cast("double").alias("n_with"),
+    )
+    mx = per.groupBy("id").agg(F.max("tf").alias("max_tf"))
+    feats = (
+        per.join(mx, "id").join(nsent, "id")
+        .withColumn("wcase", F.expr("cap / (1.0D + ln(1.0D + tf))"))
+        .withColumn("wpos", F.expr("ln(ln(3.0D + min_pos))"))
+        .withColumn("tfn", F.expr("tf / max_tf"))
+        .withColumn("wrel", F.expr("1.0D + (dl + dr) / tf"))
+        .withColumn("disp", F.expr("n_with / n_sent"))
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "CAST(round((wrel * wpos) / "
+                "(wcase + tfn / wrel + disp / wrel) * 1000000.0D, 0) "
+                "AS LONG)"
+            ),
+        )
+    )
+    rw = Window.partitionBy("id").orderBy(
+        F.asc("score_micro"), F.asc("t")
+    )
+    return (
+        feats.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id"), F.col("t").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            "score_micro", F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -89,3 +89,42 @@ def test_rake_delimiters_and_max_words(spark):
     got = {(r.doc_id, r.phrase): r.score_ppm
            for r in rake_phrases(two, k=1).collect()}
     assert got == {(1, "red cat"): 4_000_000, (2, "red dog"): 4_000_000}
+
+
+def test_yake_keywords_feature_math(spark):
+    import math
+
+    from kgspark.keywords import yake_keywords
+
+    text = "Spark engine shuffles data the Spark optimizer plans joins"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r.term: r for r in yake_keywords(df, k=10).collect()}
+    # every alpha token extracted, case-folded
+    assert "spark" in out and out["spark"].tf == 2
+    # python mirror of the pinned formula for 'spark'
+    # occurrences at pos 0 (cap, no left nbr, right='engine') and
+    # pos 5 (cap, left='the', right='optimizer')
+    tf, cap, min_pos = 2.0, 2.0, 0.0
+    dl, dr = 1.0, 2.0       # left: {'the'}; right: {'engine','optimizer'}
+    n_with, n_sent = 1.0, 1.0
+    max_tf = 2.0
+    wcase = cap / (1.0 + math.log(1.0 + tf))
+    wpos = math.log(math.log(3.0 + min_pos))
+    tfn = tf / max_tf
+    wrel = 1.0 + (dl + dr) / tf
+    disp = n_with / n_sent
+    s = (wrel * wpos) / (wcase + tfn / wrel + disp / wrel)
+    assert out["spark"].score_micro == round(s * 1_000_000)
+    # ranks are 1..n dense and ordered by (score, term)
+    ranked = sorted(out.values(), key=lambda r: r.rank)
+    assert [r.rank for r in ranked] == list(range(1, len(ranked) + 1))
+    assert all(
+        (a.score_micro, a.term) < (b.score_micro, b.term)
+        for a, b in zip(ranked, ranked[1:])
+    )
+    # k bound respected
+    assert len(yake_keywords(df, k=3).collect()) == 3
+    # null / empty text yields no rows, not an error
+    empty = spark.createDataFrame(
+        [(2, None), (3, "")], "doc_id long, text string")
+    assert yake_keywords(empty).count() == 0
