@@ -1242,6 +1242,48 @@ LEFT JOIN uc_s sb ON sb.m = split_part(d.combo, ',', 2)
 """
 
 
+def _etld_sql() -> str:
+    """web_etld oracle: synthesis + PSL-lite longest-tail match, the
+    registry generated from kgspark.web.PSL_LITE so both engines share
+    one pin. Last-k label tails via 1-based list slices."""
+    from kgspark.web import PSL_LITE
+
+    inlist = ", ".join(f"'{s}'" for s in PSL_LITE)
+    return f"""
+WITH et_h AS (
+  SELECT DISTINCT
+         CASE doc_id % 5
+           WHEN 0 THEN 'www.shop' || (doc_id % 40)::VARCHAR || '.co.uk'
+           WHEN 1 THEN 'shop' || (doc_id % 40)::VARCHAR || '.com'
+           WHEN 2 THEN 'a.b.site' || (doc_id % 30)::VARCHAR || '.com.au'
+           WHEN 3 THEN 'co.uk'
+           ELSE 'x' || (doc_id % 10)::VARCHAR || '.org'
+         END AS host
+  FROM documents
+),
+et_l AS (
+  SELECT host, string_split(host, '.') AS l,
+         len(string_split(host, '.'))::INT AS n_labels
+  FROM et_h
+),
+et_t AS (
+  SELECT host, n_labels,
+         array_to_string(l[greatest(n_labels - 1, 1):], '.') AS last2,
+         array_to_string(l[greatest(n_labels - 2, 1):], '.') AS last3,
+         l[n_labels] AS last1
+  FROM et_l
+)
+SELECT host, n_labels,
+       CASE WHEN last2 IN ({inlist}) AND n_labels >= 3 THEN last2
+            WHEN last2 NOT IN ({inlist}) AND n_labels >= 2 THEN last1
+            ELSE '' END AS suffix,
+       CASE WHEN last2 IN ({inlist}) AND n_labels >= 3 THEN last3
+            WHEN last2 NOT IN ({inlist}) AND n_labels >= 2 THEN last2
+            ELSE '' END AS etld1
+FROM et_t
+"""
+
+
 def _gtin_sum_sql(c: str) -> str:
     """GS1 weighted sum of the first 12 digits (mirrors
     kgspark.pii.gtin_weighted_sum): weight 1 odd / 3 even positions."""
@@ -8005,6 +8047,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return yake_keywords(aug, k=5)
 
+    def web_etld(spark, sf_dir):
+        # PSL-lite registrable-domain extraction (kgspark/web.py
+        # etld1_extract): longest-match on the label tail against the
+        # pinned suffix registry — co.uk/com.au hosts keep 3 labels,
+        # bare public suffixes report '' (no registrable domain)
+        from kgspark.web import etld1_extract
+
+        d = _read(spark, sf_dir, "documents")
+        k = F.col("doc_id")
+        host = (
+            F.when(k % 5 == 0, F.concat(
+                F.lit("www.shop"), (k % 40).cast("string"),
+                F.lit(".co.uk")))
+            .when(k % 5 == 1, F.concat(
+                F.lit("shop"), (k % 40).cast("string"), F.lit(".com")))
+            .when(k % 5 == 2, F.concat(
+                F.lit("a.b.site"), (k % 30).cast("string"),
+                F.lit(".com.au")))
+            .when(k % 5 == 3, F.lit("co.uk"))
+            .otherwise(F.concat(
+                F.lit("x"), (k % 10).cast("string"), F.lit(".org")))
+        )
+        hosts = d.select(host.alias("host")).distinct()
+        return etld1_extract(hosts, "host")
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8387,6 +8454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gzip": multimodal_gzip,
         "pii_gtin": pii_gtin,
         "text_yake": text_yake,
+        "web_etld": web_etld,
     }
 
 
@@ -17948,4 +18016,7 @@ FROM (
 )
 WHERE "rank" <= 5
 """,
+        # kgspark.web.etld1_extract: label-tail slices + the same
+        # PSL_LITE registry probe (generated from the shared pin)
+        "web_etld": _etld_sql(),
     }

@@ -393,6 +393,7 @@ BENCH_QUERIES = [
     "multimodal_gzip",
     "pii_gtin",
     "text_yake",
+    "web_etld",
 ]
 
 

@@ -1430,3 +1430,66 @@ def idn_hosts(
         ).otherwise(0).cast("int").alias("has_non_ascii"),
         F.col("__d.error").alias("error"),
     )
+
+
+# Pinned Public-Suffix-List slice: the multi-label public suffixes a
+# crawl actually meets at volume (PSL "ICANN domains" section, public
+# data). A real deployment ships the full ~9k-rule list the same way —
+# the lookup below is rule-count-independent (it only ever probes the
+# last-2 and last-3 label tails). Wildcard (*.ck) and exception (!)
+# rules are out of scope for the lite slice, documented.
+PSL_LITE: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "com.mx", "org.mx", "com.tr", "com.ar", "com.sg", "com.hk",
+    "co.za", "org.za", "co.nz", "net.nz", "org.nz",
+)
+
+
+def etld1_extract(
+    df: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, n_labels, suffix, etld1): registrable-domain (eTLD+1)
+    extraction against the pinned PSL_LITE suffix registry — the
+    correct upgrade of registered_domain()'s two-label heuristic, which
+    calls 'example.co.uk' registrable at 'co.uk' and thereby merges
+    every .co.uk site into one "domain" in host graphs, domain caps and
+    blocklists. Longest-match semantics on the label tail: if the last
+    TWO labels form a public suffix the eTLD+1 is the last THREE
+    labels, else the last two (single-label public suffixes are exactly
+    the TLDs, which need no table).
+
+    Pure JVM string arithmetic: substring_index tails + one isin probe
+    over the pinned registry — map-only, broadcast-free, rule-count
+    independent. Hosts with too few labels to carry a registrable
+    domain (bare TLDs, empty) report suffix/etld1 = '' — the
+    NULL-sentinel posture.
+    """
+    h = F.lower(F.coalesce(F.col(host_col), F.lit("")))
+    n_labels = F.when(h == "", F.lit(0)).otherwise(
+        F.size(F.split(h, "[.]"))
+    )
+    last2 = F.substring_index(h, ".", -2)
+    last3 = F.substring_index(h, ".", -3)
+    is_multi = last2.isin(*PSL_LITE)
+    suffix = F.when(
+        is_multi & (n_labels >= 3), last2
+    ).when(
+        ~is_multi & (n_labels >= 2), F.substring_index(h, ".", -1)
+    ).otherwise(F.lit(""))
+    etld1 = F.when(
+        is_multi & (n_labels >= 3), last3
+    ).when(
+        ~is_multi & (n_labels >= 2), last2
+    ).otherwise(F.lit(""))
+    return df.select(
+        h.alias("host"),
+        n_labels.cast("int").alias("n_labels"),
+        suffix.alias("suffix"),
+        etld1.alias("etld1"),
+    )

@@ -704,3 +704,31 @@ def test_idn_hosts_decode_and_flags(spark):
     assert out[None] is not None or True
     none_row = [r for r in idn_hosts(df).collect() if r.host is None][0]
     assert none_row.unicode_host is None and none_row.is_idn == 0
+
+def test_etld1_extract_psl_lite(spark):
+    from kgspark.web import etld1_extract
+
+    rows = [
+        ("www.example.co.uk",),   # multi-label public suffix
+        ("example.co.uk",),
+        ("deep.a.b.com.au",),
+        ("example.com",),
+        ("www.example.com",),
+        ("co.uk",),               # bare public suffix: no registrable
+        ("com",),                 # bare TLD
+        ("",),
+        (None,),
+        ("UPPER.Example.CO.UK",),  # case-folds
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    out = {r.host: (r.n_labels, r.suffix, r.etld1)
+           for r in etld1_extract(df).collect()}
+    assert out["www.example.co.uk"] == (4, "co.uk", "example.co.uk")
+    assert out["example.co.uk"] == (3, "co.uk", "example.co.uk")
+    assert out["deep.a.b.com.au"] == (5, "com.au", "b.com.au")
+    assert out["example.com"] == (2, "com", "example.com")
+    assert out["www.example.com"] == (3, "com", "example.com")
+    assert out["co.uk"] == (2, "", "")
+    assert out["com"] == (1, "", "")
+    assert out[""] == (0, "", "")
+    assert out["upper.example.co.uk"] == (4, "co.uk", "example.co.uk")
