@@ -8072,6 +8072,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hosts = d.select(host.alias("host")).distinct()
         return etld1_extract(hosts, "host")
 
+    def rel_abc(spark, sf_dir):
+        # ABC / Pareto revenue classification (kgspark/relops.py
+        # abc_classes): per-customer revenue in pinned cents, classed
+        # A/B/C at 80/95% cumulative share inside each custkey%8 group
+        # — exact integer boundaries, deterministic tie order
+        from kgspark.relops import abc_classes
+
+        o = _read(spark, sf_dir, "orders")
+        rev = o.groupBy(
+            (F.col("o_custkey") % 8).alias("grp"),
+            F.col("o_custkey").alias("cust"),
+        ).agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("long").alias("cents")
+        )
+        return abc_classes(rev, ["grp"], "cust", "cents")
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8455,6 +8472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_gtin": pii_gtin,
         "text_yake": text_yake,
         "web_etld": web_etld,
+        "rel_abc": rel_abc,
     }
 
 
@@ -18019,4 +18037,31 @@ WHERE "rank" <= 5
         # kgspark.web.etld1_extract: label-tail slices + the same
         # PSL_LITE registry probe (generated from the shared pin)
         "web_etld": _etld_sql(),
+        # kgspark.relops.abc_classes: cumulative window with the same
+        # (value desc, item asc) tie order; integer class boundaries
+        "rel_abc": """
+WITH ab_b AS (
+  SELECT o_custkey % 8 AS grp, o_custkey AS cust,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+ab_t AS (SELECT grp, sum(cents)::BIGINT AS tot FROM ab_b GROUP BY 1),
+ab_c AS (
+  SELECT grp, cust, cents,
+         sum(cents) OVER (
+           PARTITION BY grp ORDER BY cents DESC, cust ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum
+  FROM ab_b
+)
+SELECT c.grp, c.cust AS item, c.cents AS "value", c.cum AS cum_value,
+       (CASE WHEN t.tot > 0 THEN (c.cum * 1000000) // t.tot
+             ELSE -1 END)::BIGINT AS share_ppm,
+       CASE WHEN t.tot <= 0 THEN 'C'
+            WHEN c.cum * 100 <= 80 * t.tot THEN 'A'
+            WHEN c.cum * 100 <= 95 * t.tot THEN 'B'
+            ELSE 'C' END AS cls
+FROM ab_c c JOIN ab_t t USING (grp)
+""",
     }

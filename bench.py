@@ -394,6 +394,7 @@ BENCH_QUERIES = [
     "pii_gtin",
     "text_yake",
     "web_etld",
+    "rel_abc",
 ]
 
 

@@ -1553,3 +1553,62 @@ def trend_test(
         F.when(s > 0, "inc").when(s < 0, "dec")
         .otherwise("flat").alias("trend"),
     )
+
+
+def abc_classes(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto classification per group (the inventory-analysis
+    classic): items sorted by value desc, class A while the cumulative
+    share is within `a_pct`%, B within `b_pct`%, C after — "which 20%
+    of products carry 80% of revenue". Completes the concentration
+    family: gini_census measures HOW concentrated a group is,
+    abc_classes names WHICH members make up the head.
+
+    Exact-integer class boundaries: an item is A iff
+    cum_value·100 ≤ a_pct·total (no ratios, no fp; ties broken by the
+    deterministic (value desc, item asc) order so cum sums are
+    replicable). `value_col` must be integer (quantize upstream with
+    the floor(x·scale+0.5) pin). Zero-total groups class everything C.
+
+    Emits group_cols + (item, value, cum_value, share_ppm, cls).
+
+    Scale shape: one per-group window sort (partition-parallel, no
+    global ordering) + a group-total broadcast join back; share_ppm is
+    the truncated cum_value·1e6 div total.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc("__v"), F.asc("__i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        *group_cols,
+        F.col(item_col).alias("__i"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    tot = base.groupBy(*group_cols).agg(
+        F.sum("__v").cast("long").alias("__tot")
+    )
+    cum = base.withColumn("__cum", F.sum("__v").over(w).cast("long"))
+    cls = (
+        F.when(F.col("__tot") <= 0, "C")
+        .when(F.col("__cum") * 100 <= F.lit(a_pct) * F.col("__tot"), "A")
+        .when(F.col("__cum") * 100 <= F.lit(b_pct) * F.col("__tot"), "B")
+        .otherwise("C")
+    )
+    return cum.join(tot, group_cols).select(
+        *group_cols,
+        F.col("__i").alias("item"),
+        F.col("__v").alias("value"),
+        F.col("__cum").alias("cum_value"),
+        F.when(F.col("__tot") > 0,
+               F.expr("(__cum * 1000000L) div __tot"))
+        .otherwise(F.lit(-1)).cast("long").alias("share_ppm"),
+        cls.alias("cls"),
+    )

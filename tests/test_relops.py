@@ -615,3 +615,34 @@ def test_trend_test_hand_case(spark):
     )
     o = trend_test(neg, ["g"], ["t"], "v").collect()[0]
     assert (o.s, o.tau_a_ppm) == (-1, -333_333)
+
+
+def test_abc_classes_hand_case(spark):
+    from kgspark.relops import abc_classes
+
+    rows = [
+        # g=1: values 50, 30, 15, 5 (total 100) ->
+        # cum 50 (A), 80 (A), 95 (B), 100 (C)
+        (1, "a", 50), (1, "b", 30), (1, "c", 15), (1, "d", 5),
+        # g=2: all-zero group -> everything C, share sentinel
+        (2, "x", 0), (2, "y", 0),
+        # g=3: tie on value -> item asc breaks the tie
+        (3, "m", 10), (3, "n", 10),
+    ]
+    df = spark.createDataFrame(rows, "g long, item string, v long")
+    out = {(r.g, r.item): r
+           for r in abc_classes(df, ["g"], "item", "v").collect()}
+    assert out[(1, "a")].cls == "A" and out[(1, "a")].cum_value == 50
+    assert out[(1, "b")].cls == "A" and out[(1, "b")].cum_value == 80
+    assert out[(1, "c")].cls == "B" and out[(1, "c")].share_ppm == 950_000
+    assert out[(1, "d")].cls == "C" and out[(1, "d")].share_ppm == 1_000_000
+    assert out[(2, "x")].cls == "C" and out[(2, "x")].share_ppm == -1
+    # deterministic tie order: m before n
+    assert out[(3, "m")].cum_value == 10
+    assert out[(3, "n")].cum_value == 20
+    # custom thresholds
+    tight = {(r.g, r.item): r.cls
+             for r in abc_classes(df, ["g"], "item", "v",
+                                  a_pct=50, b_pct=80).collect()}
+    assert tight[(1, "a")] == "A" and tight[(1, "b")] == "B"
+    assert tight[(1, "c")] == "C"
