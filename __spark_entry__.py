@@ -8089,6 +8089,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return abc_classes(rev, ["grp"], "cust", "cents")
 
+    def embed_isotropy(spark, sf_dir):
+        # pair-free isotropy census (kgspark/embed.py isotropy_report):
+        # Σ_{i≠j}<q_i,q_j> = ||Σq||² − Σ||q||² over floor(x*1000+0.5)
+        # quantized embeddings — exact integers, two 1-row broadcasts
+        from kgspark.embed import isotropy_report
+
+        e = _read(spark, sf_dir, "embeddings")
+        return isotropy_report(e)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8473,6 +8482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_yake": text_yake,
         "web_etld": web_etld,
         "rel_abc": rel_abc,
+        "embed_isotropy": embed_isotropy,
     }
 
 
@@ -18063,5 +18073,34 @@ SELECT c.grp, c.cust AS item, c.cents AS "value", c.cum AS cum_value,
             WHEN c.cum * 100 <= 95 * t.tot THEN 'B'
             ELSE 'C' END AS cls
 FROM ab_c c JOIN ab_t t USING (grp)
+""",
+        # kgspark.embed.isotropy_report: same quantization pin and the
+        # same two-step truncated division order
+        "embed_isotropy": """
+WITH is_q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000 + 0.5) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+is_n AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM is_q GROUP BY 1),
+is_a AS (
+  SELECT count(*)::BIGINT AS n,
+         coalesce(sum(n2), 0)::BIGINT AS sum_norm2
+  FROM is_n
+),
+is_s AS (SELECT pos, sum(v)::BIGINT AS s FROM is_q GROUP BY 1),
+is_t AS (
+  SELECT count(*)::BIGINT AS dim,
+         coalesce(sum(s * s), 0)::BIGINT AS total_norm2
+  FROM is_s
+)
+SELECT n, dim, sum_norm2, total_norm2,
+       (total_norm2 - sum_norm2)::BIGINT AS pair_dot_num,
+       (CASE WHEN n >= 2 AND sum_norm2 > 0
+             THEN (((total_norm2 - sum_norm2) // (n - 1)) * 1000000)
+                  // sum_norm2
+             ELSE -1 END)::BIGINT AS iso_ppm
+FROM is_a, is_t
 """,
     }

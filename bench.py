@@ -395,6 +395,7 @@ BENCH_QUERIES = [
     "text_yake",
     "web_etld",
     "rel_abc",
+    "embed_isotropy",
 ]
 
 

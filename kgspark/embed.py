@@ -700,3 +700,79 @@ def kcenter_coreset(
             )
         )
     return out
+
+
+def isotropy_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """1-row isotropy census of an embedding column — how far the
+    cloud's mean pairwise similarity sits from zero (Mu & Viswanath
+    2018, "All-but-the-Top": contextual/static embedding spaces are
+    notoriously anisotropic; a high mean pairwise dot means cosine
+    scores are inflated corpus-wide and ANN thresholds drift). The key
+    identity makes it pair-free:
+
+        Σ_{i≠j} <q_i, q_j>  =  ||Σ_i q_i||²  −  Σ_i ||q_i||²
+
+    so the WHOLE pairwise sum costs one elementwise vector sum + one
+    norm pass — never an O(n²) join (the same sufficient-statistic
+    trick as rel variance, applied to vectors).
+
+    Exactness: components quantized to floor(x·scale + 0.5) integers
+    (the sq8/coreset pin; float→double is exact), every sum is 64-bit
+    integer, and iso_ppm uses the PINNED two-step truncation
+    ((pair_num div (n−1)) · 1e6) div sum_norm2 — ordered so
+    intermediates stay < 2⁶³ to ~10⁸ rows at this scale/dim (beyond
+    that, shard the report and combine the exact integer sufficient
+    statistics: n, per-pos sums, Σ norm²  — all mergeable by addition).
+
+    Emits (n, dim, sum_norm2, total_norm2, pair_dot_num, iso_ppm);
+    iso_ppm ≈ 1e6 · mean pairwise dot / mean norm², the [−1e6, 1e6]
+    anisotropy gauge; -1 sentinel when n < 2 or all-zero.
+
+    Scale shape: one materialized quantization pass feeds (a) a
+    map-side-combined per-row norm agg and (b) a posexplode + per-pos
+    sum whose state is `dim` counters — both shuffle-light; the finale
+    is a crossJoin of two 1-row frames (the grand-total posture).
+    """
+    from kgspark.session import materialize
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+        .cast("long"),
+    )
+    base = materialize(df.select(q.alias("q")))
+    norms = base.select(
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("n2")
+    )
+    a = norms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("n2"), F.lit(0)).cast("long").alias("sum_norm2"),
+    )
+    t = (
+        base.select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").cast("long").alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dim"),
+            F.coalesce(F.sum(F.expr("s * s")), F.lit(0))
+            .cast("long").alias("total_norm2"),
+        )
+    )
+    return a.crossJoin(F.broadcast(t)).select(
+        "n", "dim", "sum_norm2", "total_norm2",
+        (F.col("total_norm2") - F.col("sum_norm2"))
+        .cast("long").alias("pair_dot_num"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("sum_norm2") > 0),
+            F.expr(
+                "(((total_norm2 - sum_norm2) div (n - 1)) * 1000000L)"
+                " div sum_norm2"
+            ),
+        ).otherwise(F.lit(-1)).cast("long").alias("iso_ppm"),
+    )

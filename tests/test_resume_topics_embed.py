@@ -101,3 +101,44 @@ def test_hash_embed_deterministic():
     assert abs(sum(x * x for x in a) - 1.0) < 1e-9  # L2-normalized
     assert hash_embed("hello world", 64) != hash_embed("world hello", 64)  # order matters
     assert hash_embed(None, 8) == [0.0] * 8
+
+
+def test_isotropy_report_bruteforce(spark):
+    from kgspark.embed import isotropy_report
+
+    vecs = [
+        (1, [0.1, 0.2, -0.3]),
+        (2, [0.4, -0.1, 0.0]),
+        (3, [-0.2, 0.2, 0.1]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = isotropy_report(df, scale=1000).collect()[0]
+    q = [[round(x * 1000) for x in v] for _, v in vecs]
+    # python floor(x*1000+.5) == round for these values away from ties
+    import math
+    q = [[math.floor(float(x) * 1000 + 0.5) for x in v] for _, v in vecs]
+    sum_norm2 = sum(sum(c * c for c in v) for v in q)
+    s = [sum(v[i] for v in q) for i in range(3)]
+    total = sum(c * c for c in s)
+    pair = sum(
+        sum(a * b for a, b in zip(q[i], q[j]))
+        for i in range(3) for j in range(3) if i != j
+    )
+    assert out.n == 3 and out.dim == 3
+    assert out.sum_norm2 == sum_norm2
+    assert out.total_norm2 == total
+    # the identity: pairwise sum == ||Σ||² − Σ||·||²
+    assert out.pair_dot_num == total - sum_norm2 == pair
+    def trunc_div(a, b):
+        # Spark div / DuckDB // truncate toward ZERO, Python // floors
+        return -(-a // b) if (a < 0) != (b < 0) else a // b
+
+    assert out.iso_ppm == trunc_div(
+        trunc_div(total - sum_norm2, 2) * 1_000_000, sum_norm2)
+    # degenerate inputs take the sentinel
+    one = isotropy_report(df.limit(1)).collect()[0]
+    assert one.iso_ppm == -1
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    assert isotropy_report(zero).collect()[0].iso_ppm == -1
