@@ -548,3 +548,89 @@ def read_snapshot(
     man = _read_manifest(spark, table_dir, version)
     paths = [os.path.join(table_dir, d) for d in man["dirs"]]
     return spark.read.parquet(*paths)
+
+
+def parquet_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file parquet FOOTER census of a table directory: (file,
+    n_rows, n_row_groups, n_cols, size_bytes, min_rg_rows, max_rg_rows,
+    error) — the physical-layout companion to skew.partition_report
+    (which profiles a DataFrame's logical partitions): footers answer
+    the questions a 100 TB table's operator actually asks — are files
+    tiny (compact_table work), are row groups too small for pruning,
+    is one file a straggler. Footers only: a parquet footer is a few
+    KB regardless of file size, so the census costs O(files), never a
+    data scan.
+
+    Listing goes through the Hadoop FS API (file://, hdfs://, s3a://
+    alike — the catalog.py posture); footer reads run DISTRIBUTED in
+    an Arrow-batched mapInPandas over the file list, with pyarrow
+    opening each file directly (task-side plain paths for file:// —
+    the warc-writer posture; remote FS URIs would thread through
+    pyarrow's filesystem layer the same way). Per-file errors land in
+    the error column, never fail the census.
+    """
+    from kgspark.catalog import _fs
+
+    fs, root = _fs(spark, path)
+    if not fs.exists(root):
+        raise FileNotFoundError(path)
+    files = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            files.append((p, int(st.getLen())))
+    if not files:
+        return spark.createDataFrame(
+            [],
+            "file string, n_rows long, n_row_groups long, n_cols long, "
+            "size_bytes long, min_rg_rows long, max_rg_rows long, "
+            "error string",
+        )
+    fdf = spark.createDataFrame(
+        files, "file string, size_bytes long"
+    ).repartition(min(len(files), 32))
+
+    def footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cols = ["file", "n_rows", "n_row_groups", "n_cols",
+                "size_bytes", "min_rg_rows", "max_rg_rows", "error"]
+        for pdf in batches:
+            rows = []
+            for p, sz in zip(pdf["file"], pdf["size_bytes"]):
+                # Hadoop renders local URIs as file:/abs/path — strip
+                # only the scheme, keep the absolute path
+                local = p[5:] if p.startswith("file:") else p
+                rec = {"file": p, "size_bytes": int(sz)}
+                try:
+                    md = pq.ParquetFile(local).metadata
+                    rg = [md.row_group(i).num_rows
+                          for i in range(md.num_row_groups)]
+                    rec.update({
+                        "n_rows": md.num_rows,
+                        "n_row_groups": md.num_row_groups,
+                        "n_cols": md.num_columns,
+                        "min_rg_rows": min(rg) if rg else 0,
+                        "max_rg_rows": max(rg) if rg else 0,
+                        "error": None,
+                    })
+                except Exception as e:
+                    rec.update({
+                        "n_rows": None, "n_row_groups": None,
+                        "n_cols": None, "min_rg_rows": None,
+                        "max_rg_rows": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    })
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fdf.mapInPandas(
+        footers,
+        "file string, n_rows long, n_row_groups long, n_cols long, "
+        "size_bytes long, min_rg_rows long, max_rg_rows long, "
+        "error string",
+    )

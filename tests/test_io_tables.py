@@ -428,3 +428,36 @@ def test_snapshot_orphan_data_invisible(spark, tmp_path):
     n = snapshot_write(orphan, spark, d, mode="append")
     assert n == 2 and snapshot_versions(spark, d) == [1, 2]
     assert {r.id for r in read_snapshot(spark, d).collect()} == {1, 666}
+
+
+def test_parquet_stats_footer_census(spark, tmp_path):
+    import pytest as _pytest
+
+    from kgspark.io_tables import parquet_stats
+
+    tdir = str(tmp_path / "t")
+    spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS k", "cast(id as string) AS s"
+    ).repartition(4).write.parquet(tdir)
+    out = parquet_stats(spark, tdir).collect()
+    data = [r for r in out if r.error is None]
+    assert len(data) >= 1
+    assert sum(r.n_rows for r in data) == 1000
+    assert all(r.n_cols == 3 for r in data)
+    assert all(r.size_bytes > 0 for r in data)
+    assert all(0 < r.min_rg_rows <= r.max_rg_rows <= r.n_rows
+               for r in data)
+    # a corrupt .parquet file reports an error row, not a crash
+    bad = tmp_path / "t" / "part-corrupt.parquet"
+    bad.write_bytes(b"not a parquet file")
+    out2 = {r.file.split("/")[-1]: r for r in
+            parquet_stats(spark, tdir).collect()}
+    assert out2["part-corrupt.parquet"].error is not None
+    assert sum(r.n_rows or 0 for r in out2.values()) == 1000
+    # hidden/_SUCCESS files are never listed
+    assert not any(f.startswith("_") for f in out2)
+    with _pytest.raises(FileNotFoundError):
+        parquet_stats(spark, str(tmp_path / "missing"))
+    # empty dir -> empty frame with the full schema
+    (tmp_path / "empty").mkdir()
+    assert parquet_stats(spark, str(tmp_path / "empty")).count() == 0
