@@ -1242,6 +1242,78 @@ LEFT JOIN uc_s sb ON sb.m = split_part(d.combo, ',', 2)
 """
 
 
+_DE_TAIL = ("der die das ist nicht mit den ein der die das ist nicht "
+            "mit den ein der die das ist")
+_ES_TAIL = ("el la por que con en es de el la por que con en es de el "
+            "la por que")
+
+
+def _lang_spans_sql(window: int = 20) -> str:
+    """text_lang_spans oracle: windowed langid + gaps-and-islands, the
+    score/argmax expressions generated from LANG_STOPWORDS exactly as
+    the text_langid oracle does, applied per window."""
+    from kgspark.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+
+    def hits(lg):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
+        return (f"len(list_filter(string_split_regex(lower(wtext), "
+                f"'\\s+'), t -> t IN ({words})))")
+
+    ratios = {
+        lg: (f"({hits(lg)} * 1.0 / greatest(len(list_filter("
+             f"string_split_regex(lower(wtext), '\\s+'), "
+             f"t -> t <> '')), 1))")
+        for lg in langs
+    }
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pick = ("CASE " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs) + " END")
+    w1 = window - 1
+    return f"""
+WITH ls_a AS (
+  SELECT doc_id AS id,
+         coalesce("text", '')
+         || (CASE WHEN doc_id % 3 = 0 THEN ' {_DE_TAIL}' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN ' {_ES_TAIL}' ELSE '' END)
+           AS t
+  FROM documents
+),
+ls_t AS (
+  SELECT id,
+         list_filter(string_split_regex(lower(t), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM ls_a
+),
+ls_w AS (
+  SELECT id,
+         unnest([i for i in range(0, (len(ts) + {w1}) // {window})])
+           AS win,
+         unnest([array_to_string(
+                   ts[i * {window} + 1 : i * {window} + {window}], ' ')
+                 for i in range(0, (len(ts) + {w1}) // {window})])
+           AS wtext
+  FROM ls_t WHERE len(ts) > 0
+),
+ls_s AS (
+  SELECT id, win,
+         {", ".join(f"{ratios[lg]} AS s_{lg}" for lg in langs)}
+  FROM ls_w
+),
+ls_p AS (SELECT id, win, {pick} AS lang FROM ls_s),
+ls_g AS (
+  SELECT id, lang, win,
+         win - row_number() OVER (PARTITION BY id, lang ORDER BY win)
+           AS grp
+  FROM ls_p
+)
+SELECT id, lang, min(win)::BIGINT AS start_win,
+       max(win)::BIGINT AS end_win, count(*)::BIGINT AS n_windows
+FROM ls_g GROUP BY id, lang, grp
+"""
+
+
 def _etld_sql() -> str:
     """web_etld oracle: synthesis + PSL-lite longest-tail match, the
     registry generated from kgspark.web.PSL_LITE so both engines share
@@ -8098,6 +8170,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _read(spark, sf_dir, "embeddings")
         return isotropy_report(e)
 
+    def text_lang_spans(spark, sf_dir):
+        # language span segmentation (kgspark/textstats.py lang_spans):
+        # 20-token windows langid'd and collapsed by gaps-and-islands;
+        # German/Spanish stopword tails planted per doc_id arithmetic
+        # so multilingual docs really produce multi-span output
+        from kgspark.textstats import lang_spans
+
+        d = _read(spark, sf_dir, "documents")
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit(" " + _DE_TAIL)).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.lit(" " + _ES_TAIL)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return lang_spans(aug, window=20)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8483,6 +8575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_etld": web_etld,
         "rel_abc": rel_abc,
         "embed_isotropy": embed_isotropy,
+        "text_lang_spans": text_lang_spans,
     }
 
 
@@ -18103,4 +18196,7 @@ SELECT n, dim, sum_norm2, total_norm2,
              ELSE -1 END)::BIGINT AS iso_ppm
 FROM is_a, is_t
 """,
+        # kgspark.textstats.lang_spans: windowed langid argmax +
+        # integer islands (generated from LANG_STOPWORDS)
+        "text_lang_spans": _lang_spans_sql(20),
     }

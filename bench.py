@@ -396,6 +396,7 @@ BENCH_QUERIES = [
     "web_etld",
     "rel_abc",
     "embed_isotropy",
+    "text_lang_spans",
 ]
 
 

@@ -1089,3 +1089,67 @@ def good_turing_spectrum(
         )
         .orderBy("r")
     )
+
+
+def lang_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Language SPAN segmentation: the document sliced into fixed
+    `window`-token pseudo-sentences, each window language-identified
+    with the lang_id stopword-argmax, adjacent same-language windows
+    collapsed into spans by gaps-and-islands. The per-segment upgrade
+    of lang_id's one-label-per-doc: web documents are routinely
+    multilingual (boilerplate in one language, body in another;
+    CCNet/CLD-style pipelines emit per-RANGE language labels exactly so
+    the curation gate can keep the majority-language body and drop the
+    rest).
+
+    Determinism: window boundaries are fixed token offsets, the
+    argmax + tie order is lang_id's (score equal → language code
+    ascending), and span collapse is pure integer arithmetic
+    (win − row_number), so the output is engine-exact even though the
+    scores themselves are fp64 ratios (the text_langid posture).
+
+    Emits (id, lang, start_win, end_win, n_windows) — one row per
+    maximal same-language run of windows.
+
+    Scale shape: tokens materialized BEFORE the window HOF (the
+    CollapseProject re-evaluation trap), then one posexplode + a
+    per-(doc, lang) window function — doc-parallel, no corpus state.
+    """
+    from kgspark.session import materialize
+
+    toks = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    t0 = materialize(
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    )
+    n = F.size("__toks")
+    nw = F.expr(f"(size(__toks) + {window - 1}) div {window}")
+    wins = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), (nw - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(F.col("__toks"), i * window + 1, window), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    base = t0.select(
+        "id", F.posexplode(wins).alias("win", "wtext")
+    )
+    pick, _score = lang_id_exprs(F.col("wtext"))
+    per = base.select("id", "win", pick.alias("lang"))
+    w = Window.partitionBy("id", "lang").orderBy("win")
+    spans = (
+        per.withColumn(
+            "grp", F.col("win") - F.row_number().over(w)
+        )
+        .groupBy("id", "lang", "grp")
+        .agg(
+            F.min("win").cast("long").alias("start_win"),
+            F.max("win").cast("long").alias("end_win"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .drop("grp")
+    )
+    return spans.select("id", "lang", "start_win", "end_win", "n_windows")

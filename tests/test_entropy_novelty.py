@@ -183,3 +183,31 @@ def test_good_turing_gap_join_is_literal_next(spark):
     out = {r.r: (r.n_next, r.r_star_ppm)
            for r in good_turing_spectrum(docs).collect()}
     assert out == {1: (0, 0), 3: (0, 0)}
+
+
+def test_lang_spans_segmentation(spark):
+    from kgspark.textstats import lang_spans
+
+    en = "the of and is in it that for as with " * 4   # 40 en tokens
+    de = "der die das ist nicht mit den ein der die " * 2  # 20 de tokens
+    df = spark.createDataFrame(
+        [(1, en + de), (2, en), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in lang_spans(df, window=20).collect():
+        out.setdefault(r.id, []).append(
+            (r.lang, r.start_win, r.end_win, r.n_windows))
+    # doc 1: windows 0-1 en, window 2 de -> two spans
+    assert sorted(out[1]) == [("de", 2, 2, 1), ("en", 0, 1, 2)]
+    # doc 2: one en span over 2 windows
+    assert out[2] == [("en", 0, 1, 2)]
+    # empty / NULL docs emit nothing
+    assert 3 not in out and 4 not in out
+    # a doc alternating languages produces one span per run
+    mix = de + en[:len("the of and is in it that for as with ") * 2] + de
+    df2 = spark.createDataFrame([(9, mix)], "doc_id long, text string")
+    spans = sorted(
+        (r.start_win, r.lang) for r in lang_spans(df2, window=20).collect()
+    )
+    assert [lg for _w, lg in spans] == ["de", "en", "de"]
