@@ -8190,6 +8190,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lang_spans(aug, window=20)
 
+    def rel_concurrency(spark, sf_dir):
+        # sweep-line concurrency census (kgspark/relops.py
+        # concurrency_profile): integer-instant intervals from event
+        # arithmetic, half-open semantics via the -1-before-+1 tie
+        # order; colliding boundaries planted (event_id % 1000)
+        from kgspark.relops import concurrency_profile
+
+        ev = _read(spark, sf_dir, "events")
+        iv = ev.select(
+            (F.col("user_id") % 8).alias("grp"),
+            (F.col("event_id") % 1000).cast("long").alias("s"),
+            ((F.col("event_id") % 1000) + (F.col("user_id") % 20) + 1)
+            .cast("long").alias("e"),
+        )
+        return concurrency_profile(iv, ["grp"], "s", "e")
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8576,6 +8592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_abc": rel_abc,
         "embed_isotropy": embed_isotropy,
         "text_lang_spans": text_lang_spans,
+        "rel_concurrency": rel_concurrency,
     }
 
 
@@ -18199,4 +18216,32 @@ FROM is_a, is_t
         # kgspark.textstats.lang_spans: windowed langid argmax +
         # integer islands (generated from LANG_STOPWORDS)
         "text_lang_spans": _lang_spans_sql(20),
+        # kgspark.relops.concurrency_profile: same event explode and
+        # (instant, delta) cumulative tie order; within-tie row order
+        # is free (identical rows — multiset-equal output)
+        "rel_concurrency": """
+WITH cc_i AS (
+  SELECT user_id % 8 AS grp,
+         event_id % 1000 AS s,
+         (event_id % 1000) + (user_id % 20) + 1 AS e
+  FROM events
+),
+cc_e AS (
+  SELECT grp, s AS instant, 1 AS delta FROM cc_i
+  UNION ALL SELECT grp, e, -1 FROM cc_i
+),
+cc_c AS (
+  SELECT grp, instant, delta,
+         sum(delta) OVER (
+           PARTITION BY grp ORDER BY instant, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS open_after
+  FROM cc_e
+),
+cc_m AS (SELECT grp, max(open_after) AS mx FROM cc_c GROUP BY 1)
+SELECT c.grp, c.instant::BIGINT AS instant, c.delta::INT AS delta,
+       c.open_after,
+       (c.open_after = m.mx)::INT AS is_peak
+FROM cc_c c JOIN cc_m m USING (grp)
+""",
     }

@@ -397,6 +397,7 @@ BENCH_QUERIES = [
     "rel_abc",
     "embed_isotropy",
     "text_lang_spans",
+    "rel_concurrency",
 ]
 
 

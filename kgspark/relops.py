@@ -1612,3 +1612,64 @@ def abc_classes(
         .otherwise(F.lit(-1)).cast("long").alias("share_ppm"),
         cls.alias("cls"),
     )
+
+
+def concurrency_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency census per group: how many intervals are
+    simultaneously open at each boundary instant, the classic
+    "max concurrent sessions / peak room occupancy / license high-water
+    mark" query. Each interval becomes a +1 event at start and a −1 at
+    end (half-open [start, end): an interval ending exactly when
+    another starts does NOT overlap it — the interval_overlap_join
+    convention), then a per-group cumulative sum ordered by
+    (instant, delta asc) gives the open count AFTER each boundary;
+    the −1-before-+1 tie order is what makes half-open semantics exact
+    at shared boundaries.
+
+    Emits group_cols + (instant, delta, open_after, is_peak) with
+    is_peak = 1 on every row attaining the group max — a census, not
+    just the scalar peak, so downstream can read sustained plateaus.
+
+    Scale shape: one explode to 2 events/interval + one per-group
+    window cumsum + a group-max broadcast join — no interval pairing,
+    ever (the O(n²) overlap join this replaces when only counts are
+    needed).
+    """
+    ev = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("instant"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col(end_col).alias("instant"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select(*group_cols, "e.instant", "e.delta")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc("instant"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.withColumn(
+        "open_after", F.sum("delta").over(w).cast("long")
+    )
+    mx = cum.groupBy(*group_cols).agg(
+        F.max("open_after").alias("__mx")
+    )
+    return cum.join(mx, group_cols).select(
+        *group_cols, "instant",
+        F.col("delta").cast("int").alias("delta"),
+        "open_after",
+        (F.col("open_after") == F.col("__mx"))
+        .cast("int").alias("is_peak"),
+    )

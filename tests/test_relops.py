@@ -646,3 +646,32 @@ def test_abc_classes_hand_case(spark):
                                   a_pct=50, b_pct=80).collect()}
     assert tight[(1, "a")] == "A" and tight[(1, "b")] == "B"
     assert tight[(1, "c")] == "C"
+
+
+def test_concurrency_profile_hand_case(spark):
+    from kgspark.relops import concurrency_profile
+
+    rows = [
+        # g=1: [0,10) [5,15) [10,20): at t=10 one closes AS one opens —
+        # half-open means the peak is 2, not 3
+        (1, 0, 10), (1, 5, 15), (1, 10, 20),
+        # g=2: nested [0,100) [10,20) [12,18) -> peak 3
+        (2, 0, 100), (2, 10, 20), (2, 12, 18),
+    ]
+    df = spark.createDataFrame(rows, "g long, s long, e long")
+    out = {}
+    for r in concurrency_profile(df, ["g"], "s", "e").collect():
+        out.setdefault(r.g, []).append(r)
+    g1 = sorted(out[1], key=lambda r: (r.instant, r.delta))
+    # boundary t=10: -1 sorts before +1 -> open drops to 1 then back to 2
+    seq = [(r.instant, r.delta, r.open_after) for r in g1]
+    assert seq == [(0, 1, 1), (5, 1, 2), (10, -1, 1), (10, 1, 2),
+                   (15, -1, 1), (20, -1, 0)]
+    assert max(r.open_after for r in g1) == 2
+    assert {r.instant for r in g1 if r.is_peak} == {5, 10}
+    g2 = out[2]
+    assert max(r.open_after for r in g2) == 3
+    # every group ends fully closed
+    for rs in out.values():
+        last = max(rs, key=lambda r: (r.instant, r.delta))
+        assert last.open_after == 0
