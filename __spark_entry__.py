@@ -8206,6 +8206,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return concurrency_profile(iv, ["grp"], "s", "e")
 
+    def kg_rdf_lists(spark, sf_dir):
+        # RDF Collection round trip (kgspark/rdf.py collection_triples
+        # -> collection_decode): ordered size lists per part encoded as
+        # rdf:first/rest chains with md5 blank cells, walked back in
+        # lockstep rounds — the oracle is the ORIGINAL list (identity)
+        from kgspark.rdf import collection_decode, collection_triples
+
+        p = _read(spark, sf_dir, "part")
+        n = (F.col("p_partkey") % 4).cast("int")
+        items = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat(
+                    F.lit("sz"), (F.col("p_size") + i).cast("string")
+                ),
+            )
+        )
+        lists = p.select(
+            F.concat(F.lit("part:"), F.col("p_partkey").cast("string"))
+            .alias("subj"),
+            F.lit("ex:sizes").alias("pred"),
+            items.alias("items"),
+        )
+        return collection_decode(collection_triples(lists))
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8593,6 +8618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_isotropy": embed_isotropy,
         "text_lang_spans": text_lang_spans,
         "rel_concurrency": rel_concurrency,
+        "kg_rdf_lists": kg_rdf_lists,
     }
 
 
@@ -18243,5 +18269,18 @@ SELECT c.grp, c.instant::BIGINT AS instant, c.delta::INT AS delta,
        c.open_after,
        (c.open_after = m.mx)::INT AS is_peak
 FROM cc_c c JOIN cc_m m USING (grp)
+""",
+        # kgspark.rdf.collection_triples/decode: decode(encode(x)) is
+        # the identity, so the oracle is the synthesized list itself
+        "kg_rdf_lists": """
+WITH rl_b AS (
+  SELECT 'part:' || p_partkey::VARCHAR AS subj,
+         'ex:sizes' AS pred,
+         p_partkey % 4 AS n, p_size
+  FROM part
+)
+SELECT subj, pred, i::BIGINT AS pos,
+       'sz' || (p_size + i)::VARCHAR AS item
+FROM rl_b, range(4) r(i) WHERE i < n
 """,
     }

@@ -398,6 +398,7 @@ BENCH_QUERIES = [
     "embed_isotropy",
     "text_lang_spans",
     "rel_concurrency",
+    "kg_rdf_lists",
 ]
 
 

@@ -663,3 +663,45 @@ def test_nquads_lines_graph_terms(spark):
     from kgspark.rdf import ntriples_lines
     base = ntriples_lines(df.select("subj", "pred", "obj"))
     assert base.columns == ["subj", "pred", "obj", "line"]
+
+
+def test_rdf_collection_roundtrip(spark):
+    from kgspark.rdf import _RDF_NS, collection_decode, collection_triples
+
+    rows = [
+        ("s1", "ex:tags", ["a", "b", "c"]),
+        ("s2", "ex:tags", ["solo"]),
+        ("s3", "ex:tags", []),          # empty -> (s3, p, rdf:nil)
+        ("s1", "ex:alts", ["x", "y"]),  # second list on the same subject
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, items array<string>")
+    enc = collection_triples(df)
+    tr = enc.collect()
+    # head links: one per input row; empty list points at rdf:nil
+    heads = {(r.subj, r.pred): r.obj for r in tr
+             if not r.pred.endswith(("first", "rest"))}
+    assert heads[("s3", "ex:tags")] == _RDF_NS + "nil"
+    assert heads[("s1", "ex:tags")].startswith("_:l")
+    # chain arithmetic: 3+1+2 cells, each with first+rest
+    firsts = [r for r in tr if r.pred == _RDF_NS + "first"]
+    rests = [r for r in tr if r.pred == _RDF_NS + "rest"]
+    assert len(firsts) == len(rests) == 6
+    assert sum(1 for r in rests if r.obj == _RDF_NS + "nil") == 3
+    # decode is the exact inverse, order preserved
+    dec = {(r.subj, r.pred, r.pos): r.item
+           for r in collection_decode(enc).collect()}
+    assert dec == {
+        ("s1", "ex:tags", 0): "a", ("s1", "ex:tags", 1): "b",
+        ("s1", "ex:tags", 2): "c", ("s2", "ex:tags", 0): "solo",
+        ("s1", "ex:alts", 0): "x", ("s1", "ex:alts", 1): "y",
+    }
+    # bounded walk truncates long chains instead of looping
+    short = collection_decode(enc, max_len=2).collect()
+    assert max(r.pos for r in short) == 1
+    # decode of a graph with no collections is an empty typed frame
+    none = spark.createDataFrame(
+        [("a", "knows", "b")], "subj string, pred string, obj string")
+    empty = collection_decode(none)
+    assert empty.count() == 0
+    assert empty.columns == ["subj", "pred", "pos", "item"]
