@@ -1120,3 +1120,44 @@ def test_session8_ops_plan_shapes(spark):
         assert "CartesianProduct" not in p, p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
         assert p.count("BroadcastNestedLoopJoin") <= cap, p
+
+
+def test_session8_late_ops_plan_shapes(spark):
+    """Second session-8 batch: census/segmentation ops stay JVM-side
+    (archive walkers are legitimately Arrow-batched mapInPandas and are
+    NOT asserted Python-free); scalar broadcasts capped."""
+    from kgspark.keywords import yake_keywords
+    from kgspark.pii import gtin_census
+    from kgspark.rdf import collection_triples
+    from kgspark.relops import abc_classes, concurrency_profile
+    from kgspark.textstats import lang_spans
+    from kgspark.web import etld1_extract
+
+    docs = spark.createDataFrame(
+        [(1, "the of and is Alpha beta"), (2, "der die das ist")],
+        "doc_id long, text string")
+    iv = spark.createDataFrame(
+        [(1, "a", 5, 0, 9)], "g long, item string, v long, s long, e long")
+    lists = spark.createDataFrame(
+        [("s", "p", ["a", "b"])], "subj string, pred string, items array<string>")
+
+    for df in (
+        gtin_census(docs),
+        etld1_extract(docs.selectExpr("'a.co.uk' AS host")),
+        abc_classes(iv, ["g"], "item", "v"),
+        concurrency_profile(iv, ["g"], "s", "e"),
+        lang_spans(docs, window=3),
+        yake_keywords(docs, k=2),
+        collection_triples(lists),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    # salsa's per-round joins are keyed; no BNLJ anywhere
+    from kgspark.graph_algs import salsa
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    p = plan(salsa(e, rounds=1))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
