@@ -399,6 +399,7 @@ BENCH_QUERIES = [
     "text_lang_spans",
     "rel_concurrency",
     "kg_rdf_lists",
+    "kg_homophily",
 ]
 
 

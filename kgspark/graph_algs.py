@@ -3681,3 +3681,67 @@ def salsa(
                      F.col("a").alias("score_ppm"))
         )
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Categorical attribute assortativity (Newman 2003, "Mixing
+    patterns in networks") as an exact rational — the homophily gauge
+    that answers "do nodes link to their own kind?" for ANY label
+    column (community ids, inferred types, domains), where
+    degree_assortativity answers it only for degree. With directed
+    label-pair counts E_ij, row/column sums A_i/B_j and m edges:
+
+        r = (m·ΣE_ii − ΣA_i·B_i) / (m² − ΣA_i·B_i)
+
+    multiplied out so numerator and denominator are exact 64-bit
+    integers (m ≤ ~3e9 before m² needs wider units — document past
+    that); r_ppm truncates toward zero identically in both engines
+    (negative r = disassortative). A graph whose labels make the
+    denominator 0 (all mass on one label) reports the -2e6 sentinel:
+    r is undefined, not 1.
+
+    Emits 1 row (m, trace_cnt, sum_ab, r_ppm).
+
+    Scale shape: one labels join per endpoint (node-keyed), a
+    label-pair groupBy whose state is |labels|², then label-sized
+    aggregates — the mixing matrix never exceeds label-vocabulary
+    size, so the reduction is sketch-small regardless of edge count.
+    """
+    la = labels.select(
+        F.col(node_col).alias("__s"), F.col(label_col).alias("la"))
+    lb = labels.select(
+        F.col(node_col).alias("__t"), F.col(label_col).alias("lb"))
+    pair = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__t"))
+        .join(la, "__s").join(lb, "__t")
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pair = materialize(pair)
+    tot = pair.agg(
+        F.sum("c").cast("long").alias("m"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("c"))
+              .otherwise(F.lit(0))).cast("long").alias("trace_cnt"),
+    )
+    a = pair.groupBy("la").agg(F.sum("c").cast("long").alias("ai"))
+    b = pair.groupBy("lb").agg(F.sum("c").cast("long").alias("bi"))
+    ab = (
+        a.join(b, a["la"] == b["lb"])
+        .agg(F.coalesce(F.sum(F.expr("ai * bi")), F.lit(0))
+             .cast("long").alias("sum_ab"))
+    )
+    return tot.crossJoin(F.broadcast(ab)).select(
+        "m", "trace_cnt", "sum_ab",
+        F.when(
+            F.expr("m * m - sum_ab") != 0,
+            F.expr("(1000000L * (m * trace_cnt - sum_ab))"
+                   " div (m * m - sum_ab)"),
+        ).otherwise(F.lit(-2_000_000)).cast("long").alias("r_ppm"),
+    )

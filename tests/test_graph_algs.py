@@ -1385,3 +1385,41 @@ def test_salsa_hand_case(spark):
     three = salsa(edges, rounds=3).collect()
     assert {r.side for r in three} == {"hub", "auth"}
     assert all(r.score_ppm >= 0 for r in three)
+
+
+def test_attribute_assortativity_known_values(spark):
+    from kgspark.graph_algs import attribute_assortativity
+
+    def run(edge_rows, label_rows):
+        e = spark.createDataFrame(edge_rows, "src string, dst string")
+        lab = spark.createDataFrame(label_rows, "node string, label string")
+        return attribute_assortativity(e, lab).collect()[0]
+
+    # perfectly assortative: two monochrome cliques-ish edge sets
+    r = run(
+        [("a1", "a2"), ("a2", "a1"), ("b1", "b2"), ("b2", "b1")],
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+    )
+    # E = diag(2,2)/4, A=B=(.5,.5): r = (4*4 - 8)/(16 - 8) = 1
+    assert (r.m, r.trace_cnt, r.r_ppm) == (4, 4, 1_000_000)
+    # perfectly DISassortative bipartite
+    r2 = run(
+        [("a1", "b1"), ("a2", "b2"), ("b1", "a2"), ("b2", "a1")],
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+    )
+    # trace 0, A=B=(.5,.5): r = (0 - 8)/(16 - 8) = -1
+    assert r2.r_ppm == -1_000_000
+    # single label -> denominator 0 -> sentinel
+    r3 = run(
+        [("x", "y"), ("y", "x")], [("x", "S"), ("y", "S")]
+    )
+    assert r3.r_ppm == -2_000_000
+    # mixed hand case: label-pair counts (A,A)=2 (A,B)=1 (B,A)=1;
+    # out sums A=3 B=1, in sums A=3 B=1 -> sum_ab = 9+1 = 10;
+    # num = 4*2-10 = -2, den = 16-10 = 6 -> truncation toward zero
+    r4 = run(
+        [("a1", "a2"), ("a2", "a1"), ("a1", "b1"), ("b1", "a1")],
+        [("a1", "A"), ("a2", "A"), ("b1", "B")],
+    )
+    assert (r4.trace_cnt, r4.sum_ab) == (2, 10)
+    assert r4.r_ppm == -333_333  # -2e6/6 truncated toward zero
