@@ -8261,6 +8261,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return attribute_assortativity(edges, labels)
 
+    def text_chrf(spark, sf_dir):
+        # chrF2 bitext quality score (kgspark/bitext.py chrf_pairs):
+        # hypothesis = identity / vowel-corrupted / truncated by doc_id
+        # arithmetic; the F-score collapses to the exact rational
+        # 5m div (4·n_ref + n_hyp)
+        from kgspark.bitext import chrf_pairs
+
+        d = _read(spark, sf_dir, "documents")
+        t = F.coalesce(F.col("text"), F.lit(""))
+        hyp = (
+            F.when(F.col("doc_id") % 3 == 0, t)
+            .when(F.col("doc_id") % 3 == 1,
+                  F.regexp_replace(t, "a", "e"))
+            .otherwise(F.substring(t, 1, 80))
+        )
+        pairs = d.select(
+            "doc_id", t.alias("ref"), hyp.alias("hyp")
+        )
+        return chrf_pairs(pairs, id_col="doc_id")
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8650,6 +8670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_concurrency": rel_concurrency,
         "kg_rdf_lists": kg_rdf_lists,
         "kg_homophily": kg_homophily,
+        "text_chrf": text_chrf,
     }
 
 
@@ -18349,5 +18370,54 @@ SELECT m, trace_cnt, sum_ab,
                   // (m * m - sum_ab)
              ELSE -2000000 END)::BIGINT AS r_ppm
 FROM ho_t, ho_ab
+""",
+        # kgspark.bitext.chrf_pairs: clipped char-3-gram matches, the
+        # same exact rational; regexp_replace needs the 'g' flag to
+        # match Spark's replace-all default
+        "text_chrf": """
+WITH cf2_p AS (
+  SELECT doc_id AS id,
+         replace(coalesce("text", ''), ' ', '') AS sa,
+         replace(CASE WHEN doc_id % 3 = 0 THEN coalesce("text", '')
+                      WHEN doc_id % 3 = 1
+                        THEN regexp_replace(coalesce("text", ''),
+                                            'a', 'e', 'g')
+                      ELSE substr(coalesce("text", ''), 1, 80) END,
+                 ' ', '') AS sb
+  FROM documents
+),
+cf2_a AS (
+  SELECT id, g, count(*)::BIGINT AS ca FROM (
+    SELECT id, unnest([sa[i : i + 2]
+                       for i in range(1, length(sa) - 1)]) AS g
+    FROM cf2_p WHERE length(sa) >= 3
+  ) GROUP BY id, g
+),
+cf2_b AS (
+  SELECT id, g, count(*)::BIGINT AS cb FROM (
+    SELECT id, unnest([sb[i : i + 2]
+                       for i in range(1, length(sb) - 1)]) AS g
+    FROM cf2_p WHERE length(sb) >= 3
+  ) GROUP BY id, g
+),
+cf2_na AS (SELECT id, sum(ca)::BIGINT AS n_ref FROM cf2_a GROUP BY id),
+cf2_nb AS (SELECT id, sum(cb)::BIGINT AS n_hyp FROM cf2_b GROUP BY id),
+cf2_m AS (
+  SELECT a.id, sum(least(a.ca, b.cb))::BIGINT AS m
+  FROM cf2_a a JOIN cf2_b b ON a.id = b.id AND a.g = b.g
+  GROUP BY a.id
+)
+SELECT p.id,
+       coalesce(m.m, 0)::BIGINT AS matches,
+       coalesce(na.n_ref, 0)::BIGINT AS n_ref_grams,
+       coalesce(nb.n_hyp, 0)::BIGINT AS n_hyp_grams,
+       (CASE WHEN 4 * coalesce(na.n_ref, 0) + coalesce(nb.n_hyp, 0) > 0
+             THEN (5 * 1000000 * coalesce(m.m, 0))
+                  // (4 * coalesce(na.n_ref, 0) + coalesce(nb.n_hyp, 0))
+             ELSE -1 END)::BIGINT AS chrf_ppm
+FROM cf2_p p
+LEFT JOIN cf2_na na ON na.id = p.id
+LEFT JOIN cf2_nb nb ON nb.id = p.id
+LEFT JOIN cf2_m m ON m.id = p.id
 """,
     }

@@ -400,6 +400,7 @@ BENCH_QUERIES = [
     "rel_concurrency",
     "kg_rdf_lists",
     "kg_homophily",
+    "text_chrf",
 ]
 
 

@@ -131,3 +131,100 @@ def mine_bitext(
         .filter((F.col("_rn") == 1) & (F.col("margin_ppm") >= margin_ppm))
         .select("src", "tgt", "cos_ppm", "margin_ppm")
     )
+
+
+def chrf_pairs(
+    df: DataFrame,
+    id_col: str = "pair_id",
+    ref_col: str = "ref",
+    hyp_col: str = "hyp",
+    n: int = 3,
+    beta: int = 2,
+) -> DataFrame:
+    """chrF quality score per text pair (Popović 2015) — the standard
+    character-n-gram F-score used to GATE mined bitext / paraphrase /
+    distillation pairs before training (the scoring complement of
+    mine_bitext, which only finds candidates). Single pinned gram order
+    `n` (the paper averages n=1..6; one order keeps the score an exact
+    rational — documented lite deviation) over space-stripped,
+    case-preserved text, multiset (clipped) matches.
+
+    The whole F_β collapses to one exact integer rational: with
+    m = Σ_g min(cnt_ref, cnt_hyp), P = m/n_hyp, R = m/n_ref,
+
+        chrF_β = (1+β²)·P·R / (β²·P + R) = (1+β²)·m / (β²·n_ref + n_hyp)
+
+    so chrf_ppm = ((1+β²)·1e6·m) div (β²·n_ref + n_hyp) — no fp
+    anywhere (β integral; β=2 weights recall, the chrF2 standard).
+    Pairs where both sides are shorter than `n` report the -1 sentinel.
+
+    Emits (id, matches, n_ref_grams, n_hyp_grams, chrf_ppm).
+
+    Scale shape: stripped texts MATERIALIZED before the gram HOF (the
+    CollapseProject re-evaluation trap), per-side (id, gram) counts,
+    one (id, gram)-keyed join for clipped matches — work is linear in
+    text length, pair-parallel.
+    """
+    from kgspark.session import materialize
+
+    def strip(c):
+        return F.regexp_replace(F.coalesce(F.col(c), F.lit("")), " ", "")
+
+    t0 = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            strip(ref_col).alias("sa"),
+            strip(hyp_col).alias("sb"),
+        )
+    )
+
+    def grams(c):
+        ln = F.length(c)
+        return F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), (ln - n + 1).cast("int")),
+                lambda i: F.substring(F.col(c), i, n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    ga = (
+        t0.select("id", F.explode(grams("sa")).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    gb = (
+        t0.select("id", F.explode(grams("sb")).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    na = ga.groupBy("id").agg(F.sum("ca").cast("long").alias("n_ref_grams"))
+    nb = gb.groupBy("id").agg(F.sum("cb").cast("long").alias("n_hyp_grams"))
+    m = (
+        ga.join(gb, ["id", "g"])
+        .groupBy("id")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("matches"))
+    )
+    b2 = beta * beta
+    base = (
+        t0.select("id")
+        .join(na, "id", "left").join(nb, "id", "left").join(m, "id", "left")
+        .select(
+            "id",
+            F.coalesce("matches", F.lit(0)).cast("long").alias("matches"),
+            F.coalesce("n_ref_grams", F.lit(0)).cast("long")
+            .alias("n_ref_grams"),
+            F.coalesce("n_hyp_grams", F.lit(0)).cast("long")
+            .alias("n_hyp_grams"),
+        )
+    )
+    return base.select(
+        "id", "matches", "n_ref_grams", "n_hyp_grams",
+        F.when(
+            F.expr(f"{b2} * n_ref_grams + n_hyp_grams") > 0,
+            F.expr(
+                f"({b2 + 1} * 1000000L * matches) div "
+                f"({b2} * n_ref_grams + n_hyp_grams)"
+            ),
+        ).otherwise(F.lit(-1)).cast("long").alias("chrf_ppm"),
+    )

@@ -202,3 +202,39 @@ def test_transitive_reduction_flags(spark):
     assert got[("y1", "z")] == (1, 0)
     assert ("s", "s") not in got
     assert len(got) == 10
+
+
+def test_chrf_pairs_exact_scores(spark):
+    from kgspark.bitext import chrf_pairs
+
+    rows = [
+        (1, "hello world", "hello world"),   # identical -> 1e6
+        (2, "hello world", "goodbye moon"),  # near-zero overlap
+        (3, "abcabc", "abc"),                # clipped multiset counts
+        (4, "ab", "ab"),                     # both under n -> sentinel
+        (5, "abcdef", "xy"),                 # hyp under n -> chrf 0
+        (6, None, "abc"),                    # NULL ref
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, ref string, hyp string")
+    out = {r.id: r for r in chrf_pairs(df).collect()}
+    r1 = out[1]
+    # 'helloworld' has 8 3-grams; all match
+    assert (r1.matches, r1.n_ref_grams, r1.n_hyp_grams) == (8, 8, 8)
+    assert r1.chrf_ppm == 1_000_000
+    assert out[2].chrf_ppm < 100_000
+    # ref 'abcabc': grams abc,bca,cab,abc -> counts {abc:2,bca:1,cab:1};
+    # hyp 'abc': {abc:1}; clipped match = 1
+    r3 = out[3]
+    assert (r3.matches, r3.n_ref_grams, r3.n_hyp_grams) == (1, 4, 1)
+    assert r3.chrf_ppm == (5 * 1_000_000 * 1) // (4 * 4 + 1)
+    assert out[4].chrf_ppm == -1
+    assert (out[5].matches, out[5].chrf_ppm) == (0, 0)
+    assert out[6].chrf_ppm == 0  # ref empty, hyp has a gram
+    # recall weighting: dropping half the hyp hurts less than dropping
+    # half the ref (beta=2 favors recall of the reference)
+    asym = spark.createDataFrame(
+        [(1, "abcdefghij", "abcde"), (2, "abcde", "abcdefghij")],
+        "pair_id long, ref string, hyp string",
+    )
+    a = {r.id: r.chrf_ppm for r in chrf_pairs(asym).collect()}
+    assert a[2] > a[1]
