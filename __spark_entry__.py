@@ -1356,6 +1356,65 @@ FROM et_t
 """
 
 
+def _ann_walk_sql(hops: int = 4, k: int = 5) -> str:
+    """ann_walk oracle: exact bounded kNN graph + the greedy walk
+    unrolled hop by hop (round(cos,6) + id-asc tie order, the ann
+    posture); visited set distinct-unioned at the end."""
+    parts = [f"""
+gw_e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+gw_q AS (SELECT vec_id AS query_id, embedding AS qemb
+         FROM embeddings WHERE vec_id < 3),
+gw_gr AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round({_cos_sql('a.embedding', 'b.embedding')}, 6)
+               DESC, b.vec_id ASC) AS rk
+    FROM gw_e a JOIN gw_e b ON a.vec_id <> b.vec_id
+  ) WHERE rk <= 5
+),
+gw_c0 AS (SELECT query_id, (SELECT min(vec_id) FROM gw_e) AS node
+          FROM gw_q)"""]
+    for h in range(1, hops + 1):
+        parts.append(f""",
+gw_cand{h} AS (
+  SELECT DISTINCT query_id, cand FROM (
+    SELECT c.query_id, g.dst AS cand
+    FROM gw_c{h - 1} c JOIN gw_gr g ON g.src = c.node
+    UNION ALL SELECT query_id, node FROM gw_c{h - 1}
+  ) WHERE cand <> query_id
+),
+gw_s{h} AS MATERIALIZED (
+  SELECT x.query_id, x.cand,
+         round({_cos_sql('e.embedding', 'q.qemb')}, 6) AS cos
+  FROM gw_cand{h} x
+  JOIN gw_e e ON e.vec_id = x.cand
+  JOIN gw_q q ON q.query_id = x.query_id
+),
+gw_c{h} AS (
+  SELECT query_id, cand AS node FROM (
+    SELECT query_id, cand,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, cand ASC) AS rn
+    FROM gw_s{h}
+  ) WHERE rn = 1
+)""")
+    vis = " UNION ALL ".join(
+        f"SELECT * FROM gw_s{h}" for h in range(1, hops + 1)
+    )
+    return (
+        "WITH " + "".join(parts)
+        + f""",
+gw_v AS (SELECT DISTINCT query_id, cand, cos FROM ({vis}))
+SELECT query_id, cand AS vec_id, cos, rank FROM (
+  SELECT query_id, cand, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand ASC)::BIGINT AS rank
+  FROM gw_v
+) WHERE rank <= {k}"""
+    )
+
+
 def _gtin_sum_sql(c: str) -> str:
     """GS1 weighted sum of the first 12 digits (mirrors
     kgspark.pii.gtin_weighted_sum): weight 1 odd / 3 even positions."""
@@ -8281,6 +8340,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return chrf_pairs(pairs, id_col="doc_id")
 
+    def ann_walk(spark, sf_dir):
+        # greedy NSW graph-walk search (kgspark/similarity.py
+        # graph_walk_topk): beam-1 routing over the exact bounded kNN
+        # graph from the pinned min-id entry, 4 unrolled hops, answer =
+        # top-5 over everything scored along the walk
+        from kgspark.similarity import graph_walk_topk, knn_graph
+
+        emb = _read(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < 200
+        )
+        graph = knn_graph(emb, k=5, exact=True)
+        return graph_walk_topk(
+            emb, graph, _queries_df(spark, sf_dir), hops=4, k=5
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8671,6 +8745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdf_lists": kg_rdf_lists,
         "kg_homophily": kg_homophily,
         "text_chrf": text_chrf,
+        "ann_walk": ann_walk,
     }
 
 
@@ -18420,4 +18495,7 @@ LEFT JOIN cf2_na na ON na.id = p.id
 LEFT JOIN cf2_nb nb ON nb.id = p.id
 LEFT JOIN cf2_m m ON m.id = p.id
 """,
+        # kgspark.similarity.graph_walk_topk: graph build + 4 unrolled
+        # greedy hops, generated from one source of truth
+        "ann_walk": _ann_walk_sql(4, 5),
     }

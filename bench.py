@@ -401,6 +401,7 @@ BENCH_QUERIES = [
     "kg_rdf_lists",
     "kg_homophily",
     "text_chrf",
+    "ann_walk",
 ]
 
 

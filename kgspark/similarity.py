@@ -892,3 +892,108 @@ def mmr_rerank(
             "left_anti",
         )
     return out
+
+
+def graph_walk_topk(
+    emb: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    hops: int = 4,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "qemb",
+) -> DataFrame:
+    """Greedy graph-walk ANN search over a kNN graph (the NSW routing
+    principle, Malkov et al. 2014 — the single-layer ancestor of HNSW
+    and of DiskANN's Vamana search): every query starts at a pinned
+    entry point (the global min vector id), and each hop moves to the
+    best-cosine node among the current node's graph neighbors; the
+    answer is the top-k over EVERYTHING scored along the walk. This is
+    the third ANN scale path beside IVF (partition pruning) and PQ
+    (compressed scan): the graph localizes the search so each query
+    touches O(hops · degree) vectors, not the corpus.
+
+    Determinism contract: scores are round(cos, 6) with (cos desc, id
+    asc) tie order (the ann_topk posture); the walk is beam-1 with a
+    FIXED hop count — a converged walk re-selects its own node, so
+    fixed hops are idempotent and oracle-unrollable (no data-dependent
+    early exit). Candidates equal to the query itself are excluded
+    from scoring AND routing. Beam > 1 / multi-entry generalize the
+    same shape (union more cursors); documented out of the lite scope.
+
+    Emits (query_id, vec_id, cos, rank), rank 1..k per query.
+
+    Scale shape: per hop one edge join (node-keyed) + one embedding
+    join + a per-query argmax window over ~degree candidates; the
+    query set rides broadcast-sized joins. The kNN graph itself comes
+    from knn_graph (banded-LSH at scale).
+    """
+    from kgspark.embed import cosine_cols, l2_norm
+    from kgspark.session import materialize
+
+    base = materialize(
+        emb.select(
+            F.col(id_col).alias("cand"),
+            F.col(emb_col).alias("e"),
+            l2_norm(F.col(emb_col)).alias("nrm"),
+        )
+    )
+    q = materialize(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_emb_col).alias("qe"),
+            l2_norm(F.col(query_emb_col)).alias("qn"),
+        )
+    )
+    edges = materialize(
+        graph.select(F.col("src").alias("cand"), F.col("dst"))
+    )
+    entry = emb.agg(F.min(F.col(id_col)).alias("cand"))
+    cur = materialize(
+        q.select("query_id").crossJoin(F.broadcast(entry))
+    )
+    visited = None
+    for _h in range(hops):
+        cand = (
+            cur.join(edges, "cand")
+            .select("query_id", F.col("dst").alias("cand"))
+            .unionByName(cur.select("query_id", "cand"))
+            .distinct()
+            .where(F.col("cand") != F.col("query_id"))
+        )
+        scored = materialize(
+            cand.join(base, "cand")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "cand",
+                F.round(
+                    cosine_cols(F.col("e"), F.col("qe"),
+                                na=F.col("nrm"), nb=F.col("qn")), 6
+                ).alias("cos"),
+            )
+        )
+        visited = (
+            scored if visited is None else visited.unionByName(scored)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("cand")
+        )
+        cur = materialize(
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query_id", "cand")
+        )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("cand")
+    )
+    return (
+        visited.dropDuplicates(["query_id", "cand"])
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("cand").alias("vec_id"), "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

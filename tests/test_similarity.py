@@ -389,3 +389,46 @@ def test_kcenter_pinned_tie_quantization(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {r.pick_no: r.d2_q for r in kcenter_coreset(df, k=2).collect()}
     assert out[2] == 63 * 63
+
+
+def test_graph_walk_reaches_true_nn(spark):
+    import math
+
+    from kgspark.similarity import graph_walk_topk, knn_graph
+
+    # 8 unit vectors fanned 10° apart; query at 52° -> true NN = node 5
+    vecs = [
+        (i, [math.cos(math.radians(10 * i)),
+             math.sin(math.radians(10 * i))])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(100, [math.cos(math.radians(52)), math.sin(math.radians(52))])],
+        "query_id long, qemb array<float>",
+    )
+    graph = knn_graph(emb, k=2, exact=True)
+    out = sorted(
+        graph_walk_topk(emb, graph, q, hops=4, k=5).collect(),
+        key=lambda r: r.rank,
+    )
+    # greedy routing walks 0 -> 2 -> 3 -> 4 -> 5 and finds the true NN
+    assert out[0].vec_id == 5 and out[0].rank == 1
+    # visited set is deduped and ranks are dense
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids))
+    # scores decrease with rank (ties broken by id)
+    assert all(a.cos >= b.cos for a, b in zip(out, out[1:]))
+    # fewer hops cannot reach it yet: with 1 hop the best visited is 2
+    short = sorted(
+        graph_walk_topk(emb, graph, q, hops=1, k=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert short[0].vec_id == 2
+    # walk never returns the query itself even when it is in the corpus
+    q_self = spark.createDataFrame(
+        [(5, vecs[5][1])], "query_id long, qemb array<float>")
+    self_out = graph_walk_topk(emb, graph, q_self, hops=4, k=5).collect()
+    assert all(r.vec_id != 5 for r in self_out)
