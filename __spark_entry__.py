@@ -1356,6 +1356,21 @@ FROM et_t
 """
 
 
+_SECRET_ALPHA = ("abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+
+
+def _secret_tok_sql(off: str) -> str:
+    """24-char planted token: alphabet char at (off + 17i) mod 62 per
+    position — stride 17 is coprime to 62, so all 24 chars are
+    distinct (entropy ln(24)) and every offset mixes 3 classes
+    (verified exhaustively)."""
+    return " || ".join(
+        f"substr('{_SECRET_ALPHA}', (({off} + {17 * i}) % 62) + 1, 1)"
+        for i in range(24)
+    )
+
+
 def _ann_walk_sql(hops: int = 4, k: int = 5) -> str:
     """ann_walk oracle: exact bounded kNN graph + the greedy walk
     unrolled hop by hop (round(cos,6) + id-asc tie order, the ann
@@ -8355,6 +8370,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, graph, _queries_df(spark, sf_dir), hops=4, k=5
         )
 
+    def pii_secrets(spark, sf_dir):
+        # high-entropy secret/token census (kgspark/pii.py
+        # secret_census): every 4th doc gets a planted 24-distinct-char
+        # mixed-class token (stride-17 alphabet walk, entropy ln(24) =
+        # 3178 milli-nats); prose never clears the 3-class gate
+        from kgspark.pii import secret_census
+
+        d = _read(spark, sf_dir, "documents")
+        off = (F.col("doc_id") * 7) % 62
+        tok = F.concat(*[
+            F.substring(
+                F.lit(_SECRET_ALPHA),
+                ((off + 17 * i) % 62 + 1).cast("int"), 1,
+            )
+            for i in range(24)
+        ])
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.concat(F.lit(" "), tok)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return secret_census(aug)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8746,6 +8787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_homophily": kg_homophily,
         "text_chrf": text_chrf,
         "ann_walk": ann_walk,
+        "pii_secrets": pii_secrets,
     }
 
 
@@ -18498,4 +18540,50 @@ LEFT JOIN cf2_m m ON m.id = p.id
         # kgspark.similarity.graph_walk_topk: graph build + 4 unrolled
         # greedy hops, generated from one source of truth
         "ann_walk": _ann_walk_sql(4, 5),
+        # kgspark.pii.secret_census: same planted-token arithmetic,
+        # RE2-safe char slicing, identical fp64 entropy tree
+        "pii_secrets": f"""
+WITH sc_a AS (
+  SELECT doc_id,
+         coalesce("text", '')
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN ' ' || {_secret_tok_sql('(doc_id * 7) % 62')}
+                  ELSE '' END) AS t
+  FROM documents
+),
+sc_c AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           t, '\\b[A-Za-z0-9+/_\\-]{{24,64}}\\b')) AS cand
+  FROM sc_a
+),
+sc_ch AS (
+  SELECT doc_id, cand,
+         unnest([cand[i] for i in range(1, length(cand) + 1)]) AS c
+  FROM sc_c
+),
+sc_pc AS (
+  SELECT doc_id, cand, c, count(*)::BIGINT AS cc
+  FROM sc_ch GROUP BY 1, 2, 3
+),
+sc_e AS (
+  SELECT doc_id, cand, sum(cc)::BIGINT AS n,
+         sum(cc * ln(CAST(cc AS DOUBLE))) AS clogc
+  FROM sc_pc GROUP BY 1, 2
+),
+sc_f AS (
+  SELECT doc_id, cand, n AS length,
+         CAST(round((ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE))
+                    * 1000.0, 0) AS BIGINT) AS entropy_milli,
+         ((regexp_matches(cand, '[a-z]'))::INT
+          + (regexp_matches(cand, '[A-Z]'))::INT
+          + (regexp_matches(cand, '[0-9]'))::INT
+          + (regexp_matches(cand, '[+/_-]'))::INT)::INT AS n_classes
+  FROM sc_e
+)
+SELECT doc_id, cand, length, n_classes, entropy_milli,
+       (CASE WHEN entropy_milli >= 2900 AND n_classes >= 3
+             THEN 1 ELSE 0 END)::INT AS is_secret
+FROM sc_f
+""",
     }

@@ -402,6 +402,7 @@ BENCH_QUERIES = [
     "kg_homophily",
     "text_chrf",
     "ann_walk",
+    "pii_secrets",
 ]
 
 

@@ -292,3 +292,81 @@ def gtin_census(
         F.count("cand").cast("long").alias("n_candidates"),
         F.sum(valid).cast("long").alias("n_valid"),
     )
+
+
+_SECRET_PATTERN = r"\b[A-Za-z0-9+/_\-]{24,64}\b"
+
+
+def secret_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_entropy_milli: int = 2900,
+) -> DataFrame:
+    """(id, cand, length, n_classes, entropy_milli, is_secret):
+    high-entropy credential/token detection — the secret-scanning gate
+    (truffleHog/gitleaks heuristic family) that checksum censuses
+    (luhn/gtin/iban) cannot cover because API keys carry no check
+    digit. Candidates are long base64/hex-ish runs; the signal is
+    Shannon entropy over the candidate's own characters plus
+    character-class diversity (lower/upper/digit/symbol), so prose
+    words and repeated padding fail while real tokens pass.
+
+    Entropy is computed from exact integer character counts c_i of the
+    candidate (n = length): H = ln(n) − (Σ c_i·ln(c_i))/n nats,
+    reported in milli-nats as round(1000·H) with the identical fp64
+    expression tree in the oracle (the bm25/ln posture — counts are
+    integers, the ln/round boundary is the only fp step).
+    is_secret = entropy_milli ≥ min_entropy_milli AND n_classes ≥ 3.
+    H is capped by ln(length) (3.18 nats at 24 chars, 4.16 at 64);
+    random 62-alphabet tokens land within ~5% of that cap while
+    English letter runs sit near 2.5-2.9 nats, so the 2900 default
+    splits them; the ≥3-char-class gate kills the residual prose
+    false positives (a \b-bounded word run rarely mixes case AND
+    digits).
+
+    Per-candidate work is a char explode + count aggregation — JVM
+    split/explode, no Python; candidates per doc are regex-bounded.
+    """
+    cands = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(_SECRET_PATTERN), F.lit(0),
+            )
+        ).alias("cand"),
+    )
+    ch = cands.select(
+        id_col, "cand",
+        # empty-pattern split = per-char explode (RE2-safe: the
+        # oracle mirrors with 1-based string slices, no lookarounds)
+        F.explode(F.split("cand", "")).alias("c"),
+    ).where(F.col("c") != "")
+    per_char = ch.groupBy(id_col, "cand", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    )
+    ent = per_char.groupBy(id_col, "cand").agg(
+        F.sum("cc").cast("long").alias("n"),
+        F.sum(F.expr("cc * ln(CAST(cc AS DOUBLE))")).alias("clogc"),
+    ).select(
+        id_col, "cand", F.col("n").cast("long").alias("length"),
+        F.expr(
+            "CAST(round((ln(CAST(n AS DOUBLE)) - clogc / "
+            "CAST(n AS DOUBLE)) * 1000.0D, 0) AS LONG)"
+        ).alias("entropy_milli"),
+    )
+    classes = (
+        F.when(F.col("cand").rlike("[a-z]"), 1).otherwise(0)
+        + F.when(F.col("cand").rlike("[A-Z]"), 1).otherwise(0)
+        + F.when(F.col("cand").rlike("[0-9]"), 1).otherwise(0)
+        + F.when(F.col("cand").rlike("[+/_-]"), 1).otherwise(0)
+    )
+    out = ent.withColumn("n_classes", classes.cast("int"))
+    return out.select(
+        id_col, "cand", "length", "n_classes", "entropy_milli",
+        (
+            (F.col("entropy_milli") >= min_entropy_milli)
+            & (F.col("n_classes") >= 3)
+        ).cast("int").alias("is_secret"),
+    )

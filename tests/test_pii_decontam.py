@@ -253,3 +253,34 @@ def test_gtin_census_known_vectors(spark):
     assert out[4] == (0, 0)
     assert out[5] == (2, 1)
     assert out[6] == (0, 0)
+
+
+def test_secret_census_discrimination(spark):
+    import math
+    from collections import Counter
+
+    from kgspark.pii import secret_census
+
+    rows = [
+        (1, "export KEY=AKIA9X7bQ2mPz4Lt8RvWn3Ed done"),   # real-shaped
+        (2, "the internationalizationconfiguration layer"),  # prose run
+        (3, "hex 3f7a9c2e8b1d4f6a0c5e7b9d2f4a6c8e only"),  # 2 classes
+        (4, "pad aaaaaaaaaaaaaaaaaaaaaaaa1B end"),          # low entropy
+        (5, "short Ab1+Cd2 run"),                            # < 24 chars
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in secret_census(df).collect()}
+    assert out[1].is_secret == 1 and out[1].n_classes == 3
+    # python mirror of the entropy pin for doc 1's candidate
+    cand = "AKIA9X7bQ2mPz4Lt8RvWn3Ed"
+    n = len(cand)
+    clogc = sum(c * math.log(c) for c in Counter(cand).values())
+    assert out[1].entropy_milli == round((math.log(n) - clogc / n) * 1000)
+    # prose: single class -> never a secret even if long enough
+    assert 2 not in out or out[2].is_secret == 0
+    # hex: entropy fine but only 2 classes
+    assert out[3].is_secret == 0 and out[3].n_classes == 2
+    # repetition kills entropy
+    assert out[4].is_secret == 0 and out[4].entropy_milli < 1000
+    assert 5 not in out and 6 not in out
