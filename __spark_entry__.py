@@ -8396,6 +8396,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return secret_census(aug)
 
+    def rel_twa(spark, sf_dir):
+        # time-weighted average (kgspark/relops.py time_weighted_avg):
+        # last-observation-carried-forward integral per user over epoch
+        # millis, values pinned to cents — the state-series mean the
+        # row-weighted average gets wrong
+        from kgspark.relops import time_weighted_avg
+
+        ev = _read(spark, sf_dir, "events").select(
+            "user_id", "event_id",
+            F.expr(
+                "timestampdiff(MILLISECOND, "
+                "TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+            ).alias("t_ms"),
+            F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+        )
+        return time_weighted_avg(
+            ev, ["user_id"], ["t_ms", "event_id"], "t_ms", "cents"
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8788,6 +8807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chrf": text_chrf,
         "ann_walk": ann_walk,
         "pii_secrets": pii_secrets,
+        "rel_twa": rel_twa,
     }
 
 
@@ -18585,5 +18605,32 @@ SELECT doc_id, cand, length, n_classes, entropy_milli,
        (CASE WHEN entropy_milli >= 2900 AND n_classes >= 3
              THEN 1 ELSE 0 END)::INT AS is_secret
 FROM sc_f
+""",
+        # kgspark.relops.time_weighted_avg: same lead() segmentation
+        # under the pinned (t, event_id) order; millis measured from a
+        # pinned NTZ epoch (timezone-free on both engines)
+        "rel_twa": """
+WITH tw_b AS (
+  SELECT user_id, event_id,
+         date_diff('millisecond',
+                   TIMESTAMP '2024-01-01 00:00:00', ts)::BIGINT AS t_ms,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+tw_s AS (
+  SELECT user_id, v, t_ms,
+         lead(t_ms) OVER (PARTITION BY user_id
+                          ORDER BY t_ms, event_id) AS nt
+  FROM tw_b
+)
+SELECT user_id,
+       count(*)::BIGINT AS n,
+       coalesce(sum(v * (nt - t_ms)), 0)::BIGINT AS vdt,
+       coalesce(sum(nt - t_ms), 0)::BIGINT AS dur_ms,
+       (CASE WHEN coalesce(sum(nt - t_ms), 0) > 0
+             THEN coalesce(sum(v * (nt - t_ms)), 0)
+                  // coalesce(sum(nt - t_ms), 0)
+             ELSE 0 END)::BIGINT AS twa
+FROM tw_s GROUP BY user_id
 """,
     }

@@ -403,6 +403,7 @@ BENCH_QUERIES = [
     "text_chrf",
     "ann_walk",
     "pii_secrets",
+    "rel_twa",
 ]
 
 

@@ -1673,3 +1673,62 @@ def concurrency_profile(
         (F.col("open_after") == F.col("__mx"))
         .cast("int").alias("is_peak"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    ts_ms_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per group — the step-function integral
+    ∫v dt / ∫dt that tick-data and metering systems mean by "average"
+    (a price held for 23 hours must outweigh one held for a minute;
+    the row-weighted mean rel aggregates compute is WRONG for state
+    series). Each observation holds until the next one
+    (last-observation-carried-forward); the final observation bounds
+    the window and carries zero weight.
+
+    Exact integers end to end: `ts_ms_col` is epoch millis (long),
+    `value_col` integer (quantize upstream with the floor pin);
+    vdt = Σ v_i·Δt_i and dur_ms = Σ Δt_i are exact 64-bit sums and
+    twa = vdt div dur_ms truncates identically cross-engine (negative
+    values included). Ties on the timestamp get Δt = 0 under the
+    pinned `order_cols` total order, so simultaneous events are
+    deterministic: the last-ordered tie carries forward. Groups with
+    < 2 observations (or zero span) report twa = 0 with dur_ms = 0 —
+    read dur_ms, not twa, to detect them.
+
+    Emits group_cols + (n, vdt, dur_ms, twa).
+
+    Scale shape: one per-group lead() window + one partial aggregation
+    — partition-parallel, no self-join (the naive interval pairing
+    this replaces).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    keep = [c for c in order_cols if c not in group_cols]
+    seg = df.select(
+        *group_cols, *keep,
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(ts_ms_col).cast("long").alias("__t"),
+    ).withColumn("__nt", F.lead("__t", 1).over(w))
+    return (
+        seg.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(
+                F.sum(F.expr("__v * (__nt - __t)")), F.lit(0)
+            ).cast("long").alias("vdt"),
+            F.coalesce(
+                F.sum(F.expr("__nt - __t")), F.lit(0)
+            ).cast("long").alias("dur_ms"),
+        )
+        .select(
+            *group_cols, "n", "vdt", "dur_ms",
+            F.when(F.col("dur_ms") > 0, F.expr("vdt div dur_ms"))
+            .otherwise(F.lit(0)).cast("long").alias("twa"),
+        )
+    )

@@ -675,3 +675,31 @@ def test_concurrency_profile_hand_case(spark):
     for rs in out.values():
         last = max(rs, key=lambda r: (r.instant, r.delta))
         assert last.open_after == 0
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from kgspark.relops import time_weighted_avg
+
+    rows = [
+        # g=1: v=10 for 100ms, v=30 for 300ms, final v=99 (no weight)
+        (1, 0, 0, 10), (1, 1, 100, 30), (1, 2, 400, 99),
+        # g=2: single observation -> zero duration
+        (2, 0, 50, 7),
+        # g=3: simultaneous ties: (t=0,e=0,v=1),(t=0,e=1,v=5) -> the
+        # later-ordered tie carries forward for the full 100ms
+        (3, 0, 0, 1), (3, 1, 0, 5), (3, 2, 100, 9),
+    ]
+    df = spark.createDataFrame(rows, "g long, eid long, t long, v long")
+    out = {r.g: r for r in
+           time_weighted_avg(df, ["g"], ["t", "eid"], "t", "v").collect()}
+    # twa = (10*100 + 30*300) / 400 = 10000/400 = 25
+    assert (out[1].n, out[1].vdt, out[1].dur_ms, out[1].twa) == \
+        (3, 10_000, 400, 25)
+    assert (out[2].dur_ms, out[2].twa) == (0, 0)
+    # tie: v=1 holds 0ms, v=5 holds 100ms -> twa 5
+    assert (out[3].vdt, out[3].dur_ms, out[3].twa) == (500, 100, 5)
+    # negative values truncate toward zero like both engines
+    neg = spark.createDataFrame(
+        [(9, 0, 0, -10), (9, 1, 3, 0)], "g long, eid long, t long, v long")
+    o = time_weighted_avg(neg, ["g"], ["t", "eid"], "t", "v").collect()[0]
+    assert (o.vdt, o.twa) == (-30, -10)
