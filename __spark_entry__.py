@@ -8415,6 +8415,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, ["user_id"], ["t_ms", "event_id"], "t_ms", "cents"
         )
 
+    def kg_bowtie(spark, sf_dir):
+        # bowtie decomposition (kgspark/graph_algs.py bowtie_census):
+        # planted 5-cycle core with IN feeders, OUT sinks, in-tendrils
+        # and a disconnected pair — SCC pick + two bounded BFS passes
+        from kgspark.graph_algs import bowtie_census
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+
+        def lab(p, mod):
+            return F.concat(F.lit(p), (d % mod).cast("string"))
+
+        edges = (
+            docs.select(
+                lab("c", 5).alias("src"),
+                F.concat(F.lit("c"),
+                         ((d + 1) % 5).cast("string")).alias("dst"),
+            )
+            .union(docs.select(lab("i", 7).alias("src"),
+                               lab("c", 5).alias("dst")))
+            .union(docs.select(lab("c", 5).alias("src"),
+                               lab("o", 6).alias("dst")))
+            .union(docs.select(lab("i", 7).alias("src"),
+                               lab("x", 4).alias("dst")))
+            .union(docs.select(lab("p", 3).alias("src"),
+                               lab("q", 3).alias("dst")))
+        ).distinct()
+        return bowtie_census(edges)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8808,6 +8837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_walk": ann_walk,
         "pii_secrets": pii_secrets,
         "rel_twa": rel_twa,
+        "kg_bowtie": kg_bowtie,
     }
 
 
@@ -18632,5 +18662,64 @@ SELECT user_id,
                   // coalesce(sum(nt - t_ms), 0)
              ELSE 0 END)::BIGINT AS twa
 FROM tw_s GROUP BY user_id
+""",
+        # kgspark.graph_algs.bowtie_census: independent formulation —
+        # recursive-CTE closure, mutual-reach SCC ids, core by (size
+        # desc, id asc); agrees with the bounded BFS on this synthesis
+        "kg_bowtie": """
+WITH RECURSIVE bt_d AS (
+  SELECT doc_id AS d FROM documents WHERE doc_id < 400
+),
+bt_e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT 'c' || (d % 5) AS s, 'c' || ((d + 1) % 5) AS t FROM bt_d
+    UNION ALL SELECT 'i' || (d % 7), 'c' || (d % 5) FROM bt_d
+    UNION ALL SELECT 'c' || (d % 5), 'o' || (d % 6) FROM bt_d
+    UNION ALL SELECT 'i' || (d % 7), 'x' || (d % 4) FROM bt_d
+    UNION ALL SELECT 'p' || (d % 3), 'q' || (d % 3) FROM bt_d
+  ) WHERE s <> t
+),
+bt_n AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM bt_e UNION ALL SELECT t FROM bt_e)
+),
+bt_r AS (
+  SELECT s, t FROM bt_e
+  UNION
+  SELECT r.s, e.t FROM bt_r r JOIN bt_e e ON e.s = r.t
+),
+bt_m AS (
+  SELECT a.s AS u, a.t AS v
+  FROM bt_r a JOIN bt_r b ON b.s = a.t AND b.t = a.s
+),
+bt_s AS (
+  SELECT n.node,
+         least(n.node, coalesce(min(m.u), n.node)) AS scc_id
+  FROM bt_n n LEFT JOIN bt_m m ON m.v = n.node
+  GROUP BY n.node
+),
+bt_cs AS (SELECT scc_id, count(*) AS sz FROM bt_s GROUP BY 1),
+bt_core AS (
+  SELECT scc_id FROM bt_cs ORDER BY sz DESC, scc_id ASC LIMIT 1
+),
+bt_cn AS (
+  SELECT node FROM bt_s WHERE scc_id = (SELECT scc_id FROM bt_core)
+),
+bt_in AS (
+  SELECT DISTINCT r.s AS node
+  FROM bt_r r JOIN bt_cn c ON r.t = c.node
+  WHERE r.s NOT IN (SELECT node FROM bt_cn)
+),
+bt_out AS (
+  SELECT DISTINCT r.t AS node
+  FROM bt_r r JOIN bt_cn c ON r.s = c.node
+  WHERE r.t NOT IN (SELECT node FROM bt_cn)
+)
+SELECT n.node,
+       CASE WHEN n.node IN (SELECT node FROM bt_cn) THEN 'core'
+            WHEN n.node IN (SELECT node FROM bt_in) THEN 'in'
+            WHEN n.node IN (SELECT node FROM bt_out) THEN 'out'
+            ELSE 'other' END AS cls
+FROM bt_n n
 """,
     }

@@ -404,6 +404,7 @@ BENCH_QUERIES = [
     "ann_walk",
     "pii_secrets",
     "rel_twa",
+    "kg_bowtie",
 ]
 
 

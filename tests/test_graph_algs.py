@@ -1423,3 +1423,30 @@ def test_attribute_assortativity_known_values(spark):
     )
     assert (r4.trace_cnt, r4.sum_ab) == (2, 10)
     assert r4.r_ppm == -333_333  # -2e6/6 truncated toward zero
+
+
+def test_bowtie_census_hand_case(spark):
+    from kgspark.graph_algs import bowtie_census
+
+    edges = spark.createDataFrame(
+        # core 3-cycle, an IN chain, an OUT chain, an in-tendril,
+        # and a disconnected pair
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+         ("i1", "i0"), ("i0", "c0"),
+         ("c1", "o0"), ("o0", "o1"),
+         ("i0", "x0"),            # reached from IN only -> other
+         ("p0", "q0")],
+        "src string, dst string",
+    )
+    out = {r.node: r.cls for r in bowtie_census(edges).collect()}
+    assert {n for n, c in out.items() if c == "core"} == {"c0", "c1", "c2"}
+    assert {n for n, c in out.items() if c == "in"} == {"i0", "i1"}
+    assert {n for n, c in out.items() if c == "out"} == {"o0", "o1"}
+    assert {n for n, c in out.items() if c == "other"} == {"x0", "p0", "q0"}
+    # a node both reaching and reached by the core would be core —
+    # closing the tendril into the core proves the invariant
+    closed = edges.union(spark.createDataFrame(
+        [("c2", "i1"), ("x0", "c0")], "src string, dst string"))
+    out2 = {r.node: r.cls for r in bowtie_census(closed).collect()}
+    for n in ("i0", "i1", "x0"):
+        assert out2[n] == "core"
