@@ -1371,6 +1371,42 @@ def _secret_tok_sql(off: str) -> str:
     )
 
 
+def _deob_sql() -> str:
+    """pii_deob oracle: augmentation, the _DEOB_CHAIN replace fold and
+    the email regex all generated from kgspark.pii's pins."""
+    from kgspark.pii import _DEOB_CHAIN, PII_PATTERNS
+
+    deob = "t"
+    for pat, rep in _DEOB_CHAIN:
+        deob = f"replace({deob}, '{pat}', '{rep}')"
+    em = PII_PATTERNS["email"]
+    return """
+WITH db_a AS (
+  SELECT doc_id,
+         coalesce("text", '')
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN ' user' || (doc_id % 50)::VARCHAR
+                       || ' [at] mail' || (doc_id % 9)::VARCHAR
+                       || ' [dot] example [dot] com'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN ' admin' || (doc_id % 20)::VARCHAR
+                       || '@corp' || (doc_id % 5)::VARCHAR
+                       || '.example.org'
+                  ELSE '' END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '""" + em + """'))::BIGINT AS n_raw,
+       len(regexp_extract_all(""" + deob + """, '""" + em + """'))::BIGINT
+         AS n_deob,
+       (len(regexp_extract_all(""" + deob + """, '""" + em + """'))
+        - len(regexp_extract_all(t, '""" + em + """')))::BIGINT
+         AS n_recovered
+FROM db_a
+"""
+
+
 def _ann_walk_sql(hops: int = 4, k: int = 5) -> str:
     """ann_walk oracle: exact bounded kNN graph + the greedy walk
     unrolled hop by hop (round(cos,6) + id-asc tie order, the ann
@@ -8444,6 +8480,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         return bowtie_census(edges)
 
+    def pii_deob(spark, sf_dir):
+        # obfuscated-contact recovery census (kgspark/pii.py
+        # deobfuscated_emails): every 3rd doc gets a '[at]/[dot]'
+        # address, every 7th a plain one — n_recovered counts exactly
+        # the hidden ones
+        from kgspark.pii import deobfuscated_emails
+
+        d = _read(spark, sf_dir, "documents")
+        k = F.col("doc_id")
+        hidden = F.concat(
+            F.lit(" user"), (k % 50).cast("string"),
+            F.lit(" [at] mail"), (k % 9).cast("string"),
+            F.lit(" [dot] example [dot] com"),
+        )
+        plain = F.concat(
+            F.lit(" admin"), (k % 20).cast("string"),
+            F.lit("@corp"), (k % 5).cast("string"), F.lit(".example.org"),
+        )
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(k % 3 == 0, hidden).otherwise(F.lit("")),
+                F.when(k % 7 == 0, plain).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return deobfuscated_emails(aug)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8838,6 +8902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_secrets": pii_secrets,
         "rel_twa": rel_twa,
         "kg_bowtie": kg_bowtie,
+        "pii_deob": pii_deob,
     }
 
 
@@ -18722,4 +18787,7 @@ SELECT n.node,
             ELSE 'other' END AS cls
 FROM bt_n n
 """,
+        # kgspark.pii.deobfuscated_emails: chain + regex from the
+        # shared pins
+        "pii_deob": _deob_sql(),
     }

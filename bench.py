@@ -405,6 +405,7 @@ BENCH_QUERIES = [
     "pii_secrets",
     "rel_twa",
     "kg_bowtie",
+    "pii_deob",
 ]
 
 

@@ -370,3 +370,46 @@ def secret_census(
             & (F.col("n_classes") >= 3)
         ).cast("int").alias("is_secret"),
     )
+
+
+# bracketed/parenthesized obfuscation forms only — bare ' at '/' dot '
+# substitution would rewrite prose ("meet at noon"), so the census
+# stays precision-first, the DLP convention
+_DEOB_CHAIN: tuple[tuple[str, str], ...] = (
+    (" [at] ", "@"), ("[at]", "@"), (" (at) ", "@"), ("(at)", "@"),
+    (" [dot] ", "."), ("[dot]", "."), (" (dot) ", "."), ("(dot)", "."),
+)
+
+
+def deobfuscated_emails(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_raw, n_deob, n_recovered): email census before and after
+    undoing the classic scraping-evasion obfuscations ('user [at]
+    host [dot] com') — the recovery pass every contact-PII scrubber
+    needs, because the raw email regex misses exactly the addresses
+    their owners tried hardest to hide. The deobfuscation is a FIXED-
+    ORDER literal replace chain (the clean_text/ECHAR posture: longest
+    bracketed forms first, no regex, cannot cascade — replacements
+    introduce only '@'/'.'), then the standard PII_PATTERNS email
+    regex runs on both versions; n_recovered = n_deob − n_raw is the
+    obfuscated-contact count. Pure JVM replace/regexp columns.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    deob = raw
+    for pat, rep in _DEOB_CHAIN:
+        deob = F.replace(deob, F.lit(pat), F.lit(rep))
+    n_raw = F.size(
+        F.regexp_extract_all(raw, F.lit(PII_PATTERNS["email"]), F.lit(0))
+    )
+    n_deob = F.size(
+        F.regexp_extract_all(deob, F.lit(PII_PATTERNS["email"]), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_raw.cast("long").alias("n_raw"),
+        n_deob.cast("long").alias("n_deob"),
+        (n_deob - n_raw).cast("long").alias("n_recovered"),
+    )

@@ -284,3 +284,23 @@ def test_secret_census_discrimination(spark):
     # repetition kills entropy
     assert out[4].is_secret == 0 and out[4].entropy_milli < 1000
     assert 5 not in out and 6 not in out
+
+
+def test_deobfuscated_emails_recovery(spark):
+    from kgspark.pii import deobfuscated_emails
+
+    rows = [
+        (1, "reach me: bob [at] example [dot] com thanks"),
+        (2, "contact alice@real.org and carol (at) web (dot) net"),
+        (3, "we will meet at noon and dot the i's"),  # prose untouched
+        (4, "x [at] y"),                               # no TLD -> none
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_raw, r.n_deob, r.n_recovered)
+           for r in deobfuscated_emails(df).collect()}
+    assert out[1] == (0, 1, 1)
+    assert out[2] == (1, 2, 1)
+    assert out[3] == (0, 0, 0)
+    assert out[4] == (0, 0, 0)
+    assert out[5] == (0, 0, 0)
