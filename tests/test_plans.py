@@ -1161,3 +1161,44 @@ def test_session8_late_ops_plan_shapes(spark):
     p = plan(salsa(e, rounds=1))
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_session8_final_ops_plan_shapes(spark):
+    """Final session-8 batch: censuses and walks stay JVM-side; the
+    only BNLJ shapes are designed 1-row broadcasts (isotropy's two
+    grand totals, homophily's summary, the walk's entry point)."""
+    from kgspark.bitext import chrf_pairs
+    from kgspark.graph_algs import attribute_assortativity, bowtie_census
+    from kgspark.pii import deobfuscated_emails, secret_census
+    from kgspark.relops import time_weighted_avg
+
+    docs = spark.createDataFrame(
+        [(1, "a [at] b [dot] com AKIA9X7bQ2mPz4Lt8RvWn3Ed")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, 0, 0, 10), (1, 1, 5, 20)], "g long, eid long, t long, v long")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string")
+    lab = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y")], "node string, label string")
+    pairs = spark.createDataFrame(
+        [(1, "abcdef", "abcxyz")], "pair_id long, ref string, hyp string")
+
+    for df in (
+        deobfuscated_emails(docs),
+        secret_census(docs),
+        time_weighted_avg(ev, ["g"], ["t", "eid"], "t", "v"),
+        chrf_pairs(pairs),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    for df, cap in (
+        (attribute_assortativity(e, lab), 1),
+        (bowtie_census(e, max_peel=2, max_hops=2), 1),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert p.count("BroadcastNestedLoopJoin") <= cap, p
