@@ -1371,6 +1371,58 @@ def _secret_tok_sql(off: str) -> str:
     )
 
 
+def _doi_sql() -> str:
+    """text_doi oracle: synthesis + the byte-same Java∩RE2∩DuckDB
+    patterns from kgspark.ids, min(raw) per (doc, kind, norm)."""
+    from kgspark.ids import ARXIV_NEW, ARXIV_OLD, DOI_PATTERN
+
+    return f"""
+WITH sid_a AS (
+  SELECT doc_id,
+         coalesce("text", '')
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN ' doi:10.' || (1000 + doc_id % 9000)::VARCHAR
+                       || '/j.Test' || (doc_id % 50)::VARCHAR
+                       || '.2024.' || (doc_id % 100)::VARCHAR || '.'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN ' arXiv:'
+                       || lpad((2000 + doc_id % 500)::VARCHAR, 4, '0')
+                       || '.'
+                       || lpad((doc_id % 100000)::VARCHAR, 5, '0')
+                       || (CASE WHEN doc_id % 3 = 0 THEN 'v2'
+                           ELSE '' END)
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN ' cs/'
+                       || lpad((doc_id % 10000000)::VARCHAR, 7, '0')
+                  ELSE '' END) AS t
+  FROM documents
+),
+sid_u AS (
+  SELECT doc_id, kind, raw,
+         CASE WHEN kind = 'doi'
+              THEN lower(regexp_replace(raw, '[.,;)]+$', ''))
+              ELSE raw END AS norm
+  FROM (
+    SELECT doc_id, 'doi' AS kind,
+           unnest(regexp_extract_all(t, '{DOI_PATTERN}')) AS raw
+    FROM sid_a
+    UNION ALL
+    SELECT doc_id, 'arxiv',
+           unnest(regexp_extract_all(t, '{ARXIV_NEW}'))
+    FROM sid_a
+    UNION ALL
+    SELECT doc_id, 'arxiv',
+           unnest(regexp_extract_all(t, '{ARXIV_OLD}'))
+    FROM sid_a
+  ) WHERE raw <> ''
+)
+SELECT doc_id, kind, min(raw) AS raw, norm
+FROM sid_u GROUP BY doc_id, kind, norm
+"""
+
+
 def _deob_sql() -> str:
     """pii_deob oracle: augmentation, the _DEOB_CHAIN replace fold and
     the email regex all generated from kgspark.pii's pins."""
@@ -8508,6 +8560,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return deobfuscated_emails(aug)
 
+    def text_doi(spark, sf_dir):
+        # scholarly id extraction (kgspark/ids.py scholarly_ids): DOIs
+        # with mixed case + trailing dot (normalization exercises both
+        # pins), new-style arXiv ids with optional versions, old-style
+        # archive/NNNNNNN ids — planted per doc_id arithmetic
+        from kgspark.ids import scholarly_ids
+
+        d = _read(spark, sf_dir, "documents")
+        k = F.col("doc_id")
+        doi = F.concat(
+            F.lit(" doi:10."), (1000 + k % 9000).cast("string"),
+            F.lit("/j.Test"), (k % 50).cast("string"),
+            F.lit(".2024."), (k % 100).cast("string"), F.lit("."),
+        )
+        ax_new = F.concat(
+            F.lit(" arXiv:"),
+            F.lpad((2000 + k % 500).cast("string"), 4, "0"),
+            F.lit("."), F.lpad((k % 100000).cast("string"), 5, "0"),
+            F.when(k % 3 == 0, F.lit("v2")).otherwise(F.lit("")),
+        )
+        ax_old = F.concat(
+            F.lit(" cs/"), F.lpad((k % 10000000).cast("string"), 7, "0")
+        )
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(k % 4 == 0, doi).otherwise(F.lit("")),
+                F.when(k % 5 == 0, ax_new).otherwise(F.lit("")),
+                F.when(k % 7 == 0, ax_old).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return scholarly_ids(aug)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8903,6 +8989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_twa": rel_twa,
         "kg_bowtie": kg_bowtie,
         "pii_deob": pii_deob,
+        "text_doi": text_doi,
     }
 
 
@@ -18790,4 +18877,6 @@ FROM bt_n n
         # kgspark.pii.deobfuscated_emails: chain + regex from the
         # shared pins
         "pii_deob": _deob_sql(),
+        # kgspark.ids.scholarly_ids: shared patterns + normalization
+        "text_doi": _doi_sql(),
     }

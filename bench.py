@@ -406,6 +406,7 @@ BENCH_QUERIES = [
     "rel_twa",
     "kg_bowtie",
     "pii_deob",
+    "text_doi",
 ]
 
 

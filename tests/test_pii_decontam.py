@@ -304,3 +304,30 @@ def test_deobfuscated_emails_recovery(spark):
     assert out[3] == (0, 0, 0)
     assert out[4] == (0, 0, 0)
     assert out[5] == (0, 0, 0)
+
+
+def test_scholarly_ids_extraction(spark):
+    from kgspark.ids import scholarly_ids
+
+    rows = [
+        (1, "see doi:10.1038/NPHYS1170. and arXiv:1706.03762v5 today"),
+        (2, "classic hep-th/9711200 plus 10.1145/3292500.3330919,"),
+        # same DOI twice in different case -> one normalized row
+        (3, "10.1000/XYZ and also 10.1000/xyz again"),
+        (4, "no identifiers here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in scholarly_ids(df).collect():
+        out.setdefault(r.doc_id, set()).add((r.kind, r.norm))
+    assert ("doi", "10.1038/nphys1170") in out[1]
+    assert ("arxiv", "1706.03762v5") in out[1]
+    assert ("arxiv", "hep-th/9711200") in out[2]
+    # trailing comma stripped from the DOI tail
+    assert ("doi", "10.1145/3292500.3330919") in out[2]
+    # case variants collapse to one row with the min raw form
+    rows3 = [r for r in scholarly_ids(df).collect() if r.doc_id == 3]
+    assert len(rows3) == 1 and rows3[0].norm == "10.1000/xyz"
+    assert rows3[0].raw == "10.1000/XYZ"  # 'X' < 'x' in byte order
+    assert 4 not in out and 5 not in out
