@@ -8594,6 +8594,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return scholarly_ids(aug)
 
+    def multimodal_zstd(spark, sf_dir):
+        # zstd frame-header round-trip (kgspark/archive.py
+        # zstd_listing): REAL frames from pyarrow's encoder (arithmetic
+        # sizes -> single-segment, FCS = content), hand-built skippable
+        # frames every 5th doc, garbage every 11th (kind='error'
+        # sentinel row) — nothing decompressed
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+            import pyarrow as pa
+
+            codec = pa.Codec("zstd")
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    if d % 11 == 0:
+                        payload = b"PKgarbage" + bytes([d % 250]) * 8
+                    elif d % 5 == 0:
+                        size = (d * 3) % 90 + 4
+                        payload = (
+                            b"\x50\x2a\x4d\x18"
+                            + size.to_bytes(4, "little")
+                            + b"\x00" * size
+                        )
+                    else:
+                        n = (d * 13) % 200 + 1
+                        payload = codec.compress(b"x" * n, asbytes=True)
+                    rows.append({"doc_id": did, "payload": payload})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.archive import zstd_listing
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        out = zstd_listing(blobs)
+        return out.select(
+            "doc_id",
+            F.coalesce("kind", F.lit("error")).alias("kind"),
+            F.coalesce("single_segment", F.lit(-1)).cast("int")
+            .alias("single_segment"),
+            F.coalesce("has_checksum", F.lit(-1)).cast("int")
+            .alias("has_checksum"),
+            F.coalesce("dict_id", F.lit(-1)).cast("long")
+            .alias("dict_id"),
+            F.coalesce("window_size", F.lit(-1)).cast("long")
+            .alias("window_size"),
+            F.coalesce("content_size", F.lit(-1)).cast("long")
+            .alias("content_size"),
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -8990,6 +9041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bowtie": kg_bowtie,
         "pii_deob": pii_deob,
         "text_doi": text_doi,
+        "multimodal_zstd": multimodal_zstd,
     }
 
 
@@ -18879,4 +18931,28 @@ FROM bt_n n
         "pii_deob": _deob_sql(),
         # kgspark.ids.scholarly_ids: shared patterns + normalization
         "text_doi": _doi_sql(),
+        # kgspark.archive.zstd_listing: expected fields reconstructed
+        # from the synthesis arithmetic (single-segment frames report
+        # window == content per RFC 8878; encoder stability across the
+        # size range is pytest-proven against pyarrow)
+        "multimodal_zstd": """
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN 'error'
+            WHEN doc_id % 5 = 0 THEN 'skippable'
+            ELSE 'frame' END AS kind,
+       (CASE WHEN doc_id % 11 = 0 THEN -1
+             WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END)::INT
+         AS single_segment,
+       (CASE WHEN doc_id % 11 = 0 THEN -1 ELSE 0 END)::INT
+         AS has_checksum,
+       (CASE WHEN doc_id % 11 = 0 THEN -1 ELSE 0 END)::BIGINT
+         AS dict_id,
+       (CASE WHEN doc_id % 11 = 0 THEN -1
+             WHEN doc_id % 5 = 0 THEN 0
+             ELSE (doc_id * 13) % 200 + 1 END)::BIGINT AS window_size,
+       (CASE WHEN doc_id % 11 = 0 THEN -1
+             WHEN doc_id % 5 = 0 THEN (doc_id * 3) % 90 + 4
+             ELSE (doc_id * 13) % 200 + 1 END)::BIGINT AS content_size
+FROM documents
+""",
     }

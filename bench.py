@@ -407,6 +407,7 @@ BENCH_QUERIES = [
     "kg_bowtie",
     "pii_deob",
     "text_doi",
+    "multimodal_zstd",
 ]
 
 

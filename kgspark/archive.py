@@ -316,3 +316,104 @@ def gzip_listing(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(
         parse, f"{id_col} {id_type}, {GZIP_META_FIELDS}"
     )
+
+
+ZSTD_META_FIELDS = (
+    "kind string, single_segment int, has_checksum int, dict_id long, "
+    "window_size long, content_size long, error string"
+)
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def zstd_frame_meta(data: bytes) -> dict:
+    """First-frame header metadata of a zstd blob (RFC 8878 §3.1.1)
+    without decompressing: magic gate, Frame_Header_Descriptor bit
+    fields (FCS size flag, Single_Segment, Content_Checksum,
+    Dictionary_ID flag), the Window_Descriptor exponent/mantissa
+    expansion, optional Dictionary_ID, and Frame_Content_Size with the
+    flag-1 +256 offset the spec mandates. Skippable frames
+    (0x184D2A5x) report kind='skippable' with their declared size in
+    content_size. content_size = -1 when the frame does not declare
+    one (streaming mode), window_size = content_size under
+    Single_Segment (the spec's rule). Never raises — the
+    archive-walker error-column posture."""
+
+    def err(msg):
+        return {"kind": None, "single_segment": None,
+                "has_checksum": None, "dict_id": None,
+                "window_size": None, "content_size": None, "error": msg}
+
+    try:
+        if len(data) < 5:
+            return err("zstd: too short")
+        if (data[0] & 0xF0 == 0x50 and
+                data[1:4] == b"\x2a\x4d\x18"):
+            size = int.from_bytes(data[4:8], "little")
+            return {"kind": "skippable", "single_segment": 0,
+                    "has_checksum": 0, "dict_id": 0, "window_size": 0,
+                    "content_size": size, "error": None}
+        if data[0:4] != _ZSTD_MAGIC:
+            return err("zstd: bad magic")
+        fhd = data[4]
+        if fhd & 0x08:
+            return err("zstd: reserved descriptor bit set")
+        fcs_flag = fhd >> 6
+        single = (fhd >> 5) & 1
+        checksum = (fhd >> 2) & 1
+        did_flag = fhd & 3
+        p = 5
+        window = 0
+        if not single:
+            wd = data[p]
+            p += 1
+            exponent, mantissa = wd >> 3, wd & 7
+            base = 1 << (10 + exponent)
+            window = base + (base // 8) * mantissa
+        did_len = (0, 1, 2, 4)[did_flag]
+        dict_id = int.from_bytes(data[p:p + did_len], "little") \
+            if did_len else 0
+        p += did_len
+        fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        if p + fcs_len > len(data):
+            return err("zstd: truncated header")
+        if fcs_len == 0:
+            content = -1
+        else:
+            content = int.from_bytes(data[p:p + fcs_len], "little")
+            if fcs_flag == 1:
+                content += 256
+        if single:
+            window = content if content >= 0 else 0
+        return {"kind": "frame", "single_segment": single,
+                "has_checksum": checksum, "dict_id": dict_id,
+                "window_size": window, "content_size": content,
+                "error": None}
+    except Exception as e:  # captured, never fatal at corpus scale
+        return err(f"{type(e).__name__}: {e}")
+
+
+def zstd_listing(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One row per blob: (id, kind, single_segment, has_checksum,
+    dict_id, window_size, content_size, error) — Arrow-batched RFC
+    8878 frame-header walk, nothing decompressed."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = [id_col, "kind", "single_segment", "has_checksum",
+                "dict_id", "window_size", "content_size", "error"]
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                rec = zstd_frame_meta(
+                    bytes(blob) if blob is not None else b"")
+                rec[id_col] = i
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        parse, f"{id_col} {id_type}, {ZSTD_META_FIELDS}"
+    )

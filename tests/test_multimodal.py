@@ -243,3 +243,37 @@ def test_gzip_listing_roundtrip_and_errors(spark):
     assert (rec["has_extra"], rec["has_comment"]) == (1, 1)
     assert (rec["mtime"], rec["os"]) == (99, 3)
     assert (rec["crc32"], rec["isize"]) == (7, 21)
+
+
+def test_zstd_listing_real_frames_and_edges(spark):
+    import pyarrow as pa
+
+    from kgspark.archive import zstd_frame_meta, zstd_listing
+
+    codec = pa.Codec("zstd")
+    real = codec.compress(b"web corpus bytes " * 20, asbytes=True)
+    skippable = b"\x53\x2a\x4d\x18" + (12).to_bytes(4, "little") + b"\x00" * 12
+    df = spark.createDataFrame(
+        [(1, real), (2, skippable), (3, b"nope"), (4, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in zstd_listing(df).collect()}
+    r1 = out[1]
+    # a REAL encoder's frame decodes: content size is exact
+    assert (r1.kind, r1.error) == ("frame", None)
+    assert r1.content_size == len(b"web corpus bytes " * 20)
+    assert r1.single_segment == 1 and r1.window_size == r1.content_size
+    assert (out[2].kind, out[2].content_size) == ("skippable", 12)
+    assert out[3].error is not None and out[4].error is not None
+    # hand-built windowed (non-single-segment) frame: exponent 2,
+    # mantissa 3 -> window 4096 + 512*3; fcs flag 1 -> 2 bytes + 256
+    hdr = bytes([0x28, 0xB5, 0x2F, 0xFD,
+                 0b01000000,          # fcs=1, no single, no checksum
+                 (2 << 3) | 3]) + (700).to_bytes(2, "little")
+    m = zstd_frame_meta(hdr + b"\x00\x00\x00")
+    assert m["error"] is None
+    assert m["window_size"] == 4096 + 512 * 3
+    assert m["content_size"] == 700 + 256
+    # reserved descriptor bit -> error, per spec
+    bad = bytes([0x28, 0xB5, 0x2F, 0xFD, 0x08, 0x00]) + b"\x00" * 4
+    assert "reserved" in zstd_frame_meta(bad)["error"]
