@@ -8645,6 +8645,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("content_size"),
         )
 
+    def kg_k4(spark, sf_dir):
+        # K4/diamond census (kgspark/graph_algs.py clique4_census):
+        # ten planted K4 groups (one per doc_id%10) on top of the
+        # layered u-v-w graph — the clique ladder finds exactly them,
+        # diamonds count the shared-edge triangle pairs
+        from kgspark.graph_algs import clique4_census
+
+        docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+        d = F.col("doc_id")
+        u = F.concat(F.lit("u"), (d % 40).cast("string"))
+        v = F.concat(F.lit("v"), (d % 9).cast("string"))
+        w = F.concat(F.lit("w"), (d % 5).cast("string"))
+        m = (d % 10).cast("string")
+
+        def q(tag):
+            return F.concat(F.lit("q"), m, F.lit(tag))
+
+        arms = [
+            docs.select(u.alias("src"), v.alias("dst")),
+            docs.select(v.alias("src"), w.alias("dst")),
+            docs.where((d % 40) % 2 == 1)
+            .select(u.alias("src"), w.alias("dst")),
+        ]
+        for r, s in [("a", "b"), ("a", "c"), ("a", "d"),
+                     ("b", "c"), ("b", "d"), ("c", "d")]:
+            arms.append(docs.select(q(r).alias("src"), q(s).alias("dst")))
+        edges = arms[0]
+        for a in arms[1:]:
+            edges = edges.union(a)
+        return clique4_census(edges.distinct())
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -9042,6 +9073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_deob": pii_deob,
         "text_doi": text_doi,
         "multimodal_zstd": multimodal_zstd,
+        "kg_k4": kg_k4,
     }
 
 
@@ -18954,5 +18986,57 @@ SELECT doc_id,
              WHEN doc_id % 5 = 0 THEN (doc_id * 3) % 90 + 4
              ELSE (doc_id * 13) % 200 + 1 END)::BIGINT AS content_size
 FROM documents
+""",
+        # kgspark.graph_algs.clique4_census: same join ladder over the
+        # layered graph + ten planted K4 groups
+        "kg_k4": """
+WITH k4_d AS (SELECT doc_id AS d FROM documents WHERE doc_id < 400),
+k4_e0 AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT 'u' || (d % 40) AS s, 'v' || (d % 9) AS t FROM k4_d
+    UNION ALL SELECT 'v' || (d % 9), 'w' || (d % 5) FROM k4_d
+    UNION ALL SELECT 'u' || (d % 40), 'w' || (d % 5) FROM k4_d
+    WHERE (d % 40) % 2 = 1
+    UNION ALL SELECT 'q' || (d % 10) || 'a', 'q' || (d % 10) || 'b' FROM k4_d
+    UNION ALL SELECT 'q' || (d % 10) || 'a', 'q' || (d % 10) || 'c' FROM k4_d
+    UNION ALL SELECT 'q' || (d % 10) || 'a', 'q' || (d % 10) || 'd' FROM k4_d
+    UNION ALL SELECT 'q' || (d % 10) || 'b', 'q' || (d % 10) || 'c' FROM k4_d
+    UNION ALL SELECT 'q' || (d % 10) || 'b', 'q' || (d % 10) || 'd' FROM k4_d
+    UNION ALL SELECT 'q' || (d % 10) || 'c', 'q' || (d % 10) || 'd' FROM k4_d
+  )
+),
+k4_und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM k4_e0
+    UNION ALL SELECT t, s FROM k4_e0
+  ) WHERE a <> b
+),
+k4_lt AS (SELECT a, b FROM k4_und WHERE a < b),
+k4_tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM k4_lt e1
+  JOIN k4_lt e2 ON e2.a = e1.b
+  JOIN k4_lt e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+k4_k AS (
+  SELECT count(*)::BIGINT AS v
+  FROM k4_tri t
+  JOIN k4_lt x ON x.a = t.c
+  JOIN k4_lt y ON y.a = t.a AND y.b = x.b
+  JOIN k4_lt z ON z.a = t.b AND z.b = x.b
+),
+k4_dia AS (
+  SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS v FROM (
+    SELECT l.b AS u, r.b AS w, count(*)::BIGINT AS c
+    FROM k4_und l
+    JOIN k4_und r ON l.a = r.a AND l.b < r.b
+    WHERE EXISTS (SELECT 1 FROM k4_lt e
+                  WHERE e.a = l.b AND e.b = r.b)
+    GROUP BY 1, 2
+  )
+)
+SELECT 'triangles' AS metric, (SELECT count(*) FROM k4_tri)::BIGINT AS value
+UNION ALL SELECT 'k4', (SELECT v FROM k4_k)::BIGINT
+UNION ALL SELECT 'diamonds', (SELECT v FROM k4_dia)::BIGINT
 """,
     }

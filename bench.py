@@ -408,6 +408,7 @@ BENCH_QUERIES = [
     "pii_deob",
     "text_doi",
     "multimodal_zstd",
+    "kg_k4",
 ]
 
 

@@ -3833,3 +3833,101 @@ def bowtie_census(
             .otherwise("other").alias("cls"),
         )
     )
+
+
+def clique4_census(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K4 (4-clique) and diamond census — the DENSE 4-node motifs
+    graphlet_census's closed forms cannot reach (its c4/p3 identities
+    count sparse shapes; cliques need one more join level):
+
+      k4       = ordered 4-join a<b<c<d over the triangle list
+      diamonds = Σ_{(u,w)∈E} C(codeg(u,w), 2)   (two triangles sharing
+                 the edge; non-induced, so a K4 shows up 6× — the
+                 standard subgraph-count convention, documented)
+
+    Clique density vs wedge counts is the classic community-quality
+    probe (a near-clique region is a candidate tightly-knit community
+    — exactly what SALSA/TrustRank call score-capture risk).
+
+    Emits (metric, value) rows: triangles, k4, diamonds.
+
+    Scale shape: triangles via ordered adjacency (compact-forward);
+    K4 extends each triangle through the c<d edge list then verifies
+    (a,d),(b,d) — join volume is triangle-count × degree, the
+    standard k-clique join ladder; diamonds ride the same edge-keyed
+    co-degree pass as graphlet_census (hub-cap the wedge side on
+    skewed graphs, the butterflies rule).
+    """
+    und = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e_lt = materialize(und.where(F.col("a") < F.col("b")))
+    tri = materialize(
+        e_lt.alias("e1")
+        .join(
+            e_lt.select(F.col("a").alias("b"), F.col("b").alias("c"))
+            .alias("e2"),
+            "b",
+        )
+        .join(
+            e_lt.select(F.col("a").alias("a"), F.col("b").alias("c"))
+            .alias("e3"),
+            ["a", "c"],
+        )
+        .select("a", "b", "c")
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    k4 = (
+        tri.join(
+            e_lt.select(F.col("a").alias("c"), F.col("b").alias("d")),
+            "c",
+        )
+        .join(
+            e_lt.select(F.col("a").alias("a"), F.col("b").alias("d")),
+            ["a", "d"],
+        )
+        .join(
+            e_lt.select(F.col("a").alias("b"), F.col("b").alias("d")),
+            ["b", "d"],
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    diamonds = (
+        und.alias("l")
+        .join(
+            und.select(F.col("a").alias("a"), F.col("b").alias("w"))
+            .alias("r"),
+            "a",
+        )
+        .where(F.col("b") < F.col("w"))
+        .join(
+            e_lt.select(F.col("a").alias("b"), F.col("b").alias("w")),
+            ["b", "w"], "left_semi",
+        )
+        .groupBy("b", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+            .cast("long").alias("v")
+        )
+    )
+
+    def tag(df, name):
+        return df.select(F.lit(name).alias("metric"),
+                         F.coalesce("v", F.lit(0)).alias("value"))
+
+    return (
+        tag(n_tri, "triangles")
+        .unionByName(tag(k4, "k4"))
+        .unionByName(tag(diamonds, "diamonds"))
+        .select("metric", F.col("value").cast("long").alias("value"))
+    )

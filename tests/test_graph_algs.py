@@ -1450,3 +1450,30 @@ def test_bowtie_census_hand_case(spark):
     out2 = {r.node: r.cls for r in bowtie_census(closed).collect()}
     for n in ("i0", "i1", "x0"):
         assert out2[n] == "core"
+
+
+def test_clique4_census_known_counts(spark):
+    from kgspark.graph_algs import clique4_census
+
+    # K5 on a..e plus a pendant: C(5,3)=10 triangles, C(5,4)=5 K4s;
+    # diamonds (non-induced) = C(5,2) edges * C(3,2) shared-nbr pairs
+    from itertools import combinations
+    k5 = [(x, y) for x, y in combinations("abcde", 2)]
+    e = spark.createDataFrame(
+        k5 + [("a", "z")], "src string, dst string")
+    out = {r.metric: r.value for r in clique4_census(e).collect()}
+    assert out["triangles"] == 10
+    assert out["k4"] == 5
+    assert out["diamonds"] == 10 * 3  # 10 edges, codeg 3 -> C(3,2)=3
+    # a single square (no chord): no triangles, no cliques, no diamonds
+    sq = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    out2 = {r.metric: r.value for r in clique4_census(sq).collect()}
+    assert out2 == {"triangles": 0, "k4": 0, "diamonds": 0}
+    # one diamond exactly: square + one chord
+    dia = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string")
+    out3 = {r.metric: r.value for r in clique4_census(dia).collect()}
+    assert out3 == {"triangles": 2, "k4": 0, "diamonds": 1}
