@@ -417,3 +417,47 @@ def zstd_listing(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(
         parse, f"{id_col} {id_type}, {ZSTD_META_FIELDS}"
     )
+
+
+def tgz_members(data: bytes) -> list[dict]:
+    """Member records of a .tar.gz blob: zlib-gunzip (wbits=47 accepts
+    gzip and zlib wrappers alike) then the tar header walk. The one
+    walker in this module that MUST inflate — a tarball's headers are
+    inside the compressed stream by construction — so it documents the
+    exception to the listing-without-inflating contract rather than
+    silently breaking it. Decompression failures land in the error
+    record like every other walker."""
+    import zlib
+
+    try:
+        raw = zlib.decompress(data, 47)
+    except Exception as e:
+        return [{"member": None, "size": None, "typeflag": None,
+                 "mtime": None, "mode": None, "is_dir": None,
+                 "error": f"tgz: {type(e).__name__}: {e}"}]
+    return list_tar_members(raw)
+
+
+def tgz_listing(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per .tar.gz member — gunzip + tar walk, Arrow-batched."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = [id_col, "member", "size", "typeflag", "mtime", "mode",
+                "is_dir", "error"]
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                for rec in tgz_members(
+                    bytes(blob) if blob is not None else b""
+                ):
+                    rec[id_col] = i
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        parse, f"{id_col} {id_type}, {TAR_MEMBER_FIELDS}"
+    )

@@ -277,3 +277,33 @@ def test_zstd_listing_real_frames_and_edges(spark):
     # reserved descriptor bit -> error, per spec
     bad = bytes([0x28, 0xB5, 0x2F, 0xFD, 0x08, 0x00]) + b"\x00" * 4
     assert "reserved" in zstd_frame_meta(bad)["error"]
+
+
+def test_tgz_listing_roundtrip(spark):
+    import gzip as gz
+    import io
+    import tarfile as tf
+
+    from kgspark.archive import tgz_listing
+
+    buf = io.BytesIO()
+    with tf.open(fileobj=buf, mode="w", format=tf.USTAR_FORMAT) as t:
+        for nm, sz in [("a.txt", 11), ("d/b.bin", 600)]:
+            ti = tf.TarInfo(nm)
+            ti.size = sz
+            ti.mode = 0o644
+            ti.mtime = 0
+            t.addfile(ti, io.BytesIO(b"y" * sz))
+    tgz = gz.compress(buf.getvalue(), mtime=0)
+    df = spark.createDataFrame(
+        [(1, tgz), (2, b"\x1f\x8b broken"), (3, buf.getvalue())],
+        "doc_id long, payload binary",
+    )
+    rows = {}
+    for r in tgz_listing(df).collect():
+        rows.setdefault(r.doc_id, []).append(r)
+    got = {r.member: r.size for r in rows[1]}
+    assert got == {"a.txt": 11, "d/b.bin": 600}
+    assert rows[2][0].error.startswith("tgz:")
+    # an UNCOMPRESSED tar is not a tgz: zlib refuses, error captured
+    assert rows[3][0].error.startswith("tgz:")
