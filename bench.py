@@ -409,6 +409,7 @@ BENCH_QUERIES = [
     "text_doi",
     "multimodal_zstd",
     "kg_k4",
+    "rel_ks",
 ]
 
 

@@ -1732,3 +1732,75 @@ def time_weighted_avg(
             .otherwise(F.lit(0)).cast("long").alias("twa"),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    label_col: str,
+    value_col: str,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance as an EXACT rational —
+    the standard drift test between two empirical distributions (did
+    this week's price/latency/score distribution move vs last
+    week's?), completing the stats family (JSD compares token
+    histograms, Mann-Kendall tests monotone drift in time, KS compares
+    two samples of a continuous-ish metric). With cumulative counts
+    cA(x), cB(x) at each support point of the MERGED sample:
+
+        D = max_x |cA(x)/nA − cB(x)/nB|
+          = max_x |cA(x)·nB − cB(x)·nA| / (nA·nB)
+
+    so d_num = max |cA·nB − cB·nA| is an exact 64-bit integer (safe to
+    nA·nB < 2⁶³ ≈ 3e9 rows per side) and d_ppm truncates identically
+    cross-engine. `value_col` must be integer (the quantize-upstream
+    pin); the sup over the step function is attained at support points,
+    so evaluating only there is exact, not an approximation.
+
+    Emits 1 row (n_a, n_b, d_num, d_ppm); empty sides report -1.
+
+    Scale shape: one per-value groupBy (two partial counts), one
+    ordered window cumsum over the distinct support (value-ordered,
+    single partition ONLY over distinct values — bucket the support
+    by range first if the metric has ~2⁶³ distinct values), one max
+    aggregate.
+    """
+    lab = F.col(label_col)
+    per = (
+        df.where(lab.isin(label_a, label_b))
+        .groupBy(F.col(value_col).cast("long").alias("x"))
+        .agg(
+            F.sum(F.when(lab == label_a, 1).otherwise(0))
+            .cast("long").alias("da"),
+            F.sum(F.when(lab == label_b, 1).otherwise(0))
+            .cast("long").alias("db"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "x",
+        F.sum("da").over(w).cast("long").alias("ca"),
+        F.sum("db").over(w).cast("long").alias("cb"),
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("da"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("db"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(F.abs(F.expr("ca * n_b - cb * n_a")))
+        .cast("long").alias("d_num"),
+    )
+    return d.select(
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce("d_num", F.lit(0)).cast("long").alias("d_num"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr("(d_num * 1000000L) div (n_a * n_b)"),
+        ).otherwise(F.lit(-1)).cast("long").alias("d_ppm"),
+    )

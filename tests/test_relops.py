@@ -703,3 +703,30 @@ def test_time_weighted_avg_hand_case(spark):
         [(9, 0, 0, -10), (9, 1, 3, 0)], "g long, eid long, t long, v long")
     o = time_weighted_avg(neg, ["g"], ["t", "eid"], "t", "v").collect()[0]
     assert (o.vdt, o.twa) == (-30, -10)
+
+
+def test_ks_two_sample_exact(spark):
+    from kgspark.relops import ks_two_sample
+
+    rows = (
+        [("a", v) for v in (1, 2, 3, 4)]
+        + [("b", v) for v in (3, 4, 5, 6)]
+        + [("c", 99)]  # other labels ignored
+    )
+    df = spark.createDataFrame(rows, "lab string, v long")
+    out = ks_two_sample(df, "lab", "v", "a", "b").collect()[0]
+    # ECDFs: at x=2, Fa=2/4, Fb=0 -> D = 1/2 (the sup)
+    assert (out.n_a, out.n_b) == (4, 4)
+    assert out.d_num == 8  # |2*4 - 0*4|
+    assert out.d_ppm == 500_000
+    # identical samples -> D = 0
+    same = ks_two_sample(df, "lab", "v", "a", "a").collect()[0]
+    assert same.d_ppm == 0
+    # disjoint supports -> D = 1
+    far = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "lab string, v long")
+    o = ks_two_sample(far, "lab", "v", "a", "b").collect()[0]
+    assert o.d_ppm == 1_000_000
+    # a missing side reports the sentinel
+    none = ks_two_sample(far, "lab", "v", "a", "zz").collect()[0]
+    assert (none.n_b, none.d_ppm) == (0, -1)
