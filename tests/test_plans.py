@@ -1202,3 +1202,45 @@ def test_session8_final_ops_plan_shapes(spark):
         assert "CartesianProduct" not in p, p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
         assert p.count("BroadcastNestedLoopJoin") <= cap, p
+
+
+def test_session8_tail_ops_plan_shapes(spark):
+    """Tail session-8 ops: motif ladders and id extraction stay
+    JVM-side; isotropy/KS/walk carry only their designed 1-row
+    broadcasts."""
+    from kgspark.embed import isotropy_report
+    from kgspark.graph_algs import clique4_census
+    from kgspark.ids import scholarly_ids
+    from kgspark.rdf import collection_decode, collection_triples
+    from kgspark.relops import ks_two_sample
+
+    docs = spark.createDataFrame(
+        [(1, "see doi:10.1000/x and arXiv:1706.03762")],
+        "doc_id long, text string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string")
+    lists = spark.createDataFrame(
+        [("s", "p", ["a"])], "subj string, pred string, items array<string>")
+    ks = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "lab string, v long")
+
+    for df in (
+        scholarly_ids(docs),
+        clique4_census(e),
+        collection_decode(collection_triples(lists), max_len=2),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<float>")
+    for df, cap in (
+        (isotropy_report(emb), 2),
+        (ks_two_sample(ks, "lab", "v", "a", "b"), 2),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert p.count("BroadcastNestedLoopJoin") <= cap, p
