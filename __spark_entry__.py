@@ -1423,6 +1423,45 @@ FROM sid_u GROUP BY doc_id, kind, norm
 """
 
 
+def _pc1_sql(rounds: int = 6) -> str:
+    """embed_pc1 oracle: quantized Gram + max-norm power iteration
+    unrolled (MATERIALIZED per round — the kg_mis CTE re-expansion
+    lesson); posexplode is 0-based, generate_subscripts 1-based."""
+    parts = ["""
+pc_q AS MATERIALIZED (
+  SELECT vec_id AS rid,
+         (generate_subscripts(embedding, 1) - 1)::INT AS pos,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000 + 0.5) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+pc_g AS MATERIALIZED (
+  SELECT a.pos AS p1, b.pos AS p2, sum(a.v * b.v)::BIGINT AS g
+  FROM pc_q a JOIN pc_q b ON a.rid = b.rid
+  GROUP BY 1, 2
+),
+pc_x0 AS (SELECT DISTINCT p1 AS pos, 1000::BIGINT AS xv FROM pc_g)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+pc_y{k} AS MATERIALIZED (
+  SELECT g.p1 AS pos, sum(g.g * x.xv)::BIGINT AS y
+  FROM pc_g g JOIN pc_x{k - 1} x ON x.pos = g.p2
+  GROUP BY 1
+),
+pc_x{k} AS MATERIALIZED (
+  SELECT pos,
+         (CASE WHEN (SELECT max(abs(y)) FROM pc_y{k}) > 0
+               THEN (y * 1000)
+                    // (SELECT max(abs(y)) FROM pc_y{k})
+               ELSE 0 END)::BIGINT AS xv
+  FROM pc_y{k}
+)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT pos, xv AS pc1_milli FROM pc_x{rounds}"
+    )
+
+
 def _deob_sql() -> str:
     """pii_deob oracle: augmentation, the _DEOB_CHAIN replace fold and
     the email regex all generated from kgspark.pii's pins."""
@@ -8690,6 +8729,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ks_two_sample(ev, "event_type", "cents",
                              "click", "purchase")
 
+    def embed_pc1(spark, sf_dir):
+        # exact-integer top principal component (kgspark/embed.py
+        # top_component): quantized Gram matrix + 6 max-norm power
+        # iterations, the All-but-the-Top direction — every step
+        # integer, unrolled in the oracle
+        from kgspark.embed import top_component
+
+        e = _read(spark, sf_dir, "embeddings")
+        return top_component(e, rounds=6)
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -9089,6 +9138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_zstd": multimodal_zstd,
         "kg_k4": kg_k4,
         "rel_ks": rel_ks,
+        "embed_pc1": embed_pc1,
     }
 
 
@@ -19090,4 +19140,6 @@ SELECT t.n_a, t.n_b,
              ELSE -1 END)::BIGINT AS d_ppm
 FROM ks_t t CROSS JOIN ks_d d
 """,
+        # kgspark.embed.top_component: unrolled integer power iteration
+        "embed_pc1": _pc1_sql(6),
     }

@@ -410,6 +410,7 @@ BENCH_QUERIES = [
     "multimodal_zstd",
     "kg_k4",
     "rel_ks",
+    "embed_pc1",
 ]
 
 

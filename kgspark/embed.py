@@ -776,3 +776,80 @@ def isotropy_report(
             ),
         ).otherwise(F.lit(-1)).cast("long").alias("iso_ppm"),
     )
+
+
+def top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    rounds: int = 6,
+) -> DataFrame:
+    """Top principal direction of an embedding cloud by EXACT-integer
+    power iteration on the quantized Gram matrix — the one piece of
+    spectral machinery a curation stack actually needs: the dominant
+    component is what All-but-the-Top (Mu & Viswanath 2018) removes to
+    fix anisotropy (isotropy_report MEASURES the problem; this finds
+    the direction to project away), and its Rayleigh quotient is the
+    variance share captured.
+
+    Path: components quantized floor(x·scale+0.5) → Gram G[p,q] =
+    Σ_rows v_p·v_q as d² exact 64-bit sums (one position-pair
+    self-join per row — state is d², never n²) → `rounds` iterations
+    x ← (G·x)·1e3 div max|G·x| (the eigenvector_centrality max-norm
+    posture, truncation toward zero so signs stay exact; the iterate
+    lives in MILLI units — 1e6 would push y·scale past 2⁶³ on wide
+    clouds). Everything is deterministic integer arithmetic; the
+    unrolled DuckDB oracle replays it bit-for-bit. Overflow budget:
+    |G| ≤ n·(scale·max|x|)² and each product ≤ d·|G|·1e3·1e3 —
+    64-bit safe to ~10⁶ rows at d=64/scale=1e3; shard-and-sum the
+    Gram beyond (it is additive).
+
+    Emits (pos, pc1_milli) — the max-norm direction in [-1000, 1000]
+    after `rounds` (sign = whichever the iteration converges to;
+    deterministic, ± is inherent to eigenvectors).
+
+    Scale shape: ONE d²-keyed aggregation builds G; each round is a
+    d²-row join + d-row aggregate — cluster cost lives entirely in
+    the Gram pass, which is a single map-side-combined shuffle.
+    """
+    from kgspark.session import materialize
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+        .cast("long"),
+    )
+    rows = materialize(
+        df.select(F.monotonically_increasing_id().alias("rid"),
+                  q.alias("q"))
+        .select("rid", F.posexplode("q").alias("pos", "v"))
+    )
+    gram = materialize(
+        rows.alias("a")
+        .join(rows.select(F.col("rid").alias("rid"),
+                          F.col("pos").alias("p2"),
+                          F.col("v").alias("v2")).alias("b"),
+              "rid")
+        .groupBy(F.col("pos").alias("p1"), "p2")
+        .agg(F.sum(F.expr("v * v2")).cast("long").alias("g"))
+    )
+    x = gram.select(F.col("p1").alias("pos")).distinct().withColumn(
+        "xv", F.lit(1_000).cast("long")
+    )
+    for _r in range(rounds):
+        y = (
+            gram.join(x.select(F.col("pos").alias("p2"),
+                               F.col("xv")), "p2")
+            .groupBy(F.col("p1").alias("pos"))
+            .agg(F.sum(F.expr("g * xv")).cast("long").alias("y"))
+        )
+        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        x = materialize(
+            y.crossJoin(F.broadcast(m)).select(
+                "pos",
+                F.when(F.col("m") > 0,
+                       F.expr("(y * 1000L) div m"))
+                .otherwise(F.lit(0)).cast("long").alias("xv"),
+            )
+        )
+    return x.select("pos", F.col("xv").alias("pc1_milli"))

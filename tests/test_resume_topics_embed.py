@@ -142,3 +142,36 @@ def test_isotropy_report_bruteforce(spark):
         [(1, [0.0, 0.0]), (2, [0.0, 0.0])],
         "vec_id long, embedding array<float>")
     assert isotropy_report(zero).collect()[0].iso_ppm == -1
+
+
+def test_top_component_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from kgspark.embed import top_component
+
+    # cloud stretched strongly along (1, 2, 0)/sqrt(5)
+    rng = [(i, [0.3 * (i % 7 - 3), 0.6 * (i % 7 - 3),
+                0.01 * ((i * 3) % 5 - 2)]) for i in range(40)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    out = {r.pos: r.pc1_milli
+           for r in top_component(df, rounds=8).collect()}
+    # numpy truth on the same quantized integers
+    q = np.array([[math.floor(x * 1000 + 0.5) for x in v]
+                  for _, v in rng], dtype=np.int64)
+    g = q.T @ q
+    vals, vecs = np.linalg.eigh(g)
+    v1 = vecs[:, -1]
+    v1 = v1 / np.abs(v1).max()
+    got = np.array([out[p] for p in range(3)], dtype=np.float64) / 1000.0
+    # align sign, then the milli-quantized direction matches closely
+    if np.sign(got[np.abs(v1).argmax()]) != np.sign(v1[np.abs(v1).argmax()]):
+        got = -got
+    assert np.abs(got - v1).max() < 0.01, (got, v1)
+    # max-norm: the dominant coordinate saturates at ±1000
+    assert max(abs(v) for v in out.values()) == 1000
+    # determinism
+    again = {r.pos: r.pc1_milli
+             for r in top_component(df, rounds=8).collect()}
+    assert again == out
