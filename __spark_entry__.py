@@ -8739,6 +8739,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _read(spark, sf_dir, "embeddings")
         return top_component(e, rounds=6)
 
+    def rel_theilsen(spark, sf_dir):
+        # Theil-Sen robust slope (kgspark/relops.py theil_sen_slope):
+        # per-user median pairwise slope over the first 30 events,
+        # cents per milli from the pinned NTZ epoch — lower-median
+        # pin, exact (dv, dt) reported
+        from kgspark.relops import theil_sen_slope
+
+        ev = _read(spark, sf_dir, "events").select(
+            "user_id", "event_id",
+            F.expr(
+                "timestampdiff(MILLISECOND, "
+                "TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+            ).alias("t_ms"),
+            F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+        )
+        return theil_sen_slope(
+            ev, ["user_id"], ["t_ms", "event_id"], "t_ms", "cents",
+            max_rows=30,
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -9139,6 +9159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_k4": kg_k4,
         "rel_ks": rel_ks,
         "embed_pc1": embed_pc1,
+        "rel_theilsen": rel_theilsen,
     }
 
 
@@ -19142,4 +19163,50 @@ FROM ks_t t CROSS JOIN ks_d d
 """,
         # kgspark.embed.top_component: unrolled integer power iteration
         "embed_pc1": _pc1_sql(6),
+        # kgspark.relops.theil_sen_slope: identical fp64 quotient order
+        # (same exact integers in -> same doubles), lower-median pin
+        "rel_theilsen": """
+WITH th_b AS (
+  SELECT user_id,
+         date_diff('millisecond',
+                   TIMESTAMP '2024-01-01 00:00:00', ts)::BIGINT AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+th_w AS (SELECT * FROM th_b WHERE rn <= 30),
+th_n AS (SELECT user_id, count(*)::BIGINT AS n FROM th_w GROUP BY 1),
+th_s AS (
+  SELECT a.user_id,
+         (b.v - a.v)::BIGINT AS dv,
+         (b.t - a.t)::BIGINT AS dt,
+         a.rn AS ra, b.rn AS rb,
+         (b.v - a.v)::DOUBLE / (b.t - a.t)::DOUBLE AS q
+  FROM th_w a JOIN th_w b ON a.user_id = b.user_id AND a.rn < b.rn
+  WHERE b.t - a.t > 0
+),
+th_c AS (SELECT user_id, count(*)::BIGINT AS n_slopes
+         FROM th_s GROUP BY 1),
+th_r AS (
+  SELECT user_id, dv, dt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY q ASC, dv ASC, dt ASC,
+                                     ra ASC, rb ASC) AS rk
+  FROM th_s
+),
+th_m AS (
+  SELECT r.user_id, c.n_slopes, r.dv AS med_dv, r.dt AS med_dt
+  FROM th_r r JOIN th_c c USING (user_id)
+  WHERE r.rk = (c.n_slopes + 1) // 2
+)
+SELECT n.user_id, n.n,
+       coalesce(m.n_slopes, 0)::BIGINT AS n_slopes,
+       coalesce(m.med_dv, 0)::BIGINT AS med_dv,
+       coalesce(m.med_dt, 0)::BIGINT AS med_dt,
+       (CASE WHEN coalesce(m.med_dt, 0) > 0
+             THEN (1000000 * m.med_dv) // m.med_dt
+             ELSE -1 END)::BIGINT AS slope_ppm
+FROM th_n n LEFT JOIN th_m m USING (user_id)
+""",
     }

@@ -411,6 +411,7 @@ BENCH_QUERIES = [
     "kg_k4",
     "rel_ks",
     "embed_pc1",
+    "rel_theilsen",
 ]
 
 

@@ -1804,3 +1804,101 @@ def ks_two_sample(
             F.expr("(d_num * 1000000L) div (n_a * n_b)"),
         ).otherwise(F.lit(-1)).cast("long").alias("d_ppm"),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    max_rows: int = 30,
+) -> DataFrame:
+    """Theil-Sen robust slope per group (Theil 1950, Sen 1968) — the
+    MAGNITUDE companion to trend_test's Mann-Kendall direction: the
+    median of all pairwise slopes (v_j−v_i)/(t_j−t_i), famously
+    tolerant of ~29% outliers where least squares is wrecked by one.
+    Bounded-window posture shared with trend_test: pairs come from the
+    group's first `max_rows` rows in `order_cols` order.
+
+    Cross-engine determinism: slopes are ranked by the fp64 quotient
+    dv/dt computed from the SAME exact integers on both engines (fp64
+    division is correctly rounded, so identical inputs give identical
+    doubles and identical order), with the full deterministic tiebreak
+    (quotient, dv, dt, i, j); the median is the LOWER median at rank
+    (n+1) div 2 — pinned, no averaging of middle elements (averaging
+    two rationals would need exact rational arithmetic for nothing).
+    The reported slope keeps the median's exact (dv, dt) pair plus the
+    truncated ppm ratio. Zero-dt pairs (tied timestamps) are excluded;
+    groups with no valid pair report the 0/0/-1 sentinel row.
+
+    Emits group_cols + (n, n_slopes, med_dv, med_dt, slope_ppm).
+    """
+    from kgspark.session import materialize
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    keep = [c for c in order_cols if c not in group_cols]
+    bounded = materialize(
+        df.select(
+            *group_cols, *keep,
+            F.col(ts_col).cast("long").alias("__t"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_rows)
+        .select(*group_cols, "__t", "__v", "__rn")
+    )
+    n = bounded.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = bounded.select(
+        *group_cols, F.col("__t").alias("ta"), F.col("__v").alias("va"),
+        F.col("__rn").alias("ra"),
+    )
+    b = bounded.select(
+        *group_cols, F.col("__t").alias("tb"), F.col("__v").alias("vb"),
+        F.col("__rn").alias("rb"),
+    )
+    slopes = (
+        a.join(b, group_cols)
+        .where(F.col("ra") < F.col("rb"))
+        .select(
+            *group_cols,
+            (F.col("vb") - F.col("va")).alias("dv"),
+            (F.col("tb") - F.col("ta")).alias("dt"),
+            "ra", "rb",
+        )
+        .where(F.col("dt") > 0)
+        .withColumn(
+            "q", F.col("dv").cast("double") / F.col("dt").cast("double")
+        )
+    )
+    ws = Window.partitionBy(*group_cols).orderBy(
+        F.asc("q"), F.asc("dv"), F.asc("dt"), F.asc("ra"), F.asc("rb")
+    )
+    ranked = slopes.withColumn("rk", F.row_number().over(ws))
+    counts = slopes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_slopes")
+    )
+    med = (
+        ranked.join(counts, group_cols)
+        .where(F.col("rk") == F.expr("(n_slopes + 1) div 2"))
+        .select(*group_cols, "n_slopes",
+                F.col("dv").alias("med_dv"), F.col("dt").alias("med_dt"))
+    )
+    return (
+        n.join(med, group_cols, "left")
+        .select(
+            *group_cols, "n",
+            F.coalesce("n_slopes", F.lit(0)).cast("long")
+            .alias("n_slopes"),
+            F.coalesce("med_dv", F.lit(0)).cast("long").alias("med_dv"),
+            F.coalesce("med_dt", F.lit(0)).cast("long").alias("med_dt"),
+            F.when(
+                F.coalesce("med_dt", F.lit(0)) > 0,
+                F.expr("(1000000L * med_dv) div med_dt"),
+            ).otherwise(F.lit(-1)).cast("long").alias("slope_ppm"),
+        )
+    )

@@ -730,3 +730,38 @@ def test_ks_two_sample_exact(spark):
     # a missing side reports the sentinel
     none = ks_two_sample(far, "lab", "v", "a", "zz").collect()[0]
     assert (none.n_b, none.d_ppm) == (0, -1)
+
+
+def test_theil_sen_slope_hand_case(spark):
+    from kgspark.relops import theil_sen_slope
+
+    rows = (
+        # g=1: perfect line v = 3t + 5 -> every slope exactly 3
+        [(1, i, i, 3 * i + 5) for i in range(5)]
+        # g=2: line with one wild outlier; median ignores it
+        + [(2, 0, 0, 0), (2, 1, 10, 20), (2, 2, 20, 40),
+           (2, 3, 30, 60), (2, 4, 40, 5000)]
+        # g=3: one row -> no pairs
+        + [(3, 0, 0, 7)]
+        # g=4: two rows tied in time -> dt=0 pair excluded
+        + [(4, 0, 5, 1), (4, 1, 5, 9)]
+    )
+    df = spark.createDataFrame(rows, "g long, eid long, t long, v long")
+    out = {r.g: r for r in theil_sen_slope(
+        df, ["g"], ["t", "eid"], "t", "v").collect()}
+    assert out[1].n_slopes == 10
+    assert (out[1].med_dv, out[1].med_dt) in {(3, 1), (6, 2), (9, 3),
+                                              (12, 4)}
+    assert out[1].slope_ppm == 3_000_000
+    # g=2: slopes 2 everywhere except the 4 outlier pairs -> median 2
+    assert out[2].slope_ppm == 2_000_000
+    assert (out[3].n_slopes, out[3].slope_ppm) == (0, -1)
+    assert (out[4].n_slopes, out[4].slope_ppm) == (0, -1)
+    # least-squares would NOT be 2 for g=2 (sanity: the outlier works)
+    import statistics
+    ts = [(t, v) for g, _e, t, v in rows if g == 2]
+    xs, ys = zip(*ts)
+    mean_x, mean_y = statistics.mean(xs), statistics.mean(ys)
+    beta = sum((x - mean_x) * (y - mean_y) for x, y in ts) / \
+        sum((x - mean_x) ** 2 for x in xs)
+    assert abs(beta - 2.0) > 10  # wrecked by the outlier
