@@ -1423,6 +1423,51 @@ FROM sid_u GROUP BY doc_id, kind, norm
 """
 
 
+def _psi_sql(edges: list[int]) -> str:
+    """rel_psi oracle: the same pinned bin CASE and the identical fp64
+    Laplace/ln term tree, rounded per bin before summing."""
+    k = len(edges) + 1
+    case = "CASE " + " ".join(
+        f"WHEN v < {e} THEN {i}" for i, e in enumerate(edges)
+    ) + f" ELSE {len(edges)} END"
+    pa = f"((count_a + 1) / CAST(na + {k} AS DOUBLE))"
+    pb = f"((count_b + 1) / CAST(nb + {k} AS DOUBLE))"
+    return f"""
+WITH ps_v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+ps_p AS (
+  SELECT {case} AS bin,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS cb
+  FROM ps_v GROUP BY 1
+),
+ps_s AS (SELECT i::INT AS bin FROM range({k}) r(i)),
+ps_base AS (
+  SELECT s.bin,
+         coalesce(p.ca, 0)::BIGINT AS count_a,
+         coalesce(p.cb, 0)::BIGINT AS count_b
+  FROM ps_s s LEFT JOIN ps_p p ON p.bin = s.bin
+),
+ps_t AS (
+  SELECT sum(count_a)::BIGINT AS na, sum(count_b)::BIGINT AS nb
+  FROM ps_base
+),
+ps_terms AS (
+  SELECT bin, count_a, count_b,
+         CAST(round(({pa} - {pb}) * ln({pa} / {pb}) * 1000000.0, 0)
+              AS BIGINT) AS term_micro
+  FROM ps_base CROSS JOIN ps_t
+)
+SELECT bin, count_a, count_b, term_micro,
+       (SELECT sum(term_micro) FROM ps_terms)::BIGINT AS psi_micro
+FROM ps_terms
+"""
+
+
 def _pc1_sql(rounds: int = 6) -> str:
     """embed_pc1 oracle: quantized Gram + max-norm power iteration
     unrolled (MATERIALIZED per round — the kg_mis CTE re-expansion
@@ -8759,6 +8804,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_rows=30,
         )
 
+    def rel_psi(spark, sf_dir):
+        # Population Stability Index (kgspark/relops.py psi_report):
+        # click vs purchase cents over pinned cent-edge bins, Laplace
+        # add-1 both sides, per-bin micro-nat rounding before the sum
+        from kgspark.relops import psi_report
+
+        ev = _read(spark, sf_dir, "events").select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+        )
+        return psi_report(
+            ev, "event_type", "cents", "click", "purchase",
+            edges=[200, 400, 600, 800, 1000, 1200, 1400, 1600, 1800],
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -9160,6 +9220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_ks": rel_ks,
         "embed_pc1": embed_pc1,
         "rel_theilsen": rel_theilsen,
+        "rel_psi": rel_psi,
     }
 
 
@@ -19209,4 +19270,9 @@ SELECT n.user_id, n.n,
              ELSE -1 END)::BIGINT AS slope_ppm
 FROM th_n n LEFT JOIN th_m m USING (user_id)
 """,
+        # kgspark.relops.psi_report: generated from the same pinned
+        # edges the query passes
+        "rel_psi": _psi_sql(
+            [200, 400, 600, 800, 1000, 1200, 1400, 1600, 1800]
+        ),
     }

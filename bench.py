@@ -412,6 +412,7 @@ BENCH_QUERIES = [
     "rel_ks",
     "embed_pc1",
     "rel_theilsen",
+    "rel_psi",
 ]
 
 

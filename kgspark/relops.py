@@ -1902,3 +1902,87 @@ def theil_sen_slope(
             ).otherwise(F.lit(-1)).cast("long").alias("slope_ppm"),
         )
     )
+
+
+def psi_report(
+    df: DataFrame,
+    label_col: str,
+    value_col: str,
+    label_a: str,
+    label_b: str,
+    edges: list[int],
+) -> DataFrame:
+    """Population Stability Index between two samples over PINNED bin
+    edges — the model-monitoring drift standard (PSI < 0.1 stable,
+    0.1-0.25 shifting, > 0.25 action; credit-scoring lineage), the
+    binned complement to ks_two_sample's distribution-free sup: KS
+    finds THAT the distribution moved, PSI's per-bin terms show WHERE.
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    Determinism contract: bins are the caller's fixed integer `edges`
+    (value < edges[0] → bin 0, …, ≥ edges[-1] → last bin) — never
+    data-derived quantiles, which would make the report
+    self-referential and engine-ordering-sensitive; proportions use
+    Laplace add-1 smoothing on BOTH sides (zero bins would send ln to
+    ±∞); each bin's term is computed in fp64 with the identical
+    expression tree both engines and rounded to integer micro-units
+    PER BIN before any summing (the powerlaw per-node ln posture).
+
+    Emits one row per bin: (bin, count_a, count_b, term_micro,
+    psi_micro) with psi_micro = the grand total repeated (the 1-row
+    broadcast convention).
+
+    Scale shape: one conditional-aggregation groupBy over the bin id
+    (bin count is edges+1, sketch-small), a bin-spine left join so
+    empty bins surface, one grand-total broadcast.
+    """
+    if not edges:
+        raise ValueError("psi_report: edges must be non-empty")
+    lab = F.col(label_col)
+    v = F.col(value_col).cast("long")
+    bin_expr = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        bin_expr = F.when(v < edges[i], F.lit(i)).otherwise(bin_expr)
+    per = (
+        df.where(lab.isin(label_a, label_b))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.sum(F.when(lab == label_a, 1).otherwise(0))
+            .cast("long").alias("ca"),
+            F.sum(F.when(lab == label_b, 1).otherwise(0))
+            .cast("long").alias("cb"),
+        )
+    )
+    spine = df.sparkSession.range(0, len(edges) + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    k = len(edges) + 1
+    base = (
+        spine.join(per, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("count_a"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("count_b"),
+        )
+    )
+    tot = base.agg(
+        F.sum("count_a").cast("long").alias("na"),
+        F.sum("count_b").cast("long").alias("nb"),
+    )
+    term = F.expr(
+        f"CAST(round((((count_a + 1) / CAST(na + {k} AS DOUBLE))"
+        f" - ((count_b + 1) / CAST(nb + {k} AS DOUBLE)))"
+        f" * ln(((count_a + 1) / CAST(na + {k} AS DOUBLE))"
+        f" / ((count_b + 1) / CAST(nb + {k} AS DOUBLE)))"
+        f" * 1000000.0D, 0) AS LONG)"
+    )
+    terms = base.crossJoin(F.broadcast(tot)).select(
+        "bin", "count_a", "count_b", term.alias("term_micro")
+    )
+    total = terms.agg(
+        F.sum("term_micro").cast("long").alias("psi_micro")
+    )
+    return terms.crossJoin(F.broadcast(total)).select(
+        "bin", "count_a", "count_b", "term_micro", "psi_micro"
+    )

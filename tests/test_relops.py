@@ -765,3 +765,38 @@ def test_theil_sen_slope_hand_case(spark):
     beta = sum((x - mean_x) * (y - mean_y) for x, y in ts) / \
         sum((x - mean_x) ** 2 for x in xs)
     assert abs(beta - 2.0) > 10  # wrecked by the outlier
+
+
+def test_psi_report_math(spark):
+    import math
+
+    from kgspark.relops import psi_report
+
+    rows = (
+        [("a", v) for v in (1, 1, 5, 5, 5, 9)]
+        + [("b", v) for v in (5, 9, 9, 9)]
+        + [("zz", 1)]  # other labels excluded
+    )
+    df = spark.createDataFrame(rows, "lab string, v long")
+    out = {r.bin: r for r in
+           psi_report(df, "lab", "v", "a", "b", edges=[4, 8]).collect()}
+    # bins: <4 -> 0, <8 -> 1, >=8 -> 2
+    assert (out[0].count_a, out[0].count_b) == (2, 0)
+    assert (out[1].count_a, out[1].count_b) == (3, 1)
+    assert (out[2].count_a, out[2].count_b) == (1, 3)
+    # python mirror with Laplace add-1, k = 3 bins
+    na, nb, k = 6, 4, 3
+    total = 0
+    for b in range(3):
+        pa = (out[b].count_a + 1) / (na + k)
+        pb = (out[b].count_b + 1) / (nb + k)
+        t = round((pa - pb) * math.log(pa / pb) * 1_000_000)
+        assert out[b].term_micro == t
+        total += t
+    assert all(r.psi_micro == total for r in out.values())
+    # identical samples -> PSI exactly 0
+    same = psi_report(df, "lab", "v", "a", "a", edges=[4, 8]).collect()
+    assert all(r.term_micro == 0 and r.psi_micro == 0 for r in same)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        psi_report(df, "lab", "v", "a", "b", edges=[])
