@@ -8819,6 +8819,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges=[200, 400, 600, 800, 1000, 1200, 1400, 1600, 1800],
         )
 
+    def multimodal_flac(spark, sf_dir):
+        # FLAC STREAMINFO round-trip (kgspark/audiometa.py
+        # _parse_flac): spec-built headers from arithmetic (rate table,
+        # channels, 36-bit sample counts), duration = samples*1000 div
+        # rate — same posture as multimodal_audio_meta's WAV/MP3
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            rates = [8000, 16000, 22050, 44100, 48000]
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    rate = rates[d % 5]
+                    ch = d % 2 + 1
+                    total = (d * 997) % 100000 + 1000
+                    packed = ((rate << 44) | ((ch - 1) << 41)
+                              | ((16 - 1) << 36) | total)
+                    si = ((4096).to_bytes(2, "big") * 2
+                          + (0).to_bytes(3, "big") * 2
+                          + packed.to_bytes(8, "big") + b"\x00" * 16)
+                    payload = (b"fLaC" + bytes([0x80])
+                               + (34).to_bytes(3, "big") + si)
+                    rows.append({"doc_id": did, "payload": payload})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.audiometa import audio_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return audio_meta(blobs).select(
+            "doc_id", "format", "n_channels", "sample_rate",
+            "bits_per_sample", "n_samples", "duration_ms",
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -9221,6 +9257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pc1": embed_pc1,
         "rel_theilsen": rel_theilsen,
         "rel_psi": rel_psi,
+        "multimodal_flac": multimodal_flac,
     }
 
 
@@ -19275,4 +19312,21 @@ FROM th_n n LEFT JOIN th_m m USING (user_id)
         "rel_psi": _psi_sql(
             [200, 400, 600, 800, 1000, 1200, 1400, 1600, 1800]
         ),
+        # kgspark.audiometa._parse_flac: expected fields reconstructed
+        # from the synthesis arithmetic
+        "multimodal_flac": """
+SELECT doc_id,
+       'flac' AS format,
+       (doc_id % 2 + 1)::BIGINT AS n_channels,
+       (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 WHEN 3 THEN 44100
+             ELSE 48000 END)::BIGINT AS sample_rate,
+       16::BIGINT AS bits_per_sample,
+       ((doc_id * 997) % 100000 + 1000)::BIGINT AS n_samples,
+       (((doc_id * 997) % 100000 + 1000) * 1000
+        // (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                 ELSE 48000 END))::BIGINT AS duration_ms
+FROM documents
+""",
     }

@@ -413,6 +413,7 @@ BENCH_QUERIES = [
     "embed_pc1",
     "rel_theilsen",
     "rel_psi",
+    "multimodal_flac",
 ]
 
 

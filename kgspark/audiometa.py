@@ -86,6 +86,40 @@ def _parse_wav(data: bytes, out: dict) -> dict:
     return out
 
 
+def _parse_flac(data: bytes, out: dict) -> dict:
+    """FLAC STREAMINFO (xiph.org FLAC format spec / RFC 9639): after
+    the 'fLaC' magic, the first metadata block MUST be STREAMINFO
+    (type 0, 34 bytes): 16+16-bit min/max blocksize, 24+24-bit min/max
+    framesize, then a 64-bit field packing 20 bits sample rate, 3 bits
+    channels−1, 5 bits bits-per-sample−1 and 36 bits total samples.
+    Duration falls out exactly as samples·1000 div rate — no frame
+    walk needed, the reason FLAC metadata is the cheapest of all."""
+    out["format"] = "flac"
+    if len(data) < 4 + 4 + 34:
+        out["error"] = "flac: truncated STREAMINFO"
+        return out
+    btype = data[4] & 0x7F
+    blen = int.from_bytes(data[5:8], "big")
+    if btype != 0 or blen != 34:
+        out["error"] = f"flac: first block type {btype} len {blen}"
+        return out
+    si = data[8:42]
+    packed = int.from_bytes(si[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        out["error"] = "flac: zero sample rate"
+        return out
+    out.update(
+        n_channels=channels, sample_rate=rate, bits_per_sample=bps,
+        n_samples=total, duration_ms=(total * 1000) // rate,
+        bitrate_kbps=None,
+    )
+    return out
+
+
 def _parse_mp3(data: bytes, pos: int, out: dict) -> dict:
     out["format"] = "mp3"
     n = len(data)
@@ -131,6 +165,8 @@ def parse_audio_meta(data: bytes) -> dict:
     try:
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return _parse_wav(data, out)
+        if data[:4] == b"fLaC":
+            return _parse_flac(data, out)
         pos = 0
         if data[:3] == b"ID3" and len(data) >= 10:
             size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14

@@ -307,3 +307,35 @@ def test_tgz_listing_roundtrip(spark):
     assert rows[2][0].error.startswith("tgz:")
     # an UNCOMPRESSED tar is not a tgz: zlib refuses, error captured
     assert rows[3][0].error.startswith("tgz:")
+
+
+def test_flac_streaminfo_parse(spark):
+    from kgspark.audiometa import audio_meta, parse_audio_meta
+
+    def build(rate, ch, bps, total):
+        packed = ((rate << 44) | ((ch - 1) << 41)
+                  | ((bps - 1) << 36) | total)
+        si = ((4096).to_bytes(2, "big") * 2 + (0).to_bytes(3, "big") * 2
+              + packed.to_bytes(8, "big") + b"\x00" * 16)
+        return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+    good = build(44100, 2, 24, 441_000)
+    df = spark.createDataFrame(
+        [(1, good), (2, b"fLaC\x01\x00\x00\x22" + b"\x00" * 34),
+         (3, b"fLaC123")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_meta(df).collect()}
+    g = rows[1]
+    assert (g.format, g.n_channels, g.sample_rate) == ("flac", 2, 44100)
+    assert (g.bits_per_sample, g.n_samples) == (24, 441_000)
+    assert g.duration_ms == 10_000 and g.error is None
+    assert "first block type" in rows[2].error
+    assert "truncated" in rows[3].error
+    # the 36-bit sample-count field's full width survives
+    big = parse_audio_meta(build(48000, 8, 32, (1 << 36) - 1))
+    assert big["n_samples"] == (1 << 36) - 1
+    assert big["n_channels"] == 8 and big["bits_per_sample"] == 32
+    # zero sample rate -> explicit error, no division
+    assert "zero sample rate" in parse_audio_meta(
+        build(0, 1, 16, 10))["error"]
