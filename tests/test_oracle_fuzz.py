@@ -292,3 +292,72 @@ d3 AS (SELECT node, min(dist) AS dist FROM (
 ) GROUP BY node)
 SELECT node, round(dist * 1000000.0::DOUBLE, 0)::BIGINT FROM d3""").fetchall())
     assert got == [tuple(w) for w in want]
+
+
+def test_iban_mod97_fold_matches_python_bignum(spark):
+    """The 10-chunk mod-97 fold == Python arbitrary-precision % 97 on
+    random digit strings up to the 70-digit design bound, and the
+    whole census agrees with a Python reference on random well-formed
+    IBANs (valid and corrupted)."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from kgspark.pii import IBAN_COUNTRY_LEN, iban_census, iban_mod97
+
+    rng = _r.Random(421)
+    digit_strings = [
+        "".join(rng.choice("0123456789") for _ in range(rng.randint(1, 70)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(s,) for s in digit_strings], "s string")
+    got = {r.s: r.m for r in
+           df.select("s", iban_mod97(F.col("s")).alias("m")).collect()}
+    for s in digit_strings:
+        assert got[s] == int(s) % 97, s
+
+    def py_valid(iban):
+        up = iban.replace(" ", "").upper()
+        re = up[4:] + up[:4]
+        digits = "".join(str(ord(c) - 55) if c.isalpha() else c
+                         for c in re)
+        return int(digits) % 97 == 1
+
+    cands = []
+    for i in range(200):
+        cc, ln = rng.choice(list(IBAN_COUNTRY_LEN.items()))
+        bban = "".join(rng.choice("0123456789") for _ in range(ln - 4))
+        chk = 98 - int(
+            "".join(str(ord(c) - 55) if c.isalpha() else c
+                    for c in bban + cc + "00")
+        ) % 97
+        iban = f"{cc}{chk:02d}{bban}"
+        if i % 3 == 0:  # corrupt a digit
+            j = rng.randint(4, len(iban) - 1)
+            iban = iban[:j] + str((int(iban[j]) + 1) % 10) + iban[j + 1:]
+        cands.append((i, iban))
+    cdf = spark.createDataFrame(cands, "rec_id long, iban string")
+    out = {r.rec_id: r.is_valid for r in iban_census(cdf).collect()}
+    for i, iban in cands:
+        assert out[i] == int(py_valid(iban)), iban
+
+
+def test_gtin_census_matches_python_reference(spark):
+    import random as _r
+
+    from kgspark.pii import gtin_census
+
+    rng = _r.Random(97)
+    rows = []
+    for i in range(200):
+        d12 = [rng.randint(0, 9) for _ in range(12)]
+        chk = (10 - sum(d * (1 if j % 2 == 0 else 3)
+                        for j, d in enumerate(d12)) % 10) % 10
+        last = chk if i % 2 == 0 else (chk + rng.randint(1, 9)) % 10
+        code = "".join(map(str, d12)) + str(last)
+        rows.append((i, f"x {code} y", int(last == chk)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string")
+    out = {r.doc_id: r.n_valid for r in gtin_census(df).collect()}
+    for i, _t, want in rows:
+        assert out[i] == want, i
