@@ -8855,6 +8855,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bits_per_sample", "n_samples", "duration_ms",
         )
 
+    def multimodal_ogg(spark, sf_dir):
+        # Ogg identification headers (kgspark/audiometa.py _parse_ogg):
+        # alternating OpusHead / Vorbis-I spec-built pages, channels
+        # and rates from doc_id arithmetic
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import pandas as pd
+
+            def page(payload):
+                full, rem = divmod(len(payload), 255)
+                segs = bytes([255] * full
+                             + ([rem] if rem or not full else []))
+                return (b"OggS" + bytes([0, 2]) + b"\x00" * 8
+                        + b"\x01\x00\x00\x00" + b"\x00" * 8
+                        + bytes([len(segs)]) + segs + payload)
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    ch = d % 2 + 1
+                    if d % 2 == 0:
+                        pkt = (b"OpusHead" + bytes([1, ch])
+                               + (312).to_bytes(2, "little")
+                               + (48000).to_bytes(4, "little")
+                               + b"\x00\x00\x00")
+                    else:
+                        rate = [44100, 22050, 16000][d % 3]
+                        pkt = (b"\x01vorbis"
+                               + (0).to_bytes(4, "little")
+                               + bytes([ch])
+                               + rate.to_bytes(4, "little"))
+                    rows.append({"doc_id": did, "payload": page(pkt)})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.audiometa import audio_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return audio_meta(blobs).select(
+            "doc_id", "format", "n_channels", "sample_rate"
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -9258,6 +9301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_theilsen": rel_theilsen,
         "rel_psi": rel_psi,
         "multimodal_flac": multimodal_flac,
+        "multimodal_ogg": multimodal_ogg,
     }
 
 
@@ -19327,6 +19371,18 @@ SELECT doc_id,
         // (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                  WHEN 2 THEN 22050 WHEN 3 THEN 44100
                  ELSE 48000 END))::BIGINT AS duration_ms
+FROM documents
+""",
+        # kgspark.audiometa._parse_ogg: synthesis arithmetic mirror —
+        # even docs Opus@48k, odd docs Vorbis at the pinned rate table
+        "multimodal_ogg": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS format,
+       (doc_id % 2 + 1)::BIGINT AS n_channels,
+       (CASE WHEN doc_id % 2 = 0 THEN 48000
+             ELSE (CASE doc_id % 3 WHEN 0 THEN 44100
+                        WHEN 1 THEN 22050 ELSE 16000 END)
+        END)::BIGINT AS sample_rate
 FROM documents
 """,
     }

@@ -414,6 +414,7 @@ BENCH_QUERIES = [
     "rel_theilsen",
     "rel_psi",
     "multimodal_flac",
+    "multimodal_ogg",
 ]
 
 

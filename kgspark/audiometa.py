@@ -120,6 +120,54 @@ def _parse_flac(data: bytes, out: dict) -> dict:
     return out
 
 
+def _parse_ogg(data: bytes, out: dict) -> dict:
+    """Ogg container identification header (RFC 3533 page layout):
+    version-0 'OggS' page, segment table skipped to the first packet,
+    which must be an identification header — 'OpusHead' (RFC 7845:
+    channels u8, pre-skip u16 LE, input rate u32 LE) or '\\x01vorbis'
+    (Vorbis I spec: channels u8, rate u32 LE). Rate is the INPUT/
+    nominal rate (Opus always decodes at 48 kHz — the field is still
+    what curation filters on); duration would need the last page's
+    granule position, deliberately out of header-walk scope."""
+    out["format"] = "ogg"
+    if len(data) < 28:
+        out["error"] = "ogg: truncated page header"
+        return out
+    if data[4] != 0:
+        out["error"] = f"ogg: unknown version {data[4]}"
+        return out
+    nsegs = data[26]
+    p = 27 + nsegs
+    if p >= len(data):
+        out["error"] = "ogg: truncated segment table"
+        return out
+    pkt = data[p:]
+    if pkt[:8] == b"OpusHead":
+        if len(pkt) < 19:
+            out["error"] = "ogg: truncated OpusHead"
+            return out
+        out.update(
+            format="opus",
+            n_channels=pkt[9],
+            sample_rate=int.from_bytes(pkt[12:16], "little"),
+            n_samples=None, bits_per_sample=None,
+            bitrate_kbps=None, duration_ms=None,
+        )
+        return out
+    if pkt[:7] == b"\x01vorbis":
+        if len(pkt) < 16:
+            out["error"] = "ogg: truncated vorbis id header"
+            return out
+        out.update(
+            format="vorbis",
+            n_channels=pkt[11],
+            sample_rate=int.from_bytes(pkt[12:16], "little"),
+        )
+        return out
+    out["error"] = "ogg: unknown codec id header"
+    return out
+
+
 def _parse_mp3(data: bytes, pos: int, out: dict) -> dict:
     out["format"] = "mp3"
     n = len(data)
@@ -167,6 +215,8 @@ def parse_audio_meta(data: bytes) -> dict:
             return _parse_wav(data, out)
         if data[:4] == b"fLaC":
             return _parse_flac(data, out)
+        if data[:4] == b"OggS":
+            return _parse_ogg(data, out)
         pos = 0
         if data[:3] == b"ID3" and len(data) >= 10:
             size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14

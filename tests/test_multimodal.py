@@ -339,3 +339,30 @@ def test_flac_streaminfo_parse(spark):
     # zero sample rate -> explicit error, no division
     assert "zero sample rate" in parse_audio_meta(
         build(0, 1, 16, 10))["error"]
+
+
+def test_ogg_id_headers(spark):
+    from kgspark.audiometa import parse_audio_meta
+
+    def page(payload):
+        full, rem = divmod(len(payload), 255)
+        segs = bytes([255] * full + ([rem] if rem or not full else []))
+        return (b"OggS" + bytes([0, 2]) + b"\x00" * 8
+                + b"\x01\x00\x00\x00" + b"\x00" * 8
+                + bytes([len(segs)]) + segs + payload)
+
+    opus = (b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little")
+            + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+    m = parse_audio_meta(page(opus))
+    assert (m["format"], m["n_channels"], m["sample_rate"]) == \
+        ("opus", 2, 48000)
+    vorb = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([6])
+            + (96000).to_bytes(4, "little"))
+    v = parse_audio_meta(page(vorb))
+    assert (v["format"], v["n_channels"], v["sample_rate"]) == \
+        ("vorbis", 6, 96000)
+    assert "unknown codec" in parse_audio_meta(
+        page(b"somethingelse entirely!"))["error"]
+    assert "unknown version" in parse_audio_meta(
+        b"OggS\x01" + b"\x00" * 30)["error"]
+    assert "truncated" in parse_audio_meta(b"OggS\x00")["error"]
