@@ -8898,6 +8898,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "format", "n_channels", "sample_rate"
         )
 
+    def multimodal_webm(spark, sf_dir):
+        # WebM/Matroska EBML headers (kgspark/videometa.py
+        # _parse_webm): spec-built DocType/Info/Tracks trees, duration
+        # as integer-valued doubles in pinned-1e6 timescale ticks,
+        # every 3rd doc carries an audio track
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+        def build(batches):
+            import struct as st
+
+            import pandas as pd
+
+            def el(eid, payload):
+                return eid + bytes([0x80 | len(payload)]) + payload
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    dur = float((d * 37) % 5000 + 1000)
+                    w = 320 + (d % 4) * 160
+                    h = 180 + (d % 4) * 90
+                    hdr = el(b"\x1a\x45\xdf\xa3",
+                             el(b"\x42\x82", b"webm"))
+                    info = el(
+                        b"\x15\x49\xa9\x66",
+                        el(b"\x2a\xd7\xb1",
+                           (1_000_000).to_bytes(3, "big"))
+                        + el(b"\x44\x89", st.pack(">d", dur)),
+                    )
+                    video = el(
+                        b"\xe0",
+                        el(b"\xb0", w.to_bytes(2, "big"))
+                        + el(b"\xba", h.to_bytes(2, "big")),
+                    )
+                    entries = el(b"\xae", video)
+                    if d % 3 == 0:
+                        entries += el(b"\xae", el(b"\xe1", b"\x00"))
+                    tracks = el(b"\x16\x54\xae\x6b", entries)
+                    seg_payload = info + tracks
+                    seg = (b"\x18\x53\x80\x67"
+                           + bytes([0x80 | len(seg_payload)])
+                           + seg_payload)
+                    rows.append({"doc_id": did, "payload": hdr + seg})
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from kgspark.videometa import video_meta
+
+        blobs = docs.mapInPandas(build, "doc_id long, payload binary")
+        return video_meta(blobs).select(
+            "doc_id", "format", "brand", "timescale", "duration_ms",
+            "n_tracks", "width", "height", "has_audio",
+        )
+
     # NOTE on ordering: the driver gate records exactly the first 50 entries
     # (observed every round so far), so the window is rotated each round to
     # hash-prove entries that have NEVER appeared in a CORRECTNESS file.
@@ -9302,6 +9356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_psi": rel_psi,
         "multimodal_flac": multimodal_flac,
         "multimodal_ogg": multimodal_ogg,
+        "multimodal_webm": multimodal_webm,
     }
 
 
@@ -19383,6 +19438,20 @@ SELECT doc_id,
              ELSE (CASE doc_id % 3 WHEN 0 THEN 44100
                         WHEN 1 THEN 22050 ELSE 16000 END)
         END)::BIGINT AS sample_rate
+FROM documents
+""",
+        # kgspark.videometa._parse_webm: synthesis arithmetic mirror;
+        # duration doubles are integer-valued so ms stays exact
+        "multimodal_webm": """
+SELECT doc_id,
+       'webm' AS format,
+       'webm' AS brand,
+       1000000::BIGINT AS timescale,
+       ((doc_id * 37) % 5000 + 1000)::BIGINT AS duration_ms,
+       (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_tracks,
+       (320 + (doc_id % 4) * 160)::BIGINT AS width,
+       (180 + (doc_id % 4) * 90)::BIGINT AS height,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_audio
 FROM documents
 """,
     }

@@ -415,6 +415,7 @@ BENCH_QUERIES = [
     "rel_psi",
     "multimodal_flac",
     "multimodal_ogg",
+    "multimodal_webm",
 ]
 
 

@@ -109,6 +109,95 @@ def _parse_trak(data: bytes, s: int, e: int, out: dict) -> None:
         out["width"], out["height"] = dims
 
 
+def _vint(data: bytes, p: int, keep_marker: bool = False):
+    """EBML variable-length integer at offset p → (value, next offset).
+    The leading-zero count of the first byte gives the width (RFC 8794
+    §4); element IDs keep the marker bit (the spec's ID convention),
+    sizes mask it out."""
+    b0 = data[p]
+    if b0 == 0:
+        raise ValueError("ebml: invalid all-zero VINT marker")
+    n, mask = 1, 0x80
+    while not (b0 & mask):
+        n += 1
+        mask >>= 1
+    val = b0 if keep_marker else (b0 & (mask - 1))
+    if p + n > len(data):
+        raise ValueError("ebml: truncated VINT")
+    for i in range(1, n):
+        val = (val << 8) | data[p + i]
+    return val, p + n
+
+
+def _ebml_children(data: bytes, p: int, end: int):
+    """Yield (id, payload_start, payload_end) for the sibling elements
+    of one master element's payload — bounded, never recursive."""
+    while p < end:
+        eid, p = _vint(data, p, keep_marker=True)
+        esz, p = _vint(data, p)
+        yield eid, p, min(end, p + esz)
+        p += esz
+
+
+def _parse_webm(data: bytes, out: dict) -> dict:
+    """Matroska/WebM EBML headers (RFC 8794 structure + the Matroska
+    element registry): DocType from the EBML header; then inside
+    Segment → Info: TimestampScale (ns/tick, default 1e6) and Duration
+    (a FLOAT in ticks — fixtures pin integer-valued doubles so the
+    millisecond conversion stays exact); Segment → Tracks →
+    TrackEntry → Video: PixelWidth/PixelHeight; audio presence from
+    any TrackEntry's Audio element. Only registered master elements
+    are descended — unknown elements skip by their declared size, the
+    property that makes EBML forward-compatible and this walk
+    bounded."""
+    out.update(format="webm", brand=None, timescale=1_000_000,
+               duration_ms=0, n_tracks=0, width=0, height=0,
+               has_audio=0)
+    eid, p = _vint(data, 0, keep_marker=True)
+    hsz, p = _vint(data, p)
+    for cid, s, e in _ebml_children(data, p, p + hsz):
+        if cid == 0x4282:
+            out["brand"] = data[s:e].decode("latin-1")
+    p += hsz
+    eid, p = _vint(data, p, keep_marker=True)
+    if eid != 0x18538067:
+        out["error"] = "webm: missing Segment"
+        return out
+    ssz, p = _vint(data, p)
+    duration_ticks = None
+    for cid, s, e in _ebml_children(data, p, min(len(data), p + ssz)):
+        if cid == 0x1549A966:  # Info
+            for iid, is_, ie in _ebml_children(data, s, e):
+                if iid == 0x2AD7B1:
+                    out["timescale"] = int.from_bytes(
+                        data[is_:ie], "big")
+                elif iid == 0x4489:
+                    raw = data[is_:ie]
+                    duration_ticks = struct.unpack(
+                        ">f" if len(raw) == 4 else ">d", raw)[0]
+        elif cid == 0x1654AE6B:  # Tracks
+            for tid, ts, te in _ebml_children(data, s, e):
+                if tid != 0xAE:  # TrackEntry
+                    continue
+                out["n_tracks"] += 1
+                for vid, vs, ve in _ebml_children(data, ts, te):
+                    if vid == 0xE0:  # Video
+                        for wid, ws, we in _ebml_children(
+                                data, vs, ve):
+                            if wid == 0xB0:
+                                out["width"] = int.from_bytes(
+                                    data[ws:we], "big")
+                            elif wid == 0xBA:
+                                out["height"] = int.from_bytes(
+                                    data[ws:we], "big")
+                    elif vid == 0xE1:  # Audio
+                        out["has_audio"] = 1
+    if duration_ticks is not None and out["timescale"]:
+        out["duration_ms"] = int(
+            duration_ticks * out["timescale"]) // 1_000_000
+    return out
+
+
 def parse_video_meta(data: bytes) -> dict:
     """Header metadata for one ISO-BMFF blob; never raises — malformed
     input yields format=None plus an error message."""
@@ -116,6 +205,8 @@ def parse_video_meta(data: bytes) -> dict:
            "duration_ms": None, "n_tracks": None, "width": None,
            "height": None, "has_audio": None, "error": None}
     try:
+        if data[:4] == b"\x1a\x45\xdf\xa3":
+            return _parse_webm(data, out)
         if len(data) < 12 or data[4:8] != b"ftyp":
             out["error"] = "unknown video format"
             return out

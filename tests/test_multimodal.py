@@ -366,3 +366,46 @@ def test_ogg_id_headers(spark):
     assert "unknown version" in parse_audio_meta(
         b"OggS\x01" + b"\x00" * 30)["error"]
     assert "truncated" in parse_audio_meta(b"OggS\x00")["error"]
+
+
+def test_webm_ebml_headers(spark):
+    import struct as st
+
+    from kgspark.videometa import parse_video_meta, video_meta
+
+    def el(eid, payload):
+        return eid + bytes([0x80 | len(payload)]) + payload
+
+    def build(dur=2500.0, w=640, h=360, audio=True, doctype=b"webm",
+              scale=1_000_000):
+        hdr = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", doctype))
+        info = el(b"\x15\x49\xa9\x66",
+                  el(b"\x2a\xd7\xb1", scale.to_bytes(3, "big"))
+                  + el(b"\x44\x89", st.pack(">d", dur)))
+        video = el(b"\xe0", el(b"\xb0", w.to_bytes(2, "big"))
+                   + el(b"\xba", h.to_bytes(2, "big")))
+        entries = el(b"\xae", video)
+        if audio:
+            entries += el(b"\xae", el(b"\xe1", b"\x00"))
+        seg_payload = info + el(b"\x16\x54\xae\x6b", entries)
+        return hdr + (b"\x18\x53\x80\x67"
+                      + bytes([0x80 | len(seg_payload)]) + seg_payload)
+
+    m = parse_video_meta(build())
+    assert (m["format"], m["brand"]) == ("webm", "webm")
+    assert m["duration_ms"] == 2500 and m["timescale"] == 1_000_000
+    assert (m["width"], m["height"]) == (640, 360)
+    assert (m["n_tracks"], m["has_audio"]) == (2, 1)
+    # matroska doctype passes through; 32-bit float duration works
+    mk = parse_video_meta(build(doctype=b"matroska", audio=False))
+    assert mk["brand"] == "matroska" and mk["has_audio"] == 0
+    # non-default timescale rescales the duration
+    half = parse_video_meta(build(scale=500_000))
+    assert half["duration_ms"] == 1250
+    # malformed EBML -> error record, never a crash
+    bad = parse_video_meta(b"\x1a\x45\xdf\xa3\x82\x00\x00")
+    assert bad["error"] is not None
+    # distributed path keeps the same fields
+    df = spark.createDataFrame([(1, build())], "doc_id long, payload binary")
+    r = video_meta(df).collect()[0]
+    assert (r.format, r.width, r.height) == ("webm", 640, 360)
