@@ -8967,6 +8967,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # design) and kg_topics (KMeans, pinned golden pytest) sit at the tail.
     # scripts/oracle_check.py still verifies every entry in one sweep.
     return {
+        # Round-5 rotation (per the r4 verdict item 1): the first 50 entries
+        # are hash-oracle queries NEVER recorded in CORRECTNESS_r01-r04 —
+        # the heaviest/newest sessions-5-8 ops first (ann_ivfpq, span_scrub,
+        # louvain/node2vec/mis/bowtie, pii, multimodal codecs, rel stats,
+        # linkage, sketches, schema profiling), then the newest tail ops.
+        "ann_ivfpq": ann_ivfpq,
+        "dedup_span_scrub": dedup_span_scrub,
+        "dedup_keep_best": dedup_keep_best,
+        "kg_louvain": kg_louvain,
+        "kg_node2vec": kg_node2vec,
+        "kg_mis": kg_mis,
+        "kg_bowtie": kg_bowtie,
+        "pii_iban": pii_iban,
+        "pii_secrets": pii_secrets,
+        "multimodal_zstd": multimodal_zstd,
+        "multimodal_tar": multimodal_tar,
+        "multimodal_exif": multimodal_exif,
+        "multimodal_flac": multimodal_flac,
+        "multimodal_webm": multimodal_webm,
+        "multimodal_ogg": multimodal_ogg,
+        "rel_ks": rel_ks,
+        "rel_theilsen": rel_theilsen,
+        "rel_psi": rel_psi,
+        "link_jw": link_jw,
+        "link_damerau": link_damerau,
+        "sketch_kmv": sketch_kmv,
+        "sketch_kmv_intersect": sketch_kmv_intersect,
+        "schema_ucc": schema_ucc,
+        "schema_ind": schema_ind,
+        "embed_pc1": embed_pc1,
+        "kg_k4": kg_k4,
+        "text_doi": text_doi,
+        "pii_deob": pii_deob,
+        "rel_twa": rel_twa,
+        "ann_walk": ann_walk,
+        "text_chrf": text_chrf,
+        "kg_homophily": kg_homophily,
+        "kg_rdf_lists": kg_rdf_lists,
+        "rel_concurrency": rel_concurrency,
+        "text_lang_spans": text_lang_spans,
+        "embed_isotropy": embed_isotropy,
+        "rel_abc": rel_abc,
+        "web_etld": web_etld,
+        "text_yake": text_yake,
+        "pii_gtin": pii_gtin,
+        "multimodal_gzip": multimodal_gzip,
+        "kg_salsa": kg_salsa,
+        "link_tfidf": link_tfidf,
+        "kg_graphlets": kg_graphlets,
+        "rel_trend": rel_trend,
+        "sketch_ams": sketch_ams,
+        "kg_eigen": kg_eigen,
+        "text_confusables": text_confusables,
+        "web_punycode": web_punycode,
+        "kg_bgp_cardinality": kg_bgp_cardinality,
+        # -- past position 50: see the ordering NOTE above ------------------
         "link_fs_u": link_fs_u,
         "dedup_winnow": dedup_winnow,
         "dedup_winnow_pairs": dedup_winnow_pairs,
@@ -9018,24 +9074,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_sizes": dedup_cc_sizes,
         "link_er_clusters": link_er_clusters,
         "rel_gaps": rel_gaps,
-        # -- past position 50: see the ordering NOTE above ------------------
-        # round-4-new queries first (rotate into the round-5 window):
         "multimodal_header_mix": multimodal_header_mix,
         "multimodal_header_mix2": multimodal_header_mix2,
-        "multimodal_exif": multimodal_exif,
         "multimodal_audio_meta": multimodal_audio_meta,
         "multimodal_video_meta": multimodal_video_meta,
         "embed_pq_trained": embed_pq_trained,
-        "ann_ivfpq": ann_ivfpq,
-        "dedup_span_scrub": dedup_span_scrub,
         "kg_pred_cardinality": kg_pred_cardinality,
         "kg_pred_cooc": kg_pred_cooc,
         "kg_domain_range": kg_domain_range,
         "kg_type_violations": kg_type_violations,
         "link_sorted_blocks": link_sorted_blocks,
         "link_edit_pairs": link_edit_pairs,
-        "link_damerau": link_damerau,
-        "link_jw": link_jw,
         "corpus_auc": corpus_auc,
         "corpus_calibration": corpus_calibration,
         "kg_harmonic": kg_harmonic,
@@ -9132,7 +9181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_datatypes": kg_datatypes,
         "text_skeleton": text_skeleton,
         "ann_matryoshka": ann_matryoshka,
-        "dedup_keep_best": dedup_keep_best,
         "text_tiling": text_tiling,
         "kg_timex": kg_timex,
         "kg_units": kg_units,
@@ -9192,8 +9240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sssp": kg_sssp,
         "kg_modularity": kg_modularity,
         "kg_random_walks": kg_random_walks,
-        "kg_node2vec": kg_node2vec,
-        "kg_louvain": kg_louvain,
         "kg_config_model": kg_config_model,
         "kg_diameter": kg_diameter,
         "text_entropy": text_entropy,
@@ -9304,59 +9350,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake": text_rake,
         "kg_butterflies": kg_butterflies,
         "text_good_turing": text_good_turing,
-        "sketch_kmv": sketch_kmv,
-        "sketch_kmv_intersect": sketch_kmv_intersect,
         "rel_rfm": rel_rfm,
         "kg_conductance": kg_conductance,
         "kg_bridges": kg_bridges,
         "rel_gini": rel_gini,
         "link_bcubed": link_bcubed,
-        "schema_ind": schema_ind,
         "pii_luhn": pii_luhn,
         "multimodal_zip": multimodal_zip,
         "kg_powerlaw": kg_powerlaw,
         "text_bidi": text_bidi,
         "kg_richclub": kg_richclub,
         "kg_nquads": kg_nquads,
-        "kg_bgp_cardinality": kg_bgp_cardinality,
-        "web_punycode": web_punycode,
-        "text_confusables": text_confusables,
-        "kg_mis": kg_mis,
-        "kg_eigen": kg_eigen,
-        "pii_iban": pii_iban,
-        "schema_ucc": schema_ucc,
-        "sketch_ams": sketch_ams,
-        "rel_trend": rel_trend,
-        "kg_graphlets": kg_graphlets,
-        "multimodal_tar": multimodal_tar,
-        "link_tfidf": link_tfidf,
-        "kg_salsa": kg_salsa,
-        "multimodal_gzip": multimodal_gzip,
-        "pii_gtin": pii_gtin,
-        "text_yake": text_yake,
-        "web_etld": web_etld,
-        "rel_abc": rel_abc,
-        "embed_isotropy": embed_isotropy,
-        "text_lang_spans": text_lang_spans,
-        "rel_concurrency": rel_concurrency,
-        "kg_rdf_lists": kg_rdf_lists,
-        "kg_homophily": kg_homophily,
-        "text_chrf": text_chrf,
-        "ann_walk": ann_walk,
-        "pii_secrets": pii_secrets,
-        "rel_twa": rel_twa,
-        "kg_bowtie": kg_bowtie,
-        "pii_deob": pii_deob,
-        "text_doi": text_doi,
-        "multimodal_zstd": multimodal_zstd,
-        "kg_k4": kg_k4,
-        "rel_ks": rel_ks,
-        "embed_pc1": embed_pc1,
-        "rel_theilsen": rel_theilsen,
-        "rel_psi": rel_psi,
-        "multimodal_flac": multimodal_flac,
-        "multimodal_ogg": multimodal_ogg,
-        "multimodal_webm": multimodal_webm,
     }
 
 
