@@ -19055,9 +19055,9 @@ ho_ab AS (
   FROM ho_a JOIN ho_b ON ho_a.la = ho_b.lb
 )
 SELECT m, trace_cnt, sum_ab,
-       (CASE WHEN m * m - sum_ab <> 0
-             THEN (1000000 * (m * trace_cnt - sum_ab))
-                  // (m * m - sum_ab)
+       (CASE WHEN m::HUGEINT * m - sum_ab <> 0
+             THEN (1000000 * (m::HUGEINT * trace_cnt - sum_ab))
+                  // (m::HUGEINT * m - sum_ab)
              ELSE -2000000 END)::BIGINT AS r_ppm
 FROM ho_t, ho_ab
 """,
@@ -19358,7 +19358,8 @@ ks_d AS (
 SELECT t.n_a, t.n_b,
        coalesce(d.d_num, 0)::BIGINT AS d_num,
        (CASE WHEN t.n_a > 0 AND t.n_b > 0
-             THEN (coalesce(d.d_num, 0) * 1000000) // (t.n_a * t.n_b)
+             THEN (coalesce(d.d_num, 0)::HUGEINT * 1000000)
+                  // (t.n_a::HUGEINT * t.n_b)
              ELSE -1 END)::BIGINT AS d_ppm
 FROM ks_t t CROSS JOIN ks_d d
 """,

@@ -349,6 +349,8 @@ def zstd_frame_meta(data: bytes) -> dict:
             return err("zstd: too short")
         if (data[0] & 0xF0 == 0x50 and
                 data[1:4] == b"\x2a\x4d\x18"):
+            if len(data) < 8:
+                return err("zstd: truncated skippable header")
             size = int.from_bytes(data[4:8], "little")
             return {"kind": "skippable", "single_segment": 0,
                     "has_checksum": 0, "dict_id": 0, "window_size": 0,

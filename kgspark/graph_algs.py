@@ -3700,10 +3700,11 @@ def attribute_assortativity(
 
         r = (m·ΣE_ii − ΣA_i·B_i) / (m² − ΣA_i·B_i)
 
-    multiplied out so numerator and denominator are exact 64-bit
-    integers (m ≤ ~3e9 before m² needs wider units — document past
-    that); r_ppm truncates toward zero identically in both engines
-    (negative r = disassortative). A graph whose labels make the
+    multiplied out and evaluated in DECIMAL(38,0) — m·trace and m²
+    are O(m²), so 64-bit longs overflow near m ≈ 3e6 edges; decimal
+    widening keeps the rational exact to m ≈ 10¹⁶ (the DuckDB oracle
+    mirrors with HUGEINT); r_ppm truncates toward zero identically in
+    both engines (negative r = disassortative). A graph whose labels make the
     denominator 0 (all mass on one label) reports the -2e6 sentinel:
     r is undefined, not 1.
 
@@ -3740,9 +3741,11 @@ def attribute_assortativity(
     return tot.crossJoin(F.broadcast(ab)).select(
         "m", "trace_cnt", "sum_ab",
         F.when(
-            F.expr("m * m - sum_ab") != 0,
-            F.expr("(1000000L * (m * trace_cnt - sum_ab))"
-                   " div (m * m - sum_ab)"),
+            F.expr("cast(m as decimal(38,0)) * m - sum_ab") != 0,
+            F.expr(
+                "cast((1000000 * (cast(m as decimal(38,0)) * trace_cnt"
+                " - sum_ab)) div (cast(m as decimal(38,0)) * m"
+                " - sum_ab) as long)"),
         ).otherwise(F.lit(-2_000_000)).cast("long").alias("r_ppm"),
     )
 

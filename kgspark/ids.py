@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DOI_PATTERN = r"\b10[.][0-9]{4,9}/[A-Za-z0-9._;()/:-]+"
-ARXIV_NEW = r"\b[0-9]{4}[.][0-9]{4,5}(v[0-9]+)?\b"
+# YYMM.NNNNN with the month gated to 01-12 — an ungated [0-9]{4} arm
+# matches any 4.4/4.5-digit decimal in prose (version numbers,
+# coordinates, '2024.1234'-style dates); arXiv's own scheme promises a
+# real month, so requiring MM in 01-12 is a plausibility gate, not a
+# heuristic. Still inside the Java∩RE2∩DuckDB subset (alternation, no
+# lookaround) so the oracle imports the byte-same pattern.
+ARXIV_NEW = r"\b[0-9]{2}(0[1-9]|1[0-2])[.][0-9]{4,5}(v[0-9]+)?\b"
 ARXIV_OLD = r"\b(astro-ph|cond-mat|hep-th|hep-ph|math|cs|quant-ph)/[0-9]{7}\b"
 _TRAIL = r"[.,;)]+$"
 

@@ -1753,8 +1753,11 @@ def ks_two_sample(
           = max_x |cA(x)·nB − cB(x)·nA| / (nA·nB)
 
     so d_num = max |cA·nB − cB·nA| is an exact 64-bit integer (safe to
-    nA·nB < 2⁶³ ≈ 3e9 rows per side) and d_ppm truncates identically
-    cross-engine. `value_col` must be integer (the quantize-upstream
+    nA·nB < 2⁶³, i.e. ~3e9 rows per side) and d_ppm is computed in
+    DECIMAL(38,0) — d_num·10⁶ can reach ~9.2e24, past 64 bits, so the
+    ppm scaling must widen (the DuckDB oracle mirrors with HUGEINT;
+    both `div` forms truncate identically on the non-negative
+    numerator). `value_col` must be integer (the quantize-upstream
     pin); the sup over the step function is attained at support points,
     so evaluating only there is exact, not an approximation.
 
@@ -1801,7 +1804,8 @@ def ks_two_sample(
         F.coalesce("d_num", F.lit(0)).cast("long").alias("d_num"),
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0),
-            F.expr("(d_num * 1000000L) div (n_a * n_b)"),
+            F.expr("cast((cast(d_num as decimal(38,0)) * 1000000)"
+                   " div (cast(n_a as decimal(38,0)) * n_b) as long)"),
         ).otherwise(F.lit(-1)).cast("long").alias("d_ppm"),
     )
 

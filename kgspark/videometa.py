@@ -113,7 +113,10 @@ def _vint(data: bytes, p: int, keep_marker: bool = False):
     """EBML variable-length integer at offset p → (value, next offset).
     The leading-zero count of the first byte gives the width (RFC 8794
     §4); element IDs keep the marker bit (the spec's ID convention),
-    sizes mask it out."""
+    sizes mask it out. A size whose value bits are ALL ones is the
+    spec's "unknown size" sentinel (RFC 8794 §6.2 — streamed/live
+    Segments use it) and is returned as None, never as a huge number:
+    treating it numerically would mis-skip every following sibling."""
     b0 = data[p]
     if b0 == 0:
         raise ValueError("ebml: invalid all-zero VINT marker")
@@ -126,6 +129,8 @@ def _vint(data: bytes, p: int, keep_marker: bool = False):
         raise ValueError("ebml: truncated VINT")
     for i in range(1, n):
         val = (val << 8) | data[p + i]
+    if not keep_marker and val == (1 << (7 * n)) - 1:
+        return None, p + n
     return val, p + n
 
 
@@ -135,6 +140,11 @@ def _ebml_children(data: bytes, p: int, end: int):
     while p < end:
         eid, p = _vint(data, p, keep_marker=True)
         esz, p = _vint(data, p)
+        if esz is None:
+            # unknown-size element: extends to the parent's end, so by
+            # definition it has no following siblings at this level
+            yield eid, p, end
+            return
         yield eid, p, min(end, p + esz)
         p += esz
 
@@ -155,6 +165,8 @@ def _parse_webm(data: bytes, out: dict) -> dict:
                has_audio=0)
     eid, p = _vint(data, 0, keep_marker=True)
     hsz, p = _vint(data, p)
+    if hsz is None:  # unknown-size EBML header: clamp to blob end
+        hsz = len(data) - p
     for cid, s, e in _ebml_children(data, p, p + hsz):
         if cid == 0x4282:
             out["brand"] = data[s:e].decode("latin-1")
@@ -164,8 +176,9 @@ def _parse_webm(data: bytes, out: dict) -> dict:
         out["error"] = "webm: missing Segment"
         return out
     ssz, p = _vint(data, p)
+    seg_end = len(data) if ssz is None else min(len(data), p + ssz)
     duration_ticks = None
-    for cid, s, e in _ebml_children(data, p, min(len(data), p + ssz)):
+    for cid, s, e in _ebml_children(data, p, seg_end):
         if cid == 0x1549A966:  # Info
             for iid, is_, ie in _ebml_children(data, s, e):
                 if iid == 0x2AD7B1:

@@ -409,3 +409,49 @@ def test_webm_ebml_headers(spark):
     df = spark.createDataFrame([(1, build())], "doc_id long, payload binary")
     r = video_meta(df).collect()[0]
     assert (r.format, r.width, r.height) == ("webm", 640, 360)
+
+
+def test_webm_unknown_size_segment_and_zstd_truncated_skippable():
+    """Round-5 advice regressions: (a) an unknown-size Segment VINT
+    (0x01FF..FF — streamed/live WebM) must mean 'extends to parent
+    end', not a huge numeric skip that drops Info/Tracks; (b) a 5-7
+    byte zstd skippable magic must be a truncated-header error, not a
+    silently wrong size read past the buffer."""
+    import struct as st
+
+    from kgspark.archive import zstd_frame_meta
+    from kgspark.videometa import parse_video_meta
+
+    def el(eid, payload):
+        return eid + bytes([0x80 | len(payload)]) + payload
+
+    hdr = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+    info = el(b"\x15\x49\xa9\x66",
+              el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+              + el(b"\x44\x89", st.pack(">d", 2500.0)))
+    video = el(b"\xe0", el(b"\xb0", (640).to_bytes(2, "big"))
+               + el(b"\xba", (360).to_bytes(2, "big")))
+    tracks = el(b"\x16\x54\xae\x6b", el(b"\xae", video))
+    # Segment with the 8-byte unknown-size VINT (all value bits set)
+    seg = b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7 + info + tracks
+    m = parse_video_meta(hdr + seg)
+    assert m["error"] is None
+    assert m["duration_ms"] == 2500
+    assert (m["width"], m["height"]) == (640, 360)
+    # nested unknown-size master (Info) still reaches its children and,
+    # per the spec, ends the sibling walk at the parent boundary
+    info_unk = b"\x15\x49\xa9\x66" + b"\x01" + b"\xff" * 7 + (
+        el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + el(b"\x44\x89", st.pack(">d", 1500.0)))
+    seg2_payload = info_unk
+    seg2 = (b"\x18\x53\x80\x67"
+            + bytes([0x80 | len(seg2_payload)]) + seg2_payload)
+    m2 = parse_video_meta(hdr + seg2)
+    assert m2["error"] is None and m2["duration_ms"] == 1500
+
+    for n in range(4, 8):
+        short = (b"\x50\x2a\x4d\x18" + b"\x10\x00\x00\x00")[:n]
+        r = zstd_frame_meta(short)
+        assert r["error"] is not None, n
+    ok = zstd_frame_meta(b"\x50\x2a\x4d\x18" + (16).to_bytes(4, "little"))
+    assert ok["kind"] == "skippable" and ok["content_size"] == 16

@@ -331,3 +331,20 @@ def test_scholarly_ids_extraction(spark):
     assert len(rows3) == 1 and rows3[0].norm == "10.1000/xyz"
     assert rows3[0].raw == "10.1000/XYZ"  # 'X' < 'x' in byte order
     assert 4 not in out and 5 not in out
+
+
+def test_arxiv_month_gate(spark):
+    """Round-5 advice regression: the YYMM prefix of a new-style arXiv
+    id must carry a real month — '2024.1234'-style decimals in prose
+    are no longer extracted."""
+    from kgspark.ids import scholarly_ids
+
+    rows = [
+        (1, "released in 2024.1234 build"),      # MM=24 -> reject
+        (2, "see arXiv:1706.03762 for details"), # MM=06 -> accept
+        (3, "coords 4857.99881 here"),           # MM=57 -> reject
+        (4, "paper 2112.10752v1 rocks"),         # MM=12 -> accept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.norm for r in scholarly_ids(df).collect()}
+    assert out == {2: "1706.03762", 4: "2112.10752v1"}
