@@ -1371,6 +1371,90 @@ def _secret_tok_sql(off: str) -> str:
     )
 
 
+def _cdc_gear_sql() -> str:
+    """multimodal_cdc_gear oracle: identical synthesis to the md5-mode
+    CDC oracle, but boundaries use the gear window hash — the EXACT
+    integer Σ gear[b_j]·2^(7-j) over the 256-literal table imported
+    from kgspark.multimodal.gear_table, so all engines evaluate the
+    same number (48-bit entries × 8 shifted terms < 2⁶², no
+    wraparound anywhere)."""
+    from kgspark.multimodal import gear_table
+
+    gl = "[" + ", ".join(str(v) for v in gear_table(8)) + "]"
+    hterm = " + ".join(
+        f"gg.gl[('0x' || substr(h, (i + {j} - 1) * 2 + 1, 2))::BIGINT"
+        f" + 1] * {1 << (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH gg AS (SELECT {gl} AS gl),
+mg_i AS (
+  SELECT d1.doc_id AS item_id,
+         CASE WHEN d1.doc_id % 3 = 1
+              THEN substr(d2."text", 1, 40) || 'INSRT'
+                   || substr(d2."text", 41, 110)
+              WHEN d1.doc_id % 3 = 2
+              THEN substr(d2."text", 1, 150) || substr(d1."text", 1, 60)
+              ELSE substr(d2."text", 1, 150) END AS ptxt
+  FROM documents d1
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id // 3) * 3
+  WHERE d1.doc_id < 600
+),
+mg_h AS (SELECT item_id, hex(ptxt::BLOB) AS h FROM mg_i),
+mg_b AS (
+  SELECT item_id, h,
+         [i for i in range(1, greatest(length(h) // 2 - 8 + 1, 0) + 1)
+          if ({hterm}) % 32 = 0] AS bounds
+  FROM mg_h, gg
+),
+mg_c AS (
+  SELECT item_id, h,
+         list_sort(list_distinct(
+           [0] || bounds || [length(h) // 2])) AS cuts
+  FROM mg_b
+),
+mg_sh AS (
+  SELECT item_id,
+         list_distinct(
+           [md5(substr(h, cuts[j] * 2 + 1, (cuts[j + 1] - cuts[j]) * 2))
+            for j in range(1, len(cuts))]) AS sh
+  FROM mg_c WHERE len(cuts) >= 2
+),
+mg_sig AS (
+  SELECT item_id, sh,
+         [list_min(list_transform(sh, g -> md5('0:' || g))),
+          list_min(list_transform(sh, g -> md5('1:' || g))),
+          list_min(list_transform(sh, g -> md5('2:' || g))),
+          list_min(list_transform(sh, g -> md5('3:' || g))),
+          list_min(list_transform(sh, g -> md5('4:' || g))),
+          list_min(list_transform(sh, g -> md5('5:' || g))),
+          list_min(list_transform(sh, g -> md5('6:' || g))),
+          list_min(list_transform(sh, g -> md5('7:' || g)))] AS sig
+  FROM mg_sh WHERE len(sh) > 0
+),
+mg_band AS (
+  SELECT item_id, sh, unnest([
+    '0|' || sig[1] || '|' || sig[2],
+    '1|' || sig[3] || '|' || sig[4],
+    '2|' || sig[5] || '|' || sig[6],
+    '3|' || sig[7] || '|' || sig[8]]) AS band_key
+  FROM mg_sig
+),
+mg_cand AS (
+  SELECT DISTINCT l.item_id AS a, r.item_id AS b,
+         l.sh AS sha, r.sh AS shb
+  FROM mg_band l JOIN mg_band r
+    ON l.band_key = r.band_key AND l.item_id < r.item_id
+)
+SELECT a, b,
+       ((1000000 * len(list_intersect(sha, shb)))
+         // len(list_distinct(sha || shb)))::BIGINT AS jaccard_ppm
+FROM mg_cand
+WHERE (1000000 * len(list_intersect(sha, shb)))
+        // len(list_distinct(sha || shb)) >= 300000
+"""
+
+
 def _doi_sql() -> str:
     """text_doi oracle: synthesis + the byte-same Java∩RE2∩DuckDB
     patterns from kgspark.ids, min(raw) per (doc, kind, norm)."""
@@ -6789,6 +6873,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cdc_near_dups(media, threshold_ppm=300_000)
 
+    def multimodal_cdc_gear(spark, sf_dir):
+        # gear-boundary CDC near-dup (kgspark/multimodal.py
+        # cdc_near_dups boundary='gear'): the integer window-hash rule
+        # whose rolling pandas-UDF fast path is bit-identical — same
+        # insert-edit synthesis as multimodal_cdc_dedup so the oracle
+        # exercises the alignment-robust case under the gear rule
+        from kgspark.multimodal import cdc_near_dups
+
+        docs = _read(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 600
+        ).select("doc_id", "text")
+        bases = docs.select(F.col("doc_id").alias("bid"),
+                            F.col("text").alias("btext"))
+        items = docs.withColumn(
+            "bid", F.expr("(doc_id div 3) * 3")
+        ).join(bases, "bid")
+        base150 = F.substring("btext", 1, 150)
+        payload_text = (
+            F.when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.substring("btext", 1, 40), F.lit("INSRT"),
+                         F.expr("substring(btext, 41, 110)")),
+            )
+            .when(F.col("doc_id") % 3 == 2,
+                  F.concat(base150, F.substring("text", 1, 60)))
+            .otherwise(base150)
+        )
+        media = items.select(
+            F.col("doc_id").alias("item_id"),
+            F.encode(payload_text, "UTF-8").alias("payload"),
+        )
+        return cdc_near_dups(media, boundary="gear",
+                             threshold_ppm=300_000)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -8973,6 +9091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # louvain/node2vec/mis/bowtie, pii, multimodal codecs, rel stats,
         # linkage, sketches, schema profiling), then the newest tail ops.
         "ann_ivfpq": ann_ivfpq,
+        "multimodal_cdc_gear": multimodal_cdc_gear,
         "dedup_span_scrub": dedup_span_scrub,
         "dedup_keep_best": dedup_keep_best,
         "kg_louvain": kg_louvain,
@@ -15452,6 +15571,10 @@ FROM mc_cand
 WHERE (1000000 * len(list_intersect(sha, shb)))
         // len(list_distinct(sha || shb)) >= 300000
 """,
+        # kgspark.multimodal.cdc_near_dups boundary='gear': integer
+        # gear-window boundaries (exact Σ gear[b]·2^(7-j)), same
+        # synthesis/banding — the fast-path-capable boundary rule
+        "multimodal_cdc_gear": _cdc_gear_sql(),
         # kgspark.multimodal.blob_near_dups: hex byte-shingles (32-char
         # window, 16 stride), 8-hash/4-band MinHash, exact ppm verify —
         # payload built from the same doc-text arithmetic

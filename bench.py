@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "kg_betweenness",
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",
+    "multimodal_cdc_gear",
     "web_hreflang",
     "kg_rules",
     "kg_rule_apply",

@@ -235,6 +235,133 @@ def blob_near_dups(
     )
 
 
+def gear_table(window_bytes: int = 8) -> list[int]:
+    """The 256-entry gear lookup table for :func:`cdc_near_dups`'s
+    ``boundary='gear'`` mode — deterministic 48-bit integers derived
+    from md5 of each byte value (public-derivation convention, no
+    magic constants). 48 bits because the window hash is the EXACT
+    integer Σ gear[b_j]·2^(w-1-j): with w ≤ 14 the sum stays < 2⁶²,
+    so JVM longs, DuckDB BIGINTs and numpy int64 all evaluate the
+    identical number with no wraparound to keep consistent — that is
+    what makes the three implementations (HOF, SQL oracle, rolling
+    numpy) provably boundary-identical."""
+    import hashlib
+
+    if window_bytes > 14:
+        raise ValueError("gear window > 14 bytes would overflow int64")
+    return [
+        int(hashlib.md5(bytes([b])).hexdigest()[:12], 16)
+        for b in range(256)
+    ]
+
+
+def cdc_chunks_gear(
+    media: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "item_id",
+    window_bytes: int = 8,
+    boundary_mod: int = 32,
+) -> DataFrame:
+    """FAST chunking path for multi-MB blobs: (id, sh) with sh = the
+    distinct chunk-md5 set under the GEAR boundary rule, computed by a
+    rolling numpy evaluation inside one Arrow-batched pandas UDF — w
+    vectorized shifted adds over the byte array instead of one md5 per
+    offset, so a 10 MB blob costs ~8 numpy passes (~0.1 s), not 10⁷
+    hash calls. Boundary semantics are BIT-IDENTICAL to the HOF gear
+    path (same exact integer window hash, same cut offsets, same chunk
+    md5 over the uppercase-hex text): test_multimodal proves chunk-set
+    equality on random blobs including insert/delete edits."""
+    import hashlib
+
+    import numpy as np
+
+    g = np.array(gear_table(window_bytes), dtype=np.int64)
+    w = window_bytes
+    mod = boundary_mod
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def chunk_md5s(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            if payload is None or len(payload) == 0:
+                out.append([])
+                continue
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = len(b)
+            if n < w:
+                cuts = [0, n]
+            else:
+                gv = g[b]
+                hwin = np.zeros(n - w + 1, dtype=np.int64)
+                for j in range(w):
+                    hwin += gv[j : n - w + 1 + j] << (w - 1 - j)
+                bounds = np.nonzero(hwin % mod == 0)[0] + 1
+                cuts = sorted({0, n, *bounds.tolist()})
+            hx = bytes(payload).hex().upper()
+            seen = set()
+            for a, z in zip(cuts, cuts[1:]):
+                seen.add(
+                    hashlib.md5(hx[a * 2 : z * 2].encode()).hexdigest()
+                )
+            out.append(sorted(seen))
+        return pd.Series(out)
+
+    return media.select(
+        F.col(id_col).alias("id"),
+        chunk_md5s(F.col(blob_col)).alias("sh"),
+    )
+
+
+def _gear_bounds_expr(
+    blob_col: str, window_bytes: int, boundary_mod: int
+):
+    """Boundary offsets under the gear rule as a pure-column HOF: the
+    byte array is looked up in the 256-literal gear table and the
+    window hash is the exact integer Σ gear[b_{i+j}]·2^(w-1-j) —
+    integer ops only, no per-offset md5, so this is itself ~an order
+    of magnitude cheaper than the md5-window mode on the JVM."""
+    gl = F.array(*[F.lit(v) for v in gear_table(window_bytes)])
+    h = F.hex(F.col(blob_col))
+    byte_arr = F.transform(
+        F.when(
+            F.expr(f"length(hex({blob_col})) div 2") >= 1,
+            F.sequence(
+                F.lit(1), F.expr(f"length(hex({blob_col})) div 2")
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda j: F.conv(h.substr((j - 1) * 2 + 1, F.lit(2)), 16, 10)
+        .cast("int"),
+    )
+    n_pos = F.greatest(
+        F.expr(f"length(hex({blob_col})) div 2") - window_bytes + 1,
+        F.lit(0),
+    )
+    positions = F.when(
+        n_pos >= 1, F.sequence(F.lit(1), n_pos)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def window_hash(i):
+        terms = [
+            F.element_at(
+                gl,
+                F.element_at(
+                    F.col("__bytes"), (i + F.lit(j)).cast("int")
+                ) + 1,
+            )
+            * F.lit(1 << (window_bytes - 1 - j))
+            for j in range(window_bytes)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total
+
+    bounds = F.filter(
+        positions, lambda i: window_hash(i) % boundary_mod == 0
+    )
+    return byte_arr, bounds
+
+
 def cdc_near_dups(
     media: DataFrame,
     blob_col: str = "payload",
@@ -244,6 +371,8 @@ def cdc_near_dups(
     num_hashes: int = 8,
     bands: int = 4,
     threshold_ppm: int = 500_000,
+    boundary: str = "md5",
+    fast: bool = False,
 ) -> DataFrame:
     """Content-defined-chunking near-dup for opaque blobs — the
     alignment-ROBUST upgrade to :func:`blob_near_dups` (rsync/LBFS
@@ -253,12 +382,19 @@ def cdc_near_dups(
     bytes only disturbs the chunks touching the edit — every other
     chunk hash survives and the Jaccard stays high.
 
-    Boundary detection here is stateless-per-position (md5 of the byte
-    window at every offset), which is expressible as pure column HOFs on
-    BOTH engines — no sequential rolling-hash state, hence an exact
-    DuckDB oracle. Cost is one md5 per byte offset: fine for metadata-
-    sized media records; for multi-MB blobs swap in a gear-hash pandas
-    UDF with identical boundary semantics (the documented fast path).
+    Three boundary engines share one contract:
+      - ``boundary='md5'`` (default): md5 of the byte window at every
+        offset — stateless-per-position, expressible as pure column
+        HOFs on BOTH engines, hence an exact DuckDB oracle. One md5
+        per byte offset: fine for metadata-sized media records.
+      - ``boundary='gear'``: the window hash is the exact integer
+        Σ gear[b_j]·2^(w-1-j) over :func:`gear_table` — integer ops
+        only (≈10× cheaper per offset on the JVM), still HOF- and
+        SQL-expressible, so it keeps its own DuckDB oracle.
+      - ``fast=True`` (gear mode only): chunking runs in
+        :func:`cdc_chunks_gear`, a rolling numpy pandas UDF with
+        BIT-IDENTICAL boundaries — the multi-MB-blob path, proven
+        chunk-set-equal to the HOF gear path in pytest.
 
     Returns (a, b, jaccard_ppm) with a < b over chunk-md5 sets, exact
     integer ppm >= threshold_ppm; expected chunk length is
@@ -269,49 +405,78 @@ def cdc_near_dups(
     from kgspark.dedup import minhash_sig
     from kgspark.session import materialize
 
+    if boundary not in ("md5", "gear"):
+        raise ValueError(f"unknown boundary mode {boundary!r}")
+    if fast and boundary != "gear":
+        raise ValueError("fast=True requires boundary='gear'")
+
     h = F.hex(F.col(blob_col))
-    wh = 2 * window_bytes
-    n_pos = F.greatest(
-        F.expr(f"length(hex({blob_col})) div 2") - window_bytes + 1,
-        F.lit(0),
-    )
-    # sequence(1, 0) DESCENDS in Spark — guard the empty-window case
-    positions = F.when(
-        n_pos >= 1, F.sequence(F.lit(1), n_pos)
-    ).otherwise(F.array().cast("array<int>"))
-    bounds = F.filter(
-        positions,
-        lambda i: F.conv(
-            F.md5(h.substr((i - 1) * 2 + 1, F.lit(wh))).substr(1, 4),
-            16, 10,
-        ).cast("long") % boundary_mod == 0,
-    )
-    # cut points: 0, each boundary offset, blob length (in bytes)
-    cuts = F.array_union(
-        F.array_union(F.array(F.lit(0)), bounds),
-        F.array(F.expr(f"length(hex({blob_col})) div 2")),
-    )
-    cuts = F.array_sort(F.array_distinct(cuts))
-    chunk_ids = F.when(
-        F.size(cuts) >= 2, F.sequence(F.lit(1), F.size(cuts) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    chunks = F.array_distinct(
-        F.filter(
-            F.transform(
-                chunk_ids,
-                lambda j: F.md5(
-                    h.substr(
-                        F.element_at(cuts, j) * 2 + 1,
-                        (F.element_at(cuts, j + 1) - F.element_at(cuts, j))
-                        * 2,
-                    )
-                ),
-            ),
-            lambda c: c.isNotNull(),
+    if fast:
+        chunked = cdc_chunks_gear(
+            media, blob_col, id_col, window_bytes, boundary_mod
         )
-    )
+    else:
+        if boundary == "gear":
+            byte_arr, bounds = _gear_bounds_expr(
+                blob_col, window_bytes, boundary_mod
+            )
+            src = materialize(
+                media.select(
+                    F.col(id_col).alias("id"),
+                    F.col(blob_col),
+                    byte_arr.alias("__bytes"),
+                )
+            )
+        else:
+            wh = 2 * window_bytes
+            n_pos = F.greatest(
+                F.expr(f"length(hex({blob_col})) div 2")
+                - window_bytes + 1,
+                F.lit(0),
+            )
+            # sequence(1, 0) DESCENDS in Spark — guard the empty case
+            positions = F.when(
+                n_pos >= 1, F.sequence(F.lit(1), n_pos)
+            ).otherwise(F.array().cast("array<int>"))
+            bounds = F.filter(
+                positions,
+                lambda i: F.conv(
+                    F.md5(
+                        h.substr((i - 1) * 2 + 1, F.lit(wh))
+                    ).substr(1, 4),
+                    16, 10,
+                ).cast("long") % boundary_mod == 0,
+            )
+            src = media.select(
+                F.col(id_col).alias("id"), F.col(blob_col)
+            )
+        # cut points: 0, each boundary offset, blob length (in bytes)
+        cuts = F.array_union(
+            F.array_union(F.array(F.lit(0)), bounds),
+            F.array(F.expr(f"length(hex({blob_col})) div 2")),
+        )
+        cuts = F.array_sort(F.array_distinct(cuts))
+        chunk_ids = F.when(
+            F.size(cuts) >= 2, F.sequence(F.lit(1), F.size(cuts) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        chunks = F.array_distinct(
+            F.filter(
+                F.transform(
+                    chunk_ids,
+                    lambda j: F.md5(
+                        h.substr(
+                            F.element_at(cuts, j) * 2 + 1,
+                            (F.element_at(cuts, j + 1)
+                             - F.element_at(cuts, j)) * 2,
+                        )
+                    ),
+                ),
+                lambda c: c.isNotNull(),
+            )
+        )
+        chunked = src.select("id", chunks.alias("sh"))
     base = (
-        media.select(F.col(id_col).alias("id"), chunks.alias("sh"))
+        chunked
         .where(F.size("sh") > 0)
         .withColumn("sig", minhash_sig(F.col("sh"), num_hashes))
     )

@@ -455,3 +455,111 @@ def test_webm_unknown_size_segment_and_zstd_truncated_skippable():
         assert r["error"] is not None, n
     ok = zstd_frame_meta(b"\x50\x2a\x4d\x18" + (16).to_bytes(4, "little"))
     assert ok["kind"] == "skippable" and ok["content_size"] == 16
+
+
+def test_cdc_gear_fast_path_chunk_equality(spark):
+    """Round-5: the gear boundary rule must produce BIT-IDENTICAL
+    chunk sets across all three engines — the JVM HOF path, the
+    rolling-numpy pandas-UDF fast path, and a pure-Python reference —
+    on random blobs including insert/delete edits, and the edit must
+    only disturb the chunks touching it (CDC's alignment robustness)."""
+    import hashlib
+    import random
+
+    from kgspark.multimodal import cdc_chunks_gear, cdc_near_dups, gear_table
+
+    w, mod = 8, 32
+    g = gear_table(w)
+
+    def py_chunks(payload: bytes) -> set:
+        n = len(payload)
+        if n == 0:
+            return set()
+        if n < w:
+            cuts = [0, n]
+        else:
+            bounds = []
+            for i in range(1, n - w + 2):
+                hw = sum(
+                    g[payload[i - 1 + j]] << (w - 1 - j)
+                    for j in range(w)
+                )
+                if hw % mod == 0:
+                    bounds.append(i)
+            cuts = sorted({0, n, *bounds})
+        hx = payload.hex().upper()
+        return {
+            hashlib.md5(hx[a * 2 : b * 2].encode()).hexdigest()
+            for a, b in zip(cuts, cuts[1:])
+        }
+
+    rng = random.Random(7)
+    blobs = []
+    for i in range(12):
+        base = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        blobs.append((i * 3, base))
+        if base:
+            cut = rng.randrange(len(base))
+            ins = base[:cut] + b"XYZZY" + base[cut:]          # insert edit
+            dele = base[:cut] + base[cut + min(4, len(base) - cut):]  # delete
+            blobs.append((i * 3 + 1, ins))
+            blobs.append((i * 3 + 2, dele))
+    df = spark.createDataFrame(blobs, "item_id long, payload binary")
+
+    fast = {
+        r.id: set(r.sh)
+        for r in cdc_chunks_gear(df, window_bytes=w, boundary_mod=mod).collect()
+    }
+    # HOF path: reuse cdc_near_dups' internal chunking by running the
+    # full op on a single row at a time is wasteful — instead compare
+    # through the op's own chunk column via the gear mode at the pair
+    # level below, and the HOF chunk sets directly here:
+    from kgspark.multimodal import _gear_bounds_expr
+    from kgspark.session import materialize
+    import pyspark.sql.functions as SF
+
+    byte_arr, bounds = _gear_bounds_expr("payload", w, mod)
+    src = materialize(
+        df.select(SF.col("item_id").alias("id"), "payload",
+                  byte_arr.alias("__bytes"))
+    )
+    h = SF.hex(SF.col("payload"))
+    cuts = SF.array_sort(SF.array_distinct(SF.array_union(
+        SF.array_union(SF.array(SF.lit(0)), bounds),
+        SF.array(SF.expr("length(hex(payload)) div 2")),
+    )))
+    chunk_ids = SF.when(
+        SF.size(cuts) >= 2, SF.sequence(SF.lit(1), SF.size(cuts) - 1)
+    ).otherwise(SF.array().cast("array<int>"))
+    chunks = SF.array_distinct(SF.transform(
+        chunk_ids,
+        lambda j: SF.md5(h.substr(
+            SF.element_at(cuts, j) * 2 + 1,
+            (SF.element_at(cuts, j + 1) - SF.element_at(cuts, j)) * 2,
+        )),
+    ))
+    hof = {r.id: set(r.sh) for r in src.select("id", chunks.alias("sh")).collect()}
+
+    for item_id, payload in blobs:
+        want = py_chunks(payload)
+        assert fast[item_id] == want, item_id
+        assert hof[item_id] == want, item_id
+
+    # alignment robustness: insert edit keeps most chunks of a long blob
+    long_blob = bytes(rng.randrange(256) for _ in range(2000))
+    edited = long_blob[:900] + b"EDIT!" + long_blob[900:]
+    a, b = py_chunks(long_blob), py_chunks(edited)
+    assert len(a & b) * 1_000_000 // len(a | b) >= 700_000
+
+    # end-to-end: fast=True and the HOF gear mode agree pair-for-pair
+    pairs_hof = {
+        (r.a, r.b, r.jaccard_ppm)
+        for r in cdc_near_dups(df, boundary="gear",
+                               threshold_ppm=300_000).collect()
+    }
+    pairs_fast = {
+        (r.a, r.b, r.jaccard_ppm)
+        for r in cdc_near_dups(df, boundary="gear", fast=True,
+                               threshold_ppm=300_000).collect()
+    }
+    assert pairs_hof == pairs_fast and len(pairs_fast) > 0
