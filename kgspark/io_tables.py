@@ -92,20 +92,32 @@ def read_table(spark: SparkSession, base: str, name: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, base: str, name: str, mode: str = "overwrite",
-                bucket_by: tuple[int, str] | None = None) -> None:
+                bucket_by: tuple[int, str] | None = None,
+                partition_cols: list[str] | None = None) -> None:
     """Write a named table through the catalog seam.
 
     Parquet fallback: bucketing requires saveAsTable, so bucket_by downgrades
-    to repartition-on-key (same co-location for this session's joins)."""
+    to repartition-on-key (same co-location for this session's joins).
+    partition_cols writes hive-style directory partitions — the layout that
+    turns literal equality/IN filters on those columns into PartitionFilters
+    (e.g. the IVF-PQ codes table partitioned by list_id, where a probe scans
+    only nprobe of nlist partitions)."""
     spark = df.sparkSession
     if iceberg_available(spark):
         w = df.writeTo(f"kg.{base}.{name}")
+        if partition_cols:
+            from pyspark.sql.functions import col
+
+            w = w.partitionedBy(*[col(c) for c in partition_cols])
         (w.createOrReplace() if mode == "overwrite" else w.append())
         return
     if bucket_by:
         n, col = bucket_by
         df = df.repartition(n, col)
-    df.write.mode(mode).parquet(os.path.join(base, f"{name}.parquet"))
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(os.path.join(base, f"{name}.parquet"))
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -286,6 +286,163 @@ def pq_topk(
     )
 
 
+def ivfpq_index(
+    emb: DataFrame,
+    nlist: int = 8,
+    m: int = 8,
+    n_centroids: int = 16,
+    in_dim: int = 64,
+    coarse_rounds: int = 2,
+    pq_rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_seed: str = "ivf",
+    pq_seed: str = "pq",
+):
+    """Build the persistable half of :func:`ivfpq_topk`: train the
+    coarse quantizer and the residual product codebook, then emit the
+    codes table (vec_id, list_id, code_0..code_{m-1}) plus the two
+    trained books. Write the codes with
+    ``write_table(codes, base, name, partition_cols=["list_id"])`` and
+    every later :func:`ivfpq_probe` with ``prune_lists=True`` scans
+    only the nprobe probed partitions — the on-disk layout the
+    docstring of ivfpq_topk promises (layout + plan proven in
+    tests/test_similarity.py).
+
+    Returns (codes, coarse, book)."""
+    from kgspark.embed import pq_assign, train_pq_codebook
+    from kgspark.session import materialize
+
+    if in_dim % m != 0:
+        raise ValueError("ivfpq_index: in_dim must be divisible by m")
+
+    coarse = train_pq_codebook(
+        emb, vec_col=vec_col, m=1, k=nlist, in_dim=in_dim,
+        rounds=coarse_rounds, seed=coarse_seed,
+    )[0]
+    coarse_lit = F.array(*[
+        F.array(*[F.lit(v).cast("long") for v in c]) for c in coarse
+    ])
+
+    vmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    cdists = F.transform(coarse_lit, lambda cent: _sq_l2i(F.col("__v"), cent))
+    assigned = (
+        emb.select(F.col(id_col).alias("vec_id"), vmic.alias("__v"))
+        .withColumn(
+            "list_id",
+            (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int"),
+        )
+        .withColumn(
+            "res",
+            F.zip_with(
+                F.col("__v"),
+                F.element_at(coarse_lit, F.col("list_id") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        .drop("__v")
+    )
+    assigned = materialize(assigned)
+    book = train_pq_codebook(
+        assigned, vec_col="res", m=m, k=n_centroids, in_dim=in_dim,
+        rounds=pq_rounds, seed=pq_seed, pre_quantized=True,
+    )
+    coded = pq_assign(
+        assigned, vec_col="res", m=m, k=n_centroids, in_dim=in_dim,
+        book=book, pre_quantized=True,
+    ).select("vec_id", "list_id", *[f"code_{s}" for s in range(m)])
+    return coded, coarse, book
+
+
+def ivfpq_probe(
+    codes: DataFrame,
+    coarse: list,
+    book: list,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    n_centroids: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    prune_lists: bool = False,
+) -> DataFrame:
+    """Query half of :func:`ivfpq_topk` over a (possibly persisted)
+    codes table from :func:`ivfpq_index`. With ``prune_lists=True``
+    the distinct probed list_ids (a bounded driver set: at most nlist
+    values, independent of corpus size) are applied as a LITERAL
+    ``list_id IN (...)`` filter on the codes scan — when the codes
+    table was written partitioned by list_id, that filter is a static
+    PartitionFilter and the scan reads only the nprobe probed
+    partitions of a 100 TB index. Results are identical either way
+    (the broadcast join on list_id already restricts logically);
+    pruning changes only what the scan touches."""
+    dsub = in_dim // m
+    coarse_lit = F.array(*[
+        F.array(*[F.lit(v).cast("long") for v in c]) for c in coarse
+    ])
+    qmic = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), qmic.alias("__q"))
+        .select(
+            "query_id", "__q",
+            F.posexplode(coarse_lit).alias("list_id", "cent"),
+        )
+        .withColumn("cdist", _sq_l2i(F.col("__q"), F.col("cent")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("cdist"), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("crank") <= nprobe)
+        .select(
+            "query_id", "list_id",
+            F.zip_with("__q", "cent", lambda a, b: a - b).alias("qres"),
+        )
+    )
+    probes = probes.select(
+        "query_id", "list_id",
+        *_adc_luts(book, "qres", m, n_centroids, dsub),
+    )
+    if prune_lists:
+        probed_ids = sorted({
+            r.list_id for r in probes.select("list_id").distinct().collect()
+        })
+        codes = codes.where(F.col("list_id").isin(probed_ids))
+    j = codes.join(F.broadcast(probes), "list_id")
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    dist = _adc_dist(m)
+    scored = j.select("query_id", "vec_id", dist.cast("long").alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _sq_l2i(a, b):
+    """Exact integer squared L2 between two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -327,110 +484,16 @@ def ivfpq_topk(
     Returns (query_id, vec_id, dist, rank) — top-k per query by
     (dist asc, vec_id asc), dist in squared integer micro-units.
     """
-    from kgspark.embed import train_pq_codebook
-
-    if in_dim % m != 0:
-        raise ValueError("ivfpq_topk: in_dim must be divisible by m")
-    dsub = in_dim // m
-
-    # -- coarse quantizer: trained single-subspace book over the full vector
-    coarse = train_pq_codebook(
-        emb, vec_col=vec_col, m=1, k=nlist, in_dim=in_dim,
-        rounds=coarse_rounds, seed=coarse_seed,
-    )[0]
-    coarse_lit = F.array(*[
-        F.array(*[F.lit(v).cast("long") for v in c]) for c in coarse
-    ])
-
-    def _sq_l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    vmic = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * 1000000.0, 0).cast("long"),
+    coded, coarse, book = ivfpq_index(
+        emb, nlist=nlist, m=m, n_centroids=n_centroids, in_dim=in_dim,
+        coarse_rounds=coarse_rounds, pq_rounds=pq_rounds,
+        vec_col=vec_col, id_col=id_col,
+        coarse_seed=coarse_seed, pq_seed=pq_seed,
     )
-    cdists = F.transform(coarse_lit, lambda cent: _sq_l2(F.col("__v"), cent))
-    assigned = (
-        emb.select(F.col(id_col).alias("vec_id"), vmic.alias("__v"))
-        .withColumn(
-            "list_id",
-            (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int"),
-        )
-        .withColumn(
-            "res",
-            F.zip_with(
-                F.col("__v"),
-                F.element_at(coarse_lit, F.col("list_id") + 1),
-                lambda a, b: a - b,
-            ),
-        )
-        .drop("__v")
-    )
-
-    # -- product quantizer trained on residuals, codes stored per list
-    from kgspark.session import materialize
-
-    assigned = materialize(assigned)
-    book = train_pq_codebook(
-        assigned, vec_col="res", m=m, k=n_centroids, in_dim=in_dim,
-        rounds=pq_rounds, seed=pq_seed, pre_quantized=True,
-    )
-    from kgspark.embed import pq_assign
-
-    coded = pq_assign(
-        assigned, vec_col="res", m=m, k=n_centroids, in_dim=in_dim,
-        book=book, pre_quantized=True,
-    ).select("vec_id", "list_id", *[f"code_{s}" for s in range(m)])
-
-    # -- query side: probe nprobe nearest lists, residual per probed list
-    qmic = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * 1000000.0, 0).cast("long"),
-    )
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), qmic.alias("__q"))
-        .select(
-            "query_id", "__q",
-            F.posexplode(coarse_lit).alias("list_id", "cent"),
-        )
-        .withColumn("cdist", _sq_l2(F.col("__q"), F.col("cent")))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.asc("cdist"), F.asc("list_id")
-                )
-            ),
-        )
-        .where(F.col("crank") <= nprobe)
-        .select(
-            "query_id", "list_id",
-            F.zip_with("__q", "cent", lambda a, b: a - b).alias("qres"),
-        )
-    )
-    # per-(query, probed-list) ADC lookup tables from the query residual —
-    # queries × nprobe rows, broadcast; per-candidate work is m lookups
-    probes = probes.select(
-        "query_id", "list_id",
-        *_adc_luts(book, "qres", m, n_centroids, dsub),
-    )
-
-    # -- ADC: integer lookup distance between query residual and codes
-    j = coded.join(F.broadcast(probes), "list_id")
-    if exclude_self:
-        j = j.where(F.col("vec_id") != F.col("query_id"))
-    dist = _adc_dist(m)
-    scored = j.select("query_id", "vec_id", dist.cast("long").alias("dist"))
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "dist",
-                F.col("rank").cast("long").alias("rank"))
+    return ivfpq_probe(
+        coded, coarse, book, queries, k=k, nprobe=nprobe, m=m,
+        n_centroids=n_centroids, in_dim=in_dim, vec_col=vec_col,
+        id_col=id_col, exclude_self=exclude_self,
     )
 
 

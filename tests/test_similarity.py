@@ -432,3 +432,62 @@ def test_graph_walk_reaches_true_nn(spark):
         [(5, vecs[5][1])], "query_id long, qemb array<float>")
     self_out = graph_walk_topk(emb, graph, q_self, hops=4, k=5).collect()
     assert all(r.vec_id != 5 for r in self_out)
+
+
+def test_ivfpq_partitioned_codes_prune(spark, tmp_path):
+    """Round-5 verdict item 4: the IVF-PQ codes table written
+    partitioned by list_id is (a) laid out as hive-style list_id=*
+    directories, (b) probe-from-storage with prune_lists=True returns
+    the EXACT inline ivfpq_topk result, and (c) the probe's scan
+    carries a static list_id PartitionFilter — only the nprobe probed
+    partitions of the index are read."""
+    import os
+
+    from kgspark.io_tables import write_table
+    from kgspark.similarity import ivfpq_index, ivfpq_probe, ivfpq_topk
+
+    dim, nlist, m, kcent = 16, 4, 4, 4
+    rows = []
+    for i in range(60):
+        vec = [
+            float(((i * 37 + j * 11) % 19) - 9) / 10.0 for j in range(dim)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where("vec_id % 13 = 0")
+
+    coded, coarse, book = ivfpq_index(
+        emb, nlist=nlist, m=m, n_centroids=kcent, in_dim=dim
+    )
+    base = str(tmp_path)
+    write_table(coded, base, "ivfpq_codes", partition_cols=["list_id"])
+    table_path = os.path.join(base, "ivfpq_codes.parquet")
+    parts = sorted(
+        d for d in os.listdir(table_path) if d.startswith("list_id=")
+    )
+    assert len(parts) >= 2, parts
+
+    stored = spark.read.parquet(table_path)
+    inline = {
+        (r.query_id, r.vec_id, r.dist, r.rank)
+        for r in ivfpq_topk(
+            emb, queries, k=3, nlist=nlist, nprobe=2, m=m,
+            n_centroids=kcent, in_dim=dim,
+        ).collect()
+    }
+    probe = ivfpq_probe(
+        stored, coarse, book, queries, k=3, nprobe=2, m=m,
+        n_centroids=kcent, in_dim=dim, prune_lists=True,
+    )
+    from_disk = {
+        (r.query_id, r.vec_id, r.dist, r.rank) for r in probe.collect()
+    }
+    assert from_disk == inline and len(inline) > 0
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the codes scan must prune statically: a PartitionFilters entry
+    # naming list_id with a non-empty IN list
+    import re
+
+    mt = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*IN \(", plan)
+    assert mt, plan[:2000]
