@@ -1371,6 +1371,169 @@ def _secret_tok_sql(off: str) -> str:
     )
 
 
+def _unigram_sql(
+    vocab_size: int = 120,
+    rounds: int = 2,
+    L: int = 4,
+    W: int = 12,
+    K: int = 200,
+) -> str:
+    """text_unigram oracle: the full unigram-LM hard-EM trainer
+    (kgspark/unigram.py pins) unrolled into chained CTEs — seed
+    substring counts, per-round Viterbi DP as W lateral-alias columns
+    over a (word × end-pos × piece-len) score pivot, backtrace as W
+    more lateral steps, then the driver M-step as window ranking.
+    Scores are floor(1e6·ln(c/T)+0.5) BIGINT micro-nats — identical
+    integers ⇒ identical DP decisions; the output is counts only."""
+    toks = ("list_filter(string_split_regex(lower(\"text\"), '\\s+'),"
+            " t -> t <> '')")
+    sub_terms = " || ".join(
+        f"[substr(word, i, {l})"
+        f" for i in range(1, length(word) - {l} + 2)]"
+        for l in range(1, L + 1)
+    )
+    sc_terms = " || ".join(
+        f"[{{'e': i + {l - 1}, 'l': {l}, 'p': substr(word, i, {l})}}"
+        f" for i in range(1, length(word) - {l} + 2)]"
+        for l in range(1, L + 1)
+    )
+    pivot_cols = ",\n         ".join(
+        f"max(CASE WHEN e = {e} AND l = {l} THEN s END) AS s_{e}_{l}"
+        for e in range(1, W + 1)
+        for l in range(1, min(L, e) + 1)
+    )
+
+    def dp_ctes(r: int) -> str:
+        # one MATERIALIZED CTE per DP level — lateral aliases are
+        # macro-expanded, so a single-SELECT chain would re-expand
+        # d_{i-1} four times per level (4^W nodes, the CLAUDE.md
+        # chained-CTE blowup); materializing each level keeps the
+        # plan linear in W
+        ctes = [
+            f"ug_d{r}_0 AS MATERIALIZED (\n"
+            f"  SELECT p.*, w.cnt, 0::BIGINT AS d_0\n"
+            f"  FROM ug_p{r} p JOIN ug_w w USING (word)\n)"
+        ]
+        for i in range(1, W + 1):
+            cands = ", ".join(
+                f"d_{i - l} + s_{i}_{l}"
+                for l in range(1, min(L, i) + 1)
+            )
+            whens = [f"WHEN d_{i} = d_{i - 1} + s_{i}_1 THEN 1"]
+            whens += [
+                f"WHEN s_{i}_{l} IS NOT NULL"
+                f" AND d_{i} = d_{i - l} + s_{i}_{l} THEN {l}"
+                for l in range(2, min(L, i) + 1)
+            ]
+            ctes.append(
+                f"ug_d{r}_{i} AS MATERIALIZED (\n"
+                f"  SELECT *, CASE WHEN s_{i}_1 IS NOT NULL"
+                f" THEN greatest({cands}) END AS d_{i},\n"
+                f"         CASE WHEN s_{i}_1 IS NOT NULL THEN (CASE "
+                + " ".join(whens)
+                + f" END) END AS b_{i}\n"
+                f"  FROM ug_d{r}_{i - 1}\n)"
+            )
+        return ",\n".join(ctes)
+
+    def bt_ctes(r: int) -> str:
+        blcase = " ".join(
+            f"WHEN {i} THEN b_{i}" for i in range(1, W + 1)
+        )
+        ctes = [
+            f"ug_t{r}_0 AS MATERIALIZED (\n"
+            f"  SELECT *, length(word)::INT AS pos_0"
+            f" FROM ug_d{r}_{W}\n)"
+        ]
+        for t in range(1, W + 1):
+            ctes.append(
+                f"ug_t{r}_{t} AS MATERIALIZED (\n"
+                f"  SELECT *,\n"
+                f"    CASE WHEN pos_{t - 1} > 0 THEN (CASE pos_{t - 1}"
+                f" {blcase} END) END AS bl_{t},\n"
+                f"    CASE WHEN pos_{t - 1} > 0 THEN"
+                f" substr(word, pos_{t - 1} - bl_{t} + 1, bl_{t})"
+                f" END AS pc_{t},\n"
+                f"    CASE WHEN pos_{t - 1} > 0 THEN"
+                f" pos_{t - 1} - bl_{t} ELSE 0 END AS pos_{t}\n"
+                f"  FROM ug_t{r}_{t - 1}\n)"
+            )
+        return ",\n".join(ctes)
+
+    pc_list = ", ".join(f"pc_{t}" for t in range(1, W + 1))
+
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        prev_s = f"ug_s{r - 1}"
+        rounds_sql.append(f"""
+ug_sc{r} AS (
+  SELECT g.word, g.e, g.l, v.s
+  FROM (
+    SELECT word, u.e AS e, u.l AS l, u.p AS p FROM (
+      SELECT word, unnest({sc_terms}) AS u FROM ug_w
+    )
+  ) g JOIN {prev_s} v ON v.piece = g.p
+),
+ug_p{r} AS (
+  SELECT word,
+         {pivot_cols}
+  FROM ug_sc{r} GROUP BY word
+),
+{dp_ctes(r)},
+{bt_ctes(r)},
+ug_u{r} AS (
+  SELECT piece, sum(cnt)::BIGINT AS u FROM (
+    SELECT cnt, unnest(list_filter([{pc_list}],
+                                   x -> x IS NOT NULL)) AS piece
+    FROM ug_t{r}_{W}
+  ) GROUP BY 1
+),
+ug_v{r} AS (
+  SELECT v.piece, coalesce(u.u, 0) + 1 AS cnt
+  FROM ug_v0 v LEFT JOIN ug_u{r} u USING (piece)
+  WHERE length(v.piece) = 1
+  UNION ALL
+  SELECT piece, u + 1 AS cnt FROM (
+    SELECT piece, u, row_number() OVER (ORDER BY u DESC, piece) AS rn
+    FROM ug_u{r} WHERE length(piece) >= 2 AND u > 0
+  ) WHERE rn <= {vocab_size}
+          - (SELECT count(*) FROM ug_v0 WHERE length(piece) = 1)
+),
+ug_s{r} AS (
+  SELECT piece, CAST(floor(1e6 * ln(cnt::DOUBLE / t.T) + 0.5)
+                     AS BIGINT) AS s
+  FROM ug_v{r}, (SELECT sum(cnt)::BIGINT AS T FROM ug_v{r}) t
+)""")
+
+    return f"""
+WITH ug_w AS (
+  SELECT substr(word, 1, {W}) AS word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  GROUP BY 1
+),
+ug_cand AS (
+  SELECT piece, sum(cnt)::BIGINT AS c FROM (
+    SELECT cnt, unnest({sub_terms}) AS piece FROM ug_w
+  ) GROUP BY 1
+),
+ug_v0 AS (
+  SELECT piece, c AS cnt FROM ug_cand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c AS cnt FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+    FROM ug_cand WHERE length(piece) >= 2
+  ) WHERE rn <= {K}
+),
+ug_s0 AS (
+  SELECT piece, CAST(floor(1e6 * ln(cnt::DOUBLE / t.T) + 0.5)
+                     AS BIGINT) AS s
+  FROM ug_v0, (SELECT sum(cnt)::BIGINT AS T FROM ug_v0) t
+),{",".join(rounds_sql)}
+SELECT piece, cnt::BIGINT AS cnt, length(piece)::INT AS n_chars
+FROM ug_v{rounds}
+"""
+
+
 def _cdc_gear_sql() -> str:
     """multimodal_cdc_gear oracle: identical synthesis to the md5-mode
     CDC oracle, but boundaries use the gear window hash — the EXACT
@@ -6907,6 +7070,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdc_near_dups(media, boundary="gear",
                              threshold_ppm=300_000)
 
+    def text_unigram(spark, sf_dir):
+        # unigram-LM (SentencePiece-style) tokenizer trainer
+        # (kgspark/unigram.py): hard-EM over the truncated word table,
+        # micro-nat integer scores, driver M-step — output is the
+        # final piece inventory with exact Laplace counts
+        from kgspark.unigram import unigram_train
+
+        docs = _read(spark, sf_dir, "documents").select("text")
+        return unigram_train(docs, vocab_size=120, rounds=2,
+                             seed_k=200)
+
     def kg_asof_triples(spark, sf_dir):
         # point-in-time graph state at ts<=300 (kgspark/temporal.py
         # asof_snapshot): latest observation per (subj, pred)
@@ -9092,6 +9266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linkage, sketches, schema profiling), then the newest tail ops.
         "ann_ivfpq": ann_ivfpq,
         "multimodal_cdc_gear": multimodal_cdc_gear,
+        "text_unigram": text_unigram,
         "dedup_span_scrub": dedup_span_scrub,
         "dedup_keep_best": dedup_keep_best,
         "kg_louvain": kg_louvain,
@@ -15575,6 +15750,9 @@ WHERE (1000000 * len(list_intersect(sha, shb)))
         # gear-window boundaries (exact Σ gear[b]·2^(7-j)), same
         # synthesis/banding — the fast-path-capable boundary rule
         "multimodal_cdc_gear": _cdc_gear_sql(),
+        # kgspark.unigram.unigram_train: SentencePiece-style unigram-LM
+        # hard-EM trainer, fully unrolled Viterbi DP + M-step ranking
+        "text_unigram": _unigram_sql(vocab_size=120, rounds=2, K=200),
         # kgspark.multimodal.blob_near_dups: hex byte-shingles (32-char
         # window, 16 stride), 8-hash/4-band MinHash, exact ppm verify —
         # payload built from the same doc-text arithmetic

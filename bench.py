@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "multimodal_blob_dedup",
     "multimodal_cdc_dedup",
     "multimodal_cdc_gear",
+    "text_unigram",
     "web_hreflang",
     "kg_rules",
     "kg_rule_apply",
