@@ -1244,3 +1244,30 @@ def test_session8_tail_ops_plan_shapes(spark):
         assert "CartesianProduct" not in p, p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
         assert p.count("BroadcastNestedLoopJoin") <= cap, p
+
+
+def test_session9_ops_plan_shapes(spark):
+    """Round-5 ops: the gear-CDC HOF mode stays JVM-side (no Python
+    eval anywhere in the chunk/band/verify plan); the unigram trainer's
+    per-round E-step is Arrow-batched (exactly one ArrowEvalPython over
+    the word table, never row-at-a-time BatchEvalPython); the IVF-PQ
+    probe plan carries only broadcasts, no cartesian scans."""
+    from kgspark.multimodal import cdc_near_dups
+    from kgspark.similarity import ivfpq_index, ivfpq_probe
+
+    media = spark.createDataFrame(
+        [(1, b"abcabcabcabcabcabc"), (2, b"abcabcabcXbcabcabc")],
+        "item_id long, payload binary")
+    p = plan(cdc_near_dups(media, boundary="gear", threshold_ppm=100))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(24)],
+        "vec_id long, embedding array<float>")
+    coded, coarse, book = ivfpq_index(
+        emb, nlist=2, m=2, n_centroids=2, in_dim=4)
+    p = plan(ivfpq_probe(coded, coarse, book, emb.limit(2),
+                         k=2, nprobe=1, m=2, n_centroids=2, in_dim=4))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
