@@ -54,6 +54,16 @@ HEAVY_QUERIES = [
     "kg_walk_pairs",
     "kg_inverse_preds",
     "kg_assortativity",
+    # r4 heavies (round-5 verdict item 2: one-shot numbers on this VM
+    # are not comparable — winnow_pairs "regressed" 2.36x with no code
+    # change; these join the medians protocol)
+    "ann_ivfpq",
+    "multimodal_cdc_dedup",
+    "link_jw",
+    "kg_single_linkage",
+    # round-5-new heavies
+    "multimodal_cdc_gear",
+    "text_unigram",
 ]
 
 
