@@ -1371,6 +1371,92 @@ def _secret_tok_sql(off: str) -> str:
     )
 
 
+def _fs_em_sql(rounds: int = 3) -> str:
+    """link_fs_em oracle: the exact ppm-integer Fellegi-Sunter EM
+    (kgspark/linkrec.py fs_em pins) unrolled — per-round E-step scan
+    of the blocked pair table against the previous constants row,
+    1-row aggregate, then the M-step divisions; all products in
+    HUGEINT (num ≤ 10²⁴, 2·10⁶·num ≈ 10³⁰). MATERIALIZED constants/
+    aggregate CTEs prevent the 2^rounds re-expansion."""
+    fields = ["g1", "g2", "g3"]
+    parts = [f"""
+fe_c AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000)
+           AS bal_b,
+         c_custkey // 40 AS blk
+  FROM customer
+),
+fe_p AS MATERIALIZED (
+  SELECT (a.c_mktsegment = b.c_mktsegment)::INT AS g1,
+         (a.c_nationkey = b.c_nationkey)::INT AS g2,
+         (a.bal_b = b.bal_b)::INT AS g3
+  FROM fe_c a JOIN fe_c b
+    ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+),
+fe_k0 AS MATERIALIZED (
+  SELECT 500000::HUGEINT AS pi,
+         {", ".join(f"900000::HUGEINT AS m{i+1}" for i in range(3))},
+         {", ".join(f"100000::HUGEINT AS u{i+1}" for i in range(3))}
+)"""]
+    for r in range(1, rounds + 1):
+        num = "k.pi"
+        den_u = "(1000000 - k.pi)"
+        for i, f in enumerate(fields):
+            num += (f" * (CASE WHEN {f} = 1 THEN k.m{i+1}"
+                    f" ELSE 1000000 - k.m{i+1} END)")
+            den_u += (f" * (CASE WHEN {f} = 1 THEN k.u{i+1}"
+                      f" ELSE 1000000 - k.u{i+1} END)")
+        sg = ", ".join(
+            f"coalesce(sum(p * {f}), 0)::HUGEINT AS sg{i+1}"
+            for i, f in enumerate(fields)
+        )
+        ug = ", ".join(
+            f"coalesce(sum((1000000 - p) * {f}), 0)::HUGEINT AS ug{i+1}"
+            for i, f in enumerate(fields)
+        )
+        mu = ", ".join(
+            f"(CASE WHEN a.S > 0 THEN (2000000::HUGEINT * a.sg{i+1}"
+            f" + a.S) // (2 * a.S) ELSE k.m{i+1} END) AS m{i+1}"
+            for i in range(3)
+        )
+        uu = ", ".join(
+            f"(CASE WHEN a.T > 0 THEN (2000000::HUGEINT * a.ug{i+1}"
+            f" + a.T) // (2 * a.T) ELSE k.u{i+1} END) AS u{i+1}"
+            for i in range(3)
+        )
+        parts.append(f"""
+fe_a{r} AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n,
+         coalesce(sum(p), 0)::HUGEINT AS S,
+         coalesce(sum(1000000 - p), 0)::HUGEINT AS T,
+         {sg}, {ug}
+  FROM (
+    SELECT g1, g2, g3,
+           (CASE WHEN num + den_u = 0 THEN 0
+                 ELSE (2000000 * num + num + den_u)
+                      // (2 * (num + den_u)) END) AS p
+    FROM (
+      SELECT g1, g2, g3, ({num}) AS num, ({den_u}) AS den_u
+      FROM fe_p, fe_k{r-1} k
+    )
+  )
+),
+fe_k{r} AS MATERIALIZED (
+  SELECT (CASE WHEN a.n > 0 THEN (2 * a.S + a.n) // (2 * a.n)
+               ELSE k.pi END) AS pi,
+         {mu}, {uu}
+  FROM fe_a{r} a, fe_k{r-1} k
+)""")
+    sel = ", ".join(
+        [f"k.m{i+1}::BIGINT AS m_g{i+1}" for i in range(3)]
+        + [f"k.u{i+1}::BIGINT AS u_g{i+1}" for i in range(3)]
+    )
+    return (f"WITH {','.join(parts)}\n"
+            f"SELECT a.n AS n_pairs, k.pi::BIGINT AS pi_ppm, {sel}\n"
+            f"FROM fe_a{rounds} a, fe_k{rounds} k\n")
+
+
 def _unigram_sql(
     vocab_size: int = 120,
     rounds: int = 2,
@@ -7070,6 +7156,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdc_near_dups(media, boundary="gear",
                              threshold_ppm=300_000)
 
+    def link_fs_em(spark, sf_dir):
+        # Fellegi-Sunter m/u/pi by exact ppm-integer EM
+        # (kgspark/linkrec.py fs_em): blocked customer pairs
+        # (c_custkey div 40 — constant block size, linear pair count),
+        # agreement on segment / nation / $1000-acctbal-bucket
+        from kgspark.linkrec import fs_em
+
+        c = _read(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_nationkey",
+            F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)"
+                   " div 100000").alias("bal_b"),
+            F.expr("c_custkey div 40").alias("blk"),
+        )
+        a, b = c.alias("a"), c.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        ).select(
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("int").alias("g1"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            .cast("int").alias("g2"),
+            (F.col("a.bal_b") == F.col("b.bal_b"))
+            .cast("int").alias("g3"),
+        )
+        return fs_em(pairs, ["g1", "g2", "g3"], rounds=3)
+
     def text_unigram(spark, sf_dir):
         # unigram-LM (SentencePiece-style) tokenizer trainer
         # (kgspark/unigram.py): hard-EM over the truncated word table,
@@ -9267,6 +9381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": ann_ivfpq,
         "multimodal_cdc_gear": multimodal_cdc_gear,
         "text_unigram": text_unigram,
+        "link_fs_em": link_fs_em,
         "dedup_span_scrub": dedup_span_scrub,
         "dedup_keep_best": dedup_keep_best,
         "kg_louvain": kg_louvain,
@@ -15753,6 +15868,8 @@ WHERE (1000000 * len(list_intersect(sha, shb)))
         # kgspark.unigram.unigram_train: SentencePiece-style unigram-LM
         # hard-EM trainer, fully unrolled Viterbi DP + M-step ranking
         "text_unigram": _unigram_sql(vocab_size=120, rounds=2, K=200),
+        # kgspark.linkrec.fs_em: exact ppm-integer Fellegi-Sunter EM
+        "link_fs_em": _fs_em_sql(rounds=3),
         # kgspark.multimodal.blob_near_dups: hex byte-shingles (32-char
         # window, 16 stride), 8-hash/4-band MinHash, exact ppm verify —
         # payload built from the same doc-text arithmetic

@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "multimodal_cdc_dedup",
     "multimodal_cdc_gear",
     "text_unigram",
+    "link_fs_em",
     "web_hreflang",
     "kg_rules",
     "kg_rule_apply",

@@ -105,6 +105,101 @@ def fs_link(
     )
 
 
+def fs_em(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    rounds: int = 3,
+    init_m: int = 900_000,
+    init_u: int = 100_000,
+    init_pi: int = 500_000,
+) -> DataFrame:
+    """Fellegi-Sunter match/non-match parameter estimation by EM
+    (Fellegi & Sunter JASA 1969; the EM fitting is Winkler 1988) over
+    a table of blocked candidate pairs with 0/1 agreement columns —
+    the classic completion of :func:`u_estimates`: instead of assuming
+    u from value frequencies, learn m_f (P(agree | match)), u_f
+    (P(agree | non-match)) and the match prior π jointly from the
+    agreement-pattern mixture.
+
+    EVERY quantity is an exact ppm integer — no floating point
+    anywhere, so the trajectory is bit-identical in any engine:
+
+      E-step per pair:  num = π·Π_f (γ_f ? m_f : 10⁶−m_f)
+                        den = num + (10⁶−π)·Π_f (γ_f ? u_f : 10⁶−u_f)
+                        p   = floor(10⁶·num/den + ½)
+                            = (2·10⁶·num + den) div (2·den)
+        (num, den ≤ 10⁶ᴷ⁺¹; with K=3 fields that is 10²⁴, and
+        2·10⁶·num ≈ 10³⁰ — inside DECIMAL(38,0)/HUGEINT, outside
+        int64, hence the explicit widening.)
+      M-step (driver, 1-row aggregate — the bounded-collect class):
+        m_f ← (2·10⁶·Σp·γ_f + Σp) div (2·Σp)
+        u_f ← (2·10⁶·Σ(10⁶−p)·γ_f + Σ(10⁶−p)) div (2·Σ(10⁶−p))
+        π   ← (2·Σp + n) div (2·n)
+        (a zero denominator keeps the previous value — pinned.)
+
+    Returns ONE row: (n_pairs, pi_ppm, m_<f>..., u_<f>...).
+
+    Scale shape: the pair table is materialized once; each round is a
+    single map-side aggregate over it (no shuffle beyond the final
+    1-row reduce); `rounds` is bounded (default 3). Blocked pair
+    generation upstream keeps n_pairs linear in corpus size.
+    """
+    from kgspark.session import materialize
+
+    spark = pairs.sparkSession
+    g = materialize(pairs.select(*gamma_cols))
+    m = {f: init_m for f in gamma_cols}
+    u = {f: init_u for f in gamma_cols}
+    pi = init_pi
+    n_pairs = 0
+
+    for _ in range(rounds):
+        num = f"cast({pi} as decimal(38,0))"
+        den_u = f"cast({1_000_000 - pi} as decimal(38,0))"
+        for f in gamma_cols:
+            num = (f"({num} * (case when {f} = 1 then {m[f]}"
+                   f" else {1_000_000 - m[f]} end))")
+            den_u = (f"({den_u} * (case when {f} = 1 then {u[f]}"
+                     f" else {1_000_000 - u[f]} end))")
+        den = f"({num} + {den_u})"
+        p = (f"(case when {den} = 0 then 0 else"
+             f" cast((2000000 * {num} + {den}) div (2 * {den})"
+             f" as long) end)")
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(f"sum({p})").cast("long").alias("S"),
+            F.expr(f"sum(1000000 - {p})").cast("long").alias("T"),
+        ]
+        for f in gamma_cols:
+            aggs.append(
+                F.expr(f"sum({p} * {f})").cast("long").alias(f"sg_{f}")
+            )
+            aggs.append(
+                F.expr(f"sum((1000000 - {p}) * {f})").cast("long")
+                .alias(f"ug_{f}")
+            )
+        row = g.agg(*aggs).collect()[0]
+        n, S, T = row["n"], row["S"] or 0, row["T"] or 0
+        for f in gamma_cols:
+            if S > 0:
+                m[f] = (2_000_000 * row[f"sg_{f}"] + S) // (2 * S)
+            if T > 0:
+                u[f] = (2_000_000 * row[f"ug_{f}"] + T) // (2 * T)
+        if n > 0:
+            pi = (2 * S + n) // (2 * n)
+        n_pairs = n
+
+    cols = (["n_pairs", "pi_ppm"]
+            + [f"m_{f}" for f in gamma_cols]
+            + [f"u_{f}" for f in gamma_cols])
+    vals = ([int(n_pairs), int(pi)]
+            + [int(m[f]) for f in gamma_cols]
+            + [int(u[f]) for f in gamma_cols])
+    return spark.createDataFrame(
+        [tuple(vals)], ", ".join(f"{c} long" for c in cols)
+    )
+
+
 def u_estimates(df: DataFrame, fields: list[str]) -> DataFrame:
     """Estimate each field's random-agreement probability u_i = the chance
     two independently drawn records agree on the field — sum over values v

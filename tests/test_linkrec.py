@@ -394,3 +394,73 @@ def test_tfidf_cosine_pairs_hand_case(spark):
           for r in tfidf_cosine_pairs(
               df, thr_num=1, thr_den=25, max_df=5).collect()}
     assert (3, 4) in lo
+
+
+def test_fs_em_exact_integer_trajectory(spark):
+    """fs_em's ppm-integer EM must match a brute-force Python replica
+    bit-for-bit (truncating div, not floor — all quantities here are
+    non-negative so they coincide, but the replica uses // on
+    non-negatives only), and must separate a planted match/non-match
+    mixture: m ends high, u ends low, pi near the planted match rate."""
+    import itertools
+
+    from kgspark.linkrec import fs_em
+
+    # planted mixture: 30 matching pairs agree on most fields, 90
+    # random pairs agree rarely
+    rows = []
+    rng = itertools.count()
+    for i in range(30):
+        rows.append((1, 1, 1 if i % 5 else 0))
+    for i in range(90):
+        rows.append((1 if i % 10 == 0 else 0,
+                     1 if i % 7 == 0 else 0,
+                     1 if i % 11 == 0 else 0))
+    df = spark.createDataFrame(rows, "g1 int, g2 int, g3 int")
+    out = fs_em(df, ["g1", "g2", "g3"], rounds=3).collect()[0]
+
+    def replica(pairs, rounds):
+        m = {0: 900_000, 1: 900_000, 2: 900_000}
+        u = {0: 100_000, 1: 100_000, 2: 100_000}
+        pi = 500_000
+        for _ in range(rounds):
+            S = T = 0
+            sg = {0: 0, 1: 0, 2: 0}
+            ug = {0: 0, 1: 0, 2: 0}
+            for gam in pairs:
+                num = pi
+                den_u = 1_000_000 - pi
+                for f in range(3):
+                    num *= m[f] if gam[f] else 1_000_000 - m[f]
+                    den_u *= u[f] if gam[f] else 1_000_000 - u[f]
+                den = num + den_u
+                p = 0 if den == 0 else (2_000_000 * num + den) // (2 * den)
+                S += p
+                T += 1_000_000 - p
+                for f in range(3):
+                    sg[f] += p * gam[f]
+                    ug[f] += (1_000_000 - p) * gam[f]
+            n = len(pairs)
+            for f in range(3):
+                if S > 0:
+                    m[f] = (2_000_000 * sg[f] + S) // (2 * S)
+                if T > 0:
+                    u[f] = (2_000_000 * ug[f] + T) // (2 * T)
+            if n > 0:
+                pi = (2 * S + n) // (2 * n)
+        return m, u, pi
+
+    m, u, pi = replica(rows, 3)
+    assert out["pi_ppm"] == pi
+    for i, f in enumerate(["g1", "g2", "g3"]):
+        assert out[f"m_{f}"] == m[i], f
+        assert out[f"u_{f}"] == u[i], f
+    # the mixture separates: matches agree, non-matches mostly don't
+    assert out["m_g1"] > 800_000 and out["u_g1"] < 300_000
+    assert 150_000 < out["pi_ppm"] < 450_000
+
+    # empty input: parameters stay at their init pins
+    empty = df.limit(0)
+    r0 = fs_em(empty, ["g1", "g2", "g3"], rounds=2).collect()[0]
+    assert r0["n_pairs"] == 0 and r0["pi_ppm"] == 500_000
+    assert r0["m_g1"] == 900_000 and r0["u_g1"] == 100_000
