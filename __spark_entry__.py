@@ -7156,6 +7156,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdc_near_dups(media, boundary="gear",
                              threshold_ppm=300_000)
 
+    def rel_ewma(spark, sf_dir):
+        # exact-integer EWMA (alpha = 1/4) over each user's first 30
+        # events (kgspark/relops.py ewma_smooth): cents-quantized fold,
+        # bit-identical trajectory cross-engine
+        from kgspark.relops import ewma_smooth
+
+        ev = _read(spark, sf_dir, "events").select(
+            "user_id", "event_id",
+            F.expr("timestampdiff(MILLISECOND,"
+                   " TIMESTAMP '2024-01-01 00:00:00', ts)")
+            .cast("long").alias("t"),
+            F.expr("cast(floor(value * 100 + 0.5) as long)")
+            .alias("cents"),
+        )
+        return ewma_smooth(ev, ["user_id"], ["t", "event_id"],
+                           "cents", k=2, max_rows=30)
+
     def link_fs_em(spark, sf_dir):
         # Fellegi-Sunter m/u/pi by exact ppm-integer EM
         # (kgspark/linkrec.py fs_em): blocked customer pairs
@@ -9382,6 +9399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_cdc_gear": multimodal_cdc_gear,
         "text_unigram": text_unigram,
         "link_fs_em": link_fs_em,
+        "rel_ewma": rel_ewma,
         "dedup_span_scrub": dedup_span_scrub,
         "dedup_keep_best": dedup_keep_best,
         "kg_louvain": kg_louvain,
@@ -15870,6 +15888,27 @@ WHERE (1000000 * len(list_intersect(sha, shb)))
         "text_unigram": _unigram_sql(vocab_size=120, rounds=2, K=200),
         # kgspark.linkrec.fs_em: exact ppm-integer Fellegi-Sunter EM
         "link_fs_em": _fs_em_sql(rounds=3),
+        # kgspark.relops.ewma_smooth: exact integer EWMA fold
+        # (list_reduce's first-element init == the s_1 = x_1 pin)
+        "rel_ewma": """
+WITH ew_b AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+ew_w AS (SELECT * FROM ew_b WHERE rn <= 30),
+ew_g AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         list(cents ORDER BY rn) AS vals
+  FROM ew_w GROUP BY 1
+)
+SELECT user_id, n, vals[len(vals)]::BIGINT AS last_v,
+       list_reduce(vals, (acc, x) -> (acc * 3 + x) // 4)::BIGINT
+         AS ewma_v
+FROM ew_g
+""",
         # kgspark.multimodal.blob_near_dups: hex byte-shingles (32-char
         # window, 16 stride), 8-hash/4-band MinHash, exact ppm verify —
         # payload built from the same doc-text arithmetic

@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "multimodal_cdc_gear",
     "text_unigram",
     "link_fs_em",
+    "rel_ewma",
     "web_hreflang",
     "kg_rules",
     "kg_rule_apply",

@@ -1810,6 +1810,74 @@ def ks_two_sample(
     )
 
 
+def ewma_smooth(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    k: int = 2,
+    max_rows: int = 30,
+) -> DataFrame:
+    """Exponentially-weighted moving average per group with
+    α = 1/2^k, as an EXACT integer fold — the smoothing companion to
+    trend_test/theil_sen_slope (did the metric drift? how fast? and
+    what is its smoothed current level?):
+
+        s_1 = x_1;   s_t = floor((s_{t-1}·(2^k − 1) + x_t) / 2^k)
+
+    Every step is integer arithmetic on the caller's pre-quantized
+    non-negative values (cents/ppm upstream — the quantize-upstream
+    pin; non-negativity makes floor and truncate coincide, so Spark's
+    floor(x/2^k) and DuckDB's `//` agree and the whole trajectory is
+    engine-exact). Intermediate products stay ≤ max(x)·2^k ≪ 2⁵³, so
+    the fp64 division inside floor() is exact.
+
+    Bounded-window posture shared with theil_sen_slope: the fold runs
+    over the group's first `max_rows` rows in `order_cols` order
+    (collected per group — bounded array, not a per-row state
+    recursion, which window functions cannot express). Emits
+    group_cols + (n, last_v, ewma_v); empty groups never appear.
+
+    Scale shape: ONE row_number window + ONE groupBy collect over
+    bounded arrays — two key-partitioned shuffles, no joins.
+    """
+    m = (1 << k) - 1
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    bounded = (
+        df.select(
+            *group_cols,
+            *[c for c in order_cols if c not in group_cols],
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_rows)
+    )
+    grouped = bounded.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__rn"), F.col("__v")))
+            ),
+            lambda s: s["__v"],
+        ).alias("__vals"),
+    )
+    fold = F.aggregate(
+        F.expr(f"slice(__vals, 2, {max_rows})"),
+        F.element_at(F.col("__vals"), 1),
+        lambda acc, x: F.floor(
+            (acc * F.lit(m) + x) / F.lit(1 << k)
+        ).cast("long"),
+    )
+    return grouped.select(
+        *group_cols, "n",
+        F.element_at(F.col("__vals"), F.col("n").cast("int"))
+        .alias("last_v"),
+        fold.alias("ewma_v"),
+    )
+
+
 def theil_sen_slope(
     df: DataFrame,
     group_cols: list[str],

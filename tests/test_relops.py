@@ -800,3 +800,33 @@ def test_psi_report_math(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         psi_report(df, "lab", "v", "a", "b", edges=[])
+
+
+def test_ewma_smooth_exact_fold(spark):
+    """ewma_smooth must reproduce the integer recursion bit-for-bit
+    and pin its ordering/bounding semantics."""
+    from kgspark.relops import ewma_smooth
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 200), ("a", 3, 40), ("a", 4, 400),
+        ("b", 1, 7),
+        ("c", 2, 10), ("c", 1, 90),  # out-of-order input, sorted by t
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v long")
+    out = {r.g: (r.n, r.last_v, r.ewma_v)
+           for r in ewma_smooth(df, ["g"], ["t"], "v", k=2).collect()}
+
+    def replica(vals, k=2):
+        s = vals[0]
+        for x in vals[1:]:
+            s = (s * ((1 << k) - 1) + x) // (1 << k)
+        return s
+
+    assert out["a"] == (4, 400, replica([100, 200, 40, 400]))
+    assert out["b"] == (1, 7, 7)           # single row: s = x_1
+    assert out["c"] == (2, 10, replica([90, 10]))  # t-order, not input
+    # max_rows bounds the fold
+    long_rows = [("z", t, t) for t in range(1, 50)]
+    dz = spark.createDataFrame(long_rows, "g string, t int, v long")
+    rz = ewma_smooth(dz, ["g"], ["t"], "v", k=2, max_rows=10).collect()[0]
+    assert rz.n == 10 and rz.ewma_v == replica(list(range(1, 11)))
