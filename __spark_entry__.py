@@ -7156,6 +7156,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdc_near_dups(media, boundary="gear",
                              threshold_ppm=300_000)
 
+    def text_zipf_slope(spark, sf_dir):
+        # Zipf rank-frequency slope of the corpus vocabulary: top-80
+        # words, micro-nat ln(rank)/ln(freq) points, Theil-Sen lower-
+        # median slope (the robust log-log fit; English prose ~ -1).
+        # Reuses the green theil_sen_slope machinery with a constant
+        # group — the heaps_curve companion on the frequency axis.
+        from kgspark.bpe import word_counts
+        from kgspark.relops import theil_sen_slope
+
+        docs = _read(spark, sf_dir, "documents")
+        top = (
+            word_counts(docs)
+            .orderBy(F.desc("cnt"), F.asc("word")).limit(80)
+        )
+        pts = top.select(
+            F.lit(1).alias("g"),
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("word"))
+            ).alias("rn"),
+            "cnt",
+        ).select(
+            "g", "rn",
+            F.expr("cast(floor(1e6 * ln(cast(rn as double)) + 0.5)"
+                   " as long)").alias("x"),
+            F.expr("cast(floor(1e6 * ln(cast(cnt as double)) + 0.5)"
+                   " as long)").alias("y"),
+        )
+        return theil_sen_slope(pts, ["g"], ["rn"], "x", "y",
+                               max_rows=80)  # text_zipf_slope
+
     def rel_ewma(spark, sf_dir):
         # exact-integer EWMA (alpha = 1/4) over each user's first 30
         # events (kgspark/relops.py ewma_smooth): cents-quantized fold,
@@ -9400,6 +9430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram": text_unigram,
         "link_fs_em": link_fs_em,
         "rel_ewma": rel_ewma,
+        "text_zipf_slope": text_zipf_slope,
         "dedup_span_scrub": dedup_span_scrub,
         "dedup_keep_best": dedup_keep_best,
         "kg_louvain": kg_louvain,
@@ -15888,6 +15919,56 @@ WHERE (1000000 * len(list_intersect(sha, shb)))
         "text_unigram": _unigram_sql(vocab_size=120, rounds=2, K=200),
         # kgspark.linkrec.fs_em: exact ppm-integer Fellegi-Sunter EM
         "link_fs_em": _fs_em_sql(rounds=3),
+        # text_zipf: top-80 rank-frequency points, micro-nat ln both
+        # axes, theil_sen_slope's lower-median pin with the full
+        # deterministic tiebreak — mirrors the rel_theilsen oracle
+        "text_zipf_slope": """
+WITH zf_w AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(list_filter(string_split_regex(lower("text"),
+                                                     '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents)
+  GROUP BY 1
+),
+zf_t AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rn
+  FROM zf_w QUALIFY rn <= 80
+),
+zf_p AS (
+  SELECT rn,
+         CAST(floor(1e6 * ln(rn::DOUBLE) + 0.5) AS BIGINT) AS x,
+         CAST(floor(1e6 * ln(cnt::DOUBLE) + 0.5) AS BIGINT) AS y
+  FROM zf_t
+),
+zf_n AS (SELECT count(*)::BIGINT AS n FROM zf_p),
+zf_s AS (
+  SELECT (b.y - a.y)::BIGINT AS dv, (b.x - a.x)::BIGINT AS dt,
+         a.rn AS ra, b.rn AS rb,
+         (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS q
+  FROM zf_p a JOIN zf_p b ON a.rn < b.rn
+  WHERE b.x - a.x > 0
+),
+zf_c AS (SELECT count(*)::BIGINT AS n_slopes FROM zf_s),
+zf_r AS (
+  SELECT dv, dt,
+         row_number() OVER (ORDER BY q ASC, dv ASC, dt ASC,
+                                     ra ASC, rb ASC) AS rk
+  FROM zf_s
+),
+zf_m AS (
+  SELECT r.dv AS med_dv, r.dt AS med_dt
+  FROM zf_r r, zf_c c WHERE r.rk = (c.n_slopes + 1) // 2
+)
+SELECT 1 AS g, n.n,
+       coalesce(c.n_slopes, 0)::BIGINT AS n_slopes,
+       coalesce(m.med_dv, 0)::BIGINT AS med_dv,
+       coalesce(m.med_dt, 0)::BIGINT AS med_dt,
+       (CASE WHEN coalesce(m.med_dt, 0) > 0
+             THEN (1000000 * m.med_dv) // m.med_dt
+             ELSE -1 END)::BIGINT AS slope_ppm
+FROM zf_n n CROSS JOIN zf_c c LEFT JOIN zf_m m ON TRUE
+""",
         # kgspark.relops.ewma_smooth: exact integer EWMA fold
         # (list_reduce's first-element init == the s_1 = x_1 pin)
         "rel_ewma": """

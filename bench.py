@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "text_unigram",
     "link_fs_em",
     "rel_ewma",
+    "text_zipf",
     "web_hreflang",
     "kg_rules",
     "kg_rule_apply",
@@ -339,7 +340,7 @@ BENCH_QUERIES = [
     "link_metablock",
     "kg_bgp_values",
     "kg_bgp_topk",
-    "text_zipf",
+    "text_zipf_slope",
     "rel_overlap",
     "text_ql",
     "kg_bgp_seq",
