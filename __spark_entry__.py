@@ -1463,6 +1463,7 @@ def _unigram_sql(
     L: int = 4,
     W: int = 12,
     K: int = 200,
+    emit: str = "vocab",
 ) -> str:
     """text_unigram oracle: the full unigram-LM hard-EM trainer
     (kgspark/unigram.py pins) unrolled into chained CTEs — seed
@@ -1548,10 +1549,11 @@ def _unigram_sql(
 
     pc_list = ", ".join(f"pc_{t}" for t in range(1, W + 1))
 
-    rounds_sql = []
-    for r in range(1, rounds + 1):
+    def e_part(r: int) -> str:
+        # E-step chain for round r: scores join, pivot, DP, backtrace,
+        # usage aggregate
         prev_s = f"ug_s{r - 1}"
-        rounds_sql.append(f"""
+        return f"""
 ug_sc{r} AS (
   SELECT g.word, g.e, g.l, v.s
   FROM (
@@ -1573,7 +1575,12 @@ ug_u{r} AS (
                                    x -> x IS NOT NULL)) AS piece
     FROM ug_t{r}_{W}
   ) GROUP BY 1
-),
+)"""
+
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        rounds_sql.append(f"""
+{e_part(r)},
 ug_v{r} AS (
   SELECT v.piece, coalesce(u.u, 0) + 1 AS cnt
   FROM ug_v0 v LEFT JOIN ug_u{r} u USING (piece)
@@ -1614,9 +1621,10 @@ ug_s0 AS (
   SELECT piece, CAST(floor(1e6 * ln(cnt::DOUBLE / t.T) + 0.5)
                      AS BIGINT) AS s
   FROM ug_v0, (SELECT sum(cnt)::BIGINT AS T FROM ug_v0) t
-),{",".join(rounds_sql)}
-SELECT piece, cnt::BIGINT AS cnt, length(piece)::INT AS n_chars
-FROM ug_v{rounds}
+),{",".join(rounds_sql)}{"," + e_part(rounds + 1) if emit == "usage" else ""}
+{f'''SELECT piece, u::BIGINT AS uses, length(piece)::INT AS n_chars
+FROM ug_u{rounds + 1}''' if emit == "usage" else f'''SELECT piece, cnt::BIGINT AS cnt, length(piece)::INT AS n_chars
+FROM ug_v{rounds}'''}
 """
 
 
@@ -7203,6 +7211,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ewma_smooth(ev, ["user_id"], ["t", "event_id"],
                            "cents", k=2, max_rows=30)
 
+    def text_unigram_census(spark, sf_dir):
+        # apply-side unigram-LM census (kgspark/unigram.py
+        # unigram_segment_census): train, then one more Viterbi pass
+        # under the FINAL scores, per-piece corpus usage
+        from kgspark.unigram import unigram_segment_census
+
+        docs = _read(spark, sf_dir, "documents").select("text")
+        return unigram_segment_census(docs, vocab_size=120, rounds=2,
+                                      seed_k=200)
+
     def link_fs_em(spark, sf_dir):
         # Fellegi-Sunter m/u/pi by exact ppm-integer EM
         # (kgspark/linkrec.py fs_em): blocked customer pairs
@@ -9431,6 +9449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fs_em": link_fs_em,
         "rel_ewma": rel_ewma,
         "text_zipf_slope": text_zipf_slope,
+        "text_unigram_census": text_unigram_census,
         "dedup_span_scrub": dedup_span_scrub,
         "dedup_keep_best": dedup_keep_best,
         "kg_louvain": kg_louvain,
@@ -15917,6 +15936,11 @@ WHERE (1000000 * len(list_intersect(sha, shb)))
         # kgspark.unigram.unigram_train: SentencePiece-style unigram-LM
         # hard-EM trainer, fully unrolled Viterbi DP + M-step ranking
         "text_unigram": _unigram_sql(vocab_size=120, rounds=2, K=200),
+        # kgspark.unigram.unigram_segment_census: one more E-pass under
+        # the final scores, per-piece usage
+        "text_unigram_census": _unigram_sql(
+            vocab_size=120, rounds=2, K=200, emit="usage"
+        ),
         # kgspark.linkrec.fs_em: exact ppm-integer Fellegi-Sunter EM
         "link_fs_em": _fs_em_sql(rounds=3),
         # text_zipf: top-80 rank-frequency points, micro-nat ln both

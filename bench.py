@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "kg_bgp_values",
     "kg_bgp_topk",
     "text_zipf_slope",
+    "text_unigram_census",
     "rel_overlap",
     "text_ql",
     "kg_bgp_seq",

@@ -101,21 +101,18 @@ def _mstep(usage: dict, singles: set, vocab_size: int):
     return counts, scores
 
 
-def unigram_train(
+def _train(
     docs: DataFrame,
-    vocab_size: int = 120,
-    rounds: int = 2,
-    max_piece_len: int = 4,
-    max_word_len: int = 12,
-    seed_k: int = 200,
-    text_col: str = "text",
-) -> DataFrame:
-    """Train the unigram-LM piece inventory over a document corpus.
-
-    Returns (piece, cnt, n_chars): the final vocab with its Laplace
-    counts after ``rounds`` hard-EM rounds — exact integers, engine-
-    independent (the scores that drove the DP are integer micro-nats).
-    """
+    vocab_size: int,
+    rounds: int,
+    max_piece_len: int,
+    max_word_len: int,
+    seed_k: int,
+    text_col: str,
+):
+    """Shared trainer core: returns (words_df, counts, scores) after
+    `rounds` hard-EM rounds — words_df is the materialized truncated
+    word table, counts/scores the final vocab state."""
     from kgspark.bpe import word_counts
     from kgspark.session import materialize
 
@@ -192,10 +189,72 @@ def unigram_train(
         usage = {r.piece: r.u for r in usage_rows}
         counts, scores = _mstep(usage, singles, vocab_size)
 
+    return words, counts, scores
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 120,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    seed_k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the unigram-LM piece inventory over a document corpus.
+
+    Returns (piece, cnt, n_chars): the final vocab with its Laplace
+    counts after ``rounds`` hard-EM rounds — exact integers, engine-
+    independent (the scores that drove the DP are integer micro-nats).
+    """
+    spark = docs.sparkSession
+    _, counts, _ = _train(
+        docs, vocab_size, rounds, max_piece_len, max_word_len,
+        seed_k, text_col,
+    )
     out = sorted(counts.items())
     return spark.createDataFrame(
         [(p, int(c), len(p)) for p, c in out],
         "piece string, cnt long, n_chars int",
+    )
+
+
+def unigram_segment_census(
+    docs: DataFrame,
+    vocab_size: int = 120,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    seed_k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply-side census (the bpe_apply_census sibling): train the
+    piece inventory, then segment the whole word table ONCE MORE under
+    the FINAL scores and report each piece's corpus usage — the
+    token-frequency table a tokenizer consumer actually ships. Returns
+    (piece, uses, n_chars) with uses = Σ word_cnt × times-used; only
+    pieces the final segmentation actually uses appear (uses > 0 by
+    construction). Same bounded shapes as training plus one extra
+    Arrow-batched E-pass."""
+    words, _, scores = _train(
+        docs, vocab_size, rounds, max_piece_len, max_word_len,
+        seed_k, text_col,
+    )
+    score_map = dict(scores)
+    mpl = max_piece_len
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def segment(ws: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_viterbi_pieces(w, score_map, mpl) for w in ws]
+        )
+
+    return (
+        words.select(F.explode(segment("word")).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("uses"))
+        .select("piece", "uses",
+                F.length("piece").cast("int").alias("n_chars"))
     )
 
 

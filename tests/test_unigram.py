@@ -71,3 +71,68 @@ def test_unigram_truncation_and_vocab_cap(spark):
     assert rows == want
     # nothing longer than max_piece_len
     assert max(len(p) for p in rows) <= 4
+
+
+def test_unigram_segment_census_equals_reference(spark):
+    """The apply-side census = one more E-pass under the final scores;
+    usage must equal the reference's replayed segmentation."""
+    import re
+
+    from kgspark.unigram import (
+        _mstep,
+        _viterbi_pieces,
+        unigram_segment_census,
+    )
+
+    texts = [
+        "the banana band banded the bandana",
+        "a banana and a bandana band together",
+        "banners and bandanas abound in the banner band",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.piece, r.uses)
+        for r in unigram_segment_census(
+            df, vocab_size=40, rounds=2, seed_k=60
+        ).collect()
+    }
+
+    # reference: rerun the reference trainer, then one more E-pass
+    import math
+
+    wc = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                wc[w[:12]] = wc.get(w[:12], 0) + 1
+    cand = {}
+    for w, c in wc.items():
+        for pl in range(1, 5):
+            for i in range(len(w) - pl + 1):
+                p = w[i : i + pl]
+                cand[p] = cand.get(p, 0) + c
+    singles = {p for p in cand if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:60]
+    counts = {p: cand[p] for p in singles}
+    counts.update(dict(multi))
+    total = sum(counts.values())
+    scores = {
+        p: int(math.floor(1e6 * math.log(c / total) + 0.5))
+        for p, c in counts.items()
+    }
+    for _ in range(2):
+        usage = {}
+        for w, c in wc.items():
+            for p in _viterbi_pieces(w, scores, 4):
+                usage[p] = usage.get(p, 0) + c
+        counts, scores = _mstep(usage, singles, 40)
+    final_usage = {}
+    for w, c in wc.items():
+        for p in _viterbi_pieces(w, scores, 4):
+            final_usage[p] = final_usage.get(p, 0) + c
+    assert got == set(final_usage.items())
