@@ -830,3 +830,4 @@ def test_ewma_smooth_exact_fold(spark):
     dz = spark.createDataFrame(long_rows, "g string, t int, v long")
     rz = ewma_smooth(dz, ["g"], ["t"], "v", k=2, max_rows=10).collect()[0]
     assert rz.n == 10 and rz.ewma_v == replica(list(range(1, 11)))
+
