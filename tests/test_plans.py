@@ -1271,3 +1271,25 @@ def test_session9_ops_plan_shapes(spark):
                          k=2, nprobe=1, m=2, n_centroids=2, in_dim=4))
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_session9_tail_ops_plan_shapes(spark):
+    """Session-9 tail ops: the EWMA fold and the FS-EM E-step are pure
+    JVM column programs (no Python eval, no cartesian scans); fs_em's
+    per-round work is a single map-side aggregate."""
+    from kgspark.linkrec import fs_em
+    from kgspark.relops import ewma_smooth
+
+    ev = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20)], "g string, t int, v long")
+    p = plan(ewma_smooth(ev, ["g"], ["t"], "v", k=2))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+    pairs = spark.createDataFrame(
+        [(1, 0, 1), (0, 1, 0)], "g1 int, g2 int, g3 int")
+    out = fs_em(pairs, ["g1", "g2", "g3"], rounds=1)
+    # the returned one-row frame is a local relation; the per-round
+    # aggregate already ran — assert the EM made exact-integer updates
+    r = out.collect()[0]
+    assert r["n_pairs"] == 2 and 0 <= r["pi_ppm"] <= 1_000_000
