@@ -7221,6 +7221,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_segment_census(docs, vocab_size=120, rounds=2,
                                       seed_k=200)
 
+    def schema_profile(spark, sf_dir):
+        # relational column profiler (kgspark/schema_induce.py
+        # profile_columns): exact ndv/min/max/top-5 per column in two
+        # shuffles, rank pin (count desc, value asc)
+        from kgspark.schema_induce import profile_columns
+
+        c = _read(spark, sf_dir, "customer")
+        return profile_columns(
+            c, ["c_mktsegment", "c_nationkey", "c_name"], top_k=5
+        )
+
     def link_fs_em(spark, sf_dir):
         # Fellegi-Sunter m/u/pi by exact ppm-integer EM
         # (kgspark/linkrec.py fs_em): blocked customer pairs
@@ -9450,6 +9461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_ewma": rel_ewma,
         "text_zipf_slope": text_zipf_slope,
         "text_unigram_census": text_unigram_census,
+        "schema_profile": schema_profile,
         "dedup_span_scrub": dedup_span_scrub,
         "dedup_keep_best": dedup_keep_best,
         "kg_louvain": kg_louvain,
@@ -15992,6 +16004,48 @@ SELECT 1 AS g, n.n,
              THEN (1000000 * m.med_dv) // m.med_dt
              ELSE -1 END)::BIGINT AS slope_ppm
 FROM zf_n n CROSS JOIN zf_c c LEFT JOIN zf_m m ON TRUE
+""",
+        # kgspark.schema_induce.profile_columns: exact column profiler
+        "schema_profile": """
+WITH pr_m AS (
+  SELECT 'c_mktsegment' AS col_name, c_mktsegment::VARCHAR AS v
+  FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', c_nationkey::VARCHAR FROM customer
+  UNION ALL
+  SELECT 'c_name', c_name::VARCHAR FROM customer
+),
+pr_v AS (
+  SELECT col_name, v, count(*)::BIGINT AS cnt
+  FROM pr_m GROUP BY 1, 2
+),
+pr_n AS (
+  SELECT col_name,
+         coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0)::BIGINT
+           AS n_null
+  FROM pr_v GROUP BY 1
+),
+pr_s AS (
+  SELECT col_name, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS ndv,
+         min(v) AS min_v, max(v) AS max_v
+  FROM pr_v WHERE v IS NOT NULL GROUP BY 1
+),
+pr_r AS (
+  SELECT col_name, v, cnt,
+         row_number() OVER (PARTITION BY col_name
+                            ORDER BY cnt DESC, v ASC) AS rk
+  FROM pr_v WHERE v IS NOT NULL
+),
+pr_t AS (
+  SELECT col_name,
+         string_agg(v || ':' || cnt, '|' ORDER BY rk) AS top_values
+  FROM pr_r WHERE rk <= 5 GROUP BY 1
+)
+SELECT s.col_name, s.n, coalesce(nl.n_null, 0)::BIGINT AS n_null,
+       s.ndv, s.min_v, s.max_v,
+       coalesce(t.top_values, '') AS top_values
+FROM pr_s s LEFT JOIN pr_n nl USING (col_name)
+LEFT JOIN pr_t t USING (col_name)
 """,
         # kgspark.relops.ewma_smooth: exact integer EWMA fold
         # (list_reduce's first-element init == the s_1 = x_1 pin)

@@ -342,6 +342,7 @@ BENCH_QUERIES = [
     "kg_bgp_topk",
     "text_zipf_slope",
     "text_unigram_census",
+    "schema_profile",
     "rel_overlap",
     "text_ql",
     "kg_bgp_seq",

@@ -494,3 +494,97 @@ def ucc_discover(df: DataFrame, cols: list[str]) -> DataFrame:
         uniq.cast("int").alias("is_unique"),
         minimal.cast("int").alias("is_minimal"),
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Relational column profiler — the Deequ/crawler primitive a
+    pipeline runs before trusting a new table: one row per profiled
+    column with (n, n_null, ndv, min_v, max_v, top_values), all over
+    the STRING-cast value space so the report is type-uniform and the
+    hash-oracle never sees an unhashable array (top_values is the
+    rank-ordered "value:count|value:count|…" string — the list-column
+    canonicalization pin).
+
+    ndv/min/max/top-k are EXACT (this is a profiler, not a sketch —
+    the sketch family in kgspark/sketch.py covers the approximate
+    tier). Pins: ranks by (count desc, value asc); NULLs count into
+    n_null only and never into ndv/min/max/top.
+
+    Scale shape (the SINDY posture): every column's values melt into
+    ONE exploded (col_name, value) stream in a single scan, so one
+    value-keyed groupBy computes every column's per-value counts and
+    one column-keyed aggregate folds the stats — two shuffles total
+    regardless of how many columns are profiled. Per-value state is
+    the distinct-value space, not the row count.
+    """
+    from pyspark.sql import Window
+
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in cols
+            ])
+        ).alias("m")
+    ).select("m.col_name", "m.v")
+    per_value = melted.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    nulls = (
+        per_value.where(F.col("v").isNull())
+        .select("col_name", F.col("cnt").alias("n_null"))
+    )
+    vals = per_value.where(F.col("v").isNotNull())
+    w = Window.partitionBy("col_name").orderBy(
+        F.desc("cnt"), F.asc("v")
+    )
+    ranked = vals.withColumn("rk", F.row_number().over(w))
+    stats = vals.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    top = (
+        ranked.where(F.col("rk") <= top_k)
+        .groupBy("col_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("rk",
+                                     F.concat_ws(":", "v", "cnt")
+                                     .alias("s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                "|",
+            ).alias("top_values")
+        )
+    )
+    base = per_value.select("col_name").distinct()
+    return (
+        base.join(stats, "col_name", "left")
+        .join(nulls, "col_name", "left")
+        .join(top, "col_name", "left")
+        .select(
+            "col_name",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("n_null", F.lit(0)).cast("long").alias("n_null"),
+            F.coalesce("ndv", F.lit(0)).cast("long").alias("ndv"),
+            # '' sentinels: NULL output cells break the driver's
+            # pandas sort canonicalization (all-null-column case)
+            F.coalesce("min_v", F.lit("")).alias("min_v"),
+            F.coalesce("max_v", F.lit("")).alias("max_v"),
+            F.coalesce("top_values", F.lit("")).alias("top_values"),
+        )
+    )

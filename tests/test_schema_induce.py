@@ -167,3 +167,25 @@ def test_ucc_discover_hand_case(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ucc_discover(df, ["id"])
+
+
+def test_profile_columns(spark):
+    """profile_columns: exact ndv/min/max/top-k with pinned ranks,
+    NULLs isolated in n_null, all-null columns still reported."""
+    from kgspark.schema_induce import profile_columns
+
+    rows = [
+        ("a", 1, None), ("a", 2, None), ("b", 2, None),
+        ("b", 2, None), (None, 3, None),
+    ]
+    df = spark.createDataFrame(rows, "s string, i int, z string")
+    out = {r.col_name: r for r in
+           profile_columns(df, ["s", "i", "z"], top_k=2).collect()}
+    assert (out["s"].n, out["s"].n_null, out["s"].ndv) == (4, 1, 2)
+    assert (out["s"].min_v, out["s"].max_v) == ("a", "b")
+    # tie at cnt=2: value asc picks 'a' first
+    assert out["s"].top_values == "a:2|b:2"
+    assert (out["i"].n, out["i"].ndv) == (5, 3)
+    assert out["i"].top_values == "2:3|1:1"
+    assert (out["z"].n, out["z"].n_null, out["z"].ndv) == (0, 5, 0)
+    assert out["z"].top_values == "" and out["z"].min_v == ""
