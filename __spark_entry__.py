@@ -7232,6 +7232,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             c, ["c_mktsegment", "c_nationkey", "c_name"], top_k=5
         )
 
+    def schema_checks(spark, sf_dir):
+        # Deequ-style expectations gate (kgspark/schema_induce.py
+        # expect_checks): one map-side aggregate for the row checks +
+        # one groupBy per uniqueness claim; the in_set check omits
+        # FURNITURE so a real violation count is exercised
+        from kgspark.schema_induce import expect_checks
+
+        c = _read(spark, sf_dir, "customer")
+        return expect_checks(c, [
+            {"name": "name_not_null", "col": "c_name",
+             "kind": "not_null"},
+            {"name": "custkey_unique", "col": "c_custkey",
+             "kind": "unique"},
+            {"name": "bal_min", "col": "c_acctbal", "kind": "min",
+             "value": -1000},
+            {"name": "bal_max", "col": "c_acctbal", "kind": "max",
+             "value": 10000},
+            {"name": "segment_set", "col": "c_mktsegment",
+             "kind": "in_set",
+             "values": ["BUILDING", "AUTOMOBILE", "MACHINERY",
+                        "HOUSEHOLD"]},
+            {"name": "name_pattern", "col": "c_name",
+             "kind": "matches", "pattern": "^Customer#[0-9]+$"},
+            {"name": "segment_unique", "col": "c_mktsegment",
+             "kind": "unique"},
+        ])
+
     def link_fs_em(spark, sf_dir):
         # Fellegi-Sunter m/u/pi by exact ppm-integer EM
         # (kgspark/linkrec.py fs_em): blocked customer pairs
@@ -9462,6 +9489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_slope": text_zipf_slope,
         "text_unigram_census": text_unigram_census,
         "schema_profile": schema_profile,
+        "schema_checks": schema_checks,
         "dedup_span_scrub": dedup_span_scrub,
         "dedup_keep_best": dedup_keep_best,
         "kg_louvain": kg_louvain,
@@ -16004,6 +16032,54 @@ SELECT 1 AS g, n.n,
              THEN (1000000 * m.med_dv) // m.med_dt
              ELSE -1 END)::BIGINT AS slope_ppm
 FROM zf_n n CROSS JOIN zf_c c LEFT JOIN zf_m m ON TRUE
+""",
+        # kgspark.schema_induce.expect_checks: expectations gate —
+        # row checks as conditional sums, uniqueness as dup-row counts
+        "schema_checks": """
+WITH ck_n AS (SELECT count(*)::BIGINT AS n FROM customer),
+ck_r AS (
+  SELECT
+    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT AS b_nn,
+    sum(CASE WHEN c_acctbal IS NULL OR c_acctbal < -1000
+        THEN 1 ELSE 0 END)::BIGINT AS b_min,
+    sum(CASE WHEN c_acctbal IS NULL OR c_acctbal > 10000
+        THEN 1 ELSE 0 END)::BIGINT AS b_max,
+    sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment NOT IN
+             ('BUILDING', 'AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')
+        THEN 1 ELSE 0 END)::BIGINT AS b_set,
+    sum(CASE WHEN c_name IS NULL
+             OR NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+        THEN 1 ELSE 0 END)::BIGINT AS b_re
+  FROM customer
+),
+ck_u1 AS (
+  SELECT coalesce(sum(cn), 0)::BIGINT AS b FROM (
+    SELECT count(*) AS cn FROM customer
+    GROUP BY c_custkey HAVING count(*) > 1)
+),
+ck_u2 AS (
+  SELECT coalesce(sum(cn), 0)::BIGINT AS b FROM (
+    SELECT count(*) AS cn FROM customer
+    GROUP BY c_mktsegment HAVING count(*) > 1)
+)
+SELECT name, col, kind, n.n AS n_rows, n_bad,
+       (CASE WHEN n_bad = 0 THEN 1 ELSE 0 END)::INT AS pass_flag
+FROM ck_n n CROSS JOIN (
+  SELECT 'name_not_null' AS name, 'c_name' AS col,
+         'not_null' AS kind, b_nn AS n_bad FROM ck_r
+  UNION ALL
+  SELECT 'bal_min', 'c_acctbal', 'min', b_min FROM ck_r
+  UNION ALL
+  SELECT 'bal_max', 'c_acctbal', 'max', b_max FROM ck_r
+  UNION ALL
+  SELECT 'segment_set', 'c_mktsegment', 'in_set', b_set FROM ck_r
+  UNION ALL
+  SELECT 'name_pattern', 'c_name', 'matches', b_re FROM ck_r
+  UNION ALL
+  SELECT 'custkey_unique', 'c_custkey', 'unique', b FROM ck_u1
+  UNION ALL
+  SELECT 'segment_unique', 'c_mktsegment', 'unique', b FROM ck_u2
+) u
 """,
         # kgspark.schema_induce.profile_columns: exact column profiler
         "schema_profile": """

@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "text_zipf_slope",
     "text_unigram_census",
     "schema_profile",
+    "schema_checks",
     "rel_overlap",
     "text_ql",
     "kg_bgp_seq",

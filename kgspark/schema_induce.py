@@ -588,3 +588,81 @@ def profile_columns(
             F.coalesce("top_values", F.lit("")).alias("top_values"),
         )
     )
+
+
+def expect_checks(
+    df: DataFrame,
+    checks: list[dict],
+) -> DataFrame:
+    """Deequ-style declarative data-quality gate — the expectations
+    runner a pipeline puts in front of training after
+    :func:`profile_columns` told it what the table looks like. Each
+    check is a dict: {"name": ..., "col": ..., "kind": ...} with kind-
+    specific params:
+
+      not_null                 value IS NOT NULL
+      unique                   no value (incl. NULL) occurs twice
+      min / max (long)         numeric bounds, NULL violates
+      in_set  (values: list)   membership, NULL violates
+      matches (pattern: str)   Java∩RE2∩DuckDB regex full-ish match
+                               via rlike, NULL violates
+
+    Returns one row per check: (name, col, kind, n_rows, n_bad,
+    pass_flag) with exact integer counts — a report, not an exception,
+    so a 100 TB job records quality instead of dying on row one.
+
+    Scale shape: every row-level check folds in ONE map-side aggregate
+    pass over the table (a conditional sum per check — no joins, no
+    shuffle beyond the 1-row reduce); each `unique` check adds one
+    value-keyed groupBy (the unavoidable shuffle for a distinctness
+    claim). Check list is schema-sized.
+    """
+    spark = df.sparkSession
+    n_rows = df.count()
+    row_aggs = []
+    row_meta = []
+    uniq_results = []
+    for c in checks:
+        name, col, kind = c["name"], c["col"], c["kind"]
+        v = F.col(col)
+        if kind == "not_null":
+            bad = v.isNull()
+        elif kind == "min":
+            bad = v.isNull() | (v < F.lit(int(c["value"])))
+        elif kind == "max":
+            bad = v.isNull() | (v > F.lit(int(c["value"])))
+        elif kind == "in_set":
+            bad = v.isNull() | ~v.isin(list(c["values"]))
+        elif kind == "matches":
+            bad = v.isNull() | ~v.rlike(c["pattern"])
+        elif kind == "unique":
+            dup = (
+                df.groupBy(v.alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("long")
+                     .alias("n_bad"))
+                .collect()[0]["n_bad"]
+            )
+            uniq_results.append((name, col, kind, int(dup)))
+            continue
+        else:
+            raise ValueError(f"expect_checks: unknown kind {kind!r}")
+        row_meta.append((name, col, kind))
+        row_aggs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long")
+            .alias(f"__c{len(row_aggs)}")
+        )
+    rows = []
+    if row_aggs:
+        agg_row = df.agg(*row_aggs).collect()[0]
+        for i, (name, col, kind) in enumerate(row_meta):
+            nb = int(agg_row[f"__c{i}"] or 0)
+            rows.append((name, col, kind, n_rows, nb, int(nb == 0)))
+    for name, col, kind, nb in uniq_results:
+        rows.append((name, col, kind, n_rows, nb, int(nb == 0)))
+    return spark.createDataFrame(
+        rows,
+        "name string, col string, kind string, n_rows long,"
+        " n_bad long, pass_flag int",
+    )

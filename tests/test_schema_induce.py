@@ -189,3 +189,39 @@ def test_profile_columns(spark):
     assert out["i"].top_values == "2:3|1:1"
     assert (out["z"].n, out["z"].n_null, out["z"].ndv) == (0, 5, 0)
     assert out["z"].top_values == "" and out["z"].min_v == ""
+
+
+def test_expect_checks(spark):
+    """expect_checks: every kind exercised, exact violation counts,
+    NULL-violates pin, unique counts ALL rows of duplicated values."""
+    from kgspark.schema_induce import expect_checks
+
+    rows = [
+        (1, "a@x.com", 10, "red"),
+        (2, "b@y.org", 20, "blue"),
+        (3, None, -5, "red"),
+        (3, "not-an-email", 500, "green"),
+    ]
+    df = spark.createDataFrame(rows, "id long, email string, v long, c string")
+    out = {r.name: (r.n_rows, r.n_bad, r.pass_flag)
+           for r in expect_checks(df, [
+               {"name": "email_nn", "col": "email", "kind": "not_null"},
+               {"name": "id_uq", "col": "id", "kind": "unique"},
+               {"name": "v_min", "col": "v", "kind": "min", "value": 0},
+               {"name": "v_max", "col": "v", "kind": "max", "value": 100},
+               {"name": "c_set", "col": "c", "kind": "in_set",
+                "values": ["red", "blue"]},
+               {"name": "email_re", "col": "email", "kind": "matches",
+                "pattern": "^[a-z]+@[a-z]+[.](com|org)$"},
+           ]).collect()}
+    assert out["email_nn"] == (4, 1, 0)
+    assert out["id_uq"] == (4, 2, 0)      # both rows of id=3 count
+    assert out["v_min"] == (4, 1, 0)
+    assert out["v_max"] == (4, 1, 0)
+    assert out["c_set"] == (4, 1, 0)
+    assert out["email_re"] == (4, 2, 0)   # NULL + malformed
+    clean = expect_checks(df.where("id < 3"), [
+        {"name": "ok", "col": "email", "kind": "not_null"},
+        {"name": "uq", "col": "id", "kind": "unique"},
+    ])
+    assert all(r.pass_flag == 1 for r in clean.collect())
